@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Determinism helpers for oracle-compared aggregates.
+  *
+  * Summing IEEE doubles is order-dependent; Spark's parallel partial
+  * aggregation and DuckDB's sequential scan would round differently in the
+  * last ulp and fail the driver's hash compare. Routing the sum through an
+  * exact DECIMAL accumulator makes it order-independent in both engines,
+  * and the final DECIMAL->DOUBLE conversion is the same round-to-nearest
+  * in both — so results are bit-identical AND still reproducible on a
+  * 1000-executor cluster where partition order is nondeterministic.
+  */
+object Exact {
+  private val Acc = DecimalType(38, 18)
+
+  /** Order-independent sum of a double expression; returns DOUBLE.
+    * Oracle form: CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) */
+  def dsum(c: Column): Column = sum(c.cast(Acc)).cast(DoubleType)
+
+  /** Order-independent mean; DOUBLE/ BIGINT division is IEEE-deterministic.
+    * Oracle form: CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)/COUNT(*) */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+}
