@@ -17,6 +17,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object Exact {
   private val Acc = DecimalType(38, 18)
 
+  /** Exact-accumulator cast for contexts that need the raw DECIMAL column
+    * (e.g. window running sums). Oracle form: CAST(x AS DECIMAL(38,18)).
+    * Precondition: finite inputs with |x| < 1e20 (ADVICE r1) — holds for
+    * all fixture columns; document at call sites handling external data. */
+  def dec(c: Column): Column = c.cast(Acc)
+
   /** Order-independent sum of a double expression; returns DOUBLE.
     * Oracle form: CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) */
   def dsum(c: Column): Column = sum(c.cast(Acc)).cast(DoubleType)

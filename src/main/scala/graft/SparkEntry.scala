@@ -6,13 +6,59 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.6-2.9 relational surface
     "q1_agg" -> (Relational.q1Agg _),
+    "join_star" -> (Relational.joinStar _),
+    "join_left" -> (Relational.joinLeft _),
+    "agg_distinct" -> (Relational.aggDistinct _),
+    "agg_hll" -> (Relational.aggHll _),
+    "agg_rollup" -> (Relational.aggRollup _),
+    "agg_cube" -> (Relational.aggCube _),
+    "window_funcs" -> (Relational.windowFuncs _),
+    "topk" -> (Relational.topK _),
+    "set_union" -> (Relational.setUnion _),
+    "set_intersect" -> (Relational.setIntersect _),
+    "set_except" -> (Relational.setExcept _),
+    // reference surface (SURVEY §2.1-2.4, §2.10)
+    "ingest_transform" -> (Ingest.ingestTransform _),
+    "ingest_enrich" -> (Ingest.ingestEnrich _),
+    "parse_valid" -> (Ingest.parseValid _),
+    "parse_dlq" -> (Ingest.parseDlq _),
+    "dedup_by_key" -> (Ingest.dedupByKey _),
+    "ack_semi_join" -> (Ingest.ackSemiJoin _),
+    "nack_anti_join" -> (Ingest.nackAntiJoin _),
+    "daily_partitions" -> (Ingest.dailyPartitions _),
+    "scalar_funcs" -> (Ingest.scalarFuncs _),
+    "explode_tags" -> (Ingest.explodeTags _),
+    "tags_exists" -> (Ingest.tagsExists _),
   )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> Relational.q1AggSql,
+    "join_star" -> Relational.joinStarSql,
+    "join_left" -> Relational.joinLeftSql,
+    "agg_distinct" -> Relational.aggDistinctSql,
+    "agg_rollup" -> Relational.aggRollupSql,
+    "agg_cube" -> Relational.aggCubeSql,
+    "window_funcs" -> Relational.windowFuncsSql,
+    "topk" -> Relational.topKSql,
+    "set_union" -> Relational.setUnionSql,
+    "set_intersect" -> Relational.setIntersectSql,
+    "set_except" -> Relational.setExceptSql,
+    "ingest_transform" -> Ingest.ingestTransformSql,
+    "parse_valid" -> Ingest.parseValidSql,
+    "parse_dlq" -> Ingest.parseDlqSql,
+    "dedup_by_key" -> Ingest.dedupByKeySql,
+    "ack_semi_join" -> Ingest.ackSemiJoinSql,
+    "nack_anti_join" -> Ingest.nackAntiJoinSql,
+    "daily_partitions" -> Ingest.dailyPartitionsSql,
+    "scalar_funcs" -> Ingest.scalarFuncsSql,
+    "explode_tags" -> Ingest.explodeTagsSql,
+    "tags_exists" -> Ingest.tagsExistsSql,
   )
 }

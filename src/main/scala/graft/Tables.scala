@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Test-table access for the driver's parquet fixtures (TESTDATA.md).
   * All queries take the sf directory as a parameter so the same code runs
@@ -19,7 +20,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read it as a long (legacy conf) and convert to a
+    * microsecond TimestampType. The fixture's ns values are all exact
+    * multiples of 1000, so `div 1000` is lossless (verified at sf0.01);
+    * `div` is integral so no double round-trip of ~1.7e18 ns values. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }
