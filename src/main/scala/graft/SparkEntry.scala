@@ -34,6 +34,21 @@ object SparkEntry {
     "scalar_funcs" -> (Ingest.scalarFuncs _),
     "explode_tags" -> (Ingest.explodeTags _),
     "tags_exists" -> (Ingest.tagsExists _),
+    // LLM-pipeline: dedup over documents (north star, SURVEY §7.2.5)
+    "dedup_exact" -> (Dedup.dedupExact _),
+    "minhash_sig" -> (Dedup.minhashSig _),
+    "lsh_pairs" -> (Dedup.lshPairs _),
+    "dedup_jaccard" -> (Dedup.dedupJaccard _),
+    "dedup_simhash" -> (Dedup.dedupSimhash _),
+    // LLM-pipeline: similarity search over embeddings
+    "ann_topk" -> (Similarity.annTopK _),
+    "ann_ivf" -> (Similarity.annIvf _),
+    "embed_neardup" -> (Similarity.embedNearDup _),
+    // LLM-pipeline: text analysis over documents
+    "lang_id" -> (TextAnalysis.langId _),
+    "text_quality" -> (TextAnalysis.textQuality _),
+    "token_count" -> (TextAnalysis.tokenCount _),
+    "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -60,5 +75,17 @@ object SparkEntry {
     "scalar_funcs" -> Ingest.scalarFuncsSql,
     "explode_tags" -> Ingest.explodeTagsSql,
     "tags_exists" -> Ingest.tagsExistsSql,
+    "dedup_exact" -> Dedup.dedupExactSql,
+    "minhash_sig" -> Dedup.minhashSigSql,
+    "lsh_pairs" -> Dedup.lshPairsSql,
+    "dedup_jaccard" -> Dedup.dedupJaccardSql,
+    "dedup_simhash" -> Dedup.dedupSimhashSql,
+    "ann_topk" -> Similarity.annTopKSql,
+    "ann_ivf" -> Similarity.annIvfSql,
+    "embed_neardup" -> Similarity.embedNearDupSql,
+    "lang_id" -> TextAnalysis.langIdSql,
+    "text_quality" -> TextAnalysis.textQualitySql,
+    "token_count" -> TextAnalysis.tokenCountSql,
+    "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
   )
 }

@@ -1,0 +1,167 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` fixture (vec_id, 64-dim
+  * array<float>, label) — the north-star ANN surface.
+  *
+  * Scoring parity with the DuckDB oracle: per-element products are
+  * float→double (exact) then double× (correctly rounded, identical in
+  * both engines); the dot is a SEQUENTIAL left fold over the array in
+  * both engines (Spark `aggregate`, DuckDB `list_reduce`) — each IEEE
+  * add is correctly rounded and the order is fixed, so the folded sum is
+  * bit-identical without any decimal accumulator. (A parallel SUM would
+  * not be: FP addition is order-dependent — that is exactly why these
+  * dots fold per-row inside the array rather than aggregating exploded
+  * rows.) cosine = dot / sqrt(na*nb) — IEEE multiply, sqrt, divide, all
+  * correctly rounded — so scores are bit-identical and the top-k order
+  * is engine-independent (ties broken by vec_id).
+  *
+  * Scale design (100 TB): brute-force top-k is the per-partition-heap
+  * TakeOrderedAndProject shape (k rows per partition to the driver, never
+  * the corpus). The bucketed variant is the real scale path: a coarse
+  * sign-LSH (random-hyperplane) partition key prunes candidates before
+  * scoring — the same bucketing that an IVF index's inverted lists give.
+  * Hyperplanes are derived from md5 so both engines agree without shared
+  * random state.
+  */
+object Similarity {
+
+  /** Dot product of two array<float> columns as a sequential double
+    * fold (bit-identical to [[dotSql]]; see class doc). */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** DuckDB equivalent of [[dotD]] for oracle SQL (a, b are SQL exprs).
+    * list_reduce's init is the first element — identical to Spark's
+    * 0.0 + first (exact for nonzero first element). */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)"
+
+  /** cosine(a, b) given precomputed squared norms. */
+  private def cosine(dot: Column, na2: Column, nb2: Column): Column =
+    dot / sqrt(na2 * nb2)
+
+  /** Brute-force cosine top-k against the query vector (vec_id 0): the
+    * correctness baseline. Plan: broadcast the single query row, narrow
+    * score projection, TakeOrderedAndProject(k) — per-partition heaps,
+    * only k rows cross to the driver. */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding".as("qv"))
+    emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"label",
+        cosine(dotD($"embedding", $"qv"),
+          dotD($"embedding", $"embedding"), dotD($"qv", $"qv")).as("score"))
+      .orderBy($"score".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val annTopKSql: String =
+    s"""SELECT vec_id, label,
+       |  ${dotSql("embedding", "qv")} / sqrt(${dotSql("embedding", "embedding")} * ${dotSql("qv", "qv")}) AS score
+       |FROM (SELECT * FROM embeddings WHERE vec_id != 0)
+       |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Number of sign-LSH hyperplanes (2^4 = 16 coarse buckets). */
+  val NumPlanes = 4
+
+  /** Hyperplane sign for (plane j, dim i): +1 iff the top bit of
+    * md5("j:i") is set — deterministic shared randomness. */
+  private def planeSign(j: Int, i: Column): Column =
+    when(substring(md5(concat(lit(s"$j:"), i.cast("string"))), 1, 1)
+      .isin("8", "9", "a", "b", "c", "d", "e", "f"), lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-LSH bucket id of an embedding column: bit_j = [h_j · v > 0],
+    * with the projection folded sequentially (engine-independent sign;
+    * see class doc). */
+  def lshBucket(v: Column): Column = {
+    val bits = (0 until NumPlanes).map { j =>
+      val terms = transform(sequence(lit(0), lit(63)),
+        i => planeSign(j, i) * element_at(v, i + 1).cast("double"))
+      when(aggregate(terms, lit(0.0), (acc, x) => acc + x) > 0.0, lit(1L << j))
+        .otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  private def bucketSql(v: String): String = {
+    val bits = (0 until NumPlanes).map { j =>
+      s"CASE WHEN list_reduce(list_transform(range(0, 64), i -> " +
+        s"(CASE WHEN strpos('89abcdef', substr(md5('$j:' || CAST(i AS VARCHAR)), 1, 1)) > 0 " +
+        s"THEN 1.0 ELSE -1.0 END) * CAST($v[i + 1] AS DOUBLE)), (acc, x) -> acc + x) " +
+        s"> 0 THEN ${1L << j} ELSE 0 END"
+    }
+    s"CAST(${bits.mkString(" + ")} AS BIGINT)"
+  }
+
+  /** IVF/LSH-pruned top-k: restrict scoring to the query's coarse bucket.
+    * This is the 100 TB plan — the bucket column becomes the partition
+    * key of the stored corpus, so a query scans 1/2^NumPlanes of the
+    * data (partition pruning), at the cost of LSH recall (~(1-θ/π)^planes
+    * for angle θ). Same exact scoring as [[annTopK]]. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", lshBucket($"embedding"))
+    val q = emb.filter($"vec_id" === 0)
+      .select($"bucket".as("qbucket"), $"embedding".as("qv"))
+    emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .filter($"bucket" === $"qbucket")
+      .select($"vec_id", $"bucket",
+        cosine(dotD($"embedding", $"qv"),
+          dotD($"embedding", $"embedding"), dotD($"qv", $"qv")).as("score"))
+      .orderBy($"score".desc, $"vec_id")
+      .limit(5)
+  }
+
+  val annIvfSql: String =
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
+       |SELECT vec_id, bucket,
+       |  ${dotSql("embedding", "qv")} / sqrt(${dotSql("embedding", "embedding")} * ${dotSql("qv", "qv")}) AS score
+       |FROM (SELECT * FROM bucketed WHERE vec_id != 0)
+       |CROSS JOIN (SELECT embedding AS qv, bucket AS qbucket FROM bucketed WHERE vec_id = 0)
+       |WHERE bucket = qbucket
+       |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs: bucket with sign-LSH, score
+    * only same-bucket pairs, keep cosine ≥ 0.3 (calibrated to the
+    * fixture's max inter-vector cosine ≈ 0.4). The same-bucket self-join
+    * is the all-pairs killer at scale turned into O(Σ bucket²). */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", lshBucket($"embedding"))
+      .withColumn("n2", dotD($"embedding", $"embedding"))
+      .select($"vec_id", $"embedding", $"bucket", $"n2")
+    emb.as("a")
+      .join(emb.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        cosine(dotD($"a.embedding", $"b.embedding"), $"a.n2", $"b.n2").as("score"))
+      .filter($"score" >= 0.3)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val embedNearDupSql: String =
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket,
+       |         ${dotSql("embedding", "embedding")} AS n2
+       |  FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${dotSql("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2) AS score
+       |FROM bucketed a JOIN bucketed b
+       |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${dotSql("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2) >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+}

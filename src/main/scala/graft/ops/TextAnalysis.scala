@@ -1,0 +1,158 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-corpus curation over `documents`:
+  * language ID (stopword heuristic), quality scoring, token counting
+  * (whitespace + regex lexer), and k-gram fingerprinting.
+  *
+  * Every metric is either integer-derived or a single-division double of
+  * two exact ints, so results are bit-identical vs the DuckDB oracle.
+  * All queries are narrow per-row projections — no shuffle, codegen'd,
+  * embarrassingly parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  private def norm(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+  private def toks(c: Column): Column = split(norm(c), " ")
+
+  /** (lang, stopword list) pairs for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: a real system ships the top-50 stopwords
+    * per language; the mechanism (per-language token-hit count, argmax
+    * with fixed priority) is identical. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "zh" -> Seq("的", "是", "了"))
+
+  private def hitCount(t: Column, words: Seq[String]): Column =
+    size(filter(t, x => x.isin(words.map(lit): _*)))
+
+  /** Language ID: count stopword hits per language, argmax with the
+    * LangStopwords priority order as tie-break; 'und' when nothing hits.
+    * Output keeps the fixture's labeled lang for eyeballing agreement. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = toks($"text")
+    val scores = LangStopwords.map { case (l, ws) => l -> hitCount(t, ws) }
+    val top = greatest(scores.map(_._2): _*)
+    val pred = scores.foldRight(lit("und")) { case ((l, s), els) =>
+      when(s === top && top > 0, lit(l)).otherwise(els)
+    }
+    // foldRight gives first-match-wins in LangStopwords order
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang".as("labeled_lang"), pred.as("pred_lang"))
+      .orderBy($"doc_id")
+  }
+
+  val langIdSql: String = {
+    def hits(l: String) = {
+      val list = LangStopwords.find(_._1 == l).get._2.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, x -> list_contains([$list], x)))"
+    }
+    val top = s"greatest(${LangStopwords.map(p => hits(p._1)).mkString(", ")})"
+    val cases = LangStopwords
+      .map { case (l, _) => s"WHEN ${hits(l)} = $top AND $top > 0 THEN '$l'" }
+      .mkString("\n  ")
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |  CASE $cases ELSE 'und' END AS pred_lang
+       |FROM (SELECT doc_id, lang,
+       |        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: length stats, lexical diversity, stopword ratio,
+    * and a composite score — the usual cheap pre-filters before expensive
+    * model-based scoring in a corpus pipeline. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = toks($"text")
+    val nTok = size(t).cast("double")
+    val stopHits = hitCount(t, LangStopwords.flatMap(_._2)).cast("double")
+    val uniq = size(array_distinct(t)).cast("double")
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      length($"text").as("n_chars"),
+      size(t).as("n_tokens"),
+      (length(regexp_replace(norm($"text"), " ", "")).cast("double") / nTok).as("avg_token_len"),
+      (uniq / nTok).as("unique_ratio"),
+      (stopHits / nTok).as("stopword_ratio"),
+      (lit(0.5) * (uniq / nTok) + lit(0.3) * (stopHits / nTok)
+        + lit(0.2) * least(nTok / lit(100.0), lit(1.0))).as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  val textQualitySql: String = {
+    val all = LangStopwords.flatMap(_._2).map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars,
+       |  len(toks) AS n_tokens,
+       |  CAST(length(regexp_replace(nt, ' ', '', 'g')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+       |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS unique_ratio,
+       |  CAST(len(list_filter(toks, x -> list_contains([$all], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+       |  0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+       |    + 0.3 * (CAST(len(list_filter(toks, x -> list_contains([$all], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+       |    + 0.2 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS quality_score
+       |FROM (SELECT doc_id, text,
+       |        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt,
+       |        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex lexer
+    * (letter runs | digit runs | single punctuation) — the standard cheap
+    * proxy for model-token counts in corpus accounting. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      size(toks($"text")).as("ws_tokens"),
+      size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("lex_tokens"),
+      length($"text").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS lex_tokens,
+      |  length(text) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: distinct char 8-grams → md5 → bottom-2
+    * sketch (the winnowing idea: a tiny order-independent digest that two
+    * near-identical docs share with high probability). */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nt = norm($"text")
+    val kgrams = array_distinct(
+      transform(sequence(lit(1), length(nt) - 7), i => nt.substr(i, lit(8))))
+    val sorted = array_sort(transform(kgrams, g => md5(g)))
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      concat_ws("|", element_at(sorted, 1), element_at(sorted, 2)).as("fingerprint"),
+      size(kgrams).as("n_kgrams"))
+      .orderBy($"doc_id")
+  }
+
+  val docFingerprintSql: String =
+    """SELECT doc_id,
+      |  hs[1] || '|' || hs[2] AS fingerprint,
+      |  len(kgrams) AS n_kgrams
+      |FROM (SELECT doc_id, kgrams,
+      |        list_sort(list_transform(kgrams, g -> md5(g))) AS hs
+      |      FROM (SELECT doc_id,
+      |              list_distinct(list_transform(range(1, length(nt) - 6),
+      |                i -> substr(nt, CAST(i AS INTEGER), 8))) AS kgrams
+      |            FROM (SELECT doc_id,
+      |                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      |                  FROM documents)))
+      |ORDER BY doc_id""".stripMargin
+}
