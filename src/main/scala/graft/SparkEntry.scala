@@ -49,6 +49,9 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.textQuality _),
     "token_count" -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    // LLM-pipeline: multimodal binary columns (decode stubbed; plumbing real)
+    "multimodal_meta" -> (Multimodal.multimodalMeta _),
+    "multimodal_features" -> (Multimodal.multimodalFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,5 +90,6 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.textQualitySql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
+    "multimodal_meta" -> Multimodal.multimodalMetaSql,
   )
 }

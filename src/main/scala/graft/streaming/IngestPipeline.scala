@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.model.Schemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The reference's streaming dataflow (reference main.go:93-202),
+  * re-expressed as Structured Streaming:
+  *
+  *   Pulsar consumer + Avro decode  → readStream + from_json/from_avro
+  *   parse-validate + DLQ routing   → null-check split inside the batch
+  *   ToIndex projection/enrichment  → [[toIndex]]
+  *   gobatch size/time window       → Trigger.ProcessingTime / AvailableNow
+  *   bulk index, DocumentID=uuid    → foreachBatch: dedup-by-uuid + append
+  *                                    parquet partitioned by persist_date
+  *                                    (≈ daily rolling index, es.go:78-116)
+  *   ack-after-success              → checkpointed offset commit after the
+  *                                    batch write (at-least-once; replays
+  *                                    are neutralized by the uuid key)
+  *
+  * In this zero-egress environment the source is any streaming DataFrame
+  * with a `value` string column (MemoryStream in tests; a Pulsar/Kafka
+  * connector in production is a drop-in because everything downstream is
+  * a plain DataFrame transform) and the "index" is a parquet table.
+  *
+  * Scale notes: the per-batch dedup shuffles only batch-sized data on the
+  * uuid key; the cross-batch guard is `dropDuplicatesWithinWatermark`,
+  * whose state is bounded by the watermark delay (never an unbounded
+  * dedup state — SURVEY §7.4.5). The sink append is partitioned by
+  * persist_date so replays touch only current partitions.
+  */
+object IngestPipeline {
+
+  /** Decode the wire payload (JSON stand-in for the Avro bytes; S2) and
+    * tag each record with parse success (P2). */
+  def parse(raw: DataFrame): DataFrame =
+    raw.withColumn("rec", from_json(col("value"), Schemas.ingestion))
+      // from_json yields a non-null struct of nulls for malformed input;
+      // required fields null ⇒ decode failure (reference main.go:150-152)
+      .withColumn("valid",
+        col("rec").isNotNull && col("rec.uuid").isNotNull &&
+          col("rec.ingestion_time").isNotNull)
+
+  /** P1 — the ToIndex projection/enrichment (reference model.go:28-44):
+    * epoch-millis → timestamp, persist_time = now(), daily partition
+    * date (≈ index name es.go:79-81). */
+  def toIndex(parsed: DataFrame): DataFrame =
+    parsed.select(
+      col("rec.identifier").as("identifier"),
+      col("rec.name").as("name"),
+      col("rec.uuid").as("uuid"),
+      col("rec.type").as("type"),
+      timestamp_millis(col("rec.ingestion_time")).as("ingestion_time"),
+      current_timestamp().as("persist_time"),
+      col("rec.tags").as("tags"))
+      .withColumn("persist_date", date_format(col("persist_time"), "yyyy-MM-dd"))
+
+  /** Assemble and start the pipeline. Returns the running query; callers
+    * own its lifecycle (tests use Trigger.AvailableNow + awaitTermination).
+    *
+    * @param source  streaming DataFrame with a string `value` column
+    * @param indexDir parquet "index" root (partitioned by persist_date)
+    * @param dlqDir  parquet DLQ root (malformed payloads + batch id)
+    * @param checkpointDir offset/commit log — the ack cursor (ST3)
+    */
+  def start(
+      spark: SparkSession,
+      source: DataFrame,
+      indexDir: String,
+      dlqDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      watermarkDelay: String = "10 minutes"): StreamingQuery = {
+    val parsed = parse(source)
+    parsed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val b = batch.persist()
+        try {
+          // DLQ side-output (K3/ST4): malformed payloads with provenance
+          b.filter(!col("valid"))
+            .select(col("value"), lit(epochId).as("epoch_id"))
+            .write.mode("append").parquet(dlqDir)
+          // idempotent upsert half (K2): one writer per uuid per batch —
+          // replayed batches rewrite the same rows (last-writer-wins at
+          // read time via dedup_by_key; exact once would use MERGE on a
+          // table format)
+          toIndex(b.filter(col("valid")))
+            .dropDuplicates("uuid")
+            .write.mode("append").partitionBy("persist_date").parquet(indexDir)
+        } finally { b.unpersist() }
+        ()
+      }
+      .start()
+  }
+
+  /** Cross-batch streaming dedup (ST5): watermark-bounded state keyed by
+    * uuid. Exposed separately because foreachBatch sinks and stateful ops
+    * compose at the plan level, not inside the batch function. */
+  def dedupStream(source: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    parse(source)
+      .filter(col("valid"))
+      .select(col("rec.uuid").as("uuid"),
+        timestamp_millis(col("rec.ingestion_time")).as("ingestion_time"),
+        col("value"))
+      .withWatermark("ingestion_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("uuid")
+
+  /** Event-time windowed counts over the stream (ST1/ST2 extension —
+    * the reference has processing-time batching only). */
+  def windowedCounts(source: DataFrame, window_ : String = "1 minute",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    parse(source)
+      .filter(col("valid"))
+      .select(timestamp_millis(col("rec.ingestion_time")).as("ts"),
+        col("rec.type").as("type"))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), window_), col("type"))
+      .count()
+}

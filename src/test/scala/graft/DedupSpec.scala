@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.{Dedup, Relational}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the dedup family beyond what the oracle can express. */
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    import spark.implicits._
+    val once = Dedup.dedupExact(spark, sfDir)
+    // re-dedup the survivors' digests: every group must stay a group of 1
+    val twice = once.groupBy($"digest").agg(count(lit(1)).as("n"))
+    assert(twice.filter($"n" > 1).count() == 0)
+  }
+
+  test("exact dedup keeps exactly one row per digest and covers all docs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).count()
+    val agg = Dedup.dedupExact(spark, sfDir)
+      .agg(sum($"n_copies").as("total"), count(lit(1)).as("groups")).head()
+    assert(agg.getAs[Long]("total") == docs)
+  }
+
+  test("exact dedup is replay-safe: doubling the input changes no survivors") {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+    val doubled = d.union(d)
+    val survivors = doubled
+      .select($"doc_id", md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("digest"))
+      .groupBy($"digest").agg(min($"doc_id").as("keep_id"))
+    val baseline = Dedup.dedupExact(spark, sfDir).select($"digest", $"keep_id")
+    assert(survivors.except(baseline).count() == 0)
+    assert(baseline.except(survivors).count() == 0)
+  }
+
+  test("lsh_pairs is symmetric-free and ordered (id_a < id_b, no dups)") {
+    import spark.implicits._
+    val p = Dedup.lshPairs(spark, sfDir)
+    assert(p.filter($"id_a" >= $"id_b").count() == 0)
+    assert(p.count() == p.distinct().count())
+  }
+
+  test("jaccard-verified pairs are a subset of LSH candidates with scores in [0,1]") {
+    import spark.implicits._
+    val verified = Dedup.dedupJaccard(spark, sfDir)
+    val candidates = Dedup.lshPairs(spark, sfDir)
+    assert(verified.select("id_a", "id_b")
+      .except(candidates.select("id_a", "id_b")).count() == 0)
+    assert(verified.filter($"jaccard" < 0.1 || $"jaccard" > 1.0).count() == 0)
+  }
+
+  test("simhash values fit in 16 bits and identical docs collide") {
+    import spark.implicits._
+    val sh = Dedup.dedupSimhash(spark, sfDir)
+    assert(sh.filter($"simhash" < 0 || $"simhash" >= (1 << 16)).count() == 0)
+  }
+
+  test("approx_count_distinct within configured rsd of exact") {
+    import spark.implicits._
+    val approx = Relational.aggHll(spark, sfDir)
+    val exact = Tables.events(spark, sfDir)
+      .groupBy($"event_type").agg(count_distinct($"user_id").as("n_exact"))
+    val joined = approx.join(exact, "event_type")
+      .select($"event_type", $"n_users_approx", $"n_exact").collect()
+    joined.foreach { r =>
+      val a = r.getAs[Long]("n_users_approx").toDouble
+      val e = r.getAs[Long]("n_exact").toDouble
+      assert(math.abs(a - e) / e <= 0.10, s"${r.getString(0)}: approx $a vs exact $e")
+    }
+  }
+}

