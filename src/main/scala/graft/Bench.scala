@@ -23,6 +23,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up JVM/codegen/parquet machinery on the smoke SF so the first
+    // timed query doesn't absorb one-time startup cost
+    try SparkEntry.entry(spark).queryExecution.toRdd.foreach(_ => ())
+    catch { case _: Throwable => () }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -12,13 +12,22 @@ import org.apache.spark.sql.functions._
   * engine-specific; md5 is standardized). Minima over hex strings are
   * lexicographic — a valid uniform order for minhash purposes.
   *
-  * Scale design (100 TB):
-  * - exact dedup: one hash-partitioned aggregate on the digest — the
-  *   partial/final agg shuffles one (digest, id) pair per row, never text.
-  * - minhash/LSH: signatures are a narrow per-row projection; candidate
-  *   generation joins on (band, key) buckets — the classic banding trick
-  *   keeps it at O(Σ bucket²) instead of O(n²). Hot buckets (boilerplate
-  *   docs) would need a bucket-size cap at real scale; noted inline.
+  * Execution shape (this matters at any scale, and 40× at 100 TB): the
+  * shingle set is EXPLODED to (doc_id, shingle) rows once, and every
+  * hash is computed in a codegen'd projection over those rows, then
+  * reduced with a map-side-combining min/sum aggregate keyed by doc_id.
+  * The tempting alternative — per-doc array lambdas
+  * (`transform(shingles, md5)` × NumHashes) — evaluates interpreted,
+  * re-evaluates the shingle pipeline per hash column, and benched 40×
+  * slower at sf0.1. Explode + partial agg is also exactly the shape that
+  * distributes: shuffle carries only (doc_id, min-digest) pairs.
+  *
+  * Scale notes:
+  * - exact dedup: one hash-partitioned aggregate on the digest; shuffles
+  *   one (digest, id) pair per row, never text.
+  * - LSH candidates: self-equi-join on (band, key) buckets — O(Σ bucket²)
+  *   instead of O(n²); at real scale cap bucket size (boilerplate docs)
+  *   before the join.
   * - nothing collects to the driver; no crossJoin anywhere.
   */
 object Dedup {
@@ -31,16 +40,26 @@ object Dedup {
   /** Whitespace tokens of the normalized text. */
   private def toks(c: Column): Column = split(norm(c), " ")
 
-  /** Distinct word-2-gram shingles. 2-grams (not the usual 3–5) because
-    * the fixture's 31-word vocabulary makes 3-gram sets nearly disjoint
-    * and 1-gram sets nearly identical; the mechanism is n-independent.
-    * Docs with < 2 tokens shingle to the empty set (null minhash). */
+  /** Distinct word-2-gram shingles, built argument-position-only (zip of
+    * the token array with its shift) so each base expression evaluates
+    * once per row. 2-grams (not the usual 3–5) because the fixture's
+    * 31-word vocabulary makes 3-gram sets nearly disjoint and 1-gram sets
+    * nearly identical; the mechanism is n-independent. Docs with < 2
+    * tokens shingle to the empty set. */
   private def shingles(c: Column): Column = {
     val t = toks(c)
-    when(size(t) >= 2,
-      array_distinct(transform(sequence(lit(1), size(t) - 1),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))))
-      .otherwise(array().cast("array<string>"))
+    array_distinct(array_compact(
+      zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (x, y) => concat(x, lit(" "), y))))
+  }
+
+  /** Exploded (doc_id, sh) rows — the hot-path layout (see class doc).
+    * explode_outer keeps shingle-less docs as a null row so their
+    * signature aggregates to null rather than the doc vanishing. */
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode_outer(shingles($"text")).as("sh"))
   }
 
   /** Exact dedup: normalize → digest → keep the smallest doc_id per
@@ -64,22 +83,21 @@ object Dedup {
   /** Number of minhash functions; banded into pairs for LSH. */
   val NumHashes = 8
 
-  /** minhash_j(doc) = min over the doc's shingle set of
-    * md5(j ':' shingle) — lexicographic min over hex strings. */
-  private def minhashCols: Seq[Column] =
-    (0 until NumHashes).map { j =>
-      array_min(transform(shingles(col("text")),
-        t => md5(concat(lit(s"$j:"), t)))).as(s"mh$j")
+  /** Signature aggregate: min over the exploded shingle rows of
+    * md5(j ':' shingle) — codegen'd md5, map-side-combined min. */
+  private def sig(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mhAggs = (0 until NumHashes).map { j =>
+      min(md5(concat(lit(s"$j:"), col("sh")))).as(s"mh$j")
     }
+    shingleRows(spark, dir).groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+  }
 
-  /** Per-document minhash signature (one row per doc, NumHashes columns).
-    * Narrow projection — no shuffle; signatures are what you'd persist
-    * next to the corpus at scale. */
+  /** Per-document minhash signature (one row per doc, NumHashes columns):
+    * what you'd persist next to the corpus at scale. */
   def minhashSig(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id") +: minhashCols: _*)
-      .orderBy($"doc_id")
+    sig(spark, dir).orderBy($"doc_id")
   }
 
   private def minhashSqlExprs: Seq[String] =
@@ -87,13 +105,24 @@ object Dedup {
       s"list_aggregate(list_transform(toks, t -> md5('$j:' || t)), 'min') AS mh$j"
     }
 
+  /** Shared DuckDB CTE text: (doc_id, toks = distinct 2-gram shingles). */
+  private val duckShingleFrom: String =
+    """FROM (SELECT doc_id,
+      |          list_distinct(list_transform(range(1, len(toks0)), i -> toks0[i] || ' ' || toks0[i + 1])) AS toks
+      |        FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks0
+      |              FROM documents))""".stripMargin
+
   val minhashSigSql: String =
     s"""SELECT doc_id, ${minhashSqlExprs.mkString(",\n       ")}
-       |FROM (SELECT doc_id,
-       |        list_distinct(list_transform(range(1, len(toks0)), i -> toks0[i] || ' ' || toks0[i + 1])) AS toks
-       |      FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks0
-       |            FROM documents))
+       |$duckShingleFrom
        |ORDER BY doc_id""".stripMargin
+
+  /** The DuckDB band-bucket expression: one struct per band, exploded via
+    * UNNEST in the select list (DuckDB's lateral-unnest form). */
+  private def duckBands: String =
+    (0 until NumHashes / 2)
+      .map(b => s"{band: ${b}, key: md5(mh${2 * b} || '|' || mh${2 * b + 1})}")
+      .mkString(", ")
 
   /** LSH candidate pairs: band the signature into NumHashes/2 bands of 2
     * rows; docs sharing any band key are candidates. Self-equi-join on
@@ -106,9 +135,8 @@ object Dedup {
       struct(lit(b).as("band"),
         md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("key"))
     }
-    val sig = Tables.documents(spark, dir)
-      .select(col("doc_id") +: minhashCols: _*)
-    val buckets = sig.select($"doc_id", explode(array(bands: _*)).as("bk"))
+    val buckets = sig(spark, dir)
+      .select($"doc_id", explode(array(bands: _*)).as("bk"))
       .select($"doc_id", $"bk.band", $"bk.key")
     buckets.as("a")
       .join(buckets.as("b"),
@@ -119,20 +147,10 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** The DuckDB band-bucket expression: one struct per band, exploded via
-    * UNNEST in the select list (DuckDB's lateral-unnest form). */
-  private def duckBands: String =
-    (0 until NumHashes / 2)
-      .map(b => s"{band: ${b}, key: md5(mh${2 * b} || '|' || mh${2 * b + 1})}")
-      .mkString(", ")
-
   val lshPairsSql: String =
     s"""WITH sig AS (
        |  SELECT doc_id, ${minhashSqlExprs.mkString(", ")}
-       |  FROM (SELECT doc_id,
-       |          list_distinct(list_transform(range(1, len(toks0)), i -> toks0[i] || ' ' || toks0[i + 1])) AS toks
-       |        FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks0
-       |              FROM documents))),
+       |  $duckShingleFrom),
        |buckets0 AS (SELECT doc_id, UNNEST([$duckBands]) AS bk FROM sig),
        |buckets AS (SELECT doc_id, bk.band AS band, bk.key AS key FROM buckets0)
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -140,21 +158,24 @@ object Dedup {
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** Candidate verification: exact token-set jaccard for the
-    * LSH candidate pairs, thresholded at 0.1 (2-gram jaccard tops out ~0.2 in the fixture). |A∩B| and |A∪B| are exact ints so
-    * the double ratio is bit-identical across engines. The join fetches
-    * each candidate's token set by key — broadcast-able when the
-    * candidate list is small, shuffle-join otherwise. */
+  /** Candidate verification: exact 2-gram-shingle jaccard for the LSH
+    * candidate pairs, thresholded at 0.1 (2-gram jaccard tops out ~0.2 in
+    * the fixture). |A∩B| and |A∪B| are exact ints so the double ratio is
+    * bit-identical across engines. Shingle sets are rebuilt per keeper
+    * from the exploded rows (sorted for determinism) and joined to the
+    * candidate list — broadcast-able when candidates are few. */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", shingles($"text").as("tokset"))
+    val sets = shingleRows(spark, dir).filter($"sh".isNotNull)
+      .groupBy($"doc_id").agg(collect_set($"sh").as("tokset"))
+      .withColumn("n", size($"tokset"))
     val pairs = lshPairs(spark, dir)
     pairs
-      .join(docs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("tokset", "set_a"), "id_a")
-      .join(docs.withColumnRenamed("doc_id", "id_b").withColumnRenamed("tokset", "set_b"), "id_b")
+      .join(sets.select($"doc_id".as("id_a"), $"tokset".as("set_a"), $"n".as("n_a")), "id_a")
+      .join(sets.select($"doc_id".as("id_b"), $"tokset".as("set_b"), $"n".as("n_b")), "id_b")
       .withColumn("inter", size(array_intersect($"set_a", $"set_b")))
-      .withColumn("uni", size(array_union($"set_a", $"set_b")))
+      // |A∪B| = |A|+|B|-|A∩B|: avoids materializing the union array per pair
+      .withColumn("uni", $"n_a" + $"n_b" - $"inter")
       .withColumn("jaccard", $"inter".cast("double") / $"uni".cast("double"))
       .filter($"jaccard" >= 0.1)
       .select($"id_a", $"id_b", $"jaccard")
@@ -164,10 +185,7 @@ object Dedup {
   val dedupJaccardSql: String =
     s"""WITH sig AS (
        |  SELECT doc_id, ${minhashSqlExprs.mkString(", ")}, toks
-       |  FROM (SELECT doc_id,
-       |          list_distinct(list_transform(range(1, len(toks0)), i -> toks0[i] || ' ' || toks0[i + 1])) AS toks
-       |        FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks0
-       |              FROM documents))),
+       |  $duckShingleFrom),
        |buckets0 AS (SELECT doc_id, UNNEST([$duckBands]) AS bk FROM sig),
        |buckets AS (SELECT doc_id, bk.band AS band, bk.key AS key FROM buckets0),
        |pairs AS (
@@ -189,20 +207,25 @@ object Dedup {
     * positive. Integer votes — no FP, bit-identical across engines. */
   val SimHashBits = 16
 
-  /** Per-doc 16-bit simhash. Near-dup lookup at scale = group by simhash
-    * (or by simhash with one band of bits masked, for 1-bit tolerance). */
+  /** Per-doc 16-bit simhash, via exploded distinct-token rows (codegen'd
+    * md5 + map-side-combined sums; see class doc). Near-dup lookup at
+    * scale = group by simhash (or by simhash with one band of bits
+    * masked, for 1-bit tolerance). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ts = array_distinct(toks($"text"))
-    val bitCols = (0 until SimHashBits).map { j =>
-      // vote: top bit of the first hex nibble (chars 8..f)
-      val votes = transform(ts, t =>
-        when(substring(md5(concat(lit(s"$j:"), t)), 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-          lit(1)).otherwise(lit(-1)))
-      when(aggregate(votes, lit(0), (acc, x) => acc + x) > 0, lit(1L << j)).otherwise(lit(0L))
+    val tokRows = Tables.documents(spark, dir)
+      .select($"doc_id", explode_outer(array_distinct(toks($"text"))).as("tok"))
+    val voteAggs = (0 until SimHashBits).map { j =>
+      sum(when($"tok".isNull, lit(null)).otherwise(
+        when(substring(md5(concat(lit(s"$j:"), $"tok")), 1, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)))
+        .as(s"v$j")
     }
-    Tables.documents(spark, dir)
-      .select($"doc_id", bitCols.reduce(_ + _).as("simhash"))
+    val bitSum = (0 until SimHashBits)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tokRows.groupBy($"doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+      .select($"doc_id", bitSum.as("simhash"))
       .orderBy($"doc_id")
   }
 

@@ -29,12 +29,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<float> columns as a sequential double
-    * fold (bit-identical to [[dotSql]]; see class doc). */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two array<float> columns — the codegen'd native
+    * expression (same sequential addition order as [[dotSql]], so
+    * bit-identical; see graft.functions.VecDot for why it is a custom
+    * Expression rather than aggregate∘zip_with). */
+  def dotD(a: Column, b: Column): Column = graft.functions.VecDot.vecDot(a, b)
 
   /** DuckDB equivalent of [[dotD]] for oracle SQL (a, b are SQL exprs).
     * list_reduce's init is the first element — identical to Spark's
@@ -75,19 +74,26 @@ object Similarity {
   /** Number of sign-LSH hyperplanes (2^4 = 16 coarse buckets). */
   val NumPlanes = 4
 
-  /** Hyperplane sign for (plane j, dim i): +1 iff the top bit of
-    * md5("j:i") is set — deterministic shared randomness. */
-  private def planeSign(j: Int, i: Column): Column =
-    when(substring(md5(concat(lit(s"$j:"), i.cast("string"))), 1, 1)
-      .isin("8", "9", "a", "b", "c", "d", "e", "f"), lit(1.0)).otherwise(lit(-1.0))
+  /** Hyperplane signs, precomputed driver-side: sign(j, i) = +1 iff the
+    * top bit of md5("j:i") is set — deterministic shared randomness the
+    * oracle rederives in SQL. Literal arrays keep the md5s out of the
+    * per-row path (they were the bucket computation's hot spot). */
+  private lazy val planeSigns: IndexedSeq[Seq[Double]] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    def top(s: String): Double = {
+      val b = d.digest(s.getBytes("UTF-8"))
+      if ((b(0) & 0x80) != 0) 1.0 else -1.0
+    }
+    (0 until NumPlanes).map(j => (0 until 64).map(i => top(s"$j:$i")).toSeq)
+  }
 
   /** Sign-LSH bucket id of an embedding column: bit_j = [h_j · v > 0],
     * with the projection folded sequentially (engine-independent sign;
     * see class doc). */
   def lshBucket(v: Column): Column = {
     val bits = (0 until NumPlanes).map { j =>
-      val terms = transform(sequence(lit(0), lit(63)),
-        i => planeSign(j, i) * element_at(v, i + 1).cast("double"))
+      val terms = zip_with(typedlit(planeSigns(j)), v,
+        (s, x) => s * x.cast("double"))
       when(aggregate(terms, lit(0.0), (acc, x) => acc + x) > 0.0, lit(1L << j))
         .otherwise(lit(0L))
     }

@@ -128,17 +128,28 @@ object TextAnalysis {
 
   /** Document fingerprinting: distinct char 8-grams → md5 → bottom-2
     * sketch (the winnowing idea: a tiny order-independent digest that two
-    * near-identical docs share with high probability). */
+    * near-identical docs share with high probability).
+    *
+    * Shape: positions exploded to rows so the normalization runs once per
+    * doc and each md5 is a codegen'd per-row projection (a per-doc array
+    * lambda evaluates interpreted and re-evaluates its captured base per
+    * element — 30× slower at sf0.1); the bottom-2 reduce is a map-side
+    * combining aggregate keyed by doc_id. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val nt = norm($"text")
-    val kgrams = array_distinct(
-      transform(sequence(lit(1), length(nt) - 7), i => nt.substr(i, lit(8))))
-    val sorted = array_sort(transform(kgrams, g => md5(g)))
-    Tables.documents(spark, dir).select(
-      $"doc_id",
-      concat_ws("|", element_at(sorted, 1), element_at(sorted, 2)).as("fingerprint"),
-      size(kgrams).as("n_kgrams"))
+    val positions = Tables.documents(spark, dir)
+      .select($"doc_id", norm($"text").as("nt"))
+      .select($"doc_id", $"nt", explode_outer(
+        when(length($"nt") >= 8, sequence(lit(1), length($"nt") - 7))
+          .otherwise(array().cast("array<int>"))).as("i"))
+    positions
+      .select($"doc_id", md5($"nt".substr($"i", lit(8))).as("h"))
+      .groupBy($"doc_id")
+      // collect_set dedupes — no pre-distinct (it would be a second shuffle)
+      .agg(sort_array(collect_set($"h")).as("hs"))
+      .select($"doc_id",
+        concat(element_at($"hs", 1), lit("|"), element_at($"hs", 2)).as("fingerprint"),
+        size($"hs").as("n_kgrams"))
       .orderBy($"doc_id")
   }
 
