@@ -5,6 +5,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+/** Running per-identifier counters maintained by [[IngestPipeline.runningCounts]]. */
+final case class IdentifierStats(identifier: String, n_records: Long, n_tags: Long)
+
 /** The reference's streaming dataflow (reference main.go:93-202),
   * re-expressed as Structured Streaming:
   *
@@ -41,6 +44,13 @@ object IngestPipeline {
       .withColumn("valid",
         col("rec").isNotNull && col("rec.uuid").isNotNull &&
           col("rec.ingestion_time").isNotNull)
+
+  /** The real Avro wire decode (S2): binary `value` column → struct via
+    * the schema-specialized avro-core expression; decode failure ⇒ null
+    * rec ⇒ DLQ. Same downstream contract as [[parse]]. */
+  def parseAvro(raw: DataFrame): DataFrame =
+    raw.withColumn("rec", graft.functions.AvroDecodeIngestion.avroDecode(col("value")))
+      .withColumn("valid", col("rec").isNotNull)
 
   /** P1 — the ToIndex projection/enrichment (reference model.go:28-44):
     * epoch-millis → timestamp, persist_time = now(), daily partition
@@ -107,6 +117,32 @@ object IngestPipeline {
         col("value"))
       .withWatermark("ingestion_time", watermarkDelay)
       .dropDuplicatesWithinWatermark("uuid")
+
+  /** Custom keyed state (ST5 extension, SURVEY §2.11): per-identifier
+    * running record/tag counters via flatMapGroupsWithState — the shape
+    * for stateful logic the built-ins don't cover. State is per-key and
+    * incremental (no history kept), so it scales with key cardinality,
+    * not stream length; production adds a state timeout for key churn. */
+  def runningCounts(source: DataFrame): org.apache.spark.sql.Dataset[IdentifierStats] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = source.sparkSession
+    import spark.implicits._
+    val recs = parse(source).filter(col("valid"))
+      .select(col("rec.identifier").as("identifier"),
+        coalesce(size(col("rec.tags")), lit(0)).as("n_tags"))
+      .as[(String, Int)]
+    recs.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (id: String, rows: Iterator[(String, Int)], state: GroupState[IdentifierStats]) =>
+          val prev = state.getOption.getOrElse(IdentifierStats(id, 0L, 0L))
+          var n = prev.n_records
+          var t = prev.n_tags
+          rows.foreach { r => n += 1; t += r._2 }
+          val next = IdentifierStats(id, n, t)
+          state.update(next)
+          Iterator(next)
+      }
+  }
 
   /** Event-time windowed counts over the stream (ST1/ST2 extension —
     * the reference has processing-time batching only). */

@@ -1,0 +1,121 @@
+package graft
+
+import graft.functions.AvroDecodeIngestion
+import graft.streaming.IngestPipeline
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.EncoderFactory
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.io.ByteArrayOutputStream
+
+/** The real Avro wire decode (S2) and the SQL-registered custom
+  * functions (SparkSessionExtensions). */
+class AvroAndExtensionsSpec extends SparkSpec {
+
+  private val schema = new Schema.Parser().parse(AvroDecodeIngestion.SchemaJson)
+
+  private def avroBytes(uuid: String, ms: Long, tags: Seq[(String, String)]): Array[Byte] = {
+    val rec = new GenericData.Record(schema)
+    rec.put("identifier", "id1"); rec.put("name", "n"); rec.put("uuid", uuid)
+    rec.put("type", "t"); rec.put("ingestion_time", ms)
+    if (tags.nonEmpty) {
+      val tagSchema = schema.getField("tags").schema().getTypes.get(1)
+      val arr = new GenericData.Array[GenericRecord](tags.size, tagSchema)
+      tags.foreach { case (k, v) =>
+        val t = new GenericData.Record(tagSchema.getElementType)
+        t.put("type", k); t.put("value", v); arr.add(t)
+      }
+      rec.put("tags", arr)
+    }
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  test("avro round-trip: encode with avro-core, decode with the expression") {
+    import spark.implicits._
+    val df = Seq(avroBytes("u1", 1700000000000L, Seq("a" -> "1", "b" -> "2")))
+      .toDF("value")
+      .select(AvroDecodeIngestion.avroDecode($"value").as("rec"))
+    val r = df.select($"rec.uuid", $"rec.ingestion_time", size($"rec.tags")).head()
+    assert(r.getString(0) == "u1")
+    assert(r.getLong(1) == 1700000000000L)
+    assert(r.getInt(2) == 2)
+  }
+
+  test("malformed avro bytes decode to null (DLQ semantics), null tags survive") {
+    import spark.implicits._
+    val df = Seq(
+      ("ok", avroBytes("u2", 1L, Seq.empty)),
+      ("garbage", Array[Byte](1, 2, 3))).toDF("label", "value")
+      .select($"label", AvroDecodeIngestion.avroDecode($"value").as("rec"))
+    val byLabel = df.collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(!byLabel("ok"))
+    // note: Avro binary is not self-describing; truncated-but-parseable
+    // prefixes can decode — 3 arbitrary bytes cannot (EOF inside fields)
+    assert(byLabel("garbage"))
+  }
+
+  test("streaming pipeline over real avro bytes (parseAvro end-to-end)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Array[Byte]]
+    mem.addData(avroBytes("av1", 1700000000000L, Seq("k" -> "v")),
+      Array[Byte](9, 9, 9))
+    val parsed = IngestPipeline.parseAvro(mem.toDF())
+    val q = parsed.writeStream.format("memory").queryName("avro_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("avrock").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.table("avro_out")
+    assert(out.filter($"valid").count() == 1)
+    assert(out.filter(!$"valid").count() == 1)
+    assert(out.filter($"valid").select($"rec.uuid").head().getString(0) == "av1")
+  }
+
+  test("vec_dot is callable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head()
+    assert(r.getDouble(0) == 11.0)
+  }
+
+  test("avro_decode_ingestion is callable from SQL via GraftExtensions") {
+    import spark.implicits._
+    Seq(avroBytes("sq1", 5L, Seq.empty)).toDF("value").createOrReplaceTempView("raw_avro")
+    val r = spark.sql("SELECT avro_decode_ingestion(value).uuid AS u FROM raw_avro").head()
+    assert(r.getString(0) == "sq1")
+  }
+
+  test("stateful runningCounts accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def json(id: String, ms: Long): String =
+      s"""{"identifier":"$id","name":"n","uuid":"u$ms","type":"t","ingestion_time":$ms,"tags":[{"type":"k","value":"v"}]}"""
+    val mem = MemoryStream[String]
+    val q = IngestPipeline.runningCounts(mem.toDF())
+      .writeStream.format("memory").queryName("stats_out")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("statck").toString)
+      .start()
+    try {
+      mem.addData(json("A", 1), json("A", 2), json("B", 3))
+      q.processAllAvailable()
+      mem.addData(json("A", 4))
+      q.processAllAvailable()
+    } finally q.stop()
+    // memory sink in update mode appends each update; take the latest per key
+    val latest = spark.table("stats_out")
+      .groupBy($"identifier")
+      .agg(max($"n_records").as("n_records"), max($"n_tags").as("n_tags"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(latest("A") == ((3L, 3L)), s"got $latest")
+    assert(latest("B") == ((1L, 1L)))
+  }
+}
