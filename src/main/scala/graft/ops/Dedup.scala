@@ -83,12 +83,18 @@ object Dedup {
   /** Number of minhash functions; banded into pairs for LSH. */
   val NumHashes = 8
 
-  /** Signature aggregate: min over the exploded shingle rows of
-    * md5(j ':' shingle) — codegen'd md5, map-side-combined min. */
+  /** Signature aggregate: min over the exploded shingle rows of the
+    * first 60 bits of md5(j ':' shingle) as a long — codegen'd md5,
+    * map-side-combined min. Longs (not hex strings) on purpose: a
+    * primitive agg buffer keeps this a HashAggregate; min(string) would
+    * fall back to SortAggregate and sort every exploded row. Truncating
+    * the digest to 15 hex chars preserves lexicographic = numeric order
+    * and loses nothing for minhash purposes. */
   private def sig(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val mhAggs = (0 until NumHashes).map { j =>
-      min(md5(concat(lit(s"$j:"), col("sh")))).as(s"mh$j")
+      min(conv(substring(md5(concat(lit(s"$j:"), col("sh"))), 1, 15), 16, 10)
+        .cast("long")).as(s"mh$j")
     }
     shingleRows(spark, dir).groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
   }
@@ -102,7 +108,7 @@ object Dedup {
 
   private def minhashSqlExprs: Seq[String] =
     (0 until NumHashes).map { j =>
-      s"list_aggregate(list_transform(toks, t -> md5('$j:' || t)), 'min') AS mh$j"
+      s"list_aggregate(list_transform(toks, t -> ('0x' || substr(md5('$j:' || t), 1, 15))::BIGINT), 'min') AS mh$j"
     }
 
   /** Shared DuckDB CTE text: (doc_id, toks = distinct 2-gram shingles). */
@@ -166,10 +172,32 @@ object Dedup {
     * candidate list — broadcast-able when candidates are few. */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sets = shingleRows(spark, dir).filter($"sh".isNotNull)
-      .groupBy($"doc_id").agg(collect_set($"sh").as("tokset"))
+    // One pass builds signatures AND shingle sets, persisted — the DAG
+    // consumes it four times (bucket self-join sides + both set lookups);
+    // at corpus scale this is the signature table you'd materialize
+    // anyway. A few MB here; spill-safe via MEMORY_AND_DISK.
+    val mhAggs = (0 until NumHashes).map { j =>
+      min(conv(substring(md5(concat(lit(s"$j:"), col("sh"))), 1, 15), 16, 10)
+        .cast("long")).as(s"mh$j")
+    }
+    val sigSets = shingleRows(spark, dir).filter($"sh".isNotNull)
+      .groupBy($"doc_id")
+      .agg(mhAggs.head, (mhAggs.tail :+ collect_set($"sh").as("tokset")): _*)
       .withColumn("n", size($"tokset"))
-    val pairs = lshPairs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = (0 until NumHashes / 2).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("key"))
+    }
+    val buckets = sigSets.select($"doc_id", explode(array(bands: _*)).as("bk"))
+      .select($"doc_id", $"bk.band", $"bk.key")
+    val pairs = buckets.as("a")
+      .join(buckets.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+    val sets = sigSets.select($"doc_id", $"tokset", $"n")
     pairs
       .join(sets.select($"doc_id".as("id_a"), $"tokset".as("set_a"), $"n".as("n_a")), "id_a")
       .join(sets.select($"doc_id".as("id_b"), $"tokset".as("set_b"), $"n".as("n_b")), "id_b")

@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.AvroDecodeIngestion
+import graft.ops.Multimodal
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.EncoderFactory
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.BinaryType
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import java.io.ByteArrayOutputStream
+
+/** Property-based checks (SURVEY §5.3) for the driver-side pure pieces —
+  * no SparkSession needed, so thousands of cases run in milliseconds. */
+object GraftProps extends Properties("graft") {
+
+  property("decodeStub: histogram sums to 1 for nonempty input, 0 for empty") =
+    forAll { (bytes: Array[Byte]) =>
+      val h = Multimodal.decodeStub(bytes)
+      h.length == 16 && {
+        if (bytes.isEmpty) h.forall(_ == 0f)
+        else math.abs(h.sum - 1.0f) < 1e-4
+      }
+    }
+
+  property("decodeStub: deterministic") = forAll { (bytes: Array[Byte]) =>
+    Multimodal.decodeStub(bytes).toSeq == Multimodal.decodeStub(bytes).toSeq
+  }
+
+  property("frameOffsets: video covers [0, n) with stride 64, stills sample once") =
+    forAll(Gen.choose(0, 100000)) { n =>
+      val v = Multimodal.frameOffsets("video/mp4", n)
+      val img = Multimodal.frameOffsets("image/png", n)
+      v.length == (n + 63) / 64 &&
+        v.forall(o => o >= 0 && o < math.max(n, 1)) &&
+        (v.isEmpty || v.head == 0) &&
+        img.toSeq == Seq(0)
+    }
+
+  private val schema = new Schema.Parser().parse(AvroDecodeIngestion.SchemaJson)
+  private val genTag = for {
+    k <- Gen.alphaNumStr.suchThat(_.nonEmpty)
+    v <- Gen.alphaNumStr
+  } yield (k, v)
+  private val genRecord = for {
+    uuid <- Gen.uuid.map(_.toString)
+    ms <- Gen.choose(0L, 4102444800000L)
+    tags <- Gen.option(Gen.listOfN(3, genTag))
+  } yield (uuid, ms, tags)
+
+  private def encode(uuid: String, ms: Long, tags: Option[List[(String, String)]]): Array[Byte] = {
+    val rec = new GenericData.Record(schema)
+    rec.put("identifier", "id"); rec.put("name", "n"); rec.put("uuid", uuid)
+    rec.put("type", "t"); rec.put("ingestion_time", ms)
+    tags.foreach { ts =>
+      val tagSchema = schema.getField("tags").schema().getTypes.get(1)
+      val arr = new GenericData.Array[GenericRecord](ts.size, tagSchema)
+      ts.foreach { case (k, v) =>
+        val t = new GenericData.Record(tagSchema.getElementType)
+        t.put("type", k); t.put("value", v); arr.add(t)
+      }
+      rec.put("tags", arr)
+    }
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  property("avro decode inverts avro encode (uuid, time, tag count)") =
+    forAll(genRecord) { case (uuid, ms, tags) =>
+      val row = AvroDecodeIngestion(Literal(encode(uuid, ms, tags), BinaryType))
+        .eval(InternalRow.empty).asInstanceOf[InternalRow]
+      val tagsOk = tags match {
+        case None => row.isNullAt(5)
+        case Some(ts) => row.getArray(5).numElements() == ts.size
+      }
+      row.getUTF8String(2).toString == uuid && row.getLong(4) == ms && tagsOk
+    }
+
+  property("avro decode never throws on arbitrary bytes (null or row)") =
+    forAll { (bytes: Array[Byte]) =>
+      val r = AvroDecodeIngestion(Literal(bytes, BinaryType)).eval(InternalRow.empty)
+      r == null || r.isInstanceOf[InternalRow] // reaching here means no exception
+    }
+}
