@@ -34,6 +34,10 @@ object SparkEntry {
     "scalar_funcs" -> (Ingest.scalarFuncs _),
     "explode_tags" -> (Ingest.explodeTags _),
     "tags_exists" -> (Ingest.tagsExists _),
+    // temporal extensions (as-of join, session windows, percentiles)
+    "asof_join" -> (Temporal.asofJoin _),
+    "session_windows" -> (Temporal.sessionWindows _),
+    "agg_percentile" -> (Temporal.aggPercentile _),
     // LLM-pipeline: dedup over documents (north star, SURVEY §7.2.5)
     "dedup_exact" -> (Dedup.dedupExact _),
     "minhash_sig" -> (Dedup.minhashSig _),
@@ -78,6 +82,9 @@ object SparkEntry {
     "scalar_funcs" -> Ingest.scalarFuncsSql,
     "explode_tags" -> Ingest.explodeTagsSql,
     "tags_exists" -> Ingest.tagsExistsSql,
+    "asof_join" -> Temporal.asofJoinSql,
+    "session_windows" -> Temporal.sessionWindowsSql,
+    "agg_percentile" -> Temporal.aggPercentileSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "minhash_sig" -> Dedup.minhashSigSql,
     "lsh_pairs" -> Dedup.lshPairsSql,

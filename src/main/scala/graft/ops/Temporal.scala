@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.Exact._
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators Spark lacks as built-ins, composed from relational
+  * primitives (SURVEY §2.5/§2.7 "absent in reference" extensions):
+  * as-of join and session windows, plus exact percentiles.
+  */
+object Temporal {
+
+  /** AS-OF join: for each event, the latest order of that customer at or
+    * before the event time (nulls when none) — the point-in-time lookup
+    * every feature/training pipeline needs and Spark has no operator for.
+    *
+    * Composition (the 100 TB-safe shape): tag and union both sides, one
+    * hash partition by key, one sort by (ts, tag), then
+    * `last(value, ignoreNulls)` over the running frame — right rows
+    * (tag 0) sort before left rows at equal ts, giving inclusive
+    * "at or before". One shuffle; no range cross-product, no skew beyond
+    * the key's own distribution. The right side is first deduped to one
+    * row per (key, ts) so the match is deterministic.
+    * Oracle: DuckDB's native ASOF LEFT JOIN. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val right = Tables.orders(spark, dir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"))
+      .select($"o_custkey".as("k"), $"o_orderdate".as("t"),
+        lit(0).as("tag"), lit(null).cast("long").as("event_id"), $"o_orderkey")
+    val left = Tables.events(spark, dir)
+      .select($"user_id".as("k"), $"ts".as("t"),
+        lit(1).as("tag"), $"event_id", lit(null).cast("long").as("o_orderkey"))
+    val w = Window.partitionBy($"k").orderBy($"t", $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    right.unionByName(left)
+      .withColumn("matched", last($"o_orderkey", ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"event_id", $"k".as("user_id"), unix_millis($"t").as("ts_ms"),
+        $"matched".as("o_orderkey"))
+      .orderBy($"event_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, o.o_orderkey
+      |FROM events ASOF LEFT JOIN
+      |  (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      |   FROM orders GROUP BY 1, 2) o
+      |  ON events.user_id = o.o_custkey AND events.ts >= o.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
+  /** Gap for session windows (6 h, calibrated so the fixture's ~7 h
+    * median inter-event gap yields a mix of merged and single sessions). */
+  val SessionGapMs = 21600000L
+
+  /** Session windows per user via Spark's session_window; the oracle
+    * re-derives the same sessions with gaps-and-islands SQL (new session
+    * iff diff >= gap — the same strict merge boundary Spark uses).
+    * Scale: one shuffle on user_id; session state is per-key and
+    * sort-merged, not held in memory across keys. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id", session_window($"ts", "6 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select($"user_id",
+        unix_millis($"sw.start").as("start_ms"),
+        (unix_millis($"sw.end") - SessionGapMs).as("last_ms"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"start_ms")
+  }
+
+  val sessionWindowsSql: String =
+    s"""WITH g AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= $SessionGapMs
+       |      THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |s AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM g)
+       |SELECT user_id,
+       |  min(epoch_ms(ts)) AS start_ms,
+       |  max(epoch_ms(ts)) AS last_ms,
+       |  COUNT(*) AS n_events,
+       |  CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sum_value
+       |FROM s GROUP BY user_id, sid
+       |ORDER BY user_id, start_ms""".stripMargin
+
+  /** Exact percentiles (median + p90) per group — Spark's `percentile`
+    * uses the same linear interpolation as DuckDB's quantile_cont. */
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        percentile($"value", lit(0.5)).as("p50"),
+        percentile($"value", lit(0.9)).as("p90"))
+      .orderBy($"event_type")
+  }
+
+  val aggPercentileSql: String =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.9) AS p90
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+}
