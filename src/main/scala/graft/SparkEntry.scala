@@ -34,6 +34,12 @@ object SparkEntry {
     "scalar_funcs" -> (Ingest.scalarFuncs _),
     "explode_tags" -> (Ingest.explodeTags _),
     "tags_exists" -> (Ingest.tagsExists _),
+    // relational breadth: multiset ops, pivot, range join
+    "set_intersect_all" -> (Extras.setIntersectAll _),
+    "set_except_all" -> (Extras.setExceptAll _),
+    "pivot_counts" -> (Extras.pivotCounts _),
+    "range_join_bucketed" -> (Extras.rangeJoinBucketed _),
+    "dedup_editdist" -> (Extras.dedupEditDist _),
     // temporal extensions (as-of join, session windows, percentiles)
     "asof_join" -> (Temporal.asofJoin _),
     "session_windows" -> (Temporal.sessionWindows _),
@@ -82,6 +88,11 @@ object SparkEntry {
     "scalar_funcs" -> Ingest.scalarFuncsSql,
     "explode_tags" -> Ingest.explodeTagsSql,
     "tags_exists" -> Ingest.tagsExistsSql,
+    "set_intersect_all" -> Extras.setIntersectAllSql,
+    "set_except_all" -> Extras.setExceptAllSql,
+    "pivot_counts" -> Extras.pivotCountsSql,
+    "range_join_bucketed" -> Extras.rangeJoinBucketedSql,
+    "dedup_editdist" -> Extras.dedupEditDistSql,
     "asof_join" -> Temporal.asofJoinSql,
     "session_windows" -> Temporal.sessionWindowsSql,
     "agg_percentile" -> Temporal.aggPercentileSql,

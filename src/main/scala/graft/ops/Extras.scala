@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Remaining relational breadth: multiset operations, pivot, and a
+  * bucketed interval (range) self-join — each absent in the reference
+  * (SURVEY §2.5/§2.9) and oracle-checked. */
+object Extras {
+
+  /** §2.9 — INTERSECT ALL: multiset semantics (duplicates preserved by
+    * min multiplicity), vs the set variants already registered. */
+  def setIntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    e.filter($"event_type" === "purchase").select($"user_id")
+      .intersectAll(e.filter($"event_type" === "error").select($"user_id"))
+      .orderBy($"user_id")
+  }
+
+  val setIntersectAllSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'purchase'
+      |INTERSECT ALL
+      |SELECT user_id FROM events WHERE event_type = 'error'
+      |ORDER BY user_id""".stripMargin
+
+  /** §2.9 — EXCEPT ALL: multiset difference. */
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    e.filter($"event_type" === "purchase").select($"user_id")
+      .exceptAll(e.filter($"event_type" === "error").select($"user_id"))
+      .orderBy($"user_id")
+  }
+
+  val setExceptAllSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'purchase'
+      |EXCEPT ALL
+      |SELECT user_id FROM events WHERE event_type = 'error'
+      |ORDER BY user_id""".stripMargin
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** §2.6 — pivot: per-user event-type counts as columns. The value list
+    * is explicit so the plan needs no discovery pass (at 100 TB an
+    * unlisted pivot first scans for distinct values). Nulls (user never
+    * produced a type) are filled with 0 to match COUNT FILTER semantics. */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy($"user_id")
+  }
+
+  val pivotCountsSql: String = {
+    val cols = EventTypes
+      .map(t => s"""count(*) FILTER (WHERE event_type = '$t') AS "$t"""")
+      .mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** §2.5 — interval (range) self-join, bucketed: pairs of same-user
+    * events within 60 s of each other. The scale-safe shape for range
+    * joins: quantize time into join-width buckets, equi-join on
+    * (key, bucket) with one side exploded to its 3 neighboring buckets,
+    * then apply the exact range predicate — turns an unbounded range
+    * cross-product into an equi-join Catalyst can hash-partition; each
+    * qualifying pair matches exactly one bucket equality (no dedup
+    * needed). */
+  def rangeJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val WindowMs = 60000L
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"))
+      .withColumn("bucket", floor($"ms" / WindowMs))
+    val b = e.select($"user_id".as("u2"), $"event_id".as("id_b"), $"ms".as("ms_b"),
+      explode(array($"bucket" - 1, $"bucket", $"bucket" + 1)).as("jb"))
+    e.join(b, $"user_id" === $"u2" && $"bucket" === $"jb" && $"event_id" < $"id_b")
+      .filter(abs($"ms" - $"ms_b") <= WindowMs)
+      .select($"event_id".as("id_a"), $"id_b", abs($"ms" - $"ms_b").as("dt_ms"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val rangeJoinBucketedSql: String =
+    """SELECT a.event_id AS id_a, b.event_id AS id_b,
+      |  abs(epoch_ms(a.ts) - epoch_ms(b.ts)) AS dt_ms
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      |  AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 60000
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Edit-distance verification of near-dup candidates: levenshtein over
+    * the jaccard-confirmed pairs only (the standard funnel — LSH prunes
+    * n², jaccard prunes candidates, the O(len²) string DP runs on the
+    * survivors). Both engines implement standard Levenshtein. */
+  def dedupEditDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val texts = Tables.documents(spark, dir).select($"doc_id", $"text")
+    Dedup.dedupJaccard(spark, dir)
+      .join(texts.select($"doc_id".as("id_a"), $"text".as("text_a")), "id_a")
+      .join(texts.select($"doc_id".as("id_b"), $"text".as("text_b")), "id_b")
+      .select($"id_a", $"id_b", levenshtein($"text_a", $"text_b").as("edit_dist"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val dedupEditDistSql: String =
+    s"""WITH jp AS (${Dedup.dedupJaccardSql.replace("ORDER BY id_a, id_b", "")})
+       |SELECT jp.id_a, jp.id_b, levenshtein(da.text, db.text) AS edit_dist
+       |FROM jp
+       |JOIN documents da ON da.doc_id = jp.id_a
+       |JOIN documents db ON db.doc_id = jp.id_b
+       |ORDER BY id_a, id_b""".stripMargin
+}

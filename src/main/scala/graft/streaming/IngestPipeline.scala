@@ -82,7 +82,14 @@ object IngestPipeline {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       watermarkDelay: String = "10 minutes"): StreamingQuery = {
+    // observed metrics ≈ the reference's Prometheus counters
+    // (metrics.go:9-41 received/indexed/error): per-batch counts surface
+    // in StreamingQueryProgress.observedMetrics("ingest_metrics")
     val parsed = parse(source)
+      .observe("ingest_metrics",
+        count(lit(1)).as("n_received"),
+        sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+        sum(when(!col("valid"), 1L).otherwise(0L)).as("n_dlq"))
     parsed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -34,6 +34,14 @@ class StreamingSpec extends SparkSpec {
     assert(idx.columns.contains("persist_date"), "daily partition column missing")
     val dlq = spark.read.parquet(dlqDir)
     assert(dlq.count() == 2) // both malformed payloads routed to DLQ
+
+    // observed metrics (≈ reference Prometheus counters) summed per batch
+    val metrics = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("ingest_metrics")))
+    assert(metrics.nonEmpty, "no observed metrics reported")
+    assert(metrics.map(_.getAs[Long]("n_received")).sum == 5)
+    assert(metrics.map(_.getAs[Long]("n_valid")).sum == 3)
+    assert(metrics.map(_.getAs[Long]("n_dlq")).sum == 2)
   }
 
   test("replayed records do not duplicate survivors (at-least-once + keyed sink)") {
