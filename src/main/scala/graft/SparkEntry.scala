@@ -39,6 +39,8 @@ object SparkEntry {
     "set_except_all" -> (Extras.setExceptAll _),
     "pivot_counts" -> (Extras.pivotCounts _),
     "range_join_bucketed" -> (Extras.rangeJoinBucketed _),
+    "topk_per_group" -> (GroupTop.topKPerGroup _),
+    "agg_collect" -> (GroupTop.aggCollect _),
     "dedup_editdist" -> (Extras.dedupEditDist _),
     // temporal extensions (as-of join, session windows, percentiles)
     "asof_join" -> (Temporal.asofJoin _),
@@ -92,6 +94,8 @@ object SparkEntry {
     "set_except_all" -> Extras.setExceptAllSql,
     "pivot_counts" -> Extras.pivotCountsSql,
     "range_join_bucketed" -> Extras.rangeJoinBucketedSql,
+    "topk_per_group" -> GroupTop.topKPerGroupSql,
+    "agg_collect" -> GroupTop.aggCollectSql,
     "dedup_editdist" -> Extras.dedupEditDistSql,
     "asof_join" -> Temporal.asofJoinSql,
     "session_windows" -> Temporal.sessionWindowsSql,

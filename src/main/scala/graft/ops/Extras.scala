@@ -117,3 +117,44 @@ object Extras {
        |JOIN documents db ON db.doc_id = jp.id_b
        |ORDER BY id_a, id_b""".stripMargin
 }
+
+/** Per-group top-k and ordered collect — §2.7/§2.8 companions. */
+object GroupTop {
+
+  /** Top-3 events by value per event_type via ranking window — the
+    * per-group top-k shape (per-key heap after one hash partition; never
+    * a global sort). */
+  def topKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"value".desc, $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"event_type", $"rn", $"event_id", $"value")
+      .orderBy($"event_type", $"rn")
+  }
+
+  val topKPerGroupSql: String =
+    """SELECT event_type, rn, event_id, value
+      |FROM (SELECT event_type, event_id, value,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+      |      FROM events)
+      |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin
+
+  /** Ordered collect: per event_type, the sorted distinct user list as a
+    * string (strings, not arrays, so the driver's column-hash compare is
+    * representation-stable across engines). */
+  def aggCollect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(concat_ws(",", sort_array(collect_set($"user_id"))).as("users"))
+      .orderBy($"event_type")
+  }
+
+  val aggCollectSql: String =
+    """SELECT event_type,
+      |  array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+}
