@@ -46,6 +46,8 @@ object SparkEntry {
     "asof_join" -> (Temporal.asofJoin _),
     "session_windows" -> (Temporal.sessionWindows _),
     "agg_percentile" -> (Temporal.aggPercentile _),
+    "sliding_counts" -> (TimeWindows.slidingCounts _),
+    "agg_approx_percentile" -> (TimeWindows.aggApproxPercentile _),
     // LLM-pipeline: dedup over documents (north star, SURVEY §7.2.5)
     "dedup_exact" -> (Dedup.dedupExact _),
     "minhash_sig" -> (Dedup.minhashSig _),
@@ -100,6 +102,7 @@ object SparkEntry {
     "asof_join" -> Temporal.asofJoinSql,
     "session_windows" -> Temporal.sessionWindowsSql,
     "agg_percentile" -> Temporal.aggPercentileSql,
+    "sliding_counts" -> TimeWindows.slidingCountsSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "minhash_sig" -> Dedup.minhashSigSql,
     "lsh_pairs" -> Dedup.lshPairsSql,

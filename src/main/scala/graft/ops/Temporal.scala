@@ -112,3 +112,43 @@ object Temporal {
       |  quantile_cont(value, 0.9) AS p90
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }
+
+/** Event-time window aggregation in batch form (ST1 extension). */
+object TimeWindows {
+
+  /** Sliding windows: 12 h windows every 6 h — each event lands in two.
+    * Spark aligns window starts to the 1970 epoch; the oracle expands
+    * each event to its two covering starts with the same arithmetic.
+    * Scale: the ×2 row expansion happens map-side before the partial
+    * aggregate; shuffle carries only (window, type) group states. */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "12 hours", "6 hours").as("w"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis($"w.start").as("ws_ms"), $"event_type", $"cnt")
+      .orderBy($"ws_ms", $"event_type")
+  }
+
+  val slidingCountsSql: String =
+    """SELECT ws_ms, event_type, COUNT(*) AS cnt
+      |FROM (SELECT event_type,
+      |        UNNEST([(epoch_ms(ts) // 21600000) * 21600000,
+      |                (epoch_ms(ts) // 21600000) * 21600000 - 21600000]) AS ws_ms
+      |      FROM events)
+      |GROUP BY ws_ms, event_type
+      |ORDER BY ws_ms, event_type""".stripMargin
+
+  /** approx_percentile (the t-digest-style sketch companion to the exact
+    * percentiles): rows-only — sketch internals are engine-specific, the
+    * accuracy bound is asserted in ScalaTest against the exact values. */
+  def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        approx_percentile($"value", lit(0.5), lit(1000)).as("p50_approx"),
+        approx_percentile($"value", lit(0.9), lit(1000)).as("p90_approx"))
+      .orderBy($"event_type")
+  }
+}

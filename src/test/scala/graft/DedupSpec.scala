@@ -56,6 +56,16 @@ class DedupSpec extends SparkSpec {
     assert(sh.filter($"simhash" < 0 || $"simhash" >= (1 << 16)).count() == 0)
   }
 
+  test("approx_percentile within 10% of exact percentile") {
+    import spark.implicits._
+    val approx = graft.ops.TimeWindows.aggApproxPercentile(spark, sfDir)
+    val exact = graft.ops.Temporal.aggPercentile(spark, sfDir)
+    approx.join(exact, "event_type").collect().foreach { r =>
+      val (ap, ep) = (r.getAs[Double]("p50_approx"), r.getAs[Double]("p50"))
+      assert(math.abs(ap - ep) / ep <= 0.10, s"${r.getString(0)}: p50 approx $ap vs $ep")
+    }
+  }
+
   test("approx_count_distinct within configured rsd of exact") {
     import spark.implicits._
     val approx = Relational.aggHll(spark, sfDir)
