@@ -39,6 +39,7 @@ object SparkEntry {
     "set_except_all" -> (Extras.setExceptAll _),
     "pivot_counts" -> (Extras.pivotCounts _),
     "range_join_bucketed" -> (Extras.rangeJoinBucketed _),
+    "salted_agg" -> (Salted.saltedAgg _),
     "topk_per_group" -> (GroupTop.topKPerGroup _),
     "agg_collect" -> (GroupTop.aggCollect _),
     "dedup_editdist" -> (Extras.dedupEditDist _),
@@ -96,6 +97,7 @@ object SparkEntry {
     "set_except_all" -> Extras.setExceptAllSql,
     "pivot_counts" -> Extras.pivotCountsSql,
     "range_join_bucketed" -> Extras.rangeJoinBucketedSql,
+    "salted_agg" -> Salted.saltedAggSql,
     "topk_per_group" -> GroupTop.topKPerGroupSql,
     "agg_collect" -> GroupTop.aggCollectSql,
     "dedup_editdist" -> Extras.dedupEditDistSql,

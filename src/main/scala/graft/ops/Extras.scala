@@ -158,3 +158,33 @@ object GroupTop {
       |  array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }
+
+/** Skew-mitigation pattern: two-phase salted aggregation. */
+object Salted {
+
+  /** Counts+sums per event_type computed with an explicit salt: phase 1
+    * aggregates (key, salt) — spreading a hot key over 16 reducers —
+    * phase 2 merges the partials per key. Results are identical to the
+    * direct groupBy (the oracle is the plain GROUP BY); the value is the
+    * shape: when one key dominates (boilerplate docs, null keys), the
+    * first shuffle stays balanced. AQE's skew handling covers joins;
+    * salting is the aggregation-side tool. Sums stay in DECIMAL until
+    * after the final merge so the two-phase result is bit-stable. */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val acc = DecimalType(38, 18)
+    Tables.events(spark, dir)
+      .withColumn("salt", pmod($"event_id", lit(16L)))
+      .groupBy($"event_type", $"salt")
+      .agg(count(lit(1)).as("c"), sum($"value".cast(acc)).as("s"))
+      .groupBy($"event_type")
+      .agg(sum($"c").as("cnt"), sum($"s").cast("double").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  val saltedAggSql: String =
+    """SELECT event_type, COUNT(*) AS cnt,
+      |  CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+}
