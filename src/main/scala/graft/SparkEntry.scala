@@ -55,6 +55,7 @@ object SparkEntry {
     "lsh_pairs" -> (Dedup.lshPairs _),
     "dedup_jaccard" -> (Dedup.dedupJaccard _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "dedup_clusters" -> (Dedup.dedupClusters _),
     // LLM-pipeline: similarity search over embeddings
     "ann_topk" -> (Similarity.annTopK _),
     "ann_ivf" -> (Similarity.annIvf _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "lsh_pairs" -> Dedup.lshPairsSql,
     "dedup_jaccard" -> Dedup.dedupJaccardSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
+    "dedup_clusters" -> Dedup.dedupClustersSql,
     "ann_topk" -> Similarity.annTopKSql,
     "ann_ivf" -> Similarity.annIvfSql,
     "embed_neardup" -> Similarity.embedNearDupSql,

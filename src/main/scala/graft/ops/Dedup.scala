@@ -269,4 +269,54 @@ object Dedup {
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Duplicate clusters: connected components over the jaccard-verified
+    * pair graph via iterative min-label propagation — the final step of
+    * LSH dedup (each transitive group keeps cluster_id = its smallest
+    * doc_id; survivors = one doc per cluster). Converges in
+    * O(component diameter) rounds; near-dup components are tiny, and the
+    * iteration is bounded as a backstop. The per-round action is the
+    * fixpoint check every iterative Spark algorithm needs (GraphX-style);
+    * localCheckpoint truncates lineage so round N's plan doesn't replay
+    * rounds 1..N-1. Oracle: recursive-CTE transitive closure in DuckDB.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = dedupJaccard(spark, dir).select($"id_a", $"id_b")
+    val edges = pairs.union(pairs.select($"id_b", $"id_a"))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("label", $"id")
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < 20) {
+      val prop = edges
+        .join(labels.select($"id".as("src"), $"label".as("srcLabel")), "src")
+        .groupBy($"dst".as("id")).agg(min($"srcLabel").as("nbrMin"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select($"id", least($"label", coalesce($"nbrMin", $"label")).as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.select($"id", $"label".as("old")), "id")
+        .filter($"label" =!= $"old").count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupClustersSql: String = {
+    val jacc = dedupJaccardSql.replace("ORDER BY id_a, id_b", "")
+    s"""WITH RECURSIVE jp AS ($jacc),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b, id_a FROM jp),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+  }
 }
