@@ -10,6 +10,12 @@ import org.apache.spark.sql.SparkSession
   * benchmark a row-count scan (VERDICT r1). Failures are recorded as
   * negative times AND listed in "failed" so a broken query can never
   * masquerade as a fast one.
+  *
+  * Each query runs twice and the reported time is the best of the two —
+  * the first run absorbs codegen compilation and JIT warmup for that
+  * query's expressions, so round-over-round regressions in the min are
+  * attributable to plan changes rather than compile noise (VERDICT r2
+  * item 10).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,14 +35,20 @@ object Bench {
     try SparkEntry.entry(spark).queryExecution.toRdd.foreach(_ => ())
     catch { case _: Throwable => () }
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Boolean, Double) = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
-      val dt = (System.nanoTime() - t0) / 1e9
+      (ok, (System.nanoTime() - t0) / 1e9)
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (ok1, dt1) = timeOnce(name, fn)
+      val (ok, dt) =
+        if (!ok1) (false, dt1)
+        else { val (ok2, dt2) = timeOnce(name, fn); (ok2, math.min(dt1, dt2)) }
       if (!ok) failed ::= name
       name -> (if (ok) dt else -dt)
     }

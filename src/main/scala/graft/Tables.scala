@@ -13,6 +13,23 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Parallelize a compute-heavy scan: round-robin repartition to the
+    * session's default parallelism.
+    *
+    * Why: the driver fixtures are written as a SINGLE parquet row group
+    * per table, and parquet cannot split below row-group granularity — so
+    * without this every stage-1 scan is one task and all per-row compute
+    * (md5, JSON parse, regex, decimal partial aggregation) serializes on
+    * one of 32 cores. One MB-scale shuffle buys a cores× speedup on the
+    * expensive stage. At warehouse scale (millions of row groups) the
+    * scan parallelizes by itself and the exchange is just a rebalance —
+    * which is why this is opt-in per operator rather than baked into
+    * every read: a blanket repartition would sit between filters and the
+    * scan and defeat parquet filter pushdown (q1_agg pins PushedFilters).
+    * Callers place it AFTER pushable filters, BEFORE per-row compute. */
+  def par(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "customer")

@@ -55,19 +55,24 @@ object Dedup {
 
   /** Exploded (doc_id, sh) rows — the hot-path layout (see class doc).
     * explode_outer keeps shingle-less docs as a null row so their
-    * signature aggregates to null rather than the doc vanishing. */
-  private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", explode_outer(shingles($"text")).as("sh"))
-  }
+    * signature aggregates to null rather than the doc vanishing.
+    * Takes the documents frame as input so the same funnel runs on any
+    * corpus (tests drive it with synthetic frames). */
+  private def shingleRowsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode_outer(shingles(col("text"))).as("sh"))
+
+  /** The fixture documents table, scan-parallelized (see Tables.par): the
+    * md5-per-shingle partial aggregation is the hot stage of the whole
+    * dedup funnel and must not run on one core. */
+  private def docsPar(spark: SparkSession, dir: String): DataFrame =
+    Tables.par(Tables.documents(spark, dir))
 
   /** Exact dedup: normalize → digest → keep the smallest doc_id per
     * digest. Output is the per-digest group (keeper + multiplicity) so
     * the oracle can check group structure, not just survivor count. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    docsPar(spark, dir)
       .select($"doc_id", md5(norm($"text")).as("digest"))
       .groupBy($"digest")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
@@ -90,20 +95,19 @@ object Dedup {
     * fall back to SortAggregate and sort every exploded row. Truncating
     * the digest to 15 hex chars preserves lexicographic = numeric order
     * and loses nothing for minhash purposes. */
-  private def sig(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val mhAggs = (0 until NumHashes).map { j =>
-      min(conv(substring(md5(concat(lit(s"$j:"), col("sh"))), 1, 15), 16, 10)
-        .cast("long")).as(s"mh$j")
-    }
-    shingleRows(spark, dir).groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+  private def mhAggExprs: Seq[Column] = (0 until NumHashes).map { j =>
+    min(conv(substring(md5(concat(lit(s"$j:"), col("sh"))), 1, 15), 16, 10)
+      .cast("long")).as(s"mh$j")
   }
+
+  private def sigOf(docs: DataFrame): DataFrame =
+    shingleRowsOf(docs).groupBy(col("doc_id")).agg(mhAggExprs.head, mhAggExprs.tail: _*)
 
   /** Per-document minhash signature (one row per doc, NumHashes columns):
     * what you'd persist next to the corpus at scale. */
   def minhashSig(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    sig(spark, dir).orderBy($"doc_id")
+    sigOf(docsPar(spark, dir)).orderBy($"doc_id")
   }
 
   private def minhashSqlExprs: Seq[String] =
@@ -130,27 +134,53 @@ object Dedup {
       .map(b => s"{band: ${b}, key: md5(mh${2 * b} || '|' || mh${2 * b + 1})}")
       .mkString(", ")
 
-  /** LSH candidate pairs: band the signature into NumHashes/2 bands of 2
-    * rows; docs sharing any band key are candidates. Self-equi-join on
-    * (band, key) — shuffles only (band, key, doc_id) triples. At real
-    * scale add a bucket-size cap (skip buckets with > ~1000 members:
-    * boilerplate) before the join; unnecessary for the fixture. */
-  def lshPairs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val bands = (0 until NumHashes / 2).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("key"))
-    }
-    val buckets = sig(spark, dir)
-      .select($"doc_id", explode(array(bands: _*)).as("bk"))
-      .select($"doc_id", $"bk.band", $"bk.key")
+  /** Cap on LSH bucket size. Buckets larger than this are dropped before
+    * the self-join: at corpus scale one boilerplate bucket (cookie
+    * banners, license headers) makes the O(bucket²) candidate stage
+    * explode; docs that common are better handled by exact dedup anyway.
+    * Far above any fixture bucket (~10 docs per exact-dup family), so
+    * registered query outputs are unchanged. */
+  val MaxBucketSize = 1000
+
+  private def bandExprs: Seq[Column] = (0 until NumHashes / 2).map { b =>
+    struct(lit(b).as("band"),
+      md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("key"))
+  }
+
+  /** (doc_id, band, key) bucket rows of a signature frame, with buckets
+    * over `cap` members removed. The oversized set is found with one
+    * map-side-combined count on (band, key) — its result is tiny (only
+    * pathological buckets) so the removal is a broadcast anti-join: no
+    * extra shuffle of the bucket rows. */
+  private def cappedBuckets(sigDf: DataFrame, cap: Int): DataFrame = {
+    val buckets = sigDf
+      .select(col("doc_id"), explode(array(bandExprs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val oversized = buckets.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bucket_n")).filter(col("bucket_n") > cap)
+      .select(col("band"), col("key"))
+    buckets.join(broadcast(oversized), Seq("band", "key"), "left_anti")
+  }
+
+  /** LSH candidate pairs over an arbitrary documents frame (doc_id,
+    * text) — the funnel's test/reuse entry point. */
+  def lshPairsOf(docs: DataFrame, cap: Int = MaxBucketSize): DataFrame = {
+    val buckets = cappedBuckets(sigOf(docs), cap)
     buckets.as("a")
       .join(buckets.as("b"),
-        $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-      .orderBy($"id_a", $"id_b")
+  }
+
+  /** LSH candidate pairs: band the signature into NumHashes/2 bands of 2
+    * rows; docs sharing any band key are candidates. Self-equi-join on
+    * (band, key) — shuffles only (band, key, doc_id) triples, with the
+    * [[MaxBucketSize]] boilerplate guard applied before the join. */
+  def lshPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lshPairsOf(docsPar(spark, dir)).orderBy($"id_a", $"id_b")
   }
 
   val lshPairsSql: String =
@@ -170,27 +200,23 @@ object Dedup {
     * bit-identical across engines. Shingle sets are rebuilt per keeper
     * from the exploded rows (sorted for determinism) and joined to the
     * candidate list — broadcast-able when candidates are few. */
-  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // One pass builds signatures AND shingle sets, persisted — the DAG
-    // consumes it four times (bucket self-join sides + both set lookups);
-    // at corpus scale this is the signature table you'd materialize
-    // anyway. A few MB here; spill-safe via MEMORY_AND_DISK.
-    val mhAggs = (0 until NumHashes).map { j =>
-      min(conv(substring(md5(concat(lit(s"$j:"), col("sh"))), 1, 15), 16, 10)
-        .cast("long")).as(s"mh$j")
-    }
-    val sigSets = shingleRows(spark, dir).filter($"sh".isNotNull)
+  def dedupJaccardOf(docs: DataFrame, cap: Int = MaxBucketSize): DataFrame = {
+    import docs.sparkSession.implicits._
+    // One pass builds signatures AND shingle sets, materialized once via
+    // localCheckpoint — the DAG consumes it four times (bucket self-join
+    // sides + both set lookups); at corpus scale this is the signature
+    // table you'd materialize anyway. localCheckpoint, NOT persist: same
+    // MEMORY_AND_DISK blocks and the same lineage cut, but no CacheManager
+    // entry pinned for the session's lifetime — r2's persist-without-
+    // unpersist leaked an entry per caller ("already cached" warnings,
+    // 20g bench heap). Checkpoint blocks are dropped by the ContextCleaner
+    // once the consuming plans are garbage-collected.
+    val sigSets = shingleRowsOf(docs).filter($"sh".isNotNull)
       .groupBy($"doc_id")
-      .agg(mhAggs.head, (mhAggs.tail :+ collect_set($"sh").as("tokset")): _*)
+      .agg(mhAggExprs.head, (mhAggExprs.tail :+ collect_set($"sh").as("tokset")): _*)
       .withColumn("n", size($"tokset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = (0 until NumHashes / 2).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("key"))
-    }
-    val buckets = sigSets.select($"doc_id", explode(array(bands: _*)).as("bk"))
-      .select($"doc_id", $"bk.band", $"bk.key")
+      .localCheckpoint()
+    val buckets = cappedBuckets(sigSets, cap)
     val pairs = buckets.as("a")
       .join(buckets.as("b"),
         $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
@@ -207,7 +233,11 @@ object Dedup {
       .withColumn("jaccard", $"inter".cast("double") / $"uni".cast("double"))
       .filter($"jaccard" >= 0.1)
       .select($"id_a", $"id_b", $"jaccard")
-      .orderBy($"id_a", $"id_b")
+  }
+
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dedupJaccardOf(docsPar(spark, dir)).orderBy($"id_a", $"id_b")
   }
 
   val dedupJaccardSql: String =
@@ -241,7 +271,7 @@ object Dedup {
     * masked, for 1-bit tolerance). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tokRows = Tables.documents(spark, dir)
+    val tokRows = docsPar(spark, dir)
       .select($"doc_id", explode_outer(array_distinct(toks($"text"))).as("tok"))
     val voteAggs = (0 until SimHashBits).map { j =>
       sum(when($"tok".isNull, lit(null)).otherwise(
@@ -271,39 +301,67 @@ object Dedup {
   }
 
   /** Duplicate clusters: connected components over the jaccard-verified
-    * pair graph via iterative min-label propagation — the final step of
-    * LSH dedup (each transitive group keeps cluster_id = its smallest
-    * doc_id; survivors = one doc per cluster). Converges in
-    * O(component diameter) rounds; near-dup components are tiny, and the
-    * iteration is bounded as a backstop. The per-round action is the
-    * fixpoint check every iterative Spark algorithm needs (GraphX-style);
-    * localCheckpoint truncates lineage so round N's plan doesn't replay
-    * rounds 1..N-1. Oracle: recursive-CTE transitive closure in DuckDB.
+    * pair graph — the final step of LSH dedup (each transitive group
+    * keeps cluster_id = its smallest doc_id; survivors = one doc per
+    * cluster). Oracle: recursive-CTE transitive closure in DuckDB.
+    *
+    * Algorithm: min-label propagation with POINTER DOUBLING — each round
+    * first takes the min over neighbors' labels (one hop), then replaces
+    * every label by its label's label (label = L[L[id]]), doubling the
+    * distance information travels. Rounds needed are O(log diameter),
+    * not O(diameter) — r2's plain propagation took 53 s on chains the
+    * fixture happens to contain and would blow up on long-chain
+    * components at corpus scale.
+    *
+    * Cost per round is ONE materialization: the fixpoint flag is computed
+    * inside the same projection and the frame is localCheckpoint'ed
+    * (eager) — the follow-up `changed` count only scans the checkpointed
+    * blocks, it does not re-execute the round (r2 ran the round's plan
+    * for the checkpoint AND a second action for the check).
+    * localCheckpoint also truncates lineage so round N's plan doesn't
+    * replay rounds 1..N-1, and — unlike persist — pins nothing in the
+    * CacheManager.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = dedupJaccard(spark, dir).select($"id_a", $"id_b")
     val edges = pairs.union(pairs.select($"id_b", $"id_a"))
       .toDF("src", "dst")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("label", $"id")
       .localCheckpoint()
     var converged = false
     var i = 0
-    while (!converged && i < 20) {
+    val maxRounds = 25 // covers diameters up to ~2^25 with doubling
+    while (!converged && i < maxRounds) {
+      // hop: min over own + neighbors' labels
       val prop = edges
         .join(labels.select($"id".as("src"), $"label".as("srcLabel")), "src")
         .groupBy($"dst".as("id")).agg(min($"srcLabel").as("nbrMin"))
-      val next = labels.join(prop, Seq("id"), "left")
-        .select($"id", least($"label", coalesce($"nbrMin", $"label")).as("label"))
-        .localCheckpoint()
-      val changed = next.join(labels.select($"id", $"label".as("old")), "id")
-        .filter($"label" =!= $"old").count()
-      labels = next
+      val hopped = labels.join(prop, Seq("id"), "left")
+        .select($"id", $"label".as("old"),
+          least($"label", coalesce($"nbrMin", $"label")).as("label"))
+      // double: label := label(label). Labels are always vertex ids and
+      // monotonically non-increasing, so the lookup shortcuts chains.
+      val next = hopped.as("h")
+        .join(labels.select($"id".as("lid"), $"label".as("llabel")),
+          $"label" === $"lid", "left")
+        .select($"h.id".as("id"), $"h.old".as("old"),
+          least($"h.label", coalesce($"llabel", $"h.label")).as("label"))
+        .select($"id", $"label", ($"label" < $"old").as("chg"))
+        .localCheckpoint() // the round's single materialization
+      val changed = next.filter($"chg").count() // scans cached blocks only
+      labels = next.select($"id", $"label")
       converged = changed == 0
       i += 1
     }
+    // Surface non-convergence instead of silently returning partial
+    // clusters that would diverge from the oracle's transitive closure
+    // (ADVICE r2). Unreachable for any graph with diameter < 2^maxRounds.
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxRounds rounds")
     labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
       .orderBy($"doc_id")
   }

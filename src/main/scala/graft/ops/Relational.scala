@@ -13,14 +13,17 @@ import org.apache.spark.sql.functions._
 object Relational {
 
   /** TPC-H Q1-flavor scan→filter→agg→sort over lineitem.
-    * The shipdate predicate is pushed to the parquet scan; the aggregate is
-    * a partial/final hash aggregate with map-side combine — the canonical
-    * 100TB-safe shape (no shuffle of raw rows, only of group states).
+    * The shipdate predicate is pushed to the parquet scan (placed BELOW
+    * Tables.par so pushdown survives — plan-pinned in QueriesSmokeSpec);
+    * the aggregate is a partial/final hash aggregate with map-side
+    * combine — the canonical 100TB-safe shape (no shuffle of raw rows,
+    * only of group states). Tables.par spreads the 7-accumulator DECIMAL
+    * partial aggregation across cores (single-row-group fixture scan).
     */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, dir)
-      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+    Tables.par(Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp")))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         dsum($"l_quantity").as("sum_qty"),

@@ -77,24 +77,28 @@ object Similarity {
   /** Hyperplane signs, precomputed driver-side: sign(j, i) = +1 iff the
     * top bit of md5("j:i") is set — deterministic shared randomness the
     * oracle rederives in SQL. Literal arrays keep the md5s out of the
-    * per-row path (they were the bucket computation's hot spot). */
-  private lazy val planeSigns: IndexedSeq[Seq[Double]] = {
+    * per-row path (they were the bucket computation's hot spot). Floats
+    * so they feed [[dotD]] directly; ±1.0f→double is exact, so the
+    * projection arithmetic is unchanged. */
+  private lazy val planeSigns: IndexedSeq[Seq[Float]] = {
     val d = java.security.MessageDigest.getInstance("MD5")
-    def top(s: String): Double = {
+    def top(s: String): Float = {
       val b = d.digest(s.getBytes("UTF-8"))
-      if ((b(0) & 0x80) != 0) 1.0 else -1.0
+      if ((b(0) & 0x80) != 0) 1.0f else -1.0f
     }
     (0 until NumPlanes).map(j => (0 until 64).map(i => top(s"$j:$i")).toSeq)
   }
 
-  /** Sign-LSH bucket id of an embedding column: bit_j = [h_j · v > 0],
-    * with the projection folded sequentially (engine-independent sign;
-    * see class doc). */
+  /** Sign-LSH bucket id of an embedding column: bit_j = [h_j · v > 0].
+    * The projection is the same codegen'd [[dotD]] used for scoring —
+    * sequential fold, so the sign is engine-independent (see class doc).
+    * (The r2 version composed `aggregate`∘`zip_with` lambdas here, which
+    * evaluate interpreted — the exact per-row cost VecDot was built to
+    * avoid; ±1·x products and fold order are identical, so bucket ids are
+    * bit-for-bit unchanged.) */
   def lshBucket(v: Column): Column = {
     val bits = (0 until NumPlanes).map { j =>
-      val terms = zip_with(typedlit(planeSigns(j)), v,
-        (s, x) => s * x.cast("double"))
-      when(aggregate(terms, lit(0.0), (acc, x) => acc + x) > 0.0, lit(1L << j))
+      when(dotD(typedlit(planeSigns(j)), v) > 0.0, lit(1L << j))
         .otherwise(lit(0L))
     }
     bits.reduce(_ + _)
