@@ -27,7 +27,11 @@ object Exact {
     * Oracle form: CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) */
   def dsum(c: Column): Column = sum(c.cast(Acc)).cast(DoubleType)
 
-  /** Order-independent mean; DOUBLE/ BIGINT division is IEEE-deterministic.
-    * Oracle form: CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)/COUNT(*) */
-  def davg(c: Column): Column = dsum(c) / count(lit(1))
+  /** Order-independent mean; DOUBLE / BIGINT division is
+    * IEEE-deterministic. Divides by count(c) — nulls excluded from both
+    * numerator and denominator, matching ANSI AVG (ADVICE r2; COUNT(*)
+    * would silently shift the mean on nullable columns). Oracle form:
+    * CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)/COUNT(x) —
+    * equivalently COUNT(*) on the non-null fixture columns. */
+  def davg(c: Column): Column = dsum(c) / count(c)
 }

@@ -13,16 +13,32 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * internals involved.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  // Wrong argument counts raise a clean analysis-time error with the
+  // expected signature, not an IndexOutOfBoundsException (ADVICE r2).
+  private def arity(name: String, sig: String, n: Int)(
+      children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
+    if (children.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`", "expectedNum" -> s"$n ($sig)",
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VecDot(children(0), children(1))))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("vec_dot", "vec_dot(array<float>, array<float>)", 2)(children)
+        VecDot(children(0), children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("avro_decode_ingestion"),
       new ExpressionInfo(classOf[AvroDecodeIngestion].getName, "avro_decode_ingestion"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        AvroDecodeIngestion(children.head)))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("avro_decode_ingestion", "avro_decode_ingestion(binary)", 1)(children)
+        AvroDecodeIngestion(children.head)
+      }))
   }
 }

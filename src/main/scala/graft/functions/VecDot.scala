@@ -34,12 +34,19 @@ case class VecDot(left: Expression, right: Expression)
         s"vec_dot requires (array<float>, array<float>), got ($l, $r)")
     }
   override def dataType: DataType = DoubleType
+  // mismatched lengths yield null (below), on top of null-in-null-out
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
+  /** Mismatched vector lengths return NULL rather than silently dotting
+    * the common prefix: the documented oracle form (`dotSql`) indexes b
+    * past its end, which in SQL NULL-propagates — a truncated number here
+    * would diverge on malformed data (ADVICE r2). */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -55,12 +62,16 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

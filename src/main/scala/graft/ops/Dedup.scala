@@ -324,8 +324,19 @@ object Dedup {
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = dedupJaccard(spark, dir).select($"id_a", $"id_b")
-    val edges = pairs.union(pairs.select($"id_b", $"id_a"))
+    clustersOf(dedupJaccardOf(docsPar(spark, dir)).select($"id_a", $"id_b"))
+      .orderBy($"doc_id")
+  }
+
+  /** Connected components of an undirected (id_a, id_b) pair frame —
+    * see [[dedupClusters]] for the algorithm. Public so tests can drive
+    * it with synthetic graphs (chains, stars) independent of the
+    * jaccard funnel. */
+  def clustersOf(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = pairs.toDF("id_a", "id_b")
+    val edges = p.union(p.select($"id_b", $"id_a"))
       .toDF("src", "dst")
       .localCheckpoint()
     var labels = edges.select($"src".as("id")).distinct()
@@ -363,7 +374,6 @@ object Dedup {
       throw new IllegalStateException(
         s"dedupClusters did not converge in $maxRounds rounds")
     labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
-      .orderBy($"doc_id")
   }
 
   val dedupClustersSql: String = {

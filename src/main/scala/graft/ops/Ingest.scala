@@ -259,6 +259,22 @@ object Ingest {
       .orderBy($"event_id")
   }
 
+  /** K4 second half — the `{INDEX}` alias indirection (reference
+    * es.go:102-116 `addAlias`): the daily rolling "index" is a
+    * persist_date partition of the sink table; the alias is a view
+    * pinned to the current date. Repointing is an atomic
+    * CREATE OR REPLACE VIEW (the reference repoints the ES alias at
+    * boot the same way); readers through the alias get partition
+    * pruning because the view's date predicate reaches the scan's
+    * PartitionFilters (asserted in StorageSpec). */
+  def pointIndexAlias(spark: SparkSession, alias: String,
+      tableDir: String, date: String): Unit = {
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW `$alias` AS " +
+        s"SELECT * FROM parquet.`$tableDir` WHERE persist_date = '$date'")
+    ()
+  }
+
   val tagsExistsSql: String =
     """SELECT event_id, event_type
       |FROM (SELECT event_id, event_type,

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** The reference's health/readiness surface (reference main.go:327-364):
+  * `GET /health` builds `HealthStatus{app, status, goVersion,
+  * numRoutines, lastError, info}` from live probes of both connections
+  * (pulsar.go:113-116 `TopicPartitions`, es.go:215-218 cluster `Info`),
+  * returning HTTP 500 with the error when either probe fails
+  * (main.go:366-380).
+  *
+  * The Spark equivalent of "are my connections alive and moving" is the
+  * session's active StreamingQuery set plus each query's last progress
+  * and exception — a driver utility, not a relational operator
+  * (SURVEY §3.2). [[statusJson]] serializes the same shape for a
+  * readiness endpoint to return verbatim; [[status]] is the typed form
+  * for programmatic checks. Observed metrics (the Prometheus-counter
+  * analogue, metrics.go:9-41) ride along per stream.
+  */
+object Health {
+
+  /** Per-stream slice of the reference's `Info` field: identity,
+    * liveness, last-batch throughput, and the batch's observed metrics
+    * flattened to `"<observation>.<column>" -> value`. */
+  final case class StreamInfo(
+      name: String,
+      id: String,
+      isActive: Boolean,
+      batchId: Long,
+      numInputRows: Long,
+      observed: Map[String, String])
+
+  /** ≈ reference model.go:69-76 `HealthStatus`; goVersion → sparkVersion,
+    * numRoutines → numActiveStreams. */
+  final case class HealthStatus(
+      app: String,
+      status: String,
+      sparkVersion: String,
+      numActiveStreams: Int,
+      lastError: String,
+      info: Seq[StreamInfo])
+
+  def status(spark: SparkSession, app: String = "graft"): HealthStatus = {
+    val qs = spark.streams.active.toSeq
+    val errors = qs.flatMap(q => q.exception.map(_.getMessage))
+    val infos = qs.map { q =>
+      val p = Option(q.lastProgress)
+      val observed = p.map(_.observedMetrics.asScala.toMap.flatMap {
+        case (obs, row) =>
+          Option(row.schema).toSeq.flatMap(_.fieldNames.toSeq)
+            .map(f => s"$obs.$f" -> String.valueOf(row.getAs[Any](f)))
+      }).getOrElse(Map.empty[String, String])
+      StreamInfo(Option(q.name).getOrElse(""), q.id.toString, q.isActive,
+        p.map(_.batchId).getOrElse(-1L),
+        p.map(_.numInputRows).getOrElse(0L),
+        observed)
+    }
+    HealthStatus(
+      app = app,
+      status = if (errors.isEmpty) "ok" else "error",
+      sparkVersion = spark.version,
+      numActiveStreams = qs.count(_.isActive),
+      lastError = errors.headOption.getOrElse(""),
+      info = infos)
+  }
+
+  /** The JSON a readiness endpoint would serve (reference
+    * main.go:344-358 encodes HealthStatus the same way). */
+  def statusJson(spark: SparkSession, app: String = "graft"): String = {
+    val s = status(spark, app)
+    def q(x: String): String = "\"" + x.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val infoJson = s.info.map { i =>
+      val obs = i.observed.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+      s"""{"name":${q(i.name)},"id":${q(i.id)},"isActive":${i.isActive},""" +
+        s""""batchId":${i.batchId},"numInputRows":${i.numInputRows},"observed":$obs}"""
+    }.mkString("[", ",", "]")
+    s"""{"app":${q(s.app)},"status":${q(s.status)},""" +
+      s""""sparkVersion":${q(s.sparkVersion)},""" +
+      s""""numActiveStreams":${s.numActiveStreams},""" +
+      s""""lastError":${q(s.lastError)},"info":$infoJson}"""
+  }
+}

@@ -27,11 +27,15 @@ final case class IdentifierStats(identifier: String, n_records: Long, n_tags: Lo
   * connector in production is a drop-in because everything downstream is
   * a plain DataFrame transform) and the "index" is a parquet table.
   *
-  * Scale notes: the per-batch dedup shuffles only batch-sized data on the
-  * uuid key; the cross-batch guard is `dropDuplicatesWithinWatermark`,
-  * whose state is bounded by the watermark delay (never an unbounded
-  * dedup state — SURVEY §7.4.5). The sink append is partitioned by
-  * persist_date so replays touch only current partitions.
+  * Delivery contract: checkpointed offsets give at-least-once; the sink
+  * write is PHYSICALLY idempotent — partitions are keyed by epoch id and
+  * written with dynamic partition overwrite, so a replayed epoch rewrites
+  * its own partitions instead of appending duplicates (see [[writeBatch]]).
+  * Cross-batch duplicate *records* (same uuid redelivered in a different
+  * epoch) are a data property, resolved by the composable watermarked
+  * [[dedupStream]] (bounded state — never an unbounded dedup) or at read
+  * time by last-writer-wins per uuid (`dedup_by_key`). The per-batch
+  * dedup shuffles only batch-sized data on the uuid key.
   */
 object IngestPipeline {
 
@@ -66,12 +70,45 @@ object IngestPipeline {
       col("rec.tags").as("tags"))
       .withColumn("persist_date", date_format(col("persist_time"), "yyyy-MM-dd"))
 
+  /** Write one micro-batch of parsed records to the index and DLQ sinks.
+    *
+    * Physical idempotence (K2 at the STORE, reference es.go:185
+    * `DocumentID: a.Uuid`): both sinks partition by epoch_id and write
+    * `overwrite` with `partitionOverwriteMode=dynamic`, so only the
+    * partitions present in THIS batch are replaced — a replayed epoch
+    * rewrites exactly its own output rather than appending a duplicate
+    * copy (r2 relied on read-time last-writer-wins alone). The index side
+    * additionally partitions by persist_date, preserving the daily
+    * rolling-index layout (es.go:78-81); a replay that crosses midnight
+    * re-dates its rows like the reference's now()-based index naming
+    * would. Exactly-once against a transactional table format would be a
+    * MERGE keyed on uuid; dynamic partition overwrite is the parquet-only
+    * equivalent. */
+  def writeBatch(batch: DataFrame, epochId: Long,
+      indexDir: String, dlqDir: String): Unit = {
+    val b = batch.persist()
+    try {
+      // DLQ side-output (K3/ST4): malformed payloads with provenance
+      b.filter(!col("valid"))
+        .select(col("value"), lit(epochId).as("epoch_id"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id").parquet(dlqDir)
+      // idempotent upsert half (K2): one writer per uuid per batch
+      toIndex(b.filter(col("valid")))
+        .dropDuplicates("uuid")
+        .withColumn("epoch_id", lit(epochId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("persist_date", "epoch_id").parquet(indexDir)
+    } finally { b.unpersist(); () }
+  }
+
   /** Assemble and start the pipeline. Returns the running query; callers
     * own its lifecycle (tests use Trigger.AvailableNow + awaitTermination).
     *
     * @param source  streaming DataFrame with a string `value` column
-    * @param indexDir parquet "index" root (partitioned by persist_date)
-    * @param dlqDir  parquet DLQ root (malformed payloads + batch id)
+    * @param indexDir parquet "index" root (partitioned by persist_date,
+    *                 epoch_id — see [[writeBatch]])
+    * @param dlqDir  parquet DLQ root (malformed payloads + epoch id)
     * @param checkpointDir offset/commit log — the ack cursor (ST3)
     */
   def start(
@@ -80,8 +117,7 @@ object IngestPipeline {
       indexDir: String,
       dlqDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow(),
-      watermarkDelay: String = "10 minutes"): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // observed metrics ≈ the reference's Prometheus counters
     // (metrics.go:9-41 received/indexed/error): per-batch counts surface
     // in StreamingQueryProgress.observedMetrics("ingest_metrics")
@@ -94,21 +130,7 @@ object IngestPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val b = batch.persist()
-        try {
-          // DLQ side-output (K3/ST4): malformed payloads with provenance
-          b.filter(!col("valid"))
-            .select(col("value"), lit(epochId).as("epoch_id"))
-            .write.mode("append").parquet(dlqDir)
-          // idempotent upsert half (K2): one writer per uuid per batch —
-          // replayed batches rewrite the same rows (last-writer-wins at
-          // read time via dedup_by_key; exact once would use MERGE on a
-          // table format)
-          toIndex(b.filter(col("valid")))
-            .dropDuplicates("uuid")
-            .write.mode("append").partitionBy("persist_date").parquet(indexDir)
-        } finally { b.unpersist() }
-        ()
+        writeBatch(batch, epochId, indexDir, dlqDir)
       }
       .start()
   }

@@ -85,6 +85,20 @@ class AvroAndExtensionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0)
   }
 
+  test("vec_dot yields NULL on mismatched vector lengths (oracle NULL-propagation)") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT))) AS d").head()
+    assert(r.isNullAt(0))
+  }
+
+  test("vec_dot with wrong argument count is a clean analysis error, not an IOOBE") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(array(CAST(1.0 AS FLOAT)))").head()
+    }
+    assert(e.getMessage.contains("vec_dot"))
+  }
+
   test("avro_decode_ingestion is callable from SQL via GraftExtensions") {
     import spark.implicits._
     Seq(avroBytes("sq1", 5L, Seq.empty)).toDF("value").createOrReplaceTempView("raw_avro")

@@ -50,6 +50,39 @@ class DedupSpec extends SparkSpec {
     assert(verified.filter($"jaccard" < 0.1 || $"jaccard" > 1.0).count() == 0)
   }
 
+  test("LSH bucket-size cap drops boilerplate buckets before the self-join") {
+    import spark.implicits._
+    // 20 identical "boilerplate" docs: all 4 bands collide -> one bucket
+    // of 20 per band; plus a small 2-doc duplicate family under the cap.
+    val boiler = (1 to 20).map(i =>
+      (100 + i, "identical cookie banner boilerplate text appears on every single page"))
+    val smallFam = Seq(
+      (1, "the quick brown fox jumps over the lazy dog"),
+      (2, "the quick brown fox jumps over the lazy dog"))
+    val docs = (smallFam ++ boiler).toDF("doc_id", "text")
+    val uncapped = Dedup.lshPairsOf(docs, cap = 1000)
+    val capped = Dedup.lshPairsOf(docs, cap = 5)
+    // uncapped: the boilerplate family alone contributes C(20,2) pairs
+    assert(uncapped.filter($"id_a" >= 100).count() == 20 * 19 / 2)
+    // capped: oversized buckets gone -> no boilerplate pairs, so the
+    // candidate stage is O(sum capped-bucket^2), not O(boilerplate^2)
+    assert(capped.filter($"id_a" >= 100).count() == 0)
+    // the under-cap family is untouched
+    assert(capped.filter($"id_a" === 1 && $"id_b" === 2).count() == 1)
+  }
+
+  test("clustersOf converges on a 16-chain and a star to min-label components") {
+    import spark.implicits._
+    // chain 0-1-2-...-15 (diameter 15: plain propagation needs 15 rounds,
+    // pointer doubling O(log)) plus a disjoint star centered at 100
+    val chain = (0L until 15L).map(i => (i, i + 1))
+    val star = (101L to 105L).map(i => (100L, i))
+    val labels = Dedup.clustersOf((chain ++ star).toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 15L).foreach(i => assert(labels(i) == 0L, s"chain node $i"))
+    (100L to 105L).foreach(i => assert(labels(i) == 100L, s"star node $i"))
+  }
+
   test("simhash values fit in 16 bits and identical docs collide") {
     import spark.implicits._
     val sh = Dedup.dedupSimhash(spark, sfDir)

@@ -40,6 +40,32 @@ class StorageSpec extends SparkSpec {
     assert(pruned.count() > 0)
   }
 
+  test("index alias view repoints atomically and partition-prunes (reference es.go:102-116)") {
+    import spark.implicits._
+    val dir = tmp("alias")
+    Tables.events(spark, sfDir)
+      .withColumn("persist_date", date_format($"ts", "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("persist_date").parquet(dir)
+    val dates = spark.read.parquet(dir)
+      .select($"persist_date").distinct().orderBy($"persist_date")
+      .collect().map(_.get(0).toString)
+    assert(dates.length >= 2, "fixture spans < 2 days")
+    val (d1, d2) = (dates.head, dates.last)
+    def dayCount(d: String) = spark.read.parquet(dir)
+      .filter($"persist_date" === d).count()
+
+    graft.ops.Ingest.pointIndexAlias(spark, "index_alias", dir, d1)
+    assert(spark.table("index_alias").count() == dayCount(d1))
+    // the alias read prunes to the aliased day's partition
+    val plan = spark.table("index_alias").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(persist_date"),
+      s"alias read not partition-pruned:\n$plan")
+    // repoint (daily roll ≈ reference boot-time alias update): atomic swap
+    graft.ops.Ingest.pointIndexAlias(spark, "index_alias", dir, d2)
+    assert(spark.table("index_alias").count() == dayCount(d2))
+    spark.catalog.dropTempView("index_alias")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -66,6 +66,52 @@ class StreamingSpec extends SparkSpec {
     assert(resolved.head().getAs[java.sql.Timestamp]("ingestion_time").getTime == 1700000005000L)
   }
 
+  test("replaying the same epoch rewrites its partitions — physical no-dup") {
+    import spark.implicits._
+    val (indexDir, dlqDir) = (tmp("idx3"), tmp("dlq3"))
+    val batch = IngestPipeline.parse(
+      Seq(json("r1"), json("r2"), "garbage").toDF("value"))
+    IngestPipeline.writeBatch(batch, 7L, indexDir, dlqDir)
+    val once = spark.read.parquet(indexDir).count()
+    // at-least-once replay of epoch 7 (e.g. commit-log loss after write):
+    // dynamic partition overwrite rewrites (persist_date, epoch_id=7)
+    IngestPipeline.writeBatch(batch, 7L, indexDir, dlqDir)
+    assert(spark.read.parquet(indexDir).count() == once,
+      "replayed epoch appended instead of rewriting")
+    assert(once == 2)
+    assert(spark.read.parquet(dlqDir).count() == 1, "DLQ replay duplicated")
+    // a NEW epoch with different content appends (different partition)
+    IngestPipeline.writeBatch(
+      IngestPipeline.parse(Seq(json("r3")).toDF("value")), 8L, indexDir, dlqDir)
+    assert(spark.read.parquet(indexDir).count() == 3)
+  }
+
+  test("health status mirrors the reference HealthStatus shape") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(json("h1"), "bad payload")
+    val q = IngestPipeline.start(spark, mem.toDF(), tmp("hidx"), tmp("hdlq"), tmp("hck"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      q.processAllAvailable()
+      val s = graft.streaming.Health.status(spark)
+      assert(s.status == "ok")
+      assert(s.numActiveStreams >= 1)
+      assert(s.sparkVersion == spark.version)
+      assert(s.lastError.isEmpty)
+      val mine = s.info.find(_.id == q.id.toString).get
+      assert(mine.isActive && mine.batchId >= 0)
+      // observed metrics (≈ Prometheus counters) surface per stream
+      assert(mine.observed.get("ingest_metrics.n_received").contains("2"))
+      assert(mine.observed.get("ingest_metrics.n_dlq").contains("1"))
+      val jsonOut = graft.streaming.Health.statusJson(spark)
+      assert(jsonOut.contains("\"status\":\"ok\"") &&
+        jsonOut.contains("\"ingest_metrics.n_received\":\"2\""))
+    } finally q.stop()
+    assert(graft.streaming.Health.status(spark).numActiveStreams == 0)
+  }
+
   test("dropDuplicatesWithinWatermark dedupes the stream with bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
