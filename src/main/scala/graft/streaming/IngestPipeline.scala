@@ -117,11 +117,24 @@ object IngestPipeline {
       indexDir: String,
       dlqDir: String,
       checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startWith(spark, FrameSource(source), ParquetIndexSink(indexDir, dlqDir),
+      checkpointDir, trigger)
+
+  /** Connector-agnostic assembly: any [[Source]] in, any [[Sink]] out —
+    * the seam a production Pulsar→ES deployment plugs into (see
+    * Connectors.scala). The pipeline between the seams is unchanged:
+    * parse/validate split, observed metrics, checkpointed offsets. */
+  def startWith(
+      spark: SparkSession,
+      source: Source,
+      sink: Sink,
+      checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // observed metrics ≈ the reference's Prometheus counters
     // (metrics.go:9-41 received/indexed/error): per-batch counts surface
     // in StreamingQueryProgress.observedMetrics("ingest_metrics")
-    val parsed = parse(source)
+    val parsed = parse(source.read(spark))
       .observe("ingest_metrics",
         count(lit(1)).as("n_received"),
         sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
@@ -130,7 +143,7 @@ object IngestPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        writeBatch(batch, epochId, indexDir, dlqDir)
+        sink.write(batch, epochId)
       }
       .start()
   }

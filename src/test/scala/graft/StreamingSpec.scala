@@ -112,6 +112,19 @@ class StreamingSpec extends SparkSpec {
     assert(graft.streaming.Health.status(spark).numActiveStreams == 0)
   }
 
+  test("connector seam: FileSource -> ParquetIndexSink end-to-end") {
+    import graft.streaming.{FileSource, ParquetIndexSink}
+    val srcDir = tmp("src")
+    val (indexDir, dlqDir, ckDir) = (tmp("fidx"), tmp("fdlq"), tmp("fck"))
+    Files.writeString(java.nio.file.Path.of(srcDir, "payloads.txt"),
+      Seq(json("f1"), json("f2"), "not json").mkString("\n"))
+    val q = IngestPipeline.startWith(spark,
+      FileSource(srcDir), ParquetIndexSink(indexDir, dlqDir), ckDir)
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(indexDir).select("uuid").distinct().count() == 2)
+    assert(spark.read.parquet(dlqDir).count() == 1)
+  }
+
   test("dropDuplicatesWithinWatermark dedupes the stream with bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
