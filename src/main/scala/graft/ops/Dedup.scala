@@ -147,25 +147,33 @@ object Dedup {
       md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("key"))
   }
 
-  /** (doc_id, band, key) bucket rows of a signature frame, with buckets
-    * over `cap` members removed. The oversized set is found with one
-    * map-side-combined count on (band, key) — its result is tiny (only
-    * pathological buckets) so the removal is a broadcast anti-join: no
-    * extra shuffle of the bucket rows. */
-  private def cappedBuckets(sigDf: DataFrame, cap: Int): DataFrame = {
-    val buckets = sigDf
-      .select(col("doc_id"), explode(array(bandExprs: _*)).as("bk"))
+  /** (doc_id, band, key) bucket rows of a signature frame. */
+  private def bucketsOf(sigDf: DataFrame): DataFrame =
+    sigDf.select(col("doc_id"), explode(array(bandExprs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Remove buckets over `cap` members. The oversized set is found with
+    * one map-side-combined count on (band, key) — its result is tiny
+    * (only pathological buckets) so the removal is a broadcast
+    * anti-join: no extra shuffle of the bucket rows. */
+  private def dropOversized(buckets: DataFrame, cap: Int): DataFrame = {
     val oversized = buckets.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("bucket_n")).filter(col("bucket_n") > cap)
       .select(col("band"), col("key"))
     buckets.join(broadcast(oversized), Seq("band", "key"), "left_anti")
   }
 
+  private def cappedBuckets(sigDf: DataFrame, cap: Int): DataFrame =
+    dropOversized(bucketsOf(sigDf), cap)
+
   /** LSH candidate pairs over an arbitrary documents frame (doc_id,
-    * text) — the funnel's test/reuse entry point. */
+    * text) — the funnel's test/reuse entry point. The raw bucket rows
+    * are materialized once (localCheckpoint): without it the cap
+    * histogram and each self-join side re-run the whole shingle→minhash
+    * pipeline (4× in the physical plan; Spark does not dedupe common
+    * subtrees across join sides). */
   def lshPairsOf(docs: DataFrame, cap: Int = MaxBucketSize): DataFrame = {
-    val buckets = cappedBuckets(sigOf(docs), cap)
+    val buckets = dropOversized(bucketsOf(sigOf(docs)).localCheckpoint(), cap)
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -83,6 +83,31 @@ class DedupSpec extends SparkSpec {
     (100L to 105L).foreach(i => assert(labels(i) == 100L, s"star node $i"))
   }
 
+  test("clustersOf matches brute-force union-find on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val n = 30
+      val edges = (1 to 40)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // reference union-find: merging larger root under smaller keeps the
+      // final root = min member of each component
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = verts.map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.clustersOf(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
+
   test("simhash values fit in 16 bits and identical docs collide") {
     import spark.implicits._
     val sh = Dedup.dedupSimhash(spark, sfDir)
