@@ -19,13 +19,25 @@ object Exact {
 
   /** Exact-accumulator cast for contexts that need the raw DECIMAL column
     * (e.g. window running sums). Oracle form: CAST(x AS DECIMAL(38,18)).
-    * Precondition: finite inputs with |x| < 1e20 (ADVICE r1) — holds for
-    * all fixture columns; document at call sites handling external data. */
-  def dec(c: Column): Column = c.cast(Acc)
+    *
+    * Domain: finite inputs with |x| < 1e20. Under non-ANSI evaluation the
+    * DOUBLE→DECIMAL cast silently yields NULL outside that domain, which
+    * a SUM would then silently skip — so the guard is ENFORCED (ADVICE
+    * r1/r2): a non-null input whose decimal cast comes back null raises a
+    * runtime error naming the value instead of corrupting the aggregate.
+    * Cost is one codegen'd null-check per row, dwarfed by the decimal
+    * arithmetic it protects. */
+  def dec(c: Column): Column = {
+    val d = c.cast(Acc)
+    when(c.isNotNull && d.isNull,
+      raise_error(concat(
+        lit("graft.Exact: non-finite or |x|>=1e20 value in exact accumulator: "),
+        c.cast("string")))).otherwise(d)
+  }
 
   /** Order-independent sum of a double expression; returns DOUBLE.
     * Oracle form: CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) */
-  def dsum(c: Column): Column = sum(c.cast(Acc)).cast(DoubleType)
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
 
   /** Order-independent mean; DOUBLE / BIGINT division is
     * IEEE-deterministic. Divides by count(c) — nulls excluded from both

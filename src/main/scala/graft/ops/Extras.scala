@@ -102,7 +102,9 @@ object Extras {
   def dedupEditDist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val texts = Tables.documents(spark, dir).select($"doc_id", $"text")
-    Dedup.dedupJaccard(spark, dir)
+    // dedupJaccardOf (unordered) — the query-level ORDER BY of the
+    // registered dedup_jaccard would be dead weight below this join
+    Dedup.dedupJaccardOf(Tables.par(Tables.documents(spark, dir)))
       .join(texts.select($"doc_id".as("id_a"), $"text".as("text_a")), "id_a")
       .join(texts.select($"doc_id".as("id_b"), $"text".as("text_b")), "id_b")
       .select($"id_a", $"id_b", levenshtein($"text_a", $"text_b").as("edit_dist"))
