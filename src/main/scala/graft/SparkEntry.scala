@@ -68,6 +68,8 @@ object SparkEntry {
     // LLM-pipeline: multimodal binary columns (decode stubbed; plumbing real)
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    // LLM-pipeline: end-to-end curation (stage composition)
+    "corpus_curate" -> (Curate.corpusCurate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -120,5 +122,6 @@ object SparkEntry {
     "token_count" -> TextAnalysis.tokenCountSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
+    "corpus_curate" -> Curate.corpusCurateSql,
   )
 }

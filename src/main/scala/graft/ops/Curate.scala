@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the flagship COMPOSITION of the
+  * LLM-pipeline operators (the point of a library over one-off jobs):
+  * a document survives iff it is
+  *   1. the exact-dedup keeper for its normalized text (Dedup.dedupExact),
+  *   2. its near-dup cluster representative — or unclustered
+  *      (Dedup.clustersOf over the LSH→jaccard funnel),
+  *   3. identifiable-language (predLangExpr != 'und'), and
+  *   4. above the quality bar (qualityScoreExpr >= 0.45, which splits
+  *      the fixture's 0.31–0.57 score range).
+  *
+  * Execution shape at 100 TB: one scored narrow projection over the
+  * corpus, one semi join against the (small) keeper-id set, one anti
+  * join against the (smaller) cluster-loser set — both build sides are
+  * id-only frames that AQE broadcasts when they fit. Every stage is the
+  * already-verified operator; this query pins that they compose without
+  * re-shuffling the text.
+  */
+object Curate {
+
+  /** Quality threshold: splits the fixture's score range (min 0.31,
+    * max 0.57) so the filter is exercised in both directions. */
+  val QualityBar = 0.45
+
+  def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.par(Tables.documents(spark, dir))
+    val scored = docs.select($"doc_id",
+      TextAnalysis.predLangExpr($"text").as("pred_lang"),
+      TextAnalysis.qualityScoreExpr($"text").as("quality_score"))
+    val keepers = Dedup.dedupExact(spark, dir).select($"keep_id".as("doc_id"))
+    val losers = Dedup.clustersOf(Dedup.dedupJaccardOf(docs).select($"id_a", $"id_b"))
+      .filter($"cluster_id" =!= $"doc_id").select($"doc_id")
+    scored
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .filter($"pred_lang" =!= "und" && $"quality_score" >= QualityBar)
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the same composition assembled from the already-verified
+    * per-stage SQL (clusters via the recursive-CTE closure). The score
+    * threshold cut is engine-stable because quality_score is
+    * bit-identical in both engines (see TextAnalysis). */
+  val corpusCurateSql: String = {
+    val jacc = Dedup.dedupJaccardSql.replace("ORDER BY id_a, id_b", "")
+    val lang = TextAnalysis.langIdSql.replace("ORDER BY doc_id", "")
+    val qual = TextAnalysis.textQualitySql.replace("ORDER BY doc_id", "")
+    s"""WITH RECURSIVE jp AS ($jacc),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b, id_a FROM jp),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+       |losers AS (SELECT doc_id FROM clusters WHERE cluster_id != doc_id),
+       |keepers AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents
+       |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+       |scored AS (
+       |  SELECT l.doc_id, l.pred_lang, q.quality_score
+       |  FROM ($lang) l JOIN ($qual) q ON l.doc_id = q.doc_id)
+       |SELECT s.doc_id, s.pred_lang, s.quality_score
+       |FROM scored s
+       |JOIN keepers k ON s.doc_id = k.doc_id
+       |WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)
+       |  AND s.pred_lang != 'und' AND s.quality_score >= $QualityBar
+       |ORDER BY s.doc_id""".stripMargin
+  }
+}

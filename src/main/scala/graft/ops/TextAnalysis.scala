@@ -45,20 +45,25 @@ object TextAnalysis {
     size(regexp_extract_all(nt, lit(pattern), lit(0)))
   }
 
-  /** Language ID: count stopword hits per language, argmax with the
-    * LangStopwords priority order as tie-break; 'und' when nothing hits.
-    * Output keeps the fixture's labeled lang for eyeballing agreement. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val nt = norm($"text")
+  /** Predicted language of a text column: stopword hits per language,
+    * argmax with the LangStopwords priority order as tie-break
+    * (foldRight = first-match-wins); 'und' when nothing hits. */
+  def predLangExpr(text: Column): Column = {
+    val nt = norm(text)
     val scores = LangStopwords.map { case (l, ws) => l -> hitCount(nt, ws) }
     val top = greatest(scores.map(_._2): _*)
-    val pred = scores.foldRight(lit("und")) { case ((l, s), els) =>
+    scores.foldRight(lit("und")) { case ((l, s), els) =>
       when(s === top && top > 0, lit(l)).otherwise(els)
     }
-    // foldRight gives first-match-wins in LangStopwords order
+  }
+
+  /** Language ID query. Output keeps the fixture's labeled lang for
+    * eyeballing agreement. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables.par(Tables.documents(spark, dir))
-      .select($"doc_id", $"lang".as("labeled_lang"), pred.as("pred_lang"))
+      .select($"doc_id", $"lang".as("labeled_lang"),
+        predLangExpr($"text").as("pred_lang"))
       .orderBy($"doc_id")
   }
 
@@ -79,9 +84,20 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Composite quality score of a text column: 0.5·unique-token ratio +
+    * 0.3·stopword ratio + 0.2·capped length — the cheap pre-filter
+    * before model-based scoring in a corpus pipeline. */
+  def qualityScoreExpr(text: Column): Column = {
+    val t = toks(text)
+    val nTok = size(t).cast("double")
+    val stopHits = hitCount(norm(text), LangStopwords.flatMap(_._2)).cast("double")
+    val uniq = size(array_distinct(t)).cast("double")
+    lit(0.5) * (uniq / nTok) + lit(0.3) * (stopHits / nTok) +
+      lit(0.2) * least(nTok / lit(100.0), lit(1.0))
+  }
+
   /** Quality scoring: length stats, lexical diversity, stopword ratio,
-    * and a composite score — the usual cheap pre-filters before expensive
-    * model-based scoring in a corpus pipeline. */
+    * and the composite score. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = toks($"text")
@@ -95,8 +111,7 @@ object TextAnalysis {
       (length(regexp_replace(norm($"text"), " ", "")).cast("double") / nTok).as("avg_token_len"),
       (uniq / nTok).as("unique_ratio"),
       (stopHits / nTok).as("stopword_ratio"),
-      (lit(0.5) * (uniq / nTok) + lit(0.3) * (stopHits / nTok)
-        + lit(0.2) * least(nTok / lit(100.0), lit(1.0))).as("quality_score"))
+      qualityScoreExpr($"text").as("quality_score"))
       .orderBy($"doc_id")
   }
 
