@@ -219,9 +219,18 @@ object Dedup {
     // unpersist leaked an entry per caller ("already cached" warnings,
     // 20g bench heap). Checkpoint blocks are dropped by the ContextCleaner
     // once the consuming plans are garbage-collected.
+    //
+    // The set elements are 60-bit md5 hashes of the shingles, not the
+    // shingle strings: |A∩B| and |A∪B| are unchanged (both engines hash
+    // identically; a cross-engine-identical collision would need two
+    // distinct shingles sharing 60 md5 bits IN THE SAME DOC PAIR —
+    // negligible), while the groupBy shuffle and the per-pair intersects
+    // carry 8-byte longs instead of text. With this the whole dedup
+    // funnel shuffles ids and hashes only — never document text.
+    val shHash = conv(substring(md5($"sh"), 1, 15), 16, 10).cast("long")
     val sigSets = shingleRowsOf(docs).filter($"sh".isNotNull)
       .groupBy($"doc_id")
-      .agg(mhAggExprs.head, (mhAggExprs.tail :+ collect_set($"sh").as("tokset")): _*)
+      .agg(mhAggExprs.head, (mhAggExprs.tail :+ collect_set(shHash).as("tokset")): _*)
       .withColumn("n", size($"tokset"))
       .localCheckpoint()
     val buckets = cappedBuckets(sigSets, cap)
@@ -250,7 +259,8 @@ object Dedup {
 
   val dedupJaccardSql: String =
     s"""WITH sig AS (
-       |  SELECT doc_id, ${minhashSqlExprs.mkString(", ")}, toks
+       |  SELECT doc_id, ${minhashSqlExprs.mkString(", ")},
+       |    list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS toks
        |  $duckShingleFrom),
        |buckets0 AS (SELECT doc_id, UNNEST([$duckBands]) AS bk FROM sig),
        |buckets AS (SELECT doc_id, bk.band AS band, bk.key AS key FROM buckets0),

@@ -197,4 +197,18 @@ object IngestPipeline {
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), window_), col("type"))
       .count()
+
+  /** Event-time SESSION windows over the stream, per identifier — the
+    * streaming form of ops/Temporal.sessionWindows (ST1/ST5): gap-merged
+    * session state is keyed and watermark-expired, so state is bounded
+    * by (active keys × open sessions), never stream length. */
+  def sessionCounts(source: DataFrame, gap: String = "6 hours",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    parse(source)
+      .filter(col("valid"))
+      .select(timestamp_millis(col("rec.ingestion_time")).as("ts"),
+        col("rec.identifier").as("identifier"))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("identifier"), session_window(col("ts"), gap))
+      .count()
 }

@@ -141,6 +141,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dd_out").count() == 2)
   }
 
+  test("streaming session windows gap-merge per identifier") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val base = 1700000000000L
+    val gapMs = 6L * 3600 * 1000
+    // A: two events 1 min apart (one session) + one 7 h later (second
+    // session); B: one event
+    mem.addData(
+      json("s1", id = "A", ms = base), json("s2", id = "A", ms = base + 60000),
+      json("s3", id = "A", ms = base + gapMs + 3600000), json("s4", id = "B", ms = base))
+    val q = IngestPipeline.sessionCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sc_out")
+      .outputMode("complete")
+      .option("checkpointLocation", tmp("scck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.table("sc_out")
+      .select($"identifier", $"count").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(out == Seq(("A", 1L), ("A", 2L), ("B", 1L)), s"got $out")
+  }
+
   test("event-time windowed counts aggregate by window and type") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
