@@ -70,6 +70,9 @@ object SparkEntry {
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     // LLM-pipeline: end-to-end curation (stage composition)
     "corpus_curate" -> (Curate.corpusCurate _),
+    // LLM-pipeline: training prep (splits, shard packing)
+    "dataset_split" -> (TrainPrep.datasetSplit _),
+    "pack_shards" -> (TrainPrep.packShards _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -123,5 +126,7 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "corpus_curate" -> Curate.corpusCurateSql,
+    "dataset_split" -> TrainPrep.datasetSplitSql,
+    "pack_shards" -> TrainPrep.packShardsSql,
   )
 }

@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators: deterministic split assignment
+  * and token-budget shard packing — the steps between a curated corpus
+  * and a training run.
+  *
+  * Both are narrow/keyed shapes: split assignment is a pure per-row
+  * hash projection (no shuffle, no stored split table to drift out of
+  * sync — re-derivable anywhere); shard packing is one hash partition
+  * per language with a running sum (the same plan class as
+  * window_funcs). Nothing global, nothing collected.
+  */
+object TrainPrep {
+
+  /** Deterministic train/val/test assignment: bucket = md5-hash of the
+    * doc id mod 100, split by 80/10/10. Hash-keyed (not random, not
+    * modulo-of-id): stable under corpus growth and reshuffling, and any
+    * engine can recompute membership — the standard trick for
+    * leakage-free splits at corpus scale. */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+        .cast("long"), lit(100L))
+    Tables.par(Tables.documents(spark, dir))
+      .select($"doc_id", bucket.as("bucket"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  val datasetSplitSql: String =
+    """SELECT doc_id, b AS bucket,
+      |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-shard token budget (lexer tokens; see TextAnalysis.tokenCount).
+    * Small enough that the fixture packs multiple shards per language. */
+  val ShardTokenBudget = 5000L
+
+  /** Greedy shard packing: within each language, docs in doc_id order
+    * accumulate lexer-token counts; a doc's shard is
+    * floor(tokens-before-it / budget) — contiguous shards of ≈budget
+    * tokens, computed with one running-sum window per language
+    * partition. (A global pack would serialize on one partition; keying
+    * by language — or any corpus partition column — keeps it parallel.)
+    */
+  def packShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nTokens = size(regexp_extract_all($"text",
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.par(Tables.documents(spark, dir))
+      .select($"doc_id", $"lang", nTokens.as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"lang", $"n_tokens",
+        floor(($"cum" - $"n_tokens") / ShardTokenBudget).as("shard_id"))
+      .orderBy($"doc_id")
+  }
+
+  val packShardsSql: String =
+    s"""SELECT doc_id, lang, n_tokens,
+       |  (cum - n_tokens) // $ShardTokenBudget AS shard_id
+       |FROM (SELECT doc_id, lang, n_tokens,
+       |        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM (SELECT doc_id, lang,
+       |              len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens
+       |            FROM documents))
+       |ORDER BY doc_id""".stripMargin
+}

@@ -114,6 +114,33 @@ class DedupSpec extends SparkSpec {
     assert(sh.filter($"simhash" < 0 || $"simhash" >= (1 << 16)).count() == 0)
   }
 
+  test("dataset_split is deterministic, total, and near 80/10/10") {
+    import spark.implicits._
+    val s = graft.ops.TrainPrep.datasetSplit(spark, sfDir)
+    val total = Tables.documents(spark, sfDir).count()
+    assert(s.count() == total)
+    // re-derivation yields the identical assignment (hash-keyed, no state)
+    assert(s.except(graft.ops.TrainPrep.datasetSplit(spark, sfDir)).count() == 0)
+    val frac = s.filter($"split" === "train").count().toDouble / total
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac far from 0.8")
+  }
+
+  test("pack_shards: shards are contiguous per language and near the token budget") {
+    import spark.implicits._
+    val p = graft.ops.TrainPrep.packShards(spark, sfDir)
+    val budget = graft.ops.TrainPrep.ShardTokenBudget
+    // every shard except a language's last holds >= budget - max(doc) tokens;
+    // no shard exceeds budget + its own last doc
+    val shards = p.groupBy($"lang", $"shard_id")
+      .agg(sum($"n_tokens").as("toks"), max($"n_tokens").as("maxDoc"))
+    val lastIds = shards.groupBy($"lang").agg(max($"shard_id").as("last"))
+    val full = shards.join(lastIds, "lang").filter($"shard_id" < $"last")
+    assert(full.filter($"toks" + $"maxDoc" < budget).count() == 0,
+      "non-final shard left more than one doc of budget unused")
+    assert(shards.filter($"toks" - $"maxDoc" > budget).count() == 0,
+      "shard exceeds budget by more than its final doc")
+  }
+
   test("approx_percentile within 10% of exact percentile") {
     import spark.implicits._
     val approx = graft.ops.TimeWindows.aggApproxPercentile(spark, sfDir)
