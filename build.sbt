@@ -26,5 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}", // 32 local threads + cached sig tables GC-thrash an 8g heap
+  // 8g suffices since the signature-table cache leak was replaced with
+  // GC-managed localCheckpoint blocks (r2 needed 20g); override via env
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

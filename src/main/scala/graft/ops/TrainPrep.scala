@@ -50,9 +50,11 @@ object TrainPrep {
     * accumulate lexer-token counts; a doc's shard is
     * floor(tokens-before-it / budget) — contiguous shards of ≈budget
     * tokens, computed with one running-sum window per language
-    * partition. (A global pack would serialize on one partition; keying
-    * by language — or any corpus partition column — keeps it parallel.)
-    */
+    * partition. A GLOBAL pack would serialize on one partition; the
+    * partition key bounds parallelism, so at corpus scale it should be
+    * high-cardinality (date × source bucket, not a 5-value language
+    * column — the fixture keys by lang only because the oracle stays
+    * readable; the plan shape is identical for any key). */
   def packShards(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nTokens = size(regexp_extract_all($"text",
