@@ -23,11 +23,13 @@ import org.apache.spark.sql.functions._
   * distributes: shuffle carries only (doc_id, min-digest) pairs.
   *
   * Scale notes:
-  * - exact dedup: one hash-partitioned aggregate on the digest; shuffles
-  *   one (digest, id) pair per row, never text.
+  * - exact dedup: one hash-partitioned aggregate on the digest; the
+  *   whole funnel shuffles ids and 60-bit hashes only, never text
+  *   (jaccard's shingle sets are hashed before the groupBy).
   * - LSH candidates: self-equi-join on (band, key) buckets — O(Σ bucket²)
-  *   instead of O(n²); at real scale cap bucket size (boilerplate docs)
-  *   before the join.
+  *   instead of O(n²), with the [[MaxBucketSize]] boilerplate cap
+  *   enforced before the join.
+  * - clusters: pointer-doubling min-label propagation, O(log n) rounds.
   * - nothing collects to the driver; no crossJoin anywhere.
   */
 object Dedup {

@@ -1,0 +1,37 @@
+package graft
+
+import graft.ops.{Curate, Dedup, TextAnalysis}
+
+/** Composition invariants of the end-to-end curation query: every
+  * survivor must independently satisfy each stage it claims to compose. */
+class CurateSpec extends SparkSpec {
+
+  test("corpus_curate survivors satisfy every stage independently") {
+    import spark.implicits._
+    val survivors = Curate.corpusCurate(spark, sfDir)
+    assert(survivors.count() > 0, "curation filtered everything — thresholds drifted")
+
+    // stage 1+2: every survivor clears the language and quality bars
+    assert(survivors.filter($"pred_lang" === "und").count() == 0)
+    assert(survivors.filter($"quality_score" < Curate.QualityBar).count() == 0)
+
+    // stage 3: survivors are exact-dedup keepers
+    val keepers = Dedup.dedupExact(spark, sfDir).select($"keep_id".as("doc_id"))
+    assert(survivors.select("doc_id").join(keepers, Seq("doc_id"), "left_anti").count() == 0)
+
+    // stage 4: no survivor is a non-representative member of a near-dup
+    // cluster (cluster_id < doc_id means a smaller twin survived instead)
+    val losers = Dedup.clustersOf(
+      Dedup.dedupJaccardOf(Tables.par(Tables.documents(spark, sfDir)))
+        .select($"id_a", $"id_b"))
+      .filter($"cluster_id" =!= $"doc_id").select($"doc_id")
+    assert(survivors.select("doc_id").join(losers, Seq("doc_id"), "left_semi").count() == 0)
+
+    // and the stages agree with the standalone queries' values
+    val standalone = TextAnalysis.textQuality(spark, sfDir)
+      .select($"doc_id", $"quality_score".as("q2"))
+    val joined = survivors.join(standalone, "doc_id")
+    assert(joined.filter($"quality_score" =!= $"q2").count() == 0,
+      "composed quality_score diverges from text_quality")
+  }
+}
