@@ -34,6 +34,7 @@ object SparkEntry {
     "scalar_funcs" -> (Ingest.scalarFuncs _),
     "explode_tags" -> (Ingest.explodeTags _),
     "tags_exists" -> (Ingest.tagsExists _),
+    "search_filter" -> (Ingest.searchFilter _),
     // relational breadth: multiset ops, pivot, range join
     "set_intersect_all" -> (Extras.setIntersectAll _),
     "set_except_all" -> (Extras.setExceptAll _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "scalar_funcs" -> Ingest.scalarFuncsSql,
     "explode_tags" -> Ingest.explodeTagsSql,
     "tags_exists" -> Ingest.tagsExistsSql,
+    "search_filter" -> Ingest.searchFilterSql,
     "set_intersect_all" -> Extras.setIntersectAllSql,
     "set_except_all" -> Extras.setExceptAllSql,
     "pivot_counts" -> Extras.pivotCountsSql,

@@ -259,6 +259,33 @@ object Ingest {
       .orderBy($"event_id")
   }
 
+  /** The downstream ES query surface (SURVEY §2.2 "general predicate
+    * surface"): the three predicate classes the reference's index serves
+    * — keyword equality (`event_type` ≈ the keyword-mapped fields,
+    * mapping.json:21-23), full-text contains (`props` ≈ the text-mapped
+    * fields, mapping.json:13-20), and an ingestion-date range
+    * (mapping.json:32-37) — in one conjunctive filter. Narrow codegen'd
+    * scan+filter; equality/contains push to the parquet footer (the ts
+    * range is compared post-conversion from the fixture's NANOS shim —
+    * see Tables.events). */
+  def searchFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"event_type" === "purchase" &&
+        $"props".contains("1") &&
+        $"ts" >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+        $"ts" < lit("2024-01-22 00:00:00").cast("timestamp"))
+      .select($"event_id", $"user_id", unix_millis($"ts").as("ts_ms"))
+      .orderBy($"event_id")
+  }
+
+  val searchFilterSql: String =
+    """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+      |FROM events
+      |WHERE event_type = 'purchase' AND contains(props, '1')
+      |  AND ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-22 00:00:00'
+      |ORDER BY event_id""".stripMargin
+
   /** K4 second half — the `{INDEX}` alias indirection (reference
     * es.go:102-116 `addAlias`): the daily rolling "index" is a
     * persist_date partition of the sink table; the alias is a view
