@@ -48,5 +48,10 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
+  /** documents, scan-parallelized — the input of every per-row-heavy
+    * text/dedup operator; one definition so the par-placement rule
+    * (after pushable filters) is decided once, not per call site. */
+  def documentsPar(spark: SparkSession, dir: String): DataFrame =
+    par(documents(spark, dir))
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

@@ -39,9 +39,10 @@ case class VecDot(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 
   /** Mismatched vector lengths return NULL rather than silently dotting
-    * the common prefix: the documented oracle form (`dotSql`) indexes b
-    * past its end, which in SQL NULL-propagates — a truncated number here
-    * would diverge on malformed data (ADVICE r2). */
+    * the common prefix: the oracle form (`Similarity.dotSql`) ranges over
+    * the longer length, so an out-of-range index on EITHER side makes the
+    * whole fold NULL-propagate — a truncated number here would diverge on
+    * malformed data (ADVICE r2). */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -29,7 +29,7 @@ object Curate {
 
   def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.par(Tables.documents(spark, dir))
+    val docs = Tables.documentsPar(spark, dir)
     val scored = docs.select($"doc_id",
       TextAnalysis.predLangExpr($"text").as("pred_lang"),
       TextAnalysis.qualityScoreExpr($"text").as("quality_score"))
@@ -51,13 +51,7 @@ object Curate {
     val jacc = Dedup.dedupJaccardSql.replace("ORDER BY id_a, id_b", "")
     val lang = TextAnalysis.langIdSql.replace("ORDER BY doc_id", "")
     val qual = TextAnalysis.textQualitySql.replace("ORDER BY doc_id", "")
-    s"""WITH RECURSIVE jp AS ($jacc),
-       |edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b, id_a FROM jp),
-       |reach(a, b) AS (
-       |  SELECT a, b FROM edges
-       |  UNION
-       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       |clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+    s"""WITH RECURSIVE ${Dedup.clustersSqlCtes(jacc)},
        |losers AS (SELECT doc_id FROM clusters WHERE cluster_id != doc_id),
        |keepers AS (
        |  SELECT MIN(doc_id) AS doc_id FROM documents

@@ -67,7 +67,7 @@ object Dedup {
     * md5-per-shingle partial aggregation is the hot stage of the whole
     * dedup funnel and must not run on one core. */
   private def docsPar(spark: SparkSession, dir: String): DataFrame =
-    Tables.par(Tables.documents(spark, dir))
+    Tables.documentsPar(spark, dir)
 
   /** Exact dedup: normalize → digest → keep the smallest doc_id per
     * digest. Output is the per-digest group (keeper + multiplicity) so
@@ -173,9 +173,13 @@ object Dedup {
     * are materialized once (localCheckpoint): without it the cap
     * histogram and each self-join side re-run the whole shingle→minhash
     * pipeline (4× in the physical plan; Spark does not dedupe common
-    * subtrees across join sides). */
+    * subtrees across join sides). eager=false: the checkpoint
+    * materializes on the frame's FIRST action, not at construction —
+    * building the plan (for .explain, or a caller that never runs it)
+    * stays free. */
   def lshPairsOf(docs: DataFrame, cap: Int = MaxBucketSize): DataFrame = {
-    val buckets = dropOversized(bucketsOf(sigOf(docs)).localCheckpoint(), cap)
+    val buckets =
+      dropOversized(bucketsOf(sigOf(docs)).localCheckpoint(eager = false), cap)
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -220,7 +224,9 @@ object Dedup {
     // entry pinned for the session's lifetime — r2's persist-without-
     // unpersist leaked an entry per caller ("already cached" warnings,
     // 20g bench heap). Checkpoint blocks are dropped by the ContextCleaner
-    // once the consuming plans are garbage-collected.
+    // once the consuming plans are garbage-collected; eager=false defers
+    // materialization to the frame's first action so plan construction
+    // stays free.
     //
     // The set elements are 60-bit md5 hashes of the shingles, not the
     // shingle strings: |A∩B| and |A∪B| are unchanged (both engines hash
@@ -234,7 +240,7 @@ object Dedup {
       .groupBy($"doc_id")
       .agg(mhAggExprs.head, (mhAggExprs.tail :+ collect_set(shHash).as("tokset")): _*)
       .withColumn("n", size($"tokset"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val buckets = cappedBuckets(sigSets, cap)
     val pairs = buckets.as("a")
       .join(buckets.as("b"),
@@ -396,15 +402,22 @@ object Dedup {
     labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
   }
 
-  val dedupClustersSql: String = {
-    val jacc = dedupJaccardSql.replace("ORDER BY id_a, id_b", "")
-    s"""WITH RECURSIVE jp AS ($jacc),
+  /** The recursive-CTE connected-components closure over a pair query,
+    * as a WITH-clause CTE list ending in `clusters(doc_id, cluster_id)`.
+    * Shared by [[dedupClustersSql]] and Curate's composed oracle so the
+    * closure semantics cannot drift between the two. */
+  def clustersSqlCtes(pairsSql: String): String =
+    s"""jp AS ($pairsSql),
        |edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b, id_a FROM jp),
        |reach(a, b) AS (
        |  SELECT a, b FROM edges
        |  UNION
-       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-       |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+
+  val dedupClustersSql: String = {
+    val jacc = dedupJaccardSql.replace("ORDER BY id_a, id_b", "")
+    s"""WITH RECURSIVE ${clustersSqlCtes(jacc)}
+       |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin
   }
 }

@@ -104,7 +104,7 @@ object Extras {
     val texts = Tables.documents(spark, dir).select($"doc_id", $"text")
     // dedupJaccardOf (unordered) — the query-level ORDER BY of the
     // registered dedup_jaccard would be dead weight below this join
-    Dedup.dedupJaccardOf(Tables.par(Tables.documents(spark, dir)))
+    Dedup.dedupJaccardOf(Tables.documentsPar(spark, dir))
       .join(texts.select($"doc_id".as("id_a"), $"text".as("text_a")), "id_a")
       .join(texts.select($"doc_id".as("id_b"), $"text".as("text_b")), "id_b")
       .select($"id_a", $"id_b", levenshtein($"text_a", $"text_b").as("edit_dist"))

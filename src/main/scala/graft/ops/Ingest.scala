@@ -296,6 +296,14 @@ object Ingest {
     * PartitionFilters (asserted in StorageSpec). */
   def pointIndexAlias(spark: SparkSession, alias: String,
       tableDir: String, date: String): Unit = {
+    // interpolated into SQL text — reject anything that could escape
+    // its quoting context (a malformed date would otherwise silently
+    // widen the view's predicate)
+    require(date.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"date must be yyyy-MM-dd, got: $date")
+    require(!alias.contains("`"), s"alias must not contain backticks: $alias")
+    require(!tableDir.exists(c => c == '`' || c == '\''),
+      s"tableDir must not contain quotes/backticks: $tableDir")
     spark.sql(
       s"CREATE OR REPLACE TEMPORARY VIEW `$alias` AS " +
         s"SELECT * FROM parquet.`$tableDir` WHERE persist_date = '$date'")

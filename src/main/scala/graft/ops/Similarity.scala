@@ -37,9 +37,12 @@ object Similarity {
 
   /** DuckDB equivalent of [[dotD]] for oracle SQL (a, b are SQL exprs).
     * list_reduce's init is the first element — identical to Spark's
-    * 0.0 + first (exact for nonzero first element). */
+    * 0.0 + first (exact for nonzero first element). Ranging over the
+    * LONGER length makes mismatched vectors NULL-propagate in BOTH
+    * directions (an out-of-range index on either side yields a NULL
+    * product), matching VecDot's null-on-length-mismatch. */
   def dotSql(a: String, b: String): String =
-    s"list_reduce(list_transform(range(1, len($a) + 1), " +
+    s"list_reduce(list_transform(range(1, greatest(len($a), len($b)) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)"
 
   /** cosine(a, b) given precomputed squared norms. */

@@ -61,7 +61,7 @@ object TextAnalysis {
     * eyeballing agreement. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.par(Tables.documents(spark, dir))
+    Tables.documentsPar(spark, dir)
       .select($"doc_id", $"lang".as("labeled_lang"),
         predLangExpr($"text").as("pred_lang"))
       .orderBy($"doc_id")
@@ -104,7 +104,7 @@ object TextAnalysis {
     val nTok = size(t).cast("double")
     val stopHits = hitCount(norm($"text"), LangStopwords.flatMap(_._2)).cast("double")
     val uniq = size(array_distinct(t)).cast("double")
-    Tables.par(Tables.documents(spark, dir)).select(
+    Tables.documentsPar(spark, dir).select(
       $"doc_id",
       length($"text").as("n_chars"),
       size(t).as("n_tokens"),
@@ -138,7 +138,7 @@ object TextAnalysis {
     * proxy for model-token counts in corpus accounting. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.par(Tables.documents(spark, dir)).select(
+    Tables.documentsPar(spark, dir).select(
       $"doc_id",
       size(toks($"text")).as("ws_tokens"),
       size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("lex_tokens"),
@@ -164,7 +164,7 @@ object TextAnalysis {
     * combining aggregate keyed by doc_id. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val positions = Tables.par(Tables.documents(spark, dir))
+    val positions = Tables.documentsPar(spark, dir)
       .select($"doc_id", norm($"text").as("nt"))
       .select($"doc_id", $"nt", explode_outer(
         when(length($"nt") >= 8, sequence(lit(1), length($"nt") - 7))

@@ -27,7 +27,7 @@ object TrainPrep {
     val bucket = pmod(
       conv(substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
         .cast("long"), lit(100L))
-    Tables.par(Tables.documents(spark, dir))
+    Tables.documentsPar(spark, dir)
       .select($"doc_id", bucket.as("bucket"),
         when(bucket < 80, "train").when(bucket < 90, "val")
           .otherwise("test").as("split"))
@@ -61,7 +61,7 @@ object TrainPrep {
       lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
     val w = Window.partitionBy($"lang").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.par(Tables.documents(spark, dir))
+    Tables.documentsPar(spark, dir)
       .select($"doc_id", $"lang", nTokens.as("n_tokens"))
       .withColumn("cum", sum($"n_tokens").over(w))
       .select($"doc_id", $"lang", $"n_tokens",

@@ -20,6 +20,35 @@ import scala.jdk.CollectionConverters._
   */
 object Health {
 
+  // Terminated-with-exception queries VANISH from spark.streams.active,
+  // so an installed listener is the only way a health probe can ever
+  // see a crashed pipeline (the reference surfaces exactly this as
+  // HTTP 500). Keyed by session so tests with one shared session and
+  // production with several coexist.
+  private val lastFailure =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  private val installed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Forget a recorded failure (after operator intervention, and so
+    * test suites sharing one session don't leak state). */
+  def clearFailures(spark: SparkSession): Unit = { lastFailure.remove(spark); () }
+
+  /** Idempotently register the termination listener. Called from
+    * [[status]], but call it at boot (like the reference wires its
+    * probes in main) so failures BEFORE the first poll are captured. */
+  def install(spark: SparkSession): Unit =
+    if (installed.add(spark)) {
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+            e.exception.foreach(msg => lastFailure.put(spark, msg))
+        })
+    }
+
   /** Per-stream slice of the reference's `Info` field: identity,
     * liveness, last-batch throughput, and the batch's observed metrics
     * flattened to `"<observation>.<column>" -> value`. */
@@ -42,8 +71,10 @@ object Health {
       info: Seq[StreamInfo])
 
   def status(spark: SparkSession, app: String = "graft"): HealthStatus = {
+    install(spark)
     val qs = spark.streams.active.toSeq
-    val errors = qs.flatMap(q => q.exception.map(_.getMessage))
+    val errors = qs.flatMap(q => q.exception.map(_.getMessage)) ++
+      Option(lastFailure.get(spark))
     val infos = qs.map { q =>
       val p = Option(q.lastProgress)
       val observed = p.map(_.observedMetrics.asScala.toMap.flatMap {

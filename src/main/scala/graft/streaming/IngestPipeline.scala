@@ -58,7 +58,12 @@ object IngestPipeline {
 
   /** P1 — the ToIndex projection/enrichment (reference model.go:28-44):
     * epoch-millis → timestamp, persist_time = now(), daily partition
-    * date (≈ index name es.go:79-81). */
+    * date (≈ index name es.go:79-81). persist_date derives from the
+    * record's EVENT time, not persist_time: the daily layout is then
+    * deterministic under replay — the reference's now()-based index
+    * naming would re-date a replay that crosses midnight, leaving the
+    * original day's copy behind (the one hole in [[writeBatch]]'s
+    * rewrite guarantee if the partition key were wall-clock). */
   def toIndex(parsed: DataFrame): DataFrame =
     parsed.select(
       col("rec.identifier").as("identifier"),
@@ -68,7 +73,7 @@ object IngestPipeline {
       timestamp_millis(col("rec.ingestion_time")).as("ingestion_time"),
       current_timestamp().as("persist_time"),
       col("rec.tags").as("tags"))
-      .withColumn("persist_date", date_format(col("persist_time"), "yyyy-MM-dd"))
+      .withColumn("persist_date", date_format(col("ingestion_time"), "yyyy-MM-dd"))
 
   /** Write one micro-batch of parsed records to the index and DLQ sinks.
     *
@@ -78,12 +83,11 @@ object IngestPipeline {
     * partitions present in THIS batch are replaced — a replayed epoch
     * rewrites exactly its own output rather than appending a duplicate
     * copy (r2 relied on read-time last-writer-wins alone). The index side
-    * additionally partitions by persist_date, preserving the daily
-    * rolling-index layout (es.go:78-81); a replay that crosses midnight
-    * re-dates its rows like the reference's now()-based index naming
-    * would. Exactly-once against a transactional table format would be a
-    * MERGE keyed on uuid; dynamic partition overwrite is the parquet-only
-    * equivalent. */
+    * additionally partitions by persist_date — derived from event time
+    * (see [[toIndex]]), so a replayed record lands in the SAME partition
+    * it originally wrote, even across midnight. Exactly-once against a
+    * transactional table format would be a MERGE keyed on uuid; dynamic
+    * partition overwrite is the parquet-only equivalent. */
   def writeBatch(batch: DataFrame, epochId: Long,
       indexDir: String, dlqDir: String): Unit = {
     val b = batch.persist()

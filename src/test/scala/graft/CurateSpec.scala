@@ -22,7 +22,7 @@ class CurateSpec extends SparkSpec {
     // stage 4: no survivor is a non-representative member of a near-dup
     // cluster (cluster_id < doc_id means a smaller twin survived instead)
     val losers = Dedup.clustersOf(
-      Dedup.dedupJaccardOf(Tables.par(Tables.documents(spark, sfDir)))
+      Dedup.dedupJaccardOf(Tables.documentsPar(spark, sfDir))
         .select($"id_a", $"id_b"))
       .filter($"cluster_id" =!= $"doc_id").select($"doc_id")
     assert(survivors.select("doc_id").join(losers, Seq("doc_id"), "left_semi").count() == 0)

@@ -86,9 +86,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(indexDir).count() == 3)
   }
 
+  test("health reports a crashed stream via the termination listener") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.streaming.Health.clearFailures(spark)
+    // install at boot, before the stream starts — a listener added after
+    // termination misses the event (the reference wires probes in main)
+    graft.streaming.Health.install(spark)
+    val mem = MemoryStream[String]
+    mem.addData(json("hboom"))
+    val explodingSink = new graft.streaming.Sink {
+      override def write(b: org.apache.spark.sql.DataFrame, e: Long): Unit =
+        throw new RuntimeException("sink exploded")
+    }
+    val q = IngestPipeline.startWith(spark,
+      graft.streaming.FrameSource(mem.toDF()), explodingSink, tmp("hfck"))
+    intercept[Exception] { q.awaitTermination(60000) }
+    // termination events are delivered async; poll briefly
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var s = graft.streaming.Health.status(spark)
+    while (s.status == "ok" && System.nanoTime() < deadline) {
+      Thread.sleep(100); s = graft.streaming.Health.status(spark)
+    }
+    assert(s.status == "error", "crashed stream not surfaced")
+    assert(s.lastError.contains("sink exploded"), s.lastError)
+    graft.streaming.Health.clearFailures(spark)
+  }
+
   test("health status mirrors the reference HealthStatus shape") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    graft.streaming.Health.clearFailures(spark)
     val mem = MemoryStream[String]
     mem.addData(json("h1"), "bad payload")
     val q = IngestPipeline.start(spark, mem.toDF(), tmp("hidx"), tmp("hdlq"), tmp("hck"),
