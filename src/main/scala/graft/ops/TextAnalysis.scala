@@ -39,11 +39,12 @@ object TextAnalysis {
     * exactly whole-token equality; zero-width lookarounds keep adjacent
     * hits ("a a a") all matching. Multiplicity semantics are identical to
     * the oracle's list_filter. */
-  private def hitCount(nt: Column, words: Seq[String]): Column = {
-    val pattern = words.map(java.util.regex.Pattern.quote)
+  private[graft] def wordPattern(words: Seq[String]): String =
+    words.map(java.util.regex.Pattern.quote)
       .mkString("(?<![^ ])(?:", "|", ")(?![^ ])")
-    size(regexp_extract_all(nt, lit(pattern), lit(0)))
-  }
+
+  private def hitCount(nt: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(nt, lit(wordPattern(words)), lit(0)))
 
   /** Predicted language of a text column: stopword hits per language,
     * argmax with the LangStopwords priority order as tie-break

@@ -202,6 +202,21 @@ object IngestPipeline {
       .groupBy(window(col("ts"), window_), col("type"))
       .count()
 
+  /** Stream-static enrichment join (§2.5 in streaming form): decorate
+    * each valid record with dimension attributes looked up by
+    * identifier. The static side is a plain DataFrame — Catalyst plans
+    * a broadcast join per micro-batch when it fits (the dimension is
+    * re-resolved each batch, so a reloaded dim table is picked up
+    * without restarting the query). Left join: records without a dim
+    * row pass through with nulls rather than being dropped. */
+  def enrichStream(source: DataFrame, dim: DataFrame): DataFrame =
+    parse(source)
+      .filter(col("valid"))
+      .select(col("rec.identifier").as("identifier"),
+        col("rec.uuid").as("uuid"),
+        timestamp_millis(col("rec.ingestion_time")).as("ingestion_time"))
+      .join(dim, Seq("identifier"), "left")
+
   /** Event-time SESSION windows over the stream, per identifier — the
     * streaming form of ops/Temporal.sessionWindows (ST1/ST5): gap-merged
     * session state is keyed and watermark-expired, so state is bounded

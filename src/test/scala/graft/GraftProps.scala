@@ -81,6 +81,25 @@ object GraftProps extends Properties("graft") {
       row.getUTF8String(2).toString == uuid && row.getLong(4) == ms && tagsOk
     }
 
+  // The stopword hit-count regex (TextAnalysis.hitCount) must equal
+  // whole-token counting WITH multiplicity on normalized text — Spark
+  // evaluates it with java.util.regex, so this pure-JVM property covers
+  // the engine-side semantics of the r3 lambda->regex rewrite.
+  private val stopwords = graft.ops.TextAnalysis.LangStopwords.flatMap(_._2)
+  private val hitPattern = java.util.regex.Pattern.compile(
+    graft.ops.TextAnalysis.wordPattern(stopwords))
+  private val genToken =
+    Gen.oneOf(Gen.oneOf(stopwords), Gen.oneOf("fox", "und9", "theo", "a1", "的了", "x"))
+
+  property("stopword regex count == whole-token count with multiplicity") =
+    forAll(Gen.listOf(genToken)) { tokens =>
+      val text = tokens.mkString(" ")
+      val m = hitPattern.matcher(text)
+      var found = 0
+      while (m.find()) found += 1
+      found == tokens.count(stopwords.contains)
+    }
+
   property("avro decode never throws on arbitrary bytes (null or row)") =
     forAll { (bytes: Array[Byte]) =>
       val r = AvroDecodeIngestion(Literal(bytes, BinaryType)).eval(InternalRow.empty)

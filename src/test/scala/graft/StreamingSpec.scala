@@ -169,6 +169,24 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dd_out").count() == 2)
   }
 
+  test("stream-static join enriches records with dimension attributes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(json("e1", id = "A"), json("e2", id = "C"))
+    val dim = Seq(("A", "tier1"), ("B", "tier2")).toDF("identifier", "tier")
+    val q = IngestPipeline.enrichStream(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("en_out")
+      .option("checkpointLocation", tmp("enck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.table("en_out")
+      .select($"uuid", $"tier").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out == Map("e1" -> Some("tier1"), "e2" -> None), s"got $out")
+  }
+
   test("streaming session windows gap-merge per identifier") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
