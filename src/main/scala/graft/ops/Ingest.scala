@@ -302,8 +302,10 @@ object Ingest {
     require(date.matches("\\d{4}-\\d{2}-\\d{2}"),
       s"date must be yyyy-MM-dd, got: $date")
     require(!alias.contains("`"), s"alias must not contain backticks: $alias")
-    require(!tableDir.exists(c => c == '`' || c == '\''),
-      s"tableDir must not contain quotes/backticks: $tableDir")
+    // tableDir sits between backticks, where only a backtick can escape
+    // (apostrophes in paths are legitimate and harmless there)
+    require(!tableDir.contains("`"),
+      s"tableDir must not contain backticks: $tableDir")
     spark.sql(
       s"CREATE OR REPLACE TEMPORARY VIEW `$alias` AS " +
         s"SELECT * FROM parquet.`$tableDir` WHERE persist_date = '$date'")

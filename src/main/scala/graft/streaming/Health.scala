@@ -23,12 +23,18 @@ object Health {
   // Terminated-with-exception queries VANISH from spark.streams.active,
   // so an installed listener is the only way a health probe can ever
   // see a crashed pipeline (the reference surfaces exactly this as
-  // HTTP 500). Keyed by session so tests with one shared session and
-  // production with several coexist.
-  private val lastFailure =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
-  private val installed =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  // HTTP 500). State is keyed per session in WEAK maps: the listener is
+  // registered on (and so retained by) its own session, and once a
+  // session becomes unreachable its entries — and the listener cycle —
+  // are collectable; session churn does not grow the maps forever.
+  private final case class Recorded(atMillis: Long, message: String)
+  private val lastFailure = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Recorded]())
+  private val lastStart = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Long]())
+  private val installed = java.util.Collections.newSetFromMap(
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Forget a recorded failure (after operator intervention, and so
     * test suites sharing one session don't leak state). */
@@ -42,10 +48,12 @@ object Health {
       spark.streams.addListener(
         new org.apache.spark.sql.streaming.StreamingQueryListener {
           import org.apache.spark.sql.streaming.StreamingQueryListener._
-          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryStarted(e: QueryStartedEvent): Unit =
+            { lastStart.put(spark, System.currentTimeMillis()); () }
           override def onQueryProgress(e: QueryProgressEvent): Unit = ()
           override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-            e.exception.foreach(msg => lastFailure.put(spark, msg))
+            e.exception.foreach(msg =>
+              lastFailure.put(spark, Recorded(System.currentTimeMillis(), msg)))
         })
     }
 
@@ -73,8 +81,16 @@ object Health {
   def status(spark: SparkSession, app: String = "graft"): HealthStatus = {
     install(spark)
     val qs = spark.streams.active.toSeq
-    val errors = qs.flatMap(q => q.exception.map(_.getMessage)) ++
-      Option(lastFailure.get(spark))
+    // A recorded crash drives status only until a query is (re)started
+    // AFTER it — a supervised restart recovers to "ok" like the
+    // reference's live probes, while lastError stays visible as the
+    // sticky informational field (reference model.go:74 keeps it too).
+    val recorded = Option(lastFailure.get(spark))
+    val startedSince = Option(lastStart.get(spark))
+      .exists(s => recorded.forall(_.atMillis <= s))
+    val activeErrors = qs.flatMap(q => q.exception.map(_.getMessage))
+    val errors = activeErrors ++
+      recorded.filterNot(_ => startedSince).map(_.message)
     val infos = qs.map { q =>
       val p = Option(q.lastProgress)
       val observed = p.map(_.observedMetrics.asScala.toMap.flatMap {
@@ -92,7 +108,8 @@ object Health {
       status = if (errors.isEmpty) "ok" else "error",
       sparkVersion = spark.version,
       numActiveStreams = qs.count(_.isActive),
-      lastError = errors.headOption.getOrElse(""),
+      // sticky: still reported after a recovery flips status back to ok
+      lastError = (activeErrors ++ recorded.map(_.message)).headOption.getOrElse(""),
       info = infos)
   }
 

@@ -205,10 +205,13 @@ object IngestPipeline {
   /** Stream-static enrichment join (§2.5 in streaming form): decorate
     * each valid record with dimension attributes looked up by
     * identifier. The static side is a plain DataFrame — Catalyst plans
-    * a broadcast join per micro-batch when it fits (the dimension is
-    * re-resolved each batch, so a reloaded dim table is picked up
-    * without restarting the query). Left join: records without a dim
-    * row pass through with nulls rather than being dropped. */
+    * a broadcast join per micro-batch when it fits. Note the static
+    * side's CONTENT is whatever its plan resolves to: a file-backed dim
+    * caches its file listing at planning, so picking up a rewritten dim
+    * directory needs a table format with snapshot refresh (or a query
+    * restart) — don't overwrite plain parquet under a running query.
+    * Left join: records without a dim row pass through with nulls
+    * rather than being dropped. */
   def enrichStream(source: DataFrame, dim: DataFrame): DataFrame =
     parse(source)
       .filter(col("valid"))

@@ -110,6 +110,23 @@ class StreamingSpec extends SparkSpec {
     }
     assert(s.status == "error", "crashed stream not surfaced")
     assert(s.lastError.contains("sink exploded"), s.lastError)
+    // a supervised RESTART recovers status to ok (like the reference's
+    // live probes); lastError stays visible as the sticky info field
+    val mem2 = MemoryStream[String]
+    mem2.addData(json("hok"))
+    val q2 = IngestPipeline.start(spark, mem2.toDF(),
+      tmp("hidx2"), tmp("hdlq2"), tmp("hck2"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    try {
+      q2.processAllAvailable()
+      var s2 = graft.streaming.Health.status(spark)
+      val dl2 = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (s2.status == "error" && System.nanoTime() < dl2) {
+        Thread.sleep(100); s2 = graft.streaming.Health.status(spark)
+      }
+      assert(s2.status == "ok", "restart did not recover health status")
+      assert(s2.lastError.contains("sink exploded"), "sticky lastError lost")
+    } finally q2.stop()
     graft.streaming.Health.clearFailures(spark)
   }
 
