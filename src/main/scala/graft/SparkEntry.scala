@@ -66,6 +66,8 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.textQuality _),
     "token_count" -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    "pii_scrub" -> (TextAnalysis.piiScrub _),
+    "repetition_ratio" -> (TextAnalysis.repetitionRatio _),
     // LLM-pipeline: multimodal binary columns (decode stubbed; plumbing real)
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
@@ -126,6 +128,8 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.textQualitySql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
+    "pii_scrub" -> TextAnalysis.piiScrubSql,
+    "repetition_ratio" -> TextAnalysis.repetitionRatioSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "corpus_curate" -> Curate.corpusCurateSql,
     "dataset_split" -> TrainPrep.datasetSplitSql,

@@ -154,6 +154,84 @@ object TextAnalysis {
       |  length(text) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // PII patterns shared by the scrub expression and its oracle: plain
+  // character classes only — identical semantics in Java regex (Spark)
+  // and RE2 (DuckDB); no lookarounds, which RE2 lacks.
+  private[graft] val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val UrlPattern = "https?://[^\\s]+"
+
+  /** Redacted text: URLs first (an email-shaped substring inside a URL
+    * must redact as part of the URL), then emails. */
+  def scrubExpr(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, UrlPattern, "<URL>"),
+      EmailPattern, "<EMAIL>")
+
+  /** PII scrubbing — the redaction pass every shared-corpus pipeline
+    * runs before training: mask emails/URLs, count what was masked (the
+    * counts feed doc-level drop rules, e.g. "drop if > N emails").
+    * Narrow per-row codegen'd regexes; no shuffle. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documentsPar(spark, dir).select(
+      $"doc_id",
+      scrubExpr($"text").as("scrubbed"),
+      size(regexp_extract_all($"text", lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all($"text", lit(UrlPattern), lit(0))).as("n_urls"))
+      .orderBy($"doc_id")
+  }
+
+  val piiScrubSql: String =
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(text, '$UrlPattern', '<URL>', 'g'),
+       |                 '$EmailPattern', '<EMAIL>', 'g') AS scrubbed,
+       |  len(regexp_extract_all(text, '$EmailPattern')) AS n_emails,
+       |  len(regexp_extract_all(text, '$UrlPattern')) AS n_urls
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Repetition ratio — the C4/Gopher-style repetition filter: the
+    * fraction of a doc's word-2-grams taken by its single most frequent
+    * 2-gram (1.0 = the doc is one phrase repeated; boilerplate and
+    * degenerate generations score high). NON-distinct bigrams by
+    * construction. Shape: exploded rows → per-(doc, bigram) count
+    * (map-side combined) → per-doc max/sum — two keyed aggregations,
+    * shuffling only (doc_id, hash-sized rows). Docs with < 2 tokens
+    * have no bigrams → NULL ratio (left join keeps them). */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = toks($"text")
+    val bigrams = array_compact(
+      zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (x, y) => concat(x, lit(" "), y)))
+    val docs = Tables.documentsPar(spark, dir)
+    val ratios = docs
+      .select($"doc_id", explode(bigrams).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg((max($"c").cast("double") / sum($"c").cast("double")).as("rep_ratio"),
+        sum($"c").as("n_bigrams"))
+    docs.select($"doc_id")
+      .join(ratios, Seq("doc_id"), "left")
+      .orderBy($"doc_id")
+  }
+
+  val repetitionRatioSql: String =
+    """SELECT d.doc_id, r.rep_ratio, r.n_bigrams
+      |FROM documents d LEFT JOIN (
+      |  SELECT doc_id,
+      |    CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio,
+      |    CAST(SUM(c) AS BIGINT) AS n_bigrams
+      |  FROM (SELECT doc_id, bg, COUNT(*) AS c
+      |        FROM (SELECT doc_id,
+      |                UNNEST(list_transform(range(1, len(toks0)),
+      |                  i -> toks0[i] || ' ' || toks0[i + 1])) AS bg
+      |              FROM (SELECT doc_id,
+      |                      string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks0
+      |                    FROM documents))
+      |        GROUP BY doc_id, bg)
+      |  GROUP BY doc_id) r ON d.doc_id = r.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Document fingerprinting: distinct char 8-grams → md5 → bottom-2
     * sketch (the winnowing idea: a tiny order-independent digest that two
     * near-identical docs share with high probability).

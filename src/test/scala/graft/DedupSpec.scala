@@ -114,6 +114,19 @@ class DedupSpec extends SparkSpec {
     assert(sh.filter($"simhash" < 0 || $"simhash" >= (1 << 16)).count() == 0)
   }
 
+  test("pii scrub masks emails and urls and counts them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("contact bob@example.com or https://ex.com/a?b=1 today")
+      .toDF("text")
+      .select(graft.ops.TextAnalysis.scrubExpr($"text").as("s"),
+        size(regexp_extract_all($"text", lit(graft.ops.TextAnalysis.EmailPattern), lit(0))).as("ne"),
+        size(regexp_extract_all($"text", lit(graft.ops.TextAnalysis.UrlPattern), lit(0))).as("nu"))
+    val r = df.head()
+    assert(r.getString(0) == "contact <EMAIL> or <URL> today", r.getString(0))
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1)
+  }
+
   test("dataset_split is deterministic, total, and near 80/10/10") {
     import spark.implicits._
     val s = graft.ops.TrainPrep.datasetSplit(spark, sfDir)
