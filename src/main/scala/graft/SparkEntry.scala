@@ -68,6 +68,7 @@ object SparkEntry {
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "pii_scrub" -> (TextAnalysis.piiScrub _),
     "repetition_ratio" -> (TextAnalysis.repetitionRatio _),
+    "decontaminate" -> (TextAnalysis.decontaminate _),
     // LLM-pipeline: multimodal binary columns (decode stubbed; plumbing real)
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
@@ -130,6 +131,7 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "pii_scrub" -> TextAnalysis.piiScrubSql,
     "repetition_ratio" -> TextAnalysis.repetitionRatioSql,
+    "decontaminate" -> TextAnalysis.decontaminateSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "corpus_curate" -> Curate.corpusCurateSql,
     "dataset_split" -> TrainPrep.datasetSplitSql,

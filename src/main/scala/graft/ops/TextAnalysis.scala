@@ -275,4 +275,61 @@ object TextAnalysis {
       |                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
       |                  FROM documents)))
       |ORDER BY doc_id""".stripMargin
+
+  /** Eval-set size for [[decontaminate]]'s stand-in benchmark: the
+    * EvalDocCount lowest doc_ids play the held-out set (a real pipeline
+    * reads the benchmark corpus from its own table). */
+  val EvalDocCount = 5
+
+  /** Benchmark DECONTAMINATION — the n-gram-overlap test every serious
+    * training pipeline runs so eval data doesn't leak into training:
+    * for each corpus doc, how many of its distinct char-8-grams appear
+    * anywhere in the eval set (n_shared > 0 ⇒ contaminated, drop or
+    * audit).
+    *
+    * Shape at 100 TB: corpus grams are exploded rows (codegen'd md5,
+    * the docFingerprint layout); the eval side collapses to a DISTINCT
+    * gram-hash set that is small by construction (benchmarks are tiny
+    * next to the corpus) — so the overlap test is one broadcast inner
+    * join + per-doc count, with a left join back to keep clean docs at
+    * n_shared = 0. The corpus never shuffles text, only (doc_id, hash).
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def grams(df: DataFrame): DataFrame = df
+      .select($"doc_id", norm($"text").as("nt"))
+      .select($"doc_id", explode(
+        when(length($"nt") >= 8, sequence(lit(1), length($"nt") - 7))
+          .otherwise(array().cast("array<int>"))).as("i"), $"nt")
+      .select($"doc_id", md5($"nt".substr($"i", lit(8))).as("g"))
+    val docs = Tables.documentsPar(spark, dir)
+    val evalGrams = grams(docs.filter($"doc_id" < EvalDocCount))
+      .select($"g").distinct()
+    val shared = grams(docs.filter($"doc_id" >= EvalDocCount))
+      .distinct() // distinct grams per doc, so n_shared counts grams once
+      .join(broadcast(evalGrams), "g")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.filter($"doc_id" >= EvalDocCount).select($"doc_id")
+      .join(shared, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"n_shared", lit(0L)).as("n_shared"),
+        (coalesce($"n_shared", lit(0L)) > 0).as("contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH kg AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, length(nt) - 6),
+       |      i -> md5(substr(nt, CAST(i AS INTEGER), 8)))) AS grams
+       |  FROM (SELECT doc_id,
+       |          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+       |        FROM documents)),
+       |ev AS (SELECT list_distinct(flatten(list(grams))) AS eg
+       |       FROM kg WHERE doc_id < $EvalDocCount)
+       |SELECT doc_id,
+       |  CAST(len(list_intersect(grams, eg)) AS BIGINT) AS n_shared,
+       |  len(list_intersect(grams, eg)) > 0 AS contaminated
+       |FROM kg CROSS JOIN ev
+       |WHERE doc_id >= $EvalDocCount
+       |ORDER BY doc_id""".stripMargin
 }
