@@ -220,6 +220,27 @@ object IngestPipeline {
         timestamp_millis(col("rec.ingestion_time")).as("ingestion_time"))
       .join(dim, Seq("identifier"), "left")
 
+  /** Watermarked STREAM-STREAM inner join (§2.5's hardest streaming
+    * form): correlate two record streams on identifier within
+    * `withinMs` of event time. Both sides carry watermarks and the join
+    * condition bounds the time skew, so each side's buffered state is
+    * watermark-expired — the state-bounding discipline that makes
+    * stream-stream joins viable at scale (an unbounded-condition join
+    * would buffer both streams forever). */
+  def correlateStreams(left: DataFrame, right: DataFrame,
+      withinMs: Long = 60000L, watermarkDelay: String = "10 minutes"): DataFrame = {
+    def side(src: DataFrame, tag: String): DataFrame =
+      parse(src).filter(col("valid"))
+        .select(col("rec.identifier").as(s"${tag}_identifier"),
+          col("rec.uuid").as(s"${tag}_uuid"),
+          timestamp_millis(col("rec.ingestion_time")).as(s"${tag}_ts"))
+        .withWatermark(s"${tag}_ts", watermarkDelay)
+    side(left, "l").join(side(right, "r"),
+      col("l_identifier") === col("r_identifier") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $withinMs MILLISECONDS") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMs MILLISECONDS"))
+  }
+
   /** Event-time SESSION windows over the stream, per identifier — the
     * streaming form of ops/Temporal.sessionWindows (ST1/ST5): gap-merged
     * session state is keyed and watermark-expired, so state is bounded

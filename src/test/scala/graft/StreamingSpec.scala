@@ -204,6 +204,28 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map("e1" -> Some("tier1"), "e2" -> None), s"got $out")
   }
 
+  test("stream-stream join correlates records within the time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (memL, memR) = (MemoryStream[String], MemoryStream[String])
+    val base = 1700000000000L
+    memL.addData(json("l1", id = "A", ms = base), json("l2", id = "B", ms = base))
+    memR.addData(
+      json("r1", id = "A", ms = base + 30000),  // within 60 s -> joins
+      json("r2", id = "B", ms = base + 120000), // outside bound -> no pair
+      json("r3", id = "C", ms = base))          // no left partner
+    val q = IngestPipeline.correlateStreams(memL.toDF(), memR.toDF())
+      .writeStream.format("memory").queryName("ss_out")
+      .option("checkpointLocation", tmp("ssck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val pairs = spark.table("ss_out")
+      .select($"l_uuid", $"r_uuid").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("l1", "r1")), s"got $pairs")
+  }
+
   test("streaming session windows gap-merge per identifier") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
