@@ -102,9 +102,10 @@ object Extras {
   def dedupEditDist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val texts = Tables.documents(spark, dir).select($"doc_id", $"text")
-    // dedupJaccardOf (unordered) — the query-level ORDER BY of the
-    // registered dedup_jaccard would be dead weight below this join
-    Dedup.dedupJaccardOf(Tables.documentsPar(spark, dir))
+    // sharedJaccardPairs: the session-shared materialized funnel output
+    // (unordered — the registered dedup_jaccard's ORDER BY would be dead
+    // weight below this join)
+    Dedup.sharedJaccardPairs(spark, dir)
       .join(texts.select($"doc_id".as("id_a"), $"text".as("text_a")), "id_a")
       .join(texts.select($"doc_id".as("id_b"), $"text".as("text_b")), "id_b")
       .select($"id_a", $"id_b", levenshtein($"text_a", $"text_b").as("edit_dist"))

@@ -287,12 +287,18 @@ object TextAnalysis {
     * anywhere in the eval set (n_shared > 0 ⇒ contaminated, drop or
     * audit).
     *
-    * Shape at 100 TB: corpus grams are exploded rows (codegen'd md5,
-    * the docFingerprint layout); the eval side collapses to a DISTINCT
-    * gram-hash set that is small by construction (benchmarks are tiny
-    * next to the corpus) — so the overlap test is one broadcast inner
-    * join + per-doc count, with a left join back to keep clean docs at
-    * n_shared = 0. The corpus never shuffles text, only (doc_id, hash).
+    * Shape at 100 TB: corpus grams are exploded rows (codegen'd md5, the
+    * docFingerprint layout) hashed to 60-bit longs — the repo-wide trick
+    * (see Dedup.dedupJaccardOf): overlap counts are unchanged (a
+    * cross-engine-identical collision needs two distinct grams sharing 60
+    * md5 bits in the same doc∩eval intersection — negligible) while every
+    * shuffled row is 8 bytes, not a 32-char hex string. The eval side
+    * collapses to a DISTINCT gram set that is small by construction
+    * (benchmarks are tiny next to the corpus), so the broadcast inner
+    * join runs BEFORE the corpus-side distinct: the only rows that ever
+    * shuffle are the (doc_id, gram) pairs that actually hit the eval set
+    * — the corpus's non-shared grams (≈ all of them) die in the map-side
+    * hash probe. A left join back keeps clean docs at n_shared = 0.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -301,13 +307,15 @@ object TextAnalysis {
       .select($"doc_id", explode(
         when(length($"nt") >= 8, sequence(lit(1), length($"nt") - 7))
           .otherwise(array().cast("array<int>"))).as("i"), $"nt")
-      .select($"doc_id", md5($"nt".substr($"i", lit(8))).as("g"))
+      .select($"doc_id",
+        conv(substring(md5($"nt".substr($"i", lit(8))), 1, 15), 16, 10)
+          .cast("long").as("g"))
     val docs = Tables.documentsPar(spark, dir)
     val evalGrams = grams(docs.filter($"doc_id" < EvalDocCount))
       .select($"g").distinct()
     val shared = grams(docs.filter($"doc_id" >= EvalDocCount))
-      .distinct() // distinct grams per doc, so n_shared counts grams once
-      .join(broadcast(evalGrams), "g")
+      .join(broadcast(evalGrams), "g") // narrow probe first — see scaladoc
+      .distinct() // then distinct the survivors, so n_shared counts grams once
       .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
     docs.filter($"doc_id" >= EvalDocCount).select($"doc_id")
       .join(shared, Seq("doc_id"), "left")
@@ -320,7 +328,7 @@ object TextAnalysis {
     s"""WITH kg AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(range(1, length(nt) - 6),
-       |      i -> md5(substr(nt, CAST(i AS INTEGER), 8)))) AS grams
+       |      i -> ('0x' || substr(md5(substr(nt, CAST(i AS INTEGER), 8)), 1, 15))::BIGINT)) AS grams
        |  FROM (SELECT doc_id,
        |          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
        |        FROM documents)),

@@ -70,8 +70,11 @@ object TrainPrep {
   }
 
   val packShardsSql: String =
+    // CAST: DuckDB's window SUM over BIGINT yields HUGEINT, and `//` of a
+    // HUGEINT stays HUGEINT, which the driver's dump widens to DOUBLE —
+    // hash-mismatching Spark's BIGINT floor() despite identical values.
     s"""SELECT doc_id, lang, n_tokens,
-       |  (cum - n_tokens) // $ShardTokenBudget AS shard_id
+       |  CAST((cum - n_tokens) // $ShardTokenBudget AS BIGINT) AS shard_id
        |FROM (SELECT doc_id, lang, n_tokens,
        |        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum

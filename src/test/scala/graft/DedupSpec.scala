@@ -71,6 +71,30 @@ class DedupSpec extends SparkSpec {
     assert(capped.filter($"id_a" === 1 && $"id_b" === 2).count() == 1)
   }
 
+  test("fixture LSH buckets stay far below the MaxBucketSize cap") {
+    import spark.implicits._
+    // The oracle SQL mirrors the cap (QUALIFY windowed count), so both
+    // engines drop the same buckets whatever the fixture holds; this
+    // additionally pins that the registered queries exercise the
+    // no-drop path — every fixture bucket sits well under the cap, so a
+    // fixture drift toward cap-sized buckets is caught here, not as a
+    // silent behavior change.
+    val maxBucket = Dedup.bucketsOf(Dedup.minhashSig(spark, sfDir))
+      .groupBy($"band", $"key").agg(count(lit(1)).as("n"))
+      .agg(max($"n")).head().getLong(0)
+    assert(maxBucket <= Dedup.MaxBucketSize / 10,
+      s"fixture max bucket $maxBucket within 10x of cap ${Dedup.MaxBucketSize}")
+  }
+
+  test("sharedJaccardPairs returns the same frame content across calls") {
+    // the session-scoped temp view must be a pure materialization: a
+    // second call (different consumer) sees bit-identical pairs
+    val a = Dedup.sharedJaccardPairs(spark, sfDir)
+    val b = Dedup.sharedJaccardPairs(spark, sfDir)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    assert(a.count() == Dedup.dedupJaccard(spark, sfDir).count())
+  }
+
   test("clustersOf converges on a 16-chain and a star to min-label components") {
     import spark.implicits._
     // chain 0-1-2-...-15 (diameter 15: plain propagation needs 15 rounds,
