@@ -29,8 +29,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * itself (same work the reference does per message); codegen would
   * only inline the call. Reader/decoder are allocated lazily per task
   * and reused across rows.
+  *
+  * `schemaJson` is the READER schema text — by default the embedded
+  * schema-as-code, but boot code can hand in text loaded from a
+  * configured file path (reference model.go:57-66 ReadSchema, env
+  * DATA_SCHEMA; see graft.model.Schemas.fromFile). It must describe the
+  * same IngestionData record shape (the output StructType is fixed);
+  * what the file seam buys is the reference's ops surface — rotating
+  * schema doc/defaults/aliases without a rebuild.
   */
-case class AvroDecodeIngestion(child: Expression)
+case class AvroDecodeIngestion(child: Expression,
+    schemaJson: String = AvroDecodeIngestion.SchemaJson)
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -42,7 +51,7 @@ case class AvroDecodeIngestion(child: Expression)
   override def prettyName: String = "avro_decode_ingestion"
 
   @transient private lazy val avroSchema: Schema =
-    new Schema.Parser().parse(AvroDecodeIngestion.SchemaJson)
+    new Schema.Parser().parse(schemaJson)
   @transient private lazy val reader = new GenericDatumReader[GenericRecord](avroSchema)
   @transient private lazy val decoderFactory = DecoderFactory.get()
 
@@ -98,4 +107,9 @@ object AvroDecodeIngestion {
       | "default":null}]}""".stripMargin.replace("\n", "")
 
   def avroDecode(c: Column): Column = Bridge.column(AvroDecodeIngestion(Bridge.expression(c)))
+
+  /** Decode with an explicit reader-schema text (e.g. loaded from the
+    * DATA_SCHEMA-configured file via Schemas.fromFile). */
+  def avroDecode(c: Column, schemaJson: String): Column =
+    Bridge.column(AvroDecodeIngestion(Bridge.expression(c), schemaJson))
 }

@@ -44,4 +44,28 @@ object Schemas {
     StructField("type", StringType, nullable = false),
     StructField("ingestion_time", LongType, nullable = false),
     StructField("tags", ArrayType(tagType), nullable = true)))
+
+  /** Env var naming the Avro schema file (reference main.go:244 reads
+    * `DATA_SCHEMA` and hands the path to ReadSchema). */
+  val DataSchemaEnv = "DATA_SCHEMA"
+
+  /** Avro reader-schema text loaded from a file path (reference
+    * model.go:57-66 `ReadSchema`). The text is validated by parsing it
+    * as an Avro schema here, at BOOT — an unreadable path or invalid
+    * schema file throws immediately (the reference log.Fatals the same
+    * way) instead of null-routing every record to the DLQ at runtime. */
+  def fromFile(path: String): String = {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    new org.apache.avro.Schema.Parser().parse(text) // validate or throw
+    text
+  }
+
+  /** Boot-time schema resolution (reference main.go:244): the
+    * DATA_SCHEMA-configured file when the env var (or an explicit path)
+    * is set, else the embedded schema text. */
+  def resolveAvroSchema(embedded: String,
+      path: Option[String] = sys.env.get(DataSchemaEnv)): String =
+    path.map(fromFile).getOrElse(embedded)
 }

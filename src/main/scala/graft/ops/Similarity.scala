@@ -134,7 +134,13 @@ object Similarity {
     * the probed lists), trading recall for scan fraction. Same exact
     * scoring as [[annTopK]]; the Hamming test is codegen'd
     * bit_count(xor). */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfAt(spark, dir, ProbeRadius)
+
+  /** [[annIvf]] at an explicit probe radius — the recall/scan-fraction
+    * knob exposed so SimilaritySpec can SWEEP it (radius 0/1/2) and
+    * record the measured trade instead of a claimed one. */
+  def annIvfAt(spark: SparkSession, dir: String, radius: Int): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
       .withColumn("bucket", lshBucket($"embedding"))
@@ -142,7 +148,7 @@ object Similarity {
       .select($"bucket".as("qbucket"), $"embedding".as("qv"))
     emb.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(q))
-      .filter(bit_count($"bucket".bitwiseXOR($"qbucket")) <= ProbeRadius)
+      .filter(bit_count($"bucket".bitwiseXOR($"qbucket")) <= radius)
       .select($"vec_id", $"bucket",
         cosine(dotD($"embedding", $"qv"),
           dotD($"embedding", $"embedding"), dotD($"qv", $"qv")).as("score"))

@@ -27,7 +27,12 @@ object Health {
   // registered on (and so retained by) its own session, and once a
   // session becomes unreachable its entries — and the listener cycle —
   // are collectable; session churn does not grow the maps forever.
-  private final case class Recorded(atMillis: Long, message: String)
+  // Start/failure events are ordered by a strictly-monotonic sequence
+  // number, NOT wall-clock millis: a failure recorded in the same
+  // millisecond as a query start would otherwise count as "recovered"
+  // (ADVICE r3) — ties are impossible with an AtomicLong.
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private final case class Recorded(atSeq: Long, message: String)
   private val lastFailure = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, Recorded]())
   private val lastStart = java.util.Collections.synchronizedMap(
@@ -49,11 +54,11 @@ object Health {
         new org.apache.spark.sql.streaming.StreamingQueryListener {
           import org.apache.spark.sql.streaming.StreamingQueryListener._
           override def onQueryStarted(e: QueryStartedEvent): Unit =
-            { lastStart.put(spark, System.currentTimeMillis()); () }
+            { lastStart.put(spark, seq.incrementAndGet()); () }
           override def onQueryProgress(e: QueryProgressEvent): Unit = ()
           override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
             e.exception.foreach(msg =>
-              lastFailure.put(spark, Recorded(System.currentTimeMillis(), msg)))
+              lastFailure.put(spark, Recorded(seq.incrementAndGet(), msg)))
         })
     }
 
@@ -87,7 +92,7 @@ object Health {
     // sticky informational field (reference model.go:74 keeps it too).
     val recorded = Option(lastFailure.get(spark))
     val startedSince = Option(lastStart.get(spark))
-      .exists(s => recorded.forall(_.atMillis <= s))
+      .exists(s => recorded.forall(_.atSeq < s))
     val activeErrors = qs.flatMap(q => q.exception.map(_.getMessage))
     val errors = activeErrors ++
       recorded.filterNot(_ => startedSince).map(_.message)
@@ -115,8 +120,12 @@ object Health {
 
   /** The JSON a readiness endpoint would serve (reference
     * main.go:344-358 encodes HealthStatus the same way). */
-  def statusJson(spark: SparkSession, app: String = "graft"): String = {
-    val s = status(spark, app)
+  def statusJson(spark: SparkSession, app: String = "graft"): String =
+    renderJson(status(spark, app))
+
+  /** Serialize an already-probed status — [[HealthServer]] derives the
+    * HTTP code and the body from ONE probe so they can't disagree. */
+  def renderJson(s: HealthStatus): String = {
     def q(x: String): String = "\"" + x.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -51,9 +51,17 @@ object IngestPipeline {
 
   /** The real Avro wire decode (S2): binary `value` column → struct via
     * the schema-specialized avro-core expression; decode failure ⇒ null
-    * rec ⇒ DLQ. Same downstream contract as [[parse]]. */
-  def parseAvro(raw: DataFrame): DataFrame =
-    raw.withColumn("rec", graft.functions.AvroDecodeIngestion.avroDecode(col("value")))
+    * rec ⇒ DLQ. Same downstream contract as [[parse]].
+    *
+    * The reader schema resolves at assembly time like the reference's
+    * boot (main.go:244): the DATA_SCHEMA-configured file when set
+    * (Schemas.fromFile — S3's "schema from a path" seam), else the
+    * embedded schema-as-code. Pass `schemaJson` to override both. */
+  def parseAvro(raw: DataFrame,
+      schemaJson: String = Schemas.resolveAvroSchema(
+        graft.functions.AvroDecodeIngestion.SchemaJson)): DataFrame =
+    raw.withColumn("rec",
+      graft.functions.AvroDecodeIngestion.avroDecode(col("value"), schemaJson))
       .withColumn("valid", col("rec").isNotNull)
 
   /** P1 — the ToIndex projection/enrichment (reference model.go:28-44):
@@ -75,6 +83,18 @@ object IngestPipeline {
       col("rec.tags").as("tags"))
       .withColumn("persist_date", date_format(col("ingestion_time"), "yyyy-MM-dd"))
 
+  /** Event-time freshness window for [[writeBatch]]'s quarantine: a
+    * record whose ingestion_time is more than MaxEventAgeDays behind or
+    * MaxEventFutureDays ahead of the batch's wall clock is routed to the
+    * DLQ (reason `event_time_outlier`) instead of the index. Since
+    * persist_date derives from EVENT time (see [[toIndex]]), a bogus
+    * timestamp — epoch-0 default, fat-fingered year — would otherwise
+    * land in a partition the date-pinned alias view never serves,
+    * invisible yet billed (ADVICE r3). Wide bounds on purpose: backfills
+    * are legitimate; only clearly-bogus clocks quarantine. */
+  val MaxEventAgeDays = 3650
+  val MaxEventFutureDays = 30
+
   /** Write one micro-batch of parsed records to the index and DLQ sinks.
     *
     * Physical idempotence (K2 at the STORE, reference es.go:185
@@ -87,18 +107,34 @@ object IngestPipeline {
     * (see [[toIndex]]), so a replayed record lands in the SAME partition
     * it originally wrote, even across midnight. Exactly-once against a
     * transactional table format would be a MERGE keyed on uuid; dynamic
-    * partition overwrite is the parquet-only equivalent. */
+    * partition overwrite is the parquet-only equivalent.
+    *
+    * The DLQ carries a `reason` column: `parse_failure` (malformed
+    * payload) or `event_time_outlier` (valid payload, event time outside
+    * the freshness window — see [[MaxEventAgeDays]]). Both keep the raw
+    * `value` for replay after correction. */
   def writeBatch(batch: DataFrame, epochId: Long,
-      indexDir: String, dlqDir: String): Unit = {
+      indexDir: String, dlqDir: String,
+      maxPastDays: Int = MaxEventAgeDays,
+      maxFutureDays: Int = MaxEventFutureDays): Unit = {
     val b = batch.persist()
     try {
-      // DLQ side-output (K3/ST4): malformed payloads with provenance
+      val eventTs = timestamp_millis(col("rec.ingestion_time"))
+      val fresh =
+        eventTs >= current_timestamp() - expr(s"INTERVAL $maxPastDays DAYS") &&
+        eventTs <= current_timestamp() + expr(s"INTERVAL $maxFutureDays DAYS")
+      // DLQ side-output (K3/ST4): malformed payloads + event-time
+      // outliers, with provenance and the routing reason
       b.filter(!col("valid"))
-        .select(col("value"), lit(epochId).as("epoch_id"))
+        .select(col("value"), lit("parse_failure").as("reason"),
+          lit(epochId).as("epoch_id"))
+        .union(b.filter(col("valid") && !fresh)
+          .select(col("value"), lit("event_time_outlier").as("reason"),
+            lit(epochId).as("epoch_id")))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("epoch_id").parquet(dlqDir)
       // idempotent upsert half (K2): one writer per uuid per batch
-      toIndex(b.filter(col("valid")))
+      toIndex(b.filter(col("valid") && fresh))
         .dropDuplicates("uuid")
         .withColumn("epoch_id", lit(epochId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -167,9 +203,18 @@ object IngestPipeline {
   /** Custom keyed state (ST5 extension, SURVEY §2.11): per-identifier
     * running record/tag counters via flatMapGroupsWithState — the shape
     * for stateful logic the built-ins don't cover. State is per-key and
-    * incremental (no history kept), so it scales with key cardinality,
-    * not stream length; production adds a state timeout for key churn. */
-  def runningCounts(source: DataFrame): org.apache.spark.sql.Dataset[IdentifierStats] = {
+    * incremental (no history kept), so it scales with key cardinality —
+    * and is BOUNDED in time when `stateTtl` is set: each update arms a
+    * processing-time timeout, after which an idle key's state is dropped
+    * (at 100 TB key churn — UUID-flavored identifiers — unbounded state
+    * grows forever; production should always set a TTL). A key seen
+    * again after expiry re-registers from zero. The default stays
+    * NoTimeout because ProcessingTimeTimeout changes the query's idle
+    * behavior — the engine keeps scheduling no-data batches to evaluate
+    * pending timeouts — which callers (and tests built on
+    * processAllAvailable quiescence) must opt into knowingly. */
+  def runningCounts(source: DataFrame,
+      stateTtl: Option[String] = None): org.apache.spark.sql.Dataset[IdentifierStats] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = source.sparkSession
     import spark.implicits._
@@ -177,18 +222,37 @@ object IngestPipeline {
       .select(col("rec.identifier").as("identifier"),
         coalesce(size(col("rec.tags")), lit(0)).as("n_tags"))
       .as[(String, Int)]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     recs.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (id: String, rows: Iterator[(String, Int)], state: GroupState[IdentifierStats]) =>
-          val prev = state.getOption.getOrElse(IdentifierStats(id, 0L, 0L))
-          var n = prev.n_records
-          var t = prev.n_tags
-          rows.foreach { r => n += 1; t += r._2 }
-          val next = IdentifierStats(id, n, t)
-          state.update(next)
-          Iterator(next)
-      }
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
+        runningCountsUpdate(stateTtl))
   }
+
+  /** The per-key state transition of [[runningCounts]], factored out so
+    * the timeout path is unit-testable with TestGroupState (the
+    * timeout's SCHEDULING is the engine's job and timing-dependent; the
+    * TRANSITION — expired key drops state and a returning key restarts
+    * from zero — is pure logic and tested deterministically). */
+  private[graft] def runningCountsUpdate(stateTtl: Option[String])(
+      id: String, rows: Iterator[(String, Int)],
+      state: org.apache.spark.sql.streaming.GroupState[IdentifierStats]): Iterator[IdentifierStats] =
+    if (state.hasTimedOut) {
+      // expired idle key: drop state, emit nothing — the next record
+      // for this key starts a fresh counter from zero
+      state.remove()
+      Iterator.empty
+    } else {
+      val prev = state.getOption.getOrElse(IdentifierStats(id, 0L, 0L))
+      var n = prev.n_records
+      var t = prev.n_tags
+      rows.foreach { r => n += 1; t += r._2 }
+      val next = IdentifierStats(id, n, t)
+      state.update(next)
+      stateTtl.foreach(state.setTimeoutDuration)
+      Iterator(next)
+    }
 
   /** Event-time windowed counts over the stream (ST1/ST2 extension —
     * the reference has processing-time batching only). */

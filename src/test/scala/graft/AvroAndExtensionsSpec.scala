@@ -78,6 +78,32 @@ class AvroAndExtensionsSpec extends SparkSpec {
     assert(out.filter($"valid").select($"rec.uuid").head().getString(0) == "av1")
   }
 
+  test("reader schema loads from a configured file path (DATA_SCHEMA seam)") {
+    import spark.implicits._
+    // a schema file with a doc annotation the embedded text lacks — the
+    // rotate-without-rebuild case the file seam exists for
+    val rotated = AvroDecodeIngestion.SchemaJson
+      .replace("\"fields\"", "\"doc\":\"rotated\",\"fields\"")
+    val p = java.nio.file.Files.createTempFile("ingestion", ".avsc")
+    java.nio.file.Files.writeString(p, rotated)
+    val text = graft.model.Schemas.fromFile(p.toString)
+    assert(text == rotated)
+    // decode end-to-end through the file-loaded schema (batch frame —
+    // parseAvro is a plain transform)
+    val r = IngestPipeline.parseAvro(
+      Seq(avroBytes("sf1", 7L, Seq("a" -> "b"))).toDF("value"), text)
+      .select($"valid", $"rec.uuid").head()
+    assert(r.getBoolean(0) && r.getString(1) == "sf1")
+    // resolution order: explicit path wins; no path -> embedded fallback
+    assert(graft.model.Schemas.resolveAvroSchema("EMBEDDED", Some(p.toString)) == rotated)
+    assert(graft.model.Schemas.resolveAvroSchema("EMBEDDED", None) == "EMBEDDED")
+    // bad schema text or missing file fails at boot, not per-record
+    val bad = java.nio.file.Files.createTempFile("bad", ".avsc")
+    java.nio.file.Files.writeString(bad, "{this is not an avro schema")
+    intercept[Exception] { graft.model.Schemas.fromFile(bad.toString) }
+    intercept[Exception] { graft.model.Schemas.fromFile("/nonexistent/schema.avsc") }
+  }
+
   test("vec_dot is callable from SQL via GraftExtensions") {
     val r = spark.sql(
       "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
@@ -131,5 +157,51 @@ class AvroAndExtensionsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(latest("A") == ((3L, 3L)), s"got $latest")
     assert(latest("B") == ((1L, 1L)))
+  }
+
+  test("runningCounts state expires after the TTL and re-registers from zero") {
+    // Deterministic unit test of the state TRANSITION via TestGroupState
+    // (the public harness Spark ships for exactly this): the timeout's
+    // scheduling is the engine's contract; what is OURS to verify is
+    // that an expired key drops its state and a returning key restarts
+    // from zero. A wall-clock streaming variant (1 ms TTL +
+    // processAllAvailable) livelocks: ProcessingTimeTimeout makes the
+    // engine run no-data batches continuously to evaluate pending
+    // timeouts, so quiescence never comes.
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val ttl = Some("30 minutes")
+    val update = IngestPipeline.runningCountsUpdate(ttl) _
+
+    // 1) two records for A accumulate and arm the timeout
+    val s1 = TestGroupState.create[graft.streaming.IdentifierStats](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, Optional.empty[Long](), hasTimedOut = false)
+    val out1 = update("A", Iterator(("A", 2), ("A", 3)), s1).toSeq
+    assert(out1.map(o => (o.n_records, o.n_tags)) == Seq((2L, 5L)))
+    assert(s1.getTimeoutTimestampMs.isPresent, "TTL must arm a timeout")
+    assert(s1.getTimeoutTimestampMs.get() == 1000L + 30L * 60 * 1000)
+
+    // 2) the timeout fires: state is dropped, nothing emitted
+    val s2 = TestGroupState.create[graft.streaming.IdentifierStats](
+      Optional.of(out1.head), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 2000L, Optional.empty[Long](), hasTimedOut = true)
+    assert(update("A", Iterator.empty, s2).isEmpty)
+    assert(s2.isRemoved, "expired state must be removed")
+
+    // 3) A returns after expiry: counter restarts at 1, not 3
+    val s3 = TestGroupState.create[graft.streaming.IdentifierStats](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 3000L, Optional.empty[Long](), hasTimedOut = false)
+    val out3 = update("A", Iterator(("A", 1)), s3).toSeq
+    assert(out3.map(o => (o.n_records, o.n_tags)) == Seq((1L, 1L)),
+      s"expected A to re-register from zero after TTL, got $out3")
+
+    // 4) without a TTL no timeout is ever armed (the default path)
+    val s4 = TestGroupState.create[graft.streaming.IdentifierStats](
+      Optional.empty(), GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 4000L, Optional.empty[Long](), hasTimedOut = false)
+    IngestPipeline.runningCountsUpdate(None)("B", Iterator(("B", 1)), s4).toSeq
+    assert(!s4.getTimeoutTimestampMs.isPresent)
   }
 }

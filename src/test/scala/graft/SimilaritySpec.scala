@@ -28,6 +28,27 @@ class SimilaritySpec extends SparkSpec {
   private def choose(n: Int, k: Int): Int =
     if (k == 0) 1 else n * choose(n - 1, k - 1) / k
 
+  test("multi-probe radius sweep: recall@5 vs scan fraction, monotone") {
+    val truth = Similarity.annTopK(spark, sfDir)
+      .limit(5).select("vec_id").collect().map(_.getLong(0)).toSet
+    val sweep = (0 to 2).map { r =>
+      val got = Similarity.annIvfAt(spark, sfDir, r)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val recall = truth.intersect(got).size / 5.0
+      val lists = (0 to r).map(i => choose(Similarity.NumPlanes, i)).sum
+      info(f"radius $r: recall@5 = $recall%.2f, " +
+        f"scans $lists/${1 << Similarity.NumPlanes} inverted lists")
+      r -> recall
+    }.toMap
+    // Monotone by construction: a larger radius scores a SUPERSET of
+    // candidates, and any candidate that displaces a true top-5 member
+    // under exact scoring must itself be in the true top-5 — so recall
+    // can only rise with radius. The sweep records where it saturates.
+    assert(sweep(1) >= sweep(0), s"radius-1 recall below radius-0: $sweep")
+    assert(sweep(2) >= sweep(1), s"radius-2 recall below radius-1: $sweep")
+    assert(sweep(2) >= 0.6, s"radius-2 recall unexpectedly low: $sweep")
+  }
+
   test("ann_ivf scores only the probed buckets (candidate set shrinks)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.bit_count

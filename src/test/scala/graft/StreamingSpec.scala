@@ -86,6 +86,27 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(indexDir).count() == 3)
   }
 
+  test("event-time outliers are quarantined to the DLQ, not stale partitions") {
+    import spark.implicits._
+    val (indexDir, dlqDir) = (tmp("qidx"), tmp("qdlq"))
+    val now = System.currentTimeMillis()
+    val batch = IngestPipeline.parse(Seq(
+      json("fresh1", ms = now),
+      json("old1", ms = 0L), // epoch-0 default — the classic bogus clock
+      json("future1", ms = now + 400L * 24 * 3600 * 1000), // > maxFutureDays ahead
+      "garbage").toDF("value"))
+    IngestPipeline.writeBatch(batch, 1L, indexDir, dlqDir)
+    // only the fresh record reaches the index — outliers would land in
+    // persist_date partitions the date-pinned alias view never serves
+    val idx = spark.read.parquet(indexDir)
+    assert(idx.count() == 1 && idx.head().getAs[String]("uuid") == "fresh1")
+    // outliers are auditable in the DLQ with their routing reason
+    val dlq = spark.read.parquet(dlqDir)
+    val reasons = dlq.groupBy($"reason").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reasons == Map("parse_failure" -> 1L, "event_time_outlier" -> 2L), reasons.toString)
+  }
+
   test("health reports a crashed stream via the termination listener") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -128,6 +149,58 @@ class StreamingSpec extends SparkSpec {
       assert(s2.lastError.contains("sink exploded"), "sticky lastError lost")
     } finally q2.stop()
     graft.streaming.Health.clearFailures(spark)
+  }
+
+  test("health HTTP endpoint answers 200 when live and 500 after a crash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.streaming.Health.clearFailures(spark)
+    val server = graft.streaming.HealthServer.start(spark, 0) // ephemeral port
+    try {
+      val port = graft.streaming.HealthServer.boundPort(server)
+      def get(path: String): (Int, String) = {
+        val c = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod("GET")
+        val code = c.getResponseCode
+        val is = if (code >= 400) c.getErrorStream else c.getInputStream
+        val body = try scala.io.Source.fromInputStream(is).mkString finally is.close()
+        c.disconnect()
+        (code, body)
+      }
+      // live stream → 200 + the HealthStatus JSON on both endpoints
+      val mem = MemoryStream[String]
+      mem.addData(json("hs1"))
+      val q = IngestPipeline.start(spark, mem.toDF(),
+        tmp("hsidx"), tmp("hsdlq"), tmp("hsck"),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      try {
+        q.processAllAvailable()
+        val (c1, b1) = get("/health")
+        assert(c1 == 200 && b1.contains("\"status\":\"ok\""), s"$c1 $b1")
+        assert(b1.contains("\"sparkVersion\""), b1)
+        assert(get("/ready")._1 == 200)
+      } finally q.stop()
+      // crashed stream → 500 with the error in the body (reference
+      // main.go:366-380 returns 500 + the encoded status on probe failure)
+      val mem2 = MemoryStream[String]
+      mem2.addData(json("hs2"))
+      val boom = new graft.streaming.Sink {
+        override def write(b: org.apache.spark.sql.DataFrame, e: Long): Unit =
+          throw new RuntimeException("http sink exploded")
+      }
+      val q2 = IngestPipeline.startWith(spark,
+        graft.streaming.FrameSource(mem2.toDF()), boom, tmp("hsck2"))
+      intercept[Exception] { q2.awaitTermination(60000) }
+      // termination events are delivered async; poll the endpoint itself
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var r = get("/health")
+      while (r._1 == 200 && System.nanoTime() < deadline) {
+        Thread.sleep(100); r = get("/health")
+      }
+      assert(r._1 == 500, s"expected 500, got ${r._1}: ${r._2}")
+      assert(r._2.contains("http sink exploded"), r._2)
+    } finally { server.stop(0); graft.streaming.Health.clearFailures(spark) }
   }
 
   test("health status mirrors the reference HealthStatus shape") {
