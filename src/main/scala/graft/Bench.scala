@@ -34,14 +34,14 @@ object Bench {
     // timed query doesn't absorb one-time startup cost
     try SparkEntry.entry(spark).queryExecution.toRdd.foreach(_ => ())
     catch { case _: Throwable => () }
-    // cache the input tables once (Tables.warm) so each query's time is
-    // the operator's compute + shuffle, not the 58th repeat of the same
-    // serial single-row-group scan — regressions in the numbers are then
-    // attributable to plan changes (VERDICT r3 item 8)
-    try Tables.warm(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] warm failed (continuing uncached): ${e.getMessage}")
-    }
+    // optionally cache the input tables once (Tables.warm) so each
+    // query's time is the operator's compute + shuffle, not a repeat of
+    // the same serial single-row-group scan (VERDICT r3 item 8)
+    if (sys.env.get("SPARK_GRAFT_WARM").contains("1"))
+      try Tables.warm(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm failed (continuing uncached): ${e.getMessage}")
+      }
     var failed = List.empty[String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Boolean, Double) = {
       val t0 = System.nanoTime()
@@ -52,7 +52,11 @@ object Bench {
         }
       (ok, (System.nanoTime() - t0) / 1e9)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query names to bench (iteration aid); no args = all
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (ok1, dt1) = timeOnce(name, fn)
       val (ok, dt) =
         if (!ok1) (false, dt1)

@@ -34,9 +34,9 @@ object Curate {
       TextAnalysis.predLangExpr($"text").as("pred_lang"),
       TextAnalysis.qualityScoreExpr($"text").as("quality_score"))
     val keepers = Dedup.dedupExact(spark, dir).select($"keep_id".as("doc_id"))
-    // sharedJaccardPairs: reuses the session-shared funnel materialization
-    // instead of rebuilding signatures from text (see Dedup scaladoc)
-    val losers = Dedup.clustersOf(Dedup.sharedJaccardPairs(spark, dir).select($"id_a", $"id_b"))
+    // sharedClusters: reuses the session-shared funnel + cluster-label
+    // materializations instead of rebuilding them from text (see Dedup)
+    val losers = Dedup.sharedClusters(spark, dir)
       .filter($"cluster_id" =!= $"doc_id").select($"doc_id")
     scored
       .join(keepers, Seq("doc_id"), "left_semi")

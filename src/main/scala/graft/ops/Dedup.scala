@@ -293,6 +293,23 @@ object Dedup {
     sharedJaccardPairs(spark, dir).orderBy($"id_a", $"id_b")
   }
 
+  /** Session-shared cluster labels over [[sharedJaccardPairs]] — same
+    * rationale and mechanism as the pair sharing: the label propagation
+    * runs its O(log n) rounds EAGERLY at construction (each round is a
+    * checkpointed materialization), so both consumers (dedup_clusters,
+    * corpus_curate) re-paid ~2 s of rounds even with the pairs cached.
+    * In production this is the cluster-assignment table materialized
+    * next to the pair table. */
+  def sharedClusters(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val view = "graft_clusters_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!spark.catalog.tableExists(view)) {
+      import spark.implicits._
+      clustersOf(sharedJaccardPairs(spark, dir).select($"id_a", $"id_b"))
+        .createOrReplaceTempView(view)
+    }
+    spark.table(view)
+  }
+
   val dedupJaccardSql: String =
     s"""WITH sig AS (
        |  SELECT doc_id, ${minhashSqlExprs.mkString(", ")},
@@ -379,8 +396,7 @@ object Dedup {
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    clustersOf(sharedJaccardPairs(spark, dir).select($"id_a", $"id_b"))
-      .orderBy($"doc_id")
+    sharedClusters(spark, dir).orderBy($"doc_id")
   }
 
   /** Connected components of an undirected (id_a, id_b) pair frame —

@@ -101,12 +101,23 @@ object Extras {
     * survivors). Both engines implement standard Levenshtein. */
   def dedupEditDist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val texts = Tables.documents(spark, dir).select($"doc_id", $"text")
+    // Build side must be the PAIRS (post-funnel, tiny), never the text
+    // table: the pair frame is a checkpointed RDD with no stats, so
+    // without the hints Spark sizes only the parquet side and broadcasts
+    // the ENTIRE text corpus — twice (measured 2.5 s at sf0.1; ~50 MB of
+    // strings shipped per join; at 100 TB an OOM). With the hints each
+    // join builds a few-hundred-row hash table and probes the text scan,
+    // and the levenshtein DP runs inside the scan's partitions.
+    // documentsPar: the single-row-group fixture scan is one task —
+    // repartition spreads the probe (and the O(len²) DP) across cores.
+    val texts = Tables.documentsPar(spark, dir).select($"doc_id", $"text")
     // sharedJaccardPairs: the session-shared materialized funnel output
     // (unordered — the registered dedup_jaccard's ORDER BY would be dead
     // weight below this join)
-    Dedup.sharedJaccardPairs(spark, dir)
+    val pairs = Dedup.sharedJaccardPairs(spark, dir)
+    val withA = broadcast(pairs)
       .join(texts.select($"doc_id".as("id_a"), $"text".as("text_a")), "id_a")
+    broadcast(withA)
       .join(texts.select($"doc_id".as("id_b"), $"text".as("text_b")), "id_b")
       .select($"id_a", $"id_b", levenshtein($"text_a", $"text_b").as("edit_dist"))
       .orderBy($"id_a", $"id_b")
