@@ -45,6 +45,23 @@ object Schemas {
     StructField("ingestion_time", LongType, nullable = false),
     StructField("tags", ArrayType(tagType), nullable = true)))
 
+  /** Spark StructType of the index table as WRITTEN by
+    * IngestPipeline.writeBatch — the IndexData columns (model.go:46-55)
+    * plus the two physical partition keys. Boot hands this to the alias
+    * read so a freshly-created (still empty) index dir can be aliased
+    * before the first batch lands, mirroring the reference's
+    * create-then-alias boot order (es.go:78-116). */
+  val index: StructType = StructType(Seq(
+    StructField("identifier", StringType, nullable = true),
+    StructField("name", StringType, nullable = true),
+    StructField("uuid", StringType, nullable = true),
+    StructField("type", StringType, nullable = true),
+    StructField("ingestion_time", TimestampType, nullable = true),
+    StructField("persist_time", TimestampType, nullable = true),
+    StructField("tags", ArrayType(tagType), nullable = true),
+    StructField("persist_date", StringType, nullable = true),
+    StructField("epoch_id", LongType, nullable = true)))
+
   /** Env var naming the Avro schema file (reference main.go:244 reads
     * `DATA_SCHEMA` and hands the path to ReadSchema). */
   val DataSchemaEnv = "DATA_SCHEMA"
