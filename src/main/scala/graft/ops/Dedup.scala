@@ -178,24 +178,30 @@ object Dedup {
     * materializes on the frame's FIRST action, not at construction —
     * building the plan (for .explain, or a caller that never runs it)
     * stays free. */
-  def lshPairsOf(docs: DataFrame, cap: Int = MaxBucketSize): DataFrame = {
-    val buckets =
-      dropOversized(bucketsOf(sigOf(docs)).localCheckpoint(eager = false), cap)
+  /** Candidate pairs from capped bucket rows: self-equi-join on
+    * (band, key), id-ordered, distinct. */
+  private def pairsFromBuckets(buckets: DataFrame): DataFrame =
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-  }
+
+  def lshPairsOf(docs: DataFrame, cap: Int = MaxBucketSize): DataFrame =
+    pairsFromBuckets(
+      dropOversized(bucketsOf(sigOf(docs)).localCheckpoint(eager = false), cap))
 
   /** LSH candidate pairs: band the signature into NumHashes/2 bands of 2
     * rows; docs sharing any band key are candidates. Self-equi-join on
     * (band, key) — shuffles only (band, key, doc_id) triples, with the
-    * [[MaxBucketSize]] boilerplate guard applied before the join. */
+    * [[MaxBucketSize]] boilerplate guard applied before the join.
+    * Consumes [[sharedSigSets]] — the one signature build per corpus
+    * that the whole funnel shares. */
   def lshPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    lshPairsOf(docsPar(spark, dir)).orderBy($"id_a", $"id_b")
+    pairsFromBuckets(cappedBuckets(sharedSigSets(spark, dir), MaxBucketSize))
+      .orderBy($"id_a", $"id_b")
   }
 
   // The oracle mirrors the MaxBucketSize cap (QUALIFY on a windowed
@@ -220,40 +226,52 @@ object Dedup {
     * bit-identical across engines. Shingle sets are rebuilt per keeper
     * from the exploded rows (sorted for determinism) and joined to the
     * candidate list — broadcast-able when candidates are few. */
-  def dedupJaccardOf(docs: DataFrame, cap: Int = MaxBucketSize): DataFrame = {
+  /** One pass builds signatures AND 60-bit-hashed shingle sets — the
+    * signature table the whole funnel consumes.
+    *
+    * The set elements are 60-bit md5 hashes of the shingles, not the
+    * shingle strings: |A∩B| and |A∪B| are unchanged (both engines hash
+    * identically; a cross-engine-identical collision would need two
+    * distinct shingles sharing 60 md5 bits IN THE SAME DOC PAIR —
+    * negligible), while the groupBy shuffle and the per-pair intersects
+    * carry 8-byte longs instead of text. With this the whole dedup
+    * funnel shuffles ids and hashes only — never document text. */
+  private def sigSetsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    // One pass builds signatures AND shingle sets, materialized once via
-    // localCheckpoint — the DAG consumes it four times (bucket self-join
-    // sides + both set lookups); at corpus scale this is the signature
-    // table you'd materialize anyway. localCheckpoint, NOT persist: same
-    // MEMORY_AND_DISK blocks and the same lineage cut, but no CacheManager
-    // entry pinned for the session's lifetime — r2's persist-without-
-    // unpersist leaked an entry per caller ("already cached" warnings,
-    // 20g bench heap). Checkpoint blocks are dropped by the ContextCleaner
-    // once the consuming plans are garbage-collected; eager=false defers
-    // materialization to the frame's first action so plan construction
-    // stays free.
-    //
-    // The set elements are 60-bit md5 hashes of the shingles, not the
-    // shingle strings: |A∩B| and |A∪B| are unchanged (both engines hash
-    // identically; a cross-engine-identical collision would need two
-    // distinct shingles sharing 60 md5 bits IN THE SAME DOC PAIR —
-    // negligible), while the groupBy shuffle and the per-pair intersects
-    // carry 8-byte longs instead of text. With this the whole dedup
-    // funnel shuffles ids and hashes only — never document text.
     val shHash = conv(substring(md5($"sh"), 1, 15), 16, 10).cast("long")
-    val sigSets = shingleRowsOf(docs).filter($"sh".isNotNull)
+    shingleRowsOf(docs).filter($"sh".isNotNull)
       .groupBy($"doc_id")
       .agg(mhAggExprs.head, (mhAggExprs.tail :+ collect_set(shHash).as("tokset")): _*)
       .withColumn("n", size($"tokset"))
-      .localCheckpoint(eager = false)
-    val buckets = cappedBuckets(sigSets, cap)
-    val pairs = buckets.as("a")
-      .join(buckets.as("b"),
-        $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-      .distinct()
+  }
+
+  /** Session-shared signature table for the corpus at `dir` — ONE
+    * shingle→minhash pass per corpus, consumed by lsh_pairs, the
+    * jaccard verify, and everything downstream of it (clusters, edit
+    * distance, curation). Materialized via localCheckpoint, NOT persist:
+    * same MEMORY_AND_DISK blocks and the same lineage cut, but no
+    * CacheManager entry pinned for the session's lifetime — r2's
+    * persist-without-unpersist leaked an entry per caller. Checkpoint
+    * blocks are dropped by the ContextCleaner once the consuming plans
+    * are garbage-collected; eager=false defers materialization to the
+    * first consumer's first action. */
+  def sharedSigSets(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val view = "graft_sigsets_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!spark.catalog.tableExists(view))
+      sigSetsOf(docsPar(spark, dir))
+        .localCheckpoint(eager = false)
+        .createOrReplaceTempView(view)
+    spark.table(view)
+  }
+
+  def dedupJaccardOf(docs: DataFrame, cap: Int = MaxBucketSize): DataFrame =
+    jaccardOfSigSets(sigSetsOf(docs).localCheckpoint(eager = false), cap)
+
+  /** The verify stage over a (materialized) signature table: bucket,
+    * cap, pair, then exact jaccard from the hashed shingle sets. */
+  private def jaccardOfSigSets(sigSets: DataFrame, cap: Int): DataFrame = {
+    import sigSets.sparkSession.implicits._
+    val pairs = pairsFromBuckets(cappedBuckets(sigSets, cap))
     val sets = sigSets.select($"doc_id", $"tokset", $"n")
     pairs
       .join(sets.select($"doc_id".as("id_a"), $"tokset".as("set_a"), $"n".as("n_a")), "id_a")
@@ -282,7 +300,7 @@ object Dedup {
   def sharedJaccardPairs(spark: SparkSession, dir: String): DataFrame = synchronized {
     val view = "graft_jaccard_pairs_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     if (!spark.catalog.tableExists(view))
-      dedupJaccardOf(docsPar(spark, dir))
+      jaccardOfSigSets(sharedSigSets(spark, dir), MaxBucketSize)
         .localCheckpoint(eager = false)
         .createOrReplaceTempView(view)
     spark.table(view)
