@@ -45,6 +45,55 @@ object Curate {
       .orderBy($"doc_id")
   }
 
+  /** Quality-aware canonical selection: per duplicate cluster, keep the
+    * member with the HIGHEST quality score (ties → smallest doc_id) —
+    * what production dedup actually does, rather than min-id keeping
+    * (min-id is the CLUSTER LABEL convention; the kept TEXT should be
+    * the best copy: near-dups differ by boilerplate, truncation,
+    * OCR noise).
+    *
+    * Shape at 100 TB: the cluster table is broadcast (post-funnel,
+    * tiny), quality scores are computed only on cluster MEMBERS (the
+    * join runs before the scoring projection), and the argmax is one
+    * ranking window hash-partitioned by cluster id. */
+  def clusterCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val members = Dedup.sharedClusters(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy($"quality_score".desc, $"doc_id")
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
+    Tables.documentsPar(spark, dir)
+      .join(broadcast(members), "doc_id")
+      .select($"doc_id", $"cluster_id",
+        TextAnalysis.qualityScoreExpr($"text").as("quality_score"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(wc))
+      .filter($"rk" === 1)
+      .select($"cluster_id", $"doc_id".as("canon_id"), $"n_members",
+        $"quality_score".as("canon_quality"))
+      .orderBy($"cluster_id")
+  }
+
+  /** Oracle: clusters via the recursive closure, quality via the
+    * verified text_quality SQL, argmax via QUALIFY (windows evaluate
+    * before QUALIFY filters, so n_members counts ALL members — the same
+    * order Spark's filter-after-window takes). */
+  val clusterCanonicalSql: String = {
+    val jacc = Dedup.dedupJaccardSql.replace("ORDER BY id_a, id_b", "")
+    val qual = TextAnalysis.textQualitySql.replace("ORDER BY doc_id", "")
+    s"""WITH RECURSIVE ${Dedup.clustersSqlCtes(jacc)},
+       |q AS (SELECT doc_id, quality_score FROM ($qual)),
+       |m AS (SELECT c.cluster_id, c.doc_id, q.quality_score
+       |      FROM clusters c JOIN q USING (doc_id))
+       |SELECT cluster_id, doc_id AS canon_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+       |  quality_score AS canon_quality
+       |FROM m
+       |QUALIFY row_number() OVER (PARTITION BY cluster_id
+       |  ORDER BY quality_score DESC, doc_id) = 1
+       |ORDER BY cluster_id""".stripMargin
+  }
+
   /** Oracle: the same composition assembled from the already-verified
     * per-stage SQL (clusters via the recursive-CTE closure). The score
     * threshold cut is engine-stable because quality_score is

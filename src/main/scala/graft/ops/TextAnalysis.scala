@@ -134,6 +134,36 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus quality histogram: documents bucketed into 0.05-wide
+    * quality-score bins, with per-bin doc and distinct-language counts —
+    * the distribution view that picks curation thresholds (Curate's
+    * QualityBar came from exactly this). One map-side-combined
+    * aggregation over a narrow projection; the floor is engine-stable
+    * because quality_score is bit-identical in both engines and
+    * score×20 is one IEEE multiply of identical doubles. */
+  def qualityHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documentsPar(spark, dir)
+      .select(floor(qualityScoreExpr($"text") * 20).as("bin"), $"lang")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"lang").as("n_langs"))
+      .withColumn("bin_lo", $"bin".cast("double") / 20.0)
+      .select($"bin", $"bin_lo", $"n_docs", $"n_langs")
+      .orderBy($"bin")
+  }
+
+  val qualityHistogramSql: String = {
+    val qual = textQualitySql.replace("ORDER BY doc_id", "")
+    // CAST the floor: DuckDB floor yields DOUBLE (the pack_shards
+    // lesson) while Spark's floor is BIGINT
+    s"""SELECT bin, CAST(bin AS DOUBLE) / 20.0 AS bin_lo,
+       |  COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs
+       |FROM (SELECT CAST(floor(q.quality_score * 20) AS BIGINT) AS bin, d.lang
+       |      FROM ($qual) q JOIN documents d ON q.doc_id = d.doc_id)
+       |GROUP BY bin
+       |ORDER BY bin""".stripMargin
+  }
+
   /** Token counting: whitespace tokens vs a BPE-ish regex lexer
     * (letter runs | digit runs | single punctuation) — the standard cheap
     * proxy for model-token counts in corpus accounting. */

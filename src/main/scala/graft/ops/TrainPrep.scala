@@ -69,6 +69,45 @@ object TrainPrep {
       .orderBy($"doc_id")
   }
 
+  /** Per-language sampling rates (percent) for the stratified sample:
+    * the corpus-mix rebalance every training pipeline runs (down-weight
+    * the dominant language, keep the tail). Languages not listed sample
+    * at [[DefaultRatePct]]. */
+  val SampleRatePct: Seq[(String, Int)] = Seq("en" -> 50)
+  val DefaultRatePct = 20
+
+  /** Stratified corpus sampling: deterministic hash-bucket membership
+    * per document, thresholded at the stratum's rate — the same
+    * hash-keyed trick as [[datasetSplit]] (stable under corpus growth,
+    * re-derivable anywhere, leakage-free), so a "sample" is a PREDICATE,
+    * not a stored table. Pure narrow projection + filter: no shuffle,
+    * no state, embarrassingly parallel at any scale; the bucket column
+    * is kept so downstream audits can verify membership. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("sample:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+        .cast("long"), lit(100L))
+    val rate = SampleRatePct.foldLeft(lit(DefaultRatePct)) {
+      case (acc, (l, r)) => when($"lang" === l, lit(r)).otherwise(acc)
+    }
+    Tables.documentsPar(spark, dir)
+      .select($"doc_id", $"lang", bucket.as("bucket"))
+      .filter($"bucket" < rate)
+      .orderBy($"doc_id")
+  }
+
+  val stratifiedSampleSql: String = {
+    val cases = SampleRatePct
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+    s"""SELECT doc_id, lang, b AS bucket
+       |FROM (SELECT doc_id, lang,
+       |        ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+       |      FROM documents)
+       |WHERE b < CASE $cases ELSE $DefaultRatePct END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val packShardsSql: String =
     // CAST: DuckDB's window SUM over BIGINT yields HUGEINT, and `//` of a
     // HUGEINT stays HUGEINT, which the driver's dump widens to DOUBLE —

@@ -34,4 +34,28 @@ class CurateSpec extends SparkSpec {
     assert(joined.filter($"quality_score" =!= $"q2").count() == 0,
       "composed quality_score diverges from text_quality")
   }
+
+  test("cluster_canonical picks each cluster's best-quality member") {
+    import spark.implicits._
+    val canon = Curate.clusterCanonical(spark, sfDir)
+    val clusters = Dedup.dedupClusters(spark, sfDir)
+    // one canonical per cluster, and it IS a member of that cluster
+    assert(canon.select("cluster_id").distinct().count() == canon.count())
+    assert(canon.count() == clusters.select("cluster_id").distinct().count())
+    assert(canon.select($"canon_id".as("doc_id"), $"cluster_id")
+      .except(clusters).count() == 0)
+    // n_members matches the cluster table's cardinality
+    val sizes = clusters.groupBy($"cluster_id").count()
+    assert(canon.join(sizes, "cluster_id")
+      .filter($"n_members" =!= $"count").count() == 0)
+    // no member of the cluster outscores its canonical (ties break to
+    // the smaller doc_id)
+    val scored = TextAnalysis.textQuality(spark, sfDir)
+      .select($"doc_id", $"quality_score")
+    val better = clusters.join(scored, "doc_id")
+      .join(canon.select($"cluster_id", $"canon_id", $"canon_quality"), "cluster_id")
+      .filter($"quality_score" > $"canon_quality" ||
+        ($"quality_score" === $"canon_quality" && $"doc_id" < $"canon_id"))
+    assert(better.count() == 0, "a cluster member outscores its canonical")
+  }
 }

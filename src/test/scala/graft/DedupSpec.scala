@@ -162,6 +162,45 @@ class DedupSpec extends SparkSpec {
     assert(frac > 0.7 && frac < 0.9, s"train fraction $frac far from 0.8")
   }
 
+  test("stratified_sample is deterministic, a subset, and near its per-stratum rates") {
+    import spark.implicits._
+    val s = graft.ops.TrainPrep.stratifiedSample(spark, sfDir)
+    // re-derivation yields the identical sample (hash-keyed predicate)
+    assert(s.except(graft.ops.TrainPrep.stratifiedSample(spark, sfDir)).count() == 0)
+    // strictly a subset of the corpus
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"lang")
+    assert(s.select("doc_id", "lang").except(docs).count() == 0)
+    // per-stratum rates land near target (hash-uniformity, wide tolerance)
+    val byLang = docs.groupBy($"lang").count()
+      .join(s.groupBy($"lang").count().withColumnRenamed("count", "kept"), "lang")
+      .select($"lang", ($"kept".cast("double") / $"count").as("frac"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val enTarget = graft.ops.TrainPrep.SampleRatePct.toMap.apply("en") / 100.0
+    val defTarget = graft.ops.TrainPrep.DefaultRatePct / 100.0
+    assert(math.abs(byLang("en") - enTarget) < 0.15, s"en frac ${byLang("en")}")
+    byLang.filterNot(_._1 == "en").foreach { case (l, f) =>
+      assert(math.abs(f - defTarget) < 0.15, s"$l frac $f far from $defTarget")
+    }
+  }
+
+  test("quality_histogram partitions the corpus and bins match the scores") {
+    import spark.implicits._
+    val h = graft.ops.TextAnalysis.qualityHistogram(spark, sfDir)
+    // bins partition the corpus: counts sum to the doc total
+    assert(h.agg(sum($"n_docs")).head().getLong(0) ==
+      Tables.documents(spark, sfDir).count())
+    // every doc's score falls inside its bin's [lo, lo+0.05) interval
+    val scored = graft.ops.TextAnalysis.textQuality(spark, sfDir)
+      .select($"doc_id", $"quality_score",
+        floor($"quality_score" * 20).as("bin"))
+    val joined = scored.join(h, "bin")
+    assert(joined.filter($"quality_score" < $"bin_lo" ||
+      $"quality_score" >= $"bin_lo" + 0.05).count() == 0)
+    // n_langs never exceeds the corpus's language count
+    val nLangs = Tables.documents(spark, sfDir).select($"lang").distinct().count()
+    assert(h.filter($"n_langs" > nLangs).count() == 0)
+  }
+
   test("pack_shards: shards are contiguous per language and near the token budget") {
     import spark.implicits._
     val p = graft.ops.TrainPrep.packShards(spark, sfDir)
