@@ -164,6 +164,62 @@ object TextAnalysis {
        |ORDER BY bin""".stripMargin
   }
 
+  /** Top keywords per document to keep in [[tfidfKeywords]]. */
+  val TfidfTopK = 3
+
+  /** TF-IDF keyword extraction: the top-[[TfidfTopK]] tokens per doc by
+    * term-frequency × inverse-document-frequency (smoothed
+    * ln((N+1)/(df+1))), ties broken lexicographically — the classic
+    * cheap doc-keyword/topic signal a curation pipeline logs next to
+    * each document.
+    *
+    * Shape at 100 TB: token counts are one map-side-combined aggregate
+    * over exploded (doc_id, tok) rows; document frequencies aggregate
+    * the same rows to a VOCABULARY-sized table that broadcasts back
+    * (vocab ≪ corpus — a few million terms vs billions of docs); the
+    * top-k is a ranking window hash-partitioned by doc.
+    *
+    * The score RANKS but is not EMITTED: Java's Math.log and DuckDB's
+    * libm ln differ in the last ulp (measured: 0.5112015229231829 vs
+    * ...28 at sf0.01), so the double would hash-mismatch even though
+    * the induced ranking is identical — a rank flip would need two
+    * distinct (tf, df) scores within one ulp of each other, and exact
+    * ties carry the lexicographic tok tie-break in both engines. The
+    * emitted (tf, df) pair is the score's exact integer provenance. */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsPar(spark, dir)
+    val nDocs = docs.count() // corpus cardinality; one cheap count job
+    val tokRows = docs.select($"doc_id", explode(toks($"text")).as("tok"))
+    val tf = tokRows.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tokRows.groupBy($"tok")
+      .agg(countDistinct($"doc_id").as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"tok")
+    tf.join(broadcast(df), "tok")
+      .withColumn("score",
+        $"tf" * log((lit(nDocs) + 1.0) / ($"df" + lit(1.0))))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TfidfTopK)
+      .select($"doc_id", $"rk", $"tok", $"tf", $"df")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  val tfidfKeywordsSql: String =
+    s"""WITH tr AS (
+       |  SELECT doc_id, UNNEST(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tr GROUP BY doc_id, tok),
+       |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tr GROUP BY tok),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT doc_id, rk, tok, tf, df FROM (
+       |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) DESC, tf.tok) AS rk
+       |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+       |WHERE rk <= $TfidfTopK
+       |ORDER BY doc_id, rk""".stripMargin
+
   /** Token counting: whitespace tokens vs a BPE-ish regex lexer
     * (letter runs | digit runs | single punctuation) — the standard cheap
     * proxy for model-token counts in corpus accounting. */

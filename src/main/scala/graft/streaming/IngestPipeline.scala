@@ -8,6 +8,34 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 /** Running per-identifier counters maintained by [[IngestPipeline.runningCounts]]. */
 final case class IdentifierStats(identifier: String, n_records: Long, n_tags: Long)
 
+/** StatefulProcessor behind [[IngestPipeline.runningCountsTws]]: one
+  * ValueState[IdentifierStats] per identifier, TTL-bounded when `ttl` is
+  * non-null. A key read after its TTL lapsed sees no state (get returns
+  * null) and restarts from zero — the same re-register contract the
+  * flatMapGroupsWithState form implements with explicit timers. */
+final class IdentifierStatsProcessor(ttl: java.time.Duration)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Int), IdentifierStats] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var state: ValueState[IdentifierStats] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[IdentifierStats]("stats",
+      org.apache.spark.sql.Encoders.product[IdentifierStats],
+      if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
+
+  override def handleInputRows(id: String, rows: Iterator[(String, Int)],
+      timerValues: TimerValues): Iterator[IdentifierStats] = {
+    val prev = Option(state.get()).getOrElse(IdentifierStats(id, 0L, 0L))
+    var n = prev.n_records
+    var t = prev.n_tags
+    rows.foreach { r => n += 1; t += r._2 }
+    val next = IdentifierStats(id, n, t)
+    state.update(next)
+    Iterator(next)
+  }
+}
+
 /** The reference's streaming dataflow (reference main.go:93-202),
   * re-expressed as Structured Streaming:
   *
@@ -228,6 +256,31 @@ object IngestPipeline {
     recs.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
         runningCountsUpdate(stateTtl))
+  }
+
+  /** [[runningCounts]] in Spark 4's transformWithState form — the
+    * arbitrary-stateful-processing API that supersedes
+    * flatMapGroupsWithState (SPARK-49564): typed per-key ValueState with
+    * a DECLARATIVE TTL (TTLConfig) instead of hand-armed timeout timers,
+    * so bounding state at 100 TB key churn is a config, not control
+    * flow — and expiry is lazy (checked against the batch timestamp on
+    * read, swept by RocksDB maintenance), so no no-data batches are
+    * scheduled for it. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * ...state.RocksDBStateStoreProvider). Same output contract as
+    * [[runningCounts]]. */
+  def runningCountsTws(source: DataFrame,
+      stateTtl: Option[java.time.Duration] = None): org.apache.spark.sql.Dataset[IdentifierStats] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = source.sparkSession
+    import spark.implicits._
+    val recs = parse(source).filter(col("valid"))
+      .select(col("rec.identifier").as("identifier"),
+        coalesce(size(col("rec.tags")), lit(0)).as("n_tags"))
+      .as[(String, Int)]
+    recs.groupByKey(_._1)
+      .transformWithState(new IdentifierStatsProcessor(stateTtl.orNull),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
   /** The per-key state transition of [[runningCounts]], factored out so

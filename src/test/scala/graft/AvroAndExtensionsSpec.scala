@@ -159,6 +159,60 @@ class AvroAndExtensionsSpec extends SparkSpec {
     assert(latest("B") == ((1L, 1L)))
   }
 
+  test("runningCountsTws accumulates and TTL-expired keys restart from zero") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def json(id: String, ms: Long): String =
+      s"""{"identifier":"$id","name":"n","uuid":"u$ms","type":"t","ingestion_time":$ms,"tags":[{"type":"k","value":"v"}]}"""
+    // transformWithState requires the RocksDB state store provider
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[String]
+      // a real trigger interval + deadline-POLLING, not
+      // processAllAvailable: with a state TTL the engine keeps running
+      // no-data batches to advance processing time, so quiescence (which
+      // processAllAvailable waits for) never comes — the same livelock
+      // the flatMapGroupsWithState TTL test documents
+      val q = IngestPipeline.runningCountsTws(mem.toDF(),
+        stateTtl = Some(java.time.Duration.ofMillis(150)))
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("twsck").toString)
+        .start()
+      def pollARows(expect: Seq[Long]): Seq[Long] = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var got = Seq.empty[Long]
+        while (got != expect && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          got = spark.table("tws_out").filter($"identifier" === "A")
+            .select($"n_records").collect().map(_.getLong(0)).sorted.toSeq
+        }
+        got
+      }
+      try {
+        mem.addData(json("A", 1), json("A", 2))
+        assert(pollARows(Seq(2L)) == Seq(2L), "batch 1 should accumulate A to 2")
+        Thread.sleep(600) // let the 150 ms value TTL lapse in wall-clock
+        mem.addData(json("A", 3))
+        // batch 1 emitted 2 (accumulated); the post-TTL batch emits 1:
+        // expired state reads as absent and the key restarts from zero
+        val aRows = pollARows(Seq(1L, 2L))
+        assert(aRows == Seq(1L, 2L),
+          s"expected TTL-expired A to restart from zero, got $aRows")
+      } finally q.stop()
+    } finally {
+      prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("runningCounts state expires after the TTL and re-registers from zero") {
     // Deterministic unit test of the state TRANSITION via TestGroupState
     // (the public harness Spark ships for exactly this): the timeout's
