@@ -220,6 +220,50 @@ object TextAnalysis {
        |WHERE rk <= $TfidfTopK
        |ORDER BY doc_id, rk""".stripMargin
 
+  /** Corpus profiling: per-language one-pass summary — doc count, text
+    * bytes, token totals, doc-length extrema, null/empty hygiene — the
+    * ANALYZE-style statistics a pipeline records before training and
+    * uses for mix planning (alongside [[qualityHistogram]]).
+    *
+    * One map-side-combined aggregate over a narrow projection; every
+    * output is an exact integer (sums stay BIGINT-ranged at any corpus
+    * size; the oracle CASTs DuckDB's HUGEINT sums back). */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nToks = size(toks($"text")).cast("long")
+    Tables.documentsPar(spark, dir)
+      .select($"lang", $"doc_id", length($"text").cast("long").as("n_chars"),
+        nToks.as("n_tokens"),
+        ($"text".isNull || length(trim($"text")) === 0).cast("long").as("is_blank"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum($"n_tokens").as("total_tokens"),
+        min($"n_tokens").as("min_tokens"),
+        max($"n_tokens").as("max_tokens"),
+        sum($"is_blank").as("n_blank"),
+        countDistinct($"doc_id").as("n_distinct_ids"))
+      .orderBy($"lang")
+  }
+
+  val corpusStatsSql: String =
+    """SELECT lang,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  MIN(n_tokens) AS min_tokens,
+      |  MAX(n_tokens) AS max_tokens,
+      |  CAST(SUM(is_blank) AS BIGINT) AS n_blank,
+      |  COUNT(DISTINCT doc_id) AS n_distinct_ids
+      |FROM (SELECT lang, doc_id,
+      |        CAST(length(text) AS BIGINT) AS n_chars,
+      |        CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
+      |        CAST(text IS NULL OR length(trim(text)) = 0 AS BIGINT) AS is_blank
+      |      FROM documents)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Token counting: whitespace tokens vs a BPE-ish regex lexer
     * (letter runs | digit runs | single punctuation) — the standard cheap
     * proxy for model-token counts in corpus accounting. */
