@@ -94,6 +94,43 @@ object Curate {
        |ORDER BY cluster_id""".stripMargin
   }
 
+  /** Cross-split contamination audit: near-duplicate pairs whose members
+    * land in DIFFERENT train/val/test splits — the leakage check every
+    * eval-honest pipeline runs after splitting (a test doc that near-dups
+    * a train doc inflates eval scores exactly like decontamination
+    * misses do).
+    *
+    * Shape at 100 TB: the split is a hash PREDICATE of the id
+    * (TrainPrep.splitExpr), so both sides are labeled with two narrow
+    * projections over the already-materialized pair table — zero joins,
+    * zero extra shuffles; the naive form (join the pair table against a
+    * split table twice) would shuffle the pair table twice for
+    * information its own id columns already carry. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.sharedJaccardPairs(spark, dir)
+      .select($"id_a", $"id_b", $"jaccard",
+        TrainPrep.splitExpr($"id_a").as("split_a"),
+        TrainPrep.splitExpr($"id_b").as("split_b"))
+      .filter($"split_a" =!= $"split_b")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val splitLeakageSql: String = {
+    val jacc = Dedup.dedupJaccardSql.replace("ORDER BY id_a, id_b", "")
+    def sp(c: String) = {
+      val b = s"('0x' || substr(md5('split:' || CAST($c AS VARCHAR)), 1, 15))::BIGINT % 100"
+      s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END"
+    }
+    s"""SELECT * FROM (
+       |  SELECT id_a, id_b, jaccard,
+       |    ${sp("id_a")} AS split_a,
+       |    ${sp("id_b")} AS split_b
+       |  FROM ($jacc))
+       |WHERE split_a <> split_b
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Oracle: the same composition assembled from the already-verified
     * per-stage SQL (clusters via the recursive-CTE closure). The score
     * threshold cut is engine-stable because quality_score is

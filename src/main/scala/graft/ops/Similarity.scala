@@ -166,6 +166,55 @@ object Similarity {
        |WHERE bit_count(xor(bucket, qbucket)) <= $ProbeRadius
        |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
 
+  /** Query-batch size / per-query k for [[annBatchTopK]]: vec_ids below
+    * [[BatchQueries]] are the query batch, the rest are the corpus. */
+  val BatchQueries = 5
+  val BatchK = 3
+
+  /** Batched ANN: top-k neighbors for EVERY query in a batch at once —
+    * the retrieval workhorse shape (embedding dedup against a reference
+    * set, eval-set retrieval, hard-negative mining), where per-query
+    * [[annTopK]] calls would rescan the corpus |batch| times.
+    *
+    * Plan: broadcast the query batch (small side by construction), score
+    * corpus×batch in one codegen'd projection, then rank per q_id with
+    * one window. The ranking shuffle carries only (q_id, vec_id, score)
+    * triples — never embeddings; at production batch sizes q_id is a
+    * high-cardinality, uniform partition key (each query's candidate
+    * list is corpus-sized only here because the fixture scores
+    * exhaustively; the scale path buckets first, as [[annIvf]] does). */
+  def annBatchTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" < BatchQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+    emb.filter($"vec_id" >= BatchQueries)
+      .crossJoin(broadcast(q))
+      .select($"q_id", $"vec_id",
+        cosine(dotD($"embedding", $"qv"),
+          dotD($"embedding", $"embedding"), dotD($"qv", $"qv")).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= BatchK)
+      .orderBy($"q_id", $"rk")
+  }
+
+  val annBatchTopKSql: String = {
+    val score = s"${dotSql("c.embedding", "q.qv")} / " +
+      s"sqrt(${dotSql("c.embedding", "c.embedding")} * ${dotSql("q.qv", "q.qv")})"
+    s"""SELECT q_id, vec_id, score, rk FROM (
+       |  SELECT q.q_id, c.vec_id, $score AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |      ORDER BY $score DESC, c.vec_id) AS rk
+       |  FROM (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+       |        WHERE vec_id < $BatchQueries) q
+       |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+       |              WHERE vec_id >= $BatchQueries) c)
+       |WHERE rk <= $BatchK
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket with sign-LSH, score
     * only same-bucket pairs, keep cosine ≥ 0.3 (calibrated to the
     * fixture's max inter-vector cosine ≈ 0.4). The same-bucket self-join

@@ -264,6 +264,42 @@ object TextAnalysis {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Provenance mix profiling: per (source, lang) volume, exact-dup
+    * rate, and token totals — the table a corpus mix-planning step reads
+    * to weight sources (a source with a high dup_ratio is boilerplate-
+    * heavy and gets down-weighted before any expensive near-dup pass).
+    *
+    * Shape: one narrow projection (digest + token count, both
+    * codegen'd), one keyed aggregation; the distinct-digest count
+    * shuffles (source, lang, digest) only — never text. dup_ratio is a
+    * single IEEE division of two exact ints, bit-identical cross-engine. */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documentsPar(spark, dir)
+      .select($"source", $"lang",
+        md5(norm($"text")).as("digest"),
+        size(toks($"text")).cast("long").as("n_tokens"))
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"digest").as("n_unique"),
+        sum($"n_tokens").as("total_tokens"))
+      .withColumn("dup_ratio",
+        lit(1.0) - $"n_unique".cast("double") / $"n_docs".cast("double"))
+      .orderBy($"source", $"lang")
+  }
+
+  val sourceMixSql: String =
+    """SELECT source, lang, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT digest) AS n_unique,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(1 AS DOUBLE) - CAST(COUNT(DISTINCT digest) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+      |FROM (SELECT source, lang,
+      |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest,
+      |        CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
+      |      FROM documents)
+      |GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
+
   /** Token counting: whitespace tokens vs a BPE-ish regex lexer
     * (letter runs | digit runs | single punctuation) — the standard cheap
     * proxy for model-token counts in corpus accounting. */

@@ -17,6 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object TrainPrep {
 
+  /** Hash bucket (0-99) of an id column under the split keying. */
+  private def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(
+      conv(substring(md5(concat(lit("split:"), id.cast("string"))), 1, 15), 16, 10)
+        .cast("long"), lit(100L))
+
+  /** train/val/test label of an id column — the split as a PREDICATE
+    * (a pure hash of the id), factored out so audits apply it to any id
+    * column in place (Curate.splitLeakage labels both sides of a pair
+    * frame with two projections and ZERO joins) instead of joining a
+    * materialized split table. */
+  def splitExpr(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val b = splitBucket(id)
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
   /** Deterministic train/val/test assignment: bucket = md5-hash of the
     * doc id mod 100, split by 80/10/10. Hash-keyed (not random, not
     * modulo-of-id): stable under corpus growth and reshuffling, and any
@@ -24,13 +40,9 @@ object TrainPrep {
     * leakage-free splits at corpus scale. */
   def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bucket = pmod(
-      conv(substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
-        .cast("long"), lit(100L))
     Tables.documentsPar(spark, dir)
-      .select($"doc_id", bucket.as("bucket"),
-        when(bucket < 80, "train").when(bucket < 90, "val")
-          .otherwise("test").as("split"))
+      .select($"doc_id", splitBucket($"doc_id").as("bucket"),
+        splitExpr($"doc_id").as("split"))
       .orderBy($"doc_id")
   }
 
@@ -55,7 +67,7 @@ object TrainPrep {
     * high-cardinality (date × source bucket, not a 5-value language
     * column — the fixture keys by lang only because the oracle stays
     * readable; the plan shape is identical for any key). */
-  def packShards(spark: SparkSession, dir: String): DataFrame = {
+  private def packedOf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nTokens = size(regexp_extract_all($"text",
       lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
@@ -66,8 +78,31 @@ object TrainPrep {
       .withColumn("cum", sum($"n_tokens").over(w))
       .select($"doc_id", $"lang", $"n_tokens",
         floor(($"cum" - $"n_tokens") / ShardTokenBudget).as("shard_id"))
-      .orderBy($"doc_id")
   }
+
+  def packShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    packedOf(spark, dir).orderBy($"doc_id")
+  }
+
+  /** Shard manifest: per (lang, shard) doc count, token total, and
+    * doc-id range — the small table a training loader reads to plan
+    * shard fetches (and the audit that every shard lands ≈ the token
+    * budget). One keyed aggregation downstream of the same
+    * running-sum window as [[packShards]]; Spark reuses the window's
+    * hash partitioning on lang for the groupBy, so the agg adds no
+    * second full shuffle of the packed rows. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    packedOf(spark, dir)
+      .groupBy($"lang", $"shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("shard_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"lang", $"shard_id")
+  }
+
 
   /** Per-language sampling rates (percent) for the stratified sample:
     * the corpus-mix rebalance every training pipeline runs (down-weight
@@ -121,4 +156,17 @@ object TrainPrep {
        |              len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens
        |            FROM documents))
        |ORDER BY doc_id""".stripMargin
+
+  // declared after packShardsSql: object vals initialize in source order
+  val shardManifestSql: String = {
+    // stripSuffix, NOT replace: the window's own "ORDER BY doc_id" (the
+    // running-sum ordering) must survive; only the final sort goes.
+    val packed = packShardsSql.stripSuffix("ORDER BY doc_id")
+    s"""SELECT lang, shard_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM ($packed)
+       |GROUP BY lang, shard_id
+       |ORDER BY lang, shard_id""".stripMargin
+  }
 }
