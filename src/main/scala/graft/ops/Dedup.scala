@@ -350,6 +350,66 @@ object Dedup {
        |      CAST(len(list_distinct(list_concat(sa.toks, sb.toks))) AS DOUBLE) >= 0.1
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Incremental dedup: verify a NEW ARRIVAL BATCH against the existing
+    * corpus — the production shape of LSH dedup, where the corpus's
+    * signature/bucket table is already materialized and each ingest
+    * batch is checked against it (re-clustering the world per batch, as
+    * [[dedupClusters]] does, is a backfill job, not an ingest step).
+    * "New" here = doc_id ≡ 0 (mod 5), a scale-factor-independent 20%
+    * stand-in for an arrival batch.
+    *
+    * Shape at 100 TB: the batch's bucket rows are tiny next to the
+    * corpus's, so the candidate join broadcasts the batch side and
+    * touches only corpus buckets whose keys the batch hits — cost scales
+    * with the BATCH, not the corpus. The bucket-size cap is applied on
+    * the combined bucket table (same guard, same semantics as
+    * [[lshPairs]]); the jaccard verify is the same hashed-set intersect,
+    * shuffling ids and 60-bit longs only. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = sharedSigSets(spark, dir)
+    val b = cappedBuckets(sig, MaxBucketSize)
+    val isNew = col("doc_id") % 5 === 0
+    val pairs = b.filter(isNew).as("a")
+      .join(b.filter(!isNew).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+      .distinct()
+    val sets = sig.select($"doc_id", $"tokset", $"n")
+    pairs
+      .join(sets.select($"doc_id".as("new_id"), $"tokset".as("set_a"), $"n".as("n_a")), "new_id")
+      .join(sets.select($"doc_id".as("old_id"), $"tokset".as("set_b"), $"n".as("n_b")), "old_id")
+      .withColumn("inter", size(array_intersect($"set_a", $"set_b")))
+      .withColumn("jaccard",
+        $"inter".cast("double") / ($"n_a" + $"n_b" - $"inter").cast("double"))
+      .filter($"jaccard" >= 0.1)
+      .select($"new_id", $"old_id", $"jaccard")
+      .orderBy($"new_id", $"old_id")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id, ${minhashSqlExprs.mkString(", ")},
+       |    list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS toks
+       |  $duckShingleFrom),
+       |buckets0 AS (SELECT doc_id, UNNEST([$duckBands]) AS bk FROM sig),
+       |buckets AS (SELECT doc_id, bk.band AS band, bk.key AS key FROM buckets0
+       |            QUALIFY COUNT(*) OVER (PARTITION BY bk.band, bk.key) <= $MaxBucketSize),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0)
+       |SELECT new_id, old_id,
+       |  CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) /
+       |  CAST(len(list_distinct(list_concat(sa.toks, sb.toks))) AS DOUBLE) AS jaccard
+       |FROM pairs
+       |JOIN sig sa ON sa.doc_id = new_id
+       |JOIN sig sb ON sb.doc_id = old_id
+       |WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(sa.toks, sb.toks))) AS DOUBLE) >= 0.1
+       |ORDER BY new_id, old_id""".stripMargin
+
   /** SimHash bits (16). bit_j votes +1/-1 per distinct token by the top
     * bit of md5(j ':' token); the doc's bit is 1 iff the vote sum is
     * positive. Integer votes — no FP, bit-identical across engines. */

@@ -264,6 +264,32 @@ object TextAnalysis {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Vocabulary size for [[vocabTopN]]. */
+  val VocabTopN = 50
+
+  /** Token frequency table, top-N: the first step of vocabulary/BPE
+    * training and of stopword-list induction — the canonical
+    * shuffle-heavy word-count, kept cheap at scale by map-side combine
+    * (partial counts per partition, only (token, count) pairs shuffle)
+    * and a TakeOrderedAndProject for the top-N (per-partition heaps;
+    * N rows per partition reach the driver, never the vocabulary). */
+  def vocabTopN(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documentsPar(spark, dir)
+      .select(explode(toks($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"token")
+      .limit(VocabTopN)
+  }
+
+  val vocabTopNSql: String =
+    s"""SELECT token, COUNT(*) AS freq
+       |FROM (SELECT UNNEST(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+       |      FROM documents)
+       |GROUP BY token
+       |ORDER BY freq DESC, token
+       |LIMIT $VocabTopN""".stripMargin
+
   /** Provenance mix profiling: per (source, lang) volume, exact-dup
     * rate, and token totals — the table a corpus mix-planning step reads
     * to weight sources (a source with a high dup_ratio is boilerplate-

@@ -157,6 +157,52 @@ object TrainPrep {
        |            FROM documents))
        |ORDER BY doc_id""".stripMargin
 
+  /** Context-window chunking: tokens per chunk / stride (stride <
+    * ChunkTokens ⇒ 16-token overlap, the standard trick so no span is
+    * ever split across a boundary without also appearing whole). */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** Document chunking for a fixed context window: each doc explodes
+    * into overlapping token windows of [[ChunkTokens]], starting every
+    * [[ChunkStride]] tokens — the step between curated docs and
+    * fixed-length training sequences.
+    *
+    * Shape at 100 TB: the start offsets come from `sequence()` +
+    * `explode` (pure narrow, no shuffle — chunking is embarrassingly
+    * parallel), and each chunk's text is a `slice` + `array_join`
+    * projection of the doc's own token array, all codegen'd. Output
+    * rows carry chunk text, so this is the one op whose OUTPUT is
+    * corpus-sized × overlap-factor — downstream consumers should write
+    * it straight to storage, never shuffle it. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = split(regexp_replace(lower(trim($"text")), "\\s+", " "), " ")
+    Tables.documentsPar(spark, dir)
+      .select($"doc_id", t.as("toks"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(1), greatest(size($"toks"), lit(1)),
+          lit(ChunkStride))).as("start"))
+      .withColumn("chunk", slice($"toks", $"start", lit(ChunkTokens)))
+      .select($"doc_id",
+        floor(($"start" - 1) / ChunkStride).cast("long").as("chunk_id"),
+        array_join($"chunk", " ").as("chunk_text"),
+        size($"chunk").as("n_chunk_tokens"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val chunkDocsSql: String =
+    s"""SELECT doc_id,
+       |  CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,
+       |  array_to_string(toks[start:start + ${ChunkTokens - 1}], ' ') AS chunk_text,
+       |  len(toks[start:start + ${ChunkTokens - 1}]) AS n_chunk_tokens
+       |FROM (SELECT doc_id, toks,
+       |        UNNEST(range(1, greatest(len(toks), 1) + 1, $ChunkStride)) AS start
+       |      FROM (SELECT doc_id,
+       |              string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |            FROM documents))
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   // declared after packShardsSql: object vals initialize in source order
   val shardManifestSql: String = {
     // stripSuffix, NOT replace: the window's own "ORDER BY doc_id" (the
