@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AvroDecodeIngestion, VecDot}
+import graft.functions.{AvroDecodeIngestion, Bottom2, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -32,6 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         arity("vec_dot", "vec_dot(array<float>, array<float>)", 2)(children)
         VecDot(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bottom2"),
+      new ExpressionInfo(classOf[Bottom2].getName, "bottom2"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("bottom2", "bottom2(orderable)", 1)(children)
+        Bottom2(children.head).toAggregateExpression()
       }))
     ext.injectFunction((
       new FunctionIdentifier("avro_decode_ingestion"),

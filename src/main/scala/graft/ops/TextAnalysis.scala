@@ -431,8 +431,10 @@ object TextAnalysis {
     * Shape: positions exploded to rows so the normalization runs once per
     * doc and each md5 is a codegen'd per-row projection (a per-doc array
     * lambda evaluates interpreted and re-evaluates its captured base per
-    * element — 30× slower at sf0.1); the bottom-2 reduce is a map-side
-    * combining aggregate keyed by doc_id. */
+    * element — 30× slower at sf0.1); the bottom-2 reduce is the
+    * constant-buffer [[graft.functions.Bottom2]] DeclarativeAggregate
+    * over pre-deduped (doc_id, hash) rows — bounded per-group state at
+    * any document length (see Bottom2's scaladoc for the trade). */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val positions = Tables.documentsPar(spark, dir)
@@ -442,15 +444,23 @@ object TextAnalysis {
           .otherwise(array().cast("array<int>"))).as("i"))
     positions
       .select($"doc_id", md5($"nt".substr($"i", lit(8))).as("h"))
+      // dedup first (map-side-combined), then reduce with the CONSTANT-
+      // BUFFER Bottom2 aggregate + an exact distinct count sharing the
+      // same deduped rows. The r3 form collect_set the whole hash set
+      // per doc into an ObjectHashAggregate buffer — per-group state
+      // proportional to doc length; this shape's per-group state is two
+      // string slots + a counter, in a codegen'd HashAggregate, at the
+      // cost of one extra shuffle of already-deduped (doc_id, h) pairs.
+      .distinct()
       .groupBy($"doc_id")
-      // collect_set dedupes — no pre-distinct (it would be a second shuffle)
-      .agg(sort_array(collect_set($"h")).as("hs"))
+      .agg(graft.functions.Bottom2.bottom2($"h").as("hs2"),
+        count($"h").cast("int").as("n_kgrams"))
       // try_element_at: a doc with < 2 distinct 8-grams yields a NULL
       // fingerprint (concat null-propagates), matching the oracle's
       // hs[2] -> NULL — where ANSI element_at would throw (ADVICE r2)
       .select($"doc_id",
-        concat(try_element_at($"hs", lit(1)), lit("|"), try_element_at($"hs", lit(2))).as("fingerprint"),
-        size($"hs").as("n_kgrams"))
+        concat(try_element_at($"hs2", lit(1)), lit("|"), try_element_at($"hs2", lit(2))).as("fingerprint"),
+        $"n_kgrams")
       .orderBy($"doc_id")
   }
 
