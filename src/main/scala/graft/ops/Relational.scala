@@ -104,6 +104,57 @@ object Relational {
       |FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
       |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin
 
+  /** §2.5 — FULL OUTER join, both sides genuinely unmatched: per-user
+    * purchase vs signup activity (users who only purchased, only signed
+    * up, or did both). USING-style key join so the key column coalesces
+    * across sides; both inputs are pre-aggregated, so the outer join
+    * runs on small keyed frames, not raw events. */
+  def joinFull(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val p = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(count(lit(1)).as("n_purchases"))
+    val s = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(count(lit(1)).as("n_signups"))
+    p.join(s, Seq("user_id"), "full_outer")
+      .select($"user_id",
+        coalesce($"n_purchases", lit(0L)).as("n_purchases"),
+        coalesce($"n_signups", lit(0L)).as("n_signups"))
+      .orderBy($"user_id")
+  }
+
+  val joinFullSql: String =
+    """SELECT user_id,
+      |  COALESCE(n_purchases, 0) AS n_purchases,
+      |  COALESCE(n_signups, 0) AS n_signups
+      |FROM (SELECT user_id, COUNT(*) AS n_purchases FROM events
+      |      WHERE event_type = 'purchase' GROUP BY user_id) p
+      |FULL JOIN (SELECT user_id, COUNT(*) AS n_signups FROM events
+      |           WHERE event_type = 'signup' GROUP BY user_id) s USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  /** §2.6 — arbitrary GROUPING SETS (not the rollup/cube lattice):
+    * per-type totals, per-user-bucket totals, and the grand total in one
+    * pass, disambiguated by grouping_id. Spark plans this as one Expand
+    * + hash aggregate — rows replicate once per matching set, partials
+    * combine map-side; no multi-query union. */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("ub", pmod($"user_id", lit(4L)))
+      .groupingSets(Seq(Seq($"event_type"), Seq($"ub"), Seq.empty),
+        $"event_type", $"ub")
+      .agg(count(lit(1)).as("cnt"), grouping_id().cast("int").as("gid"))
+      .orderBy($"gid", $"event_type".asc_nulls_first, $"ub".asc_nulls_first)
+  }
+
+  val aggGroupingSetsSql: String =
+    """SELECT event_type, ub, COUNT(*) AS cnt,
+      |  CAST(GROUPING(event_type, ub) AS INTEGER) AS gid
+      |FROM (SELECT event_type, user_id % 4 AS ub FROM events)
+      |GROUP BY GROUPING SETS ((event_type), (ub), ())
+      |ORDER BY gid, event_type NULLS FIRST, ub NULLS FIRST""".stripMargin
+
   /** §2.6 — distinct aggregation: exact COUNT(DISTINCT) per group. At
     * scale Spark plans this as a two-phase expand/partial-agg — no
     * driver-side distinct. The HLL approximate variant is registered
