@@ -264,6 +264,41 @@ object Dedup {
     spark.table(view)
   }
 
+  /** Public name for the signature table of an arbitrary documents
+    * frame — what a production pipeline materializes next to the corpus
+    * and hands to [[incrementalAgainst]] per arrival batch. */
+  def signatures(docs: DataFrame): DataFrame = sigSetsOf(docs)
+
+  /** Streaming-ingest near-dup screening: verified pairs of an arrival
+    * batch against a PREBUILT corpus signature table ([[signatures]]).
+    * The batch is signed on the fly (it is batch-sized) and its bucket
+    * rows BROADCAST into the probe of the corpus bucket table, so
+    * per-batch cost is O(batch + corpus buckets whose keys the batch
+    * hits) — never a corpus scan. This is the foreachBatch screening
+    * stage of a streaming corpus ingest (exercised end-to-end in
+    * StreamingSpec); the batch-SQL stand-in with an oracle is
+    * [[dedupIncremental]]. */
+  def incrementalAgainst(corpusSigs: DataFrame, batch: DataFrame,
+      cap: Int = MaxBucketSize): DataFrame = {
+    import batch.sparkSession.implicits._
+    val newSigs = sigSetsOf(batch).localCheckpoint(eager = false)
+    val pairs = broadcast(bucketsOf(newSigs)).as("a")
+      .join(dropOversized(bucketsOf(corpusSigs), cap).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+      .distinct()
+    pairs
+      .join(broadcast(newSigs.select($"doc_id".as("new_id"),
+        $"tokset".as("set_a"), $"n".as("n_a"))), "new_id")
+      .join(corpusSigs.select($"doc_id".as("old_id"),
+        $"tokset".as("set_b"), $"n".as("n_b")), "old_id")
+      .withColumn("inter", size(array_intersect($"set_a", $"set_b")))
+      .withColumn("jaccard",
+        $"inter".cast("double") / ($"n_a" + $"n_b" - $"inter").cast("double"))
+      .filter($"jaccard" >= 0.1)
+      .select($"new_id", $"old_id", $"jaccard")
+  }
+
   def dedupJaccardOf(docs: DataFrame, cap: Int = MaxBucketSize): DataFrame =
     jaccardOfSigSets(sigSetsOf(docs).localCheckpoint(eager = false), cap)
 

@@ -1,0 +1,92 @@
+package graft
+
+import graft.ops.{Dedup, Ingest}
+import graft.streaming.{IngestPipeline, Maintenance}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Index compaction and the streaming near-dup screening stage — the
+  * two maintenance/ingest pieces a long-running corpus pipeline needs
+  * beyond the per-query operators. */
+class MaintenanceSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def json(uuid: String, ms: Long): String =
+    s"""{"identifier":"i","name":"n","uuid":"$uuid","type":"t","ingestion_time":$ms}"""
+
+  test("compactDay rewrites a day's epoch files losslessly; alias repoints") {
+    import spark.implicits._
+    val (indexDir, dlqDir) = (tmp("cidx"), tmp("cdlq"))
+    // three epochs of the same day → three epoch_id directories
+    val day = "2023-11-14" // 1700000000000L
+    (0 until 3).foreach { epoch =>
+      val batch = Seq(json(s"u$epoch-a", 1700000000000L + epoch),
+        json(s"u$epoch-b", 1700000000000L + epoch))
+        .toDF("value")
+        .withColumn("rec", from_json($"value", graft.model.Schemas.ingestion))
+        .withColumn("valid", lit(true))
+      IngestPipeline.writeBatch(batch, epoch.toLong, indexDir, dlqDir)
+    }
+    val before = spark.read.parquet(indexDir)
+      .filter($"persist_date" === day)
+    val beforeFiles = before.inputFiles.length
+    assert(beforeFiles >= 3, s"expected ≥3 epoch files, got $beforeFiles")
+
+    val outDir = tmp("cout")
+    val n = Maintenance.compactDay(spark, indexDir, day, outDir)
+    val after = spark.read.parquet(outDir)
+    assert(after.inputFiles.length == n, "file count != reported count")
+    assert(after.inputFiles.length < beforeFiles, "compaction did not reduce files")
+    // lossless: same (uuid, epoch_id) multiset — provenance column kept
+    assert(before.select($"uuid", $"epoch_id")
+      .exceptAll(after.select($"uuid", $"epoch_id")).count() == 0)
+    assert(after.select($"uuid", $"epoch_id")
+      .exceptAll(before.select($"uuid", $"epoch_id")).count() == 0)
+
+    // the date-pinned alias repoints to the compacted dir atomically and
+    // serves identical rows
+    Ingest.pointIndexAlias(spark, "cmp_alias", outDir, day)
+    assert(spark.table("cmp_alias").count() == before.count())
+  }
+
+  test("compactDay rejects a malformed date") {
+    intercept[IllegalArgumentException] {
+      Maintenance.compactDay(spark, "/tmp/x", "2023-1-1'; DROP", "/tmp/y")
+    }
+  }
+
+  test("streaming ingest screens arrival batches against the corpus signatures") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus of three docs; signatures materialized once (the table a
+    // production pipeline persists next to the corpus)
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight"),
+      (2L, "red orange yellow green blue indigo violet purple"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.signatures(corpus).localCheckpoint()
+
+    val mem = MemoryStream[(Long, String)]
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dedup.incrementalAgainst(sigs, batch)
+          .collect().foreach(r => flagged.synchronized {
+            flagged += ((r.getLong(0), r.getLong(1))); () })
+        ()
+      }
+      .start()
+    // 10: near-dup of corpus doc 0 (one token changed); 11: novel text
+    mem.addData((10L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (11L, "completely different words with no overlap here at all"))
+    q.awaitTermination(60000)
+
+    assert(flagged.toSet == Set((10L, 0L)),
+      s"expected only (10,0) flagged, got $flagged")
+  }
+}
