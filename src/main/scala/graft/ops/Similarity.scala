@@ -166,6 +166,98 @@ object Similarity {
        |WHERE bit_count(xor(bucket, qbucket)) <= $ProbeRadius
        |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
 
+  /** Per-position centroid component rows (label, 0-based pos, mean).
+    * The mean routes through the exact DECIMAL accumulator
+    * (graft.Exact.davg) — float→double widening is exact and the decimal
+    * sum is order-independent, so centroid components are bit-identical
+    * across engines AND across cluster partition orders. */
+  private def centroidRows(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.select($"label", posexplode($"embedding").as(Seq("pos0", "xf")))
+      .groupBy($"label", $"pos0")
+      .agg(graft.Exact.davg($"xf".cast("double")).as("m"))
+  }
+
+  /** The exact-mean SQL expression (x must already be DOUBLE); the
+    * VARCHAR route makes DuckDB parse the same shortest-repr decimal
+    * Spark does — see Relational.q1AggSql. */
+  private def davgSql(x: String): String =
+    s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / COUNT($x)"
+
+  /** Shared DuckDB CTE: per-(label, 1-based pos) exact centroid means. */
+  private val centroidRowsSql: String =
+    s"""SELECT label, px.pos AS pos, ${davgSql("px.x")} AS m
+       |  FROM (SELECT label, UNNEST(list_transform(range(1, len(embedding) + 1),
+       |          i -> {pos: i, x: CAST(embedding[i] AS DOUBLE)})) AS px
+       |        FROM embeddings)
+       |  GROUP BY label, px.pos""".stripMargin
+
+  /** Per-label centroid components — the training step of an IVF coarse
+    * quantizer (supervised labels standing in for k-means cells) and
+    * the class prototypes of nearest-centroid classification. Row form
+    * (label, pos, m), one exact mean per component: the positional
+    * explode keeps the aggregation a plain two-key HashAggregate with
+    * map-side partials — (label, pos) has cardinality labels×dim, so it
+    * parallelizes perfectly at any corpus size, and no per-group state
+    * ever holds a whole vector. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    centroidRows(Tables.embeddings(spark, dir))
+      .select($"label", ($"pos0" + 1).as("pos"), $"m")
+      .orderBy($"label", $"pos")
+  }
+
+  val labelCentroidsSql: String =
+    s"""SELECT label, pos, m FROM ($centroidRowsSql)
+       |ORDER BY label, pos""".stripMargin
+
+  /** Nearest-centroid assignment + confusion counts: every vector scored
+    * against every label centroid (5 rows, broadcast), argmax by cosine,
+    * then (true label, assigned) counts — the IVF list-assignment step
+    * and the sanity check that centroids separate the label structure.
+    * Centroid components round double→float before scoring (IEEE
+    * round-to-nearest, identical both engines) so the hot loop stays in
+    * the codegen'd float-array VecDot. */
+  def centroidAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cents = centroidRows(emb)
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos0", $"m"))).as("pm"))
+      .select($"label".as("c_label"),
+        transform($"pm", p => p("m").cast("float")).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"score".desc, $"c_label")
+    emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"label", $"c_label",
+        cosine(dotD($"embedding", $"cv"),
+          dotD($"embedding", $"embedding"), dotD($"cv", $"cv")).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .groupBy($"label", $"c_label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"label", $"c_label")
+  }
+
+  val centroidAssignSql: String = {
+    val score = s"${dotSql("e.embedding", "c.cv")} / " +
+      s"sqrt(${dotSql("e.embedding", "e.embedding")} * ${dotSql("c.cv", "c.cv")})"
+    s"""WITH pm AS (
+       |$centroidRowsSql),
+       |cents AS (SELECT label AS c_label,
+       |            list(CAST(m AS FLOAT) ORDER BY pos) AS cv
+       |          FROM pm GROUP BY label),
+       |scored AS (
+       |  SELECT e.label, c.c_label,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY $score DESC, c.c_label) AS rk
+       |  FROM embeddings e CROSS JOIN cents c)
+       |SELECT label, c_label, COUNT(*) AS n
+       |FROM scored WHERE rk = 1
+       |GROUP BY label, c_label
+       |ORDER BY label, c_label""".stripMargin
+  }
+
   /** Query-batch size / per-query k for [[annBatchTopK]]: vec_ids below
     * [[BatchQueries]] are the query batch, the rest are the corpus. */
   val BatchQueries = 5
