@@ -42,33 +42,57 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm failed (continuing uncached): ${e.getMessage}")
       }
+    // per-query shuffle write bytes (diagnostic column, VERDICT r3 #3):
+    // accumulated from completed-stage task metrics, snapshotted after
+    // draining the listener bus so deltas attribute to the right query
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) { shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+      }
+    })
+    def shuffleSnapshot(): Long = {
+      org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
+      shuffleBytes.get()
+    }
     var failed = List.empty[String]
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Boolean, Double) = {
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Boolean, Double, Long) = {
+      val s0 = shuffleSnapshot()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
-      (ok, (System.nanoTime() - t0) / 1e9)
+      (ok, (System.nanoTime() - t0) / 1e9, shuffleSnapshot() - s0)
     }
     // optional args = query names to bench (iteration aid); no args = all
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (ok1, dt1) = timeOnce(name, fn)
-      val (ok, dt) =
-        if (!ok1) (false, dt1)
-        else { val (ok2, dt2) = timeOnce(name, fn); (ok2, math.min(dt1, dt2)) }
+      val (ok1, dt1, sh1) = timeOnce(name, fn)
+      val (ok, dt, sh) =
+        if (!ok1) (false, dt1, sh1)
+        else {
+          // time = best of 2 (codegen warm-up); shuffle bytes from the
+          // second, warm run (deterministic, but the shared-funnel temp
+          // views materialize during run 1 — run 2 is the steady state)
+          val (ok2, dt2, sh2) = timeOnce(name, fn)
+          (ok2, math.min(dt1, dt2), sh2)
+        }
       if (!ok) failed ::= name
-      name -> (if (ok) dt else -dt)
+      (name, if (ok) dt else -dt, sh)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val shuffles = results.map { case (k, _, s) => "\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$shuffles,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -502,28 +502,84 @@ object TextAnalysis {
     * — the corpus's non-shared grams (≈ all of them) die in the map-side
     * hash probe. A left join back keeps clean docs at n_shared = 0.
     */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    def grams(df: DataFrame): DataFrame = df
-      .select($"doc_id", norm($"text").as("nt"))
+  /** (doc_id, g) rows: 60-bit hashes of each doc's char-8-grams. */
+  private def gramRows(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"doc_id", norm($"text").as("nt"))
       .select($"doc_id", explode(
         when(length($"nt") >= 8, sequence(lit(1), length($"nt") - 7))
           .otherwise(array().cast("array<int>"))).as("i"), $"nt")
       .select($"doc_id",
         conv(substring(md5($"nt".substr($"i", lit(8))), 1, 15), 16, 10)
           .cast("long").as("g"))
-    val docs = Tables.documentsPar(spark, dir)
-    val evalGrams = grams(docs.filter($"doc_id" < EvalDocCount))
-      .select($"g").distinct()
-    val shared = grams(docs.filter($"doc_id" >= EvalDocCount))
-      .join(broadcast(evalGrams), "g") // narrow probe first — see scaladoc
-      .distinct() // then distinct the survivors, so n_shared counts grams once
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** (doc_id, exact n_shared, contaminated) for corpus docs, given the
+    * per-doc counts of eval-set gram hits. */
+  private def contaminationReport(docs: DataFrame, shared: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     docs.filter($"doc_id" >= EvalDocCount).select($"doc_id")
       .join(shared, Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"n_shared", lit(0L)).as("n_shared"),
         (coalesce($"n_shared", lit(0L)) > 0).as("contaminated"))
       .orderBy($"doc_id")
+  }
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsPar(spark, dir)
+    val evalGrams = gramRows(docs.filter($"doc_id" < EvalDocCount))
+      .select($"g").distinct()
+    val shared = gramRows(docs.filter($"doc_id" >= EvalDocCount))
+      .join(broadcast(evalGrams), "g") // narrow probe first — see scaladoc
+      .distinct() // then distinct the survivors, so n_shared counts grams once
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    contaminationReport(docs, shared)
+  }
+
+  /** Expected distinct eval grams for the bloom's sizing (fixture-scale;
+    * production passes the eval benchmark's measured cardinality). */
+  val BloomExpectedItems = 4096L
+
+  /** [[decontaminate]] with a BLOOM pre-filter on the corpus side — the
+    * 100 TB form of the same query, with IDENTICAL output (and the same
+    * oracle): the corpus gram stream first probes a bloom of the eval
+    * grams (~1.2 bytes/item instead of 8+; no false NEGATIVES, so
+    * nothing real is lost), and only the survivors — true hits plus the
+    * bloom's ~1% false positives — reach the exact broadcast join that
+    * removes the false positives. At fixture scale both plans broadcast
+    * comfortably; at a 100 TB corpus vs a large eval suite the bloom is
+    * what keeps the probe side map-side when the exact gram set no
+    * longer fits executor broadcast budgets.
+    *
+    * Mechanics: the bloom is built by Spark's own
+    * `BloomFilterAggregate` (the engine's runtime-filter sketch) over
+    * the 60-bit gram hashes, fetched as ONE binary row — a sketch
+    * build, exactly how InjectRuntimeFilter executes its bloom
+    * subqueries — and re-enters the plan as a literal inside
+    * `BloomFilterMightContain`, which requires a constant sketch and
+    * deserializes it once per task, not per row. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val docs = Tables.documentsPar(spark, dir)
+    val evalGrams = gramRows(docs.filter($"doc_id" < EvalDocCount))
+      .select($"g").distinct()
+    val bloomBytes = evalGrams
+      .agg(Bridge.column(new BloomFilterAggregate(
+        Bridge.expression($"g"), BloomExpectedItems).toAggregateExpression()))
+      .first().getAs[Array[Byte]](0)
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      Bridge.expression($"g")))
+    val shared = gramRows(docs.filter($"doc_id" >= EvalDocCount))
+      .filter(mightContain)            // bloom prune: no false negatives
+      .join(broadcast(evalGrams), "g") // exact confirm: false positives die
+      .distinct()
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    contaminationReport(docs, shared)
   }
 
   val decontaminateSql: String =
