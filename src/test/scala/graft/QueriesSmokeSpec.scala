@@ -64,4 +64,28 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
       s"plan was:\n$plan")
   }
+
+  test("ann_batch_topk pushes a partial rank limit below the exchange") {
+    val plan = graft.ops.Similarity.annBatchTopK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // WindowGroupLimit Partial = per-partition top-k BEFORE the q_id
+    // shuffle — only ≤k candidate rows per (query, partition) move
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"plan was:\n$plan")
+  }
+
+  test("shard_manifest reuses the pack window's lang partitioning (no extra hash exchange)") {
+    val plan = graft.ops.TrainPrep.shardManifest(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"expected 1 hash exchange (the lang window shuffle), got $hashExchanges:\n$plan")
+  }
+
+  test("dedup_incremental joins buckets with a broadcast, not a sort-merge") {
+    val plan = graft.ops.Dedup.dedupIncremental(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan was:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"plan was:\n$plan")
+  }
 }
