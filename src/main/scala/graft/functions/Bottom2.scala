@@ -19,9 +19,24 @@ import org.apache.spark.sql.types._
   * per group in an ObjectHashAggregate buffer — per-group state
   * proportional to document length, exactly what blows up executor
   * memory at 100 TB. This is a [[DeclarativeAggregate]] instead: the
-  * buffer is two fixed slots, every update/merge is a pure CASE
-  * expression, so groups aggregate inside a plain codegen'd
-  * HashAggregate with constant per-group state and map-side partials.
+  * buffer is two fixed slots and every update/merge is a pure CASE
+  * expression, so per-group state is constant and partials combine
+  * map-side.
+  *
+  * Aggregate STRATEGY depends on the child type: with fixed-width
+  * buffer slots (long, int, double — docFingerprint feeds 60-bit digest
+  * longs) this runs as a real codegen'd HashAggregate; with var-length
+  * slots (string) Spark 4 plans SortAggregate instead, because
+  * UnsafeRow cannot mutate var-length buffer fields — still
+  * constant-state and correct, but it adds per-partition sorts, so
+  * hash-encode first when the input has a faithful fixed-width form
+  * (Bottom2Spec pins both plan shapes).
+  *
+  * Ordering caveat: comparisons are LessThan/EqualTo, i.e. Spark's
+  * binary comparison operators. For floating-point children with NaN
+  * these disagree with sort_array's total order (NaN sorts last but
+  * `x < NaN` is false); integral, string, decimal and timestamp
+  * children are exact.
   *
   * Distinctness is handled in the transition itself (an incoming value
   * equal to the current min is a no-op), so no DISTINCT rewrite or

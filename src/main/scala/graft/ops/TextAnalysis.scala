@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private def norm(c: Column): Column =
+  // private[graft]: the ONE corpus normalization/tokenization, shared by
+  // TrainPrep (chunking) and tests — a second inline copy would let
+  // chunk boundaries drift from token counts if normalization changes
+  private[graft] def norm(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
-  private def toks(c: Column): Column = split(norm(c), " ")
+  private[graft] def toks(c: Column): Column = split(norm(c), " ")
 
   /** (lang, stopword list) pairs for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose: a real system ships the top-50 stopwords
@@ -431,10 +434,21 @@ object TextAnalysis {
     * Shape: positions exploded to rows so the normalization runs once per
     * doc and each md5 is a codegen'd per-row projection (a per-doc array
     * lambda evaluates interpreted and re-evaluates its captured base per
-    * element — 30× slower at sf0.1); the bottom-2 reduce is the
-    * constant-buffer [[graft.functions.Bottom2]] DeclarativeAggregate
-    * over pre-deduped (doc_id, hash) rows — bounded per-group state at
-    * any document length (see Bottom2's scaladoc for the trade). */
+    * element — 30× slower at sf0.1). The sketch elements are the 60-BIT
+    * digest prefixes (the repo-wide truncation convention,
+    * Dedup.scala:230-237): bottom-2 over the longs equals bottom-2 over
+    * the prefix hex strings (15-hex-char lexicographic = 60-bit numeric
+    * order), and the LONG form is what makes the whole reduce cheap —
+    * the dedup shuffle carries (doc_id, 8-byte long) rows instead of
+    * 32-char hex (58 MB → ~20 MB at sf0.1, see BENCH shuffle_bytes),
+    * and [[graft.functions.Bottom2]]'s buffer slots are primitive, so
+    * the aggregate runs as a real codegen'd HashAggregate (with STRING
+    * slots Spark 4 plans SortAggregate — UnsafeRow cannot mutate
+    * var-length buffer fields — which added two per-partition sorts
+    * when round 4 first aggregated the full hex). The r3 collect_set
+    * form held the whole per-doc set in an ObjectHashAggregate buffer —
+    * per-group state proportional to document length; Bottom2's is two
+    * slots at any length. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val positions = Tables.documentsPar(spark, dir)
@@ -442,29 +456,24 @@ object TextAnalysis {
       .select($"doc_id", $"nt", explode_outer(
         when(length($"nt") >= 8, sequence(lit(1), length($"nt") - 7))
           .otherwise(array().cast("array<int>"))).as("i"))
+    // 15-hex-char zero-padded rendering of a 60-bit prefix long —
+    // identical text to substr(md5(...), 1, 15)
+    def toHex(c: org.apache.spark.sql.Column) =
+      lower(lpad(hex(c), 15, "0"))
     positions
-      .select($"doc_id", md5($"nt".substr($"i", lit(8))).as("h"))
-      // dedup first (map-side-combined), then reduce with the CONSTANT-
-      // BUFFER Bottom2 aggregate + an exact distinct count sharing the
-      // same deduped rows. The r3 form collect_set the whole hash set
-      // per doc into an ObjectHashAggregate buffer — per-group state
-      // proportional to doc length; this shape's per-group state is two
-      // string slots + a counter, in a codegen'd HashAggregate, at the
-      // cost of one extra shuffle of already-deduped (doc_id, h) pairs.
-      // (Measured alternatives: the single-aggregation
-      // bottom2+count_distinct form plans through Expand — doubled rows,
-      // 70 MB shuffled vs 58 MB here at sf0.1 — and the hex payload must
-      // cross the shuffle regardless, because the fingerprint IS the two
-      // smallest full hex digests.)
-      .distinct()
+      .select($"doc_id",
+        conv(substring(md5($"nt".substr($"i", lit(8))), 1, 15), 16, 10)
+          .cast("long").as("g"))
+      .distinct() // map-side-combined dedup of (doc_id, long) pairs
       .groupBy($"doc_id")
-      .agg(graft.functions.Bottom2.bottom2($"h").as("hs2"),
-        count($"h").cast("int").as("n_kgrams"))
+      .agg(graft.functions.Bottom2.bottom2($"g").as("gs2"),
+        count($"g").cast("int").as("n_kgrams"))
       // try_element_at: a doc with < 2 distinct 8-grams yields a NULL
       // fingerprint (concat null-propagates), matching the oracle's
       // hs[2] -> NULL — where ANSI element_at would throw (ADVICE r2)
       .select($"doc_id",
-        concat(try_element_at($"hs2", lit(1)), lit("|"), try_element_at($"hs2", lit(2))).as("fingerprint"),
+        concat(toHex(try_element_at($"gs2", lit(1))), lit("|"),
+          toHex(try_element_at($"gs2", lit(2)))).as("fingerprint"),
         $"n_kgrams")
       .orderBy($"doc_id")
   }
@@ -472,9 +481,9 @@ object TextAnalysis {
   val docFingerprintSql: String =
     """SELECT doc_id,
       |  hs[1] || '|' || hs[2] AS fingerprint,
-      |  len(kgrams) AS n_kgrams
-      |FROM (SELECT doc_id, kgrams,
-      |        list_sort(list_transform(kgrams, g -> md5(g))) AS hs
+      |  len(hs) AS n_kgrams
+      |FROM (SELECT doc_id,
+      |        list_sort(list_distinct(list_transform(kgrams, g -> substr(md5(g), 1, 15)))) AS hs
       |      FROM (SELECT doc_id,
       |              list_distinct(list_transform(range(1, length(nt) - 6),
       |                i -> substr(nt, CAST(i AS INTEGER), 8))) AS kgrams
@@ -559,26 +568,26 @@ object TextAnalysis {
     *
     * Mechanics: the bloom is built by Spark's own
     * `BloomFilterAggregate` (the engine's runtime-filter sketch) over
-    * the 60-bit gram hashes, fetched as ONE binary row — a sketch
-    * build, exactly how InjectRuntimeFilter executes its bloom
-    * subqueries — and re-enters the plan as a literal inside
-    * `BloomFilterMightContain`, which requires a constant sketch and
-    * deserializes it once per task, not per row. */
+    * the 60-bit gram hashes and enters the plan as an UNCORRELATED
+    * SCALAR SUBQUERY inside `BloomFilterMightContain` — exactly the
+    * expression pair InjectRuntimeFilter plants. The subquery executes
+    * lazily with the query (plan construction and .explain stay free,
+    * like every other registered query) and the sketch deserializes
+    * once per task, not per row. */
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.Bridge
     val docs = Tables.documentsPar(spark, dir)
     val evalGrams = gramRows(docs.filter($"doc_id" < EvalDocCount))
       .select($"g").distinct()
-    val bloomBytes = evalGrams
-      .agg(Bridge.column(new BloomFilterAggregate(
+    val bloomSub = ScalarSubquery(
+      evalGrams.agg(Bridge.column(new BloomFilterAggregate(
         Bridge.expression($"g"), BloomExpectedItems).toAggregateExpression()))
-      .first().getAs[Array[Byte]](0)
-    val mightContain = Bridge.column(BloomFilterMightContain(
-      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
-      Bridge.expression($"g")))
+        .queryExecution.analyzed)
+    val mightContain = Bridge.column(
+      BloomFilterMightContain(bloomSub, Bridge.expression($"g")))
     val shared = gramRows(docs.filter($"doc_id" >= EvalDocCount))
       .filter(mightContain)            // bloom prune: no false negatives
       .join(broadcast(evalGrams), "g") // exact confirm: false positives die

@@ -177,7 +177,7 @@ object TrainPrep {
     * it straight to storage, never shuffle it. */
   def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val t = split(regexp_replace(lower(trim($"text")), "\\s+", " "), " ")
+    val t = TextAnalysis.toks($"text") // the shared corpus tokenization
     Tables.documentsPar(spark, dir)
       .select($"doc_id", t.as("toks"))
       .select($"doc_id", $"toks",

@@ -28,16 +28,26 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
-  /** ≈ one parquet row-group-friendly file; small enough that the
-    * fixture test exercises the multi-file path. */
+  /** ≈ one parquet row-group-friendly file. */
   val DefaultTargetBytes: Long = 128L << 20
 
   /** Compact the `date` partition of `indexDir` into `outDir`.
-    * Returns the number of files written. File count =
+    * Returns the number of parquet files actually written (range
+    * partitioning can leave partitions empty when rows are few, and
+    * Spark writes no file for an empty partition). Target file count =
     * ceil(current physical bytes / targetBytes), measured from the
     * filesystem (not estimated from rows): compaction sizing must track
     * the ENCODED size or post-compaction files drift from the target as
-    * encodings change. */
+    * encodings change.
+    *
+    * repartitionByRange on event time — NOT round-robin: each output
+    * file then covers a disjoint time slice, so its parquet min/max
+    * ingestion_time stats let a time-range read skip whole files. A
+    * round-robin split would sort within files but give every file the
+    * full day's span — zero file-level pruning, defeating the point of
+    * the sort. (Range partitioning tracks the time distribution, so a
+    * bursty day yields uneven file sizes; that is the right trade —
+    * pruning beats byte-equal files for a time-keyed index.) */
   def compactDay(spark: SparkSession, indexDir: String, date: String,
       outDir: String, targetBytes: Long = DefaultTargetBytes): Int = {
     require(date.matches("\\d{4}-\\d{2}-\\d{2}"),
@@ -53,9 +63,14 @@ object Maintenance {
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(indexDir)
       .filter(col("persist_date") === date)
-      .repartition(nFiles)
+      .repartitionByRange(nFiles, col("ingestion_time"))
       .sortWithinPartitions(col("ingestion_time"))
       .write.mode("overwrite").parquet(outDir)
-    nFiles
+    val outIt = fs.listFiles(new Path(outDir), true)
+    var written = 0
+    while (outIt.hasNext) {
+      if (outIt.next().getPath.getName.endsWith(".parquet")) written += 1
+    }
+    written
   }
 }

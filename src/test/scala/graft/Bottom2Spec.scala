@@ -43,6 +43,23 @@ class Bottom2Spec extends SparkSpec {
     assert(got("g4") == ("q", null))  // null ignored
   }
 
+  test("bottom2 aggregate strategy: HashAggregate for longs, SortAggregate for strings") {
+    import spark.implicits._
+    val longs = Seq((1, 5L), (2, 7L)).toDF("g", "v")
+      .groupBy($"g").agg(bottom2($"v"))
+      .queryExecution.executedPlan.toString
+    assert(longs.contains("HashAggregate") && !longs.contains("SortAggregate"),
+      s"long-typed bottom2 should hash-aggregate:\n$longs")
+    val strings = Seq((1, "a"), (2, "b")).toDF("g", "v")
+      .groupBy($"g").agg(bottom2($"v"))
+      .queryExecution.executedPlan.toString
+    // documented fallback: var-length buffer slots are not UnsafeRow-
+    // mutable, so Spark 4 plans SortAggregate — if a future Spark makes
+    // this hash-aggregate, the scaladoc's guidance should be updated
+    assert(strings.contains("SortAggregate"),
+      s"string-typed bottom2 expected SortAggregate:\n$strings")
+  }
+
   test("bottom2 works over longs and via SQL registration") {
     import spark.implicits._
     val df = Seq((1, 5L), (1, 3L), (1, 9L), (1, 3L), (2, 7L)).toDF("g", "v")

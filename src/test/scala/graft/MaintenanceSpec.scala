@@ -50,6 +50,27 @@ class MaintenanceSpec extends SparkSpec {
     // serves identical rows
     Ingest.pointIndexAlias(spark, "cmp_alias", outDir, day)
     assert(spark.table("cmp_alias").count() == before.count())
+
+    // multi-file path: a tiny byte target forces several files, and
+    // range partitioning must give them DISJOINT event-time spans (the
+    // min/max pruning the compaction exists to enable)
+    val outDir2 = tmp("cout2")
+    val n2 = Maintenance.compactDay(spark, indexDir, day, outDir2,
+      targetBytes = 2048)
+    assert(n2 > 1, s"expected multi-file compaction, got $n2 files")
+    val ranges = spark.read.parquet(outDir2)
+      .select($"ingestion_time", input_file_name().as("f"))
+      .groupBy($"f")
+      .agg(min($"ingestion_time").as("lo"), max($"ingestion_time").as("hi"))
+      .collect()
+      .map(r => (r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+      .sortBy(_._1)
+    assert(ranges.length == n2)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file time ranges overlap: $ranges")
+      case _ => ()
+    }
   }
 
   test("compactDay rejects a malformed date") {

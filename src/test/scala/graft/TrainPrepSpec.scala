@@ -38,8 +38,7 @@ class TrainPrepSpec extends SparkSpec {
     val chunks = TrainPrep.chunkDocs(spark, sfDir)
     val docs = Tables.documentsPar(spark, sfDir)
       .select($"doc_id",
-        size(split(regexp_replace(lower(trim($"text")), "\\s+", " "), " "))
-          .cast("long").as("n_toks"))
+        size(graft.ops.TextAnalysis.toks($"text")).cast("long").as("n_toks"))
     // chunk count per doc = ceil(n/stride); the last chunk reaches the
     // final token (start + len - 1 = n), so no token is orphaned
     val perDoc = chunks.groupBy($"doc_id").agg(
