@@ -349,6 +349,58 @@ object TextAnalysis {
       |  length(text) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Text CLEANING — the normalization pass that runs before any
+    * analysis or training: strip control characters, cap runaway
+    * punctuation (ellipsis/bang/question/dash runs — degenerate
+    * scrapes and generations produce "!!!!!!" and ".........."),
+    * collapse whitespace, trim. Case and real punctuation are
+    * PRESERVED (unlike [[norm]], which lowercases for analysis);
+    * `n_removed` (chars dropped) feeds doc-level drop rules the same
+    * way piiScrub's counts do.
+    *
+    * The run caps are literal-prefix patterns (`\.{4,}`), NOT the
+    * usual backreference `(.)\1{3,}` — RE2 (DuckDB) has no
+    * backreferences, and the repo's oracle-sharing rule is plain
+    * character classes only (see the PII patterns below). Narrow
+    * per-row codegen'd regexes; no shuffle; embarrassingly parallel. */
+  def cleanExpr(text: Column): Column = {
+    val noCtrl = regexp_replace(text, "[\\x00-\\x1f\\x7f]", " ")
+    val capped = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(noCtrl, "\\.{4,}", "..."),
+          "!{2,}", "!"),
+        "\\?{2,}", "?"),
+      "-{4,}", "---")
+    trim(regexp_replace(capped, "\\s+", " "))
+  }
+
+  def cleanText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documentsPar(spark, dir).select(
+      $"doc_id",
+      cleanExpr($"text").as("clean"),
+      (length($"text") - length(cleanExpr($"text"))).as("n_removed"))
+      .orderBy($"doc_id")
+  }
+
+  val cleanTextSql: String =
+    """SELECT doc_id, clean, length(text) - length(clean) AS n_removed
+      |FROM (SELECT doc_id, text,
+      |        trim(regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(
+      |                regexp_replace(
+      |                  regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+      |                  '\.{4,}', '...', 'g'),
+      |                '!{2,}', '!', 'g'),
+      |              '\?{2,}', '?', 'g'),
+      |            '-{4,}', '---', 'g'),
+      |          '\s+', ' ', 'g')) AS clean
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // PII patterns shared by the scrub expression and its oracle: plain
   // character classes only — identical semantics in Java regex (Spark)
   // and RE2 (DuckDB); no lookarounds, which RE2 lacks.
@@ -611,5 +663,76 @@ object TextAnalysis {
        |  len(list_intersect(grams, eg)) > 0 AS contaminated
        |FROM kg CROSS JOIN ev
        |WHERE doc_id >= $EvalDocCount
+       |ORDER BY doc_id""".stripMargin
+
+  /** Overlap fraction above which [[contaminationRatio]] flags a doc.
+    * The any-hit rule ([[decontaminate]]) is the conservative default;
+    * real pipelines also keep a THRESHOLDED variant because long
+    * documents share the odd 8-gram with eval sets by coincidence —
+    * the ratio separates "quotes a benchmark item" from "contains one
+    * common phrase". */
+  val ContaminationBar = 0.05
+
+  /** Thresholded decontamination: per corpus doc, its distinct-gram
+    * count, the eval-shared count, and their ratio — flagged when the
+    * ratio exceeds [[ContaminationBar]].
+    *
+    * Shape at 100 TB: ONE aggregation pass computes numerator and
+    * denominator together — the corpus's deduped (doc_id, 60-bit gram)
+    * rows take a broadcast LEFT join against the eval gram set (hit
+    * flag added map-side, nothing filtered), then a single
+    * map-side-combined count/sum per doc. Unlike [[decontaminate]],
+    * the full corpus gram stream must cross the shuffle (the
+    * denominator needs every doc's distinct-gram count) — that is the
+    * docFingerprint shuffle, 8-byte longs per row, and it is inherent
+    * to ratio semantics, not a plan artifact. Ratio and flag are one
+    * IEEE division of exact ints + one compare, bit-identical
+    * cross-engine. */
+  def contaminationRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsPar(spark, dir)
+    val evalGrams = gramRows(docs.filter($"doc_id" < EvalDocCount))
+      .select($"g").distinct()
+    val perDoc = gramRows(docs.filter($"doc_id" >= EvalDocCount))
+      .distinct()
+      .join(broadcast(evalGrams.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"hit", lit(0L))).as("n_shared"))
+    docs.filter($"doc_id" >= EvalDocCount).select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_shared", lit(0L)).as("n_shared"))
+      .withColumn("share_ratio",
+        when($"n_grams" > 0,
+          $"n_shared".cast("double") / $"n_grams".cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated", $"share_ratio" > ContaminationBar)
+      .orderBy($"doc_id")
+  }
+
+  val contaminationRatioSql: String =
+    s"""WITH kg AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, length(nt) - 6),
+       |      i -> ('0x' || substr(md5(substr(nt, CAST(i AS INTEGER), 8)), 1, 15))::BIGINT)) AS grams
+       |  FROM (SELECT doc_id,
+       |          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+       |        FROM documents)),
+       |ev AS (SELECT list_distinct(flatten(list(grams))) AS eg
+       |       FROM kg WHERE doc_id < $EvalDocCount)
+       |SELECT doc_id, n_grams, n_shared,
+       |  CASE WHEN n_grams > 0
+       |    THEN CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE)
+       |    ELSE 0.0 END AS share_ratio,
+       |  CASE WHEN n_grams > 0
+       |    THEN CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE)
+       |    ELSE 0.0 END > $ContaminationBar AS contaminated
+       |FROM (SELECT doc_id,
+       |        CAST(len(grams) AS BIGINT) AS n_grams,
+       |        CAST(len(list_intersect(grams, eg)) AS BIGINT) AS n_shared
+       |      FROM kg CROSS JOIN ev
+       |      WHERE doc_id >= $EvalDocCount)
        |ORDER BY doc_id""".stripMargin
 }
