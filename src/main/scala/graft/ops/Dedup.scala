@@ -255,6 +255,14 @@ object Dedup {
     * blocks are dropped by the ContextCleaner once the consuming plans
     * are garbage-collected; eager=false defers materialization to the
     * first consumer's first action. */
+  /** CORPUS-VERSION CONTRACT: the shared tables ([[sharedSigSets]],
+    * [[sharedJaccardPairs]], [[sharedClusters]]) are keyed by corpus
+    * PATH and built once per session — a session that rewrites the
+    * corpus directory in place must call [[invalidate]] before reading
+    * again, or it will be served the signatures of the old bytes. This
+    * mirrors what the materializations stand in for at 100 TB: tables
+    * persisted NEXT TO a corpus version, refreshed when the corpus is
+    * (immutable versioned corpus dirs make invalidation structural). */
   def sharedSigSets(spark: SparkSession, dir: String): DataFrame = synchronized {
     val view = "graft_sigsets_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     if (!spark.catalog.tableExists(view))
@@ -262,6 +270,16 @@ object Dedup {
         .localCheckpoint(eager = false)
         .createOrReplaceTempView(view)
     spark.table(view)
+  }
+
+  /** Drop the session-shared materializations for the corpus at `dir`
+    * (all three layers — signatures, verified pairs, cluster labels —
+    * since each is derived from the one below). The next consumer
+    * rebuilds from the directory's current bytes. */
+  def invalidate(spark: SparkSession, dir: String): Unit = synchronized {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    Seq("graft_sigsets_", "graft_jaccard_pairs_", "graft_clusters_")
+      .foreach(p => spark.catalog.dropTempView(p + suffix))
   }
 
   /** Public name for the signature table of an arbitrary documents

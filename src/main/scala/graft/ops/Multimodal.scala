@@ -16,12 +16,16 @@ final case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample stages.
   *
-  * The actual codecs are STUBBED (no image/audio libraries in this
-  * container): [[decodeStub]] derives a deterministic 16-bin byte
-  * histogram instead of pixels. Everything around the stub — the binary
-  * column schema, the typed Dataset boundary, the per-partition batch
-  * shape a real decoder would amortize setup over, and the frame-sample
-  * arithmetic — is real and tested.
+  * The IMAGE path is REAL end-to-end: `image/png` rows carry genuine
+  * PNG bytes (synthesized deterministically by [[Png.synth]] — the
+  * container ships no media fixtures) and [[extractFeatures]] decodes
+  * them with the JDK's own `javax.imageio.ImageIO` into per-pixel RGB
+  * features. Audio/video codecs are STUBBED (no sound/video libraries
+  * in this container): [[decodeStub]] derives a deterministic 16-bin
+  * byte histogram instead of samples. Everything around the decoders —
+  * the binary column schema, the typed Dataset boundary, the
+  * per-partition batch shape a codec amortizes setup over, and the
+  * frame-sample arithmetic — is identical for both paths.
   *
   * Scale notes: decode is a narrow per-partition map (no shuffle); a
   * real deployment sizes `spark.sql.files.maxPartitionBytes` down for
@@ -31,20 +35,94 @@ final case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
   */
 object Multimodal {
 
-  /** The media table: fixture text re-encoded as opaque bytes + metadata
-    * (mime rotates by doc_id to exercise per-type branching). */
+  /** Deterministic in-table PNG fixtures. The encoder emits a REAL,
+    * standard-conformant PNG (8-bit RGB, filter None) whose zlib stream
+    * uses one STORED deflate block — legal deflate, readable by any
+    * decoder, and, unlike compressed blocks, of content-independent
+    * length: every synthesized PNG is exactly [[SynthBytes]] bytes, so
+    * the metadata oracle can state image sizes as a literal. */
+  private[graft] object Png {
+    val W = 8
+    val H = 8
+
+    /** Pixel channel value — the formula the round-trip test recomputes. */
+    def pixel(id: Long, y: Int, x: Int, c: Int): Int =
+      ((id * 31 + (y * W + x) * 3 + c) % 256).toInt
+
+    def synth(id: Long): Array[Byte] = {
+      // raw scanlines: filter byte 0 (None) + W RGB triples per row
+      val raw = new Array[Byte](H * (1 + W * 3))
+      var p = 0
+      var y = 0
+      while (y < H) {
+        raw(p) = 0; p += 1
+        var x = 0
+        while (x < W) {
+          var c = 0
+          while (c < 3) { raw(p) = pixel(id, y, x, c).toByte; p += 1; c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream(256)
+      def be32(v: Int): Array[Byte] =
+        Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tb); crc.update(data)
+        out.write(be32(data.length)); out.write(tb); out.write(data)
+        out.write(be32(crc.getValue.toInt))
+      }
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(W).putInt(H)
+        .put(8.toByte)  // bit depth
+        .put(2.toByte)  // color type: truecolor RGB
+        .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter 0, no interlace
+      chunk("IHDR", ihdr.array())
+      // zlib: 0x78 0x01 header ((0x78*256+0x01) % 31 == 0), one final
+      // stored block (BFINAL=1 BTYPE=00, LEN/NLEN little-endian), adler32
+      val ad = new java.util.zip.Adler32(); ad.update(raw)
+      val z = java.nio.ByteBuffer.allocate(2 + 5 + raw.length + 4)
+      z.put(0x78.toByte).put(0x01.toByte).put(0x01.toByte)
+      z.put((raw.length & 0xff).toByte).put(((raw.length >> 8) & 0xff).toByte)
+      z.put(((~raw.length) & 0xff).toByte).put((((~raw.length) >> 8) & 0xff).toByte)
+      z.put(raw)
+      z.putInt(ad.getValue.toInt)
+      chunk("IDAT", z.array())
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    /** Constant by construction (stored blocks never compress). */
+    val SynthBytes: Int = synth(0L).length
+  }
+
+  /** The media table: `audio/wav`/`video/mp4` rows carry the fixture
+    * text re-encoded as opaque bytes; `image/png` rows carry a real
+    * synthesized PNG (mime rotates by doc_id to exercise per-type
+    * branching). The typed map is fixture SYNTHESIS, not an operator —
+    * a production table reads the binary column straight off parquet. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select(
       $"doc_id",
       element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
         (pmod($"doc_id", lit(3L)) + 1).cast("int")).as("mime"),
-      encode($"text", "UTF-8").as("content"),
-      octet_length(encode($"text", "UTF-8")).as("n_bytes"))
+      encode($"text", "UTF-8").as("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, mime, bytes) =>
+          val content = if (mime == "image/png") Png.synth(id) else bytes
+          MediaRecord(id, mime, content, content.length)
+        }
+      }
+      .toDF()
   }
 
-  /** STUB decode: a real implementation would decode image pixels /
-    * audio samples here (per-partition so codec setup is amortized).
+  /** STUB decode for audio/video: a real implementation would decode
+    * samples/frames here (per-partition so codec setup is amortized).
     * The deterministic stand-in is a 16-bin byte histogram normalized
     * by length — shape-compatible with a real feature vector. */
   private[graft] def decodeStub(content: Array[Byte]): Array[Float] = {
@@ -58,6 +136,35 @@ object Multimodal {
     hist
   }
 
+  /** REAL image decode via the JDK's ImageIO: PNG bytes → row-major
+    * per-pixel RGB floats in [0,1]. None when the bytes are not a
+    * decodable image (callers fall back to the histogram stub — a
+    * corrupt blob must not kill a 100 TB batch). */
+  private[graft] def decodeImage(content: Array[Byte]): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new Array[Float](w * h * 3)
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            out(i) = ((rgb >> 16) & 0xff) / 255f
+            out(i + 1) = ((rgb >> 8) & 0xff) / 255f
+            out(i + 2) = (rgb & 0xff) / 255f
+            i += 3
+            x += 1
+          }
+          y += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+
   /** Frame sampling: every `step` bytes stands in for every Nth video
     * frame; images sample offset 0 only. */
   private[graft] def frameOffsets(mime: String, nBytes: Int, step: Int = 64): Array[Int] =
@@ -66,20 +173,27 @@ object Multimodal {
 
   /** Decode + feature-extract + frame-sample over the typed Dataset
     * boundary. mapPartitions (not per-row map) is deliberate: real
-    * decoders batch per partition. */
+    * decoders batch per partition. Images decode for REAL (ImageIO);
+    * audio/video fall to the histogram stub. */
   def extractFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRecord].mapPartitions { recs =>
-      // per-partition: a real codec would initialize once here
+      // per-partition: codec init happens once here, amortized over rows
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file spill per image
       recs.map { r =>
+        val feats =
+          if (r.mime == "image/png")
+            decodeImage(r.content).getOrElse(decodeStub(r.content))
+          else decodeStub(r.content)
         MediaFeatures(r.doc_id, r.mime, r.n_bytes,
-          decodeStub(r.content), frameOffsets(r.mime, r.n_bytes))
+          feats, frameOffsets(r.mime, r.n_bytes))
       }
     }
   }
 
   /** Oracle-checked metadata query: binary length + mime branching are
-    * SQL-expressible; the decode stub is not (rows-only + ScalaTest). */
+    * SQL-expressible (image sizes are the [[Png.SynthBytes]] constant by
+    * construction); the decoders are not (rows-only + ScalaTest). */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
@@ -91,18 +205,20 @@ object Multimodal {
   }
 
   val multimodalMetaSql: String =
-    """SELECT doc_id,
-      |  ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 AS INTEGER) + 1] AS mime,
-      |  octet_length(encode(text)) AS n_bytes,
-      |  CASE WHEN ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 AS INTEGER) + 1] LIKE 'video/%'
-      |       THEN CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64.0) AS BIGINT)
-      |       ELSE 1 END AS n_frames
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, mime,
+       |  CASE WHEN mime = 'image/png' THEN ${Png.SynthBytes}
+       |       ELSE octet_length(encode(text)) END AS n_bytes,
+       |  CASE WHEN mime LIKE 'video/%'
+       |       THEN CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64.0) AS BIGINT)
+       |       ELSE 1 END AS n_frames
+       |FROM (SELECT doc_id, text,
+       |        ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 AS INTEGER) + 1] AS mime
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
 
   /** Feature extraction as a registered query (rows-only check: the
-    * decode stub is not SQL-expressible; determinism and shape are
-    * asserted in MultimodalSpec). Features surfaced as a stable string
-    * digest to keep the dumped schema simple. */
+    * decoders are not SQL-expressible; determinism, shape, and the PNG
+    * pixel round-trip are asserted in MultimodalSpec). */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     extractFeatures(spark, dir).toDF()

@@ -192,7 +192,10 @@ object TextAnalysis {
   def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documentsPar(spark, dir)
-    val nDocs = docs.count() // corpus cardinality; one cheap count job
+    // corpus cardinality folded INTO the plan as a broadcast 1-row cross
+    // join (the oracle's CROSS JOIN n shape) — no separate driver-side
+    // count() job, so at 100 TB the corpus is scanned once, not twice
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     val tokRows = docs.select($"doc_id", explode(toks($"text")).as("tok"))
     val tf = tokRows.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
     val df = tokRows.groupBy($"tok")
@@ -200,8 +203,9 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"score".desc, $"tok")
     tf.join(broadcast(df), "tok")
+      .crossJoin(nDocs)
       .withColumn("score",
-        $"tf" * log((lit(nDocs) + 1.0) / ($"df" + lit(1.0))))
+        $"tf" * log(($"n_docs" + 1.0) / ($"df" + lit(1.0))))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= TfidfTopK)
       .select($"doc_id", $"rk", $"tok", $"tf", $"df")
@@ -384,22 +388,27 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** The DuckDB mirror of [[cleanExpr]] over column `col` — shared by
+    * the clean_text oracle and the curate_text composition's. */
+  private def cleanSqlExpr(col: String): String =
+    s"""trim(regexp_replace(
+       |          regexp_replace(
+       |            regexp_replace(
+       |              regexp_replace(
+       |                regexp_replace(
+       |                  regexp_replace($col, '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+       |                  '\\.{4,}', '...', 'g'),
+       |                '!{2,}', '!', 'g'),
+       |              '\\?{2,}', '?', 'g'),
+       |            '-{4,}', '---', 'g'),
+       |          '\\s+', ' ', 'g'))""".stripMargin
+
   val cleanTextSql: String =
-    """SELECT doc_id, clean, length(text) - length(clean) AS n_removed
-      |FROM (SELECT doc_id, text,
-      |        trim(regexp_replace(
-      |          regexp_replace(
-      |            regexp_replace(
-      |              regexp_replace(
-      |                regexp_replace(
-      |                  regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
-      |                  '\.{4,}', '...', 'g'),
-      |                '!{2,}', '!', 'g'),
-      |              '\?{2,}', '?', 'g'),
-      |            '-{4,}', '---', 'g'),
-      |          '\s+', ' ', 'g')) AS clean
-      |      FROM documents)
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, clean, length(text) - length(clean) AS n_removed
+       |FROM (SELECT doc_id, text,
+       |        ${cleanSqlExpr("text")} AS clean
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
 
   // PII patterns shared by the scrub expression and its oracle: plain
   // character classes only — identical semantics in Java regex (Spark)
@@ -435,6 +444,54 @@ object TextAnalysis {
        |  len(regexp_extract_all(text, '$EmailPattern')) AS n_emails,
        |  len(regexp_extract_all(text, '$UrlPattern')) AS n_urls
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** keep-flag bars for [[curateText]]: a curated doc survives with at
+    * most this many redactions and at least this many tokens. */
+  val CurateMaxRedactions = 5
+  val CurateMinTokens = 5
+
+  /** TEXT-side curation composition: clean → PII-scrub → re-tokenize →
+    * keep flag, end to end over the transformed text — the counterpart
+    * of Curate.corpusCurate, which composes the ID-side stages (dedup /
+    * cluster / language / quality) without touching the text. Pins that
+    * the text-transform stages COMPOSE: redaction counts come from the
+    * CLEANED text (scrub sees what clean emitted), token counts from
+    * the CURATED text (analysis sees what scrub emitted).
+    *
+    * Shape at 100 TB: still one narrow per-row projection — chained
+    * codegen'd regexes, no shuffle, embarrassingly parallel; the
+    * composition adds depth, not movement. */
+  def curateText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cleaned = cleanExpr($"text")
+    Tables.documentsPar(spark, dir).select(
+      $"doc_id",
+      scrubExpr(cleaned).as("curated"),
+      (length($"text") - length(cleaned)).as("n_removed"),
+      (size(regexp_extract_all(cleaned, lit(EmailPattern), lit(0))) +
+        size(regexp_extract_all(cleaned, lit(UrlPattern), lit(0)))).as("n_redacted"))
+      .withColumn("n_tokens", size(toks($"curated")))
+      .withColumn("keep",
+        $"n_redacted" <= CurateMaxRedactions && $"n_tokens" >= CurateMinTokens)
+      .orderBy($"doc_id")
+  }
+
+  val curateTextSql: String =
+    s"""SELECT doc_id, curated, n_removed, n_redacted, n_tokens,
+       |  (n_redacted <= $CurateMaxRedactions AND n_tokens >= $CurateMinTokens) AS keep
+       |FROM (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(cleaned, '$UrlPattern', '<URL>', 'g'),
+       |                   '$EmailPattern', '<EMAIL>', 'g') AS curated,
+       |    length(text) - length(cleaned) AS n_removed,
+       |    len(regexp_extract_all(cleaned, '$EmailPattern'))
+       |      + len(regexp_extract_all(cleaned, '$UrlPattern')) AS n_redacted,
+       |    len(string_split(regexp_replace(lower(trim(
+       |      regexp_replace(regexp_replace(cleaned, '$UrlPattern', '<URL>', 'g'),
+       |                     '$EmailPattern', '<EMAIL>', 'g'))), '\\s+', ' ', 'g'), ' ')) AS n_tokens
+       |  FROM (SELECT doc_id, text, ${cleanSqlExpr("text")} AS cleaned
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin
 
   /** Repetition ratio — the C4/Gopher-style repetition filter: the
     * fraction of a doc's word-2-grams taken by its single most frequent

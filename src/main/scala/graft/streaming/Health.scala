@@ -123,6 +123,63 @@ object Health {
   def statusJson(spark: SparkSession, app: String = "graft"): String =
     renderJson(status(spark, app))
 
+  /** Prometheus text exposition (format version 0.0.4) of the same
+    * probe the JSON endpoints serve — the reference's third HTTP route
+    * (main.go:88 `r.Handle("/metrics", promhttp.Handler())`; counters
+    * metrics.go:9-41). The observed ingest metrics riding each stream's
+    * progress (n_received / n_valid / n_dlq — the analogue of the
+    * reference's received/inserted/failed message counters) surface as
+    * one family per metric with `stream`/`id` labels; liveness and
+    * last-batch progress ride along as gauges. Families are emitted
+    * once with their `# HELP`/`# TYPE` header followed by every
+    * stream's sample, as the exposition format requires. */
+  def renderPrometheus(s: HealthStatus): String = {
+    def sanitize(n: String): String = {
+      val x = n.replaceAll("[^a-zA-Z0-9_]", "_")
+      if (x.nonEmpty && x.head.isDigit) "_" + x else x
+    }
+    def lbl(v: String): String =
+      "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n") + "\""
+    def labels(i: StreamInfo): String =
+      s"""{stream=${lbl(i.name)},id=${lbl(i.id)}}"""
+    val sb = new StringBuilder
+    def family(name: String, typ: String, help: String,
+        samples: Seq[(String, String)]): Unit =
+      if (samples.nonEmpty) {
+        sb ++= s"# HELP $name $help\n# TYPE $name $typ\n"
+        samples.foreach { case (l, v) => sb ++= s"$name$l $v\n" }
+      }
+    family("graft_up", "gauge", "1 when the health probe reports ok, else 0.",
+      Seq("" -> (if (s.status == "ok") "1" else "0")))
+    family("graft_active_streams", "gauge", "Streaming queries currently active.",
+      Seq("" -> s.numActiveStreams.toString))
+    family("graft_stream_active", "gauge", "1 when the stream is active.",
+      s.info.map(i => labels(i) -> (if (i.isActive) "1" else "0")))
+    family("graft_stream_last_batch_id", "counter",
+      "Last completed micro-batch id (-1 before first progress).",
+      s.info.map(i => labels(i) -> i.batchId.toString))
+    family("graft_stream_last_batch_input_rows", "gauge",
+      "Input rows of the last micro-batch.",
+      s.info.map(i => labels(i) -> i.numInputRows.toString))
+    // observed metrics, grouped into one family per metric name across
+    // streams; only numeric values are representable in the format
+    val observed = for {
+      i <- s.info
+      (k, v) <- i.observed.toSeq.sortBy(_._1)
+      if scala.util.Try(v.toDouble).isSuccess
+    } yield (s"graft_observed_${sanitize(k)}", labels(i), v)
+    observed.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (name, rows) =>
+      family(name, "counter",
+        "Observed metric from the stream's last progress.",
+        rows.map { case (_, l, v) => l -> v })
+    }
+    sb.result()
+  }
+
+  /** The Prometheus page a /metrics endpoint serves. */
+  def prometheusText(spark: SparkSession, app: String = "graft"): String =
+    renderPrometheus(status(spark, app))
+
   /** Serialize an already-probed status — [[HealthServer]] derives the
     * HTTP code and the body from ONE probe so they can't disagree. */
   def renderJson(s: HealthStatus): String = {

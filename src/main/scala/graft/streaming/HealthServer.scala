@@ -50,6 +50,24 @@ object HealthServer {
     }
     server.createContext("/health", handler)
     server.createContext("/ready", handler)
+    // Prometheus exposition route (reference main.go:88 promhttp): a
+    // scrape always gets 200 — error state is IN the metrics (graft_up 0)
+    // so the scraper records the outage instead of a scrape failure.
+    server.createContext("/metrics", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val (code, body) =
+          try (200, Health.prometheusText(spark, app))
+          catch {
+            case e: Throwable =>
+              (500, s"# probe failed: ${e.toString.replace('\n', ' ')}\n")
+          }
+        val bytes = body.getBytes(StandardCharsets.UTF_8)
+        x.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
+        x.sendResponseHeaders(code, bytes.length.toLong)
+        val os = x.getResponseBody
+        try os.write(bytes) finally os.close()
+      }
+    })
     server.start()
     server
   }

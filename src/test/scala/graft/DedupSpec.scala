@@ -86,6 +86,51 @@ class DedupSpec extends SparkSpec {
       s"fixture max bucket $maxBucket within 10x of cap ${Dedup.MaxBucketSize}")
   }
 
+  test("invalidate drops the shared materializations so a rewritten corpus re-reads") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftinv").toString
+    def write(n: Int): Unit =
+      (0L until n.toLong)
+        .map(i => (i, s"alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu unique token $i"))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("synthetic"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write(4)
+    assert(Dedup.sharedSigSets(spark, dir).count() == 4)
+    write(7)
+    // documented corpus-version contract: without invalidation the session
+    // keeps serving the signatures of the old bytes
+    assert(Dedup.sharedSigSets(spark, dir).count() == 4)
+    Dedup.invalidate(spark, dir)
+    assert(Dedup.sharedSigSets(spark, dir).count() == 7,
+      "invalidate did not force a re-read of the rewritten corpus")
+    Dedup.invalidate(spark, dir) // idempotent on absent views
+  }
+
+  test("a second funnel consumer triggers zero new file-scan stages (shared materialization)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
+    // force the shared signature/pair/cluster materializations once
+    Dedup.dedupJaccard(spark, sfDir).count()
+    Dedup.sharedClusters(spark, sfDir).count()
+    val rdds = new scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new SparkListener {
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = {
+        rdds.synchronized { rdds ++= s.stageInfo.rddInfos.map(_.name) }; ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // a SECOND consumer of the shared cluster table: must be served
+      // entirely from the checkpointed blocks — no parquet re-scan, no
+      // shingle/minhash recompute (those would surface as FileScanRDDs)
+      Dedup.dedupClusters(spark, sfDir).count()
+      org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
+      val scans = rdds.synchronized { rdds.filter(n => n != null && n.contains("FileScan")) }
+      assert(scans.isEmpty, s"second consumer re-scanned files: $scans")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("sharedJaccardPairs returns the same frame content across calls") {
     // the session-scoped temp view must be a pure materialization: a
     // second call (different consumer) sees bit-identical pairs

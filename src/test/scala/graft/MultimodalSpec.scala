@@ -29,17 +29,61 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.frameOffsets("video/mp4", 0).toSeq == Seq.empty)
   }
 
-  test("extractFeatures yields one 16-dim vector per document") {
+  test("extractFeatures yields one feature vector per document (pixels for images, 16-bin stub otherwise)") {
     import spark.implicits._
     val feats = Multimodal.extractFeatures(spark, sfDir).cache()
     val docs = Tables.documents(spark, sfDir).count()
     assert(feats.count() == docs)
-    assert(feats.filter(_.features.length != 16).count() == 0)
+    // image rows decode to W*H RGB pixel features; audio/video fall to the stub
+    val pixelDims = Multimodal.Png.W * Multimodal.Png.H * 3
+    assert(feats.filter(f => f.mime == "image/png" &&
+      f.features.length != pixelDims).count() == 0)
+    assert(feats.filter(f => f.mime != "image/png" &&
+      f.features.length != 16).count() == 0)
     // video rows must have ceil(n_bytes/64) frames, others exactly 1
     assert(feats.filter(f => f.mime.startsWith("video/") &&
       f.frame_offsets.length != (f.n_bytes + 63) / 64).count() == 0)
     assert(feats.filter(f => !f.mime.startsWith("video/") &&
       f.frame_offsets.length != 1).count() == 0)
     feats.unpersist()
+  }
+
+  test("synthesized PNGs are real PNGs: ImageIO round-trips the exact generator pixels") {
+    val bytes = Multimodal.Png.synth(3L)
+    // PNG magic + constant stored-block length (what the meta oracle states)
+    assert(bytes.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    assert(bytes.length == Multimodal.Png.SynthBytes)
+    assert(Multimodal.Png.synth(999L).length == Multimodal.Png.SynthBytes)
+    val feats = Multimodal.decodeImage(bytes)
+      .getOrElse(fail("ImageIO could not decode the synthesized PNG"))
+    assert(feats.length == Multimodal.Png.W * Multimodal.Png.H * 3)
+    for {
+      y <- 0 until Multimodal.Png.H
+      x <- 0 until Multimodal.Png.W
+      c <- 0 until 3
+    } {
+      val idx = (y * Multimodal.Png.W + x) * 3 + c
+      val expected = Multimodal.Png.pixel(3L, y, x, c) / 255f
+      assert(feats(idx) == expected, s"pixel ($x,$y,$c): ${feats(idx)} != $expected")
+    }
+  }
+
+  test("image rows flow decoded pixels end-to-end through extractFeatures") {
+    // doc_id % 3 == 0 -> image/png in the mediaTable mime rotation
+    val imgDoc = Multimodal.extractFeatures(spark, sfDir)
+      .filter(_.doc_id == 3L).head()
+    assert(imgDoc.mime == "image/png")
+    assert(imgDoc.n_bytes == Multimodal.Png.SynthBytes)
+    val expected = for {
+      y <- 0 until Multimodal.Png.H
+      x <- 0 until Multimodal.Png.W
+      c <- 0 until 3
+    } yield Multimodal.Png.pixel(3L, y, x, c) / 255f
+    assert(imgDoc.features.toSeq == expected)
+  }
+
+  test("decodeImage rejects non-image bytes (fallback path stays reachable)") {
+    assert(Multimodal.decodeImage("definitely not a png".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
   }
 }

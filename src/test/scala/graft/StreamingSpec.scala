@@ -203,6 +203,57 @@ class StreamingSpec extends SparkSpec {
     } finally { server.stop(0); graft.streaming.Health.clearFailures(spark) }
   }
 
+  test("metrics endpoint serves Prometheus exposition counters for a live stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.streaming.Health.clearFailures(spark)
+    val server = graft.streaming.HealthServer.start(spark, 0)
+    try {
+      val port = graft.streaming.HealthServer.boundPort(server)
+      def get(path: String): (Int, String, String) = {
+        val c = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod("GET")
+        val code = c.getResponseCode
+        val ct = Option(c.getContentType).getOrElse("")
+        val is = if (code >= 400) c.getErrorStream else c.getInputStream
+        val body = try scala.io.Source.fromInputStream(is).mkString finally is.close()
+        c.disconnect()
+        (code, body, ct)
+      }
+      val mem = MemoryStream[String]
+      mem.addData(json("pm1"), "bad payload")
+      val q = IngestPipeline.start(spark, mem.toDF(),
+        tmp("pmidx"), tmp("pmdlq"), tmp("pmck"),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      try {
+        q.processAllAvailable()
+        val (code, body, ct) = get("/metrics")
+        assert(code == 200, s"$code $body")
+        assert(ct.startsWith("text/plain"), ct)
+        // exposition-format families: # HELP/# TYPE headers then samples
+        assert(body.contains("# TYPE graft_up gauge"), body)
+        assert(body.contains("graft_up 1"), body)
+        assert(body.contains("# TYPE graft_active_streams gauge"), body)
+        // the reference's message counters (metrics.go:9-41) ride the
+        // stream's observed metrics: received/valid/dlq with stream labels
+        assert(body.contains("# TYPE graft_observed_ingest_metrics_n_received counter"), body)
+        val received = body.linesIterator
+          .find(l => l.startsWith("graft_observed_ingest_metrics_n_received{") &&
+            l.contains(q.id.toString))
+        assert(received.exists(_.endsWith(" 2")), s"received sample: $received\n$body")
+        val dlq = body.linesIterator
+          .find(l => l.startsWith("graft_observed_ingest_metrics_n_dlq{") &&
+            l.contains(q.id.toString))
+        assert(dlq.exists(_.endsWith(" 1")), s"dlq sample: $dlq\n$body")
+      } finally q.stop()
+      // with no active stream the page still serves (scrapes never 500 on
+      // quiet systems); graft_up stays 1 because nothing failed
+      val (code2, body2, _) = get("/metrics")
+      assert(code2 == 200 && body2.contains("graft_active_streams 0"), body2)
+    } finally { server.stop(0); graft.streaming.Health.clearFailures(spark) }
+  }
+
   test("health status mirrors the reference HealthStatus shape") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,121 @@
+package graft
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Synthetic-case coverage for the text cleaning / curation composition
+  * and the thresholded contamination ratio (VERDICT r4 #1): fixture-scale
+  * oracle rows are the driver's gate; these pin the SEMANTICS on
+  * hand-constructed documents where the expected outcome is derivable by
+  * eye. */
+class TextCurateSpec extends SparkSpec {
+
+  private def writeDocs(docs: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("grafttext").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synthetic"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val messy =
+    "wow!!!! what??? is this....... \t ok -----------end"
+  private val messyCleaned = "wow! what? is this... ok ---end"
+
+  private val piiRaw =
+    "Visit https://spam.example/x!!!! or email a.b@ex.com now ok"
+  private val piiCurated = "Visit <URL> or email <EMAIL> now ok"
+
+  test("cleanExpr caps punctuation runs, strips control chars, collapses whitespace") {
+    import spark.implicits._
+    val r = Seq(messy).toDF("text")
+      .select(TextAnalysis.cleanExpr($"text").as("c")).head().getString(0)
+    assert(r == messyCleaned, s"got: '$r'")
+  }
+
+  test("clean_text emits the cleaned text and the exact removed-char count") {
+    val dir = writeDocs(Seq(0L -> messy, 1L -> piiRaw))
+    val rows = TextAnalysis.cleanText(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(0L).getAs[String]("clean") == messyCleaned)
+    assert(rows(0L).getAs[Int]("n_removed") == messy.length - messyCleaned.length)
+    // case and real punctuation are PRESERVED (unlike the analysis norm)
+    assert(rows(1L).getAs[String]("clean").startsWith("Visit https://"))
+  }
+
+  test("curate_text composes clean -> scrub -> re-tokenize with a keep flag") {
+    val dir = writeDocs(Seq(0L -> messy, 1L -> piiRaw))
+    val rows = TextAnalysis.curateText(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // scrub saw the CLEANED text: the "!!!!" run was capped before the URL
+    // match, so the trailing "!" is inside the <URL> mask
+    assert(rows(1L).getAs[String]("curated") == piiCurated,
+      s"got: '${rows(1L).getAs[String]("curated")}'")
+    assert(rows(1L).getAs[Int]("n_redacted") == 2)
+    assert(rows(1L).getAs[Int]("n_tokens") == 7)
+    assert(rows(1L).getAs[Boolean]("keep"))
+    // the messy doc has nothing to redact and too few tokens to keep? it
+    // has 7 tokens -> kept; its n_removed matches clean_text's
+    assert(rows(0L).getAs[Int]("n_redacted") == 0)
+    assert(rows(0L).getAs[Int]("n_removed") == messy.length - messyCleaned.length)
+  }
+
+  // --- thresholded contamination ------------------------------------------
+
+  // eval set = doc_ids 0-4 (EvalDocCount); doc 0 is the benchmark text the
+  // corpus docs quote, 1-4 are letter-run padding sharing no 8-gram with
+  // the corpus docs' digit-heavy junk
+  private val evalText =
+    "the quick brown fox jumps over the lazy dog near the river bank"
+  private val contaminationCorpus = Seq(
+    0L -> evalText,
+    1L -> "bbbbb ccccc ddddd eeeee fffff",
+    2L -> "ggggg hhhhh iiiii jjjjj kkkkk",
+    3L -> "lllll mmmmm nnnnn ooooo ppppp",
+    4L -> "qqqqq rrrrr sssss ttttt uuuuu",
+    // one embedded eval window ("quick br") inside long unique junk: a
+    // COINCIDENTAL hit — any-hit decontamination drops it, the ratio rule
+    // must keep it (shared grams ≪ 5% of its grams)
+    5L -> "z1x2c3v4 b5n6m7a8 quick br s9d0f1g2 h3j4k5l7 q8w9e0r1 t2y3u4i5 o6p7a8s9 d0f1g2h3 j4k5l6z7 x8c9v0b1 n2m3a4s5",
+    // a doc that QUOTES a long span of the benchmark: far over the bar
+    6L -> "intro junk quick brown fox jumps over the lazy closing")
+
+  test("contamination_ratio separates one shared 8-gram from a quoted benchmark span") {
+    val dir = writeDocs(contaminationCorpus)
+    val out = TextAnalysis.contaminationRatio(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(5L, 6L), "report must cover exactly the corpus docs")
+    val d5 = out(5L)
+    assert(d5.getAs[Long]("n_shared") >= 1L, "embedded eval window not detected")
+    assert(d5.getAs[Double]("share_ratio") < TextAnalysis.ContaminationBar)
+    assert(!d5.getAs[Boolean]("contaminated"),
+      "one coincidental shared gram must stay under the ratio bar")
+    val d6 = out(6L)
+    assert(d6.getAs[Double]("share_ratio") > TextAnalysis.ContaminationBar)
+    assert(d6.getAs[Boolean]("contaminated"), "quoted benchmark span not flagged")
+    // sanity: ratio = n_shared / n_grams exactly
+    Seq(d5, d6).foreach { r =>
+      assert(r.getAs[Double]("share_ratio") ==
+        r.getAs[Long]("n_shared").toDouble / r.getAs[Long]("n_grams").toDouble)
+    }
+  }
+
+  test("any-hit decontamination and the ratio rule agree on n_shared but differ on the flag") {
+    val dir = writeDocs(contaminationCorpus)
+    val anyHit = TextAnalysis.decontaminate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val ratio = TextAnalysis.contaminationRatio(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // identical numerators: both count distinct eval-shared grams per doc
+    Seq(5L, 6L).foreach { id =>
+      assert(anyHit(id).getAs[Long]("n_shared") == ratio(id).getAs[Long]("n_shared"))
+    }
+    // doc 5 is exactly the case the two rules decide differently
+    assert(anyHit(5L).getAs[Boolean]("contaminated"), "any-hit must flag doc 5")
+    assert(!ratio(5L).getAs[Boolean]("contaminated"), "ratio must keep doc 5")
+    assert(anyHit(6L).getAs[Boolean]("contaminated") &&
+      ratio(6L).getAs[Boolean]("contaminated"))
+  }
+}
