@@ -104,8 +104,16 @@ object Bench {
           System.err.println(s"[bench] warm failed (skipping warm pass): ${e.getMessage}")
         }
         selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val (ok, dt, _) = timeOnce(name, fn)
-          (name, if (ok) dt else -dt)
+          // best of 2 here too: the cached-relation plan differs from the
+          // parquet plan, so run 1 pays a fresh whole-stage-codegen
+          // compile — measured ~+1 s/query, which would drown exactly the
+          // compute signal this pass exists to expose
+          val (ok1, dt1, _) = timeOnce(name, fn)
+          if (!ok1) (name, -dt1)
+          else {
+            val (ok2, dt2, _) = timeOnce(name, fn)
+            (name, if (ok2) math.min(dt1, dt2) else -dt2)
+          }
         }
       }
     val totalWarm = warmResults.collect { case (_, v) if v >= 0 => v }.sum

@@ -94,6 +94,71 @@ object Curate {
        |ORDER BY cluster_id""".stripMargin
   }
 
+  /** Fraction of each language's documents the adaptive bar aims to drop
+    * ([[adaptiveQuality]]): the bar bin is the lowest histogram bin whose
+    * cumulative count reaches this fraction. */
+  val AdaptiveDropFraction = 0.25
+
+  /** Adaptive per-language quality bar — the production form of the
+    * fixed [[QualityBar]]: a single global threshold over-prunes
+    * languages whose score distribution sits low (stopword lists and
+    * length norms differ by language), so real pipelines cut each
+    * language at its own quantile. The quantile is computed from the
+    * 0.05-wide histogram ([[TextAnalysis.qualityHistogram]]'s binning),
+    * NOT an exact percentile: per-language aggregation state is a
+    * ≤20-counter histogram instead of every score (exact percentile
+    * buffers all values per group — unbounded at 100 TB), the bar is
+    * integer logic over exact counts (bit-identical cross-engine where
+    * sketch-based approx_percentile could never oracle-match), and bin
+    * granularity is exactly what a human-audited threshold uses anyway.
+    *
+    * Shape at 100 TB: one narrow scored projection (codegen'd), one
+    * map-side-combined (lang, bin) count (≤ langs×20 rows), a ~100-row
+    * window pass on the driver-sized histogram, and a broadcast join of
+    * the per-language bar back to the scored rows. Nothing wide ever
+    * shuffles. */
+  def adaptiveQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // both consumers (histogram + output join) share ONE scan-and-score
+    // pass: without the checkpoint each branch re-reads and re-scores the
+    // full corpus text (the scored rows are ~20 bytes/doc; the text is not)
+    val scored = Tables.documentsPar(spark, dir).select(
+      $"doc_id", $"lang",
+      floor(TextAnalysis.qualityScoreExpr($"text") * 20).as("bin"))
+      .localCheckpoint(eager = false)
+    val hist = scored.groupBy($"lang", $"bin").agg(count(lit(1)).as("n"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"bin")
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+    val bar = hist
+      .withColumn("cumn", sum($"n").over(wCum))
+      .withColumn("tot", sum($"n").over(wTot))
+      .filter($"cumn".cast("double") >= lit(AdaptiveDropFraction) * $"tot".cast("double"))
+      .groupBy($"lang").agg(min($"bin").as("bar_bin"))
+    scored.join(broadcast(bar), "lang")
+      .select($"doc_id", $"lang", $"bin", $"bar_bin",
+        ($"bin" >= $"bar_bin").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val adaptiveQualitySql: String = {
+    val qual = TextAnalysis.textQualitySql.replace("ORDER BY doc_id", "")
+    s"""WITH scored AS (
+       |  SELECT q.doc_id, d.lang, CAST(floor(q.quality_score * 20) AS BIGINT) AS bin
+       |  FROM ($qual) q JOIN documents d ON q.doc_id = d.doc_id),
+       |hist AS (SELECT lang, bin, COUNT(*) AS n FROM scored GROUP BY lang, bin),
+       |cum AS (SELECT lang, bin,
+       |          SUM(n) OVER (PARTITION BY lang ORDER BY bin) AS cumn,
+       |          SUM(n) OVER (PARTITION BY lang) AS tot
+       |        FROM hist),
+       |bar AS (SELECT lang, MIN(bin) AS bar_bin FROM cum
+       |        WHERE CAST(cumn AS DOUBLE) >= $AdaptiveDropFraction * CAST(tot AS DOUBLE)
+       |        GROUP BY lang)
+       |SELECT s.doc_id, s.lang, s.bin, b.bar_bin, s.bin >= b.bar_bin AS keep
+       |FROM scored s JOIN bar b USING (lang)
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   /** Cross-split contamination audit: near-duplicate pairs whose members
     * land in DIFFERENT train/val/test splits — the leakage check every
     * eval-honest pipeline runs after splitting (a test doc that near-dups

@@ -287,6 +287,99 @@ object Dedup {
     * and hands to [[incrementalAgainst]] per arrival batch. */
   def signatures(docs: DataFrame): DataFrame = sigSetsOf(docs)
 
+  /** Shingles occurring in more than this many documents are dropped
+    * from the containment posting join: at corpus scale one boilerplate
+    * shingle ("all rights" × every license header) makes the posting
+    * self-join O(df²) explode, and a gram that common carries no
+    * containment signal anyway — the same reasoning as
+    * [[MaxBucketSize]], applied per gram instead of per bucket. */
+  val MaxGramDf = 100
+
+  /** Candidate floor: pairs sharing fewer informative shingles than this
+    * never reach the containment division. */
+  val MinSharedShingles = 3
+
+  /** Containment threshold: |A∩B| / min(|A|,|B|) over informative
+    * shingles at which a pair is reported. */
+  val ContainmentBar = 0.8
+
+  /** CONTAINMENT near-dup detection — the asymmetric complement of the
+    * resemblance (jaccard) funnel: a short document quoted whole inside
+    * a much longer one has containment |A∩B|/|A| ≈ 1 while its jaccard
+    * |A∩B|/|A∪B| is tiny (the union is dominated by the long doc), so
+    * minhash-LSH — which estimates RESEMBLANCE — structurally misses it.
+    * Real pipelines run both: resemblance for near-identical copies,
+    * containment for quote-inclusion/aggregator pages.
+    *
+    * Candidate generation is therefore NOT the banded signature (its
+    * collision probability tracks jaccard): it is the classic inverted
+    * posting-list join on the shingle hashes themselves, with two caps
+    * that bound the quadratic — grams above [[MaxGramDf]] documents are
+    * dropped (boilerplate carries no signal; mirrored in the oracle via
+    * QUALIFY), and pairs sharing fewer than [[MinSharedShingles]] grams
+    * never reach the division. Both |A∩B| and the per-doc sizes are
+    * counted over the SAME capped gram universe, so identical docs score
+    * exactly 1.0 and the ratio is one IEEE division of exact ints —
+    * bit-identical cross-engine.
+    *
+    * Shape at 100 TB: shuffles carry (60-bit gram, doc_id) pairs — 16
+    * bytes/row, never text; the self-join cost is O(Σ df²) with
+    * df ≤ [[MaxGramDf]]; per-doc sizes are one map-side-combined count
+    * over the same posting rows. Consumes [[sharedSigSets]] — no new
+    * pass over the corpus text. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentOfSigs(sharedSigSets(spark, dir))
+
+  /** Containment pairs for an arbitrary documents frame (tests). */
+  def containmentOf(docs: DataFrame): DataFrame =
+    containmentOfSigs(sigSetsOf(docs).localCheckpoint(eager = false))
+
+  private def containmentOfSigs(sigs: DataFrame): DataFrame = {
+    import sigs.sparkSession.implicits._
+    val grams = sigs.select($"doc_id", explode($"tokset").as("g"))
+    // boilerplate grams: tiny result (only pathological hashes), so the
+    // removal is a broadcast anti-join — no extra shuffle of the postings
+    val common = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" > MaxGramDf).select($"g")
+    val posting = grams.join(broadcast(common), Seq("g"), "left_anti")
+      .localCheckpoint(eager = false) // three consumers: 2 join sides + sizes
+    val sizes = posting.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = posting.as("a")
+      .join(posting.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .filter($"inter" >= MinSharedShingles)
+    pairs
+      .join(sizes.select($"doc_id".as("id_a"), $"n".as("n_a")), "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"n".as("n_b")), "id_b")
+      .withColumn("containment",
+        $"inter".cast("double") / least($"n_a", $"n_b").cast("double"))
+      .filter($"containment" >= ContainmentBar)
+      .select($"id_a", $"id_b", $"inter", $"n_a", $"n_b", $"containment")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS toks
+       |  $duckShingleFrom),
+       |g AS (SELECT doc_id, g FROM (SELECT doc_id, UNNEST(toks) AS g FROM sig)
+       |      QUALIFY COUNT(*) OVER (PARTITION BY g) <= $MaxGramDf),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |      FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2
+       |      HAVING COUNT(*) >= $MinSharedShingles)
+       |SELECT p.id_a, p.id_b, p.inter, na.n AS n_a, nb.n AS n_b,
+       |  CAST(p.inter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) AS containment
+       |FROM p
+       |JOIN sizes na ON p.id_a = na.doc_id
+       |JOIN sizes nb ON p.id_b = nb.doc_id
+       |WHERE CAST(p.inter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) >= $ContainmentBar
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Streaming-ingest near-dup screening: verified pairs of an arrival
     * batch against a PREBUILT corpus signature table ([[signatures]]).
     * The batch is signed on the fly (it is batch-sized) and its bucket

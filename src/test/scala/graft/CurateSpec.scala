@@ -35,6 +35,33 @@ class CurateSpec extends SparkSpec {
       "composed quality_score diverges from text_quality")
   }
 
+  test("adaptive_quality cuts each language at its own histogram quantile") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Curate.adaptiveQuality(spark, sfDir)
+    // total: one verdict per document
+    assert(out.count() == Tables.documents(spark, sfDir).count())
+    // the keep flag is exactly the bin-vs-bar comparison
+    assert(out.filter($"keep" =!= ($"bin" >= $"bar_bin")).count() == 0)
+    // bins agree with the standalone quality scoring
+    val rescored = TextAnalysis.textQuality(spark, sfDir)
+      .select($"doc_id", floor($"quality_score" * 20).as("bin2"))
+    assert(out.join(rescored, "doc_id").filter($"bin" =!= $"bin2").count() == 0)
+    // per language, the dropped fraction stays strictly below the target
+    // (the bar bin is the FIRST bin whose cumulative count reaches it)
+    val perLang = out.groupBy($"lang").agg(
+      count(lit(1)).as("tot"),
+      sum(when(!$"keep", 1L).otherwise(0L)).as("dropped")).collect()
+    perLang.foreach { r =>
+      val frac = r.getAs[Long]("dropped").toDouble / r.getAs[Long]("tot")
+      assert(frac < Curate.AdaptiveDropFraction,
+        s"${r.getAs[String]("lang")}: dropped $frac >= ${Curate.AdaptiveDropFraction}")
+    }
+    // the bar is per-language state: one bar bin per language
+    assert(out.select($"lang", $"bar_bin").distinct().count() ==
+      out.select($"lang").distinct().count())
+  }
+
   test("cluster_canonical picks each cluster's best-quality member") {
     import spark.implicits._
     val canon = Curate.clusterCanonical(spark, sfDir)

@@ -131,6 +131,36 @@ class DedupSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("containment flags a short doc quoted inside a long one where jaccard misses it") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = short + " " +
+      "unrelated filler one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen " +
+      "nineteen twenty twentyone twentytwo twentythree twentyfour"
+    val docs = Seq(1L -> short, 2L -> long).toDF("doc_id", "text")
+    val cont = Dedup.containmentOf(docs).collect()
+    assert(cont.length == 1, cont.mkString(", "))
+    val r = cont.head
+    // every shingle of the short doc is in the long one -> containment 1.0
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Double]("containment") == 1.0)
+    // ...while resemblance is tiny: the union is dominated by the long
+    // doc, so the jaccard funnel's verify threshold would pass it over
+    val inter = r.getAs[Long]("inter").toDouble
+    val union = (r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).toDouble - inter
+    assert(inter / union < 0.3, s"fixture not asymmetric enough: j=${inter / union}")
+  }
+
+  test("containment drops boilerplate grams above the df cap from the posting join") {
+    import spark.implicits._
+    // 150 docs sharing one boilerplate shingle ("all rights"): df=150 over
+    // the MaxGramDf cap -> that gram must not generate O(150^2) candidates
+    val boiler = (1 to 150).map(i => (i.toLong, s"all rights unique$i alone$i"))
+    val out = Dedup.containmentOf(boiler.toDF("doc_id", "text")).collect()
+    assert(out.isEmpty, s"boilerplate gram crossed the posting cap: ${out.length} pairs")
+  }
+
   test("sharedJaccardPairs returns the same frame content across calls") {
     // the session-scoped temp view must be a pure materialization: a
     // second call (different consumer) sees bit-identical pairs
