@@ -297,6 +297,45 @@ object TextAnalysis {
        |ORDER BY freq DESC, token
        |LIMIT $VocabTopN""".stripMargin
 
+  /** Per-document OOV (out-of-vocabulary) rate against the
+    * top-[[VocabTopN]] corpus vocabulary — the tokenizer-coverage check
+    * run before training: a doc whose tokens are mostly outside the
+    * vocabulary will fragment into garbage subwords (wrong-language,
+    * binary-as-text, OCR noise) and gets dropped or rerouted.
+    *
+    * Shape at 100 TB: the vocabulary is induced once (map-side-combined
+    * counts + per-partition top-N heaps) and BROADCAST back — vocab ≪
+    * corpus, the same asymmetry tfidf's df table exploits; OOV counting
+    * is then one exploded-token broadcast left join plus a
+    * map-side-combined per-doc aggregate. Shuffles carry (doc_id,
+    * count) pairs only; the rate is one IEEE division of exact ints,
+    * bit-identical cross-engine. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = vocabTopN(spark, dir)
+      .select($"token".as("tok"), lit(1L).as("in_vocab"))
+    Tables.documentsPar(spark, dir)
+      .select($"doc_id", explode(toks($"text")).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        $"n_oov".cast("double") / $"n_tokens".cast("double"))
+      .orderBy($"doc_id")
+  }
+
+  val oovRateSql: String =
+    s"""SELECT tr.doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+       |FROM (SELECT doc_id, UNNEST(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+       |      FROM documents) tr
+       |LEFT JOIN ($vocabTopNSql) v ON tr.tok = v.token
+       |GROUP BY tr.doc_id
+       |ORDER BY tr.doc_id""".stripMargin
+
   /** Provenance mix profiling: per (source, lang) volume, exact-dup
     * rate, and token totals — the table a corpus mix-planning step reads
     * to weight sources (a source with a high dup_ratio is boilerplate-

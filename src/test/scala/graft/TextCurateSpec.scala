@@ -62,6 +62,31 @@ class TextCurateSpec extends SparkSpec {
     assert(rows(0L).getAs[Int]("n_removed") == messy.length - messyCleaned.length)
   }
 
+  test("oov_rate is zero for vocabulary-covered docs and positive past the top-N cut") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // corpus with MORE distinct tokens than VocabTopN: doc 0 repeats
+    // high-frequency tokens (all land in the induced vocabulary), doc 1
+    // is 60 singleton junk tokens (some must fall past the top-N cut)
+    val junk = (1 to 60).map(i => s"junktok$i").mkString(" ")
+    // every doc-0 token appears twice: frequency 2 outranks all the
+    // singleton junk whatever the lexicographic tie-break does
+    val dir = writeDocs(Seq(
+      0L -> "the the a a of of and and is is",
+      1L -> junk))
+    val out = TextAnalysis.oovRate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Double]("oov_rate") == 0.0,
+      s"high-frequency tokens fell out of vocabulary: ${out(0L)}")
+    assert(out(1L).getAs[Double]("oov_rate") > 0.0,
+      "singleton junk past the top-N cut must count as OOV")
+    assert(out(1L).getAs[Long]("n_tokens") == 60L)
+    // totals line up with the shared tokenization
+    val tc = TextAnalysis.tokenCount(spark, dir).select($"doc_id", $"ws_tokens")
+    val joined = TextAnalysis.oovRate(spark, dir).join(tc, "doc_id")
+    assert(joined.filter($"n_tokens" =!= $"ws_tokens").count() == 0)
+  }
+
   // --- thresholded contamination ------------------------------------------
 
   // eval set = doc_ids 0-4 (EvalDocCount); doc 0 is the benchmark text the
