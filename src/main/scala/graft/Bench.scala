@@ -121,7 +121,15 @@ object Bench {
       .mkString("{", ",", "}")
     // headline fields lead the line so a truncated tail (BENCH_r04) still
     // carries the totals and the failure list
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"failed":$failedJson,"sf":"$sfDir","queries":$qs,"queries_warm":$qsWarm,"shuffle_bytes":$shuffles}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"failed":$failedJson,"sf":"$sfDir","queries":$qs,"queries_warm":$qsWarm,"shuffle_bytes":$shuffles}"""
+    println(line)
+    // stdout capture has truncated this line two rounds running
+    // (BENCH_r04/r05 `parsed: null`) — persist it whole to a file the
+    // driver/judge can read without relying on the pipe
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out"))
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    System.err.println(s"[bench] wrote ${out.toAbsolutePath}")
     spark.stop()
   }
 }

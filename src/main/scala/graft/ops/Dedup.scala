@@ -265,27 +265,190 @@ object Dedup {
     * (immutable versioned corpus dirs make invalidation structural). */
   def sharedSigSets(spark: SparkSession, dir: String): DataFrame = synchronized {
     val view = "graft_sigsets_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-    if (!spark.catalog.tableExists(view))
-      sigSetsOf(docsPar(spark, dir))
-        .localCheckpoint(eager = false)
-        .createOrReplaceTempView(view)
+    if (!spark.catalog.tableExists(view)) {
+      if (!bootstrapFromConf(spark, dir))
+        sigSetsOf(docsPar(spark, dir))
+          .localCheckpoint(eager = false)
+          .createOrReplaceTempView(view)
+    }
+    spark.table(view)
+  }
+
+  /** Session-shared df-capped posting table (doc_id, 60-bit gram) — the
+    * containment funnel's analogue of [[sharedSigSets]]: built once per
+    * (session, corpus), consumed by dedup_containment AND
+    * containment_incremental (three plan consumers each: two self-join
+    * sides + the size aggregate). Bootstraps from a persisted funnel
+    * like the other shared tables. */
+  def sharedPostings(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val view = "graft_postings_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!spark.catalog.tableExists(view)) {
+      if (!bootstrapFromConf(spark, dir))
+        postingsOfSigs(sharedSigSets(spark, dir))
+          .localCheckpoint(eager = false)
+          .createOrReplaceTempView(view)
+    }
     spark.table(view)
   }
 
   /** Drop the session-shared materializations for the corpus at `dir`
-    * (all three layers — signatures, verified pairs, cluster labels —
-    * since each is derived from the one below). The next consumer
-    * rebuilds from the directory's current bytes. */
+    * (all layers — signatures, postings, verified pairs, cluster
+    * labels — since each is derived from the one below). The next
+    * consumer rebuilds from the directory's current bytes. */
   def invalidate(spark: SparkSession, dir: String): Unit = synchronized {
     val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
-    Seq("graft_sigsets_", "graft_jaccard_pairs_", "graft_clusters_")
+    Seq("graft_sigsets_", "graft_postings_", "graft_jaccard_pairs_",
+      "graft_clusters_")
       .foreach(p => spark.catalog.dropTempView(p + suffix))
   }
+
+  // ---------------------------------------------------------------------
+  // Durable funnel: signatures/postings/pairs/clusters as BUCKETED
+  // parquet tables persisted next to the corpus. The session-shared
+  // localCheckpoints above are the right shape WITHIN a session; at
+  // 100 TB the funnel is corpus METADATA — built once per corpus
+  // version, read by every later job — so it belongs on disk, bucketed
+  // by its join key so downstream joins plan shuffle-free (StorageSpec
+  // pins that bucketed joins elide the Exchange). A fresh session
+  // pointed at the funnel (conf `spark.graft.funnel.dir`, or
+  // [[bootstrapFunnel]]) serves the whole dedup surface with ZERO
+  // passes over the corpus text — DedupSpec asserts no FileScan of
+  // documents.parquet for a bootstrapped consumer.
+  // ---------------------------------------------------------------------
+
+  /** Conf key: directory of a persisted funnel to bootstrap the shared
+    * tables from instead of rebuilding per session. */
+  val FunnelDirConf = "spark.graft.funnel.dir"
+
+  /** (component, bucket column, shared-view prefix) of each persisted
+    * funnel table. `boilerplate` has no session view — it exists for
+    * [[containmentAgainst]] callers, so arrival batches drop the same
+    * grams the corpus postings dropped. */
+  private val FunnelComponents = Seq(
+    ("signatures", "doc_id", Some("graft_sigsets_")),
+    ("postings", "g", Some("graft_postings_")),
+    ("boilerplate", "g", None),
+    ("pairs", "id_a", Some("graft_jaccard_pairs_")),
+    ("clusters", "doc_id", Some("graft_clusters_")))
+
+  private def funnelTableName(dir: String, comp: String): String =
+    "graft_funnel_" + comp + "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Build the whole dedup funnel for the corpus at `dir` and persist it
+    * under `outDir` as bucketed parquet — signatures and clusters
+    * bucketed+sorted by doc_id, postings and boilerplate by gram, pairs
+    * by id_a, so every downstream join on those keys plans without an
+    * Exchange. One corpus pass builds everything (signatures feed
+    * postings, pairs, clusters). A `funnel.meta` marker records the
+    * source corpus and bucket count; [[bootstrapFunnel]] validates it so
+    * a funnel can never silently serve a different corpus. */
+  def persistFunnel(spark: SparkSession, dir: String, outDir: String,
+      numBuckets: Int = 32): Unit = {
+    import spark.implicits._
+    val sigs = sigSetsOf(docsPar(spark, dir)).localCheckpoint(eager = false)
+    val grams = gramsOfSigs(sigs)
+    val boiler = boilerplateOfGrams(grams, MaxGramDf)
+    val postings = grams.join(broadcast(boiler), Seq("g"), "left_anti")
+    val pairs = jaccardOfSigSets(sigs, MaxBucketSize)
+      .localCheckpoint(eager = false) // consumed by the write AND clusters
+    val clusters = clustersOf(pairs.select($"id_a", $"id_b"))
+    def write(df: DataFrame, comp: String, bucketCol: String): Unit = {
+      val tbl = funnelTableName(dir, comp)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      df.write.mode("overwrite").option("path", s"$outDir/$comp")
+        .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+        .format("parquet").saveAsTable(tbl)
+    }
+    write(sigs, "signatures", "doc_id")
+    write(postings, "postings", "g")
+    write(boiler, "boilerplate", "g")
+    write(pairs, "pairs", "id_a")
+    write(clusters, "clusters", "doc_id")
+    // marker carries corpus identity, bucket count AND each component's
+    // schema DDL: bootstrap must not depend on parquet schema inference
+    // (a legitimately EMPTY component — e.g. boilerplate on a clean
+    // corpus — has no files to infer from)
+    val schemas = Seq("signatures" -> sigs, "postings" -> postings,
+      "boilerplate" -> boiler, "pairs" -> pairs, "clusters" -> clusters)
+      .map { case (comp, df) => s"schema.$comp=${df.schema.toDDL}" }
+    val meta = (Seq(s"corpus=$dir", s"buckets=$numBuckets") ++ schemas)
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, "funnel.meta"), meta.getBytes("UTF-8"))
+    ()
+  }
+
+  /** Register the funnel persisted at `outDir` into THIS session's
+    * catalog (external bucketed tables over the existing files — the
+    * bucket spec lives in the catalog, so a fresh session must re-state
+    * it; with a shared metastore this step is the metastore's job) and
+    * point the session-shared views at them. Returns false — without
+    * touching the session — if `outDir` holds no funnel or one built
+    * from a different corpus path. */
+  def bootstrapFunnel(spark: SparkSession, dir: String, outDir: String): Boolean = synchronized {
+    val metaPath = java.nio.file.Paths.get(outDir, "funnel.meta")
+    if (!java.nio.file.Files.exists(metaPath)) return false
+    val meta = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+      .linesIterator.flatMap { l =>
+        val i = l.indexOf('=')
+        if (i < 0) None else Some(l.substring(0, i) -> l.substring(i + 1))
+      }.toMap
+    // a funnel must never silently serve a different corpus
+    if (!meta.get("corpus").contains(dir)) return false
+    val numBucketsOpt = meta.get("buckets").flatMap(_.toIntOption)
+    if (numBucketsOpt.isEmpty) return false
+    val numBuckets = numBucketsOpt.get
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    FunnelComponents.foreach { case (comp, bucketCol, viewPrefix) =>
+      val tbl = funnelTableName(dir, comp)
+      if (!spark.catalog.tableExists(tbl)) {
+        // schema from the marker, NOT parquet inference: an empty
+        // component (boilerplate on a clean corpus) has no files
+        val schemaDdl = meta.getOrElse("schema." + comp,
+          throw new IllegalStateException(s"funnel.meta missing schema.$comp"))
+        spark.sql(
+          s"""CREATE TABLE $tbl ($schemaDdl) USING PARQUET
+             |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+             |INTO $numBuckets BUCKETS
+             |LOCATION '$outDir/$comp'""".stripMargin)
+      }
+      viewPrefix.foreach(p =>
+        spark.table(tbl).createOrReplaceTempView(p + suffix))
+    }
+    true
+  }
+
+  /** The persisted boilerplate gram list of a bootstrapped funnel, for
+    * [[containmentAgainst]] callers (None when no funnel is registered —
+    * then the corpus was built in-session and arrival batches see no
+    * boilerplate beyond the df cap already applied to the postings). */
+  def funnelBoilerplate(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val tbl = funnelTableName(dir, "boilerplate")
+    if (spark.catalog.tableExists(tbl)) Some(spark.table(tbl)) else None
+  }
+
+  /** Try a conf-directed funnel bootstrap for `dir`: reads
+    * [[FunnelDirConf]] and registers the funnel when its marker matches
+    * this corpus. Called by the shared accessors before rebuilding. */
+  private def bootstrapFromConf(spark: SparkSession, dir: String): Boolean =
+    spark.conf.getOption(FunnelDirConf) match {
+      case Some(fd) =>
+        try bootstrapFunnel(spark, dir, fd)
+        catch { case _: Exception => false }
+      case None => false
+    }
 
   /** Public name for the signature table of an arbitrary documents
     * frame — what a production pipeline materializes next to the corpus
     * and hands to [[incrementalAgainst]] per arrival batch. */
   def signatures(docs: DataFrame): DataFrame = sigSetsOf(docs)
+
+  /** Public name for the df-capped posting table of an arbitrary
+    * documents frame — the containment analogue of [[signatures]]: what
+    * production persists next to the corpus ([[persistFunnel]]) and
+    * probes per arrival batch via [[containmentAgainst]]. */
+  def postings(docs: DataFrame): DataFrame =
+    postingsOfSigs(sigSetsOf(docs).localCheckpoint(eager = false))
 
   /** Shingles occurring in more than this many documents are dropped
     * from the containment posting join: at corpus scale one boilerplate
@@ -328,21 +491,34 @@ object Dedup {
     * over the same posting rows. Consumes [[sharedSigSets]] — no new
     * pass over the corpus text. */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
-    containmentOfSigs(sharedSigSets(spark, dir))
+    containmentOfPostings(sharedPostings(spark, dir))
 
   /** Containment pairs for an arbitrary documents frame (tests). */
   def containmentOf(docs: DataFrame): DataFrame =
-    containmentOfSigs(sigSetsOf(docs).localCheckpoint(eager = false))
+    containmentOfPostings(
+      postingsOfSigs(sigSetsOf(docs).localCheckpoint(eager = false))
+        .localCheckpoint(eager = false))
 
-  private def containmentOfSigs(sigs: DataFrame): DataFrame = {
-    import sigs.sparkSession.implicits._
-    val grams = sigs.select($"doc_id", explode($"tokset").as("g"))
-    // boilerplate grams: tiny result (only pathological hashes), so the
-    // removal is a broadcast anti-join — no extra shuffle of the postings
-    val common = grams.groupBy($"g").agg(count(lit(1)).as("df"))
-      .filter($"df" > MaxGramDf).select($"g")
-    val posting = grams.join(broadcast(common), Seq("g"), "left_anti")
-      .localCheckpoint(eager = false) // three consumers: 2 join sides + sizes
+  /** Exploded (doc_id, 60-bit gram hash) rows of a signature table. */
+  private def gramsOfSigs(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), explode(col("tokset")).as("g"))
+
+  /** Grams above the df cap — boilerplate carrying no containment
+    * signal. Tiny result (only pathological hashes). */
+  private def boilerplateOfGrams(grams: DataFrame, maxDf: Int): DataFrame =
+    grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("g"))
+
+  /** The df-capped inverted posting table (doc_id, g) of a signature
+    * table — boilerplate removal is a broadcast anti-join, no extra
+    * shuffle of the posting rows. */
+  private def postingsOfSigs(sigs: DataFrame, maxDf: Int = MaxGramDf): DataFrame = {
+    val grams = gramsOfSigs(sigs)
+    grams.join(broadcast(boilerplateOfGrams(grams, maxDf)), Seq("g"), "left_anti")
+  }
+
+  private def containmentOfPostings(posting: DataFrame): DataFrame = {
+    import posting.sparkSession.implicits._
     val sizes = posting.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val pairs = posting.as("a")
       .join(posting.as("b"),
@@ -379,6 +555,93 @@ object Dedup {
        |JOIN sizes nb ON p.id_b = nb.doc_id
        |WHERE CAST(p.inter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) >= $ContainmentBar
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Incremental CONTAINMENT screening: an arrival batch probed against
+    * a prebuilt df-capped corpus posting table — the quote-inclusion
+    * analogue of [[incrementalAgainst]], and exactly the case that
+    * arrives incrementally in production (aggregator pages quoting
+    * corpus docs). The batch is shingled on the fly (it is batch-sized)
+    * and its gram rows BROADCAST into the posting probe, so per-batch
+    * cost is O(batch × df) with df ≤ [[MaxGramDf]] — never a corpus
+    * scan. `boilerplate` is the corpus's dropped-gram list (persisted by
+    * [[persistFunnel]], surfaced by [[funnelBoilerplate]]): applying it
+    * to the batch keeps both sides counting the SAME capped gram
+    * universe, so a batch doc identical to a corpus doc still scores
+    * exactly 1.0. */
+  def containmentAgainst(corpusPostings: DataFrame, batch: DataFrame,
+      boilerplate: Option[DataFrame] = None): DataFrame =
+    containmentAgainstGrams(corpusPostings,
+      gramsOfSigs(sigSetsOf(batch).localCheckpoint(eager = false)),
+      boilerplate)
+
+  private def containmentAgainstGrams(corpusPostings: DataFrame,
+      batchGrams0: DataFrame, boilerplate: Option[DataFrame]): DataFrame = {
+    import corpusPostings.sparkSession.implicits._
+    val batchGrams = boilerplate
+      .fold(batchGrams0)(b => batchGrams0.join(broadcast(b), Seq("g"), "left_anti"))
+      .select($"doc_id".as("new_id"), $"g")
+      .localCheckpoint(eager = false) // two consumers: probe + batch sizes
+    val shared = broadcast(batchGrams)
+      .join(corpusPostings.select($"doc_id".as("old_id"), $"g"), "g")
+      .groupBy($"new_id", $"old_id").agg(count(lit(1)).as("inter"))
+      .filter($"inter" >= MinSharedShingles)
+    val newSizes = batchGrams.groupBy($"new_id").agg(count(lit(1)).as("n_new"))
+    val oldSizes = corpusPostings.groupBy($"doc_id").agg(count(lit(1)).as("n_old"))
+    shared
+      .join(broadcast(newSizes), "new_id")
+      .join(oldSizes.select($"doc_id".as("old_id"), $"n_old"), "old_id")
+      .withColumn("containment",
+        $"inter".cast("double") / least($"n_new", $"n_old").cast("double"))
+      .filter($"containment" >= ContainmentBar)
+      .select($"new_id", $"old_id", $"inter", $"n_new", $"n_old", $"containment")
+      .orderBy($"new_id", $"old_id")
+  }
+
+  /** Batch-SQL stand-in for [[containmentAgainst]] with an oracle:
+    * doc_id ≡ 0 (mod 5) is the arrival batch (same SF-independent 20%
+    * slice as [[dedupIncremental]]), the rest the corpus. Corpus
+    * postings and boilerplate are computed over the CORPUS side only —
+    * the batch must never shift the corpus's df statistics — and both
+    * sides count the corpus-capped gram universe. Consumes
+    * [[sharedSigSets]]: no new pass over the text. */
+  def containmentIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = sharedSigSets(spark, dir)
+    val isNew = col("doc_id") % 5 === 0
+    val corpusGrams = gramsOfSigs(sig.filter(!isNew))
+      .localCheckpoint(eager = false) // consumers: df stats + postings
+    val boiler = boilerplateOfGrams(corpusGrams, MaxGramDf)
+      .localCheckpoint(eager = false) // consumers: corpus + batch anti-joins
+    val corpusPostings = corpusGrams.join(broadcast(boiler), Seq("g"), "left_anti")
+      .localCheckpoint(eager = false) // consumers: probe + corpus sizes
+    containmentAgainstGrams(corpusPostings, gramsOfSigs(sig.filter(isNew)),
+      Some(boiler))
+  }
+
+  val containmentIncrementalSql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS toks
+       |  $duckShingleFrom),
+       |g_all AS (SELECT doc_id, g FROM (SELECT doc_id, UNNEST(toks) AS g FROM sig)),
+       |corpus AS (SELECT * FROM g_all WHERE doc_id % 5 != 0),
+       |boiler AS (SELECT g FROM corpus GROUP BY g HAVING COUNT(*) > $MaxGramDf),
+       |cp AS (SELECT * FROM corpus WHERE g NOT IN (SELECT g FROM boiler)),
+       |batch AS (SELECT doc_id, g FROM g_all
+       |          WHERE doc_id % 5 = 0 AND g NOT IN (SELECT g FROM boiler)),
+       |nn AS (SELECT doc_id, COUNT(*) AS n_new FROM batch GROUP BY doc_id),
+       |nold AS (SELECT doc_id, COUNT(*) AS n_old FROM cp GROUP BY doc_id),
+       |p AS (SELECT b.doc_id AS new_id, c.doc_id AS old_id, COUNT(*) AS inter
+       |      FROM batch b JOIN cp c ON b.g = c.g
+       |      GROUP BY 1, 2
+       |      HAVING COUNT(*) >= $MinSharedShingles)
+       |SELECT p.new_id, p.old_id, p.inter, nn.n_new, nold.n_old,
+       |  CAST(p.inter AS DOUBLE) / CAST(least(nn.n_new, nold.n_old) AS DOUBLE) AS containment
+       |FROM p
+       |JOIN nn ON p.new_id = nn.doc_id
+       |JOIN nold ON p.old_id = nold.doc_id
+       |WHERE CAST(p.inter AS DOUBLE) / CAST(least(nn.n_new, nold.n_old) AS DOUBLE) >= $ContainmentBar
+       |ORDER BY new_id, old_id""".stripMargin
 
   /** Streaming-ingest near-dup screening: verified pairs of an arrival
     * batch against a PREBUILT corpus signature table ([[signatures]]).
@@ -445,10 +708,13 @@ object Dedup {
     * checkpoint blocks die with the session. */
   def sharedJaccardPairs(spark: SparkSession, dir: String): DataFrame = synchronized {
     val view = "graft_jaccard_pairs_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-    if (!spark.catalog.tableExists(view))
-      jaccardOfSigSets(sharedSigSets(spark, dir), MaxBucketSize)
-        .localCheckpoint(eager = false)
-        .createOrReplaceTempView(view)
+    if (!spark.catalog.tableExists(view)) {
+      val sigs = sharedSigSets(spark, dir) // may bootstrap ALL funnel views
+      if (!spark.catalog.tableExists(view))
+        jaccardOfSigSets(sigs, MaxBucketSize)
+          .localCheckpoint(eager = false)
+          .createOrReplaceTempView(view)
+    }
     spark.table(view)
   }
 
@@ -468,8 +734,10 @@ object Dedup {
     val view = "graft_clusters_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     if (!spark.catalog.tableExists(view)) {
       import spark.implicits._
-      clustersOf(sharedJaccardPairs(spark, dir).select($"id_a", $"id_b"))
-        .createOrReplaceTempView(view)
+      val pairs = sharedJaccardPairs(spark, dir) // may bootstrap ALL funnel views
+      if (!spark.catalog.tableExists(view))
+        clustersOf(pairs.select($"id_a", $"id_b"))
+          .createOrReplaceTempView(view)
     }
     spark.table(view)
   }

@@ -43,6 +43,9 @@ object HealthServer {
           }
         val bytes = body.getBytes(StandardCharsets.UTF_8)
         x.getResponseHeaders.set("Content-Type", "application/json")
+        // reference wraps its mux in cors.AllowAll (main.go:90) so browser
+        // dashboards can scrape the probes directly — mirror that
+        x.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
         x.sendResponseHeaders(code, bytes.length.toLong)
         val os = x.getResponseBody
         try os.write(bytes) finally os.close()
@@ -63,6 +66,7 @@ object HealthServer {
           }
         val bytes = body.getBytes(StandardCharsets.UTF_8)
         x.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
+        x.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
         x.sendResponseHeaders(code, bytes.length.toLong)
         val os = x.getResponseBody
         try os.write(bytes) finally os.close()

@@ -292,6 +292,115 @@ class DedupSpec extends SparkSpec {
       "shard exceeds budget by more than its final doc")
   }
 
+  test("persisted funnel serves a fresh session with the corpus text GONE") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftfunnel")
+    val dir = root.resolve("corpus").toString
+    val funnelDir = root.resolve("funnel").toString
+    // small corpus with one exact-dup family and one near-dup pair
+    val docs = (0L until 12L).map { i =>
+      val t =
+        if (i < 3) "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        else if (i == 3) "alpha beta gamma delta epsilon zeta eta theta iota mu"
+        else s"unique document number $i with its own words entirely token$i extra$i filler$i"
+      (i, t)
+    }.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synthetic"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // expected results, computed in THIS session from the corpus bytes
+    val expSigs = Dedup.sharedSigSets(spark, dir).count()
+    val expJacc = Dedup.dedupJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expClus = Dedup.dedupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expCont = Dedup.dedupContainment(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.persistFunnel(spark, dir, funnelDir, numBuckets = 4)
+    // drop the catalog entries (external tables — files survive): the
+    // fresh session must re-register from funnel.meta alone, the true
+    // fresh-deployment path (exercises the recorded-schema DDL, incl.
+    // the legitimately EMPTY boilerplate component)
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    Seq("signatures", "postings", "boilerplate", "pairs", "clusters")
+      .foreach(c => spark.sql(s"DROP TABLE IF EXISTS graft_funnel_${c}_$suffix"))
+    // DELETE the corpus text: the only way a consumer can answer now is
+    // from the persisted funnel — a single corpus scan would throw
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm(_))
+      java.nio.file.Files.delete(p)
+    }
+    rm(java.nio.file.Paths.get(dir))
+    // fresh session state: new catalog, no shared views, no funnel tables
+    val s2 = spark.newSession()
+    s2.conf.set(Dedup.FunnelDirConf, funnelDir)
+    assert(Dedup.sharedSigSets(s2, dir).count() == expSigs)
+    val gotJacc = Dedup.dedupJaccard(s2, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val gotClus = Dedup.dedupClusters(s2, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotCont = Dedup.dedupContainment(s2, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotJacc == expJacc, s"jaccard drift: $gotJacc vs $expJacc")
+    assert(gotClus == expClus, s"cluster drift: $gotClus vs $expClus")
+    assert(gotCont == expCont, s"containment drift: $gotCont vs $expCont")
+    // the funnel tables are BUCKETED by their join key: signatures ⋈
+    // clusters on doc_id plans as SMJ with no shuffle on either side
+    val prevBroadcast = s2.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Dedup.sharedSigSets(s2, dir).select($"doc_id", $"n")
+        .join(Dedup.sharedClusters(s2, dir), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed funnel join still shuffles:\n$plan")
+      // inner join restricts to docs in the pair graph = the cluster rows
+      assert(joined.count() == gotClus.size.toLong)
+    } finally s2.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    // cleanup of this corpus's catalog entries in the main session
+    Dedup.invalidate(spark, dir)
+  }
+
+  test("bootstrapFunnel refuses a funnel built from a different corpus") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftfunnelmm")
+    val dir = root.resolve("corpus").toString
+    val funnelDir = root.resolve("funnel").toString
+    Seq((1L, "some words here for the corpus"), (2L, "other words there"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Dedup.persistFunnel(spark, dir, funnelDir, numBuckets = 2)
+    val s2 = spark.newSession()
+    assert(!Dedup.bootstrapFunnel(s2, "/some/other/corpus", funnelDir),
+      "funnel served a corpus it was not built from")
+    assert(Dedup.bootstrapFunnel(s2, dir, funnelDir))
+    Dedup.invalidate(spark, dir)
+  }
+
+  test("containmentAgainst flags an arrival doc quoting a corpus doc") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight"),
+      (2L, "red orange yellow green blue indigo violet purple"))
+      .toDF("doc_id", "text")
+    val posting = Dedup.postings(corpus).localCheckpoint()
+    val batch = Seq(
+      // 10 quotes corpus doc 0 whole inside a longer page — containment
+      // ≈ 1.0 on the short side while jaccard stays far below any bar
+      (10L, "alpha beta gamma delta epsilon zeta eta theta " +
+        "plus a very long unrelated tail one after another going on and on " +
+        "with more and more filler words stretching the union far out"),
+      (11L, "completely novel words sharing nothing with the corpus at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentAgainst(posting, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("containment")))
+    assert(got.map(t => (t._1, t._2)).toSet == Set((10L, 0L)), got.mkString(", "))
+    assert(got.head._3 == 1.0, s"whole-quote containment should be exactly 1.0: ${got.head}")
+  }
+
   test("approx_percentile within 10% of exact percentile") {
     import spark.implicits._
     val approx = graft.ops.TimeWindows.aggApproxPercentile(spark, sfDir)

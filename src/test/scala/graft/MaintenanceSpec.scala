@@ -110,4 +110,40 @@ class MaintenanceSpec extends SparkSpec {
     assert(flagged.toSet == Set((10L, 0L)),
       s"expected only (10,0) flagged, got $flagged")
   }
+
+  test("streaming ingest screens arrival batches for CONTAINMENT against corpus postings") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus postings materialized once — the table persistFunnel writes
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight"),
+      (2L, "red orange yellow green blue indigo violet purple"))
+      .toDF("doc_id", "text")
+    val posting = Dedup.postings(corpus).localCheckpoint()
+
+    val mem = MemoryStream[(Long, String)]
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dedup.containmentAgainst(posting, batch)
+          .collect().foreach(r => flagged.synchronized {
+            flagged += ((r.getLong(0), r.getLong(1))); () })
+        ()
+      }
+      .start()
+    // 10: quotes corpus doc 0 whole inside a much longer page (the case
+    // resemblance-LSH misses — jaccard is tiny, containment is 1.0);
+    // 11: novel text
+    mem.addData(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta " +
+        "plus a very long unrelated tail one after another going on and on " +
+        "with more and more filler words stretching the union far out"),
+      (11L, "completely different words with no overlap here at all"))
+    q.awaitTermination(60000)
+
+    assert(flagged.toSet == Set((10L, 0L)),
+      s"expected only (10,0) flagged, got $flagged")
+  }
 }

@@ -163,6 +163,9 @@ class StreamingSpec extends SparkSpec {
           .openConnection().asInstanceOf[java.net.HttpURLConnection]
         c.setRequestMethod("GET")
         val code = c.getResponseCode
+        // CORS parity with the reference's cors.AllowAll mux (main.go:90)
+        assert(c.getHeaderField("Access-Control-Allow-Origin") == "*",
+          s"missing CORS header on $path")
         val is = if (code >= 400) c.getErrorStream else c.getInputStream
         val body = try scala.io.Source.fromInputStream(is).mkString finally is.close()
         c.disconnect()
@@ -215,6 +218,8 @@ class StreamingSpec extends SparkSpec {
           .openConnection().asInstanceOf[java.net.HttpURLConnection]
         c.setRequestMethod("GET")
         val code = c.getResponseCode
+        assert(c.getHeaderField("Access-Control-Allow-Origin") == "*",
+          s"missing CORS header on $path")
         val ct = Option(c.getContentType).getOrElse("")
         val is = if (code >= 400) c.getErrorStream else c.getInputStream
         val body = try scala.io.Source.fromInputStream(is).mkString finally is.close()
