@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AvroDecodeIngestion, Bottom2, VecDot}
+import graft.functions.{AvroDecodeIngestion, Bottom2, VecDot, VecDotQ, VecQuantize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -32,6 +32,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         arity("vec_dot", "vec_dot(array<float>, array<float>)", 2)(children)
         VecDot(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_quantize"),
+      new ExpressionInfo(classOf[VecQuantize].getName, "vec_quantize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("vec_quantize", "vec_quantize(array<float>)", 1)(children)
+        VecQuantize(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dotq"),
+      new ExpressionInfo(classOf[VecDotQ].getName, "vec_dotq"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("vec_dotq", "vec_dotq(array<tinyint>, array<tinyint>)", 2)(children)
+        VecDotQ(children(0), children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("bottom2"),

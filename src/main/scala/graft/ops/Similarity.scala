@@ -166,6 +166,66 @@ object Similarity {
        |WHERE bit_count(xor(bucket, qbucket)) <= $ProbeRadius
        |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
 
+  /** Int8-quantized IVF top-k — [[annIvf]] with scoring over symmetric
+    * int8 codes (graft.functions.VecQuantize: per-vector scale =
+    * max|x|/127, codes = round(x/scale)) instead of fp32. This is the
+    * standard IVF companion at 100 TB: the stored corpus carries
+    * `array<tinyint>` codes — a 4× memory/shuffle/scan cut against
+    * fp32 — and the per-vector scale CANCELS in cosine, so search needs
+    * only the codes. Scoring is the codegen'd integer dot
+    * (graft.functions.VecDotQ, exact in long) with one IEEE
+    * divide/sqrt at the end — bit-identical cross-engine, so unlike
+    * float-sum sketches this is fully oracle-able. Bucket assignment
+    * stays on the fp32 input (quantize at index build, after bucketing —
+    * the coarse quantizer and the code book are independent stages in a
+    * real IVF-PQ layout). Recall vs the fp32 brute-force ground truth is
+    * MEASURED in SimilaritySpec next to the radius sweep. */
+  def annIvfQuantized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", lshBucket($"embedding"))
+      .withColumn("codes", graft.functions.VecQuant.vecQuantize($"embedding"))
+    val q = emb.filter($"vec_id" === 0)
+      .select($"bucket".as("qbucket"), $"codes".as("qc"))
+    val dq = graft.functions.VecQuant.vecDotQ _
+    emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .filter(bit_count($"bucket".bitwiseXOR($"qbucket")) <= ProbeRadius)
+      .select($"vec_id", $"bucket",
+        (dq($"codes", $"qc").cast("double") /
+          sqrt(dq($"codes", $"codes").cast("double") *
+            dq($"qc", $"qc").cast("double"))).as("score"))
+      .orderBy($"score".desc, $"vec_id")
+      .limit(5)
+  }
+
+  /** DuckDB int8 codes of an embedding expression, given a `scale`
+    * column: round() in DuckDB is half-away-from-zero — the same
+    * convention VecQuantize generates — and the division is one IEEE
+    * op, so codes match bit-for-bit. */
+  private def codesSql(v: String): String =
+    s"list_transform($v, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))"
+
+  private def dotqSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, greatest(len($a), len($b)) + 1), " +
+      s"i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+
+  val annIvfQuantizedSql: String =
+    s"""WITH scaled AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+       |  FROM embeddings),
+       |coded AS (
+       |  SELECT vec_id, bucket, ${codesSql("embedding")} AS codes FROM scaled)
+       |SELECT vec_id, bucket,
+       |  CAST(${dotqSql("codes", "qc")} AS DOUBLE) /
+       |    sqrt(CAST(${dotqSql("codes", "codes")} AS DOUBLE) *
+       |         CAST(${dotqSql("qc", "qc")} AS DOUBLE)) AS score
+       |FROM (SELECT * FROM coded WHERE vec_id != 0)
+       |CROSS JOIN (SELECT codes AS qc, bucket AS qbucket FROM coded WHERE vec_id = 0)
+       |WHERE bit_count(xor(bucket, qbucket)) <= $ProbeRadius
+       |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
+
   /** Per-position centroid component rows (label, 0-based pos, mean).
     * The mean routes through the exact DECIMAL accumulator
     * (graft.Exact.davg) — float→double widening is exact and the decimal

@@ -28,6 +28,75 @@ class SimilaritySpec extends SparkSpec {
   private def choose(n: Int, k: Int): Int =
     if (k == 0) 1 else n * choose(n - 1, k - 1) / k
 
+  test("int8-quantized IVF: recall vs fp32 ground truth and score error bounded") {
+    import spark.implicits._
+    // fp32 brute-force ground truth (same query vec_id 0, top-5)
+    val truthRows = Similarity.annTopK(spark, sfDir)
+      .limit(5).select("vec_id", "score").collect()
+    val truth = truthRows.map(_.getLong(0)).toSet
+    val got = Similarity.annIvfQuantized(spark, sfDir)
+      .select("vec_id", "score").collect()
+    val recall = truth.intersect(got.map(_.getLong(0)).toSet).size / 5.0
+    info(f"ann_ivf_quantized recall@5 vs fp32 brute force = $recall%.2f")
+    // quantized IVF loses recall two ways: bucket pruning (same as
+    // ann_ivf, measured 0.6-0.8 at radius 1) and int8 score error; the
+    // error term must not cost MORE than pruning alone does
+    val fp32Ivf = Similarity.annIvf(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recallFp32 = truth.intersect(fp32Ivf).size / 5.0
+    assert(recall >= recallFp32 - 0.21,
+      f"int8 scoring lost more than one of five vs fp32 IVF: $recall%.2f vs $recallFp32%.2f")
+    // per-vector int8 on 64 dims: cosine error is small — compare the
+    // quantized scores of the overlap against their fp32 scores
+    val fp32Scores = Similarity.annIvf(spark, sfDir)
+      .select("vec_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { r =>
+      fp32Scores.get(r.getLong(0)).foreach { s =>
+        val err = math.abs(r.getDouble(1) - s)
+        assert(err <= 0.02, f"vec ${r.getLong(0)}: int8 cosine error $err%.4f > 0.02")
+      }
+    }
+  }
+
+  test("vec_quantize codes are int8-ranged, exact on the argmax, zero-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // element values chosen away from exact .5 code boundaries: a half
+    // would flip on one ulp of the scale division (both engines compute
+    // it identically, but the hand-written expectation here would not)
+    val df = Seq(
+      (1L, Array(0.4f, -1.0f, 0.25f, 0.1f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector -> all-zero codes
+      (3L, Array(-3.0f, 1.2f, 3.0f, -0.75f)))
+      .toDF("id", "v")
+      .select($"id", graft.functions.VecQuant.vecQuantize($"v").as("q"),
+        graft.functions.VecQuant.quantScale($"v").as("scale"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Byte](1).toArray, r.getDouble(2))).sortBy(_._1)
+    val (_, q1, s1) = df(0)
+    // 0.4*127=50.8->51, 0.25*127=31.75->32, 0.1*127=12.7->13
+    assert(q1.sameElements(Array[Byte](51, -127, 32, 13)), q1.mkString(","))
+    assert(s1 == 1.0 / 127.0)
+    val (_, q2, s2) = df(1)
+    assert(q2.sameElements(Array[Byte](0, 0, 0, 0)) && s2 == 0.0)
+    val (_, q3, _) = df(2)
+    // argmax elements always hit exactly +/-127; nothing exceeds int8
+    assert(q3.sameElements(Array[Byte](-127, 51, 127, -32)), q3.mkString(","))
+  }
+
+  test("vec_dotq is exact integer arithmetic and SQL-registered") {
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT vec_dotq(CAST(array(127, -127, 1) AS array<tinyint>),
+        |                CAST(array(127, 127, 2) AS array<tinyint>)) AS d,
+        |       vec_dotq(CAST(array(1, 2) AS array<tinyint>),
+        |                CAST(array(1) AS array<tinyint>)) AS mism""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == 127L * 127 - 127L * 127 + 2)
+    assert(r.isNullAt(1), "length mismatch must yield NULL, not a prefix dot")
+  }
+
   test("multi-probe radius sweep: recall@5 vs scan fraction, monotone") {
     val truth = Similarity.annTopK(spark, sfDir)
       .limit(5).select("vec_id").collect().map(_.getLong(0)).toSet
