@@ -159,6 +159,134 @@ object Curate {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  /** FULL-PIPELINE composition — raw documents to training shards in ONE
+    * declarative plan, pinning that BOTH sides compose end to end (the
+    * id-side stages corpus_curate pins and the text-side stages
+    * curate_text pins, chained in production order):
+    *
+    *   1. quality/language gates on the raw text (cheapest first: score
+    *      everything, prune before any heavier stage touches the text),
+    *   2. exact-dedup keepers (semi join) and near-dup cluster losers
+    *      (anti join) — dedup runs BEFORE splitting, the stage order
+    *      whose inversion is the classic production leakage bug (a near
+    *      dup pair split across train/test survives any later audit),
+    *   3. clean → PII-scrub on the SURVIVORS only (redaction counts see
+    *      the cleaned text; token counts see the curated text), with the
+    *      curate_text keep bars applied,
+    *   4. deterministic hash split (a predicate of doc_id — no split
+    *      table, stable under growth),
+    *   5. shard packing per (lang, split) with token counts from the
+    *      CURATED text — shards are budgeted on what the trainer will
+    *      actually read, not the raw bytes.
+    *
+    * Shape at 100 TB: one narrow scored scan, two id-only broadcast-able
+    * joins, chained codegen'd regex projections, one running-sum window
+    * hash-partitioned by (lang, split). The whole chain is ONE Spark job
+    * (verified in PLANS.md): nothing materializes between stages, no
+    * text ever shuffles except the final window's survivors (post-gate,
+    * post-dedup — a small fraction of the corpus). */
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // 1. gates on raw text
+    val gated = Tables.documentsPar(spark, dir)
+      .select($"doc_id", $"lang", $"text",
+        TextAnalysis.predLangExpr($"text").as("pred_lang"),
+        TextAnalysis.qualityScoreExpr($"text").as("quality_score"))
+      .filter($"pred_lang" =!= "und" && $"quality_score" >= QualityBar)
+    // 2. dedup keepers (computed over the FULL corpus — gating must not
+    //    change which copy of a duplicate family is canonical)
+    val keepers = Dedup.dedupExact(spark, dir).select($"keep_id".as("doc_id"))
+    val losers = Dedup.sharedClusters(spark, dir)
+      .filter($"cluster_id" =!= $"doc_id").select($"doc_id")
+    val deduped = gated
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
+    // 3. text transforms on survivors only + curate keep bars
+    val cleaned = TextAnalysis.cleanExpr($"text")
+    val curated = deduped
+      .withColumn("curated", TextAnalysis.scrubExpr(cleaned))
+      .withColumn("n_redacted",
+        size(regexp_extract_all(cleaned, lit(TextAnalysis.EmailPattern), lit(0))) +
+          size(regexp_extract_all(cleaned, lit(TextAnalysis.UrlPattern), lit(0))))
+      .withColumn("n_tokens", size(TextAnalysis.toks($"curated")).cast("long"))
+      .filter($"n_redacted" <= TextAnalysis.CurateMaxRedactions &&
+        $"n_tokens" >= TextAnalysis.CurateMinTokens)
+    // 4 + 5. split predicate, then pack shards within (lang, split)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang", $"split").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    curated
+      .withColumn("split", TrainPrep.splitExpr($"doc_id"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"lang", $"pred_lang", $"quality_score", $"split",
+        $"n_tokens",
+        floor(($"cum" - $"n_tokens") / TrainPrep.ShardTokenBudget).as("shard_id"),
+        $"curated")
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the same chain recomposed from the per-stage verified SQL
+    * (closure CTEs for clusters, langId/textQuality expressions for the
+    * gates, cleanSqlExpr + the PII patterns for the transforms, the
+    * splitLeakage hash CASE for the split, packShards' window for the
+    * packing). */
+  val pipelineE2eSql: String = {
+    val jacc = Dedup.dedupJaccardSql.replace("ORDER BY id_a, id_b", "")
+    val lang = TextAnalysis.langIdSql.replace("ORDER BY doc_id", "")
+    val qual = TextAnalysis.textQualitySql.replace("ORDER BY doc_id", "")
+    val email = TextAnalysis.EmailPattern
+    val url = TextAnalysis.UrlPattern
+    val splitB = "('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+    s"""WITH RECURSIVE ${Dedup.clustersSqlCtes(jacc)},
+       |keepers AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents
+       |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+       |losers AS (SELECT doc_id FROM clusters WHERE cluster_id != doc_id),
+       |gated AS (
+       |  SELECT d.doc_id, d.lang, d.text, l.pred_lang, q.quality_score
+       |  FROM documents d
+       |  JOIN ($lang) l ON d.doc_id = l.doc_id
+       |  JOIN ($qual) q ON d.doc_id = q.doc_id
+       |  WHERE l.pred_lang != 'und' AND q.quality_score >= $QualityBar),
+       |deduped AS (
+       |  SELECT g.* FROM gated g
+       |  JOIN keepers k ON g.doc_id = k.doc_id
+       |  WHERE g.doc_id NOT IN (SELECT doc_id FROM losers)),
+       |curated0 AS (
+       |  SELECT doc_id, lang, pred_lang, quality_score,
+       |    ${TextAnalysis.cleanSqlExpr("text")} AS cleaned
+       |  FROM deduped),
+       |curated AS (
+       |  SELECT doc_id, lang, pred_lang, quality_score,
+       |    regexp_replace(regexp_replace(cleaned, '$url', '<URL>', 'g'),
+       |                   '$email', '<EMAIL>', 'g') AS curated,
+       |    len(regexp_extract_all(cleaned, '$email'))
+       |      + len(regexp_extract_all(cleaned, '$url')) AS n_redacted,
+       |    len(string_split(regexp_replace(lower(trim(
+       |      regexp_replace(regexp_replace(cleaned, '$url', '<URL>', 'g'),
+       |                     '$email', '<EMAIL>', 'g'))), '\\s+', ' ', 'g'), ' ')) AS n_tokens
+       |  FROM curated0),
+       |kept AS (
+       |  SELECT * FROM curated
+       |  WHERE n_redacted <= ${TextAnalysis.CurateMaxRedactions}
+       |    AND n_tokens >= ${TextAnalysis.CurateMinTokens}),
+       |labeled AS (
+       |  SELECT *,
+       |    CASE WHEN $splitB < 80 THEN 'train'
+       |         WHEN $splitB < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM kept),
+       |packed AS (
+       |  SELECT *, SUM(n_tokens) OVER (PARTITION BY lang, split ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM labeled)
+       |SELECT doc_id, lang, pred_lang, quality_score, split, n_tokens,
+       |  CAST((cum - n_tokens) // ${TrainPrep.ShardTokenBudget} AS BIGINT) AS shard_id,
+       |  curated
+       |FROM packed
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Cross-split contamination audit: near-duplicate pairs whose members
     * land in DIFFERENT train/val/test splits — the leakage check every
     * eval-honest pipeline runs after splitting (a test doc that near-dups

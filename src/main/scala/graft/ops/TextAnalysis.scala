@@ -428,8 +428,9 @@ object TextAnalysis {
   }
 
   /** The DuckDB mirror of [[cleanExpr]] over column `col` — shared by
-    * the clean_text oracle and the curate_text composition's. */
-  private def cleanSqlExpr(col: String): String =
+    * the clean_text oracle, the curate_text composition's, and
+    * Curate.pipelineE2eSql. */
+  private[graft] def cleanSqlExpr(col: String): String =
     s"""trim(regexp_replace(
        |          regexp_replace(
        |            regexp_replace(
