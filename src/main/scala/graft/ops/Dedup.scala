@@ -493,10 +493,12 @@ object Dedup {
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
     containmentOfPostings(sharedPostings(spark, dir))
 
-  /** Containment pairs for an arbitrary documents frame (tests). */
-  def containmentOf(docs: DataFrame): DataFrame =
+  /** Containment pairs for an arbitrary documents frame (tests); the
+    * df cap is a parameter so DedupScaleSpec can measure the capped vs
+    * uncapped forms against each other at binding scale. */
+  def containmentOf(docs: DataFrame, maxDf: Int = MaxGramDf): DataFrame =
     containmentOfPostings(
-      postingsOfSigs(sigSetsOf(docs).localCheckpoint(eager = false))
+      postingsOfSigs(sigSetsOf(docs).localCheckpoint(eager = false), maxDf)
         .localCheckpoint(eager = false))
 
   /** Exploded (doc_id, 60-bit gram hash) rows of a signature table. */

@@ -90,6 +90,14 @@ object Health {
     // AFTER it — a supervised restart recovers to "ok" like the
     // reference's live probes, while lastError stays visible as the
     // sticky informational field (reference model.go:74 keeps it too).
+    // Deliberately SESSION-level, not per-query-id (ADVICE r5): a
+    // supervisor that restarts a crashed pipeline from a fresh
+    // checkpoint gets a NEW query id, so per-id recovery would leave
+    // health red forever after any successful replacement. The cost —
+    // an unrelated stream's start also clears the flag — is acceptable
+    // because a start that immediately crashes re-records the failure
+    // on its termination event, and lastError stays sticky either way;
+    // operators clear state explicitly via clearFailures.
     val recorded = Option(lastFailure.get(spark))
     val startedSince = Option(lastStart.get(spark))
       .exists(s => recorded.forall(_.atSeq < s))
