@@ -58,16 +58,19 @@ object Bench {
       shuffleBytes.get()
     }
     var failed = List.empty[String]
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Boolean, Double, Long) = {
+    def timeOnceAt(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): (Boolean, Double, Long) = {
       val s0 = shuffleSnapshot()
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
+        try { fn(spark, dir).queryExecution.toRdd.foreach(_ => ()); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       (ok, (System.nanoTime() - t0) / 1e9, shuffleSnapshot() - s0)
     }
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Boolean, Double, Long) =
+      timeOnceAt(name, fn, sfDir)
     // optional args = query names to bench (iteration aid); no args = all
     val selected =
       if (args.isEmpty) SparkEntry.queries
@@ -119,9 +122,26 @@ object Bench {
     val totalWarm = warmResults.collect { case (_, v) if v >= 0 => v }.sum
     val qsWarm = warmResults.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Second scale point (VERDICT r5 #8): one cold pass per query at
+    // sf0.01 rides along in the same JSON line, so round-over-round
+    // comparisons get a SLOPE (two SFs) instead of one noisy number.
+    // Single-run on purpose — it's a trend indicator, not a tuned
+    // measurement; the JVM/codegen warmup is already paid by the main
+    // pass. Skippable for quick iteration (SPARK_GRAFT_NOSF2=1).
+    val sf2 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR2", "/root/testdata/sf0.01")
+    val sf2Results: Seq[(String, Double)] =
+      if (sf2 == sfDir || sys.env.get("SPARK_GRAFT_NOSF2").contains("1") ||
+          !new java.io.File(sf2).isDirectory) Seq.empty
+      else selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val (ok, dt, _) = timeOnceAt(name, fn, sf2)
+        (name, if (ok) dt else -dt)
+      }
+    val totalSf2 = sf2Results.collect { case (_, v) if v >= 0 => v }.sum
+    val qsSf2 = sf2Results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // headline fields lead the line so a truncated tail (BENCH_r04) still
     // carries the totals and the failure list
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"failed":$failedJson,"sf":"$sfDir","queries":$qs,"queries_warm":$qsWarm,"shuffle_bytes":$shuffles}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"total_sf2":$totalSf2,"sf2":"$sf2","failed":$failedJson,"sf":"$sfDir","queries":$qs,"queries_warm":$qsWarm,"shuffle_bytes":$shuffles,"queries_sf2":$qsSf2}"""
     println(line)
     // stdout capture has truncated this line two rounds running
     // (BENCH_r04/r05 `parsed: null`) — persist it whole to a file the

@@ -434,7 +434,14 @@ object Dedup {
     spark.conf.getOption(FunnelDirConf) match {
       case Some(fd) =>
         try bootstrapFunnel(spark, dir, fd)
-        catch { case _: Exception => false }
+        catch {
+          case e: Exception =>
+            // fall back to an in-session rebuild, but LOUDLY: a corrupt
+            // funnel silently re-scanning 100 TB would be a cost bug
+            System.err.println(
+              s"[graft] funnel bootstrap from $fd failed (${e.getMessage}); rebuilding in session")
+            false
+        }
       case None => false
     }
 
