@@ -418,6 +418,51 @@ object Dedup {
     true
   }
 
+  /** Append an arrival batch's signatures and postings to a persisted
+    * funnel — the ingest-time maintenance step that keeps the durable
+    * funnel CURRENT without a corpus rebuild. New docs' signature rows
+    * and df-screened posting rows append to the bucketed tables (Spark
+    * validates the append against the table's bucket spec, so the
+    * shuffle-free join layout is preserved); batch grams are anti-joined
+    * against the PERSISTED boilerplate list so the posting table keeps
+    * counting the same capped gram universe the corpus was built with.
+    *
+    * Contract notes, both the standard posting-list maintenance split:
+    * - df statistics refresh only at the next full [[persistFunnel]]
+    *   (a gram that becomes boilerplate through arrivals keeps serving
+    *   until the periodic rebuild re-derives the cap set — cheap appends
+    *   now, re-derivation at compaction, like
+    *   [[graft.streaming.Maintenance.compactDay]] does for the index);
+    * - pairs/clusters are NOT appended: batch-vs-corpus pair results
+    *   come from [[incrementalAgainst]]/[[containmentAgainst]] probing
+    *   these tables, and re-clustering the world is a backfill job, not
+    *   an ingest step (see [[dedupIncremental]]).
+    * Caller guarantees batch doc_ids are new (same as any ingest
+    * append); replays are screened upstream by the pipeline's
+    * idempotent sink keys. */
+  def appendToFunnel(spark: SparkSession, dir: String, outDir: String,
+      batch: DataFrame): Unit = {
+    if (!bootstrapFunnel(spark, dir, outDir))
+      throw new IllegalStateException(
+        s"no funnel for corpus $dir at $outDir — run persistFunnel first")
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(outDir, "funnel.meta")), "UTF-8")
+    val numBuckets = "buckets=(\\d+)".r.findFirstMatchIn(meta).get.group(1).toInt
+    val sigs = sigSetsOf(batch).localCheckpoint(eager = false)
+    val boiler = spark.table(funnelTableName(dir, "boilerplate"))
+    val newPostings = gramsOfSigs(sigs).join(broadcast(boiler), Seq("g"), "left_anti")
+    sigs.write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(funnelTableName(dir, "signatures"))
+    newPostings.write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "g").sortBy("g")
+      .saveAsTable(funnelTableName(dir, "postings"))
+    // drop cached file listings so every consumer (incl. the shared
+    // views pointing at these tables) sees the appended rows
+    spark.catalog.refreshTable(funnelTableName(dir, "signatures"))
+    spark.catalog.refreshTable(funnelTableName(dir, "postings"))
+  }
+
   /** The persisted boilerplate gram list of a bootstrapped funnel, for
     * [[containmentAgainst]] callers (None when no funnel is registered —
     * then the corpus was built in-session and arrival batches see no

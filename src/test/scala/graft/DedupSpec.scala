@@ -363,6 +363,46 @@ class DedupSpec extends SparkSpec {
     Dedup.invalidate(spark, dir)
   }
 
+  test("appendToFunnel: arrival batches extend the durable funnel in place") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftfunnelapp")
+    val dir = root.resolve("corpus").toString
+    val funnelDir = root.resolve("funnel").toString
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight"),
+      (2L, "red orange yellow green blue indigo violet purple"))
+      .toDF("doc_id", "text")
+    corpus.withColumn("lang", lit("en"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Dedup.persistFunnel(spark, dir, funnelDir, numBuckets = 2)
+    // arrival batch: 10 near-dups corpus doc 0; 11 is novel
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (11L, "totally fresh words appear nowhere else in this corpus"))
+      .toDF("doc_id", "text")
+    Dedup.appendToFunnel(spark, dir, funnelDir, batch)
+    // a fresh session bootstrapping from the funnel sees corpus + batch
+    val s2 = spark.newSession()
+    s2.conf.set(Dedup.FunnelDirConf, funnelDir)
+    assert(Dedup.sharedSigSets(s2, dir).count() == 5)
+    // a LATER arrival probing the funnel finds near-dups against the
+    // APPENDED doc — the reason the funnel must stay current
+    val probe = s2.createDataFrame(
+      Seq((20L, "alpha beta gamma delta epsilon zeta eta iota")))
+      .toDF("doc_id", "text")
+    val hits = Dedup.incrementalAgainst(Dedup.sharedSigSets(s2, dir), probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((20L, 10L)),
+      s"probe missed the appended near-dup: $hits")
+    assert(hits.contains((20L, 0L)), s"probe missed the corpus near-dup: $hits")
+    // appending without a funnel fails loudly
+    intercept[IllegalStateException] {
+      Dedup.appendToFunnel(spark, "/nonexistent/corpus", funnelDir, batch)
+    }
+    Dedup.invalidate(spark, dir)
+  }
+
   test("bootstrapFunnel refuses a funnel built from a different corpus") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graftfunnelmm")
