@@ -143,6 +143,62 @@ object TrainPrep {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Temperature exponent for [[temperatureMix]]. 0.5 (≡ sqrt) on
+    * purpose: sqrt is IEEE-correctly-rounded in BOTH engines, so the
+    * weights are bit-identical and oracle-able; a general α would route
+    * through pow, which libm implementations round differently in the
+    * last ulp. 0.5 is also inside the standard range (mT5 uses α=0.3,
+    * XLM-R 0.7 — the mechanism is α-independent). */
+  val MixAlpha = 0.5
+
+  /** Temperature-based language-mixture weights — the corpus-mix
+    * rebalance multilingual training runs use (mT5/XLM-R style): sample
+    * language l with probability ∝ p_l^α where p_l is its natural share,
+    * flattening the head and boosting the tail. Output per language:
+    * natural share `p`, sampling weight `w = p^α / Σ p^α`, and
+    * `boost = w/p` — the up/down-weighting factor a sampler applies
+    * (>1 for tail languages, <1 for the head). The fixed-rate
+    * [[stratifiedSample]] is the mechanism that CONSUMES such rates;
+    * this computes them from the corpus itself.
+    *
+    * Shape at 100 TB: ONE map-side-combined count per language (≤ langs
+    * rows leave the agg); everything after is driver-sized arithmetic —
+    * the total and the normalizer join back as broadcast 1-row frames
+    * (same shape as tfidf's corpus count). The normalizer Σ√p routes
+    * through the exact DECIMAL accumulator (graft.Exact.dsum) so the
+    * 5-term sum is order-independent — bit-identical across engines AND
+    * across cluster partition orders. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum($"n_docs").as("N"))
+    val base = counts.crossJoin(broadcast(tot))
+      .withColumn("p", $"n_docs".cast("double") / $"N".cast("double"))
+      .withColumn("sq", sqrt($"p"))
+    val den = base.agg(graft.Exact.dsum($"sq").as("denom"))
+    base.crossJoin(broadcast(den))
+      .select($"lang", $"n_docs", $"p",
+        ($"sq" / $"denom").as("w"),
+        (($"sq" / $"denom") / $"p").as("boost"))
+      .orderBy($"lang")
+  }
+
+  /** Oracle: same chain; the VARCHAR route in the DECIMAL sum mirrors
+    * Spark's shortest-repr double→decimal cast (see Relational.q1AggSql). */
+  val temperatureMixSql: String =
+    """WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS N FROM counts),
+      |base AS (SELECT lang, n_docs,
+      |    CAST(n_docs AS DOUBLE) / CAST(N AS DOUBLE) AS p,
+      |    sqrt(CAST(n_docs AS DOUBLE) / CAST(N AS DOUBLE)) AS sq
+      |  FROM counts CROSS JOIN tot),
+      |den AS (SELECT CAST(CAST(SUM(CAST(CAST(sq AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS denom
+      |        FROM base)
+      |SELECT lang, n_docs, p, sq / denom AS w, (sq / denom) / p AS boost
+      |FROM base CROSS JOIN den
+      |ORDER BY lang""".stripMargin
+
   val packShardsSql: String =
     // CAST: DuckDB's window SUM over BIGINT yields HUGEINT, and `//` of a
     // HUGEINT stays HUGEINT, which the driver's dump widens to DOUBLE —

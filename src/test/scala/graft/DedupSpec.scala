@@ -441,6 +441,21 @@ class DedupSpec extends SparkSpec {
     assert(got.head._3 == 1.0, s"whole-quote containment should be exactly 1.0: ${got.head}")
   }
 
+  test("temperature_mix flattens the language head and boosts the tail") {
+    import spark.implicits._
+    val rows = graft.ops.TrainPrep.temperatureMix(spark, sfDir).collect()
+    val w = rows.map(_.getAs[Double]("w")).sum
+    assert(math.abs(w - 1.0) < 1e-9, s"weights must sum to 1, got $w")
+    val byShare = rows.sortBy(_.getAs[Double]("p"))
+    // α < 1 ⇒ boost is strictly decreasing in natural share
+    val boosts = byShare.map(_.getAs[Double]("boost"))
+    assert(boosts.zip(boosts.tail).forall { case (a, b) => a >= b },
+      s"boost not monotone-decreasing in share: ${byShare.map(r =>
+        (r.getString(0), r.getAs[Double]("p"), r.getAs[Double]("boost"))).mkString(", ")}")
+    assert(boosts.head > 1.0 && boosts.last < 1.0,
+      s"tail should up-weight (>1) and head down-weight (<1): ${boosts.mkString(", ")}")
+  }
+
   test("approx_percentile within 10% of exact percentile") {
     import spark.implicits._
     val approx = graft.ops.TimeWindows.aggApproxPercentile(spark, sfDir)
