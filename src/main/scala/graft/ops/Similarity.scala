@@ -226,6 +226,50 @@ object Similarity {
        |WHERE bit_count(xor(bucket, qbucket)) <= $ProbeRadius
        |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
 
+  /** Persist the ANN index the IVF scaladocs describe: one parquet
+    * table of (vec_id, label, codes) PARTITIONED BY the coarse sign-LSH
+    * bucket, codes int8-quantized. This makes the multi-probe scan
+    * fraction PHYSICAL: a query at Hamming radius r reads only the
+    * probed partitions (partition pruning — asserted on the plan in
+    * SimilaritySpec), and each partition carries 4×-smaller int8 codes
+    * instead of fp32 embeddings. The fp32 vectors stay in the corpus
+    * table for reranking/reconstruction; the index is derived data,
+    * rebuilt like the dedup funnel (Dedup.persistFunnel). */
+  def persistIndex(spark: SparkSession, dir: String, outDir: String): Unit = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        lshBucket($"embedding").as("bucket"),
+        graft.functions.VecQuant.vecQuantize($"embedding").as("codes"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+  }
+
+  /** Top-k cosine search against a [[persistIndex]] table: the serving
+    * shape, where the query arrives driver-side (its codes and bucket
+    * computed by the caller — one vector, not a distributed job) and
+    * only the partitions within `radius` Hamming bits of its bucket are
+    * read. The `isin` partition filter prunes at the FileIndex — the
+    * scan never lists, opens, or decodes the other inverted lists. */
+  def searchIndex(spark: SparkSession, indexDir: String,
+      queryCodes: Array[Byte], queryBucket: Long,
+      radius: Int = ProbeRadius, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val probed = (0L until (1L << NumPlanes))
+      .filter(b => java.lang.Long.bitCount(b ^ queryBucket) <= radius)
+    // toSeq: Seq[Byte] literals type as array<tinyint> (an Array[Byte]
+    // would type as BINARY and miss VecDotQ's input contract)
+    val qc = typedlit(queryCodes.toSeq)
+    val dq = graft.functions.VecQuant.vecDotQ _
+    spark.read.parquet(indexDir)
+      .filter($"bucket".isin(probed: _*))
+      .select($"vec_id", $"bucket",
+        (dq($"codes", qc).cast("double") /
+          sqrt(dq($"codes", $"codes").cast("double") *
+            dq(qc, qc).cast("double"))).as("score"))
+      .orderBy($"score".desc, $"vec_id")
+      .limit(k)
+  }
+
   /** Per-position centroid component rows (label, 0-based pos, mean).
     * The mean routes through the exact DECIMAL accumulator
     * (graft.Exact.davg) — float→double widening is exact and the decimal

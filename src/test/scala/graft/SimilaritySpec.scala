@@ -59,6 +59,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF index: search reads ONLY the probed partitions and matches the query path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("graftivf").toString
+    Similarity.persistIndex(spark, sfDir, idx)
+    // the query vector's bucket and codes, as a serving caller has them
+    val q = Tables.embeddings(spark, sfDir).filter($"vec_id" === 0)
+      .select(Similarity.lshBucket($"embedding").as("bucket"),
+        graft.functions.VecQuant.vecQuantize($"embedding").as("codes"))
+      .head()
+    val (qb, qc) = (q.getLong(0), q.getSeq[Byte](1).toArray)
+    // k = 6: the index contains the query vector itself (score 1.0);
+    // drop it after the cut to compare the 5 true neighbors
+    val search = Similarity.searchIndex(spark, idx, qc, qb, k = 6)
+      .filter($"vec_id" =!= 0)
+    // partition pruning is in the PLAN: the scan's FileIndex keeps only
+    // the probed buckets (5 of 16 at radius 1)
+    val plan = search.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"),
+      s"no partition filter on the index scan:\n$plan")
+    // and physical: actual bytes read off the index (task input metrics)
+    // stay well under a full scan's — the unprobed inverted lists are
+    // never opened (5 of 16 partitions at radius 1)
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) { bytesRead.addAndGet(m.inputMetrics.bytesRead); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (prunedBytes, fullBytes, got) = try {
+      org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
+      val b0 = bytesRead.get()
+      val gotRows = search.collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+      org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
+      val b1 = bytesRead.get()
+      spark.read.parquet(idx).queryExecution.toRdd.foreach(_ => ())
+      org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
+      (b1 - b0, bytesRead.get() - b1, gotRows)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    info(f"index bytes read: pruned $prunedBytes%,d vs full $fullBytes%,d")
+    assert(prunedBytes < fullBytes * 3 / 4,
+      s"pruned search read $prunedBytes bytes, full scan $fullBytes — no physical pruning")
+    // same candidates, same scores as the in-query quantized IVF path
+    val want = Similarity.annIvfQuantized(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got == want, s"index search diverges from query path: $got vs $want")
+  }
+
   test("vec_quantize codes are int8-ranged, exact on the argmax, zero-safe") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
