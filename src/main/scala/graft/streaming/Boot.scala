@@ -39,7 +39,13 @@ final case class BootConfig(
     port: Int = 8002,
     dataSchemaPath: Option[String] = None,
     batchMinTimeSec: Int = 5,
-    maxBatchSize: Int = 1000)
+    maxBatchSize: Int = 1000,
+    /** Persisted dedup-funnel directory (GRAFT_FUNNEL_DIR, optional —
+      * an extension knob, no reference analogue): when set, boot
+      * forwards it to `spark.graft.funnel.dir` so the session's dedup
+      * surface bootstraps from the durable funnel instead of re-scanning
+      * the corpus (Dedup.persistFunnel/bootstrapFunnel). */
+    funnelDir: Option[String] = None)
 
 object BootConfig {
 
@@ -61,7 +67,8 @@ object BootConfig {
       port = env.get("PORT").map(_.trim.toInt).getOrElse(8002),
       dataSchemaPath = env.get(Schemas.DataSchemaEnv),
       batchMinTimeSec = env.get("BATCH_MIN_TIME").map(_.trim.toInt).getOrElse(5),
-      maxBatchSize = env.get("MAX_BATCH_SIZE").map(_.trim.toInt).getOrElse(1000))
+      maxBatchSize = env.get("MAX_BATCH_SIZE").map(_.trim.toInt).getOrElse(1000),
+      funnelDir = env.get("GRAFT_FUNNEL_DIR"))
   }
 }
 
@@ -156,6 +163,11 @@ object Boot {
     // schema file must fail the BOOT, not the first record)
     Schemas.resolveAvroSchema(
       graft.functions.AvroDecodeIngestion.SchemaJson, config.dataSchemaPath)
+    // 2b. forward the configured durable-funnel location: the session's
+    // dedup surface then bootstraps from persisted bucketed tables
+    // instead of re-scanning corpus text (graft.ops.Dedup.bootstrapFunnel)
+    config.funnelDir.foreach(fd =>
+      spark.conf.set(graft.ops.Dedup.FunnelDirConf, fd))
     // 3. create the index root (exists-tolerant, es.go:92-97) and point
     // the alias at today's partition (wall-clock at boot, es.go:79-81)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(config.indexDir))

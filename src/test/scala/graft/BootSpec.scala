@@ -23,17 +23,20 @@ class BootSpec extends SparkSpec {
       "SUBSCRIPTION_NAME" -> "subA",
       "PORT" -> "9911",
       "BATCH_MIN_TIME" -> "7",
-      "MAX_BATCH_SIZE" -> "42")
+      "MAX_BATCH_SIZE" -> "42",
+      "GRAFT_FUNNEL_DIR" -> "/warehouse/funnel")
     val c = BootConfig.fromEnv(env)
     assert(c.sourceDir == "/in/topicdir" && c.dlqDir == "/out/dlq")
     assert(c.indexDir == "/out/myindex" && c.alias == "myindex")
     assert(c.checkpointDir == "/out/myindex/_checkpoint_subA")
     assert(c.port == 9911 && c.batchMinTimeSec == 7 && c.maxBatchSize == 42)
+    assert(c.funnelDir.contains("/warehouse/funnel"))
     // defaults (.env: PORT=8002, BATCH_MIN_TIME=5, MAX_BATCH_SIZE=1000)
     val d = BootConfig.fromEnv(Map(
       "DATA_TOPIC" -> "t", "DATA_DLQ_TOPIC" -> "d", "INDEX" -> "i"))
     assert(d.port == 8002 && d.batchMinTimeSec == 5 && d.maxBatchSize == 1000)
     assert(d.checkpointDir == "i/_checkpoint_data_subscription")
+    assert(d.funnelDir.isEmpty)
     // missing required var fails the boot, not the first batch
     val e = intercept[IllegalArgumentException] {
       BootConfig.fromEnv(Map("DATA_TOPIC" -> "t", "INDEX" -> "i"))
