@@ -312,8 +312,8 @@ object Dedup {
   // pins that bucketed joins elide the Exchange). A fresh session
   // pointed at the funnel (conf `spark.graft.funnel.dir`, or
   // [[bootstrapFunnel]]) serves the whole dedup surface with ZERO
-  // passes over the corpus text — DedupSpec asserts no FileScan of
-  // documents.parquet for a bootstrapped consumer.
+  // passes over the corpus text — DedupSpec proves it by DELETING the
+  // corpus before the bootstrapped consumer runs.
   // ---------------------------------------------------------------------
 
   /** Conf key: directory of a persisted funnel to bootstrap the shared

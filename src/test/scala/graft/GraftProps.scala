@@ -105,4 +105,45 @@ object GraftProps extends Properties("graft") {
       val r = AvroDecodeIngestion(Literal(bytes, BinaryType)).eval(InternalRow.empty)
       r == null || r.isInstanceOf[InternalRow] // reaching here means no exception
     }
+
+  // Int8 quantizer contract (graft.functions.VecQuantize): codes stay in
+  // [-127, 127] and per-element reconstruction error is ≤ scale/2 — the
+  // defining property of round-to-nearest symmetric quantization. Pure
+  // expression eval; the codegen path is pinned by SimilaritySpec.
+  private val genVec = Gen.nonEmptyListOf(
+    Gen.chooseNum(-1000.0f, 1000.0f)).map(_.toArray)
+
+  property("vec_quantize: int8-ranged codes, reconstruction error <= scale/2") =
+    forAll(genVec) { xs =>
+      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      val lit = Literal.create(xs, ArrayType(FloatType))
+      val codes = graft.functions.VecQuantize(lit)
+        .eval(InternalRow.empty)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toByteArray()
+      val scale = graft.functions.VecMaxAbsScale(lit)
+        .eval(InternalRow.empty).asInstanceOf[Double]
+      codes.length == xs.length &&
+        codes.forall(c => c >= -127 && c <= 127) &&
+        (if (scale == 0.0) codes.forall(_ == 0)
+         else xs.indices.forall { i =>
+           math.abs(xs(i).toDouble - codes(i) * scale) <=
+             scale * 0.5000001 + 1e-12
+         })
+    }
+
+  property("vec_dotq equals the integer dot of the evaled codes") =
+    forAll(genVec) { xs =>
+      import org.apache.spark.sql.types.{ArrayType, ByteType, FloatType}
+      val lit = Literal.create(xs, ArrayType(FloatType))
+      val codes = graft.functions.VecQuantize(lit)
+        .eval(InternalRow.empty)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toByteArray()
+      // toSeq: an Array[Byte] literal would be BINARY, not array<tinyint>
+      val clit = Literal.create(codes.toSeq, ArrayType(ByteType))
+      val dot = graft.functions.VecDotQ(clit, clit)
+        .eval(InternalRow.empty).asInstanceOf[Long]
+      dot == codes.map(c => c.toLong * c.toLong).sum && dot >= 0
+    }
 }
