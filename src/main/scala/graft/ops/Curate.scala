@@ -287,6 +287,53 @@ object Curate {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus-version diff — the snapshot-compare audit run whenever a
+    * corpus is refreshed (new crawl, license takedowns, re-scrape):
+    * which CONTENT was added, removed, or kept between two versions,
+    * keyed by the normalized-text digest (Dedup.dedupExact's key), so
+    * renames/re-crawls of identical text don't read as churn. The
+    * fixture stand-in slices two overlapping versions from doc_id
+    * ranges (old = id < 400, new = id ≥ 100 — an SF-independent
+    * windowed refresh); production passes two corpus paths.
+    *
+    * Shape at 100 TB: one digest aggregate per version (map-side
+    * combined, digests+ids only — text never leaves the scan) and one
+    * full-outer join ON the digest — the shuffle carries 16-byte
+    * digests, and content-addressed storage would bucket both sides by
+    * digest making it exchange-free. */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsPar(spark, dir)
+    def keepers(pred: org.apache.spark.sql.Column, as: String) =
+      docs.filter(pred)
+        .select(md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("digest"),
+          $"doc_id")
+        .groupBy($"digest").agg(min($"doc_id").as(as))
+    keepers($"doc_id" < 400, "old_id")
+      .join(keepers($"doc_id" >= 100, "new_id"), Seq("digest"), "full_outer")
+      .withColumn("status",
+        when($"new_id".isNull, "removed")
+          .when($"old_id".isNull, "added")
+          .otherwise("kept"))
+      .orderBy($"digest")
+  }
+
+  val corpusDiffSql: String =
+    """WITH o AS (
+      |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest,
+      |         MIN(doc_id) AS old_id
+      |  FROM documents WHERE doc_id < 400 GROUP BY 1),
+      |n AS (
+      |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest,
+      |         MIN(doc_id) AS new_id
+      |  FROM documents WHERE doc_id >= 100 GROUP BY 1)
+      |SELECT COALESCE(o.digest, n.digest) AS digest, o.old_id, n.new_id,
+      |  CASE WHEN n.new_id IS NULL THEN 'removed'
+      |       WHEN o.old_id IS NULL THEN 'added'
+      |       ELSE 'kept' END AS status
+      |FROM o FULL OUTER JOIN n ON o.digest = n.digest
+      |ORDER BY digest""".stripMargin
+
   /** Cross-split contamination audit: near-duplicate pairs whose members
     * land in DIFFERENT train/val/test splits — the leakage check every
     * eval-honest pipeline runs after splitting (a test doc that near-dups

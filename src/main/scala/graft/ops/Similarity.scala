@@ -226,6 +226,71 @@ object Similarity {
        |WHERE bit_count(xor(bucket, qbucket)) <= $ProbeRadius
        |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
 
+  /** Candidate pool size for the rerank stage of two-stage retrieval. */
+  val RerankCandidates = 20
+
+  /** Two-stage retrieval — the canonical serving pattern that closes
+    * the quantization loop: a CHEAP int8 stage ([[annIvfQuantized]]'s
+    * scoring over the probed inverted lists) selects
+    * [[RerankCandidates]] candidates, then an EXACT fp32 cosine rerank
+    * picks the final top-5. At 100 TB the two stages read different
+    * storage: the coarse stage scans only the 4×-smaller quantized
+    * index partitions ([[persistIndex]]); the rerank fetches fp32
+    * vectors for k=20 ids — a broadcast id-join against the corpus
+    * table, k rows, negligible. On the single fixture table both
+    * columns ride the same scan, but the plan shape is the same:
+    * TakeOrderedAndProject(20) on the int8 score (per-partition heaps,
+    * 20 rows to the driver side of the exchange), then 20 codegen'd
+    * fp32 dots. Both stages are deterministic (exact integer scores,
+    * then IEEE-exact fp32 cosine; ties by vec_id), so the whole
+    * pipeline is oracle-able. */
+  def annIvfRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", lshBucket($"embedding"))
+      .withColumn("codes", graft.functions.VecQuant.vecQuantize($"embedding"))
+    val q = emb.filter($"vec_id" === 0)
+      .select($"bucket".as("qbucket"), $"codes".as("qc"), $"embedding".as("qv"))
+    val dq = graft.functions.VecQuant.vecDotQ _
+    val coarse = emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .filter(bit_count($"bucket".bitwiseXOR($"qbucket")) <= ProbeRadius)
+      .select($"vec_id", $"embedding", $"qv",
+        (dq($"codes", $"qc").cast("double") /
+          sqrt(dq($"codes", $"codes").cast("double") *
+            dq($"qc", $"qc").cast("double"))).as("s8"))
+      .orderBy($"s8".desc, $"vec_id")
+      .limit(RerankCandidates)
+    coarse
+      .select($"vec_id", $"s8",
+        cosine(dotD($"embedding", $"qv"),
+          dotD($"embedding", $"embedding"), dotD($"qv", $"qv")).as("score"))
+      .orderBy($"score".desc, $"vec_id")
+      .limit(5)
+  }
+
+  val annIvfRerankSql: String =
+    s"""WITH scaled AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+       |  FROM embeddings),
+       |coded AS (
+       |  SELECT vec_id, embedding, bucket, ${codesSql("embedding")} AS codes FROM scaled),
+       |q AS (SELECT embedding AS qv, codes AS qc, bucket AS qbucket
+       |      FROM coded WHERE vec_id = 0),
+       |coarse AS (
+       |  SELECT vec_id, embedding, qv,
+       |    CAST(${dotqSql("codes", "qc")} AS DOUBLE) /
+       |      sqrt(CAST(${dotqSql("codes", "codes")} AS DOUBLE) *
+       |           CAST(${dotqSql("qc", "qc")} AS DOUBLE)) AS s8
+       |  FROM (SELECT * FROM coded WHERE vec_id != 0) CROSS JOIN q
+       |  WHERE bit_count(xor(bucket, qbucket)) <= $ProbeRadius
+       |  ORDER BY s8 DESC, vec_id LIMIT $RerankCandidates)
+       |SELECT vec_id, s8,
+       |  ${dotSql("embedding", "qv")} / sqrt(${dotSql("embedding", "embedding")} * ${dotSql("qv", "qv")}) AS score
+       |FROM coarse
+       |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
+
   /** Persist the ANN index the IVF scaladocs describe: one parquet
     * table of (vec_id, label, codes) PARTITIONED BY the coarse sign-LSH
     * bucket, codes int8-quantized. This makes the multi-probe scan

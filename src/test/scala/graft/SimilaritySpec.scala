@@ -110,6 +110,18 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want, s"index search diverges from query path: $got vs $want")
   }
 
+  test("two-stage rerank recovers the fp32 IVF ranking exactly") {
+    // the int8 coarse stage only has to get the true top-5 into its
+    // 20-candidate pool; the fp32 rerank then reproduces annIvf's exact
+    // result — the point of the two-stage pattern (cheap scan, exact top)
+    val rerank = Similarity.annIvfRerank(spark, sfDir)
+      .select("vec_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val fp32 = Similarity.annIvf(spark, sfDir)
+      .select("vec_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rerank.toSeq == fp32.toSeq,
+      s"rerank diverged from fp32 IVF: ${rerank.toSeq} vs ${fp32.toSeq}")
+  }
+
   test("vec_quantize codes are int8-ranged, exact on the argmax, zero-safe") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
