@@ -394,4 +394,45 @@ object Curate {
        |  AND s.pred_lang != 'und' AND s.quality_score >= $QualityBar
        |ORDER BY s.doc_id""".stripMargin
   }
+
+  /** Max documents kept per source by [[sourceCap]]. Fixture sources
+    * hold 25 docs each, so 10 binds on every source. */
+  val SourceCapK = 10
+
+  /** Per-source contribution cap — the corpus-mix balancing step that
+    * keeps any single domain from dominating the training mix (the
+    * classic failure: one boilerplate-heavy crawl host contributing 30%
+    * of tokens). Keeps at most [[SourceCapK]] docs per source, selected
+    * by DETERMINISTIC HASH order (md5 of doc_id) rather than head-of-
+    * scan order: a hash-ordered prefix is a uniform random sample of
+    * the source, reproducible across runs/engines, where "first K
+    * scanned" would bias toward whatever the file layout put first.
+    *
+    * Shape at 100 TB: one ranking window hash-partitioned by source.
+    * The `rk <= K` filter over row_number is the pattern Spark's
+    * InferWindowGroupLimit rewrites into a pre-shuffle partial top-k
+    * (WindowGroupLimit Partial, pinned in CurateSpec): every map task
+    * keeps at most K rows per source BEFORE the exchange, so a
+    * 10-billion-doc source shuffles K·tasks rows, not 10 billion —
+    * the same physical shape as the batched ANN top-k. */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    Tables.documentsPar(spark, dir)
+      .select($"doc_id", $"source", $"lang")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= SourceCapK)
+      .orderBy($"source", $"rk")
+  }
+
+  val sourceCapSql: String =
+    s"""SELECT doc_id, source, lang, rk
+       |FROM (SELECT doc_id, source, lang,
+       |        row_number() OVER (PARTITION BY source
+       |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |      FROM documents)
+       |WHERE rk <= $SourceCapK
+       |ORDER BY source, rk""".stripMargin
 }

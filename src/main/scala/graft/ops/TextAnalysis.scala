@@ -832,4 +832,145 @@ object TextAnalysis {
        |      FROM kg CROSS JOIN ev
        |      WHERE doc_id >= $EvalDocCount)
        |ORDER BY doc_id""".stripMargin
+
+  /** Unigram-LM rarity scoring — the container-feasible stand-in for
+    * perplexity filtering (CCNet-style pipelines score every doc under a
+    * KenLM model and drop the tails; the unigram corpus model is the
+    * same dataflow with the model induced in-engine). Per doc: token
+    * count, the corpus frequency of its RAREST token, and the mean
+    * corpus frequency over its tokens (with multiplicity). A doc whose
+    * tokens are mostly corpus-rare is OCR noise / binary-as-text /
+    * wrong-language; a doc whose mean frequency is extreme on the high
+    * side is stopword soup. Real pipelines threshold both tails.
+    *
+    * Intentionally NOT log-probability: ln() is transcendental and the
+    * JVM's and DuckDB's libm differ in the last ulp, which would break
+    * the driver's hash compare — while SUM(BIGINT)/COUNT and MIN are
+    * exact in both engines and the mean is one IEEE division. A
+    * production deployment maps the same per-doc aggregate over
+    * log-probs; the dataflow (and this plan) is unchanged.
+    *
+    * Shape at 100 TB: the frequency table is a map-side-combined hash
+    * aggregate over exploded tokens; unlike [[oovRate]]'s top-N
+    * vocabulary it is the FULL vocabulary (heavy-tailed, billions of
+    * distinct typo-tokens at corpus scale), so the probe is a shuffle
+    * hash join on the token — both sides hash-partition, and the Zipf
+    * head ("the" in a third of all rows) is exactly the skew AQE's
+    * skew-join split handles (spark.sql.adaptive.skewJoin, on by
+    * default here). Post-join rows collapse immediately into a
+    * map-side-combined per-doc aggregate: what crosses the second
+    * shuffle is (doc_id, count, min, sum) — 32 bytes per doc, not per
+    * token. The corpus is scanned twice (model pass + score pass), the
+    * same two-pass shape as [[tfidfKeywords]]; a production run
+    * persists the frequency table once per corpus version (the
+    * Dedup.persistFunnel pattern) and amortizes the first scan away. */
+  def tokenRarity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tokRows = Tables.documentsPar(spark, dir)
+      .select($"doc_id", explode(toks($"text")).as("tok"))
+    val freq = tokRows.groupBy($"tok").agg(count(lit(1)).as("freq"))
+    tokRows.join(freq, "tok")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        min($"freq").as("min_freq"),
+        sum($"freq").as("sum_freq"))
+      .withColumn("mean_freq",
+        $"sum_freq".cast("double") / $"n_tokens".cast("double"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenRaritySql: String =
+    """WITH tr AS (
+      |  SELECT doc_id,
+      |    UNNEST(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      |  FROM documents),
+      |f AS (SELECT tok, COUNT(*) AS freq FROM tr GROUP BY tok)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  MIN(freq) AS min_freq,
+      |  CAST(SUM(freq) AS BIGINT) AS sum_freq,
+      |  CAST(SUM(freq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_freq
+      |FROM tr JOIN f USING (tok)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Width (tokens) of a "line" for [[lineDedup]]. The fixture's texts
+    * are single-line (no \n anywhere, TESTDATA.md), so the segmentation
+    * unit is a fixed token window; a production corpus passes its real
+    * line/paragraph splitter here — everything downstream of the
+    * segmentation is identical. */
+  val LineTokens = 10
+
+  /** Ban a line when it occurs in MORE THAN this many distinct docs. */
+  val MaxLineDf = 2
+
+  /** LINE-LEVEL dedup — the CCNet/RefinedWeb boilerplate pass: a line
+    * that recurs across many documents (license headers, nav bars,
+    * cookie banners) is removed from EVERY document, keeping the rest of
+    * each doc. This is the third dedup granularity next to document-level
+    * ([[graft.ops.Dedup]]) and span-level containment: document dedup
+    * keeps one copy of a duplicated doc; line dedup deletes the
+    * duplicated REGION from all docs. Output per doc: surviving text
+    * (original line order), line count, pruned-line count.
+    *
+    * Shape at 100 TB: lines are keyed by the repo-wide 60-bit md5-prefix
+    * long (Dedup.scala convention) so the document-frequency aggregate
+    * shuffles (hash, doc_id) pairs — 16 bytes — never line text; df is
+    * distinct-doc counted (a line repeated WITHIN one doc is not
+    * boilerplate). The banned set (df > [[MaxLineDf]]) is tiny by
+    * construction — boilerplate is high-frequency but low-DISTINCT-count
+    * — so it broadcasts back as a hash-probe left join (the
+    * [[decontaminate]] asymmetry); at a corpus where it doesn't fit, the
+    * probe degrades to a shuffle join on the same 8-byte key. The only
+    * shuffle that carries text is the final per-doc reassembly
+    * (collect kept (pos, line) pairs, sort, re-join) — inherent to the
+    * rewrite semantics, same as every text-rewriting stage, and it
+    * carries each surviving line exactly once. The oracle bans by line
+    * TEXT (DuckDB has no 60-bit convention); identical output barring
+    * md5-prefix collisions (~0 at any plausible line cardinality). */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val segs = Tables.documentsPar(spark, dir)
+      .select($"doc_id", toks($"text").as("toks"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(1), greatest(size($"toks"), lit(1)),
+          lit(LineTokens))).as("s"))
+      .select($"doc_id", $"s",
+        array_join(slice($"toks", $"s", lit(LineTokens)), " ").as("seg"))
+      .withColumn("g",
+        conv(substring(md5($"seg"), 1, 15), 16, 10).cast("long"))
+    val banned = segs.select($"g", $"doc_id").distinct()
+      .groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" > MaxLineDf)
+      .select($"g", lit(1L).as("banned"))
+    segs.join(broadcast(banned), Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"banned".isNotNull, 1L).otherwise(0L)).as("n_pruned"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when($"banned".isNull, struct($"s", $"seg")))),
+            x => x.getField("seg")),
+          " ").as("kept_text"))
+      .orderBy($"doc_id")
+  }
+
+  val lineDedupSql: String =
+    s"""WITH segs AS (
+       |  SELECT doc_id, s, array_to_string(toks[s:s + ${LineTokens - 1}], ' ') AS seg
+       |  FROM (SELECT doc_id, toks,
+       |          UNNEST(range(1, greatest(len(toks), 1) + 1, $LineTokens)) AS s
+       |        FROM (SELECT doc_id,
+       |                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |              FROM documents))),
+       |banned AS (
+       |  SELECT seg AS bseg
+       |  FROM (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+       |  WHERE df > $MaxLineDf)
+       |SELECT doc_id, COUNT(*) AS n_lines,
+       |  CAST(SUM(CASE WHEN bseg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       |  COALESCE(string_agg(CASE WHEN bseg IS NULL THEN seg END, ' ' ORDER BY s), '') AS kept_text
+       |FROM segs LEFT JOIN banned ON segs.seg = banned.bseg
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 }

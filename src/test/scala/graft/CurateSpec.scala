@@ -85,4 +85,30 @@ class CurateSpec extends SparkSpec {
         ($"quality_score" === $"canon_quality" && $"doc_id" < $"canon_id"))
     assert(better.count() == 0, "a cluster member outscores its canonical")
   }
+
+  test("source_cap keeps at most K docs per source, deterministically") {
+    import spark.implicits._
+    val capped = Curate.sourceCap(spark, sfDir)
+    val perSource = capped.groupBy($"source").count().collect()
+    assert(perSource.nonEmpty)
+    assert(perSource.forall(_.getAs[Long]("count") <= Curate.SourceCapK))
+    // the fixture's 25-docs-per-source layout means the cap BINDS
+    assert(perSource.forall(_.getAs[Long]("count") == Curate.SourceCapK),
+      "cap should bind on every fixture source")
+    // hash order is deterministic: two plans, identical selection
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Curate.sourceCap(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("source_cap pushes a partial rank limit below the source exchange") {
+    val plan = Curate.sourceCap(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // WindowGroupLimit Partial = every map task keeps <= K rows per
+    // source BEFORE the shuffle — a 10-billion-doc source moves
+    // K * tasks rows, not 10 billion (same shape as ann_batch_topk)
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"plan was:\n$plan")
+  }
 }

@@ -143,4 +143,59 @@ class TextCurateSpec extends SparkSpec {
     assert(anyHit(6L).getAs[Boolean]("contaminated") &&
       ratio(6L).getAs[Boolean]("contaminated"))
   }
+
+  // exactly LineTokens (10) tokens — one full segment shared by 3 docs,
+  // which crosses MaxLineDf = 2 and must be pruned from all of them
+  private val boiler =
+    "this content is licensed under the demo corpus license v1"
+
+  test("line_dedup prunes a cross-doc boilerplate line, keeps unique tails in order") {
+    assert(boiler.split(" ").length == TextAnalysis.LineTokens)
+    val tails = Seq(
+      "alpha beta gamma delta tail one",
+      "epsilon zeta eta theta tail two",
+      "iota kappa lambda mu tail three")
+    val dir = writeDocs(
+      tails.zipWithIndex.map { case (t, i) => i.toLong -> s"$boiler $t" } :+
+        (3L -> "a wholly unique document with no shared boilerplate at all") :+
+        (4L -> boiler)) // 100% boilerplate — must survive as an empty row
+    val rows = TextAnalysis.lineDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size == 5, "every doc must be retained, even fully-pruned ones")
+    tails.zipWithIndex.foreach { case (t, i) =>
+      assert(rows(i.toLong).getAs[String]("kept_text") == t,
+        s"doc $i must keep exactly its unique tail")
+      assert(rows(i.toLong).getAs[Long]("n_pruned") == 1L)
+      assert(rows(i.toLong).getAs[Long]("n_lines") == 2L)
+    }
+    assert(rows(3L).getAs[Long]("n_pruned") == 0L)
+    assert(rows(3L).getAs[String]("kept_text") ==
+      "a wholly unique document with no shared boilerplate at all")
+    assert(rows(4L).getAs[String]("kept_text") == "")
+    assert(rows(4L).getAs[Long]("n_pruned") == 1L)
+  }
+
+  test("line_dedup df counts distinct docs: within-doc repetition is not boilerplate") {
+    // the segment repeats TWICE in one doc but exists in only 2 docs
+    // total — df = 2 is NOT > MaxLineDf, so nothing is pruned
+    val dir = writeDocs(Seq(
+      0L -> s"$boiler $boiler",
+      1L -> s"$boiler plus six more distinct trailing filler tokens here"))
+    val rows = TextAnalysis.lineDedup(spark, dir).collect()
+    assert(rows.forall(_.getAs[Long]("n_pruned") == 0L),
+      "df must count DISTINCT docs, not occurrences")
+  }
+
+  test("token_rarity computes exact per-doc corpus-frequency stats") {
+    val dir = writeDocs(Seq(0L -> "a a b", 1L -> "c"))
+    val rows = TextAnalysis.tokenRarity(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // corpus freq: a=2, b=1, c=1
+    assert(rows(0L).getAs[Long]("n_tokens") == 3L)
+    assert(rows(0L).getAs[Long]("min_freq") == 1L) // rarest token: b
+    assert(rows(0L).getAs[Long]("sum_freq") == 5L) // 2 + 2 + 1
+    assert(rows(0L).getAs[Double]("mean_freq") == 5.0 / 3.0)
+    assert(rows(1L).getAs[Long]("min_freq") == 1L)
+    assert(rows(1L).getAs[Double]("mean_freq") == 1.0)
+  }
 }
