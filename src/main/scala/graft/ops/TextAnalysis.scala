@@ -927,9 +927,16 @@ object TextAnalysis {
     * carries each surviving line exactly once. The oracle bans by line
     * TEXT (DuckDB has no 60-bit convention); identical output barring
     * md5-prefix collisions (~0 at any plausible line cardinality). */
-  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val segs = Tables.documentsPar(spark, dir)
+  def lineDedup(spark: SparkSession, dir: String): DataFrame =
+    lineDedupOf(Tables.documentsPar(spark, dir))
+
+  /** [[lineDedup]] over an arbitrary (doc_id, text) frame — the seam the
+    * boilerplate stress spec uses to prove the banned set stays tiny
+    * (and the output exact) when one line recurs across hundreds of
+    * docs. */
+  def lineDedupOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val segs = docs
       .select($"doc_id", toks($"text").as("toks"))
       .select($"doc_id", $"toks",
         explode(sequence(lit(1), greatest(size($"toks"), lit(1)),

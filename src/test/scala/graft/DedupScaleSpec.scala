@@ -129,4 +129,36 @@ class DedupScaleSpec extends SparkSpec {
       s"capped containment diverges: extra=${got.keySet -- familyPairs}, missing=${familyPairs -- got.keySet}")
     assert(got.values.forall(_ == 1.0), s"family containment not exactly 1.0: $got")
   }
+
+  test("line_dedup on the boilerplate corpus: banned set stays tiny, surgical pruning") {
+    import graft.ops.TextAnalysis
+    val (rows, sec, shuffle) = measure(TextAnalysis.lineDedupOf(stressDocs))
+    info(f"line_dedup: $rows%,d docs, $sec%.2f s, ${shuffle / 1024}%,d KiB shuffled")
+    // every doc survives as a row — line dedup rewrites, never drops
+    assert(rows == NumBoiler + NumFamilies * FamilySize)
+    val byId = TextAnalysis.lineDedupOf(stressDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the 23-token header spans segments 1 and 2 of every boilerplate
+    // doc (df = 800 each) — both pruned; the unique-suffix tail segment
+    // survives in all 800 docs
+    (0 until NumBoiler).foreach { i =>
+      val r = byId(10000L + i)
+      assert(r.getAs[Long]("n_pruned") == 2L,
+        s"boilerplate doc $i: expected exactly the 2 header segments pruned")
+      val kept = r.getAs[String]("kept_text")
+      assert(kept.endsWith(s"uniq${i}a uniq${i}b") && !kept.contains("warranty"),
+        s"doc $i kept wrong segments: '$kept'")
+    }
+    // exact-duplicate family docs are one 8-token segment with df = 4
+    // > MaxLineDf: fully pruned (document-level dedup's job, and the
+    // two granularities agree on WHAT is duplicated)
+    (0 until NumFamilies).foreach { f =>
+      (0 until FamilySize).foreach { m =>
+        val r = byId(f * 10L + m)
+        assert(r.getAs[Long]("n_pruned") == 1L &&
+          r.getAs[String]("kept_text").isEmpty,
+          s"family doc ${f * 10 + m} should be fully pruned")
+      }
+    }
+  }
 }
