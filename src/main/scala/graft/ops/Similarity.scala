@@ -505,4 +505,106 @@ object Similarity {
        |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE ${dotSql("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2) >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Pairwise-cosine bar for [[semanticDedup]] — same calibration as
+    * [[embedNearDup]] (the fixture's max inter-vector cosine ≈ 0.4, so
+    * 0.3 yields a small, real duplicate set). */
+  val SemanticBar = 0.3
+
+  /** SEMANTIC deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with a coarse quantizer,
+    * score pairwise cosine WITHIN each cluster only, and among each
+    * τ-similar group keep the member FARTHEST from its cluster centroid
+    * — near-duplicates carry no new information, and keeping the
+    * extreme member preserves more diversity than keeping the medoid.
+    * This completes the dedup family's modality axis: exact/MinHash/
+    * SimHash/containment/line-level operate on text, this one on
+    * meaning (paraphrases, translations, re-renders share no n-grams).
+    *
+    * Policy, made deterministic for the oracle: rank cluster members by
+    * (centroid cosine ASC, vec_id ASC); a vector is DROPPED iff some
+    * earlier-ranked same-cluster vector is ≥ [[SemanticBar]] similar to
+    * it — the standard greedy keep-first sweep, with "first" = farthest
+    * from centroid per the paper's diversity-keeping choice.
+    *
+    * Shape at 100 TB: the label-centroid prototypes stand in for k-means
+    * cells (k rows, broadcast — see [[centroidAssign]]); assignment is a
+    * narrow codegen'd projection + one per-vector argmax window. The
+    * pair scan is a same-cluster self-join — O(Σ cluster²) like every
+    * bucketed dedup here, with cluster sizes ≈ n/k under a real k-means
+    * coarse quantizer (k scales with corpus, exactly the IVF list-count
+    * knob [[annIvf]] documents). The drop set joins back by vec_id only
+    * — embeddings never shuffle twice: the assigned projection is
+    * computed once per side of the self-join from the same scan, and
+    * the verdict join carries 8-byte ids. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupOf(Tables.embeddings(spark, dir))
+
+  /** [[semanticDedup]] over an arbitrary (vec_id, embedding, label)
+    * frame — the test seam. */
+  def semanticDedupOf(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val cents = centroidRows(emb)
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos0", $"m"))).as("pm"))
+      .select($"label".as("c_label"),
+        transform($"pm", p => p("m").cast("float")).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"score".desc, $"c_label")
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"c_label",
+        dotD($"embedding", $"embedding").as("n2"),
+        cosine(dotD($"embedding", $"cv"),
+          dotD($"embedding", $"embedding"), dotD($"cv", $"cv")).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"embedding", $"n2",
+        $"c_label".as("cluster"), $"score".as("cscore"))
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        $"a.cluster" === $"b.cluster" &&
+          ($"a.cscore" < $"b.cscore" ||
+            ($"a.cscore" === $"b.cscore" && $"a.vec_id" < $"b.vec_id")))
+      .filter(cosine(dotD($"a.embedding", $"b.embedding"),
+        $"a.n2", $"b.n2") >= SemanticBar)
+      .select($"b.vec_id".as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned
+      .join(dropped, Seq("vec_id"), "left")
+      .select($"vec_id", $"cluster", $"cscore",
+        coalesce(!$"is_dup", lit(true)).as("keep"))
+      .orderBy($"vec_id")
+  }
+
+  val semanticDedupSql: String = {
+    val cscore = s"${dotSql("e.embedding", "c.cv")} / " +
+      s"sqrt(${dotSql("e.embedding", "e.embedding")} * ${dotSql("c.cv", "c.cv")})"
+    val pairSim = s"${dotSql("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2)"
+    s"""WITH pm AS (
+       |$centroidRowsSql),
+       |cents AS (SELECT label AS c_label,
+       |            list(CAST(m AS FLOAT) ORDER BY pos) AS cv
+       |          FROM pm GROUP BY label),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, c.c_label,
+       |    ${dotSql("e.embedding", "e.embedding")} AS n2,
+       |    $cscore AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY $cscore DESC, c.c_label) AS rk
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, n2, c_label AS cluster, score AS cscore
+       |  FROM scored WHERE rk = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cluster = b.cluster
+       |   AND (a.cscore < b.cscore
+       |        OR (a.cscore = b.cscore AND a.vec_id < b.vec_id))
+       |  WHERE $pairSim >= $SemanticBar)
+       |SELECT s.vec_id, s.cluster, s.cscore,
+       |  d.vec_id IS NULL AS keep
+       |FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+       |ORDER BY s.vec_id""".stripMargin
+  }
 }

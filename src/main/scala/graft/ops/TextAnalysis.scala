@@ -980,4 +980,96 @@ object TextAnalysis {
        |FROM segs LEFT JOIN banned ON segs.seg = banned.bseg
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** DUPLICATED-N-GRAM COVERAGE — the Gopher-family repetition signal at
+    * corpus scope: for each document, the fraction of its normalized
+    * characters covered by some char-8-gram that also appears in at
+    * least one OTHER document. Where [[graft.ops.Dedup.dedupContainment]]
+    * scores PAIRS (who quotes whom), this scores DOCS — "how much of
+    * this page is text the corpus already has" — the per-doc drop signal
+    * (boilerplate-heavy pages score near 1.0, original prose near 0)
+    * that exact-substring dedup pipelines (Lee et al. 2022,
+    * arXiv:2107.06499) threshold on.
+    *
+    * Exact interval-union arithmetic instead of position explosion: a
+    * duplicated gram starting at i covers [i, i+7]; summing
+    * min(8, i − prev_i) over the per-doc position-sorted duplicated
+    * starts is exactly the union length of those fixed-width intervals —
+    * one lag window, no 8× row blowup.
+    *
+    * Shape at 100 TB: gram df is distinct-doc counted on deduped
+    * (gram, doc_id) 16-byte rows (map-side combine); the duplicated-gram
+    * set joins back on the 8-byte hash (shuffle hash join — this set is
+    * large by nature, it is NOT broadcast; AQE handles the skew of
+    * ubiquitous grams). The window shuffles (doc_id, i) int pairs of
+    * duplicated starts only; text never shuffles. Division is one IEEE
+    * long/long-as-double op, bit-identical cross-engine. */
+  /** Span width (normalized chars) for [[dupNgramCoverage]]. Short
+    * grams (the 8-char decontamination unit) are near-universally
+    * duplicated across any same-domain corpus — every doc scores ~1.0
+    * and the signal is void; 32 chars ≈ a 5-6 word clause is long
+    * enough that sharing one is evidence of copying, short enough to
+    * still tile partial overlaps (Lee et al. use 50 BPE tokens). On
+    * the fixture: near-dup docs score ~1.0, original prose 0.0. */
+  val DupSpanChars = 32
+
+  def dupNgramCoverage(spark: SparkSession, dir: String): DataFrame =
+    dupNgramCoverageOf(Tables.documentsPar(spark, dir))
+
+  /** [[dupNgramCoverage]] over an arbitrary (doc_id, text) frame — the
+    * test seam for synthetic shared-span corpora. */
+  def dupNgramCoverageOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val n = DupSpanChars
+    val base = docs
+      .select($"doc_id", norm($"text").as("nt"))
+    val pg = base
+      .select($"doc_id", $"nt", explode(
+        when(length($"nt") >= n, sequence(lit(1), length($"nt") - (n - 1)))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select($"doc_id", $"i",
+        conv(substring(md5($"nt".substr($"i", lit(n))), 1, 15), 16, 10)
+          .cast("long").as("g"))
+    val dupGrams = pg.select($"g", $"doc_id").distinct()
+      .groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2).select($"g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"i")
+    val covered = pg.join(dupGrams, "g")
+      .select($"doc_id", $"i")
+      .withColumn("c",
+        least(lit(n), coalesce($"i" - lag($"i", 1).over(w), lit(n))))
+      .groupBy($"doc_id").agg(sum($"c").as("dup_chars"))
+    base.select($"doc_id", length($"nt").cast("long").as("n_chars"))
+      .join(covered, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_chars",
+        coalesce($"dup_chars", lit(0L)).as("dup_chars"),
+        (coalesce($"dup_chars", lit(0L)).cast("double") /
+          greatest($"n_chars", lit(1L))).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val dupNgramCoverageSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+       |  FROM documents),
+       |pg AS (
+       |  SELECT doc_id, i,
+       |    ('0x' || substr(md5(substr(nt, CAST(i AS INTEGER), $DupSpanChars)), 1, 15))::BIGINT AS g
+       |  FROM (SELECT doc_id, nt,
+       |          UNNEST(range(1, length(nt) - ${DupSpanChars - 2})) AS i FROM base)),
+       |dup AS (
+       |  SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM pg GROUP BY g)
+       |  WHERE df >= 2),
+       |cov AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup_chars
+       |  FROM (SELECT doc_id,
+       |          LEAST($DupSpanChars, COALESCE(i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i), $DupSpanChars)) AS c
+       |        FROM pg WHERE g IN (SELECT g FROM dup))
+       |  GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(length(b.nt) AS BIGINT) AS n_chars,
+       |  COALESCE(c.dup_chars, 0) AS dup_chars,
+       |  CAST(COALESCE(c.dup_chars, 0) AS DOUBLE) / GREATEST(length(b.nt), 1) AS dup_frac
+       |FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id
+       |ORDER BY b.doc_id""".stripMargin
 }

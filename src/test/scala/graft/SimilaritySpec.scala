@@ -193,4 +193,48 @@ class SimilaritySpec extends SparkSpec {
     info(s"ann_ivf candidates: $candidates of $total vectors")
     assert(candidates < total, "bucket pruning did not shrink the candidate set")
   }
+
+  test("semantic_dedup: total, nonempty drop set, greedy-first member always kept") {
+    val res = Similarity.semanticDedup(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(res.length == n, "one verdict row per vector")
+    assert(res.map(_.getAs[Long]("vec_id")).distinct.length == n)
+    val dropped = res.filterNot(_.getAs[Boolean]("keep"))
+    info(s"semantic_dedup: ${dropped.length} of ${res.length} dropped " +
+      s"at cosine >= ${Similarity.SemanticBar}")
+    assert(dropped.nonEmpty, "fixture near-duplicates should be dropped")
+    assert(dropped.length < res.length, "must not drop everything")
+    // the greedy sweep ranks by (centroid cosine ASC, vec_id ASC); the
+    // first-ranked member of every cluster has no earlier neighbor, so
+    // it can never be dropped — the diversity-keeping anchor survives
+    res.groupBy(_.getAs[Int]("cluster")).values.foreach { ms =>
+      val first = ms.minBy(r => (r.getAs[Double]("cscore"), r.getAs[Long]("vec_id")))
+      assert(first.getAs[Boolean]("keep"),
+        s"cluster anchor ${first.getAs[Long]("vec_id")} was dropped")
+    }
+  }
+
+  test("semantic_dedup drop rule matches an independent exists-earlier-neighbor formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast => _, _}
+    val emb = Tables.embeddings(spark, sfDir)
+    val verdict = Similarity.semanticDedup(spark, sfDir)
+    // recompute drops as a LEFT SEMI join (vs the distinct+left-join
+    // route inside semanticDedup): b is dropped iff SOME earlier-ranked
+    // same-cluster a is >= bar similar
+    val assigned = verdict.join(emb, "vec_id")
+      .select($"vec_id", $"cluster", $"cscore", $"embedding",
+        Similarity.dotD($"embedding", $"embedding").as("n2"))
+    val droppedSemi = assigned.as("b").join(assigned.as("a"),
+        $"a.cluster" === $"b.cluster" &&
+          ($"a.cscore" < $"b.cscore" ||
+            ($"a.cscore" === $"b.cscore" && $"a.vec_id" < $"b.vec_id")) &&
+          (Similarity.dotD($"a.embedding", $"b.embedding") /
+            sqrt($"a.n2" * $"b.n2")) >= Similarity.SemanticBar,
+        "left_semi")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val droppedMain = verdict.filter(!$"keep")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(droppedSemi == droppedMain)
+  }
 }

@@ -198,4 +198,33 @@ class TextCurateSpec extends SparkSpec {
     assert(rows(1L).getAs[Long]("min_freq") == 1L)
     assert(rows(1L).getAs[Double]("mean_freq") == 1.0)
   }
+
+  test("dup_ngram_coverage: shared span covered exactly, unique doc zero, identical pair full") {
+    import spark.implicits._
+    // normalized span well over DupSpanChars (32) chars, shared verbatim
+    val span = "this exact clause is repeated verbatim across two documents"
+    assert(span.length > TextAnalysis.DupSpanChars)
+    val docs = Seq(
+      1L -> "completely original prose sharing nothing with any neighbor",
+      2L -> s"alpha beta $span gamma delta",
+      3L -> s"omega psi chi $span upsilon",
+      4L -> "twin payload sentence duplicated wholesale between five four",
+      5L -> "twin payload sentence duplicated wholesale between five four",
+      6L -> "tiny").toDF("doc_id", "text")
+    val rows = TextAnalysis.dupNgramCoverageOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Long]("dup_chars") == 0L)
+    assert(rows(1L).getAs[Double]("dup_frac") == 0.0)
+    // the shared region includes the space on each side of the span
+    // (both docs normalize to "... <span> ..."), so the interval union
+    // of duplicated 32-gram starts covers exactly span.length + 2 chars
+    assert(rows(2L).getAs[Long]("dup_chars") == span.length + 2L)
+    assert(rows(3L).getAs[Long]("dup_chars") == span.length + 2L)
+    // an identical pair is fully covered: every gram is duplicated
+    assert(rows(4L).getAs[Double]("dup_frac") == 1.0)
+    assert(rows(4L).getAs[Long]("dup_chars") == rows(4L).getAs[Long]("n_chars"))
+    assert(rows(5L).getAs[Double]("dup_frac") == 1.0)
+    // shorter than one span width: no grams, zero coverage
+    assert(rows(6L).getAs[Double]("dup_frac") == 0.0)
+  }
 }
