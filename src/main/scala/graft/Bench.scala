@@ -18,6 +18,38 @@ import org.apache.spark.sql.SparkSession
   * item 10).
   */
 object Bench {
+  @volatile private var calibSink = 0L // defeats dead-code elimination
+
+  /** Fixed single-thread CPU workload (2^27 xorshift steps): a
+    * machine-speed index reported beside the query times, so
+    * round-over-round deltas can be normalized for shared-host drift.
+    * Motivating measurement (r6): IDENTICAL code benched 43.0 s one day
+    * and 58.3 s the next at sf0.1 while the sf0.01 pass moved 3% — the
+    * host's big-data path (memory/IO), not the code, had drifted. */
+  private def calibCpu(): Double = {
+    val t0 = System.nanoTime
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < (1 << 27)) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    calibSink = x
+    (System.nanoTime - t0) / 1e9
+  }
+
+  /** Fixed memory-bandwidth sweep (4 sequential reads of a 512 MB long
+    * array): the resource the sf0.1 pass actually contends on — see
+    * [[calibCpu]]'s motivating numbers. */
+  private def calibMem(): Double = {
+    val a = new Array[Long](1 << 26)
+    var i = 0
+    while (i < a.length) { a(i) = i.toLong; i += 1 }
+    val t0 = System.nanoTime
+    var s = 0L
+    var r = 0
+    while (r < 4) { var j = 0; while (j < a.length) { s += a(j); j += 1 }; r += 1 }
+    calibSink = s
+    (System.nanoTime - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -139,9 +171,13 @@ object Bench {
     val totalSf2 = sf2Results.collect { case (_, v) if v >= 0 => v }.sum
     val qsSf2 = sf2Results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // host-speed calibration, measured AFTER the query passes so it
+    // reflects the machine state the times were taken under
+    val calCpu = calibCpu()
+    val calMem = calibMem()
     // headline fields lead the line so a truncated tail (BENCH_r04) still
     // carries the totals and the failure list
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"total_sf2":$totalSf2,"sf2":"$sf2","failed":$failedJson,"sf":"$sfDir","queries":$qs,"queries_warm":$qsWarm,"shuffle_bytes":$shuffles,"queries_sf2":$qsSf2}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"total_sf2":$totalSf2,"sf2":"$sf2","calib_cpu":$calCpu,"calib_mem":$calMem,"failed":$failedJson,"sf":"$sfDir","queries":$qs,"queries_warm":$qsWarm,"shuffle_bytes":$shuffles,"queries_sf2":$qsSf2}"""
     println(line)
     // stdout capture has truncated this line two rounds running
     // (BENCH_r04/r05 `parsed: null`) — persist it whole to a file the

@@ -534,15 +534,39 @@ object Similarity {
     * bucketed dedup here, with cluster sizes ≈ n/k under a real k-means
     * coarse quantizer (k scales with corpus, exactly the IVF list-count
     * knob [[annIvf]] documents). The drop set joins back by vec_id only
-    * — embeddings never shuffle twice: the assigned projection is
-    * computed once per side of the self-join from the same scan, and
-    * the verdict join carries 8-byte ids. */
+    * — the verdict join carries 8-byte ids. The assignment projection
+    * feeds THREE plan consumers (two self-join sides + the verdict
+    * spine), so the registered query materializes it once per
+    * (session, corpus) via [[sharedAssignments]] — the
+    * Dedup.sharedSigSets pattern; at 100 TB the assignment table is
+    * index metadata persisted next to the corpus ([[persistIndex]]
+    * stores exactly this bucketing), not recomputed per consumer. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
-    semanticDedupOf(Tables.embeddings(spark, dir))
+    dedupOfAssigned(sharedAssignments(spark, dir))
+
+  /** Session-shared (vec_id, embedding, n2, cluster, cscore) assignment
+    * table — built once per (session, corpus) with a deferred
+    * localCheckpoint, shared by [[semanticDedup]]'s three consumers.
+    * Same corpus-version contract as Dedup.sharedSigSets: rewriting the
+    * corpus dir in place requires dropping the temp view. */
+  def sharedAssignments(spark: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val view = "graft_semassign_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!spark.catalog.tableExists(view))
+        assignmentsOf(Tables.embeddings(spark, dir))
+          .localCheckpoint(eager = false)
+          .createOrReplaceTempView(view)
+      spark.table(view)
+    }
 
   /** [[semanticDedup]] over an arbitrary (vec_id, embedding, label)
-    * frame — the test seam. */
-  def semanticDedupOf(emb: DataFrame): DataFrame = {
+    * frame — the test seam (no session caching). */
+  def semanticDedupOf(emb: DataFrame): DataFrame =
+    dedupOfAssigned(assignmentsOf(emb))
+
+  /** Nearest-centroid assignment of every vector: (vec_id, embedding,
+    * n2, cluster, cscore). */
+  private def assignmentsOf(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
     val cents = centroidRows(emb)
       .groupBy($"label")
@@ -551,7 +575,7 @@ object Similarity {
         transform($"pm", p => p("m").cast("float")).as("cv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"vec_id").orderBy($"score".desc, $"c_label")
-    val assigned = emb.crossJoin(broadcast(cents))
+    emb.crossJoin(broadcast(cents))
       .select($"vec_id", $"embedding", $"c_label",
         dotD($"embedding", $"embedding").as("n2"),
         cosine(dotD($"embedding", $"cv"),
@@ -560,6 +584,11 @@ object Similarity {
       .filter($"rk" === 1)
       .select($"vec_id", $"embedding", $"n2",
         $"c_label".as("cluster"), $"score".as("cscore"))
+  }
+
+  /** Greedy within-cluster sweep over a prebuilt assignment table. */
+  private def dedupOfAssigned(assigned: DataFrame): DataFrame = {
+    import assigned.sparkSession.implicits._
     val dropped = assigned.as("a")
       .join(assigned.as("b"),
         $"a.cluster" === $"b.cluster" &&
