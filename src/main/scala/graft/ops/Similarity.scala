@@ -605,11 +605,16 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
-  val semanticDedupSql: String = {
+  /** Pairwise-cosine SQL over two [[assignedCtes]] aliases. */
+  private def pairSimSql(x: String, y: String): String =
+    s"${dotSql(s"$x.embedding", s"$y.embedding")} / sqrt($x.n2 * $y.n2)"
+
+  /** Shared DuckDB CTEs mirroring [[sharedAssignments]]: per-label
+    * centroids, per-vector argmax assignment with centroid cosine. */
+  private val assignedCtes: String = {
     val cscore = s"${dotSql("e.embedding", "c.cv")} / " +
       s"sqrt(${dotSql("e.embedding", "e.embedding")} * ${dotSql("c.cv", "c.cv")})"
-    val pairSim = s"${dotSql("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2)"
-    s"""WITH pm AS (
+    s"""pm AS (
        |$centroidRowsSql),
        |cents AS (SELECT label AS c_label,
        |            list(CAST(m AS FLOAT) ORDER BY pos) AS cv
@@ -623,17 +628,76 @@ object Similarity {
        |  FROM embeddings e CROSS JOIN cents c),
        |assigned AS (
        |  SELECT vec_id, embedding, n2, c_label AS cluster, score AS cscore
-       |  FROM scored WHERE rk = 1),
+       |  FROM scored WHERE rk = 1)""".stripMargin
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH $assignedCtes,
        |dropped AS (
        |  SELECT DISTINCT b.vec_id
        |  FROM assigned a JOIN assigned b
        |    ON a.cluster = b.cluster
        |   AND (a.cscore < b.cscore
        |        OR (a.cscore = b.cscore AND a.vec_id < b.vec_id))
-       |  WHERE $pairSim >= $SemanticBar)
+       |  WHERE ${pairSimSql("a", "b")} >= $SemanticBar)
        |SELECT s.vec_id, s.cluster, s.cscore,
        |  d.vec_id IS NULL AS keep
        |FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
        |ORDER BY s.vec_id""".stripMargin
+
+  /** INCREMENTAL semantic screening — the arrival-batch form of
+    * [[semanticDedup]], completing the incremental story across all
+    * three dedup modalities (resemblance: Dedup.dedupIncremental,
+    * containment: Dedup.containmentIncremental, semantic: this). A new
+    * vector is a semantic duplicate iff some CORPUS vector in its
+    * assigned cluster is >= [[SemanticBar]] similar; the batch never
+    * scores against itself (within-batch dups resolve when the batch
+    * joins the corpus, same contract as dedupIncremental). vec_id % 5
+    * slices the fixture into batch/corpus like the other incremental
+    * oracles.
+    *
+    * Shape at 100 TB: the corpus side comes from the persisted
+    * assignment/index table ([[persistIndex]]'s layout — at production
+    * scale the join probes only the batch's clusters, exactly the IVF
+    * pruned-search path [[searchIndex]] pins in its partition-pruning
+    * test); the batch side is assignment-projected and joined by
+    * cluster, so cost scales with |batch| x cluster size, never with
+    * corpus². */
+  def semanticIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = sharedAssignments(spark, dir)
+    val isNew = col("vec_id") % 5 === 0
+    val batch = a.filter(isNew)
+    val corpus = a.filter(!isNew)
+    val hits = batch.as("b")
+      .join(corpus.as("c"),
+        col("b.cluster") === col("c.cluster") &&
+          (dotD(col("b.embedding"), col("c.embedding")) /
+            sqrt(col("b.n2") * col("c.n2"))) >= SemanticBar)
+      .select(col("b.vec_id").as("vec_id"))
+      .groupBy($"vec_id")
+      .agg(count(lit(1)).as("n_dups"))
+    batch.select($"vec_id", $"cluster")
+      .join(hits, Seq("vec_id"), "left")
+      .select($"vec_id", $"cluster",
+        coalesce($"n_dups", lit(0L)).as("n_dups"),
+        (coalesce($"n_dups", lit(0L)) > 0).as("is_dup"))
+      .orderBy($"vec_id")
   }
+
+  val semanticIncrementalSql: String =
+    s"""WITH $assignedCtes,
+       |hits AS (
+       |  SELECT b.vec_id, COUNT(*) AS n_dups
+       |  FROM assigned b JOIN assigned c
+       |    ON b.cluster = c.cluster
+       |   AND b.vec_id % 5 = 0 AND c.vec_id % 5 != 0
+       |   AND ${pairSimSql("b", "c")} >= $SemanticBar
+       |  GROUP BY b.vec_id)
+       |SELECT a.vec_id, a.cluster,
+       |  COALESCE(h.n_dups, 0) AS n_dups,
+       |  COALESCE(h.n_dups, 0) > 0 AS is_dup
+       |FROM assigned a LEFT JOIN hits h ON a.vec_id = h.vec_id
+       |WHERE a.vec_id % 5 = 0
+       |ORDER BY a.vec_id""".stripMargin
 }

@@ -1018,25 +1018,42 @@ object TextAnalysis {
 
   /** [[dupNgramCoverage]] over an arbitrary (doc_id, text) frame — the
     * test seam for synthetic shared-span corpora. */
-  def dupNgramCoverageOf(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
+  /** (doc_id, i, g) rows: 60-bit hashes of each doc's
+    * [[DupSpanChars]]-char normalized grams with their 1-based start
+    * position — shared by [[dupNgramCoverageOf]] (scoring) and
+    * [[spanDedupOf]] (rewrite). */
+  private def posGramRows(base: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
     val n = DupSpanChars
-    val base = docs
-      .select($"doc_id", norm($"text").as("nt"))
-    val pg = base
+    base
       .select($"doc_id", $"nt", explode(
         when(length($"nt") >= n, sequence(lit(1), length($"nt") - (n - 1)))
           .otherwise(array().cast("array<int>"))).as("i"))
       .select($"doc_id", $"i",
         conv(substring(md5($"nt".substr($"i", lit(n))), 1, 15), 16, 10)
           .cast("long").as("g"))
+  }
+
+  /** (doc_id, i) start positions of grams occurring in >= 2 distinct
+    * docs. The duplicated-gram set is corpus-sized by nature, so it
+    * joins back on the 8-byte hash in a shuffle hash join (NOT
+    * broadcast); AQE handles ubiquitous-gram skew. */
+  private def dupStartRows(pg: DataFrame): DataFrame = {
+    import pg.sparkSession.implicits._
     val dupGrams = pg.select($"g", $"doc_id").distinct()
       .groupBy($"g").agg(count(lit(1)).as("df"))
       .filter($"df" >= 2).select($"g")
+    pg.join(dupGrams, "g").select($"doc_id", $"i")
+  }
+
+  def dupNgramCoverageOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val n = DupSpanChars
+    val base = docs
+      .select($"doc_id", norm($"text").as("nt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"i")
-    val covered = pg.join(dupGrams, "g")
-      .select($"doc_id", $"i")
+    val covered = dupStartRows(posGramRows(base))
       .withColumn("c",
         least(lit(n), coalesce($"i" - lag($"i", 1).over(w), lit(n))))
       .groupBy($"doc_id").agg(sum($"c").as("dup_chars"))
@@ -1049,8 +1066,11 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  val dupNgramCoverageSql: String =
-    s"""WITH base AS (
+  /** Shared DuckDB CTEs for the duplicated-span family: normalized
+    * text, positional gram hashes, duplicated grams, duplicated starts
+    * — mirrors [[posGramRows]]/[[dupStartRows]]. */
+  private val dupSpanCtes: String =
+    s"""base AS (
        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
        |  FROM documents),
        |pg AS (
@@ -1061,15 +1081,113 @@ object TextAnalysis {
        |dup AS (
        |  SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM pg GROUP BY g)
        |  WHERE df >= 2),
+       |starts AS (SELECT doc_id, i FROM pg WHERE g IN (SELECT g FROM dup))""".stripMargin
+
+  val dupNgramCoverageSql: String =
+    s"""WITH $dupSpanCtes,
        |cov AS (
        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup_chars
        |  FROM (SELECT doc_id,
        |          LEAST($DupSpanChars, COALESCE(i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i), $DupSpanChars)) AS c
-       |        FROM pg WHERE g IN (SELECT g FROM dup))
+       |        FROM starts)
        |  GROUP BY doc_id)
        |SELECT b.doc_id, CAST(length(b.nt) AS BIGINT) AS n_chars,
        |  COALESCE(c.dup_chars, 0) AS dup_chars,
        |  CAST(COALESCE(c.dup_chars, 0) AS DOUBLE) / GREATEST(length(b.nt), 1) AS dup_frac
        |FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
+  /** EXACT-SUBSTRING deduplication (the rewrite counterpart of
+    * [[dupNgramCoverage]], after Lee et al. 2022, arXiv:2107.06499):
+    * every maximal normalized-char region covered by cross-doc
+    * duplicated [[DupSpanChars]]-grams is REMOVED from every document —
+    * the span-granularity sibling of [[lineDedup]] (which removes
+    * recurring fixed token windows; this removes arbitrary-position
+    * duplicated spans). Keep-one-copy semantics belong to document
+    * dedup upstream: run exact/near dedup first (keeps one copy of
+    * whole-doc duplicates), then spanDedup removes the remaining
+    * cross-doc quoted/boilerplate regions from all survivors.
+    *
+    * Shape at 100 TB: duplicated starts ([[dupStartRows]]) shuffle as
+    * (doc_id, int) pairs; islands (maximal merged intervals) come from
+    * one gaps-and-islands window pass — a start opens a new island when
+    * its gap to the previous exceeds the gram width, so islands are
+    * exactly the interval union. The reassembly aggregates each doc's
+    * island list (two ints per island, bounded by len/width) and stitches
+    * surviving segments with one codegen'd `aggregate` fold over the
+    * sorted islands — the only stage that carries text, and it carries
+    * each doc's normalized text exactly once (the lineDedup contract).
+    * removed_chars == dup_ngram_coverage.dup_chars by construction
+    * (both are the same interval-union length; pinned in TextCurateSpec). */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedupOf(Tables.documentsPar(spark, dir))
+
+  /** [[spanDedup]] over an arbitrary (doc_id, text) frame — the test
+    * seam. */
+  def spanDedupOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val n = DupSpanChars
+    val base = docs.select($"doc_id", norm($"text").as("nt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"i")
+    val islands = dupStartRows(posGramRows(base))
+      .withColumn("newisl",
+        when(coalesce($"i" - lag($"i", 1).over(w), lit(n + 1)) > n, 1)
+          .otherwise(0))
+      .withColumn("isl", sum($"newisl").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"i").as("s"), (max($"i") + (n - 1)).as("e"))
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"s", $"e"))).as("ivs"),
+        sum($"e" - $"s" + 1).as("removed_chars"))
+    base.join(islands, Seq("doc_id"), "left")
+      .select($"doc_id",
+        length($"nt").cast("long").as("n_chars"),
+        coalesce($"removed_chars", lit(0L)).as("removed_chars"),
+        when($"ivs".isNull, $"nt").otherwise(
+          aggregate($"ivs",
+            struct(lit(0).as("pos"), lit("").as("acc")),
+            (st, iv) => struct(
+              iv.getField("e").as("pos"),
+              concat(st.getField("acc"),
+                $"nt".substr(st.getField("pos") + lit(1),
+                  iv.getField("s") - st.getField("pos") - lit(1))).as("acc")),
+            st => concat(st.getField("acc"),
+              $"nt".substr(st.getField("pos") + lit(1), length($"nt")))))
+          .as("kept_text"))
+      .orderBy($"doc_id")
+  }
+
+  val spanDedupSql: String =
+    s"""WITH $dupSpanCtes,
+       |marked AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN COALESCE(i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i),
+       |                       ${DupSpanChars + 1}) > $DupSpanChars
+       |         THEN 1 ELSE 0 END AS newisl
+       |  FROM starts),
+       |numbered AS (
+       |  SELECT doc_id, i,
+       |    SUM(newisl) OVER (PARTITION BY doc_id ORDER BY i) AS isl
+       |  FROM marked),
+       |ivs AS (
+       |  SELECT doc_id, isl, MIN(i) AS s, MAX(i) + ${DupSpanChars - 1} AS e
+       |  FROM numbered GROUP BY doc_id, isl),
+       |pieces AS (
+       |  SELECT v.doc_id, v.s, v.e,
+       |    substr(b.nt,
+       |      CAST(COALESCE(LAG(v.e) OVER (PARTITION BY v.doc_id ORDER BY v.s), 0) + 1 AS INTEGER),
+       |      CAST(v.s - COALESCE(LAG(v.e) OVER (PARTITION BY v.doc_id ORDER BY v.s), 0) - 1 AS INTEGER)) AS piece
+       |  FROM ivs v JOIN base b ON v.doc_id = b.doc_id),
+       |recon AS (
+       |  SELECT doc_id, string_agg(piece, '' ORDER BY s) AS head,
+       |    MAX(e) AS laste, CAST(SUM(e - s + 1) AS BIGINT) AS removed
+       |  FROM pieces GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(length(b.nt) AS BIGINT) AS n_chars,
+       |  COALESCE(r.removed, 0) AS removed_chars,
+       |  CASE WHEN r.doc_id IS NULL THEN b.nt
+       |       ELSE COALESCE(r.head, '') || substr(b.nt, CAST(r.laste + 1 AS INTEGER)) END AS kept_text
+       |FROM base b LEFT JOIN recon r ON b.doc_id = r.doc_id
        |ORDER BY b.doc_id""".stripMargin
 }

@@ -237,4 +237,20 @@ class SimilaritySpec extends SparkSpec {
       .select($"vec_id").collect().map(_.getLong(0)).toSet
     assert(droppedSemi == droppedMain)
   }
+
+  test("semantic_incremental screens every batch vector against the corpus slice only") {
+    import spark.implicits._
+    val res = Similarity.semanticIncremental(spark, sfDir).collect()
+    val expected = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" % 5 === 0).count()
+    assert(res.length == expected, "one verdict per batch vector")
+    res.foreach { r =>
+      assert(r.getAs[Boolean]("is_dup") == (r.getAs[Long]("n_dups") > 0))
+    }
+    val flagged = res.count(_.getAs[Boolean]("is_dup"))
+    info(s"semantic_incremental: $flagged of ${res.length} batch vectors " +
+      s"have a corpus-side semantic duplicate")
+    assert(flagged > 0, "fixture batch should hit corpus duplicates")
+    assert(flagged < res.length, "must not flag everything")
+  }
 }

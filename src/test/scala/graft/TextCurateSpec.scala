@@ -227,4 +227,44 @@ class TextCurateSpec extends SparkSpec {
     // shorter than one span width: no grams, zero coverage
     assert(rows(6L).getAs[Double]("dup_frac") == 0.0)
   }
+
+  test("span_dedup excises the shared region, keeps unique docs intact, empties identical twins") {
+    import spark.implicits._
+    val span = "this exact clause is repeated verbatim across two documents"
+    val unique = "completely original prose sharing nothing with any neighbor"
+    val twin = "twin payload sentence duplicated wholesale between five four"
+    val docs = Seq(
+      1L -> unique,
+      2L -> s"alpha beta $span gamma delta",
+      3L -> s"omega psi chi $span upsilon",
+      4L -> twin,
+      5L -> twin).toDF("doc_id", "text")
+    val rows = TextAnalysis.spanDedupOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // unique doc: untouched (normalized form)
+    assert(rows(1L).getAs[String]("kept_text") == unique)
+    assert(rows(1L).getAs[Long]("removed_chars") == 0L)
+    // the removed region includes the space on each side of the span,
+    // so the surviving halves are glued with no separator
+    assert(rows(2L).getAs[String]("kept_text") == "alpha betagamma delta")
+    assert(rows(3L).getAs[String]("kept_text") == "omega psi chiupsilon")
+    assert(rows(2L).getAs[Long]("removed_chars") == span.length + 2L)
+    // identical twins both lose everything — keep-one-copy is document
+    // dedup's job upstream, span removal is the boilerplate pass
+    assert(rows(4L).getAs[String]("kept_text") == "")
+    assert(rows(5L).getAs[String]("kept_text") == "")
+    assert(rows(4L).getAs[Long]("removed_chars") == rows(4L).getAs[Long]("n_chars"))
+    // structural invariant: removed_chars is the same interval union
+    // dup_ngram_coverage scores, and the surviving text length is the
+    // complement — for EVERY doc
+    val cov = TextAnalysis.dupNgramCoverageOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_chars")).toMap
+    rows.foreach { case (id, r) =>
+      assert(r.getAs[Long]("removed_chars") == cov(id),
+        s"doc $id: removed != coverage dup_chars")
+      assert(r.getAs[String]("kept_text").length ==
+        r.getAs[Long]("n_chars") - r.getAs[Long]("removed_chars"),
+        s"doc $id: kept length != n_chars - removed")
+    }
+  }
 }
