@@ -300,6 +300,9 @@ object Dedup {
     Seq("graft_sigsets_", "graft_postings_", "graft_jaccard_pairs_",
       "graft_clusters_")
       .foreach(p => spark.catalog.dropTempView(p + suffix))
+    // the semantic assignment view is derived from the same corpus dir —
+    // one rewrite entry point drops every materialization (ADVICE r6)
+    Similarity.invalidate(spark, dir)
   }
 
   // ---------------------------------------------------------------------
@@ -344,37 +347,91 @@ object Dedup {
     * a funnel can never silently serve a different corpus. */
   def persistFunnel(spark: SparkSession, dir: String, outDir: String,
       numBuckets: Int = 32): Unit = {
-    import spark.implicits._
     val sigs = sigSetsOf(docsPar(spark, dir)).localCheckpoint(eager = false)
+    writeFunnelComponent(spark, dir, outDir, numBuckets)(sigs, "signatures", "doc_id")
+    val derived = writeDerived(spark, dir, outDir, sigs, numBuckets)
+    writeFunnelMeta(outDir, dir, numBuckets, ("signatures" -> sigs) +: derived)
+  }
+
+  private def writeFunnelComponent(spark: SparkSession, dir: String,
+      outDir: String, numBuckets: Int)(
+      df: DataFrame, comp: String, bucketCol: String): Unit = {
+    val tbl = funnelTableName(dir, comp)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    df.write.mode("overwrite").option("path", s"$outDir/$comp")
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(tbl)
+  }
+
+  /** Derive boilerplate/postings/pairs/clusters from a signature table
+    * and write them bucketed under `outDir` — the ONE definition of
+    * "downstream of signatures", shared by [[persistFunnel]] (fresh
+    * sigs) and [[refreshFunnel]] (the durable signature table), so a
+    * refresh is from-scratch-equivalent by construction (and proven
+    * bit-identical component-wise in DedupSpec). */
+  private def writeDerived(spark: SparkSession, dir: String, outDir: String,
+      sigs: DataFrame, numBuckets: Int): Seq[(String, DataFrame)] = {
+    import spark.implicits._
+    val write = writeFunnelComponent(spark, dir, outDir, numBuckets) _
     val grams = gramsOfSigs(sigs)
     val boiler = boilerplateOfGrams(grams, MaxGramDf)
     val postings = grams.join(broadcast(boiler), Seq("g"), "left_anti")
     val pairs = jaccardOfSigSets(sigs, MaxBucketSize)
       .localCheckpoint(eager = false) // consumed by the write AND clusters
     val clusters = clustersOf(pairs.select($"id_a", $"id_b"))
-    def write(df: DataFrame, comp: String, bucketCol: String): Unit = {
-      val tbl = funnelTableName(dir, comp)
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      df.write.mode("overwrite").option("path", s"$outDir/$comp")
-        .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
-        .format("parquet").saveAsTable(tbl)
-    }
-    write(sigs, "signatures", "doc_id")
     write(postings, "postings", "g")
     write(boiler, "boilerplate", "g")
     write(pairs, "pairs", "id_a")
     write(clusters, "clusters", "doc_id")
-    // marker carries corpus identity, bucket count AND each component's
-    // schema DDL: bootstrap must not depend on parquet schema inference
-    // (a legitimately EMPTY component — e.g. boilerplate on a clean
-    // corpus — has no files to infer from)
-    val schemas = Seq("signatures" -> sigs, "postings" -> postings,
-      "boilerplate" -> boiler, "pairs" -> pairs, "clusters" -> clusters)
-      .map { case (comp, df) => s"schema.$comp=${df.schema.toDDL}" }
+    Seq("postings" -> postings, "boilerplate" -> boiler,
+      "pairs" -> pairs, "clusters" -> clusters)
+  }
+
+  /** Marker carries corpus identity, bucket count AND each component's
+    * schema DDL: bootstrap must not depend on parquet schema inference
+    * (a legitimately EMPTY component — e.g. boilerplate on a clean
+    * corpus — has no files to infer from). */
+  private def writeFunnelMeta(outDir: String, dir: String, numBuckets: Int,
+      comps: Seq[(String, DataFrame)]): Unit = {
+    val schemas = comps.map { case (comp, df) => s"schema.$comp=${df.schema.toDDL}" }
     val meta = (Seq(s"corpus=$dir", s"buckets=$numBuckets") ++ schemas)
       .mkString("", "\n", "\n")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outDir, "funnel.meta"), meta.getBytes("UTF-8"))
+    ()
+  }
+
+  /** The periodic-rebuild half of [[appendToFunnel]]'s maintenance
+    * split: re-derive every downstream component (boilerplate, postings,
+    * pairs, clusters) from the APPENDED durable signature table — NO
+    * corpus re-scan; per-doc signatures are append-complete, so the
+    * derived state after append+refresh is bit-identical to a
+    * [[persistFunnel]] from scratch over the grown corpus (DedupSpec
+    * proves component-wise equality). This is what catches up the
+    * contract debts appends accrue: grams that crossed the df cap
+    * through arrivals join the boilerplate set, new cross-corpus pairs
+    * appear, and clusters re-converge — the compaction-time job
+    * ([[graft.streaming.Maintenance.compactDay]]'s analogue for the
+    * dedup surface), scheduled per corpus version, costing O(signatures)
+    * instead of O(corpus text). */
+  def refreshFunnel(spark: SparkSession, dir: String, outDir: String): Unit = {
+    if (!bootstrapFunnel(spark, dir, outDir))
+      throw new IllegalStateException(
+        s"no funnel for corpus $dir at $outDir — run persistFunnel first")
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(outDir, "funnel.meta")), "UTF-8")
+    val numBuckets = "buckets=(\\d+)".r.findFirstMatchIn(meta).get.group(1).toInt
+    // localCheckpoint BEFORE the writes: sigs feeds three derivations
+    // whose writes drop/recreate sibling tables mid-job — the snapshot
+    // keeps every consumer on the one pre-refresh signature state
+    val sigs = spark.table(funnelTableName(dir, "signatures"))
+      .localCheckpoint(eager = true)
+    val derived = writeDerived(spark, dir, outDir, sigs, numBuckets)
+    writeFunnelMeta(outDir, dir, numBuckets, ("signatures" -> sigs) +: derived)
+    derived.foreach { case (comp, _) =>
+      spark.catalog.refreshTable(funnelTableName(dir, comp)) }
+    // re-point the session-shared views at the rewritten tables
+    bootstrapFunnel(spark, dir, outDir)
     ()
   }
 

@@ -335,6 +335,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[persistIndex]] under a TRAINED coarse quantizer: (vec_id, codes)
+    * partitioned by the vector's argmax-cosine cell — the real IVF
+    * layout (learned inverted lists instead of fixed sign-hyperplanes).
+    * `cents` is a (cluster, cv) frame, e.g. [[kmeansFit]]'s output; at
+    * 100 TB the centroid table persists beside the index so queries and
+    * appends assign against the SAME quantizer the lists were built
+    * with. */
+  def persistIndexTrained(spark: SparkSession, dir: String, outDir: String,
+      cents: DataFrame): Unit = {
+    import spark.implicits._
+    assignmentsTo(Tables.embeddings(spark, dir), cents)
+      .select($"vec_id",
+        graft.functions.VecQuant.vecQuantize($"embedding").as("codes"),
+        $"cluster")
+      .write.mode("overwrite").partitionBy("cluster").parquet(outDir)
+  }
+
+  /** Top-k search against a [[persistIndexTrained]] table. The caller
+    * supplies the probe list (the query's nprobe nearest centroids —
+    * one vector against k centroids, driver-sized arithmetic, same
+    * contract as [[searchIndex]]'s precomputed bucket); only those
+    * partitions are listed, opened, or decoded. */
+  def searchIndexTrained(spark: SparkSession, indexDir: String,
+      queryCodes: Array[Byte], probeClusters: Seq[Long], k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val qc = typedlit(queryCodes.toSeq)
+    val dq = graft.functions.VecQuant.vecDotQ _
+    spark.read.parquet(indexDir)
+      .filter($"cluster".isin(probeClusters: _*))
+      .select($"vec_id", $"cluster",
+        (dq($"codes", qc).cast("double") /
+          sqrt(dq($"codes", $"codes").cast("double") *
+            dq(qc, qc).cast("double"))).as("score"))
+      .orderBy($"score".desc, $"vec_id")
+      .limit(k)
+  }
+
   /** Per-position centroid component rows (label, 0-based pos, mean).
     * The mean routes through the exact DECIMAL accumulator
     * (graft.Exact.davg) — float→double widening is exact and the decimal
@@ -506,6 +543,168 @@ object Similarity {
        |WHERE ${dotSql("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2) >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Trained coarse quantizer: k-means over embeddings (round 7). Until
+  // now every clustered consumer (semanticDedup, persistIndex) inherited
+  // its cell structure from fixture LABELS — a real 100 TB corpus has no
+  // labels; SemDeDup and IVF both assume a k-means coarse quantizer.
+  // Lloyd's algorithm in pure DataFrame form, fully deterministic (fixed
+  // seed order, fixed iteration count, exact-decimal means), so the
+  // whole training run unrolls into a DuckDB CTE chain and is
+  // oracle-checked end to end.
+  // ---------------------------------------------------------------------
+
+  /** Cell count / Lloyd iteration count of the trained quantizer. k
+    * matches the fixture's label count so SimilaritySpec's
+    * trained-vs-supervised comparison is like-for-like; at 100 TB k is
+    * the IVF list-count knob (≈ √n cells, thousands — still a broadcast:
+    * k×dim floats). The iteration count is FIXED, not convergence-tested:
+    * a fixed unrolled plan is deterministic, restart-safe, and
+    * oracle-able; production k-means on embeddings converges in a
+    * handful of sweeps and a fixed budget is how batch pipelines
+    * schedule it anyway. */
+  val KmeansK = 10
+  val KmeansIters = 3
+
+  /** Seed centroids in row form (cluster, pos0, m): the [[KmeansK]]
+    * vectors FIRST IN md5(vec_id) ORDER — a uniform, engine-recomputable
+    * sample (the hash-keyed trick of TrainPrep.datasetSplit), so both
+    * engines pick identical seeds with no shared random state. The
+    * global sort is a TakeOrderedAndProject: k rows cross to the driver
+    * side, never the corpus. The k-row window below it is single-
+    * partition by construction (k rows). */
+  private def kmeansSeedRows(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"hk", $"vec_id")
+    emb.select($"vec_id", $"embedding", md5($"vec_id".cast("string")).as("hk"))
+      .orderBy($"hk", $"vec_id").limit(KmeansK)
+      .withColumn("cluster", (row_number().over(w) - 1).cast("long"))
+      .select($"cluster", posexplode($"embedding").as(Seq("pos0", "xf")))
+      .select($"cluster", $"pos0", $"xf".cast("double").as("m"))
+  }
+
+  /** Row-form centroids → (cluster, cv float array) for the broadcast
+    * argmax. double→float is IEEE round-to-nearest in both engines (the
+    * [[centroidAssign]] convention: the hot scoring loop stays in the
+    * codegen'd float-array VecDot). */
+  private def centsOfRows(rows: DataFrame): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.groupBy($"cluster")
+      .agg(array_sort(collect_list(struct($"pos0", $"m"))).as("pm"))
+      .select($"cluster", transform($"pm", p => p("m").cast("float")).as("cv"))
+  }
+
+  /** One Lloyd step: assign every vector to its argmax-cosine centroid,
+    * re-average each cell's members per position through the exact
+    * DECIMAL accumulator (order-independent — bit-identical across
+    * engines AND cluster partition orders), and keep the OLD centroid
+    * for any cell that captured no members (the left-join coalesce) so
+    * empty cells are deterministic, not an error. */
+  private def kmeansStep(emb: DataFrame, rows: DataFrame): DataFrame = {
+    import rows.sparkSession.implicits._
+    val means = assignmentsTo(emb, centsOfRows(rows))
+      .select($"cluster", posexplode($"embedding").as(Seq("pos0", "xf")))
+      .groupBy($"cluster", $"pos0")
+      .agg(graft.Exact.davg($"xf".cast("double")).as("m2"))
+    rows.join(means, Seq("cluster", "pos0"), "left")
+      .select($"cluster", $"pos0", coalesce($"m2", $"m").as("m"))
+  }
+
+  /** Trained quantizer in row form: seed, then [[KmeansIters]] Lloyd
+    * steps. One deferred localCheckpoint per iteration (the
+    * Dedup.clustersOf pattern) truncates lineage so the unrolled plan
+    * doesn't recompute iteration i-1's assignment inside iteration i —
+    * each sweep is one broadcast-argmax pass over the embeddings plus a
+    * (cluster × dim)-row aggregate, the canonical distributed Lloyd's
+    * shape (at 100 TB the embeddings input would be cached/persisted
+    * across sweeps; here 3 re-scans of the fixture are cheaper than the
+    * pin). */
+  private def kmeansRows(emb: DataFrame): DataFrame =
+    (0 until KmeansIters).foldLeft(
+      kmeansSeedRows(emb).localCheckpoint(eager = false)) { (rows, _) =>
+      kmeansStep(emb, rows).localCheckpoint(eager = false)
+    }
+
+  /** Trained coarse-quantizer centroids (cluster, cv) of an arbitrary
+    * embedding frame — drop-in for the label-derived centroids in
+    * [[semanticDedupOf]] and [[persistIndexTrained]]. */
+  def kmeansFit(emb: DataFrame): DataFrame = centsOfRows(kmeansRows(emb))
+
+  /** Registered query: the trained centroids themselves, row form
+    * (cluster, 1-based pos, exact mean) — [[labelCentroids]]'s shape,
+    * derived from DATA rather than labels. */
+  def kmeansCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    kmeansRows(Tables.embeddings(spark, dir))
+      .select($"cluster", ($"pos0" + 1).as("pos"), $"m")
+      .orderBy($"cluster", $"pos")
+  }
+
+  /** Registered query: per-vector assignment under the TRAINED
+    * quantizer (vec_id, cluster, cosine-to-centroid) — the IVF
+    * list-assignment step with learned lists. */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    assignmentsTo(emb, kmeansFit(emb))
+      .select($"vec_id", $"cluster", $"cscore")
+      .orderBy($"vec_id")
+  }
+
+  /** The unrolled Lloyd's chain as DuckDB CTEs: seed rows, then per
+    * iteration (cents_i, scored_i, assign_i, means_{i+1}, rows_{i+1}),
+    * with a final cents/scored/assign block under the trained centroids.
+    * Mirrors the Spark chain stage for stage; every arithmetic step is
+    * engine-exact (see [[centroidRows]] / [[dotSql]] / class doc). */
+  private def kmeansCtes: String = {
+    val seedKey = "md5(CAST(vec_id AS VARCHAR)), vec_id"
+    val explodePx =
+      "UNNEST(list_transform(range(1, len(embedding) + 1), " +
+        "i -> {pos: i, x: CAST(embedding[i] AS DOUBLE)})) AS px"
+    val seed =
+      s"""ranked AS (
+         |  SELECT embedding,
+         |    ROW_NUMBER() OVER (ORDER BY $seedKey) - 1 AS cluster
+         |  FROM embeddings ORDER BY $seedKey LIMIT $KmeansK),
+         |rows0 AS (
+         |  SELECT cluster, px.pos AS pos, px.x AS m
+         |  FROM (SELECT cluster, $explodePx FROM ranked))""".stripMargin
+    val score = s"${dotSql("e.embedding", "c.cv")} / " +
+      s"sqrt(${dotSql("e.embedding", "e.embedding")} * ${dotSql("c.cv", "c.cv")})"
+    def assignBlock(i: Int): String =
+      s"""cents$i AS (SELECT cluster, list(CAST(m AS FLOAT) ORDER BY pos) AS cv
+         |            FROM rows$i GROUP BY cluster),
+         |scored$i AS (
+         |  SELECT e.vec_id, e.embedding, c.cluster, $score AS score,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY $score DESC, c.cluster) AS rk
+         |  FROM embeddings e CROSS JOIN cents$i c),
+         |assign$i AS (
+         |  SELECT vec_id, embedding, cluster, score FROM scored$i WHERE rk = 1)""".stripMargin
+    def stepBlock(i: Int): String =
+      s"""means${i + 1} AS (
+         |  SELECT cluster, px.pos AS pos, ${davgSql("px.x")} AS m
+         |  FROM (SELECT cluster, $explodePx FROM assign$i)
+         |  GROUP BY cluster, px.pos),
+         |rows${i + 1} AS (
+         |  SELECT r.cluster, r.pos, COALESCE(m.m, r.m) AS m
+         |  FROM rows$i r LEFT JOIN means${i + 1} m
+         |    ON r.cluster = m.cluster AND r.pos = m.pos)""".stripMargin
+    val iters = (0 until KmeansIters)
+      .map(i => assignBlock(i) + ",\n" + stepBlock(i))
+    ((seed +: iters) :+ assignBlock(KmeansIters)).mkString(",\n")
+  }
+
+  val kmeansCentroidsSql: String =
+    s"""WITH $kmeansCtes
+       |SELECT cluster, pos, m FROM rows$KmeansIters
+       |ORDER BY cluster, pos""".stripMargin
+
+  val kmeansAssignSql: String =
+    s"""WITH $kmeansCtes
+       |SELECT vec_id, cluster, score AS cscore FROM assign$KmeansIters
+       |ORDER BY vec_id""".stripMargin
+
   /** Pairwise-cosine bar for [[semanticDedup]] — same calibration as
     * [[embedNearDup]] (the fixture's max inter-vector cosine ≈ 0.4, so
     * 0.3 yields a small, real duplicate set). */
@@ -522,10 +721,13 @@ object Similarity {
     * meaning (paraphrases, translations, re-renders share no n-grams).
     *
     * Policy, made deterministic for the oracle: rank cluster members by
-    * (centroid cosine ASC, vec_id ASC); a vector is DROPPED iff some
+    * (centroid cosine ASC, vec_id ASC); a vector is DROPPED iff ANY
     * earlier-ranked same-cluster vector is ≥ [[SemanticBar]] similar to
-    * it — the standard greedy keep-first sweep, with "first" = farthest
-    * from centroid per the paper's diversity-keeping choice.
+    * it — including earlier members that were themselves dropped. That
+    * is SemDeDup's released pairwise-matrix formulation (on a chain
+    * a~b, b~c, a≁c it drops both b and c), NOT a sequential
+    * keep-survivors-only sweep; "earlier" = farther from centroid per
+    * the paper's diversity-keeping choice.
     *
     * Shape at 100 TB: the label-centroid prototypes stand in for k-means
     * cells (k rows, broadcast — see [[centroidAssign]]); assignment is a
@@ -544,14 +746,25 @@ object Similarity {
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
     dedupOfAssigned(sharedAssignments(spark, dir))
 
+  /** View name of the session-shared assignment table: sanitized dir
+    * for readability PLUS an md5 of the raw dir string — sanitization
+    * alone can collide distinct dirs (sf0.1 vs sf0_1 both sanitize to
+    * sf0_1), and a collision would silently serve one corpus's
+    * assignments for another (ADVICE r6). */
+  private def assignView(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    "graft_semassign_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + h
+  }
+
   /** Session-shared (vec_id, embedding, n2, cluster, cscore) assignment
     * table — built once per (session, corpus) with a deferred
     * localCheckpoint, shared by [[semanticDedup]]'s three consumers.
     * Same corpus-version contract as Dedup.sharedSigSets: rewriting the
-    * corpus dir in place requires dropping the temp view. */
+    * corpus dir in place requires [[invalidate]] before reading again. */
   def sharedAssignments(spark: SparkSession, dir: String): DataFrame =
     synchronized {
-      val view = "graft_semassign_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val view = assignView(dir)
       if (!spark.catalog.tableExists(view))
         assignmentsOf(Tables.embeddings(spark, dir))
           .localCheckpoint(eager = false)
@@ -559,34 +772,67 @@ object Similarity {
       spark.table(view)
     }
 
+  /** Drop the session-shared assignment view for the corpus at `dir` —
+    * the [[sharedAssignments]] half of Dedup.invalidate's contract (and
+    * called BY it: one corpus-rewrite entry point drops every derived
+    * materialization). The next consumer rebuilds from the directory's
+    * current bytes. */
+  def invalidate(spark: SparkSession, dir: String): Unit = synchronized {
+    spark.catalog.dropTempView(assignView(dir))
+    ()
+  }
+
   /** [[semanticDedup]] over an arbitrary (vec_id, embedding, label)
-    * frame — the test seam (no session caching). */
+    * frame with label-derived centroids — the test seam (no session
+    * caching). */
   def semanticDedupOf(emb: DataFrame): DataFrame =
     dedupOfAssigned(assignmentsOf(emb))
 
-  /** Nearest-centroid assignment of every vector: (vec_id, embedding,
-    * n2, cluster, cscore). */
-  private def assignmentsOf(emb: DataFrame): DataFrame = {
+  /** [[semanticDedup]] under an EXPLICIT coarse quantizer (cluster, cv)
+    * — e.g. [[kmeansFit]]'s trained centroids, the unsupervised form a
+    * label-free 100 TB corpus requires. */
+  def semanticDedupOf(emb: DataFrame, cents: DataFrame): DataFrame =
+    dedupOfAssigned(assignmentsTo(emb, cents))
+
+  /** Label-derived centroids as a generic (cluster, cv) quantizer frame
+    * (supervised stand-in for [[kmeansFit]] where labels exist). */
+  private def labelCents(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
-    val cents = centroidRows(emb)
+    centroidRows(emb)
       .groupBy($"label")
       .agg(array_sort(collect_list(struct($"pos0", $"m"))).as("pm"))
-      .select($"label".as("c_label"),
+      .select($"label".as("cluster"),
         transform($"pm", p => p("m").cast("float")).as("cv"))
+  }
+
+  /** Nearest-centroid assignment of every vector under label-derived
+    * centroids: (vec_id, embedding, n2, cluster, cscore). */
+  private def assignmentsOf(emb: DataFrame): DataFrame =
+    assignmentsTo(emb, labelCents(emb))
+
+  /** Nearest-centroid assignment under an ARBITRARY centroid frame
+    * (cluster, cv float array) — the shared argmax of the supervised
+    * path, the k-means trainer ([[kmeansStep]]), and the trained
+    * consumers. Broadcast the k centroids, one codegen'd scoring
+    * projection, one per-vector argmax window (ties by cluster id). */
+  private def assignmentsTo(emb: DataFrame, cents: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"vec_id").orderBy($"score".desc, $"c_label")
+      .partitionBy($"vec_id").orderBy($"score".desc, $"cluster")
     emb.crossJoin(broadcast(cents))
-      .select($"vec_id", $"embedding", $"c_label",
+      .select($"vec_id", $"embedding", $"cluster",
         dotD($"embedding", $"embedding").as("n2"),
         cosine(dotD($"embedding", $"cv"),
           dotD($"embedding", $"embedding"), dotD($"cv", $"cv")).as("score"))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" === 1)
-      .select($"vec_id", $"embedding", $"n2",
-        $"c_label".as("cluster"), $"score".as("cscore"))
+      .select($"vec_id", $"embedding", $"n2", $"cluster",
+        $"score".as("cscore"))
   }
 
-  /** Greedy within-cluster sweep over a prebuilt assignment table. */
+  /** Within-cluster matrix sweep over a prebuilt assignment table:
+    * drop b iff ANY earlier-ranked a is similar (see [[semanticDedup]]'s
+    * policy note — dropped members still disqualify later ones). */
   private def dedupOfAssigned(assigned: DataFrame): DataFrame = {
     import assigned.sparkSession.implicits._
     val dropped = assigned.as("a")

@@ -403,6 +403,58 @@ class DedupSpec extends SparkSpec {
     Dedup.invalidate(spark, dir)
   }
 
+  test("refreshFunnel: append + refresh == persistFunnel from scratch, component-wise") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftfunnelref")
+    val dirA = root.resolve("corpusA").toString
+    val dirB = root.resolve("corpusB").toString
+    val funnelA = root.resolve("funnelA").toString
+    val funnelB = root.resolve("funnelB").toString
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight"),
+      (2L, "red orange yellow green blue indigo violet purple"))
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 0
+      (11L, "totally fresh words appear nowhere else in this corpus"))
+    def writeDocs(dir: String, docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeDocs(dirA, corpus)
+    writeDocs(dirB, corpus ++ batch)
+    Dedup.persistFunnel(spark, dirA, funnelA, numBuckets = 2)
+    Dedup.appendToFunnel(spark, dirA, funnelA, batch.toDF("doc_id", "text"))
+    // append keeps signatures/postings current but defers pair/cluster/df
+    // re-derivation — the (0,10) near-dup pair is NOT in the table yet
+    def pairsOf(dir: String): Set[(Long, Long)] =
+      spark.table(s"graft_funnel_pairs_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairsOf(dirA).contains((0L, 10L)), "append unexpectedly re-derived pairs")
+    Dedup.refreshFunnel(spark, dirA, funnelA)
+    assert(pairsOf(dirA).contains((0L, 10L)),
+      s"refresh missed the appended near-dup pair: ${pairsOf(dirA)}")
+    // ground truth: a from-scratch funnel over the grown corpus
+    Dedup.persistFunnel(spark, dirB, funnelB, numBuckets = 2)
+    // component-wise equality, array sets normalized (collect_set order
+    // is nondeterministic by contract; set content is what's compared).
+    // Read through the registered tables — the real consumer path, and
+    // an empty component (boilerplate here) has no files to infer from.
+    def normed(dir: String, comp: String): Seq[String] = {
+      val raw = spark.table(
+        "graft_funnel_" + comp + "_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      val cols = raw.schema.fields.map { f =>
+        if (f.dataType.typeName == "array") array_sort(col(f.name)).as(f.name)
+        else col(f.name)
+      }
+      raw.select(cols.toIndexedSeq: _*).collect().map(_.toString).sorted.toSeq
+    }
+    for (comp <- Seq("signatures", "postings", "boilerplate", "pairs", "clusters"))
+      assert(normed(dirA, comp) == normed(dirB, comp),
+        s"component $comp differs between append+refresh and from-scratch")
+    Dedup.invalidate(spark, dirA)
+    Dedup.invalidate(spark, dirB)
+  }
+
   test("bootstrapFunnel refuses a funnel built from a different corpus") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graftfunnelmm")

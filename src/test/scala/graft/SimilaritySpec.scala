@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Similarity
+import graft.ops.{Dedup, Similarity}
 
 /** ANN quality beyond the oracle's exact-value checks: the recall cost of
   * the IVF/LSH pruning vs brute-force ground truth (VERDICT r2 item 9 —
@@ -236,6 +236,138 @@ class SimilaritySpec extends SparkSpec {
     val droppedMain = verdict.filter(!$"keep")
       .select($"vec_id").collect().map(_.getLong(0)).toSet
     assert(droppedSemi == droppedMain)
+  }
+
+  test("kmeans: trained centroids match-or-beat label centroids on within-cluster cosine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.avg
+    // the metric both quantizers are graded on: mean cosine of each
+    // vector to its ASSIGNED centroid (what Lloyd's sweeps optimize)
+    val trained = Similarity.kmeansAssign(spark, sfDir)
+      .agg(avg($"cscore")).head().getDouble(0)
+    val supervised = Similarity.sharedAssignments(spark, sfDir)
+      .agg(avg($"cscore")).head().getDouble(0)
+    info(f"mean within-cluster cosine: trained $trained%.4f vs label $supervised%.4f")
+    assert(trained >= supervised,
+      f"trained quantizer ($trained%.4f) lost to label centroids ($supervised%.4f)")
+    // and the trained cells are balanced — no empty or catch-all cell
+    // (the coalesce keeps empty cells deterministic, but the fixture
+    // should not produce one)
+    val sizes = Similarity.kmeansAssign(spark, sfDir)
+      .groupBy($"cluster").count().collect().map(_.getLong(1))
+    assert(sizes.length == Similarity.KmeansK, s"expected ${Similarity.KmeansK} cells")
+    assert(sizes.min > 0 && sizes.max < 500 / 2,
+      s"degenerate cell sizes: ${sizes.mkString(",")}")
+  }
+
+  test("trained IVF index: search prunes to the probed cells and matches brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("graftivftr").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.kmeansFit(emb).localCheckpoint()
+    Similarity.persistIndexTrained(spark, sfDir, idx, cents)
+    // the serving caller's side: quantize the query, pick its nprobe=3
+    // nearest cells against the (collected, k-row) centroid table
+    val qv = emb.filter($"vec_id" === 0)
+      .select(graft.functions.VecQuant.vecQuantize($"embedding").as("codes"),
+        $"embedding").head()
+    val qc = qv.getSeq[Byte](0).toArray
+    val qe = qv.getSeq[Float](1).toArray
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val probe = cents.collect()
+      .map(r => (r.getLong(0), cos(qe, r.getSeq[Float](1).toArray)))
+      .sortBy(-_._2).take(3).map(_._1).toSeq
+    val search = Similarity.searchIndexTrained(spark, idx, qc, probe, k = 6)
+      .filter($"vec_id" =!= 0)
+    val plan = search.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"),
+      s"no partition filter on the trained index scan:\n$plan")
+    // ground truth: int8 cosine over exactly the probed cells' members
+    // query vector stays in the pool (as it does in the index); both
+    // paths cut top-6 FIRST, then drop it
+    val assigned = Similarity.kmeansAssign(spark, sfDir)
+      .filter($"cluster".isin(probe: _*))
+      .select($"vec_id")
+    val dq = graft.functions.VecQuant.vecDotQ _
+    val qcLit = typedlit(qc.toSeq)
+    val want = emb.join(assigned, "vec_id")
+      .withColumn("codes", graft.functions.VecQuant.vecQuantize($"embedding"))
+      .select($"vec_id", (dq($"codes", qcLit).cast("double") /
+        sqrt(dq($"codes", $"codes").cast("double") * dq(qcLit, qcLit).cast("double"))).as("score"))
+      .orderBy($"score".desc, $"vec_id").limit(6).filter($"vec_id" =!= 0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val got = search.collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got == want, s"trained index search diverges from brute force: $got vs $want")
+  }
+
+  test("semantic dedup under the trained quantizer: total, drops present, anchors kept") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val res = Similarity.semanticDedupOf(emb, Similarity.kmeansFit(emb)).collect()
+    assert(res.length == emb.count().toInt, "one verdict row per vector")
+    val dropped = res.filterNot(_.getAs[Boolean]("keep"))
+    info(s"trained semantic dedup: ${dropped.length} of ${res.length} dropped")
+    assert(dropped.nonEmpty && dropped.length < res.length)
+    res.groupBy(_.getAs[Long]("cluster")).values.foreach { ms =>
+      val first = ms.minBy(r => (r.getAs[Double]("cscore"), r.getAs[Long]("vec_id")))
+      assert(first.getAs[Boolean]("keep"),
+        s"cluster anchor ${first.getAs[Long]("vec_id")} was dropped")
+    }
+  }
+
+  test("Similarity.invalidate: an in-place corpus rewrite serves fresh assignments") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftseminv")
+    val dir = root.resolve("corpus").toString
+    def writeEmb(seed: Int): Unit =
+      (0 until 20).map { i =>
+        (i.toLong, Array.tabulate(8)(j => (seed + i * 8 + j).toFloat / 100f), i % 2)
+      }.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    writeEmb(0)
+    val before = Similarity.sharedAssignments(spark, dir)
+      .select($"vec_id", $"cscore").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    writeEmb(1000) // rewrite IN PLACE — the contract violation invalidate exists for
+    // by contract the shared view still serves the OLD bytes (that is
+    // exactly why invalidate must exist)
+    val stale = Similarity.sharedAssignments(spark, dir)
+      .select($"vec_id", $"cscore").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(stale == before, "shared view unexpectedly re-read the rewritten corpus")
+    // Dedup.invalidate is the one corpus-rewrite entry point — it must
+    // drop the semantic assignment view too (ADVICE r6)
+    Dedup.invalidate(spark, dir)
+    val after = Similarity.sharedAssignments(spark, dir)
+      .select($"vec_id", $"cscore").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after != before, "post-invalidate assignments still reflect the old bytes")
+  }
+
+  test("assignment views of distinct dirs that sanitize identically do not collide") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftsemcol")
+    // sf0.1 and sf0_1 both sanitize to sf0_1 — the md5 disambiguator in
+    // the view name must keep them apart (ADVICE r6)
+    val dirA = root.resolve("sf0.1").toString
+    val dirB = root.resolve("sf0_1").toString
+    def writeEmb(dir: String, off: Int): Unit =
+      (0 until 10).map { i =>
+        (i.toLong, Array.tabulate(4)(j => (i * 4 + j + 1 + off).toFloat), i % 2)
+      }.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // cosine is scale-invariant, so differ by an additive offset
+    writeEmb(dirA, 0)
+    writeEmb(dirB, 37)
+    val a = Similarity.sharedAssignments(spark, dirA)
+      .select($"vec_id", $"cscore").collect().map(_.getDouble(1)).toSeq
+    val b = Similarity.sharedAssignments(spark, dirB)
+      .select($"vec_id", $"cscore").collect().map(_.getDouble(1)).toSeq
+    assert(a != b, "colliding view names served one corpus's assignments for the other")
+    Similarity.invalidate(spark, dirA)
+    Similarity.invalidate(spark, dirB)
   }
 
   test("semantic_incremental screens every batch vector against the corpus slice only") {
