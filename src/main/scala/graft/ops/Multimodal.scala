@@ -216,15 +216,51 @@ object Multimodal {
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
 
-  /** Feature extraction as a registered query (rows-only check: the
-    * decoders are not SQL-expressible; determinism, shape, and the PNG
-    * pixel round-trip are asserted in MultimodalSpec). */
+  /** Feature extraction as a registered query. The IMAGE path is
+    * oracle-checked on decoded VALUES, not just shapes: the synthesized
+    * PNGs are deterministic ([[Png.pixel]]), ImageIO's decode of them
+    * is exact (stored-deflate blocks, 8-bit RGB), and the /255f
+    * normalization is one IEEE float divide — so three sampled feature
+    * components (first/middle/last of the 192) are stated in the oracle
+    * as the closed-form pixel expression and must match bit for bit.
+    * The audio/video STUB's histogram stays engine-specific (that is
+    * what makes it a stub) — those rows carry NULL samples in both
+    * engines; MultimodalSpec round-trips the full vectors. */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val isImg = $"mime" === "image/png"
     extractFeatures(spark, dir).toDF()
       .select($"doc_id", $"mime", $"n_bytes",
         size($"features").as("n_features"),
-        size($"frame_offsets").as("n_frames"))
+        size($"frame_offsets").as("n_frames"),
+        when(isImg, element_at($"features", 1)).as("f_first"),
+        when(isImg, element_at($"features", Png.W * Png.H * 3 / 2 + 1)).as("f_mid"),
+        when(isImg, element_at($"features", Png.W * Png.H * 3)).as("f_last"))
       .orderBy($"doc_id")
+  }
+
+  /** Decoded image feature p (0-based, row-major RGB) is
+    * pixel/255 = ((doc_id*31 + p) % 256)/255 by [[Png.pixel]]'s
+    * construction; FLOAT/FLOAT division is correctly rounded in both
+    * engines. Stub rows (audio/video) sample as NULL by design. */
+  val multimodalFeaturesSql: String = {
+    def pix(p: Int): String =
+      s"CAST((doc_id * 31 + $p) % 256 AS FLOAT) / CAST(255 AS FLOAT)"
+    def img(expr: String): String =
+      s"CASE WHEN mime = 'image/png' THEN $expr END"
+    s"""SELECT doc_id, mime,
+       |  CASE WHEN mime = 'image/png' THEN ${Png.SynthBytes}
+       |       ELSE octet_length(encode(text)) END AS n_bytes,
+       |  CASE WHEN mime = 'image/png' THEN ${Png.W * Png.H * 3} ELSE 16 END AS n_features,
+       |  CASE WHEN mime LIKE 'video/%'
+       |       THEN CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64.0) AS BIGINT)
+       |       ELSE 1 END AS n_frames,
+       |  ${img(pix(0))} AS f_first,
+       |  ${img(pix(Png.W * Png.H * 3 / 2))} AS f_mid,
+       |  ${img(pix(Png.W * Png.H * 3 - 1))} AS f_last
+       |FROM (SELECT doc_id, text,
+       |        ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 AS INTEGER) + 1] AS mime
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
   }
 }

@@ -1118,7 +1118,21 @@ object TextAnalysis {
     * sorted islands — the only stage that carries text, and it carries
     * each doc's normalized text exactly once (the lineDedup contract).
     * removed_chars == dup_ngram_coverage.dup_chars by construction
-    * (both are the same interval-union length; pinned in TextCurateSpec). */
+    * (both are the same interval-union length; pinned in TextCurateSpec).
+    *
+    * Collision bound (ADVICE r6): "duplicated" is decided on 60-bit
+    * gram-hash equality with no substring verification, and removal is
+    * irreversible. Expected birthday collisions ≈ d²/2^61 for d distinct
+    * grams: negligible at d ≤ ~10^8 (≲0.004 spans corpus-wide), but a
+    * 100 TB corpus holds d ≈ 10^12-10^13 distinct 32-grams — thousands
+    * of falsely-excised spans. At that scale either verify candidate
+    * grams by joining the actual 32-char substring (one extra equality
+    * on the already-joined rows — the duplicated-gram join carries
+    * (hash, doc, pos), so the substring can ride it at +32 bytes/row)
+    * or widen the key to 128 bits (xxh128/md5 both halves), which
+    * pushes the expectation back to ~10^-12. The 60-bit key here is the
+    * right cost point for the sub-billion-gram regime this fixture
+    * models. */
   def spanDedup(spark: SparkSession, dir: String): DataFrame =
     spanDedupOf(Tables.documentsPar(spark, dir))
 

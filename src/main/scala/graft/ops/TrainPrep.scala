@@ -67,17 +67,19 @@ object TrainPrep {
     * high-cardinality (date × source bucket, not a 5-value language
     * column — the fixture keys by lang only because the oracle stays
     * readable; the plan shape is identical for any key). */
-  private def packedOf(spark: SparkSession, dir: String): DataFrame = {
+  private def packedOf(spark: SparkSession, dir: String,
+      carry: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val nTokens = size(regexp_extract_all($"text",
       lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
     val w = Window.partitionBy($"lang").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documentsPar(spark, dir)
-      .select($"doc_id", $"lang", nTokens.as("n_tokens"))
+      .select(Seq($"doc_id", $"lang", nTokens.as("n_tokens")) ++ carry.map(col): _*)
       .withColumn("cum", sum($"n_tokens").over(w))
-      .select($"doc_id", $"lang", $"n_tokens",
-        floor(($"cum" - $"n_tokens") / ShardTokenBudget).as("shard_id"))
+      .select(Seq($"doc_id", $"lang", $"n_tokens",
+        floor(($"cum" - $"n_tokens") / ShardTokenBudget).as("shard_id")) ++
+        carry.map(col): _*)
   }
 
   def packShards(spark: SparkSession, dir: String): DataFrame = {
@@ -103,6 +105,26 @@ object TrainPrep {
       .orderBy($"lang", $"shard_id")
   }
 
+
+  /** Write the packed shards as the PHYSICAL training artifact:
+    * parquet partitioned by (lang, shard_id), each row carrying the doc
+    * text and its token count — what [[packShards]]/[[shardManifest]]
+    * only PLAN. A training loader then reads the manifest and fetches
+    * shard directories by partition path (partition-pruned scans, no
+    * corpus filter).
+    *
+    * Shape at 100 TB: exactly one text-carrying shuffle — the packing
+    * window's exchange on the pack key (text rides the same running-sum
+    * window [[packShards]] uses; re-joining text by doc_id afterwards
+    * would shuffle the text AND pay a join). One file per shard falls
+    * out of the plan: all of a pack key's rows sit in one window task,
+    * so the partitioned write splits that task's output by shard value
+    * — no extra repartition, no small-file spray. TrainPrepSpec asserts
+    * the one-file-per-shard invariant and doc/token conservation
+    * against [[shardManifest]] after a re-read. */
+  def materializeShards(spark: SparkSession, dir: String, outDir: String): Unit =
+    packedOf(spark, dir, carry = Seq("text"))
+      .write.mode("overwrite").partitionBy("lang", "shard_id").parquet(outDir)
 
   /** Per-language sampling rates (percent) for the stratified sample:
     * the corpus-mix rebalance every training pipeline runs (down-weight

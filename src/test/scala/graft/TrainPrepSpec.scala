@@ -33,6 +33,39 @@ class TrainPrepSpec extends SparkSpec {
     assert(under.count() == 0, "a non-final shard came in under budget − maxDoc")
   }
 
+  test("materializeShards: written artifact conserves the manifest and packs one file per shard") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graftshards").toString
+    TrainPrep.materializeShards(spark, sfDir, out)
+    val back = spark.read.parquet(out)
+    // re-derived per-shard stats of the WRITTEN files == the planned
+    // manifest, row for row (docs, tokens, id range all conserve)
+    val gotStats = back.groupBy($"lang", $"shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("shard_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .collect().map(_.toString).sorted.toSeq
+    val want = TrainPrep.shardManifest(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotStats == want, "written shards diverge from the planned manifest")
+    // text survives the round trip byte for byte (anti-join is empty)
+    val src = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    assert(back.select($"doc_id", $"text").except(src).count() == 0)
+    assert(back.count() == src.count())
+    // one parquet file per (lang, shard) directory — the loader's fetch
+    // unit, and the no-small-file-spray invariant the write plans for
+    val shardDirs = new java.io.File(out).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles.filter(_.isDirectory))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val files = d.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files in one shard")
+    }
+    // a loader's shard fetch is partition-pruned, not a corpus filter
+    val one = back.filter($"lang" === "en" && $"shard_id" === 0)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"shard fetch not pruned:\n$plan")
+  }
+
   test("chunk_docs covers every token and overlaps by stride") {
     import spark.implicits._
     val chunks = TrainPrep.chunkDocs(spark, sfDir)
