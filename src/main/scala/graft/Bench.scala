@@ -163,6 +163,12 @@ object Bench {
     val warmResults: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_NOWARM").contains("1")) Seq.empty
       else {
+        // the warm pass runs LAST and has measured slower than cold two
+        // rounds running — it inherits the cold pass's accumulated
+        // garbage and heap fragmentation. Settle the heap first so the
+        // pass measures operator compute, not the previous pass's debris.
+        System.gc()
+        Thread.sleep(500)
         try Tables.warm(spark, sfDir)
         catch { case e: Throwable =>
           System.err.println(s"[bench] warm failed (skipping warm pass): ${e.getMessage}")

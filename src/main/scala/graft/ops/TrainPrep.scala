@@ -221,6 +221,58 @@ object TrainPrep {
       |FROM base CROSS JOIN den
       |ORDER BY lang""".stripMargin
 
+  /** APPLY [[temperatureMix]]'s computed weights as a deterministic
+    * subsample — the step that closes the corpus-mix loop (the mix
+    * query computes target weights; until now only the FIXED-rate
+    * [[stratifiedSample]] consumed rates). Per-language keep rate
+    * r_l = boost_l / max_l boost_l: the most up-weighted (tail)
+    * language keeps every doc — subsampling cannot up-weight — and
+    * every other language is thinned so the KEPT corpus composition is
+    * ∝ w_l exactly in expectation (kept_l ≈ n_l·r_l ∝ n_l·w_l/p_l =
+    * N·w_l). Membership is the hash-bucket trick of [[datasetSplit]]
+    * on a fresh salt, but CONTINUOUS: a 60-bit md5 fraction in [0,1)
+    * compared to the data-derived rate (both engines compute the same
+    * IEEE doubles — rates inherit temperature_mix's bit-identical
+    * boosts, the fraction is an exact integer→double conversion — so
+    * the keep SET is identical, not just statistically equal).
+    *
+    * Shape at 100 TB: the mix is one map-side-combined count per
+    * language; rates broadcast (langs rows); membership is a narrow
+    * codegen'd projection + filter — no shuffle of the corpus, no
+    * stored sample table, re-derivable anywhere like every sampling
+    * predicate here. */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mix = temperatureMix(spark, dir)
+    val mx = mix.agg(max($"boost").as("mb"))
+    val rates = mix.crossJoin(broadcast(mx))
+      .select($"lang", ($"boost" / $"mb").as("rate"))
+    val frac =
+      conv(substring(md5(concat(lit("tsample:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+        .cast("long").cast("double") / lit(TSampleDenom)
+    Tables.documentsPar(spark, dir)
+      .join(broadcast(rates), Seq("lang"))
+      .select($"doc_id", $"lang", $"rate", frac.as("frac"))
+      .filter($"frac" < $"rate")
+      .select($"doc_id", $"lang", $"rate")
+      .orderBy($"doc_id")
+  }
+
+  /** 2^60 — the 15-hex-char hash fraction's denominator. */
+  private val TSampleDenom: Double = 1152921504606846976.0
+
+  val temperatureSampleSql: String = {
+    val mix = temperatureMixSql.stripSuffix("ORDER BY lang")
+    s"""WITH mix AS ($mix),
+       |rates AS (SELECT lang, boost / (SELECT MAX(boost) FROM mix) AS rate
+       |          FROM mix)
+       |SELECT d.doc_id, d.lang, r.rate
+       |FROM documents d JOIN rates r ON d.lang = r.lang
+       |WHERE CAST(('0x' || substr(md5('tsample:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+       |        / $TSampleDenom < r.rate
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val packShardsSql: String =
     // CAST: DuckDB's window SUM over BIGINT yields HUGEINT, and `//` of a
     // HUGEINT stays HUGEINT, which the driver's dump widens to DOUBLE —

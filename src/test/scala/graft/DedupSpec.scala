@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Relational}
+import graft.ops.{Dedup, Relational, TrainPrep}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the dedup family beyond what the oracle can express. */
@@ -491,6 +491,36 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("containment")))
     assert(got.map(t => (t._1, t._2)).toSet == Set((10L, 0L)), got.mkString(", "))
     assert(got.head._3 == 1.0, s"whole-quote containment should be exactly 1.0: ${got.head}")
+  }
+
+  test("temperature_sample: tail language kept whole, composition tracks the mix weights") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val kept = TrainPrep.temperatureSample(spark, sfDir)
+    // deterministic subset of the corpus
+    assert(kept.select($"doc_id").except(docs.select($"doc_id")).count() == 0)
+    val k1 = kept.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val k2 = TrainPrep.temperatureSample(spark, sfDir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(k1 == k2, "sample is not deterministic")
+    // the most-boosted (rate 1.0) language keeps EVERY doc — subsampling
+    // cannot up-weight, so the tail anchors the rescale
+    val rates = kept.select($"lang", $"rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val anchor = rates.maxBy(_._2)
+    assert(anchor._2 == 1.0, s"max rate is ${anchor._2}, want 1.0")
+    val nAnchor = docs.filter($"lang" === anchor._1).count()
+    assert(kept.filter($"lang" === anchor._1).count() == nAnchor)
+    // per-language kept fraction ≈ its rate (hash uniformity); with the
+    // fixture's per-language counts a ±0.15 absolute band is ~4 sigma
+    val nBy = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBy = kept.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rates.foreach { case (l, r) =>
+      val got = keptBy.getOrElse(l, 0L).toDouble / nBy(l)
+      assert(math.abs(got - r) < 0.15, f"$l kept $got%.2f of docs, rate $r%.2f")
+    }
   }
 
   test("temperature_mix flattens the language head and boosts the tail") {
