@@ -338,10 +338,16 @@ object Similarity {
   /** [[persistIndex]] under a TRAINED coarse quantizer: (vec_id, codes)
     * partitioned by the vector's argmax-cosine cell — the real IVF
     * layout (learned inverted lists instead of fixed sign-hyperplanes).
-    * `cents` is a (cluster, cv) frame, e.g. [[kmeansFit]]'s output; at
-    * 100 TB the centroid table persists beside the index so queries and
-    * appends assign against the SAME quantizer the lists were built
-    * with. */
+    * `cents` is a (cluster, cv) frame, e.g. [[kmeansFit]]'s output.
+    *
+    * The centroid table itself persists BESIDE the inverted lists under
+    * `_centroids` (the leading underscore hides it from the index's own
+    * directory listing, like parquet's `_metadata`): the centroids ARE
+    * the quantizer's identity — queries pick probe cells against them,
+    * and arrival batches ([[appendToIndex]]) must assign against the
+    * SAME quantizer the lists were built with, or a vector lands in a
+    * cell no probe of it would read. The funnel.meta lesson
+    * (Dedup.persistFunnel) applied to the ANN surface. */
   def persistIndexTrained(spark: SparkSession, dir: String, outDir: String,
       cents: DataFrame): Unit = {
     import spark.implicits._
@@ -350,6 +356,34 @@ object Similarity {
         graft.functions.VecQuant.vecQuantize($"embedding").as("codes"),
         $"cluster")
       .write.mode("overwrite").partitionBy("cluster").parquet(outDir)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_centroids")
+  }
+
+  /** The quantizer persisted with a [[persistIndexTrained]] index —
+    * (cluster, cv), k rows. Serving callers collect it (k×dim floats,
+    * driver-sized) to pick probe cells; [[appendToIndex]] broadcasts it
+    * to assign arrivals. */
+  def loadCentroids(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/_centroids")
+
+  /** Append an arrival batch of (vec_id, embedding) rows to a trained
+    * index IN PLACE — the ingest-time maintenance step
+    * ([[graft.ops.Dedup.appendToFunnel]]'s analogue for the ANN
+    * surface): assign each new vector under the PERSISTED quantizer,
+    * quantize, and append to its cell's partition directory. Probes see
+    * the new vectors immediately (partition listing is per-query);
+    * re-TRAINING the quantizer is a backfill job (a new index build),
+    * not an ingest step — exactly the df-refresh split refreshFunnel
+    * documents. Caller guarantees new vec_ids, as with any ingest
+    * append. */
+  def appendToIndex(spark: SparkSession, indexDir: String,
+      batch: DataFrame): Unit = {
+    import spark.implicits._
+    assignmentsTo(batch, loadCentroids(spark, indexDir))
+      .select($"vec_id",
+        graft.functions.VecQuant.vecQuantize($"embedding").as("codes"),
+        $"cluster")
+      .write.mode("append").partitionBy("cluster").parquet(indexDir)
   }
 
   /** Top-k search against a [[persistIndexTrained]] table. The caller

@@ -303,6 +303,43 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     val got = search.collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
     assert(got == want, s"trained index search diverges from brute force: $got vs $want")
+    // the quantizer persisted beside the lists round-trips bit-exactly —
+    // serving and appends assign against the index's OWN centroids
+    val loaded = Similarity.loadCentroids(spark, idx).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val orig = cents.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(loaded == orig, "persisted centroids diverge from the trained quantizer")
+    // and the index scan never sees the _centroids dir (underscore-hidden)
+    assert(!spark.read.parquet(idx).columns.contains("cv"))
+  }
+
+  test("appendToIndex: arrivals land in their quantizer cell and probes find them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("graftivfapp").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.persistIndexTrained(spark, sfDir, idx, Similarity.kmeansFit(emb).localCheckpoint())
+    val before = spark.read.parquet(idx).count()
+    // arrival: an exact copy of vector 0 under a fresh id — the easiest
+    // ground truth (same codes, same cell, cosine exactly 1.0)
+    val batch = emb.filter($"vec_id" === 0)
+      .select(lit(100000L).as("vec_id"), $"embedding")
+    Similarity.appendToIndex(spark, idx, batch)
+    assert(spark.read.parquet(idx).count() == before + 1)
+    // the appended vector's cell is the one the persisted quantizer
+    // assigns vector 0 to — probe exactly it
+    val q = emb.filter($"vec_id" === 0)
+      .select(graft.functions.VecQuant.vecQuantize($"embedding").as("codes")).head()
+    val qc = q.getSeq[Byte](0).toArray
+    // partition-column inference types `cluster` INT on read-back
+    val cell = spark.read.parquet(idx).filter($"vec_id" === 100000L)
+      .select($"cluster".cast("long")).head().getLong(0)
+    val hits = Similarity.searchIndexTrained(spark, idx, qc, Seq(cell), k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // identical codes ⇒ cosine exactly 1.0 for both the original and the
+    // appended twin; ties break by vec_id, so 0 then 100000
+    assert(hits.map(_._1).toSeq == Seq(0L, 100000L), s"probe missed the arrival: ${hits.toSeq}")
+    assert(hits.forall(_._2 == 1.0), s"twin scores not exactly 1: ${hits.toSeq}")
   }
 
   test("semantic dedup under the trained quantizer: total, drops present, anchors kept") {
