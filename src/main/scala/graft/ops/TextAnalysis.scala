@@ -1140,11 +1140,23 @@ object TextAnalysis {
     * seam. */
   def spanDedupOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val n = DupSpanChars
     val base = docs.select($"doc_id", norm($"text").as("nt"))
+    removeSpansAt(base, dupStartRows(posGramRows(base)))
+  }
+
+  /** The span-removal engine shared by [[spanDedupOf]] (starts =
+    * corpus-duplicated grams) and [[decontaminateSpansOf]] (starts =
+    * eval-set grams): given (doc_id, nt) and the 1-based start
+    * positions of offending [[DupSpanChars]]-grams, excise every
+    * maximal covered region and stitch the survivors — gaps-and-islands
+    * window, interval union, one codegen'd `aggregate` fold; each doc's
+    * text shuffles exactly once. */
+  private def removeSpansAt(base: DataFrame, starts: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    val n = DupSpanChars
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"i")
-    val islands = dupStartRows(posGramRows(base))
+    val islands = starts
       .withColumn("newisl",
         when(coalesce($"i" - lag($"i", 1).over(w), lit(n + 1)) > n, 1)
           .otherwise(0))
@@ -1173,9 +1185,44 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  val spanDedupSql: String =
-    s"""WITH $dupSpanCtes,
-       |marked AS (
+  /** SURGICAL decontamination — the rewrite form of [[decontaminate]]:
+    * instead of flagging (and typically dropping) every document that
+    * shares an n-gram with the eval set, remove ONLY the verbatim
+    * eval-overlapping regions and keep the rest of the document — the
+    * Lee-et-al exact-substring machinery pointed at a held-out set
+    * instead of at the corpus itself. Width is the span family's
+    * [[DupSpanChars]] (32 normalized chars ≈ a clause): the flag-level
+    * query detects at the twitchy token-8-gram width, but REMOVAL wants
+    * evidence of real quotation, not a shared idiom.
+    *
+    * Shape at 100 TB: the eval gram set is small by definition (the
+    * [[decontaminate]] premise), so the position rows probe a BROADCAST
+    * of it map-side — unlike [[spanDedup]]'s corpus-sized duplicated-
+    * gram set, no shuffle hash join; then the same islands/stitch
+    * engine, text shuffling once. Eval docs themselves are excluded
+    * from the output (they are the benchmark, not training data). */
+  def decontaminateSpans(spark: SparkSession, dir: String): DataFrame =
+    decontaminateSpansOf(Tables.documentsPar(spark, dir))
+
+  /** [[decontaminateSpans]] over an arbitrary (doc_id, text) frame —
+    * the test seam (doc_id < [[EvalDocCount]] plays the eval set). */
+  def decontaminateSpansOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val evalBase = docs.filter($"doc_id" < EvalDocCount)
+      .select($"doc_id", norm($"text").as("nt"))
+    val evalG = posGramRows(evalBase).select($"g").distinct()
+    val corpusBase = docs.filter($"doc_id" >= EvalDocCount)
+      .select($"doc_id", norm($"text").as("nt"))
+    val starts = posGramRows(corpusBase)
+      .join(broadcast(evalG), "g").select($"doc_id", $"i")
+    removeSpansAt(corpusBase, starts)
+  }
+
+  /** The SQL stitch tail shared by [[spanDedupSql]] and
+    * [[decontaminateSpansSql]] — expects CTEs `base` (doc_id, nt) and
+    * `starts` (doc_id, i) in scope; mirrors [[removeSpansAt]]. */
+  private val spanStitchSql: String =
+    s"""marked AS (
        |  SELECT doc_id, i,
        |    CASE WHEN COALESCE(i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i),
        |                       ${DupSpanChars + 1}) > $DupSpanChars
@@ -1204,4 +1251,29 @@ object TextAnalysis {
        |       ELSE COALESCE(r.head, '') || substr(b.nt, CAST(r.laste + 1 AS INTEGER)) END AS kept_text
        |FROM base b LEFT JOIN recon r ON b.doc_id = r.doc_id
        |ORDER BY b.doc_id""".stripMargin
+
+  val spanDedupSql: String =
+    s"""WITH $dupSpanCtes,
+       |$spanStitchSql""".stripMargin
+
+  /** Mirrors [[decontaminateSpansOf]]: corpus docs only in `base`, the
+    * eval set's distinct gram hashes as the offending-gram filter. */
+  val decontaminateSpansSql: String = {
+    val gramOf = s"('0x' || substr(md5(substr(nt, CAST(i AS INTEGER), $DupSpanChars)), 1, 15))::BIGINT"
+    val explodeI = s"UNNEST(range(1, length(nt) - ${DupSpanChars - 2})) AS i"
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+       |  FROM documents WHERE doc_id >= $EvalDocCount),
+       |evalbase AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+       |  FROM documents WHERE doc_id < $EvalDocCount),
+       |evalg AS (
+       |  SELECT DISTINCT $gramOf AS g
+       |  FROM (SELECT nt, $explodeI FROM evalbase)),
+       |pg AS (
+       |  SELECT doc_id, i, $gramOf AS g
+       |  FROM (SELECT doc_id, nt, $explodeI FROM base)),
+       |starts AS (SELECT doc_id, i FROM pg WHERE g IN (SELECT g FROM evalg)),
+       |$spanStitchSql""".stripMargin
+  }
 }

@@ -267,4 +267,33 @@ class TextCurateSpec extends SparkSpec {
         s"doc $id: kept length != n_chars - removed")
     }
   }
+
+  test("decontaminate_spans removes only the eval-quoted region, keeps the rest") {
+    import spark.implicits._
+    // doc_id < EvalDocCount (5) plays the benchmark; a corpus doc quotes
+    // one of its clauses verbatim, another shares nothing
+    val benchClause = "the quick brown fox question appears in the benchmark"
+    val docs = Seq(
+      0L -> s"benchmark item one: $benchClause",
+      1L -> "benchmark item two: unrelated held out question text here",
+      10L -> s"training page intro $benchClause trailing original prose",
+      11L -> "fully original training document with no benchmark overlap")
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.decontaminateSpansOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // eval docs are NOT in the output (they are the benchmark)
+    assert(rows.keySet == Set(10L, 11L))
+    // the quoting doc loses exactly the quoted region (plus the LEADING
+    // space — shared in both texts; the trailing side diverges, the
+    // clause ends the eval doc, so that space survives)
+    assert(rows(10L).getAs[String]("kept_text") == "training page intro trailing original prose")
+    assert(rows(10L).getAs[Long]("removed_chars") == benchClause.length + 1L)
+    // the clean doc is untouched
+    assert(rows(11L).getAs[String]("kept_text") ==
+      "fully original training document with no benchmark overlap")
+    assert(rows(11L).getAs[Long]("removed_chars") == 0L)
+    // contrast with flag-level decontamination: it would DROP doc 10
+    // entirely; the surgical form keeps its original prose
+    assert(rows(10L).getAs[String]("kept_text").nonEmpty)
+  }
 }
