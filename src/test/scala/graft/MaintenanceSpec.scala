@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Ingest}
+import graft.ops.{Dedup, Ingest, Similarity}
 import graft.streaming.{IngestPipeline, Maintenance}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -145,5 +145,44 @@ class MaintenanceSpec extends SparkSpec {
 
     assert(flagged.toSet == Set((10L, 0L)),
       s"expected only (10,0) flagged, got $flagged")
+  }
+
+  test("streaming ingest keeps the trained ANN index current via appendToIndex") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // index + quantizer persisted once from the corpus (the per-version
+    // build); each arrival micro-batch then appends under the PERSISTED
+    // quantizer — the ingest-time half of the ANN maintenance split
+    val idx = tmp("graftstreamidx")
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    Similarity.persistIndexTrained(spark, sfDir, idx,
+      Similarity.kmeansFit(emb).localCheckpoint())
+    val before = spark.read.parquet(idx).count()
+    val mem = MemoryStream[(Long, Array[Float])]
+    // arrival: an exact twin of vector 0 under a fresh id — added
+    // BEFORE start so the AvailableNow trigger is guaranteed to see it
+    val v0 = emb.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    mem.addData((100000L, v0))
+    val q = mem.toDS().toDF("vec_id", "embedding")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.appendToIndex(spark, idx, batch)
+      }
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(idx).count() == before + 1)
+    // a probe of the twin's cell finds both copies at cosine exactly 1.0
+    val qc = emb.filter($"vec_id" === 0)
+      .select(graft.functions.VecQuant.vecQuantize($"embedding")).head()
+      .getSeq[Byte](0).toArray
+    val cell = spark.read.parquet(idx).filter($"vec_id" === 100000L)
+      .select($"cluster".cast("long")).head().getLong(0)
+    val hits = Similarity.searchIndexTrained(spark, idx, qc, Seq(cell), k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(hits.map(_._1).toSeq == Seq(0L, 100000L),
+      s"cell probe missed the streamed arrival: ${hits.toSeq}")
+    assert(hits.forall(_._2 == 1.0))
   }
 }

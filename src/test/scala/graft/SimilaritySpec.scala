@@ -357,6 +357,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeansFit degrades deterministically when the corpus has fewer vectors than K") {
+    import spark.implicits._
+    // 4 vectors, K = 10: the hash-order seed sample yields 4 cells;
+    // training and assignment stay total and deterministic — the guard
+    // for tiny corpora/partitions, not an error path
+    val emb = (0 until 4).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (i * 8 + j + 1).toFloat), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = Similarity.kmeansFit(emb)
+    assert(cents.count() == 4, "expected one cell per available seed")
+    val res = Similarity.semanticDedupOf(emb, cents).collect()
+    assert(res.length == 4, "assignment must stay total")
+    assert(res.map(_.getAs[Long]("vec_id")).distinct.length == 4)
+  }
+
   test("Similarity.invalidate: an in-place corpus rewrite serves fresh assignments") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graftseminv")
