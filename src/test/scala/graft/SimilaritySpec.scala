@@ -357,6 +357,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeans sweep: objective improves over the seed and has settled by the fixed budget") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val traj = (0 to Similarity.KmeansIters)
+      .map(i => i -> Similarity.kmeansObjectiveAt(emb, i))
+    info("mean within-cluster cosine by sweep: " +
+      traj.map { case (i, o) => f"$i:$o%.4f" }.mkString(", "))
+    val (seed, fin) = (traj.head._2, traj.last._2)
+    assert(fin > seed, f"training never improved the seed ($seed%.4f -> $fin%.4f)")
+    // the fixed budget is justified by convergence, not luck: the last
+    // sweep moves the objective by < 5% of the total training gain
+    val prev = traj(Similarity.KmeansIters - 1)._2
+    assert(math.abs(fin - prev) < 0.05 * (fin - seed),
+      f"objective still moving at the budget: $prev%.4f -> $fin%.4f (seed $seed%.4f)")
+  }
+
   test("kmeansFit degrades deterministically when the corpus has fewer vectors than K") {
     import spark.implicits._
     // 4 vectors, K = 10: the hash-order seed sample yields 4 cells;
