@@ -192,8 +192,14 @@ object TrainPrep {
     * across cluster partition orders. */
   def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // deferred checkpoint: the langs-row counts frame feeds THREE plan
+    // consumers (total, normalizer, output spine) — without it each
+    // crossJoin consumer re-runs the corpus count scan (the audit
+    // showed 4 FileScans for what is one count pass; same reasoning as
+    // Dedup.sharedSigSets, but per-call since the frame is ≤ langs rows)
     val counts = Tables.documents(spark, dir)
       .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(eager = false)
     val tot = counts.agg(sum($"n_docs").as("N"))
     val base = counts.crossJoin(broadcast(tot))
       .withColumn("p", $"n_docs".cast("double") / $"N".cast("double"))
@@ -243,7 +249,9 @@ object TrainPrep {
     * predicate here. */
   def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val mix = temperatureMix(spark, dir)
+    // same two-consumer story one level up: the mix frame feeds the max
+    // aggregate AND the rates projection
+    val mix = temperatureMix(spark, dir).localCheckpoint(eager = false)
     val mx = mix.agg(max($"boost").as("mb"))
     val rates = mix.crossJoin(broadcast(mx))
       .select($"lang", ($"boost" / $"mb").as("rate"))
