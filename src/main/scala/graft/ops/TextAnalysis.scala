@@ -1256,6 +1256,126 @@ object TextAnalysis {
     s"""WITH $dupSpanCtes,
        |$spanStitchSql""".stripMargin
 
+  /** Sources whose documents form the bigram-LM training slice for
+    * [[lmScore]]. Stands in for CCNet's "target-domain" corpus (they
+    * train on Wikipedia and score Common Crawl); any predicate over the
+    * doc spine works — the fixture uses a source prefix so both engines
+    * select the identical slice. */
+  val LmTrainSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
+
+  /** Per-document bigram rows keyed for the LM probe: one row per
+    * adjacent token pair, carrying the 60-bit hash of (lang, v, w)
+    * (`g`, the bigram key) and of (lang, v) (`h`, the context key).
+    * Narrow construction — sequence+element_at over the token array, no
+    * window — so it codegens and parallelizes per input split. Docs
+    * with fewer than two tokens have no bigram and drop out here (a
+    * one-token doc has no conditional to score; the oracle applies the
+    * same `len >= 2` guard). The explicit `size >= 2` filter also keeps
+    * `sequence(1, size-1)` away from its start>stop default of
+    * DESCENDING step. */
+  private def bigramRows(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    def k60(cols: Column*): Column =
+      conv(substring(md5(concat_ws("\u0001", cols: _*)), 1, 15), 16, 10)
+        .cast("long")
+    docs.select($"doc_id", $"lang", $"source", toks($"text").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", $"lang", $"source", $"t",
+        explode(sequence(lit(1), size($"t") - 1)).as("i"))
+      .select($"doc_id", $"source",
+        k60($"lang", element_at($"t", $"i"), element_at($"t", $"i" + 1))
+          .as("g"),
+        k60($"lang", element_at($"t", $"i")).as("h"))
+  }
+
+  /** BIGRAM-LM QUALITY PROBE — the CCNet language-model filter (Wenzek
+    * et al. 2019, arXiv:1911.00359) in count space: train a per-language
+    * bigram model on a designated high-quality slice
+    * ([[LmTrainSources]]), probe EVERY document's bigrams against it,
+    * and emit per-doc model-coverage moments — bigram count, seen-bigram
+    * and seen-context hit counts, summed bigram/context frequency mass,
+    * and the seen ratio. Low `hit_rate` / low `sum_cvw` marks text the
+    * reference domain does not predict (gibberish, wrong-register,
+    * machine-generated), exactly what CCNet's perplexity thresholding
+    * drops.
+    *
+    * Intentionally NOT log-perplexity, the [[tokenRarity]] convention
+    * (ln is transcendental; emitted values here are exact BIGINTs plus
+    * one IEEE division, bit-identical cross-engine): interpolated
+    * cross-entropy is a fold of log(λ·c_vw/c_v + (1−λ)·unigram-backoff)
+    * over the SAME joined rows this plan already produces — a production
+    * run adds that one codegen'd projection inside the existing per-doc
+    * aggregate; nothing in the dataflow changes.
+    *
+    * Shape at 100 TB: the model is trained once (one filtered corpus
+    * scan, source predicate pushed to parquet) as a bigram-grain count
+    * aggregate; the context table derives from the MODEL rows (groupBy
+    * context-hash sum), never rescanning the corpus — the model frame is
+    * lazily localCheckpoint'd for its two consumers (the sharedSigSets
+    * pattern). The probe scan shuffles (doc_id, g, h) 24-byte rows —
+    * text never shuffles — through two shuffle hash joins on 8-byte
+    * keys: a bigram vocabulary is NOT broadcastable by nature (|V|² top
+    * end) and its df is Zipf-skewed, the same AQE-skew stance as
+    * [[tokenRarity]]. Post-join rows collapse immediately into the
+    * map-side-combined per-doc moment aggregate (40 bytes/doc). Both
+    * sides key by the 60-bit md5 prefix of (lang, sep, token…) so the
+    * oracle — which joins raw token text — matches barring ~d²/2⁶¹
+    * birthday collisions (the [[spanDedup]] bound; widen to 128-bit at
+    * trillion-gram scale). */
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreOf(Tables.documentsPar(spark, dir))
+
+  /** [[lmScore]] over an arbitrary (doc_id, text, lang, source) frame —
+    * the test seam. */
+  def lmScoreOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bi = bigramRows(docs)
+    // bigram + context counts from ONE training scan: group at bigram
+    // grain (g determines h, mod collisions), then fold the checkpointed
+    // model down to context grain instead of re-scanning the corpus
+    val model = bi.filter($"source".isin(LmTrainSources: _*))
+      .groupBy($"g", $"h").agg(count(lit(1)).as("c_vw"))
+      .localCheckpoint(eager = false)
+    val ctx = model.groupBy($"h").agg(sum($"c_vw").as("c_v"))
+    bi.join(model.select($"g", $"c_vw"), Seq("g"), "left")
+      .join(ctx, Seq("h"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count($"c_vw").as("n_hits"),
+        count($"c_v").as("n_ctx_hits"),
+        sum(coalesce($"c_vw", lit(0L))).as("sum_cvw"),
+        sum(coalesce($"c_v", lit(0L))).as("sum_cv"))
+      .withColumn("hit_rate",
+        $"n_hits".cast("double") / $"n_bigrams".cast("double"))
+      .orderBy($"doc_id")
+  }
+
+  val lmScoreSql: String = {
+    val train = LmTrainSources.map("'" + _ + "'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, source,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+       |  FROM documents),
+       |bi AS (
+       |  SELECT doc_id, source, lang, t[i] AS v, t[i + 1] AS w
+       |  FROM (SELECT doc_id, lang, source, t, UNNEST(range(1, len(t))) AS i
+       |        FROM tok WHERE len(t) >= 2)),
+       |m AS (
+       |  SELECT lang, v, w, COUNT(*) AS c_vw FROM bi
+       |  WHERE source IN ($train) GROUP BY 1, 2, 3),
+       |ctx AS (SELECT lang, v, CAST(SUM(c_vw) AS BIGINT) AS c_v FROM m GROUP BY 1, 2)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(COUNT(m.c_vw) AS BIGINT) AS n_hits,
+       |  CAST(COUNT(ctx.c_v) AS BIGINT) AS n_ctx_hits,
+       |  CAST(SUM(COALESCE(m.c_vw, 0)) AS BIGINT) AS sum_cvw,
+       |  CAST(SUM(COALESCE(ctx.c_v, 0)) AS BIGINT) AS sum_cv,
+       |  CAST(COUNT(m.c_vw) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hit_rate
+       |FROM bi
+       |LEFT JOIN m ON bi.lang = m.lang AND bi.v = m.v AND bi.w = m.w
+       |LEFT JOIN ctx ON bi.lang = ctx.lang AND bi.v = ctx.v
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirrors [[decontaminateSpansOf]]: corpus docs only in `base`, the
     * eval set's distinct gram hashes as the offending-gram filter. */
   val decontaminateSpansSql: String = {

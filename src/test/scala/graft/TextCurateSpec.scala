@@ -296,4 +296,38 @@ class TextCurateSpec extends SparkSpec {
     // entirely; the surgical form keeps its original prose
     assert(rows(10L).getAs[String]("kept_text").nonEmpty)
   }
+
+  test("lm_score: bigram model from the train slice, per-language, exact moments") {
+    import spark.implicits._
+    // train slice (src0, en): "a b a b c" -> bigram counts (a,b)=2,
+    // (b,a)=1, (b,c)=1; context counts a=2, b=2. Everything else scores.
+    val docs = Seq(
+      (0L, "a b a b c", "en", "src0"),
+      (1L, "a b x", "en", "src9"),
+      (2L, "z z", "en", "src9"),
+      (3L, "a b", "fr", "src9"),
+      (4L, "hi", "en", "src0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.lmScoreOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // a one-token doc has no conditional to score
+    assert(!out.contains(4L))
+    // the training doc predicts itself perfectly
+    val d0 = out(0L)
+    assert(d0.getAs[Long]("n_bigrams") == 4 && d0.getAs[Long]("n_hits") == 4)
+    assert(d0.getAs[Long]("sum_cvw") == 6 && d0.getAs[Long]("sum_cv") == 8)
+    assert(d0.getAs[Double]("hit_rate") == 1.0)
+    // (a,b) is in-model, (b,x) is an unseen continuation of a SEEN context
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_bigrams") == 2 && d1.getAs[Long]("n_hits") == 1)
+    assert(d1.getAs[Long]("n_ctx_hits") == 2)
+    assert(d1.getAs[Long]("sum_cvw") == 2 && d1.getAs[Long]("sum_cv") == 4)
+    assert(d1.getAs[Double]("hit_rate") == 0.5)
+    // fully out-of-model text bottoms out at zero everywhere
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("n_hits") == 0 && d2.getAs[Long]("sum_cv") == 0)
+    // per-language isolation: "a b" is in the en model, not the fr one
+    val d3 = out(3L)
+    assert(d3.getAs[Long]("n_hits") == 0 && d3.getAs[Long]("n_ctx_hits") == 0)
+  }
 }
