@@ -235,12 +235,17 @@ object Bench {
             val (ok2, dt2, _) = timeOnce(name, fn)
             (name, if (ok1 && ok2) math.min(dt1, dt2) else -math.max(dt1, dt2))
           }
-        spark.conf.unset(graft.ops.Dedup.FunnelDirConf)
-        graft.ops.Dedup.invalidate(spark, sfDir)
         (build, r)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] funnel pass failed (skipping): ${e.getMessage}")
         (-1.0, Seq.empty)
+      } finally {
+        // a failure mid-pass must not leave the session pointed at a
+        // half-built temp funnel for everything run later (ADVICE r7)
+        try {
+          spark.conf.unset(graft.ops.Dedup.FunnelDirConf)
+          graft.ops.Dedup.invalidate(spark, sfDir)
+        } catch { case _: Throwable => () }
       }
     val totalFunnel = funnelResults.collect { case (_, v) if v >= 0 => v }.sum
     val qsFunnel = funnelResults.map { case (k, v) => "\"" + k + "\":" + v }

@@ -1337,7 +1337,10 @@ object TextAnalysis {
       .groupBy($"g", $"h").agg(count(lit(1)).as("c_vw"))
       .localCheckpoint(eager = false)
     val ctx = model.groupBy($"h").agg(sum($"c_vw").as("c_v"))
-    bi.join(model.select($"g", $"c_vw"), Seq("g"), "left")
+    // probe on BOTH (g, h): h is already carried on each side, and the
+    // two-key join means a g-collision across distinct contexts can at
+    // worst miscount, never multiply probe rows (ADVICE r7)
+    bi.join(model.select($"g", $"h", $"c_vw"), Seq("g", "h"), "left")
       .join(ctx, Seq("h"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),

@@ -214,7 +214,13 @@ object TrainPrep {
 
   /** Oracle: same chain; the VARCHAR route in the DECIMAL sum mirrors
     * Spark's shortest-repr double→decimal cast (see Relational.q1AggSql). */
-  val temperatureMixSql: String =
+  /** The mix query body WITHOUT its final ORDER BY — shared verbatim by
+    * [[temperatureMixSql]] (which appends the ordering) and
+    * [[temperatureSampleSql]] (which embeds it as a CTE, where an inner
+    * ORDER BY would be illegal). One constant instead of a string-strip
+    * so an edit to the mix SQL cannot silently desynchronize the two
+    * (ADVICE r7). */
+  private val temperatureMixBodySql: String =
     """WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
       |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS N FROM counts),
       |base AS (SELECT lang, n_docs,
@@ -224,8 +230,10 @@ object TrainPrep {
       |den AS (SELECT CAST(CAST(SUM(CAST(CAST(sq AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS denom
       |        FROM base)
       |SELECT lang, n_docs, p, sq / denom AS w, (sq / denom) / p AS boost
-      |FROM base CROSS JOIN den
-      |ORDER BY lang""".stripMargin
+      |FROM base CROSS JOIN den""".stripMargin
+
+  val temperatureMixSql: String =
+    temperatureMixBodySql + "\nORDER BY lang"
 
   /** APPLY [[temperatureMix]]'s computed weights as a deterministic
     * subsample — the step that closes the corpus-mix loop (the mix
@@ -270,7 +278,7 @@ object TrainPrep {
   private val TSampleDenom: Double = 1152921504606846976.0
 
   val temperatureSampleSql: String = {
-    val mix = temperatureMixSql.stripSuffix("ORDER BY lang")
+    val mix = temperatureMixBodySql
     s"""WITH mix AS ($mix),
        |rates AS (SELECT lang, boost / (SELECT MAX(boost) FROM mix) AS rate
        |          FROM mix)
