@@ -46,7 +46,7 @@ object TextAnalysis {
     words.map(java.util.regex.Pattern.quote)
       .mkString("(?<![^ ])(?:", "|", ")(?![^ ])")
 
-  private def hitCount(nt: Column, words: Seq[String]): Column =
+  private[graft] def hitCount(nt: Column, words: Seq[String]): Column =
     size(regexp_extract_all(nt, lit(wordPattern(words)), lit(0)))
 
   /** Predicted language of a text column: stopword hits per language,
