@@ -133,12 +133,40 @@ object Bpe {
     (finalW, merges)
   }
 
+  /** Session-shared trained tokenizer for the corpus at `dir` — ONE
+    * train per (session, corpus), consumed by all three registered
+    * queries (the [[Dedup.sharedSigSets]] pattern and its
+    * CORPUS-VERSION CONTRACT: a session that rewrites the corpus in
+    * place must [[invalidate]] — one entry point, [[Dedup.invalidate]],
+    * drops every shared materialization). Returns (final vocab,
+    * merge table). */
+  def sharedTrain(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val vv = "graft_bpe_vocab_" + suffix
+    val mv = "graft_bpe_merges_" + suffix
+    if (!spark.catalog.tableExists(vv) || !spark.catalog.tableExists(mv)) {
+      val (w, merges) = bpeTrainFrames(Tables.documentsPar(spark, dir), NBpeMerges)
+      w.createOrReplaceTempView(vv)
+      merges.reduce(_ union _).createOrReplaceTempView(mv)
+    }
+    (spark.table(vv), spark.table(mv))
+  }
+
+  /** Drop the session-shared trained tokenizer for the corpus at `dir`
+    * (called from [[Dedup.invalidate]], the corpus-rewrite entry
+    * point). */
+  def invalidate(spark: SparkSession, dir: String): Unit = synchronized {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    Seq("graft_bpe_vocab_", "graft_bpe_merges_")
+      .foreach(p => spark.catalog.dropTempView(p + suffix))
+  }
+
   /** Registered query: the learned merge table — (sweep, pair, merged
     * token, corpus pair count), the artifact a tokenizer ships. */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (_, merges) = bpeTrainFrames(Tables.documentsPar(spark, dir), NBpeMerges)
-    merges.reduce(_ union _).orderBy($"it")
+    val (_, merges) = sharedTrain(spark, dir)
+    merges.orderBy($"it")
   }
 
   /** Registered query: the learned subword vocabulary — every symbol
@@ -146,7 +174,7 @@ object Bpe {
     * (seed chars + merged tokens; the encode dictionary's key set). */
   def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (w, _) = bpeTrainFrames(Tables.documentsPar(spark, dir), NBpeMerges)
+    val (w, _) = sharedTrain(spark, dir)
     w.select($"freq", explode(split(trim($"s"), "  ")).as("token"))
       .groupBy($"token").agg(sum($"freq").as("n_occ"))
       .orderBy($"token")
@@ -164,7 +192,7 @@ object Bpe {
   def bpeTokenCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documentsPar(spark, dir)
-    val (w, _) = bpeTrainFrames(docs, NBpeMerges)
+    val (w, _) = sharedTrain(spark, dir)
     val enc = w.select($"word", size(split(trim($"s"), "  ")).as("n_syms"))
     wordStream(docs)
       .join(enc, Seq("word"))

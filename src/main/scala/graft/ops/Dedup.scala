@@ -300,9 +300,11 @@ object Dedup {
     Seq("graft_sigsets_", "graft_postings_", "graft_jaccard_pairs_",
       "graft_clusters_")
       .foreach(p => spark.catalog.dropTempView(p + suffix))
-    // the semantic assignment view is derived from the same corpus dir —
-    // one rewrite entry point drops every materialization (ADVICE r6)
+    // the semantic assignment, kmeans, and BPE views are derived from
+    // the same corpus dir — one rewrite entry point drops every
+    // materialization (ADVICE r6)
     Similarity.invalidate(spark, dir)
+    Bpe.invalidate(spark, dir)
   }
 
   // ---------------------------------------------------------------------

@@ -685,9 +685,20 @@ object Similarity {
   /** Registered query: the trained centroids themselves, row form
     * (cluster, 1-based pos, exact mean) — [[labelCentroids]]'s shape,
     * derived from DATA rather than labels. */
+  /** Session-shared trained quantizer rows for the corpus at `dir` —
+    * ONE Lloyd's train per (session, corpus), consumed by both kmeans
+    * queries (the [[Dedup.sharedSigSets]] pattern; dropped by
+    * [[invalidate]] on corpus rewrite). */
+  private def sharedKmeansRows(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val view = "graft_kmeans_rows_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!spark.catalog.tableExists(view))
+      kmeansRows(Tables.embeddings(spark, dir)).createOrReplaceTempView(view)
+    spark.table(view)
+  }
+
   def kmeansCentroids(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    kmeansRows(Tables.embeddings(spark, dir))
+    sharedKmeansRows(spark, dir)
       .select($"cluster", ($"pos0" + 1).as("pos"), $"m")
       .orderBy($"cluster", $"pos")
   }
@@ -698,7 +709,7 @@ object Similarity {
   def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    assignmentsTo(emb, kmeansFit(emb))
+    assignmentsTo(emb, centsOfRows(sharedKmeansRows(spark, dir)))
       .select($"vec_id", $"cluster", $"cscore")
       .orderBy($"vec_id")
   }
@@ -831,6 +842,8 @@ object Similarity {
     * current bytes. */
   def invalidate(spark: SparkSession, dir: String): Unit = synchronized {
     spark.catalog.dropTempView(assignView(dir))
+    spark.catalog.dropTempView(
+      "graft_kmeans_rows_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
     ()
   }
 

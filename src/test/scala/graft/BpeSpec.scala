@@ -103,4 +103,14 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.bpeTrain(spark, sfDir).collect().toSeq
     assert(a == b)
   }
+
+  test("shared train is session-cached per corpus and dropped by the one invalidate entry point") {
+    val suffix = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    Bpe.bpeTrain(spark, sfDir).collect()
+    assert(spark.catalog.tableExists("graft_bpe_vocab_" + suffix))
+    assert(spark.catalog.tableExists("graft_bpe_merges_" + suffix))
+    graft.ops.Dedup.invalidate(spark, sfDir)
+    assert(!spark.catalog.tableExists("graft_bpe_vocab_" + suffix))
+    assert(!spark.catalog.tableExists("graft_bpe_merges_" + suffix))
+  }
 }
