@@ -289,7 +289,12 @@ object TrainPrep {
        |ORDER BY d.doc_id""".stripMargin
   }
 
-  val packShardsSql: String =
+  /** The packing query WITHOUT its final sort (the window's own
+    * "ORDER BY doc_id" — the running-sum ordering — is internal and
+    * stays). Shared verbatim by [[packShardsSql]], [[shardManifestSql]]
+    * and [[epochOrderSql]] — one constant, no string-stripping (the
+    * temperatureMixBodySql convention, ADVICE r7). */
+  private val packShardsBodySql: String =
     // CAST: DuckDB's window SUM over BIGINT yields HUGEINT, and `//` of a
     // HUGEINT stays HUGEINT, which the driver's dump widens to DOUBLE —
     // hash-mismatching Spark's BIGINT floor() despite identical values.
@@ -300,8 +305,10 @@ object TrainPrep {
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |      FROM (SELECT doc_id, lang,
        |              len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens
-       |            FROM documents))
-       |ORDER BY doc_id""".stripMargin
+       |            FROM documents))""".stripMargin
+
+  val packShardsSql: String =
+    packShardsBodySql + "\nORDER BY doc_id"
 
   /** Context-window chunking: tokens per chunk / stride (stride <
     * ChunkTokens ⇒ 16-token overlap, the standard trick so no span is
@@ -349,16 +356,72 @@ object TrainPrep {
        |            FROM documents))
        |ORDER BY doc_id, chunk_id""".stripMargin
 
-  // declared after packShardsSql: object vals initialize in source order
-  val shardManifestSql: String = {
-    // stripSuffix, NOT replace: the window's own "ORDER BY doc_id" (the
-    // running-sum ordering) must survive; only the final sort goes.
-    val packed = packShardsSql.stripSuffix("ORDER BY doc_id")
+  // declared after packShardsBodySql: object vals initialize in source order
+  val shardManifestSql: String =
     s"""SELECT lang, shard_id, COUNT(*) AS n_docs,
        |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-       |FROM ($packed)
+       |FROM ($packShardsBodySql)
        |GROUP BY lang, shard_id
        |ORDER BY lang, shard_id""".stripMargin
+
+  /** Epochs emitted by [[epochOrder]]. */
+  val NEpochs = 2
+
+  /** Deterministic training-order shuffle — the data-loader step after
+    * packing: for each epoch, permute the SHARD serving order and the
+    * document order WITHIN each shard, both by salted hash (the
+    * two-level shuffle every large-scale loader ships — a true global
+    * permutation would be one all-data sort per epoch; shard-major +
+    * intra-shard is the standard approximation, cf. Megatron-LM's
+    * data loader, arXiv:1909.08053). Hash-keyed like
+    * [[datasetSplit]]: any engine recomputes the same epoch order, no
+    * stored permutation table.
+    *
+    * Shape at 100 TB: the ×[[NEpochs]] expansion is a broadcast cross
+    * join (map-side, never shuffled alone); the within-shard
+    * row_number window partitions by (epoch, lang, shard) — shard
+    * size is budget-bounded, so no window partition exceeds ~budget
+    * tokens of docs; the shard permutation is computed at MANIFEST
+    * grain (distinct shards × epochs) and broadcast back. One shuffle
+    * of (id, lang, shard, epoch) rows total — text never moves. */
+  def epochOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val packed = packedOf(spark, dir)
+    val epochs = spark.range(1, NEpochs + 1)
+      .select($"id".cast("int").as("epoch"))
+    val expanded = packed.crossJoin(broadcast(epochs))
+    val docKey = md5(concat(lit("ep:"), $"epoch".cast("string"),
+      lit(":"), $"doc_id".cast("string")))
+    val shardKey = md5(concat(lit("shard:"), $"epoch".cast("string"),
+      lit(":"), $"lang", lit(":"), $"shard_id".cast("string")))
+    val shardPos = packed.select($"lang", $"shard_id").distinct()
+      .crossJoin(broadcast(epochs))
+      .withColumn("shard_pos", row_number().over(
+        Window.partitionBy($"epoch").orderBy(shardKey, $"lang", $"shard_id")))
+    val w = Window.partitionBy($"epoch", $"lang", $"shard_id")
+      .orderBy(docKey, $"doc_id")
+    expanded
+      .withColumn("pos", row_number().over(w))
+      .join(broadcast(shardPos), Seq("epoch", "lang", "shard_id"))
+      .select($"epoch", $"lang", $"shard_id", $"shard_pos", $"doc_id", $"pos")
+      .orderBy($"epoch", $"lang", $"shard_id", $"pos")
   }
+
+  val epochOrderSql: String =
+    s"""WITH packed AS ($packShardsBodySql),
+       |eps AS (SELECT CAST(UNNEST(range(1, ${NEpochs + 1})) AS INTEGER) AS epoch),
+       |sp AS (SELECT epoch, lang, shard_id,
+       |         ROW_NUMBER() OVER (PARTITION BY epoch
+       |           ORDER BY md5('shard:' || CAST(epoch AS VARCHAR) || ':' || lang || ':' || CAST(shard_id AS VARCHAR)),
+       |             lang, shard_id) AS shard_pos
+       |       FROM (SELECT DISTINCT lang, shard_id FROM packed) CROSS JOIN eps),
+       |ordered AS (SELECT epoch, lang, shard_id, doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY epoch, lang, shard_id
+       |           ORDER BY md5('ep:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)),
+       |             doc_id) AS pos
+       |       FROM packed CROSS JOIN eps)
+       |SELECT epoch, lang, shard_id, shard_pos, doc_id, pos
+       |FROM ordered JOIN sp USING (epoch, lang, shard_id)
+       |ORDER BY epoch, lang, shard_id, pos""".stripMargin
 }

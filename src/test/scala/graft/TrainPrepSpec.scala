@@ -33,6 +33,35 @@ class TrainPrepSpec extends SparkSpec {
     assert(under.count() == 0, "a non-final shard came in under budget − maxDoc")
   }
 
+  test("epoch_order: contiguous positions, full coverage, epochs differ, deterministic") {
+    import spark.implicits._
+    val eo = TrainPrep.epochOrder(spark, sfDir)
+    val packed = TrainPrep.packShards(spark, sfDir)
+    // every (epoch, shard) numbers its docs 1..n with no gaps
+    val bad = eo.groupBy($"epoch", $"lang", $"shard_id")
+      .agg(count(lit(1)).as("n"), max($"pos").as("mx"), min($"pos").as("mn"),
+        countDistinct($"pos").as("d"))
+      .filter($"mx" =!= $"n" || $"mn" =!= 1 || $"d" =!= $"n")
+    assert(bad.count() == 0, "positions must be a contiguous 1..n per shard")
+    // each epoch covers exactly the packed corpus
+    assert(eo.filter($"epoch" === 1).count() == packed.count())
+    assert(eo.filter($"epoch" === 2).count() == packed.count())
+    // shard serving order is a permutation of shards per epoch
+    val shards = packed.select($"lang", $"shard_id").distinct().count()
+    val sbad = eo.select($"epoch", $"lang", $"shard_id", $"shard_pos").distinct()
+      .groupBy($"epoch")
+      .agg(countDistinct($"shard_pos").as("d"), max($"shard_pos").as("mx"))
+      .filter($"d" =!= shards || $"mx" =!= shards)
+    assert(sbad.count() == 0, "shard_pos must be a 1..nShards permutation per epoch")
+    // the two epochs actually shuffle differently (some doc changes pos)
+    val moved = eo.filter($"epoch" === 1).as("a")
+      .join(eo.filter($"epoch" === 2).as("b"), Seq("lang", "shard_id", "doc_id"))
+      .filter($"a.pos" =!= $"b.pos").count()
+    assert(moved > 0, "epoch 2 must reorder at least some documents")
+    // deterministic across runs
+    assert(eo.collect().toSeq == TrainPrep.epochOrder(spark, sfDir).collect().toSeq)
+  }
+
   test("materializeShards: written artifact conserves the manifest and packs one file per shard") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graftshards").toString
