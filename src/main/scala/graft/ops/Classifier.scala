@@ -155,6 +155,32 @@ object Classifier {
       .orderBy($"doc_id")
   }
 
+  /** Persist the trained model — the durable serving artifact (the
+    * [[Similarity.persistIndex]] convention: train once per corpus
+    * version, serve from disk forever after). The model IS five
+    * doubles; the artifact is a 5-row (feature, weight) parquet. */
+  def materializeModel(spark: SparkSession, dir: String, outDir: String): Unit =
+    classifierWeights(spark, dir)
+      .coalesce(1).write.mode("overwrite").parquet(outDir)
+
+  /** Score an arbitrary (doc_id, text) frame — batch OR streaming —
+    * against a persisted (feature, weight) model frame: the ingest-time
+    * serving path. The model pivots back to one row IN PLAN (a
+    * conditional aggregate, no driver collect) and enters by broadcast;
+    * scoring is the same codegen'd feature projection + dot product the
+    * training ran, so ingest-time scores equal training-time scores
+    * bit for bit. Works under Structured Streaming as a stream-static
+    * broadcast join (stateless, no watermark needed). */
+  def scoreWithModel(docs: DataFrame, model: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val pivots = FeatNames.zipWithIndex.map { case (n, j) =>
+      max(when($"feature" === n, $"weight")).as(s"w$j")
+    }
+    val wide = model.agg(pivots.head, pivots.tail: _*)
+    featureFrame(docs).crossJoin(broadcast(wide))
+      .select($"doc_id", predExpr.as("score"))
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracle: features + the GD sweeps unrolled as CTEs. The exact
   // accumulator takes the documented VARCHAR-sandwich form; prediction

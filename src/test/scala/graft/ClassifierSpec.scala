@@ -59,6 +59,36 @@ class ClassifierSpec extends SparkSpec {
       Seq("avg_token_len_10", "bias", "len_cap", "stopword_ratio", "unique_ratio"))
   }
 
+  test("persisted model scores a stream bit-identically to training-time scores") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graftclsmodel").toString
+    Classifier.materializeModel(spark, sfDir, out)
+    val model = spark.read.parquet(out)
+    // batch reference scores from the registered query
+    val want = Classifier.qualityClassifier(spark, sfDir)
+      .select($"doc_id", $"score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // replay a slice of the corpus as a stream, score at ingest time
+    val rows = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").limit(50).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    mem.addData(rows.toSeq)
+    val q = Classifier.scoreWithModel(
+      mem.toDF.toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("cls_stream")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("cls_stream").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 50)
+    got.foreach { case (id, s) =>
+      assert(s == want(id), s"stream score for doc $id diverged: $s vs ${want(id)}")
+    }
+  }
+
   test("serving path: scoring plan has no shuffle of the corpus") {
     // the scorer is feature projection + broadcast 1-row join + dot
     // product; the only Exchange allowed below the final sort is the
