@@ -202,6 +202,48 @@ object Bpe {
       .orderBy($"doc_id")
   }
 
+  /** Registered query: the corpus ENCODED — each document's ordered
+    * token-id sequence under the learned vocabulary, plus its length.
+    * This is the tokenize-for-training step: ids are the token's
+    * alphabetical rank in the learned vocab (assigned once at
+    * vocab grain — the one single-partition window here runs over
+    * distinct subword types, thousands of rows at web scale, the same
+    * class as the kmeans seed window), words join the encode
+    * dictionary at vocab grain, and each document's ids reassemble in
+    * (word, symbol) order.
+    *
+    * The ordered per-doc collect stays codegen'd: ids are collected as
+    * fixed-width-sortable strings (`%06d%06d:id`), sorted with the
+    * codegen'd sort_array, joined, and the order prefixes stripped by
+    * one regexp_replace — no interpreted lambda runs at corpus grain
+    * (the PLANS.md r3 budget; the oracle uses DuckDB's native
+    * `list(... ORDER BY)` instead). Output rows carry the full encoded
+    * corpus, so like chunk_docs this is a write-to-storage terminal
+    * op, never a shuffle input. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsPar(spark, dir)
+    val (w, _) = sharedTrain(spark, dir)
+    val ids = w.select(explode(split(trim($"s"), "  ")).as("token")).distinct()
+      .withColumn("token_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"token")) - 1)
+    val wsyms = w
+      .select($"word", posexplode(split(trim($"s"), "  ")).as(Seq("spos", "token")))
+      .join(broadcast(ids), Seq("token"))
+    docs
+      .select($"doc_id", posexplode(regexp_extract_all(lower($"text"),
+        lit("[a-z]+"), lit(0))).as(Seq("wpos", "word")))
+      .join(wsyms, Seq("word"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bpe_tokens"),
+        regexp_replace(
+          concat_ws(",", sort_array(collect_list(
+            format_string("%06d%06d:%s", $"wpos", $"spos",
+              $"token_id".cast("string"))))),
+          "(^|,)\\d{12}:", "$1").as("token_ids"))
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracle: the train unrolled as CTEs (w0, then p_i/m_i/w_i per
   // sweep), mirroring the Spark chain stage for stage. DuckDB regex
@@ -259,6 +301,28 @@ object Bpe {
          |FROM (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word
          |      FROM documents) dw
          |JOIN enc USING (word)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+
+  val bpeEncodeSql: String =
+    bpeCtes(NBpeMerges) +
+      s""",
+         |ids AS (SELECT token, ROW_NUMBER() OVER (ORDER BY token) - 1 AS token_id
+         |        FROM (SELECT DISTINCT UNNEST(string_split(trim(s), '  ')) AS token
+         |              FROM w$NBpeMerges)),
+         |wsyms AS (SELECT word, spos, token_id
+         |          FROM (SELECT word, spos, t[spos] AS token
+         |                FROM (SELECT word, t, UNNEST(range(1, len(t) + 1)) AS spos
+         |                      FROM (SELECT word, string_split(trim(s), '  ') AS t
+         |                            FROM w$NBpeMerges)))
+         |          JOIN ids USING (token)),
+         |words AS (SELECT doc_id, wpos, ws[wpos] AS word
+         |          FROM (SELECT doc_id, ws, UNNEST(range(1, len(ws) + 1)) AS wpos
+         |                FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+         |                      FROM documents)))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bpe_tokens,
+         |       array_to_string(list(CAST(token_id AS VARCHAR) ORDER BY wpos, spos), ',') AS token_ids
+         |FROM words JOIN wsyms USING (word)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
 }

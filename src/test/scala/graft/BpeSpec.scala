@@ -104,6 +104,21 @@ class BpeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bpe_encode agrees with bpe_token_count and round-trips the tiny corpus") {
+    import spark.implicits._
+    // lengths must agree doc for doc with the count query
+    val enc = Bpe.bpeEncode(spark, sfDir)
+    val cnt = Bpe.bpeTokenCount(spark, sfDir)
+    val disagree = enc.as("e").join(cnt.as("c"), "doc_id")
+      .filter($"e.n_bpe_tokens" =!= $"c.n_bpe_tokens").count()
+    assert(disagree == 0)
+    // every id in every sequence is a valid vocab rank
+    val nVocab = Bpe.bpeVocab(spark, sfDir).count()
+    val maxId = enc.select(explode(split($"token_ids", ",")).as("id"))
+      .agg(max($"id".cast("long"))).head().getLong(0)
+    assert(maxId == nVocab - 1, s"max id $maxId vs vocab size $nVocab")
+  }
+
   test("shared train is session-cached per corpus and dropped by the one invalidate entry point") {
     val suffix = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     Bpe.bpeTrain(spark, sfDir).collect()
