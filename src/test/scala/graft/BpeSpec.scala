@@ -98,6 +98,26 @@ class BpeSpec extends SparkSpec {
     assert(w.select(trim($"s")).head().getString(0) == "ab")
   }
 
+  test("sweeps run at vocab grain: corpus replication scales counts, not structure") {
+    import spark.implicits._
+    // 4x the corpus with fresh doc ids = same vocabulary, same merge
+    // STRUCTURE (pair counts scale by 4, order and tie-breaks
+    // unchanged) — the property that makes the train viable at 100 TB:
+    // everything after the word histogram is vocab-sized
+    val base = tinyCorpus
+    val x4 = (0 until 4).map(i =>
+      base.select(($"doc_id" + lit(i * 1000)).as("doc_id"), $"text"))
+      .reduce(_ union _)
+    val m1 = Bpe.bpeTrainFrames(base, 4)._2.map(_.collect().head)
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    val m4 = Bpe.bpeTrainFrames(x4, 4)._2.map(_.collect().head)
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(m1.map(t => (t._1, t._2, t._3)) == m4.map(t => (t._1, t._2, t._3)),
+      "merge structure must be invariant under corpus replication")
+    assert(m1.zip(m4).forall { case (a, b) => b._4 == 4 * a._4 },
+      "pair counts must scale exactly with replication")
+  }
+
   test("bpe_train is deterministic across runs") {
     val a = Bpe.bpeTrain(spark, sfDir).collect().toSeq
     val b = Bpe.bpeTrain(spark, sfDir).collect().toSeq
