@@ -1,0 +1,278 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trained data-SELECTION operators — deciding WHICH documents feed a
+  * training run, the step between quality scoring and split/packing.
+  * Two methods from the LLM-pretraining literature:
+  *
+  *   - DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169):
+  *     fit hashed-n-gram bag models of a small TARGET domain and of the
+  *     RAW pool, weight every raw document by its target/raw likelihood
+  *     ratio, then sample proportionally to the weight — "pick web text
+  *     that looks like Wikipedia" without training a model.
+  *   - CCNet perplexity bucketing (Wenzek et al. 2019,
+  *     arXiv:1911.00359 §4.3): score every document under a target-
+  *     domain LM and cut each language's distribution into head /
+  *     middle / tail thirds; pretraining recipes then keep head+middle
+  *     or re-weight by bucket.
+  *
+  * Both follow the repo's exactness convention (tokenRarity, lmScore):
+  * no transcendentals in the emitted values. DSIR's log-ratio sum is
+  * replaced by an exact scaled-integer mean of per-bucket target/raw
+  * ratios (same ranking signal, one constant factor off the normalized
+  * likelihood ratio — see [[dsirWeightsOf]]); CCNet's perplexity is the
+  * bigram-LM model-coverage vicile ([[TextAnalysis.lmScore]]'s
+  * hit-rate in integer space). Production deployments swap the scoring
+  * projection for log-probability; every dataflow below is unchanged.
+  */
+object Select {
+
+  /** Hashed-feature dimensionality. DSIR ships 10k buckets; the fixture
+    * uses fewer so every bucket is exercised. The model table is B rows
+    * regardless of corpus size — that is DSIR's design point: the
+    * feature space is FIXED, so the model always broadcasts, in
+    * contrast to tokenRarity's full-vocabulary shuffle join. */
+  val DsirBuckets = 256
+
+  /** Fixed-point scale for the per-bucket target/raw ratio (6 decimal
+    * digits). At fixture scale p_b·Scale ≤ ~10¹³ fits a BIGINT; a
+    * trillion-gram corpus with few buckets would overflow the
+    * intermediate — widen to DECIMAL(38,0) or raise B (production DSIR
+    * uses 10⁴⁺ buckets precisely so per-bucket counts stay modest). */
+  val RatioScale = 1000000L
+
+  private def k60(cols: Column*): Column =
+    conv(substring(md5(concat_ws("", cols: _*)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** One row per hashed n-gram occurrence: (doc_id, lang, source, b)
+    * where b is the 60-bit md5 key of the unigram or adjacent bigram,
+    * folded into [[DsirBuckets]]. ONE corpus scan: the per-position
+    * unigram and bigram hash arrays are built with transform/zip_with
+    * inside a single codegen'd projection and exploded once — no
+    * union-of-two-scans. Empty-ish docs still emit their single
+    * (possibly empty-string) token, the tokenRarity convention, so
+    * every document receives a weight. */
+  private[graft] def gramRows(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", $"lang", $"source",
+      TextAnalysis.toks($"text").as("t"))
+      .select($"doc_id", $"lang", $"source",
+        explode(concat(
+          transform($"t", x => k60(x)),
+          zip_with(
+            slice($"t", lit(1), size($"t") - 1),
+            slice($"t", lit(2), size($"t") - 1),
+            (v, w) => k60(v, w)))).as("gh"))
+      .select($"doc_id", $"lang", $"source",
+        ($"gh" % DsirBuckets).as("b"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023): for each document, the
+    * mean over its hashed n-grams of the bucket's scaled target/raw
+    * count ratio r_b = ⌊p_b·Scale / q_b⌋, where p_b counts target-slice
+    * occurrences (the [[TextAnalysis.LmTrainSources]] domain, CCNet's
+    * "looks like Wikipedia" slice) and q_b counts the whole pool.
+    *
+    * The paper's weight is exp Σ c_b(log p̂_b − log q̂_b); this emits
+    * the exact-integer surrogate Σ c_b·r_b / n_grams — the same
+    * "target mass over raw mass" ordering with the corpus-constant
+    * P/Q normalization folded out (it scales every document alike),
+    * and no libm call whose last ulp differs across engines. Weight
+    * lands in [0, Scale] and doubles as an acceptance probability for
+    * [[dsirSample]].
+    *
+    * Shape at 100 TB: the model is a B-row aggregate (p and q counted
+    * in ONE pass via a conditional count — not a scan per
+    * distribution), broadcast to the probe; the probe explodes grams
+    * map-side, joins the broadcast, and collapses immediately into a
+    * map-side-combined per-doc sum — what crosses the one shuffle is
+    * (doc_id, count, sum), 24 bytes per document, never text, never
+    * gram rows. Corpus scanned twice (model + probe), the tokenRarity
+    * two-pass shape; a production run persists the B-row model per
+    * corpus version and the probe is then a single scan. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsOf(Tables.documentsPar(spark, dir))
+
+  /** [[dsirWeights]] over an arbitrary (doc_id, text, lang, source)
+    * frame — the test seam. */
+  def dsirWeightsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val grams = gramRows(docs)
+    val model = grams.groupBy($"b").agg(
+      count(lit(1)).as("q_b"),
+      sum(when($"source".isin(TextAnalysis.LmTrainSources: _*), 1L)
+        .otherwise(0L)).as("p_b"))
+    val ratio = model.select($"b",
+      expr(s"p_b * $RatioScale div q_b").as("r_b"))
+    grams.join(broadcast(ratio), "b")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum($"r_b").as("sum_ratio"))
+      .select($"doc_id", $"n_grams", $"sum_ratio",
+        expr("sum_ratio div n_grams").as("weight"))
+      .orderBy($"doc_id")
+  }
+
+  /** Importance RESAMPLING — the selection half of DSIR: accept each
+    * document with probability weight/Scale, the weight acting as its
+    * own acceptance bar. Randomness is the repo's deterministic salted
+    * hash (the datasetSplit convention): accept iff
+    * h60("dsir:"·doc_id) mod Scale < weight — re-derivable anywhere,
+    * stable under corpus growth (a document's fate never depends on
+    * which other documents exist), and exactly reproducible in the
+    * oracle. A pure per-row predicate over [[dsirWeights]]' plan: no
+    * extra shuffle, no stored sample table. */
+  def dsirSample(spark: SparkSession, dir: String): DataFrame =
+    dsirSampleOf(Tables.documentsPar(spark, dir))
+
+  /** [[dsirSample]] over an arbitrary frame — the test seam. */
+  def dsirSampleOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    dsirWeightsOf(docs)
+      .filter(
+        k60(concat(lit("dsir:"), $"doc_id".cast("string"))) % RatioScale
+          < $"weight")
+      .orderBy($"doc_id")
+  }
+
+  /** CCNet head/middle/tail bucketing (Wenzek et al. §4.3): cut each
+    * language's LM-score distribution into thirds and label every
+    * document. Score = the bigram-LM model-coverage vicile
+    * ⌊20·n_hits/n_bigrams⌋ under the [[TextAnalysis.lmScore]] model
+    * (count-space stand-in for perplexity, exactness convention as
+    * documented there; higher = better-covered = CCNet's low-perplexity
+    * head).
+    *
+    * The cuts are HISTOGRAM bars, not exact per-language percentiles —
+    * the adaptiveQuality convention: per-language aggregation state is
+    * a ≤21-counter histogram, never the full score list, and the
+    * integer cumulative-count comparison (3·cum ≥ tot) is exact in both
+    * engines. t_bar = the bin holding the ⅓ point, h_bar the ⅔ point;
+    * tail < t_bar ≤ middle ≤ h_bar < head. A bin straddling a cut goes
+    * wholly to the middle — deterministic, and the honest semantics of
+    * binned cuts (CCNet itself cuts on a trained-once threshold file,
+    * not a per-shard exact percentile).
+    *
+    * Shape at 100 TB: the scored frame (20 bytes/doc) is checkpointed
+    * once for its two consumers (histogram + labeling), the
+    * adaptiveQuality pattern; the histogram aggregate is map-side
+    * combined into ≤21 rows per language; bars come back as a broadcast
+    * join. No per-language sort of the corpus anywhere. */
+  def lmBuckets(spark: SparkSession, dir: String): DataFrame =
+    lmBucketsOf(Tables.documentsPar(spark, dir))
+
+  /** [[lmBuckets]] over an arbitrary frame — the test seam. */
+  def lmBucketsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bi = TextAnalysis.bigramRows(docs)
+    val model = bi
+      .filter($"source".isin(TextAnalysis.LmTrainSources: _*))
+      .groupBy($"g", $"h").agg(count(lit(1)).as("c_vw"))
+    val scored = bi.join(model, Seq("g", "h"), "left")
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_bigrams"), count($"c_vw").as("n_hits"))
+      .select($"doc_id", $"lang", $"n_bigrams", $"n_hits",
+        expr("n_hits * 20 div n_bigrams").as("bin"))
+      .localCheckpoint(eager = false)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"bin")
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+    val bars = scored.groupBy($"lang", $"bin").agg(count(lit(1)).as("n"))
+      .withColumn("cumn", sum($"n").over(wCum))
+      .withColumn("tot", sum($"n").over(wTot))
+      .groupBy($"lang").agg(
+        min(when($"cumn" * 3 >= $"tot", $"bin")).as("t_bar"),
+        min(when($"cumn" * 3 >= $"tot" * 2, $"bin")).as("h_bar"))
+    scored.join(broadcast(bars), "lang")
+      .select($"doc_id", $"lang", $"n_bigrams", $"n_hits", $"bin",
+        when($"bin" < $"t_bar", "tail")
+          .when($"bin" > $"h_bar", "head")
+          .otherwise("middle").as("bucket"))
+      .orderBy($"doc_id")
+  }
+
+  /** Shared oracle CTEs: hashed-gram rows `g` (doc_id, lang, source, b)
+    * and the bucket ratio table `r` — mirrors [[gramRows]] +
+    * [[dsirWeightsOf]]'s model. DuckDB's `//` and Spark's `div` agree
+    * (floor = truncation for the non-negative values here). */
+  private val dsirCtes: String = {
+    val train =
+      TextAnalysis.LmTrainSources.map("'" + _ + "'").mkString(", ")
+    s"""tok AS (
+       |  SELECT doc_id, lang, source,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, source,
+       |    ('0x' || substr(md5(gram), 1, 15))::BIGINT % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang, source,
+       |          UNNEST(list_concat(t,
+       |            list_transform(range(1, len(t)),
+       |              i -> t[i] || chr(1) || t[i + 1]))) AS gram
+       |        FROM tok)),
+       |r AS (
+       |  SELECT b, p_b * $RatioScale // q_b AS r_b
+       |  FROM (SELECT b, COUNT(*) AS q_b,
+       |          COUNT(*) FILTER (WHERE source IN ($train)) AS p_b
+       |        FROM g GROUP BY b)),
+       |w AS (
+       |  SELECT doc_id, COUNT(*) AS n_grams,
+       |    CAST(SUM(r_b) AS BIGINT) AS sum_ratio,
+       |    CAST(SUM(r_b) AS BIGINT) // COUNT(*) AS weight
+       |  FROM g JOIN r USING (b) GROUP BY doc_id)""".stripMargin
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH $dsirCtes
+       |SELECT doc_id, n_grams, sum_ratio, weight FROM w
+       |ORDER BY doc_id""".stripMargin
+
+  val dsirSampleSql: String =
+    s"""WITH $dsirCtes
+       |SELECT doc_id, n_grams, sum_ratio, weight FROM w
+       |WHERE ('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |        % $RatioScale < weight
+       |ORDER BY doc_id""".stripMargin
+
+  val lmBucketsSql: String = {
+    val train =
+      TextAnalysis.LmTrainSources.map("'" + _ + "'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, source,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+       |  FROM documents),
+       |bi AS (
+       |  SELECT doc_id, source, lang, t[i] AS v, t[i + 1] AS w
+       |  FROM (SELECT doc_id, lang, source, t, UNNEST(range(1, len(t))) AS i
+       |        FROM tok WHERE len(t) >= 2)),
+       |m AS (
+       |  SELECT lang, v, w, COUNT(*) AS c_vw FROM bi
+       |  WHERE source IN ($train) GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT bi.doc_id, bi.lang, COUNT(*) AS n_bigrams,
+       |    CAST(COUNT(m.c_vw) AS BIGINT) AS n_hits,
+       |    CAST(COUNT(m.c_vw) AS BIGINT) * 20 // COUNT(*) AS bin
+       |  FROM bi
+       |  LEFT JOIN m ON bi.lang = m.lang AND bi.v = m.v AND bi.w = m.w
+       |  GROUP BY bi.doc_id, bi.lang),
+       |cum AS (
+       |  SELECT lang, bin, n,
+       |    SUM(n) OVER (PARTITION BY lang ORDER BY bin) AS cumn,
+       |    SUM(n) OVER (PARTITION BY lang) AS tot
+       |  FROM (SELECT lang, bin, COUNT(*) AS n FROM scored GROUP BY 1, 2)),
+       |bars AS (
+       |  SELECT lang,
+       |    MIN(CASE WHEN cumn * 3 >= tot THEN bin END) AS t_bar,
+       |    MIN(CASE WHEN cumn * 3 >= tot * 2 THEN bin END) AS h_bar
+       |  FROM cum GROUP BY lang)
+       |SELECT s.doc_id, s.lang, s.n_bigrams, s.n_hits, s.bin,
+       |  CASE WHEN s.bin < b.t_bar THEN 'tail'
+       |       WHEN s.bin > b.h_bar THEN 'head'
+       |       ELSE 'middle' END AS bucket
+       |FROM scored s JOIN bars b USING (lang)
+       |ORDER BY s.doc_id""".stripMargin
+  }
+}

@@ -1273,7 +1273,7 @@ object TextAnalysis {
     * same `len >= 2` guard). The explicit `size >= 2` filter also keeps
     * `sequence(1, size-1)` away from its start>stop default of
     * DESCENDING step. */
-  private def bigramRows(docs: DataFrame): DataFrame = {
+  private[graft] def bigramRows(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     def k60(cols: Column*): Column =
       conv(substring(md5(concat_ws("\u0001", cols: _*)), 1, 15), 16, 10)
@@ -1282,7 +1282,7 @@ object TextAnalysis {
       .filter(size($"t") >= 2)
       .select($"doc_id", $"lang", $"source", $"t",
         explode(sequence(lit(1), size($"t") - 1)).as("i"))
-      .select($"doc_id", $"source",
+      .select($"doc_id", $"lang", $"source",
         k60($"lang", element_at($"t", $"i"), element_at($"t", $"i" + 1))
           .as("g"),
         k60($"lang", element_at($"t", $"i")).as("h"))

@@ -1,0 +1,128 @@
+package graft
+
+import graft.ops.Select
+import org.apache.spark.sql.functions._
+
+/** Data-selection invariants the row/hash oracle can't express: the
+  * DSIR weight actually carries the target-domain signal (docs written
+  * in the target slice's vocabulary outscore docs that aren't), the
+  * resample predicate is the weight acting as an acceptance
+  * probability, the CCNet buckets order by score and roughly third the
+  * corpus, and the serving plans broadcast the model tables. */
+class SelectSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Synthetic pool: target sources (src0) write in vocabulary A;
+    * off-domain docs (src9) in disjoint vocabulary B; mixed docs half
+    * and half. DSIR should rank A-docs >> mixed >> B-docs. */
+  private val TextA = "alpha beta gamma delta epsilon zeta eta theta"
+  private val TextB = "one two three four five six seven eight"
+  private val TextMix = "alpha two gamma four epsilon six eta eight"
+
+  private lazy val domainCorpus = {
+    val rows =
+      (0L until 40L).map(i => (i, TextA, "en", "src0")) ++
+        (40L until 60L).map(i => (i, TextB, "en", "src9")) ++
+        (60L until 80L).map(i => (i, TextMix, "en", "src9"))
+    rows.toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("dsir weights rank on-domain text above off-domain text") {
+    val w = Select.dsirWeightsOf(domainCorpus)
+      .join(domainCorpus.select($"doc_id", $"text"), "doc_id")
+      .groupBy($"text").agg(avg($"weight").as("mw"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (onW, offW, mixW) = (w(TextA), w(TextB), w(TextMix))
+    info(f"mean weight: on-domain $onW%.0f, mixed $mixW%.0f, off-domain $offW%.0f")
+    // B-vocabulary grams occur only outside the target slice, so their
+    // buckets carry (near-)zero target mass — up to md5-bucket
+    // collisions with A-grams, which the margin absorbs
+    assert(onW > 2 * offW + 1,
+      "target-vocabulary docs must far outscore off-domain docs")
+    assert(onW > mixW && mixW > offW,
+      "mixed-vocabulary docs must land between the pure pools")
+  }
+
+  test("every document gets a weight in [0, Scale]") {
+    val w = Select.dsirWeightsOf(domainCorpus)
+    assert(w.count() == domainCorpus.count())
+    val row = w.agg(min($"weight"), max($"weight")).head()
+    assert(row.getLong(0) >= 0L && row.getLong(1) <= Select.RatioScale)
+  }
+
+  test("dsir_sample is the weight acting as an acceptance probability") {
+    val w = Select.dsirWeightsOf(domainCorpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val kept = Select.dsirSampleOf(domainCorpus).collect()
+      .map(_.getLong(0)).toSet
+    // recompute the salted-hash predicate row by row
+    val expect = w.collect { case (id, wt)
+      if java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(s"dsir:$id").substring(0, 15), 16)
+        % Select.RatioScale < wt => id
+    }.toSet
+    assert(kept == expect)
+    // acceptance is monotone in weight at the population level: zero-
+    // weight docs never survive, full-weight docs always would
+    assert(kept.intersect(w.filter(_._2 == 0L).keySet).isEmpty)
+  }
+
+  test("an all-target pool weights everything at Scale and keeps everything") {
+    // when the pool IS the target slice, every bucket has p_b == q_b
+    // regardless of hash collisions: weight is exactly Scale, and the
+    // acceptance predicate (h mod Scale < Scale) always holds — DSIR
+    // degrades to the identity when there is nothing to tilt toward
+    val pure = domainCorpus.filter($"doc_id" < 40L)
+    val w = Select.dsirWeightsOf(pure)
+    assert(w.filter($"weight" =!= Select.RatioScale).count() == 0)
+    assert(Select.dsirSampleOf(pure).count() == 40L)
+  }
+
+  test("lm buckets cover every scored doc and order by bin") {
+    val b = Select.lmBuckets(spark, sfDir)
+    val n = b.count()
+    assert(n > 0)
+    assert(b.groupBy($"doc_id").count().filter($"count" > 1).count() == 0)
+    // within each lang: max tail bin < min middle bin <= max middle
+    // bin < min head bin (when the buckets are non-empty)
+    val rows = b.groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n"), min($"bin").as("lo"), max($"bin").as("hi"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val langs = rows.keySet.map(_._1)
+    for (l <- langs) {
+      val t = rows.get((l, "tail")); val m = rows.get((l, "middle"))
+      val h = rows.get((l, "head"))
+      assert(m.isDefined, s"$l: middle may never be empty")
+      t.foreach(tv => assert(tv._3 < m.get._2, s"$l: tail must sit below middle"))
+      h.foreach(hv => assert(hv._2 > m.get._3, s"$l: head must sit above middle"))
+    }
+    val shares = b.groupBy($"bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    info(s"bucket shares: $shares over $n docs")
+    // histogram thirds: no bucket may swallow (almost) everything
+    assert(shares("middle") < n, "cuts must actually split the corpus")
+  }
+
+  test("selection plans broadcast their model tables") {
+    val wPlan = Select.dsirWeights(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(wPlan.contains("BroadcastHashJoin"),
+      "the B-row ratio table must broadcast to the probe")
+    val bPlan = Select.lmBuckets(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"),
+      "the per-language bars must broadcast back to the scored frame")
+  }
+
+  test("weights and buckets are deterministic across runs") {
+    val a = Select.dsirWeights(spark, sfDir).collect().toSeq
+    val b = Select.dsirWeights(spark, sfDir).collect().toSeq
+    assert(a == b)
+    val c = Select.lmBuckets(spark, sfDir).collect().toSeq
+    val d = Select.lmBuckets(spark, sfDir).collect().toSeq
+    assert(c == d)
+  }
+}
