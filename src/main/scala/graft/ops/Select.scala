@@ -56,17 +56,23 @@ object Select {
     * union-of-two-scans. Empty-ish docs still emit their single
     * (possibly empty-string) token, the tokenRarity convention, so
     * every document receives a weight. */
+  /** The hashed-gram array of a token-array column: per-token unigram
+    * keys followed by per-position bigram keys, one codegen'd
+    * projection. */
+  private def gramArray(t: Column): Column =
+    concat(
+      transform(t, x => k60(x)),
+      zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (v, w) => k60(v, w)))
+
   private[graft] def gramRows(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select($"doc_id", $"lang", $"source",
       TextAnalysis.toks($"text").as("t"))
       .select($"doc_id", $"lang", $"source",
-        explode(concat(
-          transform($"t", x => k60(x)),
-          zip_with(
-            slice($"t", lit(1), size($"t") - 1),
-            slice($"t", lit(2), size($"t") - 1),
-            (v, w) => k60(v, w)))).as("gh"))
+        explode(gramArray($"t")).as("gh"))
       .select($"doc_id", $"lang", $"source",
         ($"gh" % DsirBuckets).as("b"))
   }
@@ -101,19 +107,61 @@ object Select {
     * frame — the test seam. */
   def dsirWeightsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val grams = gramRows(docs)
-    val model = grams.groupBy($"b").agg(
-      count(lit(1)).as("q_b"),
-      sum(when($"source".isin(TextAnalysis.LmTrainSources: _*), 1L)
-        .otherwise(0L)).as("p_b"))
-    val ratio = model.select($"b",
-      expr(s"p_b * $RatioScale div q_b").as("r_b"))
-    grams.join(broadcast(ratio), "b")
+    gramRows(docs).join(broadcast(ratiosOf(docs)), "b")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"), sum($"r_b").as("sum_ratio"))
       .select($"doc_id", $"n_grams", $"sum_ratio",
         expr("sum_ratio div n_grams").as("weight"))
       .orderBy($"doc_id")
+  }
+
+  /** The trained DSIR model: the B-row (b, r_b) bucket-ratio table —
+    * one conditional-count aggregate over the pool, p (target) and q
+    * (raw) counted in the same pass. */
+  private[graft] def ratiosOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    gramRows(docs).groupBy($"b").agg(
+      count(lit(1)).as("q_b"),
+      sum(when($"source".isin(TextAnalysis.LmTrainSources: _*), 1L)
+        .otherwise(0L)).as("p_b"))
+      .select($"b", expr(s"p_b * $RatioScale div q_b").as("r_b"))
+  }
+
+  /** Persist the trained DSIR model beside the corpus — the selection
+    * analogue of Classifier.materializeModel / Similarity's persisted
+    * quantizer: training (a corpus-scale aggregate) runs once per
+    * corpus version; ingest-time scoring then never rescans the pool. */
+  def materializeRatios(spark: SparkSession, dir: String,
+      outDir: String): Unit =
+    ratiosOf(Tables.documentsPar(spark, dir))
+      .coalesce(1).write.mode("overwrite").parquet(outDir)
+
+  /** Score an arbitrary (doc_id, text) frame — batch OR STREAMING —
+    * against a persisted ratio frame: the ingest-time serving path.
+    * The B-row model folds to ONE map-typed row in plan (no driver
+    * collect) and enters by broadcast; the per-document weight is then
+    * a pure projection — the hashed-gram array probed against the map
+    * inside one `aggregate` fold, no explode, no per-doc re-grouping —
+    * so a STREAM scores statelessly (stream-static broadcast join, no
+    * watermark, no aggregation state), and pool documents score
+    * bit-identically to [[dsirWeights]] (their buckets all exist in
+    * the model by construction, so the inner-join and coalesce-0
+    * semantics coincide). Grams from buckets the pool never produced
+    * (possible only for post-training arrivals) count toward n_grams
+    * with zero target mass — an unseen gram is evidence AGAINST the
+    * target domain, the DSIR smoothing convention. */
+  def scoreWithRatios(docs: DataFrame, ratios: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val one = ratios
+      .agg(map_from_entries(collect_list(struct($"b", $"r_b"))).as("m"))
+    docs.select($"doc_id", gramArray(TextAnalysis.toks($"text")).as("gs"))
+      .crossJoin(broadcast(one))
+      .select($"doc_id", size($"gs").cast("long").as("n_grams"),
+        aggregate($"gs", lit(0L), (acc, g) =>
+          acc + coalesce(element_at($"m", g % DsirBuckets), lit(0L)))
+          .as("sum_ratio"))
+      .select($"doc_id", $"n_grams", $"sum_ratio",
+        expr("sum_ratio div n_grams").as("weight"))
   }
 
   /** Importance RESAMPLING — the selection half of DSIR: accept each

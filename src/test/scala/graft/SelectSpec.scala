@@ -117,6 +117,55 @@ class SelectSpec extends SparkSpec {
       "the per-language bars must broadcast back to the scored frame")
   }
 
+  test("persisted ratios score batch and stream bit-identically to training") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graftdsir").toString
+    Select.materializeRatios(spark, sfDir, out)
+    val ratios = spark.read.parquet(out)
+    val want = Select.dsirWeights(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // batch serving over the same pool == the registered query, exactly
+    val batch = Select.scoreWithRatios(
+      Tables.documents(spark, sfDir).select($"doc_id", $"text"), ratios)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(batch == want)
+    // stream serving: replay a slice as a stream, score at ingest time
+    val rows = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").limit(50).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    mem.addData(rows.toSeq)
+    val q = Select.scoreWithRatios(mem.toDF.toDF("doc_id", "text"), ratios)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("dsir_stream").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.size == 50)
+    got.foreach { case (id, w) =>
+      assert(w == want(id), s"stream weight for doc $id diverged")
+    }
+  }
+
+  test("arrivals from unseen vocabulary score zero, never error") {
+    val ratios = graft.ops.Select.ratiosOf(domainCorpus)
+    val novel = Seq((999L, "totally unseen words here"))
+      .toDF("doc_id", "text")
+    val r = Select.scoreWithRatios(novel, ratios).head()
+    // 4 unigrams + 3 bigrams, all hashing to buckets the pool may or
+    // may not have produced; target mass must be (near) zero and the
+    // gram count full — unseen vocabulary is evidence against the
+    // target domain, not an error
+    assert(r.getLong(1) == 7L)
+    assert(r.getLong(3) < Select.RatioScale / 2)
+  }
+
   test("weights and buckets are deterministic across runs") {
     val a = Select.dsirWeights(spark, sfDir).collect().toSeq
     val b = Select.dsirWeights(spark, sfDir).collect().toSeq
