@@ -241,13 +241,29 @@ object Classifier {
     clsCtes + s"\n$rows\nORDER BY feature"
   }
 
+  /** `scored`/`th` as shared CTE text (no leading comma). */
+  private val clsTailCtes: String =
+    s"""scored AS (SELECT doc_id, ${predSql(s"cw$ClsIters")} AS score, y AS teacher
+       |           FROM feat CROSS JOIN cw$ClsIters),
+       |th AS (SELECT quantile_cont(score, $KeepQuantile) AS th FROM scored)""".stripMargin
+
   val qualityClassifierSql: String =
     clsCtes +
       s""",
-         |scored AS (SELECT doc_id, ${predSql(s"cw$ClsIters")} AS score, y AS teacher
-         |           FROM feat CROSS JOIN cw$ClsIters),
-         |th AS (SELECT quantile_cont(score, $KeepQuantile) AS th FROM scored)
+         |$clsTailCtes
          |SELECT doc_id, score, teacher, score >= th AS keep
          |FROM scored CROSS JOIN th
          |ORDER BY doc_id""".stripMargin
+
+  /** The full classifier chain extended to a `cls_keep`(doc_id, keep)
+    * decision table — the classifier's vote packaged for composition
+    * into other oracles (Select.ensembleSelectSql). Includes the
+    * leading WITH; every CTE name in the chain (feat, cwN, gN, scored,
+    * th, cls_keep) is unique against Select's tok/dsir/lm family. */
+  private[graft] def clsKeepCtes: String =
+    clsCtes +
+      s""",
+         |$clsTailCtes,
+         |cls_keep AS (SELECT doc_id, score >= th AS keep
+         |             FROM scored CROSS JOIN th)""".stripMargin
 }

@@ -242,18 +242,78 @@ object Select {
       .orderBy($"doc_id")
   }
 
-  /** Shared oracle CTEs: hashed-gram rows `g` (doc_id, lang, source, b)
-    * and the bucket ratio table `r` — mirrors [[gramRows]] +
-    * [[dsirWeightsOf]]'s model. DuckDB's `//` and Spark's `div` agree
-    * (floor = truncation for the non-negative values here). */
-  private val dsirCtes: String = {
-    val train =
-      TextAnalysis.LmTrainSources.map("'" + _ + "'").mkString(", ")
+  /** ENSEMBLE vote — the production pattern of running several
+    * independently-trained selectors and keeping documents by majority
+    * (the FineWeb/Dolma multi-filter stance: no single filter is
+    * trusted alone; agreement is the quality signal). Three votes, one
+    * per trained family in this engine:
+    *
+    *   - `cls_keep`: the GD-distilled quality classifier's top-decile
+    *     budget ([[Classifier.qualityClassifier]]),
+    *   - `dsir_keep`: DSIR's importance-acceptance predicate
+    *     ([[dsirSample]]'s bar, evaluated for every doc),
+    *   - `lm_keep`: not-tail under the CCNet LM bucketing
+    *     ([[lmBuckets]]).
+    *
+    * `selected` = at least 2 of 3. Documents a selector cannot score
+    * (lm needs ≥2 tokens) vote false — abstention is rejection, the
+    * conservative curation default.
+    *
+    * Shape at 100 TB: the three selector plans each collapse to
+    * id+boolean frames (8+1 bytes/doc) before anything joins — the
+    * heavy lifting (GD sweeps, B-row model, LM probe) happens inside
+    * each family exactly as audited for its own query — and the vote
+    * is three id-keyed left joins over the doc spine plus a codegen'd
+    * projection. Production serves all three from persisted artifacts
+    * (materializeModel / materializeRatios / trained bars), making
+    * this a pure scoring pass with zero training scans. */
+  def ensembleSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsPar(spark, dir)
+    val cls = Classifier.qualityClassifier(spark, dir)
+      .select($"doc_id", $"keep".as("cls_keep"))
+    val ds = dsirWeightsOf(docs).select($"doc_id",
+      (k60(concat(lit("dsir:"), $"doc_id".cast("string"))) % RatioScale
+        < $"weight").as("dsir_keep"))
+    val lm = lmBucketsOf(docs).select($"doc_id",
+      ($"bucket" =!= "tail").as("lm_keep"))
+    docs.select($"doc_id")
+      .join(cls, Seq("doc_id"), "left")
+      .join(ds, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"cls_keep", lit(false)).as("cls_keep"),
+        coalesce($"dsir_keep", lit(false)).as("dsir_keep"),
+        coalesce($"lm_keep", lit(false)).as("lm_keep"))
+      .withColumn("votes", $"cls_keep".cast("int")
+        + $"dsir_keep".cast("int") + $"lm_keep".cast("int"))
+      .withColumn("selected", $"votes" >= 2)
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles, built from shared CTE constants (the temperature-mix
+  // lesson: dependent oracles consume the SAME constants, never
+  // string-edit each other). CTE names are unique across the whole
+  // family so any subset composes into one WITH clause.
+  // ---------------------------------------------------------------------
+
+  private val train: String =
+    TextAnalysis.LmTrainSources.map("'" + _ + "'").mkString(", ")
+
+  /** `tok`(doc_id, lang, source, t): the shared tokenization CTE. */
+  private[graft] val tokCte: String =
     s"""tok AS (
        |  SELECT doc_id, lang, source,
        |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
-       |  FROM documents),
-       |g AS (
+       |  FROM documents)""".stripMargin
+
+  /** CTEs `dsg` (hashed-gram rows) → `dsr` (bucket ratios) → `dsw`
+    * (per-doc weights) — mirrors [[gramRows]] + [[dsirWeightsOf]];
+    * assumes `tok` in scope. DuckDB's `//` and Spark's `div` agree
+    * (floor = truncation for the non-negative values here). */
+  private val dsirChain: String =
+    s"""dsg AS (
        |  SELECT doc_id, lang, source,
        |    ('0x' || substr(md5(gram), 1, 15))::BIGINT % $DsirBuckets AS b
        |  FROM (SELECT doc_id, lang, source,
@@ -261,66 +321,98 @@ object Select {
        |            list_transform(range(1, len(t)),
        |              i -> t[i] || chr(1) || t[i + 1]))) AS gram
        |        FROM tok)),
-       |r AS (
+       |dsr AS (
        |  SELECT b, p_b * $RatioScale // q_b AS r_b
        |  FROM (SELECT b, COUNT(*) AS q_b,
        |          COUNT(*) FILTER (WHERE source IN ($train)) AS p_b
-       |        FROM g GROUP BY b)),
-       |w AS (
+       |        FROM dsg GROUP BY b)),
+       |dsw AS (
        |  SELECT doc_id, COUNT(*) AS n_grams,
        |    CAST(SUM(r_b) AS BIGINT) AS sum_ratio,
        |    CAST(SUM(r_b) AS BIGINT) // COUNT(*) AS weight
-       |  FROM g JOIN r USING (b) GROUP BY doc_id)""".stripMargin
-  }
+       |  FROM dsg JOIN dsr USING (b) GROUP BY doc_id)""".stripMargin
+
+  /** The [[dsirSample]] acceptance predicate over `dsw`. */
+  private val dsirAcceptSql: String =
+    s"""('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |        % $RatioScale < weight""".stripMargin
 
   val dsirWeightsSql: String =
-    s"""WITH $dsirCtes
-       |SELECT doc_id, n_grams, sum_ratio, weight FROM w
+    s"""WITH $tokCte,
+       |$dsirChain
+       |SELECT doc_id, n_grams, sum_ratio, weight FROM dsw
        |ORDER BY doc_id""".stripMargin
 
   val dsirSampleSql: String =
-    s"""WITH $dsirCtes
-       |SELECT doc_id, n_grams, sum_ratio, weight FROM w
-       |WHERE ('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-       |        % $RatioScale < weight
+    s"""WITH $tokCte,
+       |$dsirChain
+       |SELECT doc_id, n_grams, sum_ratio, weight FROM dsw
+       |WHERE $dsirAcceptSql
        |ORDER BY doc_id""".stripMargin
 
-  val lmBucketsSql: String = {
-    val train =
-      TextAnalysis.LmTrainSources.map("'" + _ + "'").mkString(", ")
-    s"""WITH tok AS (
-       |  SELECT doc_id, lang, source,
-       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
-       |  FROM documents),
-       |bi AS (
+  /** CTEs `lmbi` (bigram rows) → `lmm` (the LM) → `lmscored` (per-doc
+    * moments + vicile bin) → `lmbars` (per-language cut bins) —
+    * mirrors [[lmBucketsOf]]; assumes `tok` in scope. */
+  private val lmChain: String =
+    s"""lmbi AS (
        |  SELECT doc_id, source, lang, t[i] AS v, t[i + 1] AS w
        |  FROM (SELECT doc_id, lang, source, t, UNNEST(range(1, len(t))) AS i
        |        FROM tok WHERE len(t) >= 2)),
-       |m AS (
-       |  SELECT lang, v, w, COUNT(*) AS c_vw FROM bi
+       |lmm AS (
+       |  SELECT lang, v, w, COUNT(*) AS c_vw FROM lmbi
        |  WHERE source IN ($train) GROUP BY 1, 2, 3),
-       |scored AS (
-       |  SELECT bi.doc_id, bi.lang, COUNT(*) AS n_bigrams,
-       |    CAST(COUNT(m.c_vw) AS BIGINT) AS n_hits,
-       |    CAST(COUNT(m.c_vw) AS BIGINT) * 20 // COUNT(*) AS bin
-       |  FROM bi
-       |  LEFT JOIN m ON bi.lang = m.lang AND bi.v = m.v AND bi.w = m.w
-       |  GROUP BY bi.doc_id, bi.lang),
-       |cum AS (
-       |  SELECT lang, bin, n,
-       |    SUM(n) OVER (PARTITION BY lang ORDER BY bin) AS cumn,
-       |    SUM(n) OVER (PARTITION BY lang) AS tot
-       |  FROM (SELECT lang, bin, COUNT(*) AS n FROM scored GROUP BY 1, 2)),
-       |bars AS (
+       |lmscored AS (
+       |  SELECT lmbi.doc_id, lmbi.lang, COUNT(*) AS n_bigrams,
+       |    CAST(COUNT(lmm.c_vw) AS BIGINT) AS n_hits,
+       |    CAST(COUNT(lmm.c_vw) AS BIGINT) * 20 // COUNT(*) AS bin
+       |  FROM lmbi
+       |  LEFT JOIN lmm ON lmbi.lang = lmm.lang AND lmbi.v = lmm.v AND lmbi.w = lmm.w
+       |  GROUP BY lmbi.doc_id, lmbi.lang),
+       |lmbars AS (
        |  SELECT lang,
        |    MIN(CASE WHEN cumn * 3 >= tot THEN bin END) AS t_bar,
        |    MIN(CASE WHEN cumn * 3 >= tot * 2 THEN bin END) AS h_bar
-       |  FROM cum GROUP BY lang)
+       |  FROM (SELECT lang, bin,
+       |          SUM(n) OVER (PARTITION BY lang ORDER BY bin) AS cumn,
+       |          SUM(n) OVER (PARTITION BY lang) AS tot
+       |        FROM (SELECT lang, bin, COUNT(*) AS n FROM lmscored GROUP BY 1, 2))
+       |  GROUP BY lang)""".stripMargin
+
+  val lmBucketsSql: String =
+    s"""WITH $tokCte,
+       |$lmChain
        |SELECT s.doc_id, s.lang, s.n_bigrams, s.n_hits, s.bin,
        |  CASE WHEN s.bin < b.t_bar THEN 'tail'
        |       WHEN s.bin > b.h_bar THEN 'head'
        |       ELSE 'middle' END AS bucket
-       |FROM scored s JOIN bars b USING (lang)
+       |FROM lmscored s JOIN lmbars b USING (lang)
        |ORDER BY s.doc_id""".stripMargin
-  }
+
+  /** Composes the classifier chain (Classifier.clsKeepCtes, which
+    * carries the WITH) with the tok/dsir/lm chains — every constant
+    * consumed verbatim, nothing string-edited. */
+  val ensembleSelectSql: String =
+    Classifier.clsKeepCtes +
+      s""",
+         |$tokCte,
+         |$dsirChain,
+         |ds_keep AS (SELECT doc_id, $dsirAcceptSql AS keep FROM dsw),
+         |$lmChain,
+         |lm_keep AS (SELECT s.doc_id, s.bin >= b.t_bar AS keep
+         |            FROM lmscored s JOIN lmbars b USING (lang))
+         |SELECT doc_id, cls_keep, dsir_keep, lm_keep, votes,
+         |  votes >= 2 AS selected
+         |FROM (
+         |  SELECT d.doc_id,
+         |    COALESCE(c.keep, FALSE) AS cls_keep,
+         |    COALESCE(k.keep, FALSE) AS dsir_keep,
+         |    COALESCE(l.keep, FALSE) AS lm_keep,
+         |    CAST(COALESCE(c.keep, FALSE) AS INTEGER)
+         |      + CAST(COALESCE(k.keep, FALSE) AS INTEGER)
+         |      + CAST(COALESCE(l.keep, FALSE) AS INTEGER) AS votes
+         |  FROM documents d
+         |  LEFT JOIN cls_keep c USING (doc_id)
+         |  LEFT JOIN ds_keep k USING (doc_id)
+         |  LEFT JOIN lm_keep l USING (doc_id))
+         |ORDER BY doc_id""".stripMargin
 }

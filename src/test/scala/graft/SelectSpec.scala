@@ -166,6 +166,32 @@ class SelectSpec extends SparkSpec {
     assert(r.getLong(3) < Select.RatioScale / 2)
   }
 
+  test("ensemble votes recompose from the three component queries") {
+    val ens = Select.ensembleSelect(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+          r.getInt(4), r.getBoolean(5))).toMap
+    val docs = Tables.documentsPar(spark, sfDir)
+    assert(ens.size == docs.count())
+    val cls = graft.ops.Classifier.qualityClassifier(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val dsirKept = Select.dsirSample(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val lm = Select.lmBuckets(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    ens.foreach { case (id, (c, d, l, votes, sel)) =>
+      assert(c == cls.getOrElse(id, false), s"cls vote diverged for $id")
+      assert(d == dsirKept.contains(id), s"dsir vote diverged for $id")
+      assert(l == lm.get(id).exists(_ != "tail"), s"lm vote diverged for $id")
+      assert(votes == Seq(c, d, l).count(identity))
+      assert(sel == (votes >= 2))
+    }
+    val nSel = ens.values.count(_._5)
+    info(s"selected $nSel/${ens.size} by majority vote")
+    assert(nSel > 0 && nSel < ens.size,
+      "the vote must neither keep nor drop everything on the fixture")
+  }
+
   test("weights and buckets are deterministic across runs") {
     val a = Select.dsirWeights(spark, sfDir).collect().toSeq
     val b = Select.dsirWeights(spark, sfDir).collect().toSeq
