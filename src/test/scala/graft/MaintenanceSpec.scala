@@ -185,4 +185,70 @@ class MaintenanceSpec extends SparkSpec {
       s"cell probe missed the streamed arrival: ${hits.toSeq}")
     assert(hits.forall(_._2 == 1.0))
   }
+
+  test("streaming ingest keeps the durable dedup funnel current via appendToFunnel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // funnel persisted once from the corpus; each arrival micro-batch
+    // is screened against it AND appended into it — the ingest-time
+    // half of the funnel's append/refresh split, symmetric with the
+    // ANN appendToIndex e2e above: every durable artifact this engine
+    // trains (funnel, ANN index, classifier model, DSIR ratios) stays
+    // current from inside a stream
+    val root = Files.createTempDirectory("graftstreamfunnel")
+    val dir = root.resolve("corpus").toString
+    val funnelDir = root.resolve("funnel").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight"),
+      (2L, "red orange yellow green blue indigo violet purple"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    Dedup.persistFunnel(spark, dir, funnelDir, numBuckets = 2)
+    val mem = MemoryStream[(Long, String)]
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // batch 1: near-dup of corpus doc 0 + a novel doc; batch 2 arrives
+    // AFTER 10 is in the funnel and near-dups it — catching that pair
+    // is exactly why the funnel must stay current between batches
+    mem.addData((10L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (11L, "totally fresh words appear nowhere else in this corpus"))
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        val s2 = spark.newSession()
+        s2.conf.set(Dedup.FunnelDirConf, funnelDir)
+        Dedup.incrementalAgainst(Dedup.sharedSigSets(s2, dir), b)
+          .collect().foreach(r => flagged.synchronized {
+            flagged += ((r.getLong(0), r.getLong(1))); () })
+        Dedup.appendToFunnel(spark, dir, funnelDir, b)
+        ()
+      }
+      .start()
+    q.awaitTermination(60000)
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData((20L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val q2 = mem2.toDF().toDF("doc_id", "text").writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        val s2 = spark.newSession()
+        s2.conf.set(Dedup.FunnelDirConf, funnelDir)
+        Dedup.incrementalAgainst(Dedup.sharedSigSets(s2, dir), b)
+          .collect().foreach(r => flagged.synchronized {
+            flagged += ((r.getLong(0), r.getLong(1))); () })
+        Dedup.appendToFunnel(spark, dir, funnelDir, b)
+        ()
+      }
+      .start()
+    q2.awaitTermination(60000)
+    val got = flagged.toSet
+    // batch 1: only (10, 0) — 11 is novel; batch 2: 20 near-dups BOTH
+    // the original corpus doc and the batch-1 arrival now in the funnel
+    assert(got.contains((10L, 0L)), s"first batch missed (10,0): $got")
+    assert(!got.exists(_._1 == 11L), s"novel doc wrongly flagged: $got")
+    assert(got.contains((20L, 0L)) && got.contains((20L, 10L)),
+      s"second batch must hit corpus AND appended docs: $got")
+  }
 }
