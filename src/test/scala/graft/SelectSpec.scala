@@ -192,6 +192,26 @@ class SelectSpec extends SparkSpec {
       "the vote must neither keep nor drop everything on the fixture")
   }
 
+  test("a pool with no target slice degrades deterministically, never errors") {
+    // src9-only corpus: the target distribution is EMPTY. DSIR: every
+    // bucket has p_b = 0, all weights exactly 0, the resample keeps
+    // nothing. CCNet: the LM has no training rows, every doc probes to
+    // bin 0, both bars land on 0, everything is 'middle' (nothing
+    // strictly below/above the only bin) — defined, deterministic
+    // outputs all the way down rather than a divide-by-zero or an
+    // empty-aggregate crash
+    val rows = (0L until 10L)
+      .map(i => (i, TextMix, "en", "src9"))
+    val pool = rows.toDF("doc_id", "text", "lang", "source")
+    val w = Select.dsirWeightsOf(pool)
+    assert(w.count() == 10)
+    assert(w.filter($"weight" =!= 0L).count() == 0)
+    assert(Select.dsirSampleOf(pool).count() == 0)
+    val b = Select.lmBucketsOf(pool).collect()
+    assert(b.length == 10)
+    assert(b.forall(r => r.getLong(4) == 0L && r.getString(5) == "middle"))
+  }
+
   test("weights and buckets are deterministic across runs") {
     val a = Select.dsirWeights(spark, sfDir).collect().toSeq
     val b = Select.dsirWeights(spark, sfDir).collect().toSeq
