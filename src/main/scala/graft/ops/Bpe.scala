@@ -202,6 +202,32 @@ object Bpe {
       .orderBy($"doc_id")
   }
 
+  /** Registered query: per-language FERTILITY of the trained tokenizer
+    * — mean BPE tokens per word, the standard tokenizer-quality metric
+    * (a vocab trained on one language's text fragments the others'
+    * words into more pieces; multilingual tokenizer evals report
+    * exactly this ratio per language). Same vocab-grain join as
+    * [[bpeTokenCount]], collapsed to language grain: the second
+    * aggregate ships (lang, count, sum) — a handful of rows — and the
+    * ratio is one IEEE division (exact-comparable, the hit_rate
+    * convention). */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsPar(spark, dir)
+    val (w, _) = sharedTrain(spark, dir)
+    val enc = w.select($"word", size(split(trim($"s"), "  ")).as("n_syms"))
+    docs.select($"lang",
+      explode(regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0)))
+        .as("word"))
+      .join(enc, Seq("word"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_syms".cast("long")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        $"n_bpe_tokens".cast("double") / $"n_words".cast("double"))
+      .orderBy($"lang")
+  }
+
   /** Registered query: the corpus ENCODED — each document's ordered
     * token-id sequence under the learned vocabulary, plus its length.
     * This is the tokenize-for-training step: ids are the token's
@@ -303,6 +329,20 @@ object Bpe {
          |JOIN enc USING (word)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
+
+  val bpeFertilitySql: String =
+    bpeCtes(NBpeMerges) +
+      s""",
+         |enc AS (SELECT word, len(string_split(trim(s), '  ')) AS n_syms
+         |        FROM w$NBpeMerges)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(SUM(n_syms) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
+         |FROM (SELECT lang, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |      FROM documents) dw
+         |JOIN enc USING (word)
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin
 
   val bpeEncodeSql: String =
     bpeCtes(NBpeMerges) +

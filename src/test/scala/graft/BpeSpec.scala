@@ -124,6 +124,26 @@ class BpeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("fertility aggregates token counts by language and stays >= 1") {
+    import spark.implicits._
+    val f = Bpe.bpeFertility(spark, sfDir).collect()
+    assert(f.nonEmpty)
+    // a word encodes to at least one symbol, so fertility >= 1 always
+    assert(f.forall(r => r.getDouble(3) >= 1.0))
+    // language totals must re-aggregate the per-doc count query exactly
+    val byLang = Bpe.bpeTokenCount(spark, sfDir).as("c")
+      .join(Tables.documentsPar(spark, sfDir).select($"doc_id", $"lang"),
+        "doc_id")
+      .groupBy($"lang")
+      .agg(sum($"n_words").as("w"), sum($"n_bpe_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    f.foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) == byLang(r.getString(0)),
+        s"fertility totals diverge for ${r.getString(0)}")
+    }
+  }
+
   test("bpe_encode agrees with bpe_token_count and round-trips the tiny corpus") {
     import spark.implicits._
     // lengths must agree doc for doc with the count query
