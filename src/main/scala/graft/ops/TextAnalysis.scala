@@ -1379,6 +1379,109 @@ object TextAnalysis {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- Gopher document-format rule cascade -------------------------
+
+  /** Word-count floor/ceiling (Gopher uses 50/100k; the floor is scaled
+    * to the fixture's 10-99-token docs so the rule actually fires). */
+  val GopherMinWords = 30L
+  val GopherMaxWords = 100000L
+  /** Mean-word-length band, symbol-to-word ceiling, alpha-word floor,
+    * distinct-stopword floor — Gopher's published constants except the
+    * stopword floor (2 of our 5-word English list vs 2 of Gopher's 8). */
+  val GopherMinMeanLen = 3.0
+  val GopherMaxMeanLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMinAlphaFrac = 0.8
+  val GopherMinStopDistinct = 2L
+
+  /** GOPHER RULE CASCADE (Rae et al. 2021, arXiv:2112.11446 A1.1) — the
+    * standard pre-model document-format gate, emitted as one row per doc
+    * with every rule's measured value AND boolean so downstream can
+    * audit which rule dropped a document (the Dolma "attributes" stance:
+    * flags, not silent deletion):
+    *
+    *   - r_word_count: [[GopherMinWords]] ≤ words ≤ [[GopherMaxWords]]
+    *   - r_word_len:   mean word length ∈ [3, 10]
+    *   - r_symbol:     ('#' + '...') per word ≤ 0.1
+    *   - r_alpha:      ≥ 80% of words contain a letter
+    *   - r_stopword:   ≥ 2 DISTINCT stopwords present
+    *
+    * keep = every rule passes. A pure per-row projection — no shuffle,
+    * codegen'd, embarrassingly parallel at 100 TB. The two line-grain
+    * Gopher rules (bullet-start, ellipsis-end fractions) live at the
+    * line granularity this fixture's single-line docs never exercise —
+    * [[lineDedup]] owns line semantics; adding degenerate flags here
+    * would pin vacuous truth. Every emitted double is one division of
+    * two exact ints (the bit-identical-oracle convention). Alpha-word
+    * counting rides ONE codegen'd regex over the normalized text (a
+    * token matches iff it contains a letter) instead of a higher-order
+    * `filter` lambda — the [[hitCount]] CodegenFallback lesson. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nt = norm($"text")
+    val t = toks($"text")
+    val nTok = size(t).cast("long")
+    val meanLen = length(regexp_replace(nt, " ", "")).cast("double") /
+      nTok.cast("double")
+    val nHash = (length(nt) - length(regexp_replace(nt, "#", ""))).cast("long")
+    val nEllipsis = size(regexp_extract_all(nt, lit("\\.\\.\\."), lit(0))).cast("long")
+    val symbolRatio = (nHash + nEllipsis).cast("double") / nTok.cast("double")
+    val nAlpha = size(regexp_extract_all(nt, lit("[^ ]*[a-z][^ ]*"), lit(0))).cast("long")
+    val alphaFrac = nAlpha.cast("double") / nTok.cast("double")
+    val enStop = LangStopwords.find(_._1 == "en").get._2
+    val nStop = size(array_intersect(array_distinct(t),
+      lit(enStop.toArray))).cast("long")
+    Tables.documentsPar(spark, dir)
+      .select($"doc_id", nTok.as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
+        nStop.as("n_stop_distinct"))
+      .withColumn("r_word_count",
+        $"n_words".between(GopherMinWords, GopherMaxWords))
+      .withColumn("r_word_len",
+        $"mean_word_len".between(GopherMinMeanLen, GopherMaxMeanLen))
+      .withColumn("r_symbol", $"symbol_ratio" <= GopherMaxSymbolRatio)
+      .withColumn("r_alpha", $"alpha_frac" >= GopherMinAlphaFrac)
+      .withColumn("r_stopword", $"n_stop_distinct" >= GopherMinStopDistinct)
+      .withColumn("keep", $"r_word_count" && $"r_word_len" && $"r_symbol" &&
+        $"r_alpha" && $"r_stopword")
+      .orderBy($"doc_id")
+  }
+
+  val gopherRulesSql: String = {
+    val enStop = LangStopwords.find(_._1 == "en").get._2
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(length(regexp_replace(nt, ' ', '', 'g')) AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+       |    CAST(length(nt) - length(regexp_replace(nt, '#', '', 'g'))
+       |         + len(regexp_extract_all(nt, '\\.\\.\\.')) AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+       |    CAST(len(regexp_extract_all(nt, '[^ ]*[a-z][^ ]*')) AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+       |    CAST(len(list_intersect(list_distinct(toks), [$enStop])) AS BIGINT) AS n_stop_distinct
+       |  FROM base)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+       |  n_stop_distinct,
+       |  n_words BETWEEN $GopherMinWords AND $GopherMaxWords AS r_word_count,
+       |  mean_word_len BETWEEN $GopherMinMeanLen AND $GopherMaxMeanLen AS r_word_len,
+       |  symbol_ratio <= $GopherMaxSymbolRatio AS r_symbol,
+       |  alpha_frac >= $GopherMinAlphaFrac AS r_alpha,
+       |  n_stop_distinct >= $GopherMinStopDistinct AS r_stopword,
+       |  (n_words BETWEEN $GopherMinWords AND $GopherMaxWords)
+       |    AND (mean_word_len BETWEEN $GopherMinMeanLen AND $GopherMaxMeanLen)
+       |    AND symbol_ratio <= $GopherMaxSymbolRatio
+       |    AND alpha_frac >= $GopherMinAlphaFrac
+       |    AND n_stop_distinct >= $GopherMinStopDistinct AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** Mirrors [[decontaminateSpansOf]]: corpus docs only in `base`, the
     * eval set's distinct gram hashes as the offending-gram filter. */
   val decontaminateSpansSql: String = {

@@ -330,4 +330,40 @@ class TextCurateSpec extends SparkSpec {
     val d3 = out(3L)
     assert(d3.getAs[Long]("n_hits") == 0 && d3.getAs[Long]("n_ctx_hits") == 0)
   }
+
+  test("gopher_rules: each rule fails in isolation on a doc built to trip it") {
+    val good = "the solid table stands of heavy wood and is quite strong"
+    val docs = Seq(
+      0L -> Seq.fill(3)(good).mkString(" "),               // all rules pass
+      1L -> "the house of wood",                           // too few words
+      2L -> (Seq.fill(18)("incomprehensibilities the").mkString(" ")
+        + " of is and"),                                   // mean len > 10
+      3L -> (Seq.fill(3)(good).mkString(" ") + " # # # #"),// symbol ratio
+      4L -> (Seq.fill(3)(good).mkString(" ")
+        + " 1234 5678 9012 3456 7890 1234 5678 9012 3456"),// alpha frac
+      5L -> Seq.fill(3)(
+        "solid table stands heavy wood quite strong near door cat")
+        .mkString(" "))                                    // no stopwords
+    val dir = writeDocs(docs)
+    val rows = TextAnalysis.gopherRules(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val ruleCols = Seq("r_word_count", "r_word_len", "r_symbol", "r_alpha",
+      "r_stopword")
+    assert(ruleCols.forall(rows(0L).getAs[Boolean]) &&
+      rows(0L).getAs[Boolean]("keep"))
+    val expectFail = Map(1L -> "r_word_count", 2L -> "r_word_len",
+      3L -> "r_symbol", 4L -> "r_alpha", 5L -> "r_stopword")
+    expectFail.foreach { case (id, failing) =>
+      val r = rows(id)
+      assert(!r.getAs[Boolean](failing), s"doc $id should fail $failing")
+      ruleCols.filterNot(_ == failing).foreach { c =>
+        assert(r.getAs[Boolean](c), s"doc $id should pass $c")
+      }
+      assert(!r.getAs[Boolean]("keep"))
+    }
+    // measured values are the rule inputs, one division of exact ints
+    assert(rows(1L).getAs[Long]("n_words") == 4L)
+    assert(rows(0L).getAs[Long]("n_stop_distinct") == 4L)
+    assert(rows(3L).getAs[Double]("symbol_ratio") == 4.0 / 37.0)
+  }
 }
