@@ -1482,6 +1482,67 @@ object TextAnalysis {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // ---- distinct-n corpus diversity ---------------------------------
+
+  /** N-GRAM DIVERSITY (distinct-1 / distinct-2, Li et al. 2016,
+    * arXiv:1510.03055) — the corpus-level repetition/self-similarity
+    * signal used to flag template-generated or model-generated text
+    * pools: the fraction of n-gram OCCURRENCES that are distinct
+    * n-gram TYPES, per (language, n). A natural corpus sits near the
+    * Heaps-law curve; a synthetic pool collapses toward few types.
+    *
+    * One corpus scan: the per-doc unigram- and bigram-hash arrays are
+    * built in one projection ([[Select.gramRows]]'s shape), tagged with
+    * n, and exploded once — no union-of-scans. The shuffle carries
+    * (lang, n, g) rows where g is the 60-bit md5 key (8 bytes, the
+    * dedup-funnel convention — both engines hash identically so the
+    * DISTINCT count matches the oracle exactly); the distinct
+    * aggregation is Spark's two-phase partial-distinct, so map tasks
+    * dedup locally before anything moves. Exact-distinct is the
+    * oracle-able form; at 100 TB swap `count_distinct` for the
+    * [[Relational.aggHll]] sketch and keep the same dataflow. */
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def k60(cols: Column*): Column =
+      conv(substring(md5(concat_ws("\u0001", cols: _*)), 1, 15), 16, 10)
+        .cast("long")
+    val t = toks($"text")
+    val tagged = concat(
+      transform(t, x => struct(lit(1).as("n"), k60(x).as("g"))),
+      zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (v, w) => struct(lit(2).as("n"), k60(v, w).as("g"))))
+    Tables.documentsPar(spark, dir)
+      .select($"lang", explode(tagged).as("e"))
+      .select($"lang", $"e.n".as("n"), $"e.g".as("g"))
+      .groupBy($"lang", $"n")
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct($"g").as("distinct_ngrams"))
+      .withColumn("diversity",
+        $"distinct_ngrams".cast("double") / $"total_ngrams".cast("double"))
+      .orderBy($"lang", $"n")
+  }
+
+  val ngramDiversitySql: String =
+    """WITH tok AS (
+      |  SELECT lang,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      |  FROM documents),
+      |uni AS (
+      |  SELECT lang, 1 AS n, ('0x' || substr(md5(x), 1, 15))::BIGINT AS g
+      |  FROM (SELECT lang, UNNEST(t) AS x FROM tok)),
+      |bi AS (
+      |  SELECT lang, 2 AS n,
+      |    ('0x' || substr(md5(t[i] || chr(1) || t[i + 1]), 1, 15))::BIGINT AS g
+      |  FROM (SELECT lang, t, UNNEST(range(1, len(t))) AS i
+      |        FROM tok WHERE len(t) >= 2)),
+      |allg AS (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+      |SELECT lang, n, COUNT(*) AS total_ngrams,
+      |  COUNT(DISTINCT g) AS distinct_ngrams,
+      |  CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS diversity
+      |FROM allg GROUP BY lang, n ORDER BY lang, n""".stripMargin
+
   /** Mirrors [[decontaminateSpansOf]]: corpus docs only in `base`, the
     * eval set's distinct gram hashes as the offending-gram filter. */
   val decontaminateSpansSql: String = {

@@ -366,4 +366,29 @@ class TextCurateSpec extends SparkSpec {
     assert(rows(0L).getAs[Long]("n_stop_distinct") == 4L)
     assert(rows(3L).getAs[Double]("symbol_ratio") == 4.0 / 37.0)
   }
+
+  test("ngram_diversity: repeated text collapses distinct-n, varied text does not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftdiv").toString
+    Seq(
+      (0L, "a a a a a a", "rep"),        // 6 uni occurrences, 1 type
+      (1L, "b b b b b b", "rep"),        // 5 identical bigrams each
+      (2L, "one two three four five six", "var"),
+      (3L, "seven eight nine ten eleven twelve", "var")
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("synthetic"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.ngramDiversity(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("n")) -> r).toMap
+    // repetitive pool: 12 unigram occurrences, 2 types
+    assert(rows(("rep", 1)).getAs[Long]("total_ngrams") == 12L)
+    assert(rows(("rep", 1)).getAs[Long]("distinct_ngrams") == 2L)
+    // varied pool: every unigram and bigram is its own type
+    assert(rows(("var", 1)).getAs[Double]("diversity") == 1.0)
+    assert(rows(("var", 2)).getAs[Double]("diversity") == 1.0)
+    // the synthetic-pool signal: rep bigram diversity collapses
+    assert(rows(("rep", 2)).getAs[Long]("total_ngrams") == 10L)
+    assert(rows(("rep", 2)).getAs[Long]("distinct_ngrams") == 2L)
+  }
 }
