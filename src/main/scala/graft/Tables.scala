@@ -72,15 +72,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a long (legacy conf) and convert to a
-    * microsecond TimestampType. The fixture's ns values are all exact
-    * multiples of 1000, so `div 1000` is lossless (verified at sf0.01);
-    * `div` is integral so no double round-trip of ~1.7e18 ns values. */
+  /** `events.ts` has shipped as two physical types across fixture
+    * vintages: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects, so it is read as a long (legacy conf) and
+    * converted (the ns values are exact multiples of 1000, `div 1000`
+    * lossless, integral so no double round-trip of ~1.7e18 ns) — and
+    * plain TIMESTAMP(MICROS) without tz, which Spark infers as
+    * TIMESTAMP_NTZ. Both normalize to the microsecond TimestampType
+    * the rest of the engine (windows, sessionization, date parts) was
+    * audited on; the session timeZone is UTC everywhere, so the
+    * NTZ→LTZ cast preserves wall-clock values and DuckDB-oracle
+    * parity. Dispatch is on the SCHEMA, not the fixture path, so any
+    * warehouse table with either vintage reads correctly. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", expr("cast(ts as timestamp)"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   /** documents, scan-parallelized — the input of every per-row-heavy

@@ -115,11 +115,40 @@ object Classifier {
       .agg(avg(col("se"))).head().getDouble(0)
   }
 
+  /** Session-shared trained probe for the corpus at `dir` — ONE fit per
+    * (session, corpus), consumed by classifier_weights,
+    * quality_classifier and ensemble_select (the [[Bpe.sharedTrain]]
+    * pattern and its corpus-version contract: a session that rewrites
+    * the corpus in place must go through [[Dedup.invalidate]], which
+    * chains to [[invalidate]]). Returns (checkpointed feature frame,
+    * trained 1-row weight frame); both sit behind lazily-materialized
+    * localCheckpoints, so the first consumer absorbs the GD sweeps and
+    * every later one serves from cached blocks. */
+  def sharedFit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val xv = "graft_cls_x_" + suffix
+    val wv = "graft_cls_w_" + suffix
+    if (!spark.catalog.tableExists(xv) || !spark.catalog.tableExists(wv)) {
+      val (x, w) = fitAt(Tables.documentsPar(spark, dir), ClsIters)
+      x.createOrReplaceTempView(xv)
+      w.createOrReplaceTempView(wv)
+    }
+    (spark.table(xv), spark.table(wv))
+  }
+
+  /** Drop the session-shared fit for the corpus at `dir` (called from
+    * [[Dedup.invalidate]], the corpus-rewrite entry point). */
+  def invalidate(spark: SparkSession, dir: String): Unit = synchronized {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    Seq("graft_cls_x_", "graft_cls_w_")
+      .foreach(p => spark.catalog.dropTempView(p + suffix))
+  }
+
   /** Registered query: the trained weights in row form (feature name,
     * weight) — the shippable model artifact. */
   def classifierWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (_, w) = fitAt(Tables.documentsPar(spark, dir), ClsIters)
+    val (_, w) = sharedFit(spark, dir)
     w.select(explode(array(FeatNames.zipWithIndex.map { case (n, j) =>
       struct(lit(n).as("feature"), col(s"w$j").as("weight"))
     }: _*)).as("fw"))
@@ -145,7 +174,7 @@ object Classifier {
     * here so the oracle hash-matches. */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (x, w) = fitAt(Tables.documentsPar(spark, dir), ClsIters)
+    val (x, w) = sharedFit(spark, dir)
     val scored = x.crossJoin(broadcast(w))
       .select($"doc_id", predExpr.as("score"), $"y".as("teacher"))
       .localCheckpoint(eager = false)
