@@ -305,6 +305,7 @@ object Dedup {
     // materialization (ADVICE r6)
     Similarity.invalidate(spark, dir)
     Bpe.invalidate(spark, dir)
+    Pq.invalidate(spark, dir)
   }
 
   // ---------------------------------------------------------------------

@@ -107,7 +107,7 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  private def bucketSql(v: String): String = {
+  private[ops] def bucketSql(v: String): String = {
     val bits = (0 until NumPlanes).map { j =>
       s"CASE WHEN list_reduce(list_transform(range(0, 64), i -> " +
         s"(CASE WHEN strpos('89abcdef', substr(md5('$j:' || CAST(i AS VARCHAR)), 1, 1)) > 0 " +
@@ -421,7 +421,7 @@ object Similarity {
   /** The exact-mean SQL expression (x must already be DOUBLE); the
     * VARCHAR route makes DuckDB parse the same shortest-repr decimal
     * Spark does — see Relational.q1AggSql. */
-  private def davgSql(x: String): String =
+  private[ops] def davgSql(x: String): String =
     s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / COUNT($x)"
 
   /** Shared DuckDB CTE: per-(label, 1-based pos) exact centroid means. */
