@@ -415,4 +415,205 @@ object Select {
          |  LEFT JOIN ds_keep k USING (doc_id)
          |  LEFT JOIN lm_keep l USING (doc_id))
          |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // DoReMi-style domain mixture reweighting (Xie et al. 2023,
+  // arXiv:2305.10429; the reweighting step is Group-DRO, Sagawa et al.
+  // 2020). DoReMi trains a proxy model under Group-DRO so domains where
+  // the proxy's EXCESS loss is high get upweighted, then reuses the
+  // learned domain weights to sample the real pretraining mix. Here the
+  // per-domain loss is a fixed rational proxy (mean inverse relative
+  // token frequency — a perplexity-flavored quantity in the tokenRarity
+  // no-transcendentals convention) and the reweighting loop is
+  // LINEARIZED multiplicative weights: w ← w·(1 + η·(L_d − L̄)/L̄)
+  // with L̄ = Σ_d w_d·L_d the current-mixture reference. The paper's
+  // exponentiated-gradient exp(η·excess) is replaced by its first-order
+  // expansion because exp() is transcendental and the last ulp differs
+  // across libms — same fixed point (excess = 0 for all d), same
+  // upweight-the-hard-domains dynamics, bit-stable in both engines.
+
+  /** Mixture sweeps — fixed and unrolled (the kmeans convention);
+    * MixtureSpec pins that the max-loss domain's weight grows
+    * monotonically and the trajectory has settled by the budget. */
+  val MixSweeps = 5
+
+  /** Learning rate. With relative excess e = (L−L̄)/L̄ ∈ (−1, ∞) the
+    * multiplier 1 + η·e stays positive for any η ≤ 1. */
+  val MixEta = 0.5
+
+  /** 2^60 as an exact double — the denominator that maps the 60-bit
+    * salted hash onto [0, 1) for the acceptance test. */
+  private val Hash60Den = 1152921504606846976.0
+
+  /** Per-doc rational LM-loss proxy: T·n_tokens/Σfreq = the inverse of
+    * the doc's mean relative token frequency (≥ 1; rare-token-heavy
+    * docs score high). The tokenRarity two-pass shape: full-vocab
+    * frequency table (shuffle hash join, the AQE-skew case), per-doc
+    * 24-byte aggregate, corpus-total token count folded in as a 1-row
+    * broadcast. T·n_tokens stays in BIGINT — exact here; a
+    * trillion-token corpus widens the product to DECIMAL(38,0), the
+    * dataflow unchanged. */
+  private def docLossRows(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tokRows = docs.select($"doc_id", $"source",
+      explode(TextAnalysis.toks($"text")).as("tok"))
+    val freq = tokRows.groupBy($"tok").agg(count(lit(1)).as("freq"))
+    val per = tokRows.join(freq, "tok")
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_tokens"), sum($"freq").as("sum_freq"))
+    val tot = per.agg(sum($"n_tokens").as("t_tok"))
+    per.crossJoin(broadcast(tot))
+      .select($"doc_id", $"source",
+        (($"t_tok" * $"n_tokens").cast("double") /
+          $"sum_freq".cast("double")).as("ldoc"))
+  }
+
+  /** Per-domain loss table: (source, n_docs, loss) with loss the EXACT
+    * decimal mean of the per-doc proxy — order-independent, so the
+    * trained weights are bit-identical across engines and partition
+    * orders (the Classifier gradient convention). D rows total; every
+    * sweep below runs at DOMAIN grain — the corpus is scanned for the
+    * loss table once and never again. */
+  private def domainRows(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docLossRows(docs)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), graft.Exact.davg($"ldoc").as("loss"))
+  }
+
+  /** Seed + `sweeps` multiplicative-weight updates over the D-row
+    * domain table: (source, n_docs, loss, w). Both per-sweep reductions
+    * (L̄ and the normalizer Z) ride the exact DECIMAL accumulator, so
+    * the D-way sums are order-independent; everything else is per-row
+    * IEEE arithmetic mirrored operation-for-operation in the oracle.
+    * Test seam: MixtureSpec sweeps 0..MixSweeps. */
+  private[graft] def mixWeightRowsAt(docs: DataFrame, sweeps: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val dom = domainRows(docs).localCheckpoint(eager = false)
+    val nTot = dom.agg(sum($"n_docs").as("nn"))
+    val init = dom.crossJoin(broadcast(nTot))
+      .select($"source", $"n_docs", $"loss",
+        ($"n_docs".cast("double") / $"nn".cast("double")).as("w"))
+    (0 until sweeps).foldLeft(init) { (cur, _) =>
+      val cp = cur.localCheckpoint(eager = false)
+      val lbar = cp.agg(graft.Exact.dsum($"w" * $"loss").as("lbar"))
+      val raw = cp.crossJoin(broadcast(lbar))
+        .select($"source", $"n_docs", $"loss",
+          ($"w" * (lit(1.0) + lit(MixEta) *
+            (($"loss" - $"lbar") / $"lbar"))).as("rw"))
+        .localCheckpoint(eager = false)
+      val z = raw.agg(graft.Exact.dsum($"rw").as("z"))
+      raw.crossJoin(broadcast(z))
+        .select($"source", $"n_docs", $"loss", ($"rw" / $"z").as("w"))
+    }
+  }
+
+  /** Registered query: the trained domain mixture — per source, its
+    * doc count, rational loss proxy, and Group-DRO weight after
+    * [[MixSweeps]] sweeps. Harder-than-average domains end above their
+    * natural share, easier ones below — DoReMi's "don't let the easy
+    * web crawl drown the hard domains" effect, derived not asserted. */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame =
+    mixWeightsOf(Tables.documentsPar(spark, dir))
+
+  /** [[mixWeights]] over an arbitrary frame — the test seam. */
+  def mixWeightsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    mixWeightRowsAt(docs, MixSweeps)
+      .select($"source", $"n_docs", $"loss", $"w".as("weight"))
+      .orderBy($"source")
+  }
+
+  /** Registered query: the trained mixture MATERIALIZED as a resampled
+    * corpus. Per-domain acceptance rate = (w_d/n_d) normalized so the
+    * binding domain (highest weight per available doc) keeps
+    * everything; acceptance is the deterministic salted hash of
+    * [[dsirSample]] — re-derivable anywhere, stable under corpus
+    * growth, exact in the oracle. A pure per-row predicate over a
+    * broadcast D-row rate table: no extra shuffle, no stored sample. */
+  def mixSample(spark: SparkSession, dir: String): DataFrame =
+    mixSampleOf(Tables.documentsPar(spark, dir))
+
+  /** [[mixSample]] over an arbitrary frame — the test seam. */
+  def mixSampleOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val rate0 = mixWeightRowsAt(docs, MixSweeps)
+      .select($"source", ($"w" / $"n_docs".cast("double")).as("r0"))
+    val rmax = rate0.agg(max($"r0").as("rmax"))
+    val rates = rate0.crossJoin(broadcast(rmax))
+      .select($"source", ($"r0" / $"rmax").as("rate"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter((k60(concat(lit("mix:"), $"doc_id".cast("string")))
+        .cast("double") / lit(Hash60Den)) < $"rate")
+      .select($"doc_id", $"source", $"rate")
+      .orderBy($"doc_id")
+  }
+
+  // DuckDB oracle: the identical unrolled chain as CTEs.
+
+  /** Exact-decimal sum of a double expression (davgSql without the
+    * count division — see Similarity.davgSql for the VARCHAR route). */
+  private def dsumSql(x: String): String =
+    s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)"
+
+  private def mixCtes: String = {
+    // AS MATERIALIZED on every multiply-referenced CTE: DuckDB 1.0
+    // inlines CTEs by default, and the sweep recurrence references
+    // mixw_i / mixraw_i twice each — inlining makes evaluation cost
+    // grow ~3^sweeps (measured: sweep 3 = 1.5 s, sweep 4 = 24 s at
+    // sf0.001). Materialization restores the linear chain the Spark
+    // side's per-sweep localCheckpoints express.
+    val davg = (x: String) => s"${dsumSql(x)} / COUNT($x)"
+    val seed =
+      s"""mixtok AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    UNNEST(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+         |  FROM documents),
+         |mixfreq AS (SELECT tok, COUNT(*) AS freq FROM mixtok GROUP BY tok),
+         |mixdoc AS (
+         |  SELECT doc_id, source, COUNT(*) AS n_tokens,
+         |    CAST(SUM(freq) AS BIGINT) AS sum_freq
+         |  FROM mixtok JOIN mixfreq USING (tok)
+         |  GROUP BY doc_id, source),
+         |mixtot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_tok FROM mixdoc),
+         |mixldoc AS (
+         |  SELECT doc_id, source,
+         |    CAST(t_tok * n_tokens AS DOUBLE) / CAST(sum_freq AS DOUBLE) AS ldoc
+         |  FROM mixdoc, mixtot),
+         |mixdom AS (
+         |  SELECT source, COUNT(*) AS n_docs, ${davg("ldoc")} AS loss
+         |  FROM mixldoc GROUP BY source),
+         |mixn AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn FROM mixdom),
+         |mixw0 AS MATERIALIZED (
+         |  SELECT source, n_docs, loss,
+         |    CAST(n_docs AS DOUBLE) / CAST(nn AS DOUBLE) AS w
+         |  FROM mixdom, mixn)""".stripMargin
+    def sweepBlock(i: Int): String =
+      s"""mixlbar$i AS (SELECT ${dsumSql("w * loss")} AS lbar FROM mixw$i),
+         |mixraw$i AS MATERIALIZED (
+         |  SELECT source, n_docs, loss,
+         |    w * (1.0 + $MixEta * ((loss - lbar) / lbar)) AS rw
+         |  FROM mixw$i, mixlbar$i),
+         |mixz$i AS (SELECT ${dsumSql("rw")} AS z FROM mixraw$i),
+         |mixw${i + 1} AS MATERIALIZED (
+         |  SELECT source, n_docs, loss, rw / z AS w FROM mixraw$i, mixz$i)""".stripMargin
+    (seed +: (0 until MixSweeps).map(sweepBlock)).mkString(",\n")
+  }
+
+  val mixWeightsSql: String =
+    s"""WITH $mixCtes
+       |SELECT source, n_docs, loss, w AS weight FROM mixw$MixSweeps
+       |ORDER BY source""".stripMargin
+
+  val mixSampleSql: String =
+    s"""WITH $mixCtes,
+       |mixrate0 AS MATERIALIZED (
+       |  SELECT source, w / CAST(n_docs AS DOUBLE) AS r0 FROM mixw$MixSweeps),
+       |mixrmax AS (SELECT MAX(r0) AS rmax FROM mixrate0),
+       |mixrates AS (SELECT source, r0 / rmax AS rate FROM mixrate0, mixrmax)
+       |SELECT d.doc_id, d.source, r.rate
+       |FROM documents d JOIN mixrates r ON d.source = r.source
+       |WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+       |      / 1152921504606846976.0 < r.rate
+       |ORDER BY d.doc_id""".stripMargin
 }

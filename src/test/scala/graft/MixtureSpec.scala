@@ -1,0 +1,84 @@
+package graft
+
+import graft.ops.Select
+import org.apache.spark.sql.DataFrame
+
+/** Mixture-reweighting dynamics beyond the oracle's exact-value checks:
+  * the Group-DRO tilt direction, its monotonicity in the sweep count,
+  * the fixed point, and the materialized sample's composition shift. */
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs: DataFrame = Tables.documentsPar(spark, sfDir)
+
+  test("mix_weights: a proper distribution tilted toward the hard domains") {
+    val rows = Select.mixWeights(spark, sfDir).collect()
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-9, s"weights must sum to 1, got $wsum")
+    assert(rows.forall(_.getAs[Double]("weight") > 0.0))
+    // natural share vs trained weight: the max-loss domain must sit
+    // ABOVE its doc share, the min-loss domain below — the Group-DRO
+    // direction, measured not asserted
+    val n = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val byLoss = rows.sortBy(_.getAs[Double]("loss"))
+    val hard = byLoss.last
+    val easy = byLoss.head
+    val hardShare = hard.getAs[Long]("n_docs") / n
+    val easyShare = easy.getAs[Long]("n_docs") / n
+    info(f"hard ${hard.getAs[String]("source")}: share $hardShare%.3f -> " +
+      f"w ${hard.getAs[Double]("weight")}%.3f; easy ${easy.getAs[String]("source")}: " +
+      f"share $easyShare%.3f -> w ${easy.getAs[Double]("weight")}%.3f")
+    assert(hard.getAs[Double]("weight") > hardShare,
+      "max-loss domain must be upweighted past its natural share")
+    assert(easy.getAs[Double]("weight") < easyShare,
+      "min-loss domain must be downweighted below its natural share")
+  }
+
+  test("mix sweep: the hard domain's weight grows monotonically with the budget") {
+    // MW with a fixed loss table drifts toward the max-loss domain —
+    // the sweep count is a TEMPER knob (how hard to tilt), not a
+    // convergence claim; DoReMi likewise fixes total reweighting steps.
+    // Pin the monotone direction so the knob's meaning is tested.
+    val traj = (0 to Select.MixSweeps).map { t =>
+      val rows = Select.mixWeightRowsAt(docs, t).collect()
+      rows.maxBy(_.getAs[Double]("loss")).getAs[Double]("w")
+    }
+    info("hard-domain weight by sweep: " +
+      traj.zipWithIndex.map { case (w, i) => f"$i:$w%.4f" }.mkString(", "))
+    traj.sliding(2).foreach { case Seq(a, b) =>
+      assert(b > a, f"hard-domain weight must grow each sweep ($a%.5f -> $b%.5f)")
+    }
+  }
+
+  test("mix fixed point: a single-domain corpus keeps weight 1 and samples whole") {
+    val one = docs.filter($"source" === docs.select($"source").first().getString(0))
+    val w = Select.mixWeightsOf(one).collect()
+    assert(w.length == 1)
+    assert(math.abs(w.head.getAs[Double]("weight") - 1.0) < 1e-12,
+      "uniform excess must leave the trivial mixture unchanged")
+    val kept = Select.mixSampleOf(one).count()
+    assert(kept == one.count(),
+      "rate 1.0 for the binding domain must keep every document")
+  }
+
+  test("mix_sample: composition shifts toward the hard domain; binding domain kept whole") {
+    val weights = Select.mixWeights(spark, sfDir).collect()
+    val hardSrc = weights.maxBy(_.getAs[Double]("loss")).getAs[String]("source")
+    val sample = Select.mixSample(spark, sfDir)
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val raw = docs.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rawShare = raw(hardSrc).toDouble / raw.values.sum
+    val samShare = sample(hardSrc).toDouble / sample.values.sum
+    info(f"hard domain $hardSrc: raw share $rawShare%.3f -> sampled $samShare%.3f")
+    assert(samShare > rawShare,
+      "resampling must shift composition toward the upweighted domain")
+    // the binding domain (max w/n) has rate 1.0 — no doc of it is lost
+    val binding = weights
+      .maxBy(r => r.getAs[Double]("weight") / r.getAs[Long]("n_docs"))
+      .getAs[String]("source")
+    assert(sample(binding) == raw(binding),
+      s"binding domain $binding must survive intact (rate 1.0)")
+  }
+}
