@@ -273,6 +273,106 @@ object Pq {
   }
 
   // ---------------------------------------------------------------------
+  // Persisted IVF-PQ index: the serving-path form of [[annIvfPq]]'s
+  // plan (the Similarity.persistIndexTrained convention applied to PQ
+  // codes). The stored table is (vec_id, label, codes[PqM]) partitioned
+  // by the coarse sign-LSH bucket; the codebooks persist BESIDE the
+  // lists under `_codebooks` — they are the quantizer's identity:
+  // queries build their ADC tables against them and arrival batches
+  // must encode under the SAME codebooks the lists were built with.
+  // At 100 TB this table IS the ANN deployment: M bytes/vector + the
+  // bucket partition key, served without ever scanning an embedding.
+
+  /** Build the IVF-PQ index for the corpus at `dir` under `outDir`. */
+  def persistPqIndex(spark: SparkSession, dir: String, outDir: String): Unit = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", Similarity.lshBucket($"embedding"))
+    val cents = centsOfRows(sharedPqRows(spark, dir))
+    assignCodes(subVecs(emb), cents)
+      .groupBy($"vec_id")
+      .agg(max($"label").as("label"),
+        transform(array_sort(collect_list(struct($"sub", $"code"))),
+          p => p("code")).as("codes"))
+      .join(emb.select($"vec_id", $"bucket"), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_codebooks")
+  }
+
+  /** The codebooks persisted with a [[persistPqIndex]] index —
+    * (sub, cluster, cv), M×Ks rows, driver-sized. */
+  def loadCodebooks(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/_codebooks")
+
+  /** VecDot's exact fold, replicated driver-side for the query-time
+    * lookup tables: s = 0.0; s += (double)a[i]*(double)b[i] in index
+    * order — bit-identical to the in-plan scoring, so the served
+    * scores equal [[annIvfPq]]'s exactly. */
+  private def dotDriver(a: IndexedSeq[Float], b: IndexedSeq[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Top-k ADC search against a [[persistPqIndex]] table. The caller
+    * supplies the probe buckets (the searchIndex contract); only those
+    * partitions are listed, opened, or decoded. The per-query lookup
+    * tables are M×Ks doubles computed driver-side against the stored
+    * codebooks (one vector's arithmetic — the searchIndexTrained
+    * "driver-sized" stance) and enter the scan as two map literals;
+    * scoring is one codegen'd fixed-order fold per stored row over its
+    * M codes. Nothing but the probed code partitions is read. */
+  def searchPqIndex(spark: SparkSession, indexDir: String,
+      query: Array[Float], probeBuckets: Seq[Long], k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val books = loadCodebooks(spark, indexDir).collect()
+    val qn2 = dotDriver(query, query)
+    val lutPd = books.map { r =>
+      val sub = r.getAs[Int]("sub")
+      val cv = r.getAs[Seq[Float]]("cv").toIndexedSeq
+      val qsv = query.slice(sub * PqSubDim, (sub + 1) * PqSubDim).toIndexedSeq
+      (sub.toLong * PqKs + r.getAs[Long]("cluster"), dotDriver(qsv, cv))
+    }.toMap
+    val lutPn = books.map { r =>
+      val cv = r.getAs[Seq[Float]]("cv").toIndexedSeq
+      (r.getAs[Int]("sub").toLong * PqKs + r.getAs[Long]("cluster"),
+        dotDriver(cv, cv))
+    }.toMap
+    val pd = typedlit(lutPd)
+    val pn = typedlit(lutPn)
+    def fold(m: Column): Column =
+      aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, mm) =>
+        acc + element_at(m, mm.cast("long") * PqKs +
+          element_at($"codes", mm + 1)))
+    spark.read.parquet(indexDir)
+      .filter($"bucket".isin(probeBuckets: _*))
+      .select($"vec_id", $"label",
+        (fold(pd) / sqrt(fold(pn) * lit(qn2))).as("score"))
+      .orderBy($"score".desc, $"vec_id")
+      .limit(k)
+  }
+
+  /** Append an arrival batch of (vec_id, embedding, label) rows to a
+    * persisted index IN PLACE: encode under the PERSISTED codebooks
+    * (never retrained at ingest — the appendToIndex/refreshFunnel
+    * split), bucket, and append to the cell partitions. Probes see the
+    * new codes immediately. Caller guarantees new vec_ids. */
+  def appendToPqIndex(spark: SparkSession, indexDir: String,
+      batch: DataFrame): Unit = {
+    import spark.implicits._
+    val cents = loadCodebooks(spark, indexDir)
+    assignCodes(subVecs(batch), cents)
+      .groupBy($"vec_id")
+      .agg(max($"label").as("label"),
+        transform(array_sort(collect_list(struct($"sub", $"code"))),
+          p => p("code")).as("codes"))
+      .join(batch.select($"vec_id",
+        Similarity.lshBucket($"embedding").as("bucket")), Seq("vec_id"))
+      .write.mode("append").partitionBy("bucket").parquet(indexDir)
+  }
+
+  // ---------------------------------------------------------------------
   // DuckDB oracle: the identical unrolled chain as CTEs (the
   // Similarity.kmeansCtes convention, with the subspace key threaded
   // through every block).

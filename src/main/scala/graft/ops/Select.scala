@@ -535,18 +535,40 @@ object Select {
     mixSampleOf(Tables.documentsPar(spark, dir))
 
   /** [[mixSample]] over an arbitrary frame — the test seam. */
-  def mixSampleOf(docs: DataFrame): DataFrame = {
+  def mixSampleOf(docs: DataFrame): DataFrame =
+    sampleWithRates(docs, mixRatesOf(docs)).orderBy("doc_id")
+
+  /** The trained mixture's D-row acceptance-rate table:
+    * (source, rate ∈ (0, 1]), rate = (w_d/n_d)/max_e(w_e/n_e) so the
+    * binding domain keeps everything. */
+  private def mixRatesOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val rate0 = mixWeightRowsAt(docs, MixSweeps)
       .select($"source", ($"w" / $"n_docs".cast("double")).as("r0"))
     val rmax = rate0.agg(max($"r0").as("rmax"))
-    val rates = rate0.crossJoin(broadcast(rmax))
+    rate0.crossJoin(broadcast(rmax))
       .select($"source", ($"r0" / $"rmax").as("rate"))
+  }
+
+  /** Persist the trained mixture as its D-row rate table — the model
+    * artifact of the mixture family (the materializeRatios convention):
+    * train once per corpus version, serve every later job from D rows. */
+  def materializeMixRates(spark: SparkSession, dir: String,
+      outDir: String): Unit =
+    mixRatesOf(Tables.documentsPar(spark, dir))
+      .coalesce(1).write.mode("overwrite").parquet(outDir)
+
+  /** Apply a rate table to an arbitrary (doc_id, source) frame — batch
+    * OR STREAMING: the D-row table enters by broadcast (stream-static,
+    * stateless — no watermark, no aggregation state) and acceptance is
+    * the same pure salted-hash predicate as [[mixSampleOf]], so a
+    * streamed document's fate is bit-identical to the batch query's. */
+  def sampleWithRates(docs: DataFrame, rates: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     docs.join(broadcast(rates), Seq("source"))
       .filter((k60(concat(lit("mix:"), $"doc_id".cast("string")))
         .cast("double") / lit(Hash60Den)) < $"rate")
       .select($"doc_id", $"source", $"rate")
-      .orderBy($"doc_id")
   }
 
   // DuckDB oracle: the identical unrolled chain as CTEs.

@@ -61,6 +61,31 @@ class MixtureSpec extends SparkSpec {
       "rate 1.0 for the binding domain must keep every document")
   }
 
+  test("serving path: persisted rates sample a STREAM bit-identically to the batch query") {
+    val root = java.nio.file.Files.createTempDirectory("graftmixrates")
+    val ratesDir = root.resolve("rates").toString
+    Select.materializeMixRates(spark, sfDir, ratesDir)
+    val rates = spark.read.parquet(ratesDir)
+    val want = Select.mixSample(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val rows = docs.select($"doc_id", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    mem.addData(rows.toSeq)
+    val q = Select.sampleWithRates(
+      mem.toDF.toDF("doc_id", "source"), rates)
+      .writeStream.format("memory").queryName("mix_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("mix_stream").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == want,
+      s"streamed keep set/rates diverged: ${got.size} vs ${want.size} docs")
+  }
+
   test("mix_sample: composition shifts toward the hard domain; binding domain kept whole") {
     val weights = Select.mixWeights(spark, sfDir).collect()
     val hardSrc = weights.maxBy(_.getAs[Double]("loss")).getAs[String]("source")

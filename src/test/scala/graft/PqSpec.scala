@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.{Pq, Similarity}
+import org.apache.spark.sql.functions.lit
 
 /** Product-quantization quality beyond the oracle's exact-value checks:
   * the trained budget is justified by a measured reconstruction-error
@@ -63,6 +64,60 @@ class PqSpec extends SparkSpec {
     // from codes; measured, not assumed.
     assert(reranked == truth,
       s"rerank $reranked diverged from fp32 probed ranking $truth")
+  }
+
+  test("persisted IVF-PQ index serves the registered query's results exactly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftpqidx")
+    val idx = root.resolve("pqindex").toString
+    Pq.persistPqIndex(spark, sfDir, idx)
+    val emb = Tables.embeddings(spark, sfDir)
+    val q0 = emb.filter($"vec_id" === 0)
+      .select($"embedding", Similarity.lshBucket($"embedding").as("b")).head()
+    val query = q0.getAs[Seq[Float]]("embedding").toArray
+    val qb = q0.getAs[Long]("b")
+    val probes = (0L until (1L << Similarity.NumPlanes))
+      .filter(b => java.lang.Long.bitCount(b ^ qb) <= Similarity.ProbeRadius)
+    val served = Pq.searchPqIndex(spark, idx, query, probes, k = 6)
+    // the probed partitions are the only ones read — partition pruning
+    // in the plan, the searchIndex contract
+    val scan = served.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), s"expected pruned scan in:\n$scan")
+    // the index stores the whole corpus including the query vector
+    // (vec 0) while the registered query excludes it — search one
+    // deeper, drop vec 0, and the top-5 must match ann_ivf_pq
+    // bit-for-bit (same codes, same driver-side LUT arithmetic)
+    val want = Pq.annIvfPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val got = served.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .filterNot(_._1 == 0L).take(5).toSeq
+    assert(got == want, s"served ranking diverged:\n$got\nvs\n$want")
+  }
+
+  test("index append: arrivals encode under the persisted codebooks and are served") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftpqapp")
+    val idx = root.resolve("pqindex").toString
+    Pq.persistPqIndex(spark, sfDir, idx)
+    val emb = Tables.embeddings(spark, sfDir)
+    // append a twin of vec 7 under a fresh id: the persisted quantizer
+    // must give it exactly vec 7's codes (quantizer identity — the
+    // _codebooks contract), and a probe of its bucket must return it
+    val twinSrc = emb.filter($"vec_id" === 7)
+    val batch = twinSrc.select(lit(900001L).as("vec_id"), $"embedding", $"label")
+    Pq.appendToPqIndex(spark, idx, batch)
+    val stored = spark.read.parquet(idx)
+    val codesOf = stored.filter($"vec_id".isin(7L, 900001L))
+      .select($"vec_id", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(codesOf(900001L) == codesOf(7L),
+      "identical vectors must encode to identical codes under the persisted codebooks")
+    val tb = twinSrc.select(Similarity.lshBucket($"embedding")).head().getLong(0)
+    val q7 = twinSrc.head().getAs[Seq[Float]]("embedding").toArray
+    val hits = Pq.searchPqIndex(spark, idx, q7, Seq(tb), k = 4)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(900001L), s"appended twin not served from its cell: $hits")
   }
 
   test("pq views invalidate with the corpus (Dedup.invalidate contract)") {
