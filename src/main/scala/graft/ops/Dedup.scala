@@ -306,6 +306,8 @@ object Dedup {
     Similarity.invalidate(spark, dir)
     Bpe.invalidate(spark, dir)
     Pq.invalidate(spark, dir)
+    Classifier.invalidate(spark, dir)
+    Select.invalidate(spark, dir)
   }
 
   // ---------------------------------------------------------------------

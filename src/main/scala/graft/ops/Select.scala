@@ -100,19 +100,40 @@ object Select {
     * gram rows. Corpus scanned twice (model + probe), the tokenRarity
     * two-pass shape; a production run persists the B-row model per
     * corpus version and the probe is then a single scan. */
-  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
-    dsirWeightsOf(Tables.documentsPar(spark, dir))
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sharedDsirRows(spark, dir).orderBy($"doc_id")
+  }
 
   /** [[dsirWeights]] over an arbitrary (doc_id, text, lang, source)
     * frame — the test seam. */
   def dsirWeightsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    dsirWeightRowsOf(docs).orderBy($"doc_id")
+  }
+
+  /** [[dsirWeightsOf]] without the terminal sort — the frame the
+    * session-shared view checkpoints. */
+  private def dsirWeightRowsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     gramRows(docs).join(broadcast(ratiosOf(docs)), "b")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"), sum($"r_b").as("sum_ratio"))
       .select($"doc_id", $"n_grams", $"sum_ratio",
         expr("sum_ratio div n_grams").as("weight"))
-      .orderBy($"doc_id")
+  }
+
+  /** Session-shared per-doc DSIR weight frame for the corpus at `dir`
+    * — ONE model build + probe per (session, corpus), the
+    * [[Classifier.sharedFit]] convention, consumed by `dsir_weights`,
+    * `dsir_sample`, and `ensemble_select`; dropped by [[invalidate]]
+    * from the [[Dedup.invalidate]] corpus-rewrite entry point. */
+  private def sharedDsirRows(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val view = "graft_dsir_w_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!spark.catalog.tableExists(view))
+      dsirWeightRowsOf(Tables.documentsPar(spark, dir))
+        .localCheckpoint(eager = false).createOrReplaceTempView(view)
+    spark.table(view)
   }
 
   /** The trained DSIR model: the B-row (b, r_b) bucket-ratio table —
@@ -174,15 +195,18 @@ object Select {
     * oracle. A pure per-row predicate over [[dsirWeights]]' plan: no
     * extra shuffle, no stored sample table. */
   def dsirSample(spark: SparkSession, dir: String): DataFrame =
-    dsirSampleOf(Tables.documentsPar(spark, dir))
+    dsirAcceptOf(sharedDsirRows(spark, dir))
 
   /** [[dsirSample]] over an arbitrary frame — the test seam. */
-  def dsirSampleOf(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    dsirWeightsOf(docs)
-      .filter(
-        k60(concat(lit("dsir:"), $"doc_id".cast("string"))) % RatioScale
-          < $"weight")
+  def dsirSampleOf(docs: DataFrame): DataFrame =
+    dsirAcceptOf(dsirWeightRowsOf(docs))
+
+  /** The acceptance predicate over a weight-rows frame. */
+  private def dsirAcceptOf(rows: DataFrame): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.filter(
+      k60(concat(lit("dsir:"), $"doc_id".cast("string"))) % RatioScale
+        < $"weight")
       .orderBy($"doc_id")
   }
 
@@ -210,21 +234,42 @@ object Select {
     * combined into ≤21 rows per language; bars come back as a broadcast
     * join. No per-language sort of the corpus anywhere. */
   def lmBuckets(spark: SparkSession, dir: String): DataFrame =
-    lmBucketsOf(Tables.documentsPar(spark, dir))
+    lmBucketsOfScored(sharedLmScored(spark, dir))
 
   /** [[lmBuckets]] over an arbitrary frame — the test seam. */
-  def lmBucketsOf(docs: DataFrame): DataFrame = {
+  def lmBucketsOf(docs: DataFrame): DataFrame =
+    lmBucketsOfScored(lmScoredOf(docs).localCheckpoint(eager = false))
+
+  /** The per-doc LM-coverage score frame (doc_id, lang, n_bigrams,
+    * n_hits, bin) — the expensive probe half of the bucketing. */
+  private def lmScoredOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val bi = TextAnalysis.bigramRows(docs)
     val model = bi
       .filter($"source".isin(TextAnalysis.LmTrainSources: _*))
       .groupBy($"g", $"h").agg(count(lit(1)).as("c_vw"))
-    val scored = bi.join(model, Seq("g", "h"), "left")
+    bi.join(model, Seq("g", "h"), "left")
       .groupBy($"doc_id", $"lang")
       .agg(count(lit(1)).as("n_bigrams"), count($"c_vw").as("n_hits"))
       .select($"doc_id", $"lang", $"n_bigrams", $"n_hits",
         expr("n_hits * 20 div n_bigrams").as("bin"))
-      .localCheckpoint(eager = false)
+  }
+
+  /** Session-shared scored frame — the LM model trained and probed
+    * ONCE per (session, corpus), consumed by `lm_buckets` and
+    * `ensemble_select` (20 bytes/doc checkpointed; dropped by
+    * [[invalidate]]). */
+  private def sharedLmScored(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val view = "graft_lm_scored_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!spark.catalog.tableExists(view))
+      lmScoredOf(Tables.documentsPar(spark, dir))
+        .localCheckpoint(eager = false).createOrReplaceTempView(view)
+    spark.table(view)
+  }
+
+  /** Histogram bars + labeling over a scored frame. */
+  private def lmBucketsOfScored(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy($"lang").orderBy($"bin")
     val wTot = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
@@ -272,10 +317,10 @@ object Select {
     val docs = Tables.documentsPar(spark, dir)
     val cls = Classifier.qualityClassifier(spark, dir)
       .select($"doc_id", $"keep".as("cls_keep"))
-    val ds = dsirWeightsOf(docs).select($"doc_id",
+    val ds = sharedDsirRows(spark, dir).select($"doc_id",
       (k60(concat(lit("dsir:"), $"doc_id".cast("string"))) % RatioScale
         < $"weight").as("dsir_keep"))
-    val lm = lmBucketsOf(docs).select($"doc_id",
+    val lm = lmBucketsOfScored(sharedLmScored(spark, dir)).select($"doc_id",
       ($"bucket" =!= "tail").as("lm_keep"))
     docs.select($"doc_id")
       .join(cls, Seq("doc_id"), "left")
@@ -487,13 +532,50 @@ object Select {
     * the D-way sums are order-independent; everything else is per-row
     * IEEE arithmetic mirrored operation-for-operation in the oracle.
     * Test seam: MixtureSpec sweeps 0..MixSweeps. */
-  private[graft] def mixWeightRowsAt(docs: DataFrame, sweeps: Int): DataFrame = {
-    import docs.sparkSession.implicits._
-    val dom = domainRows(docs).localCheckpoint(eager = false)
+  private[graft] def mixWeightRowsAt(docs: DataFrame, sweeps: Int): DataFrame =
+    mixSweepsFrom(mixInitRows(docs), sweeps)
+
+  /** The sweep-0 weight table (source, n_docs, loss, w = n_d/N). */
+  private def mixInitRows(docs: DataFrame): DataFrame =
+    mixInitOfDom(domainRows(docs).localCheckpoint(eager = false))
+
+  /** Sweep-0 weights from a (source, n_docs, loss) domain table. */
+  private def mixInitOfDom(dom: DataFrame): DataFrame = {
+    import dom.sparkSession.implicits._
     val nTot = dom.agg(sum($"n_docs").as("nn"))
-    val init = dom.crossJoin(broadcast(nTot))
+    dom.crossJoin(broadcast(nTot))
       .select($"source", $"n_docs", $"loss",
         ($"n_docs".cast("double") / $"nn".cast("double")).as("w"))
+  }
+
+  /** Session-shared domain-loss table (source, n_docs, loss) — the one
+    * corpus scan of the mixture family, built ONCE per (session,
+    * corpus) and consumed by `mix_weights`, `mix_sample`, and
+    * `anneal_schedule` (all further work is D-row sweeps); dropped by
+    * [[invalidate]]. */
+  private def sharedMixDom(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val view = "graft_mix_dom_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!spark.catalog.tableExists(view))
+      domainRows(Tables.documentsPar(spark, dir))
+        .localCheckpoint(eager = false).createOrReplaceTempView(view)
+    spark.table(view)
+  }
+
+  /** Drop the session-shared DSIR/LM/mixture materializations for the
+    * corpus at `dir` (called from [[Dedup.invalidate]], the one
+    * corpus-rewrite entry point). */
+  def invalidate(spark: SparkSession, dir: String): Unit = synchronized {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    Seq("graft_dsir_w_", "graft_lm_scored_", "graft_mix_dom_")
+      .foreach(p => spark.catalog.dropTempView(p + suffix))
+    ()
+  }
+
+  /** `sweeps` multiplicative-weight updates from an arbitrary weight
+    * table — the seam that lets [[annealSchedule]] serve both phases
+    * off ONE domain-loss derivation. */
+  private def mixSweepsFrom(init: DataFrame, sweeps: Int): DataFrame = {
+    import init.sparkSession.implicits._
     (0 until sweeps).foldLeft(init) { (cur, _) =>
       val cp = cur.localCheckpoint(eager = false)
       val lbar = cp.agg(graft.Exact.dsum($"w" * $"loss").as("lbar"))
@@ -513,8 +595,12 @@ object Select {
     * [[MixSweeps]] sweeps. Harder-than-average domains end above their
     * natural share, easier ones below — DoReMi's "don't let the easy
     * web crawl drown the hard domains" effect, derived not asserted. */
-  def mixWeights(spark: SparkSession, dir: String): DataFrame =
-    mixWeightsOf(Tables.documentsPar(spark, dir))
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mixSweepsFrom(mixInitOfDom(sharedMixDom(spark, dir)), MixSweeps)
+      .select($"source", $"n_docs", $"loss", $"w".as("weight"))
+      .orderBy($"source")
+  }
 
   /** [[mixWeights]] over an arbitrary frame — the test seam. */
   def mixWeightsOf(docs: DataFrame): DataFrame = {
@@ -532,7 +618,9 @@ object Select {
     * growth, exact in the oracle. A pure per-row predicate over a
     * broadcast D-row rate table: no extra shuffle, no stored sample. */
   def mixSample(spark: SparkSession, dir: String): DataFrame =
-    mixSampleOf(Tables.documentsPar(spark, dir))
+    sampleWithRates(Tables.documentsPar(spark, dir),
+      ratesOfRows(mixSweepsFrom(mixInitOfDom(sharedMixDom(spark, dir)),
+        MixSweeps))).orderBy("doc_id")
 
   /** [[mixSample]] over an arbitrary frame — the test seam. */
   def mixSampleOf(docs: DataFrame): DataFrame =
@@ -541,9 +629,13 @@ object Select {
   /** The trained mixture's D-row acceptance-rate table:
     * (source, rate ∈ (0, 1]), rate = (w_d/n_d)/max_e(w_e/n_e) so the
     * binding domain keeps everything. */
-  private def mixRatesOf(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    val rate0 = mixWeightRowsAt(docs, MixSweeps)
+  private def mixRatesOf(docs: DataFrame): DataFrame =
+    ratesOfRows(mixWeightRowsAt(docs, MixSweeps))
+
+  /** Rate table from a trained weight-rows frame. */
+  private def ratesOfRows(rows: DataFrame): DataFrame = {
+    import rows.sparkSession.implicits._
+    val rate0 = rows
       .select($"source", ($"w" / $"n_docs".cast("double")).as("r0"))
     val rmax = rate0.agg(max($"r0").as("rmax"))
     rate0.crossJoin(broadcast(rmax))
@@ -570,6 +662,43 @@ object Select {
         .cast("double") / lit(Hash60Den)) < $"rate")
       .select($"doc_id", $"source", $"rate")
   }
+
+  /** Registered query: the two-phase training curriculum — the
+    * phased-mix practice of recent pretraining recipes (OLMo/MiniCPM
+    * style: a long warmup phase on the natural data mix, then an
+    * anneal phase on an upweighted-quality mix). Phase `warmup` serves
+    * the natural composition (the sweep-0 weights, w = n_d/N); phase
+    * `anneal` serves the Group-DRO-tilted mixture ([[MixSweeps]]
+    * sweeps); `boost` = anneal/warmup is the per-domain change a data
+    * loader applies when it crosses the phase boundary. Derived
+    * entirely from the [[mixWeightRowsAt]] fold — one D-row frame per
+    * phase, no extra corpus work. */
+  def annealSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = mixInitOfDom(sharedMixDom(spark, dir))
+      .localCheckpoint(eager = false)
+    val warm = base
+      .select(lit("warmup").as("phase"), $"source", $"loss", $"w")
+    val ann = mixSweepsFrom(base, MixSweeps)
+      .select(lit("anneal").as("phase"), $"source", $"loss", $"w")
+    val w0 = base.select($"source", $"w".as("w0"))
+    warm.unionAll(ann)
+      .join(w0, Seq("source"))
+      .select($"phase", $"source", $"loss", $"w".as("weight"),
+        ($"w" / $"w0").as("boost"))
+      .orderBy($"phase", $"source")
+  }
+
+  val annealScheduleSql: String =
+    s"""WITH $mixCtes,
+       |phases AS (
+       |  SELECT 'warmup' AS phase, source, loss, w FROM mixw0
+       |  UNION ALL
+       |  SELECT 'anneal' AS phase, source, loss, w FROM mixw$MixSweeps)
+       |SELECT p.phase, p.source, p.loss, p.w AS weight,
+       |  p.w / w0.w AS boost
+       |FROM phases p JOIN mixw0 w0 ON p.source = w0.source
+       |ORDER BY p.phase, p.source""".stripMargin
 
   // DuckDB oracle: the identical unrolled chain as CTEs.
 

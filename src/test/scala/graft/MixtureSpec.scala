@@ -86,6 +86,53 @@ class MixtureSpec extends SparkSpec {
       s"streamed keep set/rates diverged: ${got.size} vs ${want.size} docs")
   }
 
+  test("anneal_schedule: warmup is the natural mix, anneal is the trained mix") {
+    val rows = Select.annealSchedule(spark, sfDir).collect()
+    val (warm, ann) = rows.partition(_.getString(0) == "warmup")
+    assert(warm.length == ann.length && warm.nonEmpty)
+    // warmup = natural composition: boost exactly 1 for every domain
+    warm.foreach { r =>
+      assert(r.getAs[Double]("boost") == 1.0,
+        s"warmup boost must be 1.0 for ${r.getAs[String]("source")}")
+    }
+    // anneal phase = the registered mix_weights, value for value
+    val trained = Select.mixWeights(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("weight")).toMap
+    ann.foreach { r =>
+      assert(r.getAs[Double]("weight") == trained(r.getAs[String]("source")),
+        s"anneal weight diverged for ${r.getAs[String]("source")}")
+    }
+    // crossing the phase boundary boosts the hard domain
+    val hard = ann.maxBy(_.getAs[Double]("loss"))
+    assert(hard.getAs[Double]("boost") > 1.0,
+      "the max-loss domain must be boosted in the anneal phase")
+  }
+
+  test("shared domain table invalidates with the corpus (Dedup.invalidate contract)") {
+    val root = java.nio.file.Files.createTempDirectory("graftmixinv")
+    val dir = root.resolve("corpus").toString
+    def writeDocs(flip: Boolean): Unit = {
+      val rows = (0 until 40).map { i =>
+        val src = if (i % 2 == 0) "a" else "b"
+        val text = if ((i % 2 == 0) ^ flip) "common common common common"
+        else s"rare$i token$i word$i extra$i"
+        (i.toLong, text, "en", src, text.length.toLong)
+      }
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    writeDocs(flip = false)
+    val first = Select.mixWeights(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    writeDocs(flip = true)
+    graft.ops.Dedup.invalidate(spark, dir)
+    val second = Select.mixWeights(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // flipping which domain carries the rare text must flip the tilt
+    assert(first("a") != second("a"),
+      "rewritten corpus must re-derive the domain losses, not serve the stale view")
+  }
+
   test("mix_sample: composition shifts toward the hard domain; binding domain kept whole") {
     val weights = Select.mixWeights(spark, sfDir).collect()
     val hardSrc = weights.maxBy(_.getAs[Double]("loss")).getAs[String]("source")

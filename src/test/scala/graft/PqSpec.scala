@@ -93,6 +93,31 @@ class PqSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
       .filterNot(_._1 == 0L).take(5).toSeq
     assert(got == want, s"served ranking diverged:\n$got\nvs\n$want")
+    // and physical: actual bytes read off the index stay under a full
+    // scan's — the unprobed partitions are never opened (the
+    // searchIndex measurement, applied to the PQ layout)
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) { bytesRead.addAndGet(m.inputMetrics.bytesRead); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (prunedBytes, fullBytes) = try {
+      org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
+      val b0 = bytesRead.get()
+      Pq.searchPqIndex(spark, idx, query, probes, k = 6).collect()
+      org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
+      val b1 = bytesRead.get()
+      spark.read.parquet(idx).queryExecution.toRdd.foreach(_ => ())
+      org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
+      (b1 - b0, bytesRead.get() - b1)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    info(f"pq index bytes read: pruned $prunedBytes%,d vs full $fullBytes%,d")
+    assert(prunedBytes < fullBytes * 3 / 4,
+      s"pruned search read $prunedBytes bytes, full scan $fullBytes — no physical pruning")
   }
 
   test("index append: arrivals encode under the persisted codebooks and are served") {
@@ -118,6 +143,43 @@ class PqSpec extends SparkSpec {
     val hits = Pq.searchPqIndex(spark, idx, q7, Seq(tb), k = 4)
       .select($"vec_id").collect().map(_.getLong(0)).toSet
     assert(hits.contains(900001L), s"appended twin not served from its cell: $hits")
+  }
+
+  test("ADC scores agree with an independent full-vector reconstruction") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftpqrec")
+    val idx = root.resolve("pqindex").toString
+    Pq.persistPqIndex(spark, sfDir, idx)
+    val books = Pq.loadCodebooks(spark, idx).collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Long]("cluster")) ->
+        r.getSeq[Float](2).toArray).toMap
+    val emb = Tables.embeddings(spark, sfDir)
+    val query = emb.filter($"vec_id" === 0)
+      .head().getAs[Seq[Float]]("embedding").toArray
+    def flatDot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val qn2 = flatDot(query, query)
+    // for every served row: rebuild x-hat by concatenating its
+    // codewords and recompute the cosine with a FLAT fold — a
+    // different association order than the per-subspace partial sums,
+    // so agreement is an independent confirmation that the ADC score
+    // is the cosine of the query with the reconstruction
+    val served = Pq.annIvfPq(spark, sfDir).collect()
+    val codesOf = spark.read.parquet(idx)
+      .filter($"vec_id".isin(served.map(_.getLong(0)): _*))
+      .select($"vec_id", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    served.foreach { r =>
+      val codes = codesOf(r.getLong(0))
+      val xhat = (0 until Pq.PqM).flatMap(m => books((m, codes(m)))).toArray
+      val want = flatDot(query, xhat) / math.sqrt(flatDot(xhat, xhat) * qn2)
+      val got = r.getDouble(2)
+      assert(math.abs(got - want) < 1e-12,
+        s"vec ${r.getLong(0)}: ADC $got vs reconstruction $want")
+    }
   }
 
   test("pq views invalidate with the corpus (Dedup.invalidate contract)") {

@@ -107,7 +107,10 @@ class SelectSpec extends SparkSpec {
   }
 
   test("selection plans broadcast their model tables") {
-    val wPlan = Select.dsirWeights(spark, sfDir)
+    // pin the DERIVATION plan via the seam — the registered query now
+    // serves from the session-shared checkpoint, whose scan hides the
+    // build it materialized (the sharedKmeansRows stance)
+    val wPlan = Select.dsirWeightsOf(Tables.documentsPar(spark, sfDir))
       .queryExecution.executedPlan.toString
     assert(wPlan.contains("BroadcastHashJoin"),
       "the B-row ratio table must broadcast to the probe")
