@@ -186,6 +186,44 @@ class MaintenanceSpec extends SparkSpec {
     assert(hits.forall(_._2 == 1.0))
   }
 
+  test("streaming ingest keeps the IVF-PQ index current via appendToPqIndex") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same maintenance split as the int8 index above, for the PQ
+    // layout: codebooks persisted once beside the lists, arrival
+    // micro-batches encode under them and append to their cell
+    val idx = tmp("graftstreampq")
+    graft.ops.Pq.persistPqIndex(spark, sfDir, idx)
+    val before = spark.read.parquet(idx).count()
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val v3 = emb.filter($"vec_id" === 3)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val mem = MemoryStream[(Long, Array[Float], Int)]
+    mem.addData((200000L, v3, 9))
+    val q = mem.toDS().toDF("vec_id", "embedding", "label")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Pq.appendToPqIndex(spark, idx, batch)
+      }
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(idx).count() == before + 1)
+    // the streamed twin carries vec 3's exact codes, and a probe of its
+    // bucket serves it
+    val stored = spark.read.parquet(idx)
+      .filter($"vec_id".isin(3L, 200000L))
+      .select($"vec_id", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(stored(200000L) == stored(3L),
+      "streamed twin must encode to the original's codes under the persisted codebooks")
+    val tb = emb.filter($"vec_id" === 3)
+      .select(graft.ops.Similarity.lshBucket($"embedding")).head().getLong(0)
+    val hits = graft.ops.Pq.searchPqIndex(spark, idx, v3, Seq(tb), k = 4)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(200000L), s"bucket probe missed the streamed arrival: $hits")
+  }
+
   test("streaming ingest keeps the durable dedup funnel current via appendToFunnel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
