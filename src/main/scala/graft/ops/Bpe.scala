@@ -60,7 +60,7 @@ object Bpe {
   /** Lower-case alphabetic word stream of a documents frame — the BPE
     * pre-tokenization (word boundaries are never merged across,
     * arXiv:1508.07909 §3.2). */
-  private def wordStream(docs: DataFrame): DataFrame = {
+  private[ops] def wordStream(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select($"doc_id",
       explode(regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0))).as("word"))

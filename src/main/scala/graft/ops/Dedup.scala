@@ -308,6 +308,7 @@ object Dedup {
     Pq.invalidate(spark, dir)
     Classifier.invalidate(spark, dir)
     Select.invalidate(spark, dir)
+    Unigram.invalidate(spark, dir)
   }
 
   // ---------------------------------------------------------------------

@@ -1,0 +1,86 @@
+package graft
+
+import graft.ops.Unigram
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer behavior beyond the oracle's exact-value
+  * checks: a hand-checkable segmentation, the training effect on
+  * fragmentation, structural bounds, determinism, and the
+  * invalidation contract. */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "src", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("a dominant whole word survives as one piece; rare words fall to singles") {
+    // "abcd" dominates: its substring counts make p(abcd) large, so
+    // Viterbi keeps it whole; "zq" occurs once — its 2-gram falls
+    // under the admission floor, so it must segment to singles
+    val docs = docsOf(Array.fill(20)("abcd").mkString(" "), "abcd zq")
+    val vocab = Unigram.trainedCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab("abcd") == 21L, s"whole-word piece lost: $vocab")
+    assert(!vocab.contains("zq"),
+      "a below-floor 2-gram must never enter the inventory")
+    assert(vocab.contains("z") && vocab.contains("q"),
+      "character coverage: singles must always exist")
+  }
+
+  test("hard-EM training reduces corpus fragmentation (measured)") {
+    val docs = Tables.documentsPar(spark, sfDir)
+    def totalPieces(sweeps: Int): Long = {
+      val cnt = Unigram.trainedCountsAt(docs, sweeps)
+      // Σ freq·np over distinct words under that sweep's model
+      Unigram.npUnder(docs, cnt)
+        .agg(sum($"freq" * $"np")).head().getLong(0)
+    }
+    val seed = totalPieces(0)
+    val fin = totalPieces(Unigram.UgSweeps)
+    info(s"corpus piece count: seed-model $seed -> trained $fin")
+    assert(fin <= seed,
+      "re-estimation must not fragment the corpus it was fit on")
+  }
+
+  test("token counts respect word and character bounds") {
+    val rows = Unigram.unigramTokenCount(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        "a word is at least one piece")
+    }
+    // vs character volume: pieces cannot outnumber word characters
+    val chars = Tables.documentsPar(spark, sfDir)
+      .select($"doc_id",
+        length(regexp_replace(lower($"text"), "[^a-z]", "")).cast("long").as("nc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) <= chars(r.getLong(0)),
+        s"doc ${r.getLong(0)}: more pieces than characters")
+    }
+  }
+
+  test("training is deterministic across runs") {
+    val docs = Tables.documentsPar(spark, sfDir)
+    val a = Unigram.trainedCounts(docs).collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val b = Unigram.trainedCounts(docs).collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("unigram views invalidate with the corpus (Dedup.invalidate contract)") {
+    val root = java.nio.file.Files.createTempDirectory("graftuginv")
+    val dir = root.resolve("corpus").toString
+    def write(word: String): Unit =
+      docsOf(Array.fill(10)(word).mkString(" "))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write("abcd")
+    val first = Unigram.unigramVocab(spark, dir).collect().map(_.getString(0)).toSet
+    write("wxyz")
+    graft.ops.Dedup.invalidate(spark, dir)
+    val second = Unigram.unigramVocab(spark, dir).collect().map(_.getString(0)).toSet
+    assert(first.contains("abcd") && !second.contains("abcd") && second.contains("wxyz"),
+      s"rewritten corpus must retrain the vocabulary: $first vs $second")
+  }
+}
