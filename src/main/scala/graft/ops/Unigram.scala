@@ -168,6 +168,43 @@ object Unigram {
         element_at($"cells", length($"word") + 1)("np").as("np"))
   }
 
+  /** Persist the trained tokenizer: the piece counts AND the segmented
+    * word table (word → piece count) — the model artifact of the
+    * family (the materializeRatios convention: train once per corpus
+    * version, serve every later job from the artifact). */
+  def materializeModel(spark: SparkSession, dir: String, outDir: String): Unit = {
+    val (cnt, np) = sharedTrain(spark, dir)
+    cnt.coalesce(1).write.mode("overwrite").parquet(s"$outDir/counts")
+    np.coalesce(1).write.mode("overwrite").parquet(s"$outDir/segments")
+  }
+
+  /** Token-count an arbitrary (doc_id, text) frame — batch OR
+    * STREAMING — against a persisted segment table. The vocabulary
+    * folds to ONE map-typed row in plan and enters by broadcast —
+    * exactly how production tokenizers serve (the trained vocab ships
+    * with the job; this is the one place the word table IS broadcast,
+    * deliberately unlike the batch encode's corpus-sized shuffle
+    * join, because a serving vocabulary is a bounded artifact). A word
+    * the model never saw falls back to one piece per character — the
+    * character-coverage semantics an unigram tokenizer guarantees.
+    * Stateless per-document projection: a stream scores with no
+    * watermark and no aggregation state, bit-identically to the batch
+    * query for in-vocabulary text. */
+  def tokenCountWithModel(docs: DataFrame, np: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val one = np.agg(
+      map_from_entries(collect_list(struct($"word", $"np"))).as("m"))
+    docs
+      .select($"doc_id",
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      .filter(size($"ws") > 0)
+      .crossJoin(broadcast(one))
+      .select($"doc_id", size($"ws").cast("long").as("n_words"),
+        aggregate($"ws", lit(0L), (acc, w) =>
+          acc + coalesce(element_at($"m", w), length(w).cast("long")))
+          .as("n_pieces"))
+  }
+
   /** Session-shared trained model for the corpus at `dir` — counts and
     * the per-word segmentation table under them (ONE train per
     * (session, corpus); dropped by [[invalidate]] from

@@ -69,6 +69,36 @@ class UnigramSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("serving path: the persisted model token-counts a STREAM bit-identically") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graftugmodel").toString
+    Unigram.materializeModel(spark, sfDir, out)
+    val np = spark.read.parquet(s"$out/segments")
+    val want = Unigram.unigramTokenCount(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = Tables.documentsPar(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    mem.addData(rows.toSeq)
+    val q = Unigram.tokenCountWithModel(mem.toDF.toDF("doc_id", "text"), np)
+      .writeStream.format("memory").queryName("ug_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("ug_stream").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want,
+      s"streamed counts diverged: ${got.size} vs ${want.size} docs")
+    // an out-of-vocabulary arrival falls back to character coverage
+    val oov = Unigram.tokenCountWithModel(
+      Seq((99L, "zzqx unknowable")).toDF("doc_id", "text"), np).head()
+    assert(oov.getLong(1) == 2L)
+    assert(oov.getLong(2) >= 2L && oov.getLong(2) <= "zzqxunknowable".length,
+      s"OOV fallback out of range: ${oov.getLong(2)}")
+  }
+
   test("unigram views invalidate with the corpus (Dedup.invalidate contract)") {
     val root = java.nio.file.Files.createTempDirectory("graftuginv")
     val dir = root.resolve("corpus").toString
