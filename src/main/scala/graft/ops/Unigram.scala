@@ -256,6 +256,26 @@ object Unigram {
       .orderBy($"doc_id")
   }
 
+  /** Registered query: per-language tokens-per-word under the trained
+    * unigram model — the tokenizer-quality metric, [[Bpe.bpeFertility]]'s
+    * shape with the unigram segmenter (comparing the two families'
+    * fertility on the same corpus is exactly how tokenizers are
+    * evaluated). */
+  def unigramFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val np = sharedTrain(spark, dir)._2
+    Tables.documentsPar(spark, dir)
+      .select($"lang",
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .join(np, Seq("word"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"np".cast("long")).as("n_ug_tokens"))
+      .withColumn("fertility",
+        $"n_ug_tokens".cast("double") / $"n_words".cast("double"))
+      .orderBy($"lang")
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracle: the identical chain; the DP is a recursive CTE per
   // sweep carrying the cell list (one recursion level per character).
@@ -324,6 +344,19 @@ object Unigram {
     s"""WITH RECURSIVE $ugCtes
        |SELECT piece, cnt FROM ugcnt$UgSweeps
        |ORDER BY cnt DESC, piece""".stripMargin
+
+  val unigramFertilitySql: String =
+    s"""WITH RECURSIVE $ugCtes,
+       |${dpBlock(UgSweeps)},
+       |ugnpf AS (SELECT word, cells[len(word) + 1].np AS np FROM ugdp$UgSweeps)
+       |SELECT dw.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n.np) AS BIGINT) AS n_ug_tokens,
+       |  CAST(SUM(n.np) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
+       |FROM (SELECT lang, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |      FROM documents) dw
+       |JOIN ugnpf n ON dw.word = n.word
+       |GROUP BY dw.lang
+       |ORDER BY dw.lang""".stripMargin
 
   val unigramTokenCountSql: String =
     s"""WITH RECURSIVE $ugCtes,

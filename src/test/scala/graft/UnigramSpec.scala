@@ -62,6 +62,15 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("fertility is at least one piece per word in every language") {
+    val rows = Unigram.unigramFertility(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fertility") >= 1.0,
+        s"${r.getAs[String]("lang")}: fertility below 1")
+    }
+  }
+
   test("training is deterministic across runs") {
     val docs = Tables.documentsPar(spark, sfDir)
     val a = Unigram.trainedCounts(docs).collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
