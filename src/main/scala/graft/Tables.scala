@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions.{expr, timestamp_micros}
   */
 object Tables {
 
+  /** Session-view name suffix for a corpus dir: the readable sanitized
+    * path PLUS an md5 fragment of the raw path — the sanitizer alone is
+    * lossy ("/data/v1.2" and "/data/v1_2" both mangle to "_data_v1_2"),
+    * so two distinct corpora could collide onto one cached view and the
+    * second would silently serve the first's trained model. Every
+    * shared-view site and every invalidate path derives its name here. */
+  def viewSuffix(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + h
+  }
+
   /** Opt-in warm-table cache, keyed per (session, dir, table). Bench
     * enables it (via [[warm]]) so its per-query numbers measure the
     * OPERATOR — compute + shuffle — not 58 repeats of the same serial

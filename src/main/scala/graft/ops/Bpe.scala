@@ -60,10 +60,18 @@ object Bpe {
   /** Lower-case alphabetic word stream of a documents frame — the BPE
     * pre-tokenization (word boundaries are never merged across,
     * arXiv:1508.07909 §3.2). */
+  /** The shared pre-tokenization: the lowercase [a-z]+ word array of a
+    * text column. BOTH tokenizer families (BPE train/encode, unigram
+    * train/encode/serving) derive their word stream here — a change to
+    * the pre-tokenization cannot silently diverge the two, or a trained
+    * model from its serving path. */
+  private[ops] def wordsArr(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z]+"), lit(0))
+
   private[ops] def wordStream(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select($"doc_id",
-      explode(regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0))).as("word"))
+      explode(wordsArr($"text")).as("word"))
   }
 
   /** Sentinel-and-double-separator symbol string of a word: "hug" →
@@ -141,7 +149,7 @@ object Bpe {
     * drops every shared materialization). Returns (final vocab,
     * merge table). */
   def sharedTrain(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
-    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val suffix = graft.Tables.viewSuffix(dir)
     val vv = "graft_bpe_vocab_" + suffix
     val mv = "graft_bpe_merges_" + suffix
     if (!spark.catalog.tableExists(vv) || !spark.catalog.tableExists(mv)) {
@@ -156,7 +164,7 @@ object Bpe {
     * (called from [[Dedup.invalidate]], the corpus-rewrite entry
     * point). */
   def invalidate(spark: SparkSession, dir: String): Unit = synchronized {
-    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val suffix = graft.Tables.viewSuffix(dir)
     Seq("graft_bpe_vocab_", "graft_bpe_merges_")
       .foreach(p => spark.catalog.dropTempView(p + suffix))
   }
@@ -217,7 +225,7 @@ object Bpe {
     val (w, _) = sharedTrain(spark, dir)
     val enc = w.select($"word", size(split(trim($"s"), "  ")).as("n_syms"))
     docs.select($"lang",
-      explode(regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0)))
+      explode(wordsArr($"text"))
         .as("word"))
       .join(enc, Seq("word"))
       .groupBy($"lang")
@@ -257,8 +265,7 @@ object Bpe {
       .select($"word", posexplode(split(trim($"s"), "  ")).as(Seq("spos", "token")))
       .join(broadcast(ids), Seq("token"))
     docs
-      .select($"doc_id", posexplode(regexp_extract_all(lower($"text"),
-        lit("[a-z]+"), lit(0))).as(Seq("wpos", "word")))
+      .select($"doc_id", posexplode(wordsArr($"text")).as(Seq("wpos", "word")))
       .join(wsyms, Seq("word"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bpe_tokens"),

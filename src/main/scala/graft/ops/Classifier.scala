@@ -125,7 +125,7 @@ object Classifier {
     * localCheckpoints, so the first consumer absorbs the GD sweeps and
     * every later one serves from cached blocks. */
   def sharedFit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
-    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val suffix = graft.Tables.viewSuffix(dir)
     val xv = "graft_cls_x_" + suffix
     val wv = "graft_cls_w_" + suffix
     if (!spark.catalog.tableExists(xv) || !spark.catalog.tableExists(wv)) {
@@ -139,7 +139,7 @@ object Classifier {
   /** Drop the session-shared fit for the corpus at `dir` (called from
     * [[Dedup.invalidate]], the corpus-rewrite entry point). */
   def invalidate(spark: SparkSession, dir: String): Unit = synchronized {
-    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val suffix = graft.Tables.viewSuffix(dir)
     Seq("graft_cls_x_", "graft_cls_w_")
       .foreach(p => spark.catalog.dropTempView(p + suffix))
   }

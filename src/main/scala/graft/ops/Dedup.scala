@@ -264,7 +264,7 @@ object Dedup {
     * persisted NEXT TO a corpus version, refreshed when the corpus is
     * (immutable versioned corpus dirs make invalidation structural). */
   def sharedSigSets(spark: SparkSession, dir: String): DataFrame = synchronized {
-    val view = "graft_sigsets_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val view = "graft_sigsets_" + graft.Tables.viewSuffix(dir)
     if (!spark.catalog.tableExists(view)) {
       if (!bootstrapFromConf(spark, dir))
         sigSetsOf(docsPar(spark, dir))
@@ -281,7 +281,7 @@ object Dedup {
     * sides + the size aggregate). Bootstraps from a persisted funnel
     * like the other shared tables. */
   def sharedPostings(spark: SparkSession, dir: String): DataFrame = synchronized {
-    val view = "graft_postings_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val view = "graft_postings_" + graft.Tables.viewSuffix(dir)
     if (!spark.catalog.tableExists(view)) {
       if (!bootstrapFromConf(spark, dir))
         postingsOfSigs(sharedSigSets(spark, dir))
@@ -296,7 +296,7 @@ object Dedup {
     * labels — since each is derived from the one below). The next
     * consumer rebuilds from the directory's current bytes. */
   def invalidate(spark: SparkSession, dir: String): Unit = synchronized {
-    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val suffix = graft.Tables.viewSuffix(dir)
     Seq("graft_sigsets_", "graft_postings_", "graft_jaccard_pairs_",
       "graft_clusters_")
       .foreach(p => spark.catalog.dropTempView(p + suffix))
@@ -341,7 +341,7 @@ object Dedup {
     ("clusters", "doc_id", Some("graft_clusters_")))
 
   private def funnelTableName(dir: String, comp: String): String =
-    "graft_funnel_" + comp + "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    "graft_funnel_" + comp + "_" + graft.Tables.viewSuffix(dir)
 
   /** Build the whole dedup funnel for the corpus at `dir` and persist it
     * under `outDir` as bucketed parquet — signatures and clusters
@@ -461,7 +461,7 @@ object Dedup {
     val numBucketsOpt = meta.get("buckets").flatMap(_.toIntOption)
     if (numBucketsOpt.isEmpty) return false
     val numBuckets = numBucketsOpt.get
-    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val suffix = graft.Tables.viewSuffix(dir)
     FunnelComponents.foreach { case (comp, bucketCol, viewPrefix) =>
       val tbl = funnelTableName(dir, comp)
       if (!spark.catalog.tableExists(tbl)) {
@@ -824,7 +824,7 @@ object Dedup {
     * SparkSession), no CacheManager entry (the r2 persist leak), and the
     * checkpoint blocks die with the session. */
   def sharedJaccardPairs(spark: SparkSession, dir: String): DataFrame = synchronized {
-    val view = "graft_jaccard_pairs_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val view = "graft_jaccard_pairs_" + graft.Tables.viewSuffix(dir)
     if (!spark.catalog.tableExists(view)) {
       val sigs = sharedSigSets(spark, dir) // may bootstrap ALL funnel views
       if (!spark.catalog.tableExists(view))
@@ -848,7 +848,7 @@ object Dedup {
     * In production this is the cluster-assignment table materialized
     * next to the pair table. */
   def sharedClusters(spark: SparkSession, dir: String): DataFrame = synchronized {
-    val view = "graft_clusters_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val view = "graft_clusters_" + graft.Tables.viewSuffix(dir)
     if (!spark.catalog.tableExists(view)) {
       import spark.implicits._
       val pairs = sharedJaccardPairs(spark, dir) // may bootstrap ALL funnel views

@@ -176,7 +176,7 @@ object Pq {
     * train per (session, corpus), the [[Dedup]] sharedSigSets pattern;
     * dropped by [[invalidate]] on corpus rewrite. */
   private def sharedPqRows(spark: SparkSession, dir: String): DataFrame = synchronized {
-    val view = "graft_pq_rows_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val view = "graft_pq_rows_" + graft.Tables.viewSuffix(dir)
     if (!spark.catalog.tableExists(view))
       pqRowsAt(Tables.embeddings(spark, dir), PqIters)
         .createOrReplaceTempView(view)
@@ -187,7 +187,7 @@ object Pq {
     * entry point). */
   def invalidate(spark: SparkSession, dir: String): Unit = synchronized {
     spark.catalog.dropTempView(
-      "graft_pq_rows_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      "graft_pq_rows_" + graft.Tables.viewSuffix(dir))
     ()
   }
 

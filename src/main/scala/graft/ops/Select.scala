@@ -129,7 +129,7 @@ object Select {
     * `dsir_sample`, and `ensemble_select`; dropped by [[invalidate]]
     * from the [[Dedup.invalidate]] corpus-rewrite entry point. */
   private def sharedDsirRows(spark: SparkSession, dir: String): DataFrame = synchronized {
-    val view = "graft_dsir_w_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val view = "graft_dsir_w_" + graft.Tables.viewSuffix(dir)
     if (!spark.catalog.tableExists(view))
       dsirWeightRowsOf(Tables.documentsPar(spark, dir))
         .localCheckpoint(eager = false).createOrReplaceTempView(view)
@@ -260,7 +260,7 @@ object Select {
     * `ensemble_select` (20 bytes/doc checkpointed; dropped by
     * [[invalidate]]). */
   private def sharedLmScored(spark: SparkSession, dir: String): DataFrame = synchronized {
-    val view = "graft_lm_scored_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val view = "graft_lm_scored_" + graft.Tables.viewSuffix(dir)
     if (!spark.catalog.tableExists(view))
       lmScoredOf(Tables.documentsPar(spark, dir))
         .localCheckpoint(eager = false).createOrReplaceTempView(view)
@@ -554,7 +554,7 @@ object Select {
     * `anneal_schedule` (all further work is D-row sweeps); dropped by
     * [[invalidate]]. */
   private def sharedMixDom(spark: SparkSession, dir: String): DataFrame = synchronized {
-    val view = "graft_mix_dom_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val view = "graft_mix_dom_" + graft.Tables.viewSuffix(dir)
     if (!spark.catalog.tableExists(view))
       domainRows(Tables.documentsPar(spark, dir))
         .localCheckpoint(eager = false).createOrReplaceTempView(view)
@@ -565,7 +565,7 @@ object Select {
     * corpus at `dir` (called from [[Dedup.invalidate]], the one
     * corpus-rewrite entry point). */
   def invalidate(spark: SparkSession, dir: String): Unit = synchronized {
-    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val suffix = graft.Tables.viewSuffix(dir)
     Seq("graft_dsir_w_", "graft_lm_scored_", "graft_mix_dom_")
       .foreach(p => spark.catalog.dropTempView(p + suffix))
     ()
@@ -647,7 +647,8 @@ object Select {
     * train once per corpus version, serve every later job from D rows. */
   def materializeMixRates(spark: SparkSession, dir: String,
       outDir: String): Unit =
-    mixRatesOf(Tables.documentsPar(spark, dir))
+    ratesOfRows(mixSweepsFrom(mixInitOfDom(sharedMixDom(spark, dir)),
+      MixSweeps))
       .coalesce(1).write.mode("overwrite").parquet(outDir)
 
   /** Apply a rate table to an arbitrary (doc_id, source) frame — batch

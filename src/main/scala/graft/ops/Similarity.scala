@@ -690,7 +690,7 @@ object Similarity {
     * queries (the [[Dedup.sharedSigSets]] pattern; dropped by
     * [[invalidate]] on corpus rewrite). */
   private def sharedKmeansRows(spark: SparkSession, dir: String): DataFrame = synchronized {
-    val view = "graft_kmeans_rows_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val view = "graft_kmeans_rows_" + graft.Tables.viewSuffix(dir)
     if (!spark.catalog.tableExists(view))
       kmeansRows(Tables.embeddings(spark, dir)).createOrReplaceTempView(view)
     spark.table(view)
@@ -817,7 +817,7 @@ object Similarity {
   private def assignView(dir: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    "graft_semassign_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + h
+    "graft_semassign_" + graft.Tables.viewSuffix(dir) + "_" + h
   }
 
   /** Session-shared (vec_id, embedding, n2, cluster, cscore) assignment
@@ -843,7 +843,7 @@ object Similarity {
   def invalidate(spark: SparkSession, dir: String): Unit = synchronized {
     spark.catalog.dropTempView(assignView(dir))
     spark.catalog.dropTempView(
-      "graft_kmeans_rows_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      "graft_kmeans_rows_" + graft.Tables.viewSuffix(dir))
     ()
   }
 

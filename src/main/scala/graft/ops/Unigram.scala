@@ -151,13 +151,18 @@ object Unigram {
   private[graft] def trainedCounts(docs: DataFrame): DataFrame =
     trainedCountsAt(docs, UgSweeps)
 
-  private[graft] def trainedCountsAt(docs: DataFrame, sweeps: Int): DataFrame = {
-    val words = wordHist(docs).localCheckpoint(eager = false)
+  private[graft] def trainedCountsAt(docs: DataFrame, sweeps: Int): DataFrame =
+    trainedFrom(wordHist(docs).localCheckpoint(eager = false), sweeps)
+
+  /** The sweep fold over a prebuilt (word, freq) histogram — the seam
+    * that lets [[sharedTrain]] reuse ONE histogram for both the train
+    * and the final segmentation pass (the class doc's one-corpus-scan
+    * claim, kept honest). */
+  private def trainedFrom(words: DataFrame, sweeps: Int): DataFrame =
     (0 until sweeps).foldLeft(
       seedPieces(words).localCheckpoint(eager = false)) { (p, _) =>
       sweep(words, p).localCheckpoint(eager = false)
     }
-  }
 
   /** (word, freq, np) under an arbitrary count table — the UnigramSpec
     * seam for measuring training's effect on fragmentation. */
@@ -195,8 +200,7 @@ object Unigram {
     val one = np.agg(
       map_from_entries(collect_list(struct($"word", $"np"))).as("m"))
     docs
-      .select($"doc_id",
-        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      .select($"doc_id", Bpe.wordsArr($"text").as("ws"))
       .filter(size($"ws") > 0)
       .crossJoin(broadcast(one))
       .select($"doc_id", size($"ws").cast("long").as("n_words"),
@@ -210,14 +214,14 @@ object Unigram {
     * (session, corpus); dropped by [[invalidate]] from
     * [[Dedup.invalidate]]). */
   private def sharedTrain(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
-    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val suffix = graft.Tables.viewSuffix(dir)
     val cv = "graft_ug_cnt_" + suffix
     val nv = "graft_ug_seg_" + suffix
     if (!spark.catalog.tableExists(cv) || !spark.catalog.tableExists(nv)) {
       import spark.implicits._
       val docs = Tables.documentsPar(spark, dir)
       val words = wordHist(docs).localCheckpoint(eager = false)
-      val cnt = trainedCounts(docs).localCheckpoint(eager = false)
+      val cnt = trainedFrom(words, UgSweeps).localCheckpoint(eager = false)
       cnt.createOrReplaceTempView(cv)
       withCells(words, probsRow(cnt))
         .select($"word",
@@ -230,7 +234,7 @@ object Unigram {
 
   /** Corpus-rewrite hook (chained from [[Dedup.invalidate]]). */
   def invalidate(spark: SparkSession, dir: String): Unit = synchronized {
-    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val suffix = graft.Tables.viewSuffix(dir)
     Seq("graft_ug_cnt_", "graft_ug_seg_")
       .foreach(p => spark.catalog.dropTempView(p + suffix))
     ()
@@ -265,8 +269,7 @@ object Unigram {
     import spark.implicits._
     val np = sharedTrain(spark, dir)._2
     Tables.documentsPar(spark, dir)
-      .select($"lang",
-        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .select($"lang", explode(Bpe.wordsArr($"text")).as("word"))
       .join(np, Seq("word"))
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_words"),

@@ -160,7 +160,7 @@ class BpeSpec extends SparkSpec {
   }
 
   test("shared train is session-cached per corpus and dropped by the one invalidate entry point") {
-    val suffix = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val suffix = graft.Tables.viewSuffix(sfDir)
     Bpe.bpeTrain(spark, sfDir).collect()
     assert(spark.catalog.tableExists("graft_bpe_vocab_" + suffix))
     assert(spark.catalog.tableExists("graft_bpe_merges_" + suffix))

@@ -321,7 +321,7 @@ class DedupSpec extends SparkSpec {
     // fresh session must re-register from funnel.meta alone, the true
     // fresh-deployment path (exercises the recorded-schema DDL, incl.
     // the legitimately EMPTY boilerplate component)
-    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val suffix = graft.Tables.viewSuffix(dir)
     Seq("signatures", "postings", "boilerplate", "pairs", "clusters")
       .foreach(c => spark.sql(s"DROP TABLE IF EXISTS graft_funnel_${c}_$suffix"))
     // DELETE the corpus text: the only way a consumer can answer now is
@@ -427,7 +427,7 @@ class DedupSpec extends SparkSpec {
     // append keeps signatures/postings current but defers pair/cluster/df
     // re-derivation — the (0,10) near-dup pair is NOT in the table yet
     def pairsOf(dir: String): Set[(Long, Long)] =
-      spark.table(s"graft_funnel_pairs_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      spark.table(s"graft_funnel_pairs_" + graft.Tables.viewSuffix(dir))
         .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!pairsOf(dirA).contains((0L, 10L)), "append unexpectedly re-derived pairs")
     Dedup.refreshFunnel(spark, dirA, funnelA)
@@ -441,7 +441,7 @@ class DedupSpec extends SparkSpec {
     // an empty component (boilerplate here) has no files to infer from.
     def normed(dir: String, comp: String): Seq[String] = {
       val raw = spark.table(
-        "graft_funnel_" + comp + "_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        "graft_funnel_" + comp + "_" + graft.Tables.viewSuffix(dir))
       val cols = raw.schema.fields.map { f =>
         if (f.dataType.typeName == "array") array_sort(col(f.name)).as(f.name)
         else col(f.name)
