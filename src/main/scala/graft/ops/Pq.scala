@@ -283,9 +283,20 @@ object Pq {
   // At 100 TB this table IS the ANN deployment: M bytes/vector + the
   // bucket partition key, served without ever scanning an embedding.
 
-  /** Build the IVF-PQ index for the corpus at `dir` under `outDir`. */
+  /** Build the IVF-PQ index for the corpus at `dir` under `outDir`.
+    *
+    * Write-order contract (ADVICE r8): lists must never exist without
+    * the codebooks that define them — a reader probing codes against a
+    * missing or mismatched quantizer is silent corruption. So the
+    * WHOLE index (lists, then `_codebooks`) is written to a staging
+    * dir and committed by rename: a failure anywhere in the expensive
+    * write phase leaves any previous complete index untouched, and the
+    * only non-atomic window is the two metadata ops of the commit
+    * (delete old + rename), during which the path is ABSENT — a loud
+    * read failure, never a quantizer mismatch. */
   def persistPqIndex(spark: SparkSession, dir: String, outDir: String): Unit = {
     import spark.implicits._
+    val staging = outDir + ".staging"
     val emb = Tables.embeddings(spark, dir)
       .withColumn("bucket", Similarity.lshBucket($"embedding"))
     val cents = centsOfRows(sharedPqRows(spark, dir))
@@ -295,8 +306,15 @@ object Pq {
         transform(array_sort(collect_list(struct($"sub", $"code"))),
           p => p("code")).as("codes"))
       .join(emb.select($"vec_id", $"bucket"), Seq("vec_id"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_codebooks")
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$staging/_codebooks")
+    val hconf = spark.sessionState.newHadoopConf()
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(hconf)
+    fs.delete(out, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), out))
+      throw new IllegalStateException(
+        s"persistPqIndex: commit rename $staging -> $outDir failed")
   }
 
   /** The codebooks persisted with a [[persistPqIndex]] index —

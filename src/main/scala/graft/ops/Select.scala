@@ -38,11 +38,20 @@ object Select {
   val DsirBuckets = 256
 
   /** Fixed-point scale for the per-bucket target/raw ratio (6 decimal
-    * digits). At fixture scale p_b·Scale ≤ ~10¹³ fits a BIGINT; a
-    * trillion-gram corpus with few buckets would overflow the
-    * intermediate — widen to DECIMAL(38,0) or raise B (production DSIR
-    * uses 10⁴⁺ buckets precisely so per-bucket counts stay modest). */
+    * digits). The p_b·Scale intermediate is computed in DECIMAL(38,0)
+    * (see [[ratioExpr]]) so even a trillion-gram corpus with few
+    * buckets — p_b near 2⁶³ — divides exactly instead of silently
+    * wrapping; the quotient itself is ≤ Scale·(p_b/q_b) ≤ Scale, so
+    * the emitted r_b always fits its BIGINT. SelectSpec's overflow
+    * property drives the expression with counts at the BIGINT edge. */
   val RatioScale = 1000000L
+
+  /** The bucket-ratio projection r_b = ⌊p_b·Scale / q_b⌋ with the
+    * product widened to DECIMAL(38,0) — BIGINT-overflow-proof for any
+    * p_b. `div` (IntegralDivide) accepts decimal inputs and returns
+    * BIGINT, so the output type (and the oracle hash) is unchanged. */
+  private[graft] val ratioExpr: Column =
+    expr(s"cast(p_b as decimal(38,0)) * $RatioScale div q_b")
 
   private def k60(cols: Column*): Column =
     conv(substring(md5(concat_ws("", cols: _*)), 1, 15), 16, 10)
@@ -145,7 +154,7 @@ object Select {
       count(lit(1)).as("q_b"),
       sum(when($"source".isin(TextAnalysis.LmTrainSources: _*), 1L)
         .otherwise(0L)).as("p_b"))
-      .select($"b", expr(s"p_b * $RatioScale div q_b").as("r_b"))
+      .select($"b", ratioExpr.as("r_b"))
   }
 
   /** Persist the trained DSIR model beside the corpus — the selection
@@ -367,7 +376,8 @@ object Select {
        |              i -> t[i] || chr(1) || t[i + 1]))) AS gram
        |        FROM tok)),
        |dsr AS (
-       |  SELECT b, p_b * $RatioScale // q_b AS r_b
+       |  SELECT b,
+       |    CAST(CAST(p_b AS HUGEINT) * $RatioScale // q_b AS BIGINT) AS r_b
        |  FROM (SELECT b, COUNT(*) AS q_b,
        |          COUNT(*) FILTER (WHERE source IN ($train)) AS p_b
        |        FROM dsg GROUP BY b)),
@@ -495,9 +505,11 @@ object Select {
     * docs score high). The tokenRarity two-pass shape: full-vocab
     * frequency table (shuffle hash join, the AQE-skew case), per-doc
     * 24-byte aggregate, corpus-total token count folded in as a 1-row
-    * broadcast. T·n_tokens stays in BIGINT — exact here; a
-    * trillion-token corpus widens the product to DECIMAL(38,0), the
-    * dataflow unchanged. */
+    * broadcast. T and n_tokens are cast to DOUBLE BEFORE the multiply:
+    * a BIGINT product would silently wrap past 2⁶³ under non-ANSI
+    * Spark while the oracle errored; the double product is exact below
+    * 2⁵³ (every fixture) and degrades gracefully — and identically in
+    * both engines — beyond it. */
   private def docLossRows(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val tokRows = docs.select($"doc_id", $"source",
@@ -509,7 +521,7 @@ object Select {
     val tot = per.agg(sum($"n_tokens").as("t_tok"))
     per.crossJoin(broadcast(tot))
       .select($"doc_id", $"source",
-        (($"t_tok" * $"n_tokens").cast("double") /
+        (($"t_tok".cast("double") * $"n_tokens".cast("double")) /
           $"sum_freq".cast("double")).as("ldoc"))
   }
 
@@ -730,7 +742,7 @@ object Select {
          |mixtot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_tok FROM mixdoc),
          |mixldoc AS (
          |  SELECT doc_id, source,
-         |    CAST(t_tok * n_tokens AS DOUBLE) / CAST(sum_freq AS DOUBLE) AS ldoc
+         |    CAST(t_tok AS DOUBLE) * CAST(n_tokens AS DOUBLE) / CAST(sum_freq AS DOUBLE) AS ldoc
          |  FROM mixdoc, mixtot),
          |mixdom AS (
          |  SELECT source, COUNT(*) AS n_docs, ${davg("ldoc")} AS loss

@@ -809,16 +809,13 @@ object Similarity {
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
     dedupOfAssigned(sharedAssignments(spark, dir))
 
-  /** View name of the session-shared assignment table: sanitized dir
-    * for readability PLUS an md5 of the raw dir string — sanitization
-    * alone can collide distinct dirs (sf0.1 vs sf0_1 both sanitize to
-    * sf0_1), and a collision would silently serve one corpus's
-    * assignments for another (ADVICE r6). */
-  private def assignView(dir: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    "graft_semassign_" + graft.Tables.viewSuffix(dir) + "_" + h
-  }
+  /** View name of the session-shared assignment table.
+    * [[graft.Tables.viewSuffix]] already embeds the collision-proof
+    * md5 fragment of the raw dir (the ADVICE-r6 fix lives THERE now),
+    * so every shared-view site — this one included — derives its name
+    * from that one function. */
+  private def assignView(dir: String): String =
+    "graft_semassign_" + graft.Tables.viewSuffix(dir)
 
   /** Session-shared (vec_id, embedding, n2, cluster, cscore) assignment
     * table — built once per (session, corpus) with a deferred

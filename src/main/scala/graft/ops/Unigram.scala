@@ -173,39 +173,73 @@ object Unigram {
         element_at($"cells", length($"word") + 1)("np").as("np"))
   }
 
-  /** Persist the trained tokenizer: the piece counts AND the segmented
-    * word table (word → piece count) — the model artifact of the
-    * family (the materializeRatios convention: train once per corpus
-    * version, serve every later job from the artifact). */
+  /** Persist the trained tokenizer: the piece counts (the SERVING
+    * artifact — bounded by the piece space, ≤ Σ26^l for l ≤
+    * [[UgMaxPiece]], never by the corpus) AND the segmented word table
+    * (word → piece count, the batch-encode acceleration table) — the
+    * model artifacts of the family (the materializeRatios convention:
+    * train once per corpus version, serve every later job from the
+    * artifact). */
   def materializeModel(spark: SparkSession, dir: String, outDir: String): Unit = {
     val (cnt, np) = sharedTrain(spark, dir)
     cnt.coalesce(1).write.mode("overwrite").parquet(s"$outDir/counts")
     np.coalesce(1).write.mode("overwrite").parquet(s"$outDir/segments")
   }
 
+  /** The Viterbi piece count of one word under a broadcast piece→p
+    * map — the [[withCells]] training recurrence replayed as a pure
+    * column expression, keeping only (score, piece count) per cell
+    * (the backpointer drops out: the (s, −np) struct max already
+    * determines np uniquely, and serving never reconstructs the
+    * split). Fallback for pieces ABSENT from the model: a single
+    * character scores an epsilon (1e-30 — the SentencePiece
+    * character-coverage/unk semantics: any word segments, at worst
+    * into characters, and the all-singles path keeps every cell's
+    * best score positive), a longer piece scores 0.0 (always loses to
+    * any positive path, exactly as training's −1.0 sentinel loses —
+    * so in-vocabulary words, whose characters all trained, replay the
+    * training DP bit-for-bit). */
+  private def vitNp(w: Column, m: Column): Column = {
+    val cells = aggregate(
+      sequence(lit(1), length(w)),
+      array(struct(lit(1.0).as("s"), lit(0).as("np"))),
+      (acc, i) => {
+        val best = array_max(transform(
+          sequence(greatest(lit(0), i - UgMaxPiece), i - 1),
+          j => struct(
+            (element_at(acc, j + 1)("s") *
+              coalesce(element_at(m, w.substr(j + 1, i - j)),
+                when(i - j === 1, lit(1e-30)).otherwise(lit(0.0)))).as("s"),
+            (-(element_at(acc, j + 1)("np") + 1)).as("nnp"))))
+        concat(acc, array(struct(best("s").as("s"), (-best("nnp")).as("np"))))
+      })
+    element_at(cells, length(w) + 1)("np").cast("long")
+  }
+
   /** Token-count an arbitrary (doc_id, text) frame — batch OR
-    * STREAMING — against a persisted segment table. The vocabulary
-    * folds to ONE map-typed row in plan and enters by broadcast —
-    * exactly how production tokenizers serve (the trained vocab ships
-    * with the job; this is the one place the word table IS broadcast,
-    * deliberately unlike the batch encode's corpus-sized shuffle
-    * join, because a serving vocabulary is a bounded artifact). A word
-    * the model never saw falls back to one piece per character — the
-    * character-coverage semantics an unigram tokenizer guarantees.
-    * Stateless per-document projection: a stream scores with no
-    * watermark and no aggregation state, bit-identically to the batch
-    * query for in-vocabulary text. */
-  def tokenCountWithModel(docs: DataFrame, np: DataFrame): DataFrame = {
+    * STREAMING — against the persisted PIECE VOCABULARY (the `counts`
+    * artifact of [[materializeModel]]). The vocabulary folds to ONE
+    * map-typed row in plan and enters by broadcast — exactly how
+    * production tokenizers serve: the trained vocab ships with the
+    * job, and it is BOUNDED by the piece space (≤ Σ26^l, l ≤
+    * [[UgMaxPiece]]) regardless of corpus size — unlike the word
+    * table, which grows with the corpus and was this function's
+    * broadcast in earlier rounds (ADVICE r8). Each word then runs the
+    * same in-plan Viterbi DP the trainer ran ([[vitNp]]): known words
+    * count bit-identically to the batch query, and an UNSEEN word
+    * gets a real best segmentation over the trained pieces — the
+    * SentencePiece serving semantics — instead of a one-piece-per-
+    * character fallback. Stateless per-document projection: a stream
+    * scores with no watermark and no aggregation state. */
+  def tokenCountWithModel(docs: DataFrame, pieces: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val one = np.agg(
-      map_from_entries(collect_list(struct($"word", $"np"))).as("m"))
+    val one = probsRow(pieces)
     docs
       .select($"doc_id", Bpe.wordsArr($"text").as("ws"))
       .filter(size($"ws") > 0)
       .crossJoin(broadcast(one))
       .select($"doc_id", size($"ws").cast("long").as("n_words"),
-        aggregate($"ws", lit(0L), (acc, w) =>
-          acc + coalesce(element_at($"m", w), length(w).cast("long")))
+        aggregate($"ws", lit(0L), (acc, w) => acc + vitNp(w, $"m"))
           .as("n_pieces"))
   }
 

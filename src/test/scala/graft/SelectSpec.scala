@@ -215,6 +215,36 @@ class SelectSpec extends SparkSpec {
     assert(b.forall(r => r.getLong(4) == 0L && r.getString(5) == "middle"))
   }
 
+  test("ratio expression survives per-bucket counts at the BIGINT edge") {
+    // Drive Select.ratioExpr — the EXACT projection ratiosOf emits —
+    // with p_b near 2^63, where the old BIGINT product p_b·Scale
+    // silently wrapped under non-ANSI Spark. The DECIMAL(38,0)
+    // widening must divide exactly: r_b == floor(p_b·Scale / q_b)
+    // computed in BigInt, and the output stays BIGINT (same schema,
+    // same oracle hash) because IntegralDivide returns LongType.
+    val edge = Seq(
+      (1L, Long.MaxValue, Long.MaxValue),           // ratio exactly Scale
+      (2L, Long.MaxValue / 2, Long.MaxValue),       // half the pool on-target
+      (3L, Long.MaxValue - 1, Long.MaxValue),       // one gram off full mass
+      (4L, 1L, Long.MaxValue),                      // vanishing target mass
+      (5L, 123456789012345678L, 987654321098765432L))
+      .toDF("b", "p_b", "q_b")
+    val got = edge.select($"b", Select.ratioExpr.as("r_b"))
+    assert(got.schema("r_b").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val byB = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((b, p, q) <- Seq(
+        (1L, Long.MaxValue, Long.MaxValue),
+        (2L, Long.MaxValue / 2, Long.MaxValue),
+        (3L, Long.MaxValue - 1, Long.MaxValue),
+        (4L, 1L, Long.MaxValue),
+        (5L, 123456789012345678L, 987654321098765432L))) {
+      val want = (BigInt(p) * Select.RatioScale / BigInt(q)).toLong
+      assert(byB(b) == want, s"bucket $b: got ${byB(b)}, want $want")
+    }
+    assert(byB(1L) == Select.RatioScale)
+  }
+
   test("weights and buckets are deterministic across runs") {
     val a = Select.dsirWeights(spark, sfDir).collect().toSeq
     val b = Select.dsirWeights(spark, sfDir).collect().toSeq

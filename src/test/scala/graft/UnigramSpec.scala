@@ -82,7 +82,7 @@ class UnigramSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graftugmodel").toString
     Unigram.materializeModel(spark, sfDir, out)
-    val np = spark.read.parquet(s"$out/segments")
+    val cnt = spark.read.parquet(s"$out/counts")
     val want = Unigram.unigramTokenCount(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val rows = Tables.documentsPar(spark, sfDir)
@@ -90,7 +90,7 @@ class UnigramSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)))
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     mem.addData(rows.toSeq)
-    val q = Unigram.tokenCountWithModel(mem.toDF.toDF("doc_id", "text"), np)
+    val q = Unigram.tokenCountWithModel(mem.toDF.toDF("doc_id", "text"), cnt)
       .writeStream.format("memory").queryName("ug_stream")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -100,12 +100,30 @@ class UnigramSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == want,
       s"streamed counts diverged: ${got.size} vs ${want.size} docs")
-    // an out-of-vocabulary arrival falls back to character coverage
+    // an out-of-vocabulary arrival still segments (at worst characters)
     val oov = Unigram.tokenCountWithModel(
-      Seq((99L, "zzqx unknowable")).toDF("doc_id", "text"), np).head()
+      Seq((99L, "zzqx unknowable")).toDF("doc_id", "text"), cnt).head()
     assert(oov.getLong(1) == 2L)
     assert(oov.getLong(2) >= 2L && oov.getLong(2) <= "zzqxunknowable".length,
       s"OOV fallback out of range: ${oov.getLong(2)}")
+  }
+
+  test("serving segments UNSEEN words with the trained pieces, not characters") {
+    // Train on a corpus dominated by "abcd"; serve the never-seen word
+    // "abcdabcd". Real Viterbi over the piece vocabulary finds the
+    // 2-piece split [abcd, abcd]; the r8 word-table serving would have
+    // fallen back to 8 single characters (ADVICE r8).
+    val docs = docsOf(Array.fill(20)("abcd").mkString(" "))
+    val cnt = Unigram.trainedCounts(docs)
+    val row = Unigram.tokenCountWithModel(
+      Seq((1L, "abcdabcd")).toDF("doc_id", "text"), cnt).head()
+    assert(row.getLong(1) == 1L)
+    assert(row.getLong(2) == 2L,
+      s"expected the 2-piece Viterbi split, got ${row.getLong(2)} pieces")
+    // and a word with an alien character still scores (epsilon path)
+    val alien = Unigram.tokenCountWithModel(
+      Seq((2L, "abxd")).toDF("doc_id", "text"), cnt).head()
+    assert(alien.getLong(2) >= 2L && alien.getLong(2) <= 4L)
   }
 
   test("unigram views invalidate with the corpus (Dedup.invalidate contract)") {
