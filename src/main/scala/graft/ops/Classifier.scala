@@ -184,6 +184,22 @@ object Classifier {
       .orderBy($"doc_id")
   }
 
+  /** The trained keep threshold as a one-row (th) frame — the
+    * [[KeepQuantile]] percentile of the corpus scores, i.e. exactly the
+    * bar [[qualityClassifier]] applies internally. Persisted WITH the
+    * weights (the curated pipeline's `classifier_bar` artifact) so
+    * ingest-time keep/drop decisions equal training-time ones: the
+    * budget rule is a corpus statistic, and a stream cannot recompute
+    * it — a served model is (weights, bar), like any production
+    * quality-filter deployment. */
+  def keepBarRow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (x, w) = sharedFit(spark, dir)
+    x.crossJoin(broadcast(w))
+      .select(predExpr.as("score"))
+      .agg(percentile($"score", lit(KeepQuantile)).as("th"))
+  }
+
   /** Persist the trained model — the durable serving artifact (the
     * [[Similarity.persistIndex]] convention: train once per corpus
     * version, serve from disk forever after). The model IS five

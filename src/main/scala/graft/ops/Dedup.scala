@@ -526,6 +526,25 @@ object Dedup {
     spark.catalog.refreshTable(funnelTableName(dir, "postings"))
   }
 
+  /** The durable funnel's LIVE signature table for corpus `dir`,
+    * bootstrapped from `funnelDir` — reads the catalog table directly
+    * (appends made by [[appendToFunnel]] are visible immediately after
+    * its refreshTable), unlike [[sharedSigSets]]' per-session
+    * localCheckpoint snapshot. This is the arrival-screen surface of
+    * the curated ingest pipeline: the signature doc_id set doubles as
+    * the registry of every document ever admitted, so a replayed
+    * micro-batch anti-joins itself away here. Throws when no funnel
+    * for this corpus exists at `funnelDir` (the [[appendToFunnel]]
+    * contract — screening against silently-rebuilt in-session state
+    * would break the durable-registry semantics). */
+  def funnelSignatures(spark: SparkSession, dir: String,
+      funnelDir: String): DataFrame = {
+    if (!bootstrapFunnel(spark, dir, funnelDir))
+      throw new IllegalStateException(
+        s"no funnel for corpus $dir at $funnelDir — run persistFunnel first")
+    spark.table(funnelTableName(dir, "signatures"))
+  }
+
   /** The persisted boilerplate gram list of a bootstrapped funnel, for
     * [[containmentAgainst]] callers (None when no funnel is registered —
     * then the corpus was built in-session and arrival batches see no

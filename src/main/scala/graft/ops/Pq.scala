@@ -208,7 +208,15 @@ object Pq {
     * bucket; embeddings are scanned once to encode (at 100 TB the code
     * table IS the stored index — see [[Similarity.persistIndexTrained]]
     * for the persisted layout this query's plan maps onto). */
-  private def adcScores(spark: SparkSession, dir: String): DataFrame = {
+  private def adcScores(spark: SparkSession, dir: String): DataFrame =
+    adcScoresAt(spark, dir, Similarity.ProbeRadius)
+
+  /** [[adcScores]] at an explicit probe radius — the PQ side of the
+    * `nprobe` recall knob ([[Similarity.annIvfAt]]'s convention): PqSpec
+    * SWEEPS the radius and records the measured ADC/rerank recall curve
+    * instead of a claimed one. */
+  private def adcScoresAt(spark: SparkSession, dir: String,
+      radius: Int): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
       .withColumn("bucket", Similarity.lshBucket($"embedding"))
@@ -227,8 +235,7 @@ object Pq {
       .join(emb.select($"vec_id", $"bucket"), Seq("vec_id"))
     codes.join(broadcast(lut),
         $"sub" === $"lsub" && $"code" === $"lcluster")
-      .filter(bit_count($"bucket".bitwiseXOR($"qbucket"))
-        <= Similarity.ProbeRadius)
+      .filter(bit_count($"bucket".bitwiseXOR($"qbucket")) <= radius)
       .groupBy($"vec_id")
       .agg(max($"label").as("label"), max($"qn2").as("qn2"),
         array_sort(collect_list(struct($"sub", $"pd", $"pn2"))).as("ps"))
@@ -241,9 +248,15 @@ object Pq {
 
   /** Registered query: IVF-PQ top-5 — the coarse-probe + ADC plan that
     * serves billion-scale ANN from codes alone. */
-  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqAt(spark, dir, Similarity.ProbeRadius)
+
+  /** [[annIvfPq]] at an explicit probe radius (the `nprobe` sweep seam;
+    * the registered query stays on [[Similarity.ProbeRadius]], where the
+    * oracle is). */
+  def annIvfPqAt(spark: SparkSession, dir: String, radius: Int): DataFrame = {
     import spark.implicits._
-    adcScores(spark, dir)
+    adcScoresAt(spark, dir, radius)
       .orderBy($"score".desc, $"vec_id")
       .limit(5)
   }
@@ -254,9 +267,16 @@ object Pq {
     * narrow probe of C embeddings, the refine step every production PQ
     * deployment runs. PqSpec pins that the reranked top-5 equals the
     * brute-force fp32 top-5 on the probed lists. */
-  def annPqRerank(spark: SparkSession, dir: String): DataFrame = {
+  def annPqRerank(spark: SparkSession, dir: String): DataFrame =
+    annPqRerankAt(spark, dir, Similarity.ProbeRadius)
+
+  /** [[annPqRerank]] at an explicit probe radius — with the refine
+    * stage unchanged, sweeping this measures how recall vs the GLOBAL
+    * fp32 truth grows with `nprobe` while served quality stays
+    * fp32-exact on whatever was probed (PqSpec pins the curve). */
+  def annPqRerankAt(spark: SparkSession, dir: String, radius: Int): DataFrame = {
     import spark.implicits._
-    val cands = adcScores(spark, dir)
+    val cands = adcScoresAt(spark, dir, radius)
       .orderBy($"score".desc, $"vec_id")
       .limit(PqRerankC)
       .select($"vec_id")
@@ -341,6 +361,16 @@ object Pq {
     * "driver-sized" stance) and enter the scan as two map literals;
     * scoring is one codegen'd fixed-order fold per stored row over its
     * M codes. Nothing but the probed code partitions is read. */
+  /** [[searchPqIndex]] with the probe set derived from an `nprobe`
+    * radius: the query's coarse bucket and its Hamming ball are one
+    * vector's driver arithmetic ([[Similarity.bucketOf]] /
+    * [[Similarity.probeSet]]) — the full multi-probe serving call a
+    * production client makes, no job launched before the pruned scan. */
+  def searchPqIndexAt(spark: SparkSession, indexDir: String,
+      query: Array[Float], radius: Int, k: Int): DataFrame =
+    searchPqIndex(spark, indexDir, query,
+      Similarity.probeSet(Similarity.bucketOf(query), radius), k)
+
   def searchPqIndex(spark: SparkSession, indexDir: String,
       query: Array[Float], probeBuckets: Seq[Long], k: Int = 5): DataFrame = {
     import spark.implicits._

@@ -194,6 +194,19 @@ object Select {
         expr("sum_ratio div n_grams").as("weight"))
   }
 
+  /** The RESAMPLING half of the serving path: [[scoreWithRatios]]'
+    * weights fed through [[dsirSample]]'s acceptance predicate — batch
+    * OR STREAMING (the predicate is a pure per-row hash comparison, so
+    * no orderBy and no state; a pool document's fate is bit-identical
+    * to [[dsirSample]]'s because its weight is). The curated ingest
+    * pipeline's selection gate. */
+  def sampleWithRatios(docs: DataFrame, ratios: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    scoreWithRatios(docs, ratios).filter(
+      k60(concat(lit("dsir:"), $"doc_id".cast("string"))) % RatioScale
+        < $"weight")
+  }
+
   /** Importance RESAMPLING — the selection half of DSIR: accept each
     * document with probability weight/Scale, the weight acting as its
     * own acceptance bar. Randomness is the repo's deterministic salted

@@ -309,6 +309,28 @@ object Similarity {
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
   }
 
+  /** The multi-probe bucket set of one query bucket: every inverted
+    * list within `radius` Hamming bits — the driver-side `nprobe`
+    * enumeration every serving search shares ([[searchIndex]],
+    * [[Pq.searchPqIndex]]'s radius form). Bounded by the bucket space
+    * (2^[[NumPlanes]]), one long's arithmetic per bucket. */
+  def probeSet(queryBucket: Long, radius: Int): Seq[Long] =
+    (0L until (1L << NumPlanes))
+      .filter(b => java.lang.Long.bitCount(b ^ queryBucket) <= radius)
+
+  /** Driver-side coarse bucket of ONE query vector — [[lshBucket]]'s
+    * arithmetic replayed with the identical sequential fold order (the
+    * [[Pq.searchPqIndex]] dotDriver convention), so a serving caller
+    * can compute its probe set without launching a job. */
+  def bucketOf(v: Array[Float]): Long =
+    (0 until NumPlanes).map { j =>
+      var s = 0.0
+      var i = 0
+      val h = planeSigns(j)
+      while (i < v.length) { s += h(i).toDouble * v(i).toDouble; i += 1 }
+      if (s > 0.0) 1L << j else 0L
+    }.sum
+
   /** Top-k cosine search against a [[persistIndex]] table: the serving
     * shape, where the query arrives driver-side (its codes and bucket
     * computed by the caller — one vector, not a distributed job) and
@@ -319,8 +341,7 @@ object Similarity {
       queryCodes: Array[Byte], queryBucket: Long,
       radius: Int = ProbeRadius, k: Int = 5): DataFrame = {
     import spark.implicits._
-    val probed = (0L until (1L << NumPlanes))
-      .filter(b => java.lang.Long.bitCount(b ^ queryBucket) <= radius)
+    val probed = probeSet(queryBucket, radius)
     // toSeq: Seq[Byte] literals type as array<tinyint> (an Array[Byte]
     // would type as BINARY and miss VecDotQ's input contract)
     val qc = typedlit(queryCodes.toSeq)

@@ -216,6 +216,39 @@ object Unigram {
     element_at(cells, length(w) + 1)("np").cast("long")
   }
 
+  /** The persisted piece-count artifact as the one-row broadcastable
+    * piece→p map — the serving-model literal every stream-side
+    * consumer ([[tokenCountWithModel]], the curated pipeline's drift
+    * metrics) crosses in. Bounded by the piece space, never the
+    * corpus. */
+  def modelRow(pieces: DataFrame): DataFrame = probsRow(pieces)
+
+  /** Word count of a text column — the denominator of the fertility
+    * and OOV drift ratios ([[Bpe.wordsArr]]'s word definition, the one
+    * the tokenizer trained on). */
+  def nWordsCol(text: Column): Column =
+    size(Bpe.wordsArr(text)).cast("long")
+
+  /** Piece count of a text column under a broadcast model-map column —
+    * the [[vitNp]] Viterbi DP folded over the words, exactly the
+    * [[tokenCountWithModel]] arithmetic exposed as a composable column
+    * (so a streaming plan can `.observe` corpus-level fertility without
+    * re-shaping the frame). */
+  def nPiecesCol(text: Column, m: Column): Column =
+    aggregate(Bpe.wordsArr(text), lit(0L), (acc, w) => acc + vitNp(w, m))
+
+  /** Count of words containing a character OUTSIDE the model's
+    * character coverage — the words whose Viterbi path must take the
+    * 1e-30 epsilon fallback ([[vitNp]]). This is the SentencePiece
+    * character-coverage OOV notion: the trained vocab always contains
+    * every single character it saw, so an uncovered character is
+    * direct evidence the arriving distribution drifted from the
+    * training corpus (new language, new script, mojibake). */
+  def nOovWordsCol(text: Column, m: Column): Column =
+    size(filter(Bpe.wordsArr(text), w =>
+      exists(sequence(lit(1), length(w)),
+        i => element_at(m, w.substr(i, lit(1))).isNull))).cast("long")
+
   /** Token-count an arbitrary (doc_id, text) frame — batch OR
     * STREAMING — against the persisted PIECE VOCABULARY (the `counts`
     * artifact of [[materializeModel]]). The vocabulary folds to ONE

@@ -53,6 +53,69 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.2, f"ADC recall@5 $recall%.2f below the measured bound")
   }
 
+  test("nprobe sweep: ADC and rerank recall@5 vs global fp32 truth, pinned per radius") {
+    // the IVF recall knob measured on the PQ path: sweep the probe
+    // radius from single-list to all-lists and record what the ADC
+    // shortlist alone and the two-stage serve each recover of the
+    // GLOBAL brute-force fp32 top-5 (not just the probed lists) — the
+    // curve an operator tunes nprobe against.
+    val truth = Similarity.annTopK(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val curve = (0 to Similarity.NumPlanes).map { r =>
+      val adc = Pq.annIvfPqAt(spark, sfDir, r)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val rr = Pq.annPqRerankAt(spark, sfDir, r)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (r, truth.intersect(adc).size / 5.0, truth.intersect(rr).size / 5.0)
+    }
+    info("radius -> (ADC recall@5, rerank recall@5) vs global fp32: " +
+      curve.map { case (r, a, rr) => f"$r:($a%.2f,$rr%.2f)" }.mkString(", "))
+    // measured, not assumed: raw ADC top-5 recall is NOT monotone in
+    // nprobe (0.40 at radius 0 -> 0.20 at radius 1 on the fixture) —
+    // every probed list adds quantization-noise competitors that crowd
+    // the weak true neighbors out of a codes-only top-5. The SERVED
+    // (reranked) path is what must grow with nprobe: the wider probe
+    // only ever adds candidates the fp32 refine stage scores exactly.
+    assert(curve.sliding(2).forall { case Seq((_, _, r1), (_, _, r2)) =>
+      r2 >= r1 },
+      s"served recall must be monotone in the probe radius: $curve")
+    // the serving bar: some nprobe reaches >= 0.8 on the SERVED
+    // (reranked) path...
+    val servedOk = curve.find(_._3 >= 0.8).map(_._1)
+    assert(servedOk.nonEmpty, s"no radius reaches served recall 0.8: $curve")
+    // ...and at that radius the refine stage is still fp32-EXACT on the
+    // probed lists (quantization never degrades what was probed)
+    val r8 = servedOk.get
+    val probedTruth = Similarity.annIvfAt(spark, sfDir, r8)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val reranked = Pq.annPqRerankAt(spark, sfDir, r8)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(reranked == probedTruth,
+      s"radius-$r8 rerank $reranked diverged from fp32 probed ranking $probedTruth")
+  }
+
+  test("multi-probe serving: searchPqIndexAt derives the probe ball driver-side") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftpqmp")
+    val idx = root.resolve("pqindex").toString
+    Pq.persistPqIndex(spark, sfDir, idx)
+    val emb = Tables.embeddings(spark, sfDir)
+    val q0 = emb.filter($"vec_id" === 0)
+      .select($"embedding", Similarity.lshBucket($"embedding").as("b")).head()
+    val query = q0.getAs[Seq[Float]]("embedding").toArray
+    // the driver-side bucket replays lshBucket's fold bit-for-bit
+    assert(Similarity.bucketOf(query) == q0.getAs[Long]("b"))
+    // radius-form search == explicit-probe-set search, any radius
+    (0 to Similarity.NumPlanes).foreach { r =>
+      val viaRadius = Pq.searchPqIndexAt(spark, idx, query, r, k = 6)
+        .collect().map(x => (x.getLong(0), x.getDouble(2))).toSeq
+      val viaSet = Pq.searchPqIndex(spark, idx, query,
+        Similarity.probeSet(q0.getAs[Long]("b"), r), k = 6)
+        .collect().map(x => (x.getLong(0), x.getDouble(2))).toSeq
+      assert(viaRadius == viaSet, s"radius $r: $viaRadius != $viaSet")
+    }
+  }
+
   test("ann_pq_rerank recovers the fp32 probed top-5 exactly") {
     val truth = Similarity.annIvf(spark, sfDir)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
