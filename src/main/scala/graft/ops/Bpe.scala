@@ -41,11 +41,13 @@ import org.apache.spark.sql.functions._
   * broadcast back into the plan, and merge application is a narrow
   * codegen'd string replace over the vocab table. One deferred
   * localCheckpoint per sweep truncates the unrolled lineage (the
-  * kmeansRowsAt pattern). A production 32k-merge train would batch the
+  * kmeansRowsAt pattern). A production 32k-merge train batches the
   * top-M non-conflicting pairs per sweep (the fastBPE/SentencePiece
-  * trick) to cut sweep count — [[NBpeMerges]] stays small here so the
-  * oracle stays a readable unrolled chain; the per-sweep dataflow is
-  * identical. The pair-extraction lambda (`transform` over an index
+  * trick) to cut sweep count — implemented at [[bpeSweepBatched]],
+  * with m = 1 proven bit-equal to the sequential train in BpeSpec;
+  * the registered queries stay on the sequential path so the oracle
+  * stays a readable unrolled chain. The pair-extraction lambda
+  * (`transform` over an index
   * sequence) is a higher-order function and therefore interpreted — it
   * runs at vocab grain only, never over the corpus (the repo's
   * interpreted-lambda budget, PLANS.md r3).
@@ -126,6 +128,78 @@ object Bpe {
             concat(lit(" "), $"ml", $"mr", lit(" ")))).as("s"))
       .localCheckpoint(eager = false)
     (top, next)
+  }
+
+  /** One BATCHED sweep: the top-`m` pairwise-DISJOINT pairs of the
+    * ordered candidate window all merge in one vocab rewrite — the
+    * fastBPE/SentencePiece production trick the class doc promises.
+    * Two merges CONFLICT iff they share a symbol: disjoint merges
+    * commute, and each one's start-of-sweep count stays exact under
+    * the others' application (a replace of `" a  b "` can neither
+    * create nor destroy a `" c  d "` adjacency when {a,b} ∩ {c,d} = ∅
+    * — the merged symbol "ab" is a NEW symbol, so every (c,d)
+    * adjacency survives verbatim). Selection is greedy in the same
+    * (cnt desc, lhs, rhs) order the sequential sweep uses, over a
+    * 4·m-row candidate window (TakeOrderedAndProject), folded to the
+    * disjoint set in ONE single-row aggregate — the PQ-seed
+    * bounded-grain convention, no driver collect — and re-entering the
+    * vocab rewrite by broadcast. With m = 1 the window's head is
+    * exactly [[bpeSweep]]'s winner and the rewrite is the identical
+    * replace, so the batched train IS the sequential train (BpeSpec
+    * proves merge tables and final vocabs bit-equal); a production
+    * 32k-merge run sets iters·m = 32k with ~1k sweeps instead of 32k.
+    * Returns (merge rows (it, rank, lhs, rhs, merged, cnt), next
+    * vocab). */
+  private def bpeSweepBatched(w: DataFrame, it: Int, m: Int): (DataFrame, DataFrame) = {
+    import w.sparkSession.implicits._
+    val cands = bpePairs(w)
+      .orderBy($"cnt".desc, $"lhs", $"rhs").limit(math.max(4 * m, 8))
+    // (-cnt, lhs, rhs) structs sort to the sequential greedy order;
+    // the fold keeps a pair iff its symbols are unseen and the budget
+    // has room — bounded grain: ≤ 4·m elements in one row
+    val selRow = cands
+      .agg(array_sort(collect_list(struct((-$"cnt").as("nc"), $"lhs", $"rhs")))
+        .as("ps"))
+      .select(aggregate($"ps",
+        struct(array().cast("array<string>").as("used"),
+          array().cast("array<struct<lhs:string,rhs:string,cnt:bigint>>")
+            .as("sel")),
+        (acc, p) => when(
+          size(acc("sel")) >= m ||
+            array_contains(acc("used"), p("lhs")) ||
+            array_contains(acc("used"), p("rhs")), acc)
+          .otherwise(struct(
+            concat(acc("used"), array(p("lhs"), p("rhs"))).as("used"),
+            concat(acc("sel"), array(struct(p("lhs"), p("rhs"),
+              (-p("nc")).as("cnt")))).as("sel"))),
+        acc => acc("sel")).as("sel"))
+      .localCheckpoint(eager = false) // one row, ALWAYS (agg over empty → empty sel)
+    val merges = selRow
+      .select(posexplode($"sel").as(Seq("rank0", "p")))
+      .select(lit(it).as("it"), ($"rank0" + 1).as("rank"),
+        $"p.lhs".as("lhs"), $"p.rhs".as("rhs"),
+        concat($"p.lhs", $"p.rhs").as("merged"), $"p.cnt".as("cnt"))
+    val next = w.crossJoin(broadcast(selRow))
+      .select($"word", $"freq",
+        aggregate($"sel", $"s", (s, p) =>
+          replace(s,
+            concat(lit(" "), p("lhs"), lit("  "), p("rhs"), lit(" ")),
+            concat(lit(" "), p("lhs"), p("rhs"), lit(" ")))).as("s"))
+      .localCheckpoint(eager = false)
+    (merges, next)
+  }
+
+  /** The batched train — [[bpeTrainFrames]] with `m` disjoint merges
+    * per sweep. Returns (final vocab, per-sweep merge frames, each
+    * carrying the within-sweep `rank`). */
+  private[graft] def bpeTrainBatchedFrames(docs: DataFrame, iters: Int,
+      m: Int): (DataFrame, Seq[DataFrame]) = {
+    val seed = bpeInit(docs).localCheckpoint(eager = false)
+    (1 to iters).foldLeft((seed, Seq.empty[DataFrame])) {
+      case ((w, ms), it) =>
+        val (merges, next) = bpeSweepBatched(w, it, m)
+        (next, ms :+ merges)
+    } match { case (w, ms) => (w, ms) }
   }
 
   /** The full train at an explicit sweep count — the test seam (the

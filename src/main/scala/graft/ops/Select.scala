@@ -527,7 +527,13 @@ object Select {
     import docs.sparkSession.implicits._
     val tokRows = docs.select($"doc_id", $"source",
       explode(TextAnalysis.toks($"text")).as("tok"))
+    // materialized, not inlined: with the aggregate fused into the join
+    // stage, AQE's skew-split pattern (Sort directly over the shuffle
+    // stage) can never match and the Zipf head rides one task — see
+    // tokenRarityOf, where SkewStressSpec proves the split fires only
+    // under this shape
     val freq = tokRows.groupBy($"tok").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(eager = false)
     val per = tokRows.join(freq, "tok")
       .groupBy($"doc_id", $"source")
       .agg(count(lit(1)).as("n_tokens"), sum($"freq").as("sum_freq"))

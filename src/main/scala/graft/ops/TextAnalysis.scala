@@ -857,18 +857,40 @@ object TextAnalysis {
     * hash join on the token — both sides hash-partition, and the Zipf
     * head ("the" in a third of all rows) is exactly the skew AQE's
     * skew-join split handles (spark.sql.adaptive.skewJoin, on by
-    * default here). Post-join rows collapse immediately into a
+    * default here). LOAD-BEARING SHAPE CAVEAT, measured in
+    * SkewStressSpec: OptimizeSkewedJoin's pattern requires the Sort's
+    * child to be the shuffle stage itself, so the split can NEVER fire
+    * when the frequency aggregate is fused into the join stage (the
+    * final HashAggregate sits between Sort and shuffle) — the
+    * frequency table must be MATERIALIZED (localCheckpoint here; the
+    * persisted per-corpus-version table in production) for the stance
+    * to hold. With it materialized the spec measures the mega-word
+    * partition fanning 8 → 18 splits. Post-join rows collapse
+    * immediately into a
     * map-side-combined per-doc aggregate: what crosses the second
     * shuffle is (doc_id, count, min, sum) — 32 bytes per doc, not per
     * token. The corpus is scanned twice (model pass + score pass), the
     * same two-pass shape as [[tfidfKeywords]]; a production run
     * persists the frequency table once per corpus version (the
     * Dedup.persistFunnel pattern) and amortizes the first scan away. */
-  def tokenRarity(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val tokRows = Tables.documentsPar(spark, dir)
+  def tokenRarity(spark: SparkSession, dir: String): DataFrame =
+    tokenRarityOf(Tables.documentsPar(spark, dir))
+      .orderBy(col("doc_id"))
+
+  /** [[tokenRarity]] over an arbitrary documents frame — the seam
+    * SkewStressSpec drives with a mega-frequency-word corpus to prove
+    * the AQE-skew stance above is load-bearing (the skew split FIRES
+    * on the Zipf head), not just claimed. Unordered: the stress corpus
+    * is large and the order is the registered query's concern. */
+  private[graft] def tokenRarityOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tokRows = docs
       .select($"doc_id", explode(toks($"text")).as("tok"))
+    // materialized so the join's build side is a plain scan under the
+    // Sort — the shape OptimizeSkewedJoin's pattern requires (class doc
+    // caveat; SkewStressSpec pins both directions)
     val freq = tokRows.groupBy($"tok").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(eager = false)
     tokRows.join(freq, "tok")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),
@@ -876,7 +898,6 @@ object TextAnalysis {
         sum($"freq").as("sum_freq"))
       .withColumn("mean_freq",
         $"sum_freq".cast("double") / $"n_tokens".cast("double"))
-      .orderBy($"doc_id")
   }
 
   val tokenRaritySql: String =

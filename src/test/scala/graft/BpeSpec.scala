@@ -118,6 +118,70 @@ class BpeSpec extends SparkSpec {
       "pair counts must scale exactly with replication")
   }
 
+  test("batched train at m=1 is bit-equal to the sequential train") {
+    import spark.implicits._
+    // property-style battery: the hand corpus plus seeded random
+    // corpora (short alphabetic words, Zipf-ish repetition), swept at
+    // several budgets — merge tables AND final vocabs must be
+    // bit-identical, because an m=1 batched sweep takes the candidate
+    // window's head, which IS the sequential winner
+    val rnd = new scala.util.Random(9)
+    def randCorpus(seed: Int): org.apache.spark.sql.DataFrame = {
+      val r = new scala.util.Random(seed)
+      val words = Vector.fill(8)(
+        (1 to (2 + r.nextInt(4))).map(_ => ('a' + r.nextInt(6)).toChar).mkString)
+      (0 until 6).map(i => (i.toLong,
+        Seq.fill(3 + r.nextInt(8))(words(r.nextInt(words.size))).mkString(" ")))
+        .toDF("doc_id", "text")
+    }
+    val corpora = Seq(tinyCorpus) ++ (1 to 4).map(s => randCorpus(rnd.nextInt()))
+    corpora.zipWithIndex.foreach { case (c, ci) =>
+      Seq(1, 3).foreach { iters =>
+        val (wSeq, mSeq) = Bpe.bpeTrainFrames(c, iters)
+        val (wBat, mBat) = Bpe.bpeTrainBatchedFrames(c, iters, m = 1)
+        def mergeRows(ms: Seq[org.apache.spark.sql.DataFrame]) = ms
+          .map(_.select($"it", $"lhs", $"rhs", $"merged", $"cnt"))
+          .reduce(_ unionAll _)
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4))).toSet
+        assert(mergeRows(mSeq) == mergeRows(mBat),
+          s"corpus $ci iters $iters: merge tables diverged")
+        def vocabRows(w: org.apache.spark.sql.DataFrame) = w
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+        assert(vocabRows(wSeq) == vocabRows(wBat),
+          s"corpus $ci iters $iters: final vocabs diverged")
+      }
+    }
+  }
+
+  test("batched sweeps select pairwise-disjoint pairs and compress like the sequential chain") {
+    import spark.implicits._
+    // disjoint-rich corpus: (a,b), (c,d), (e,f) never share a symbol,
+    // so one m=2 batched sweep applies the top TWO merges the
+    // sequential train needs two corpus-wide sweeps for
+    val c = Seq((1L, "ab ab ab cd cd ef"), (2L, "ab cd ef ef"))
+      .toDF("doc_id", "text")
+    val (wBat, mBat) = Bpe.bpeTrainBatchedFrames(c, iters = 1, m = 2)
+    val sel = mBat.head.orderBy($"rank")
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("cnt")))
+    assert(sel.length == 2, s"m=2 must take two disjoint pairs: ${sel.toSeq}")
+    assert(sel.flatMap(p => Seq(p._2, p._3)).distinct.length == 4,
+      s"selected pairs must be pairwise disjoint: ${sel.toSeq}")
+    val (wSeq, _) = Bpe.bpeTrainFrames(c, iters = 2)
+    val vb = wBat.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val vs = wSeq.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(vb == vs,
+      "one m=2 sweep over disjoint winners must equal two sequential sweeps")
+    // conflict handling: on the hug corpus every later candidate shares
+    // 'u' with the sweep winner, so a generous budget still selects
+    // exactly the one disjoint merge — never a conflicting batch
+    val (_, mTiny) = Bpe.bpeTrainBatchedFrames(tinyCorpus, iters = 1, m = 3)
+    val tinySel = mTiny.head.collect()
+    assert(tinySel.length == 1 && tinySel.head.getAs[String]("merged") == "ug",
+      s"conflicting candidates must not batch: ${tinySel.toSeq}")
+  }
+
   test("bpe_train is deterministic across runs") {
     val a = Bpe.bpeTrain(spark, sfDir).collect().toSeq
     val b = Bpe.bpeTrain(spark, sfDir).collect().toSeq
