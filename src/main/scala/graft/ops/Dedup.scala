@@ -309,6 +309,7 @@ object Dedup {
     Classifier.invalidate(spark, dir)
     Select.invalidate(spark, dir)
     Unigram.invalidate(spark, dir)
+    Search.invalidate(spark, dir)
   }
 
   // ---------------------------------------------------------------------

@@ -1,0 +1,489 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over `documents` — the QUERY side of the
+  * reference's dataflow. The reference ships every document INTO
+  * Elasticsearch (es.go:160-213 bulk-indexes; main.go wires the chain)
+  * precisely so users can run ranked full-text queries against the
+  * index; this family implements that search surface natively on
+  * Spark: BM25 ranking (Lucene's practical scoring function — the
+  * scorer behind every ES `match` query), phrase match, highlight
+  * snippets, and lexical+vector hybrid fusion via reciprocal-rank
+  * fusion (Cormack et al., SIGIR 2009 — the fusion modern ES "hybrid
+  * search" uses). A user of the reference stack queries ES with
+  * exactly these primitives; with this family they run the same
+  * queries inside the engine, against the same parquet the sink wrote.
+  *
+  * Determinism vs the oracle: BM25's IDF is a natural log, and Java's
+  * `Math.log` differs from DuckDB's libm `ln` in the last ulp (the
+  * measured [[TextAnalysis.tfidfKeywords]] finding), so the score
+  * RANKS but is never EMITTED — emitted columns are the rank plus the
+  * score's exact integer provenance (tf, matched-term count, doc
+  * length). All pre-log arithmetic keeps one discipline in BOTH
+  * engines: integers cast to DOUBLE before mixing, and every constant
+  * written as the same decimal literal (k1=1.2, b=0.75, k1+1=2.2 —
+  * never composed at runtime, because `1.2 + 1.0` in binary doubles
+  * is a half-ulp rounding coin-flip while `2.2` parses identically
+  * everywhere). A rank flip would need two distinct (tf…, dl) tuples
+  * whose scores agree to ~1e-15 relative; identical tuples produce
+  * bit-equal scores and fall to the doc_id tie-break in both engines.
+  * The RRF fusion score, by contrast, is pure rational arithmetic on
+  * small integer ranks (two correctly-rounded divisions + one
+  * addition in fixed order), bit-identical across engines, so it IS
+  * emitted.
+  *
+  * Shape at 100 TB (per query, see each member): per-doc (dl, tf per
+  * query term) is a codegen'd anchored-regex projection — no token
+  * explode, no (doc × term) shuffle; the corpus-level statistics
+  * (N, Σdl, df per term) fold that projection into a single 1-row
+  * map-side-combined aggregate that re-enters the plan by broadcast —
+  * two narrow passes total, the irreducible shape of any global-
+  * statistics ranker (a production deployment persists the stats row
+  * with the index — [[TextAnalysis.tfidfKeywords]] discussion); the
+  * top-k is a TakeOrderedAndProject (per-partition heaps, k rows to
+  * the driver).
+  * The only windows run AFTER a limit, over ≤ pool rows (the bounded
+  * single-partition-window convention of PLANS.md).
+  */
+object Search {
+
+  /** BM25 shape parameters, fixed at the Lucene/ES defaults. Baked
+    * into both engines as decimal literals — see class doc. */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** The registered queries' fixed search: three terms spanning the
+    * fixture's df range (dup df≈25 — rare, high-idf; vector/merge
+    * df≈380-400 — common, low-idf), so the ranking exercises real
+    * idf spread rather than tf alone. */
+  val QueryTerms: Seq[String] = Seq("dup", "vector", "merge")
+
+  /** Result-list sizes: [[bm25TopK]] emits TopK; the fusion pools
+    * RrfPool from each modality and emits RrfTopK. */
+  val TopK = 50
+  val RrfPool = 50
+  val RrfTopK = 20
+
+  /** RRF smoothing constant k (Cormack et al. 2009 use 60). */
+  val RrfK = 60
+
+  /** Registered phrase query: adjacent-token match. */
+  val PhraseTerms: Seq[String] = Seq("slow", "scan")
+
+  /** Registered highlight term + snippet geometry. */
+  val HighlightTerm = "dup"
+  val SnippetBefore = 16
+  val SnippetLen = 40
+
+  // ---------------------------------------------------------------- BM25
+
+  /** Per-doc BM25 frame over an arbitrary documents frame: doc_id,
+    * dl, per-term tfs, n_matched, tf_total, score. One scan + one
+    * broadcast 1-row stats aggregate (N, Σdl, df per term) — the
+    * corpus is never scanned twice and nothing doc×term-grained
+    * shuffles. */
+  /** The ONE BM25 score expression, shared verbatim by the scan path
+    * ([[bm25ScoredOf]]) and the index serving path
+    * ([[searchWithIndex]]) so their arithmetic — and therefore their
+    * rankings — are bit-identical by construction, not by test alone.
+    * Expects columns tf1..tfk (integral), df1..dfk, n, sumdl, dl in
+    * scope. Literal discipline per class doc. */
+  private def bm25Score(k: Int): Column = {
+    val avgdl = col("sumdl").cast("double") / col("n").cast("double")
+    val lnorm = lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)
+    (0 until k).map { i =>
+      val tf = col(s"tf${i + 1}").cast("double")
+      val df = col(s"df${i + 1}")
+      val idf = log(lit(1.0) +
+        ((col("n") - df).cast("double") + lit(0.5)) / (df.cast("double") + lit(0.5)))
+      idf * ((tf * lit(2.2)) / (tf + lit(1.2) * lnorm))
+    }.reduce(_ + _)
+  }
+
+  private def nMatchedCol(k: Int): Column = (0 until k)
+    .map(i => when(col(s"tf${i + 1}") > 0, 1).otherwise(0)).reduce(_ + _)
+
+  private def tfTotalCol(k: Int): Column =
+    (0 until k).map(i => col(s"tf${i + 1}")).reduce(_ + _)
+
+  private[graft] def bm25ScoredOf(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val nt = TextAnalysis.norm($"text")
+    val tfCols = terms.indices.map { i =>
+      TextAnalysis.hitCount(nt, Seq(terms(i))).as(s"tf${i + 1}")
+    }
+    val f = docs.select(
+      ($"doc_id" +: size(TextAnalysis.toks($"text")).cast("long").as("dl") +: tfCols): _*)
+    val statCols = Seq(count(lit(1)).as("n"), sum($"dl").as("sumdl")) ++
+      terms.indices.map { i =>
+        count(when(col(s"tf${i + 1}") > 0, 1)).as(s"df${i + 1}")
+      }
+    val stats = f.agg(statCols.head, statCols.tail: _*)
+    f.crossJoin(broadcast(stats))
+      .select($"doc_id", $"dl", tfTotalCol(terms.size).as("tf_total"),
+        nMatchedCol(terms.size).as("n_matched"), bm25Score(terms.size).as("score"))
+  }
+
+  /** Ranked candidate list (doc_id, rk) for the fusion: matched docs
+    * ordered by (score desc, doc_id), cut to `pool`, then ranked by a
+    * window over those ≤ pool rows (bounded single partition). */
+  private[graft] def bm25RankedOf(docs: DataFrame, terms: Seq[String],
+      pool: Int, rkName: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = Window.orderBy($"score".desc, $"doc_id")
+    bm25ScoredOf(docs, terms)
+      .filter($"n_matched" > 0)
+      .orderBy($"score".desc, $"doc_id").limit(pool)
+      .withColumn(rkName, row_number().over(w))
+  }
+
+  /** Registered query: BM25 `match` over [[QueryTerms]] — rank plus
+    * exact integer provenance (see class doc for why the double score
+    * itself stays internal). */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bm25RankedOf(Tables.documentsPar(spark, dir), QueryTerms, TopK, "rk")
+      .select($"rk", $"doc_id", $"n_matched", $"tf_total", $"dl")
+      .orderBy($"rk")
+  }
+
+  /** The f/s/sc CTE chain shared by [[bm25TopKSql]] and
+    * [[hybridRrfSql]] — textual mirror of [[bm25ScoredOf]], same
+    * literal-discipline (class doc). */
+  private def bm25Ctes(terms: Seq[String]): String = {
+    val tfDefs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf${i + 1}"
+    }.mkString(",\n    ")
+    val dfDefs = terms.indices.map { i =>
+      s"COUNT(*) FILTER (WHERE tf${i + 1} > 0) AS df${i + 1}"
+    }.mkString(", ")
+    val avgdl = "(CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))"
+    val scoreTerms = terms.indices.map { i =>
+      val tf = s"CAST(f.tf${i + 1} AS DOUBLE)"
+      s"""(ln(1.0 + (CAST(s.n - s.df${i + 1} AS DOUBLE) + 0.5) / (CAST(s.df${i + 1} AS DOUBLE) + 0.5))
+         |     * (($tf * 2.2) / ($tf + 1.2 * (0.25 + 0.75 * (CAST(f.dl AS DOUBLE) / $avgdl)))))""".stripMargin
+    }.mkString("\n   + ")
+    val nMatched = terms.indices
+      .map(i => s"CASE WHEN f.tf${i + 1} > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val tfTotal = terms.indices.map(i => s"f.tf${i + 1}").mkString(" + ")
+    s"""f AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |    $tfDefs
+       |  FROM (SELECT doc_id,
+       |          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |        FROM documents)),
+       |s AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl, $dfDefs FROM f),
+       |sc AS (
+       |  SELECT f.doc_id, f.dl, $tfTotal AS tf_total, $nMatched AS n_matched,
+       |   $scoreTerms AS score
+       |  FROM f CROSS JOIN s)""".stripMargin
+  }
+
+  val bm25TopKSql: String =
+    s"""WITH ${bm25Ctes(QueryTerms)}
+       |SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk,
+       |  doc_id, n_matched, tf_total, dl
+       |FROM sc WHERE n_matched > 0
+       |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+
+  // -------------------------------------------------------- phrase match
+
+  /** Registered query: ES `match_phrase` — docs where the
+    * [[PhraseTerms]] appear as ADJACENT tokens, with the occurrence
+    * count. Implemented as ONE codegen'd anchored-regex count over the
+    * normalized text (the [[TextAnalysis.wordPattern]] mechanism with
+    * the whole phrase as the alternative): no position explode, no
+    * token-array lambda, embarrassingly parallel. Non-overlapping
+    * regex occurrences equal all adjacent-pair positions because the
+    * phrase's words are distinct (a suffix of the phrase is never its
+    * prefix), which is exactly what the oracle counts positionally. */
+  def matchPhrase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val phrase = PhraseTerms.mkString(" ")
+    Tables.documentsPar(spark, dir)
+      .select($"doc_id",
+        size(regexp_extract_all(TextAnalysis.norm($"text"),
+          lit(TextAnalysis.wordPattern(Seq(phrase))), lit(0))).as("n_occur"))
+      .filter($"n_occur" > 0)
+      .orderBy($"doc_id")
+  }
+
+  val matchPhraseSql: String = {
+    val Seq(w1, w2) = PhraseTerms
+    s"""SELECT doc_id, n_occur FROM (
+       |  SELECT doc_id,
+       |    len(list_filter(range(1, len(toks)),
+       |        i -> toks[i] = '$w1' AND toks[i + 1] = '$w2')) AS n_occur
+       |  FROM (SELECT doc_id,
+       |          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |        FROM documents))
+       |WHERE n_occur > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------- highlight
+
+  /** Registered query: ES highlight — for docs matching
+    * [[HighlightTerm]], the 1-based match position in the normalized
+    * text and a fixed-geometry snippet around it. Pure per-row string
+    * projection (locate + substring), codegen'd, no shuffle. Substring
+    * (not token-anchored) match is the documented semantic — ES
+    * highlighters work on character offsets too; on this vocabulary no
+    * token contains another, so the two coincide. */
+  def searchHighlight(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nt = TextAnalysis.norm($"text")
+    Tables.documentsPar(spark, dir)
+      .select($"doc_id", locate(HighlightTerm, nt).as("pos"), nt.as("nt"))
+      .filter($"pos" > 0)
+      .select($"doc_id", $"pos",
+        $"nt".substr(greatest($"pos" - SnippetBefore, lit(1)),
+          lit(SnippetLen)).as("snippet"))
+      .orderBy($"doc_id")
+  }
+
+  val searchHighlightSql: String =
+    s"""SELECT doc_id, pos,
+       |  substr(nt, greatest(pos - $SnippetBefore, 1), $SnippetLen) AS snippet
+       |FROM (SELECT doc_id,
+       |        strpos(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '$HighlightTerm') AS pos,
+       |        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+       |      FROM documents)
+       |WHERE pos > 0
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- hybrid / RRF
+
+  /** Vector ranked list (doc_id, r_vec) against the [[Similarity]]
+    * query-vector convention (vec_id 0): brute cosine,
+    * TakeOrderedAndProject to `pool`, rank window over those rows. */
+  private def vecRankedOf(emb: DataFrame, pool: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val w = Window.orderBy($"vscore".desc, $"doc_id")
+    emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id".as("doc_id"),
+        (Similarity.dotD($"embedding", $"qv") /
+          sqrt(Similarity.dotD($"embedding", $"embedding") *
+            Similarity.dotD($"qv", $"qv"))).as("vscore"))
+      .orderBy($"vscore".desc, $"doc_id").limit(pool)
+      .withColumn("r_vec", row_number().over(w))
+      .select($"doc_id", $"r_vec")
+  }
+
+  /** Registered query: hybrid lexical+vector retrieval — RRF fusion
+    * (score = Σ 1/(k + rank), k = [[RrfK]]) of the BM25 top-[[RrfPool]]
+    * and the cosine top-[[RrfPool]] for the fixture's query (terms
+    * [[QueryTerms]], query vector vec_id 0), emitting the fused
+    * top-[[RrfTopK]] with both per-modality ranks (NULL where a doc
+    * appears in only one list). The fused score is exact rational
+    * arithmetic on integer ranks — emitted (class doc).
+    *
+    * Shape at 100 TB: each modality reduces to a ≤ pool-row list
+    * before fusion, so the full-outer fusion join touches ≤ 2·pool
+    * rows — driver-scale by construction; everything corpus-sized
+    * happened inside the modality pipelines (one scan each). */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val text = bm25RankedOf(Tables.documentsPar(spark, dir), QueryTerms,
+      RrfPool, "r_text").select($"doc_id", $"r_text")
+    val vec = vecRankedOf(Tables.embeddings(spark, dir), RrfPool)
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"r_text", $"r_vec",
+        (coalesce(lit(1.0) / (lit(RrfK) + $"r_text"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + $"r_vec"), lit(0.0))).as("rrf"))
+      .orderBy($"rrf".desc, $"doc_id").limit(RrfTopK)
+  }
+
+  val hybridRrfSql: String = {
+    val cos = s"${Similarity.dotSql("e.embedding", "q.qv")} / " +
+      s"sqrt(${Similarity.dotSql("e.embedding", "e.embedding")} * ${Similarity.dotSql("q.qv", "q.qv")})"
+    s"""WITH ${bm25Ctes(QueryTerms)},
+       |tr AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_text
+       |  FROM sc WHERE n_matched > 0
+       |  ORDER BY score DESC, doc_id LIMIT $RrfPool),
+       |vs AS (
+       |  SELECT e.vec_id AS doc_id, $cos AS vscore
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       |  WHERE e.vec_id != 0),
+       |vr AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY vscore DESC, doc_id) AS r_vec
+       |  FROM vs ORDER BY vscore DESC, doc_id LIMIT $RrfPool)
+       |SELECT doc_id, r_text, r_vec,
+       |  COALESCE(CAST(1 AS DOUBLE) / ($RrfK + r_text), CAST(0 AS DOUBLE)) +
+       |  COALESCE(CAST(1 AS DOUBLE) / ($RrfK + r_vec), CAST(0 AS DOUBLE)) AS rrf
+       |FROM tr FULL OUTER JOIN vr USING (doc_id)
+       |ORDER BY rrf DESC, doc_id LIMIT $RrfTopK""".stripMargin
+  }
+
+  // ------------------------------------------------ persisted inverted index
+
+  /** Number of hash buckets the postings partition by. At 100 TB the
+    * term dictionary is millions of entries — far too many for one
+    * directory per term — so postings shard by a 64-way hash of the
+    * term: a query for k terms opens ≤ k of 64 partitions (partition
+    * pruning on `b`), while each partition stays large enough for
+    * healthy parquet row groups. */
+  val IndexBuckets = 64
+
+  /** Postings bucket of a term — md5-based so the driver can compute
+    * the SAME bucket for the query's terms without a Spark job (the
+    * [[Similarity]] planeSigns convention: shared deterministic
+    * randomness, derived identically in the JVM and in the plan). */
+  private def tokBucketCol(tok: Column): Column =
+    (conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % IndexBuckets)
+      .cast("int")
+
+  private[graft] def tokBucket(tok: String): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.take(15), 16) % IndexBuckets).toInt
+  }
+
+  /** Build the inverted index for the corpus at `dir` under `outDir` —
+    * the engine-side form of the daily index the reference maintains in
+    * ES (es.go:160-213 bulk-indexes exactly this: per-document term
+    * postings + lengths). Layout:
+    *
+    *   outDir/postings/epoch=…/b=…/   (tok, doc_id, tf)
+    *   outDir/doclen/epoch=…/         (doc_id, dl)
+    *
+    * Written to a staging dir and committed by rename (the
+    * [[Pq.persistPqIndex]] write-order contract): postings must never
+    * exist without the doclen table that defines their normalization —
+    * a failure mid-build leaves any previous complete index untouched.
+    *
+    * Shape at 100 TB: postings are one explode + map-side-combined
+    * (doc, tok) count — the same one shuffle every tokenizing
+    * aggregate here pays; doclen is a narrow projection. Nothing
+    * corpus-sized returns to the driver. */
+  def buildSearchIndex(spark: SparkSession, dir: String, outDir: String): Unit =
+    buildSearchIndexOf(Tables.documentsPar(spark, dir), outDir)
+
+  /** [[buildSearchIndex]] over an arbitrary documents frame — the test
+    * seam and the streaming-build entry. */
+  def buildSearchIndexOf(docs: DataFrame, outDir: String): Unit = {
+    val spark = docs.sparkSession
+    val staging = outDir + ".staging"
+    writeEpoch(docs, staging, "base")
+    val hconf = spark.sessionState.newHadoopConf()
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(hconf)
+    fs.delete(out, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), out))
+      throw new IllegalStateException(
+        s"buildSearchIndex: commit rename $staging -> $outDir failed")
+  }
+
+  /** Append a batch of documents to an existing index as epoch
+    * `epoch`. Idempotent under replay: both tables partition by epoch
+    * and the write uses dynamic partition overwrite, so re-appending
+    * the same epoch REPLACES its partitions instead of duplicating
+    * rows — the [[graft.streaming.IngestPipeline]] K1 sink contract,
+    * applied to the index. A failure between the two writes leaves
+    * epoch postings without doclen rows (those docs rank as if absent
+    * and inflate df by their count until repaired); re-running the
+    * same append converges the epoch to exactly-once state. */
+  def appendToSearchIndex(spark: SparkSession, indexDir: String,
+      docs: DataFrame, epoch: String): Unit =
+    writeEpoch(docs, indexDir, epoch)
+
+  private def writeEpoch(docs: DataFrame, root: String, epoch: String): Unit = {
+    import docs.sparkSession.implicits._
+    val base = docs.select($"doc_id", TextAnalysis.toks($"text").as("toks"))
+    base.select($"doc_id", size($"toks").cast("long").as("dl"),
+        lit(epoch).as("epoch"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(s"$root/doclen")
+    base.select($"doc_id", explode($"toks").as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .select($"tok", $"doc_id", $"tf", lit(epoch).as("epoch"),
+        tokBucketCol($"tok").as("b"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch", "b").parquet(s"$root/postings")
+  }
+
+  /** BM25 served FROM the index — the corpus text is never touched.
+    * Exactly [[bm25TopK]]'s output, bit-for-bit: the tf pivot
+    * (fixed-order conditional sums per query term), the df/N/Σdl
+    * statistics, and the shared [[bm25Score]] expression reproduce the
+    * scan path's arithmetic on the same integers.
+    *
+    * Shape at 100 TB: the postings scan prunes to the ≤ k(terms) of
+    * [[IndexBuckets]] partitions holding the query's terms, then
+    * row-filters to the terms themselves (pushed to parquet); the
+    * per-doc tf pivot is one map-side-combined aggregate over those
+    * postings only; doclen joins by doc_id for the candidates
+    * (shuffle hash join — candidates are term-df-sized, not
+    * corpus-sized); N/Σdl and the per-term dfs are two 1-row
+    * broadcast aggregates. Query cost scales with the query terms'
+    * document frequency — independent of corpus breadth, which is the
+    * entire point of an inverted index. */
+  def searchWithIndex(spark: SparkSession, indexDir: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    val buckets = terms.map(tokBucket).distinct
+    val post = spark.read.parquet(s"$indexDir/postings")
+      .filter($"b".isin(buckets: _*) && $"tok".isin(terms: _*))
+    val doclen = spark.read.parquet(s"$indexDir/doclen")
+    val stats = doclen.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      count(when($"tok" === t, 1)).as(s"df${i + 1}")
+    }
+    val dfs = post.agg(dfCols.head, dfCols.tail: _*)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when($"tok" === t, $"tf")), lit(0L)).cast("int")
+        .as(s"tf${i + 1}")
+    }
+    val cand = post.groupBy($"doc_id").agg(tfCols.head, tfCols.tail: _*)
+    val w = Window.orderBy($"score".desc, $"doc_id")
+    cand.join(doclen.select($"doc_id", $"dl"), "doc_id")
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
+      .select($"doc_id", $"dl", tfTotalCol(terms.size).as("tf_total"),
+        nMatchedCol(terms.size).as("n_matched"), bm25Score(terms.size).as("score"))
+      .filter($"n_matched" > 0)
+      .orderBy($"score".desc, $"doc_id").limit(k)
+      .withColumn("rk", row_number().over(w))
+      .select($"rk", $"doc_id", $"n_matched", $"tf_total", $"dl")
+      .orderBy($"rk")
+  }
+
+  /** Session-built index roots, keyed (appId, corpus dir) — rebuilt
+    * once per JVM so stale on-disk state from a dead session can never
+    * serve (the sharedKmeansRows freshness stance, applied to
+    * filesystem artifacts). */
+  private val builtIndexes =
+    scala.collection.mutable.Set.empty[(String, String)]
+
+  private def sharedIndexDir(spark: SparkSession, dir: String): String = synchronized {
+    val root = sys.props("java.io.tmpdir") +
+      "/graft_searchidx_" + Tables.viewSuffix(dir)
+    val key = (spark.sparkContext.applicationId, dir)
+    if (!builtIndexes.contains(key)) {
+      buildSearchIndex(spark, dir, root)
+      builtIndexes += key
+    }
+    root
+  }
+
+  /** Registered query: [[bm25TopK]] SERVED from the persisted inverted
+    * index (built once per session per corpus) — oracle-checked
+    * against the same SQL as the scan path, which it must reproduce
+    * bit-for-bit. This is the deployment shape: build the index when
+    * the corpus lands, serve every query from postings. */
+  def bm25Served(spark: SparkSession, dir: String): DataFrame =
+    searchWithIndex(spark, sharedIndexDir(spark, dir), QueryTerms, TopK)
+
+  /** Drop the session-shared index memo for `dir` — the next consumer
+    * rebuilds from the directory's current bytes. */
+  def invalidate(spark: SparkSession, dir: String): Unit = synchronized {
+    builtIndexes -= ((spark.sparkContext.applicationId, dir))
+  }
+}
