@@ -1029,4 +1029,63 @@ object Similarity {
        |FROM assigned a LEFT JOIN hits h ON a.vec_id = h.vec_id
        |WHERE a.vec_id % 5 = 0
        |ORDER BY a.vec_id""".stripMargin
+
+  // ------------------------------------------------- density-aware sampling
+
+  /** Per-cluster retention cap for [[densitySample]]: clusters larger
+    * than this downsample to ~Cap expected survivors. */
+  val DensityCap = 32
+
+  /** Registered query: density-weighted diversity sampling (the D4
+    * recipe — Tirumala et al. 2023, arXiv:2308.12284: after semantic
+    * dedup, RE-BALANCE the corpus away from over-dense embedding
+    * regions, because near-duplicate-heavy neighborhoods keep
+    * contributing redundant gradient signal even after exact dups are
+    * gone). Under the TRAINED k-means quantizer ([[kmeansAssign]]'s
+    * shared rows), each cluster keeps ~[[DensityCap]] expected docs:
+    * acceptance rate = min(1, Cap/|cluster|), decided by the same
+    * deterministic salted-hash predicate as the Select samplers — so
+    * the sample is re-derivable anywhere, stable under replay, and
+    * exact in the oracle.
+    *
+    * Shape at 100 TB: assignment is the session-shared trained
+    * quantizer view (one Lloyd's train per corpus); cluster sizes are
+    * one k-row aggregate that re-enters by broadcast; acceptance is a
+    * pure per-row hash predicate — no extra shuffle, no stored sample,
+    * the [[Select]] sampleWithRates shape on embedding-space density
+    * instead of domain identity. */
+  def densitySample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    densitySampleOf(kmeansAssign(spark, dir).select($"vec_id", $"cluster"))
+  }
+
+  /** [[densitySample]] over an arbitrary (vec_id, cluster) assignment
+    * frame — the test seam. */
+  def densitySampleOf(a: DataFrame): DataFrame = {
+    import a.sparkSession.implicits._
+    val rates = a.groupBy($"cluster").agg(count(lit(1)).as("n_c"))
+      .select($"cluster",
+        when($"n_c" <= DensityCap, lit(1.0).cast("double"))
+          .otherwise(lit(DensityCap).cast("double") / $"n_c").as("rate"))
+    val accept = (conv(substring(md5(concat(lit("dens:"),
+      $"vec_id".cast("string"))), 1, 15), 16, 10).cast("double") /
+      lit(1152921504606846976.0)) < $"rate"
+    a.join(broadcast(rates), "cluster")
+      .filter(accept)
+      .select($"vec_id", $"cluster", $"rate")
+      .orderBy($"vec_id")
+  }
+
+  val densitySampleSql: String =
+    s"""WITH a AS (SELECT vec_id, cluster FROM ($kmeansAssignSql) t),
+       |sz AS (SELECT cluster, COUNT(*) AS n_c FROM a GROUP BY cluster),
+       |r AS (SELECT cluster,
+       |        CASE WHEN n_c <= $DensityCap THEN CAST(1 AS DOUBLE)
+       |             ELSE CAST($DensityCap AS DOUBLE) / n_c END AS rate
+       |      FROM sz)
+       |SELECT a.vec_id, a.cluster, r.rate
+       |FROM a JOIN r USING (cluster)
+       |WHERE CAST(('0x' || substr(md5('dens:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+       |      / 1152921504606846976.0 < r.rate
+       |ORDER BY a.vec_id""".stripMargin
 }

@@ -452,4 +452,29 @@ class SimilaritySpec extends SparkSpec {
     assert(flagged > 0, "fixture batch should hit corpus duplicates")
     assert(flagged < res.length, "must not flag everything")
   }
+
+  test("density_sample flattens over-dense clusters and keeps sparse ones whole") {
+    import spark.implicits._
+    // one dense cluster (200 members), one at the cap (32), one sparse (5)
+    val assign = ((0L until 200L).map(i => (i, 0)) ++
+      (200L until 232L).map(i => (i, 1)) ++
+      (232L until 237L).map(i => (i, 2))).toDF("vec_id", "cluster")
+    val kept = Similarity.densitySampleOf(assign).collect()
+    val byCluster = kept.groupBy(_.getInt(1)).view.mapValues(_.length).toMap
+    // clusters at or under the cap keep EVERY member (rate 1.0)
+    assert(byCluster.getOrElse(1, 0) == 32, "cap-sized cluster kept whole")
+    assert(byCluster.getOrElse(2, 0) == 5, "sparse cluster kept whole")
+    // the dense cluster downsamples to ~Cap expected survivors
+    val dense = byCluster.getOrElse(0, 0)
+    info(s"dense cluster: $dense of 200 kept (expectation ${Similarity.DensityCap})")
+    assert(dense < 200 / 2, "dense cluster must be heavily downsampled")
+    assert(dense > 0, "but not emptied")
+    // rates emitted are the acceptance probabilities
+    kept.filter(_.getInt(1) == 0).foreach { r =>
+      assert(math.abs(r.getDouble(2) - Similarity.DensityCap / 200.0) < 1e-12)
+    }
+    // deterministic: same input, same sample
+    val again = Similarity.densitySampleOf(assign).collect()
+    assert(again.map(_.getLong(0)).toSeq == kept.map(_.getLong(0)).toSeq)
+  }
 }
