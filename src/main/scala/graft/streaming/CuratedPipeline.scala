@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables
-import graft.ops.{Classifier, Dedup, Pq, Select, TextAnalysis, Unigram}
+import graft.ops.{Classifier, Dedup, Pq, Search, Select, TextAnalysis, Unigram}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -23,6 +23,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * @param rates      mixture acceptance rates ([[Select.materializeMixRates]])
   * @param unigramCounts trained piece vocabulary ([[Unigram.materializeModel]])
   * @param pqDir      persisted IVF-PQ index ([[Pq.persistPqIndex]]), when present
+  * @param searchIndexDir persisted inverted index
+  *                       ([[graft.ops.Search.buildSearchIndex]]), when present
   */
 final case class CuratedModels(
     corpus: String,
@@ -32,7 +34,8 @@ final case class CuratedModels(
     ratios: DataFrame,
     rates: DataFrame,
     unigramCounts: DataFrame,
-    pqDir: Option[String])
+    pqDir: Option[String],
+    searchIndexDir: Option[String])
 
 object CuratedModels {
 
@@ -72,6 +75,7 @@ object CuratedModels {
     *   modelsDir/unigram           counts/ + segments/ parquet + _corpus.id
     *   modelsDir/funnel            bucketed funnel tables + funnel.meta
     *   modelsDir/pq                IVF-PQ lists + _codebooks + _corpus.id
+    *   modelsDir/searchidx         inverted index (postings + doclen) + _corpus.id
     *
     * @param withPq also build the IVF-PQ index (needs an embeddings
     *               table beside the documents) */
@@ -87,11 +91,13 @@ object CuratedModels {
     Unigram.materializeModel(spark, dir, s"$modelsDir/unigram")
     Dedup.persistFunnel(spark, dir, s"$modelsDir/funnel")
     if (withPq) Pq.persistPqIndex(spark, dir, s"$modelsDir/pq")
+    Search.buildSearchIndex(spark, dir, s"$modelsDir/searchidx")
     // identity markers AFTER the writes (overwrite modes clear the dirs)
     ParquetFamilies.foreach(f =>
       writeText(root.resolve(f).resolve(CorpusIdName), dir))
     if (withPq) writeText(root.resolve("pq").resolve(CorpusIdName), dir)
-    val families = ParquetFamilies ++ Seq("funnel") ++
+    writeText(root.resolve("searchidx").resolve(CorpusIdName), dir)
+    val families = ParquetFamilies ++ Seq("funnel", "searchidx") ++
       (if (withPq) Seq("pq") else Nil)
     writeText(root.resolve(ManifestName),
       (s"corpus=$dir" +: families.map(f => s"family.$f=$f"))
@@ -145,7 +151,9 @@ object CuratedModels {
       ratios = spark.read.parquet(s"$modelsDir/dsir"),
       rates = spark.read.parquet(s"$modelsDir/mix"),
       unigramCounts = spark.read.parquet(s"$modelsDir/unigram/counts"),
-      pqDir = if (families.contains("pq")) Some(s"$modelsDir/pq") else None)
+      pqDir = if (families.contains("pq")) Some(s"$modelsDir/pq") else None,
+      searchIndexDir = if (families.contains("searchidx"))
+        Some(s"$modelsDir/searchidx") else None)
   }
 }
 
@@ -154,7 +162,8 @@ object CuratedModels {
   * foreachBatch per micro-batch runs the full serving chain —
   * validate → classifier-score → DSIR-weight → mixture-sample →
   * near-dup screen — and maintains every durable artifact in place
-  * (curated output, DLQ, dedup funnel, PQ index), with observed
+  * (curated output, DLQ, dedup funnel, PQ index, full-text search
+  * index), with observed
   * metrics (ingest counters + tokenizer-drift signals) riding the
   * stream for Health's Prometheus surface.
   *
@@ -271,6 +280,18 @@ object CuratedPipeline {
               embB.join(existing, Seq("vec_id"), "left_anti"))
           }
         }
+      }
+      // search-index maintenance: every first-seen valid arrival
+      // becomes queryable — the streaming continuation of
+      // buildSearchIndex over the corpus (like the PQ index, coverage
+      // is arrivals, not the curated subset: retrieval wants the
+      // rejected docs findable too, e.g. for audit queries). Epoch-
+      // keyed dynamic partition overwrite makes a replayed epoch
+      // rewrite itself (fresh recomputes identically until the funnel
+      // commit lands; after it lands, fresh is empty and the epoch's
+      // partitions are left untouched).
+      m.searchIndexDir.foreach { idx =>
+        Search.appendToSearchIndex(spark, idx, docs, epoch = s"e$epochId")
       }
       // the admission commit point — LAST, so every earlier sink has
       // committed before a doc_id starts screening as already-admitted

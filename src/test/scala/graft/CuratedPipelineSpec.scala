@@ -258,11 +258,37 @@ class CuratedPipelineSpec extends SparkSpec {
     assert(codes(withEmbId) == codes(0L),
       "twin arrival must encode to vec 0's codes under the persisted codebooks")
 
+    // ---- search index: every first-seen valid arrival queryable; the
+    // stream-maintained index must rank exactly like one whole build
+    // over corpus ∪ arrivals (the append=rebuild guarantee, end to end
+    // through the stream)
+    val idxDir = m.searchIndexDir.get
+    val arrivalRows = (batch1 ++ batch2)
+      .filter(r => r.text != null && r.text.trim.nonEmpty)
+      .filter(r => gotIds.contains(r.doc_id) && !baseIds.contains(r.doc_id))
+      .map(r => (r.doc_id, r.text)).distinct.toSeq
+    val unionDocs = Tables.documents(spark, corpusDir)
+      .select($"doc_id", $"text")
+      .unionByName(arrivalRows.toDF("doc_id", "text"))
+    val wholeIdx = tmp("graftcurwholeidx") + "/idx"
+    graft.ops.Search.buildSearchIndexOf(unionDocs, wholeIdx)
+    val servedStream = graft.ops.Search.searchWithIndex(spark, idxDir,
+      graft.ops.Search.QueryTerms, graft.ops.Search.TopK)
+      .collect().map(_.toSeq).toSeq
+    val servedWhole = graft.ops.Search.searchWithIndex(spark, wholeIdx,
+      graft.ops.Search.QueryTerms, graft.ops.Search.TopK)
+      .collect().map(_.toSeq).toSeq
+    assert(servedStream == servedWhole,
+      "stream-maintained search index must rank like a whole rebuild")
+    val idxRowsBefore = spark.read.parquet(s"$idxDir/postings").count()
+
     // ---- replay: the SAME batch through the batch seam changes nothing
     val outRows = rowsOf(out)
     CuratedPipeline.curateBatch(spark, m, df(batch2), 1L, outDir, dlqDir)
     assert(rowsOf(spark.read.parquet(outDir)) == outRows)
     assert(spark.read.parquet(m.pqDir.get).count() == pqBefore + 1)
+    assert(spark.read.parquet(s"$idxDir/postings").count() == idxRowsBefore,
+      "replaying a batch must not grow the search index")
     val sigIds2 = Dedup.funnelSignatures(spark, corpusDir, m.funnelDir)
       .groupBy($"doc_id").count()
     assert(sigIds2.filter($"count" > 1).isEmpty)
