@@ -289,6 +289,77 @@ object TextAnalysis {
       .limit(VocabTopN)
   }
 
+  /** The slice [[vocabDrift]] contrasts against the rest of the corpus. */
+  val DriftSource = "src0"
+
+  /** Registered query: vocabulary drift between a corpus slice and the
+    * rest — the per-term two-sample chi-square decomposition. For each
+    * term with counts c_a (in [[DriftSource]]) and c_b (elsewhere),
+    * the pooled-expectation contribution
+    *   (c_a − E_a)²/E_a + (c_b − E_b)²/E_b,
+    *   E_x = (c_a + c_b) · N_x/(N_a + N_b)
+    * says how much that term's usage diverges from the corpus-wide
+    * rate; the rows sorted by contribution ARE the drift report a
+    * pipeline operator reads ("which words does this source over/
+    * under-use"). This is the BATCH monitoring counterpart of the
+    * stream's fertility/OOV drift metrics
+    * ([[graft.streaming.CuratedPipeline]]): there the signal is
+    * tokenizer fit at ingest time, here it is term-level attribution
+    * between corpus versions or domains.
+    *
+    * Every number is rational arithmetic on exact integer counts
+    * (no transcendentals), written in the same operation order in
+    * both engines — so unlike the ln-ranked scores the contribution
+    * is EMITTED, bit-exact.
+    *
+    * Shape at 100 TB: one explode + map-side-combined aggregate to
+    * VOCAB grain (conditional counts, no second corpus pass), the two
+    * totals as a 1-row broadcast, then per-term projection — the
+    * vocabTopN shape plus a broadcast. */
+  def vocabDrift(spark: SparkSession, dir: String): DataFrame =
+    vocabDriftOf(Tables.documentsPar(spark, dir))
+
+  /** [[vocabDrift]] over an arbitrary (source, text) frame — the test
+    * seam. */
+  def vocabDriftOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val counts = docs
+      .select(($"source" === DriftSource).as("in_a"),
+        explode(toks($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(when($"in_a", 1)).as("c_a"),
+        count(when(!$"in_a", 1)).as("c_b"))
+    val totals = counts.agg(sum($"c_a").as("n_a"), sum($"c_b").as("n_b"))
+    val tot = ($"c_a" + $"c_b").cast("double")
+    val ea = tot * ($"n_a".cast("double") / ($"n_a" + $"n_b").cast("double"))
+    val eb = tot * ($"n_b".cast("double") / ($"n_a" + $"n_b").cast("double"))
+    val contrib =
+      ($"c_a".cast("double") - ea) * ($"c_a".cast("double") - ea) / ea +
+        ($"c_b".cast("double") - eb) * ($"c_b".cast("double") - eb) / eb
+    counts.crossJoin(broadcast(totals))
+      .select($"token", $"c_a", $"c_b", contrib.as("chi2"))
+      .orderBy($"chi2".desc, $"token")
+  }
+
+  val vocabDriftSql: String = {
+    val ea = "(CAST(c_a + c_b AS DOUBLE) * (CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)))"
+    val eb = "(CAST(c_a + c_b AS DOUBLE) * (CAST(n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)))"
+    s"""WITH tr AS (
+       |  SELECT source = '$DriftSource' AS in_a,
+       |    UNNEST(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+       |  FROM documents),
+       |c AS (SELECT token,
+       |        COUNT(*) FILTER (WHERE in_a) AS c_a,
+       |        COUNT(*) FILTER (WHERE NOT in_a) AS c_b
+       |      FROM tr GROUP BY token),
+       |t AS (SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM c)
+       |SELECT token, c_a, c_b,
+       |  (CAST(c_a AS DOUBLE) - $ea) * (CAST(c_a AS DOUBLE) - $ea) / $ea
+       |    + (CAST(c_b AS DOUBLE) - $eb) * (CAST(c_b AS DOUBLE) - $eb) / $eb AS chi2
+       |FROM c CROSS JOIN t
+       |ORDER BY chi2 DESC, token""".stripMargin
+  }
+
   val vocabTopNSql: String =
     s"""SELECT token, COUNT(*) AS freq
        |FROM (SELECT UNNEST(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
