@@ -323,6 +323,154 @@ object Search {
        |ORDER BY rrf DESC, doc_id LIMIT $RrfTopK""".stripMargin
   }
 
+  // ---------------------------------------------------------- fuzzy match
+
+  /** Registered fuzzy query: a misspelling of a vocabulary term. */
+  val FuzzyTerm = "scann"
+  val FuzzyMaxDist = 1
+
+  /** Registered query: ES `fuzzy` — docs containing any token within
+    * [[FuzzyMaxDist]] Levenshtein edits of [[FuzzyTerm]], with the hit
+    * count and the matched tokens. Both engines implement the same
+    * classic edit-distance DP, so the match set is engine-exact.
+    *
+    * Shape at 100 TB: the expensive predicate (edit distance) runs at
+    * VOCAB grain only — distinct tokens, millions of rows — never per
+    * token occurrence; the (tiny) matched-term set broadcasts back
+    * against the token stream, and the per-doc rollup is one
+    * map-side-combined aggregate. This vocab-first-then-broadcast
+    * shape is how Lucene evaluates fuzzy queries too (an automaton
+    * over the term dictionary, then postings). */
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tokRows = Tables.documentsPar(spark, dir)
+      .select($"doc_id", explode(TextAnalysis.toks($"text")).as("token"))
+    val matched = tokRows.select($"token").distinct()
+      .filter(levenshtein($"token", lit(FuzzyTerm)) <= FuzzyMaxDist)
+    tokRows.join(broadcast(matched), "token")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        concat_ws(",", array_sort(collect_set($"token"))).as("matched"))
+      .orderBy($"doc_id")
+  }
+
+  val fuzzyMatchSql: String =
+    s"""WITH tr AS (
+       |  SELECT doc_id,
+       |    UNNEST(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+       |  FROM documents),
+       |m AS (SELECT DISTINCT token FROM tr
+       |      WHERE levenshtein(token, '$FuzzyTerm') <= $FuzzyMaxDist)
+       |SELECT tr.doc_id, COUNT(*) AS n_hits,
+       |  string_agg(DISTINCT tr.token, ',' ORDER BY tr.token) AS matched
+       |FROM tr JOIN m USING (token)
+       |GROUP BY tr.doc_id
+       |ORDER BY tr.doc_id""".stripMargin
+
+  // --------------------------------------------------------- more like this
+
+  /** Source document + term budget for the registered MLT query. */
+  val MltSourceDoc = 0L
+  val MltTerms = 3
+  val MltTopK = 20
+
+  /** Registered query: ES `more_like_this` — rank the corpus by BM25
+    * similarity to ONE document, using that document's top-[[MltTerms]]
+    * TF-IDF keywords as the query (the MLT recipe: interesting terms
+    * first, then an ordinary ranked query). Unlike [[bm25TopK]]'s
+    * compile-time terms, the query terms here are DATA — so this is
+    * the join-based BM25 shape: the token stream joins the broadcast
+    * term set instead of evaluating per-term regex counts, and the
+    * per-doc score is an order-independent exact-DECIMAL sum of
+    * per-(doc, term) contributions ([[graft.Exact.dsum]] — partial
+    * aggregation reorders freely on a cluster, the score must not
+    * care). Rank-only emission as ever (ln, class doc); the keyword
+    * SELECTION is the same ln-ranked tf-idf whose stability
+    * `tfidf_keywords` already hash-proves on this corpus.
+    *
+    * Shape at 100 TB: the term-df table is vocab-grain (a production
+    * deployment reads df and dl straight from the [[buildSearchIndex]]
+    * artifact instead of recomputing — postings GROUP BY tok and the
+    * doclen table hold exactly these); the source doc's term pull is a
+    * doc_id-pruned scan; the candidate pass joins the corpus token
+    * stream against ≤ [[MltTerms]] broadcast terms and aggregates
+    * map-side to (candidate × matched-term) grain. */
+  def moreLikeThis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsPar(spark, dir)
+    val tokRows = docs.select($"doc_id",
+      explode(TextAnalysis.toks($"text")).as("token"))
+    val dlF = docs.select($"doc_id",
+      size(TextAnalysis.toks($"text")).cast("long").as("dl"))
+    val stats = dlF.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+    val dfT = tokRows.groupBy($"token")
+      .agg(countDistinct($"doc_id").as("df"))
+    val qterms = tokRows.filter($"doc_id" === MltSourceDoc)
+      .groupBy($"token").agg(count(lit(1)).as("qtf"))
+      .join(dfT, "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("kwscore",
+        $"qtf" * log(($"n" + 1.0) / ($"df" + lit(1.0))))
+      .orderBy($"kwscore".desc, $"token").limit(MltTerms)
+      .select($"token", $"df")
+    val tf = tokRows.join(broadcast(qterms), "token")
+      .filter($"doc_id" =!= MltSourceDoc)
+      .groupBy($"doc_id", $"token", $"df").agg(count(lit(1)).as("tf"))
+    val avgdl = $"sumdl".cast("double") / $"n".cast("double")
+    val lnorm = lit(0.25) + lit(0.75) * ($"dl".cast("double") / avgdl)
+    val idf = log(lit(1.0) +
+      (($"n" - $"df").cast("double") + lit(0.5)) / ($"df".cast("double") + lit(0.5)))
+    val contrib = idf *
+      (($"tf".cast("double") * lit(2.2)) / ($"tf".cast("double") + lit(1.2) * lnorm))
+    val w = Window.orderBy($"score".desc, $"doc_id")
+    tf.join(dlF, "doc_id").crossJoin(broadcast(stats))
+      .groupBy($"doc_id", $"dl")
+      .agg(count(lit(1)).as("n_matched"), sum($"tf").as("tf_total"),
+        graft.Exact.dsum(contrib).as("score"))
+      .orderBy($"score".desc, $"doc_id").limit(MltTopK)
+      .withColumn("rk", row_number().over(w))
+      .select($"rk", $"doc_id", $"n_matched", $"tf_total", $"dl")
+      .orderBy($"rk")
+  }
+
+  val moreLikeThisSql: String = {
+    val avgdl = "(CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))"
+    val contrib =
+      s"""ln(1.0 + (CAST(s.n - tf.df AS DOUBLE) + 0.5) / (CAST(tf.df AS DOUBLE) + 0.5))
+         |      * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / $avgdl))))""".stripMargin
+    s"""WITH tr AS (
+       |  SELECT doc_id,
+       |    UNNEST(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+       |  FROM documents),
+       |dl AS (
+       |  SELECT doc_id, len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS dl
+       |  FROM documents),
+       |s AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
+       |dft AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tr GROUP BY token),
+       |qt AS (
+       |  SELECT token, df FROM (
+       |    SELECT tr.token, dft.df, COUNT(*) AS qtf
+       |    FROM tr JOIN dft USING (token)
+       |    WHERE tr.doc_id = $MltSourceDoc
+       |    GROUP BY tr.token, dft.df) q
+       |  CROSS JOIN s
+       |  ORDER BY q.qtf * ln((s.n + 1.0) / (q.df + 1.0)) DESC, token
+       |  LIMIT $MltTerms),
+       |tf AS (
+       |  SELECT tr.doc_id, tr.token, qt.df, COUNT(*) AS tf
+       |  FROM tr JOIN qt USING (token)
+       |  WHERE tr.doc_id != $MltSourceDoc
+       |  GROUP BY tr.doc_id, tr.token, qt.df),
+       |sc AS (
+       |  SELECT tf.doc_id, dl.dl, COUNT(*) AS n_matched, SUM(tf.tf) AS tf_total,
+       |    CAST(SUM(CAST($contrib AS DECIMAL(38,18))) AS DOUBLE) AS score
+       |  FROM tf JOIN dl USING (doc_id) CROSS JOIN s
+       |  GROUP BY tf.doc_id, dl.dl)
+       |SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk,
+       |  doc_id, n_matched, tf_total, dl
+       |FROM sc ORDER BY score DESC, doc_id LIMIT $MltTopK""".stripMargin
+  }
+
   // ------------------------------------------------ persisted inverted index
 
   /** Number of hash buckets the postings partition by. At 100 TB the

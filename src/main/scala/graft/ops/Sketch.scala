@@ -42,6 +42,20 @@ object Sketch {
     (k60(concat(lit("cms:"), j.cast("string"), lit(":"), tok)) %
       CmsWidth).cast("int")
 
+  /** The counter grid (j, b, c) of a (token) stream — the MERGEABLE
+    * artifact: grids of two corpus slices add cell-wise to the grid of
+    * their union (plain counter addition, the property that lets a
+    * stream maintain one grid per batch and fold them), proven in
+    * SketchSpec. */
+  private[graft] def cmsGridOf(toks: DataFrame): DataFrame = {
+    import toks.sparkSession.implicits._
+    toks
+      .select(explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"),
+        $"token")
+      .select($"j", cmsBucket($"j", $"token").as("b"))
+      .groupBy($"j", $"b").agg(count(lit(1)).as("c"))
+  }
+
   /** Registered query: per-term exact count vs count-min estimate.
     *
     * Shape at 100 TB: the counter grid is ONE map-side-combined
@@ -57,11 +71,7 @@ object Sketch {
     import spark.implicits._
     val toks = Tables.documentsPar(spark, dir)
       .select(explode(TextAnalysis.toks($"text")).as("token"))
-    val grid = toks
-      .select(explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"),
-        $"token")
-      .select($"j", cmsBucket($"j", $"token").as("b"))
-      .groupBy($"j", $"b").agg(count(lit(1)).as("c"))
+    val grid = cmsGridOf(toks)
     val exact = toks.groupBy($"token").agg(count(lit(1)).as("exact"))
     exact
       .select($"token", $"exact",

@@ -177,6 +177,37 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy_match finds only tokens within the edit budget") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows = Search.fuzzyMatch(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the misspelling must fuzzy-hit the fixture")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1)
+      r.getString(2).split(',').foreach { t =>
+        assert(lev(t, Search.FuzzyTerm) <= Search.FuzzyMaxDist,
+          s"matched token '$t' outside the edit budget")
+      }
+    }
+  }
+
+  test("more_like_this excludes the source doc and ranks term-sharing docs") {
+    val res = Search.moreLikeThis(spark, sfDir).collect()
+    assert(res.length == Search.MltTopK)
+    assert(res.forall(_.getLong(1) != Search.MltSourceDoc),
+      "the source document must not retrieve itself")
+    assert(res.map(_.getInt(0)).toSeq == (1 to Search.MltTopK),
+      "ranks must be dense 1..k")
+    // every result matched at least one of the source's keywords
+    assert(res.forall(_.getLong(2) >= 1L))
+  }
+
   test("rrf fusion join touches only pooled lists (bounded inputs)") {
     val plan = Search.hybridRrf(spark, sfDir)
       .queryExecution.executedPlan.toString

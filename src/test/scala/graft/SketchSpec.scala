@@ -22,6 +22,19 @@ class SketchSpec extends SparkSpec {
     info(s"cms: ${rows.length} terms, $collided with collision over-count")
   }
 
+  test("cms grids merge: grid(A) + grid(B) cell-wise equals grid(A union B)") {
+    val a = Seq("x", "y", "x", "z").toDF("token")
+    val b = Seq("y", "w", "w", "x").toDF("token")
+    val merged = Sketch.cmsGridOf(a)
+      .unionByName(Sketch.cmsGridOf(b))
+      .groupBy($"j", $"b").agg(sum($"c").as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val whole = Sketch.cmsGridOf(a.unionByName(b))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged == whole,
+      "the counter grid must be mergeable by plain cell addition")
+  }
+
   test("vocab_drift ranks the slice's over-used term first, balanced terms near zero") {
     // src0 says 'anomaly' constantly; every source shares the filler
     val fill = "alpha beta gamma delta"
