@@ -550,13 +550,53 @@ object Search {
         lit(epoch).as("epoch"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch").parquet(s"$root/doclen")
-    base.select($"doc_id", explode($"toks").as("tok"))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-      .select($"tok", $"doc_id", $"tf", lit(epoch).as("epoch"),
-        tokBucketCol($"tok").as("b"))
+    // POSITIONAL postings (what ES/Lucene store): tf for ranked
+    // queries, the sorted 0-based position list for phrase queries —
+    // both from the one posexplode + map-side-combined aggregate
+    base.select($"doc_id", posexplode($"toks").as(Seq("pos", "tok")))
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list($"pos")).as("positions"))
+      .select($"tok", $"doc_id", $"tf", $"positions",
+        lit(epoch).as("epoch"), tokBucketCol($"tok").as("b"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch", "b").parquet(s"$root/postings")
   }
+
+  /** Phrase match served FROM the index: for phrase (w1, w2), join the
+    * two terms' postings by doc and count adjacent position pairs —
+    * |{p ∈ positions(w1) : p+1 ∈ positions(w2)}|, exactly the
+    * adjacency count [[matchPhrase]] computes by regex over the text
+    * (positions are distinct by construction, so the array intersect
+    * is the pair count). SearchSpec pins bit-equality.
+    *
+    * Shape at 100 TB: two pruned postings reads (≤ 2 of
+    * [[IndexBuckets]] partitions + pushed term filters), one doc_id
+    * equi-join between them (each side is that term's df, not the
+    * corpus), a narrow array intersect per candidate — the corpus
+    * text is never touched, the entire point of positional postings. */
+  def phraseWithIndex(spark: SparkSession, indexDir: String,
+      phrase: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val Seq(w1, w2) = phrase
+    val post = spark.read.parquet(s"$indexDir/postings")
+      .filter($"b".isin(phrase.map(tokBucket).distinct: _*))
+    val p1 = post.filter($"tok" === w1)
+      .select($"doc_id", $"positions".as("p1"))
+    val p2 = post.filter($"tok" === w2)
+      .select($"doc_id", $"positions".as("p2"))
+    p1.join(p2, "doc_id")
+      .select($"doc_id",
+        size(array_intersect(transform($"p1", p => p + 1), $"p2"))
+          .as("n_occur"))
+      .filter($"n_occur" > 0)
+      .orderBy($"doc_id")
+  }
+
+  /** Registered query: [[matchPhrase]] SERVED from the session-shared
+    * index — oracle-checked against the same SQL as the scan path. */
+  def phraseServed(spark: SparkSession, dir: String): DataFrame =
+    phraseWithIndex(spark, sharedIndexDir(spark, dir), PhraseTerms)
 
   /** BM25 served FROM the index — the corpus text is never touched.
     * Exactly [[bm25TopK]]'s output, bit-for-bit: the tf pivot

@@ -177,6 +177,19 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("phrase served from positional postings equals the regex scan path") {
+    val root = java.nio.file.Files.createTempDirectory("graftphraseidx")
+      .resolve("idx").toString
+    Search.buildSearchIndex(spark, sfDir, root)
+    val served = Search.phraseWithIndex(spark, root, Search.PhraseTerms)
+      .collect().map(_.toSeq).toSeq
+    val scanned = Search.matchPhrase(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(served == scanned,
+      "positional-postings phrase match must equal the text-scan count")
+    assert(served.nonEmpty)
+  }
+
   test("fuzzy_match finds only tokens within the edit budget") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
