@@ -323,6 +323,41 @@ object Search {
        |ORDER BY rrf DESC, doc_id LIMIT $RrfTopK""".stripMargin
   }
 
+  // --------------------------------------------------------------- facets
+
+  /** Registered query: ES aggregations-on-a-query — facet counts over
+    * the docs matching the [[QueryTerms]] search (any term present),
+    * by (lang, source). Facets run on the MATCH SET, not the ranked
+    * list, so no scoring and no stats pass: one codegen'd
+    * match-predicate scan + one map-side-combined aggregate at
+    * (lang × source) grain. This is the search-then-slice loop every
+    * ES dashboard runs. */
+  def searchFacets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nt = TextAnalysis.norm($"text")
+    val matched = QueryTerms
+      .map(t => TextAnalysis.hitCount(nt, Seq(t)) > 0)
+      .reduce(_ || _)
+    Tables.documentsPar(spark, dir)
+      .filter(matched)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"source")
+  }
+
+  val searchFacetsSql: String = {
+    val anyTerm = QueryTerms
+      .map(t => s"len(list_filter(toks, x -> x = '$t')) > 0")
+      .mkString(" OR ")
+    s"""SELECT lang, source, COUNT(*) AS n_docs
+       |FROM (SELECT lang, source,
+       |        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |      FROM documents)
+       |WHERE $anyTerm
+       |GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin
+  }
+
   // ---------------------------------------------------------- fuzzy match
 
   /** Registered fuzzy query: a misspelling of a vocabulary term. */
@@ -578,6 +613,7 @@ object Search {
   def phraseWithIndex(spark: SparkSession, indexDir: String,
       phrase: Seq[String]): DataFrame = {
     import spark.implicits._
+    requireIndex(spark, indexDir)
     val Seq(w1, w2) = phrase
     val post = spark.read.parquet(s"$indexDir/postings")
       .filter($"b".isin(phrase.map(tokBucket).distinct: _*))
@@ -614,9 +650,26 @@ object Search {
     * broadcast aggregates. Query cost scales with the query terms'
     * document frequency — independent of corpus breadth, which is the
     * entire point of an inverted index. */
+  /** Loud integrity gate: an index missing either table (a build that
+    * never completed its rename, or a hand-deleted half) must fail
+    * with the problem named, never rank against silently-absent
+    * normalization state — the funnel.meta / `_codebooks` refusal
+    * stance applied to the search artifact. */
+  private def requireIndex(spark: SparkSession, indexDir: String): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    Seq("postings", "doclen").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$t")
+      if (!p.getFileSystem(hconf).exists(p))
+        throw new IllegalStateException(
+          s"search index at $indexDir has no $t table — incomplete " +
+            "build or partial delete; re-run buildSearchIndex")
+    }
+  }
+
   def searchWithIndex(spark: SparkSession, indexDir: String,
       terms: Seq[String], k: Int): DataFrame = {
     import spark.implicits._
+    requireIndex(spark, indexDir)
     val buckets = terms.map(tokBucket).distinct
     val post = spark.read.parquet(s"$indexDir/postings")
       .filter($"b".isin(buckets: _*) && $"tok".isin(terms: _*))

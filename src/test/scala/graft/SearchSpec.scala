@@ -139,6 +139,51 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("PushedFilters"), s"expected pushed filters:\n$plan")
   }
 
+  test("index serving physically reads fewer bytes than a full postings scan") {
+    val root = java.nio.file.Files.createTempDirectory("graftidxbytes")
+      .resolve("idx").toString
+    Search.buildSearchIndex(spark, sfDir, root)
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) { bytesRead.addAndGet(m.inputMetrics.bytesRead); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (prunedBytes, fullBytes) = try {
+      org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
+      val b0 = bytesRead.get()
+      // a single-term query opens one of 64 bucket partitions
+      Search.searchWithIndex(spark, root, Seq("dup"), 5).collect()
+      org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
+      val b1 = bytesRead.get()
+      spark.read.parquet(s"$root/postings").queryExecution.toRdd.foreach(_ => ())
+      org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
+      (b1 - b0, bytesRead.get() - b1)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    info(f"search index bytes read: pruned $prunedBytes%,d vs full $fullBytes%,d")
+    assert(prunedBytes < fullBytes * 3 / 4,
+      s"pruned term lookup read $prunedBytes bytes, full scan $fullBytes — no physical pruning")
+  }
+
+  test("a half-deleted index refuses loudly instead of mis-ranking") {
+    val root = java.nio.file.Files.createTempDirectory("graftidxbroken")
+      .resolve("idx").toString
+    Search.buildSearchIndex(spark, sfDir, root)
+    // simulate a partial delete: doclen gone, postings remain
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rm)
+      p.delete(); ()
+    }
+    rm(new java.io.File(s"$root/doclen"))
+    val e = intercept[IllegalStateException] {
+      Search.searchWithIndex(spark, root, Search.QueryTerms, 5)
+    }
+    assert(e.getMessage.contains("doclen"))
+  }
+
   test("build-then-append equals one whole build; replayed append is idempotent") {
     import spark.implicits._
     val docs = Tables.documentsPar(spark, sfDir).select("doc_id", "text")
