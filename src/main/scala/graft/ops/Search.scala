@@ -358,6 +358,103 @@ object Search {
        |ORDER BY lang, source""".stripMargin
   }
 
+  /** Registered query: ES `significant_terms` — which terms are
+    * over-represented in the docs MATCHING the [[QueryTerms]] search
+    * relative to the whole corpus. Reuses the
+    * [[TextAnalysis.chiSquareSplit]] engine with the match predicate
+    * as the foreground slice: the same pooled-expectation chi-square
+    * attribution, rational on exact counts, emitted bit-exactly. The
+    * query's own terms top the report by construction (they define
+    * the slice); the interesting rows are the OTHER terms that ride
+    * along — co-occurring vocabulary, ES's "what is special about
+    * these results". */
+  def significantTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nt = TextAnalysis.norm($"text")
+    val matched = QueryTerms
+      .map(t => TextAnalysis.hitCount(nt, Seq(t)) > 0)
+      .reduce(_ || _)
+    TextAnalysis.chiSquareSplit(Tables.documentsPar(spark, dir), matched)
+  }
+
+  val significantTermsSql: String = {
+    val anyTerm = QueryTerms
+      .map(t => s"len(list_filter(toks, x -> x = '$t')) > 0")
+      .mkString(" OR ")
+    val ea = "(CAST(c_a + c_b AS DOUBLE) * (CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)))"
+    val eb = "(CAST(c_a + c_b AS DOUBLE) * (CAST(n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)))"
+    s"""WITH tr AS (
+       |  SELECT ($anyTerm) AS in_a, UNNEST(toks) AS token
+       |  FROM (SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |        FROM documents)),
+       |c AS (SELECT token,
+       |        COUNT(*) FILTER (WHERE in_a) AS c_a,
+       |        COUNT(*) FILTER (WHERE NOT in_a) AS c_b
+       |      FROM tr GROUP BY token),
+       |t AS (SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM c)
+       |SELECT token, c_a, c_b,
+       |  (CAST(c_a AS DOUBLE) - $ea) * (CAST(c_a AS DOUBLE) - $ea) / $ea
+       |    + (CAST(c_b AS DOUBLE) - $eb) * (CAST(c_b AS DOUBLE) - $eb) / $eb AS chi2
+       |FROM c CROSS JOIN t
+       |ORDER BY chi2 DESC, token""".stripMargin
+  }
+
+  // ----------------------------------------------------------- percolator
+
+  /** Stored percolator queries: (query_id, required terms — AND
+    * semantics, the ES `percolate` conjunction form). Includes a
+    * never-matching query so the fixture exercises the empty case. */
+  val StoredQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("dup"),
+    2L -> Seq("slow", "scan"),
+    3L -> Seq("vector", "merge"),
+    4L -> Seq("nosuchterm"))
+
+  /** Registered query: the ES percolator — match every document
+    * against the STORED query set (search inverted: queries are the
+    * index, documents are the probes — the alerting/routing
+    * primitive). One codegen'd scan: each stored query compiles to an
+    * anchored-regex conjunction, the matched ids explode from a
+    * Q-element array, and the null filter is relational (no
+    * interpreted lambda in the per-row path).
+    *
+    * Shape at 100 TB: documents never shuffle — pure projection +
+    * explode(Q) + filter; with thousands of stored queries the
+    * Q-element array is per-row work bounded by the registry size,
+    * exactly how a percolator costs. STATELESS, so it runs unchanged
+    * on a stream (SearchSpec proves stream ≡ batch). */
+  def percolate(spark: SparkSession, dir: String): DataFrame =
+    percolateOf(Tables.documentsPar(spark, dir)).orderBy("doc_id", "query_id")
+
+  /** [[percolate]] over an arbitrary documents frame — batch OR
+    * streaming (pure stateless projection). */
+  def percolateOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val nt = TextAnalysis.norm($"text")
+    val matchedIds = array(StoredQueries.map { case (id, ts) =>
+      when(ts.map(t => TextAnalysis.hitCount(nt, Seq(t)) > 0)
+        .reduce(_ && _), lit(id))
+    }: _*)
+    docs.select($"doc_id", explode(matchedIds).as("query_id"))
+      .filter($"query_id".isNotNull)
+  }
+
+  val percolateSql: String = {
+    val cases = StoredQueries.map { case (id, ts) =>
+      val cond = ts
+        .map(t => s"len(list_filter(toks, x -> x = '$t')) > 0")
+        .mkString(" AND ")
+      s"CASE WHEN $cond THEN CAST($id AS BIGINT) END"
+    }.mkString(", ")
+    s"""SELECT doc_id, query_id FROM (
+       |  SELECT doc_id, UNNEST([$cases]) AS query_id
+       |  FROM (SELECT doc_id,
+       |          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |        FROM documents))
+       |WHERE query_id IS NOT NULL
+       |ORDER BY doc_id, query_id""".stripMargin
+  }
+
   // ---------------------------------------------------------- fuzzy match
 
   /** Registered fuzzy query: a misspelling of a vocabulary term. */

@@ -74,6 +74,37 @@ object Similarity {
        |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Metadata filter for [[annFiltered]]. */
+  val AnnFilterLabel = 3
+
+  /** Registered query: FILTERED vector search — cosine top-k among
+    * vectors satisfying a metadata predicate (label =
+    * [[AnnFilterLabel]]), the ES/vector-DB "kNN with filter" shape.
+    * The filter applies BEFORE scoring (pre-filtering), so it pushes
+    * to the parquet scan and the dot products run only over the
+    * surviving rows — the correct-recall strategy (post-filtering a
+    * top-k can return < k survivors); at 100 TB the predicate prunes
+    * row groups via parquet min/max stats before a single multiply. */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    emb.filter($"vec_id" =!= 0 && $"label" === AnnFilterLabel)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"label",
+        cosine(dotD($"embedding", $"qv"),
+          dotD($"embedding", $"embedding"), dotD($"qv", $"qv")).as("score"))
+      .orderBy($"score".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val annFilteredSql: String =
+    s"""SELECT vec_id, label,
+       |  ${dotSql("embedding", "qv")} / sqrt(${dotSql("embedding", "embedding")} * ${dotSql("qv", "qv")}) AS score
+       |FROM (SELECT * FROM embeddings WHERE vec_id != 0 AND label = $AnnFilterLabel)
+       |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+
   /** Number of sign-LSH hyperplanes (2^4 = 16 coarse buckets). */
   val NumPlanes = 4
 

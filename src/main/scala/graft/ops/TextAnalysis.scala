@@ -323,12 +323,26 @@ object TextAnalysis {
     * seam. */
   def vocabDriftOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    chiSquareSplit(docs, $"source" === DriftSource)
+  }
+
+  /** The per-term two-sample chi-square engine shared by
+    * [[vocabDrift]] (slice = a source) and
+    * [[graft.ops.Search.significantTerms]] (slice = a query's match
+    * set): token-level counts inside/outside the `inA` doc predicate,
+    * pooled-expectation contribution per term. */
+  private[graft] def chiSquareSplit(docs: DataFrame, inA: Column): DataFrame = {
+    import docs.sparkSession.implicits._
+    // vocab-grain counts feed TWO consumers (the 1-row totals and the
+    // per-term projection); materialized so the corpus is tokenized
+    // ONCE, not once per consumer — the docLossRows convention (the
+    // counts table is vocabulary-sized, the cheap thing to hold)
     val counts = docs
-      .select(($"source" === DriftSource).as("in_a"),
-        explode(toks($"text")).as("token"))
+      .select(inA.as("in_a"), explode(toks($"text")).as("token"))
       .groupBy($"token")
       .agg(count(when($"in_a", 1)).as("c_a"),
         count(when(!$"in_a", 1)).as("c_b"))
+      .localCheckpoint(eager = false)
     val totals = counts.agg(sum($"c_a").as("n_a"), sum($"c_b").as("n_b"))
     val tot = ($"c_a" + $"c_b").cast("double")
     val ea = tot * ($"n_a".cast("double") / ($"n_a" + $"n_b").cast("double"))

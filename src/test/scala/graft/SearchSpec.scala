@@ -266,6 +266,60 @@ class SearchSpec extends SparkSpec {
     assert(res.forall(_.getLong(2) >= 1L))
   }
 
+  test("percolate: stored-query conjunctions, streamed alerts equal batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "dup value data"), // q1 only
+      (2L, "slow scan merge vector"), // q2 (adjacency NOT required) + q3
+      (3L, "slow merge"), // none (q2 needs scan, q3 needs vector)
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val batch = Search.percolateOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == Set((1L, 1L), (2L, 2L), (2L, 3L)),
+      s"conjunction semantics: $batch")
+    // the same projection runs statelessly on a stream
+    val mem = MemoryStream[(Long, String)]
+    val q = Search.percolateOf(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("graft_percolate_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "dup value data"), (2L, "slow scan merge vector"),
+        (3L, "slow merge"), (4L, "nothing here"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("graft_percolate_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, "streamed alerts must equal the batch match set")
+  }
+
+  test("significant_terms: query terms live only in the match set; high-coverage ones lead") {
+    val rows = Search.significantTerms(spark, sfDir).collect()
+    val byTok = rows.map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // tautological signature: a doc containing a query term IS matched,
+    // so every query-term occurrence lands in the foreground (c_b = 0)
+    Search.QueryTerms.foreach { t =>
+      assert(byTok(t)._2 == 0L, s"'$t' must never occur outside the match set")
+    }
+    // the high-df slice definers dominate the report (the rare term
+    // 'dup' carries too few occurrences to beat frequent co-occurring
+    // vocabulary — correct chi-square behavior, not a defect)
+    val top2 = rows.take(2).map(_.getString(0)).toSet
+    assert(top2 == Set("vector", "merge"),
+      s"high-coverage query terms must lead, got $top2")
+  }
+
+  test("ann_filtered returns only the filter label and differs from unfiltered") {
+    val filtered = graft.ops.Similarity.annFiltered(spark, sfDir).collect()
+    assert(filtered.length == 10)
+    assert(filtered.forall(_.getInt(1) == graft.ops.Similarity.AnnFilterLabel))
+    val unfiltered = graft.ops.Similarity.annTopK(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(filtered.map(_.getLong(0)).toSet != unfiltered,
+      "the metadata filter must actually change the result set")
+  }
+
   test("rrf fusion join touches only pooled lists (bounded inputs)") {
     val plan = Search.hybridRrf(spark, sfDir)
       .queryExecution.executedPlan.toString
