@@ -162,8 +162,8 @@ object CuratedModels {
   * foreachBatch per micro-batch runs the full serving chain —
   * validate → classifier-score → DSIR-weight → mixture-sample →
   * near-dup screen — and maintains every durable artifact in place
-  * (curated output, DLQ, dedup funnel, PQ index, full-text search
-  * index), with observed
+  * (curated output, DLQ, percolator alerts, dedup funnel, PQ index,
+  * full-text search index), with observed
   * metrics (ingest counters + tokenizer-drift signals) riding the
   * stream for Health's Prometheus surface.
   *
@@ -204,7 +204,8 @@ object CuratedPipeline {
     *              (embedding, label) for PQ maintenance
     */
   def curateBatch(spark: SparkSession, m: CuratedModels, batch: DataFrame,
-      epochId: Long, outDir: String, dlqDir: String): Unit = {
+      epochId: Long, outDir: String, dlqDir: String,
+      alertsDir: Option[String] = None): Unit = {
     import spark.implicits._
     val b = batch.localCheckpoint()
     // DLQ side-output: replay-stable (invalid rows are never admitted,
@@ -214,6 +215,17 @@ object CuratedPipeline {
         lit("invalid_document").as("reason"), lit(epochId).as("epoch_id"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch_id").parquet(dlqDir)
+    // percolator alerts: every VALID arrival probed against the stored
+    // query registry (the ES watcher loop) — fires on ARRIVAL, before
+    // and independent of admission screening, because an alert cares
+    // that a matching document showed up, not whether curation kept
+    // it; epoch-keyed dynamic overwrite keeps replays idempotent
+    alertsDir.foreach { ad =>
+      Search.percolateOf(b.filter(validPred).dropDuplicates("doc_id"))
+        .withColumn("epoch_id", lit(epochId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id").parquet(ad)
+    }
     // replay screen: the funnel's signature doc_ids are the registry of
     // every document ever admitted — snapshot the genuinely-new rows
     // BEFORE any sink mutates
@@ -326,7 +338,8 @@ object CuratedPipeline {
       outDir: String,
       dlqDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      alertsDir: Option[String] = None): StreamingQuery = {
     val m = CuratedModels.load(spark, modelsDir)
     val one = Unigram.modelRow(m.unigramCounts)
     val nw = Unigram.nWordsCol(col("text"))
@@ -350,7 +363,7 @@ object CuratedPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        curateBatch(spark, m, batch, epochId, outDir, dlqDir)
+        curateBatch(spark, m, batch, epochId, outDir, dlqDir, alertsDir)
       }
       .start()
   }

@@ -127,6 +127,7 @@ class CuratedPipelineSpec extends SparkSpec {
     val outDir = tmp("graftcurout")
     val dlqDir = tmp("graftcurdlq")
     val ckpt = tmp("graftcurckpt")
+    val alertsDir = tmp("graftcuralerts")
 
     // ---- battery construction (batch serving calls pick rows that
     // exercise every gate both ways; the STREAM then re-decides them)
@@ -211,7 +212,8 @@ class CuratedPipelineSpec extends SparkSpec {
     val mem = MemoryStream[CuratedRec]
     val q = CuratedPipeline.startCurated(spark, mem.toDF(), modelsDir,
       outDir, dlqDir, ckpt,
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      alertsDir = Some(alertsDir))
     try {
       mem.addData(batch1.toSeq)
       q.processAllAvailable()
@@ -258,6 +260,23 @@ class CuratedPipelineSpec extends SparkSpec {
     assert(codes(withEmbId) == codes(0L),
       "twin arrival must encode to vec 0's codes under the persisted codebooks")
 
+    // ---- percolator alerts: every VALID arrival probed against the
+    // stored query registry, independent of admission (the corpus-dup
+    // arrival 929002 still alerts — it ARRIVED, even though curation
+    // screened it), epoch-keyed
+    val alerts = spark.read.parquet(alertsDir)
+      .select($"doc_id", $"query_id", $"epoch_id".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expAlerts = (Seq((df(batch1), 0L), (df(batch2), 1L)).flatMap {
+      case (bdf, ep) =>
+        graft.ops.Search.percolateOf(bdf
+          .filter($"text".isNotNull && length(trim($"text")) > 0)
+          .dropDuplicates("doc_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), ep))
+    }).toSet
+    assert(alerts == expAlerts,
+      s"alerts diverged: ${alerts.diff(expAlerts)} / ${expAlerts.diff(alerts)}")
+
     // ---- search index: every first-seen valid arrival queryable; the
     // stream-maintained index must rank exactly like one whole build
     // over corpus ∪ arrivals (the append=rebuild guarantee, end to end
@@ -284,8 +303,13 @@ class CuratedPipelineSpec extends SparkSpec {
 
     // ---- replay: the SAME batch through the batch seam changes nothing
     val outRows = rowsOf(out)
-    CuratedPipeline.curateBatch(spark, m, df(batch2), 1L, outDir, dlqDir)
+    CuratedPipeline.curateBatch(spark, m, df(batch2), 1L, outDir, dlqDir,
+      Some(alertsDir))
     assert(rowsOf(spark.read.parquet(outDir)) == outRows)
+    val alertsAfter = spark.read.parquet(alertsDir)
+      .select($"doc_id", $"query_id", $"epoch_id".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(alertsAfter == expAlerts, "replay must not duplicate alerts")
     assert(spark.read.parquet(m.pqDir.get).count() == pqBefore + 1)
     assert(spark.read.parquet(s"$idxDir/postings").count() == idxRowsBefore,
       "replaying a batch must not grow the search index")
