@@ -793,6 +793,38 @@ object Search {
       .orderBy($"rk")
   }
 
+  /** Compact an index's accumulated epochs back into the single
+    * `base` epoch — the maintenance pass a long-running ingest
+    * schedules once small per-batch epochs dominate the partition
+    * listing (the [[graft.streaming.Maintenance]] compaction stance
+    * applied to the search artifact). Admission screening upstream
+    * guarantees a doc_id lives in exactly one epoch, so compaction is
+    * a pure re-layout: read everything, rewrite as one epoch, commit
+    * by staging+rename (a crash leaves the multi-epoch index intact).
+    * Serving results are unchanged by construction — SearchSpec pins
+    * bit-equality before/after. */
+  def compactSearchIndex(spark: SparkSession, indexDir: String): Unit = {
+    import spark.implicits._
+    requireIndex(spark, indexDir)
+    val staging = indexDir + ".compacting"
+    spark.read.parquet(s"$indexDir/doclen")
+      .select($"doc_id", $"dl", lit("base").as("epoch"))
+      .write.mode("overwrite").partitionBy("epoch")
+      .parquet(s"$staging/doclen")
+    spark.read.parquet(s"$indexDir/postings")
+      .select($"tok", $"doc_id", $"tf", $"positions",
+        lit("base").as("epoch"), $"b")
+      .write.mode("overwrite").partitionBy("epoch", "b")
+      .parquet(s"$staging/postings")
+    val hconf = spark.sessionState.newHadoopConf()
+    val out = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = out.getFileSystem(hconf)
+    fs.delete(out, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), out))
+      throw new IllegalStateException(
+        s"compactSearchIndex: commit rename $staging -> $indexDir failed")
+  }
+
   /** Session-built index roots, keyed (appId, corpus dir) — rebuilt
     * once per JVM so stale on-disk state from a dead session can never
     * serve (the sharedKmeansRows freshness stance, applied to

@@ -209,6 +209,74 @@ class SearchSpec extends SparkSpec {
     assert(replayed == want, "replaying an epoch must not change state")
   }
 
+  test("epoch compaction is a pure re-layout: results unchanged, one epoch left") {
+    import spark.implicits._
+    val docs = Tables.documentsPar(spark, sfDir).select("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graftidxcompact")
+      .resolve("idx").toString
+    Search.buildSearchIndexOf(docs.filter($"doc_id" % 3 === 0), root)
+    Search.appendToSearchIndex(spark, root,
+      docs.filter($"doc_id" % 3 === 1), epoch = "e1")
+    Search.appendToSearchIndex(spark, root,
+      docs.filter($"doc_id" % 3 === 2), epoch = "e2")
+    val before = Search.searchWithIndex(spark, root, Search.QueryTerms,
+      Search.TopK).collect().map(_.toSeq).toSeq
+    val phraseBefore = Search.phraseWithIndex(spark, root, Search.PhraseTerms)
+      .collect().map(_.toSeq).toSeq
+    Search.compactSearchIndex(spark, root)
+    val epochs = spark.read.parquet(s"$root/postings")
+      .select($"epoch").distinct().collect().map(_.getString(0)).toSet
+    assert(epochs == Set("base"), s"compaction must fold epochs, got $epochs")
+    val after = Search.searchWithIndex(spark, root, Search.QueryTerms,
+      Search.TopK).collect().map(_.toSeq).toSeq
+    val phraseAfter = Search.phraseWithIndex(spark, root, Search.PhraseTerms)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before && phraseAfter == phraseBefore,
+      "compaction must not change any served result")
+  }
+
+  test("query cost tracks term df, not corpus breadth (the inverted-index contract)") {
+    import spark.implicits._
+    // two corpora, 10x apart in breadth, SAME rare-term df: the filler
+    // docs never contain the probe term
+    val rare = (0L until 20L).map(i => (i, "needle alpha beta gamma"))
+    def filler(n: Int) = (1000L until (1000L + n)).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta"))
+    val small = (rare ++ filler(200)).toDF("doc_id", "text")
+    val big = (rare ++ filler(2000)).toDF("doc_id", "text")
+    val smallIdx = java.nio.file.Files.createTempDirectory("graftidxsmall")
+      .resolve("idx").toString
+    val bigIdx = java.nio.file.Files.createTempDirectory("graftidxbig")
+      .resolve("idx").toString
+    Search.buildSearchIndexOf(small, smallIdx)
+    Search.buildSearchIndexOf(big, bigIdx)
+    def postingsRead(idx: String): Long = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) { bytes.addAndGet(m.inputMetrics.bytesRead); () }
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
+        val b0 = bytes.get()
+        Search.searchWithIndex(spark, idx, Seq("needle"), 5).collect()
+        org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
+        bytes.get() - b0
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val (smallBytes, bigBytes) = (postingsRead(smallIdx), postingsRead(bigIdx))
+    info(f"df-bound query bytes: small corpus $smallBytes%,d, 10x corpus $bigBytes%,d")
+    // doclen DOES scale with the corpus (stats need N and sum dl); the
+    // postings side must not — so the total read grows far slower than
+    // the 10x corpus growth
+    assert(bigBytes < smallBytes * 5,
+      s"a 10x corpus must not cost 10x: $smallBytes -> $bigBytes")
+  }
+
   test("driver-side and plan-side postings buckets agree") {
     import spark.implicits._
     val toks = Seq("dup", "vector", "merge", "slow", "scan", "the", "a")
