@@ -399,6 +399,37 @@ object Search {
        |ORDER BY chi2 DESC, token""".stripMargin
   }
 
+  // ------------------------------------------------------------ suggester
+
+  /** Prefix + pool size for the registered completion query. */
+  val SuggestPrefix = "s"
+  val SuggestK = 8
+
+  /** Registered query: ES completion suggester — the top-[[SuggestK]]
+    * vocabulary completions of a prefix, ranked by corpus frequency
+    * (tie-break lexicographic). Vocab-grain work only: one term
+    * aggregate, a starts-with filter, a TakeOrderedAndProject — the
+    * autocomplete loop a search box drives, served at dictionary cost
+    * regardless of corpus size. */
+  def suggestPrefix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documentsPar(spark, dir)
+      .select(explode(TextAnalysis.toks($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+      .filter($"token".startsWith(SuggestPrefix))
+      .orderBy($"freq".desc, $"token")
+      .limit(SuggestK)
+  }
+
+  val suggestPrefixSql: String =
+    s"""SELECT token, COUNT(*) AS freq
+       |FROM (SELECT UNNEST(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+       |      FROM documents)
+       |WHERE token LIKE '$SuggestPrefix%'
+       |GROUP BY token
+       |ORDER BY freq DESC, token
+       |LIMIT $SuggestK""".stripMargin
+
   // ----------------------------------------------------------- percolator
 
   /** Stored percolator queries: (query_id, required terms — AND

@@ -424,4 +424,42 @@ object TrainPrep {
        |SELECT epoch, lang, shard_id, shard_pos, doc_id, pos
        |FROM ordered JOIN sp USING (epoch, lang, shard_id)
        |ORDER BY epoch, lang, shard_id, pos""".stripMargin
+
+  // ------------------------------------------------- contrastive pair mining
+
+  /** Similarity bars for [[contrastivePairs]]: >= PosBar is a positive
+    * (near-duplicate) pair; < HardNegHi (but still LSH-collided and
+    * verified >= the funnel's 0.1 floor) is a HARD negative — lexically
+    * confusable, verifiably not a duplicate. */
+  val PosBar = 0.3
+  val HardNegHi = 0.2
+
+  /** Registered query: contrastive training pairs mined from the dedup
+    * funnel — the dataset-construction step for embedding/retriever
+    * training (SimCSE/DPR-style: positives from near-duplicate pairs,
+    * hard negatives from candidates that COLLIDED in an LSH band and
+    * verified similar-but-below-the-bar; random negatives any loader
+    * can sample, it is the hard ones that need mining). Pure reuse of
+    * the verified-pair table the dedup pipeline already maintains —
+    * mining costs one projection over [[Dedup.sharedJaccardPairs]],
+    * and at 100 TB it reads the PERSISTED funnel pairs, no corpus
+    * scan. Pairs with jaccard in [HardNegHi, PosBar) are ambiguous
+    * and emitted as neither. */
+  def contrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.sharedJaccardPairs(spark, dir)
+      .select($"id_a".as("anchor_id"), $"id_b".as("pair_id"), $"jaccard",
+        when($"jaccard" >= PosBar, "positive")
+          .when($"jaccard" < HardNegHi, "hard_negative").as("pair_type"))
+      .filter($"pair_type".isNotNull)
+      .orderBy($"anchor_id", $"pair_id")
+  }
+
+  val contrastivePairsSql: String =
+    s"""SELECT id_a AS anchor_id, id_b AS pair_id, jaccard,
+       |  CASE WHEN jaccard >= $PosBar THEN 'positive'
+       |       WHEN jaccard < $HardNegHi THEN 'hard_negative' END AS pair_type
+       |FROM (${Dedup.dedupJaccardSql}) p
+       |WHERE jaccard >= $PosBar OR jaccard < $HardNegHi
+       |ORDER BY anchor_id, pair_id""".stripMargin
 }

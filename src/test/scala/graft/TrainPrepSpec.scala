@@ -173,4 +173,22 @@ class TrainPrepSpec extends SparkSpec {
       }
     assert(!disordered, "scores not non-increasing in rank")
   }
+
+  test("contrastive pairs: bars respected, both classes mined, ids ordered") {
+    val rows = graft.ops.TrainPrep.contrastivePairs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, j, t) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))
+      assert(a < b, "pair ids canonically ordered")
+      if (t == "positive") assert(j >= graft.ops.TrainPrep.PosBar)
+      else {
+        assert(t == "hard_negative")
+        assert(j < graft.ops.TrainPrep.HardNegHi && j >= 0.1,
+          "hard negatives are LSH-collided, funnel-verified, below the dup bar")
+      }
+    }
+    val types = rows.map(_.getString(3)).toSet
+    assert(types == Set("positive", "hard_negative"),
+      s"fixture must mine both classes, got $types")
+  }
 }
