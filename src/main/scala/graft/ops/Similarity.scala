@@ -77,6 +77,120 @@ object Similarity {
   /** Metadata filter for [[annFiltered]]. */
   val AnnFilterLabel = 3
 
+  /** Truncated dimensionality + candidate pool for [[annMatryoshka]].
+    * Half the dimensions: on MRL-TRAINED embeddings a much shorter
+    * prefix works (information is front-loaded by the training loss);
+    * on the fixture's untrained embeddings each dim carries equal
+    * signal, so the prefix acts as a plain random projection and 32/64
+    * is the honest operating point (measured recall@10 = 0.7 at 32
+    * dims vs 0.4 at 16 — SimilaritySpec records the number). */
+  val MrlDims = 32
+  val MrlPool = 50
+
+  /** Registered query: Matryoshka two-stage ANN (Kusupati et al. 2022,
+    * arXiv:2205.13147 — MRL embeddings are trained so PREFIXES of the
+    * vector are themselves usable embeddings): coarse-rank the corpus
+    * by cosine over the first [[MrlDims]] of 64 dims (4× less compute
+    * and — in the production layout where the prefix is stored as its
+    * own column — 4× less I/O), keep [[MrlPool]] candidates, re-rank
+    * them at full dimensionality. The fixture's embeddings are not
+    * MRL-trained, so the prefix stage is a lossy coarse rank like any
+    * quantizer — exactly the two-stage contract [[annIvfRerank]] and
+    * [[Pq.annPqRerank]] follow; the emitted score is the full-dim
+    * cosine (deterministic fold, engine-exact). */
+  def annMatryoshka(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding".as("qv"), slice($"embedding", 1, MrlDims).as("qp"))
+    val coarse = emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"label", $"embedding", $"qv",
+        cosine(dotD(slice($"embedding", 1, MrlDims), $"qp"),
+          dotD(slice($"embedding", 1, MrlDims), slice($"embedding", 1, MrlDims)),
+          dotD($"qp", $"qp")).as("pscore"))
+      .orderBy($"pscore".desc, $"vec_id").limit(MrlPool)
+    coarse
+      .select($"vec_id", $"label",
+        cosine(dotD($"embedding", $"qv"),
+          dotD($"embedding", $"embedding"), dotD($"qv", $"qv")).as("score"))
+      .orderBy($"score".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val annMatryoshkaSql: String = {
+    def pdot(a: String, b: String): String = dotSql(s"$a[1:$MrlDims]", b)
+    s"""WITH q AS (SELECT embedding AS qv, embedding[1:$MrlDims] AS qp
+       |           FROM embeddings WHERE vec_id = 0),
+       |coarse AS (
+       |  SELECT e.vec_id, e.label, e.embedding, q.qv,
+       |    ${pdot("e.embedding", "q.qp")} /
+       |    sqrt(${dotSql(s"e.embedding[1:$MrlDims]", s"e.embedding[1:$MrlDims]")} * ${dotSql("q.qp", "q.qp")}) AS pscore
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id != 0
+       |  ORDER BY pscore DESC, e.vec_id LIMIT $MrlPool)
+       |SELECT vec_id, label,
+       |  ${dotSql("embedding", "qv")} / sqrt(${dotSql("embedding", "embedding")} * ${dotSql("qv", "qv")}) AS score
+       |FROM coarse
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Candidate pool for [[annHamming]]. */
+  val HammingPool = 50
+
+  /** Per-component sign word of a 64-dim embedding: bit i set iff
+    * v[i] > 0 — 8 bytes per vector, the third quantization level next
+    * to int8 ([[annIvfQuantized]]) and PQ codes ([[Pq]]). 64 chained
+    * codegen'd conditions, no higher-order lambda (the r2 lesson). */
+  private def signWord(v: Column): Column =
+    (0 until 64).map { i =>
+      when(element_at(v, i + 1) > 0.0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Registered query: binary-quantized ANN — coarse-rank by Hamming
+    * distance between 64-bit sign words (XOR + popcount: the cheapest
+    * possible vector comparison, and the stored form is 8 bytes/vector
+    * — a billion vectors fit in 8 GB), pool [[HammingPool]], re-rank
+    * at fp32. Hamming distance is integer-exact, so the coarse
+    * ordering is engine-identical by construction (the oracle computes
+    * the same integer by counting sign disagreements directly —
+    * equal numbers, different route). */
+  def annHamming(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding".as("qv"), signWord($"embedding").as("qw"))
+    val coarse = emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"label", $"embedding", $"qv",
+        bit_count(signWord($"embedding").bitwiseXOR($"qw")).as("hamming"))
+      .orderBy($"hamming".asc, $"vec_id").limit(HammingPool)
+    coarse
+      .select($"vec_id", $"label", $"hamming",
+        cosine(dotD($"embedding", $"qv"),
+          dotD($"embedding", $"embedding"), dotD($"qv", $"qv")).as("score"))
+      .orderBy($"score".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val annHammingSql: String = {
+    // sign-disagreement count == popcount(xor(signword)) without the
+    // 1<<63 BIGINT-overflow hazard of packing in ANSI SQL
+    def ham(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, 65), i -> CASE WHEN ($a[i] > 0) != ($b[i] > 0) THEN 1 ELSE 0 END))"
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |coarse AS (
+       |  SELECT e.vec_id, e.label, e.embedding, q.qv,
+       |    ${ham("e.embedding", "q.qv")} AS hamming
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id != 0
+       |  ORDER BY hamming ASC, e.vec_id LIMIT $HammingPool)
+       |SELECT vec_id, label, hamming,
+       |  ${dotSql("embedding", "qv")} / sqrt(${dotSql("embedding", "embedding")} * ${dotSql("qv", "qv")}) AS score
+       |FROM coarse
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   /** Registered query: FILTERED vector search — cosine top-k among
     * vectors satisfying a metadata predicate (label =
     * [[AnnFilterLabel]]), the ES/vector-DB "kNN with filter" shape.
@@ -1060,6 +1174,53 @@ object Similarity {
        |FROM assigned a LEFT JOIN hits h ON a.vec_id = h.vec_id
        |WHERE a.vec_id % 5 = 0
        |ORDER BY a.vec_id""".stripMargin
+
+  // ------------------------------------------- semantic contrastive mining
+
+  /** Below this within-cluster cosine a pair is a SEMANTIC hard
+    * negative for [[semanticPairs]] (the coarse quantizer put them in
+    * one cell, exact cosine says they are not alike). */
+  val SemHardNegHi = 0.15
+
+  /** Registered query: contrastive pairs mined in EMBEDDING space —
+    * the semantic sibling of [[graft.ops.TrainPrep.contrastivePairs]]
+    * (that one mines the lexical funnel): within-cluster pairs with
+    * cosine ≥ [[SemanticBar]] are positives (the pairs SemDeDup calls
+    * duplicates), within-cluster pairs with cosine < [[SemHardNegHi]]
+    * are hard negatives — same coarse cell, verifiably dissimilar,
+    * exactly the confusable-for-the-quantizer examples a retriever
+    * trainer wants. Pure reuse of the session-shared assignment
+    * table; the pair scan is the same O(Σ cluster²) bucketed sweep as
+    * [[semanticDedup]], never all-pairs. */
+  def semanticPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = sharedAssignments(spark, dir)
+    a.as("x").join(a.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("anchor_id"), col("y.vec_id").as("pair_id"),
+        col("x.cluster").as("cluster"),
+        cosine(dotD(col("x.embedding"), col("y.embedding")),
+          col("x.n2"), col("y.n2")).as("cos_sim"))
+      .withColumn("pair_type",
+        when($"cos_sim" >= SemanticBar, "positive")
+          .when($"cos_sim" < SemHardNegHi, "hard_negative"))
+      .filter($"pair_type".isNotNull)
+      .orderBy($"anchor_id", $"pair_id")
+  }
+
+  val semanticPairsSql: String =
+    s"""WITH $assignedCtes
+       |SELECT anchor_id, pair_id, cluster, cos_sim,
+       |  CASE WHEN cos_sim >= $SemanticBar THEN 'positive'
+       |       WHEN cos_sim < $SemHardNegHi THEN 'hard_negative' END AS pair_type
+       |FROM (
+       |  SELECT x.vec_id AS anchor_id, y.vec_id AS pair_id,
+       |    x.cluster AS cluster, ${pairSimSql("x", "y")} AS cos_sim
+       |  FROM assigned x JOIN assigned y
+       |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+       |WHERE cos_sim >= $SemanticBar OR cos_sim < $SemHardNegHi
+       |ORDER BY anchor_id, pair_id""".stripMargin
 
   // ------------------------------------------------- density-aware sampling
 

@@ -453,6 +453,42 @@ class SimilaritySpec extends SparkSpec {
     assert(flagged < res.length, "must not flag everything")
   }
 
+  test("semantic_pairs: bars respected, both classes mined, canonical order") {
+    val rows = Similarity.semanticPairs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, cos, t) =
+        (r.getLong(0), r.getLong(1), r.getDouble(3), r.getString(4))
+      assert(a < b)
+      if (t == "positive") assert(cos >= Similarity.SemanticBar)
+      else { assert(t == "hard_negative"); assert(cos < Similarity.SemHardNegHi) }
+    }
+    val types = rows.map(_.getString(4)).toSet
+    assert(types == Set("positive", "hard_negative"),
+      s"fixture must mine both classes, got $types")
+  }
+
+  test("matryoshka and hamming two-stage ANN recover most of the brute-force top-10") {
+    val truth = Similarity.annTopK(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val mrl = Similarity.annMatryoshka(spark, sfDir).collect()
+    val ham = Similarity.annHamming(spark, sfDir).collect()
+    assert(mrl.length == 10 && ham.length == 10)
+    // scores descend; emitted score is the full-dim cosine in both
+    Seq(mrl.map(_.getDouble(2)), ham.map(_.getDouble(3))).foreach { s =>
+      assert(s.sameElements(s.sortBy(-(_: Double))))
+    }
+    ham.foreach { r =>
+      val h = r.getInt(2)
+      assert(h >= 0 && h <= 64, s"hamming distance out of range: $h")
+    }
+    val mrlRecall = mrl.map(_.getLong(0)).count(truth) / 10.0
+    val hamRecall = ham.map(_.getLong(0)).count(truth) / 10.0
+    info(f"recall@10 vs brute force: matryoshka $mrlRecall%.1f, hamming $hamRecall%.1f")
+    assert(mrlRecall >= 0.5 && hamRecall >= 0.5,
+      s"coarse stages must recover most of the true top-10: $mrlRecall / $hamRecall")
+  }
+
   test("density_sample flattens over-dense clusters and keeps sparse ones whole") {
     import spark.implicits._
     // one dense cluster (200 members), one at the cap (32), one sparse (5)
