@@ -151,4 +151,64 @@ object TimeWindows {
         approx_percentile($"value", lit(0.9), lit(1000)).as("p90_approx"))
       .orderBy($"event_type")
   }
+
+  /** Z-score bar above which an hourly bucket is flagged. */
+  val AnomalyBar = 3.0
+
+  /** Registered query: rate-anomaly detection over the event stream —
+    * the ES-Watcher/alerting staple: hourly per-type counts, each
+    * bucket z-scored against its type's own distribution, |z| >
+    * [[AnomalyBar]] flagged. Every number is deterministic: counts
+    * are exact integers, mean and E[x²] are exact-integer sums under
+    * one double division, the variance/σ arithmetic is written in the
+    * same operation order in both engines, and sqrt is correctly
+    * rounded everywhere — so the z column itself is EMITTED, no
+    * rank-only hedging.
+    *
+    * Shape at 100 TB: bucketing is one map-side-combined aggregate to
+    * (type × hour) grain; the per-type moments are a TYPE-grain
+    * aggregate that re-enters by broadcast; the z projection is
+    * per-row. The stream form of the same signal is the observed
+    * metrics in [[graft.streaming.IngestPipeline]] — this is its
+    * batch/backfill counterpart. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // integral `div`, not fp `/`+floor: the oracle's `//` is exact
+    // integer division and a half-ulp fp rounding at a bucket boundary
+    // would shift a count between buckets
+    val buckets = Tables.events(spark, dir)
+      .select($"event_type",
+        (expr("unix_millis(ts) div 3600000") * 3600000L).as("ws_ms"))
+      .groupBy($"event_type", $"ws_ms")
+      .agg(count(lit(1)).as("cnt"))
+    val stats = buckets.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cnt").as("s"),
+        sum($"cnt" * $"cnt").as("sq"))
+      .select($"event_type",
+        ($"s".cast("double") / $"n").as("mean"),
+        ($"sq".cast("double") / $"n").as("msq"))
+    val z = ($"cnt".cast("double") - $"mean") /
+      sqrt($"msq" - $"mean" * $"mean")
+    buckets.join(broadcast(stats), "event_type")
+      .select($"ws_ms", $"event_type", $"cnt", z.as("z"),
+        (abs(z) > AnomalyBar).as("is_anomaly"))
+      .orderBy($"ws_ms", $"event_type")
+  }
+
+  val eventsAnomalySql: String = {
+    val z = "(CAST(cnt AS DOUBLE) - mean) / sqrt(msq - mean * mean)"
+    s"""WITH b AS (
+       |  SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms,
+       |    COUNT(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |s AS (
+       |  SELECT event_type,
+       |    CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS mean,
+       |    CAST(SUM(cnt * cnt) AS DOUBLE) / COUNT(*) AS msq
+       |  FROM b GROUP BY event_type)
+       |SELECT ws_ms, event_type, cnt, $z AS z,
+       |  abs($z) > $AnomalyBar AS is_anomaly
+       |FROM b JOIN s USING (event_type)
+       |ORDER BY ws_ms, event_type""".stripMargin
+  }
 }

@@ -46,6 +46,18 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(ack + nack == total)
   }
 
+  test("events_anomaly conserves counts and flags consistently") {
+    val rows = graft.ops.TimeWindows.eventsAnomaly(spark, sfDir).collect()
+    val total = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == total,
+      "hourly buckets must conserve the event count")
+    rows.foreach { r =>
+      val (z, flag) = (r.getDouble(3), r.getBoolean(4))
+      assert(!z.isNaN && !z.isInfinite)
+      assert(flag == (math.abs(z) > graft.ops.TimeWindows.AnomalyBar))
+    }
+  }
+
   test("topk plans TakeOrderedAndProject (per-partition heaps, not a global sort)") {
     val plan = graft.ops.Relational.topK(spark, sfDir)
       .queryExecution.executedPlan.toString
