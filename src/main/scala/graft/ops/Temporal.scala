@@ -211,4 +211,103 @@ object TimeWindows {
        |FROM b JOIN s USING (event_type)
        |ORDER BY ws_ms, event_type""".stripMargin
   }
+
+  /** The ordered step sequence [[funnelSteps]] measures. */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Registered query: ordered-sequence funnel analysis — how many
+    * users performed view → click → purchase IN TIME ORDER (each step
+    * strictly after the user's earliest completion of the previous
+    * one, the standard product-analytics funnel; mere co-occurrence
+    * of the event types does not count). Emits one row per step
+    * prefix with the surviving user count.
+    *
+    * Shape at 100 TB: each step is one user-grain conditional min
+    * aggregate over the (type-filtered, predicate-pushed) event scan,
+    * joined to the previous step's user-grain frame — every shuffle
+    * keys on user_id, so AQE/exchange-reuse co-partitions the whole
+    * chain; nothing wider than (user, ts) ever moves. The final
+    * counts are three 1-row aggregates. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame =
+    funnelStepsOf(Tables.events(spark, dir))
+
+  /** [[funnelSteps]] over an arbitrary (user_id, event_type, ts) frame
+    * — the test seam (the fixture's users all complete every step, so
+    * the strict-ordering semantics are exercised on constructed
+    * sequences). */
+  def funnelStepsOf(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    // step 1: earliest 'view' per user
+    val s1 = ev.filter($"event_type" === FunnelSteps(0))
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    // step 2: earliest 'click' strictly after t1
+    val s2 = ev.filter($"event_type" === FunnelSteps(1))
+      .join(s1, "user_id")
+      .filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    // step 3: earliest 'purchase' strictly after t2
+    val s3 = ev.filter($"event_type" === FunnelSteps(2))
+      .join(s2, "user_id")
+      .filter($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    val rows = Seq(
+      (1, FunnelSteps(0), s1), (2, FunnelSteps.take(2).mkString("->"), s2),
+      (3, FunnelSteps.mkString("->"), s3))
+    rows.map { case (i, label, df) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("step"), lit(label).as("steps"), $"n_users")
+    }.reduce(_ unionByName _).orderBy($"step")
+  }
+
+  val funnelStepsSql: String =
+    s"""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+       |            WHERE event_type = '${FunnelSteps(0)}' GROUP BY user_id),
+       |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       |       JOIN s1 ON e.user_id = s1.user_id
+       |       WHERE e.event_type = '${FunnelSteps(1)}' AND e.ts > s1.t1
+       |       GROUP BY e.user_id),
+       |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       |       JOIN s2 ON e.user_id = s2.user_id
+       |       WHERE e.event_type = '${FunnelSteps(2)}' AND e.ts > s2.t2
+       |       GROUP BY e.user_id)
+       |SELECT 1 AS step, '${FunnelSteps(0)}' AS steps, COUNT(*) AS n_users FROM s1
+       |UNION ALL
+       |SELECT 2, '${FunnelSteps.take(2).mkString("->")}', COUNT(*) FROM s2
+       |UNION ALL
+       |SELECT 3, '${FunnelSteps.mkString("->")}', COUNT(*) FROM s3
+       |ORDER BY step""".stripMargin
+
+  /** Registered query: weekly cohort retention — users grouped by the
+    * week of their FIRST event (the cohort), each later week's
+    * activity counted as distinct returning users at that week
+    * offset. The standard retention triangle, all integer arithmetic
+    * (weeks by exact integral division — the [[eventsAnomaly]]
+    * boundary lesson).
+    *
+    * Shape at 100 TB: first-seen is one user-grain min aggregate;
+    * activity is one distinct (user, week) aggregate of the same
+    * scan; the offset join keys on user_id like the funnel chain; the
+    * triangle itself is (weeks²)-grain — tiny. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wk = "div 604800000"
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", expr(s"unix_millis(ts) $wk").as("week"))
+    val first = ev.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    val active = ev.distinct()
+    active.join(first, "user_id")
+      .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val cohortRetentionSql: String =
+    s"""WITH ev AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week
+       |            FROM events),
+       |f AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id)
+       |SELECT f.cohort_week, ev.week - f.cohort_week AS week_offset,
+       |  COUNT(DISTINCT ev.user_id) AS n_users
+       |FROM ev JOIN f ON ev.user_id = f.user_id
+       |GROUP BY 1, 2
+       |ORDER BY cohort_week, week_offset""".stripMargin
 }

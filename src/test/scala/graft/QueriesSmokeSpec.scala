@@ -58,6 +58,39 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("funnel_steps requires strict time order, not co-occurrence") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      // user 1: clean view -> click -> purchase
+      (1L, "view", t(10)), (1L, "click", t(20)), (1L, "purchase", t(30)),
+      // user 2: clicked BEFORE viewing -> never reaches step 2
+      (2L, "click", t(10)), (2L, "view", t(20)), (2L, "purchase", t(30)),
+      // user 3: view + click ordered, purchase BEFORE the click
+      (3L, "view", t(10)), (3L, "purchase", t(15)), (3L, "click", t(20)),
+      // user 4: view only
+      (4L, "view", t(10)),
+      // user 5: same-instant click (strict >, does not count)
+      (5L, "view", t(10)), (5L, "click", t(10)))
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.ops.TimeWindows.funnelStepsOf(ev).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(1 -> 5L, 2 -> 2L, 3 -> 1L),
+      s"funnel semantics diverged: $got")
+  }
+
+  test("cohort_retention: offsets measured from each user's own first week") {
+    val rows = graft.ops.TimeWindows.cohortRetention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) >= 0, "offsets are non-negative"))
+    // week-0 retention is by definition every cohort member
+    val week0 = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    val users = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(week0 == users, "every user appears in their own cohort week")
+  }
+
   test("topk plans TakeOrderedAndProject (per-partition heaps, not a global sort)") {
     val plan = graft.ops.Relational.topK(spark, sfDir)
       .queryExecution.executedPlan.toString
