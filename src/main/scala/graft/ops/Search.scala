@@ -470,6 +470,44 @@ object Search {
       .filter($"query_id".isNotNull)
   }
 
+  /** [[percolateOf]] with the stored queries as DATA — the scalable
+    * registry form (thousands of alert rules live in a table, not in
+    * compiled code). `registry` is (query_id, terms array); a doc
+    * matches a query when EVERY term is present. Join-based: doc
+    * tokens ⋈ exploded registry terms at (doc × matching-term) grain,
+    * then a count-equality gate against each query's arity — no
+    * per-query expression, so the registry can grow without replanning.
+    * The literal-registry form compiles the (tiny, fixed) demo set to
+    * codegen'd predicates instead; SearchSpec proves the two agree on
+    * the same registry.
+    *
+    * Shape at 100 TB: the registry explodes to (query, term) rows —
+    * registry-sized, broadcast; the token side is one distinct
+    * (doc, tok) projection of the corpus; the gate is a
+    * map-side-combined count per (doc, query). */
+  def percolateWithRegistry(docs: DataFrame, registry: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // distinct-ify the rule's terms: presence is counted once per term,
+    // so a duplicated term in a rule must not inflate the arity gate
+    val regTerms = registry
+      .select($"query_id", size(array_distinct($"terms")).as("arity"),
+        explode(array_distinct($"terms")).as("token"))
+    val docToks = docs
+      .select($"doc_id", explode(TextAnalysis.toks($"text")).as("token"))
+      .distinct()
+    docToks.join(broadcast(regTerms), "token")
+      .groupBy($"doc_id", $"query_id", $"arity")
+      .agg(count(lit(1)).as("n_present"))
+      .filter($"n_present" === $"arity")
+      .select($"doc_id", $"query_id")
+  }
+
+  /** The demo registry as a frame, for [[percolateWithRegistry]]. */
+  def storedQueriesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    StoredQueries.toDF("query_id", "terms")
+  }
+
   val percolateSql: String = {
     val cases = StoredQueries.map { case (id, ts) =>
       val cond = ts

@@ -173,25 +173,16 @@ object TimeWindows {
     * batch/backfill counterpart. */
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // integral `div`, not fp `/`+floor: the oracle's `//` is exact
-    // integer division and a half-ulp fp rounding at a bucket boundary
-    // would shift a count between buckets
-    val buckets = Tables.events(spark, dir)
-      .select($"event_type",
-        (expr("unix_millis(ts) div 3600000") * 3600000L).as("ws_ms"))
-      .groupBy($"event_type", $"ws_ms")
-      .agg(count(lit(1)).as("cnt"))
-    val stats = buckets.groupBy($"event_type")
-      .agg(count(lit(1)).as("n"), sum($"cnt").as("s"),
-        sum($"cnt" * $"cnt").as("sq"))
-      .select($"event_type",
-        ($"s".cast("double") / $"n").as("mean"),
-        ($"sq".cast("double") / $"n").as("msq"))
-    val z = ($"cnt".cast("double") - $"mean") /
-      sqrt($"msq" - $"mean" * $"mean")
-    buckets.join(broadcast(stats), "event_type")
-      .select($"ws_ms", $"event_type", $"cnt", z.as("z"),
-        (abs(z) > AnomalyBar).as("is_anomaly"))
+    // self-scored: the baseline IS this corpus's own history — the
+    // serving split ([[eventStatsOf]] persisted via
+    // [[materializeEventStats]], applied by [[anomaliesWithStats]])
+    // shares these exact expressions, so backfill ≡ live by
+    // construction. Buckets use integral `div`, not fp `/`+floor: the
+    // oracle's `//` is exact integer division and a half-ulp fp
+    // rounding at a bucket boundary would shift a count between
+    // buckets.
+    val ev = Tables.events(spark, dir)
+    anomaliesWithStats(ev, eventStatsOf(ev))
       .orderBy($"ws_ms", $"event_type")
   }
 
@@ -210,6 +201,55 @@ object TimeWindows {
        |  abs($z) > $AnomalyBar AS is_anomaly
        |FROM b JOIN s USING (event_type)
        |ORDER BY ws_ms, event_type""".stripMargin
+  }
+
+  /** The per-type moment table [[eventsAnomaly]] derives, as its own
+    * frame — the anomaly family's MODEL artifact (type, mean, msq):
+    * train once on the historical stream, persist, score every later
+    * bucket against it. */
+  def eventStatsOf(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    bucketsOf(ev).groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cnt").as("s"),
+        sum($"cnt" * $"cnt").as("sq"))
+      .select($"event_type",
+        ($"s".cast("double") / $"n").as("mean"),
+        ($"sq".cast("double") / $"n").as("msq"))
+  }
+
+  private def bucketsOf(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    ev.select($"event_type",
+        (expr("unix_millis(ts) div 3600000") * 3600000L).as("ws_ms"))
+      .groupBy($"event_type", $"ws_ms")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Persist the anomaly baseline for the corpus at `dir` — the
+    * materializeRatios convention applied to monitoring state. */
+  def materializeEventStats(spark: SparkSession, dir: String,
+      outDir: String): Unit =
+    eventStatsOf(Tables.events(spark, dir))
+      .coalesce(1).write.mode("overwrite").parquet(outDir)
+
+  /** Score an arriving event frame's hourly buckets against a
+    * PERSISTED baseline — batch, or per-micro-batch inside a
+    * `foreachBatch` sink (the bucketing is an aggregation, so the
+    * streaming form scores each micro-batch's buckets the way
+    * [[graft.streaming.CuratedPipeline.curateBatch]] drives its
+    * serving calls; the D-row stats table enters by broadcast).
+    * Flags for the same buckets are bit-identical to
+    * [[eventsAnomaly]] trained on the same history, because the z
+    * arithmetic is the shared expression on the same exact integers.
+    * The live form of the backfill query: baseline from last month,
+    * alerts on today's arrivals. */
+  def anomaliesWithStats(ev: DataFrame, stats: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    val z = ($"cnt".cast("double") - $"mean") /
+      sqrt($"msq" - $"mean" * $"mean")
+    bucketsOf(ev).join(broadcast(stats), "event_type")
+      .select($"ws_ms", $"event_type", $"cnt", z.as("z"),
+        (abs(z) > AnomalyBar).as("is_anomaly"))
   }
 
   /** The ordered step sequence [[funnelSteps]] measures. */

@@ -58,6 +58,37 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("anomaly serving: persisted baseline scores a stream bit-identically to batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val statsDir = java.nio.file.Files.createTempDirectory("graftevstats").toString
+    graft.ops.TimeWindows.materializeEventStats(spark, sfDir, s"$statsDir/stats")
+    val stats = spark.read.parquet(s"$statsDir/stats")
+    val slice = Tables.events(spark, sfDir).limit(500)
+      .select($"event_type", $"ts").localCheckpoint()
+    val want = graft.ops.TimeWindows.anomaliesWithStats(slice, stats)
+      .collect().map(_.toSeq).toSet
+    // stream the same rows through foreachBatch (the serving shape)
+    val got = scala.collection.mutable.Set.empty[Seq[Any]]
+    val rows = slice.collect().map(r =>
+      (r.getString(0), r.getTimestamp(1).getTime))
+    val mem = MemoryStream[(String, Long)]
+    val q = mem.toDF().toDF("event_type", "ms")
+      .select($"event_type",
+        org.apache.spark.sql.functions.expr("timestamp_millis(ms)").as("ts"))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.ops.TimeWindows.anomaliesWithStats(b, stats)
+          .collect().map(_.toSeq)
+        ()
+      }
+      .start()
+    try { mem.addData(rows.toSeq); q.processAllAvailable() } finally q.stop()
+    assert(got.toSet == want,
+      "streamed micro-batch scoring must equal batch scoring on the same rows")
+  }
+
   test("funnel_steps requires strict time order, not co-occurrence") {
     import spark.implicits._
     import java.sql.Timestamp

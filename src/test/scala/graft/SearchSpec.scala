@@ -361,6 +361,18 @@ class SearchSpec extends SparkSpec {
     assert(streamed == batch, "streamed alerts must equal the batch match set")
   }
 
+  test("registry percolator agrees with the compiled literal percolator") {
+    val docs = Tables.documentsPar(spark, sfDir).select("doc_id", "text")
+    val compiled = Search.percolateOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val joined = Search.percolateWithRegistry(docs,
+      Search.storedQueriesDf(spark)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(joined == compiled,
+      "the table-driven registry must match the compiled predicates")
+    assert(compiled.nonEmpty)
+  }
+
   test("significant_terms: query terms live only in the match set; high-coverage ones lead") {
     val rows = Search.significantTerms(spark, sfDir).collect()
     val byTok = rows.map(r =>
