@@ -617,6 +617,18 @@ object Search {
     val tf = tokRows.join(broadcast(qterms), "token")
       .filter($"doc_id" =!= MltSourceDoc)
       .groupBy($"doc_id", $"token", $"df").agg(count(lit(1)).as("tf"))
+    mltRank(tf, dlF, stats, MltTopK)
+  }
+
+  /** The MLT candidate ranker, shared verbatim by the scan path and
+    * [[moreLikeThisWithIndex]] (the bm25Score sharing discipline):
+    * `tf` carries one row per (candidate doc_id, matched term) with
+    * that term's corpus df and the candidate's tf; the per-doc score
+    * is an order-independent exact-DECIMAL sum of per-term BM25
+    * contributions. */
+  private def mltRank(tf: DataFrame, dlF: DataFrame, stats: DataFrame,
+      k: Int): DataFrame = {
+    import tf.sparkSession.implicits._
     val avgdl = $"sumdl".cast("double") / $"n".cast("double")
     val lnorm = lit(0.25) + lit(0.75) * ($"dl".cast("double") / avgdl)
     val idf = log(lit(1.0) +
@@ -628,10 +640,40 @@ object Search {
       .groupBy($"doc_id", $"dl")
       .agg(count(lit(1)).as("n_matched"), sum($"tf").as("tf_total"),
         graft.Exact.dsum(contrib).as("score"))
-      .orderBy($"score".desc, $"doc_id").limit(MltTopK)
+      .orderBy($"score".desc, $"doc_id").limit(k)
       .withColumn("rk", row_number().over(w))
       .select($"rk", $"doc_id", $"n_matched", $"tf_total", $"dl")
       .orderBy($"rk")
+  }
+
+  /** [[moreLikeThis]] served FROM the index — zero corpus-text reads:
+    * the source doc's term vector comes from a doc_id-filtered
+    * postings read, term dfs from a vocab-grain postings aggregate,
+    * lengths and corpus stats from doclen — exactly the tables
+    * [[moreLikeThis]]'s scaladoc promises the index amortizes. Same
+    * integers, the shared [[mltRank]] expressions ⇒ bit-identical
+    * output (SearchSpec pins it). */
+  def moreLikeThisWithIndex(spark: SparkSession, indexDir: String,
+      docId: Long, nTerms: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    requireIndex(spark, indexDir)
+    val post = spark.read.parquet(s"$indexDir/postings")
+    val doclen = spark.read.parquet(s"$indexDir/doclen")
+      .select($"doc_id", $"dl")
+    val stats = doclen.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+    val dfT = post.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val qterms = post.filter($"doc_id" === docId)
+      .select($"tok", $"tf".as("qtf"))
+      .join(dfT, "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("kwscore",
+        $"qtf" * log(($"n" + 1.0) / ($"df" + lit(1.0))))
+      .orderBy($"kwscore".desc, $"tok").limit(nTerms)
+      .select($"tok", $"df")
+    val tf = post.filter($"doc_id" =!= docId)
+      .join(broadcast(qterms), "tok")
+      .select($"doc_id", $"df", $"tf")
+    mltRank(tf, doclen, stats, k)
   }
 
   val moreLikeThisSql: String = {
@@ -736,10 +778,12 @@ object Search {
     * and the write uses dynamic partition overwrite, so re-appending
     * the same epoch REPLACES its partitions instead of duplicating
     * rows — the [[graft.streaming.IngestPipeline]] K1 sink contract,
-    * applied to the index. A failure between the two writes leaves
-    * epoch postings without doclen rows (those docs rank as if absent
-    * and inflate df by their count until repaired); re-running the
-    * same append converges the epoch to exactly-once state. */
+    * applied to the index. Write order inside an epoch is doclen THEN
+    * postings, so a failure between them leaves doclen rows without
+    * postings: the affected docs are unsearchable (no postings ⇒
+    * never candidates, df unaffected) and only nudge N/avgdl until
+    * repaired — the benign direction; re-running the same append
+    * converges the epoch to exactly-once state. */
   def appendToSearchIndex(spark: SparkSession, indexDir: String,
       docs: DataFrame, epoch: String): Unit =
     writeEpoch(docs, indexDir, epoch)
@@ -799,6 +843,12 @@ object Search {
     * index — oracle-checked against the same SQL as the scan path. */
   def phraseServed(spark: SparkSession, dir: String): DataFrame =
     phraseWithIndex(spark, sharedIndexDir(spark, dir), PhraseTerms)
+
+  /** Registered query: [[moreLikeThis]] SERVED from the session-shared
+    * index — oracle-checked against the same SQL as the scan path. */
+  def mltServed(spark: SparkSession, dir: String): DataFrame =
+    moreLikeThisWithIndex(spark, sharedIndexDir(spark, dir),
+      MltSourceDoc, MltTerms, MltTopK)
 
   /** BM25 served FROM the index — the corpus text is never touched.
     * Exactly [[bm25TopK]]'s output, bit-for-bit: the tf pivot

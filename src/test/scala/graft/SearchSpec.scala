@@ -361,6 +361,19 @@ class SearchSpec extends SparkSpec {
     assert(streamed == batch, "streamed alerts must equal the batch match set")
   }
 
+  test("mlt served from the index equals the corpus-scan path bit-for-bit") {
+    val root = java.nio.file.Files.createTempDirectory("graftmltidx")
+      .resolve("idx").toString
+    Search.buildSearchIndex(spark, sfDir, root)
+    val served = Search.moreLikeThisWithIndex(spark, root,
+      Search.MltSourceDoc, Search.MltTerms, Search.MltTopK)
+      .collect().map(_.toSeq).toSeq
+    val scanned = Search.moreLikeThis(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(served == scanned,
+      "index-served MLT must reproduce the scan path exactly")
+  }
+
   test("registry percolator agrees with the compiled literal percolator") {
     val docs = Tables.documentsPar(spark, sfDir).select("doc_id", "text")
     val compiled = Search.percolateOf(docs).collect()
