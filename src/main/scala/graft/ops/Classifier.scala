@@ -174,14 +174,29 @@ object Classifier {
     * here so the oracle hash-matches. */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (x, w) = sharedFit(spark, dir)
-    val scored = x.crossJoin(broadcast(w))
-      .select($"doc_id", predExpr.as("score"), $"y".as("teacher"))
-      .localCheckpoint(eager = false)
-    val th = scored.agg(percentile($"score", lit(KeepQuantile)).as("th"))
-    scored.crossJoin(broadcast(th))
+    val scored = scoredFrame(spark, dir)
+    scored.crossJoin(broadcast(thOf(scored)))
       .select($"doc_id", $"score", $"teacher", ($"score" >= $"th").as("keep"))
       .orderBy($"doc_id")
+  }
+
+  /** The trained scorer applied to the whole corpus — the ONE scored
+    * frame both the registered query and [[keepBarRow]] derive from,
+    * so the persisted serving bar is STRUCTURALLY the bar the batch
+    * query applies (a drift between two hand-kept copies of the
+    * scoring+percentile expression was the failure mode). */
+  private def scoredFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (x, w) = sharedFit(spark, dir)
+    x.crossJoin(broadcast(w))
+      .select($"doc_id", predExpr.as("score"), $"y".as("teacher"))
+      .localCheckpoint(eager = false)
+  }
+
+  /** The [[KeepQuantile]] bar of a scored frame, as a 1-row (th). */
+  private def thOf(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
+    scored.agg(percentile($"score", lit(KeepQuantile)).as("th"))
   }
 
   /** The trained keep threshold as a one-row (th) frame — the
@@ -192,13 +207,8 @@ object Classifier {
     * budget rule is a corpus statistic, and a stream cannot recompute
     * it — a served model is (weights, bar), like any production
     * quality-filter deployment. */
-  def keepBarRow(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val (x, w) = sharedFit(spark, dir)
-    x.crossJoin(broadcast(w))
-      .select(predExpr.as("score"))
-      .agg(percentile($"score", lit(KeepQuantile)).as("th"))
-  }
+  def keepBarRow(spark: SparkSession, dir: String): DataFrame =
+    thOf(scoredFrame(spark, dir))
 
   /** Persist the trained model — the durable serving artifact (the
     * [[Similarity.persistIndex]] convention: train once per corpus

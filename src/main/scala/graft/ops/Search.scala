@@ -488,10 +488,21 @@ object Search {
   def percolateWithRegistry(docs: DataFrame, registry: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     // distinct-ify the rule's terms: presence is counted once per term,
-    // so a duplicated term in a rule must not inflate the arity gate
+    // so a duplicated term in a rule must not inflate the arity gate.
+    // An EMPTY rule is ill-formed (its explode would vanish and the
+    // rule would silently never fire, where the compiled form's empty
+    // conjunction is match-all) — refuse it loudly, the Exact.dec
+    // enforced-guard stance; the check is registry-grain, not per doc.
+    // the guard must run BEFORE the explode: generating zero rows from
+    // an empty array would drop the rule before any per-row check fires
+    val arity = size(array_distinct($"terms"))
     val regTerms = registry
-      .select($"query_id", size(array_distinct($"terms")).as("arity"),
-        explode(array_distinct($"terms")).as("token"))
+      .select($"query_id",
+        when(arity === 0, raise_error(concat(
+          lit("percolateWithRegistry: rule with empty terms: query_id="),
+          $"query_id".cast("string")))).otherwise(arity).as("arity"),
+        array_distinct($"terms").as("terms"))
+      .select($"query_id", $"arity", explode($"terms").as("token"))
     val docToks = docs
       .select($"doc_id", explode(TextAnalysis.toks($"text")).as("token"))
       .distinct()
@@ -763,12 +774,19 @@ object Search {
   def buildSearchIndexOf(docs: DataFrame, outDir: String): Unit = {
     val spark = docs.sparkSession
     val staging = outDir + ".staging"
-    writeEpoch(docs, staging, "base")
     val hconf = spark.sessionState.newHadoopConf()
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingPath.getFileSystem(hconf)
+    // CLEAR any leftover staging from a crashed earlier build first:
+    // writeEpoch uses dynamic partition overwrite (the append
+    // contract), which only replaces partitions present in THIS
+    // dataset — stale buckets from a previous corpus version would
+    // otherwise survive into the committed index as ghost postings
+    fs.delete(stagingPath, true)
+    writeEpoch(docs, staging, "base")
     val out = new org.apache.hadoop.fs.Path(outDir)
-    val fs = out.getFileSystem(hconf)
     fs.delete(out, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), out))
+    if (!fs.rename(stagingPath, out))
       throw new IllegalStateException(
         s"buildSearchIndex: commit rename $staging -> $outDir failed")
   }
@@ -926,6 +944,10 @@ object Search {
     import spark.implicits._
     requireIndex(spark, indexDir)
     val staging = indexDir + ".compacting"
+    val hconf0 = spark.sessionState.newHadoopConf()
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    // clear crashed-compaction leftovers (the buildSearchIndexOf stance)
+    stagingPath.getFileSystem(hconf0).delete(stagingPath, true)
     spark.read.parquet(s"$indexDir/doclen")
       .select($"doc_id", $"dl", lit("base").as("epoch"))
       .write.mode("overwrite").partitionBy("epoch")

@@ -69,10 +69,16 @@ object Sketch {
     * grain. */
   def cmsCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.documentsPar(spark, dir)
+    // ONE tokenize pass (the chiSquareSplit convention): fold to
+    // vocab-grain exact counts first — materialized, they feed BOTH
+    // the grid (cell sums of per-token counts ≡ cmsGridOf's per-
+    // occurrence counts, SketchSpec pins the equivalence) and the
+    // estimate join
+    val exact = Tables.documentsPar(spark, dir)
       .select(explode(TextAnalysis.toks($"text")).as("token"))
-    val grid = cmsGridOf(toks)
-    val exact = toks.groupBy($"token").agg(count(lit(1)).as("exact"))
+      .groupBy($"token").agg(count(lit(1)).as("exact"))
+      .localCheckpoint(eager = false)
+    val grid = gridFromCounts(exact.select($"token", $"exact".as("cnt")))
     exact
       .select($"token", $"exact",
         explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
@@ -80,6 +86,19 @@ object Sketch {
       .join(broadcast(grid), Seq("j", "b"))
       .groupBy($"token", $"exact").agg(min($"c").as("est"))
       .orderBy($"token")
+  }
+
+  /** The counter grid from a weighted (token, cnt) vocab frame —
+    * cell-wise identical to [[cmsGridOf]] over the raw occurrence
+    * stream (a cell's counter is the sum of its tokens' counts either
+    * way); vocab-grain work ×[[CmsDepth]] instead of corpus-grain. */
+  private[graft] def gridFromCounts(counts: DataFrame): DataFrame = {
+    import counts.sparkSession.implicits._
+    counts
+      .select($"token", $"cnt",
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
+      .select($"j", cmsBucket($"j", $"token").as("b"), $"cnt")
+      .groupBy($"j", $"b").agg(sum($"cnt").as("c"))
   }
 
   val cmsCountsSql: String = {

@@ -187,7 +187,8 @@ object TimeWindows {
   }
 
   val eventsAnomalySql: String = {
-    val z = "(CAST(cnt AS DOUBLE) - mean) / sqrt(msq - mean * mean)"
+    val z = "CASE WHEN msq - mean * mean <= 0 THEN CAST(0 AS DOUBLE) " +
+      "ELSE (CAST(cnt AS DOUBLE) - mean) / sqrt(msq - mean * mean) END"
     s"""WITH b AS (
        |  SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS ws_ms,
        |    COUNT(*) AS cnt
@@ -245,11 +246,24 @@ object TimeWindows {
     * alerts on today's arrivals. */
   def anomaliesWithStats(ev: DataFrame, stats: DataFrame): DataFrame = {
     import ev.sparkSession.implicits._
-    val z = ($"cnt".cast("double") - $"mean") /
-      sqrt($"msq" - $"mean" * $"mean")
-    bucketsOf(ev).join(broadcast(stats), "event_type")
+    // zero-variance guard: a type whose history is constant (always
+    // true for a single-bucket type) has msq == mean² EXACTLY (both
+    // are exact-integer arithmetic under one division), and 0/0 is
+    // NULL in Spark but nan in the oracle's IEEE division — define
+    // z = 0 there (a count equal to its constant history is not an
+    // anomaly); the <= also clamps the tiny negative fp residue a
+    // NON-constant history can leave in msq - mean²
+    val varr = $"msq" - $"mean" * $"mean"
+    val z = when(varr <= 0.0, lit(0.0))
+      .otherwise(($"cnt".cast("double") - $"mean") / sqrt(varr))
+    // LEFT join: an arriving type ABSENT from the persisted baseline
+    // is precisely what a monitor must surface, not drop — it flags
+    // unconditionally with a NULL z (no history to score against).
+    // The self-scored backfill query never takes this branch (its
+    // baseline is its own history), so the oracle is unaffected.
+    bucketsOf(ev).join(broadcast(stats), Seq("event_type"), "left")
       .select($"ws_ms", $"event_type", $"cnt", z.as("z"),
-        (abs(z) > AnomalyBar).as("is_anomaly"))
+        coalesce(abs(z) > AnomalyBar, lit(true)).as("is_anomaly"))
   }
 
   /** The ordered step sequence [[funnelSteps]] measures. */

@@ -83,6 +83,13 @@ object CuratedModels {
       withPq: Boolean = true): Unit = {
     import spark.implicits._
     val root = java.nio.file.Paths.get(modelsDir)
+    // the manifest is the bundle's validity bit: DELETE it before the
+    // first family write and restamp it LAST, so a crash anywhere in
+    // the retrain leaves a bundle load() refuses outright ("no
+    // manifest") instead of a half-retrained mix whose per-family
+    // markers still agree with the OLD manifest — the silent
+    // mixed-corpus serve the manifest exists to prevent
+    java.nio.file.Files.deleteIfExists(root.resolve(ManifestName))
     Classifier.materializeModel(spark, dir, s"$modelsDir/classifier")
     Classifier.keepBarRow(spark, dir)
       .coalesce(1).write.mode("overwrite").parquet(s"$modelsDir/classifier_bar")
@@ -230,11 +237,21 @@ object CuratedPipeline {
     // every document ever admitted — snapshot the genuinely-new rows
     // BEFORE any sink mutates
     val sigs = Dedup.funnelSignatures(spark, m.corpus, m.funnelDir)
-    // one writer per key per batch (the writeBatch dropDuplicates
-    // convention) — appendToFunnel's new-ids contract must hold within
-    // the batch too
+    // one writer per key per batch (appendToFunnel's new-ids contract
+    // must hold within the batch too) — with a DETERMINISTIC survivor:
+    // dropDuplicates keeps a partition-order-dependent row, so a batch
+    // carrying one doc_id with two payloads (producer retry with an
+    // edited message) could re-decide differently on replay and break
+    // the epoch-rewrites-itself-identically guarantee. Rank by the
+    // payload itself instead (string casts make the array column
+    // orderable); ties beyond that are byte-identical rows.
+    val dupW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(b.columns.filter(_ != "doc_id").sorted
+        .map(c => col(c).cast("string").asc_nulls_first): _*)
     val fresh = b.filter(validPred)
-      .dropDuplicates("doc_id")
+      .withColumn("graft_dup_rk", row_number().over(dupW))
+      .filter(col("graft_dup_rk") === 1).drop("graft_dup_rk")
       .join(sigs.select($"doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     if (!fresh.isEmpty) {

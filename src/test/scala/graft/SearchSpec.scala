@@ -361,6 +361,19 @@ class SearchSpec extends SparkSpec {
     assert(streamed == batch, "streamed alerts must equal the batch match set")
   }
 
+  test("registry percolator refuses an ill-formed empty rule loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "dup value")).toDF("doc_id", "text")
+    val badRegistry = Seq((9L, Seq.empty[String]), (1L, Seq("dup")))
+      .toDF("query_id", "terms")
+    val e = intercept[Exception] {
+      Search.percolateWithRegistry(docs, badRegistry).collect()
+    }
+    assert(e.getMessage.contains("empty terms") ||
+      Option(e.getCause).exists(_.getMessage.contains("empty terms")),
+      s"expected the empty-rule refusal, got: ${e.getMessage}")
+  }
+
   test("mlt served from the index equals the corpus-scan path bit-for-bit") {
     val root = java.nio.file.Files.createTempDirectory("graftmltidx")
       .resolve("idx").toString

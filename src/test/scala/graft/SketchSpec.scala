@@ -22,6 +22,17 @@ class SketchSpec extends SparkSpec {
     info(s"cms: ${rows.length} terms, $collided with collision over-count")
   }
 
+  test("weighted vocab-grain grid equals the per-occurrence grid") {
+    val toks = Seq("x", "y", "x", "z", "x", "y").toDF("token")
+    val occ = Sketch.cmsGridOf(toks)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val weighted = Sketch.gridFromCounts(
+      toks.groupBy($"token").agg(count(lit(1)).as("cnt")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(weighted == occ,
+      "cell sums of per-token counts must equal per-occurrence counts")
+  }
+
   test("cms grids merge: grid(A) + grid(B) cell-wise equals grid(A union B)") {
     val a = Seq("x", "y", "x", "z").toDF("token")
     val b = Seq("y", "w", "w", "x").toDF("token")
