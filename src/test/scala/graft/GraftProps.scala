@@ -146,4 +146,30 @@ object GraftProps extends Properties("graft") {
         .eval(InternalRow.empty).asInstanceOf[Long]
       dot == codes.map(c => c.toLong * c.toLong).sum && dot >= 0
     }
+
+  property("tokBucket: stable and within [0, IndexBuckets) for any term") =
+    forAll(Gen.alphaNumStr.suchThat(_.nonEmpty)) { tok =>
+      val b = graft.ops.Search.tokBucket(tok)
+      b >= 0 && b < graft.ops.Search.IndexBuckets &&
+        b == graft.ops.Search.tokBucket(tok)
+    }
+
+  private val genWord = Gen.choose(1, 6)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  property("wordPattern: anchored-regex count equals whole-token count") =
+    forAll(Gen.listOfN(12, genWord).suchThat(_.nonEmpty)) { pool =>
+      // a normalized text drawn from the pool; count the first word both
+      // ways — the regex mechanism underlying hitCount/langId/gopher/
+      // bm25 must agree with naive token equality, including when the
+      // target is a prefix/suffix/substring of neighbors in the pool
+      val target = pool.head
+      val text = (pool ++ pool.take(5)).mkString(" ")
+      val rx = java.util.regex.Pattern
+        .compile(graft.ops.TextAnalysis.wordPattern(Seq(target)))
+      val m = rx.matcher(text)
+      var hits = 0
+      while (m.find()) hits += 1
+      hits == text.split(' ').count(_ == target)
+    }
 }

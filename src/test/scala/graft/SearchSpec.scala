@@ -54,6 +54,29 @@ class SearchSpec extends SparkSpec {
       "the long doc must rank below every short doc with the same tf")
   }
 
+  test("bm25 score is strictly monotone: up in tf, down in dl") {
+    // tf sweep at fixed dl=10: docs with 1..5 copies of the term
+    val tfDocs = (1 to 5).map { k =>
+      (k.toLong, (Seq.fill(k)("term") ++ Seq.fill(10 - k)("filler")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val tfScores = Search.bm25ScoredOf(tfDocs, Seq("term"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    (1 to 4).foreach { k =>
+      assert(tfScores(k.toLong) < tfScores(k + 1L),
+        s"score must rise with tf: $tfScores")
+    }
+    // dl sweep at fixed tf=1: the same term diluted into longer docs
+    val dlDocs = (1 to 5).map { k =>
+      (k.toLong, ("term" +: Seq.fill(5 * k)("filler")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val dlScores = Search.bm25ScoredOf(dlDocs, Seq("term"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    (1 to 4).foreach { k =>
+      assert(dlScores(k.toLong) > dlScores(k + 1L),
+        s"score must fall with dl: $dlScores")
+    }
+  }
+
   test("bm25 stats enter by broadcast and top-k is a heap, not a sort") {
     val plan = Search.bm25TopK(spark, sfDir)
       .queryExecution.executedPlan.toString
