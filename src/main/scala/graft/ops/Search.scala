@@ -683,6 +683,7 @@ object Search {
       .select($"tok", $"df")
     val tf = post.filter($"doc_id" =!= docId)
       .join(broadcast(qterms), "tok")
+      .join(tombstones(spark, indexDir), Seq("doc_id"), "left_anti")
       .select($"doc_id", $"df", $"tf")
     mltRank(tf, doclen, stats, k)
   }
@@ -850,6 +851,7 @@ object Search {
     val p2 = post.filter($"tok" === w2)
       .select($"doc_id", $"positions".as("p2"))
     p1.join(p2, "doc_id")
+      .join(tombstones(spark, indexDir), Seq("doc_id"), "left_anti")
       .select($"doc_id",
         size(array_intersect(transform($"p1", p => p + 1), $"p2"))
           .as("n_occur"))
@@ -918,6 +920,7 @@ object Search {
         .as(s"tf${i + 1}")
     }
     val cand = post.groupBy($"doc_id").agg(tfCols.head, tfCols.tail: _*)
+      .join(tombstones(spark, indexDir), Seq("doc_id"), "left_anti")
     val w = Window.orderBy($"score".desc, $"doc_id")
     cand.join(doclen.select($"doc_id", $"dl"), "doc_id")
       .crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
@@ -928,6 +931,37 @@ object Search {
       .withColumn("rk", row_number().over(w))
       .select($"rk", $"doc_id", $"n_matched", $"tf_total", $"dl")
       .orderBy($"rk")
+  }
+
+  /** Soft-delete documents from an index — ES's own delete model: a
+    * tombstone marks the doc, queries exclude it IMMEDIATELY, and the
+    * bytes leave the index at the next merge ([[compactSearchIndex]]).
+    * The ES-faithful consequence, documented: until compaction,
+    * tombstoned docs still count in the corpus statistics (N, Σdl,
+    * df) exactly as deleted-but-unmerged docs do in Lucene — scores
+    * of surviving docs are unchanged by a delete, so the ranking is
+    * the old ranking minus the deleted docs; after compaction the
+    * statistics re-derive from the survivors (bit-identical to an
+    * index built without the deleted docs — SearchSpec pins it).
+    * Epoch-keyed dynamic overwrite ⇒ replayed deletes are idempotent.
+    * The GDPR path: tombstone now (instantly unservable), compact on
+    * schedule (bytes gone). */
+  def deleteFromSearchIndex(spark: SparkSession, indexDir: String,
+      docIds: DataFrame, epoch: String): Unit = {
+    import spark.implicits._
+    docIds.select($"doc_id", lit(epoch).as("epoch"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(s"$indexDir/tombstones")
+  }
+
+  /** The tombstone set of an index, empty when none were ever
+    * written. */
+  private def tombstones(spark: SparkSession, indexDir: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      spark.read.parquet(p.toString).select($"doc_id").distinct()
+    else spark.emptyDataset[Long].toDF("doc_id")
   }
 
   /** Compact an index's accumulated epochs back into the single
@@ -948,11 +982,18 @@ object Search {
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     // clear crashed-compaction leftovers (the buildSearchIndexOf stance)
     stagingPath.getFileSystem(hconf0).delete(stagingPath, true)
+    // the merge PURGES tombstoned docs physically (the Lucene merge
+    // role): their rows drop from both tables, the corpus statistics
+    // re-derive from survivors, and the compacted index carries no
+    // tombstone table — deletion is complete, not marked
+    val dead = tombstones(spark, indexDir)
     spark.read.parquet(s"$indexDir/doclen")
+      .join(dead, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"dl", lit("base").as("epoch"))
       .write.mode("overwrite").partitionBy("epoch")
       .parquet(s"$staging/doclen")
     spark.read.parquet(s"$indexDir/postings")
+      .join(dead, Seq("doc_id"), "left_anti")
       .select($"tok", $"doc_id", $"tf", $"positions",
         lit("base").as("epoch"), $"b")
       .write.mode("overwrite").partitionBy("epoch", "b")

@@ -232,6 +232,47 @@ class SearchSpec extends SparkSpec {
     assert(replayed == want, "replaying an epoch must not change state")
   }
 
+  test("soft delete: instant exclusion with ES-merge stats semantics, purge at compaction") {
+    import spark.implicits._
+    val docs = Tables.documentsPar(spark, sfDir).select("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graftidxdel")
+      .resolve("idx").toString
+    Search.buildSearchIndex(spark, sfDir, root)
+    def fullRank(idx: String) = Search
+      .searchWithIndex(spark, idx, Search.QueryTerms, 1000)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4))).toSeq
+    val before = fullRank(root)
+    val victims = Seq(before.head._1, before(2)._1)
+    val phraseVictim = Search.phraseWithIndex(spark, root, Search.PhraseTerms)
+      .head().getLong(0)
+    Search.deleteFromSearchIndex(spark, root,
+      (victims :+ phraseVictim).toDF("doc_id"), epoch = "d1")
+    // instant exclusion, scores of survivors UNCHANGED (stats keep
+    // counting tombstoned docs until the merge — Lucene semantics), so
+    // the post-delete ranking is exactly the old one minus the victims
+    val allVictims = victims :+ phraseVictim
+    val after = fullRank(root)
+    assert(after == before.filterNot(r => allVictims.contains(r._1)),
+      "delete must remove victims and leave every other row untouched")
+    assert(!Search.phraseWithIndex(spark, root, Search.PhraseTerms)
+      .collect().map(_.getLong(0)).contains(phraseVictim))
+    // replayed delete epoch: no change
+    Search.deleteFromSearchIndex(spark, root,
+      (victims :+ phraseVictim).toDF("doc_id"), epoch = "d1")
+    assert(fullRank(root) == after)
+    // compaction purges physically: no tombstone table survives, and
+    // the index equals a whole rebuild WITHOUT the deleted docs —
+    // statistics re-derived from survivors
+    Search.compactSearchIndex(spark, root)
+    assert(!new java.io.File(s"$root/tombstones").exists())
+    val rebuilt = java.nio.file.Files.createTempDirectory("graftidxdelrb")
+      .resolve("idx").toString
+    Search.buildSearchIndexOf(
+      docs.filter(!$"doc_id".isin((victims :+ phraseVictim): _*)), rebuilt)
+    assert(fullRank(root) == fullRank(rebuilt),
+      "post-merge index must be bit-identical to a rebuild without the deleted docs")
+  }
+
   test("epoch compaction is a pure re-layout: results unchanged, one epoch left") {
     import spark.implicits._
     val docs = Tables.documentsPar(spark, sfDir).select("doc_id", "text")
