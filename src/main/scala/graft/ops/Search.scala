@@ -933,6 +933,24 @@ object Search {
       .orderBy($"rk")
   }
 
+  /** ES term-vectors API: one document's indexed view — its terms
+    * with tf, positions, and each term's corpus df — straight from
+    * the index tables (the relevance-debugging endpoint: "why does
+    * this doc rank where it does"). The doc_id filter cannot
+    * partition-prune (postings shard by TERM), but it pushes to
+    * parquet row-group stats; the df join is vocab-grain. */
+  def termVectors(spark: SparkSession, indexDir: String,
+      docId: Long): DataFrame = {
+    import spark.implicits._
+    requireIndex(spark, indexDir)
+    val post = spark.read.parquet(s"$indexDir/postings")
+    val dfT = post.groupBy($"tok").agg(count(lit(1)).as("df"))
+    post.filter($"doc_id" === docId)
+      .select($"tok", $"tf", $"positions")
+      .join(dfT, "tok")
+      .orderBy($"tok")
+  }
+
   /** Soft-delete documents from an index — ES's own delete model: a
     * tombstone marks the doc, queries exclude it IMMEDIATELY, and the
     * bytes leave the index at the next merge ([[compactSearchIndex]]).

@@ -232,6 +232,26 @@ class SearchSpec extends SparkSpec {
     assert(replayed == want, "replaying an epoch must not change state")
   }
 
+  test("term vectors reconstruct the document's token bag exactly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("grafttermvec")
+      .resolve("idx").toString
+    Search.buildSearchIndex(spark, sfDir, root)
+    val docId = 7L
+    val tv = Search.termVectors(spark, root, docId).collect()
+    val text = Tables.documents(spark, sfDir)
+      .filter($"doc_id" === docId).head().getAs[String]("text")
+    val toks = text.trim.toLowerCase.split("\\s+").toSeq
+    // tf sums to the doc length; per-term tf matches the naive count;
+    // positions index the actual tokens
+    assert(tv.map(_.getLong(1)).sum == toks.length)
+    tv.foreach { r =>
+      val (tok, tf, pos) = (r.getString(0), r.getLong(1), r.getSeq[Int](2))
+      assert(tf == toks.count(_ == tok))
+      assert(pos.length == tf && pos.forall(p => toks(p) == tok))
+    }
+  }
+
   test("soft delete: instant exclusion with ES-merge stats semantics, purge at compaction") {
     import spark.implicits._
     val docs = Tables.documentsPar(spark, sfDir).select("doc_id", "text")
