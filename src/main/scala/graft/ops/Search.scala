@@ -967,6 +967,10 @@ object Search {
   def deleteFromSearchIndex(spark: SparkSession, indexDir: String,
       docIds: DataFrame, epoch: String): Unit = {
     import spark.implicits._
+    // refuse a delete against a non-index path: writing tombstones
+    // into a stray directory would silently satisfy the caller while
+    // nothing becomes unservable
+    requireIndex(spark, indexDir)
     docIds.select($"doc_id", lit(epoch).as("epoch"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch").parquet(s"$indexDir/tombstones")
