@@ -328,6 +328,67 @@ object CuratedPipeline {
     }
   }
 
+  /** Remove rows bearing `victimIds` from a partitioned parquet table
+    * by rewriting only the partitions that contain them. Dynamic
+    * partition overwrite replaces the affected partitions whose
+    * survivor set is nonempty; a partition EMPTIED by the purge must
+    * be deleted explicitly (dynamic overwrite skips partitions absent
+    * from the written data — the stale-partition trap). Re-running
+    * the same purge converges: affected partitions re-derive from the
+    * current table state, so already-purged rows simply stop being
+    * affected. Survivors are snapshotted (localCheckpoint) BEFORE any
+    * mutation so the rewrite never reads what it is replacing. */
+  private def purgeRows(spark: SparkSession, tableDir: String,
+      partCol: String, idCol: String, victimIds: DataFrame): Unit = {
+    val t = spark.read.parquet(tableDir)
+    val victims = victimIds.select(col("vid").as(idCol))
+    val affected = t.join(victims, idCol).select(col(partCol))
+      .distinct().collect().map(_.get(0))
+    if (affected.nonEmpty) {
+      val surv = t.filter(col(partCol).isin(affected: _*))
+        .join(victims, Seq(idCol), "left_anti")
+        .localCheckpoint()
+      val survParts = surv.select(col(partCol)).distinct()
+        .collect().map(_.get(0)).toSet
+      if (!surv.isEmpty)
+        surv.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partCol).parquet(tableDir)
+      val hconf = spark.sessionState.newHadoopConf()
+      affected.filterNot(survParts).foreach { p =>
+        val dir = new org.apache.hadoop.fs.Path(s"$tableDir/$partCol=$p")
+        dir.getFileSystem(hconf).delete(dir, true)
+        ()
+      }
+    }
+  }
+
+  /** Right-to-be-forgotten across the serving artifacts: remove the
+    * given doc_ids from the curated output (epoch-partition rewrite),
+    * tombstone them in the full-text index (instantly unservable;
+    * bytes leave at the next [[graft.ops.Search.compactSearchIndex]]),
+    * and drop their code rows from the PQ index (cell-partition
+    * rewrite). The dedup funnel's signatures are RETAINED by design:
+    * they are 60-bit hashes carrying no recoverable text, and keeping
+    * them means a re-ingest of the deleted content is screened as
+    * already-seen rather than silently re-admitted — erasure removes
+    * the content, not the fact that curation decided on it. Each step
+    * converges under replay (tombstones are epoch-keyed overwrite;
+    * the partition purges re-derive from current state). */
+  def deleteCurated(spark: SparkSession, m: CuratedModels, outDir: String,
+      docIds: Seq[Long], epoch: String): Unit = {
+    import spark.implicits._
+    val vids = docIds.toDF("vid").localCheckpoint()
+    m.searchIndexDir.foreach { idx =>
+      graft.ops.Search.deleteFromSearchIndex(spark, idx,
+        vids.select($"vid".as("doc_id")), epoch)
+    }
+    purgeRows(spark, outDir, "epoch_id", "doc_id", vids)
+    m.pqDir.foreach { pq =>
+      purgeRows(spark, pq, "bucket", "vec_id", vids)
+    }
+  }
+
   /** Assemble and start the curated pipeline: load the bundle (refusing
     * mixed corpus versions — [[CuratedModels.load]]), attach the
     * observed ingest + tokenizer-drift metrics, and drive

@@ -362,4 +362,51 @@ class CuratedPipelineSpec extends SparkSpec {
     assert(fert2 > fert1,
       s"uncovered words fragment to characters: fertility $fert2 !> $fert1")
   }
+
+  // LAST on purpose: this test MUTATES the shared bundle's search and
+  // PQ indexes (that is its point).
+  test("deleteCurated forgets a document across output, search index, and PQ") {
+    import spark.implicits._
+    val m = CuratedModels.load(spark, modelsDir)
+    val victim = 7L
+    // synthetic curated output: victim alone in epoch 99 (the
+    // emptied-partition case) and mixed with others in epoch 0
+    val outDir = tmp("graftdelout")
+    Seq((victim, "src0", "en", "t", 1L, 0.5, 1L, 0L),
+      (11L, "src0", "en", "t", 1L, 0.5, 1L, 0L),
+      (victim, "src0", "en", "t", 1L, 0.5, 1L, 99L),
+      (12L, "src1", "en", "t", 1L, 0.5, 1L, 5L))
+      .toDF("doc_id", "source", "lang", "curated", "n_tokens", "score",
+        "weight", "epoch_id")
+      .write.mode("overwrite").partitionBy("epoch_id").parquet(outDir)
+    val pqBefore = spark.read.parquet(m.pqDir.get).count()
+    assert(spark.read.parquet(m.pqDir.get)
+      .filter($"vec_id" === victim).count() == 1,
+      "precondition: the victim is indexed")
+
+    CuratedPipeline.deleteCurated(spark, m, outDir, Seq(victim), "gdpr1")
+
+    val out = spark.read.parquet(outDir)
+      .select($"doc_id", $"epoch_id".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((11L, 0L), (12L, 5L)),
+      s"victim rows must vanish, others stay: $out")
+    assert(!new java.io.File(s"$outDir/epoch_id=99").exists(),
+      "an emptied partition must be deleted, not left stale")
+    // search: tombstoned — victim absent from every served ranking
+    val served = graft.ops.Search.searchWithIndex(spark,
+      m.searchIndexDir.get, graft.ops.Search.QueryTerms, 1000)
+      .collect().map(_.getLong(1))
+    assert(!served.contains(victim))
+    // PQ: the victim's code row is gone, everything else intact
+    val pq = spark.read.parquet(m.pqDir.get)
+    assert(pq.filter($"vec_id" === victim).isEmpty)
+    assert(pq.count() == pqBefore - 1)
+    assert(new java.io.File(s"${m.pqDir.get}/_codebooks").exists(),
+      "the quantizer identity must survive the purge")
+    // replay converges: nothing changes
+    CuratedPipeline.deleteCurated(spark, m, outDir, Seq(victim), "gdpr1")
+    assert(spark.read.parquet(outDir).count() == 2)
+    assert(spark.read.parquet(m.pqDir.get).count() == pqBefore - 1)
+  }
 }
