@@ -673,7 +673,13 @@ object Search {
       .select($"doc_id", $"dl")
     val stats = doclen.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
     val dfT = post.groupBy($"tok").agg(count(lit(1)).as("df"))
+    // a tombstoned SOURCE doc's terms must not seed the query — its
+    // content would otherwise leak through the ranked result (the
+    // termVectors refusal, applied to MLT's term pull); anti-join
+    // empties qterms, so the result is empty rather than derived
+    // from deleted text
     val qterms = post.filter($"doc_id" === docId)
+      .join(tombstones(spark, indexDir), Seq("doc_id"), "left_anti")
       .select($"tok", $"tf".as("qtf"))
       .join(dfT, "tok")
       .crossJoin(broadcast(stats))
@@ -717,7 +723,8 @@ object Search {
        |  WHERE tr.doc_id != $MltSourceDoc
        |  GROUP BY tr.doc_id, tr.token, qt.df),
        |sc AS (
-       |  SELECT tf.doc_id, dl.dl, COUNT(*) AS n_matched, SUM(tf.tf) AS tf_total,
+       |  SELECT tf.doc_id, dl.dl, COUNT(*) AS n_matched,
+       |    CAST(SUM(tf.tf) AS BIGINT) AS tf_total,
        |    CAST(SUM(CAST($contrib AS DECIMAL(38,18))) AS DOUBLE) AS score
        |  FROM tf JOIN dl USING (doc_id) CROSS JOIN s
        |  GROUP BY tf.doc_id, dl.dl)
@@ -943,7 +950,20 @@ object Search {
       docId: Long): DataFrame = {
     import spark.implicits._
     requireIndex(spark, indexDir)
+    // a tombstoned doc's indexed view (terms, tf, positions — the
+    // normalized text is reconstructible from positions) must be
+    // unservable the moment the tombstone lands, same as every query
+    // path — this is the right-to-be-forgotten surface, so refuse
+    // LOUDLY rather than return an empty frame a caller could read as
+    // "doc has no terms". The check is tombstone-table-grain (tiny).
+    if (!tombstones(spark, indexDir).filter($"doc_id" === docId).isEmpty)
+      throw new IllegalStateException(
+        s"termVectors: doc $docId is tombstoned in $indexDir — " +
+          "deleted content is not servable (compaction will purge it)")
     val post = spark.read.parquet(s"$indexDir/postings")
+    // df still counts tombstoned docs until compaction — the
+    // documented deleted-but-unmerged Lucene statistics semantics;
+    // only SERVING a deleted doc's content is forbidden
     val dfT = post.groupBy($"tok").agg(count(lit(1)).as("df"))
     post.filter($"doc_id" === docId)
       .select($"tok", $"tf", $"positions")
@@ -971,7 +991,22 @@ object Search {
     // into a stray directory would silently satisfy the caller while
     // nothing becomes unservable
     requireIndex(spark, indexDir)
-    docIds.select($"doc_id", lit(epoch).as("epoch"))
+    // UNION with any tombstones already in this epoch: dynamic
+    // overwrite REPLACES the partition, so two distinct delete
+    // requests reusing an epoch string would otherwise resurrect the
+    // first request's victims in every query path until compaction.
+    // A replay of the same request unions to the identical set —
+    // still idempotent. Snapshot the union BEFORE the overwrite (the
+    // purgeRows never-read-what-you-replace discipline).
+    val existing = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones/epoch=$epoch")
+      if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+        spark.read.parquet(p.toString).select($"doc_id")
+      else spark.emptyDataset[Long].toDF("doc_id")
+    }
+    docIds.select($"doc_id").union(existing).distinct()
+      .select($"doc_id", lit(epoch).as("epoch"))
+      .localCheckpoint()
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch").parquet(s"$indexDir/tombstones")
   }

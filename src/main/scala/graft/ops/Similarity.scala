@@ -176,8 +176,11 @@ object Similarity {
   val annHammingSql: String = {
     // sign-disagreement count == popcount(xor(signword)) without the
     // 1<<63 BIGINT-overflow hazard of packing in ANSI SQL
+    // CAST: DuckDB's list_sum returns HUGEINT, which lands as float64
+    // in the driver's comparison and escapes its integer-width
+    // normalization — the r9 hash-mismatch; BIGINT restores int typing
     def ham(a: String, b: String): String =
-      s"list_sum(list_transform(range(1, 65), i -> CASE WHEN ($a[i] > 0) != ($b[i] > 0) THEN 1 ELSE 0 END))"
+      s"CAST(list_sum(list_transform(range(1, 65), i -> CASE WHEN ($a[i] > 0) != ($b[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT)"
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |coarse AS (
        |  SELECT e.vec_id, e.label, e.embedding, q.qv,

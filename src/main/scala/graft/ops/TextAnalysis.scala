@@ -202,7 +202,12 @@ object TextAnalysis {
       .agg(countDistinct($"doc_id").as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"score".desc, $"tok")
-    tf.join(broadcast(df), "tok")
+    // the df table is corpus-distinct-token grain — UNBOUNDED at
+    // 100 TB, so it must NOT broadcast (the Bpe.scala vocab-join
+    // stance; contrast the deliberately bounded top-N broadcasts).
+    // tf is already (doc, tok)-grained, so the shuffle-hash join on
+    // tok reuses tf's shuffle and AQE handles token skew.
+    tf.join(df, "tok")
       .crossJoin(nDocs)
       .withColumn("score",
         $"tf" * log(($"n_docs" + 1.0) / ($"df" + lit(1.0))))

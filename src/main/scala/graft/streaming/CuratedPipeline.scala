@@ -35,7 +35,8 @@ final case class CuratedModels(
     rates: DataFrame,
     unigramCounts: DataFrame,
     pqDir: Option[String],
-    searchIndexDir: Option[String])
+    searchIndexDir: Option[String],
+    percolator: DataFrame)
 
 object CuratedModels {
 
@@ -48,7 +49,8 @@ object CuratedModels {
   val CorpusIdName = "_corpus.id"
 
   private val ParquetFamilies =
-    Seq("classifier", "classifier_bar", "dsir", "mix", "unigram")
+    Seq("classifier", "classifier_bar", "dsir", "mix", "unigram",
+      "percolator")
 
   private def writeText(path: java.nio.file.Path, text: String): Unit = {
     java.nio.file.Files.createDirectories(path.getParent)
@@ -96,6 +98,13 @@ object CuratedModels {
     Select.materializeRatios(spark, dir, s"$modelsDir/dsir")
     Select.materializeMixRates(spark, dir, s"$modelsDir/mix")
     Unigram.materializeModel(spark, dir, s"$modelsDir/unigram")
+    // the percolator RULES are bundle data, not compiled code — the
+    // alert registry lives in a table an operator edits between bundle
+    // versions (the models.manifest discipline applied to the one
+    // serving family whose "model" is authored rather than trained);
+    // seeded with the demo rule set
+    Search.storedQueriesDf(spark)
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelsDir/percolator")
     Dedup.persistFunnel(spark, dir, s"$modelsDir/funnel")
     if (withPq) Pq.persistPqIndex(spark, dir, s"$modelsDir/pq")
     Search.buildSearchIndex(spark, dir, s"$modelsDir/searchidx")
@@ -160,7 +169,8 @@ object CuratedModels {
       unigramCounts = spark.read.parquet(s"$modelsDir/unigram/counts"),
       pqDir = if (families.contains("pq")) Some(s"$modelsDir/pq") else None,
       searchIndexDir = if (families.contains("searchidx"))
-        Some(s"$modelsDir/searchidx") else None)
+        Some(s"$modelsDir/searchidx") else None,
+      percolator = spark.read.parquet(s"$modelsDir/percolator"))
   }
 }
 
@@ -222,13 +232,34 @@ object CuratedPipeline {
         lit("invalid_document").as("reason"), lit(epochId).as("epoch_id"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch_id").parquet(dlqDir)
-    // percolator alerts: every VALID arrival probed against the stored
-    // query registry (the ES watcher loop) — fires on ARRIVAL, before
-    // and independent of admission screening, because an alert cares
-    // that a matching document showed up, not whether curation kept
-    // it; epoch-keyed dynamic overwrite keeps replays idempotent
+    // one writer per key per batch (appendToFunnel's new-ids contract
+    // must hold within the batch too) — with a DETERMINISTIC survivor:
+    // dropDuplicates keeps a partition-order-dependent row, so a batch
+    // carrying one doc_id with two payloads (producer retry with an
+    // edited message) could re-decide differently on replay and break
+    // the epoch-rewrites-itself-identically guarantee. Rank by the
+    // payload itself instead (string casts make the array column
+    // orderable); ties beyond that are byte-identical rows. EVERY
+    // per-doc sink of the batch (alerts, admission, index) derives
+    // from this ONE deduped frame so their survivors agree.
+    val dupW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(b.columns.filter(_ != "doc_id").sorted
+        .map(c => col(c).cast("string").asc_nulls_first): _*)
+    val dedupedValid = b.filter(validPred)
+      .withColumn("graft_dup_rk", row_number().over(dupW))
+      .filter(col("graft_dup_rk") === 1).drop("graft_dup_rk")
+      .localCheckpoint()
+    // percolator alerts: every VALID arrival probed against the RULE
+    // REGISTRY in the bundle (the ES watcher loop, in its data-driven
+    // form — rules are a table, not compiled predicates, so the
+    // registry grows without replanning). Fires on ARRIVAL, before and
+    // independent of admission screening, because an alert cares that
+    // a matching document showed up, not whether curation kept it;
+    // epoch-keyed dynamic overwrite + the deterministic survivor above
+    // keep replays idempotent
     alertsDir.foreach { ad =>
-      Search.percolateOf(b.filter(validPred).dropDuplicates("doc_id"))
+      Search.percolateWithRegistry(dedupedValid, m.percolator)
         .withColumn("epoch_id", lit(epochId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("epoch_id").parquet(ad)
@@ -237,21 +268,7 @@ object CuratedPipeline {
     // every document ever admitted — snapshot the genuinely-new rows
     // BEFORE any sink mutates
     val sigs = Dedup.funnelSignatures(spark, m.corpus, m.funnelDir)
-    // one writer per key per batch (appendToFunnel's new-ids contract
-    // must hold within the batch too) — with a DETERMINISTIC survivor:
-    // dropDuplicates keeps a partition-order-dependent row, so a batch
-    // carrying one doc_id with two payloads (producer retry with an
-    // edited message) could re-decide differently on replay and break
-    // the epoch-rewrites-itself-identically guarantee. Rank by the
-    // payload itself instead (string casts make the array column
-    // orderable); ties beyond that are byte-identical rows.
-    val dupW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(b.columns.filter(_ != "doc_id").sorted
-        .map(c => col(c).cast("string").asc_nulls_first): _*)
-    val fresh = b.filter(validPred)
-      .withColumn("graft_dup_rk", row_number().over(dupW))
-      .filter(col("graft_dup_rk") === 1).drop("graft_dup_rk")
+    val fresh = dedupedValid
       .join(sigs.select($"doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     if (!fresh.isEmpty) {
@@ -310,21 +327,39 @@ object CuratedPipeline {
           }
         }
       }
-      // search-index maintenance: every first-seen valid arrival
-      // becomes queryable — the streaming continuation of
-      // buildSearchIndex over the corpus (like the PQ index, coverage
-      // is arrivals, not the curated subset: retrieval wants the
-      // rejected docs findable too, e.g. for audit queries). Epoch-
-      // keyed dynamic partition overwrite makes a replayed epoch
-      // rewrite itself (fresh recomputes identically until the funnel
-      // commit lands; after it lands, fresh is empty and the epoch's
-      // partitions are left untouched).
-      m.searchIndexDir.foreach { idx =>
-        Search.appendToSearchIndex(spark, idx, docs, epoch = s"e$epochId")
-      }
+    }
+    // search-index maintenance: every first-seen valid arrival becomes
+    // queryable — the streaming continuation of buildSearchIndex over
+    // the corpus (like the PQ index, coverage is arrivals, not the
+    // curated subset: retrieval wants the rejected docs findable too,
+    // e.g. for audit queries). The new-doc screen is the INDEX'S OWN
+    // doclen (docs already indexed under OTHER epochs), NOT the
+    // funnel-screened `fresh`: the funnel append below is two jobs
+    // (signatures then postings) whose partial visibility after a
+    // crash would shrink a replayed `fresh`, and the epoch's dynamic
+    // partition overwrite would then rewrite doclen/postings with only
+    // the remaining subset — already-indexed docs losing their doclen
+    // row (unrankable) while untouched postings buckets keep orphans.
+    // doclen-of-other-epochs only changes when another epoch commits,
+    // so a replay recomputes the identical set and the epoch rewrites
+    // itself regardless of funnel commit progress. (Consequence,
+    // documented: a doc purged from the index and later genuinely
+    // re-sent is re-indexed — a fresh arrival of content the operator
+    // again possesses, while funnel-retained signatures still keep it
+    // out of the curated output.)
+    m.searchIndexDir.foreach { idx =>
+      val already = spark.read.parquet(s"$idx/doclen")
+        .filter($"epoch" =!= s"e$epochId").select($"doc_id")
+      val idxDocs = dedupedValid.select($"doc_id", $"text")
+        .join(already, Seq("doc_id"), "left_anti")
+      if (!idxDocs.isEmpty)
+        Search.appendToSearchIndex(spark, idx, idxDocs, epoch = s"e$epochId")
+    }
+    if (!fresh.isEmpty) {
       // the admission commit point — LAST, so every earlier sink has
       // committed before a doc_id starts screening as already-admitted
-      Dedup.appendToFunnel(spark, m.corpus, m.funnelDir, docs)
+      Dedup.appendToFunnel(spark, m.corpus, m.funnelDir,
+        fresh.select($"doc_id", $"text"))
     }
   }
 

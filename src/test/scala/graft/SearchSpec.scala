@@ -293,6 +293,48 @@ class SearchSpec extends SparkSpec {
       "post-merge index must be bit-identical to a rebuild without the deleted docs")
   }
 
+  test("tombstoned docs are unservable through term vectors and MLT seeding") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("grafttombserve")
+      .resolve("idx").toString
+    Search.buildSearchIndex(spark, sfDir, root)
+    val victim = 7L
+    Search.deleteFromSearchIndex(spark, root, Seq(victim).toDF("doc_id"), "d1")
+    // term vectors: the deleted doc's indexed view (its text is
+    // reconstructible from positions) must REFUSE, not return empty
+    val e = intercept[IllegalStateException] {
+      Search.termVectors(spark, root, victim)
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    // a live doc still serves
+    assert(Search.termVectors(spark, root, 8L).count() > 0)
+    // MLT seeded from the deleted doc: its terms must not leak through
+    // the ranked result — empty, not deleted-content-derived
+    assert(Search.moreLikeThisWithIndex(spark, root, victim,
+      Search.MltTerms, Search.MltTopK).isEmpty)
+  }
+
+  test("tombstone epochs union on reuse instead of resurrecting earlier victims") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("grafttombreuse")
+      .resolve("idx").toString
+    Search.buildSearchIndex(spark, sfDir, root)
+    def servedIds = Search.searchWithIndex(spark, root, Search.QueryTerms, 1000)
+      .collect().map(_.getLong(1)).toSet
+    val all = servedIds
+    val Seq(v1, v2) = all.toSeq.sorted.take(2)
+    Search.deleteFromSearchIndex(spark, root, Seq(v1).toDF("doc_id"), "same")
+    assert(!servedIds.contains(v1))
+    // a SECOND delete reusing the epoch string must not resurrect v1
+    Search.deleteFromSearchIndex(spark, root, Seq(v2).toDF("doc_id"), "same")
+    val after = servedIds
+    assert(!after.contains(v1), "epoch reuse must not resurrect v1")
+    assert(!after.contains(v2))
+    // replaying one of the requests stays idempotent
+    Search.deleteFromSearchIndex(spark, root, Seq(v2).toDF("doc_id"), "same")
+    assert(servedIds == after)
+  }
+
   test("epoch compaction is a pure re-layout: results unchanged, one epoch left") {
     import spark.implicits._
     val docs = Tables.documentsPar(spark, sfDir).select("doc_id", "text")

@@ -43,6 +43,21 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: rows differ: spark={len(sdf)} oracle={len(odf)}")
             n_fail += 1
             continue
+        # dtype gate mirroring the driver's hash: int widths normalize,
+        # but int-vs-float does NOT (DuckDB HUGEINT -> pandas float64 is
+        # the classic escape: SUM(BIGINT)/list_sum in an EMITTED column).
+        # Values can be equal while the driver's hash mismatches.
+        kind_diffs = []
+        for c in ocols:
+            ok, sk = odf[c].dtype.kind, sdf[c].dtype.kind
+            norm = lambda k: "i" if k in "iu" else k
+            if {norm(ok), norm(sk)} == {"i", "f"}:
+                kind_diffs.append((c, str(odf[c].dtype), str(sdf[c].dtype)))
+        if kind_diffs:
+            print(f"FAIL {name}: int-vs-float dtype (col,oracle,spark): {kind_diffs}"
+                  " — CAST the oracle column (HUGEINT trap)")
+            n_fail += 1
+            continue
         o = odf[ocols].sort_values(ocols).reset_index(drop=True)
         s = sdf[scols].sort_values(scols).reset_index(drop=True)
         diffs = []
