@@ -667,9 +667,9 @@ object Search {
   def moreLikeThisWithIndex(spark: SparkSession, indexDir: String,
       docId: Long, nTerms: Int, k: Int): DataFrame = {
     import spark.implicits._
-    requireIndex(spark, indexDir)
-    val post = spark.read.parquet(s"$indexDir/postings")
-    val doclen = spark.read.parquet(s"$indexDir/doclen")
+    val root = requireIndex(spark, indexDir)
+    val post = spark.read.parquet(s"$root/postings")
+    val doclen = spark.read.parquet(s"$root/doclen")
       .select($"doc_id", $"dl")
     val stats = doclen.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
     val dfT = post.groupBy($"tok").agg(count(lit(1)).as("df"))
@@ -679,7 +679,7 @@ object Search {
     // empties qterms, so the result is empty rather than derived
     // from deleted text
     val qterms = post.filter($"doc_id" === docId)
-      .join(tombstones(spark, indexDir), Seq("doc_id"), "left_anti")
+      .join(tombstones(spark, root), Seq("doc_id"), "left_anti")
       .select($"tok", $"tf".as("qtf"))
       .join(dfT, "tok")
       .crossJoin(broadcast(stats))
@@ -689,7 +689,7 @@ object Search {
       .select($"tok", $"df")
     val tf = post.filter($"doc_id" =!= docId)
       .join(broadcast(qterms), "tok")
-      .join(tombstones(spark, indexDir), Seq("doc_id"), "left_anti")
+      .join(tombstones(spark, root), Seq("doc_id"), "left_anti")
       .select($"doc_id", $"df", $"tf")
     mltRank(tf, doclen, stats, k)
   }
@@ -757,18 +757,104 @@ object Search {
     (java.lang.Long.parseLong(hex.take(15), 16) % IndexBuckets).toInt
   }
 
+  /** Pointer file at the index top directory naming the ACTIVE version
+    * subdirectory — the alias-repoint discipline (the K4 daily-index
+    * alias, applied to the search artifact): every serving path
+    * resolves the pointer ONCE per query and then reads only that
+    * version's files, so a concurrent rebuild/compaction can commit a
+    * new version (write the tables, then atomically replace this one
+    * tiny file) without a reader ever seeing a mixed or half-written
+    * view. Underscore-prefixed so parquet readers treat it as hidden. */
+  val CurrentPointer = "_current"
+
+  private val VersionRe = "^v(\\d{10})$".r
+
+  /** Resolve the ACTIVE root of an index: `indexDir/<version>` when a
+    * [[CurrentPointer]] exists, else `indexDir` itself (the pre-r10
+    * flat layout, and — by the same branch — an already-resolved
+    * version root, making resolution idempotent: helpers can take
+    * either form). */
+  private[graft] def indexRoot(spark: SparkSession, indexDir: String): String = {
+    val cur = new org.apache.hadoop.fs.Path(s"$indexDir/$CurrentPointer")
+    val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(cur)) {
+      val in = fs.open(cur)
+      val ver =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      s"$indexDir/$ver"
+    } else indexDir
+  }
+
+  /** Next version name under `indexDir`: max existing v-number + 1 —
+    * counts orphans from crashed builds too, so a new commit never
+    * reuses (and never has to clear) a partially-written dir. */
+  private def nextVersion(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val existing =
+      if (fs.exists(p))
+        fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+          case VersionRe(n) => n.toLong
+        }
+      else Seq.empty
+    "v%010d".format((existing :+ 0L).max + 1)
+  }
+
+  /** Atomically (re)point [[CurrentPointer]] at `ver`: write a temp
+    * file, rename-with-OVERWRITE onto the pointer. The pointer is the
+    * ONLY path needing atomic replace — table bytes commit by being
+    * named, never by being overwritten — which is exactly the shape an
+    * object store (no atomic directory rename) can still serve via a
+    * conditional put of the pointer object. */
+  private def commitPointer(spark: SparkSession, indexDir: String,
+      ver: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/$CurrentPointer.tmp")
+    val cur = new org.apache.hadoop.fs.Path(s"$indexDir/$CurrentPointer")
+    val fs = tmp.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(ver.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+      .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Delete superseded layouts under `indexDir`, RETAINING `keep` (the
+    * just-committed version plus the immediately-previous root): an
+    * in-flight reader resolved the pointer before the repoint and is
+    * still scanning the previous version's files — Lucene's
+    * keep-segments-until-readers-release, bounded at one generation
+    * (the next maintenance pass reclaims it). */
+  private def pruneVersions(spark: SparkSession, indexDir: String,
+      keep: Set[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val flat = Set("postings", "doclen", "tombstones")
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      val prunable = n match {
+        case VersionRe(_) => !keep.contains(n)
+        case _ => flat.contains(n) && !keep.contains(n)
+      }
+      if (prunable) fs.delete(st.getPath, true)
+    }
+  }
+
   /** Build the inverted index for the corpus at `dir` under `outDir` —
     * the engine-side form of the daily index the reference maintains in
     * ES (es.go:160-213 bulk-indexes exactly this: per-document term
-    * postings + lengths). Layout:
+    * postings + lengths). Layout (versioned — see [[CurrentPointer]]):
     *
-    *   outDir/postings/epoch=…/b=…/   (tok, doc_id, tf)
-    *   outDir/doclen/epoch=…/         (doc_id, dl)
+    *   outDir/_current                      → names the active version
+    *   outDir/v…/postings/epoch=…/b=…/      (tok, doc_id, tf, positions)
+    *   outDir/v…/doclen/epoch=…/            (doc_id, dl)
     *
-    * Written to a staging dir and committed by rename (the
-    * [[Pq.persistPqIndex]] write-order contract): postings must never
-    * exist without the doclen table that defines their normalization —
-    * a failure mid-build leaves any previous complete index untouched.
+    * The new version's tables are invisible until the pointer names
+    * them, so a crash mid-build leaves any previous committed version
+    * serving untouched (an orphan v-dir remains; the next commit's
+    * prune reclaims it) and a crash after the pointer write is a
+    * completed build. The previous version is retained one generation
+    * for in-flight readers ([[pruneVersions]]).
     *
     * Shape at 100 TB: postings are one explode + map-side-combined
     * (doc, tok) count — the same one shuffle every tokenizing
@@ -781,22 +867,16 @@ object Search {
     * seam and the streaming-build entry. */
   def buildSearchIndexOf(docs: DataFrame, outDir: String): Unit = {
     val spark = docs.sparkSession
-    val staging = outDir + ".staging"
-    val hconf = spark.sessionState.newHadoopConf()
-    val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    val fs = stagingPath.getFileSystem(hconf)
-    // CLEAR any leftover staging from a crashed earlier build first:
-    // writeEpoch uses dynamic partition overwrite (the append
-    // contract), which only replaces partitions present in THIS
-    // dataset — stale buckets from a previous corpus version would
-    // otherwise survive into the committed index as ghost postings
-    fs.delete(stagingPath, true)
-    writeEpoch(docs, staging, "base")
-    val out = new org.apache.hadoop.fs.Path(outDir)
-    fs.delete(out, true)
-    if (!fs.rename(stagingPath, out))
-      throw new IllegalStateException(
-        s"buildSearchIndex: commit rename $staging -> $outDir failed")
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val prev = indexRoot(spark, outDir)
+    val ver = nextVersion(fs, outDir)
+    writeEpoch(docs, s"$outDir/$ver", "base")
+    commitPointer(spark, outDir, ver)
+    val keepPrev =
+      if (prev == outDir) Set("postings", "doclen", "tombstones")
+      else Set(prev.split('/').last)
+    pruneVersions(spark, outDir, Set(ver) ++ keepPrev)
   }
 
   /** Append a batch of documents to an existing index as epoch
@@ -812,7 +892,7 @@ object Search {
     * converges the epoch to exactly-once state. */
   def appendToSearchIndex(spark: SparkSession, indexDir: String,
       docs: DataFrame, epoch: String): Unit =
-    writeEpoch(docs, indexDir, epoch)
+    writeEpoch(docs, indexRoot(spark, indexDir), epoch)
 
   private def writeEpoch(docs: DataFrame, root: String, epoch: String): Unit = {
     import docs.sparkSession.implicits._
@@ -849,16 +929,16 @@ object Search {
   def phraseWithIndex(spark: SparkSession, indexDir: String,
       phrase: Seq[String]): DataFrame = {
     import spark.implicits._
-    requireIndex(spark, indexDir)
+    val root = requireIndex(spark, indexDir)
     val Seq(w1, w2) = phrase
-    val post = spark.read.parquet(s"$indexDir/postings")
+    val post = spark.read.parquet(s"$root/postings")
       .filter($"b".isin(phrase.map(tokBucket).distinct: _*))
     val p1 = post.filter($"tok" === w1)
       .select($"doc_id", $"positions".as("p1"))
     val p2 = post.filter($"tok" === w2)
       .select($"doc_id", $"positions".as("p2"))
     p1.join(p2, "doc_id")
-      .join(tombstones(spark, indexDir), Seq("doc_id"), "left_anti")
+      .join(tombstones(spark, root), Seq("doc_id"), "left_anti")
       .select($"doc_id",
         size(array_intersect(transform($"p1", p => p + 1), $"p2"))
           .as("n_occur"))
@@ -894,29 +974,35 @@ object Search {
     * document frequency — independent of corpus breadth, which is the
     * entire point of an inverted index. */
   /** Loud integrity gate: an index missing either table (a build that
-    * never completed its rename, or a hand-deleted half) must fail
+    * never committed its pointer, or a hand-deleted half) must fail
     * with the problem named, never rank against silently-absent
     * normalization state — the funnel.meta / `_codebooks` refusal
-    * stance applied to the search artifact. */
-  private def requireIndex(spark: SparkSession, indexDir: String): Unit = {
+    * stance applied to the search artifact. Returns the RESOLVED
+    * version root, which every caller then uses for all of its reads —
+    * one resolution per query, so a concurrent repoint cannot hand a
+    * single query two different versions. */
+  private def requireIndex(spark: SparkSession, indexDir: String): String = {
+    val root = indexRoot(spark, indexDir)
     val hconf = spark.sessionState.newHadoopConf()
     Seq("postings", "doclen").foreach { t =>
-      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$t")
+      val p = new org.apache.hadoop.fs.Path(s"$root/$t")
       if (!p.getFileSystem(hconf).exists(p))
         throw new IllegalStateException(
-          s"search index at $indexDir has no $t table — incomplete " +
-            "build or partial delete; re-run buildSearchIndex")
+          s"search index at $indexDir has no $t table (active root " +
+            s"$root) — incomplete build or partial delete; re-run " +
+            "buildSearchIndex")
     }
+    root
   }
 
   def searchWithIndex(spark: SparkSession, indexDir: String,
       terms: Seq[String], k: Int): DataFrame = {
     import spark.implicits._
-    requireIndex(spark, indexDir)
+    val root = requireIndex(spark, indexDir)
     val buckets = terms.map(tokBucket).distinct
-    val post = spark.read.parquet(s"$indexDir/postings")
+    val post = spark.read.parquet(s"$root/postings")
       .filter($"b".isin(buckets: _*) && $"tok".isin(terms: _*))
-    val doclen = spark.read.parquet(s"$indexDir/doclen")
+    val doclen = spark.read.parquet(s"$root/doclen")
     val stats = doclen.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
       count(when($"tok" === t, 1)).as(s"df${i + 1}")
@@ -927,7 +1013,7 @@ object Search {
         .as(s"tf${i + 1}")
     }
     val cand = post.groupBy($"doc_id").agg(tfCols.head, tfCols.tail: _*)
-      .join(tombstones(spark, indexDir), Seq("doc_id"), "left_anti")
+      .join(tombstones(spark, root), Seq("doc_id"), "left_anti")
     val w = Window.orderBy($"score".desc, $"doc_id")
     cand.join(doclen.select($"doc_id", $"dl"), "doc_id")
       .crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
@@ -949,18 +1035,18 @@ object Search {
   def termVectors(spark: SparkSession, indexDir: String,
       docId: Long): DataFrame = {
     import spark.implicits._
-    requireIndex(spark, indexDir)
+    val root = requireIndex(spark, indexDir)
     // a tombstoned doc's indexed view (terms, tf, positions — the
     // normalized text is reconstructible from positions) must be
     // unservable the moment the tombstone lands, same as every query
     // path — this is the right-to-be-forgotten surface, so refuse
     // LOUDLY rather than return an empty frame a caller could read as
     // "doc has no terms". The check is tombstone-table-grain (tiny).
-    if (!tombstones(spark, indexDir).filter($"doc_id" === docId).isEmpty)
+    if (!tombstones(spark, root).filter($"doc_id" === docId).isEmpty)
       throw new IllegalStateException(
         s"termVectors: doc $docId is tombstoned in $indexDir — " +
           "deleted content is not servable (compaction will purge it)")
-    val post = spark.read.parquet(s"$indexDir/postings")
+    val post = spark.read.parquet(s"$root/postings")
     // df still counts tombstoned docs until compaction — the
     // documented deleted-but-unmerged Lucene statistics semantics;
     // only SERVING a deleted doc's content is forbidden
@@ -990,7 +1076,7 @@ object Search {
     // refuse a delete against a non-index path: writing tombstones
     // into a stray directory would silently satisfy the caller while
     // nothing becomes unservable
-    requireIndex(spark, indexDir)
+    val root = requireIndex(spark, indexDir)
     // UNION with any tombstones already in this epoch: dynamic
     // overwrite REPLACES the partition, so two distinct delete
     // requests reusing an epoch string would otherwise resurrect the
@@ -999,7 +1085,7 @@ object Search {
     // still idempotent. Snapshot the union BEFORE the overwrite (the
     // purgeRows never-read-what-you-replace discipline).
     val existing = {
-      val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones/epoch=$epoch")
+      val p = new org.apache.hadoop.fs.Path(s"$root/tombstones/epoch=$epoch")
       if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
         spark.read.parquet(p.toString).select($"doc_id")
       else spark.emptyDataset[Long].toDF("doc_id")
@@ -1008,7 +1094,7 @@ object Search {
       .select($"doc_id", lit(epoch).as("epoch"))
       .localCheckpoint()
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("epoch").parquet(s"$indexDir/tombstones")
+      .partitionBy("epoch").parquet(s"$root/tombstones")
   }
 
   /** The tombstone set of an index, empty when none were ever
@@ -1027,41 +1113,43 @@ object Search {
     * listing (the [[graft.streaming.Maintenance]] compaction stance
     * applied to the search artifact). Admission screening upstream
     * guarantees a doc_id lives in exactly one epoch, so compaction is
-    * a pure re-layout: read everything, rewrite as one epoch, commit
-    * by staging+rename (a crash leaves the multi-epoch index intact).
+    * a pure re-layout: read everything, rewrite as one epoch into a
+    * NEW version dir, atomically repoint [[CurrentPointer]]. A crash
+    * anywhere leaves the old version serving (an orphan v-dir at
+    * worst); a reader that resolved the pointer BEFORE the repoint
+    * keeps reading the retained previous version to completion — the
+    * reader-during-compaction guarantee (MaintenanceSpec pins it).
     * Serving results are unchanged by construction — SearchSpec pins
-    * bit-equality before/after. */
+    * bit-equality before/after. Tombstoned docs are PURGED physically
+    * (the Lucene merge role): their rows drop from both tables, the
+    * corpus statistics re-derive from survivors, and the compacted
+    * version carries no tombstone table — deletion is complete, not
+    * marked. Deletes racing a compaction should be quiesced by the
+    * caller: a tombstone written into the old version after the
+    * compaction's snapshot is dropped at the repoint. */
   def compactSearchIndex(spark: SparkSession, indexDir: String): Unit = {
     import spark.implicits._
-    requireIndex(spark, indexDir)
-    val staging = indexDir + ".compacting"
-    val hconf0 = spark.sessionState.newHadoopConf()
-    val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    // clear crashed-compaction leftovers (the buildSearchIndexOf stance)
-    stagingPath.getFileSystem(hconf0).delete(stagingPath, true)
-    // the merge PURGES tombstoned docs physically (the Lucene merge
-    // role): their rows drop from both tables, the corpus statistics
-    // re-derive from survivors, and the compacted index carries no
-    // tombstone table — deletion is complete, not marked
-    val dead = tombstones(spark, indexDir)
-    spark.read.parquet(s"$indexDir/doclen")
+    val root = requireIndex(spark, indexDir)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val ver = nextVersion(fs, indexDir)
+    val dead = tombstones(spark, root)
+    spark.read.parquet(s"$root/doclen")
       .join(dead, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"dl", lit("base").as("epoch"))
       .write.mode("overwrite").partitionBy("epoch")
-      .parquet(s"$staging/doclen")
-    spark.read.parquet(s"$indexDir/postings")
+      .parquet(s"$indexDir/$ver/doclen")
+    spark.read.parquet(s"$root/postings")
       .join(dead, Seq("doc_id"), "left_anti")
       .select($"tok", $"doc_id", $"tf", $"positions",
         lit("base").as("epoch"), $"b")
       .write.mode("overwrite").partitionBy("epoch", "b")
-      .parquet(s"$staging/postings")
-    val hconf = spark.sessionState.newHadoopConf()
-    val out = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = out.getFileSystem(hconf)
-    fs.delete(out, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), out))
-      throw new IllegalStateException(
-        s"compactSearchIndex: commit rename $staging -> $indexDir failed")
+      .parquet(s"$indexDir/$ver/postings")
+    commitPointer(spark, indexDir, ver)
+    val keepPrev =
+      if (root == indexDir) Set("postings", "doclen", "tombstones")
+      else Set(root.split('/').last)
+    pruneVersions(spark, indexDir, Set(ver) ++ keepPrev)
   }
 
   /** Session-built index roots, keyed (appId, corpus dir) — rebuilt

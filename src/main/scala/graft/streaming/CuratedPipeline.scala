@@ -348,12 +348,16 @@ object CuratedPipeline {
     // again possesses, while funnel-retained signatures still keep it
     // out of the curated output.)
     m.searchIndexDir.foreach { idx =>
-      val already = spark.read.parquet(s"$idx/doclen")
+      // resolve the index version ONCE for both the screen and the
+      // append — compaction concurrent with an in-flight batch is the
+      // operator's quiesce responsibility (compactSearchIndex doc)
+      val root = Search.indexRoot(spark, idx)
+      val already = spark.read.parquet(s"$root/doclen")
         .filter($"epoch" =!= s"e$epochId").select($"doc_id")
       val idxDocs = dedupedValid.select($"doc_id", $"text")
         .join(already, Seq("doc_id"), "left_anti")
       if (!idxDocs.isEmpty)
-        Search.appendToSearchIndex(spark, idx, idxDocs, epoch = s"e$epochId")
+        Search.appendToSearchIndex(spark, root, idxDocs, epoch = s"e$epochId")
     }
     if (!fresh.isEmpty) {
       // the admission commit point — LAST, so every earlier sink has

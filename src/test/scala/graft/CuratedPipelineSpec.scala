@@ -299,7 +299,7 @@ class CuratedPipelineSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(servedStream == servedWhole,
       "stream-maintained search index must rank like a whole rebuild")
-    val idxRowsBefore = spark.read.parquet(s"$idxDir/postings").count()
+    val idxRowsBefore = spark.read.parquet(s"${graft.ops.Search.indexRoot(spark, idxDir)}/postings").count()
 
     // ---- replay: the SAME batch through the batch seam changes nothing
     val outRows = rowsOf(out)
@@ -311,7 +311,7 @@ class CuratedPipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(alertsAfter == expAlerts, "replay must not duplicate alerts")
     assert(spark.read.parquet(m.pqDir.get).count() == pqBefore + 1)
-    assert(spark.read.parquet(s"$idxDir/postings").count() == idxRowsBefore,
+    assert(spark.read.parquet(s"${graft.ops.Search.indexRoot(spark, idxDir)}/postings").count() == idxRowsBefore,
       "replaying a batch must not grow the search index")
     val sigIds2 = Dedup.funnelSignatures(spark, corpusDir, m.funnelDir)
       .groupBy($"doc_id").count()

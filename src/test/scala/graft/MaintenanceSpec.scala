@@ -289,4 +289,45 @@ class MaintenanceSpec extends SparkSpec {
     assert(got.contains((20L, 0L)) && got.contains((20L, 10L)),
       s"second batch must hit corpus AND appended docs: $got")
   }
+
+  test("search-index readers keep a consistent view across a concurrent compaction") {
+    import spark.implicits._
+    import graft.ops.Search
+    val root = Files.createTempDirectory("graftidxconcur").resolve("idx").toString
+    val docs = graft.Tables.documentsPar(spark, sfDir).select($"doc_id", $"text")
+    Search.buildSearchIndexOf(docs.filter($"doc_id" % 2 === 0), root)
+    Search.appendToSearchIndex(spark, root,
+      docs.filter($"doc_id" % 2 =!= 0), epoch = "e1")
+    // an in-flight reader: resolves the CURRENT version at plan time...
+    val reader = Search.searchWithIndex(spark, root, Search.QueryTerms, Search.TopK)
+    val v1 = Search.indexRoot(spark, root)
+    val expected = reader.collect().map(_.toSeq).toSeq
+    // ...then compaction commits a NEW version and repoints the alias
+    // (a pure re-layout here — no tombstones — so both versions serve
+    // the same ranking; stats re-derivation under tombstones is the
+    // soft-delete test's business)
+    Search.compactSearchIndex(spark, root)
+    val v2 = Search.indexRoot(spark, root)
+    assert(v1 != v2, "compaction must commit a new version dir")
+    // the pre-compaction reader still scans v1's files to completion --
+    // the retained previous generation (Lucene's keep-until-release)
+    assert(reader.collect().map(_.toSeq).toSeq == expected,
+      "a reader resolved before the repoint must keep its view")
+    // a new reader resolves v2 and sees the same results
+    assert(Search.searchWithIndex(spark, root, Search.QueryTerms, Search.TopK)
+      .collect().map(_.toSeq).toSeq == expected)
+    // a SECOND compaction prunes v1 (one-generation retention): only
+    // v2, v3 and the pointer remain
+    Search.compactSearchIndex(spark, root)
+    val kids = new java.io.File(root).listFiles.map(_.getName).toSet
+    assert(!kids.contains(v1.split('/').last),
+      s"v1 must be reclaimed after the next maintenance pass: $kids")
+    assert(kids.contains(v2.split('/').last) && kids.contains(Search.CurrentPointer))
+    // a crash mid-compaction (simulated: orphan version dir with no
+    // pointer update) must leave the index serving untouched
+    val orphan = new java.io.File(root, "v9999999999")
+    orphan.mkdirs()
+    assert(Search.searchWithIndex(spark, root, Search.QueryTerms, Search.TopK)
+      .collect().map(_.toSeq).toSeq == expected)
+  }
 }

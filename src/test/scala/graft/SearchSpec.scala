@@ -182,7 +182,8 @@ class SearchSpec extends SparkSpec {
       Search.searchWithIndex(spark, root, Seq("dup"), 5).collect()
       org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
       val b1 = bytesRead.get()
-      spark.read.parquet(s"$root/postings").queryExecution.toRdd.foreach(_ => ())
+      spark.read.parquet(s"${Search.indexRoot(spark, root)}/postings")
+        .queryExecution.toRdd.foreach(_ => ())
       org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
       (b1 - b0, bytesRead.get() - b1)
     } finally spark.sparkContext.removeSparkListener(listener)
@@ -200,7 +201,7 @@ class SearchSpec extends SparkSpec {
       if (p.isDirectory) p.listFiles.foreach(rm)
       p.delete(); ()
     }
-    rm(new java.io.File(s"$root/doclen"))
+    rm(new java.io.File(s"${Search.indexRoot(spark, root)}/doclen"))
     val e = intercept[IllegalStateException] {
       Search.searchWithIndex(spark, root, Search.QueryTerms, 5)
     }
@@ -284,7 +285,8 @@ class SearchSpec extends SparkSpec {
     // the index equals a whole rebuild WITHOUT the deleted docs —
     // statistics re-derived from survivors
     Search.compactSearchIndex(spark, root)
-    assert(!new java.io.File(s"$root/tombstones").exists())
+    assert(!new java.io.File(
+      s"${Search.indexRoot(spark, root)}/tombstones").exists())
     val rebuilt = java.nio.file.Files.createTempDirectory("graftidxdelrb")
       .resolve("idx").toString
     Search.buildSearchIndexOf(
@@ -350,7 +352,7 @@ class SearchSpec extends SparkSpec {
     val phraseBefore = Search.phraseWithIndex(spark, root, Search.PhraseTerms)
       .collect().map(_.toSeq).toSeq
     Search.compactSearchIndex(spark, root)
-    val epochs = spark.read.parquet(s"$root/postings")
+    val epochs = spark.read.parquet(s"${Search.indexRoot(spark, root)}/postings")
       .select($"epoch").distinct().collect().map(_.getString(0)).toSet
     assert(epochs == Set("base"), s"compaction must fold epochs, got $epochs")
     val after = Search.searchWithIndex(spark, root, Search.QueryTerms,
