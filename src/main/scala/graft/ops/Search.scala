@@ -71,6 +71,27 @@ object Search {
   /** RRF smoothing constant k (Cormack et al. 2009 use 60). */
   val RrfK = 60
 
+  /** The index's FIELD schema — the engine's "mapping". The reference
+    * maps two separate text fields per document (mapping.json:13-31,
+    * `name` + `type`); the fixture carries one text column, so the
+    * two indexed fields are derived from it deterministically:
+    * `text` (the whole document — the default field every single-field
+    * query serves from) and `head` (the first [[HeadLen]] tokens — the
+    * title-like field [[bm25Multifield]] boosts). Per-field postings
+    * and lengths make each field an independent ranked index with its
+    * own (N, Σdl, df) statistics, exactly Lucene's per-field model.
+    * Declared BEFORE every val that interpolates them: a forward
+    * reference in object-init order reads the uninitialized 0, and the
+    * SQL strings bake their values in at init. */
+  val HeadLen = 8
+  val DefaultField = "text"
+  val HeadField = "head"
+
+  /** Per-field BOOSTS for the multi-field query (head is title-like →
+    * 2×, the ES `fields: ["head^2", "text"]` convention). 2.0 is an
+    * exact double, so the boost adds no rounding of its own. */
+  val HeadBoost = 2.0
+
   /** Registered phrase query: adjacent-token match. */
   val PhraseTerms: Seq[String] = Seq("slow", "scan")
 
@@ -92,17 +113,21 @@ object Search {
     * rankings — are bit-identical by construction, not by test alone.
     * Expects columns tf1..tfk (integral), df1..dfk, n, sumdl, dl in
     * scope. Literal discipline per class doc. */
-  private def bm25Score(k: Int): Column = {
-    val avgdl = col("sumdl").cast("double") / col("n").cast("double")
-    val lnorm = lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)
+  private def bm25ScoreOf(k: Int, tf: Int => Column, df: Int => Column,
+      dl: Column, sumdl: Column, n: Column): Column = {
+    val avgdl = sumdl.cast("double") / n.cast("double")
+    val lnorm = lit(0.25) + lit(0.75) * (dl.cast("double") / avgdl)
     (0 until k).map { i =>
-      val tf = col(s"tf${i + 1}").cast("double")
-      val df = col(s"df${i + 1}")
+      val t = tf(i).cast("double")
       val idf = log(lit(1.0) +
-        ((col("n") - df).cast("double") + lit(0.5)) / (df.cast("double") + lit(0.5)))
-      idf * ((tf * lit(2.2)) / (tf + lit(1.2) * lnorm))
+        ((n - df(i)).cast("double") + lit(0.5)) / (df(i).cast("double") + lit(0.5)))
+      idf * ((t * lit(2.2)) / (t + lit(1.2) * lnorm))
     }.reduce(_ + _)
   }
+
+  private def bm25Score(k: Int): Column =
+    bm25ScoreOf(k, i => col(s"tf${i + 1}"), i => col(s"df${i + 1}"),
+      col("dl"), col("sumdl"), col("n"))
 
   private def nMatchedCol(k: Int): Column = (0 until k)
     .map(i => when(col(s"tf${i + 1}") > 0, 1).otherwise(0)).reduce(_ + _)
@@ -190,6 +215,123 @@ object Search {
        |  doc_id, n_matched, tf_total, dl
        |FROM sc WHERE n_matched > 0
        |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+
+  // ---------------------------------------------------- multi-field BM25
+
+  /** Registered query: multi-field `best_fields` BM25 — the ES
+    * `multi_match` the reference's mapping calls for (mapping.json
+    * defines two text fields per doc; see [[HeadLen]] for how the
+    * fixture derives them). Each field is an independent ranked index
+    * with its own (N, Σdl, df) statistics (the Lucene per-field
+    * model); a doc's score is the max over boosted per-field scores
+    * (`best_fields`), boost [[HeadBoost]] on the title-like field.
+    * Rank-only emission with per-field integer provenance (class doc);
+    * the boost is ×2.0 — exact in doubles — and `greatest` adds a
+    * comparison, not a rounding, so the ranking-determinism argument
+    * is unchanged.
+    *
+    * Shape at 100 TB: identical to [[bm25TopK]] — ONE corpus scan
+    * projects per-doc per-field (dl, tf) via codegen'd regex counts
+    * (the head field is a token-slice re-join, still one projection),
+    * one 1-row stats aggregate re-enters by broadcast, top-k is a
+    * TakeOrderedAndProject. The field dimension multiplies column
+    * count, not row count or shuffles. */
+  def bm25Multifield(spark: SparkSession, dir: String): DataFrame =
+    bm25MultifieldOf(Tables.documentsPar(spark, dir), QueryTerms, TopK)
+
+  private[graft] def bm25MultifieldOf(docs: DataFrame, terms: Seq[String],
+      k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val nt = TextAnalysis.norm($"text")
+    val headText = array_join(slice(TextAnalysis.toks($"text"), 1, HeadLen), " ")
+    val perDocCols =
+      $"doc_id" +:
+        size(TextAnalysis.toks($"text")).cast("long").as("dlb") +:
+        least(size(TextAnalysis.toks($"text")), lit(HeadLen)).cast("long").as("dlh") +:
+        (terms.indices.map(i =>
+          TextAnalysis.hitCount(nt, Seq(terms(i))).as(s"tfb${i + 1}")) ++
+          terms.indices.map(i =>
+            TextAnalysis.hitCount(headText, Seq(terms(i))).as(s"tfh${i + 1}")))
+    val perDoc = docs.select(perDocCols: _*)
+    val statCols =
+      Seq(count(lit(1)).as("n"), sum($"dlb").as("sumdlb"),
+        sum($"dlh").as("sumdlh")) ++
+        terms.indices.map(i =>
+          count(when(col(s"tfb${i + 1}") > 0, 1)).as(s"dfb${i + 1}")) ++
+        terms.indices.map(i =>
+          count(when(col(s"tfh${i + 1}") > 0, 1)).as(s"dfh${i + 1}"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    mfRank(perDoc.crossJoin(broadcast(stats)), terms.size, k)
+  }
+
+  /** The multi-field ranker on a frame carrying doc_id, dlb, dlh,
+    * tfb1..k, tfh1..k, n, sumdlb, sumdlh, dfb1..k, dfh1..k — shared
+    * verbatim by the scan path and [[multifieldWithIndex]] (the
+    * bm25Score sharing discipline: bit-identical arithmetic by
+    * construction). */
+  private def mfRank(f: DataFrame, k: Int, topK: Int): DataFrame = {
+    import f.sparkSession.implicits._
+    val sb = bm25ScoreOf(k, i => col(s"tfb${i + 1}"), i => col(s"dfb${i + 1}"),
+      $"dlb", $"sumdlb", $"n")
+    val sh = bm25ScoreOf(k, i => col(s"tfh${i + 1}"), i => col(s"dfh${i + 1}"),
+      $"dlh", $"sumdlh", $"n")
+    val nmB = (0 until k)
+      .map(i => when(col(s"tfb${i + 1}") > 0, 1).otherwise(0)).reduce(_ + _)
+    val tfB = (0 until k).map(i => col(s"tfb${i + 1}")).reduce(_ + _)
+    val tfH = (0 until k).map(i => col(s"tfh${i + 1}")).reduce(_ + _)
+    val w = Window.orderBy($"best".desc, $"doc_id")
+    f.select($"doc_id", $"dlb".as("dl"), $"dlh".as("dl_head"),
+        nmB.as("n_matched"), tfB.as("tf_total"), tfH.as("tf_head"),
+        greatest(lit(HeadBoost) * sh, sb).as("best"))
+      // head tokens are a prefix of the body, so body-match ⊇
+      // head-match: the any-field-matches gate is the body gate
+      .filter($"n_matched" > 0)
+      .orderBy($"best".desc, $"doc_id").limit(topK)
+      .withColumn("rk", row_number().over(w))
+      .select($"rk", $"doc_id", $"n_matched", $"tf_total", $"tf_head",
+        $"dl", $"dl_head")
+      .orderBy($"rk")
+  }
+
+  val bm25MultifieldSql: String = {
+    val toks = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+    val tfDefs = QueryTerms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tfb${i + 1}, " +
+        s"len(list_filter(toks[1:$HeadLen], x -> x = '$t')) AS tfh${i + 1}"
+    }.mkString(",\n    ")
+    val dfDefs = QueryTerms.indices.map { i =>
+      s"COUNT(*) FILTER (WHERE tfb${i + 1} > 0) AS dfb${i + 1}, " +
+        s"COUNT(*) FILTER (WHERE tfh${i + 1} > 0) AS dfh${i + 1}"
+    }.mkString(", ")
+    def score(tf: String, df: String, dl: String, sumdl: String): String = {
+      val avgdl = s"(CAST(s.$sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))"
+      QueryTerms.indices.map { i =>
+        val t = s"CAST(f.$tf${i + 1} AS DOUBLE)"
+        s"""(ln(1.0 + (CAST(s.n - s.$df${i + 1} AS DOUBLE) + 0.5) / (CAST(s.$df${i + 1} AS DOUBLE) + 0.5))
+           |     * (($t * 2.2) / ($t + 1.2 * (0.25 + 0.75 * (CAST(f.$dl AS DOUBLE) / $avgdl)))))""".stripMargin
+      }.mkString("\n   + ")
+    }
+    val nMatched = QueryTerms.indices
+      .map(i => s"CASE WHEN f.tfb${i + 1} > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    val tfTotal = QueryTerms.indices.map(i => s"f.tfb${i + 1}").mkString(" + ")
+    val tfHead = QueryTerms.indices.map(i => s"f.tfh${i + 1}").mkString(" + ")
+    s"""WITH f AS (
+       |  SELECT doc_id, len(toks) AS dlb, least(len(toks), $HeadLen) AS dlh,
+       |    $tfDefs
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+       |s AS (SELECT COUNT(*) AS n, SUM(dlb) AS sumdlb, SUM(dlh) AS sumdlh,
+       |        $dfDefs FROM f),
+       |sc AS (
+       |  SELECT f.doc_id, f.dlb, f.dlh, $tfTotal AS tf_total,
+       |    $tfHead AS tf_head, $nMatched AS n_matched,
+       |    greatest($HeadBoost * (${score("tfh", "dfh", "dlh", "sumdlh")}),
+       |             ${score("tfb", "dfb", "dlb", "sumdlb")}) AS best
+       |  FROM f CROSS JOIN s)
+       |SELECT ROW_NUMBER() OVER (ORDER BY best DESC, doc_id) AS rk,
+       |  doc_id, n_matched, tf_total, tf_head, dlb AS dl, dlh AS dl_head
+       |FROM sc WHERE n_matched > 0
+       |ORDER BY best DESC, doc_id LIMIT $TopK""".stripMargin
+  }
 
   // -------------------------------------------------------- phrase match
 
@@ -669,7 +811,9 @@ object Search {
     import spark.implicits._
     val root = requireIndex(spark, indexDir)
     val post = spark.read.parquet(s"$root/postings")
+      .filter($"field" === DefaultField)
     val doclen = spark.read.parquet(s"$root/doclen")
+      .filter($"field" === DefaultField)
       .select($"doc_id", $"dl")
     val stats = doclen.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
     val dfT = post.groupBy($"tok").agg(count(lit(1)).as("df"))
@@ -896,19 +1040,26 @@ object Search {
 
   private def writeEpoch(docs: DataFrame, root: String, epoch: String): Unit = {
     import docs.sparkSession.implicits._
-    val base = docs.select($"doc_id", TextAnalysis.toks($"text").as("toks"))
-    base.select($"doc_id", size($"toks").cast("long").as("dl"),
+    // ONE corpus scan: the field dimension explodes from a 2-entry map
+    // per doc (no union — a union of two projections would scan the
+    // input once per branch)
+    val fields = docs
+      .select($"doc_id", explode(map(
+        lit(DefaultField), TextAnalysis.toks($"text"),
+        lit(HeadField), slice(TextAnalysis.toks($"text"), 1, HeadLen)))
+        .as(Seq("field", "toks")))
+    fields.select($"doc_id", $"field", size($"toks").cast("long").as("dl"),
         lit(epoch).as("epoch"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch").parquet(s"$root/doclen")
     // POSITIONAL postings (what ES/Lucene store): tf for ranked
     // queries, the sorted 0-based position list for phrase queries —
     // both from the one posexplode + map-side-combined aggregate
-    base.select($"doc_id", posexplode($"toks").as(Seq("pos", "tok")))
-      .groupBy($"doc_id", $"tok")
+    fields.select($"doc_id", $"field", posexplode($"toks").as(Seq("pos", "tok")))
+      .groupBy($"doc_id", $"field", $"tok")
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list($"pos")).as("positions"))
-      .select($"tok", $"doc_id", $"tf", $"positions",
+      .select($"tok", $"doc_id", $"field", $"tf", $"positions",
         lit(epoch).as("epoch"), tokBucketCol($"tok").as("b"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch", "b").parquet(s"$root/postings")
@@ -932,7 +1083,8 @@ object Search {
     val root = requireIndex(spark, indexDir)
     val Seq(w1, w2) = phrase
     val post = spark.read.parquet(s"$root/postings")
-      .filter($"b".isin(phrase.map(tokBucket).distinct: _*))
+      .filter($"b".isin(phrase.map(tokBucket).distinct: _*) &&
+        $"field" === DefaultField)
     val p1 = post.filter($"tok" === w1)
       .select($"doc_id", $"positions".as("p1"))
     val p2 = post.filter($"tok" === w2)
@@ -1001,8 +1153,10 @@ object Search {
     val root = requireIndex(spark, indexDir)
     val buckets = terms.map(tokBucket).distinct
     val post = spark.read.parquet(s"$root/postings")
-      .filter($"b".isin(buckets: _*) && $"tok".isin(terms: _*))
+      .filter($"b".isin(buckets: _*) && $"tok".isin(terms: _*) &&
+        $"field" === DefaultField)
     val doclen = spark.read.parquet(s"$root/doclen")
+      .filter($"field" === DefaultField)
     val stats = doclen.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
       count(when($"tok" === t, 1)).as(s"df${i + 1}")
@@ -1026,6 +1180,55 @@ object Search {
       .orderBy($"rk")
   }
 
+  /** [[bm25Multifield]] served FROM the index — the per-field postings
+    * and lengths are read back (bucket-pruned to the query terms, term
+    * filter pushed to parquet), pivoted to the per-field tf/df/dl
+    * columns, and ranked by the shared [[mfRank]] expressions ⇒
+    * bit-identical to the scan path (SearchSpec pins it). Same cost
+    * shape as [[searchWithIndex]] — candidates are term-df-sized, the
+    * two stats rows broadcast. */
+  def multifieldWithIndex(spark: SparkSession, indexDir: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    val root = requireIndex(spark, indexDir)
+    val buckets = terms.map(tokBucket).distinct
+    val post = spark.read.parquet(s"$root/postings")
+      .filter($"b".isin(buckets: _*) && $"tok".isin(terms: _*))
+    val doclen = spark.read.parquet(s"$root/doclen")
+    val dls = doclen.groupBy($"doc_id").agg(
+      sum(when($"field" === DefaultField, $"dl")).as("dlb"),
+      sum(when($"field" === HeadField, $"dl")).as("dlh"))
+    val stats = doclen.agg(
+      count(when($"field" === DefaultField, 1)).as("n"),
+      sum(when($"field" === DefaultField, $"dl")).as("sumdlb"),
+      sum(when($"field" === HeadField, $"dl")).as("sumdlh"))
+    val dfCols =
+      terms.zipWithIndex.map { case (t, i) =>
+        count(when($"tok" === t && $"field" === DefaultField, 1)).as(s"dfb${i + 1}")
+      } ++ terms.zipWithIndex.map { case (t, i) =>
+        count(when($"tok" === t && $"field" === HeadField, 1)).as(s"dfh${i + 1}")
+      }
+    val dfs = post.agg(dfCols.head, dfCols.tail: _*)
+    val tfCols =
+      terms.zipWithIndex.map { case (t, i) =>
+        coalesce(sum(when($"tok" === t && $"field" === DefaultField, $"tf")),
+          lit(0L)).cast("int").as(s"tfb${i + 1}")
+      } ++ terms.zipWithIndex.map { case (t, i) =>
+        coalesce(sum(when($"tok" === t && $"field" === HeadField, $"tf")),
+          lit(0L)).cast("int").as(s"tfh${i + 1}")
+      }
+    val cand = post.groupBy($"doc_id").agg(tfCols.head, tfCols.tail: _*)
+      .join(tombstones(spark, root), Seq("doc_id"), "left_anti")
+    mfRank(cand.join(dls, "doc_id")
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(dfs)),
+      terms.size, k)
+  }
+
+  /** Registered query: [[bm25Multifield]] SERVED from the session-shared
+    * index — oracle-checked against the same SQL as the scan path. */
+  def multifieldServed(spark: SparkSession, dir: String): DataFrame =
+    multifieldWithIndex(spark, sharedIndexDir(spark, dir), QueryTerms, TopK)
+
   /** ES term-vectors API: one document's indexed view — its terms
     * with tf, positions, and each term's corpus df — straight from
     * the index tables (the relevance-debugging endpoint: "why does
@@ -1047,6 +1250,7 @@ object Search {
         s"termVectors: doc $docId is tombstoned in $indexDir — " +
           "deleted content is not servable (compaction will purge it)")
     val post = spark.read.parquet(s"$root/postings")
+      .filter($"field" === DefaultField)
     // df still counts tombstoned docs until compaction — the
     // documented deleted-but-unmerged Lucene statistics semantics;
     // only SERVING a deleted doc's content is forbidden
@@ -1136,12 +1340,12 @@ object Search {
     val dead = tombstones(spark, root)
     spark.read.parquet(s"$root/doclen")
       .join(dead, Seq("doc_id"), "left_anti")
-      .select($"doc_id", $"dl", lit("base").as("epoch"))
+      .select($"doc_id", $"field", $"dl", lit("base").as("epoch"))
       .write.mode("overwrite").partitionBy("epoch")
       .parquet(s"$indexDir/$ver/doclen")
     spark.read.parquet(s"$root/postings")
       .join(dead, Seq("doc_id"), "left_anti")
-      .select($"tok", $"doc_id", $"tf", $"positions",
+      .select($"tok", $"doc_id", $"field", $"tf", $"positions",
         lit("base").as("epoch"), $"b")
       .write.mode("overwrite").partitionBy("epoch", "b")
       .parquet(s"$indexDir/$ver/postings")

@@ -150,6 +150,28 @@ class SearchSpec extends SparkSpec {
       "index serving must equal the corpus-scan ranking exactly")
   }
 
+  test("served multi-field bm25 reproduces the scan path bit-for-bit; head boost reorders") {
+    val root = java.nio.file.Files.createTempDirectory("graftmfidx")
+      .resolve("idx").toString
+    Search.buildSearchIndex(spark, sfDir, root)
+    val served = Search.multifieldWithIndex(spark, root, Search.QueryTerms,
+      Search.TopK).collect().map(_.toSeq).toSeq
+    val scanned = Search.bm25Multifield(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(served == scanned,
+      "multi-field index serving must equal the corpus-scan ranking exactly")
+    // the boost has teeth: a doc whose hit sits in the head (title)
+    // field must outrank an equal-body doc without a head hit
+    val docs = Seq(
+      (0L, "needle alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta needle"))
+      .toDF("doc_id", "text")
+    val mf = Search.bm25MultifieldOf(docs, Seq("needle"), 10)
+      .collect().map(r => r.getLong(1) -> r.getInt(0)).toMap
+    assert(mf(0L) < mf(1L),
+      "the head-field hit must outrank the tail hit under best_fields boosting")
+  }
+
   test("index serving prunes postings partitions to the query's buckets") {
     val root = java.nio.file.Files.createTempDirectory("graftsearchidx2")
       .resolve("idx").toString
