@@ -1150,7 +1150,23 @@ object Search {
   def searchWithIndex(spark: SparkSession, indexDir: String,
       terms: Seq[String], k: Int): DataFrame = {
     import spark.implicits._
-    val root = requireIndex(spark, indexDir)
+    val w = Window.orderBy($"score".desc, $"doc_id")
+    scoredFromIndex(spark, requireIndex(spark, indexDir), terms)
+      .filter($"n_matched" > 0)
+      .orderBy($"score".desc, $"doc_id").limit(k)
+      .withColumn("rk", row_number().over(w))
+      .select($"rk", $"doc_id", $"n_matched", $"tf_total", $"dl")
+      .orderBy($"rk")
+  }
+
+  /** Matched-candidate frame (doc_id, dl, tf_total, n_matched, score)
+    * served from a RESOLVED version root — the shared scoring core of
+    * [[searchWithIndex]] and [[searchAfterWithIndex]] (the same
+    * frame, so a page-2 keyset filter compares against bit-identical
+    * doubles). Cost shape documented at [[searchWithIndex]]. */
+  private def scoredFromIndex(spark: SparkSession, root: String,
+      terms: Seq[String]): DataFrame = {
+    import spark.implicits._
     val buckets = terms.map(tokBucket).distinct
     val post = spark.read.parquet(s"$root/postings")
       .filter($"b".isin(buckets: _*) && $"tok".isin(terms: _*) &&
@@ -1168,17 +1184,88 @@ object Search {
     }
     val cand = post.groupBy($"doc_id").agg(tfCols.head, tfCols.tail: _*)
       .join(tombstones(spark, root), Seq("doc_id"), "left_anti")
-    val w = Window.orderBy($"score".desc, $"doc_id")
     cand.join(doclen.select($"doc_id", $"dl"), "doc_id")
       .crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
       .select($"doc_id", $"dl", tfTotalCol(terms.size).as("tf_total"),
         nMatchedCol(terms.size).as("n_matched"), bm25Score(terms.size).as("score"))
+  }
+
+  // ------------------------------------------------- search_after paging
+
+  /** ES `search_after`: deep pagination by KEYSET, not offset — the
+    * client hands back the last hit's sort values `(score, doc_id)`
+    * and the next page is every candidate strictly after that cursor
+    * in the total order (score desc, doc_id asc), cut to `k`. The
+    * sort is TOTAL (doc_id breaks score ties), so keyset paging is
+    * exact: page k ∪ page k+1 ≡ top-2k (SearchSpec pins it), with no
+    * missed or duplicated hits even when scores tie across the
+    * boundary. `baseRank` offsets the emitted rk so a continuation
+    * page reports absolute ranks.
+    *
+    * Shape at 100 TB: identical to [[searchWithIndex]] — the keyset
+    * predicate filters BEFORE the top-k, so deep pages never
+    * materialize the skipped prefix (the whole point: an OFFSET plan
+    * would sort-and-discard `baseRank` rows per page; keyset cost is
+    * rank-independent). The cursor comparison re-computes scores with
+    * the exact shared expressions of page 1, so the `===` on doubles
+    * is bit-exact by construction, not by tolerance. */
+  def searchAfterWithIndex(spark: SparkSession, indexDir: String,
+      terms: Seq[String], k: Int, afterScore: Double, afterDoc: Long,
+      baseRank: Int): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"score".desc, $"doc_id")
+    scoredFromIndex(spark, requireIndex(spark, indexDir), terms)
       .filter($"n_matched" > 0)
+      .filter($"score" < afterScore ||
+        ($"score" === afterScore && $"doc_id" > afterDoc))
       .orderBy($"score".desc, $"doc_id").limit(k)
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w) + lit(baseRank))
       .select($"rk", $"doc_id", $"n_matched", $"tf_total", $"dl")
       .orderBy($"rk")
   }
+
+  /** The cursor a client would carry between pages: the k-th hit's
+    * (score, doc_id) — the LAST row of page 1 in the total order,
+    * fetched as the 1-row tail aggregate (total order reversed, limit
+    * 1). None when fewer than k docs match (no further pages). The
+    * single-row collect IS the protocol: ES returns the sort values
+    * in the response and the client echoes them back — driver-sized
+    * by definition, never a data-plane collect. */
+  def searchCursor(spark: SparkSession, indexDir: String,
+      terms: Seq[String], k: Int): Option[(Double, Long)] = {
+    import spark.implicits._
+    val page = scoredFromIndex(spark, requireIndex(spark, indexDir), terms)
+      .filter($"n_matched" > 0)
+      .orderBy($"score".desc, $"doc_id").limit(k)
+    val tail = page.orderBy($"score".asc, $"doc_id".desc).limit(1)
+      .select($"score", $"doc_id").collect()
+    if (page.count() < k) None
+    else tail.headOption.map(r => (r.getDouble(0), r.getLong(1)))
+  }
+
+  /** Registered query: page TWO of the [[bm25Served]] ranking via
+    * [[searchAfterWithIndex]] — cursor from [[searchCursor]] (page
+    * 1's last hit), emitting absolute ranks [[TopK]]+1..2·[[TopK]].
+    * The ORACLE deliberately computes the page by global ROW_NUMBER
+    * offset instead: keyset ≡ offset under a total order is exactly
+    * the invariant `search_after` promises, so the oracle-green here
+    * is the pagination-correctness proof itself. */
+  def searchAfter(spark: SparkSession, dir: String): DataFrame = {
+    val idx = sharedIndexDir(spark, dir)
+    val (s, d) = searchCursor(spark, idx, QueryTerms, TopK)
+      .getOrElse(throw new IllegalStateException(
+        s"search_after: fewer than $TopK matches — no second page"))
+    searchAfterWithIndex(spark, idx, QueryTerms, TopK, s, d, TopK)
+  }
+
+  val searchAfterSql: String =
+    s"""WITH ${bm25Ctes(QueryTerms)},
+       |r AS (SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk,
+       |        doc_id, n_matched, tf_total, dl
+       |      FROM sc WHERE n_matched > 0)
+       |SELECT rk, doc_id, n_matched, tf_total, dl FROM r
+       |WHERE rk > $TopK AND rk <= ${2 * TopK}
+       |ORDER BY rk""".stripMargin
 
   /** [[bm25Multifield]] served FROM the index — the per-field postings
     * and lengths are read back (bucket-pruned to the query terms, term

@@ -172,6 +172,41 @@ class SearchSpec extends SparkSpec {
       "the head-field hit must outrank the tail hit under best_fields boosting")
   }
 
+  test("search_after keyset paging: page1 ∪ page2 ≡ top-2k, exact across score ties") {
+    val root = java.nio.file.Files.createTempDirectory("graftsa")
+      .resolve("idx").toString
+    Search.buildSearchIndex(spark, sfDir, root)
+    val k = 20
+    val top2k = Search.searchWithIndex(spark, root, Search.QueryTerms, 2 * k)
+      .collect().map(_.toSeq).toSeq
+    val p1 = Search.searchWithIndex(spark, root, Search.QueryTerms, k)
+      .collect().map(_.toSeq).toSeq
+    val Some((s, d)) = Search.searchCursor(spark, root, Search.QueryTerms, k)
+    val p2 = Search.searchAfterWithIndex(spark, root, Search.QueryTerms, k,
+      s, d, baseRank = k).collect().map(_.toSeq).toSeq
+    assert(p1 ++ p2 == top2k,
+      "keyset page 1 ∪ page 2 must reproduce the top-2k exactly " +
+        "(no missed or duplicated hits at the cursor boundary)")
+  }
+
+  test("search_after cursor: ties at the page boundary split exactly; short page → None") {
+    // 6 identical docs: every score ties, doc_id is the only order —
+    // the adversarial case for keyset paging
+    val root = java.nio.file.Files.createTempDirectory("graftsa2")
+      .resolve("idx").toString
+    val docs = (0L until 6L).map(i => (i, "needle filler filler"))
+      .toDF("doc_id", "text")
+    Search.buildSearchIndexOf(docs, root)
+    val Some((s, d)) = Search.searchCursor(spark, root, Seq("needle"), 3)
+    assert(d == 2L, "cursor must be the 3rd doc in tie order")
+    val p2 = Search.searchAfterWithIndex(spark, root, Seq("needle"), 3,
+      s, d, baseRank = 3).collect().map(r => r.getLong(1)).toSeq
+    assert(p2 == Seq(3L, 4L, 5L),
+      "page 2 under a full tie must be exactly the next doc_ids")
+    assert(Search.searchCursor(spark, root, Seq("needle"), 10).isEmpty,
+      "fewer matches than the page size must yield no cursor")
+  }
+
   test("index serving prunes postings partitions to the query's buckets") {
     val root = java.nio.file.Files.createTempDirectory("graftsearchidx2")
       .resolve("idx").toString
