@@ -1038,8 +1038,23 @@ object Search {
       docs: DataFrame, epoch: String): Unit =
     writeEpoch(docs, indexRoot(spark, indexDir), epoch)
 
+  /** The mapping's KEYWORD (doc-values) fields — stored doc-grain in
+    * the index's `docmeta` table so facet aggregations serve without
+    * touching the corpus (Lucene doc values; reference mapping.json
+    * declares `lang`/`source`-style keyword fields alongside the text
+    * fields). A build whose input lacks one stores null for it — the
+    * dynamic-mapping convention, so curated batches and raw corpus
+    * builds share one schema. */
+  val DocValueFields: Seq[String] = Seq("lang", "source")
+
   private def writeEpoch(docs: DataFrame, root: String, epoch: String): Unit = {
     import docs.sparkSession.implicits._
+    val metaCols = DocValueFields.map(c =>
+      (if (docs.columns.contains(c)) col(c).cast("string")
+       else lit(null).cast("string")).as(c))
+    docs.select(($"doc_id" +: metaCols) :+ lit(epoch).as("epoch"): _*)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(s"$root/docmeta")
     // ONE corpus scan: the field dimension explodes from a 2-entry map
     // per doc (no union — a union of two projections would scan the
     // input once per branch)
@@ -1136,7 +1151,7 @@ object Search {
   private def requireIndex(spark: SparkSession, indexDir: String): String = {
     val root = indexRoot(spark, indexDir)
     val hconf = spark.sessionState.newHadoopConf()
-    Seq("postings", "doclen").foreach { t =>
+    Seq("postings", "doclen", "docmeta").foreach { t =>
       val p = new org.apache.hadoop.fs.Path(s"$root/$t")
       if (!p.getFileSystem(hconf).exists(p))
         throw new IllegalStateException(
@@ -1316,6 +1331,92 @@ object Search {
   def multifieldServed(spark: SparkSession, dir: String): DataFrame =
     multifieldWithIndex(spark, sharedIndexDir(spark, dir), QueryTerms, TopK)
 
+  // ------------------------------- index-served facets / sig-terms
+
+  /** The query's MATCH SET from bucket-pruned postings: distinct
+    * doc_ids carrying any query term — term-df-sized, the index-side
+    * form of the scan paths' any-term predicate. */
+  private def matchedFromIndex(spark: SparkSession, root: String,
+      terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val buckets = terms.map(tokBucket).distinct
+    spark.read.parquet(s"$root/postings")
+      .filter($"b".isin(buckets: _*) && $"tok".isin(terms: _*) &&
+        $"field" === DefaultField)
+      .select($"doc_id").distinct()
+  }
+
+  /** [[searchFacets]] served FROM the index: the match set comes from
+    * bucket-pruned postings (term-df-sized — SearchSpec proves the
+    * bytes read) and the (lang, source) facet values from the
+    * `docmeta` doc-values table — the corpus text is never touched,
+    * which is exactly how Lucene serves aggregations (doc values, not
+    * stored source). Tombstoned docs are excluded like every serving
+    * path.
+    *
+    * Shape at 100 TB: postings read prunes to the query terms'
+    * buckets + pushed term filter; docmeta is doc-grain and
+    * column-pruned to (doc_id, facet fields); the inner join keys on
+    * doc_id with the df-bounded match set (shuffle-hash — no
+    * unbounded broadcast), and the facet aggregate is map-side
+    * combined at (lang × source) grain. */
+  def facetsWithIndex(spark: SparkSession, indexDir: String,
+      terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val root = requireIndex(spark, indexDir)
+    val matched = matchedFromIndex(spark, root, terms)
+      .join(tombstones(spark, root), Seq("doc_id"), "left_anti")
+    spark.read.parquet(s"$root/docmeta")
+      .select($"doc_id", $"lang", $"source")
+      .join(matched, "doc_id")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"source")
+  }
+
+  /** Registered query: [[searchFacets]] SERVED from the session-shared
+    * index — oracle-checked against the same SQL as the scan path. */
+  def facetsServed(spark: SparkSession, dir: String): DataFrame =
+    facetsWithIndex(spark, sharedIndexDir(spark, dir), QueryTerms)
+
+  /** [[significantTerms]] served FROM the index: per-token foreground/
+    * background occurrence counts are SUMS OF POSTINGS TF split by
+    * match-set membership — the scan path's exploded-token counts
+    * without re-tokenizing a byte of text — then ranked by the shared
+    * [[TextAnalysis.chiSquareOfCounts]] expressions, so the chi2
+    * doubles are bit-identical to the scan path (SearchSpec pins it).
+    * Tombstoned docs drop out of BOTH sides before counting, so the
+    * report never attributes vocabulary to deleted content.
+    *
+    * Shape at 100 TB: the full postings read is inherent — the
+    * background side IS the corpus vocabulary (same volume the scan
+    * path explodes, minus the regex work); the membership flag joins
+    * doc-keyed against the df-bounded match set, and the counts
+    * aggregate is map-side combined at vocab grain. */
+  def significantTermsWithIndex(spark: SparkSession, indexDir: String,
+      terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val root = requireIndex(spark, indexDir)
+    val live = spark.read.parquet(s"$root/postings")
+      .filter($"field" === DefaultField)
+      .select($"doc_id", $"tok", $"tf")
+      .join(tombstones(spark, root), Seq("doc_id"), "left_anti")
+    val matched = matchedFromIndex(spark, root, terms)
+      .withColumn("in_a", lit(true))
+    val counts = live.join(matched, Seq("doc_id"), "left")
+      .groupBy($"tok")
+      .agg(coalesce(sum(when($"in_a", $"tf")), lit(0L)).as("c_a"),
+        coalesce(sum(when($"in_a".isNull, $"tf")), lit(0L)).as("c_b"))
+      .select($"tok".as("token"), $"c_a", $"c_b")
+    TextAnalysis.chiSquareOfCounts(counts)
+  }
+
+  /** Registered query: [[significantTerms]] SERVED from the
+    * session-shared index — oracle-checked against the same SQL as
+    * the scan path. */
+  def significantTermsServed(spark: SparkSession, dir: String): DataFrame =
+    significantTermsWithIndex(spark, sharedIndexDir(spark, dir), QueryTerms)
+
   /** ES term-vectors API: one document's indexed view — its terms
     * with tf, positions, and each term's corpus df — straight from
     * the index tables (the relevance-debugging endpoint: "why does
@@ -1436,9 +1537,16 @@ object Search {
         lit("base").as("epoch"), $"b")
       .write.mode("overwrite").partitionBy("epoch", "b")
       .parquet(s"$indexDir/$ver/postings")
+    spark.read.parquet(s"$root/docmeta")
+      .join(dead, Seq("doc_id"), "left_anti")
+      .select(($"doc_id" +: DocValueFields.map(col)) :+
+        lit("base").as("epoch"): _*)
+      .write.mode("overwrite").partitionBy("epoch")
+      .parquet(s"$indexDir/$ver/docmeta")
     commitPointer(spark, indexDir, ver)
     val keepPrev =
-      if (root == indexDir) Set("postings", "doclen", "tombstones")
+      if (root == indexDir)
+        Set("postings", "doclen", "docmeta", "tombstones")
       else Set(root.split('/').last)
     pruneVersions(spark, indexDir, Set(ver) ++ keepPrev)
   }

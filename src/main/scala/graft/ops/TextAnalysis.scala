@@ -342,12 +342,24 @@ object TextAnalysis {
     // per-term projection); materialized so the corpus is tokenized
     // ONCE, not once per consumer — the docLossRows convention (the
     // counts table is vocabulary-sized, the cheap thing to hold)
-    val counts = docs
+    chiSquareOfCounts(docs
       .select(inA.as("in_a"), explode(toks($"text")).as("token"))
       .groupBy($"token")
       .agg(count(when($"in_a", 1)).as("c_a"),
-        count(when(!$"in_a", 1)).as("c_b"))
-      .localCheckpoint(eager = false)
+        count(when(!$"in_a", 1)).as("c_b")))
+  }
+
+  /** The chi-square ranking on an already-built (token, c_a, c_b)
+    * counts frame — shared by [[chiSquareSplit]] (counts from a corpus
+    * scan) and [[graft.ops.Search.significantTermsWithIndex]] (counts
+    * summed from postings tf), so the two paths' doubles are
+    * bit-identical by construction: same input longs, same shared
+    * expressions. */
+  private[graft] def chiSquareOfCounts(countsIn: DataFrame): DataFrame = {
+    import countsIn.sparkSession.implicits._
+    // counts feed TWO consumers (the 1-row totals and the per-term
+    // projection); materialized so upstream runs ONCE (vocab-sized)
+    val counts = countsIn.localCheckpoint(eager = false)
     val totals = counts.agg(sum($"c_a").as("n_a"), sum($"c_b").as("n_b"))
     val tot = ($"c_a" + $"c_b").cast("double")
     val ea = tot * ($"n_a".cast("double") / ($"n_a" + $"n_b").cast("double"))

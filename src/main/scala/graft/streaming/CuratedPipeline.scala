@@ -354,7 +354,9 @@ object CuratedPipeline {
       val root = Search.indexRoot(spark, idx)
       val already = spark.read.parquet(s"$root/doclen")
         .filter($"epoch" =!= s"e$epochId").select($"doc_id")
-      val idxDocs = dedupedValid.select($"doc_id", $"text")
+      // carry the doc-values fields so the index serves facets over
+      // curated batches too (Search.DocValueFields)
+      val idxDocs = dedupedValid.select($"doc_id", $"text", $"lang", $"source")
         .join(already, Seq("doc_id"), "left_anti")
       if (!idxDocs.isEmpty)
         Search.appendToSearchIndex(spark, root, idxDocs, epoch = s"e$epochId")

@@ -207,6 +207,70 @@ class SearchSpec extends SparkSpec {
       "fewer matches than the page size must yield no cursor")
   }
 
+  test("served facets and significant_terms equal the scan paths; facets skip the corpus") {
+    val root = java.nio.file.Files.createTempDirectory("graftfacets")
+      .resolve("idx").toString
+    Search.buildSearchIndex(spark, sfDir, root)
+    val facScan = Search.searchFacets(spark, sfDir).collect().map(_.toSeq).toSeq
+    val facIdx = Search.facetsWithIndex(spark, root, Search.QueryTerms)
+      .collect().map(_.toSeq).toSeq
+    assert(facIdx == facScan, "doc-values facets must equal the corpus-scan facets")
+    val sigScan = Search.significantTerms(spark, sfDir).collect().map(_.toSeq).toSeq
+    val sigIdx = Search.significantTermsWithIndex(spark, root, Search.QueryTerms)
+      .collect().map(_.toSeq).toSeq
+    assert(sigIdx == sigScan,
+      "postings-tf significant_terms must equal the exploded-token scan bit-for-bit")
+    // bytes proof: the facet path reads pruned postings + doc-grain
+    // docmeta — strictly less than the full postings table it never
+    // needs (the doc-values contract)
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) { bytesRead.addAndGet(m.inputMetrics.bytesRead); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (facetBytes, fullBytes) = try {
+      org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
+      val b0 = bytesRead.get()
+      Search.facetsWithIndex(spark, root, Seq("dup")).collect()
+      org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
+      val b1 = bytesRead.get()
+      spark.read.parquet(s"${Search.indexRoot(spark, root)}/postings")
+        .queryExecution.toRdd.foreach(_ => ())
+      org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
+      (b1 - b0, bytesRead.get() - b1)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    info(f"facet bytes read: served $facetBytes%,d vs full postings $fullBytes%,d")
+    assert(facetBytes < fullBytes * 3 / 4,
+      s"facet serve read $facetBytes bytes vs $fullBytes full postings — not doc-values-shaped")
+  }
+
+  test("tombstoned docs drop out of served facets and significant_terms counts") {
+    val root = java.nio.file.Files.createTempDirectory("graftfacets2")
+      .resolve("idx").toString
+    // doc 3 matches nothing: chi2 needs a non-empty background side
+    // (an all-foreground corpus divides by zero in BOTH paths)
+    val docs = Seq(
+      (0L, "needle alpha", "en", "web"),
+      (1L, "needle beta", "en", "web"),
+      (2L, "needle gamma", "de", "book"),
+      (3L, "hay delta", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    Search.buildSearchIndexOf(docs, root)
+    Search.deleteFromSearchIndex(spark, root, Seq(2L).toDF("doc_id"), "del1")
+    val fac = Search.facetsWithIndex(spark, root, Seq("needle"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(fac == Seq(("en", "web", 2L)),
+      "the tombstoned de/book doc must vanish from facet counts instantly")
+    val sig = Search.significantTermsWithIndex(spark, root, Seq("needle"))
+      .collect().map(r => r.getString(0)).toSet
+    assert(!sig.contains("gamma"),
+      "a tombstoned doc's vocabulary must not appear in significant_terms")
+  }
+
   test("index serving prunes postings partitions to the query's buckets") {
     val root = java.nio.file.Files.createTempDirectory("graftsearchidx2")
       .resolve("idx").toString
