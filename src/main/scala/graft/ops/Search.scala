@@ -577,34 +577,108 @@ object Search {
   /** Stored percolator queries: (query_id, required terms — AND
     * semantics, the ES `percolate` conjunction form). Includes a
     * never-matching query so the fixture exercises the empty case. */
-  val StoredQueries: Seq[(Long, Seq[String])] = Seq(
-    1L -> Seq("dup"),
-    2L -> Seq("slow", "scan"),
-    3L -> Seq("vector", "merge"),
-    4L -> Seq("nosuchterm"))
+  /** How the DEMO rule registry is derived from the corpus itself —
+    * no literal rule constants anywhere in main (the models.manifest
+    * discipline: the percolator's "model" is authored DATA, and the
+    * demo bootstrap authors it deterministically from the corpus
+    * vocabulary). The [[RegistryVocabTop]] tokens by (doc-frequency
+    * desc, token): ranks 1..[[RegistrySingleRules]] become one-term
+    * rules (query_id = rank), the remaining ranks one conjunction
+    * rule (query_id = [[RegistryPairId]]) that exercises the
+    * every-term arity gate. */
+  val RegistryVocabTop = 6
+  val RegistrySingleRules = 4
+  val RegistryPairId = 5L
 
-  /** Registered query: the ES percolator — match every document
-    * against the STORED query set (search inverted: queries are the
-    * index, documents are the probes — the alerting/routing
-    * primitive). One codegen'd scan: each stored query compiles to an
+  /** The corpus-derived demo registry as (query_id, terms) rows — see
+    * [[RegistryVocabTop]]. Vocab-grain aggregate cut to a 6-row
+    * frame; bounded by construction, so downstream broadcasts and
+    * [[compileRegistry]] pulls are driver-safe. */
+  def derivedRegistry(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = Window.orderBy($"c".desc, $"tok")
+    val ranked = docs
+      .select($"doc_id", explode(TextAnalysis.toks($"text")).as("tok"))
+      .distinct()
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"tok").limit(RegistryVocabTop)
+      .withColumn("r", row_number().over(w))
+    val singles = ranked.filter($"r" <= RegistrySingleRules)
+      .select($"r".cast("long").as("query_id"), array($"tok").as("terms"))
+    // the pair rule's term order is irrelevant to the conjunction;
+    // sorted for a deterministic stored row
+    val pair = ranked.filter($"r" > RegistrySingleRules)
+      .agg(array_sort(collect_list($"tok")).as("terms"))
+      .select(lit(RegistryPairId).as("query_id"), $"terms")
+    singles.unionByName(pair)
+  }
+
+  /** Pull a rule registry to the driver for predicate COMPILATION —
+    * the percolator's small-registry fast path. Bounded LOUDLY: a
+    * registry past [[MaxCompiledRules]] refuses with the scalable
+    * alternative named, because compiling an unbounded table into a
+    * plan is exactly the unbounded-broadcast anti-pattern this repo
+    * bans (use [[percolateWithRegistry]] — the join form never pulls
+    * rules to the driver). */
+  val MaxCompiledRules = 128
+  def compileRegistry(registry: DataFrame): Seq[(Long, Seq[String])] = {
+    val rows = registry.limit(MaxCompiledRules + 1).collect()
+    if (rows.length > MaxCompiledRules)
+      throw new IllegalStateException(
+        s"compileRegistry: registry exceeds $MaxCompiledRules rules — " +
+          "compile is the small-set fast path; use percolateWithRegistry " +
+          "for registry-scale rule sets")
+    rows.map(r => (r.getLong(0), r.getSeq[String](1).toList))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Registered query: the ES percolator in its REGISTRY form — match
+    * every document against the stored query set (search inverted:
+    * queries are the index, documents are the probes — the
+    * alerting/routing primitive), rules read from DATA
+    * ([[derivedRegistry]] — no literal rule constants in the plan).
+    * The ORACLE derives the same registry in SQL, so the rule
+    * bootstrap itself is oracle-checked, not just the matching. */
+  def percolate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsPar(spark, dir)
+    percolateWithRegistry(docs, derivedRegistry(docs))
+      .orderBy("doc_id", "query_id")
+  }
+
+  /** Registered query: the same percolation COMPILED — the bounded
+    * registry pulls to the driver ([[compileRegistry]]) and each rule
+    * becomes a codegen'd anchored-regex conjunction in one stateless
+    * scan ([[percolateOf]]). Same oracle as [[percolate]]: compiled ≡
+    * join-form on the same rules is the percolator's serving
+    * contract, proven per-run by the correctness gate. */
+  def percolateCompiled(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsPar(spark, dir)
+    percolateOf(docs, compileRegistry(derivedRegistry(docs)))
+      .orderBy("doc_id", "query_id")
+  }
+
+  /** The compiled percolator over an arbitrary documents frame —
+    * batch OR streaming (pure stateless projection; SearchSpec proves
+    * stream ≡ batch). One codegen'd scan: each rule compiles to an
     * anchored-regex conjunction, the matched ids explode from a
     * Q-element array, and the null filter is relational (no
-    * interpreted lambda in the per-row path).
+    * interpreted lambda in the per-row path). Empty rules are
+    * ill-formed (an empty conjunction would be match-all where the
+    * join form drops the rule) — refused loudly, same stance as
+    * [[percolateWithRegistry]].
     *
     * Shape at 100 TB: documents never shuffle — pure projection +
-    * explode(Q) + filter; with thousands of stored queries the
-    * Q-element array is per-row work bounded by the registry size,
-    * exactly how a percolator costs. STATELESS, so it runs unchanged
-    * on a stream (SearchSpec proves stream ≡ batch). */
-  def percolate(spark: SparkSession, dir: String): DataFrame =
-    percolateOf(Tables.documentsPar(spark, dir)).orderBy("doc_id", "query_id")
-
-  /** [[percolate]] over an arbitrary documents frame — batch OR
-    * streaming (pure stateless projection). */
-  def percolateOf(docs: DataFrame): DataFrame = {
+    * explode(Q) + filter; per-row work is bounded by the registry
+    * size, exactly how a percolator costs. */
+  def percolateOf(docs: DataFrame,
+      rules: Seq[(Long, Seq[String])]): DataFrame = {
     import docs.sparkSession.implicits._
+    rules.find(_._2.isEmpty).foreach { case (id, _) =>
+      throw new IllegalArgumentException(
+        s"percolateOf: rule with empty terms: query_id=$id")
+    }
     val nt = TextAnalysis.norm($"text")
-    val matchedIds = array(StoredQueries.map { case (id, ts) =>
+    val matchedIds = array(rules.map { case (id, ts) =>
       when(ts.map(t => TextAnalysis.hitCount(nt, Seq(t)) > 0)
         .reduce(_ && _), lit(id))
     }: _*)
@@ -655,27 +729,31 @@ object Search {
       .select($"doc_id", $"query_id")
   }
 
-  /** The demo registry as a frame, for [[percolateWithRegistry]]. */
-  def storedQueriesDf(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    StoredQueries.toDF("query_id", "terms")
-  }
-
-  val percolateSql: String = {
-    val cases = StoredQueries.map { case (id, ts) =>
-      val cond = ts
-        .map(t => s"len(list_filter(toks, x -> x = '$t')) > 0")
-        .mkString(" AND ")
-      s"CASE WHEN $cond THEN CAST($id AS BIGINT) END"
-    }.mkString(", ")
-    s"""SELECT doc_id, query_id FROM (
-       |  SELECT doc_id, UNNEST([$cases]) AS query_id
-       |  FROM (SELECT doc_id,
-       |          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
-       |        FROM documents))
-       |WHERE query_id IS NOT NULL
+  /** Oracle for BOTH percolator forms: derives the rule registry from
+    * the corpus vocabulary exactly as [[derivedRegistry]] does, then
+    * matches by the distinct-token join + every-term arity gate. */
+  val percolateSql: String =
+    s"""WITH dt AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id,
+       |      UNNEST(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+       |    FROM documents)),
+       |vocab AS (SELECT tok, COUNT(*) AS c FROM dt GROUP BY tok
+       |          ORDER BY c DESC, tok LIMIT $RegistryVocabTop),
+       |ranked AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r
+       |           FROM vocab),
+       |rules AS (
+       |  SELECT CAST(r AS BIGINT) AS query_id, tok AS term, 1 AS arity
+       |  FROM ranked WHERE r <= $RegistrySingleRules
+       |  UNION ALL
+       |  SELECT CAST($RegistryPairId AS BIGINT), tok,
+       |    ${RegistryVocabTop - RegistrySingleRules}
+       |  FROM ranked WHERE r > $RegistrySingleRules)
+       |SELECT doc_id, query_id
+       |FROM dt JOIN rules ON dt.tok = rules.term
+       |GROUP BY doc_id, query_id, arity
+       |HAVING COUNT(*) = arity
        |ORDER BY doc_id, query_id""".stripMargin
-  }
 
   // ---------------------------------------------------------- fuzzy match
 

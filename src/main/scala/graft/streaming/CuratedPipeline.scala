@@ -102,8 +102,9 @@ object CuratedModels {
     // alert registry lives in a table an operator edits between bundle
     // versions (the models.manifest discipline applied to the one
     // serving family whose "model" is authored rather than trained);
-    // seeded with the demo rule set
-    Search.storedQueriesDf(spark)
+    // bootstrapped from the corpus vocabulary — rules are data end to
+    // end, no literal rule constants anywhere (Search.derivedRegistry)
+    Search.derivedRegistry(Tables.documentsPar(spark, dir))
       .coalesce(1).write.mode("overwrite").parquet(s"$modelsDir/percolator")
     Dedup.persistFunnel(spark, dir, s"$modelsDir/funnel")
     if (withPq) Pq.persistPqIndex(spark, dir, s"$modelsDir/pq")

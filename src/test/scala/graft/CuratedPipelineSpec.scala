@@ -269,9 +269,9 @@ class CuratedPipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val expAlerts = (Seq((df(batch1), 0L), (df(batch2), 1L)).flatMap {
       case (bdf, ep) =>
-        graft.ops.Search.percolateOf(bdf
+        graft.ops.Search.percolateWithRegistry(bdf
           .filter($"text".isNotNull && length(trim($"text")) > 0)
-          .dropDuplicates("doc_id"))
+          .dropDuplicates("doc_id"), m.percolator)
           .collect().map(r => (r.getLong(0), r.getLong(1), ep))
     }).toSet
     assert(alerts == expAlerts,

@@ -586,18 +586,25 @@ class SearchSpec extends SparkSpec {
   test("percolate: stored-query conjunctions, streamed alerts equal batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
+    // a hand-authored rule set — registries are user DATA, so tests
+    // author one like an operator would (no literal rules in main)
+    val rules: Seq[(Long, Seq[String])] = Seq(
+      1L -> Seq("dup"),
+      2L -> Seq("slow", "scan"),
+      3L -> Seq("vector", "merge"),
+      4L -> Seq("nosuchterm"))
     val docs = Seq(
       (1L, "dup value data"), // q1 only
       (2L, "slow scan merge vector"), // q2 (adjacency NOT required) + q3
       (3L, "slow merge"), // none (q2 needs scan, q3 needs vector)
       (4L, "nothing here")).toDF("doc_id", "text")
-    val batch = Search.percolateOf(docs).collect()
+    val batch = Search.percolateOf(docs, rules).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(batch == Set((1L, 1L), (2L, 2L), (2L, 3L)),
       s"conjunction semantics: $batch")
     // the same projection runs statelessly on a stream
     val mem = MemoryStream[(Long, String)]
-    val q = Search.percolateOf(mem.toDF().toDF("doc_id", "text"))
+    val q = Search.percolateOf(mem.toDF().toDF("doc_id", "text"), rules)
       .writeStream.format("memory").queryName("graft_percolate_test")
       .outputMode("append").start()
     try {
@@ -636,16 +643,34 @@ class SearchSpec extends SparkSpec {
       "index-served MLT must reproduce the scan path exactly")
   }
 
-  test("registry percolator agrees with the compiled literal percolator") {
+  test("registry percolator agrees with the compiled percolator on the derived rules") {
     val docs = Tables.documentsPar(spark, sfDir).select("doc_id", "text")
-    val compiled = Search.percolateOf(docs).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val joined = Search.percolateWithRegistry(docs,
-      Search.storedQueriesDf(spark)).collect()
+    val registry = Search.derivedRegistry(docs)
+    assert(registry.count() == Search.RegistryVocabTop - 1,
+      "4 single rules + 1 pair rule")
+    val compiled = Search.percolateOf(docs, Search.compileRegistry(registry))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val joined = Search.percolateWithRegistry(docs, registry).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(joined == compiled,
       "the table-driven registry must match the compiled predicates")
     assert(compiled.nonEmpty)
+  }
+
+  test("compileRegistry refuses a registry-scale rule set loudly") {
+    val big = (1L to (Search.MaxCompiledRules + 1).toLong)
+      .map(i => (i, Seq(s"t$i"))).toDF("query_id", "terms")
+    val e = intercept[IllegalStateException] {
+      Search.compileRegistry(big)
+    }
+    assert(e.getMessage.contains("percolateWithRegistry"),
+      "the refusal must name the scalable alternative")
+    // empty rules refuse in the compiled form too (match-all hazard)
+    val e2 = intercept[IllegalArgumentException] {
+      Search.percolateOf(Seq((1L, "x")).toDF("doc_id", "text"),
+        Seq(7L -> Seq.empty[String]))
+    }
+    assert(e2.getMessage.contains("query_id=7"))
   }
 
   test("significant_terms: query terms live only in the match set; high-coverage ones lead") {
