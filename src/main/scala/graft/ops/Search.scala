@@ -1375,9 +1375,6 @@ object Search {
     val post = spark.read.parquet(s"$root/postings")
       .filter($"b".isin(buckets: _*) && $"tok".isin(terms: _*))
     val doclen = spark.read.parquet(s"$root/doclen")
-    val dls = doclen.groupBy($"doc_id").agg(
-      sum(when($"field" === DefaultField, $"dl")).as("dlb"),
-      sum(when($"field" === HeadField, $"dl")).as("dlh"))
     val stats = doclen.agg(
       count(when($"field" === DefaultField, 1)).as("n"),
       sum(when($"field" === DefaultField, $"dl")).as("sumdlb"),
@@ -1399,7 +1396,18 @@ object Search {
       }
     val cand = post.groupBy($"doc_id").agg(tfCols.head, tfCols.tail: _*)
       .join(tombstones(spark, root), Seq("doc_id"), "left_anti")
-    mfRank(cand.join(dls, "doc_id")
+    // the per-doc field-length pivot runs AFTER the candidate join, so
+    // the groupBy aggregates candidate-grain rows (term-df-sized), not
+    // the corpus-grain doclen table — the join prunes, then the pivot
+    // folds the ≤2 field rows per candidate
+    val candDl = cand
+      .join(doclen.select($"doc_id", $"field", $"dl"), "doc_id")
+      .groupBy(($"doc_id" +: (0 until 2 * terms.size).map(i =>
+        if (i < terms.size) col(s"tfb${i + 1}")
+        else col(s"tfh${i - terms.size + 1}"))): _*)
+      .agg(sum(when($"field" === DefaultField, $"dl")).as("dlb"),
+        sum(when($"field" === HeadField, $"dl")).as("dlh"))
+    mfRank(candDl
       .crossJoin(broadcast(stats)).crossJoin(broadcast(dfs)),
       terms.size, k)
   }
