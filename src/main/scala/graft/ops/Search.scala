@@ -574,9 +574,6 @@ object Search {
 
   // ----------------------------------------------------------- percolator
 
-  /** Stored percolator queries: (query_id, required terms — AND
-    * semantics, the ES `percolate` conjunction form). Includes a
-    * never-matching query so the fixture exercises the empty case. */
   /** How the DEMO rule registry is derived from the corpus itself —
     * no literal rule constants anywhere in main (the models.manifest
     * discipline: the percolator's "model" is authored DATA, and the
@@ -693,9 +690,10 @@ object Search {
     * tokens ⋈ exploded registry terms at (doc × matching-term) grain,
     * then a count-equality gate against each query's arity — no
     * per-query expression, so the registry can grow without replanning.
-    * The literal-registry form compiles the (tiny, fixed) demo set to
-    * codegen'd predicates instead; SearchSpec proves the two agree on
-    * the same registry.
+    * [[percolateOf]] + [[compileRegistry]] is the bounded fast path
+    * that compiles a small registry to codegen'd predicates instead;
+    * SearchSpec proves the two agree, and the correctness gate proves
+    * it per-run (both registered forms share one oracle).
     *
     * Shape at 100 TB: the registry explodes to (query, term) rows —
     * registry-sized, broadcast; the token side is one distinct
@@ -1502,6 +1500,89 @@ object Search {
     * the scan path. */
   def significantTermsServed(spark: SparkSession, dir: String): DataFrame =
     significantTermsWithIndex(spark, sharedIndexDir(spark, dir), QueryTerms)
+
+  /** [[fuzzyMatch]] served FROM the index — Lucene's actual fuzzy
+    * shape: the Levenshtein automaton walks the TERM DICTIONARY (here
+    * the postings' distinct-token projection, vocab-grain after
+    * map-side combine), the tiny matched-term set broadcasts back
+    * against postings, and per-doc hit counts are sums of stored tf —
+    * no text, no re-tokenization. Tombstoned docs excluded like every
+    * serving path. */
+  def fuzzyWithIndex(spark: SparkSession, indexDir: String,
+      term: String, maxDist: Int): DataFrame = {
+    import spark.implicits._
+    val root = requireIndex(spark, indexDir)
+    val post = spark.read.parquet(s"$root/postings")
+      .filter($"field" === DefaultField)
+      .select($"doc_id", $"tok", $"tf")
+      .join(tombstones(spark, root), Seq("doc_id"), "left_anti")
+    val matched = post.select($"tok").distinct()
+      .filter(levenshtein($"tok", lit(term)) <= maxDist)
+    post.join(broadcast(matched), "tok")
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_hits"),
+        concat_ws(",", array_sort(collect_set($"tok"))).as("matched"))
+      .orderBy($"doc_id")
+  }
+
+  /** Registered query: [[fuzzyMatch]] SERVED from the session-shared
+    * index — oracle-checked against the same SQL as the scan path. */
+  def fuzzyServed(spark: SparkSession, dir: String): DataFrame =
+    fuzzyWithIndex(spark, sharedIndexDir(spark, dir), FuzzyTerm, FuzzyMaxDist)
+
+  /** [[suggestPrefix]] served FROM the index — the completion
+    * suggester at its natural cost: the term dictionary (postings
+    * grouped to vocab grain, tf summed for corpus frequency) answers
+    * the prefix probe; TakeOrderedAndProject cuts to k. Corpus text
+    * untouched; tombstoned docs' occurrences excluded. */
+  def suggestWithIndex(spark: SparkSession, indexDir: String,
+      prefix: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val root = requireIndex(spark, indexDir)
+    spark.read.parquet(s"$root/postings")
+      .filter($"field" === DefaultField)
+      .select($"doc_id", $"tok", $"tf")
+      .join(tombstones(spark, root), Seq("doc_id"), "left_anti")
+      .filter($"tok".startsWith(prefix))
+      .groupBy($"tok").agg(sum($"tf").as("freq"))
+      .select($"tok".as("token"), $"freq")
+      .orderBy($"freq".desc, $"token")
+      .limit(k)
+  }
+
+  /** Registered query: [[suggestPrefix]] SERVED from the session-shared
+    * index — oracle-checked against the same SQL as the scan path. */
+  def suggestServed(spark: SparkSession, dir: String): DataFrame =
+    suggestWithIndex(spark, sharedIndexDir(spark, dir), SuggestPrefix, SuggestK)
+
+  /** [[hybridRrf]] with the TEXT leg served from the index — the
+    * deployment shape of hybrid retrieval: BM25 ranks come from
+    * bucket-pruned postings via the shared [[scoredFromIndex]]
+    * expressions (bit-identical ranks to the scan leg), the vector
+    * leg and the RRF fusion are unchanged, and the fusion join still
+    * touches only the two pooled lists (≤ 2·[[RrfPool]] rows). */
+  def hybridWithIndex(spark: SparkSession, indexDir: String,
+      emb: DataFrame, terms: Seq[String]): DataFrame = {
+    import emb.sparkSession.implicits._
+    val w = Window.orderBy($"score".desc, $"doc_id")
+    val text = scoredFromIndex(spark, requireIndex(spark, indexDir), terms)
+      .filter($"n_matched" > 0)
+      .orderBy($"score".desc, $"doc_id").limit(RrfPool)
+      .withColumn("r_text", row_number().over(w))
+      .select($"doc_id", $"r_text")
+    val vec = vecRankedOf(emb, RrfPool)
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"r_text", $"r_vec",
+        (coalesce(lit(1.0) / (lit(RrfK) + $"r_text"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + $"r_vec"), lit(0.0))).as("rrf"))
+      .orderBy($"rrf".desc, $"doc_id").limit(RrfTopK)
+  }
+
+  /** Registered query: [[hybridRrf]] with its text leg SERVED from the
+    * session-shared index — oracle-checked against the same SQL. */
+  def hybridServed(spark: SparkSession, dir: String): DataFrame =
+    hybridWithIndex(spark, sharedIndexDir(spark, dir),
+      Tables.embeddings(spark, dir), QueryTerms)
 
   /** ES term-vectors API: one document's indexed view — its terms
     * with tf, positions, and each term's corpus df — straight from

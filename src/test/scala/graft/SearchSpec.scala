@@ -271,6 +271,42 @@ class SearchSpec extends SparkSpec {
       "a tombstoned doc's vocabulary must not appear in significant_terms")
   }
 
+  test("served fuzzy, suggest, and hybrid equal their scan paths; tombstones bite") {
+    val root = java.nio.file.Files.createTempDirectory("graftserved3")
+      .resolve("idx").toString
+    Search.buildSearchIndex(spark, sfDir, root)
+    assert(Search.fuzzyWithIndex(spark, root, Search.FuzzyTerm,
+        Search.FuzzyMaxDist).collect().map(_.toSeq).toSeq ==
+      Search.fuzzyMatch(spark, sfDir).collect().map(_.toSeq).toSeq,
+      "term-dictionary fuzzy must equal the token-scan fuzzy")
+    assert(Search.suggestWithIndex(spark, root, Search.SuggestPrefix,
+        Search.SuggestK).collect().map(_.toSeq).toSeq ==
+      Search.suggestPrefix(spark, sfDir).collect().map(_.toSeq).toSeq,
+      "term-dictionary suggester must equal the corpus-scan suggester")
+    assert(Search.hybridWithIndex(spark, root,
+        Tables.embeddings(spark, sfDir), Search.QueryTerms)
+        .collect().map(_.toSeq).toSeq ==
+      Search.hybridRrf(spark, sfDir).collect().map(_.toSeq).toSeq,
+      "index-text-leg hybrid must equal the scan-leg hybrid bit-for-bit")
+    // tombstone a fuzzy-matching doc: its hits and its term frequencies
+    // must vanish from both served forms instantly
+    val victim = Search.fuzzyWithIndex(spark, root, Search.FuzzyTerm,
+      Search.FuzzyMaxDist).select("doc_id").head().getLong(0)
+    val freqBefore = Search.suggestWithIndex(spark, root,
+        Search.SuggestPrefix, 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Search.deleteFromSearchIndex(spark, root, Seq(victim).toDF("doc_id"), "fz1")
+    assert(Search.fuzzyWithIndex(spark, root, Search.FuzzyTerm,
+        Search.FuzzyMaxDist).filter($"doc_id" === victim).isEmpty,
+      "a tombstoned doc must drop from served fuzzy hits")
+    val freqAfter = Search.suggestWithIndex(spark, root,
+        Search.SuggestPrefix, 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freqAfter.forall { case (t, f) => f <= freqBefore.getOrElse(t, 0L) } &&
+      freqAfter != freqBefore,
+      "suggester frequencies must shrink when a doc is tombstoned")
+  }
+
   test("index serving prunes postings partitions to the query's buckets") {
     val root = java.nio.file.Files.createTempDirectory("graftsearchidx2")
       .resolve("idx").toString
