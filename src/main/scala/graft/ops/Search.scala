@@ -1584,6 +1584,60 @@ object Search {
     hybridWithIndex(spark, sharedIndexDir(spark, dir),
       Tables.embeddings(spark, dir), QueryTerms)
 
+  /** ES `_stats` / `_cat/indices`: the per-field index statistics an
+    * operator monitors — live doc count, total field length, term
+    * dictionary size, postings count, plus the deleted-doc count
+    * (tombstoned-but-unmerged, the Lucene `docs.deleted` number).
+    * All from the index tables at field/vocab grain; the corpus is
+    * never touched. On a fresh index the numbers are pure functions
+    * of the corpus, so the ORACLE derives them from the documents
+    * table — the build itself is being checked, not just the
+    * arithmetic. */
+  def indexStats(spark: SparkSession, indexDir: String): DataFrame = {
+    import spark.implicits._
+    val root = requireIndex(spark, indexDir)
+    val dead = tombstones(spark, root)
+    val nDeleted = dead.count()
+    val doclen = spark.read.parquet(s"$root/doclen")
+      .join(dead, Seq("doc_id"), "left_anti")
+    val post = spark.read.parquet(s"$root/postings")
+      .join(dead, Seq("doc_id"), "left_anti")
+    val dlStats = doclen.groupBy($"field")
+      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    val postStats = post.groupBy($"field")
+      .agg(countDistinct($"tok").as("n_terms"),
+        count(lit(1)).as("n_postings"))
+    dlStats.join(postStats, "field")
+      .withColumn("n_deleted", lit(nDeleted))
+      .select($"field", $"n_docs", $"n_deleted", $"sum_dl",
+        $"n_terms", $"n_postings")
+      .orderBy($"field")
+  }
+
+  /** Registered query: [[indexStats]] on the session-shared index. */
+  def indexStatsServed(spark: SparkSession, dir: String): DataFrame =
+    indexStats(spark, sharedIndexDir(spark, dir))
+
+  val indexStatsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |fields AS (
+       |  SELECT doc_id, '$DefaultField' AS field, toks FROM t
+       |  UNION ALL
+       |  SELECT doc_id, '$HeadField', toks[1:$HeadLen] FROM t),
+       |ex AS (SELECT field, doc_id, UNNEST(toks) AS tok FROM fields)
+       |SELECT field,
+       |  COUNT(DISTINCT doc_id) AS n_docs,
+       |  CAST(0 AS BIGINT) AS n_deleted,
+       |  COUNT(*) AS sum_dl,
+       |  COUNT(DISTINCT tok) AS n_terms,
+       |  COUNT(DISTINCT (doc_id, tok)) AS n_postings
+       |FROM ex
+       |GROUP BY field
+       |ORDER BY field""".stripMargin
+
   /** ES term-vectors API: one document's indexed view — its terms
     * with tf, positions, and each term's corpus df — straight from
     * the index tables (the relevance-debugging endpoint: "why does

@@ -307,6 +307,33 @@ class SearchSpec extends SparkSpec {
       "suggester frequencies must shrink when a doc is tombstoned")
   }
 
+  test("index_stats tracks the delete → compact lifecycle") {
+    val root = java.nio.file.Files.createTempDirectory("graftstats")
+      .resolve("idx").toString
+    val docs = Seq(
+      (0L, "alpha beta alpha"),
+      (1L, "beta gamma"),
+      (2L, "delta")).toDF("doc_id", "text")
+    Search.buildSearchIndexOf(docs, root)
+    def stats() = Search.indexStats(spark, root).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val fresh = stats()
+    // text: 3 docs, 6 tokens, 4 terms, 5 (doc,term) postings
+    assert(fresh("text") == ((3L, 0L, 6L, 4L, 5L)), s"fresh: $fresh")
+    // head (= whole docs here, all < HeadLen tokens) mirrors text
+    assert(fresh("head") == ((3L, 0L, 6L, 4L, 5L)))
+    Search.deleteFromSearchIndex(spark, root, Seq(0L).toDF("doc_id"), "d1")
+    val afterDel = stats()
+    // live view shrinks instantly; the deleted counter surfaces the
+    // tombstoned-but-unmerged doc (Lucene docs.deleted)
+    assert(afterDel("text") == ((2L, 1L, 3L, 3L, 3L)), s"afterDel: $afterDel")
+    Search.compactSearchIndex(spark, root)
+    val afterCompact = stats()
+    assert(afterCompact("text") == ((2L, 0L, 3L, 3L, 3L)),
+      "compaction purges: same live numbers, deleted counter back to 0")
+  }
+
   test("index serving prunes postings partitions to the query's buckets") {
     val root = java.nio.file.Files.createTempDirectory("graftsearchidx2")
       .resolve("idx").toString
