@@ -1039,6 +1039,81 @@ object Search {
       .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Marker written LAST into a snapshot dir: its presence IS the
+    * snapshot's commit (a crash mid-copy leaves no marker, and
+    * [[restoreIndex]] refuses the partial) — the funnel.meta /
+    * `_codebooks` completeness stance applied to backups. */
+  val SnapshotMarker = "_snapshot_complete"
+
+  /** ES snapshot API: copy the index's ACTIVE version — tables,
+    * tombstones, everything the serving paths read — into a
+    * self-contained snapshot dir, committing with [[SnapshotMarker]]
+    * written last. The copy is a filesystem recursive copy (the
+    * local-mode stand-in for distcp/object-store server-side copy —
+    * at 100 TB the TOOL changes, the protocol here doesn't: copy
+    * bytes, then commit a marker). Resolution happens ONCE, so a
+    * concurrent compaction repoint cannot tear the snapshot across
+    * versions. */
+  def snapshotIndex(spark: SparkSession, indexDir: String,
+      snapDir: String): Unit = {
+    val root = requireIndex(spark, indexDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(root)
+    val dst = new org.apache.hadoop.fs.Path(snapDir)
+    val fs = dst.getFileSystem(conf)
+    if (fs.exists(dst))
+      throw new IllegalStateException(
+        s"snapshotIndex: $snapDir already exists — snapshots are " +
+          "immutable once taken; pick a new name")
+    fs.mkdirs(dst)
+    fs.listStatus(src).foreach { st =>
+      // version pointers never enter a snapshot: it is self-contained
+      if (!st.getPath.getName.startsWith(CurrentPointer))
+        org.apache.hadoop.fs.FileUtil.copy(
+          st.getPath.getFileSystem(conf), st.getPath, fs,
+          new org.apache.hadoop.fs.Path(dst, st.getPath.getName),
+          false, conf)
+    }
+    fs.create(new org.apache.hadoop.fs.Path(dst, SnapshotMarker), true).close()
+  }
+
+  /** ES restore API: adopt a committed snapshot as the index's new
+    * ACTIVE version — copy into a fresh staging version dir, then the
+    * same atomic pointer repoint every build/compaction commit uses.
+    * A reader mid-query keeps its resolved pre-restore version (the
+    * reader-isolation guarantee); a crash mid-copy leaves an orphan
+    * v-dir and the old version serving. Refuses a snapshot without
+    * its [[SnapshotMarker]] LOUDLY — a partial backup must never
+    * become the serving truth. */
+  def restoreIndex(spark: SparkSession, snapDir: String,
+      indexDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(snapDir)
+    val fs = src.getFileSystem(conf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(src, SnapshotMarker)))
+      throw new IllegalStateException(
+        s"restoreIndex: $snapDir has no $SnapshotMarker — incomplete " +
+          "or crashed snapshot; refuse to serve a partial backup")
+    // resolve the OUTGOING version BEFORE the repoint — it must be
+    // retained one generation for in-flight readers
+    val prevRoot = indexRoot(spark, indexDir)
+    val ver = nextVersion(fs, indexDir)
+    val dst = new org.apache.hadoop.fs.Path(s"$indexDir/$ver")
+    fs.mkdirs(dst)
+    fs.listStatus(src).foreach { st =>
+      if (st.getPath.getName != SnapshotMarker)
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(dst, st.getPath.getName),
+          false, conf)
+    }
+    commitPointer(spark, indexDir, ver)
+    val keepPrev =
+      if (prevRoot == indexDir)
+        Set("postings", "doclen", "docmeta", "tombstones")
+      else Set(prevRoot.split('/').last)
+    pruneVersions(spark, indexDir, Set(ver) ++ keepPrev)
+  }
+
   /** Delete superseded layouts under `indexDir`, RETAINING `keep` (the
     * just-committed version plus the immediately-previous root): an
     * in-flight reader resolved the pointer before the repoint and is

@@ -330,4 +330,45 @@ class MaintenanceSpec extends SparkSpec {
     assert(Search.searchWithIndex(spark, root, Search.QueryTerms, Search.TopK)
       .collect().map(_.toSeq).toSeq == expected)
   }
+
+  test("snapshot → mutate → restore returns the index to its snapshot state") {
+    import spark.implicits._
+    import graft.ops.Search
+    val base = Files.createTempDirectory("graftsnap")
+    val root = base.resolve("idx").toString
+    val snap = base.resolve("snap").toString
+    val docs = Seq(
+      (0L, "alpha beta"), (1L, "beta gamma"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    Search.buildSearchIndexOf(docs, root)
+    val before = Search.searchWithIndex(spark, root, Seq("alpha"), 10)
+      .collect().map(_.toSeq).toSeq
+    val statsBefore = Search.indexStats(spark, root)
+      .collect().map(_.toSeq).toSeq
+    Search.snapshotIndex(spark, root, snap)
+    // mutate every way an index mutates: append new docs, delete one
+    Search.appendToSearchIndex(spark, root,
+      Seq((7L, "alpha alpha alpha")).toDF("doc_id", "text"), epoch = "e1")
+    Search.deleteFromSearchIndex(spark, root, Seq(0L).toDF("doc_id"), "d1")
+    assert(Search.searchWithIndex(spark, root, Seq("alpha"), 10)
+      .collect().map(_.toSeq).toSeq != before, "the mutations must bite")
+    Search.restoreIndex(spark, snap, root)
+    assert(Search.searchWithIndex(spark, root, Seq("alpha"), 10)
+      .collect().map(_.toSeq).toSeq == before,
+      "restore must return serving to the snapshot state bit-for-bit")
+    assert(Search.indexStats(spark, root).collect().map(_.toSeq).toSeq
+      == statsBefore, "index statistics must restore too")
+    // snapshots are immutable: a second snapshot to the same path refuses
+    val e = intercept[IllegalStateException] {
+      Search.snapshotIndex(spark, root, snap)
+    }
+    assert(e.getMessage.contains("immutable"))
+    // a partial (markerless) snapshot must never restore
+    val partial = base.resolve("partial").toString
+    new java.io.File(partial).mkdirs()
+    val e2 = intercept[IllegalStateException] {
+      Search.restoreIndex(spark, partial, root)
+    }
+    assert(e2.getMessage.contains(Search.SnapshotMarker))
+  }
 }
