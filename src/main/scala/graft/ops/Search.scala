@@ -216,6 +216,112 @@ object Search {
        |FROM sc WHERE n_matched > 0
        |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
 
+  // --------------------------------------------------- passage retrieval
+
+  /** Passage-search result size. */
+  val PassageTopK = 20
+
+  /** Registered query: passage-level ("max passage") retrieval — the
+    * RAG-era query shape: score every CHUNK of every document as its
+    * own BM25 unit (chunk-level statistics: N = chunk count, Σdl over
+    * chunks, chunk df), rank documents by their best passage, and
+    * return WHERE in the doc the hit lives (chunk_id — what a
+    * retriever actually feeds the generator). Chunks are EXACTLY the
+    * training pipeline's [[graft.ops.TrainPrep.chunkDocs]] windows —
+    * one definition of "passage" across retrieval and packing.
+    *
+    * Best-passage selection is a lexicographic struct MAX per doc
+    * (score, then lowest chunk_id on ties) — a map-side-combinable
+    * aggregate, NOT a corpus-grain window; the oracle's
+    * ROW_NUMBER-per-doc form is equivalent because (score, chunk_id)
+    * is unique within a doc. Rank-only emission with integer
+    * provenance (class doc).
+    *
+    * Shape at 100 TB: one corpus scan explodes to chunk grain
+    * (stride-bounded ×~1.3 rows), the 1-row chunk-stats aggregate
+    * re-enters by broadcast, per-doc best is partial-aggregated
+    * map-side, top-k is TakeOrderedAndProject. No joins, no windows
+    * before the post-limit rank. */
+  def passageSearch(spark: SparkSession, dir: String): DataFrame =
+    passageSearchOf(Tables.documentsPar(spark, dir), QueryTerms, PassageTopK)
+
+  private[graft] def passageSearchOf(docs: DataFrame, terms: Seq[String],
+      k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val chunks = graft.ops.TrainPrep.chunksOf(docs)
+    val nt = TextAnalysis.norm($"chunk_text")
+    val f = chunks.select(
+      ($"doc_id" +: $"chunk_id" +:
+        $"n_chunk_tokens".cast("long").as("dl") +:
+        terms.indices.map(i =>
+          TextAnalysis.hitCount(nt, Seq(terms(i))).as(s"tf${i + 1}"))): _*)
+    val statCols = Seq(count(lit(1)).as("n"), sum($"dl").as("sumdl")) ++
+      terms.indices.map(i =>
+        count(when(col(s"tf${i + 1}") > 0, 1)).as(s"df${i + 1}"))
+    val stats = f.agg(statCols.head, statCols.tail: _*)
+    val scored = f.crossJoin(broadcast(stats))
+      .select($"doc_id", $"chunk_id", $"dl",
+        tfTotalCol(terms.size).as("tf_total"),
+        nMatchedCol(terms.size).as("n_matched"),
+        bm25Score(terms.size).as("score"))
+      .filter($"n_matched" > 0)
+    val best = scored
+      .groupBy($"doc_id")
+      .agg(max(struct($"score", (-$"chunk_id").as("neg_cid"), $"chunk_id",
+        $"n_matched", $"tf_total", $"dl")).as("b"))
+      .select($"doc_id", $"b.score".as("score"), $"b.chunk_id".as("chunk_id"),
+        $"b.n_matched".as("n_matched"), $"b.tf_total".as("tf_total"),
+        $"b.dl".as("dl"))
+    val w = Window.orderBy($"score".desc, $"doc_id")
+    best.orderBy($"score".desc, $"doc_id").limit(k)
+      .withColumn("rk", row_number().over(w))
+      .select($"rk", $"doc_id", $"chunk_id", $"n_matched", $"tf_total", $"dl")
+      .orderBy($"rk")
+  }
+
+  val passageSearchSql: String = {
+    val tfDefs = QueryTerms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(ctoks, x -> x = '$t')) AS tf${i + 1}"
+    }.mkString(",\n    ")
+    val dfDefs = QueryTerms.indices.map { i =>
+      s"COUNT(*) FILTER (WHERE tf${i + 1} > 0) AS df${i + 1}"
+    }.mkString(", ")
+    val avgdl = "(CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))"
+    val scoreTerms = QueryTerms.indices.map { i =>
+      val tf = s"CAST(f.tf${i + 1} AS DOUBLE)"
+      s"""(ln(1.0 + (CAST(s.n - s.df${i + 1} AS DOUBLE) + 0.5) / (CAST(s.df${i + 1} AS DOUBLE) + 0.5))
+         |     * (($tf * 2.2) / ($tf + 1.2 * (0.25 + 0.75 * (CAST(f.dl AS DOUBLE) / $avgdl)))))""".stripMargin
+    }.mkString("\n   + ")
+    val nMatched = QueryTerms.indices
+      .map(i => s"CASE WHEN f.tf${i + 1} > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    val tfTotal = QueryTerms.indices.map(i => s"f.tf${i + 1}").mkString(" + ")
+    val ct = graft.ops.TrainPrep.ChunkTokens
+    val cs = graft.ops.TrainPrep.ChunkStride
+    s"""WITH ch AS (
+       |  SELECT doc_id,
+       |    CAST((start - 1) // $cs AS BIGINT) AS chunk_id,
+       |    toks[start:start + ${ct - 1}] AS ctoks
+       |  FROM (SELECT doc_id, toks,
+       |          UNNEST(range(1, greatest(len(toks), 1) + 1, $cs)) AS start
+       |        FROM (SELECT doc_id,
+       |                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |              FROM documents))),
+       |f AS (SELECT doc_id, chunk_id, len(ctoks) AS dl, $tfDefs FROM ch),
+       |s AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl, $dfDefs FROM f),
+       |sc AS (
+       |  SELECT f.doc_id, f.chunk_id, f.dl, $tfTotal AS tf_total,
+       |    $nMatched AS n_matched, $scoreTerms AS score
+       |  FROM f CROSS JOIN s),
+       |best AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |            ORDER BY score DESC, chunk_id) AS rn
+       |  FROM sc WHERE n_matched > 0)
+       |SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk,
+       |  doc_id, chunk_id, n_matched, tf_total, dl
+       |FROM best WHERE rn = 1
+       |ORDER BY score DESC, doc_id LIMIT $PassageTopK""".stripMargin
+  }
+
   // ---------------------------------------------------- multi-field BM25
 
   /** Registered query: multi-field `best_fields` BM25 — the ES

@@ -328,10 +328,17 @@ object TrainPrep {
     * rows carry chunk text, so this is the one op whose OUTPUT is
     * corpus-sized × overlap-factor — downstream consumers should write
     * it straight to storage, never shuffle it. */
-  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    chunksOf(Tables.documentsPar(spark, dir)).orderBy("doc_id", "chunk_id")
+
+  /** The chunk frame over an arbitrary documents frame — shared by
+    * [[chunkDocs]] and [[graft.ops.Search.passageSearch]] (passage-
+    * level retrieval scores exactly the chunks the training pipeline
+    * packs, one definition of "passage"). */
+  private[graft] def chunksOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val t = TextAnalysis.toks($"text") // the shared corpus tokenization
-    Tables.documentsPar(spark, dir)
+    docs
       .select($"doc_id", t.as("toks"))
       .select($"doc_id", $"toks",
         explode(sequence(lit(1), greatest(size($"toks"), lit(1)),
@@ -341,7 +348,6 @@ object TrainPrep {
         floor(($"start" - 1) / ChunkStride).cast("long").as("chunk_id"),
         array_join($"chunk", " ").as("chunk_text"),
         size($"chunk").as("n_chunk_tokens"))
-      .orderBy($"doc_id", $"chunk_id")
   }
 
   val chunkDocsSql: String =

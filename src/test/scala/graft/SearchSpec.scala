@@ -307,6 +307,31 @@ class SearchSpec extends SparkSpec {
       "suggester frequencies must shrink when a doc is tombstoned")
   }
 
+  test("passage search ranks by best chunk and reports where the hit lives") {
+    import graft.ops.TrainPrep
+    val fill = Seq.fill(TrainPrep.ChunkStride)("filler").mkString(" ")
+    // doc 0: hits concentrated in its SECOND stride window; doc 1: one
+    // diluted hit in a long doc; doc 2: no hits
+    val docs = Seq(
+      (0L, s"$fill needle needle needle $fill"),
+      (1L, s"needle $fill $fill"),
+      (2L, s"$fill $fill")).toDF("doc_id", "text")
+    val got = Search.passageSearchOf(docs, Seq("needle"), 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._2) == Seq(0L, 1L),
+      s"only hit-bearing docs rank, dense-passage doc first: $got")
+    assert(got.head._3 == 1L,
+      s"doc 0's best passage is its second chunk (chunk_id 1): $got")
+    // a strictly denser passage (4 hits in one chunk vs doc 0's 3)
+    // must take rank 1 regardless of document length
+    val more = Search.passageSearchOf(
+      docs.union(Seq((3L, s"needle needle needle needle $fill"))
+        .toDF("doc_id", "text")),
+      Seq("needle"), 10).collect().map(r => r.getLong(1)).toSeq
+    assert(more.head == 3L,
+      "the densest single passage must take rank 1")
+  }
+
   test("index_stats tracks the delete → compact lifecycle") {
     val root = java.nio.file.Files.createTempDirectory("graftstats")
       .resolve("idx").toString
