@@ -571,6 +571,78 @@ object Search {
        |ORDER BY rrf DESC, doc_id LIMIT $RrfTopK""".stripMargin
   }
 
+  // ----------------------------------------------------- LTR feature rows
+
+  /** Registered query: the learning-to-rank DATASET BUILDER — the op
+    * that connects the retrieval family to the training pipeline: for
+    * one query ([[QueryTerms]] + query vector vec_id 0), emit a
+    * feature row per candidate document — per-term tf, document
+    * length, match provenance, and the lexical-semantic bridge
+    * feature cos(query, doc) — the denormalized (query, doc, features)
+    * table an LTR trainer (LambdaMART et al.) consumes. All features
+    * are integers except the cosine, which reuses the ANN family's
+    * bit-stable VecDot arithmetic; docs without an embedding emit 0.0
+    * (the LTR missing-feature convention, explicit not null).
+    *
+    * Shape at 100 TB: one corpus scan (codegen'd tf projection,
+    * match-filtered), one broadcast of the single query vector, one
+    * doc_id-keyed left join against the embedding projection —
+    * candidates are match-set-sized, embeddings are scanned
+    * column-pruned; no windows, no global sort beyond the output
+    * ORDER BY. */
+  def ltrFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = QueryTerms
+    val nt = TextAnalysis.norm($"text")
+    val f = Tables.documentsPar(spark, dir).select(
+      ($"doc_id" +: size(TextAnalysis.toks($"text")).cast("long").as("dl") +:
+        terms.indices.map(i =>
+          TextAnalysis.hitCount(nt, Seq(terms(i))).as(s"tf${i + 1}"))): _*)
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val cos = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id".as("doc_id"),
+        (Similarity.dotD($"embedding", $"qv") /
+          sqrt(Similarity.dotD($"embedding", $"embedding") *
+            Similarity.dotD($"qv", $"qv"))).as("cos_q"))
+    f.select(($"doc_id" +: $"dl" +:
+        terms.indices.map(i => col(s"tf${i + 1}"))) :+
+        tfTotalCol(terms.size).as("tf_total") :+
+        nMatchedCol(terms.size).as("n_matched"): _*)
+      .filter($"n_matched" > 0)
+      .join(cos, Seq("doc_id"), "left")
+      .withColumn("cos_q", coalesce($"cos_q", lit(0.0)))
+      .orderBy($"doc_id")
+  }
+
+  val ltrFeaturesSql: String = {
+    val tfDefs = QueryTerms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf${i + 1}"
+    }.mkString(",\n    ")
+    val nMatched = QueryTerms.indices
+      .map(i => s"CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    val tfTotal = QueryTerms.indices.map(i => s"tf${i + 1}").mkString(" + ")
+    val tfCols = QueryTerms.indices.map(i => s"tf${i + 1}").mkString(", ")
+    val cos = s"${Similarity.dotSql("e.embedding", "q.qv")} / " +
+      s"sqrt(${Similarity.dotSql("e.embedding", "e.embedding")} * ${Similarity.dotSql("q.qv", "q.qv")})"
+    s"""WITH f AS (
+       |  SELECT doc_id, len(toks) AS dl, $tfDefs,
+       |    $tfTotal AS tf_total, $nMatched AS n_matched
+       |  FROM (SELECT doc_id,
+       |          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |        FROM documents)),
+       |c AS (
+       |  SELECT e.vec_id AS doc_id, $cos AS cos_q
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       |  WHERE e.vec_id != 0)
+       |SELECT f.doc_id, f.dl, $tfCols, f.tf_total, f.n_matched,
+       |  COALESCE(c.cos_q, CAST(0 AS DOUBLE)) AS cos_q
+       |FROM f LEFT JOIN c USING (doc_id)
+       |WHERE f.n_matched > 0
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- facets
 
   /** Registered query: ES aggregations-on-a-query — facet counts over
