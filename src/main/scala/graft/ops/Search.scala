@@ -571,6 +571,99 @@ object Search {
        |ORDER BY rrf DESC, doc_id LIMIT $RrfTopK""".stripMargin
   }
 
+  // --------------------------------------------- pseudo-relevance feedback
+
+  /** PRF depth: how many top-ranked docs feed expansion-term mining. */
+  val PrfFbDocs = 10
+  /** How many expansion terms join the original query. */
+  val PrfFbTerms = 2
+  val PrfTopK = 20
+
+  /** Registered query: QUERY EXPANSION by pseudo-relevance feedback —
+    * the RM3/Rocchio loop (Lavrenko & Croft 2001; ES operators run it
+    * as significant_terms-into-a-rescore): (1) rank by the original
+    * [[QueryTerms]] BM25, (2) mine the top-[[PrfFbDocs]] docs for the
+    * [[PrfFbTerms]] most frequent non-query terms (the relevance-model
+    * estimate, counts not probabilities — rational, engine-identical),
+    * (3) re-rank the corpus with the expanded term set through the
+    * SAME join-based BM25 as [[moreLikeThis]] (expansion terms are
+    * DATA, so the [[mltRank]] exact-DECIMAL order-independent sum
+    * applies verbatim). Uniform term weights — the deterministic
+    * simplification of RM3's interpolation, documented rather than
+    * hidden.
+    *
+    * Shape at 100 TB: the base ranking is [[bm25TopK]]'s shape; the
+    * feedback mine joins the token stream against 10 broadcast
+    * doc_ids; the final pass is MLT's: ≤ 5 broadcast terms against the
+    * token stream, map-side-combined per-(doc, term). The df table is
+    * vocab-grain (served from the index's postings in a deployment,
+    * per the MLT scaladoc). */
+  def queryExpansion(spark: SparkSession, dir: String): DataFrame =
+    queryExpansionOf(Tables.documentsPar(spark, dir), QueryTerms,
+      PrfFbDocs, PrfFbTerms, PrfTopK)
+
+  private[graft] def queryExpansionOf(docs: DataFrame, terms: Seq[String],
+      fbDocs: Int, fbTerms: Int, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tokRows = docs.select($"doc_id",
+      explode(TextAnalysis.toks($"text")).as("token"))
+    val dlF = docs.select($"doc_id",
+      size(TextAnalysis.toks($"text")).cast("long").as("dl"))
+    val stats = dlF.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+    val dfT = tokRows.groupBy($"token")
+      .agg(countDistinct($"doc_id").as("df"))
+    val fb = bm25RankedOf(docs, terms, fbDocs, "rk")
+      .select($"doc_id")
+    val exp = tokRows.join(broadcast(fb), Seq("doc_id"), "left_semi")
+      .filter(!$"token".isin(terms: _*))
+      .groupBy($"token").agg(count(lit(1)).as("fbtf"))
+      .join(dfT, "token")
+      .orderBy($"fbtf".desc, $"token").limit(fbTerms)
+      .select($"token", $"df")
+    val qterms = dfT.filter($"token".isin(terms: _*))
+      .unionByName(exp)
+    val tf = tokRows.join(broadcast(qterms), "token")
+      .groupBy($"doc_id", $"token", $"df").agg(count(lit(1)).as("tf"))
+    mltRank(tf, dlF, stats, k)
+  }
+
+  val queryExpansionSql: String = {
+    val inList = QueryTerms.map(t => s"'$t'").mkString(", ")
+    val avgdl = "(CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))"
+    val contrib =
+      s"""ln(1.0 + (CAST(s.n - tf.df AS DOUBLE) + 0.5) / (CAST(tf.df AS DOUBLE) + 0.5))
+         |      * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl2.dl AS DOUBLE) / $avgdl))))""".stripMargin
+    s"""WITH ${bm25Ctes(QueryTerms)},
+       |fb AS (SELECT doc_id FROM sc WHERE n_matched > 0
+       |       ORDER BY score DESC, doc_id LIMIT $PrfFbDocs),
+       |tr AS (
+       |  SELECT doc_id,
+       |    UNNEST(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+       |  FROM documents),
+       |dft AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tr GROUP BY token),
+       |exp AS (
+       |  SELECT tr.token, dft.df FROM tr
+       |  JOIN fb USING (doc_id) JOIN dft USING (token)
+       |  WHERE tr.token NOT IN ($inList)
+       |  GROUP BY tr.token, dft.df
+       |  ORDER BY COUNT(*) DESC, tr.token LIMIT $PrfFbTerms),
+       |qt AS (SELECT token, df FROM dft WHERE token IN ($inList)
+       |       UNION ALL SELECT token, df FROM exp),
+       |tf AS (
+       |  SELECT tr.doc_id, tr.token, qt.df, COUNT(*) AS tf
+       |  FROM tr JOIN qt USING (token)
+       |  GROUP BY tr.doc_id, tr.token, qt.df),
+       |sc2 AS (
+       |  SELECT tf.doc_id, dl2.dl, COUNT(*) AS n_matched,
+       |    CAST(SUM(tf.tf) AS BIGINT) AS tf_total,
+       |    CAST(SUM(CAST($contrib AS DECIMAL(38,18))) AS DOUBLE) AS score
+       |  FROM tf JOIN (SELECT doc_id, dl FROM f) dl2 USING (doc_id) CROSS JOIN s
+       |  GROUP BY tf.doc_id, dl2.dl)
+       |SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk,
+       |  doc_id, n_matched, tf_total, dl
+       |FROM sc2 ORDER BY score DESC, doc_id LIMIT $PrfTopK""".stripMargin
+  }
+
   // ----------------------------------------------------- LTR feature rows
 
   /** Registered query: the learning-to-rank DATASET BUILDER — the op

@@ -332,6 +332,27 @@ class SearchSpec extends SparkSpec {
       "the densest single passage must take rank 1")
   }
 
+  test("query expansion recalls docs the literal query cannot see") {
+    // feedback docs pair "needle" with "companion"; doc 20 has ONLY
+    // "companion" — invisible to the literal query, recalled by PRF
+    // per-doc-unique filler so "companion" is the clear top
+    // co-occurring term in the feedback set
+    val docs = (
+      (0L until 10L).map(i => (i, s"needle companion u${i}a u${i}b")) ++
+        Seq((20L, "companion x0 y0"), (21L, "unrelated x1 y1"))
+      ).toDF("doc_id", "text")
+    val expanded = Search.queryExpansionOf(docs, Seq("needle"),
+      fbDocs = 10, fbTerms = 1, k = 20)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(expanded.contains(20L),
+      "the companion-only doc must enter the expanded ranking")
+    assert(!expanded.contains(21L),
+      "a doc sharing neither literal nor expansion terms stays out")
+    // the mined expansion term must never be a query term: with
+    // fbTerms=1 the only expansion is the top co-occurring token, and
+    // doc 20 ranking proves it was 'companion', not 'needle' again
+  }
+
   test("index_stats tracks the delete → compact lifecycle") {
     val root = java.nio.file.Files.createTempDirectory("graftstats")
       .resolve("idx").toString
