@@ -364,4 +364,53 @@ object TimeWindows {
        |FROM ev JOIN f ON ev.user_id = f.user_id
        |GROUP BY 1, 2
        |ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** Registered query: ES `date_histogram` WITH sub-aggregations —
+    * the canonical dashboard aggregation the reference's ES sink
+    * exists to serve: day buckets (epoch-day integers, the cohort
+    * week-integer convention — engine-exact, no timezone arithmetic)
+    * each carrying event count, distinct users, distinct types, and
+    * the MODAL event type (`terms` sub-aggregation size 1; ties break
+    * lexicographically, encoded as a min over (−count, type) structs
+    * so the pick is a map-side-combinable aggregate, not a window).
+    *
+    * Shape at 100 TB: two aggregates over one scan — (day) and
+    * (day, type) grain, both map-side combined — joined at DAY grain
+    * (tiny); countDistinct expands to the standard two-phase
+    * partial-distinct plan. */
+  def dateHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        $"user_id", $"event_type")
+    val byDay = ev.groupBy($"day").agg(
+      count(lit(1)).as("n_events"),
+      countDistinct($"user_id").as("n_users"),
+      countDistinct($"event_type").as("n_types"))
+    val top = ev.groupBy($"day", $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"day")
+      .agg(min(struct((-$"cnt").as("nc"), $"event_type".as("t"))).as("m"))
+      .select($"day", $"m.t".as("top_type"), (-$"m.nc").as("top_count"))
+    byDay.join(top, "day").orderBy($"day")
+  }
+
+  val dateHistogramSql: String =
+    s"""WITH ev AS (
+       |  SELECT epoch_ms(ts) // 86400000 AS day, user_id, event_type
+       |  FROM events),
+       |d AS (
+       |  SELECT day, COUNT(*) AS n_events,
+       |    COUNT(DISTINCT user_id) AS n_users,
+       |    COUNT(DISTINCT event_type) AS n_types
+       |  FROM ev GROUP BY day),
+       |t AS (
+       |  SELECT day, event_type, COUNT(*) AS cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY day
+       |                       ORDER BY COUNT(*) DESC, event_type) AS rn
+       |  FROM ev GROUP BY day, event_type)
+       |SELECT d.day, d.n_events, d.n_users, d.n_types,
+       |  t.event_type AS top_type, t.cnt AS top_count
+       |FROM d JOIN t ON d.day = t.day AND t.rn = 1
+       |ORDER BY d.day""".stripMargin
 }
