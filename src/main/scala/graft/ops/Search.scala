@@ -1385,6 +1385,100 @@ object Search {
     pruneVersions(spark, indexDir, Set(ver) ++ keepPrev)
   }
 
+  /** The index's table dirs, for lifecycle ops that enumerate them. */
+  private val IndexTables = Seq("postings", "doclen", "docmeta")
+
+  /** Cross-cluster replication, the follower side: bring `dstDir` up
+    * to date with `srcDir` by EPOCH DELTA — admission screening
+    * guarantees a doc_id lives in exactly one epoch, so epochs are
+    * immutable once written and replication is copying the epoch
+    * partitions (and tombstone epochs) the follower lacks. When the
+    * primary's history no longer covers the follower's (a compaction
+    * or purge rewrote epochs), falls back to FULL resync: adopt a
+    * complete copy of the primary's active version via the same
+    * atomic pointer repoint restore uses — exactly Lucene/ES CCR's
+    * file-based recovery when operation history is lost. Incremental
+    * copies stage under an underscore-prefixed dir (invisible to
+    * parquet listing) and land by rename, so a crash mid-sync leaves
+    * the follower serving its previous consistent state. */
+  def syncIndex(spark: SparkSession, srcDir: String,
+      dstDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val srcRoot = requireIndex(spark, srcDir)
+    val fs = new org.apache.hadoop.fs.Path(dstDir).getFileSystem(conf)
+    def epochsOf(root: String, table: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$table")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("epoch=")).toSet
+    }
+    def fullResync(): Unit = {
+      val ver = nextVersion(fs, dstDir)
+      val dst = new org.apache.hadoop.fs.Path(s"$dstDir/$ver")
+      fs.mkdirs(dst)
+      fs.listStatus(new org.apache.hadoop.fs.Path(srcRoot)).foreach { st =>
+        if (!st.getPath.getName.startsWith(CurrentPointer))
+          org.apache.hadoop.fs.FileUtil.copy(st.getPath.getFileSystem(conf),
+            st.getPath, fs,
+            new org.apache.hadoop.fs.Path(dst, st.getPath.getName),
+            false, conf)
+      }
+      val prev = indexRoot(spark, dstDir)
+      commitPointer(spark, dstDir, ver)
+      val keepPrev =
+        if (prev == dstDir) IndexTables.toSet + "tombstones"
+        else Set(prev.split('/').last)
+      pruneVersions(spark, dstDir, Set(ver) ++ keepPrev)
+    }
+    val bootstrapped = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dstDir/$CurrentPointer")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dstDir/postings"))
+    if (!bootstrapped) { fullResync(); return }
+    val dstRoot = requireIndex(spark, dstDir)
+    // history check: the primary must still hold every epoch the
+    // follower has (per table) — else its epochs were rewritten
+    val covered = IndexTables.forall(t =>
+      epochsOf(dstRoot, t).subsetOf(epochsOf(srcRoot, t)))
+    if (!covered) { fullResync(); return }
+    IndexTables.foreach { t =>
+      val missing = epochsOf(srcRoot, t) -- epochsOf(dstRoot, t)
+      missing.foreach { ep =>
+        val src = new org.apache.hadoop.fs.Path(s"$srcRoot/$t/$ep")
+        val stage = new org.apache.hadoop.fs.Path(
+          s"$dstRoot/$t/_sync_${ep.replace("=", "_")}")
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dstRoot/$t"))
+        org.apache.hadoop.fs.FileUtil.copy(
+          src.getFileSystem(conf), src, fs, stage, false, conf)
+        if (!fs.rename(stage,
+            new org.apache.hadoop.fs.Path(s"$dstRoot/$t/$ep")))
+          throw new IllegalStateException(
+            s"syncIndex: failed to land epoch $ep for $t at $dstRoot")
+      }
+    }
+    // tombstones replicate by FULL staged swap, not epoch delta:
+    // epoch reuse legally UNIONS victims into an existing tombstone
+    // partition (deleteFromSearchIndex), so tombstone epochs are not
+    // immutable and a name-match must not be trusted. The swap
+    // renames the old table aside before landing the new one, so
+    // every crash window leaves either the old or the new set
+    // visible — never none (no resurrection window).
+    val srcTomb = new org.apache.hadoop.fs.Path(s"$srcRoot/tombstones")
+    if (fs.exists(srcTomb)) {
+      val stage = new org.apache.hadoop.fs.Path(s"$dstRoot/_sync_tombstones")
+      val live = new org.apache.hadoop.fs.Path(s"$dstRoot/tombstones")
+      val old = new org.apache.hadoop.fs.Path(s"$dstRoot/_old_tombstones")
+      if (fs.exists(stage)) fs.delete(stage, true)
+      if (fs.exists(old)) fs.delete(old, true)
+      org.apache.hadoop.fs.FileUtil.copy(
+        srcTomb.getFileSystem(conf), srcTomb, fs, stage, false, conf)
+      if (fs.exists(live)) fs.rename(live, old)
+      if (!fs.rename(stage, live))
+        throw new IllegalStateException(
+          s"syncIndex: failed to land tombstones at $dstRoot")
+      fs.delete(old, true)
+    }
+  }
+
   /** Delete superseded layouts under `indexDir`, RETAINING `keep` (the
     * just-committed version plus the immediately-previous root): an
     * in-flight reader resolved the pointer before the repoint and is

@@ -331,6 +331,45 @@ class MaintenanceSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq == expected)
   }
 
+  test("follower sync: epoch-delta replication, tombstone swap, compaction fallback") {
+    import spark.implicits._
+    import graft.ops.Search
+    val base = Files.createTempDirectory("graftccr")
+    val primary = base.resolve("primary").toString
+    val follower = base.resolve("follower").toString
+    def serve(dir: String) =
+      Search.searchWithIndex(spark, dir, Seq("alpha"), 10)
+        .collect().map(_.toSeq).toSeq
+    Search.buildSearchIndexOf(Seq(
+      (0L, "alpha beta"), (1L, "beta gamma"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text"), primary)
+    // bootstrap: first sync adopts a full copy
+    Search.syncIndex(spark, primary, follower)
+    assert(serve(follower) == serve(primary), "bootstrap must replicate")
+    // incremental: append an epoch + delete a doc on the primary only
+    Search.appendToSearchIndex(spark, primary,
+      Seq((7L, "alpha alpha")).toDF("doc_id", "text"), epoch = "e1")
+    Search.deleteFromSearchIndex(spark, primary, Seq(0L).toDF("doc_id"), "d1")
+    assert(serve(follower) != serve(primary), "follower must lag pre-sync")
+    Search.syncIndex(spark, primary, follower)
+    assert(serve(follower) == serve(primary),
+      "epoch-delta sync must converge append AND delete")
+    // tombstone epoch REUSE unions victims — the name-match trap a
+    // delta copy would miss; the full swap must carry it
+    Search.deleteFromSearchIndex(spark, primary, Seq(2L).toDF("doc_id"), "d1")
+    Search.syncIndex(spark, primary, follower)
+    assert(serve(follower) == serve(primary),
+      "a reused (unioned) tombstone epoch must replicate")
+    // primary compaction rewrites history → follower full-resyncs
+    Search.compactSearchIndex(spark, primary)
+    Search.syncIndex(spark, primary, follower)
+    assert(serve(follower) == serve(primary),
+      "post-compaction sync must fall back to full resync")
+    assert(Search.indexStats(spark, follower).collect().map(_.toSeq).toSeq ==
+      Search.indexStats(spark, primary).collect().map(_.toSeq).toSeq,
+      "follower statistics must equal the primary's after resync")
+  }
+
   test("snapshot → mutate → restore returns the index to its snapshot state") {
     import spark.implicits._
     import graft.ops.Search
