@@ -239,6 +239,62 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Registered query: PERCEPTUAL AVERAGE-HASH (aHash) of every
+    * decoded image — the image near-dup primitive: per-pixel
+    * luminance (channel sum, kept integral) thresholded at the
+    * image's own mean, one bit per pixel, packed into two 32-bit
+    * halves (hi, lo — two BIGINTs because bit 63's weight overflows
+    * a signed 64-bit literal in the oracle). Downstream, image
+    * near-dup is Hamming distance on these words — exactly the
+    * [[Similarity]] binary-ANN machinery, now fed from DECODED
+    * PIXELS, so the multimodal column joins the dedup funnel.
+    *
+    * The comparison stays integer-exact: with L_i the integral
+    * luminance and T = ΣL_i over the 64 pixels, bit_i = 64·L_i > T —
+    * no division, engine-identical. The ENGINE computes from the real
+    * ImageIO decode; the ORACLE recomputes every pixel from the
+    * synthesis formula — so a green hash proves the decode is
+    * faithful for ALL pixels, not just the three `multimodal_features`
+    * samples.
+    *
+    * Shape at 100 TB: decode is the existing per-partition typed map;
+    * the hash is a narrow codegen'd projection over the features
+    * array — no shuffle at all before the output ORDER BY. */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Png.W * Png.H
+    def lum(i: Int) = (0 until 3).map(c =>
+      round(element_at($"features", 3 * i + c + 1) * 255)).reduce(_ + _)
+    val total = (0 until n).map(lum).reduce(_ + _)
+    def packed(lo: Int, hi: Int) = (lo until hi).map(i =>
+      when(lit(64) * lum(i) > total, lit(1L << (i - lo))).otherwise(0L))
+      .reduce(_ + _)
+    extractFeatures(spark, dir).toDF()
+      .filter($"mime" === "image/png")
+      .select($"doc_id", packed(32, 64).as("phash_hi"),
+        packed(0, 32).as("phash_lo"))
+      .orderBy($"doc_id")
+  }
+
+  val imagePhashSql: String = {
+    val n = Png.W * Png.H
+    def lum(i: Int) = (0 until 3)
+      .map(c => s"((doc_id * 31 + ${3 * i + c}) % 256)").mkString(" + ")
+    val lumDefs = (0 until n).map(i => s"(${lum(i)}) AS l$i").mkString(",\n    ")
+    val total = (0 until n).map(i => s"l$i").mkString(" + ")
+    def packed(lo: Int, hi: Int) = (lo until hi).map(i =>
+      s"CASE WHEN 64 * l$i > t THEN CAST(${1L << (i - lo)} AS BIGINT) ELSE 0 END")
+      .mkString("\n   + ")
+    s"""WITH px AS (
+       |  SELECT doc_id,
+       |    $lumDefs
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |tt AS (SELECT *, ($total) AS t FROM px)
+       |SELECT doc_id, ${packed(32, 64)} AS phash_hi,
+       |  ${packed(0, 32)} AS phash_lo
+       |FROM tt ORDER BY doc_id""".stripMargin
+  }
+
   /** Decoded image feature p (0-based, row-major RGB) is
     * pixel/255 = ((doc_id*31 + p) % 256)/255 by [[Png.pixel]]'s
     * construction; FLOAT/FLOAT division is correctly rounded in both

@@ -86,4 +86,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage("definitely not a png".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
   }
+
+  test("image_phash bits equal a driver-side recompute from the pixel formula") {
+    import Multimodal.Png
+    val got = Multimodal.imagePhash(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty && got.keySet.forall(_ % 3 == 0))
+    got.keys.take(5).foreach { id =>
+      val lums = (for (y <- 0 until Png.H; x <- 0 until Png.W)
+        yield (0 until 3).map(c => Png.pixel(id, y, x, c)).sum).toIndexedSeq
+      val total = lums.sum
+      def pack(lo: Int, hi: Int): Long = (lo until hi)
+        .map(i => if (64 * lums(i) > total) 1L << (i - lo) else 0L).sum
+      assert(got(id) == ((pack(32, 64), pack(0, 32))),
+        s"decode→hash must be bit-exact for doc $id")
+    }
+  }
 }
