@@ -276,7 +276,10 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
-  val imagePhashSql: String = {
+  /** The oracle's phash derivation as CTEs ending in
+    * `ph(doc_id, phash_hi, phash_lo)` — shared by [[imagePhashSql]]
+    * and [[imageNearDupSql]]. */
+  private def phashCtes: String = {
     val n = Png.W * Png.H
     def lum(i: Int) = (0 until 3)
       .map(c => s"((doc_id * 31 + ${3 * i + c}) % 256)").mkString(" + ")
@@ -285,15 +288,85 @@ object Multimodal {
     def packed(lo: Int, hi: Int) = (lo until hi).map(i =>
       s"CASE WHEN 64 * l$i > t THEN CAST(${1L << (i - lo)} AS BIGINT) ELSE 0 END")
       .mkString("\n   + ")
-    s"""WITH px AS (
+    s"""px AS (
        |  SELECT doc_id,
        |    $lumDefs
        |  FROM documents WHERE doc_id % 3 = 0),
-       |tt AS (SELECT *, ($total) AS t FROM px)
-       |SELECT doc_id, ${packed(32, 64)} AS phash_hi,
-       |  ${packed(0, 32)} AS phash_lo
-       |FROM tt ORDER BY doc_id""".stripMargin
+       |tt AS (SELECT *, ($total) AS t FROM px),
+       |ph AS (
+       |  SELECT doc_id, ${packed(32, 64)} AS phash_hi,
+       |    ${packed(0, 32)} AS phash_lo
+       |  FROM tt)""".stripMargin
   }
+
+  val imagePhashSql: String =
+    s"""WITH $phashCtes
+       |SELECT doc_id, phash_hi, phash_lo FROM ph ORDER BY doc_id""".stripMargin
+
+  /** Image near-dup Hamming budget (of 64 bits). */
+  val MaxImageHamming = 12
+
+  /** Registered query: IMAGE near-duplicates — the [[imagePhash]]
+    * words through the same banded-LSH discipline every text dedup in
+    * this repo uses: four 16-bit bands per hash, candidates = pairs
+    * agreeing on ≥ 1 band (never all-pairs), survivors verified at
+    * exact Hamming ≤ [[MaxImageHamming]]. A one-pixel edit flips at
+    * most a few luminance bits, so true near-dups collide on at least
+    * one intact band (the simhash argument, MultimodalSpec proves it
+    * on a crafted pair); band agreement for unrelated images is
+    * ~2⁻¹⁶ per band, so candidate volume is O(Σ bucket²) with tiny
+    * buckets.
+    *
+    * Shape at 100 TB: hash projection is shuffle-free; the only
+    * shuffle keys on (band, key) — 4 rows per image, 8-byte values;
+    * the verify step touches candidate pairs only. */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame =
+    nearDupOf(imagePhash(spark, dir))
+
+  /** The banded pairing on any (doc_id, phash_hi, phash_lo) frame.
+    * A boilerplate-heavy image corpus (near-identical frames) grows
+    * band buckets — by DESIGN those pairs are the answer; a
+    * deployment that wants to cap pathological buckets reuses the
+    * Dedup LSH MaxBucketSize discipline verbatim. */
+  private[graft] def nearDupOf(ph: DataFrame): DataFrame = {
+    import ph.sparkSession.implicits._
+    val bands = ph.select($"doc_id", $"phash_hi", $"phash_lo",
+      posexplode(array(
+        $"phash_lo".bitwiseAND(lit(0xFFFFL)),
+        shiftrightunsigned($"phash_lo", 16).bitwiseAND(lit(0xFFFFL)),
+        $"phash_hi".bitwiseAND(lit(0xFFFFL)),
+        shiftrightunsigned($"phash_hi", 16).bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("band", "key")))
+    val a = bands.select($"band", $"key", $"doc_id".as("a"),
+      $"phash_hi".as("ah"), $"phash_lo".as("al"))
+    val b = bands.select($"band", $"key", $"doc_id".as("b"),
+      $"phash_hi".as("bh"), $"phash_lo".as("bl"))
+    a.join(b, Seq("band", "key")).filter($"a" < $"b")
+      .select($"a", $"b",
+        (bit_count($"ah".bitwiseXOR($"bh")) +
+          bit_count($"al".bitwiseXOR($"bl"))).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= MaxImageHamming)
+      .orderBy($"a", $"b")
+  }
+
+  val imageNearDupSql: String =
+    s"""WITH $phashCtes,
+       |bands AS (
+       |  SELECT doc_id, phash_hi, phash_lo, band, key FROM (
+       |    SELECT doc_id, phash_hi, phash_lo,
+       |      UNNEST([0, 1, 2, 3]) AS band,
+       |      UNNEST([phash_lo & 65535, (phash_lo >> 16) & 65535,
+       |              phash_hi & 65535, (phash_hi >> 16) & 65535]) AS key
+       |    FROM ph))
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |  bit_count(xor(x.phash_hi, y.phash_hi))
+       |    + bit_count(xor(x.phash_lo, y.phash_lo)) AS hamming
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.phash_hi, y.phash_hi))
+       |    + bit_count(xor(x.phash_lo, y.phash_lo)) <= $MaxImageHamming
+       |ORDER BY a, b""".stripMargin
 
   /** Decoded image feature p (0-based, row-major RGB) is
     * pixel/255 = ((doc_id*31 + p) % 256)/255 by [[Png.pixel]]'s

@@ -87,6 +87,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
   }
 
+  test("image near-dup: a one-bit edit collides via an intact band; far pairs stay out") {
+    import spark.implicits._
+    // base hash, a 1-bit variant (near-dup), and a far hash that still
+    // shares band 0 (candidate but must FAIL the exact verify)
+    val base = (0x0123456789ABCDEFL >>> 32, 0x0123456789ABCDEFL & 0xFFFFFFFFL)
+    val oneBit = (base._1 ^ 1L, base._2)
+    val far = (base._1 ^ 0xFFFF0000L, base._2 ^ 0xFFFFFFF0L)
+    val ph = Seq(
+      (0L, base._1, base._2),
+      (1L, oneBit._1, oneBit._2),
+      (2L, far._1, far._2))
+      .toDF("doc_id", "phash_hi", "phash_lo")
+    val pairs = Multimodal.nearDupOf(ph)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.keySet == Set((0L, 1L)),
+      s"only the 1-bit variant is a near-dup: $pairs")
+    assert(pairs((0L, 1L)) == 1, "exact Hamming must be reported")
+  }
+
   test("image_phash bits equal a driver-side recompute from the pixel formula") {
     import Multimodal.Png
     val got = Multimodal.imagePhash(spark, sfDir)
