@@ -900,16 +900,33 @@ object Search {
       .sortBy(_._1).toSeq
   }
 
+  /** The derived registry, built ONCE per (session, corpus) — the
+    * sharedSigSets memo pattern: the 5-row rule table is the same for
+    * every percolator consumer (both registered forms and the bundle
+    * seed), so its corpus-vocabulary derivation should not rerun per
+    * query. Same corpus-version contract as every shared table
+    * (rewritten corpus dir ⇒ [[invalidate]] first). */
+  def sharedRegistry(spark: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val view = "graft_percreg_" + Tables.viewSuffix(dir)
+      if (!spark.catalog.tableExists(view))
+        derivedRegistry(Tables.documentsPar(spark, dir))
+          .localCheckpoint(eager = false)
+          .createOrReplaceTempView(view)
+      spark.table(view)
+    }
+
   /** Registered query: the ES percolator in its REGISTRY form — match
     * every document against the stored query set (search inverted:
     * queries are the index, documents are the probes — the
     * alerting/routing primitive), rules read from DATA
-    * ([[derivedRegistry]] — no literal rule constants in the plan).
-    * The ORACLE derives the same registry in SQL, so the rule
-    * bootstrap itself is oracle-checked, not just the matching. */
+    * ([[derivedRegistry]] via the [[sharedRegistry]] memo — no
+    * literal rule constants in the plan). The ORACLE derives the same
+    * registry in SQL, so the rule bootstrap itself is oracle-checked,
+    * not just the matching. */
   def percolate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsPar(spark, dir)
-    percolateWithRegistry(docs, derivedRegistry(docs))
+    percolateWithRegistry(docs, sharedRegistry(spark, dir))
       .orderBy("doc_id", "query_id")
   }
 
@@ -921,7 +938,7 @@ object Search {
     * contract, proven per-run by the correctness gate. */
   def percolateCompiled(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsPar(spark, dir)
-    percolateOf(docs, compileRegistry(derivedRegistry(docs)))
+    percolateOf(docs, compileRegistry(sharedRegistry(spark, dir)))
       .orderBy("doc_id", "query_id")
   }
 
@@ -2242,5 +2259,7 @@ object Search {
     * rebuilds from the directory's current bytes. */
   def invalidate(spark: SparkSession, dir: String): Unit = synchronized {
     builtIndexes -= ((spark.sparkContext.applicationId, dir))
+    spark.catalog.dropTempView("graft_percreg_" + Tables.viewSuffix(dir))
+    ()
   }
 }

@@ -104,7 +104,7 @@ object CuratedModels {
     // serving family whose "model" is authored rather than trained);
     // bootstrapped from the corpus vocabulary — rules are data end to
     // end, no literal rule constants anywhere (Search.derivedRegistry)
-    Search.derivedRegistry(Tables.documentsPar(spark, dir))
+    Search.sharedRegistry(spark, dir)
       .coalesce(1).write.mode("overwrite").parquet(s"$modelsDir/percolator")
     Dedup.persistFunnel(spark, dir, s"$modelsDir/funnel")
     if (withPq) Pq.persistPqIndex(spark, dir, s"$modelsDir/pq")
