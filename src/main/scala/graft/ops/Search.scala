@@ -571,6 +571,111 @@ object Search {
        |ORDER BY rrf DESC, doc_id LIMIT $RrfTopK""".stripMargin
   }
 
+  // ------------------------------------------------- rescore and collapse
+
+  /** Rescore window (ES `rescore.window_size`) and emitted size. */
+  val RescoreWindow = 50
+  val RescoreTopK = 20
+
+  /** Registered query: the ES `rescore` API — a cheap first phase
+    * (BM25 over [[QueryTerms]]) retrieves a [[RescoreWindow]]-doc
+    * window, an expensive second phase REORDERS that window by a
+    * different signal (cosine to the query vector — the
+    * cross-encoder stand-in; contrast [[hybridRrf]], which FUSES the
+    * two lists instead of replacing the order). Docs without an
+    * embedding keep cosine 0.0 (explicit, the ltr_features
+    * convention) and sink to the window's tail. Emits the rescored
+    * rank plus both phases' provenance (the BM25 rank it came from —
+    * what an operator inspects to see the rescore actually moved
+    * things).
+    *
+    * Shape at 100 TB: phase 1 is [[bm25TopK]]'s plan; phase 2 touches
+    * exactly [[RescoreWindow]] rows — the entire point of a rescore
+    * window (the expensive scorer never sees the corpus), so the
+    * join with embeddings is window-sized vs a column-pruned scan,
+    * and the final sort is over ≤ 50 rows. */
+  def searchRescore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val window = bm25RankedOf(Tables.documentsPar(spark, dir), QueryTerms,
+      RescoreWindow, "r_text").select($"doc_id", $"r_text")
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val cos = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id".as("doc_id"),
+        (Similarity.dotD($"embedding", $"qv") /
+          sqrt(Similarity.dotD($"embedding", $"embedding") *
+            Similarity.dotD($"qv", $"qv"))).as("cos_q"))
+    val w = Window.orderBy($"cos_q".desc, $"doc_id")
+    window.join(cos, Seq("doc_id"), "left")
+      .withColumn("cos_q", coalesce($"cos_q", lit(0.0)))
+      .orderBy($"cos_q".desc, $"doc_id").limit(RescoreTopK)
+      .withColumn("rk", row_number().over(w))
+      .select($"rk", $"doc_id", $"r_text", $"cos_q")
+      .orderBy($"rk")
+  }
+
+  val searchRescoreSql: String = {
+    val cos = s"${Similarity.dotSql("e.embedding", "q.qv")} / " +
+      s"sqrt(${Similarity.dotSql("e.embedding", "e.embedding")} * ${Similarity.dotSql("q.qv", "q.qv")})"
+    s"""WITH ${bm25Ctes(QueryTerms)},
+       |win AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_text
+       |  FROM sc WHERE n_matched > 0
+       |  ORDER BY score DESC, doc_id LIMIT $RescoreWindow),
+       |c AS (
+       |  SELECT e.vec_id AS doc_id, $cos AS cos_q
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       |  WHERE e.vec_id != 0)
+       |SELECT ROW_NUMBER() OVER (ORDER BY cos_q DESC, doc_id) AS rk,
+       |  doc_id, r_text, cos_q
+       |FROM (SELECT win.doc_id, win.r_text,
+       |        COALESCE(c.cos_q, CAST(0 AS DOUBLE)) AS cos_q
+       |      FROM win LEFT JOIN c USING (doc_id))
+       |ORDER BY cos_q DESC, doc_id LIMIT $RescoreTopK""".stripMargin
+  }
+
+  /** Registered query: ES field COLLAPSING — the ranked [[bm25TopK]]
+    * result list collapsed to each `lang`'s single best hit (dedup-on-
+    * a-field over a ranking: one result per language, the "group by
+    * field, keep top hit" every search UI offers). The collapse is a
+    * per-lang min over (rank) — rank is already total-ordered, so the
+    * struct-min aggregate replaces a window, the passage_search
+    * stance. Emits the collapsed hits re-ranked among themselves with
+    * their original rank as provenance.
+    *
+    * Shape at 100 TB: the ranking is [[bm25TopK]]'s plan; the
+    * collapse aggregates the top-[[TopK]] rows at lang grain —
+    * bounded input, bounded output. */
+  def searchCollapse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsPar(spark, dir)
+    val ranked = bm25RankedOf(docs, QueryTerms, TopK, "r_orig")
+      .select($"doc_id", $"r_orig")
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+    val w = Window.orderBy($"r_orig".asc)
+    ranked.groupBy($"lang")
+      .agg(min(struct($"r_orig", $"doc_id")).as("b"))
+      .select($"lang", $"b.doc_id".as("doc_id"), $"b.r_orig".as("r_orig"))
+      .withColumn("rk", row_number().over(w))
+      .select($"rk", $"lang", $"doc_id", $"r_orig")
+      .orderBy($"rk")
+  }
+
+  val searchCollapseSql: String =
+    s"""WITH ${bm25Ctes(QueryTerms)},
+       |r AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_orig
+       |  FROM sc WHERE n_matched > 0
+       |  ORDER BY score DESC, doc_id LIMIT $TopK),
+       |g AS (
+       |  SELECT d.lang, r.doc_id, r.r_orig,
+       |    ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY r.r_orig) AS rn
+       |  FROM r JOIN documents d USING (doc_id))
+       |SELECT ROW_NUMBER() OVER (ORDER BY r_orig) AS rk, lang, doc_id, r_orig
+       |FROM g WHERE rn = 1
+       |ORDER BY rk""".stripMargin
+
   // --------------------------------------------- pseudo-relevance feedback
 
   /** PRF depth: how many top-ranked docs feed expansion-term mining. */
