@@ -262,17 +262,32 @@ object Multimodal {
     * array — no shuffle at all before the output ORDER BY. */
   def imagePhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val n = Png.W * Png.H
-    def lum(i: Int) = (0 until 3).map(c =>
-      round(element_at($"features", 3 * i + c + 1) * 255)).reduce(_ + _)
-    val total = (0 until n).map(lum).reduce(_ + _)
-    def packed(lo: Int, hi: Int) = (lo until hi).map(i =>
-      when(lit(64) * lum(i) > total, lit(1L << (i - lo))).otherwise(0L))
-      .reduce(_ + _)
-    extractFeatures(spark, dir).toDF()
-      .filter($"mime" === "image/png")
-      .select($"doc_id", packed(32, 64).as("phash_hi"),
-        packed(0, 32).as("phash_lo"))
+    // the hash rides the SAME typed per-partition pass as the decode
+    // (pixel statistics are feature extraction — the codec-boundary
+    // carve-out); a first cut built the 64 luminance thresholds as
+    // Catalyst expressions and CollapseProject re-inlined the
+    // 192-element projection into all 64 bit conditions — a ~25k-node
+    // tree, 7 s at sf0.1 for what is one integer loop per image
+    extractFeatures(spark, dir)
+      .filter(_.mime == "image/png")
+      .map { m =>
+        val lums = Array.tabulate(Png.W * Png.H)(i =>
+          math.round(m.features(3 * i) * 255f).toLong +
+            math.round(m.features(3 * i + 1) * 255f).toLong +
+            math.round(m.features(3 * i + 2) * 255f).toLong)
+        val total = lums.sum
+        def pack(lo: Int, hi: Int): Long = {
+          var acc = 0L
+          var i = lo
+          while (i < hi) {
+            if (64L * lums(i) > total) acc |= 1L << (i - lo)
+            i += 1
+          }
+          acc
+        }
+        (m.doc_id, pack(32, 64), pack(0, 32))
+      }
+      .toDF("doc_id", "phash_hi", "phash_lo")
       .orderBy($"doc_id")
   }
 
@@ -321,7 +336,9 @@ object Multimodal {
     * shuffle keys on (band, key) — 4 rows per image, 8-byte values;
     * the verify step touches candidate pairs only. */
   def imageNearDup(spark: SparkSession, dir: String): DataFrame =
-    nearDupOf(imagePhash(spark, dir))
+    // materialized: the banded self-join consumes the hash frame
+    // twice, and decode must not run twice for it
+    nearDupOf(imagePhash(spark, dir).localCheckpoint(eager = false))
 
   /** The banded pairing on any (doc_id, phash_hi, phash_lo) frame.
     * A boilerplate-heavy image corpus (near-identical frames) grows

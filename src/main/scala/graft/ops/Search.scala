@@ -571,6 +571,108 @@ object Search {
        |ORDER BY rrf DESC, doc_id LIMIT $RrfTopK""".stripMargin
   }
 
+  // ------------------------------------------------------- bool query
+
+  /** The demo `bool` query's clauses — the four-clause ES shape. */
+  val BoolMust: Seq[String] = Seq("dup")
+  val BoolShould: Seq[String] = Seq("vector", "merge")
+  val BoolMustNot: Seq[String] = Seq("slow")
+  val BoolFilterLang = "en"
+  val MinShouldMatch = 1
+
+  /** Registered query: the ES `bool` QUERY — the compositor every
+    * real ES request is written in: `filter` (non-scoring context —
+    * here `lang`, a pushed-to-scan predicate over the doc-values
+    * field), `must` (every term present AND scoring), `must_not`
+    * (none present), `should` with `minimum_should_match` (≥ N
+    * present; the ones present score). The score is the BM25 sum over
+    * the matched must+should terms — Lucene's disjunction-sum — with
+    * per-clause df/N statistics from the SAME one-pass stats row the
+    * single-clause queries use. Rank-only emission with per-clause
+    * provenance (how many should-clauses matched — what
+    * `minimum_should_match` debugging looks at).
+    *
+    * Shape at 100 TB: identical to [[bm25TopK]] — the clause
+    * structure compiles to one codegen'd projection (gates are
+    * boolean columns, not joins), the filter reaches the parquet
+    * scan, one 1-row stats broadcast, TakeOrderedAndProject. */
+  def boolQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = BoolMust ++ BoolShould
+    val nt = TextAnalysis.norm($"text")
+    val mustNotHit = BoolMustNot
+      .map(t => TextAnalysis.hitCount(nt, Seq(t)) > 0)
+      .reduce(_ || _)
+    val f = Tables.documentsPar(spark, dir)
+      .filter($"lang" === BoolFilterLang)
+      .select(($"doc_id" +:
+        size(TextAnalysis.toks($"text")).cast("long").as("dl") +:
+        (!mustNotHit).as("not_ok") +:
+        terms.indices.map(i =>
+          TextAnalysis.hitCount(nt, Seq(terms(i))).as(s"tf${i + 1}"))): _*)
+    // stats over the FILTER context (the searchable set): df/N describe
+    // what the query can match, the Lucene per-segment convention
+    val statCols = Seq(count(lit(1)).as("n"), sum($"dl").as("sumdl")) ++
+      terms.indices.map(i =>
+        count(when(col(s"tf${i + 1}") > 0, 1)).as(s"df${i + 1}"))
+    val stats = f.agg(statCols.head, statCols.tail: _*)
+    val mustOk = BoolMust.indices
+      .map(i => col(s"tf${i + 1}") > 0).reduce(_ && _)
+    val nShould = BoolShould.indices
+      .map(i => when(col(s"tf${BoolMust.size + i + 1}") > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    val w = Window.orderBy($"score".desc, $"doc_id")
+    f.crossJoin(broadcast(stats))
+      .withColumn("n_should", nShould)
+      .filter(mustOk && $"not_ok" && $"n_should" >= MinShouldMatch)
+      .select($"doc_id", $"dl", $"n_should",
+        tfTotalCol(terms.size).as("tf_total"),
+        bm25Score(terms.size).as("score"))
+      .orderBy($"score".desc, $"doc_id").limit(TopK)
+      .withColumn("rk", row_number().over(w))
+      .select($"rk", $"doc_id", $"n_should", $"tf_total", $"dl")
+      .orderBy($"rk")
+  }
+
+  val boolQuerySql: String = {
+    val terms = BoolMust ++ BoolShould
+    val tfDefs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf${i + 1}"
+    }.mkString(",\n    ")
+    val dfDefs = terms.indices.map { i =>
+      s"COUNT(*) FILTER (WHERE tf${i + 1} > 0) AS df${i + 1}"
+    }.mkString(", ")
+    val avgdl = "(CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))"
+    val scoreTerms = terms.indices.map { i =>
+      val tf = s"CAST(f.tf${i + 1} AS DOUBLE)"
+      s"""(ln(1.0 + (CAST(s.n - s.df${i + 1} AS DOUBLE) + 0.5) / (CAST(s.df${i + 1} AS DOUBLE) + 0.5))
+         |     * (($tf * 2.2) / ($tf + 1.2 * (0.25 + 0.75 * (CAST(f.dl AS DOUBLE) / $avgdl)))))""".stripMargin
+    }.mkString("\n   + ")
+    val mustOk = BoolMust.indices.map(i => s"f.tf${i + 1} > 0").mkString(" AND ")
+    val nShould = BoolShould.indices
+      .map(i => s"CASE WHEN f.tf${BoolMust.size + i + 1} > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val mustNot = BoolMustNot
+      .map(t => s"len(list_filter(toks, x -> x = '$t')) = 0").mkString(" AND ")
+    val tfTotal = terms.indices.map(i => s"f.tf${i + 1}").mkString(" + ")
+    s"""WITH f AS (
+       |  SELECT doc_id, len(toks) AS dl, ($mustNot) AS not_ok,
+       |    $tfDefs
+       |  FROM (SELECT doc_id,
+       |          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |        FROM documents WHERE lang = '$BoolFilterLang')),
+       |s AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl, $dfDefs FROM f),
+       |sc AS (
+       |  SELECT f.doc_id, f.dl, ($nShould) AS n_should,
+       |    $tfTotal AS tf_total, $scoreTerms AS score
+       |  FROM f CROSS JOIN s
+       |  WHERE ($mustOk) AND f.not_ok)
+       |SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk,
+       |  doc_id, n_should, tf_total, dl
+       |FROM sc WHERE n_should >= $MinShouldMatch
+       |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+  }
+
   // ------------------------------------------------- rescore and collapse
 
   /** Rescore window (ES `rescore.window_size`) and emitted size. */

@@ -307,6 +307,26 @@ class SearchSpec extends SparkSpec {
       "suggester frequencies must shrink when a doc is tombstoned")
   }
 
+  test("bool query: every clause gate bites") {
+    val got = Search.boolQuery(spark, sfDir).collect()
+    assert(got.nonEmpty, "the demo bool query must match something")
+    // recompute the gates driver-side from the raw corpus
+    val byId = Tables.documentsPar(spark, sfDir)
+      .select("doc_id", "text", "lang").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    got.foreach { r =>
+      val (text, lang) = byId(r.getLong(1))
+      val toks = text.trim.toLowerCase.split("\\s+").toSet
+      assert(lang == Search.BoolFilterLang, "filter context must hold")
+      assert(Search.BoolMust.forall(toks.contains), "must terms all present")
+      assert(Search.BoolMustNot.forall(t => !toks.contains(t)),
+        "must_not excludes")
+      val nShould = Search.BoolShould.count(toks.contains)
+      assert(nShould >= Search.MinShouldMatch && nShould == r.getInt(2),
+        "minimum_should_match holds and n_should is reported truthfully")
+    }
+  }
+
   test("passage search ranks by best chunk and reports where the hit lives") {
     import graft.ops.TrainPrep
     val fill = Seq.fill(TrainPrep.ChunkStride)("filler").mkString(" ")
