@@ -673,6 +673,74 @@ object Search {
        |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
   }
 
+  /** [[boolQuery]] served FROM the index — every clause from index
+    * tables: scoring tfs from bucket-pruned postings, the `must_not`
+    * gate an anti-join against those terms' (pruned) postings, the
+    * `filter` context from the docmeta doc-values field, and the
+    * filter-context statistics (N, Σdl, per-term df) from
+    * doclen/postings joined to the same lang set. Shared scoring
+    * expressions ⇒ bit-identical to the scan path (SearchSpec pins
+    * it); tombstoned docs excluded like every serving path.
+    *
+    * Shape at 100 TB: postings prune to the query's buckets for
+    * scoring AND veto terms; the lang set is a doc-grain docmeta
+    * projection joined doc-keyed (shuffle-hash — a filter context is
+    * not provably small); stats are two 1-row broadcasts. */
+  def boolWithIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    import spark.implicits._
+    val root = requireIndex(spark, indexDir)
+    val terms = BoolMust ++ BoolShould
+    val allTerms = terms ++ BoolMustNot
+    val buckets = allTerms.map(tokBucket).distinct
+    val post = spark.read.parquet(s"$root/postings")
+      .filter($"b".isin(buckets: _*) && $"tok".isin(allTerms: _*) &&
+        $"field" === DefaultField)
+      .join(tombstones(spark, root), Seq("doc_id"), "left_anti")
+    val langDocs = spark.read.parquet(s"$root/docmeta")
+      .filter($"lang" === BoolFilterLang).select($"doc_id")
+    val scoring = post.filter($"tok".isin(terms: _*))
+      .join(langDocs, "doc_id")
+    val veto = post.filter($"tok".isin(BoolMustNot: _*)).select($"doc_id")
+    val doclen = spark.read.parquet(s"$root/doclen")
+      .filter($"field" === DefaultField)
+      .join(tombstones(spark, root), Seq("doc_id"), "left_anti")
+      .join(langDocs, "doc_id")
+      .select($"doc_id", $"dl")
+    val stats = doclen.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      count(when($"tok" === t, 1)).as(s"df${i + 1}")
+    }
+    val dfs = scoring.agg(dfCols.head, dfCols.tail: _*)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when($"tok" === t, $"tf")), lit(0L)).cast("int")
+        .as(s"tf${i + 1}")
+    }
+    val cand = scoring.groupBy($"doc_id").agg(tfCols.head, tfCols.tail: _*)
+      .join(veto, Seq("doc_id"), "left_anti")
+    val mustOk = BoolMust.indices
+      .map(i => col(s"tf${i + 1}") > 0).reduce(_ && _)
+    val nShould = BoolShould.indices
+      .map(i => when(col(s"tf${BoolMust.size + i + 1}") > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    val w = Window.orderBy($"score".desc, $"doc_id")
+    cand.join(doclen, "doc_id")
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
+      .withColumn("n_should", nShould)
+      .filter(mustOk && $"n_should" >= MinShouldMatch)
+      .select($"doc_id", $"dl", $"n_should",
+        tfTotalCol(terms.size).as("tf_total"),
+        bm25Score(terms.size).as("score"))
+      .orderBy($"score".desc, $"doc_id").limit(TopK)
+      .withColumn("rk", row_number().over(w))
+      .select($"rk", $"doc_id", $"n_should", $"tf_total", $"dl")
+      .orderBy($"rk")
+  }
+
+  /** Registered query: [[boolQuery]] SERVED from the session-shared
+    * index — oracle-checked against the same SQL as the scan path. */
+  def boolServed(spark: SparkSession, dir: String): DataFrame =
+    boolWithIndex(spark, sharedIndexDir(spark, dir))
+
   // ------------------------------------------------- rescore and collapse
 
   /** Rescore window (ES `rescore.window_size`) and emitted size. */

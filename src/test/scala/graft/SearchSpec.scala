@@ -327,6 +327,30 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("served bool query equals the scan path; clause gates hold on a crafted index") {
+    val root = java.nio.file.Files.createTempDirectory("graftbool")
+      .resolve("idx").toString
+    Search.buildSearchIndex(spark, sfDir, root)
+    assert(Search.boolWithIndex(spark, root).collect().map(_.toSeq).toSeq ==
+      Search.boolQuery(spark, sfDir).collect().map(_.toSeq).toSeq,
+      "index-served bool must equal the corpus-scan bool bit-for-bit")
+    // crafted corpus: every clause has a dedicated victim
+    val root2 = java.nio.file.Files.createTempDirectory("graftbool2")
+      .resolve("idx").toString
+    val docs = Seq(
+      (0L, "dup vector pad", "en", "web"),      // passes all clauses
+      (1L, "dup merge slow", "en", "web"),      // must_not kills it
+      (2L, "dup pad pad", "en", "web"),         // no should term
+      (3L, "vector merge pad", "en", "web"),    // must term missing
+      (4L, "dup vector pad", "de", "web"))      // filter context kills it
+      .toDF("doc_id", "text", "lang", "source")
+    Search.buildSearchIndexOf(docs, root2)
+    val got = Search.boolWithIndex(spark, root2)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(got == Seq(0L),
+      s"each clause must veto its dedicated victim, got $got")
+  }
+
   test("passage search ranks by best chunk and reports where the hit lives") {
     import graft.ops.TrainPrep
     val fill = Seq.fill(TrainPrep.ChunkStride)("filler").mkString(" ")
