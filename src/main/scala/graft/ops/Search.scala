@@ -1046,6 +1046,44 @@ object Search {
        |ORDER BY lang, source""".stripMargin
   }
 
+  /** Registered query: the ES `stats` aggregation ON A QUERY — the
+    * metric panel next to every facet widget: count/min/max/sum/avg
+    * of a numeric field (`n_chars`) over the docs matching the
+    * [[QueryTerms]] search. All emitted values are exact integers
+    * except `avg_chars`, which is ONE division of two exact integers
+    * — deterministic in both engines. One codegen'd predicate scan +
+    * a single 1-row aggregate; at 100 TB this is a map-side-combined
+    * pass with a 1-row result, the cheapest query shape there is. */
+  def searchStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nt = TextAnalysis.norm($"text")
+    val matched = QueryTerms
+      .map(t => TextAnalysis.hitCount(nt, Seq(t)) > 0)
+      .reduce(_ || _)
+    Tables.documentsPar(spark, dir)
+      .filter(matched)
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"),
+        sum($"n_chars").as("sum_chars"))
+      .withColumn("avg_chars",
+        $"sum_chars".cast("double") / $"n_docs".cast("double"))
+  }
+
+  val searchStatsSql: String = {
+    val anyTerm = QueryTerms
+      .map(t => s"len(list_filter(toks, x -> x = '$t')) > 0")
+      .mkString(" OR ")
+    s"""SELECT COUNT(*) AS n_docs,
+       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+       |FROM (SELECT n_chars,
+       |        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |      FROM documents)
+       |WHERE $anyTerm""".stripMargin
+  }
+
   /** Registered query: ES `significant_terms` — which terms are
     * over-represented in the docs MATCHING the [[QueryTerms]] search
     * relative to the whole corpus. Reuses the
