@@ -571,6 +571,48 @@ object Search {
        |ORDER BY rrf DESC, doc_id LIMIT $RrfTopK""".stripMargin
   }
 
+  // --------------------------------------------------- function_score
+
+  /** Registered query: ES `function_score` with a `field_value_factor`
+    * — relevance × a document-signal boost (the "boost popular/long
+    * docs" pattern every production ranking ships): final score =
+    * BM25 × ln(1 + n_chars), `boost_mode: multiply`, modifier `ln1p`.
+    * Reuses [[bm25ScoredOf]] verbatim for the relevance leg; the
+    * factor joins from the doc row itself (no second scan — the
+    * factor column rides the same projection via a doc_id join against
+    * the column-pruned documents read). Rank-only emission with the
+    * factor's INPUT (`n_chars`) as provenance, the class-doc ln
+    * convention.
+    *
+    * Shape at 100 TB: [[bm25TopK]]'s plan plus one doc_id-keyed join
+    * of two projections of the same table (candidates are
+    * match-set-sized; AQE may broadcast the cut side);
+    * TakeOrderedAndProject top-k. */
+  def functionScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsPar(spark, dir)
+    val w = Window.orderBy($"fscore".desc, $"doc_id")
+    bm25ScoredOf(docs, QueryTerms)
+      .filter($"n_matched" > 0)
+      .join(docs.select($"doc_id", $"n_chars"), "doc_id")
+      .withColumn("fscore", $"score" * log(lit(1.0) + $"n_chars"))
+      .orderBy($"fscore".desc, $"doc_id").limit(TopK)
+      .withColumn("rk", row_number().over(w))
+      .select($"rk", $"doc_id", $"n_matched", $"tf_total", $"dl", $"n_chars")
+      .orderBy($"rk")
+  }
+
+  val functionScoreSql: String =
+    s"""WITH ${bm25Ctes(QueryTerms)}
+       |SELECT ROW_NUMBER() OVER (ORDER BY fscore DESC, doc_id) AS rk,
+       |  doc_id, n_matched, tf_total, dl, n_chars
+       |FROM (
+       |  SELECT sc.doc_id, sc.n_matched, sc.tf_total, sc.dl, d.n_chars,
+       |    sc.score * ln(1.0 + d.n_chars) AS fscore
+       |  FROM sc JOIN documents d USING (doc_id)
+       |  WHERE sc.n_matched > 0)
+       |ORDER BY fscore DESC, doc_id LIMIT $TopK""".stripMargin
+
   // ------------------------------------------------------- bool query
 
   /** The demo `bool` query's clauses — the four-clause ES shape. */
