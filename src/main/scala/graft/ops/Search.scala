@@ -265,6 +265,15 @@ object Search {
         nMatchedCol(terms.size).as("n_matched"),
         bm25Score(terms.size).as("score"))
       .filter($"n_matched" > 0)
+    passageRank(scored, k)
+  }
+
+  /** Best-passage selection + emission on a scored chunk frame
+    * (doc_id, chunk_id, dl, tf_total, n_matched, score) — shared
+    * verbatim by the scan path and [[passageWithIndex]] (the
+    * bm25Score sharing discipline). */
+  private def passageRank(scored: DataFrame, k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
     val best = scored
       .groupBy($"doc_id")
       .agg(max(struct($"score", (-$"chunk_id").as("neg_cid"), $"chunk_id",
@@ -782,6 +791,83 @@ object Search {
     * index — oracle-checked against the same SQL as the scan path. */
   def boolServed(spark: SparkSession, dir: String): DataFrame =
     boolWithIndex(spark, sharedIndexDir(spark, dir))
+
+  /** [[passageSearch]] served FROM the index — possible ONLY because
+    * the postings are POSITIONAL: a term occurrence at 0-based
+    * position p lies in chunk k iff k·stride ≤ p < k·stride+window,
+    * i.e. k ∈ [max(0, ⌈(p−window+1)/stride⌉), ⌊p/stride⌋] (≤ 2
+    * chunks under the 48/64 overlap), so per-chunk tf is a pure
+    * position-arithmetic regrouping of stored postings; the chunk
+    * UNIVERSE (ids + lengths) and its (N, Σdl) statistics derive from
+    * doclen alone — zero corpus-text reads end to end. Integer floor
+    * divisions use Spark's `div` with a greatest(0, ·) clamp, exact
+    * for the nonneg operands here. Shared [[passageRank]] +
+    * bm25Score expressions ⇒ bit-identical to the scan path
+    * (SearchSpec pins it).
+    *
+    * Shape at 100 TB: postings prune to the query terms' buckets and
+    * position lists explode to ≤ 2 chunk rows per occurrence
+    * (term-df-bounded); the chunk universe is a doclen-grain ×~1.3
+    * projection (lengths, never text); candidates join it keyed
+    * (doc, chunk); stats and dfs are two 1-row broadcasts. */
+  def passageWithIndex(spark: SparkSession, indexDir: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    val ct = graft.ops.TrainPrep.ChunkTokens
+    val cs = graft.ops.TrainPrep.ChunkStride
+    val root = requireIndex(spark, indexDir)
+    val buckets = terms.map(tokBucket).distinct
+    val dead = tombstones(spark, root)
+    val post = spark.read.parquet(s"$root/postings")
+      .filter($"b".isin(buckets: _*) && $"tok".isin(terms: _*) &&
+        $"field" === DefaultField)
+      .join(dead, Seq("doc_id"), "left_anti")
+    val doclen = spark.read.parquet(s"$root/doclen")
+      .filter($"field" === DefaultField)
+      .join(dead, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"dl")
+    val chunks = doclen
+      .select($"doc_id", $"dl",
+        explode(sequence(lit(1L), greatest($"dl", lit(1L)), lit(cs.toLong)))
+          .as("start"))
+      .select($"doc_id",
+        floor(($"start" - 1) / cs).cast("long").as("chunk_id"),
+        greatest(least(lit(ct.toLong), $"dl" - $"start" + 1L), lit(0L))
+          .as("cdl"))
+    val stats = chunks.agg(count(lit(1)).as("n"), sum($"cdl").as("sumdl"))
+    val ctf = post
+      .select($"doc_id", $"tok", explode($"positions").as("p"))
+      .select($"doc_id", $"tok", explode(sequence(
+        greatest(lit(0L), expr(s"(p - ${ct - cs}) div $cs").cast("long")),
+        expr(s"p div $cs").cast("long"))).as("chunk_id"))
+      .groupBy($"doc_id", $"chunk_id", $"tok")
+      .agg(count(lit(1)).as("tf"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when($"tok" === t, $"tf")), lit(0L)).cast("int")
+        .as(s"tf${i + 1}")
+    }
+    val cand = ctf.groupBy($"doc_id", $"chunk_id")
+      .agg(tfCols.head, tfCols.tail: _*)
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      count(when(col(s"tf${i + 1}") > 0, 1)).as(s"df${i + 1}")
+    }
+    val dfs = cand.agg(dfCols.head, dfCols.tail: _*)
+    val scored = cand
+      .join(chunks.select($"doc_id", $"chunk_id", $"cdl".as("dl")),
+        Seq("doc_id", "chunk_id"))
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
+      .select($"doc_id", $"chunk_id", $"dl",
+        tfTotalCol(terms.size).as("tf_total"),
+        nMatchedCol(terms.size).as("n_matched"),
+        bm25Score(terms.size).as("score"))
+      .filter($"n_matched" > 0)
+    passageRank(scored, k)
+  }
+
+  /** Registered query: [[passageSearch]] SERVED from the session-shared
+    * index — oracle-checked against the same SQL as the scan path. */
+  def passageServed(spark: SparkSession, dir: String): DataFrame =
+    passageWithIndex(spark, sharedIndexDir(spark, dir), QueryTerms, PassageTopK)
 
   // ------------------------------------------------- rescore and collapse
 

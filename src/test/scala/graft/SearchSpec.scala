@@ -397,6 +397,26 @@ class SearchSpec extends SparkSpec {
     // doc 20 ranking proves it was 'companion', not 'needle' again
   }
 
+  test("served passage search equals the scan path; positions regroup exactly") {
+    val root = java.nio.file.Files.createTempDirectory("graftpassidx")
+      .resolve("idx").toString
+    Search.buildSearchIndex(spark, sfDir, root)
+    val served = Search.passageWithIndex(spark, root, Search.QueryTerms,
+      Search.PassageTopK).collect().map(_.toSeq).toSeq
+    val scanned = Search.passageSearch(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(served == scanned,
+      "per-chunk tf rebuilt from positional postings must reproduce " +
+        "the chunk-scan ranking bit-for-bit")
+    // a tombstoned top doc drops from the served ranking instantly
+    val victim = served.head(1).asInstanceOf[Long]
+    Search.deleteFromSearchIndex(spark, root, Seq(victim).toDF("doc_id"), "pd1")
+    val after = Search.passageWithIndex(spark, root, Search.QueryTerms,
+      Search.PassageTopK).collect().map(r => r.getLong(1)).toSet
+    assert(!after.contains(victim),
+      "a tombstoned doc must vanish from served passage results")
+  }
+
   test("index_stats tracks the delete → compact lifecycle") {
     val root = java.nio.file.Files.createTempDirectory("graftstats")
       .resolve("idx").toString
