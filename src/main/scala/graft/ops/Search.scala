@@ -1030,6 +1030,51 @@ object Search {
     mltRank(tf, dlF, stats, k)
   }
 
+  /** [[queryExpansion]] served FROM the index — the full PRF loop
+    * with zero corpus-text reads: the base ranking from
+    * [[scoredFromIndex]] (bit-identical ranks), feedback-term mining
+    * as a postings aggregate over the 10 broadcast feedback doc_ids
+    * (occurrence counts = Σ stored tf), term dfs from the vocab-grain
+    * postings aggregate, and the expanded-query rescore through the
+    * shared [[mltRank]] join-BM25. Tombstoned docs excluded from
+    * every stage. SearchSpec pins bit-equality with the scan path. */
+  def expansionWithIndex(spark: SparkSession, indexDir: String,
+      terms: Seq[String], fbDocs: Int, fbTerms: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val root = requireIndex(spark, indexDir)
+    val dead = tombstones(spark, root)
+    val post = spark.read.parquet(s"$root/postings")
+      .filter($"field" === DefaultField)
+      .select($"doc_id", $"tok", $"tf")
+      .join(dead, Seq("doc_id"), "left_anti")
+    val doclen = spark.read.parquet(s"$root/doclen")
+      .filter($"field" === DefaultField)
+      .join(dead, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"dl")
+    val stats = doclen.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+    val dfT = post.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val fb = scoredFromIndex(spark, root, terms)
+      .filter($"n_matched" > 0)
+      .orderBy($"score".desc, $"doc_id").limit(fbDocs)
+      .select($"doc_id")
+    val exp = post.join(broadcast(fb), Seq("doc_id"), "left_semi")
+      .filter(!$"tok".isin(terms: _*))
+      .groupBy($"tok").agg(sum($"tf").as("fbtf"))
+      .join(dfT, "tok")
+      .orderBy($"fbtf".desc, $"tok").limit(fbTerms)
+      .select($"tok", $"df")
+    val qterms = dfT.filter($"tok".isin(terms: _*)).unionByName(exp)
+    val tf = post.join(broadcast(qterms), "tok")
+      .select($"doc_id", $"df", $"tf")
+    mltRank(tf, doclen, stats, k)
+  }
+
+  /** Registered query: [[queryExpansion]] SERVED from the session-
+    * shared index — oracle-checked against the same SQL. */
+  def expansionServed(spark: SparkSession, dir: String): DataFrame =
+    expansionWithIndex(spark, sharedIndexDir(spark, dir), QueryTerms,
+      PrfFbDocs, PrfFbTerms, PrfTopK)
+
   val queryExpansionSql: String = {
     val inList = QueryTerms.map(t => s"'$t'").mkString(", ")
     val avgdl = "(CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))"

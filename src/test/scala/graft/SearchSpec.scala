@@ -417,6 +417,19 @@ class SearchSpec extends SparkSpec {
       "a tombstoned doc must vanish from served passage results")
   }
 
+  test("served query expansion equals the scan path bit-for-bit") {
+    val root = java.nio.file.Files.createTempDirectory("graftprfidx")
+      .resolve("idx").toString
+    Search.buildSearchIndex(spark, sfDir, root)
+    val served = Search.expansionWithIndex(spark, root, Search.QueryTerms,
+      Search.PrfFbDocs, Search.PrfFbTerms, Search.PrfTopK)
+      .collect().map(_.toSeq).toSeq
+    val scanned = Search.queryExpansion(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(served == scanned,
+      "the full PRF loop served from the index must equal the corpus scan")
+  }
+
   test("index_stats tracks the delete → compact lifecycle") {
     val root = java.nio.file.Files.createTempDirectory("graftstats")
       .resolve("idx").toString
