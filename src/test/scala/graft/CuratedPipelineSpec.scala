@@ -285,10 +285,10 @@ class CuratedPipelineSpec extends SparkSpec {
     val arrivalRows = (batch1 ++ batch2)
       .filter(r => r.text != null && r.text.trim.nonEmpty)
       .filter(r => gotIds.contains(r.doc_id) && !baseIds.contains(r.doc_id))
-      .map(r => (r.doc_id, r.text)).distinct.toSeq
+      .map(r => (r.doc_id, r.text, r.lang, r.source)).distinct.toSeq
     val unionDocs = Tables.documents(spark, corpusDir)
-      .select($"doc_id", $"text")
-      .unionByName(arrivalRows.toDF("doc_id", "text"))
+      .select($"doc_id", $"text", $"lang", $"source")
+      .unionByName(arrivalRows.toDF("doc_id", "text", "lang", "source"))
     val wholeIdx = tmp("graftcurwholeidx") + "/idx"
     graft.ops.Search.buildSearchIndexOf(unionDocs, wholeIdx)
     val servedStream = graft.ops.Search.searchWithIndex(spark, idxDir,
@@ -299,6 +299,14 @@ class CuratedPipelineSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(servedStream == servedWhole,
       "stream-maintained search index must rank like a whole rebuild")
+    // the doc-values table is stream-maintained too: facets served
+    // from the streamed index equal the whole-rebuild facets (the
+    // arrival batches' lang/source landed in docmeta)
+    assert(graft.ops.Search.facetsWithIndex(spark, idxDir,
+        graft.ops.Search.QueryTerms).collect().map(_.toSeq).toSeq ==
+      graft.ops.Search.facetsWithIndex(spark, wholeIdx,
+        graft.ops.Search.QueryTerms).collect().map(_.toSeq).toSeq,
+      "stream-maintained doc-values facets must equal the whole rebuild")
     val idxRowsBefore = spark.read.parquet(s"${graft.ops.Search.indexRoot(spark, idxDir)}/postings").count()
 
     // ---- replay: the SAME batch through the batch seam changes nothing
