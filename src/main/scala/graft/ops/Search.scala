@@ -2581,6 +2581,41 @@ object Search {
        |GROUP BY field
        |ORDER BY field""".stripMargin
 
+  /** The doc whose term vectors the registered query serves. */
+  val TermVectorsDoc = 0L
+
+  /** Registered query: [[termVectors]] of doc [[TermVectorsDoc]] from
+    * the session-shared index, positions comma-serialized (the
+    * agg_collect array-emission convention). The ORACLE rebuilds the
+    * full indexed view — per-term tf, the sorted position list, and
+    * corpus df — from the raw text, so the postings' positional
+    * payload itself is oracle-checked value-for-value, not just the
+    * rankings derived from it. */
+  def termVectorsServed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    termVectors(spark, sharedIndexDir(spark, dir), TermVectorsDoc)
+      .select($"tok", $"tf", concat_ws(",", $"positions").as("positions"),
+        $"df")
+      .orderBy($"tok")
+  }
+
+  val termVectorsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, toks[i] AS tok, i - 1 AS pos
+       |  FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+       |tv AS (
+       |  SELECT tok, COUNT(*) AS tf,
+       |    array_to_string(list_sort(list(pos)), ',') AS positions
+       |  FROM pos WHERE doc_id = $TermVectorsDoc GROUP BY tok),
+       |dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY tok)
+       |SELECT tv.tok, tv.tf, tv.positions, dft.df
+       |FROM tv JOIN dft USING (tok)
+       |ORDER BY tok""".stripMargin
+
   /** ES term-vectors API: one document's indexed view — its terms
     * with tf, positions, and each term's corpus df — straight from
     * the index tables (the relevance-debugging endpoint: "why does

@@ -457,6 +457,53 @@ class SearchSpec extends SparkSpec {
       "compaction purges: same live numbers, deleted counter back to 0")
   }
 
+  test("stopword mass lands in other buckets: rare-term cost flat under 4× skew") {
+    // every doc carries a universal stopword; the rare term lives in
+    // 2 docs. Quadrupling the STOPWORD mass must not change what a
+    // rare-term query reads — term-hash bucketing isolates the skew.
+    val stop = "the"
+    val rare = "zyzzyva"
+    assert(Search.tokBucket(stop) != Search.tokBucket(rare),
+      "fixture precondition: the two terms hash to different buckets")
+    def corpus(stopReps: Int) = (0L until 200L).map { i =>
+      val body = Seq.fill(stopReps)(stop) ++ Seq(s"u${i}a", s"u${i}b") ++
+        (if (i < 2) Seq(rare) else Seq.empty)
+      (i, body.mkString(" "))
+    }.toDF("doc_id", "text")
+    val r1 = java.nio.file.Files.createTempDirectory("graftskew1")
+      .resolve("idx").toString
+    val r2 = java.nio.file.Files.createTempDirectory("graftskew2")
+      .resolve("idx").toString
+    Search.buildSearchIndexOf(corpus(10), r1)
+    Search.buildSearchIndexOf(corpus(40), r2)
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) { bytesRead.addAndGet(m.inputMetrics.bytesRead); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (b1, b2) = try {
+      org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
+      val s0 = bytesRead.get()
+      Search.searchWithIndex(spark, r1, Seq(rare), 5).collect()
+      org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
+      val s1 = bytesRead.get()
+      Search.searchWithIndex(spark, r2, Seq(rare), 5).collect()
+      org.apache.spark.graftbench.BenchBridge.drainListeners(spark.sparkContext)
+      (s1 - s0, bytesRead.get() - s1)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    info(f"rare-term bytes: base $b1%,d vs 4x-stopword $b2%,d")
+    assert(b2 < b1 * 3 / 2,
+      s"rare-term query read $b2 bytes under 4× stopword mass vs $b1 — " +
+        "the skewed term's bucket is not isolated")
+    // both rankings agree on the rare docs, of course
+    assert(Search.searchWithIndex(spark, r2, Seq(rare), 5)
+      .collect().map(_.getLong(1)).toSet == Set(0L, 1L))
+  }
+
   test("index serving prunes postings partitions to the query's buckets") {
     val root = java.nio.file.Files.createTempDirectory("graftsearchidx2")
       .resolve("idx").toString
