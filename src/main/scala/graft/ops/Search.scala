@@ -2561,6 +2561,31 @@ object Search {
   def indexStatsServed(spark: SparkSession, dir: String): DataFrame =
     indexStats(spark, sharedIndexDir(spark, dir))
 
+  /** ES `_cat/segments`: the per-EPOCH breakdown an operator reads to
+    * decide when to compact — one row per epoch with its live doc
+    * count, postings rows, and how many of its docs are tombstoned
+    * (deleted-but-unmerged). An epoch-count explosion or a high
+    * deleted fraction is the compaction trigger; after
+    * [[compactSearchIndex]] this collapses to one `base` row with
+    * zero deleted. Index-tables-only, field = [[DefaultField]]. */
+  def indexSegments(spark: SparkSession, indexDir: String): DataFrame = {
+    import spark.implicits._
+    val root = requireIndex(spark, indexDir)
+    val dead = tombstones(spark, root).withColumn("is_dead", lit(1L))
+    val doclen = spark.read.parquet(s"$root/doclen")
+      .filter($"field" === DefaultField)
+      .join(dead, Seq("doc_id"), "left")
+    val post = spark.read.parquet(s"$root/postings")
+      .filter($"field" === DefaultField)
+      .groupBy($"epoch").agg(count(lit(1)).as("n_postings"))
+    doclen.groupBy($"epoch")
+      .agg(count(when($"is_dead".isNull, 1)).as("n_docs"),
+        count(when($"is_dead".isNotNull, 1)).as("n_deleted"))
+      .join(post, "epoch")
+      .select($"epoch", $"n_docs", $"n_deleted", $"n_postings")
+      .orderBy($"epoch")
+  }
+
   val indexStatsSql: String =
     s"""WITH t AS (
        |  SELECT doc_id,

@@ -504,6 +504,28 @@ class SearchSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet == Set(0L, 1L))
   }
 
+  test("index segments view drives the compaction decision") {
+    val root = java.nio.file.Files.createTempDirectory("graftsegs")
+      .resolve("idx").toString
+    Search.buildSearchIndexOf(
+      Seq((0L, "alpha beta"), (1L, "beta gamma")).toDF("doc_id", "text"), root)
+    Search.appendToSearchIndex(spark, root,
+      Seq((2L, "alpha delta")).toDF("doc_id", "text"), epoch = "e1")
+    Search.deleteFromSearchIndex(spark, root, Seq(0L).toDF("doc_id"), "d1")
+    def segs() = Search.indexSegments(spark, root).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val before = segs()
+    assert(before.keySet == Set("base", "e1"), s"two epochs: $before")
+    assert(before("base") == ((1L, 1L, 4L)),
+      s"base: 1 live + 1 tombstoned doc, 4 postings rows: $before")
+    assert(before("e1") == ((1L, 0L, 2L)))
+    Search.compactSearchIndex(spark, root)
+    val after = segs()
+    assert(after.keySet == Set("base") && after("base") == ((2L, 0L, 4L)),
+      s"compaction collapses epochs and purges the deleted doc: $after")
+  }
+
   test("index serving prunes postings partitions to the query's buckets") {
     val root = java.nio.file.Files.createTempDirectory("graftsearchidx2")
       .resolve("idx").toString
