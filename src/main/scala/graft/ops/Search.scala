@@ -1329,6 +1329,43 @@ object Search {
        |ORDER BY freq DESC, token
        |LIMIT $SuggestK""".stripMargin
 
+  /** A MISSPELLED prefix for the fuzzy suggester (no vocabulary term
+    * starts with it; "sca…" completions sit one edit away). */
+  val FuzzySuggestPrefix = "scon"
+  /** Edit budget for the fuzzy suggester — declared HERE, before the
+    * SQL string that interpolates it (the object-init-order rule the
+    * class doc warns about: [[FuzzyMaxDist]] lives later in the file
+    * and would read as 0 inside this section's string literals). */
+  val FuzzySuggestDist = 1
+
+  /** Registered query: the completion suggester WITH FUZZINESS — the
+    * ES `completion` suggester's `fuzzy` option, the typo-tolerant
+    * autocomplete every search box ships: a completion matches when
+    * the same-length prefix of the candidate term is within edit
+    * distance 1 of what the user typed. Vocabulary-grain work like
+    * [[suggestPrefix]] (the Levenshtein runs on the term dictionary,
+    * never the corpus), ranked by corpus frequency. */
+  def suggestFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pl = FuzzySuggestPrefix.length
+    Tables.documentsPar(spark, dir)
+      .select(explode(TextAnalysis.toks($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+      .filter(levenshtein(substring($"token", 1, pl),
+        lit(FuzzySuggestPrefix)) <= FuzzySuggestDist)
+      .orderBy($"freq".desc, $"token")
+      .limit(SuggestK)
+  }
+
+  val suggestFuzzySql: String =
+    s"""SELECT token, COUNT(*) AS freq
+       |FROM (SELECT UNNEST(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+       |      FROM documents)
+       |GROUP BY token
+       |HAVING levenshtein(token[1:${FuzzySuggestPrefix.length}], '$FuzzySuggestPrefix') <= $FuzzySuggestDist
+       |ORDER BY freq DESC, token
+       |LIMIT $SuggestK""".stripMargin
+
   // ----------------------------------------------------------- percolator
 
   /** How the DEMO rule registry is derived from the corpus itself —
