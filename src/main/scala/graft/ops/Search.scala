@@ -1397,10 +1397,16 @@ object Search {
     val singles = ranked.filter($"r" <= RegistrySingleRules)
       .select($"r".cast("long").as("query_id"), array($"tok").as("terms"))
     // the pair rule's term order is irrelevant to the conjunction;
-    // sorted for a deterministic stored row
+    // sorted for a deterministic stored row. On a degenerate corpus
+    // with ≤ RegistrySingleRules distinct tokens the aggregate would
+    // emit an EMPTY terms array — a malformed rule the join form
+    // silently drops but percolateOf refuses, so the two registered
+    // forms sharing this registry would diverge; filter it out so
+    // both see the same well-formed rule set
     val pair = ranked.filter($"r" > RegistrySingleRules)
       .agg(array_sort(collect_list($"tok")).as("terms"))
       .select(lit(RegistryPairId).as("query_id"), $"terms")
+      .filter(size($"terms") > 0)
     singles.unionByName(pair)
   }
 
@@ -1839,13 +1845,19 @@ object Search {
     * object store (no atomic directory rename) can still serve via a
     * conditional put of the pointer object. */
   private def commitPointer(spark: SparkSession, indexDir: String,
-      ver: String): Unit = {
+      ver: String): Unit =
+    commitPointerFile(spark, s"$indexDir/$CurrentPointer", ver)
+
+  /** The one atomic-replace primitive every pointer commit shares:
+    * write a temp file, rename-with-OVERWRITE onto the pointer. */
+  private def commitPointerFile(spark: SparkSession, pointerPath: String,
+      value: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/$CurrentPointer.tmp")
-    val cur = new org.apache.hadoop.fs.Path(s"$indexDir/$CurrentPointer")
+    val tmp = new org.apache.hadoop.fs.Path(s"$pointerPath.tmp")
+    val cur = new org.apache.hadoop.fs.Path(pointerPath)
     val fs = tmp.getFileSystem(conf)
     val out = fs.create(tmp, true)
-    try out.write(ver.getBytes("UTF-8")) finally out.close()
+    try out.write(value.getBytes("UTF-8")) finally out.close()
     org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
       .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
@@ -1900,20 +1912,23 @@ object Search {
       indexDir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val src = new org.apache.hadoop.fs.Path(snapDir)
-    val fs = src.getFileSystem(conf)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(src, SnapshotMarker)))
+    // snapshot store and index may be different filesystems (s3a
+    // backup, hdfs serving) — resolve a handle per side
+    val srcFs = src.getFileSystem(conf)
+    val dstFs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
+    if (!srcFs.exists(new org.apache.hadoop.fs.Path(src, SnapshotMarker)))
       throw new IllegalStateException(
         s"restoreIndex: $snapDir has no $SnapshotMarker — incomplete " +
           "or crashed snapshot; refuse to serve a partial backup")
     // resolve the OUTGOING version BEFORE the repoint — it must be
     // retained one generation for in-flight readers
     val prevRoot = indexRoot(spark, indexDir)
-    val ver = nextVersion(fs, indexDir)
+    val ver = nextVersion(dstFs, indexDir)
     val dst = new org.apache.hadoop.fs.Path(s"$indexDir/$ver")
-    fs.mkdirs(dst)
-    fs.listStatus(src).foreach { st =>
+    dstFs.mkdirs(dst)
+    srcFs.listStatus(src).foreach { st =>
       if (st.getPath.getName != SnapshotMarker)
-        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+        org.apache.hadoop.fs.FileUtil.copy(srcFs, st.getPath, dstFs,
           new org.apache.hadoop.fs.Path(dst, st.getPath.getName),
           false, conf)
     }
@@ -1946,17 +1961,22 @@ object Search {
     val conf = spark.sessionState.newHadoopConf()
     val srcRoot = requireIndex(spark, srcDir)
     val fs = new org.apache.hadoop.fs.Path(dstDir).getFileSystem(conf)
+    // resolve a FileSystem PER PATH: primary and follower may live on
+    // different filesystems (hdfs primary, s3a follower) — one handle
+    // reused across both breaks there
     def epochsOf(root: String, table: String): Set[String] = {
       val p = new org.apache.hadoop.fs.Path(s"$root/$table")
-      if (!fs.exists(p)) Set.empty
-      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      val pfs = p.getFileSystem(conf)
+      if (!pfs.exists(p)) Set.empty
+      else pfs.listStatus(p).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("epoch=")).toSet
     }
     def fullResync(): Unit = {
       val ver = nextVersion(fs, dstDir)
       val dst = new org.apache.hadoop.fs.Path(s"$dstDir/$ver")
       fs.mkdirs(dst)
-      fs.listStatus(new org.apache.hadoop.fs.Path(srcRoot)).foreach { st =>
+      val srcPath = new org.apache.hadoop.fs.Path(srcRoot)
+      srcPath.getFileSystem(conf).listStatus(srcPath).foreach { st =>
         if (!st.getPath.getName.startsWith(CurrentPointer))
           org.apache.hadoop.fs.FileUtil.copy(st.getPath.getFileSystem(conf),
             st.getPath, fs,
@@ -1995,27 +2015,35 @@ object Search {
             s"syncIndex: failed to land epoch $ep for $t at $dstRoot")
       }
     }
-    // tombstones replicate by FULL staged swap, not epoch delta:
-    // epoch reuse legally UNIONS victims into an existing tombstone
-    // partition (deleteFromSearchIndex), so tombstone epochs are not
-    // immutable and a name-match must not be trusted. The swap
-    // renames the old table aside before landing the new one, so
-    // every crash window leaves either the old or the new set
-    // visible — never none (no resurrection window).
-    val srcTomb = new org.apache.hadoop.fs.Path(s"$srcRoot/tombstones")
-    if (fs.exists(srcTomb)) {
-      val stage = new org.apache.hadoop.fs.Path(s"$dstRoot/_sync_tombstones")
-      val live = new org.apache.hadoop.fs.Path(s"$dstRoot/tombstones")
-      val old = new org.apache.hadoop.fs.Path(s"$dstRoot/_old_tombstones")
-      if (fs.exists(stage)) fs.delete(stage, true)
-      if (fs.exists(old)) fs.delete(old, true)
+    // tombstones replicate by FULL GENERATION REPLACE, not epoch
+    // delta: epoch reuse legally UNIONS victims into an existing
+    // tombstone partition (deleteFromSearchIndex), so tombstone
+    // epochs are not immutable and a name-match must not be trusted.
+    // The synced set lands in a fresh tombstones_g… dir and the
+    // _tombstones pointer flips via the same rename-OVERWRITE every
+    // version commit uses — so EVERY crash window leaves exactly one
+    // committed set visible: the old until the pointer flips, the new
+    // after. (A rename-aside swap has a between-renames window with
+    // NO set visible; a crash there would serve deleted docs until
+    // the next sync — a deletion-safety regression this replaces.)
+    val srcTomb = new org.apache.hadoop.fs.Path(tombDir(spark, srcRoot))
+    if (srcTomb.getFileSystem(conf).exists(srcTomb)) {
+      val gen = nextTombGen(fs, dstRoot)
+      val stage = new org.apache.hadoop.fs.Path(s"$dstRoot/$gen")
       org.apache.hadoop.fs.FileUtil.copy(
         srcTomb.getFileSystem(conf), srcTomb, fs, stage, false, conf)
-      if (fs.exists(live)) fs.rename(live, old)
-      if (!fs.rename(stage, live))
-        throw new IllegalStateException(
-          s"syncIndex: failed to land tombstones at $dstRoot")
-      fs.delete(old, true)
+      val prevName = new org.apache.hadoop.fs.Path(tombDir(spark, dstRoot))
+        .getName
+      commitPointerFile(spark, s"$dstRoot/$TombPointer", gen)
+      // retain the superseded set ONE generation for in-flight
+      // readers that resolved it before the flip (the pruneVersions
+      // discipline); reclaim everything older
+      fs.listStatus(new org.apache.hadoop.fs.Path(dstRoot)).foreach { st =>
+        val n = st.getPath.getName
+        val isTomb = n == "tombstones" ||
+          TombGenRe.pattern.matcher(n).matches()
+        if (isTomb && n != gen && n != prevName) fs.delete(st.getPath, true)
+      }
     }
   }
 
@@ -2080,19 +2108,48 @@ object Search {
   }
 
   /** Append a batch of documents to an existing index as epoch
-    * `epoch`. Idempotent under replay: both tables partition by epoch
-    * and the write uses dynamic partition overwrite, so re-appending
-    * the same epoch REPLACES its partitions instead of duplicating
-    * rows — the [[graft.streaming.IngestPipeline]] K1 sink contract,
-    * applied to the index. Write order inside an epoch is doclen THEN
-    * postings, so a failure between them leaves doclen rows without
-    * postings: the affected docs are unsearchable (no postings ⇒
-    * never candidates, df unaffected) and only nudge N/avgdl until
-    * repaired — the benign direction; re-running the same append
-    * converges the epoch to exactly-once state. */
+    * `epoch`. Idempotent under replay: every table partitions by
+    * epoch and a re-append REPLACES the epoch's partitions instead of
+    * duplicating rows — the [[graft.streaming.IngestPipeline]] K1
+    * sink contract, applied to the index.
+    *
+    * Unlike a build (whole-version pointer isolation) an append lands
+    * in the LIVE resolved version, so it stages first: all three
+    * tables' epoch data is written under an underscore dir (invisible
+    * to parquet listing), then lands by per-table rename ordered
+    * postings → doclen → docmeta. A reader between renames can see
+    * the epoch's postings without its doclen rows — those docs join
+    * away as candidates and the term dfs briefly lead N/Σdl, nudging
+    * scores DOWN uniformly — but stats never lead postings (the
+    * inverse window would inflate N/Σdl against docs that cannot
+    * match at all). A crash mid-staging leaves the live tables
+    * untouched; a crash mid-landing is repaired by re-running the
+    * same append, which converges the epoch to exactly-once state.
+    * (The per-epoch replace on replay is delete+rename — the only
+    * non-atomic window left, and it exists only while repairing or
+    * rewriting that one epoch.) */
   def appendToSearchIndex(spark: SparkSession, indexDir: String,
-      docs: DataFrame, epoch: String): Unit =
-    writeEpoch(docs, indexRoot(spark, indexDir), epoch)
+      docs: DataFrame, epoch: String): Unit = {
+    val root = indexRoot(spark, indexDir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = s"$root/_append_$epoch"
+    writeEpoch(docs, stage, epoch)
+    Seq("postings", "doclen", "docmeta").foreach { t =>
+      val src = new org.apache.hadoop.fs.Path(s"$stage/$t/epoch=$epoch")
+      val dstDir = new org.apache.hadoop.fs.Path(s"$root/$t")
+      val dst = new org.apache.hadoop.fs.Path(dstDir, s"epoch=$epoch")
+      fs.mkdirs(dstDir)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      // a zero-row table (e.g. postings of an all-empty-text batch)
+      // stages no partition dir — landing it is just the delete above
+      if (fs.exists(src) && !fs.rename(src, dst))
+        throw new IllegalStateException(
+          s"appendToSearchIndex: failed to land epoch $epoch for $t " +
+            s"at $root")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
 
   /** The mapping's KEYWORD (doc-values) fields — stored doc-grain in
     * the index's `docmeta` table so facet aggregations serve without
@@ -2305,13 +2362,16 @@ object Search {
   def searchCursor(spark: SparkSession, indexDir: String,
       terms: Seq[String], k: Int): Option[(Double, Long)] = {
     import spark.implicits._
-    val page = scoredFromIndex(spark, requireIndex(spark, indexDir), terms)
+    // ONE job: the page is bounded by limit(k), so collecting it and
+    // reading both the row count and the tail from the array costs k
+    // driver rows — running a separate count() would re-execute the
+    // whole index-scoring pipeline a second time per cursor fetch
+    val rows = scoredFromIndex(spark, requireIndex(spark, indexDir), terms)
       .filter($"n_matched" > 0)
       .orderBy($"score".desc, $"doc_id").limit(k)
-    val tail = page.orderBy($"score".asc, $"doc_id".desc).limit(1)
       .select($"score", $"doc_id").collect()
-    if (page.count() < k) None
-    else tail.headOption.map(r => (r.getDouble(0), r.getLong(1)))
+    if (rows.length < k) None
+    else Some((rows.last.getDouble(0), rows.last.getLong(1)))
   }
 
   /** Registered query: page TWO of the [[bm25Served]] ranking via
@@ -2737,8 +2797,12 @@ object Search {
     // A replay of the same request unions to the identical set —
     // still idempotent. Snapshot the union BEFORE the overwrite (the
     // purgeRows never-read-what-you-replace discipline).
+    // write into the RESOLVED tombstone dir: on a synced follower the
+    // _tombstones pointer names a generation dir, and a write to the
+    // flat path would be shadowed (invisible to every query path)
+    val tomb = tombDir(spark, root)
     val existing = {
-      val p = new org.apache.hadoop.fs.Path(s"$root/tombstones/epoch=$epoch")
+      val p = new org.apache.hadoop.fs.Path(s"$tomb/epoch=$epoch")
       if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
         spark.read.parquet(p.toString).select($"doc_id")
       else spark.emptyDataset[Long].toDF("doc_id")
@@ -2747,17 +2811,59 @@ object Search {
       .select($"doc_id", lit(epoch).as("epoch"))
       .localCheckpoint()
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("epoch").parquet(s"$root/tombstones")
+      .partitionBy("epoch").parquet(tomb)
   }
 
   /** The tombstone set of an index, empty when none were ever
     * written. */
   private def tombstones(spark: SparkSession, indexDir: String): DataFrame = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val p = new org.apache.hadoop.fs.Path(tombDir(spark, indexDir))
     if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
       spark.read.parquet(p.toString).select($"doc_id").distinct()
     else spark.emptyDataset[Long].toDF("doc_id")
+  }
+
+  /** Pointer file naming the ACTIVE tombstone generation under a
+    * version root. Local deletes write the flat `tombstones` table
+    * in place (parquet dynamic overwrite commits per-partition);
+    * follower REPLACEMENT of the whole set ([[syncIndex]]) instead
+    * lands a fresh `tombstones_g…` dir and flips this pointer via the
+    * same rename-OVERWRITE [[commitPointer]] uses — so there is never
+    * a moment with neither the old nor the new set visible (a
+    * rename-aside swap has exactly that window, and a crash inside it
+    * would serve deleted docs until the next sync). */
+  private[graft] val TombPointer = "_tombstones"
+  private val TombGenRe = "^tombstones_g(\\d{10})$".r
+
+  /** Resolve the live tombstone table dir under `root`: the
+    * generation the [[TombPointer]] names when present, else the flat
+    * `tombstones` dir every local write path uses. */
+  private def tombDir(spark: SparkSession, root: String): String = {
+    val cur = new org.apache.hadoop.fs.Path(s"$root/$TombPointer")
+    val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(cur)) {
+      val in = fs.open(cur)
+      val gen =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      s"$root/$gen"
+    } else s"$root/tombstones"
+  }
+
+  /** Next tombstone generation name under `root` — counts orphans
+    * from crashed syncs so a new copy never reuses a partial dir
+    * (the [[nextVersion]] discipline). */
+  private def nextTombGen(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): String = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val existing =
+      if (fs.exists(p))
+        fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+          case TombGenRe(n) => n.toLong
+        }
+      else Seq.empty
+    "tombstones_g%010d".format((existing :+ 0L).max + 1)
   }
 
   /** Compact an index's accumulated epochs back into the single

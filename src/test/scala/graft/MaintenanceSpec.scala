@@ -370,6 +370,56 @@ class MaintenanceSpec extends SparkSpec {
       "follower statistics must equal the primary's after resync")
   }
 
+  test("follower tombstones commit by pointer: no resurrection window, local deletes write through") {
+    import spark.implicits._
+    import graft.ops.Search
+    val base = Files.createTempDirectory("grafttombptr")
+    val primary = base.resolve("primary").toString
+    val follower = base.resolve("follower").toString
+    def servedIds(dir: String): Set[Long] =
+      Search.searchWithIndex(spark, dir, Seq("alpha"), 10)
+        .collect().map(_.getLong(1)).toSet
+    Search.buildSearchIndexOf(Seq(
+      (0L, "alpha beta"), (1L, "alpha gamma"), (2L, "alpha delta"))
+      .toDF("doc_id", "text"), primary)
+    Search.syncIndex(spark, primary, follower)
+    Search.deleteFromSearchIndex(spark, primary, Seq(0L).toDF("doc_id"), "d1")
+    Search.syncIndex(spark, primary, follower)
+    assert(servedIds(follower) == Set(1L, 2L))
+    // the synced set is pointer-committed: the _tombstones file names
+    // a generation dir — the atomic-flip mechanism, so no crash
+    // window ever has neither set visible
+    val fRoot = Search.indexRoot(spark, follower)
+    assert(new java.io.File(fRoot, Search.TombPointer).exists,
+      "sync must commit tombstones through the generation pointer")
+    // a crashed sync's orphan generation (copied, pointer never
+    // flipped) must not affect serving — and the next sync must not
+    // reuse its name
+    new java.io.File(fRoot, "tombstones_g0000000099").mkdirs()
+    assert(servedIds(follower) == Set(1L, 2L),
+      "an uncommitted generation dir must be invisible")
+    // a LOCAL delete on the synced follower writes through the
+    // pointer — a write to the flat path would be shadowed (invisible
+    // to every query), silently un-deleting nothing
+    Search.deleteFromSearchIndex(spark, follower, Seq(1L).toDF("doc_id"), "lo")
+    assert(servedIds(follower) == Set(2L),
+      "local deletes on a synced follower must bite immediately")
+    // repeated syncs retain ONE superseded generation (in-flight
+    // reader discipline) and reclaim everything older
+    Search.deleteFromSearchIndex(spark, primary, Seq(2L).toDF("doc_id"), "d2")
+    Search.syncIndex(spark, primary, follower)
+    Search.syncIndex(spark, primary, follower)
+    val gens = new java.io.File(fRoot).listFiles.map(_.getName)
+      .filter(n => n == "tombstones" || n.startsWith("tombstones_g")).toSet
+    assert(gens.size <= 2,
+      s"sync must reclaim generations beyond current+previous: $gens")
+    // the follower mirrors the PRIMARY's set after a sync (CCR
+    // semantics): d1+d2 tombstone {0,2}; the local-only "lo" delete
+    // is superseded by the replacement, so doc 1 serves again
+    assert(servedIds(follower) == Set(1L),
+      "sync must replace the follower's set with the primary's")
+  }
+
   test("snapshot → mutate → restore returns the index to its snapshot state") {
     import spark.implicits._
     import graft.ops.Search

@@ -912,6 +912,25 @@ class SearchSpec extends SparkSpec {
     assert(compiled.nonEmpty)
   }
 
+  test("derivedRegistry on a degenerate corpus: no empty pair rule, both forms agree") {
+    // exactly RegistrySingleRules distinct tokens: the pair aggregate
+    // would otherwise emit a rule with an EMPTY terms array — dropped
+    // silently by the join form, refused loudly by percolateOf; the
+    // registry must be well-formed so the two forms can't diverge
+    val tiny = Seq((0L, "aa bb"), (1L, "bb cc"), (2L, "aa cc dd"))
+      .toDF("doc_id", "text")
+    val registry = Search.derivedRegistry(tiny)
+    assert(registry.filter(size(col("terms")) === 0).isEmpty,
+      "a degenerate corpus must emit no empty-terms rule")
+    assert(registry.count() == 4, "the 4 single rules survive")
+    val compiled = Search.percolateOf(tiny, Search.compileRegistry(registry))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val joined = Search.percolateWithRegistry(tiny, registry).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(joined == compiled && compiled.nonEmpty,
+      "both percolator forms must serve the degenerate registry identically")
+  }
+
   test("compileRegistry refuses a registry-scale rule set loudly") {
     val big = (1L to (Search.MaxCompiledRules + 1).toLong)
       .map(i => (i, Seq(s"t$i"))).toDF("query_id", "terms")
