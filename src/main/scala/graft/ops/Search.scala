@@ -113,7 +113,7 @@ object Search {
     * rankings — are bit-identical by construction, not by test alone.
     * Expects columns tf1..tfk (integral), df1..dfk, n, sumdl, dl in
     * scope. Literal discipline per class doc. */
-  private def bm25ScoreOf(k: Int, tf: Int => Column, df: Int => Column,
+  private[graft] def bm25ScoreOf(k: Int, tf: Int => Column, df: Int => Column,
       dl: Column, sumdl: Column, n: Column): Column = {
     val avgdl = sumdl.cast("double") / n.cast("double")
     val lnorm = lit(0.25) + lit(0.75) * (dl.cast("double") / avgdl)
