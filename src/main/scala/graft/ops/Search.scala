@@ -2293,14 +2293,41 @@ object Search {
     * frame, so a page-2 keyset filter compares against bit-identical
     * doubles). Cost shape documented at [[searchWithIndex]]. */
   private def scoredFromIndex(spark: SparkSession, root: String,
+      terms: Seq[String]): DataFrame =
+    scoredFromIndexes(spark, Seq(root), terms)
+
+  /** The multi-index generalization: postings, lengths, and tombstones
+    * UNION across the resolved roots and the corpus statistics
+    * (N, Σdl, per-term df) derive from the union — so a query across
+    * k indices ranks exactly as if their documents lived in ONE index
+    * (SearchSpec pins the bit-equality). This is how ES serves an
+    * alias or `idx1,idx2` target: per-shard statistics merge into
+    * global ones before scoring. Assumes the admission-screening
+    * contract every index here is built under — a doc_id lives in
+    * exactly one index — so the union never double-counts a document.
+    *
+    * Shape at 100 TB: the per-index reads keep their pruning (the
+    * union is of ALREADY bucket-pruned, term-filtered postings scans),
+    * the stats stay two 1-row broadcast aggregates over the union, and
+    * candidates stay term-df-sized. Cost is the sum of the per-index
+    * query costs — independent of how many OTHER indices exist, which
+    * is why daily-index layouts page this way. */
+  private def scoredFromIndexes(spark: SparkSession, roots: Seq[String],
       terms: Seq[String]): DataFrame = {
     import spark.implicits._
     val buckets = terms.map(tokBucket).distinct
-    val post = spark.read.parquet(s"$root/postings")
-      .filter($"b".isin(buckets: _*) && $"tok".isin(terms: _*) &&
-        $"field" === DefaultField)
-    val doclen = spark.read.parquet(s"$root/doclen")
-      .filter($"field" === DefaultField)
+    val post = roots.map { root =>
+      spark.read.parquet(s"$root/postings")
+        .filter($"b".isin(buckets: _*) && $"tok".isin(terms: _*) &&
+          $"field" === DefaultField)
+        .select($"tok", $"doc_id", $"tf")
+    }.reduce(_ unionByName _)
+    val doclen = roots.map { root =>
+      spark.read.parquet(s"$root/doclen")
+        .filter($"field" === DefaultField)
+        .select($"doc_id", $"dl")
+    }.reduce(_ unionByName _)
+    val dead = roots.map(tombstones(spark, _)).reduce(_ unionByName _)
     val stats = doclen.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
       count(when($"tok" === t, 1)).as(s"df${i + 1}")
@@ -2311,11 +2338,30 @@ object Search {
         .as(s"tf${i + 1}")
     }
     val cand = post.groupBy($"doc_id").agg(tfCols.head, tfCols.tail: _*)
-      .join(tombstones(spark, root), Seq("doc_id"), "left_anti")
-    cand.join(doclen.select($"doc_id", $"dl"), "doc_id")
+      .join(dead, Seq("doc_id"), "left_anti")
+    cand.join(doclen, "doc_id")
       .crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
       .select($"doc_id", $"dl", tfTotalCol(terms.size).as("tf_total"),
         nMatchedCol(terms.size).as("n_matched"), bm25Score(terms.size).as("score"))
+  }
+
+  /** ES multi-index search (`GET /idx1,idx2/_search`, or an alias
+    * spanning daily indices): rank across every given index under the
+    * MERGED statistics — see [[scoredFromIndexes]]. Each root resolves
+    * once, so a concurrent repoint of any member cannot tear the
+    * query. */
+  def searchAcrossIndexes(spark: SparkSession, indexDirs: Seq[String],
+      terms: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    require(indexDirs.nonEmpty, "searchAcrossIndexes: no indices given")
+    val roots = indexDirs.map(requireIndex(spark, _))
+    val w = Window.orderBy($"score".desc, $"doc_id")
+    scoredFromIndexes(spark, roots, terms)
+      .filter($"n_matched" > 0)
+      .orderBy($"score".desc, $"doc_id").limit(k)
+      .withColumn("rk", row_number().over(w))
+      .select($"rk", $"doc_id", $"n_matched", $"tf_total", $"dl")
+      .orderBy($"rk")
   }
 
   // ------------------------------------------------- search_after paging
@@ -2943,6 +2989,34 @@ object Search {
     * the corpus lands, serve every query from postings. */
   def bm25Served(spark: SparkSession, dir: String): DataFrame =
     searchWithIndex(spark, sharedIndexDir(spark, dir), QueryTerms, TopK)
+
+  /** TWO disjoint session-shared indices over the corpus (doc_id
+    * parity split) — the daily-index-pair stand-in the multi-index
+    * query serves across. Memoized like [[sharedIndexDir]]. */
+  private def sharedSplitIndexDirs(spark: SparkSession,
+      dir: String): Seq[String] = synchronized {
+    import spark.implicits._
+    val base = sys.props("java.io.tmpdir") +
+      "/graft_splitidx_" + Tables.viewSuffix(dir)
+    val dirs = Seq(s"$base/even", s"$base/odd")
+    val key = (spark.sparkContext.applicationId, dir + "#split")
+    if (!builtIndexes.contains(key)) {
+      val docs = Tables.documentsPar(spark, dir)
+      buildSearchIndexOf(docs.filter($"doc_id" % 2 === 0), dirs.head)
+      buildSearchIndexOf(docs.filter($"doc_id" % 2 =!= 0), dirs(1))
+      builtIndexes += key
+    }
+    dirs
+  }
+
+  /** Registered query: the [[QueryTerms]] ranking served ACROSS two
+    * disjoint indices ([[searchAcrossIndexes]]) — the oracle is the
+    * whole-corpus scan SQL, so the oracle-green IS the merged-
+    * statistics proof: stats computed across the indices must
+    * reproduce the single-corpus ranking exactly. */
+  def searchMultiIndex(spark: SparkSession, dir: String): DataFrame =
+    searchAcrossIndexes(spark, sharedSplitIndexDirs(spark, dir),
+      QueryTerms, TopK)
 
   /** Drop the session-shared index memo for `dir` — the next consumer
     * rebuilds from the directory's current bytes. */

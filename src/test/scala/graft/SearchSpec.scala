@@ -207,6 +207,37 @@ class SearchSpec extends SparkSpec {
       "fewer matches than the page size must yield no cursor")
   }
 
+  test("multi-index search under merged stats equals the single-index ranking") {
+    val base = java.nio.file.Files.createTempDirectory("graftmidx")
+    val whole = base.resolve("whole").toString
+    val even = base.resolve("even").toString
+    val odd = base.resolve("odd").toString
+    val docs = Tables.documentsPar(spark, sfDir).select($"doc_id", $"text")
+    Search.buildSearchIndexOf(docs, whole)
+    Search.buildSearchIndexOf(docs.filter($"doc_id" % 2 === 0), even)
+    Search.buildSearchIndexOf(docs.filter($"doc_id" % 2 =!= 0), odd)
+    val one = Search.searchWithIndex(spark, whole, Search.QueryTerms, 30)
+      .collect().map(_.toSeq).toSeq
+    val multi = Search.searchAcrossIndexes(spark, Seq(even, odd),
+      Search.QueryTerms, 30).collect().map(_.toSeq).toSeq
+    assert(multi == one,
+      "N+Σdl+df merged across indices must reproduce the one-index " +
+        "ranking bit-for-bit — the alias/daily-index contract")
+    // a delete in ONE member index is excluded from the merged view
+    val victim = one.head(1).asInstanceOf[Long]
+    Search.deleteFromSearchIndex(spark,
+      if (victim % 2 == 0) even else odd, Seq(victim).toDF("doc_id"), "d")
+    val afterDel = Search.searchAcrossIndexes(spark, Seq(even, odd),
+      Search.QueryTerms, 30).collect().map(_.getLong(1)).toSeq
+    val survivors = one.map(_(1).asInstanceOf[Long]).filterNot(_ == victim)
+    assert(!afterDel.contains(victim) && afterDel.take(29) == survivors,
+      "a member-index tombstone must drop the doc, leaving the rest ordered")
+    // the empty list refuses rather than serving an all-indices default
+    intercept[IllegalArgumentException] {
+      Search.searchAcrossIndexes(spark, Seq.empty, Search.QueryTerms, 10)
+    }
+  }
+
   test("served facets and significant_terms equal the scan paths; facets skip the corpus") {
     val root = java.nio.file.Files.createTempDirectory("graftfacets")
       .resolve("idx").toString
