@@ -19,39 +19,52 @@ import graft.Tables
   *
   * Supported clauses (the ES core an ingest-search service serves):
   * `bool` (must / should / must_not / filter / minimum_should_match),
-  * `match` (analyzed OR-of-terms, BM25-scored), `match_phrase`
-  * (adjacency, scored as a term with tf = phrase frequency), `term`
-  * (keyword/numeric equality — scores PURE IDF in query context, the
-  * exact Lucene number for a norms-off keyword field: tf=1 and dl=1
-  * make BM25's tf part (1·(k1+1))/(1+k1) ≡ 1), `terms`
-  * (OR-of-equalities, unscored — the constant-score convention),
-  * `range` (gte/gt/lte/lt), `exists`, `match_all`. Anything else
-  * refuses LOUDLY with the supported list named — a silently-dropped
-  * clause would return wrong hits, the worst failure mode a query
-  * language can have.
+  * `match` (analyzed OR-of-terms, BM25-scored, on either analyzed
+  * field — `text` or the title-like `head`, mapping.json's name/type
+  * pair — with an optional clause `boost`), `multi_match`
+  * (`best_fields` dis_max across per-field BM25 scores with `^boost`
+  * field weights — the ES `fields: ["name^2", "type"]` convention),
+  * `match_phrase` (adjacency, scored as a term with tf = POSITIONAL
+  * phrase frequency — overlapping occurrences count, Lucene's exact
+  * semantics), `term` (keyword/numeric equality — scores PURE IDF in
+  * query context, the exact Lucene number for a norms-off keyword
+  * field: tf=1 and dl=1 make BM25's tf part (1·(k1+1))/(1+k1) ≡ 1),
+  * `terms` (OR-of-equalities, unscored — the constant-score
+  * convention), `range` (gte/gt/lte/lt), `exists`, `match_all`.
+  * Anything else — clause types, bool sections, body keys, AND
+  * clause-level modifier keys (`operator`, `fuzziness`, …) — refuses
+  * LOUDLY with the supported set named: a silently-dropped clause or
+  * modifier would return hits ES excludes, the worst failure mode a
+  * query language can have.
   *
   * Scoring: query-context clauses (must, should) sum their
   * contributions — [[Search.bm25ScoreOf]], the ONE score expression
   * the scan and index paths share, so a DSL `match` ranks
   * bit-identically to [[Search.bm25TopK]]. Filter-context clauses
   * (filter, must_not) gate matching with no score — ES's own
-  * filter-context contract. A `should` beside a `must` is optional
-  * (minimum_should_match defaults 0) but still adds score when it
-  * hits; alone it defaults to minimum_should_match 1 — both ES
-  * defaults.
+  * filter-context contract — and their clauses contribute NO
+  * statistics either: a filter-context `match` needs its tf columns
+  * for the predicate but no df/N/Σdl, so none are aggregated for it.
+  * A `should` beside a `must` is optional (minimum_should_match
+  * defaults 0) but still adds score when it hits; alone it defaults
+  * to minimum_should_match 1 — both ES defaults.
   *
   * The ORACLE IS GENERATED FROM THE SAME AST ([[dslSql]]): one
   * recursion emits the Spark Column and the DuckDB SQL text in
   * lockstep, so predicate structure and floating-point ADDITION ORDER
   * are identical by construction — any supported DSL query is
-  * oracle-checkable for free, not just the registered one.
+  * oracle-checkable for free, not just the registered ones.
   *
   * Shape at 100 TB: identical to [[Search.bm25ScoredOf]] — one corpus
   * scan projecting codegen'd per-term counts plus ONLY the fields the
   * query references (column pruning reaches the parquet scan), one
   * 1-row broadcast stats aggregate, top-k as TakeOrderedAndProject.
-  * The filter-context predicates ride the same scan: a pure-filter
-  * DSL query is a pushed-down parquet filter, nothing more. */
+  * A SCORELESS query (no query-context clause producing a score)
+  * skips the stats aggregate and broadcast join entirely, and a query
+  * with no match/phrase clause at all never reads or tokenizes the
+  * text column — a pure-filter DSL query compiles to exactly the
+  * pushed-down parquet filter + top-k, nothing more (DslSpec pins the
+  * plan). */
 object Dsl {
 
   // ------------------------------------------------------------- AST
@@ -60,14 +73,37 @@ object Dsl {
   final case class BoolQ(must: Seq[Node], should: Seq[Node],
       mustNot: Seq[Node], filter: Seq[Node],
       minShould: Option[Int]) extends Node
-  final case class MatchQ(field: String, terms: Seq[String]) extends Node
-  final case class PhraseQ(field: String, terms: Seq[String]) extends Node
-  final case class TermQ(field: String, value: Scalar) extends Node
+  final case class MatchQ(field: String, terms: Seq[String],
+      boost: BigDecimal) extends Node
+  final case class MultiMatchQ(fields: Seq[(String, BigDecimal)],
+      terms: Seq[String], boost: BigDecimal) extends Node
+  final case class PhraseQ(field: String, terms: Seq[String],
+      boost: BigDecimal) extends Node
+  final case class TermQ(field: String, value: Scalar,
+      boost: BigDecimal) extends Node
   final case class TermsQ(field: String, values: Seq[Scalar]) extends Node
   final case class RangeQ(field: String, bounds: Seq[(String, Scalar)])
     extends Node
   final case class ExistsQ(field: String) extends Node
   case object MatchAllQ extends Node
+
+  /** Aggregation request (`"aggs"` beside `"query"` — the other half
+    * of a real ES search body; the reference's index exists to be
+    * aggregated over, mapping.json's date fields). One level of
+    * nesting: bucket aggs (terms / date_histogram / histogram) may
+    * carry ONE `stats` sub-aggregation. */
+  sealed trait AggNode { def field: String }
+  final case class TermsAgg(field: String, topN: Int) extends AggNode
+  final case class DateHistAgg(field: String) extends AggNode
+  final case class HistAgg(field: String, interval: Long) extends AggNode
+  final case class StatsAgg(field: String) extends AggNode
+  final case class AggSpec(name: String, agg: AggNode,
+      sub: Option[(String, StatsAgg)])
+
+  /** A parsed search body: `{"query": …, "size": n, "aggs": …}`.
+    * `query` defaults to match_all (the ES default); any OTHER body
+    * key refuses loudly ([[parseBody]]). */
+  final case class Body(query: Node, size: Int, aggs: Seq[AggSpec])
 
   /** A JSON scalar a term/range clause compares against, carrying its
     * Spark literal and its SQL literal so both compilers emit the
@@ -90,26 +126,54 @@ object Dsl {
     def sql: String = v.toString
   }
 
-  /** ES's default result size. */
+  /** ES's default result size, and its default max result window —
+    * a `size` past the window refuses like ES does (deep paging is
+    * [[Search.searchAfterWithIndex]]'s job, not a giant limit). */
   val DefaultSize = 10
+  val MaxResultWindow = 10000
+
+  /** The corpus's analyzed text fields — [[Search.DefaultField]] (the
+    * whole document) and [[Search.HeadField]] (the first
+    * [[Search.HeadLen]] tokens, the title-like field). match /
+    * match_phrase / multi_match address these; anything else refuses. */
+  val AnalyzedFields: Seq[String] = Seq(Search.DefaultField, Search.HeadField)
 
   // ----------------------------------------------------------- parse
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"dsl: $msg")
 
-  /** Parse an ES search body: `{"query": {...}, "size": n}`. */
-  def parseQuery(json: String): (Node, Int) = {
-    val root = JsonMethods.parse(json)
+  private val one = BigDecimal(1)
+
+  /** Parse an ES search body. Top-level keys are WHITELISTED — a body
+    * carrying `from`, `sort`, `_source`, … refuses loudly instead of
+    * returning page-1 default-sorted results that silently ignore the
+    * request. `size: 0` is legal (the aggregations-only convention);
+    * a missing `query` is match_all (the ES default). */
+  def parseBody(json: String): Body = {
+    val root = JsonMethods.parse(json) match {
+      case o: JObject => o
+      case other => fail(s"body must be a JSON object, got $other")
+    }
+    val known = Set("query", "size", "aggs")
+    root.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+      .foreach(k => fail(s"unsupported body key '$k' — supported: " +
+        "aggs, query, size"))
     val size = root \ "size" match {
       case JNothing => DefaultSize
-      case JInt(n) if n > 0 => n.toInt
-      case v => fail(s"size must be a positive integer, got $v")
+      case JInt(n) if n >= 0 && n <= MaxResultWindow => n.toInt
+      case JInt(n) => fail(s"size must be in [0, $MaxResultWindow], got $n")
+      case v => fail(s"size must be an integer, got $v")
     }
-    root \ "query" match {
-      case JNothing => fail("body has no \"query\"")
-      case q => (node(q), size)
+    val q = root \ "query" match {
+      case JNothing => MatchAllQ // the ES default
+      case qq => node(qq)
     }
+    val aggs = root \ "aggs" match {
+      case JNothing => Seq.empty
+      case a => parseAggs(a)
+    }
+    Body(q, size, aggs)
   }
 
   /** The same normalization [[TextAnalysis.norm]]+tokenize applies to
@@ -135,15 +199,42 @@ object Dsl {
     case other => fail(s"bool.$ctx must be an array of clauses, got $other")
   }
 
+  private def checkAnalyzed(field: String, clause: String): Unit =
+    if (!AnalyzedFields.contains(field))
+      fail(s"$clause.$field: not an analyzed text field — analyzed " +
+        s"fields: ${AnalyzedFields.mkString(", ")} (keyword/numeric " +
+        "fields take term/terms/range/exists)")
+
+  private def boostOf(o: JValue): BigDecimal = o \ "boost" match {
+    case JNothing => one
+    case JInt(n) => BigDecimal(n)
+    case JLong(n) => BigDecimal(n)
+    case JDouble(d) => BigDecimal(d)
+    case JDecimal(d) => d
+    case v => fail(s"boost must be a number, got $v")
+  }
+
   /** One text argument: `{"match": {"text": "a b"}}` or the long form
-    * `{"match": {"text": {"query": "a b"}}}`. */
-  private def queryText(body: JValue, clause: String): (String, String) =
+    * `{"match": {"text": {"query": "a b", "boost": 2}}}`. Modifier
+    * keys beyond the supported set (`operator`, `fuzziness`, …)
+    * refuse LOUDLY — extracting only `query` and compiling an
+    * `operator: "and"` body to OR-of-terms would return hits ES
+    * excludes, exactly the silently-changed-semantics failure this
+    * module's contract bans. */
+  private def queryText(body: JValue,
+      clause: String): (String, String, BigDecimal) =
     body match {
-      case JObject(List((field, JString(s)))) => (field, s)
-      case JObject(List((field, o: JObject))) => o \ "query" match {
-        case JString(s) => (field, s)
-        case _ => fail(s"$clause.$field needs a \"query\" string")
-      }
+      case JObject(List((field, JString(s)))) => (field, s, one)
+      case JObject(List((field, o: JObject))) =>
+        val known = Set("query", "boost")
+        o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+          .foreach(k => fail(s"$clause.$field has unsupported option " +
+            s"'$k' — supported: boost, query (a silently-dropped " +
+            "modifier would change which documents match)"))
+        o \ "query" match {
+          case JString(s) => (field, s, boostOf(o))
+          case _ => fail(s"$clause.$field needs a \"query\" string")
+        }
       case other => fail(s"$clause expects {field: text}, got $other")
     }
 
@@ -172,22 +263,70 @@ object Dsl {
           nodeSeq(body \ "must_not", "must_not"),
           nodeSeq(body \ "filter", "filter"), msm)
       case "match" =>
-        val (field, text) = queryText(body, "match")
+        val (field, text, boost) = queryText(body, "match")
+        checkAnalyzed(field, "match")
         val terms = analyzed(text)
         if (terms.isEmpty) fail(s"match.$field has no terms after analysis")
-        MatchQ(field, terms)
+        MatchQ(field, terms, boost)
       case "match_phrase" =>
-        val (field, text) = queryText(body, "match_phrase")
+        val (field, text, boost) = queryText(body, "match_phrase")
+        checkAnalyzed(field, "match_phrase")
         val terms = analyzed(text)
         if (terms.isEmpty)
           fail(s"match_phrase.$field has no terms after analysis")
-        PhraseQ(field, terms)
+        PhraseQ(field, terms, boost)
+      case "multi_match" => body match {
+        case o: JObject =>
+          val known = Set("query", "fields", "type", "boost")
+          o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+            .foreach(k => fail(s"multi_match has unsupported option '$k' " +
+              "— supported: boost, fields, query, type"))
+          val text = o \ "query" match {
+            case JString(s) => s
+            case _ => fail("multi_match needs a \"query\" string")
+          }
+          o \ "type" match {
+            case JNothing | JString("best_fields") => ()
+            case JString(t) => fail(s"multi_match type '$t' unsupported — " +
+              "only best_fields (dis_max over per-field scores)")
+            case other => fail(s"multi_match type must be a string, got $other")
+          }
+          val specs = o \ "fields" match {
+            case JArray(fs) if fs.nonEmpty => fs.map {
+              case JString(spec) => spec.split('^') match {
+                case Array(f) => checkAnalyzed(f, "multi_match"); (f, one)
+                case Array(f, b) =>
+                  checkAnalyzed(f, "multi_match")
+                  val bd = try BigDecimal(b) catch {
+                    case _: NumberFormatException =>
+                      fail(s"multi_match field boost in '$spec' is not numeric")
+                  }
+                  (f, bd)
+                case _ => fail(s"multi_match field spec '$spec' — " +
+                  "expected \"field\" or \"field^boost\"")
+              }
+              case other => fail(s"multi_match fields must be strings, got $other")
+            }
+            case _ => fail("multi_match needs a non-empty \"fields\" array")
+          }
+          if (specs.map(_._1).distinct.size != specs.size)
+            fail("multi_match lists a field twice")
+          val terms = analyzed(text)
+          if (terms.isEmpty) fail("multi_match has no terms after analysis")
+          MultiMatchQ(specs, terms, boostOf(o))
+        case other => fail(s"multi_match expects an object, got $other")
+      }
       case "term" => body match {
-        case JObject(List((field, o: JObject))) => o \ "value" match {
-          case JNothing => fail(s"term.$field needs a \"value\"")
-          case value => TermQ(field, scalar(value))
-        }
-        case JObject(List((field, value))) => TermQ(field, scalar(value))
+        case JObject(List((field, o: JObject))) =>
+          val known = Set("value", "boost")
+          o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+            .foreach(k => fail(s"term.$field has unsupported option '$k' " +
+              "— supported: boost, value"))
+          o \ "value" match {
+            case JNothing => fail(s"term.$field needs a \"value\"")
+            case value => TermQ(field, scalar(value), boostOf(o))
+          }
+        case JObject(List((field, value))) => TermQ(field, scalar(value), one)
         case other => fail(s"term expects {field: value}, got $other")
       }
       case "terms" => body match {
@@ -212,7 +351,8 @@ object Dsl {
       }
       case "match_all" => MatchAllQ
       case other => fail(s"unsupported query type '$other' — supported: " +
-        "bool, match, match_phrase, term, terms, range, exists, match_all")
+        "bool, match, match_phrase, multi_match, term, terms, range, " +
+        "exists, match_all")
     }
     case JObject(fields) =>
       fail(s"a query clause must have exactly one key, got " +
@@ -220,43 +360,180 @@ object Dsl {
     case other => fail(s"a query clause must be an object, got $other")
   }
 
-  // ------------------------------------------- clause/field inventory
+  // ------------------------------------------------------ parse aggs
 
-  private def children(n: Node): Seq[Node] = n match {
-    case BoolQ(m, s, mn, f, _) => m ++ s ++ mn ++ f
-    case _ => Seq.empty
+  private def parseAggs(v: JValue): Seq[AggSpec] = v match {
+    case JObject(entries) =>
+      if (entries.isEmpty) fail("aggs is empty")
+      if (entries.map(_._1).distinct.size != entries.size)
+        fail("aggs names an aggregation twice")
+      entries.map { case (name, body) => parseAggSpec(name, body, sub = false) }
+    case other => fail(s"aggs must be an object, got $other")
   }
 
-  private def collect[A](n: Node)(pf: PartialFunction[Node, Seq[A]]): Seq[A] =
-    pf.applyOrElse(n, (_: Node) => Seq.empty[A]) ++
-      children(n).flatMap(collect(_)(pf))
+  private def aggField(spec: JValue, name: String,
+      known: Set[String]): String = {
+    spec match {
+      case o: JObject =>
+        o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+          .foreach(k => fail(s"agg '$name' has unsupported option '$k' — " +
+            s"supported: ${known.toSeq.sorted.mkString(", ")}"))
+      case other => fail(s"agg '$name' expects an object, got $other")
+    }
+    spec \ "field" match {
+      case JString(f) => f
+      case _ => fail(s"agg '$name' needs a \"field\"")
+    }
+  }
 
-  /** Distinct match terms in first-appearance order — the column
-    * order of the feature frame, shared by both compilers. */
-  private def matchTerms(n: Node): Seq[String] =
-    collect(n) { case MatchQ(_, ts) => ts }.distinct
+  private def parseAggSpec(name: String, body: JValue,
+      sub: Boolean): AggSpec = body match {
+    case JObject(entries) =>
+      val (subEntries, typeEntries) = entries.partition(_._1 == "aggs")
+      val subSpec = subEntries match {
+        case Nil => None
+        case List((_, JObject(List((sn, sb))))) =>
+          if (sub) fail(s"agg '$name': sub-aggregations nest one level only")
+          parseAggSpec(sn, sb, sub = true).agg match {
+            case s: StatsAgg => Some((sn, s))
+            case _ => fail(s"sub-aggregation '$sn' must be stats — bucket " +
+              "aggs nest one stats metric")
+          }
+        case List((_, JObject(_))) =>
+          fail(s"agg '$name': aggs must hold exactly one sub-aggregation")
+        case _ => fail(s"agg '$name': aggs must be an object")
+      }
+      val agg = typeEntries match {
+        case List((tpe, spec)) => tpe match {
+          case "terms" =>
+            val f = aggField(spec, name, Set("field", "size"))
+            val n = spec \ "size" match {
+              case JNothing => DefaultSize
+              case JInt(x) if x > 0 && x <= MaxResultWindow => x.toInt
+              case v => fail(s"agg '$name' size must be a positive integer " +
+                s"≤ $MaxResultWindow, got $v")
+            }
+            TermsAgg(f, n)
+          case "date_histogram" =>
+            val f = aggField(spec, name, Set("field", "calendar_interval"))
+            spec \ "calendar_interval" match {
+              case JString("day") => ()
+              case JNothing => fail(s"agg '$name' needs calendar_interval")
+              case v => fail(s"agg '$name': only calendar_interval \"day\" " +
+                s"is supported, got $v")
+            }
+            DateHistAgg(f)
+          case "histogram" =>
+            val f = aggField(spec, name, Set("field", "interval"))
+            spec \ "interval" match {
+              case JInt(x) if x > 0 => HistAgg(f, x.toLong)
+              case v => fail(s"agg '$name' interval must be a positive " +
+                s"integer, got $v (fractional intervals would bucket by " +
+                "double arithmetic — not supported)")
+            }
+          case "stats" =>
+            if (subSpec.nonEmpty)
+              fail(s"agg '$name': stats is a metric — it takes no aggs")
+            StatsAgg(aggField(spec, name, Set("field")))
+          case other => fail(s"unsupported aggregation type '$other' — " +
+            "supported: date_histogram, histogram, stats, terms")
+        }
+        case Nil => fail(s"agg '$name' has no aggregation type")
+        case more => fail(s"agg '$name' must have exactly one type, got " +
+          more.map(_._1).mkString(", "))
+      }
+      if (subSpec.nonEmpty && agg.isInstanceOf[StatsAgg])
+        fail(s"agg '$name': stats is a metric — it takes no aggs")
+      AggSpec(name, agg, subSpec)
+    case other => fail(s"agg '$name' expects an object, got $other")
+  }
 
-  private def phraseList(n: Node): Seq[Seq[String]] =
-    collect(n) { case PhraseQ(_, ts) => Seq(ts) }.distinct
+  // ------------------------------------------- clause/field inventory
+
+  /** Collect over the AST with the CONTEXT flag Lucene calls "query
+    * vs filter context": children of must/should inherit, children of
+    * filter/must_not are filter-context (scored = false). Statistics
+    * are aggregated only for scored clauses — a filter-context match
+    * gates on its tf columns but contributes no df/Σdl work. */
+  private def collectCtx[A](n: Node, scored: Boolean)(
+      pf: PartialFunction[(Node, Boolean), Seq[A]]): Seq[A] =
+    pf.applyOrElse((n, scored), (_: (Node, Boolean)) => Seq.empty[A]) ++
+      (n match {
+        case BoolQ(m, s, mn, fl, _) =>
+          (m ++ s).flatMap(collectCtx(_, scored)(pf)) ++
+            (mn ++ fl).flatMap(collectCtx(_, false)(pf))
+        case _ => Seq.empty
+      })
+
+  /** Distinct (field, term) match keys in first-appearance order —
+    * the column order of the feature frame, shared by both
+    * compilers. */
+  private def tkeysOf(n: Node): Seq[(String, String)] = collectCtx(n, true) {
+    case (MatchQ(f, ts, _), _) => ts.map((f, _))
+    case (MultiMatchQ(fs, ts, _), _) =>
+      fs.flatMap { case (f, _) => ts.map((f, _)) }
+  }.distinct
+
+  private def tkeysScoredOf(n: Node): Seq[(String, String)] =
+    collectCtx(n, true) {
+      case (MatchQ(f, ts, _), true) => ts.map((f, _))
+      case (MultiMatchQ(fs, ts, _), true) =>
+        fs.flatMap { case (f, _) => ts.map((f, _)) }
+    }.distinct
+
+  private def pkeysOf(n: Node): Seq[(String, Seq[String])] =
+    collectCtx(n, true) { case (PhraseQ(f, ts, _), _) => Seq((f, ts)) }.distinct
+
+  private def pkeysScoredOf(n: Node): Seq[(String, Seq[String])] =
+    collectCtx(n, true) { case (PhraseQ(f, ts, _), true) => Seq((f, ts)) }
+      .distinct
 
   /** Non-text fields the query references (term/terms/range/exists) —
     * ONLY these are projected, so column pruning reaches the scan. */
-  private def exactFields(n: Node): Seq[String] = collect(n) {
-    case TermQ(f, _) => Seq(f)
-    case TermsQ(f, _) => Seq(f)
-    case RangeQ(f, _) => Seq(f)
-    case ExistsQ(f) => Seq(f)
+  private def exactFields(n: Node): Seq[String] = collectCtx(n, true) {
+    case (TermQ(f, _, _), _) => Seq(f)
+    case (TermsQ(f, _), _) => Seq(f)
+    case (RangeQ(f, _), _) => Seq(f)
+    case (ExistsQ(f), _) => Seq(f)
   }.distinct
 
-  /** Distinct `term` clauses — each needs a doc-frequency statistic,
-    * because ES scores a term query on a keyword field as PURE IDF:
-    * keyword fields index one token with norms off, so Lucene's BM25
-    * tf part is (tf·(k1+1))/(tf+k1) = 2.2/2.2 = 1 and the clause's
-    * query-context contribution is idf(df(value)) exactly. */
-  private def termClauses(n: Node): Seq[(String, Scalar)] =
-    collect(n) { case TermQ(f, v) => Seq((f, v)) }.distinct
+  /** Distinct SCORED `term` clauses — each needs a doc-frequency
+    * statistic, because ES scores a term query on a keyword field as
+    * PURE IDF: keyword fields index one token with norms off, so
+    * Lucene's BM25 tf part is (tf·(k1+1))/(tf+k1) = 2.2/2.2 = 1 and
+    * the clause's query-context contribution is idf(df(value))
+    * exactly. Filter-context term clauses need no statistic. */
+  private def ktsScoredOf(n: Node): Seq[(String, Scalar)] =
+    collectCtx(n, true) { case (TermQ(f, v, _), true) => Seq((f, v)) }.distinct
+
+  /** True when EVERY document satisfying the predicate carries at
+    * least one query term — the condition under which an index-served
+    * evaluation may restrict its candidate universe to the
+    * (df-bounded) term-matched docs instead of scanning doc-values
+    * for the whole corpus. Conservative by construction: must_not and
+    * optional shoulds never count. */
+  private[ops] def requiresText(n: Node): Boolean = n match {
+    case _: MatchQ | _: PhraseQ | _: MultiMatchQ => true
+    case BoolQ(m, s, _, fl, msm) =>
+      m.exists(requiresText) || fl.exists(requiresText) ||
+        (m.isEmpty && fl.isEmpty && s.nonEmpty &&
+          msm.getOrElse(1) >= 1 && s.forall(requiresText))
+    case _ => false
+  }
 
   // ----------------------------------------------------- compilation
+
+  /** Shared naming between the two compilers and the two serving
+    * paths: feature and statistic column names keyed by the clause
+    * inventory's index maps. */
+  private def dlName(field: String): String =
+    if (field == Search.DefaultField) "dl" else "hdl"
+  private def sumdlName(field: String): String =
+    if (field == Search.DefaultField) "sumdl" else "hsumdl"
+
+  private type TIdx = Map[(String, String), Int]
+  private type PIdx = Map[(String, Seq[String]), Int]
+  private type KIdx = Map[(String, Scalar), Int]
 
   /** Both compilers' output, emitted by ONE recursion so the Spark
     * plan and the oracle SQL agree on predicate structure and on
@@ -266,12 +543,13 @@ object Dsl {
   private case class C(pred: Column, predSql: String,
       score: Option[(Column, String)])
 
-  private def termScoreSql(tf: String, df: String): String = {
-    val avgdl = "(CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))"
+  private def termScoreSql(tf: String, df: String, dl: String,
+      sumdl: String): String = {
+    val avgdl = s"(CAST(s.$sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))"
     val t = s"CAST(f.$tf AS DOUBLE)"
     s"(ln(1.0 + (CAST(s.n - s.$df AS DOUBLE) + 0.5) / " +
       s"(CAST(s.$df AS DOUBLE) + 0.5)) * (($t * 2.2) / " +
-      s"($t + 1.2 * (0.25 + 0.75 * (CAST(f.dl AS DOUBLE) / $avgdl)))))"
+      s"($t + 1.2 * (0.25 + 0.75 * (CAST(f.$dl AS DOUBLE) / $avgdl)))))"
   }
 
   /** The keyword idf — same literal shape as [[Search.bm25ScoreOf]]'s
@@ -287,39 +565,73 @@ object Dsl {
     (parts.map(_._1).reduce(_ + _),
       parts.map(_._2).mkString("(", "\n   + ", ")"))
 
-  private def compile(n: Node, tfIdx: Map[String, Int],
-      pfIdx: Map[Seq[String], Int], ktIdx: Map[(String, Scalar), Int],
-      textField: String): C = n match {
-    case MatchQ(field, terms) =>
-      if (field != textField)
-        fail(s"match.$field: the corpus has one analyzed text field " +
-          s"('$textField'); index-served multi-field queries are " +
-          "Search.bm25Multifield's business")
-      val parts = terms.map { t =>
-        val i = tfIdx(t)
-        (Search.bm25ScoreOf(1, _ => col(s"qtf$i"), _ => col(s"qdf$i"),
-          col("dl"), col("sumdl"), col("n")),
-          termScoreSql(s"qtf$i", s"qdf$i"))
-      }
-      val pred = terms.map(t => col(s"qtf${tfIdx(t)}") > 0).reduce(_ || _)
-      val predSql = terms.map(t => s"f.qtf${tfIdx(t)} > 0")
+  /** Clause boost: a ×1 boost emits NOTHING (the un-boosted clause
+    * compiles exactly as before boosts existed); otherwise both
+    * compilers multiply the whole clause sum by the same double. */
+  private def boosted(p: (Column, String), b: BigDecimal): (Column, String) =
+    if (b == one) p
+    else (p._1 * lit(b.toDouble),
+      s"(${p._2} * CAST(${b.underlying.toPlainString} AS DOUBLE))")
+
+  /** Per-field BM25 sum of one match clause's terms. */
+  private def matchParts(field: String, terms: Seq[String],
+      tfIdx: TIdx): Seq[(Column, String)] =
+    terms.map { t =>
+      val i = tfIdx((field, t))
+      (Search.bm25ScoreOf(1, _ => col(s"qtf$i"), _ => col(s"qdf$i"),
+        col(dlName(field)), col(sumdlName(field)), col("n")),
+        termScoreSql(s"qtf$i", s"qdf$i", dlName(field), sumdlName(field)))
+    }
+
+  private def compile(n: Node, scored: Boolean, tfIdx: TIdx, pfIdx: PIdx,
+      ktIdx: KIdx): C = n match {
+    case MatchQ(field, terms, boost) =>
+      val pred = terms.map(t => col(s"qtf${tfIdx((field, t))}") > 0)
+        .reduce(_ || _)
+      val predSql = terms.map(t => s"f.qtf${tfIdx((field, t))} > 0")
         .mkString("(", " OR ", ")")
-      C(pred, predSql, Some(sumScores(parts)))
-    case PhraseQ(field, terms) =>
-      if (field != textField)
-        fail(s"match_phrase.$field: the corpus has one analyzed text " +
-          s"field ('$textField')")
-      val i = pfIdx(terms)
-      C(col(s"qpf$i") > 0, s"f.qpf$i > 0",
-        Some((Search.bm25ScoreOf(1, _ => col(s"qpf$i"), _ => col(s"qpd$i"),
-          col("dl"), col("sumdl"), col("n")),
-          termScoreSql(s"qpf$i", s"qpd$i"))))
-    case TermQ(field, v) =>
+      val score =
+        if (scored) Some(boosted(sumScores(matchParts(field, terms, tfIdx)),
+          boost))
+        else None
+      C(pred, predSql, score)
+    case MultiMatchQ(fieldsB, terms, boost) =>
+      val keys = fieldsB.flatMap { case (f, _) => terms.map(t => (f, t)) }
+      val pred = keys.map(k => col(s"qtf${tfIdx(k)}") > 0).reduce(_ || _)
+      val predSql = keys.map(k => s"f.qtf${tfIdx(k)} > 0")
+        .mkString("(", " OR ", ")")
+      val score = if (!scored) None else {
+        val per = fieldsB.map { case (f, fb) =>
+          boosted(sumScores(matchParts(f, terms, tfIdx)), fb)
+        }
+        // best_fields = dis_max: max over per-field scores. greatest
+        // is a comparison, not arithmetic — no fp-order hazard.
+        val best =
+          if (per.size == 1) per.head
+          else (greatest(per.map(_._1): _*),
+            per.map(_._2).mkString("greatest(", ", ", ")"))
+        Some(boosted(best, boost))
+      }
+      C(pred, predSql, score)
+    case PhraseQ(field, terms, boost) =>
+      val i = pfIdx((field, terms))
+      val score =
+        if (scored) Some(boosted(
+          (Search.bm25ScoreOf(1, _ => col(s"qpf$i"), _ => col(s"qpd$i"),
+            col(dlName(field)), col(sumdlName(field)), col("n")),
+            termScoreSql(s"qpf$i", s"qpd$i", dlName(field),
+              sumdlName(field))), boost))
+        else None
+      C(col(s"qpf$i") > 0, s"f.qpf$i > 0", score)
+    case TermQ(field, v, boost) =>
       // query-context score = idf of the value's doc frequency (the
       // exact ES/Lucene number for a norms-off keyword field — see
-      // [[termClauses]]); bool ignores it in filter/must_not context
-      C(col(field) === v.column, s"f.$field = ${v.sql}",
-        Some(keywordIdfOf(ktIdx((field, v)))))
+      // [[ktsScoredOf]]); filter/must_not context compiles no score
+      // and aggregates no statistic for it
+      val score =
+        if (scored) Some(boosted(keywordIdfOf(ktIdx((field, v))), boost))
+        else None
+      C(col(field) === v.column, s"f.$field = ${v.sql}", score)
     case TermsQ(field, vs) =>
       // OR-of-equalities rather than isin(): the two are equivalent
       // and this mirrors the SQL text exactly, clause for clause
@@ -339,10 +651,10 @@ object Dsl {
       C(col(field).isNotNull, s"f.$field IS NOT NULL", None)
     case MatchAllQ => C(lit(true), "TRUE", None)
     case BoolQ(must, should, mustNot, filterCtx, minShould) =>
-      val mc = must.map(compile(_, tfIdx, pfIdx, ktIdx, textField))
-      val sc = should.map(compile(_, tfIdx, pfIdx, ktIdx, textField))
-      val nc = mustNot.map(compile(_, tfIdx, pfIdx, ktIdx, textField))
-      val fc = filterCtx.map(compile(_, tfIdx, pfIdx, ktIdx, textField))
+      val mc = must.map(compile(_, scored, tfIdx, pfIdx, ktIdx))
+      val sc = should.map(compile(_, scored, tfIdx, pfIdx, ktIdx))
+      val nc = mustNot.map(compile(_, false, tfIdx, pfIdx, ktIdx))
+      val fc = filterCtx.map(compile(_, false, tfIdx, pfIdx, ktIdx))
       // ES defaults: a should beside a must/filter is optional scoring
       // (msm 0); alone it is the only matching condition (msm 1)
       val msm = minShould.getOrElse(
@@ -371,131 +683,687 @@ object Dsl {
         if (scores.isEmpty) None else Some(sumScores(scores)))
   }
 
+  // --------------------------------------------- shared frame builder
+
+  /** The full clause inventory + compiled predicate of one body —
+    * everything both serving paths and both SQL generators need. */
+  private case class Plan(q: Node, size: Int,
+      tkeys: Seq[(String, String)], pkeys: Seq[(String, Seq[String])],
+      stkeys: Seq[(String, String)], spkeys: Seq[(String, Seq[String])],
+      skts: Seq[(String, Scalar)], exact: Seq[String],
+      tfIdx: TIdx, pfIdx: PIdx, ktIdx: KIdx, c: C) {
+    def needsText: Boolean = tkeys.nonEmpty || pkeys.nonEmpty
+    def needsStats: Boolean = c.score.isDefined
+    /** Analyzed fields whose statistics the score references. */
+    def scoredFields: Seq[String] =
+      (stkeys.map(_._1) ++ spkeys.map(_._1)).distinct
+    /** Analyzed fields any feature (scored or filter-ctx) reads. */
+    def usedFields: Seq[String] =
+      (tkeys.map(_._1) ++ pkeys.map(_._1)).distinct
+  }
+
+  private def planOf(q: Node, size: Int): Plan = {
+    val tkeys = tkeysOf(q)
+    val pkeys = pkeysOf(q)
+    val skts = ktsScoredOf(q)
+    val tfIdx = tkeys.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
+    val pfIdx = pkeys.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+    val ktIdx = skts.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
+    Plan(q, size, tkeys, pkeys, tkeysScoredOf(q), pkeysScoredOf(q), skts,
+      exactFields(q), tfIdx, pfIdx, ktIdx,
+      compile(q, scored = true, tfIdx, pfIdx, ktIdx))
+  }
+
+  /** Positional phrase-frequency over normalized text: a zero-width
+    * lookahead wrapped around the adjacent-word pattern, so
+    * OVERLAPPING occurrences all count ("go go go" has TWO "go go"
+    * hits — Lucene's phrase frequency, and what the oracle counts
+    * positionally). Zero-width matches keep the count codegen'd (one
+    * regexp_extract_all, no per-position lambda); the matcher
+    * advances one char per zero-width hit, so every token start is
+    * probed. */
+  private[ops] def phrasePattern(ws: Seq[String]): String =
+    "(?<![^ ])(?=" +
+      ws.map(java.util.regex.Pattern.quote).mkString(" ") + "(?![^ ]))"
+
+  private def phraseFreq(nt: Column, ws: Seq[String]): Column =
+    size(regexp_extract_all(nt, lit(phrasePattern(ws)), lit(0)))
+
+  /** The per-document feature frame of the SCAN path: doc_id, the
+    * referenced exact fields, dl/hdl (only when the query touches
+    * text), and the qtf/qpf feature counts. A query with no
+    * match/phrase clause projects NO text-derived column — the text
+    * column itself is pruned out of the parquet scan. */
+  private def scanF(docs: DataFrame, p: Plan,
+      extra: Seq[String]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val fields = (p.exact ++ extra).distinct.filter(_ != "doc_id").map(col)
+    if (!p.needsText) docs.select(($"doc_id" +: fields): _*)
+    else {
+      val nt = TextAnalysis.norm($"text")
+      val toksC = TextAnalysis.toks($"text")
+      val headNt = array_join(slice(toksC, 1, Search.HeadLen), " ")
+      def src(f: String) = if (f == Search.DefaultField) nt else headNt
+      val dlCols =
+        size(toksC).cast("long").as("dl") +:
+          (if (p.scoredFields.contains(Search.HeadField))
+            Seq(least(size(toksC), lit(Search.HeadLen)).cast("long").as("hdl"))
+          else Seq.empty)
+      val tfCols = p.tkeys.map { case k @ (f, t) =>
+        TextAnalysis.hitCount(src(f), Seq(t)).as(s"qtf${p.tfIdx(k)}")
+      }
+      val pfCols = p.pkeys.map { case k @ (f, ws) =>
+        phraseFreq(src(f), ws).as(s"qpf${p.pfIdx(k)}")
+      }
+      docs.select(($"doc_id" +: fields) ++ dlCols ++ tfCols ++ pfCols: _*)
+    }
+  }
+
+  /** Corpus statistics of the SCAN path — aggregated ONLY for scored
+    * clauses, and not at all for a scoreless query (the stats
+    * aggregate and its broadcast join vanish from the plan). */
+  private def scanStats(f: DataFrame, p: Plan): Option[DataFrame] = {
+    if (!p.needsStats) None
+    else {
+      val cols = Seq(count(lit(1)).as("n")) ++
+        (if (p.scoredFields.contains(Search.DefaultField))
+          Seq(sum(col("dl")).as("sumdl")) else Seq.empty) ++
+        (if (p.scoredFields.contains(Search.HeadField))
+          Seq(sum(col("hdl")).as("hsumdl")) else Seq.empty) ++
+        p.stkeys.map(k =>
+          count(when(col(s"qtf${p.tfIdx(k)}") > 0, 1)).as(s"qdf${p.tfIdx(k)}")) ++
+        p.spkeys.map(k =>
+          count(when(col(s"qpf${p.pfIdx(k)}") > 0, 1)).as(s"qpd${p.pfIdx(k)}")) ++
+        p.skts.map { case kt @ (fld, v) =>
+          count(when(col(fld) === v.column, 1)).as(s"qkd${p.ktIdx(kt)}")
+        }
+      Some(f.agg(cols.head, cols.tail: _*))
+    }
+  }
+
+  /** The shared ranking tail of BOTH serving paths: broadcast-join
+    * the stats (when any), filter, top-k by (score desc, doc_id),
+    * emit the rank-plus-integer-provenance shape — (rk, doc_id,
+    * n_matched, tf_total, dl), the [[Search.bm25TopK]] convention
+    * (the double score stays internal; see Search's class doc). */
+  private def rankTail(f: DataFrame, stats: Option[DataFrame],
+      p: Plan): DataFrame = {
+    import f.sparkSession.implicits._
+    val joined = stats.map(s => f.crossJoin(broadcast(s))).getOrElse(f)
+    val score = p.c.score.map(_._1).getOrElse(lit(0.0))
+    val nMatched =
+      if (p.tkeys.isEmpty) lit(0)
+      else p.tkeys.map(k => when(col(s"qtf${p.tfIdx(k)}") > 0, 1).otherwise(0))
+        .reduce(_ + _)
+    val tfTotal =
+      if (p.tkeys.isEmpty) lit(0L)
+      else p.tkeys.map(k => col(s"qtf${p.tfIdx(k)}").cast("long"))
+        .reduce(_ + _)
+    val dlC = if (p.needsText) $"dl" else lit(0L)
+    val w = Window.orderBy($"score".desc, $"doc_id")
+    joined.filter(p.c.pred)
+      .select($"doc_id", dlC.as("dl"), nMatched.as("n_matched"),
+        tfTotal.as("tf_total"), score.as("score"))
+      .orderBy($"score".desc, $"doc_id").limit(p.size)
+      .withColumn("rk", row_number().over(w))
+      .select($"rk", $"doc_id", $"n_matched", $"tf_total", $"dl")
+      .orderBy($"rk")
+  }
+
   // -------------------------------------------------- engine serving
 
-  /** Compile and run a DSL search over a documents frame. Emits the
-    * engine's rank-plus-integer-provenance shape — (rk, doc_id,
-    * n_matched, tf_total, dl), the [[Search.bm25TopK]] convention (the
-    * double score stays internal; see Search's class doc). */
+  /** Compile and run a DSL search over a documents frame (the SCAN
+    * path — [[Search.bm25TopK]]'s shape). See class doc. */
   def searchDslOf(docs: DataFrame, json: String): DataFrame = {
-    import docs.sparkSession.implicits._
-    val (q, k) = parseQuery(json)
-    val terms = matchTerms(q)
-    val phrases = phraseList(q)
-    val fields = exactFields(q)
+    val b = parseBody(json)
+    if (b.aggs.nonEmpty)
+      fail("body has \"aggs\" — aggregations are served by dslAggsOf, " +
+        "hits by searchDslOf")
+    val p = planOf(b.query, b.size)
+    checkFields(docs, p.exact)
+    val f = scanF(docs, p, Seq.empty)
+    rankTail(f, scanStats(f, p), p)
+  }
+
+  private def checkFields(docs: DataFrame, fields: Seq[String]): Unit =
     fields.foreach { f =>
       if (!docs.columns.contains(f))
         fail(s"field '$f' is not in the corpus schema " +
           s"(${docs.columns.mkString(", ")})")
     }
-    val tfIdx = terms.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
-    val pfIdx = phrases.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
-    val kts = termClauses(q)
-    val ktIdx = kts.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
-    val nt = TextAnalysis.norm($"text")
-    val tfCols = terms.map(t =>
-      TextAnalysis.hitCount(nt, Seq(t)).as(s"qtf${tfIdx(t)}"))
-    val pfCols = phrases.map(p =>
-      TextAnalysis.hitCount(nt, Seq(p.mkString(" "))).as(s"qpf${pfIdx(p)}"))
-    val passthrough = fields.filter(_ != "doc_id").map(col)
-    val f = docs.select(($"doc_id" +: passthrough) ++
-      (size(TextAnalysis.toks($"text")).cast("long").as("dl") +:
-        (tfCols ++ pfCols)): _*)
-    val statCols =
-      Seq(count(lit(1)).as("n"), sum($"dl").as("sumdl")) ++
-        terms.map(t => count(when(col(s"qtf${tfIdx(t)}") > 0, 1))
-          .as(s"qdf${tfIdx(t)}")) ++
-        phrases.map(p => count(when(col(s"qpf${pfIdx(p)}") > 0, 1))
-          .as(s"qpd${pfIdx(p)}")) ++
-        kts.map { case kt @ (fld, v) =>
-          count(when(col(fld) === v.column, 1)).as(s"qkd${ktIdx(kt)}")
-        }
-    val stats = f.agg(statCols.head, statCols.tail: _*)
-    val c = compile(q, tfIdx, pfIdx, ktIdx, DslTextField)
-    val score = c.score.map(_._1).getOrElse(lit(0.0))
-    val nMatched =
-      if (terms.isEmpty) lit(0)
-      else terms.map(t => when(col(s"qtf${tfIdx(t)}") > 0, 1).otherwise(0))
-        .reduce(_ + _)
-    val tfTotal =
-      if (terms.isEmpty) lit(0L)
-      else terms.map(t => col(s"qtf${tfIdx(t)}").cast("long")).reduce(_ + _)
-    val w = Window.orderBy($"score".desc, $"doc_id")
-    f.crossJoin(broadcast(stats))
-      .filter(c.pred)
-      .select($"doc_id", $"dl", nMatched.as("n_matched"),
-        tfTotal.as("tf_total"), score.as("score"))
-      .orderBy($"score".desc, $"doc_id").limit(k)
-      .withColumn("rk", row_number().over(w))
-      .select($"rk", $"doc_id", $"n_matched", $"tf_total", $"dl")
-      .orderBy($"rk")
-  }
 
   /** The corpus's one analyzed text field — [[Search.DefaultField]]. */
   val DslTextField: String = Search.DefaultField
 
   // ------------------------------------------------- oracle generator
 
+  private def quoteSql(s: String) = s.replace("'", "''")
+
+  private val ToksExpr =
+    "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+
+  /** The f CTE both generated-SQL forms share: doc_id + referenced
+    * fields (+ token-derived feature columns only when the query has
+    * match/phrase clauses — a pure-filter query's oracle never
+    * tokenizes either). */
+  private def fCteSql(p: Plan, extra: Seq[String], rel: String): String = {
+    val fields = (p.exact ++ extra).distinct.filter(_ != "doc_id")
+    if (!p.needsText)
+      s"f AS (SELECT ${("doc_id" +: fields).mkString(", ")} FROM $rel)"
+    else {
+      val headUsed = p.usedFields.contains(Search.HeadField)
+      val src =
+        if (headUsed)
+          s"(SELECT *, toks[1:${Search.HeadLen}] AS htoks FROM " +
+            s"(SELECT *, $ToksExpr AS toks FROM $rel))"
+        else s"(SELECT *, $ToksExpr AS toks FROM $rel)"
+      def arr(f: String) = if (f == Search.DefaultField) "toks" else "htoks"
+      val dlDefs = Seq("len(toks) AS dl") ++
+        (if (p.scoredFields.contains(Search.HeadField))
+          Seq(s"least(len(toks), ${Search.HeadLen}) AS hdl")
+        else Seq.empty)
+      val tfDefs = p.tkeys.map { case k @ (f, t) =>
+        s"len(list_filter(${arr(f)}, x -> x = '${quoteSql(t)}')) " +
+          s"AS qtf${p.tfIdx(k)}"
+      }
+      val pfDefs = p.pkeys.map { case k @ (f, ws) =>
+        val a = arr(f)
+        val conds = ws.zipWithIndex.map { case (w, j) =>
+          s"$a[i + $j] = '${quoteSql(w)}'"
+        }.mkString(" AND ")
+        s"len(list_filter(range(1, len($a) - ${ws.length - 2}), " +
+          s"i -> $conds)) AS qpf${p.pfIdx(k)}"
+      }
+      val cols = (Seq("doc_id") ++ fields ++ dlDefs ++ tfDefs ++ pfDefs)
+        .mkString(",\n    ")
+      s"f AS (\n  SELECT $cols\n  FROM $src)"
+    }
+  }
+
+  private def sCteSql(p: Plan): String = {
+    val cols = Seq("COUNT(*) AS n") ++
+      (if (p.scoredFields.contains(Search.DefaultField))
+        Seq("SUM(dl) AS sumdl") else Seq.empty) ++
+      (if (p.scoredFields.contains(Search.HeadField))
+        Seq("SUM(hdl) AS hsumdl") else Seq.empty) ++
+      p.stkeys.map(k => s"COUNT(*) FILTER (WHERE qtf${p.tfIdx(k)} > 0) " +
+        s"AS qdf${p.tfIdx(k)}") ++
+      p.spkeys.map(k => s"COUNT(*) FILTER (WHERE qpf${p.pfIdx(k)} > 0) " +
+        s"AS qpd${p.pfIdx(k)}") ++
+      p.skts.map { case kt @ (fld, v) =>
+        s"COUNT(*) FILTER (WHERE $fld = ${v.sql}) AS qkd${p.ktIdx(kt)}"
+      }
+    s"s AS (SELECT ${cols.mkString(", ")} FROM f)"
+  }
+
   /** DuckDB SQL for the same DSL query — generated from the same AST
     * by the same recursion, so any supported query is oracle-checked,
-    * not just the registered one. */
-  def dslSql(json: String): String = {
-    val (q, k) = parseQuery(json)
-    val terms = matchTerms(q)
-    val phrases = phraseList(q)
-    val fields = exactFields(q)
-    val tfIdx = terms.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
-    val pfIdx = phrases.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
-    val kts = termClauses(q)
-    val ktIdx = kts.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
-    val tfDefs = terms.map(t =>
-      s"len(list_filter(toks, x -> x = '${t.replace("'", "''")}')) " +
-        s"AS qtf${tfIdx(t)}")
-    val pfDefs = phrases.map { p =>
-      val conds = p.zipWithIndex.map { case (w, j) =>
-        s"toks[i + $j] = '${w.replace("'", "''")}'"
-      }.mkString(" AND ")
-      s"len(list_filter(range(1, len(toks) - ${p.length - 2}), " +
-        s"i -> $conds)) AS qpf${pfIdx(p)}"
-    }
-    val fieldDefs = fields.filter(_ != "doc_id")
-    val dfDefs =
-      terms.map(t => s"COUNT(*) FILTER (WHERE qtf${tfIdx(t)} > 0) " +
-        s"AS qdf${tfIdx(t)}") ++
-      phrases.map(p => s"COUNT(*) FILTER (WHERE qpf${pfIdx(p)} > 0) " +
-        s"AS qpd${pfIdx(p)}") ++
-      kts.map { case kt @ (fld, v) =>
-        s"COUNT(*) FILTER (WHERE $fld = ${v.sql}) AS qkd${ktIdx(kt)}"
-      }
-    val c = compile(q, tfIdx, pfIdx, ktIdx, DslTextField)
-    val scoreSql = c.score.map(_._2).getOrElse("0.0")
+    * not just the registered ones. */
+  def dslSql(json: String): String = dslSqlOver(json, "documents")
+
+  def dslSqlOver(json: String, rel: String): String = {
+    val b = parseBody(json)
+    if (b.aggs.nonEmpty)
+      fail("body has \"aggs\" — use dslAggsSqlOver")
+    val p = planOf(b.query, b.size)
+    val scoreSql = p.c.score.map(_._2).getOrElse("0.0")
     val nMatched =
-      if (terms.isEmpty) "0"
-      else terms.map(t => s"CASE WHEN f.qtf${tfIdx(t)} > 0 THEN 1 ELSE 0 END")
-        .mkString(" + ")
+      if (p.tkeys.isEmpty) "0"
+      else p.tkeys.map(k => s"CASE WHEN f.qtf${p.tfIdx(k)} > 0 THEN 1 " +
+        "ELSE 0 END").mkString(" + ")
     val tfTotal =
-      if (terms.isEmpty) "CAST(0 AS BIGINT)"
-      else terms.map(t => s"CAST(f.qtf${tfIdx(t)} AS BIGINT)")
+      if (p.tkeys.isEmpty) "CAST(0 AS BIGINT)"
+      else p.tkeys.map(k => s"CAST(f.qtf${p.tfIdx(k)} AS BIGINT)")
         .mkString(" + ")
-    val fCols = (Seq("doc_id") ++ fieldDefs ++ Seq("len(toks) AS dl") ++
-      tfDefs ++ pfDefs).mkString(",\n    ")
-    val sCols = (Seq("COUNT(*) AS n", "SUM(dl) AS sumdl") ++ dfDefs)
-      .mkString(", ")
-    s"""WITH f AS (
-       |  SELECT $fCols
-       |  FROM (SELECT *,
-       |          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
-       |        FROM documents)),
-       |s AS (SELECT $sCols FROM f),
+    val dlSql = if (p.needsText) "f.dl" else "CAST(0 AS BIGINT)"
+    val ctes = Seq(fCteSql(p, Seq.empty, rel)) ++
+      (if (p.needsStats) Seq(sCteSql(p)) else Seq.empty)
+    val from = if (p.needsStats) "FROM f CROSS JOIN s" else "FROM f"
+    s"""WITH ${ctes.mkString(",\n")},
        |sc AS (
-       |  SELECT f.doc_id, f.dl, $nMatched AS n_matched, $tfTotal AS tf_total,
+       |  SELECT f.doc_id, $dlSql AS dl, $nMatched AS n_matched,
+       |    $tfTotal AS tf_total,
        |    $scoreSql AS score
-       |  FROM f CROSS JOIN s
-       |  WHERE ${c.predSql})
+       |  $from
+       |  WHERE ${p.c.predSql})
        |SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk,
        |  doc_id, n_matched, tf_total, dl
-       |FROM sc ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+       |FROM sc ORDER BY score DESC, doc_id LIMIT ${p.size}""".stripMargin
   }
+
+  // ---------------------------------------------------- aggregations
+
+  /** `"aggs"` beside `"query"`: run the bucket/metric aggregations
+    * over the query's MATCH SET (every hit, not the size-cut page —
+    * the ES contract), emitting one long-form frame: (agg, key,
+    * doc_count, v_count, v_sum, v_min, v_max, v_avg). Buckets sort by
+    * (agg, key); a terms agg takes its top-`size` buckets by
+    * (doc_count desc, key) BEFORE that presentation sort, exactly
+    * ES's cut. Documents missing the bucket field are skipped (ES
+    * `missing`-less default); stats sub-aggregation columns are null
+    * on frames that carry none.
+    *
+    * The query compiles in FILTER CONTEXT (scored = false): an
+    * aggregations-only request needs the match set, never the scores,
+    * so no statistics aggregate is built — the ES filter-cache shape.
+    *
+    * Stats fields must be integral: v_sum/v_avg are exact doubles
+    * only while every partial sum is an integer-valued double (< 2^53
+    * — summation order then cannot matter), which is what makes the
+    * result hash-comparable against a serial oracle.
+    *
+    * Shape at 100 TB: one pruned scan per aggregation over the
+    * doc-grain matched frame (only the referenced columns), each a
+    * map-side-combined hash aggregate at bucket grain; the terms cut
+    * is bucket-grain top-N. */
+  def dslAggsOf(docs: DataFrame, json: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    val b = parseBody(json)
+    if (b.aggs.isEmpty)
+      fail("no aggs in body — hits are served by searchDslOf")
+    if (b.size != 0)
+      fail("an aggregation body returns no hits — set size: 0 " +
+        "(ES convention); hits are served by searchDslOf")
+    val p = planOf(b.query, 0) match {
+      // aggregations never rank: recompile the query in filter context
+      case pl => pl.copy(c = compile(b.query, scored = false,
+        pl.tfIdx, pl.pfIdx, pl.ktIdx),
+        stkeys = Seq.empty, spkeys = Seq.empty, skts = Seq.empty)
+    }
+    val aggFields = b.aggs.flatMap(s =>
+      s.agg.field +: s.sub.map(_._2.field).toSeq).distinct
+    checkFields(docs, p.exact ++ aggFields)
+    b.aggs.foreach { s =>
+      val numeric = (s.sub.map(_._2.field).toSeq ++ (s.agg match {
+        case StatsAgg(fl) => Seq(fl)
+        case HistAgg(fl, _) => Seq(fl)
+        case _ => Seq.empty
+      }))
+      numeric.foreach { fl =>
+        if (!docs.schema(fl).dataType
+            .isInstanceOf[org.apache.spark.sql.types.NumericType])
+          fail(s"agg '${s.name}': field '$fl' is not numeric")
+      }
+    }
+    val matched = scanF(docs, p, aggFields).filter(p.c.pred)
+    b.aggs.map(aggFrame(matched, _)).reduce(_ unionByName _)
+      .orderBy($"agg", $"key")
+  }
+
+  private val NullStats = Seq(
+    lit(null).cast("long").as("v_count"), lit(null).cast("double").as("v_sum"),
+    lit(null).cast("double").as("v_min"), lit(null).cast("double").as("v_max"),
+    lit(null).cast("double").as("v_avg"))
+
+  private def statAggCols(x: String): Seq[Column] = Seq(
+    count(col(x)).as("v_count"),
+    sum(col(x).cast("double")).as("v_sum"),
+    min(col(x)).cast("double").as("v_min"),
+    max(col(x)).cast("double").as("v_max"))
+
+  private def withAvg(df: DataFrame): DataFrame =
+    df.withColumn("v_avg",
+      when(col("v_count") > 0, col("v_sum") / col("v_count"))
+        .otherwise(lit(null).cast("double")))
+
+  private val OutCols = Seq("agg", "key", "doc_count", "v_count", "v_sum",
+    "v_min", "v_max", "v_avg")
+
+  private def aggFrame(matched: DataFrame, spec: AggSpec): DataFrame = {
+    import matched.sparkSession.implicits._
+    def bucket(keyExpr: Column, fld: String, cut: Option[Int]): DataFrame = {
+      val base = matched.filter(col(fld).isNotNull)
+        .groupBy(keyExpr.cast("string").as("key"))
+      val g = spec.sub match {
+        case Some((_, StatsAgg(x))) =>
+          val cols = count(lit(1)).as("doc_count") +: statAggCols(x)
+          withAvg(base.agg(cols.head, cols.tail: _*))
+        case None =>
+          base.agg(count(lit(1)).as("doc_count"))
+            .select(($"key" +: $"doc_count" +: NullStats): _*)
+      }
+      val c = cut.map(n =>
+        g.orderBy($"doc_count".desc, $"key").limit(n)).getOrElse(g)
+      c.withColumn("agg", lit(spec.name)).select(OutCols.map(col): _*)
+    }
+    spec.agg match {
+      case TermsAgg(fld, n) => bucket(col(fld), fld, Some(n))
+      case DateHistAgg(fld) => bucket(col(fld), fld, None)
+      case HistAgg(fld, iv) =>
+        // integer floor-bucketing, pure integer arithmetic (a double
+        // division would round large longs); non-negative integral
+        // fields only — pmod and DuckDB's // agree there
+        bucket(col(fld).cast("long") -
+          pmod(col(fld).cast("long"), lit(iv)), fld, None)
+      case StatsAgg(x) =>
+        val cols = count(lit(1)).as("doc_count") +: statAggCols(x)
+        withAvg(matched.agg(cols.head, cols.tail: _*))
+          .withColumn("agg", lit(spec.name)).withColumn("key", lit(""))
+          .select(OutCols.map(col): _*)
+    }
+  }
+
+  /** Generated DuckDB SQL for the same aggregation body — the
+    * [[dslSql]] lockstep discipline applied to aggs. */
+  def dslAggsSql(json: String): String = dslAggsSqlOver(json, "documents")
+
+  def dslAggsSqlOver(json: String, rel: String): String = {
+    val b = parseBody(json)
+    if (b.aggs.isEmpty) fail("no aggs in body — use dslSqlOver")
+    val p0 = planOf(b.query, 0)
+    val p = p0.copy(c = compile(b.query, scored = false,
+      p0.tfIdx, p0.pfIdx, p0.ktIdx),
+      stkeys = Seq.empty, spkeys = Seq.empty, skts = Seq.empty)
+    val aggFields = b.aggs.flatMap(s =>
+      s.agg.field +: s.sub.map(_._2.field).toSeq).distinct
+    def statSql(x: String): Seq[String] = Seq(
+      s"COUNT($x) AS v_count",
+      s"CAST(SUM(CAST($x AS DOUBLE)) AS DOUBLE) AS v_sum",
+      s"CAST(MIN($x) AS DOUBLE) AS v_min",
+      s"CAST(MAX($x) AS DOUBLE) AS v_max",
+      s"CASE WHEN COUNT($x) > 0 THEN CAST(SUM(CAST($x AS DOUBLE)) " +
+        s"AS DOUBLE) / COUNT($x) ELSE CAST(NULL AS DOUBLE) END AS v_avg")
+    val nullStats = Seq("CAST(NULL AS BIGINT) AS v_count",
+      "CAST(NULL AS DOUBLE) AS v_sum", "CAST(NULL AS DOUBLE) AS v_min",
+      "CAST(NULL AS DOUBLE) AS v_max", "CAST(NULL AS DOUBLE) AS v_avg")
+    def branch(spec: AggSpec): String = {
+      val name = s"'${quoteSql(spec.name)}'"
+      val stats = spec.sub match {
+        case Some((_, StatsAgg(x))) => statSql(x)
+        case None => nullStats
+      }
+      spec.agg match {
+        case TermsAgg(fld, n) =>
+          s"""SELECT * FROM (
+             |  SELECT $name AS agg, CAST($fld AS VARCHAR) AS key,
+             |    COUNT(*) AS doc_count, ${stats.mkString(",\n    ")}
+             |  FROM m WHERE $fld IS NOT NULL GROUP BY $fld
+             |  ORDER BY doc_count DESC, key LIMIT $n) AS t""".stripMargin
+        case DateHistAgg(fld) =>
+          s"""SELECT $name AS agg, CAST($fld AS VARCHAR) AS key,
+             |  COUNT(*) AS doc_count, ${stats.mkString(",\n  ")}
+             |FROM m WHERE $fld IS NOT NULL GROUP BY $fld""".stripMargin
+        case HistAgg(fld, iv) =>
+          s"""SELECT $name AS agg, CAST(($fld // $iv) * $iv AS VARCHAR) AS key,
+             |  COUNT(*) AS doc_count, ${stats.mkString(",\n  ")}
+             |FROM m WHERE $fld IS NOT NULL GROUP BY ($fld // $iv) * $iv""".stripMargin
+        case StatsAgg(x) =>
+          s"""SELECT $name AS agg, '' AS key, COUNT(*) AS doc_count,
+             |  ${statSql(x).mkString(",\n  ")}
+             |FROM m""".stripMargin
+      }
+    }
+    s"""WITH ${fCteSql(p, aggFields, rel)},
+       |m AS (SELECT * FROM f WHERE ${p.c.predSql})
+       |SELECT * FROM (
+       |${b.aggs.map(branch).mkString("\nUNION ALL\n")}
+       |) AS u ORDER BY agg, key""".stripMargin
+  }
+
+  // ------------------------------------------------- DSL percolation
+
+  /** The ES percolator with FULL DSL bodies as stored rules: each
+    * registered query is a complete search body — bool / range /
+    * phrase / term power, not just term lists ([[Search.percolateOf]]'s
+    * form). Every rule compiles in FILTER CONTEXT into one shared
+    * stateless scan: the feature frame is built ONCE for the union of
+    * all rules' clause inventories, each rule becomes a predicate over
+    * it, and matches explode to (doc_id, query_id) — batch or
+    * streaming (pure projection, the [[Search.percolateOf]] contract).
+    *
+    * Shape at 100 TB: documents never shuffle — projection + explode
+    * + filter; per-row work is bounded by the registry's clause
+    * count. */
+  def percolateDslOf(docs: DataFrame,
+      rules: Seq[(Long, String)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    if (rules.isEmpty) fail("percolateDslOf: empty rule set")
+    if (rules.map(_._1).distinct.size != rules.size)
+      fail("percolateDslOf: duplicate query_id")
+    val parsed = rules.map { case (id, json) =>
+      val b = parseBody(json)
+      if (b.aggs.nonEmpty)
+        fail(s"percolate rule $id has aggs — a stored query is a " +
+          "predicate, not an aggregation")
+      (id, b.query)
+    }
+    // ONE merged inventory: the frame is built once for all rules
+    val tkeys = parsed.flatMap(r => tkeysOf(r._2)).distinct
+    val pkeys = parsed.flatMap(r => pkeysOf(r._2)).distinct
+    val exact = parsed.flatMap(r => exactFields(r._2)).distinct
+    val tfIdx = tkeys.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
+    val pfIdx = pkeys.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+    val p = Plan(MatchAllQ, 0, tkeys, pkeys, Seq.empty, Seq.empty,
+      Seq.empty, exact, tfIdx, pfIdx, Map.empty,
+      C(lit(true), "TRUE", None))
+    checkFields(docs, exact)
+    val preds = parsed.map { case (id, q) =>
+      (id, compile(q, scored = false, tfIdx, pfIdx, Map.empty))
+    }
+    val f = scanF(docs, p, Seq.empty)
+    val matchedIds = array(preds.map { case (id, c) =>
+      when(c.pred, lit(id))
+    }: _*)
+    f.select($"doc_id", explode(matchedIds).as("query_id"))
+      .filter($"query_id".isNotNull)
+  }
+
+  /** Oracle for [[percolateDslOf]] — per-rule SELECTs over the shared
+    * feature CTE, unioned; same AST, same predicates. */
+  def percolateDslSql(rules: Seq[(Long, String)], rel: String): String = {
+    val parsed = rules.map { case (id, json) => (id, parseBody(json).query) }
+    val tkeys = parsed.flatMap(r => tkeysOf(r._2)).distinct
+    val pkeys = parsed.flatMap(r => pkeysOf(r._2)).distinct
+    val exact = parsed.flatMap(r => exactFields(r._2)).distinct
+    val tfIdx = tkeys.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
+    val pfIdx = pkeys.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+    val p = Plan(MatchAllQ, 0, tkeys, pkeys, Seq.empty, Seq.empty,
+      Seq.empty, exact, tfIdx, pfIdx, Map.empty,
+      C(lit(true), "TRUE", None))
+    val branches = parsed.map { case (id, q) =>
+      val c = compile(q, scored = false, tfIdx, pfIdx, Map.empty)
+      s"SELECT doc_id, CAST($id AS BIGINT) AS query_id FROM f " +
+        s"WHERE ${c.predSql}"
+    }
+    s"""WITH ${fCteSql(p, Seq.empty, rel)}
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY doc_id, query_id""".stripMargin
+  }
+
+  // ------------------------------------------------ index-served path
+
+  /** The DSL compiled onto the PERSISTED inverted index — the
+    * deployment shape (the reference maintains its index precisely so
+    * queries don't scan, es.go:160-213). Same AST, same compiled
+    * predicate/score expressions, same [[rankTail]]; only the feature
+    * frame and statistics are built from index tables instead of the
+    * corpus text:
+    *
+    *  - match/multi_match tf per (field, term) from bucket-pruned,
+    *    term-filtered postings (pushed to parquet);
+    *  - match_phrase frequency from POSITIONAL postings — per-term
+    *    position lists joined by doc, counting starts whose successors
+    *    are adjacent (overlapping occurrences count, identical to the
+    *    scan path's positional regex);
+    *  - term/terms/range/exists from `docmeta` doc-values (typed:
+    *    [[Search.NumDocValueFields]] are long), the Lucene doc-values
+    *    contract — the corpus text is never touched;
+    *  - dl/Σdl from `doclen`; df stats from postings row counts;
+    *    keyword dfs from docmeta aggregates. All integers equal the
+    *    scan path's by construction, so the shared score expressions
+    *    make the ranking BIT-IDENTICAL (DslSpec pins served ≡ scan).
+    *
+    * Candidate universe: when the predicate implies a text hit
+    * ([[requiresText]]) candidates are the term-df-bounded postings
+    * matches; otherwise the doc-grain docmeta table (a pure
+    * doc-values filter — ES's filter-context execution). Tombstoned
+    * docs are excluded from results; statistics keep them until
+    * compaction (Lucene's docFreq-includes-deletes convention, the
+    * [[Search.searchWithIndex]] stance).
+    *
+    * Multi-index: every table unions across the resolved roots and
+    * the statistics derive from the union — [[Search.scoredFromIndexes]]'
+    * merged-statistics contract, so a DSL query across an alias's
+    * daily indices ranks exactly as one index.
+    *
+    * Shape at 100 TB: postings reads prune to ≤ |query terms| of
+    * [[Search.IndexBuckets]] buckets with pushed term filters;
+    * doclen/docmeta are doc-grain and column-pruned; stats are 1-row
+    * broadcast aggregates; candidates stay df-bounded for ranked
+    * queries. Cost scales with term document frequency, not corpus
+    * breadth. */
+  def searchDslFromIndexes(spark: SparkSession, indexDirs: Seq[String],
+      json: String): DataFrame = {
+    import spark.implicits._
+    val b = parseBody(json)
+    if (b.aggs.nonEmpty)
+      fail("body has \"aggs\" — index-served aggregations are " +
+        "Search.facetsWithIndex's family; hits come from the DSL")
+    require(indexDirs.nonEmpty, "searchDslFromIndexes: no indices given")
+    val p = planOf(b.query, b.size)
+    val roots = indexDirs.map(Search.requireIndex(spark, _))
+    val servable = "doc_id" +: (Search.DocValueFields ++
+      Search.NumDocValueFields)
+    p.exact.foreach { f =>
+      if (!servable.contains(f))
+        fail(s"field '$f' has no doc-values in the index — indexed " +
+          s"doc-value fields: ${servable.mkString(", ")}")
+    }
+    val metaFields = p.exact.filter(_ != "doc_id")
+    val meta = roots.map { root =>
+      spark.read.parquet(s"$root/docmeta")
+        .select(($"doc_id" +: metaFields.map(col)): _*)
+    }.reduce(_ unionByName _)
+    val allToks = (p.tkeys.map(_._2) ++ p.pkeys.flatMap(_._2)).distinct
+    val posts =
+      if (!p.needsText) None
+      else {
+        val buckets = allToks.map(Search.tokBucket).distinct
+        Some(roots.map { root =>
+          spark.read.parquet(s"$root/postings")
+            .filter($"b".isin(buckets: _*) && $"tok".isin(allToks: _*) &&
+              $"field".isin(p.usedFields: _*))
+        }.reduce(_ unionByName _))
+      }
+    def dlen(field: String, as: String): DataFrame =
+      roots.map { root =>
+        spark.read.parquet(s"$root/doclen")
+          .filter($"field" === field).select($"doc_id", $"dl".as(as))
+      }.reduce(_ unionByName _)
+    // ---- features: tf pivot (df-bounded) + positional phrase counts
+    val featCols = p.tkeys.map(k => s"qtf${p.tfIdx(k)}") ++
+      p.pkeys.map(k => s"qpf${p.pfIdx(k)}")
+    val tfPiv = posts.filter(_ => p.tkeys.nonEmpty).map { po =>
+      val cols = p.tkeys.map { case k @ (fld, t) =>
+        coalesce(sum(when($"tok" === t && $"field" === fld, $"tf")), lit(0L))
+          .cast("int").as(s"qtf${p.tfIdx(k)}")
+      }
+      po.groupBy($"doc_id").agg(cols.head, cols.tail: _*)
+    }
+    val phFrames = p.pkeys.map { case k @ (fld, ws) =>
+      val po = posts.get
+      val parts = ws.zipWithIndex.map { case (w, j) =>
+        po.filter($"field" === fld && $"tok" === w)
+          .select($"doc_id", $"positions".as(s"p$j"))
+      }
+      val joined = parts.reduce((a, c) => a.join(c, "doc_id"))
+      // count phrase STARTS: positions x of word 0 whose successors
+      // x+j all appear in word j's list — overlapping hits all count,
+      // the scan path's positional regex semantics
+      val cnt =
+        if (ws.size == 1) size(col("p0"))
+        else size(filter(col("p0"), x =>
+          (1 until ws.size).map(j => array_contains(col(s"p$j"), x + lit(j)))
+            .reduce(_ && _)))
+      joined.select($"doc_id", cnt.cast("int").as(s"qpf${p.pfIdx(k)}"))
+    }
+    val feat = (tfPiv.toSeq ++ phFrames).reduceOption((a, c) =>
+      a.join(c, Seq("doc_id"), "full_outer")).map(_.na.fill(0, featCols))
+    // ---- candidate universe
+    val needDl = p.needsText
+    val needHdl = p.scoredFields.contains(Search.HeadField)
+    val base = (feat, requiresText(b.query)) match {
+      case (Some(ft), true) => ft.join(meta, "doc_id")
+      case (Some(ft), false) =>
+        meta.join(ft, Seq("doc_id"), "left").na.fill(0, featCols)
+      case (None, _) => meta
+    }
+    val withDl =
+      (if (needDl) base.join(dlen(Search.DefaultField, "dl"), "doc_id")
+       else base)
+    val f0 =
+      if (needHdl) withDl.join(dlen(Search.HeadField, "hdl"), "doc_id")
+      else withDl
+    val dead = roots.map(Search.tombstones(spark, _))
+      .reduce(_ unionByName _)
+    val f = f0.join(dead, Seq("doc_id"), "left_anti")
+    // ---- statistics (only for scored clauses; 1-row broadcasts)
+    val stats =
+      if (!p.needsStats) None
+      else {
+        val nAgg = {
+          val cols = Seq(count(lit(1)).as("n")) ++
+            (if (roots.size > 1)
+              Seq(countDistinct($"doc_id").as("graft_nd")) else Seq.empty) ++
+            p.skts.map { case kt @ (fld, v) =>
+              count(when(col(fld) === v.column, 1)).as(s"qkd${p.ktIdx(kt)}")
+            }
+          // the disjointness gate rides the aggregate the query
+          // already pays for, FOLDED INTO n so every score expression
+          // evaluates it: overlapping member indices would
+          // double-count every statistic, so refuse loudly at
+          // execution instead of silently mis-ranking
+          val agged = meta.groupBy().agg(cols.head, cols.tail: _*)
+          if (roots.size > 1)
+            agged.select(
+              (when($"n" === $"graft_nd", $"n")
+                .otherwise(raise_error(concat(lit("searchDslFromIndexes: " +
+                  "member indices overlap on doc_id — "),
+                  ($"n" - $"graft_nd").cast("string"),
+                  lit(" duplicated docs; indices must partition the " +
+                    "corpus"))).cast("long")).as("n") +:
+                agged.columns.filterNot(Set("n", "graft_nd"))
+                  .map(col).toSeq): _*)
+          else agged
+        }
+        val pieces = Seq(nAgg) ++
+          (if (p.scoredFields.contains(Search.DefaultField))
+            Seq(dlen(Search.DefaultField, "dl").agg(sum($"dl").as("sumdl")))
+          else Seq.empty) ++
+          (if (needHdl)
+            Seq(dlen(Search.HeadField, "hdl").agg(sum($"hdl").as("hsumdl")))
+          else Seq.empty) ++
+          (if (p.stkeys.nonEmpty) {
+            val cols = p.stkeys.map { case k @ (fld, t) =>
+              count(when($"tok" === t && $"field" === fld, 1))
+                .as(s"qdf${p.tfIdx(k)}")
+            }
+            Seq(posts.get.groupBy().agg(cols.head, cols.tail: _*))
+          } else Seq.empty) ++
+          p.spkeys.map { k =>
+            val j = p.pfIdx(k)
+            phFrames(p.pkeys.indexOf(k))
+              .agg(count(when(col(s"qpf$j") > 0, 1)).as(s"qpd$j"))
+          }
+        Some(pieces.reduce(_ crossJoin _))
+      }
+    rankTail(f, stats, p)
+  }
+
+  /** Registered query: [[DslQuery]] SERVED from the session-shared
+    * index — same oracle SQL as the scan path ([[searchDslSql]]),
+    * which it must reproduce bit-for-bit (DslSpec pins served ≡
+    * scan). */
+  def searchDslServed(spark: SparkSession, dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), DslQuery)
+
+  /** Registered query: the multi-field DSL body served from the index
+    * — per-field postings feed the dis_max scoring, positional
+    * postings feed the boosted phrase should. */
+  def searchDslMultifieldServed(spark: SparkSession, dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), MultifieldQuery)
 
   // --------------------------------------------------- registered form
 
@@ -518,4 +1386,76 @@ object Dsl {
     searchDslOf(Tables.documentsPar(spark, dir), DslQuery)
 
   val searchDslSql: String = dslSql(DslQuery)
+
+  /** Registered FILTER-ONLY DSL query — the ES filter-cache shape.
+    * Its plan is pinned scoreless AND textless: one parquet scan with
+    * the predicates pushed down, no stats aggregate, no broadcast
+    * join, the text column pruned out entirely (DslSpec). */
+  val FilterQuery: String =
+    """{"query": {"bool": {"filter": [
+      |  {"range": {"n_chars": {"gte": 120, "lt": 400}}},
+      |  {"terms": {"lang": ["en", "de"]}},
+      |  {"exists": {"field": "source"}}]}}, "size": 100}""".stripMargin
+
+  def searchDslFilter(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), FilterQuery)
+
+  val searchDslFilterSql: String = dslSql(FilterQuery)
+
+  /** Registered MULTI-FIELD DSL query — `multi_match` best_fields
+    * over `head^2` + `text` (the mapping.json name/type pair, the
+    * [[Search.bm25Multifield]] shape expressed in the DSL) with a
+    * boosted phrase should. */
+  val MultifieldQuery: String =
+    s"""{"query": {"bool": {
+       |  "must": [{"multi_match": {"query": "dup vector merge",
+       |            "fields": ["${Search.HeadField}^2", "${Search.DefaultField}"],
+       |            "type": "best_fields"}}],
+       |  "should": [{"match_phrase": {"text": {"query": "dup vector", "boost": 1.5}}}]
+       |}}, "size": 50}""".stripMargin
+
+  def searchDslMultifield(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), MultifieldQuery)
+
+  val searchDslMultifieldSql: String = dslSql(MultifieldQuery)
+
+  /** Registered AGGREGATIONS body — a match query with a terms agg, a
+    * date_histogram (over the deterministic [[Search.withPersistDate]]
+    * ingest date — the reference's daily-index date, modeled
+    * oracle-stably) carrying a stats sub-agg, a numeric histogram,
+    * and a top-level stats metric. */
+  val AggsQuery: String =
+    """{"query": {"match": {"text": "dup vector merge"}},
+      |  "size": 0,
+      |  "aggs": {
+      |    "langs": {"terms": {"field": "lang", "size": 4}},
+      |    "daily": {"date_histogram": {"field": "persist_date",
+      |              "calendar_interval": "day"},
+      |              "aggs": {"chars": {"stats": {"field": "n_chars"}}}},
+      |    "len_hist": {"histogram": {"field": "n_chars", "interval": 100}},
+      |    "chars_all": {"stats": {"field": "n_chars"}}}}""".stripMargin
+
+  def dslAggs(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Search.withPersistDate(Tables.documentsPar(spark, dir)),
+      AggsQuery)
+
+  val dslAggsOracleSql: String =
+    dslAggsSqlOver(AggsQuery, Search.PersistDateRel)
+
+  /** Registered DSL-percolator rules: range+match (the alerting shape
+    * a term list cannot express), a phrase rule, and a keyword
+    * should-pair. */
+  val PercolateRules: Seq[(Long, String)] = Seq(
+    1L -> """{"query": {"bool": {"must": [{"match": {"text": "dup"}}],
+            |  "filter": [{"range": {"n_chars": {"gte": 200}}}]}}}""".stripMargin,
+    2L -> """{"query": {"match_phrase": {"text": "slow scan"}}}""",
+    3L -> """{"query": {"bool": {"should": [{"term": {"lang": "de"}},
+            |  {"term": {"lang": "fr"}}]}}}""".stripMargin)
+
+  def percolateDsl(spark: SparkSession, dir: String): DataFrame =
+    percolateDslOf(Tables.documentsPar(spark, dir), PercolateRules)
+      .orderBy("doc_id", "query_id")
+
+  val percolateDslOracleSql: String =
+    percolateDslSql(PercolateRules, "documents")
 }

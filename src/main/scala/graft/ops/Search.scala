@@ -2158,13 +2158,44 @@ object Search {
     * fields). A build whose input lacks one stores null for it — the
     * dynamic-mapping convention, so curated batches and raw corpus
     * builds share one schema. */
-  val DocValueFields: Seq[String] = Seq("lang", "source")
+  val DocValueFields: Seq[String] = Seq("lang", "source", "persist_date")
+
+  /** NUMERIC doc-values stored alongside the keyword fields — typed
+    * long, so a DSL `range`/`term` on them served from `docmeta`
+    * compares integers exactly as the scan path does (a string cast
+    * would order lexicographically and silently mis-filter). */
+  val NumDocValueFields: Seq[String] = Seq("n_chars")
+
+  /** The deterministic ingest date: the reference stamps documents
+    * with `persist_time = now()` at index time (model.go:30) and
+    * names its daily index from it (es.go:79-81); `now()` is not
+    * oracle-able (the `ingest_enrich` rows-only stance), so the
+    * engine's REGISTERED daily layout derives the date from doc_id —
+    * [[PersistDays]] consecutive days from [[PersistEpoch]] — which
+    * both engines reproduce bit-identically. The daily-index build,
+    * the alias-target search, and the DSL date_histogram all key on
+    * this one column. */
+  val PersistEpoch = "2026-01-01"
+  val PersistDays = 3
+
+  def withPersistDate(docs: DataFrame): DataFrame =
+    docs.withColumn("persist_date",
+      date_add(to_date(lit(PersistEpoch)),
+        (col("doc_id") % PersistDays).cast("int")))
+
+  /** The oracle-side relation of [[withPersistDate]]. */
+  val PersistDateRel: String =
+    s"(SELECT *, DATE '$PersistEpoch' + CAST(doc_id % $PersistDays AS INT) " +
+      "AS persist_date FROM documents)"
 
   private def writeEpoch(docs: DataFrame, root: String, epoch: String): Unit = {
     import docs.sparkSession.implicits._
     val metaCols = DocValueFields.map(c =>
       (if (docs.columns.contains(c)) col(c).cast("string")
-       else lit(null).cast("string")).as(c))
+       else lit(null).cast("string")).as(c)) ++
+      NumDocValueFields.map(c =>
+        (if (docs.columns.contains(c)) col(c).cast("long")
+         else lit(null).cast("long")).as(c))
     docs.select(($"doc_id" +: metaCols) :+ lit(epoch).as("epoch"): _*)
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch").parquet(s"$root/docmeta")
@@ -2261,7 +2292,7 @@ object Search {
     * version root, which every caller then uses for all of its reads —
     * one resolution per query, so a concurrent repoint cannot hand a
     * single query two different versions. */
-  private def requireIndex(spark: SparkSession, indexDir: String): String = {
+  private[ops] def requireIndex(spark: SparkSession, indexDir: String): String = {
     val root = indexRoot(spark, indexDir)
     val hconf = spark.sessionState.newHadoopConf()
     Seq("postings", "doclen", "docmeta").foreach { t =>
@@ -2862,7 +2893,7 @@ object Search {
 
   /** The tombstone set of an index, empty when none were ever
     * written. */
-  private def tombstones(spark: SparkSession, indexDir: String): DataFrame = {
+  private[ops] def tombstones(spark: SparkSession, indexDir: String): DataFrame = {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(tombDir(spark, indexDir))
     if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
@@ -2952,7 +2983,7 @@ object Search {
       .parquet(s"$indexDir/$ver/postings")
     spark.read.parquet(s"$root/docmeta")
       .join(dead, Seq("doc_id"), "left_anti")
-      .select(($"doc_id" +: DocValueFields.map(col)) :+
+      .select(($"doc_id" +: (DocValueFields ++ NumDocValueFields).map(col)) :+
         lit("base").as("epoch"): _*)
       .write.mode("overwrite").partitionBy("epoch")
       .parquet(s"$indexDir/$ver/docmeta")
@@ -2971,7 +3002,7 @@ object Search {
   private val builtIndexes =
     scala.collection.mutable.Set.empty[(String, String)]
 
-  private def sharedIndexDir(spark: SparkSession, dir: String): String = synchronized {
+  private[ops] def sharedIndexDir(spark: SparkSession, dir: String): String = synchronized {
     val root = sys.props("java.io.tmpdir") +
       "/graft_searchidx_" + Tables.viewSuffix(dir)
     val key = (spark.sparkContext.applicationId, dir)
@@ -3018,10 +3049,18 @@ object Search {
     searchAcrossIndexes(spark, sharedSplitIndexDirs(spark, dir),
       QueryTerms, TopK)
 
-  /** Drop the session-shared index memo for `dir` — the next consumer
-    * rebuilds from the directory's current bytes. */
+  /** Drop EVERY session-shared index memo for `dir` — the plain key
+    * AND all `dir + "#…"` variants ([[sharedSplitIndexDirs]]'s
+    * `#split`, the daily layout's `#daily`, any future memo) — so a
+    * corpus mutation followed by invalidate() can never leave a
+    * variant serving stale bytes while its oracle reads fresh ones.
+    * The next consumer of each rebuilds from the directory's current
+    * bytes. */
   def invalidate(spark: SparkSession, dir: String): Unit = synchronized {
-    builtIndexes -= ((spark.sparkContext.applicationId, dir))
+    val app = spark.sparkContext.applicationId
+    builtIndexes.filterInPlace { case (a, d) =>
+      !(a == app && (d == dir || d.startsWith(dir + "#")))
+    }
     spark.catalog.dropTempView("graft_percreg_" + Tables.viewSuffix(dir))
     ()
   }

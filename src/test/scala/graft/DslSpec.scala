@@ -110,9 +110,88 @@ class DslSpec extends SparkSpec {
     assert(msg("""{"query": {"match": {"lang": "en"}}}""")
       .contains("analyzed text field"),
       "match on a keyword field must refuse, not silently scan nothing")
-    assert(msg("""{"size": 10}""").contains("query"))
     assert(msg("""{"query": {"range": {"n_chars": {"between": 1}}}}""")
       .contains("gte"), "bad range op must name the supported bounds")
+  }
+
+  test("body keys are whitelisted; missing query is match_all; size 0 is legal") {
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    // from/sort/_source must refuse, not return page-1 default-sorted
+    assert(msg("""{"query": {"match_all": {}}, "from": 5}""")
+      .contains("from"), "unknown body key must be named")
+    assert(msg("""{"query": {"match_all": {}}, "sort": []}""")
+      .contains("sort"))
+    assert(msg("""{"query": {"match_all": {}}, "size": -1}""")
+      .contains("size"))
+    assert(msg(s"""{"query": {"match_all": {}}, "size": ${1 << 20}}""")
+      .contains(Dsl.MaxResultWindow.toString),
+      "an over-window size must name the bound")
+    // ES defaults: no query → match_all, default size 10
+    assert(ids(run("""{"size": 10}""", tiny)) == Seq(0L, 1L, 2L, 3L, 4L))
+    // size 0 is the legal aggregations-only convention
+    assert(run("""{"query": {"match_all": {}}, "size": 0}""", tiny).isEmpty)
+  }
+
+  test("modifier keys on match/term refuse loudly; boost is supported") {
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"match": {"text":
+      {"query": "alpha", "operator": "and"}}}}""").contains("operator"),
+      "operator: and silently compiled to OR would return wrong hits")
+    assert(msg("""{"query": {"match": {"text":
+      {"query": "alpha", "fuzziness": "AUTO"}}}}""").contains("fuzziness"))
+    assert(msg("""{"query": {"term": {"lang":
+      {"value": "en", "case_insensitive": true}}}}""")
+      .contains("case_insensitive"))
+    // boost IS a supported modifier — it must parse and bite: a ×3
+    // boost on beta drops the alpha-only doc 0 from 3rd to last
+    val boosted = ids(run("""{"query": {"bool": {"should": [
+      {"match": {"text": {"query": "beta", "boost": 3}}},
+      {"match": {"text": "alpha"}}]}}}""", tiny))
+    val flat = ids(run("""{"query": {"bool": {"should": [
+      {"match": {"text": "beta"}},
+      {"match": {"text": "alpha"}}]}}}""", tiny))
+    assert(boosted.toSet == flat.toSet, "boost must not change the match set")
+    assert(boosted != flat, s"a ×3 boost must re-rank: $boosted vs $flat")
+  }
+
+  test("match_phrase counts OVERLAPPING occurrences (positional phrase frequency)") {
+    val docs = Seq(
+      (0L, "go go xx", "en", "s", 8L),
+      (1L, "go go go", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // same dl, same df — doc 1's phrase tf is 2 (overlapping) vs doc
+    // 0's 1, so it MUST outrank despite the higher doc_id; the old
+    // non-overlapping regex counted both as 1 and tie-broke to doc 0
+    val ranked = ids(run(
+      """{"query": {"match_phrase": {"text": "go go"}}}""", docs))
+    assert(ranked == Seq(1L, 0L),
+      s"overlapping phrase occurrences must all count: $ranked")
+    // and the oracle's positional count agrees by construction
+    val sql = Dsl.dslSql("""{"query": {"match_phrase": {"text": "go go"}}}""")
+    assert(sql.contains("range(1, len(toks)"), "oracle counts positionally")
+  }
+
+  test("multi_match best_fields reproduces the hand-built multifield ranking") {
+    val dsl = ids(run(s"""{"query": {"multi_match": {
+      "query": "${Search.QueryTerms.mkString(" ")}",
+      "fields": ["${Search.HeadField}^2", "${Search.DefaultField}"],
+      "type": "best_fields"}}, "size": ${Search.TopK}}"""))
+    val hand = Search.bm25Multifield(spark, sfDir).collect()
+      .map(_.getLong(1)).toSeq
+    assert(dsl == hand,
+      "dis_max over head^2 + text must rank exactly as bm25Multifield")
+    // head-only match is legal now; an unknown analyzed field is not
+    assert(ids(run(s"""{"query": {"match": {"${Search.HeadField}":
+      "alpha"}}}""", tiny)).nonEmpty)
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"multi_match": {"query": "x",
+      "fields": ["text", "lang"]}}}""").contains("analyzed"))
+    assert(msg("""{"query": {"multi_match": {"query": "x",
+      "fields": ["text"], "type": "most_fields"}}}""")
+      .contains("best_fields"))
   }
 
   test("the generated oracle SQL mirrors the compiled clause structure") {
@@ -132,15 +211,123 @@ class DslSpec extends SparkSpec {
     assert(scoreless.contains("0.0 AS score"))
   }
 
-  test("a pure-filter DSL query pushes its predicates to the parquet scan") {
-    val plan = Dsl.searchDslOf(Tables.documentsPar(spark, sfDir),
+  test("a pure-filter DSL query IS the pushed-down scan: no stats aggregate, no text read") {
+    val df = Dsl.searchDslOf(Tables.documentsPar(spark, sfDir),
       """{"query": {"bool": {"filter": [
         {"range": {"n_chars": {"gte": 100}}},
         {"term": {"lang": "en"}}]}}, "size": 20}""")
-      .queryExecution.executedPlan.toString
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") &&
       plan.contains("GreaterThanOrEqual(n_chars,100)") &&
       plan.contains("EqualTo(lang,en)"),
       s"filter context must reach the scan as pushed filters:\n$plan")
+    // the scoreless fast path: NO corpus stats aggregate, NO broadcast
+    // join, and the text column pruned OUT of the parquet read — the
+    // query is the filter, nothing more
+    assert(!plan.contains("Aggregate") && !plan.contains("NestedLoopJoin"),
+      s"a scoreless query must not build or join corpus statistics:\n$plan")
+    val read = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("text"),
+      s"a match-less query must never read the text column:\n$read")
+    // values still correct: the echoed provenance is zeroed, ids exact
+    val rows = df.collect()
+    assert(rows.nonEmpty &&
+      rows.forall(r => r.getInt(2) == 0 && r.getLong(3) == 0L &&
+        r.getLong(4) == 0L),
+      "scoreless hits echo zero n_matched/tf_total/dl")
+    // a should-only keyword query still scores (idf) — and therefore
+    // still aggregates — so the fast path keys on SCORELESSNESS, not
+    // on the absence of match clauses
+    val scoredPlan = Dsl.searchDslOf(Tables.documentsPar(spark, sfDir),
+      """{"query": {"term": {"lang": "en"}}, "size": 5}""")
+      .queryExecution.executedPlan.toString
+    assert(scoredPlan.contains("Aggregate"),
+      "a query-context term clause scores idf and needs its df statistic")
+  }
+
+  test("aggs: terms cut, date_histogram + stats sub-agg, histogram, top-level stats") {
+    val docs = Search.withPersistDate(tiny)
+    val out = Dsl.dslAggsOf(docs,
+      """{"query": {"match_all": {}}, "size": 0, "aggs": {
+        "by_lang": {"terms": {"field": "lang", "size": 2}},
+        "daily": {"date_histogram": {"field": "persist_date",
+                  "calendar_interval": "day"},
+                  "aggs": {"chars": {"stats": {"field": "n_chars"}}}},
+        "len": {"histogram": {"field": "n_chars", "interval": 10}},
+        "all": {"stats": {"field": "n_chars"}}}}""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(4)) null else r.getDouble(4))).toSeq
+    // terms size 2: en(3) then de/fr tie → de by key; fr is CUT
+    assert(out.filter(_._1 == "by_lang").map(t => (t._2, t._3)) ==
+      Seq(("de", 1L), ("en", 3L)),
+      s"terms agg must cut to top-2 by (count desc, key): $out")
+    // doc_id % 3 days: day0={0,3}, day1={1,4}, day2={2}
+    val daily = out.filter(_._1 == "daily")
+    assert(daily.map(t => (t._2, t._3)) == Seq(
+      ("2026-01-01", 2L), ("2026-01-02", 2L), ("2026-01-03", 1L)))
+    // stats sub-agg: day0 sum = 16+9 = 25
+    assert(daily.head._4 == 25.0, s"stats sub-agg sum wrong: $daily")
+    // histogram interval 10: 16,10,10,9,16 → bucket 0:{9} 10:{10,10,16,16}
+    assert(out.filter(_._1 == "len").map(t => (t._2, t._3)) ==
+      Seq(("0", 1L), ("10", 4L)))
+    assert(out.filter(_._1 == "all").map(_._4) == Seq(61.0))
+    // the query gates the match set: aggs over lang=en only
+    val gated = Dsl.dslAggsOf(docs,
+      """{"query": {"term": {"lang": "en"}}, "size": 0, "aggs": {
+        "all": {"stats": {"field": "n_chars"}}}}""").collect()
+    assert(gated.head.getLong(2) == 3L && gated.head.getDouble(4) == 35.0)
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(docs, json)).getMessage
+    assert(msg("""{"query": {"match_all": {}}, "size": 0, "aggs": {
+      "x": {"avg": {"field": "n_chars"}}}}""").contains("supported"),
+      "unknown agg type must name the supported set")
+    assert(msg("""{"query": {"match_all": {}}, "aggs": {
+      "x": {"stats": {"field": "n_chars"}}}}""").contains("size: 0"),
+      "an aggs body without size: 0 would silently drop requested hits")
+    assert(msg("""{"query": {"match_all": {}}, "size": 0, "aggs": {
+      "x": {"stats": {"field": "lang"}}}}""").contains("numeric"))
+  }
+
+  test("dsl_served ≡ dsl_search bit-for-bit, for every registered body") {
+    // the DSL compiled onto the persisted index must reproduce the
+    // scan path exactly — same integers into the same shared score
+    // expressions, so the ranking (and every echoed column) is
+    // bit-identical, not approximately equal
+    val scan = Dsl.searchDsl(spark, sfDir).collect().map(_.toSeq).toSeq
+    val served = Dsl.searchDslServed(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(served == scan, "served DSL ranking diverged from the scan path")
+    val mfScan = Dsl.searchDslMultifield(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val mfServed = Dsl.searchDslMultifieldServed(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(mfServed == mfScan,
+      "served multi-field DSL diverged from the scan path")
+    // a doc-value-less field refuses loudly instead of scanning text
+    val idx = Dsl.searchDslServed(spark, sfDir) // memo warm
+    val e = intercept[IllegalArgumentException](
+      Dsl.searchDslFromIndexes(spark,
+        Seq(sys.props("java.io.tmpdir") + "/graft_searchidx_" +
+          Tables.viewSuffix(sfDir)),
+        """{"query": {"exists": {"field": "nope"}}}"""))
+    assert(e.getMessage.contains("doc-values"), e.getMessage)
+  }
+
+  test("percolate_dsl: full query bodies as stored rules") {
+    val hits = Dsl.percolateDslOf(tiny, Seq(
+      1L -> """{"query": {"bool": {"must": [{"match": {"text": "alpha"}}],
+               "filter": [{"range": {"n_chars": {"gte": 12}}}]}}}""",
+      2L -> """{"query": {"match_phrase": {"text": "alpha beta"}}}""",
+      3L -> """{"query": {"bool": {"should": [{"term": {"lang": "de"}},
+               {"term": {"lang": "fr"}}]}}}"""))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rule 1: alpha ∧ n_chars≥12 → docs 0, 4; rule 2: adjacency → 1, 4;
+    // rule 3: de/fr → 2, 4
+    assert(hits == Set((0L, 1L), (4L, 1L), (1L, 2L), (4L, 2L),
+      (2L, 3L), (4L, 3L)), s"got $hits")
+    // the oracle is generated from the same rules
+    val sql = Dsl.percolateDslSql(Dsl.PercolateRules, "documents")
+    assert(sql.contains("UNION ALL") && sql.contains("query_id"))
   }
 }
