@@ -2359,7 +2359,25 @@ object Search {
         .select($"doc_id", $"dl")
     }.reduce(_ unionByName _)
     val dead = roots.map(tombstones(spark, _)).reduce(_ unionByName _)
-    val stats = doclen.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+    // the merged statistics are only correct under the disjointness
+    // contract (one index per doc_id) — ENFORCE it on the aggregate
+    // the query already pays for, folded into n so the score
+    // expressions evaluate it: an overlapping member pair refuses
+    // loudly at execution instead of silently double-counting df/N
+    val stats =
+      if (roots.size == 1)
+        doclen.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+      else doclen
+        .agg(count(lit(1)).as("cnt"), countDistinct($"doc_id").as("nd"),
+          sum($"dl").as("sumdl"))
+        .select(
+          when($"cnt" === $"nd", $"cnt").otherwise(
+            raise_error(concat(
+              lit("searchAcrossIndexes: member indices overlap on " +
+                "doc_id — "), ($"cnt" - $"nd").cast("string"),
+              lit(" duplicated docs; indices must partition the corpus")))
+              .cast("long")).as("n"),
+          $"sumdl")
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
       count(when($"tok" === t, 1)).as(s"df${i + 1}")
     }
@@ -2416,10 +2434,30 @@ object Search {
     * is bit-exact by construction, not by tolerance. */
   def searchAfterWithIndex(spark: SparkSession, indexDir: String,
       terms: Seq[String], k: Int, afterScore: Double, afterDoc: Long,
+      baseRank: Int): DataFrame =
+    pageAfter(spark, scoredFromIndex(spark,
+      requireIndex(spark, indexDir), terms), k, afterScore, afterDoc,
+      baseRank)
+
+  /** [[searchAfterWithIndex]] across MANY indices (an alias's daily
+    * members): keyset paging over [[scoredFromIndexes]]' merged-
+    * statistics frame — the cursor comparison re-computes the same
+    * bit-exact doubles whichever member a candidate lives in, so a
+    * page can span indices without missed or duplicated hits. */
+  def searchAfterAcrossIndexes(spark: SparkSession, indexDirs: Seq[String],
+      terms: Seq[String], k: Int, afterScore: Double, afterDoc: Long,
       baseRank: Int): DataFrame = {
+    require(indexDirs.nonEmpty, "searchAfterAcrossIndexes: no indices given")
+    pageAfter(spark, scoredFromIndexes(spark,
+      indexDirs.map(requireIndex(spark, _)), terms), k, afterScore,
+      afterDoc, baseRank)
+  }
+
+  private def pageAfter(spark: SparkSession, scored: DataFrame, k: Int,
+      afterScore: Double, afterDoc: Long, baseRank: Int): DataFrame = {
     import spark.implicits._
     val w = Window.orderBy($"score".desc, $"doc_id")
-    scoredFromIndex(spark, requireIndex(spark, indexDir), terms)
+    scored
       .filter($"n_matched" > 0)
       .filter($"score" < afterScore ||
         ($"score" === afterScore && $"doc_id" > afterDoc))
@@ -2437,13 +2475,27 @@ object Search {
     * in the response and the client echoes them back — driver-sized
     * by definition, never a data-plane collect. */
   def searchCursor(spark: SparkSession, indexDir: String,
+      terms: Seq[String], k: Int): Option[(Double, Long)] =
+    cursorOf(spark, scoredFromIndex(spark,
+      requireIndex(spark, indexDir), terms), k)
+
+  /** [[searchCursor]] across many indices — page 1's tail under the
+    * merged statistics. */
+  def searchCursorAcross(spark: SparkSession, indexDirs: Seq[String],
       terms: Seq[String], k: Int): Option[(Double, Long)] = {
+    require(indexDirs.nonEmpty, "searchCursorAcross: no indices given")
+    cursorOf(spark, scoredFromIndexes(spark,
+      indexDirs.map(requireIndex(spark, _)), terms), k)
+  }
+
+  private def cursorOf(spark: SparkSession, scored: DataFrame,
+      k: Int): Option[(Double, Long)] = {
     import spark.implicits._
     // ONE job: the page is bounded by limit(k), so collecting it and
     // reading both the row count and the tail from the array costs k
     // driver rows — running a separate count() would re-execute the
     // whole index-scoring pipeline a second time per cursor fetch
-    val rows = scoredFromIndex(spark, requireIndex(spark, indexDir), terms)
+    val rows = scored
       .filter($"n_matched" > 0)
       .orderBy($"score".desc, $"doc_id").limit(k)
       .select($"score", $"doc_id").collect()
@@ -2562,13 +2614,27 @@ object Search {
     * unbounded broadcast), and the facet aggregate is map-side
     * combined at (lang × source) grain. */
   def facetsWithIndex(spark: SparkSession, indexDir: String,
+      terms: Seq[String]): DataFrame =
+    facetsAcrossIndexes(spark, Seq(indexDir), terms)
+
+  /** [[facetsWithIndex]] across MANY indices (the alias's daily
+    * members): match sets, tombstones, and doc-values all union, and
+    * the bucket counts aggregate over the union — under the
+    * disjointness contract each doc counts once, so the report equals
+    * the single-corpus facets exactly (the correctness gate proves it
+    * per run: this serves the same oracle as the scan path). */
+  def facetsAcrossIndexes(spark: SparkSession, indexDirs: Seq[String],
       terms: Seq[String]): DataFrame = {
     import spark.implicits._
-    val root = requireIndex(spark, indexDir)
-    val matched = matchedFromIndex(spark, root, terms)
-      .join(tombstones(spark, root), Seq("doc_id"), "left_anti")
-    spark.read.parquet(s"$root/docmeta")
-      .select($"doc_id", $"lang", $"source")
+    require(indexDirs.nonEmpty, "facetsAcrossIndexes: no indices given")
+    val roots = indexDirs.map(requireIndex(spark, _))
+    val dead = roots.map(tombstones(spark, _)).reduce(_ unionByName _)
+    val matched = roots.map(matchedFromIndex(spark, _, terms))
+      .reduce(_ unionByName _)
+      .join(dead, Seq("doc_id"), "left_anti")
+    roots.map(root => spark.read.parquet(s"$root/docmeta")
+        .select($"doc_id", $"lang", $"source"))
+      .reduce(_ unionByName _)
       .join(matched, "doc_id")
       .groupBy($"lang", $"source")
       .agg(count(lit(1)).as("n_docs"))
@@ -3021,33 +3087,114 @@ object Search {
   def bm25Served(spark: SparkSession, dir: String): DataFrame =
     searchWithIndex(spark, sharedIndexDir(spark, dir), QueryTerms, TopK)
 
-  /** TWO disjoint session-shared indices over the corpus (doc_id
-    * parity split) — the daily-index-pair stand-in the multi-index
-    * query serves across. Memoized like [[sharedIndexDir]]. */
-  private def sharedSplitIndexDirs(spark: SparkSession,
-      dir: String): Seq[String] = synchronized {
-    import spark.implicits._
-    val base = sys.props("java.io.tmpdir") +
-      "/graft_splitidx_" + Tables.viewSuffix(dir)
-    val dirs = Seq(s"$base/even", s"$base/odd")
-    val key = (spark.sparkContext.applicationId, dir + "#split")
-    if (!builtIndexes.contains(key)) {
-      val docs = Tables.documentsPar(spark, dir)
-      buildSearchIndexOf(docs.filter($"doc_id" % 2 === 0), dirs.head)
-      buildSearchIndexOf(docs.filter($"doc_id" % 2 =!= 0), dirs(1))
-      builtIndexes += key
-    }
+  // ------------------------------------------- daily indices + alias
+
+  /** The ALIAS file name an alias set commits under. An alias is the
+    * reference's serving indirection (es.go:102-116 `addAlias` over
+    * the es.go:78-81 daily index names): a named pointer to the SET
+    * of member indices a search should span. Here it is a pointer
+    * FILE listing member index dirs (one per line), committed by the
+    * same atomic write-temp-then-rename every version pointer uses —
+    * repointing the alias (e.g. adding today's index at rollover) is
+    * one atomic replace, and a reader resolves the member list once
+    * per query. */
+  val AliasFile = "alias_members"
+
+  def writeAlias(spark: SparkSession, aliasPath: String,
+      indexDirs: Seq[String]): Unit = {
+    require(indexDirs.nonEmpty, "writeAlias: empty member list")
+    commitPointerFile(spark, aliasPath, indexDirs.mkString("\n"))
+  }
+
+  def readAlias(spark: SparkSession, aliasPath: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(aliasPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"readAlias: no alias at $aliasPath — write one with writeAlias")
+    val in = fs.open(p)
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      out.toString("UTF-8")
+    } finally in.close()
+    val dirs = text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    if (dirs.isEmpty)
+      throw new IllegalStateException(s"readAlias: alias $aliasPath is empty")
     dirs
   }
 
-  /** Registered query: the [[QueryTerms]] ranking served ACROSS two
-    * disjoint indices ([[searchAcrossIndexes]]) — the oracle is the
-    * whole-corpus scan SQL, so the oracle-green IS the merged-
-    * statistics proof: stats computed across the indices must
-    * reproduce the single-corpus ranking exactly. */
+  /** Search through an ALIAS: resolve the member list once, then rank
+    * across the members under merged statistics
+    * ([[searchAcrossIndexes]]) — `GET /alias/_search`. */
+  def searchAlias(spark: SparkSession, aliasPath: String,
+      terms: Seq[String], k: Int): DataFrame =
+    searchAcrossIndexes(spark, readAlias(spark, aliasPath), terms, k)
+
+  /** The session-shared DAILY index layout — the reference's actual
+    * serving shape (one index per ingest date, an alias spanning
+    * them): the corpus splits by the deterministic
+    * [[withPersistDate]] date into [[PersistDays]] per-day indices,
+    * and [[AliasFile]] points at the set. Memoized like
+    * [[sharedIndexDir]] under `dir + "#daily"` (so [[invalidate]]
+    * drops it too). Returns (member dirs, alias path). */
+  private[ops] def sharedDailyIndexDirs(spark: SparkSession,
+      dir: String): (Seq[String], String) = synchronized {
+    import spark.implicits._
+    val base = sys.props("java.io.tmpdir") +
+      "/graft_dailyidx_" + Tables.viewSuffix(dir)
+    val dates = (0 until PersistDays).map(d =>
+      java.time.LocalDate.parse(PersistEpoch).plusDays(d.toLong).toString)
+    val dirs = dates.map(d => s"$base/idx-$d")
+    val alias = s"$base/$AliasFile"
+    val key = (spark.sparkContext.applicationId, dir + "#daily")
+    if (!builtIndexes.contains(key)) {
+      val docs = withPersistDate(Tables.documentsPar(spark, dir))
+      dates.zip(dirs).foreach { case (d, out) =>
+        buildSearchIndexOf(
+          docs.filter($"persist_date" === to_date(lit(d))), out)
+      }
+      writeAlias(spark, alias, dirs)
+      builtIndexes += key
+    }
+    (dirs, alias)
+  }
+
+  /** Registered query: the [[QueryTerms]] ranking served ACROSS the
+    * daily indices ([[searchAcrossIndexes]] over explicit member
+    * dirs) — the oracle is the whole-corpus scan SQL, so the
+    * oracle-green IS the merged-statistics proof: stats computed
+    * across the per-day indices must reproduce the single-corpus
+    * ranking exactly. */
   def searchMultiIndex(spark: SparkSession, dir: String): DataFrame =
-    searchAcrossIndexes(spark, sharedSplitIndexDirs(spark, dir),
+    searchAcrossIndexes(spark, sharedDailyIndexDirs(spark, dir)._1,
       QueryTerms, TopK)
+
+  /** Registered query: the same ranking resolved THROUGH the alias
+    * pointer ([[searchAlias]]) — the `GET /alias/_search` shape, so
+    * the alias resolution itself sits on the correctness gate. */
+  def searchAliasDaily(spark: SparkSession, dir: String): DataFrame =
+    searchAlias(spark, sharedDailyIndexDirs(spark, dir)._2,
+      QueryTerms, TopK)
+
+  /** Registered query: PAGE TWO of the ranking across the daily
+    * indices — [[searchCursorAcross]] + [[searchAfterAcrossIndexes]],
+    * same oracle as the single-index `search_after` (keyset paging
+    * must hold across an alias exactly as within one index). */
+  def searchAfterMulti(spark: SparkSession, dir: String): DataFrame = {
+    val dirs = sharedDailyIndexDirs(spark, dir)._1
+    val (s, d) = searchCursorAcross(spark, dirs, QueryTerms, TopK)
+      .getOrElse(throw new IllegalStateException(
+        s"search_after_multi: fewer than $TopK matches — no second page"))
+    searchAfterAcrossIndexes(spark, dirs, QueryTerms, TopK, s, d, TopK)
+  }
+
+  /** Registered query: [[searchFacets]] served across the daily
+    * indices ([[facetsAcrossIndexes]]) — same oracle as the scan and
+    * single-index forms. */
+  def facetsMulti(spark: SparkSession, dir: String): DataFrame =
+    facetsAcrossIndexes(spark, sharedDailyIndexDirs(spark, dir)._1,
+      QueryTerms)
 
   /** Drop EVERY session-shared index memo for `dir` — the plain key
     * AND all `dir + "#…"` variants ([[sharedSplitIndexDirs]]'s

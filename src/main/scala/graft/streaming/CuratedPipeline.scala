@@ -36,7 +36,8 @@ final case class CuratedModels(
     unigramCounts: DataFrame,
     pqDir: Option[String],
     searchIndexDir: Option[String],
-    percolator: DataFrame)
+    percolator: DataFrame,
+    percolatorDsl: DataFrame)
 
 object CuratedModels {
 
@@ -50,7 +51,15 @@ object CuratedModels {
 
   private val ParquetFamilies =
     Seq("classifier", "classifier_bar", "dsir", "mix", "unigram",
-      "percolator")
+      "percolator", "percolator_dsl")
+
+  /** The authored DSL alert rules seeded into a fresh bundle — full ES
+    * query bodies (range+match power a term list cannot express),
+    * stored as DATA (query_id, body) an operator edits between bundle
+    * versions. Ids offset by 100 so they never collide with the
+    * derived term registry's 1..N. */
+  val DslRuleSeed: Seq[(Long, String)] =
+    graft.ops.Dsl.PercolateRules.map { case (id, b) => (100L + id, b) }
 
   private def writeText(path: java.nio.file.Path, text: String): Unit = {
     java.nio.file.Files.createDirectories(path.getParent)
@@ -106,6 +115,11 @@ object CuratedModels {
     // end, no literal rule constants anywhere (Search.derivedRegistry)
     Search.sharedRegistry(spark, dir)
       .coalesce(1).write.mode("overwrite").parquet(s"$modelsDir/percolator")
+    // the DSL rule bodies are the same data-not-code discipline with
+    // authored (not derived) content: seeded here, edited in place by
+    // operators between bundle versions
+    DslRuleSeed.toDF("query_id", "body")
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelsDir/percolator_dsl")
     Dedup.persistFunnel(spark, dir, s"$modelsDir/funnel")
     if (withPq) Pq.persistPqIndex(spark, dir, s"$modelsDir/pq")
     Search.buildSearchIndex(spark, dir, s"$modelsDir/searchidx")
@@ -171,7 +185,8 @@ object CuratedModels {
       pqDir = if (families.contains("pq")) Some(s"$modelsDir/pq") else None,
       searchIndexDir = if (families.contains("searchidx"))
         Some(s"$modelsDir/searchidx") else None,
-      percolator = spark.read.parquet(s"$modelsDir/percolator"))
+      percolator = spark.read.parquet(s"$modelsDir/percolator"),
+      percolatorDsl = spark.read.parquet(s"$modelsDir/percolator_dsl"))
   }
 }
 
@@ -260,7 +275,24 @@ object CuratedPipeline {
     // epoch-keyed dynamic overwrite + the deterministic survivor above
     // keep replays idempotent
     alertsDir.foreach { ad =>
-      Search.percolateWithRegistry(dedupedValid, m.percolator)
+      val termAlerts = Search.percolateWithRegistry(dedupedValid, m.percolator)
+      // DSL rules: full query bodies from the bundle, compiled into
+      // the same stateless probe — range/bool/phrase alerting power.
+      // The registry pull is the compileRegistry small-set fast path,
+      // bounded loudly; arrivals are enriched with the indexed length
+      // field so range rules on it see the corpus convention
+      val dslRules = m.percolatorDsl
+        .limit(Search.MaxCompiledRules + 1).collect()
+      if (dslRules.length > Search.MaxCompiledRules)
+        throw new IllegalStateException(
+          s"curateBatch: percolator_dsl exceeds ${Search.MaxCompiledRules} " +
+            "rules — the compiled probe is the small-registry fast path")
+      val alerts =
+        if (dslRules.isEmpty) termAlerts
+        else termAlerts.unionByName(graft.ops.Dsl.percolateDslOf(
+          dedupedValid.withColumn("n_chars", length($"text")),
+          dslRules.map(r => (r.getLong(0), r.getString(1))).toSeq))
+      alerts
         .withColumn("epoch_id", lit(epochId))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("epoch_id").parquet(ad)

@@ -269,13 +269,24 @@ class CuratedPipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val expAlerts = (Seq((df(batch1), 0L), (df(batch2), 1L)).flatMap {
       case (bdf, ep) =>
-        graft.ops.Search.percolateWithRegistry(bdf
+        val valid = bdf
           .filter($"text".isNotNull && length(trim($"text")) > 0)
-          .dropDuplicates("doc_id"), m.percolator)
-          .collect().map(r => (r.getLong(0), r.getLong(1), ep))
+          .dropDuplicates("doc_id")
+        graft.ops.Search.percolateWithRegistry(valid, m.percolator)
+          .collect().map(r => (r.getLong(0), r.getLong(1), ep)) ++
+          graft.ops.Dsl.percolateDslOf(
+            valid.withColumn("n_chars", length($"text")),
+            CuratedModels.DslRuleSeed)
+            .collect().map(r => (r.getLong(0), r.getLong(1), ep))
     }).toSet
     assert(alerts == expAlerts,
       s"alerts diverged: ${alerts.diff(expAlerts)} / ${expAlerts.diff(alerts)}")
+    // the DSL rules (ids ≥ 100) add alerting power a term list cannot
+    // express — at least one body rule (range+match / phrase / keyword
+    // pair) must actually fire on this battery, or the wiring proof
+    // above is vacuous
+    assert(alerts.exists(_._2 >= 100L),
+      s"no DSL percolator rule fired on the battery: $alerts")
 
     // ---- search index: every first-seen valid arrival queryable; the
     // stream-maintained index must rank exactly like one whole build

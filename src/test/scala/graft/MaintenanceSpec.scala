@@ -420,6 +420,88 @@ class MaintenanceSpec extends SparkSpec {
       "sync must replace the follower's set with the primary's")
   }
 
+  test("daily-index rollover: new day's index joins the alias; yesterday's bytes untouched") {
+    import spark.implicits._
+    import graft.ops.Search
+    def day(d: Int, n: Int) = (0 until n).map(i =>
+      (d * 100L + i, s"dup vector merge doc $i of day $d word$i",
+        "en", s"src$d", 40L + i))
+    val days = Seq(day(1, 6), day(2, 5), day(3, 4))
+      .map(_.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val base = tmp("daily")
+    val dirs = (1 to 3).map(d => s"$base/idx-d$d")
+    // ingest days 1-2: one index per day, alias spans both
+    days.take(2).zip(dirs).foreach { case (df, out) =>
+      Search.buildSearchIndexOf(df, out)
+    }
+    val alias = s"$base/alias"
+    Search.writeAlias(spark, alias, dirs.take(2))
+    // the alias search must equal ONE index over the same docs,
+    // bit-for-bit — the merged-statistics contract
+    val combined12 = tmp("comb12")
+    Search.buildSearchIndexOf(days(0).unionByName(days(1)), combined12)
+    val q = Seq("dup", "vector")
+    assert(Search.searchAlias(spark, alias, q, 10).collect().toSeq ==
+      Search.searchWithIndex(spark, combined12, q, 10).collect().toSeq)
+    // snapshot day-1/2 bytes (path → mtime) before the rollover
+    def filesOf(dir: String): Map[String, Long] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(p, true)
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) { val s = it.next()
+        m(s.getPath.toString) = s.getModificationTime }
+      m.toMap
+    }
+    val before = dirs.take(2).map(filesOf)
+    // ROLLOVER: day 3 lands as its own index; the alias repoints
+    // atomically to include it
+    Search.buildSearchIndexOf(days(2), dirs(2))
+    Search.writeAlias(spark, alias, dirs)
+    assert(Search.readAlias(spark, alias) == dirs)
+    val combinedAll = tmp("comball")
+    Search.buildSearchIndexOf(days.reduce(_ unionByName _), combinedAll)
+    assert(Search.searchAlias(spark, alias, q, 20).collect().toSeq ==
+      Search.searchWithIndex(spark, combinedAll, q, 20).collect().toSeq,
+      "post-rollover alias search must equal the full-corpus index")
+    // yesterday's indices were never rewritten — every file identical
+    assert(dirs.take(2).map(filesOf) == before,
+      "a rollover must not touch prior days' index bytes")
+    // paging holds across the alias too
+    val cur = Search.searchCursorAcross(spark, dirs, q, 5)
+    assert(cur.isDefined)
+    val page2 = Search.searchAfterAcrossIndexes(spark, dirs, q, 5,
+      cur.get._1, cur.get._2, 5).collect().map(_.getLong(1)).toSeq
+    val top10 = Search.searchWithIndex(spark, combinedAll, q, 10)
+      .collect().map(_.getLong(1)).toSeq
+    assert(page2 == top10.drop(5),
+      "keyset page 2 across the alias must equal ranks 6-10 of the corpus")
+    intercept[IllegalStateException](
+      Search.readAlias(spark, s"$base/no_such_alias"))
+  }
+
+  test("overlapping member indices refuse loudly instead of double-counting stats") {
+    import spark.implicits._
+    import graft.ops.Search
+    val docs = Seq((1L, "dup vector a"), (2L, "dup vector b"),
+      (3L, "merge c")).toDF("doc_id", "text")
+    val (a, b) = (tmp("ovlA"), tmp("ovlB"))
+    Search.buildSearchIndexOf(docs, a)
+    Search.buildSearchIndexOf(docs.filter($"doc_id" <= 2), b)
+    val e = intercept[Exception](
+      Search.searchAcrossIndexes(spark, Seq(a, b),
+        Seq("dup", "vector"), 5).collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("overlap")),
+      s"expected the disjointness guard to fire, got: ${chain(e)}")
+    // disjoint members still serve fine
+    val c = tmp("ovlC")
+    Search.buildSearchIndexOf(docs.filter($"doc_id" === 3), c)
+    assert(Search.searchAcrossIndexes(spark, Seq(b, c),
+      Seq("dup", "vector"), 5).collect().nonEmpty)
+  }
+
   test("snapshot → mutate → restore returns the index to its snapshot state") {
     import spark.implicits._
     import graft.ops.Search
