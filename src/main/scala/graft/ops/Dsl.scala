@@ -30,12 +30,21 @@ import graft.Tables
   * query context, the exact Lucene number for a norms-off keyword
   * field: tf=1 and dl=1 make BM25's tf part (1·(k1+1))/(1+k1) ≡ 1),
   * `terms` (OR-of-equalities, unscored — the constant-score
-  * convention), `range` (gte/gt/lte/lt), `exists`, `match_all`.
-  * Anything else — clause types, bool sections, body keys, AND
-  * clause-level modifier keys (`operator`, `fuzziness`, …) — refuses
-  * LOUDLY with the supported set named: a silently-dropped clause or
-  * modifier would return hits ES excludes, the worst failure mode a
-  * query language can have.
+  * convention), `range` (gte/gt/lte/lt), `exists`, `ids`, `prefix` /
+  * `wildcard` (doc-value string matching; `*`/`?` translate to one
+  * anchored regex both engines evaluate), `constant_score` (a
+  * filter-context child scoring its constant `boost`), `dis_max`
+  * (best branch + `tie_breaker` × the rest), `match_all`. Body keys
+  * beyond `query`/`size`: `from` offset paging (bounded by the ES
+  * result window), `sort` (doc-value fields and `_score`, asc/desc,
+  * NULLS LAST — and a field-only sort skips score evaluation AND the
+  * statistics aggregate entirely, ES's `track_scores: false`), and
+  * `_source` include lists (hits carry rk + doc_id + the requested
+  * doc-value fields). Anything else — clause types, bool sections,
+  * body keys, AND clause-level modifier keys (`operator`,
+  * `fuzziness`, …) — refuses LOUDLY with the supported set named: a
+  * silently-dropped clause or modifier would return hits ES excludes,
+  * the worst failure mode a query language can have.
   *
   * Scoring: query-context clauses (must, should) sum their
   * contributions — [[Search.bm25ScoreOf]], the ONE score expression
@@ -85,6 +94,12 @@ object Dsl {
   final case class RangeQ(field: String, bounds: Seq[(String, Scalar)])
     extends Node
   final case class ExistsQ(field: String) extends Node
+  final case class IdsQ(values: Seq[Long]) extends Node
+  final case class PrefixQ(field: String, value: String) extends Node
+  final case class WildcardQ(field: String, pattern: String) extends Node
+  final case class ConstScoreQ(filter: Node, boost: BigDecimal) extends Node
+  final case class DisMaxQ(queries: Seq[Node], tieBreaker: BigDecimal)
+    extends Node
   case object MatchAllQ extends Node
 
   /** Aggregation request (`"aggs"` beside `"query"` — the other half
@@ -100,10 +115,15 @@ object Dsl {
   final case class AggSpec(name: String, agg: AggNode,
       sub: Option[(String, StatsAgg)])
 
-  /** A parsed search body: `{"query": …, "size": n, "aggs": …}`.
-    * `query` defaults to match_all (the ES default); any OTHER body
-    * key refuses loudly ([[parseBody]]). */
-  final case class Body(query: Node, size: Int, aggs: Seq[AggSpec])
+  /** A parsed search body: `{"query": …, "size": n, "from": n,
+    * "sort": […], "_source": […], "aggs": …}`. `query` defaults to
+    * match_all (the ES default); any OTHER body key refuses loudly
+    * ([[parseBody]]). `sort` keys are (field-or-`_score`, ascending);
+    * empty = the default `_score` desc. `source` is None for the
+    * default provenance shape, Some(fields) for an `_source` include
+    * list (empty = `"_source": false`, rk + doc_id only). */
+  final case class Body(query: Node, size: Int, aggs: Seq[AggSpec],
+      from: Int, sort: Seq[(String, Boolean)], source: Option[Seq[String]])
 
   /** A JSON scalar a term/range clause compares against, carrying its
     * Spark literal and its SQL literal so both compilers emit the
@@ -155,15 +175,58 @@ object Dsl {
       case o: JObject => o
       case other => fail(s"body must be a JSON object, got $other")
     }
-    val known = Set("query", "size", "aggs")
+    val known = Set("query", "size", "aggs", "from", "sort", "_source")
     root.obj.collectFirst { case (k, _) if !known.contains(k) => k }
       .foreach(k => fail(s"unsupported body key '$k' — supported: " +
-        "aggs, query, size"))
+        "_source, aggs, from, query, size, sort"))
     val size = root \ "size" match {
       case JNothing => DefaultSize
       case JInt(n) if n >= 0 && n <= MaxResultWindow => n.toInt
       case JInt(n) => fail(s"size must be in [0, $MaxResultWindow], got $n")
       case v => fail(s"size must be an integer, got $v")
+    }
+    val from = root \ "from" match {
+      case JNothing => 0
+      case JInt(n) if n >= 0 && n + size <= MaxResultWindow => n.toInt
+      case JInt(n) => fail(s"from + size must be in [0, $MaxResultWindow], " +
+        s"got from=$n size=$size (deep paging is search_after's job)")
+      case v => fail(s"from must be an integer, got $v")
+    }
+    val sort = root \ "sort" match {
+      case JNothing => Seq.empty
+      case JArray(entries) if entries.nonEmpty => entries.map {
+        // "field" (asc; bare "_score" sorts desc — both ES defaults)
+        case JString(f) => (f, f != "_score")
+        case JObject(List((f, JString(ord)))) => (f, parseOrder(f, ord))
+        case JObject(List((f, o: JObject))) =>
+          o.obj.collectFirst { case (k, _) if k != "order" => k }
+            .foreach(k => fail(s"sort.$f has unsupported option '$k' — " +
+              "supported: order"))
+          o \ "order" match {
+            case JString(ord) => (f, parseOrder(f, ord))
+            case _ => fail(s"sort.$f needs an \"order\" string")
+          }
+        case other => fail(s"sort entries must be \"field\" or " +
+          s"{field: {order: asc|desc}}, got $other")
+      }
+      case _ => fail("sort must be a non-empty array")
+    }
+    if (sort.map(_._1).distinct.size != sort.size)
+      fail("sort lists a field twice")
+    val source = root \ "_source" match {
+      case JNothing => None
+      case JBool(false) => Some(Seq.empty)
+      case JArray(fs) if fs.nonEmpty => Some(fs.map {
+        case JString(f) => f
+        case other => fail(s"_source entries must be field names, got $other")
+      })
+      case other => fail(s"_source must be false or a non-empty field " +
+        s"array, got $other")
+    }
+    source.foreach { fs =>
+      if (fs.distinct.size != fs.size) fail("_source lists a field twice")
+      if (fs.contains("doc_id"))
+        fail("_source must not list doc_id — every hit carries it")
     }
     val q = root \ "query" match {
       case JNothing => MatchAllQ // the ES default
@@ -173,7 +236,13 @@ object Dsl {
       case JNothing => Seq.empty
       case a => parseAggs(a)
     }
-    Body(q, size, aggs)
+    Body(q, size, aggs, from, sort, source)
+  }
+
+  private def parseOrder(field: String, ord: String): Boolean = ord match {
+    case "asc" => true
+    case "desc" => false
+    case other => fail(s"sort.$field order must be asc or desc, got '$other'")
   }
 
   /** The same normalization [[TextAnalysis.norm]]+tokenize applies to
@@ -349,10 +418,87 @@ object Dsl {
         case JString(f) => ExistsQ(f)
         case _ => fail("exists needs {\"field\": name}")
       }
+      case "ids" => body match {
+        case o: JObject =>
+          o.obj.collectFirst { case (k, _) if k != "values" => k }
+            .foreach(k => fail(s"ids has unsupported option '$k' — " +
+              "supported: values"))
+          o \ "values" match {
+            case JArray(vs) if vs.nonEmpty => IdsQ(vs.map {
+              case JInt(n) => n.toLong
+              case JLong(n) => n
+              case v => fail(s"ids values must be integers (doc_id is " +
+                s"numeric in this corpus), got $v")
+            })
+            case _ => fail("ids needs a non-empty \"values\" array")
+          }
+        case other => fail(s"ids expects an object, got $other")
+      }
+      case "prefix" => body match {
+        case JObject(List((field, o: JObject))) =>
+          o.obj.collectFirst { case (k, _) if k != "value" => k }
+            .foreach(k => fail(s"prefix.$field has unsupported option " +
+              s"'$k' — supported: value"))
+          o \ "value" match {
+            case JString(s) if s.nonEmpty => PrefixQ(field, s)
+            case _ => fail(s"prefix.$field needs a non-empty \"value\" string")
+          }
+        case JObject(List((field, JString(s)))) if s.nonEmpty =>
+          PrefixQ(field, s)
+        case other => fail(s"prefix expects {field: {value: str}}, got $other")
+      }
+      case "wildcard" => body match {
+        case JObject(List((field, o: JObject))) =>
+          o.obj.collectFirst { case (k, _) if k != "value" => k }
+            .foreach(k => fail(s"wildcard.$field has unsupported option " +
+              s"'$k' — supported: value"))
+          o \ "value" match {
+            case JString(s) if s.nonEmpty => WildcardQ(field, s)
+            case _ =>
+              fail(s"wildcard.$field needs a non-empty \"value\" string")
+          }
+        case JObject(List((field, JString(s)))) if s.nonEmpty =>
+          WildcardQ(field, s)
+        case other =>
+          fail(s"wildcard expects {field: {value: str}}, got $other")
+      }
+      case "constant_score" => body match {
+        case o: JObject =>
+          val known = Set("filter", "boost")
+          o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+            .foreach(k => fail(s"constant_score has unsupported option " +
+              s"'$k' — supported: boost, filter"))
+          o \ "filter" match {
+            case JNothing => fail("constant_score needs a \"filter\" clause")
+            case fq => ConstScoreQ(node(fq), boostOf(o))
+          }
+        case other => fail(s"constant_score expects an object, got $other")
+      }
+      case "dis_max" => body match {
+        case o: JObject =>
+          val known = Set("queries", "tie_breaker")
+          o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+            .foreach(k => fail(s"dis_max has unsupported option '$k' — " +
+              "supported: queries, tie_breaker"))
+          val tb = o \ "tie_breaker" match {
+            case JNothing => BigDecimal(0)
+            case JInt(n) => BigDecimal(n)
+            case JDouble(d) => BigDecimal(d)
+            case JDecimal(d) => d
+            case v => fail(s"dis_max tie_breaker must be a number, got $v")
+          }
+          if (tb < 0 || tb > 1)
+            fail(s"dis_max tie_breaker must be in [0, 1], got $tb")
+          o \ "queries" match {
+            case JArray(qs) if qs.nonEmpty => DisMaxQ(qs.map(node), tb)
+            case _ => fail("dis_max needs a non-empty \"queries\" array")
+          }
+        case other => fail(s"dis_max expects an object, got $other")
+      }
       case "match_all" => MatchAllQ
       case other => fail(s"unsupported query type '$other' — supported: " +
-        "bool, match, match_phrase, multi_match, term, terms, range, " +
-        "exists, match_all")
+        "bool, constant_score, dis_max, exists, ids, match, match_all, " +
+        "match_phrase, multi_match, prefix, range, term, terms, wildcard")
     }
     case JObject(fields) =>
       fail(s"a query clause must have exactly one key, got " +
@@ -462,6 +608,8 @@ object Dsl {
         case BoolQ(m, s, mn, fl, _) =>
           (m ++ s).flatMap(collectCtx(_, scored)(pf)) ++
             (mn ++ fl).flatMap(collectCtx(_, false)(pf))
+        case ConstScoreQ(f, _) => collectCtx(f, false)(pf)
+        case DisMaxQ(qs, _) => qs.flatMap(collectCtx(_, scored)(pf))
         case _ => Seq.empty
       })
 
@@ -495,6 +643,8 @@ object Dsl {
     case (TermsQ(f, _), _) => Seq(f)
     case (RangeQ(f, _), _) => Seq(f)
     case (ExistsQ(f), _) => Seq(f)
+    case (PrefixQ(f, _), _) => Seq(f)
+    case (WildcardQ(f, _), _) => Seq(f)
   }.distinct
 
   /** Distinct SCORED `term` clauses — each needs a doc-frequency
@@ -518,6 +668,10 @@ object Dsl {
       m.exists(requiresText) || fl.exists(requiresText) ||
         (m.isEmpty && fl.isEmpty && s.nonEmpty &&
           msm.getOrElse(1) >= 1 && s.forall(requiresText))
+    case ConstScoreQ(f, _) => requiresText(f)
+    // a dis_max doc matches when ANY branch matches — text is implied
+    // only when every branch implies it
+    case DisMaxQ(qs, _) => qs.forall(requiresText)
     case _ => false
   }
 
@@ -649,6 +803,64 @@ object Dsl {
       C(preds.reduce(_ && _), sqls.mkString("(", " AND ", ")"), None)
     case ExistsQ(field) =>
       C(col(field).isNotNull, s"f.$field IS NOT NULL", None)
+    case IdsQ(vs) =>
+      // mirror terms: OR-of-equalities over doc_id, unscored (the
+      // constant-score convention this module documents for
+      // set-membership clauses)
+      C(vs.map(v => col("doc_id") === lit(v)).reduce(_ || _),
+        vs.map(v => s"f.doc_id = $v").mkString("(", " OR ", ")"), None)
+    case PrefixQ(field, v) =>
+      C(col(field).startsWith(lit(v)),
+        s"starts_with(f.$field, '${quoteSql(v)}')", None)
+    case WildcardQ(field, pat) =>
+      val re = wildcardRegex(pat)
+      C(col(field).rlike(re),
+        s"regexp_matches(f.$field, '${quoteSql(re)}')", None)
+    case ConstScoreQ(fq, boost) =>
+      // the ES way to give a filter a score: the wrapped clause
+      // compiles in FILTER context (no statistics), and the whole
+      // clause scores the constant boost in query context
+      val c = compile(fq, false, tfIdx, pfIdx, ktIdx)
+      val score =
+        if (scored) Some((lit(boost.toDouble),
+          s"CAST(${boost.underlying.toPlainString} AS DOUBLE)"))
+        else None
+      C(c.pred, c.predSql, score)
+    case DisMaxQ(qs, tb) =>
+      val cs = qs.map(compile(_, scored, tfIdx, pfIdx, ktIdx))
+      val pred = cs.map(_.pred).reduce(_ || _)
+      val predSql = cs.map(_.predSql).mkString("(", " OR ", ")")
+      // dis_max: best branch's score + tie_breaker × the others'.
+      // Per-branch scores gate on the branch matching (a non-matching
+      // branch contributes nothing); an unscored branch contributes a
+      // constant 0.0, same stance as unscored shoulds.
+      val score = if (!scored) None else {
+        val gated = cs.map { c =>
+          c.score match {
+            case Some((s, sql)) =>
+              (when(c.pred, s).otherwise(lit(0.0)),
+                s"CASE WHEN ${c.predSql} THEN $sql ELSE 0.0 END")
+            case None => (lit(0.0), "0.0")
+          }
+        }
+        if (cs.forall(_.score.isEmpty)) None
+        else {
+          val best =
+            if (gated.size == 1) gated.head
+            else (greatest(gated.map(_._1): _*),
+              gated.map(_._2).mkString("greatest(", ", ", ")"))
+          if (tb == BigDecimal(0)) Some(best)
+          else {
+            // max + tb·(sum − max); greatest is a comparison (no
+            // fp-order hazard) and the sum keeps branch order
+            val (sumC, sumSql) = sumScores(gated)
+            Some((best._1 + lit(tb.toDouble) * (sumC - best._1),
+              s"(${best._2} + CAST(${tb.underlying.toPlainString} " +
+                s"AS DOUBLE) * ($sumSql - ${best._2}))"))
+          }
+        }
+      }
+      C(pred, predSql, score)
     case MatchAllQ => C(lit(true), "TRUE", None)
     case BoolQ(must, should, mustNot, filterCtx, minShould) =>
       val mc = must.map(compile(_, scored, tfIdx, pfIdx, ktIdx))
@@ -691,15 +903,25 @@ object Dsl {
       tkeys: Seq[(String, String)], pkeys: Seq[(String, Seq[String])],
       stkeys: Seq[(String, String)], spkeys: Seq[(String, Seq[String])],
       skts: Seq[(String, Scalar)], exact: Seq[String],
-      tfIdx: TIdx, pfIdx: PIdx, ktIdx: KIdx, c: C) {
+      tfIdx: TIdx, pfIdx: PIdx, ktIdx: KIdx, c: C,
+      from: Int = 0, sortKeys: Seq[(String, Boolean)] = Seq.empty,
+      source: Option[Seq[String]] = None) {
     def needsText: Boolean = tkeys.nonEmpty || pkeys.nonEmpty
-    def needsStats: Boolean = c.score.isDefined
+    /** A field-only `sort` never evaluates the score — ES computes
+      * scores only when the ranking needs them (`track_scores`
+      * defaults false under sort), so the statistics vanish exactly
+      * as for a scoreless query. */
+    def needsScore: Boolean =
+      sortKeys.isEmpty || sortKeys.exists(_._1 == "_score")
+    def needsStats: Boolean = needsScore && c.score.isDefined
     /** Analyzed fields whose statistics the score references. */
     def scoredFields: Seq[String] =
       (stkeys.map(_._1) ++ spkeys.map(_._1)).distinct
     /** Analyzed fields any feature (scored or filter-ctx) reads. */
     def usedFields: Seq[String] =
       (tkeys.map(_._1) ++ pkeys.map(_._1)).distinct
+    /** sort keys that are real columns (not `_score`). */
+    def sortFields: Seq[String] = sortKeys.map(_._1).filter(_ != "_score")
   }
 
   private def planOf(q: Node, size: Int): Plan = {
@@ -714,6 +936,18 @@ object Dsl {
       compile(q, scored = true, tfIdx, pfIdx, ktIdx))
   }
 
+  /** Plan of a full search body: the query plan plus paging/sort/
+    * `_source`, with sort and `_source` fields joining the projected
+    * exact-field set (so pruning and the served path's doc-value
+    * check see them). */
+  private def planOfBody(b: Body): Plan = {
+    val p = planOf(b.query, b.size)
+    val extra = (b.sort.map(_._1).filter(_ != "_score") ++
+      b.source.getOrElse(Seq.empty)).filter(_ != "doc_id")
+    p.copy(exact = (p.exact ++ extra).distinct,
+      from = b.from, sortKeys = b.sort, source = b.source)
+  }
+
   /** Positional phrase-frequency over normalized text: a zero-width
     * lookahead wrapped around the adjacent-word pattern, so
     * OVERLAPPING occurrences all count ("go go go" has TWO "go go"
@@ -722,6 +956,21 @@ object Dsl {
     * regexp_extract_all, no per-position lambda); the matcher
     * advances one char per zero-width hit, so every token start is
     * probed. */
+  /** ES wildcard → anchored regex: `*` = any run, `?` = one char,
+    * every other character literal. The same string drives Spark's
+    * `rlike` and DuckDB's `regexp_matches` — on patterns of this
+    * shape (escaped literals + `.*`/`.`) the two engines agree. */
+  private[ops] def wildcardRegex(pat: String): String = {
+    val sb = new StringBuilder("^")
+    pat.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c if "\\.[]{}()+-^$|".contains(c) => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.append('$').toString
+  }
+
   private[ops] def phrasePattern(ws: Seq[String]): String =
     "(?<![^ ])(?=" +
       ws.map(java.util.regex.Pattern.quote).mkString(" ") + "(?![^ ]))"
@@ -790,7 +1039,10 @@ object Dsl {
       p: Plan): DataFrame = {
     import f.sparkSession.implicits._
     val joined = stats.map(s => f.crossJoin(broadcast(s))).getOrElse(f)
-    val score = p.c.score.map(_._1).getOrElse(lit(0.0))
+    // the score expression references stat columns — it exists only
+    // when the stats were joined (needsStats); a field-only sort
+    // ranks with no score at all
+    val score = if (p.needsStats) p.c.score.get._1 else lit(0.0)
     val nMatched =
       if (p.tkeys.isEmpty) lit(0)
       else p.tkeys.map(k => when(col(s"qtf${p.tfIdx(k)}") > 0, 1).otherwise(0))
@@ -800,14 +1052,33 @@ object Dsl {
       else p.tkeys.map(k => col(s"qtf${p.tfIdx(k)}").cast("long"))
         .reduce(_ + _)
     val dlC = if (p.needsText) $"dl" else lit(0L)
-    val w = Window.orderBy($"score".desc, $"doc_id")
-    joined.filter(p.c.pred)
-      .select($"doc_id", dlC.as("dl"), nMatched.as("n_matched"),
-        tfTotal.as("tf_total"), score.as("score"))
-      .orderBy($"score".desc, $"doc_id").limit(p.size)
+    val reserved = Seq("doc_id", "dl", "n_matched", "tf_total", "score")
+    val extraCols = (p.sortFields ++ p.source.getOrElse(Seq.empty))
+      .distinct.filterNot(reserved.contains)
+    // explicit NULLS LAST on sort keys — ES's missing:_last default,
+    // and DuckDB's own default, so both engines agree on null docs
+    def sortCol(fld: String, asc: Boolean): Column = {
+      val c0 = if (fld == "_score") $"score" else col(fld)
+      if (asc) c0.asc_nulls_last else c0.desc_nulls_last
+    }
+    val ord: Seq[Column] =
+      (if (p.sortKeys.isEmpty) Seq($"score".desc)
+       else p.sortKeys.map((sortCol _).tupled)) :+ $"doc_id".asc
+    val w = Window.orderBy(ord: _*)
+    val ranked = joined.filter(p.c.pred)
+      .select(($"doc_id" +: dlC.as("dl") +: nMatched.as("n_matched") +:
+        tfTotal.as("tf_total") +: score.as("score") +:
+        extraCols.map(col)): _*)
+      .orderBy(ord: _*).limit(p.from + p.size)
       .withColumn("rk", row_number().over(w))
-      .select($"rk", $"doc_id", $"n_matched", $"tf_total", $"dl")
-      .orderBy($"rk")
+    // `from` paging: rk stays the GLOBAL rank (hits from+1 … from+size,
+    // the ES offset contract); only from+size rows ever materialize
+    val page = if (p.from == 0) ranked else ranked.filter($"rk" > p.from)
+    val outCols: Seq[Column] = p.source match {
+      case None => Seq($"rk", $"doc_id", $"n_matched", $"tf_total", $"dl")
+      case Some(fs) => $"rk" +: $"doc_id" +: fs.map(col)
+    }
+    page.select(outCols: _*).orderBy($"rk")
   }
 
   // -------------------------------------------------- engine serving
@@ -819,10 +1090,50 @@ object Dsl {
     if (b.aggs.nonEmpty)
       fail("body has \"aggs\" — aggregations are served by dslAggsOf, " +
         "hits by searchDslOf")
-    val p = planOf(b.query, b.size)
+    val p = planOfBody(b)
     checkFields(docs, p.exact)
     val f = scanF(docs, p, Seq.empty)
     rankTail(f, scanStats(f, p), p)
+  }
+
+  /** The plan of a query compiled in FILTER CONTEXT (scored = false,
+    * no statistic keys) — what `_count`, aggregations, and percolation
+    * share: the match set matters, the scores never do. */
+  private def filterPlanOf(q: Node): Plan = {
+    val p0 = planOf(q, 0)
+    p0.copy(c = compile(q, scored = false, p0.tfIdx, p0.pfIdx, p0.ktIdx),
+      stkeys = Seq.empty, spkeys = Seq.empty, skts = Seq.empty)
+  }
+
+  /** The ES `_count` endpoint: how many documents match — the body
+    * carries ONLY `query` (size/sort/paging have no meaning there and
+    * refuse loudly). Filter-context compile: no statistics aggregate,
+    * and a text-free query never reads the text column.
+    *
+    * Shape at 100 TB: one pruned scan + a 1-row count. */
+  def dslCountOf(docs: DataFrame, json: String): DataFrame = {
+    JsonMethods.parse(json) match {
+      case o: JObject =>
+        o.obj.collectFirst { case (k, _) if k != "query" => k }
+          .foreach(k => fail(s"_count body supports only \"query\", " +
+            s"got '$k'"))
+      case other => fail(s"body must be a JSON object, got $other")
+    }
+    val b = parseBody(json)
+    val p = filterPlanOf(b.query)
+    checkFields(docs, p.exact)
+    scanF(docs, p, Seq.empty).filter(p.c.pred)
+      .agg(count(lit(1)).as("total"))
+  }
+
+  /** Oracle for [[dslCountOf]] — same AST, same filter-context
+    * predicate. */
+  def dslCountSql(json: String): String = dslCountSqlOver(json, "documents")
+
+  def dslCountSqlOver(json: String, rel: String): String = {
+    val p = filterPlanOf(parseBody(json).query)
+    s"""WITH ${fCteSql(p, Seq.empty, rel)}
+       |SELECT COUNT(*) AS total FROM f WHERE ${p.c.predSql}""".stripMargin
   }
 
   private def checkFields(docs: DataFrame, fields: Seq[String]): Unit =
@@ -905,8 +1216,8 @@ object Dsl {
     val b = parseBody(json)
     if (b.aggs.nonEmpty)
       fail("body has \"aggs\" — use dslAggsSqlOver")
-    val p = planOf(b.query, b.size)
-    val scoreSql = p.c.score.map(_._2).getOrElse("0.0")
+    val p = planOfBody(b)
+    val scoreSql = if (p.needsStats) p.c.score.get._2 else "0.0"
     val nMatched =
       if (p.tkeys.isEmpty) "0"
       else p.tkeys.map(k => s"CASE WHEN f.qtf${p.tfIdx(k)} > 0 THEN 1 " +
@@ -916,19 +1227,44 @@ object Dsl {
       else p.tkeys.map(k => s"CAST(f.qtf${p.tfIdx(k)} AS BIGINT)")
         .mkString(" + ")
     val dlSql = if (p.needsText) "f.dl" else "CAST(0 AS BIGINT)"
+    val reserved = Seq("doc_id", "dl", "n_matched", "tf_total", "score")
+    val extraCols = (p.sortFields ++ p.source.getOrElse(Seq.empty))
+      .distinct.filterNot(reserved.contains)
     val ctes = Seq(fCteSql(p, Seq.empty, rel)) ++
       (if (p.needsStats) Seq(sCteSql(p)) else Seq.empty)
     val from = if (p.needsStats) "FROM f CROSS JOIN s" else "FROM f"
+    val ordSql =
+      if (p.sortKeys.isEmpty) "score DESC, doc_id"
+      else p.sortKeys.map { case (fld, asc) =>
+        val c = if (fld == "_score") "score" else fld
+        s"$c ${if (asc) "ASC" else "DESC"} NULLS LAST"
+      }.mkString(", ") + ", doc_id"
+    val outSql = p.source match {
+      case None => "doc_id, n_matched, tf_total, dl"
+      case Some(fs) => ("doc_id" +: fs).mkString(", ")
+    }
+    val scSql =
+      s"""sc AS (
+         |  SELECT f.doc_id, $dlSql AS dl, $nMatched AS n_matched,
+         |    $tfTotal AS tf_total,
+         |    $scoreSql AS score${
+           extraCols.map(c => s",\n    f.$c AS $c").mkString}
+         |  $from
+         |  WHERE ${p.c.predSql})""".stripMargin
+    val tail =
+      if (p.from == 0)
+        s"""SELECT ROW_NUMBER() OVER (ORDER BY $ordSql) AS rk,
+           |  $outSql
+           |FROM sc ORDER BY $ordSql LIMIT ${p.size}""".stripMargin
+      else
+        s"""SELECT * FROM (
+           |  SELECT ROW_NUMBER() OVER (ORDER BY $ordSql) AS rk,
+           |    $outSql
+           |  FROM sc) AS pg
+           |WHERE rk > ${p.from} ORDER BY rk LIMIT ${p.size}""".stripMargin
     s"""WITH ${ctes.mkString(",\n")},
-       |sc AS (
-       |  SELECT f.doc_id, $dlSql AS dl, $nMatched AS n_matched,
-       |    $tfTotal AS tf_total,
-       |    $scoreSql AS score
-       |  $from
-       |  WHERE ${p.c.predSql})
-       |SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk,
-       |  doc_id, n_matched, tf_total, dl
-       |FROM sc ORDER BY score DESC, doc_id LIMIT ${p.size}""".stripMargin
+       |$scSql
+       |$tail""".stripMargin
   }
 
   // ---------------------------------------------------- aggregations
@@ -964,12 +1300,11 @@ object Dsl {
     if (b.size != 0)
       fail("an aggregation body returns no hits — set size: 0 " +
         "(ES convention); hits are served by searchDslOf")
-    val p = planOf(b.query, 0) match {
-      // aggregations never rank: recompile the query in filter context
-      case pl => pl.copy(c = compile(b.query, scored = false,
-        pl.tfIdx, pl.pfIdx, pl.ktIdx),
-        stkeys = Seq.empty, spkeys = Seq.empty, skts = Seq.empty)
-    }
+    if (b.from != 0 || b.sort.nonEmpty || b.source.nonEmpty)
+      fail("an aggregation body returns no hits — from/sort/_source " +
+        "have no meaning beside size: 0")
+    // aggregations never rank: the query compiles in filter context
+    val p = filterPlanOf(b.query)
     val aggFields = b.aggs.flatMap(s =>
       s.agg.field +: s.sub.map(_._2.field).toSeq).distinct
     checkFields(docs, p.exact ++ aggFields)
@@ -986,8 +1321,96 @@ object Dsl {
       }
     }
     val matched = scanF(docs, p, aggFields).filter(p.c.pred)
-    b.aggs.map(aggFrame(matched, _)).reduce(_ unionByName _)
-      .orderBy($"agg", $"key")
+    // ONE pass over the match set: every bucket agg contributes its
+    // key expression as a GROUPING SET (plus one global set for
+    // top-level stats), and the union of all referenced stat fields
+    // aggregates once — Lucene collects all sub-collectors in one
+    // docs pass; a per-agg re-scan would cost aggs × corpus at 100 TB
+    // (ExplainAudit r12: 4 scans/9 shuffles → 1 scan/1 aggregate).
+    // Post-processing (set selection by grouping(), the terms top-N
+    // cut, key stringification) runs at BUCKET grain — tiny.
+    val statFields = b.aggs.flatMap(s => s.sub.map(_._2.field).toSeq ++
+      (s.agg match { case StatsAgg(x) => Seq(x); case _ => Seq.empty }))
+      .distinct
+    def keyExprOf(a: AggNode): Option[Column] = a match {
+      case TermsAgg(x, _) => Some(col(x))
+      case DateHistAgg(x) => Some(col(x))
+      case HistAgg(x, iv) =>
+        // integer floor-bucketing, pure integer arithmetic (a double
+        // division would round large longs); non-negative integral
+        // fields only — pmod and DuckDB's // agree there
+        Some(col(x).cast("long") - pmod(col(x).cast("long"), lit(iv)))
+      case _: StatsAgg => None
+    }
+    val gkOf = b.aggs.zipWithIndex.map { case (s, i) =>
+      s.name -> keyExprOf(s.agg).map(_ => s"gk$i")
+    }.toMap
+    val gkCols = b.aggs.zipWithIndex.flatMap { case (s, i) =>
+      keyExprOf(s.agg).map(_.as(s"gk$i"))
+    }
+    val gkNames = b.aggs.zipWithIndex.flatMap { case (s, i) =>
+      keyExprOf(s.agg).map(_ => s"gk$i")
+    }
+    val statAgg = count(lit(1)).as("doc_count") +: statFields.flatMap(x =>
+      Seq(count(col(x)).as(s"vc_$x"), sum(col(x).cast("double")).as(s"vs_$x"),
+        min(col(x)).as(s"vn_$x"), max(col(x)).as(s"vx_$x")))
+    val hasGlobal = b.aggs.exists(_.agg.isInstanceOf[StatsAgg])
+    // the lazy checkpoint makes the one corpus pass ACTUALLY one: the
+    // per-agg branches below filter this frame, and without a
+    // materialization barrier each branch would re-execute the whole
+    // scan+aggregate lineage (ExplainAudit r12 caught 4 scans)
+    val grouped = (
+      if (gkNames.isEmpty) matched.agg(statAgg.head, statAgg.tail: _*)
+      else {
+        val sets = gkNames.map(n => Seq(col(n))) ++
+          (if (hasGlobal) Seq(Seq.empty[Column]) else Seq.empty)
+        // the grouping() indicators ride the aggregate output (they
+        // cannot resolve through the checkpoint barrier below)
+        val aggOut = statAgg ++ gkNames.map(n =>
+          grouping(col(n)).as(s"g_$n"))
+        matched.select(gkCols ++ statFields.map(col): _*)
+          .groupingSets(sets, gkNames.map(col): _*)
+          .agg(aggOut.head, aggOut.tail: _*)
+      }).localCheckpoint(eager = false)
+    def statSel(fieldOpt: Option[String]): Seq[Column] = fieldOpt match {
+      case Some(x) => Seq(col(s"vc_$x").as("v_count"),
+        col(s"vs_$x").as("v_sum"), col(s"vn_$x").cast("double").as("v_min"),
+        col(s"vx_$x").cast("double").as("v_max"),
+        when(col(s"vc_$x") > 0, col(s"vs_$x") / col(s"vc_$x"))
+          .otherwise(lit(null).cast("double")).as("v_avg"))
+      case None => NullStats
+    }
+    val frames = b.aggs.map { spec =>
+      val mine = spec.agg match {
+        case _: StatsAgg =>
+          gkNames.map(n => col(s"g_$n") === 1)
+            .reduceOption(_ && _).getOrElse(lit(true))
+        case _ =>
+          val me = gkOf(spec.name).get
+          gkNames.map(n =>
+            col(s"g_$n") === (if (n == me) 0 else 1)).reduce(_ && _)
+      }
+      val statField = spec.sub.map(_._2.field).orElse(spec.agg match {
+        case StatsAgg(x) => Some(x); case _ => None
+      })
+      val rows = spec.agg match {
+        case _: StatsAgg => grouped.filter(mine).withColumn("key", lit(""))
+        case _ =>
+          // a null bucket key inside this agg's own set is genuinely
+          // null data — ES skips docs missing the field
+          val me = gkOf(spec.name).get
+          grouped.filter(mine && col(me).isNotNull)
+            .withColumn("key", col(me).cast("string"))
+      }
+      val sel = rows.select(($"key" +: $"doc_count" +:
+        statSel(statField)): _*)
+      val cut = spec.agg match {
+        case TermsAgg(_, n) => sel.orderBy($"doc_count".desc, $"key").limit(n)
+        case _ => sel
+      }
+      cut.withColumn("agg", lit(spec.name)).select(OutCols.map(col): _*)
+    }
+    frames.reduce(_ unionByName _).orderBy($"agg", $"key")
   }
 
   private val NullStats = Seq(
@@ -995,53 +1418,8 @@ object Dsl {
     lit(null).cast("double").as("v_min"), lit(null).cast("double").as("v_max"),
     lit(null).cast("double").as("v_avg"))
 
-  private def statAggCols(x: String): Seq[Column] = Seq(
-    count(col(x)).as("v_count"),
-    sum(col(x).cast("double")).as("v_sum"),
-    min(col(x)).cast("double").as("v_min"),
-    max(col(x)).cast("double").as("v_max"))
-
-  private def withAvg(df: DataFrame): DataFrame =
-    df.withColumn("v_avg",
-      when(col("v_count") > 0, col("v_sum") / col("v_count"))
-        .otherwise(lit(null).cast("double")))
-
   private val OutCols = Seq("agg", "key", "doc_count", "v_count", "v_sum",
     "v_min", "v_max", "v_avg")
-
-  private def aggFrame(matched: DataFrame, spec: AggSpec): DataFrame = {
-    import matched.sparkSession.implicits._
-    def bucket(keyExpr: Column, fld: String, cut: Option[Int]): DataFrame = {
-      val base = matched.filter(col(fld).isNotNull)
-        .groupBy(keyExpr.cast("string").as("key"))
-      val g = spec.sub match {
-        case Some((_, StatsAgg(x))) =>
-          val cols = count(lit(1)).as("doc_count") +: statAggCols(x)
-          withAvg(base.agg(cols.head, cols.tail: _*))
-        case None =>
-          base.agg(count(lit(1)).as("doc_count"))
-            .select(($"key" +: $"doc_count" +: NullStats): _*)
-      }
-      val c = cut.map(n =>
-        g.orderBy($"doc_count".desc, $"key").limit(n)).getOrElse(g)
-      c.withColumn("agg", lit(spec.name)).select(OutCols.map(col): _*)
-    }
-    spec.agg match {
-      case TermsAgg(fld, n) => bucket(col(fld), fld, Some(n))
-      case DateHistAgg(fld) => bucket(col(fld), fld, None)
-      case HistAgg(fld, iv) =>
-        // integer floor-bucketing, pure integer arithmetic (a double
-        // division would round large longs); non-negative integral
-        // fields only — pmod and DuckDB's // agree there
-        bucket(col(fld).cast("long") -
-          pmod(col(fld).cast("long"), lit(iv)), fld, None)
-      case StatsAgg(x) =>
-        val cols = count(lit(1)).as("doc_count") +: statAggCols(x)
-        withAvg(matched.agg(cols.head, cols.tail: _*))
-          .withColumn("agg", lit(spec.name)).withColumn("key", lit(""))
-          .select(OutCols.map(col): _*)
-    }
-  }
 
   /** Generated DuckDB SQL for the same aggregation body — the
     * [[dslSql]] lockstep discipline applied to aggs. */
@@ -1050,10 +1428,7 @@ object Dsl {
   def dslAggsSqlOver(json: String, rel: String): String = {
     val b = parseBody(json)
     if (b.aggs.isEmpty) fail("no aggs in body — use dslSqlOver")
-    val p0 = planOf(b.query, 0)
-    val p = p0.copy(c = compile(b.query, scored = false,
-      p0.tfIdx, p0.pfIdx, p0.ktIdx),
-      stkeys = Seq.empty, spkeys = Seq.empty, skts = Seq.empty)
+    val p = filterPlanOf(b.query)
     val aggFields = b.aggs.flatMap(s =>
       s.agg.field +: s.sub.map(_._2.field).toSeq).distinct
     def statSql(x: String): Seq[String] = Seq(
@@ -1121,11 +1496,15 @@ object Dsl {
     if (rules.map(_._1).distinct.size != rules.size)
       fail("percolateDslOf: duplicate query_id")
     val parsed = rules.map { case (id, json) =>
-      val b = parseBody(json)
-      if (b.aggs.nonEmpty)
-        fail(s"percolate rule $id has aggs — a stored query is a " +
-          "predicate, not an aggregation")
-      (id, b.query)
+      JsonMethods.parse(json) match {
+        case o: JObject =>
+          o.obj.collectFirst { case (k, _) if k != "query" => k }
+            .foreach(k => fail(s"percolate rule $id has body key '$k' — " +
+              "a stored query is a predicate; only \"query\" is allowed"))
+        case other => fail(s"percolate rule $id must be a JSON object, " +
+          s"got $other")
+      }
+      (id, parseBody(json).query)
     }
     // ONE merged inventory: the frame is built once for all rules
     val tkeys = parsed.flatMap(r => tkeysOf(r._2)).distinct
@@ -1220,7 +1599,7 @@ object Dsl {
       fail("body has \"aggs\" — index-served aggregations are " +
         "Search.facetsWithIndex's family; hits come from the DSL")
     require(indexDirs.nonEmpty, "searchDslFromIndexes: no indices given")
-    val p = planOf(b.query, b.size)
+    val p = planOfBody(b)
     val roots = indexDirs.map(Search.requireIndex(spark, _))
     val servable = "doc_id" +: (Search.DocValueFields ++
       Search.NumDocValueFields)
@@ -1458,4 +1837,66 @@ object Dsl {
 
   val percolateDslOracleSql: String =
     percolateDslSql(PercolateRules, "documents")
+
+  /** Registered EXTENDED-CLAUSE query — the round-12 clause families
+    * in one body: `dis_max` (best of two match branches + tie_breaker),
+    * `constant_score` (a scored filter — the ES pattern for boosting a
+    * range), `prefix` + `wildcard` doc-value filters, and an `ids`
+    * exclusion. */
+  val ExtendedQuery: String =
+    """{"query": {"bool": {
+      |  "must": [{"dis_max": {"queries": [
+      |      {"match": {"text": "dup vector"}},
+      |      {"match": {"text": "merge hash"}}], "tie_breaker": 0.3}}],
+      |  "should": [{"constant_score": {
+      |      "filter": {"range": {"n_chars": {"gte": 300}}},
+      |      "boost": 0.5}}],
+      |  "filter": [{"prefix": {"lang": {"value": "e"}}},
+      |             {"wildcard": {"source": {"value": "src1*"}}}],
+      |  "must_not": [{"ids": {"values": [3, 7, 11]}}]
+      |}}, "size": 40}""".stripMargin
+
+  def searchDslExtended(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), ExtendedQuery)
+
+  val searchDslExtendedSql: String = dslSql(ExtendedQuery)
+
+  /** Registered SORTED + PAGED query — `sort` (field desc, then
+    * `_score`, then a field asc), `from` offset paging, and an
+    * `_source` include list: the full ES hit-shaping surface in one
+    * body. Ranks 6–20 of the n_chars-desc ordering, each hit carrying
+    * its doc-value source fields. */
+  val SortedQuery: String =
+    """{"query": {"match": {"text": "dup vector merge"}},
+      |  "sort": [{"n_chars": {"order": "desc"}}, "_score", {"lang": "asc"}],
+      |  "from": 5, "size": 15,
+      |  "_source": ["lang", "source", "n_chars"]}""".stripMargin
+
+  def searchDslSorted(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), SortedQuery)
+
+  val searchDslSortedSql: String = dslSql(SortedQuery)
+
+  /** Registered `_count` body — match + range, the filter-context
+    * count shape. */
+  val CountQuery: String =
+    """{"query": {"bool": {"must": [{"match": {"text": "dup"}}],
+      |  "filter": [{"range": {"n_chars": {"lt": 400}}}]}}}""".stripMargin
+
+  def dslCount(spark: SparkSession, dir: String): DataFrame =
+    dslCountOf(Tables.documentsPar(spark, dir), CountQuery)
+
+  val dslCountOracleSql: String = dslCountSql(CountQuery)
+
+  /** Registered query: [[DslQuery]] resolved THROUGH the daily-index
+    * ALIAS ([[Search.readAlias]] → [[searchDslFromIndexes]] across the
+    * per-day members under merged statistics) — `GET /alias/_search`
+    * with a full DSL body, the reference's deployment shape end to
+    * end. Oracle = the single-corpus scan SQL, so green IS the proof
+    * that alias resolution + member union + merged stats reproduce
+    * the one-index ranking bit-for-bit. */
+  def searchDslAlias(spark: SparkSession, dir: String): DataFrame = {
+    val alias = Search.dailyAliasPath(spark, dir)
+    searchDslFromIndexes(spark, Search.readAlias(spark, alias), DslQuery)
+  }
 }

@@ -3177,6 +3177,12 @@ object Search {
     searchAlias(spark, sharedDailyIndexDirs(spark, dir)._2,
       QueryTerms, TopK)
 
+  /** The daily layout's alias path (building members + alias if this
+    * session hasn't yet) — the handle [[Dsl.searchDslAlias]] resolves
+    * through. */
+  private[ops] def dailyAliasPath(spark: SparkSession, dir: String): String =
+    sharedDailyIndexDirs(spark, dir)._2
+
   /** Registered query: PAGE TWO of the ranking across the daily
     * indices — [[searchCursorAcross]] + [[searchAfterAcrossIndexes]],
     * same oracle as the single-index `search_after` (keyset paging

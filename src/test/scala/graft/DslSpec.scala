@@ -117,11 +117,11 @@ class DslSpec extends SparkSpec {
   test("body keys are whitelisted; missing query is match_all; size 0 is legal") {
     def msg(json: String): String =
       intercept[IllegalArgumentException](run(json, tiny)).getMessage
-    // from/sort/_source must refuse, not return page-1 default-sorted
-    assert(msg("""{"query": {"match_all": {}}, "from": 5}""")
-      .contains("from"), "unknown body key must be named")
+    // unknown body keys must refuse, not be silently dropped
+    assert(msg("""{"query": {"match_all": {}}, "highlight": {}}""")
+      .contains("highlight"), "unknown body key must be named")
     assert(msg("""{"query": {"match_all": {}}, "sort": []}""")
-      .contains("sort"))
+      .contains("sort"), "an empty sort array is malformed")
     assert(msg("""{"query": {"match_all": {}}, "size": -1}""")
       .contains("size"))
     assert(msg(s"""{"query": {"match_all": {}}, "size": ${1 << 20}}""")
@@ -312,6 +312,123 @@ class DslSpec extends SparkSpec {
           Tables.viewSuffix(sfDir)),
         """{"query": {"exists": {"field": "nope"}}}"""))
     assert(e.getMessage.contains("doc-values"), e.getMessage)
+  }
+
+  test("ids / prefix / wildcard compile to exact doc-value predicates") {
+    assert(ids(run("""{"query": {"ids": {"values": [0, 2]}}}""", tiny)) ==
+      Seq(0L, 2L))
+    assert(ids(run("""{"query": {"prefix": {"lang": "e"}}}""", tiny)).toSet ==
+      Set(0L, 1L, 3L), "prefix short form on lang=e*")
+    assert(ids(run("""{"query": {"prefix": {"source": {"value": "src"}}}}""",
+      tiny)).size == 5)
+    assert(ids(run("""{"query": {"wildcard": {"source": {"value": "s*2"}}}}""",
+      tiny)) == Seq(4L), "wildcard * run")
+    assert(ids(run("""{"query": {"wildcard": {"source": {"value": "src?"}}}}""",
+      tiny)).size == 5, "wildcard ? single char")
+    // regex metacharacters in the pattern are literals, not operators
+    assert(ids(run("""{"query": {"wildcard": {"source": {"value": "src."}}}}""",
+      tiny)).isEmpty, "a literal dot must not match any char")
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"prefix": {"lang": {"value": ""}}}}""")
+      .contains("non-empty"))
+    assert(msg("""{"query": {"ids": {"values": []}}}""").contains("values"))
+    assert(msg("""{"query": {"prefix": {"lang":
+      {"value": "e", "rewrite": "x"}}}}""").contains("rewrite"),
+      "modifier keys refuse loudly here too")
+  }
+
+  test("constant_score scores its boost; dis_max takes the best branch + tie_breaker") {
+    // constant_score alone: every en doc scores exactly the boost →
+    // doc_id order within the matched set
+    val cs = run("""{"query": {"constant_score": {
+      "filter": {"term": {"lang": "en"}}, "boost": 2.5}}}""", tiny)
+    assert(ids(cs) == Seq(0L, 1L, 3L), s"constant_score gate: $cs")
+    // x-tf2 vs both-terms doc: tb=0 ranks the best single branch,
+    // tb=1 degenerates to the should-sum — order provably flips
+    val dm = Seq(
+      (0L, "x x", "en", "s", 3L),
+      (1L, "x y", "en", "s", 3L),
+      (2L, "y y", "en", "s", 3L)).toDF("doc_id", "text", "lang", "source",
+      "n_chars")
+    val best = ids(run("""{"query": {"dis_max": {"queries": [
+      {"match": {"text": "x"}}, {"match": {"text": "y"}}]}}}""", dm))
+    assert(best == Seq(0L, 2L, 1L),
+      s"tb=0: the tf-2 single-term docs outrank the split doc: $best")
+    val tb1 = ids(run("""{"query": {"dis_max": {"queries": [
+      {"match": {"text": "x"}}, {"match": {"text": "y"}}],
+      "tie_breaker": 1.0}}}""", dm))
+    assert(tb1 == Seq(1L, 0L, 2L),
+      s"tb=1: the sum of two tf-1 branches beats one tf-2: $tb1")
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"dis_max": {"queries": [
+      {"match_all": {}}], "tie_breaker": 1.5}}}""").contains("tie_breaker"))
+    assert(msg("""{"query": {"constant_score": {"boost": 2}}}""")
+      .contains("filter"))
+  }
+
+  test("sort / from / _source shape the hit list; field-only sort skips the stats") {
+    // n_chars desc, doc_id tiebreak: 0(16) 4(16) 1(10) 2(10) 3(9);
+    // from=1 size=2 → global ranks 2,3
+    val page = Dsl.searchDslOf(tiny,
+      """{"query": {"match_all": {}},
+        "sort": [{"n_chars": {"order": "desc"}}],
+        "from": 1, "size": 2, "_source": ["n_chars"]}""").collect()
+    assert(page.map(_.getInt(0)).toSeq == Seq(2, 3), "global ranks")
+    assert(page.map(_.getLong(1)).toSeq == Seq(4L, 1L),
+      s"page-2 of the n_chars ordering")
+    assert(page.head.schema.fieldNames.toSeq == Seq("rk", "doc_id", "n_chars"),
+      "_source controls the hit shape")
+    // "_source": false → rk + doc_id only
+    val bare = Dsl.searchDslOf(tiny,
+      """{"query": {"match_all": {}}, "_source": false, "size": 1}""")
+    assert(bare.columns.toSeq == Seq("rk", "doc_id"))
+    // a field-only sort never evaluates scores: no stats aggregate,
+    // no broadcast join — even though the query has a scored match
+    val plan = Dsl.searchDslOf(tiny,
+      """{"query": {"match": {"text": "alpha"}},
+        "sort": [{"n_chars": "desc"}], "size": 3}""")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Aggregate") && !plan.contains("NestedLoopJoin"),
+      s"track_scores=false under field sort must skip the statistics:\n$plan")
+    // _score in the sort list brings the statistics back
+    val scored = Dsl.searchDslOf(tiny,
+      """{"query": {"match": {"text": "alpha"}},
+        "sort": [{"n_chars": "desc"}, "_score"], "size": 3}""")
+      .queryExecution.executedPlan.toString
+    assert(scored.contains("Aggregate"), "_score sort needs the stats")
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"match_all": {}}, "from": 9999, "size": 10}""")
+      .contains("from"), "from past the result window must refuse")
+    assert(msg("""{"query": {"match_all": {}},
+      "sort": [{"n_chars": {"order": "desc", "mode": "avg"}}]}""")
+      .contains("mode"))
+    assert(msg("""{"query": {"match_all": {}}, "_source": ["doc_id"]}""")
+      .contains("doc_id"))
+  }
+
+  test("_count: the match-set cardinality, query-only body") {
+    val c = Dsl.dslCountOf(tiny,
+      """{"query": {"match": {"text": "alpha"}}}""").collect()
+    assert(c.head.getLong(0) == 3L)
+    // filter-context: a text-free count never reads text
+    val plan = Dsl.dslCountOf(tiny,
+      """{"query": {"term": {"lang": "en"}}}""")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("text"), s"count must prune the text column:\n$plan")
+    val e = intercept[IllegalArgumentException](Dsl.dslCountOf(tiny,
+      """{"query": {"match_all": {}}, "size": 5}"""))
+    assert(e.getMessage.contains("query"), e.getMessage)
+  }
+
+  test("dsl_alias: the DSL resolved through the daily-index alias ≡ the scan path") {
+    val scan = Dsl.searchDsl(spark, sfDir).collect().map(_.toSeq).toSeq
+    val viaAlias = Dsl.searchDslAlias(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaAlias == scan,
+      "alias members + merged stats must reproduce the one-corpus ranking")
   }
 
   test("percolate_dsl: full query bodies as stored rules") {
