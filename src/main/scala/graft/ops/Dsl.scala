@@ -104,16 +104,26 @@ object Dsl {
 
   /** Aggregation request (`"aggs"` beside `"query"` — the other half
     * of a real ES search body; the reference's index exists to be
-    * aggregated over, mapping.json's date fields). One level of
-    * nesting: bucket aggs (terms / date_histogram / histogram) may
-    * carry ONE `stats` sub-aggregation. */
-  sealed trait AggNode { def field: String }
+    * aggregated over, mapping.json's date fields). Bucket aggs: terms
+    * / date_histogram / histogram (grouping-set keyed), range
+    * (possibly-overlapping explicit buckets) and filter (one stored
+    * clause as a bucket). Metric aggs: stats, avg / sum / min / max /
+    * value_count, cardinality (EXACT distinct — the engine's sketch
+    * lives in `agg_hll`; an oracle-checkable aggregation can't be
+    * approximate). One level of nesting: every bucket agg may carry
+    * ONE metric sub-aggregation. */
+  sealed trait AggNode
   final case class TermsAgg(field: String, topN: Int) extends AggNode
   final case class DateHistAgg(field: String) extends AggNode
   final case class HistAgg(field: String, interval: Long) extends AggNode
   final case class StatsAgg(field: String) extends AggNode
+  final case class MetricAgg(kind: String, field: String) extends AggNode
+  final case class CardinalityAgg(field: String) extends AggNode
+  final case class RangeAgg(field: String,
+      ranges: Seq[(Option[Scalar], Option[Scalar])]) extends AggNode
+  final case class FilterAgg(query: Node) extends AggNode
   final case class AggSpec(name: String, agg: AggNode,
-      sub: Option[(String, StatsAgg)])
+      sub: Option[(String, AggNode)])
 
   /** A parsed search body: `{"query": …, "size": n, "from": n,
     * "sort": […], "_source": […], "aggs": …}`. `query` defaults to
@@ -541,9 +551,11 @@ object Dsl {
         case List((_, JObject(List((sn, sb))))) =>
           if (sub) fail(s"agg '$name': sub-aggregations nest one level only")
           parseAggSpec(sn, sb, sub = true).agg match {
-            case s: StatsAgg => Some((sn, s))
-            case _ => fail(s"sub-aggregation '$sn' must be stats — bucket " +
-              "aggs nest one stats metric")
+            case m @ (_: StatsAgg | _: MetricAgg | _: CardinalityAgg) =>
+              Some((sn, m: AggNode))
+            case _ => fail(s"sub-aggregation '$sn' must be a metric — " +
+              "bucket aggs nest one of: avg, cardinality, max, min, " +
+              "stats, sum, value_count")
           }
         case List((_, JObject(_))) =>
           fail(s"agg '$name': aggs must hold exactly one sub-aggregation")
@@ -577,21 +589,94 @@ object Dsl {
                 s"integer, got $v (fractional intervals would bucket by " +
                 "double arithmetic — not supported)")
             }
-          case "stats" =>
-            if (subSpec.nonEmpty)
-              fail(s"agg '$name': stats is a metric — it takes no aggs")
-            StatsAgg(aggField(spec, name, Set("field")))
+          case "stats" => StatsAgg(aggField(spec, name, Set("field")))
+          case "avg" | "sum" | "min" | "max" | "value_count" =>
+            MetricAgg(tpe, aggField(spec, name, Set("field")))
+          case "cardinality" =>
+            CardinalityAgg(aggField(spec, name, Set("field")))
+          case "range" =>
+            val f = aggField(spec, name, Set("field", "ranges"))
+            val ranges = spec \ "ranges" match {
+              case JArray(rs) if rs.nonEmpty => rs.map {
+                case o: JObject =>
+                  o.obj.collectFirst {
+                    case (k, _) if k != "from" && k != "to" => k
+                  }.foreach(k => fail(s"agg '$name' range bucket has " +
+                    s"unsupported key '$k' — supported: from, to"))
+                  def bound(k: String): Option[Scalar] = o \ k match {
+                    case JNothing => None
+                    case v => scalar(v) match {
+                      case n: SNum => Some(n)
+                      case _ => fail(s"agg '$name' range $k must be numeric")
+                    }
+                  }
+                  val b = (bound("from"), bound("to"))
+                  if (b._1.isEmpty && b._2.isEmpty)
+                    fail(s"agg '$name' range bucket needs from and/or to")
+                  b
+                case other =>
+                  fail(s"agg '$name' range buckets must be objects, " +
+                    s"got $other")
+              }
+              case _ => fail(s"agg '$name' needs a non-empty \"ranges\" " +
+                "array")
+            }
+            val labels = ranges.map(rangeLabel)
+            if (labels.distinct.size != labels.size)
+              fail(s"agg '$name' lists a range bucket twice")
+            RangeAgg(f, ranges)
+          case "filter" =>
+            // the spec IS the stored clause: {"filter": {"term": …}}
+            FilterAgg(node(spec))
           case other => fail(s"unsupported aggregation type '$other' — " +
-            "supported: date_histogram, histogram, stats, terms")
+            "supported: avg, cardinality, date_histogram, filter, " +
+            "histogram, max, min, range, stats, sum, terms, value_count")
         }
         case Nil => fail(s"agg '$name' has no aggregation type")
         case more => fail(s"agg '$name' must have exactly one type, got " +
           more.map(_._1).mkString(", "))
       }
-      if (subSpec.nonEmpty && agg.isInstanceOf[StatsAgg])
-        fail(s"agg '$name': stats is a metric — it takes no aggs")
+      if (subSpec.nonEmpty && !aggTakesSub(agg))
+        fail(s"agg '$name': metrics take no aggs — only bucket aggs " +
+          "(terms, date_histogram, histogram, range, filter) nest")
       AggSpec(name, agg, subSpec)
     case other => fail(s"agg '$name' expects an object, got $other")
+  }
+
+  private def aggTakesSub(a: AggNode): Boolean = a match {
+    case _: TermsAgg | _: DateHistAgg | _: HistAgg | _: RangeAgg |
+         _: FilterAgg => true
+    case _ => false
+  }
+
+  /** The deterministic bucket key of a range bucket — a literal both
+    * compilers emit, `from-to` with `*` for an open end (the ES key
+    * convention, integral-valued). */
+  private def rangeLabel(r: (Option[Scalar], Option[Scalar])): String =
+    r._1.map(_.sql).getOrElse("*") + "-" + r._2.map(_.sql).getOrElse("*")
+
+  /** Fields an agg node reads (the bucket key or metric input; a
+    * filter agg's clause fields travel through the clause
+    * inventory instead). */
+  private def aggFieldsOf(a: AggNode): Seq[String] = a match {
+    case TermsAgg(f, _) => Seq(f)
+    case DateHistAgg(f) => Seq(f)
+    case HistAgg(f, _) => Seq(f)
+    case StatsAgg(f) => Seq(f)
+    case MetricAgg(_, f) => Seq(f)
+    case CardinalityAgg(f) => Seq(f)
+    case RangeAgg(f, _) => Seq(f)
+    case FilterAgg(_) => Seq.empty
+  }
+
+  /** (kind, field) of a metric node — parse guarantees subs are
+    * metrics, and top-level stats/metric/cardinality flow through the
+    * same emission. */
+  private def metricKindField(a: AggNode): (String, String) = a match {
+    case StatsAgg(f) => ("stats", f)
+    case MetricAgg(k, f) => (k, f)
+    case CardinalityAgg(f) => ("cardinality", f)
+    case other => fail(s"not a metric aggregation: $other") // unreachable
   }
 
   // ------------------------------------------- clause/field inventory
@@ -1099,10 +1184,23 @@ object Dsl {
   /** The plan of a query compiled in FILTER CONTEXT (scored = false,
     * no statistic keys) — what `_count`, aggregations, and percolation
     * share: the match set matters, the scores never do. */
-  private def filterPlanOf(q: Node): Plan = {
-    val p0 = planOf(q, 0)
-    p0.copy(c = compile(q, scored = false, p0.tfIdx, p0.pfIdx, p0.ktIdx),
-      stkeys = Seq.empty, spkeys = Seq.empty, skts = Seq.empty)
+  private def filterPlanOf(q: Node): Plan = mergedFilterPlan(Seq(q))
+
+  /** Filter-context plan over a MERGED clause inventory: the head
+    * node is the predicate, every node contributes its match/phrase
+    * keys and exact fields to one shared feature frame (the
+    * [[percolateDslOf]] discipline — here it lets `filter`
+    * aggregations evaluate their stored clauses over the same scan as
+    * the query). */
+  private def mergedFilterPlan(qs: Seq[Node]): Plan = {
+    val tkeys = qs.flatMap(tkeysOf).distinct
+    val pkeys = qs.flatMap(pkeysOf).distinct
+    val exact = qs.flatMap(exactFields).distinct
+    val tfIdx = tkeys.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
+    val pfIdx = pkeys.zipWithIndex.map { case (x, i) => x -> (i + 1) }.toMap
+    Plan(qs.head, 0, tkeys, pkeys, Seq.empty, Seq.empty, Seq.empty, exact,
+      tfIdx, pfIdx, Map.empty,
+      compile(qs.head, scored = false, tfIdx, pfIdx, Map.empty))
   }
 
   /** The ES `_count` endpoint: how many documents match — the body
@@ -1303,35 +1401,46 @@ object Dsl {
     if (b.from != 0 || b.sort.nonEmpty || b.source.nonEmpty)
       fail("an aggregation body returns no hits — from/sort/_source " +
         "have no meaning beside size: 0")
-    // aggregations never rank: the query compiles in filter context
-    val p = filterPlanOf(b.query)
-    val aggFields = b.aggs.flatMap(s =>
-      s.agg.field +: s.sub.map(_._2.field).toSeq).distinct
-    checkFields(docs, p.exact ++ aggFields)
+    // aggregations never rank: the query compiles in filter context;
+    // filter-agg clauses join the query's clause inventory so ONE
+    // feature frame serves the predicate and every stored bucket
+    val filterNodes = b.aggs.collect { case AggSpec(_, FilterAgg(n), _) => n }
+    val p = mergedFilterPlan(b.query +: filterNodes)
+    val aggFields = b.aggs.flatMap(s => aggFieldsOf(s.agg) ++
+      s.sub.toSeq.flatMap(x => aggFieldsOf(x._2))).distinct
+    checkFields(docs, (p.exact ++ aggFields).distinct)
+    val matched = scanF(docs, p, aggFields).filter(p.c.pred)
+    aggsOver(matched, b, p)
+  }
+
+  /** The one-pass aggregation emission over an already-matched
+    * doc-grain frame — shared by the scan path ([[dslAggsOf]]) and the
+    * index-served path ([[dslAggsFromIndexes]]): every grouping-keyed
+    * bucket agg (terms / date_histogram / histogram) contributes its
+    * key as a GROUPING SET, and range / filter buckets + top-level
+    * metrics ride the GLOBAL set as conditional aggregate columns —
+    * Lucene collects all sub-collectors in one docs pass; a per-agg
+    * re-scan would cost aggs × corpus at 100 TB (ExplainAudit r12:
+    * 4 scans/9 shuffles → 1 scan/1 aggregate). Post-processing (set
+    * selection, the terms top-N cut, key stringification) runs at
+    * BUCKET grain — tiny. */
+  private def aggsOver(matched: DataFrame, b: Body, p: Plan): DataFrame = {
+    import matched.sparkSession.implicits._
+    def numericRequired(a: AggNode): Seq[String] = a match {
+      case StatsAgg(f) => Seq(f)
+      case MetricAgg(k, f) if k != "value_count" => Seq(f)
+      case HistAgg(f, _) => Seq(f)
+      case RangeAgg(f, _) => Seq(f)
+      case _ => Seq.empty // value_count/cardinality take any field
+    }
     b.aggs.foreach { s =>
-      val numeric = (s.sub.map(_._2.field).toSeq ++ (s.agg match {
-        case StatsAgg(fl) => Seq(fl)
-        case HistAgg(fl, _) => Seq(fl)
-        case _ => Seq.empty
-      }))
-      numeric.foreach { fl =>
-        if (!docs.schema(fl).dataType
+      (numericRequired(s.agg) ++
+        s.sub.toSeq.flatMap(x => numericRequired(x._2))).foreach { fl =>
+        if (!matched.schema(fl).dataType
             .isInstanceOf[org.apache.spark.sql.types.NumericType])
           fail(s"agg '${s.name}': field '$fl' is not numeric")
       }
     }
-    val matched = scanF(docs, p, aggFields).filter(p.c.pred)
-    // ONE pass over the match set: every bucket agg contributes its
-    // key expression as a GROUPING SET (plus one global set for
-    // top-level stats), and the union of all referenced stat fields
-    // aggregates once — Lucene collects all sub-collectors in one
-    // docs pass; a per-agg re-scan would cost aggs × corpus at 100 TB
-    // (ExplainAudit r12: 4 scans/9 shuffles → 1 scan/1 aggregate).
-    // Post-processing (set selection by grouping(), the terms top-N
-    // cut, key stringification) runs at BUCKET grain — tiny.
-    val statFields = b.aggs.flatMap(s => s.sub.map(_._2.field).toSeq ++
-      (s.agg match { case StatsAgg(x) => Seq(x); case _ => Seq.empty }))
-      .distinct
     def keyExprOf(a: AggNode): Option[Column] = a match {
       case TermsAgg(x, _) => Some(col(x))
       case DateHistAgg(x) => Some(col(x))
@@ -1340,10 +1449,10 @@ object Dsl {
         // division would round large longs); non-negative integral
         // fields only — pmod and DuckDB's // agree there
         Some(col(x).cast("long") - pmod(col(x).cast("long"), lit(iv)))
-      case _: StatsAgg => None
+      case _ => None // range/filter/metrics aggregate on the global set
     }
     val gkOf = b.aggs.zipWithIndex.map { case (s, i) =>
-      s.name -> keyExprOf(s.agg).map(_ => s"gk$i")
+      i -> keyExprOf(s.agg).map(_ => s"gk$i")
     }.toMap
     val gkCols = b.aggs.zipWithIndex.flatMap { case (s, i) =>
       keyExprOf(s.agg).map(_.as(s"gk$i"))
@@ -1351,16 +1460,83 @@ object Dsl {
     val gkNames = b.aggs.zipWithIndex.flatMap { case (s, i) =>
       keyExprOf(s.agg).map(_ => s"gk$i")
     }
-    val statAgg = count(lit(1)).as("doc_count") +: statFields.flatMap(x =>
-      Seq(count(col(x)).as(s"vc_$x"), sum(col(x).cast("double")).as(s"vs_$x"),
-        min(col(x)).as(s"vn_$x"), max(col(x)).as(s"vx_$x")))
-    val hasGlobal = b.aggs.exists(_.agg.isInstanceOf[StatsAgg])
+    // metric (kind, field) pairs evaluated UNCONDITIONALLY (per
+    // grouping-set row): top-level metrics + subs of grouping-keyed
+    // buckets; range/filter subs are conditional columns instead
+    val uncondMetrics: Seq[(String, String)] = b.aggs.flatMap { s =>
+      s.agg match {
+        case _: StatsAgg | _: MetricAgg | _: CardinalityAgg =>
+          Seq(metricKindField(s.agg))
+        case _: TermsAgg | _: DateHistAgg | _: HistAgg =>
+          s.sub.map(x => metricKindField(x._2)).toSeq
+        case _ => Seq.empty
+      }
+    }.distinct
+    def needTags(kind: String): Seq[String] = kind match {
+      case "stats" => Seq("vc", "vs", "vn", "vx")
+      case "avg" => Seq("vc", "vs")
+      case "sum" => Seq("vs")
+      case "min" => Seq("vn")
+      case "max" => Seq("vx")
+      case "value_count" => Seq("vc")
+      case "cardinality" => Seq("vd")
+    }
+    val uncondCols = uncondMetrics.flatMap { case (k, x) =>
+      needTags(k).map(t => (t, x)) }.distinct.map {
+      case ("vc", x) => count(col(x)).as(s"vc_$x")
+      case ("vs", x) => sum(col(x).cast("double")).as(s"vs_$x")
+      case ("vn", x) => min(col(x)).as(s"vn_$x")
+      case ("vx", x) => max(col(x)).as(s"vx_$x")
+      case (_, x) => count_distinct(col(x)).as(s"vd_$x")
+    }
+    // conditional buckets: every range bucket and every filter agg is
+    // (specIdx, bucketIdx, label, membership condition)
+    val cbuckets: Seq[(Int, Int, String, Column)] =
+      b.aggs.zipWithIndex.flatMap {
+        case (AggSpec(_, RangeAgg(fld, ranges), _), i) =>
+          ranges.zipWithIndex.map { case (r, j) =>
+            val cond = (Seq(col(fld).isNotNull) ++
+              r._1.map(v => col(fld) >= v.column) ++
+              r._2.map(v => col(fld) < v.column)).reduce(_ && _)
+            (i, j, rangeLabel(r), cond)
+          }
+        case (AggSpec(_, FilterAgg(n), _), i) =>
+          Seq((i, 0, "",
+            compile(n, scored = false, p.tfIdx, p.pfIdx, Map.empty).pred))
+        case _ => Seq.empty
+      }
+    val subKindOf: Map[Int, (String, String)] = b.aggs.zipWithIndex.collect {
+      case (AggSpec(_, _: RangeAgg | _: FilterAgg, Some((_, m))), i) =>
+        i -> metricKindField(m)
+    }.toMap
+    val condAggCols = cbuckets.flatMap { case (i, j, _, _) =>
+      val cnd = col(s"cnd${i}_$j")
+      count(when(cnd, 1)).as(s"dc${i}_$j") +:
+        subKindOf.get(i).toSeq.flatMap { case (k, y) =>
+          val cy = when(cnd, col(y))
+          needTags(k).map {
+            case "vc" => count(cy).as(s"cc${i}_$j")
+            case "vs" => sum(cy.cast("double")).as(s"cs${i}_$j")
+            case "vn" => min(cy).as(s"cn${i}_$j")
+            case "vx" => max(cy).as(s"cx${i}_$j")
+            case _ => count_distinct(cy).as(s"cd${i}_$j")
+          }
+        }
+    }
+    val metricFieldCols = (uncondMetrics.map(_._2) ++
+      subKindOf.values.map(_._2)).distinct.map(col)
+    // conditions precompute as boolean columns so the grouping-sets
+    // projection keeps every aggregate's input
+    val prep = matched.select(gkCols ++ metricFieldCols ++
+      cbuckets.map { case (i, j, _, c) => c.as(s"cnd${i}_$j") }: _*)
+    val statAgg = count(lit(1)).as("doc_count") +: (uncondCols ++ condAggCols)
+    val hasGlobal = b.aggs.exists(s => keyExprOf(s.agg).isEmpty)
     // the lazy checkpoint makes the one corpus pass ACTUALLY one: the
     // per-agg branches below filter this frame, and without a
     // materialization barrier each branch would re-execute the whole
     // scan+aggregate lineage (ExplainAudit r12 caught 4 scans)
     val grouped = (
-      if (gkNames.isEmpty) matched.agg(statAgg.head, statAgg.tail: _*)
+      if (gkNames.isEmpty) prep.agg(statAgg.head, statAgg.tail: _*)
       else {
         val sets = gkNames.map(n => Seq(col(n))) ++
           (if (hasGlobal) Seq(Seq.empty[Column]) else Seq.empty)
@@ -1368,42 +1544,74 @@ object Dsl {
         // cannot resolve through the checkpoint barrier below)
         val aggOut = statAgg ++ gkNames.map(n =>
           grouping(col(n)).as(s"g_$n"))
-        matched.select(gkCols ++ statFields.map(col): _*)
-          .groupingSets(sets, gkNames.map(col): _*)
+        prep.groupingSets(sets, gkNames.map(col): _*)
           .agg(aggOut.head, aggOut.tail: _*)
       }).localCheckpoint(eager = false)
-    def statSel(fieldOpt: Option[String]): Seq[Column] = fieldOpt match {
-      case Some(x) => Seq(col(s"vc_$x").as("v_count"),
-        col(s"vs_$x").as("v_sum"), col(s"vn_$x").cast("double").as("v_min"),
-        col(s"vx_$x").cast("double").as("v_max"),
-        when(col(s"vc_$x") > 0, col(s"vs_$x") / col(s"vc_$x"))
-          .otherwise(lit(null).cast("double")).as("v_avg"))
-      case None => NullStats
-    }
-    val frames = b.aggs.map { spec =>
-      val mine = spec.agg match {
-        case _: StatsAgg =>
-          gkNames.map(n => col(s"g_$n") === 1)
-            .reduceOption(_ && _).getOrElse(lit(true))
-        case _ =>
-          val me = gkOf(spec.name).get
-          gkNames.map(n =>
-            col(s"g_$n") === (if (n == me) 0 else 1)).reduce(_ && _)
+    val nullD = lit(null).cast("double")
+    val nullL = lit(null).cast("long")
+    // output (v_count…v_avg) for a metric kind, from lazily-built
+    // accessors — only the tags the kind aggregates ever resolve
+    def outStats(kind: String, vc: => Column, vs: => Column,
+        vn: => Column, vx: => Column, vd: => Column): Seq[Column] =
+      kind match {
+        case "stats" => Seq(vc.as("v_count"), vs.as("v_sum"),
+          vn.cast("double").as("v_min"), vx.cast("double").as("v_max"),
+          when(vc > 0, vs / vc).otherwise(nullD).as("v_avg"))
+        case "avg" => Seq(nullL.as("v_count"), nullD.as("v_sum"),
+          nullD.as("v_min"), nullD.as("v_max"),
+          when(vc > 0, vs / vc).otherwise(nullD).as("v_avg"))
+        case "sum" => Seq(nullL.as("v_count"), vs.as("v_sum"),
+          nullD.as("v_min"), nullD.as("v_max"), nullD.as("v_avg"))
+        case "min" => Seq(nullL.as("v_count"), nullD.as("v_sum"),
+          vn.cast("double").as("v_min"), nullD.as("v_max"),
+          nullD.as("v_avg"))
+        case "max" => Seq(nullL.as("v_count"), nullD.as("v_sum"),
+          nullD.as("v_min"), vx.cast("double").as("v_max"),
+          nullD.as("v_avg"))
+        case "value_count" => Seq(vc.as("v_count"), nullD.as("v_sum"),
+          nullD.as("v_min"), nullD.as("v_max"), nullD.as("v_avg"))
+        case _ => Seq(vd.as("v_count"), nullD.as("v_sum"),
+          nullD.as("v_min"), nullD.as("v_max"), nullD.as("v_avg"))
       }
-      val statField = spec.sub.map(_._2.field).orElse(spec.agg match {
-        case StatsAgg(x) => Some(x); case _ => None
-      })
-      val rows = spec.agg match {
-        case _: StatsAgg => grouped.filter(mine).withColumn("key", lit(""))
-        case _ =>
+    def uncondOut(m: AggNode): Seq[Column] = {
+      val (k, y) = metricKindField(m)
+      outStats(k, col(s"vc_$y"), col(s"vs_$y"), col(s"vn_$y"),
+        col(s"vx_$y"), col(s"vd_$y"))
+    }
+    def condOut(i: Int, j: Int): Seq[Column] = subKindOf.get(i) match {
+      case None => NullStats
+      case Some((k, _)) => outStats(k, col(s"cc${i}_$j"), col(s"cs${i}_$j"),
+        col(s"cn${i}_$j"), col(s"cx${i}_$j"), col(s"cd${i}_$j"))
+    }
+    val globalMine = gkNames.map(n => col(s"g_$n") === 1)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val frames = b.aggs.zipWithIndex.map { case (spec, i) =>
+      val sel = spec.agg match {
+        case _: TermsAgg | _: DateHistAgg | _: HistAgg =>
+          val me = gkOf(i).get
+          val mine = gkNames.map(n =>
+            col(s"g_$n") === (if (n == me) 0 else 1)).reduce(_ && _)
           // a null bucket key inside this agg's own set is genuinely
           // null data — ES skips docs missing the field
-          val me = gkOf(spec.name).get
-          grouped.filter(mine && col(me).isNotNull)
+          val rows = grouped.filter(mine && col(me).isNotNull)
             .withColumn("key", col(me).cast("string"))
+          val subCols = spec.sub.map(x => uncondOut(x._2))
+            .getOrElse(NullStats)
+          rows.select(($"key" +: $"doc_count" +: subCols): _*)
+        case _: StatsAgg | _: MetricAgg | _: CardinalityAgg =>
+          grouped.filter(globalMine).withColumn("key", lit(""))
+            .select(($"key" +: $"doc_count" +: uncondOut(spec.agg)): _*)
+        case RangeAgg(_, ranges) =>
+          ranges.zipWithIndex.map { case (r, j) =>
+            grouped.filter(globalMine).select(
+              (lit(rangeLabel(r)).as("key") +:
+                col(s"dc${i}_$j").as("doc_count") +: condOut(i, j)): _*)
+          }.reduce(_ unionByName _)
+        case FilterAgg(_) =>
+          grouped.filter(globalMine).select(
+            (lit("").as("key") +: col(s"dc${i}_0").as("doc_count") +:
+              condOut(i, 0)): _*)
       }
-      val sel = rows.select(($"key" +: $"doc_count" +:
-        statSel(statField)): _*)
       val cut = spec.agg match {
         case TermsAgg(_, n) => sel.orderBy($"doc_count".desc, $"key").limit(n)
         case _ => sel
@@ -1428,9 +1636,10 @@ object Dsl {
   def dslAggsSqlOver(json: String, rel: String): String = {
     val b = parseBody(json)
     if (b.aggs.isEmpty) fail("no aggs in body — use dslSqlOver")
-    val p = filterPlanOf(b.query)
-    val aggFields = b.aggs.flatMap(s =>
-      s.agg.field +: s.sub.map(_._2.field).toSeq).distinct
+    val filterNodes = b.aggs.collect { case AggSpec(_, FilterAgg(n), _) => n }
+    val p = mergedFilterPlan(b.query +: filterNodes)
+    val aggFields = b.aggs.flatMap(s => aggFieldsOf(s.agg) ++
+      s.sub.toSeq.flatMap(x => aggFieldsOf(x._2))).distinct
     def statSql(x: String): Seq[String] = Seq(
       s"COUNT($x) AS v_count",
       s"CAST(SUM(CAST($x AS DOUBLE)) AS DOUBLE) AS v_sum",
@@ -1438,13 +1647,38 @@ object Dsl {
       s"CAST(MAX($x) AS DOUBLE) AS v_max",
       s"CASE WHEN COUNT($x) > 0 THEN CAST(SUM(CAST($x AS DOUBLE)) " +
         s"AS DOUBLE) / COUNT($x) ELSE CAST(NULL AS DOUBLE) END AS v_avg")
-    val nullStats = Seq("CAST(NULL AS BIGINT) AS v_count",
-      "CAST(NULL AS DOUBLE) AS v_sum", "CAST(NULL AS DOUBLE) AS v_min",
-      "CAST(NULL AS DOUBLE) AS v_max", "CAST(NULL AS DOUBLE) AS v_avg")
+    val nullC = "CAST(NULL AS BIGINT) AS v_count"
+    val nullV = Map("v_sum" -> "CAST(NULL AS DOUBLE) AS v_sum",
+      "v_min" -> "CAST(NULL AS DOUBLE) AS v_min",
+      "v_max" -> "CAST(NULL AS DOUBLE) AS v_max",
+      "v_avg" -> "CAST(NULL AS DOUBLE) AS v_avg")
+    val nullStats = nullC +: Seq("v_sum", "v_min", "v_max", "v_avg")
+      .map(nullV)
+    // [[outStats]]'s SQL mirror — per metric kind, same null shape
+    def outStatsSql(kind: String, x: String): Seq[String] = kind match {
+      case "stats" => statSql(x)
+      case "avg" => Seq(nullC, nullV("v_sum"), nullV("v_min"),
+        nullV("v_max"),
+        s"CASE WHEN COUNT($x) > 0 THEN CAST(SUM(CAST($x AS DOUBLE)) " +
+          s"AS DOUBLE) / COUNT($x) ELSE CAST(NULL AS DOUBLE) END AS v_avg")
+      case "sum" => Seq(nullC,
+        s"CAST(SUM(CAST($x AS DOUBLE)) AS DOUBLE) AS v_sum",
+        nullV("v_min"), nullV("v_max"), nullV("v_avg"))
+      case "min" => Seq(nullC, nullV("v_sum"),
+        s"CAST(MIN($x) AS DOUBLE) AS v_min", nullV("v_max"),
+        nullV("v_avg"))
+      case "max" => Seq(nullC, nullV("v_sum"), nullV("v_min"),
+        s"CAST(MAX($x) AS DOUBLE) AS v_max", nullV("v_avg"))
+      case "value_count" => Seq(s"COUNT($x) AS v_count", nullV("v_sum"),
+        nullV("v_min"), nullV("v_max"), nullV("v_avg"))
+      case _ => Seq(s"COUNT(DISTINCT $x) AS v_count", nullV("v_sum"),
+        nullV("v_min"), nullV("v_max"), nullV("v_avg"))
+    }
     def branch(spec: AggSpec): String = {
       val name = s"'${quoteSql(spec.name)}'"
       val stats = spec.sub match {
-        case Some((_, StatsAgg(x))) => statSql(x)
+        case Some((_, m)) =>
+          val (k, x) = metricKindField(m); outStatsSql(k, x)
         case None => nullStats
       }
       spec.agg match {
@@ -1462,10 +1696,25 @@ object Dsl {
           s"""SELECT $name AS agg, CAST(($fld // $iv) * $iv AS VARCHAR) AS key,
              |  COUNT(*) AS doc_count, ${stats.mkString(",\n  ")}
              |FROM m WHERE $fld IS NOT NULL GROUP BY ($fld // $iv) * $iv""".stripMargin
-        case StatsAgg(x) =>
+        case _: StatsAgg | _: MetricAgg | _: CardinalityAgg =>
+          val (k, x) = metricKindField(spec.agg)
           s"""SELECT $name AS agg, '' AS key, COUNT(*) AS doc_count,
-             |  ${statSql(x).mkString(",\n  ")}
+             |  ${outStatsSql(k, x).mkString(",\n  ")}
              |FROM m""".stripMargin
+        case RangeAgg(fld, ranges) =>
+          ranges.map { r =>
+            val conds = (Seq(s"f.$fld IS NOT NULL") ++
+              r._1.map(v => s"f.$fld >= ${v.sql}") ++
+              r._2.map(v => s"f.$fld < ${v.sql}")).mkString(" AND ")
+            s"""SELECT $name AS agg, '${rangeLabel(r)}' AS key,
+               |  COUNT(*) AS doc_count, ${stats.mkString(",\n  ")}
+               |FROM m AS f WHERE $conds""".stripMargin
+          }.mkString("\nUNION ALL\n")
+        case FilterAgg(n) =>
+          val c = compile(n, scored = false, p.tfIdx, p.pfIdx, Map.empty)
+          s"""SELECT $name AS agg, '' AS key, COUNT(*) AS doc_count,
+             |  ${stats.mkString(",\n  ")}
+             |FROM m AS f WHERE ${c.predSql}""".stripMargin
       }
     }
     s"""WITH ${fCteSql(p, aggFields, rel)},
@@ -1591,24 +1840,28 @@ object Dsl {
     * broadcast aggregates; candidates stay df-bounded for ranked
     * queries. Cost scales with term document frequency, not corpus
     * breadth. */
-  def searchDslFromIndexes(spark: SparkSession, indexDirs: Seq[String],
-      json: String): DataFrame = {
+  /** The index-side inputs of a served DSL evaluation: the candidate
+    * frame `f` (features + doc-values + dl, tombstones excluded) and
+    * the table handles the statistics derive from. */
+  private case class ServedParts(f: DataFrame, meta: DataFrame,
+      posts: Option[DataFrame], phFrames: Seq[DataFrame],
+      dlen: (String, String) => DataFrame)
+
+  /** Build [[ServedParts]] for a plan over the resolved index roots —
+    * shared by the served search and served aggregations paths. */
+  private def servedParts(spark: SparkSession, indexDirs: Seq[String],
+      p: Plan, extraFields: Seq[String]): ServedParts = {
     import spark.implicits._
-    val b = parseBody(json)
-    if (b.aggs.nonEmpty)
-      fail("body has \"aggs\" — index-served aggregations are " +
-        "Search.facetsWithIndex's family; hits come from the DSL")
-    require(indexDirs.nonEmpty, "searchDslFromIndexes: no indices given")
-    val p = planOfBody(b)
+    require(indexDirs.nonEmpty, "servedParts: no indices given")
     val roots = indexDirs.map(Search.requireIndex(spark, _))
     val servable = "doc_id" +: (Search.DocValueFields ++
       Search.NumDocValueFields)
-    p.exact.foreach { f =>
+    (p.exact ++ extraFields).distinct.foreach { f =>
       if (!servable.contains(f))
         fail(s"field '$f' has no doc-values in the index — indexed " +
           s"doc-value fields: ${servable.mkString(", ")}")
     }
-    val metaFields = p.exact.filter(_ != "doc_id")
+    val metaFields = (p.exact ++ extraFields).distinct.filter(_ != "doc_id")
     val meta = roots.map { root =>
       spark.read.parquet(s"$root/docmeta")
         .select(($"doc_id" +: metaFields.map(col)): _*)
@@ -1661,7 +1914,7 @@ object Dsl {
     // ---- candidate universe
     val needDl = p.needsText
     val needHdl = p.scoredFields.contains(Search.HeadField)
-    val base = (feat, requiresText(b.query)) match {
+    val base = (feat, requiresText(p.q)) match {
       case (Some(ft), true) => ft.join(meta, "doc_id")
       case (Some(ft), false) =>
         meta.join(ft, Seq("doc_id"), "left").na.fill(0, featCols)
@@ -1675,7 +1928,26 @@ object Dsl {
       else withDl
     val dead = roots.map(Search.tombstones(spark, _))
       .reduce(_ unionByName _)
-    val f = f0.join(dead, Seq("doc_id"), "left_anti")
+    ServedParts(f0.join(dead, Seq("doc_id"), "left_anti"), meta, posts,
+      phFrames, dlen)
+  }
+
+  def searchDslFromIndexes(spark: SparkSession, indexDirs: Seq[String],
+      json: String): DataFrame = {
+    import spark.implicits._
+    val b = parseBody(json)
+    if (b.aggs.nonEmpty)
+      fail("body has \"aggs\" — index-served aggregations are " +
+        "dslAggsFromIndexes' job; hits come from the DSL")
+    val p = planOfBody(b)
+    val parts = servedParts(spark, indexDirs, p, Seq.empty)
+    val roots = indexDirs
+    val meta = parts.meta
+    val posts = parts.posts
+    val phFrames = parts.phFrames
+    val dlen = parts.dlen
+    val needHdl = p.scoredFields.contains(Search.HeadField)
+    val f = parts.f
     // ---- statistics (only for scored clauses; 1-row broadcasts)
     val stats =
       if (!p.needsStats) None
@@ -1727,6 +1999,40 @@ object Dsl {
         Some(pieces.reduce(_ crossJoin _))
       }
     rankTail(f, stats, p)
+  }
+
+  /** `"aggs"` SERVED from the persisted index: the match set comes
+    * from doc-values + (for text clauses) postings tf features —
+    * [[servedParts]], the same candidate construction the served
+    * search uses — and the one-pass [[aggsOver]] emission runs
+    * unchanged, so served aggregations reproduce the scan path's
+    * buckets bit-for-bit (same integers in, same arithmetic).
+    * Multi-index capable: bucket counts across members are plain
+    * sums over the union (no global statistic exists to guard — the
+    * members' disjointness contract is [[Search.syncIndex]]'s
+    * admission screen). Tombstoned docs never aggregate.
+    *
+    * Shape at 100 TB: postings prune to the referenced terms' buckets;
+    * docmeta is doc-grain and column-pruned to the referenced fields;
+    * then ONE hash aggregate — aggregations never touch the corpus
+    * text. */
+  def dslAggsFromIndexes(spark: SparkSession, indexDirs: Seq[String],
+      json: String): DataFrame = {
+    val b = parseBody(json)
+    if (b.aggs.isEmpty)
+      fail("no aggs in body — hits are served by searchDslFromIndexes")
+    if (b.size != 0)
+      fail("an aggregation body returns no hits — set size: 0 " +
+        "(ES convention); hits are served by searchDslFromIndexes")
+    if (b.from != 0 || b.sort.nonEmpty || b.source.nonEmpty)
+      fail("an aggregation body returns no hits — from/sort/_source " +
+        "have no meaning beside size: 0")
+    val filterNodes = b.aggs.collect { case AggSpec(_, FilterAgg(n), _) => n }
+    val p = mergedFilterPlan(b.query +: filterNodes)
+    val aggFields = b.aggs.flatMap(s => aggFieldsOf(s.agg) ++
+      s.sub.toSeq.flatMap(x => aggFieldsOf(x._2))).distinct
+    val parts = servedParts(spark, indexDirs, p, aggFields)
+    aggsOver(parts.f.filter(p.c.pred), b, p)
   }
 
   /** Registered query: [[DslQuery]] SERVED from the session-shared
@@ -1820,6 +2126,61 @@ object Dsl {
 
   val dslAggsOracleSql: String =
     dslAggsSqlOver(AggsQuery, Search.PersistDateRel)
+
+  /** Registered EXTENDED aggregations body — the round-12 agg
+    * families: single-value metrics (avg/sum/min/max/value_count),
+    * exact cardinality, a range agg with explicit buckets carrying a
+    * stats sub-agg, a `filter` agg whose stored clause is a full-text
+    * MATCH (proving the merged clause inventory: query + filter-agg
+    * text predicates share ONE feature frame), and a terms bucket
+    * with a cardinality sub-agg. */
+  val AggsExtQuery: String =
+    """{"query": {"match": {"text": "dup vector"}}, "size": 0,
+      |  "aggs": {
+      |    "lang_card": {"cardinality": {"field": "lang"}},
+      |    "chars_avg": {"avg": {"field": "n_chars"}},
+      |    "chars_sum": {"sum": {"field": "n_chars"}},
+      |    "chars_min": {"min": {"field": "n_chars"}},
+      |    "chars_max": {"max": {"field": "n_chars"}},
+      |    "src_count": {"value_count": {"field": "source"}},
+      |    "len_ranges": {"range": {"field": "n_chars", "ranges": [
+      |        {"to": 150}, {"from": 150, "to": 350}, {"from": 350}]},
+      |      "aggs": {"chars": {"stats": {"field": "n_chars"}}}},
+      |    "hash_docs": {"filter": {"match": {"text": "hash"}},
+      |      "aggs": {"chars": {"avg": {"field": "n_chars"}}}},
+      |    "by_lang": {"terms": {"field": "lang", "size": 3},
+      |      "aggs": {"srcs": {"cardinality": {"field": "source"}}}}}}"""
+      .stripMargin
+
+  def dslAggsExt(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Tables.documentsPar(spark, dir), AggsExtQuery)
+
+  val dslAggsExtOracleSql: String = dslAggsSql(AggsExtQuery)
+
+  /** Registered query: [[AggsQuery]] SERVED from the daily indices —
+    * aggregations over doc-values + postings across the alias members,
+    * same oracle as the scan form, so green proves served ≡ scan AND
+    * that per-member bucket counts union to the whole-corpus buckets
+    * (the daily layout is the only shared index whose docmeta carries
+    * persist_date — the single-corpus index is built before the ingest
+    * date exists). */
+  def dslAggsServed(spark: SparkSession, dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Search.sharedDailyIndexDirs(spark, dir)._1, AggsQuery)
+
+  /** Registered query: [[ExtendedQuery]] SERVED — prefix/wildcard/ids
+    * evaluate on docmeta doc-values, the dis_max branches' tf comes
+    * from postings; same oracle as the scan form. */
+  def searchDslExtendedServed(spark: SparkSession, dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), ExtendedQuery)
+
+  /** Registered query: [[SortedQuery]] SERVED — sort keys and
+    * `_source` fields read from doc-values, the `_score` sort leg from
+    * postings statistics; same oracle as the scan form. */
+  def searchDslSortedServed(spark: SparkSession, dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), SortedQuery)
 
   /** Registered DSL-percolator rules: range+match (the alerting shape
     * a term list cannot express), a phrase rule, and a keyword

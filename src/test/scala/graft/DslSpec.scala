@@ -280,13 +280,70 @@ class DslSpec extends SparkSpec {
       intercept[IllegalArgumentException](
         Dsl.dslAggsOf(docs, json)).getMessage
     assert(msg("""{"query": {"match_all": {}}, "size": 0, "aggs": {
-      "x": {"avg": {"field": "n_chars"}}}}""").contains("supported"),
+      "x": {"percentiles": {"field": "n_chars"}}}}""").contains("supported"),
       "unknown agg type must name the supported set")
     assert(msg("""{"query": {"match_all": {}}, "aggs": {
       "x": {"stats": {"field": "n_chars"}}}}""").contains("size: 0"),
       "an aggs body without size: 0 would silently drop requested hits")
     assert(msg("""{"query": {"match_all": {}}, "size": 0, "aggs": {
       "x": {"stats": {"field": "lang"}}}}""").contains("numeric"))
+  }
+
+  test("extended aggs: metrics, cardinality, range buckets, filter agg, metric subs") {
+    def vals(rows: Array[org.apache.spark.sql.Row], agg: String) =
+      rows.filter(_.getString(0) == agg).map(r => (r.getString(1),
+        r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(7)) -1.0 else r.getDouble(7))).toList
+    val out = Dsl.dslAggsOf(tiny,
+      """{"query": {"match_all": {}}, "size": 0, "aggs": {
+        "card": {"cardinality": {"field": "lang"}},
+        "avg_nc": {"avg": {"field": "n_chars"}},
+        "sum_nc": {"sum": {"field": "n_chars"}},
+        "cnt_src": {"value_count": {"field": "source"}},
+        "len": {"range": {"field": "n_chars", "ranges": [
+            {"to": 10}, {"from": 10, "to": 16}, {"from": 16}]},
+          "aggs": {"s": {"stats": {"field": "n_chars"}}}},
+        "alpha": {"filter": {"match": {"text": "alpha"}},
+          "aggs": {"a": {"avg": {"field": "n_chars"}}}},
+        "langs": {"terms": {"field": "lang", "size": 2},
+          "aggs": {"srcs": {"cardinality": {"field": "source"}}}}}}""")
+      .collect()
+    assert(vals(out, "card") == Seq(("", 5L, 3L, -1.0)),
+      "exact distinct langs")
+    assert(vals(out, "avg_nc").head._4 == 12.2)
+    assert(out.filter(_.getString(0) == "sum_nc").head.getDouble(4) == 61.0)
+    assert(vals(out, "cnt_src") == Seq(("", 5L, 5L, -1.0)))
+    // range buckets: counts + stats sub sums (9; 10+10; 16+16)
+    assert(vals(out, "len").map(t => (t._1, t._2)) ==
+      Seq(("*-10", 1L), ("10-16", 2L), ("16-*", 2L)),
+      s"range buckets: ${vals(out, "len")}")
+    assert(out.filter(r => r.getString(0) == "len")
+      .map(r => (r.getString(1), r.getDouble(4))).toSeq ==
+      Seq(("*-10", 9.0), ("10-16", 20.0), ("16-*", 32.0)),
+      "conditional stats sub-agg sums")
+    // filter agg with a MATCH clause: alpha docs {0,1,4}, avg 14.0 —
+    // the stored clause's text predicate rides the shared feature frame
+    assert(vals(out, "alpha") == Seq(("", 3L, -1L, 14.0)))
+    // terms + cardinality sub: en has 2 distinct sources, de 1
+    assert(vals(out, "langs") == Seq(("de", 1L, 1L, -1.0),
+      ("en", 3L, 2L, -1.0)), s"got ${vals(out, "langs")}")
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(tiny, json)).getMessage
+    assert(msg("""{"query": {"match_all": {}}, "size": 0, "aggs": {
+      "x": {"avg": {"field": "n_chars"}, "aggs": {
+        "y": {"sum": {"field": "n_chars"}}}}}}""").contains("metric"),
+      "metric aggs take no sub-aggs")
+    assert(msg("""{"query": {"match_all": {}}, "size": 0, "aggs": {
+      "x": {"avg": {"field": "lang"}}}}""").contains("numeric"))
+    assert(msg("""{"query": {"match_all": {}}, "size": 0, "aggs": {
+      "x": {"range": {"field": "n_chars", "ranges": [
+        {"to": 10}, {"to": 10}]}}}}""").contains("twice"),
+      "duplicate range buckets would collide in the output key space")
+    assert(msg("""{"query": {"match_all": {}}, "size": 0, "aggs": {
+      "x": {"range": {"field": "n_chars", "ranges": [{}]}}}}""")
+      .contains("from"), "an unbounded range bucket is malformed")
   }
 
   test("dsl_served ≡ dsl_search bit-for-bit, for every registered body") {
@@ -304,6 +361,17 @@ class DslSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(mfServed == mfScan,
       "served multi-field DSL diverged from the scan path")
+    // the round-12 bodies serve too: extended clauses on doc-values,
+    // sort/from/_source, and the aggs body across the daily indices
+    assert(Dsl.searchDslExtendedServed(spark, sfDir).collect().toSeq ==
+      Dsl.searchDslExtended(spark, sfDir).collect().toSeq,
+      "served extended-clause DSL diverged from the scan path")
+    assert(Dsl.searchDslSortedServed(spark, sfDir).collect().toSeq ==
+      Dsl.searchDslSorted(spark, sfDir).collect().toSeq,
+      "served sorted/paged DSL diverged from the scan path")
+    assert(Dsl.dslAggsServed(spark, sfDir).collect().toSeq ==
+      Dsl.dslAggs(spark, sfDir).collect().toSeq,
+      "daily-index-served aggregations diverged from the scan path")
     // a doc-value-less field refuses loudly instead of scanning text
     val idx = Dsl.searchDslServed(spark, sfDir) // memo warm
     val e = intercept[IllegalArgumentException](
