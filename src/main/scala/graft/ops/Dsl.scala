@@ -133,7 +133,8 @@ object Dsl {
     * default provenance shape, Some(fields) for an `_source` include
     * list (empty = `"_source": false`, rk + doc_id only). */
   final case class Body(query: Node, size: Int, aggs: Seq[AggSpec],
-      from: Int, sort: Seq[(String, Boolean)], source: Option[Seq[String]])
+      from: Int, sort: Seq[(String, Boolean)], source: Option[Seq[String]],
+      after: Option[Seq[Scalar]])
 
   /** A JSON scalar a term/range clause compares against, carrying its
     * Spark literal and its SQL literal so both compilers emit the
@@ -185,10 +186,11 @@ object Dsl {
       case o: JObject => o
       case other => fail(s"body must be a JSON object, got $other")
     }
-    val known = Set("query", "size", "aggs", "from", "sort", "_source")
+    val known = Set("query", "size", "aggs", "from", "sort", "_source",
+      "search_after")
     root.obj.collectFirst { case (k, _) if !known.contains(k) => k }
       .foreach(k => fail(s"unsupported body key '$k' — supported: " +
-        "_source, aggs, from, query, size, sort"))
+        "_source, aggs, from, query, search_after, size, sort"))
     val size = root \ "size" match {
       case JNothing => DefaultSize
       case JInt(n) if n >= 0 && n <= MaxResultWindow => n.toInt
@@ -238,6 +240,32 @@ object Dsl {
       if (fs.contains("doc_id"))
         fail("_source must not list doc_id — every hit carries it")
     }
+    val after = root \ "search_after" match {
+      case JNothing => None
+      case JArray(vs) if vs.nonEmpty =>
+        if (sort.isEmpty)
+          fail("search_after needs an explicit sort (keyset paging " +
+            "pages a total order)")
+        if (sort.exists(_._1 == "_score"))
+          fail("search_after over _score is unsupported — the engine " +
+            "emits rank provenance, not scores; page by doc-value " +
+            "fields (the scalable ES PIT shape)")
+        if (from != 0)
+          fail("search_after and from are mutually exclusive (ES contract)")
+        if (vs.size != sort.size + 1)
+          fail(s"search_after must carry one value per sort key plus " +
+            s"the doc_id tiebreaker — expected ${sort.size + 1} values, " +
+            s"got ${vs.size}")
+        val parsed = vs.map(scalar)
+        parsed.last match {
+          case SNum(n) if n.isWhole => ()
+          case v => fail(s"search_after's last value is the doc_id " +
+            s"tiebreaker — must be an integer, got $v")
+        }
+        Some(parsed)
+      case _ => fail("search_after must be a non-empty array of the " +
+        "previous page's last sort values")
+    }
     val q = root \ "query" match {
       case JNothing => MatchAllQ // the ES default
       case qq => node(qq)
@@ -246,7 +274,7 @@ object Dsl {
       case JNothing => Seq.empty
       case a => parseAggs(a)
     }
-    Body(q, size, aggs, from, sort, source)
+    Body(q, size, aggs, from, sort, source, after)
   }
 
   private def parseOrder(field: String, ord: String): Boolean = ord match {
@@ -990,7 +1018,8 @@ object Dsl {
       skts: Seq[(String, Scalar)], exact: Seq[String],
       tfIdx: TIdx, pfIdx: PIdx, ktIdx: KIdx, c: C,
       from: Int = 0, sortKeys: Seq[(String, Boolean)] = Seq.empty,
-      source: Option[Seq[String]] = None) {
+      source: Option[Seq[String]] = None,
+      after: Option[Seq[Scalar]] = None) {
     def needsText: Boolean = tkeys.nonEmpty || pkeys.nonEmpty
     /** A field-only `sort` never evaluates the score — ES computes
       * scores only when the ranking needs them (`track_scores`
@@ -1030,7 +1059,28 @@ object Dsl {
     val extra = (b.sort.map(_._1).filter(_ != "_score") ++
       b.source.getOrElse(Seq.empty)).filter(_ != "doc_id")
     p.copy(exact = (p.exact ++ extra).distinct,
-      from = b.from, sortKeys = b.sort, source = b.source)
+      from = b.from, sortKeys = b.sort, source = b.source, after = b.after)
+  }
+
+  /** The strictly-after lexicographic predicate of keyset paging: the
+    * document sorts after (sort values, doc_id) — one disjunct per
+    * prefix length, exactly the total order's successor relation. A
+    * doc with a NULL sort key (sorts last) is unreachable through a
+    * non-null cursor — cursors only ever carry values a previous page
+    * emitted. Returns (Column, SQL) built in lockstep. */
+  private def afterPredOf(p: Plan, vals: Seq[Scalar]): (Column, String) = {
+    val keys = p.sortKeys :+ (("doc_id", true))
+    val parts = keys.zip(vals).zipWithIndex.map { case (((f, asc), v), i) =>
+      val strictC = if (asc) col(f) > v.column else col(f) < v.column
+      val strictS = s"f.$f ${if (asc) ">" else "<"} ${v.sql}"
+      val eqs = keys.zip(vals).take(i)
+      ((eqs.map { case ((f2, _), v2) => col(f2) === v2.column } :+ strictC)
+        .reduce(_ && _),
+        (eqs.map { case ((f2, _), v2) => s"f.$f2 = ${v2.sql}" } :+ strictS)
+          .mkString("(", " AND ", ")"))
+    }
+    (parts.map(_._1).reduce(_ || _),
+      parts.map(_._2).mkString("(", " OR ", ")"))
   }
 
   /** Positional phrase-frequency over normalized text: a zero-width
@@ -1150,7 +1200,12 @@ object Dsl {
       (if (p.sortKeys.isEmpty) Seq($"score".desc)
        else p.sortKeys.map((sortCol _).tupled)) :+ $"doc_id".asc
     val w = Window.orderBy(ord: _*)
-    val ranked = joined.filter(p.c.pred)
+    // keyset paging filters BEFORE the top-k — the skipped prefix
+    // never materializes, the whole point of search_after; the page's
+    // rk restarts at 1 (ES's search_after responses carry no offset)
+    val gate = p.after.map(v => p.c.pred && afterPredOf(p, v)._1)
+      .getOrElse(p.c.pred)
+    val ranked = joined.filter(gate)
       .select(($"doc_id" +: dlC.as("dl") +: nMatched.as("n_matched") +:
         tfTotal.as("tf_total") +: score.as("score") +:
         extraCols.map(col)): _*)
@@ -1341,6 +1396,8 @@ object Dsl {
       case None => "doc_id, n_matched, tf_total, dl"
       case Some(fs) => ("doc_id" +: fs).mkString(", ")
     }
+    val gateSql = p.after.map(v =>
+      s"(${p.c.predSql} AND ${afterPredOf(p, v)._2})").getOrElse(p.c.predSql)
     val scSql =
       s"""sc AS (
          |  SELECT f.doc_id, $dlSql AS dl, $nMatched AS n_matched,
@@ -1348,7 +1405,7 @@ object Dsl {
          |    $scoreSql AS score${
            extraCols.map(c => s",\n    f.$c AS $c").mkString}
          |  $from
-         |  WHERE ${p.c.predSql})""".stripMargin
+         |  WHERE $gateSql)""".stripMargin
     val tail =
       if (p.from == 0)
         s"""SELECT ROW_NUMBER() OVER (ORDER BY $ordSql) AS rk,
@@ -1398,9 +1455,10 @@ object Dsl {
     if (b.size != 0)
       fail("an aggregation body returns no hits — set size: 0 " +
         "(ES convention); hits are served by searchDslOf")
-    if (b.from != 0 || b.sort.nonEmpty || b.source.nonEmpty)
-      fail("an aggregation body returns no hits — from/sort/_source " +
-        "have no meaning beside size: 0")
+    if (b.from != 0 || b.sort.nonEmpty || b.source.nonEmpty ||
+        b.after.nonEmpty)
+      fail("an aggregation body returns no hits — from/sort/_source/" +
+        "search_after have no meaning beside size: 0")
     // aggregations never rank: the query compiles in filter context;
     // filter-agg clauses join the query's clause inventory so ONE
     // feature frame serves the predicate and every stored bucket
@@ -2024,9 +2082,10 @@ object Dsl {
     if (b.size != 0)
       fail("an aggregation body returns no hits — set size: 0 " +
         "(ES convention); hits are served by searchDslFromIndexes")
-    if (b.from != 0 || b.sort.nonEmpty || b.source.nonEmpty)
-      fail("an aggregation body returns no hits — from/sort/_source " +
-        "have no meaning beside size: 0")
+    if (b.from != 0 || b.sort.nonEmpty || b.source.nonEmpty ||
+        b.after.nonEmpty)
+      fail("an aggregation body returns no hits — from/sort/_source/" +
+        "search_after have no meaning beside size: 0")
     val filterNodes = b.aggs.collect { case AggSpec(_, FilterAgg(n), _) => n }
     val p = mergedFilterPlan(b.query +: filterNodes)
     val aggFields = b.aggs.flatMap(s => aggFieldsOf(s.agg) ++
@@ -2181,6 +2240,75 @@ object Dsl {
   def searchDslSortedServed(spark: SparkSession, dir: String): DataFrame =
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), SortedQuery)
+
+  /** Page-1 body of the keyset-paging pair: field-only sort (the
+    * scalable ES PIT + search_after shape — score never evaluates,
+    * statistics never aggregate), `_source` carrying the sort field so
+    * the response contains exactly what the client must echo back. */
+  val AfterPage1Query: String =
+    """{"query": {"match": {"text": "dup"}},
+      |  "sort": [{"n_chars": {"order": "desc"}}], "size": 5,
+      |  "_source": ["n_chars"]}""".stripMargin
+
+  /** Registered query: DSL `search_after` — run page 1, echo its last
+    * hit's (n_chars, doc_id) back as the cursor, serve page 2 by the
+    * strictly-after keyset predicate (the skipped prefix never
+    * materializes). The 5-row collect IS the ES protocol: the server
+    * returns sort values, the client echoes them — driver-sized by
+    * definition. The ORACLE deliberately computes the page by global
+    * ROW_NUMBER offset instead ([[dslSearchAfterOracleSql]]): keyset ≡
+    * offset under a total order is exactly the invariant search_after
+    * promises, so oracle-green IS the pagination-correctness proof. */
+  def dslSearchAfter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsPar(spark, dir)
+    val page1 = searchDslOf(docs, AfterPage1Query).collect()
+    if (page1.length < 5)
+      throw new IllegalStateException(
+        "dsl_search_after: fewer than 5 matches — no second page")
+    val last = page1.last
+    val body2 =
+      s"""{"query": {"match": {"text": "dup"}},
+         |  "sort": [{"n_chars": {"order": "desc"}}], "size": 5,
+         |  "_source": ["n_chars"],
+         |  "search_after": [${last.getLong(2)}, ${last.getLong(1)}]}"""
+        .stripMargin
+    searchDslOf(docs, body2)
+  }
+
+  /** The offset form of page 2 — `from`: 5 over the same body — with
+    * rk re-based to the page-local ranks the keyset path emits. */
+  val dslSearchAfterOracleSql: String = {
+    val fromBody =
+      """{"query": {"match": {"text": "dup"}},
+        |  "sort": [{"n_chars": {"order": "desc"}}], "size": 5, "from": 5,
+        |  "_source": ["n_chars"]}""".stripMargin
+    s"""SELECT rk - 5 AS rk, doc_id, n_chars
+       |FROM (${dslSql(fromBody)}) AS kp ORDER BY rk""".stripMargin
+  }
+
+  /** `_count` SERVED from the index: the same filter-context plan over
+    * doc-values (+ postings features for text clauses), tombstones
+    * excluded — one pruned index read + a 1-row count, never the
+    * corpus. */
+  def dslCountFromIndexes(spark: SparkSession, indexDirs: Seq[String],
+      json: String): DataFrame = {
+    JsonMethods.parse(json) match {
+      case o: JObject =>
+        o.obj.collectFirst { case (k, _) if k != "query" => k }
+          .foreach(k => fail(s"_count body supports only \"query\", " +
+            s"got '$k'"))
+      case other => fail(s"body must be a JSON object, got $other")
+    }
+    val p = filterPlanOf(parseBody(json).query)
+    val parts = servedParts(spark, indexDirs, p, Seq.empty)
+    parts.f.filter(p.c.pred).agg(count(lit(1)).as("total"))
+  }
+
+  /** Registered query: [[CountQuery]] counted from the index — same
+    * oracle as the scan `_count`. */
+  def dslCountServed(spark: SparkSession, dir: String): DataFrame =
+    dslCountFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), CountQuery)
 
   /** Registered DSL-percolator rules: range+match (the alerting shape
     * a term list cannot express), a phrase rule, and a keyword

@@ -372,6 +372,9 @@ class DslSpec extends SparkSpec {
     assert(Dsl.dslAggsServed(spark, sfDir).collect().toSeq ==
       Dsl.dslAggs(spark, sfDir).collect().toSeq,
       "daily-index-served aggregations diverged from the scan path")
+    assert(Dsl.dslCountServed(spark, sfDir).collect().toSeq ==
+      Dsl.dslCount(spark, sfDir).collect().toSeq,
+      "index-served _count diverged from the scan count")
     // a doc-value-less field refuses loudly instead of scanning text
     val idx = Dsl.searchDslServed(spark, sfDir) // memo warm
     val e = intercept[IllegalArgumentException](
@@ -475,6 +478,46 @@ class DslSpec extends SparkSpec {
       .contains("mode"))
     assert(msg("""{"query": {"match_all": {}}, "_source": ["doc_id"]}""")
       .contains("doc_id"))
+  }
+
+  test("search_after: keyset page 2 ≡ offset page 2, cursor refusals") {
+    // tiny n_chars desc: 0(16) 4(16) 1(10) 2(10) 3(9); page 1 size 2 →
+    // [0, 4]; cursor (16, 4); page 2 → [1, 2] with page-local ranks
+    val page2 = Dsl.searchDslOf(tiny,
+      """{"query": {"match_all": {}},
+        "sort": [{"n_chars": "desc"}], "size": 2,
+        "_source": ["n_chars"], "search_after": [16, 4]}""").collect()
+    assert(page2.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 1L), (2, 2L)), s"keyset page 2: ${page2.toSeq}")
+    // ≡ the offset form (rk re-based)
+    val offset = Dsl.searchDslOf(tiny,
+      """{"query": {"match_all": {}},
+        "sort": [{"n_chars": "desc"}], "size": 2, "from": 2,
+        "_source": ["n_chars"]}""").collect()
+    assert(page2.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      offset.map(r => (r.getLong(1), r.getLong(2))).toSeq,
+      "keyset ≡ offset under the total order")
+    // a mid-tie cursor splits the tie by doc_id: after (16, 0) → 4 first
+    val midTie = Dsl.searchDslOf(tiny,
+      """{"query": {"match_all": {}},
+        "sort": [{"n_chars": "desc"}], "size": 2,
+        "_source": ["n_chars"], "search_after": [16, 0]}""").collect()
+    assert(midTie.map(_.getLong(1)).toSeq == Seq(4L, 1L),
+      "the doc_id tiebreaker must page INTO a sort-value tie")
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"match_all": {}},
+      "search_after": [16, 4]}""").contains("sort"),
+      "search_after without sort must refuse")
+    assert(msg("""{"query": {"match_all": {}},
+      "sort": [{"n_chars": "desc"}, "_score"],
+      "search_after": [16, 0.5, 4]}""").contains("_score"))
+    assert(msg("""{"query": {"match_all": {}},
+      "sort": [{"n_chars": "desc"}], "from": 2,
+      "search_after": [16, 4]}""").contains("mutually exclusive"))
+    assert(msg("""{"query": {"match_all": {}},
+      "sort": [{"n_chars": "desc"}], "search_after": [16]}""")
+      .contains("tiebreaker"), "cursor arity must match sort + doc_id")
   }
 
   test("_count: the match-set cardinality, query-only body") {
