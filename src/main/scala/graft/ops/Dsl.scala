@@ -134,7 +134,7 @@ object Dsl {
     * list (empty = `"_source": false`, rk + doc_id only). */
   final case class Body(query: Node, size: Int, aggs: Seq[AggSpec],
       from: Int, sort: Seq[(String, Boolean)], source: Option[Seq[String]],
-      after: Option[Seq[Scalar]])
+      after: Option[Seq[Scalar]], highlight: Option[String])
 
   /** A JSON scalar a term/range clause compares against, carrying its
     * Spark literal and its SQL literal so both compilers emit the
@@ -187,10 +187,10 @@ object Dsl {
       case other => fail(s"body must be a JSON object, got $other")
     }
     val known = Set("query", "size", "aggs", "from", "sort", "_source",
-      "search_after")
+      "search_after", "highlight")
     root.obj.collectFirst { case (k, _) if !known.contains(k) => k }
       .foreach(k => fail(s"unsupported body key '$k' — supported: " +
-        "_source, aggs, from, query, search_after, size, sort"))
+        "_source, aggs, from, highlight, query, search_after, size, sort"))
     val size = root \ "size" match {
       case JNothing => DefaultSize
       case JInt(n) if n >= 0 && n <= MaxResultWindow => n.toInt
@@ -266,6 +266,24 @@ object Dsl {
       case _ => fail("search_after must be a non-empty array of the " +
         "previous page's last sort values")
     }
+    val highlight = root \ "highlight" match {
+      case JNothing => None
+      case h: JObject =>
+        h.obj.collectFirst { case (k, _) if k != "fields" => k }
+          .foreach(k => fail(s"highlight has unsupported option '$k' — " +
+            "supported: fields"))
+        h \ "fields" match {
+          case JObject(List((f, JObject(Nil)))) => Some(f)
+          case JObject(List((f, JObject(opts)))) =>
+            fail(s"highlight.$f has unsupported options " +
+              s"${opts.map(_._1).mkString(", ")} — the fragment shape " +
+              "is fixed (one snippet around the first query-term hit)")
+          case JObject(_) =>
+            fail("highlight.fields must name exactly one field")
+          case _ => fail("highlight needs {\"fields\": {field: {}}}")
+        }
+      case other => fail(s"highlight must be an object, got $other")
+    }
     val q = root \ "query" match {
       case JNothing => MatchAllQ // the ES default
       case qq => node(qq)
@@ -274,7 +292,7 @@ object Dsl {
       case JNothing => Seq.empty
       case a => parseAggs(a)
     }
-    Body(q, size, aggs, from, sort, source, after)
+    Body(q, size, aggs, from, sort, source, after, highlight)
   }
 
   private def parseOrder(field: String, ord: String): Boolean = ord match {
@@ -1019,7 +1037,8 @@ object Dsl {
       tfIdx: TIdx, pfIdx: PIdx, ktIdx: KIdx, c: C,
       from: Int = 0, sortKeys: Seq[(String, Boolean)] = Seq.empty,
       source: Option[Seq[String]] = None,
-      after: Option[Seq[Scalar]] = None) {
+      after: Option[Seq[Scalar]] = None,
+      highlight: Option[String] = None) {
     def needsText: Boolean = tkeys.nonEmpty || pkeys.nonEmpty
     /** A field-only `sort` never evaluates the score — ES computes
       * scores only when the ranking needs them (`track_scores`
@@ -1058,9 +1077,26 @@ object Dsl {
     val p = planOf(b.query, b.size)
     val extra = (b.sort.map(_._1).filter(_ != "_score") ++
       b.source.getOrElse(Seq.empty)).filter(_ != "doc_id")
+    b.highlight.foreach { hf =>
+      checkAnalyzed(hf, "highlight")
+      if (highlightLits(p, hf).isEmpty)
+        fail(s"highlight.$hf: the query carries no match/phrase terms " +
+          s"on '$hf' — nothing to highlight")
+    }
     p.copy(exact = (p.exact ++ extra).distinct,
-      from = b.from, sortKeys = b.sort, source = b.source, after = b.after)
+      from = b.from, sortKeys = b.sort, source = b.source, after = b.after,
+      highlight = b.highlight)
   }
+
+  /** The literal strings a highlight on `hf` marks: the query's match
+    * terms on that field in clause order, then its phrases as joined
+    * literals. The FIRST literal present in the document anchors the
+    * snippet (clause order, not min-position — deterministic and
+    * identical in both engines; ES's best-fragment choice is
+    * scorer-internal, this is the documented stand-in). */
+  private def highlightLits(p: Plan, hf: String): Seq[String] =
+    (p.tkeys.filter(_._1 == hf).map(_._2) ++
+      p.pkeys.filter(_._1 == hf).map(_._2.mkString(" "))).distinct
 
   /** The strictly-after lexicographic predicate of keyset paging: the
     * document sorts after (sort values, doc_id) — one disjunct per
@@ -1233,7 +1269,34 @@ object Dsl {
     val p = planOfBody(b)
     checkFields(docs, p.exact)
     val f = scanF(docs, p, Seq.empty)
-    rankTail(f, scanStats(f, p), p)
+    val page = rankTail(f, scanStats(f, p), p)
+    p.highlight.map(highlightJoin(docs, page, p, _)).getOrElse(page)
+  }
+
+  /** The FETCH phase of highlighting: snippets compute for the PAGE's
+    * rows only — the ≤size-row page broadcasts into one pruned
+    * (doc_id, text) re-read, exactly ES's query-then-fetch split; the
+    * corpus-sized ranking never carries document text. Emits the page
+    * plus `h_pos` (1-based position of the first query literal in the
+    * normalized field, null when the hit matched elsewhere) and
+    * `h_snippet` (the [[Search.SnippetLen]]-char window around it). */
+  private def highlightJoin(docs: DataFrame, page: DataFrame, p: Plan,
+      hf: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    val src =
+      if (hf == Search.DefaultField) TextAnalysis.norm($"text")
+      else array_join(slice(TextAnalysis.toks($"text"), 1, Search.HeadLen),
+        " ")
+    val pos = coalesce(highlightLits(p, hf).map(t =>
+      when(locate(t, $"hl_nt") > 0, locate(t, $"hl_nt"))): _*)
+    docs.select($"doc_id", src.as("hl_nt"))
+      .join(broadcast(page), "doc_id")
+      .withColumn("h_pos", pos)
+      .withColumn("h_snippet", when($"h_pos".isNotNull,
+        $"hl_nt".substr(greatest($"h_pos" - Search.SnippetBefore, lit(1)),
+          lit(Search.SnippetLen))))
+      .select(page.columns.map(col) ++ Seq($"h_pos", $"h_snippet"): _*)
+      .orderBy($"rk")
   }
 
   /** The plan of a query compiled in FILTER CONTEXT (scored = false,
@@ -1417,9 +1480,36 @@ object Dsl {
            |    $outSql
            |  FROM sc) AS pg
            |WHERE rk > ${p.from} ORDER BY rk LIMIT ${p.size}""".stripMargin
-    s"""WITH ${ctes.mkString(",\n")},
-       |$scSql
-       |$tail""".stripMargin
+    p.highlight match {
+      case None =>
+        s"""WITH ${ctes.mkString(",\n")},
+           |$scSql
+           |$tail""".stripMargin
+      case Some(hf) =>
+        val hlNt =
+          if (hf == Search.DefaultField)
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+          else s"array_to_string(($ToksExpr)[1:${Search.HeadLen}], ' ')"
+        val posSql = highlightLits(p, hf).map(t =>
+          s"NULLIF(strpos(hl.hl_nt, '${quoteSql(t)}'), 0)")
+          .mkString("COALESCE(", ", ", ")")
+        val outNames = "rk" +: (p.source match {
+          case None => Seq("doc_id", "n_matched", "tf_total", "dl")
+          case Some(fs) => "doc_id" +: fs
+        })
+        s"""WITH ${ctes.mkString(",\n")},
+           |$scSql,
+           |hl AS (SELECT doc_id, $hlNt AS hl_nt FROM $rel),
+           |pg AS (
+           |$tail),
+           |hj AS (SELECT pg.*, $posSql AS h_pos, hl.hl_nt
+           |       FROM pg JOIN hl USING (doc_id))
+           |SELECT ${outNames.mkString(", ")}, h_pos,
+           |  CASE WHEN h_pos IS NOT NULL THEN substr(hl_nt,
+           |    greatest(h_pos - ${Search.SnippetBefore}, 1),
+           |    ${Search.SnippetLen}) END AS h_snippet
+           |FROM hj ORDER BY rk""".stripMargin
+    }
   }
 
   // ---------------------------------------------------- aggregations
@@ -1456,9 +1546,9 @@ object Dsl {
       fail("an aggregation body returns no hits — set size: 0 " +
         "(ES convention); hits are served by searchDslOf")
     if (b.from != 0 || b.sort.nonEmpty || b.source.nonEmpty ||
-        b.after.nonEmpty)
+        b.after.nonEmpty || b.highlight.nonEmpty)
       fail("an aggregation body returns no hits — from/sort/_source/" +
-        "search_after have no meaning beside size: 0")
+        "search_after/highlight have no meaning beside size: 0")
     // aggregations never rank: the query compiles in filter context;
     // filter-agg clauses join the query's clause inventory so ONE
     // feature frame serves the predicate and every stored bucket
@@ -1997,6 +2087,10 @@ object Dsl {
     if (b.aggs.nonEmpty)
       fail("body has \"aggs\" — index-served aggregations are " +
         "dslAggsFromIndexes' job; hits come from the DSL")
+    if (b.highlight.nonEmpty)
+      fail("highlight is a fetch-phase feature over the stored corpus " +
+        "text — the index stores doc-values and postings, not _source; " +
+        "highlight through the scan path (searchDslOf)")
     val p = planOfBody(b)
     val parts = servedParts(spark, indexDirs, p, Seq.empty)
     val roots = indexDirs
@@ -2083,9 +2177,9 @@ object Dsl {
       fail("an aggregation body returns no hits — set size: 0 " +
         "(ES convention); hits are served by searchDslFromIndexes")
     if (b.from != 0 || b.sort.nonEmpty || b.source.nonEmpty ||
-        b.after.nonEmpty)
+        b.after.nonEmpty || b.highlight.nonEmpty)
       fail("an aggregation body returns no hits — from/sort/_source/" +
-        "search_after have no meaning beside size: 0")
+        "search_after/highlight have no meaning beside size: 0")
     val filterNodes = b.aggs.collect { case AggSpec(_, FilterAgg(n), _) => n }
     val p = mergedFilterPlan(b.query +: filterNodes)
     val aggFields = b.aggs.flatMap(s => aggFieldsOf(s.agg) ++
@@ -2309,6 +2403,23 @@ object Dsl {
   def dslCountServed(spark: SparkSession, dir: String): DataFrame =
     dslCountFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), CountQuery)
+
+  /** Registered HIGHLIGHT body — a scored bool with a boosted phrase
+    * should, highlighted on the full text field: hits carry h_pos /
+    * h_snippet from the fetch-phase join (snippets compute for the
+    * page only, never the corpus). */
+  val HighlightQuery: String =
+    """{"query": {"bool": {
+      |  "must": [{"match": {"text": "dup vector"}}],
+      |  "should": [{"match_phrase": {"text": {"query": "merge hash",
+      |              "boost": 1.2}}}]}},
+      |  "size": 25,
+      |  "highlight": {"fields": {"text": {}}}}""".stripMargin
+
+  def searchDslHighlight(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), HighlightQuery)
+
+  val searchDslHighlightSql: String = dslSql(HighlightQuery)
 
   /** Registered DSL-percolator rules: range+match (the alerting shape
     * a term list cannot express), a phrase rule, and a keyword

@@ -534,6 +534,40 @@ class DslSpec extends SparkSpec {
     assert(e.getMessage.contains("query"), e.getMessage)
   }
 
+  test("highlight: fetch-phase snippets for the page only, clause-order anchor") {
+    val out = Dsl.searchDslOf(tiny,
+      """{"query": {"bool": {
+        "must": [{"match": {"text": "beta"}}],
+        "should": [{"match": {"text": "gamma"}}]}},
+        "size": 2, "highlight": {"fields": {"text": {}}}}""").collect()
+    assert(out.head.schema.fieldNames.takeRight(2).toSeq ==
+      Seq("h_pos", "h_snippet"))
+    // every returned hit matched beta (a must) → h_pos is the 1-based
+    // position of "beta" (first literal in clause order), snippet
+    // windows around it
+    out.foreach { r =>
+      val pos = r.getInt(5)
+      val snip = r.getString(6)
+      assert(pos > 0 && snip.contains("beta"),
+        s"snippet must cover the anchor term: pos=$pos snip='$snip'")
+    }
+    // highlight on a field the query never matches refuses loudly
+    val e = intercept[IllegalArgumentException](Dsl.searchDslOf(tiny,
+      """{"query": {"term": {"lang": "en"}},
+        "highlight": {"fields": {"text": {}}}}"""))
+    assert(e.getMessage.contains("nothing to highlight"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](Dsl.searchDslOf(tiny,
+      """{"query": {"match": {"text": "beta"}},
+        "highlight": {"fields": {"text": {"number_of_fragments": 3}}}}"""))
+    assert(e2.getMessage.contains("number_of_fragments"), e2.getMessage)
+    // the served path refuses: the index stores no _source
+    val e3 = intercept[IllegalArgumentException](
+      Dsl.searchDslFromIndexes(spark, Seq("/nonexistent"),
+        """{"query": {"match": {"text": "beta"}},
+          "highlight": {"fields": {"text": {}}}}"""))
+    assert(e3.getMessage.contains("_source"), e3.getMessage)
+  }
+
   test("dsl_alias: the DSL resolved through the daily-index alias ≡ the scan path") {
     val scan = Dsl.searchDsl(spark, sfDir).collect().map(_.toSeq).toSeq
     val viaAlias = Dsl.searchDslAlias(spark, sfDir)
