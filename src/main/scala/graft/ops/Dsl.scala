@@ -83,7 +83,7 @@ object Dsl {
       mustNot: Seq[Node], filter: Seq[Node],
       minShould: Option[Int]) extends Node
   final case class MatchQ(field: String, terms: Seq[String],
-      boost: BigDecimal) extends Node
+      boost: BigDecimal, andOp: Boolean) extends Node
   final case class MultiMatchQ(fields: Seq[(String, BigDecimal)],
       terms: Seq[String], boost: BigDecimal) extends Node
   final case class PhraseQ(field: String, terms: Seq[String],
@@ -113,7 +113,8 @@ object Dsl {
     * approximate). One level of nesting: every bucket agg may carry
     * ONE metric sub-aggregation. */
   sealed trait AggNode
-  final case class TermsAgg(field: String, topN: Int) extends AggNode
+  final case class TermsAgg(field: String, topN: Int,
+      byKey: Boolean) extends AggNode
   final case class DateHistAgg(field: String) extends AggNode
   final case class HistAgg(field: String, interval: Long) extends AggNode
   final case class StatsAgg(field: String) extends AggNode
@@ -340,24 +341,33 @@ object Dsl {
   }
 
   /** One text argument: `{"match": {"text": "a b"}}` or the long form
-    * `{"match": {"text": {"query": "a b", "boost": 2}}}`. Modifier
-    * keys beyond the supported set (`operator`, `fuzziness`, …)
-    * refuse LOUDLY — extracting only `query` and compiling an
-    * `operator: "and"` body to OR-of-terms would return hits ES
-    * excludes, exactly the silently-changed-semantics failure this
-    * module's contract bans. */
-  private def queryText(body: JValue,
-      clause: String): (String, String, BigDecimal) =
+    * `{"match": {"text": {"query": "a b", "boost": 2, "operator":
+    * "and"}}}` (`operator` for `match` only — a phrase's adjacency IS
+    * its operator). Modifier keys beyond the supported set
+    * (`fuzziness`, …) refuse LOUDLY — a silently-dropped modifier
+    * would change which documents match, exactly the failure mode
+    * this module's contract bans. */
+  private def queryText(body: JValue, clause: String,
+      allowOperator: Boolean): (String, String, BigDecimal, Boolean) =
     body match {
-      case JObject(List((field, JString(s)))) => (field, s, one)
+      case JObject(List((field, JString(s)))) => (field, s, one, false)
       case JObject(List((field, o: JObject))) =>
-        val known = Set("query", "boost")
+        val known =
+          if (allowOperator) Set("query", "boost", "operator")
+          else Set("query", "boost")
         o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
           .foreach(k => fail(s"$clause.$field has unsupported option " +
-            s"'$k' — supported: boost, query (a silently-dropped " +
-            "modifier would change which documents match)"))
+            s"'$k' — supported: ${known.toSeq.sorted.mkString(", ")} " +
+            "(a silently-dropped modifier would change which documents " +
+            "match)"))
+        val andOp = o \ "operator" match {
+          case JNothing | JString("or") => false
+          case JString("and") => true
+          case v => fail(s"$clause.$field operator must be \"and\" or " +
+            s"\"or\", got $v")
+        }
         o \ "query" match {
-          case JString(s) => (field, s, boostOf(o))
+          case JString(s) => (field, s, boostOf(o), andOp)
           case _ => fail(s"$clause.$field needs a \"query\" string")
         }
       case other => fail(s"$clause expects {field: text}, got $other")
@@ -388,13 +398,15 @@ object Dsl {
           nodeSeq(body \ "must_not", "must_not"),
           nodeSeq(body \ "filter", "filter"), msm)
       case "match" =>
-        val (field, text, boost) = queryText(body, "match")
+        val (field, text, boost, andOp) =
+          queryText(body, "match", allowOperator = true)
         checkAnalyzed(field, "match")
         val terms = analyzed(text)
         if (terms.isEmpty) fail(s"match.$field has no terms after analysis")
-        MatchQ(field, terms, boost)
+        MatchQ(field, terms, boost, andOp)
       case "match_phrase" =>
-        val (field, text, boost) = queryText(body, "match_phrase")
+        val (field, text, boost, _) =
+          queryText(body, "match_phrase", allowOperator = false)
         checkAnalyzed(field, "match_phrase")
         val terms = analyzed(text)
         if (terms.isEmpty)
@@ -610,14 +622,22 @@ object Dsl {
       val agg = typeEntries match {
         case List((tpe, spec)) => tpe match {
           case "terms" =>
-            val f = aggField(spec, name, Set("field", "size"))
+            val f = aggField(spec, name, Set("field", "size", "order"))
             val n = spec \ "size" match {
               case JNothing => DefaultSize
               case JInt(x) if x > 0 && x <= MaxResultWindow => x.toInt
               case v => fail(s"agg '$name' size must be a positive integer " +
                 s"≤ $MaxResultWindow, got $v")
             }
-            TermsAgg(f, n)
+            val byKey = spec \ "order" match {
+              case JNothing => false
+              case JObject(List(("_count", JString("desc")))) => false
+              case JObject(List(("_key", JString("asc")))) => true
+              case v => fail(s"agg '$name' order must be " +
+                s"""{"_count": "desc"} (default) or {"_key": "asc"}, """ +
+                s"got $v")
+            }
+            TermsAgg(f, n, byKey)
           case "date_histogram" =>
             val f = aggField(spec, name, Set("field", "calendar_interval"))
             spec \ "calendar_interval" match {
@@ -705,7 +725,7 @@ object Dsl {
     * filter agg's clause fields travel through the clause
     * inventory instead). */
   private def aggFieldsOf(a: AggNode): Seq[String] = a match {
-    case TermsAgg(f, _) => Seq(f)
+    case TermsAgg(f, _, _) => Seq(f)
     case DateHistAgg(f) => Seq(f)
     case HistAgg(f, _) => Seq(f)
     case StatsAgg(f) => Seq(f)
@@ -748,14 +768,14 @@ object Dsl {
     * the column order of the feature frame, shared by both
     * compilers. */
   private def tkeysOf(n: Node): Seq[(String, String)] = collectCtx(n, true) {
-    case (MatchQ(f, ts, _), _) => ts.map((f, _))
+    case (MatchQ(f, ts, _, _), _) => ts.map((f, _))
     case (MultiMatchQ(fs, ts, _), _) =>
       fs.flatMap { case (f, _) => ts.map((f, _)) }
   }.distinct
 
   private def tkeysScoredOf(n: Node): Seq[(String, String)] =
     collectCtx(n, true) {
-      case (MatchQ(f, ts, _), true) => ts.map((f, _))
+      case (MatchQ(f, ts, _, _), true) => ts.map((f, _))
       case (MultiMatchQ(fs, ts, _), true) =>
         fs.flatMap { case (f, _) => ts.map((f, _)) }
     }.distinct
@@ -870,11 +890,14 @@ object Dsl {
 
   private def compile(n: Node, scored: Boolean, tfIdx: TIdx, pfIdx: PIdx,
       ktIdx: KIdx): C = n match {
-    case MatchQ(field, terms, boost) =>
-      val pred = terms.map(t => col(s"qtf${tfIdx((field, t))}") > 0)
-        .reduce(_ || _)
+    case MatchQ(field, terms, boost, andOp) =>
+      // operator "and" requires every term; scoring is unchanged (ES:
+      // the operator gates matching, the matched doc still sums all
+      // its term contributions)
+      val tPreds = terms.map(t => col(s"qtf${tfIdx((field, t))}") > 0)
+      val pred = if (andOp) tPreds.reduce(_ && _) else tPreds.reduce(_ || _)
       val predSql = terms.map(t => s"f.qtf${tfIdx((field, t))} > 0")
-        .mkString("(", " OR ", ")")
+        .mkString("(", if (andOp) " AND " else " OR ", ")")
       val score =
         if (scored) Some(boosted(sumScores(matchParts(field, terms, tfIdx)),
           boost))
@@ -1590,7 +1613,7 @@ object Dsl {
       }
     }
     def keyExprOf(a: AggNode): Option[Column] = a match {
-      case TermsAgg(x, _) => Some(col(x))
+      case TermsAgg(x, _, _) => Some(col(x))
       case DateHistAgg(x) => Some(col(x))
       case HistAgg(x, iv) =>
         // integer floor-bucketing, pure integer arithmetic (a double
@@ -1761,7 +1784,10 @@ object Dsl {
               condOut(i, 0)): _*)
       }
       val cut = spec.agg match {
-        case TermsAgg(_, n) => sel.orderBy($"doc_count".desc, $"key").limit(n)
+        case TermsAgg(_, n, byKey) =>
+          // ES order: {"_count": "desc"} (default) or {"_key": "asc"}
+          if (byKey) sel.orderBy($"key").limit(n)
+          else sel.orderBy($"doc_count".desc, $"key").limit(n)
         case _ => sel
       }
       cut.withColumn("agg", lit(spec.name)).select(OutCols.map(col): _*)
@@ -1830,12 +1856,13 @@ object Dsl {
         case None => nullStats
       }
       spec.agg match {
-        case TermsAgg(fld, n) =>
+        case TermsAgg(fld, n, byKey) =>
+          val ord = if (byKey) "key" else "doc_count DESC, key"
           s"""SELECT * FROM (
              |  SELECT $name AS agg, CAST($fld AS VARCHAR) AS key,
              |    COUNT(*) AS doc_count, ${stats.mkString(",\n    ")}
              |  FROM m WHERE $fld IS NOT NULL GROUP BY $fld
-             |  ORDER BY doc_count DESC, key LIMIT $n) AS t""".stripMargin
+             |  ORDER BY $ord LIMIT $n) AS t""".stripMargin
         case DateHistAgg(fld) =>
           s"""SELECT $name AS agg, CAST($fld AS VARCHAR) AS key,
              |  COUNT(*) AS doc_count, ${stats.mkString(",\n  ")}
@@ -2301,7 +2328,8 @@ object Dsl {
       |      "aggs": {"chars": {"stats": {"field": "n_chars"}}}},
       |    "hash_docs": {"filter": {"match": {"text": "hash"}},
       |      "aggs": {"chars": {"avg": {"field": "n_chars"}}}},
-      |    "by_lang": {"terms": {"field": "lang", "size": 3},
+      |    "by_lang": {"terms": {"field": "lang", "size": 3,
+      |        "order": {"_key": "asc"}},
       |      "aggs": {"srcs": {"cardinality": {"field": "source"}}}}}}"""
       .stripMargin
 
@@ -2447,7 +2475,8 @@ object Dsl {
     """{"query": {"bool": {
       |  "must": [{"dis_max": {"queries": [
       |      {"match": {"text": "dup vector"}},
-      |      {"match": {"text": "merge hash"}}], "tie_breaker": 0.3}}],
+      |      {"match": {"text": {"query": "merge hash",
+      |                          "operator": "and"}}}], "tie_breaker": 0.3}}],
       |  "should": [{"constant_score": {
       |      "filter": {"range": {"n_chars": {"gte": 300}}},
       |      "boost": 0.5}}],

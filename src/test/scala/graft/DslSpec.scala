@@ -136,9 +136,19 @@ class DslSpec extends SparkSpec {
   test("modifier keys on match/term refuse loudly; boost is supported") {
     def msg(json: String): String =
       intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    // operator "and" requires EVERY term; "or" (the default) any
+    val andOp = ids(run("""{"query": {"match": {"text":
+      {"query": "alpha beta", "operator": "and"}}}}""", tiny))
+    assert(andOp.toSet == Set(1L, 4L),
+      s"operator and must gate on all terms: $andOp")
+    assert(ids(run("""{"query": {"match": {"text":
+      {"query": "alpha beta", "operator": "or"}}}}""", tiny)).toSet ==
+      Set(0L, 1L, 2L, 3L, 4L))
     assert(msg("""{"query": {"match": {"text":
-      {"query": "alpha", "operator": "and"}}}}""").contains("operator"),
-      "operator: and silently compiled to OR would return wrong hits")
+      {"query": "x", "operator": "not"}}}}""").contains("operator"))
+    assert(msg("""{"query": {"match_phrase": {"text":
+      {"query": "alpha beta", "operator": "and"}}}}""").contains("operator"),
+      "a phrase's adjacency IS its operator — the key refuses there")
     assert(msg("""{"query": {"match": {"text":
       {"query": "alpha", "fuzziness": "AUTO"}}}}""").contains("fuzziness"))
     assert(msg("""{"query": {"term": {"lang":
@@ -328,6 +338,14 @@ class DslSpec extends SparkSpec {
     // terms + cardinality sub: en has 2 distinct sources, de 1
     assert(vals(out, "langs") == Seq(("de", 1L, 1L, -1.0),
       ("en", 3L, 2L, -1.0)), s"got ${vals(out, "langs")}")
+    // terms order: {"_key": "asc"} cuts alphabetically (de), the
+    // default {"_count": "desc"} cuts by count (en)
+    def firstLang(order: String): String =
+      Dsl.dslAggsOf(tiny, s"""{"query": {"match_all": {}}, "size": 0,
+        "aggs": {"l": {"terms": {"field": "lang", "size": 1$order}}}}""")
+        .collect().head.getString(1)
+    assert(firstLang(""", "order": {"_key": "asc"}""") == "de")
+    assert(firstLang("") == "en")
     def msg(json: String): String =
       intercept[IllegalArgumentException](
         Dsl.dslAggsOf(tiny, json)).getMessage
