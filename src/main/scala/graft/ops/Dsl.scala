@@ -1111,6 +1111,137 @@ object Dsl {
       highlight = b.highlight)
   }
 
+  /** Shared-pass `_msearch` planning: ONE clause inventory and ONE
+    * index map across every body (the [[percolateDslOf]] discipline
+    * extended to scored queries), so all requests evaluate over one
+    * feature frame and one statistics aggregate. Returns (the
+    * frame-building plan with the UNION inventory, per-body plans
+    * carrying their OWN provenance keys but the SHARED index maps). */
+  private def msearchPlans(bodies: Seq[String]): (Plan, Seq[Plan]) = {
+    if (bodies.isEmpty) fail("_msearch: empty request list")
+    val parsed = bodies.map(parseBody)
+    parsed.zipWithIndex.foreach { case (b, i) =>
+      if (b.aggs.nonEmpty)
+        fail(s"_msearch request $i has aggs — batch hits only " +
+          "(aggregations are dslAggsOf's job)")
+      if (b.highlight.nonEmpty)
+        fail(s"_msearch request $i has highlight — fetch-phase work is " +
+          "per-request (searchDslOf)")
+      if (b.source.nonEmpty)
+        fail(s"_msearch request $i has _source — the batched frame is " +
+          "uniform: (req, rk, doc_id, n_matched, tf_total, dl)")
+    }
+    val qs = parsed.map(_.query)
+    val tkeys = qs.flatMap(tkeysOf).distinct
+    val pkeys = qs.flatMap(pkeysOf).distinct
+    val skts = qs.flatMap(ktsScoredOf).distinct
+    val tfIdx = tkeys.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
+    val pfIdx = pkeys.zipWithIndex.map { case (x, i) => x -> (i + 1) }.toMap
+    val ktIdx = skts.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
+    val plans = parsed.map { b =>
+      val extra = b.sort.map(_._1)
+        .filter(f => f != "_score" && f != "doc_id")
+      Plan(b.query, b.size, tkeysOf(b.query), pkeysOf(b.query),
+        tkeysScoredOf(b.query), pkeysScoredOf(b.query),
+        ktsScoredOf(b.query), (exactFields(b.query) ++ extra).distinct,
+        tfIdx, pfIdx, ktIdx,
+        compile(b.query, scored = true, tfIdx, pfIdx, ktIdx),
+        from = b.from, sortKeys = b.sort, after = b.after)
+    }
+    val exact = (plans.flatMap(_.exact)).distinct
+    // the frame plan carries the union inventory; its dummy scored C
+    // makes needsStats true exactly when any body aggregates (the
+    // union stat keys drive WHICH statistics)
+    val anyStats = plans.exists(_.needsStats)
+    val framePlan = Plan(qs.head, 0, tkeys, pkeys,
+      qs.flatMap(tkeysScoredOf).distinct, qs.flatMap(pkeysScoredOf).distinct,
+      skts, exact, tfIdx, pfIdx, ktIdx,
+      C(lit(true), "TRUE", if (anyStats) Some((lit(0.0), "0.0")) else None))
+    (framePlan, plans)
+  }
+
+  /** ES `_msearch`: N request bodies answered with ONE corpus pass —
+    * the union clause inventory builds one feature frame (lazily
+    * checkpointed so the N rank tails and the statistics reuse the
+    * materialized integers instead of re-scanning), one union
+    * statistics aggregate broadcasts to every scored tail, and each
+    * request keeps its own predicate, score, sort, and paging. Output:
+    * (req, rk, doc_id, n_matched, tf_total, dl), req = request index.
+    *
+    * Shape at 100 TB: the alternative is N corpus scans; here the
+    * corpus text is read ONCE and the checkpoint holds a few integers
+    * per doc — the shared-scan batching a distributed engine can offer
+    * that per-request ES cannot. */
+  def msearchOf(docs: DataFrame, bodies: Seq[String]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val (framePlan, plans) = msearchPlans(bodies)
+    checkFields(docs, framePlan.exact)
+    val f = scanF(docs, framePlan, Seq.empty).localCheckpoint(eager = false)
+    val stats = scanStats(f, framePlan)
+    val pages = plans.zipWithIndex.map { case (p, i) =>
+      rankTail(f, if (p.needsStats) stats else None, p)
+        .withColumn("req", lit(i))
+        .select($"req", $"rk", $"doc_id", $"n_matched", $"tf_total", $"dl")
+    }
+    pages.reduce(_ unionByName _).orderBy($"req", $"rk")
+  }
+
+  /** Oracle for [[msearchOf]] — the same shared f/s CTEs, one branch
+    * per request, UNION ALL. */
+  def msearchSql(bodies: Seq[String]): String =
+    msearchSqlOver(bodies, "documents")
+
+  def msearchSqlOver(bodies: Seq[String], rel: String): String = {
+    val (framePlan, plans) = msearchPlans(bodies)
+    val anyStats = framePlan.needsStats
+    val ctes = Seq(fCteSql(framePlan, Seq.empty, rel)) ++
+      (if (anyStats) Seq(sCteSql(framePlan)) else Seq.empty)
+    val branches = plans.zipWithIndex.map { case (p, i) =>
+      val scoreSql = if (p.needsStats) p.c.score.get._2 else "0.0"
+      val nMatched =
+        if (p.tkeys.isEmpty) "0"
+        else p.tkeys.map(k => s"CASE WHEN f.qtf${p.tfIdx(k)} > 0 THEN 1 " +
+          "ELSE 0 END").mkString(" + ")
+      val tfTotal =
+        if (p.tkeys.isEmpty) "CAST(0 AS BIGINT)"
+        else p.tkeys.map(k => s"CAST(f.qtf${p.tfIdx(k)} AS BIGINT)")
+          .mkString(" + ")
+      val dlSql = if (p.needsText) "f.dl" else "CAST(0 AS BIGINT)"
+      val from = if (p.needsStats) "FROM f CROSS JOIN s" else "FROM f"
+      val gateSql = p.after.map(v =>
+        s"(${p.c.predSql} AND ${afterPredOf(p, v)._2})")
+        .getOrElse(p.c.predSql)
+      val extraCols = p.sortFields
+        .filterNot(Seq("doc_id", "dl", "n_matched", "tf_total", "score")
+          .contains)
+      val ordSql =
+        if (p.sortKeys.isEmpty) "score DESC, doc_id"
+        else p.sortKeys.map { case (fld, asc) =>
+          val c = if (fld == "_score") "score" else fld
+          s"$c ${if (asc) "ASC" else "DESC"} NULLS LAST"
+        }.mkString(", ") + ", doc_id"
+      val sc =
+        s"""(SELECT f.doc_id, $dlSql AS dl, $nMatched AS n_matched,
+           |     $tfTotal AS tf_total, $scoreSql AS score${
+             extraCols.map(c => s", f.$c AS $c").mkString}
+           |   $from WHERE $gateSql)""".stripMargin
+      if (p.from == 0)
+        s"""SELECT $i AS req, ROW_NUMBER() OVER (ORDER BY $ordSql) AS rk,
+           |  doc_id, n_matched, tf_total, dl
+           |FROM $sc AS sc ORDER BY $ordSql LIMIT ${p.size}""".stripMargin
+      else
+        s"""SELECT $i AS req, rk, doc_id, n_matched, tf_total, dl FROM (
+           |  SELECT ROW_NUMBER() OVER (ORDER BY $ordSql) AS rk,
+           |    doc_id, n_matched, tf_total, dl
+           |  FROM $sc AS sc) AS pg
+           |WHERE rk > ${p.from} ORDER BY rk LIMIT ${p.size}""".stripMargin
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT * FROM (
+       |${branches.map(b => s"($b)").mkString("\nUNION ALL\n")}
+       |) AS u ORDER BY req, rk""".stripMargin
+  }
+
   /** The literal strings a highlight on `hf` marks: the query's match
     * terms on that field in clause order, then its phrases as joined
     * literals. The FIRST literal present in the document anchors the
@@ -2431,6 +2562,23 @@ object Dsl {
   def dslCountServed(spark: SparkSession, dir: String): DataFrame =
     dslCountFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), CountQuery)
+
+  /** Registered `_msearch` batch — three heterogeneous requests
+    * answered by ONE corpus pass: a scored match, a scoreless
+    * filter-context body, and a field-sorted offset page. The oracle
+    * unions three branches over the SAME shared f/s CTEs. */
+  val MsearchBodies: Seq[String] = Seq(
+    """{"query": {"match": {"text": "dup vector"}}, "size": 10}""",
+    """{"query": {"bool": {"filter": [
+      |  {"range": {"n_chars": {"gte": 200, "lt": 400}}},
+      |  {"term": {"lang": "en"}}]}}, "size": 10}""".stripMargin,
+    """{"query": {"match": {"text": "merge"}},
+      |  "sort": [{"n_chars": "asc"}], "from": 3, "size": 7}""".stripMargin)
+
+  def dslMsearch(spark: SparkSession, dir: String): DataFrame =
+    msearchOf(Tables.documentsPar(spark, dir), MsearchBodies)
+
+  val dslMsearchOracleSql: String = msearchSql(MsearchBodies)
 
   /** Registered HIGHLIGHT body — a scored bool with a boosted phrase
     * should, highlighted on the full text field: hits carry h_pos /

@@ -552,6 +552,36 @@ class DslSpec extends SparkSpec {
     assert(e.getMessage.contains("query"), e.getMessage)
   }
 
+  test("_msearch: one shared pass answers N requests, each ≡ its solo run") {
+    val bodies = Seq(
+      """{"query": {"match": {"text": "alpha"}}, "size": 3}""",
+      """{"query": {"terms": {"lang": ["de", "fr"]}}, "size": 3}""",
+      """{"query": {"match": {"text": "beta"}},
+        "sort": [{"n_chars": "asc"}], "from": 1, "size": 2}""")
+    val batched = Dsl.msearchOf(tiny, bodies).collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.map(_.toSeq.drop(1)).toSeq)
+      .toMap
+    bodies.zipWithIndex.foreach { case (b, i) =>
+      val solo = Dsl.searchDslOf(tiny, b).collect().map(_.toSeq).toSeq
+      assert(batched(i) == solo,
+        s"request $i diverged from its solo run: ${batched(i)} vs $solo")
+    }
+    // ONE corpus pass: the plan scans the parquet once (the tails read
+    // the checkpointed feature frame) — count scan nodes
+    val plan = Dsl.msearchOf(Tables.documentsPar(spark, sfDir), bodies)
+      .queryExecution.executedPlan.toString
+    val scans = plan.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet")
+    assert(scans <= 1, s"_msearch must share one corpus scan, saw $scans")
+    def msg(bs: Seq[String]): String =
+      intercept[IllegalArgumentException](
+        Dsl.msearchOf(tiny, bs)).getMessage
+    assert(msg(Seq("""{"query": {"match_all": {}},
+      "_source": ["lang"]}""")).contains("_source"),
+      "the batched frame is uniform — _source refuses")
+    assert(msg(Seq.empty).contains("empty"))
+  }
+
   test("highlight: fetch-phase snippets for the page only, clause-order anchor") {
     val out = Dsl.searchDslOf(tiny,
       """{"query": {"bool": {
