@@ -2238,9 +2238,64 @@ object Dsl {
       phFrames, dlen)
   }
 
+  /** Index-side statistics for a plan — 1-row broadcasts assembled
+    * from docmeta/doclen/postings, with the multi-index disjointness
+    * gate FOLDED INTO n: the gate rides the aggregate the query
+    * already pays for, so every score expression evaluates it —
+    * overlapping member indices would double-count every statistic,
+    * so refuse loudly at execution instead of silently mis-ranking. */
+  private def servedStats(spark: SparkSession, parts: ServedParts,
+      p: Plan, multi: Boolean): Option[DataFrame] = {
+    import spark.implicits._
+    if (!p.needsStats) None
+    else {
+      val nAgg = {
+        val cols = Seq(count(lit(1)).as("n")) ++
+          (if (multi)
+            Seq(countDistinct($"doc_id").as("graft_nd")) else Seq.empty) ++
+          p.skts.map { case kt @ (fld, v) =>
+            count(when(col(fld) === v.column, 1)).as(s"qkd${p.ktIdx(kt)}")
+          }
+        val agged = parts.meta.groupBy().agg(cols.head, cols.tail: _*)
+        if (multi)
+          agged.select(
+            (when($"n" === $"graft_nd", $"n")
+              .otherwise(raise_error(concat(lit("searchDslFromIndexes: " +
+                "member indices overlap on doc_id — "),
+                ($"n" - $"graft_nd").cast("string"),
+                lit(" duplicated docs; indices must partition the " +
+                  "corpus"))).cast("long")).as("n") +:
+              agged.columns.filterNot(Set("n", "graft_nd"))
+                .map(col).toSeq): _*)
+        else agged
+      }
+      val pieces = Seq(nAgg) ++
+        (if (p.scoredFields.contains(Search.DefaultField))
+          Seq(parts.dlen(Search.DefaultField, "dl")
+            .agg(sum($"dl").as("sumdl")))
+        else Seq.empty) ++
+        (if (p.scoredFields.contains(Search.HeadField))
+          Seq(parts.dlen(Search.HeadField, "hdl")
+            .agg(sum($"hdl").as("hsumdl")))
+        else Seq.empty) ++
+        (if (p.stkeys.nonEmpty) {
+          val cols = p.stkeys.map { case k @ (fld, t) =>
+            count(when($"tok" === t && $"field" === fld, 1))
+              .as(s"qdf${p.tfIdx(k)}")
+          }
+          Seq(parts.posts.get.groupBy().agg(cols.head, cols.tail: _*))
+        } else Seq.empty) ++
+        p.spkeys.map { k =>
+          val j = p.pfIdx(k)
+          parts.phFrames(p.pkeys.indexOf(k))
+            .agg(count(when(col(s"qpf$j") > 0, 1)).as(s"qpd$j"))
+        }
+      Some(pieces.reduce(_ crossJoin _))
+    }
+  }
+
   def searchDslFromIndexes(spark: SparkSession, indexDirs: Seq[String],
       json: String): DataFrame = {
-    import spark.implicits._
     val b = parseBody(json)
     if (b.aggs.nonEmpty)
       fail("body has \"aggs\" — index-served aggregations are " +
@@ -2251,65 +2306,41 @@ object Dsl {
         "highlight through the scan path (searchDslOf)")
     val p = planOfBody(b)
     val parts = servedParts(spark, indexDirs, p, Seq.empty)
-    val roots = indexDirs
-    val meta = parts.meta
-    val posts = parts.posts
-    val phFrames = parts.phFrames
-    val dlen = parts.dlen
-    val needHdl = p.scoredFields.contains(Search.HeadField)
-    val f = parts.f
-    // ---- statistics (only for scored clauses; 1-row broadcasts)
-    val stats =
-      if (!p.needsStats) None
-      else {
-        val nAgg = {
-          val cols = Seq(count(lit(1)).as("n")) ++
-            (if (roots.size > 1)
-              Seq(countDistinct($"doc_id").as("graft_nd")) else Seq.empty) ++
-            p.skts.map { case kt @ (fld, v) =>
-              count(when(col(fld) === v.column, 1)).as(s"qkd${p.ktIdx(kt)}")
-            }
-          // the disjointness gate rides the aggregate the query
-          // already pays for, FOLDED INTO n so every score expression
-          // evaluates it: overlapping member indices would
-          // double-count every statistic, so refuse loudly at
-          // execution instead of silently mis-ranking
-          val agged = meta.groupBy().agg(cols.head, cols.tail: _*)
-          if (roots.size > 1)
-            agged.select(
-              (when($"n" === $"graft_nd", $"n")
-                .otherwise(raise_error(concat(lit("searchDslFromIndexes: " +
-                  "member indices overlap on doc_id — "),
-                  ($"n" - $"graft_nd").cast("string"),
-                  lit(" duplicated docs; indices must partition the " +
-                    "corpus"))).cast("long")).as("n") +:
-                agged.columns.filterNot(Set("n", "graft_nd"))
-                  .map(col).toSeq): _*)
-          else agged
-        }
-        val pieces = Seq(nAgg) ++
-          (if (p.scoredFields.contains(Search.DefaultField))
-            Seq(dlen(Search.DefaultField, "dl").agg(sum($"dl").as("sumdl")))
-          else Seq.empty) ++
-          (if (needHdl)
-            Seq(dlen(Search.HeadField, "hdl").agg(sum($"hdl").as("hsumdl")))
-          else Seq.empty) ++
-          (if (p.stkeys.nonEmpty) {
-            val cols = p.stkeys.map { case k @ (fld, t) =>
-              count(when($"tok" === t && $"field" === fld, 1))
-                .as(s"qdf${p.tfIdx(k)}")
-            }
-            Seq(posts.get.groupBy().agg(cols.head, cols.tail: _*))
-          } else Seq.empty) ++
-          p.spkeys.map { k =>
-            val j = p.pfIdx(k)
-            phFrames(p.pkeys.indexOf(k))
-              .agg(count(when(col(s"qpf$j") > 0, 1)).as(s"qpd$j"))
-          }
-        Some(pieces.reduce(_ crossJoin _))
-      }
-    rankTail(f, stats, p)
+    rankTail(parts.f, servedStats(spark, parts, p, indexDirs.size > 1), p)
   }
+
+  /** [[msearchOf]] SERVED from the persisted index: one
+    * [[servedParts]] build for the UNION inventory — the postings read
+    * prunes to ALL requests' terms at once, the doc-values and length
+    * tables join once, and the checkpointed candidate frame feeds
+    * every request's rank tail; one union statistics aggregate serves
+    * every scored request. Multi-index capable (same disjointness
+    * gate). */
+  def msearchFromIndexes(spark: SparkSession, indexDirs: Seq[String],
+      bodies: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val (framePlan0, plans) = msearchPlans(bodies)
+    // the candidate universe must cover EVERY request: df-bounded
+    // only when all of them imply a text hit
+    val framePlan =
+      if (plans.forall(p => requiresText(p.q))) framePlan0
+      else framePlan0.copy(q = MatchAllQ)
+    val parts = servedParts(spark, indexDirs, framePlan, Seq.empty)
+    val f = parts.f.localCheckpoint(eager = false)
+    val stats = servedStats(spark, parts, framePlan, indexDirs.size > 1)
+    val pages = plans.zipWithIndex.map { case (p, i) =>
+      rankTail(f, if (p.needsStats) stats else None, p)
+        .withColumn("req", lit(i))
+        .select($"req", $"rk", $"doc_id", $"n_matched", $"tf_total", $"dl")
+    }
+    pages.reduce(_ unionByName _).orderBy($"req", $"rk")
+  }
+
+  /** Registered query: [[MsearchBodies]] SERVED from the session
+    * index — same oracle as the scan batch. */
+  def dslMsearchServed(spark: SparkSession, dir: String): DataFrame =
+    msearchFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), MsearchBodies)
 
   /** `"aggs"` SERVED from the persisted index: the match set comes
     * from doc-values + (for text clauses) postings tf features —

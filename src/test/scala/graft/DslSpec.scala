@@ -393,6 +393,9 @@ class DslSpec extends SparkSpec {
     assert(Dsl.dslCountServed(spark, sfDir).collect().toSeq ==
       Dsl.dslCount(spark, sfDir).collect().toSeq,
       "index-served _count diverged from the scan count")
+    assert(Dsl.dslMsearchServed(spark, sfDir).collect().toSeq ==
+      Dsl.dslMsearch(spark, sfDir).collect().toSeq,
+      "index-served _msearch diverged from the scan batch")
     // a doc-value-less field refuses loudly instead of scanning text
     val idx = Dsl.searchDslServed(spark, sfDir) // memo warm
     val e = intercept[IllegalArgumentException](
