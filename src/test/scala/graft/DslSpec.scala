@@ -541,6 +541,28 @@ class DslSpec extends SparkSpec {
       .contains("tiebreaker"), "cursor arity must match sort + doc_id")
   }
 
+  test("sort places null keys LAST under both orders (ES missing:_last)") {
+    val withNull = Seq(
+      (0L, "alpha", "en", "s", Some(16L)),
+      (1L, "alpha", "en", "s", None),
+      (2L, "alpha", "en", "s", Some(9L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def order(ord: String): Seq[Long] =
+      Dsl.searchDslOf(withNull, s"""{"query": {"match_all": {}},
+        "sort": [{"n_chars": "$ord"}]}""").collect()
+        .map(_.getLong(1)).toSeq
+    assert(order("desc") == Seq(0L, 2L, 1L), "desc: null last")
+    assert(order("asc") == Seq(2L, 0L, 1L), "asc: null last")
+    // a terms agg on a NUMERIC field keys by its decimal string —
+    // both engines cast identically
+    val numKeys = Dsl.dslAggsOf(tiny,
+      """{"query": {"match_all": {}}, "size": 0, "aggs": {
+        "n": {"terms": {"field": "n_chars", "size": 10}}}}""")
+      .collect().map(_.getString(1)).toSeq
+    assert(numKeys == Seq("10", "16", "9"),
+      s"numeric bucket keys stringify: $numKeys")
+  }
+
   test("_count: the match-set cardinality, query-only body") {
     val c = Dsl.dslCountOf(tiny,
       """{"query": {"match": {"text": "alpha"}}}""").collect()
