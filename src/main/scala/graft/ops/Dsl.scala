@@ -2300,13 +2300,20 @@ object Dsl {
     if (b.aggs.nonEmpty)
       fail("body has \"aggs\" — index-served aggregations are " +
         "dslAggsFromIndexes' job; hits come from the DSL")
-    if (b.highlight.nonEmpty)
-      fail("highlight is a fetch-phase feature over the stored corpus " +
-        "text — the index stores doc-values and postings, not _source; " +
-        "highlight through the scan path (searchDslOf)")
     val p = planOfBody(b)
     val parts = servedParts(spark, indexDirs, p, Seq.empty)
-    rankTail(parts.f, servedStats(spark, parts, p, indexDirs.size > 1), p)
+    val page =
+      rankTail(parts.f, servedStats(spark, parts, p, indexDirs.size > 1), p)
+    p.highlight match {
+      case None => page
+      case Some(hf) =>
+        // the served fetch phase reads the index's STORED `_source`
+        // table (union across members), never the live corpus — same
+        // page-sized broadcast join as the scan path's fetch
+        val stored = indexDirs.map(Search.requireIndex(spark, _))
+          .map(Search.storedFields(spark, _)).reduce(_ unionByName _)
+        highlightJoin(stored, page, p, hf)
+    }
   }
 
   /** [[msearchOf]] SERVED from the persisted index: one
@@ -2627,6 +2634,14 @@ object Dsl {
     searchDslOf(Tables.documentsPar(spark, dir), HighlightQuery)
 
   val searchDslHighlightSql: String = dslSql(HighlightQuery)
+
+  /** Registered query: [[HighlightQuery]] SERVED — ranking from
+    * postings, snippets from the index's STORED `_source` table (the
+    * ES fetch phase reads the shard's stored fields, not the ingest
+    * source); same oracle as the scan form. */
+  def searchDslHighlightServed(spark: SparkSession, dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), HighlightQuery)
 
   /** Registered DSL-percolator rules: range+match (the alerting shape
     * a term list cannot express), a phrase rule, and a keyword

@@ -1935,13 +1935,16 @@ object Search {
     commitPointer(spark, indexDir, ver)
     val keepPrev =
       if (prevRoot == indexDir)
-        Set("postings", "doclen", "docmeta", "tombstones")
+        Set("postings", "doclen", "docmeta", "tombstones", "stored")
       else Set(prevRoot.split('/').last)
     pruneVersions(spark, indexDir, Set(ver) ++ keepPrev)
   }
 
-  /** The index's table dirs, for lifecycle ops that enumerate them. */
-  private val IndexTables = Seq("postings", "doclen", "docmeta")
+  /** The index's table dirs, for lifecycle ops that enumerate them.
+    * `stored` (the `_source` fetch store) replicates and compacts with
+    * the rest; reads treat it as optional so pre-stored snapshots
+    * still serve ranked queries. */
+  private val IndexTables = Seq("postings", "doclen", "docmeta", "stored")
 
   /** Cross-cluster replication, the follower side: bring `dstDir` up
     * to date with `srcDir` by EPOCH DELTA — admission screening
@@ -2057,7 +2060,7 @@ object Search {
       keep: Set[String]): Unit = {
     val p = new org.apache.hadoop.fs.Path(indexDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val flat = Set("postings", "doclen", "tombstones")
+    val flat = Set("postings", "doclen", "tombstones", "stored")
     fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       val prunable = n match {
@@ -2102,7 +2105,7 @@ object Search {
     writeEpoch(docs, s"$outDir/$ver", "base")
     commitPointer(spark, outDir, ver)
     val keepPrev =
-      if (prev == outDir) Set("postings", "doclen", "tombstones")
+      if (prev == outDir) Set("postings", "doclen", "tombstones", "stored")
       else Set(prev.split('/').last)
     pruneVersions(spark, outDir, Set(ver) ++ keepPrev)
   }
@@ -2135,7 +2138,9 @@ object Search {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val stage = s"$root/_append_$epoch"
     writeEpoch(docs, stage, epoch)
-    Seq("postings", "doclen", "docmeta").foreach { t =>
+    // stored lands LAST: a crash window can leave a new epoch ranked
+    // but momentarily unfetchable, never fetchable-but-unranked
+    Seq("postings", "doclen", "docmeta", "stored").foreach { t =>
       val src = new org.apache.hadoop.fs.Path(s"$stage/$t/epoch=$epoch")
       val dstDir = new org.apache.hadoop.fs.Path(s"$root/$t")
       val dst = new org.apache.hadoop.fs.Path(dstDir, s"epoch=$epoch")
@@ -2199,6 +2204,13 @@ object Search {
     docs.select(($"doc_id" +: metaCols) :+ lit(epoch).as("epoch"): _*)
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch").parquet(s"$root/docmeta")
+    // stored fields — ES's `_source`: the fetch phase (highlight,
+    // response bodies) reads THIS, never the live corpus, so serving
+    // is decoupled from the source-of-truth table. Fetch is always a
+    // page-sized broadcast join into a doc_id-pruned read.
+    docs.select($"doc_id", $"text", lit(epoch).as("epoch"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(s"$root/stored")
     // ONE corpus scan: the field dimension explodes from a 2-entry map
     // per doc (no union — a union of two projections would scan the
     // input once per branch)
@@ -2967,6 +2979,21 @@ object Search {
     else spark.emptyDataset[Long].toDF("doc_id")
   }
 
+  /** The stored `_source` table under a RESOLVED version root — what
+    * the fetch phase (highlight, response bodies) reads instead of the
+    * live corpus. Refuses loudly when the index predates stored
+    * fields: serving a fetch from the source-of-truth table would
+    * silently re-couple serving to it. */
+  private[ops] def storedFields(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$root/stored")
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      throw new IllegalStateException(
+        s"index at $root has no stored (_source) table — built before " +
+          "stored fields existed; rebuild to serve fetch-phase features")
+    spark.read.parquet(p.toString).select($"doc_id", $"text")
+  }
+
   /** Pointer file naming the ACTIVE tombstone generation under a
     * version root. Local deletes write the flat `tombstones` table
     * in place (parquet dynamic overwrite commits per-partition);
@@ -3053,10 +3080,18 @@ object Search {
         lit("base").as("epoch"): _*)
       .write.mode("overwrite").partitionBy("epoch")
       .parquet(s"$indexDir/$ver/docmeta")
+    // the merge is when deleted documents' BYTES leave the index —
+    // including their stored _source text
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/stored")))
+      spark.read.parquet(s"$root/stored")
+        .join(dead, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"text", lit("base").as("epoch"))
+        .write.mode("overwrite").partitionBy("epoch")
+        .parquet(s"$indexDir/$ver/stored")
     commitPointer(spark, indexDir, ver)
     val keepPrev =
       if (root == indexDir)
-        Set("postings", "doclen", "docmeta", "tombstones")
+        Set("postings", "doclen", "docmeta", "tombstones", "stored")
       else Set(root.split('/').last)
     pruneVersions(spark, indexDir, Set(ver) ++ keepPrev)
   }
@@ -3203,8 +3238,8 @@ object Search {
       QueryTerms)
 
   /** Drop EVERY session-shared index memo for `dir` — the plain key
-    * AND all `dir + "#…"` variants ([[sharedSplitIndexDirs]]'s
-    * `#split`, the daily layout's `#daily`, any future memo) — so a
+    * AND all `dir + "#…"` variants (the daily layout's `#daily`, any
+    * future memo) — so a
     * corpus mutation followed by invalidate() can never leave a
     * variant serving stale bytes while its oracle reads fresh ones.
     * The next consumer of each rebuilds from the directory's current

@@ -633,12 +633,11 @@ class DslSpec extends SparkSpec {
       """{"query": {"match": {"text": "beta"}},
         "highlight": {"fields": {"text": {"number_of_fragments": 3}}}}"""))
     assert(e2.getMessage.contains("number_of_fragments"), e2.getMessage)
-    // the served path refuses: the index stores no _source
-    val e3 = intercept[IllegalArgumentException](
-      Dsl.searchDslFromIndexes(spark, Seq("/nonexistent"),
-        """{"query": {"match": {"text": "beta"}},
-          "highlight": {"fields": {"text": {}}}}"""))
-    assert(e3.getMessage.contains("_source"), e3.getMessage)
+    // the served fetch phase reads the index's stored _source table —
+    // snippets bit-identical to the scan path's
+    assert(Dsl.searchDslHighlightServed(spark, sfDir).collect().toSeq ==
+      Dsl.searchDslHighlight(spark, sfDir).collect().toSeq,
+      "stored-fields highlight diverged from the scan fetch")
   }
 
   test("dsl_alias: the DSL resolved through the daily-index alias ≡ the scan path") {
