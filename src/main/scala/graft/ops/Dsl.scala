@@ -1161,22 +1161,29 @@ object Dsl {
   }
 
   /** ES `_msearch`: N request bodies answered with ONE corpus pass —
-    * the union clause inventory builds one feature frame (lazily
-    * checkpointed so the N rank tails and the statistics reuse the
+    * the union clause inventory builds one feature frame (persisted
+    * DISK_ONLY so the N rank tails and the statistics reuse the
     * materialized integers instead of re-scanning), one union
     * statistics aggregate broadcasts to every scored tail, and each
     * request keeps its own predicate, score, sort, and paging. Output:
     * (req, rk, doc_id, n_matched, tf_total, dl), req = request index.
     *
     * Shape at 100 TB: the alternative is N corpus scans; here the
-    * corpus text is read ONCE and the checkpoint holds a few integers
+    * corpus text is read ONCE and the persisted frame holds a few integers
     * per doc — the shared-scan batching a distributed engine can offer
     * that per-request ES cannot. */
   def msearchOf(docs: DataFrame, bodies: Seq[String]): DataFrame = {
     import docs.sparkSession.implicits._
     val (framePlan, plans) = msearchPlans(bodies)
     checkFields(docs, framePlan.exact)
-    val f = scanF(docs, framePlan, Seq.empty).localCheckpoint(eager = false)
+    // persist(DISK_ONLY), not localCheckpoint: the barrier must survive
+    // executor loss. localCheckpoint TRUNCATES lineage and stores blocks
+    // on executors — losing one (preemption, dynamic allocation) fails
+    // the whole job; persist keeps the lineage, so a lost block
+    // recomputes its partition and the batch completes. The frame is a
+    // few integers per doc — disk-only keeps it out of executor heaps.
+    val f = scanF(docs, framePlan, Seq.empty)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val stats = scanStats(f, framePlan)
     val pages = plans.zipWithIndex.map { case (p, i) =>
       rankTail(f, if (p.needsStats) stats else None, p)
@@ -1833,22 +1840,25 @@ object Dsl {
       cbuckets.map { case (i, j, _, c) => c.as(s"cnd${i}_$j") }: _*)
     val statAgg = count(lit(1)).as("doc_count") +: (uncondCols ++ condAggCols)
     val hasGlobal = b.aggs.exists(s => keyExprOf(s.agg).isEmpty)
-    // the lazy checkpoint makes the one corpus pass ACTUALLY one: the
-    // per-agg branches below filter this frame, and without a
-    // materialization barrier each branch would re-execute the whole
-    // scan+aggregate lineage (ExplainAudit r12 caught 4 scans)
+    // the persist makes the one corpus pass ACTUALLY one: the per-agg
+    // branches below filter this frame, and without a materialization
+    // barrier each branch would re-execute the whole scan+aggregate
+    // lineage (ExplainAudit r12 caught 4 scans). persist(DISK_ONLY),
+    // not localCheckpoint: lineage survives, so an executor loss
+    // recomputes instead of failing the job (the msearchOf contract);
+    // the frame is bucket-grain — tiny either way
     val grouped = (
       if (gkNames.isEmpty) prep.agg(statAgg.head, statAgg.tail: _*)
       else {
         val sets = gkNames.map(n => Seq(col(n))) ++
           (if (hasGlobal) Seq(Seq.empty[Column]) else Seq.empty)
         // the grouping() indicators ride the aggregate output (they
-        // cannot resolve through the checkpoint barrier below)
+        // cannot resolve through the persist barrier below)
         val aggOut = statAgg ++ gkNames.map(n =>
           grouping(col(n)).as(s"g_$n"))
         prep.groupingSets(sets, gkNames.map(col): _*)
           .agg(aggOut.head, aggOut.tail: _*)
-      }).localCheckpoint(eager = false)
+      }).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nullD = lit(null).cast("double")
     val nullL = lit(null).cast("long")
     // output (v_count…v_avg) for a metric kind, from lazily-built
@@ -2319,7 +2329,7 @@ object Dsl {
   /** [[msearchOf]] SERVED from the persisted index: one
     * [[servedParts]] build for the UNION inventory — the postings read
     * prunes to ALL requests' terms at once, the doc-values and length
-    * tables join once, and the checkpointed candidate frame feeds
+    * tables join once, and the persisted candidate frame feeds
     * every request's rank tail; one union statistics aggregate serves
     * every scored request. Multi-index capable (same disjointness
     * gate). */
@@ -2333,7 +2343,8 @@ object Dsl {
       if (plans.forall(p => requiresText(p.q))) framePlan0
       else framePlan0.copy(q = MatchAllQ)
     val parts = servedParts(spark, indexDirs, framePlan, Seq.empty)
-    val f = parts.f.localCheckpoint(eager = false)
+    // DISK_ONLY persist, lineage kept — see [[msearchOf]]'s barrier note
+    val f = parts.f.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val stats = servedStats(spark, parts, framePlan, indexDirs.size > 1)
     val pages = plans.zipWithIndex.map { case (p, i) =>
       rankTail(f, if (p.needsStats) stats else None, p)

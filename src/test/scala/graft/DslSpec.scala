@@ -21,6 +21,21 @@ class DslSpec extends SparkSpec {
   private def ids(rows: Seq[Seq[Any]]): Seq[Long] =
     rows.map(_(1).asInstanceOf[Long])
 
+  /** Every physical node of an EXECUTED plan, descending through the
+    * adaptive/stage/reuse wrappers whose payload is not in `children`. */
+  private def physNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: kids.flatMap(physNodes)
+  }
+
   /** Controlled corpus: text + keyword + numeric fields. */
   private lazy val tiny = Seq(
     (0L, "rare alpha alpha", "en", "src0", 16L),
@@ -591,13 +606,23 @@ class DslSpec extends SparkSpec {
       assert(batched(i) == solo,
         s"request $i diverged from its solo run: ${batched(i)} vs $solo")
     }
-    // ONE corpus pass: the plan scans the parquet once (the tails read
-    // the checkpointed feature frame) — count scan nodes
-    val plan = Dsl.msearchOf(Tables.documentsPar(spark, sfDir), bodies)
-      .queryExecution.executedPlan.toString
-    val scans = plan.sliding("Scan parquet".length)
-      .count(_ == "Scan parquet")
-    assert(scans <= 1, s"_msearch must share one corpus scan, saw $scans")
+    // ONE corpus pass: every branch reads the persisted feature frame
+    // (InMemoryTableScan over ONE shared cache build) and no branch
+    // scans the parquet directly. Node-based count: the cached
+    // relation's subtree REPRINTS under each table scan in plan text,
+    // so a string count would see N phantom scans.
+    val msDf = Dsl.msearchOf(Tables.documentsPar(spark, sfDir), bodies)
+    msDf.collect()
+    val nodes = physNodes(msDf.queryExecution.executedPlan)
+    val fileScans = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    val caches = nodes.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cacheBuilder
+    }.distinct
+    assert(fileScans == 0 && caches.size == 1,
+      s"_msearch must share one persisted corpus pass: " +
+        s"direct scans=$fileScans, distinct caches=${caches.size}")
     def msg(bs: Seq[String]): String =
       intercept[IllegalArgumentException](
         Dsl.msearchOf(tiny, bs)).getMessage
