@@ -119,7 +119,13 @@ object Dsl {
   final case class HistAgg(field: String, interval: Long) extends AggNode
   final case class StatsAgg(field: String) extends AggNode
   final case class MetricAgg(kind: String, field: String) extends AggNode
-  final case class CardinalityAgg(field: String) extends AggNode
+  /** `threshold` = ES `precision_threshold`: absent → EXACT distinct
+    * (the oracle-checkable default); present → the HLL++ sketch
+    * (`approx_count_distinct`), ES's actual cardinality semantics at
+    * scale — registered rows-only (a sketch can't hash-match a serial
+    * oracle; the `agg_hll` stance) with a bound test instead. */
+  final case class CardinalityAgg(field: String,
+      threshold: Option[Int] = None) extends AggNode
   final case class RangeAgg(field: String,
       ranges: Seq[(Option[Scalar], Option[Scalar])]) extends AggNode
   final case class FilterAgg(query: Node) extends AggNode
@@ -659,7 +665,14 @@ object Dsl {
           case "avg" | "sum" | "min" | "max" | "value_count" =>
             MetricAgg(tpe, aggField(spec, name, Set("field")))
           case "cardinality" =>
-            CardinalityAgg(aggField(spec, name, Set("field")))
+            val f = aggField(spec, name, Set("field", "precision_threshold"))
+            val thr = spec \ "precision_threshold" match {
+              case JNothing => None
+              case JInt(x) if x >= 1 && x <= 40000 => Some(x.toInt)
+              case v => fail(s"agg '$name' precision_threshold must be an " +
+                s"integer in [1, 40000] (the ES bound), got $v")
+            }
+            CardinalityAgg(f, thr)
           case "range" =>
             val f = aggField(spec, name, Set("field", "ranges"))
             val ranges = spec \ "ranges" match {
@@ -730,7 +743,7 @@ object Dsl {
     case HistAgg(f, _) => Seq(f)
     case StatsAgg(f) => Seq(f)
     case MetricAgg(_, f) => Seq(f)
-    case CardinalityAgg(f) => Seq(f)
+    case CardinalityAgg(f, _) => Seq(f)
     case RangeAgg(f, _) => Seq(f)
     case FilterAgg(_) => Seq.empty
   }
@@ -741,9 +754,19 @@ object Dsl {
   private def metricKindField(a: AggNode): (String, String) = a match {
     case StatsAgg(f) => ("stats", f)
     case MetricAgg(k, f) => (k, f)
-    case CardinalityAgg(f) => ("cardinality", f)
+    case CardinalityAgg(f, None) => ("cardinality", f)
+    // the threshold rides the kind so two cardinalities on one field
+    // (exact beside approx, or two precisions) emit distinct columns
+    case CardinalityAgg(f, Some(t)) => (s"cardinality_hll_$t", f)
     case other => fail(s"not a metric aggregation: $other") // unreachable
   }
+
+  /** The HLL++ relative standard deviation a `precision_threshold`
+    * maps to: 1.04/√threshold (the HLL error law with the threshold as
+    * the register budget), clamped to Spark's supported range — higher
+    * thresholds buy tighter sketches, the ES contract's shape. */
+  private def rsdOfThreshold(t: Int): Double =
+    math.max(0.005, math.min(0.39, 1.04 / math.sqrt(t.toDouble)))
 
   // ------------------------------------------- clause/field inventory
 
@@ -1789,6 +1812,8 @@ object Dsl {
       case "max" => Seq("vx")
       case "value_count" => Seq("vc")
       case "cardinality" => Seq("vd")
+      // approx cardinality: one tag per threshold — "vh<t>"
+      case k => Seq("vh" + k.stripPrefix("cardinality_hll_"))
     }
     val uncondCols = uncondMetrics.flatMap { case (k, x) =>
       needTags(k).map(t => (t, x)) }.distinct.map {
@@ -1796,7 +1821,9 @@ object Dsl {
       case ("vs", x) => sum(col(x).cast("double")).as(s"vs_$x")
       case ("vn", x) => min(col(x)).as(s"vn_$x")
       case ("vx", x) => max(col(x)).as(s"vx_$x")
-      case (_, x) => count_distinct(col(x)).as(s"vd_$x")
+      case ("vd", x) => count_distinct(col(x)).as(s"vd_$x")
+      case (t, x) => approx_count_distinct(col(x),
+        rsdOfThreshold(t.stripPrefix("vh").toInt)).as(s"${t}_$x")
     }
     // conditional buckets: every range bucket and every filter agg is
     // (specIdx, bucketIdx, label, membership condition)
@@ -1828,7 +1855,11 @@ object Dsl {
             case "vs" => sum(cy.cast("double")).as(s"cs${i}_$j")
             case "vn" => min(cy).as(s"cn${i}_$j")
             case "vx" => max(cy).as(s"cx${i}_$j")
-            case _ => count_distinct(cy).as(s"cd${i}_$j")
+            case "vd" => count_distinct(cy).as(s"cd${i}_$j")
+            // (i, j) carries exactly one sub metric — the approx
+            // sketch reuses the distinct-count column slot
+            case t => approx_count_distinct(cy,
+              rsdOfThreshold(t.stripPrefix("vh").toInt)).as(s"cd${i}_$j")
           }
         }
     }
@@ -1887,8 +1918,12 @@ object Dsl {
       }
     def uncondOut(m: AggNode): Seq[Column] = {
       val (k, y) = metricKindField(m)
+      val vdn =
+        if (k.startsWith("cardinality_hll_"))
+          "vh" + k.stripPrefix("cardinality_hll_")
+        else "vd"
       outStats(k, col(s"vc_$y"), col(s"vs_$y"), col(s"vn_$y"),
-        col(s"vx_$y"), col(s"vd_$y"))
+        col(s"vx_$y"), col(s"${vdn}_$y"))
     }
     def condOut(i: Int, j: Int): Seq[Column] = subKindOf.get(i) match {
       case None => NullStats
@@ -1986,6 +2021,10 @@ object Dsl {
         s"CAST(MAX($x) AS DOUBLE) AS v_max", nullV("v_avg"))
       case "value_count" => Seq(s"COUNT($x) AS v_count", nullV("v_sum"),
         nullV("v_min"), nullV("v_max"), nullV("v_avg"))
+      case k if k.startsWith("cardinality_hll_") =>
+        fail("cardinality with precision_threshold is an HLL++ sketch — " +
+          "no generated oracle exists; register the body rows-only with " +
+          "a bound test (the agg_hll stance)")
       case _ => Seq(s"COUNT(DISTINCT $x) AS v_count", nullV("v_sum"),
         nullV("v_min"), nullV("v_max"), nullV("v_avg"))
     }
@@ -2517,6 +2556,28 @@ object Dsl {
     dslAggsOf(Tables.documentsPar(spark, dir), AggsExtQuery)
 
   val dslAggsExtOracleSql: String = dslAggsSql(AggsExtQuery)
+
+  /** Registered SKETCH-cardinality body — `precision_threshold` opts
+    * into the HLL++ form (ES's actual cardinality semantics: no
+    * per-bucket distinct shuffle at 100 TB, a fixed-size sketch merged
+    * map-side), exercised in all three column slots: a global metric,
+    * a terms-bucket sub, and a filter-bucket sub. Registered ROWS-ONLY
+    * (a sketch can't hash-match a serial oracle — the `agg_hll`
+    * stance); DslSpec bounds it against the exact twin instead. */
+  val AggsHllQuery: String =
+    """{"query": {"match_all": {}}, "size": 0,
+      |  "aggs": {
+      |    "lang_hll": {"cardinality": {"field": "lang",
+      |                 "precision_threshold": 3000}},
+      |    "by_lang": {"terms": {"field": "lang", "size": 4},
+      |      "aggs": {"srcs": {"cardinality": {"field": "source",
+      |               "precision_threshold": 1000}}}},
+      |    "big_docs": {"filter": {"range": {"n_chars": {"gte": 200}}},
+      |      "aggs": {"srcs_hll": {"cardinality": {"field": "source",
+      |               "precision_threshold": 100}}}}}}""".stripMargin
+
+  def dslAggsHll(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Tables.documentsPar(spark, dir), AggsHllQuery)
 
   /** Registered query: [[AggsQuery]] SERVED from the daily indices —
     * aggregations over doc-values + postings across the alias members,

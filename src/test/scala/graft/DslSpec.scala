@@ -379,6 +379,40 @@ class DslSpec extends SparkSpec {
       .contains("from"), "an unbounded range bucket is malformed")
   }
 
+  test("cardinality precision_threshold: the HLL++ sketch tracks the exact twin") {
+    // the registered sketch body vs the same body with thresholds
+    // stripped (exact distinct) — the sketch must land within the
+    // 5% HLL bound of every exact count (and exactly on it here:
+    // HLL++ is exact in its sparse regime, ES's "accurate below the
+    // threshold" contract; the corpus cardinalities are tiny)
+    val exactBody = Dsl.AggsHllQuery.replaceAll(
+      """,\s*"precision_threshold": \d+""", "")
+    val docs = Tables.documentsPar(spark, sfDir)
+    def counts(json: String): Map[(String, String), Long] =
+      Dsl.dslAggsOf(docs, json).collect()
+        .filter(!_.isNullAt(3))
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val approx = counts(Dsl.AggsHllQuery)
+    val exact = counts(exactBody)
+    assert(approx.keySet == exact.keySet,
+      "sketch and exact twins must emit the same buckets")
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e) <= math.max(1L, math.ceil(0.05 * e).toLong),
+        s"sketch cardinality out of bound at $k: approx=$a exact=$e")
+    }
+    // the sketch form has NO generated oracle — refusal is loud
+    val e = intercept[IllegalArgumentException](
+      Dsl.dslAggsSql(Dsl.AggsHllQuery))
+    assert(e.getMessage.contains("sketch"), e.getMessage)
+    // precision_threshold bounds per ES
+    val bad = intercept[IllegalArgumentException](Dsl.dslAggsOf(docs,
+      """{"query": {"match_all": {}}, "size": 0, "aggs": {
+        "x": {"cardinality": {"field": "lang",
+              "precision_threshold": 50000}}}}"""))
+    assert(bad.getMessage.contains("40000"), bad.getMessage)
+  }
+
   test("dsl_served ≡ dsl_search bit-for-bit, for every registered body") {
     // the DSL compiled onto the persisted index must reproduce the
     // scan path exactly — same integers into the same shared score
