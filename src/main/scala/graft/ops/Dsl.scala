@@ -302,6 +302,49 @@ object Dsl {
     Body(q, size, aggs, from, sort, source, after, highlight)
   }
 
+  /** The ES `minimum_should_match` grammar, resolved against the
+    * bool's should-clause count `n`: a positive integer ("3"), a
+    * negative integer ("-2" = n−2, "at most 2 missing"), a percentage
+    * ("75%" = ⌊0.75·n⌋, rounded DOWN per the spec), a negative
+    * percentage ("-25%" = n − ⌊0.25·n⌋), or space-separated
+    * conditionals ("2<-25% 9<-3": each `k<spec` applies when n > k —
+    * the entry with the LARGEST such k wins; n ≤ every k means all
+    * clauses are required). A resolved value > n makes the bool
+    * unmatchable and ≤ 0 disables the gate — both exactly what the
+    * integer compiler already does with those numbers, so the grammar
+    * is pure parsing. */
+  private def resolveMsm(spec: String, n: Int): Int = {
+    def int(s: String): Int =
+      try s.toInt catch {
+        case _: NumberFormatException =>
+          fail(s"minimum_should_match: '$s' is not an integer " +
+            s"(in spec '$spec')")
+      }
+    def simple(s: String): Int =
+      if (s.endsWith("%")) {
+        val p = int(s.dropRight(1))
+        val part = math.floor(math.abs(p) / 100.0 * n).toInt
+        if (p < 0) n - part else part
+      } else {
+        val v = int(s)
+        if (v < 0) n + v else v
+      }
+    val t = spec.trim
+    if (t.isEmpty) fail("minimum_should_match: empty spec")
+    if (!t.contains('<')) simple(t)
+    else {
+      val conds = t.split("\\s+").toSeq.map { part =>
+        part.split("<", -1) match {
+          case Array(k, s) if k.nonEmpty && s.nonEmpty => (int(k), s)
+          case _ => fail(s"minimum_should_match: conditional '$part' " +
+            s"must be k<spec (in '$spec')")
+        }
+      }
+      conds.filter(_._1 < n).sortBy(_._1).lastOption
+        .map(c => simple(c._2)).getOrElse(n)
+    }
+  }
+
   private def parseOrder(field: String, ord: String): Boolean = ord match {
     case "asc" => true
     case "desc" => false
@@ -394,13 +437,18 @@ object Dsl {
               s"supported: ${known.toSeq.sorted.mkString(", ")}"))
           case other => fail(s"bool expects an object, got $other")
         }
+        // shoulds parse FIRST: the msm grammar resolves against their
+        // count, which is known at parse time (the whole point of
+        // resolving "75%" here instead of threading a spec around)
+        val shoulds = nodeSeq(body \ "should", "should")
         val msm = body \ "minimum_should_match" match {
           case JNothing => None
           case JInt(n) => Some(n.toInt)
-          case o => fail(s"minimum_should_match must be an integer, got $o")
+          case JString(s) => Some(resolveMsm(s, shoulds.size))
+          case o => fail("minimum_should_match must be an integer or an " +
+            "ES grammar string (\"75%\", \"-1\", \"3<90%\"), got " + o)
         }
-        BoolQ(nodeSeq(body \ "must", "must"),
-          nodeSeq(body \ "should", "should"),
+        BoolQ(nodeSeq(body \ "must", "must"), shoulds,
           nodeSeq(body \ "must_not", "must_not"),
           nodeSeq(body \ "filter", "filter"), msm)
       case "match" =>
@@ -2782,6 +2830,26 @@ object Dsl {
     dslCountOf(Tables.documentsPar(spark, dir), CountQuery)
 
   val dslCountOracleSql: String = dslCountSql(CountQuery)
+
+  /** Registered `minimum_should_match` GRAMMAR body — "50%" of four
+    * heterogeneous shoulds (two scored matches, a scored keyword term,
+    * an unscored range) resolves to 2 at parse time; hits score the
+    * clauses they matched (the gate counts, the score sums — both ES
+    * contracts). Oracle generated from the same AST, so green proves
+    * the grammar resolution feeds the exact integer the compiler
+    * gates on. */
+  val MsmQuery: String =
+    """{"query": {"bool": {
+      |  "should": [{"match": {"text": "dup"}},
+      |             {"match": {"text": "vector"}},
+      |             {"term": {"lang": "en"}},
+      |             {"range": {"n_chars": {"gte": 300}}}],
+      |  "minimum_should_match": "50%"}}, "size": 30}""".stripMargin
+
+  def searchDslMsm(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), MsmQuery)
+
+  val searchDslMsmSql: String = dslSql(MsmQuery)
 
   /** Registered query: [[DslQuery]] resolved THROUGH the daily-index
     * ALIAS ([[Search.readAlias]] → [[searchDslFromIndexes]] across the

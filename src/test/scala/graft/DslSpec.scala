@@ -379,6 +379,36 @@ class DslSpec extends SparkSpec {
       .contains("from"), "an unbounded range bucket is malformed")
   }
 
+  test("minimum_should_match grammar: percentages, negatives, conditionals") {
+    // three shoulds over tiny: alpha {0,1,4}, beta {1,2,3,4},
+    // gamma {2,4} — per-doc hit counts 0:1 1:2 2:2 3:1 4:3
+    def hits(msm: String): Set[Long] =
+      ids(run(s"""{"query": {"bool": {"should": [
+        {"match": {"text": "alpha"}}, {"match": {"text": "beta"}},
+        {"match": {"text": "gamma"}}],
+        "minimum_should_match": "$msm"}}}""", tiny)).toSet
+    val atLeast2 = Set(1L, 2L, 4L)
+    assert(hits("2") == atLeast2, "plain integer string")
+    assert(hits("67%") == atLeast2, "67% of 3 rounds DOWN to 2")
+    assert(hits("-1") == atLeast2, "-1 = n-1 = 2")
+    assert(hits("100%") == Set(4L), "100% requires all three")
+    assert(hits("-25%") == Set(4L), "-25%: n - floor(0.25*3) = 3")
+    assert(hits("2<67%") == atLeast2, "n=3 > 2 → the 67% leg applies")
+    assert(hits("5<67%") == Set(4L), "n=3 ≤ 5 → all clauses required")
+    assert(hits("1<100% 2<67%") == atLeast2,
+      "largest applicable k wins (2<67% over 1<100%)")
+    // a value past n is unmatchable, ≤ 0 disables the gate — the
+    // integer compiler's existing contracts, reached via the grammar
+    assert(hits("4") == Set.empty, "msm > n matches nothing")
+    assert(hits("-100%") == Set(0L, 1L, 2L, 3L, 4L),
+      "-100% resolves to 0: the gate vanishes, every doc matches")
+    def msg(spec: String): String =
+      intercept[IllegalArgumentException](hits(spec)).getMessage
+    assert(msg("abc").contains("not an integer"))
+    assert(msg("1<").contains("k<spec"))
+    assert(msg("").contains("empty"))
+  }
+
   test("cardinality precision_threshold: the HLL++ sketch tracks the exact twin") {
     // the registered sketch body vs the same body with thresholds
     // stripped (exact distinct) — the sketch must land within the
