@@ -84,6 +84,18 @@ object Dsl {
       minShould: Option[Int]) extends Node
   final case class MatchQ(field: String, terms: Seq[String],
       boost: BigDecimal, andOp: Boolean) extends Node
+  /** A `match` with `fuzziness`: each analyzed term carries its edit
+    * budget (resolved at parse — "AUTO" maps per term length, the ES
+    * AUTO:3,6 law). A term matches any corpus TOKEN within that many
+    * Levenshtein edits; tf counts matching tokens and df counts docs
+    * holding any — the expansion treated as ONE pseudo-term for BM25
+    * (deterministic and oracle-able; ES's blended per-expansion dfs
+    * are scorer-internal, this is the documented stand-in — the
+    * `fuzzy_match` operator's stance applied to the DSL). Both engines
+    * run the same classic edit-distance DP, so the match set is
+    * engine-exact. */
+  final case class MatchFzQ(field: String, terms: Seq[(String, Int)],
+      boost: BigDecimal, andOp: Boolean) extends Node
   final case class MultiMatchQ(fields: Seq[(String, BigDecimal)],
       terms: Seq[String], boost: BigDecimal) extends Node
   final case class PhraseQ(field: String, terms: Seq[String],
@@ -397,12 +409,13 @@ object Dsl {
     * would change which documents match, exactly the failure mode
     * this module's contract bans. */
   private def queryText(body: JValue, clause: String,
-      allowOperator: Boolean): (String, String, BigDecimal, Boolean) =
+      allowOperator: Boolean): (String, String, BigDecimal, Boolean,
+        Option[Int]) =
     body match {
-      case JObject(List((field, JString(s)))) => (field, s, one, false)
+      case JObject(List((field, JString(s)))) => (field, s, one, false, None)
       case JObject(List((field, o: JObject))) =>
         val known =
-          if (allowOperator) Set("query", "boost", "operator")
+          if (allowOperator) Set("query", "boost", "operator", "fuzziness")
           else Set("query", "boost")
         o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
           .foreach(k => fail(s"$clause.$field has unsupported option " +
@@ -415,12 +428,26 @@ object Dsl {
           case v => fail(s"$clause.$field operator must be \"and\" or " +
             s"\"or\", got $v")
         }
+        // fuzziness: 0 | 1 | 2 | "AUTO" (resolved per term at parse).
+        // Some(-1) = AUTO; fuzziness 0 compiles as the EXACT clause
+        val fuzz = o \ "fuzziness" match {
+          case JNothing => None
+          case JString("AUTO") => Some(-1)
+          case JInt(n) if n >= 0 && n <= 2 => Some(n.toInt)
+          case v => fail(s"$clause.$field fuzziness must be 0, 1, 2 or " +
+            s""""AUTO", got $v (Lucene's own edit-budget bound is 2)""")
+        }
         o \ "query" match {
-          case JString(s) => (field, s, boostOf(o), andOp)
+          case JString(s) => (field, s, boostOf(o), andOp, fuzz)
           case _ => fail(s"$clause.$field needs a \"query\" string")
         }
       case other => fail(s"$clause expects {field: text}, got $other")
     }
+
+  /** ES AUTO fuzziness (AUTO:3,6): terms of length 1–2 match exactly,
+    * 3–5 allow one edit, 6+ allow two. */
+  private def autoFuzz(term: String): Int =
+    if (term.length < 3) 0 else if (term.length < 6) 1 else 2
 
   private val RangeOps = Seq("gte", "gt", "lte", "lt")
 
@@ -452,14 +479,22 @@ object Dsl {
           nodeSeq(body \ "must_not", "must_not"),
           nodeSeq(body \ "filter", "filter"), msm)
       case "match" =>
-        val (field, text, boost, andOp) =
+        val (field, text, boost, andOp, fuzz) =
           queryText(body, "match", allowOperator = true)
         checkAnalyzed(field, "match")
         val terms = analyzed(text)
         if (terms.isEmpty) fail(s"match.$field has no terms after analysis")
-        MatchQ(field, terms, boost, andOp)
+        fuzz match {
+          case None | Some(0) => MatchQ(field, terms, boost, andOp)
+          case Some(d) =>
+            val budgeted = terms.map(t =>
+              (t, if (d == -1) autoFuzz(t) else d))
+            // every budget 0 (AUTO over short terms) → the exact clause
+            if (budgeted.forall(_._2 == 0)) MatchQ(field, terms, boost, andOp)
+            else MatchFzQ(field, budgeted, boost, andOp)
+        }
       case "match_phrase" =>
-        val (field, text, boost, _) =
+        val (field, text, boost, _, _) =
           queryText(body, "match_phrase", allowOperator = false)
         checkAnalyzed(field, "match_phrase")
         val terms = analyzed(text)
@@ -858,6 +893,19 @@ object Dsl {
     collectCtx(n, true) { case (PhraseQ(f, ts, _), true) => Seq((f, ts)) }
       .distinct
 
+  /** Distinct FUZZY (field, term, edit-budget) keys — the third
+    * feature family, columns qzf (tf) / qzd (df). */
+  private def zkeysOf(n: Node): Seq[(String, String, Int)] =
+    collectCtx(n, true) {
+      case (MatchFzQ(f, ts, _, _), _) => ts.map { case (t, d) => (f, t, d) }
+    }.distinct
+
+  private def zkeysScoredOf(n: Node): Seq[(String, String, Int)] =
+    collectCtx(n, true) {
+      case (MatchFzQ(f, ts, _, _), true) =>
+        ts.map { case (t, d) => (f, t, d) }
+    }.distinct
+
   /** Non-text fields the query references (term/terms/range/exists) —
     * ONLY these are projected, so column pruning reaches the scan. */
   private def exactFields(n: Node): Seq[String] = collectCtx(n, true) {
@@ -885,7 +933,7 @@ object Dsl {
     * for the whole corpus. Conservative by construction: must_not and
     * optional shoulds never count. */
   private[ops] def requiresText(n: Node): Boolean = n match {
-    case _: MatchQ | _: PhraseQ | _: MultiMatchQ => true
+    case _: MatchQ | _: PhraseQ | _: MultiMatchQ | _: MatchFzQ => true
     case BoolQ(m, s, _, fl, msm) =>
       m.exists(requiresText) || fl.exists(requiresText) ||
         (m.isEmpty && fl.isEmpty && s.nonEmpty &&
@@ -910,6 +958,7 @@ object Dsl {
   private type TIdx = Map[(String, String), Int]
   private type PIdx = Map[(String, Seq[String]), Int]
   private type KIdx = Map[(String, Scalar), Int]
+  private type ZIdx = Map[(String, String, Int), Int]
 
   /** Both compilers' output, emitted by ONE recursion so the Spark
     * plan and the oracle SQL agree on predicate structure and on
@@ -960,7 +1009,25 @@ object Dsl {
     }
 
   private def compile(n: Node, scored: Boolean, tfIdx: TIdx, pfIdx: PIdx,
-      ktIdx: KIdx): C = n match {
+      ktIdx: KIdx, zfIdx: ZIdx = Map.empty): C = n match {
+    case MatchFzQ(field, terms, boost, andOp) =>
+      // same shape as MatchQ over the fuzzy feature family: tf/df of
+      // the edit-distance expansion treated as one pseudo-term each
+      val keys = terms.map { case (t, d) => (field, t, d) }
+      val tPreds = keys.map(k => col(s"qzf${zfIdx(k)}") > 0)
+      val pred = if (andOp) tPreds.reduce(_ && _) else tPreds.reduce(_ || _)
+      val predSql = keys.map(k => s"f.qzf${zfIdx(k)} > 0")
+        .mkString("(", if (andOp) " AND " else " OR ", ")")
+      val score =
+        if (scored) Some(boosted(sumScores(keys.map { k =>
+          val i = zfIdx(k)
+          (Search.bm25ScoreOf(1, _ => col(s"qzf$i"), _ => col(s"qzd$i"),
+            col(dlName(field)), col(sumdlName(field)), col("n")),
+            termScoreSql(s"qzf$i", s"qzd$i", dlName(field),
+              sumdlName(field)))
+        }), boost))
+        else None
+      C(pred, predSql, score)
     case MatchQ(field, terms, boost, andOp) =>
       // operator "and" requires every term; scoring is unchanged (ES:
       // the operator gates matching, the matched doc still sums all
@@ -1045,14 +1112,14 @@ object Dsl {
       // the ES way to give a filter a score: the wrapped clause
       // compiles in FILTER context (no statistics), and the whole
       // clause scores the constant boost in query context
-      val c = compile(fq, false, tfIdx, pfIdx, ktIdx)
+      val c = compile(fq, false, tfIdx, pfIdx, ktIdx, zfIdx)
       val score =
         if (scored) Some((lit(boost.toDouble),
           s"CAST(${boost.underlying.toPlainString} AS DOUBLE)"))
         else None
       C(c.pred, c.predSql, score)
     case DisMaxQ(qs, tb) =>
-      val cs = qs.map(compile(_, scored, tfIdx, pfIdx, ktIdx))
+      val cs = qs.map(compile(_, scored, tfIdx, pfIdx, ktIdx, zfIdx))
       val pred = cs.map(_.pred).reduce(_ || _)
       val predSql = cs.map(_.predSql).mkString("(", " OR ", ")")
       // dis_max: best branch's score + tie_breaker × the others'.
@@ -1088,10 +1155,10 @@ object Dsl {
       C(pred, predSql, score)
     case MatchAllQ => C(lit(true), "TRUE", None)
     case BoolQ(must, should, mustNot, filterCtx, minShould) =>
-      val mc = must.map(compile(_, scored, tfIdx, pfIdx, ktIdx))
-      val sc = should.map(compile(_, scored, tfIdx, pfIdx, ktIdx))
-      val nc = mustNot.map(compile(_, false, tfIdx, pfIdx, ktIdx))
-      val fc = filterCtx.map(compile(_, false, tfIdx, pfIdx, ktIdx))
+      val mc = must.map(compile(_, scored, tfIdx, pfIdx, ktIdx, zfIdx))
+      val sc = should.map(compile(_, scored, tfIdx, pfIdx, ktIdx, zfIdx))
+      val nc = mustNot.map(compile(_, false, tfIdx, pfIdx, ktIdx, zfIdx))
+      val fc = filterCtx.map(compile(_, false, tfIdx, pfIdx, ktIdx, zfIdx))
       // ES defaults: a should beside a must/filter is optional scoring
       // (msm 0); alone it is the only matching condition (msm 1)
       val msm = minShould.getOrElse(
@@ -1132,8 +1199,12 @@ object Dsl {
       from: Int = 0, sortKeys: Seq[(String, Boolean)] = Seq.empty,
       source: Option[Seq[String]] = None,
       after: Option[Seq[Scalar]] = None,
-      highlight: Option[String] = None) {
-    def needsText: Boolean = tkeys.nonEmpty || pkeys.nonEmpty
+      highlight: Option[String] = None,
+      zkeys: Seq[(String, String, Int)] = Seq.empty,
+      szkeys: Seq[(String, String, Int)] = Seq.empty,
+      zfIdx: ZIdx = Map.empty) {
+    def needsText: Boolean =
+      tkeys.nonEmpty || pkeys.nonEmpty || zkeys.nonEmpty
     /** A field-only `sort` never evaluates the score — ES computes
       * scores only when the ranking needs them (`track_scores`
       * defaults false under sort), so the statistics vanish exactly
@@ -1143,10 +1214,10 @@ object Dsl {
     def needsStats: Boolean = needsScore && c.score.isDefined
     /** Analyzed fields whose statistics the score references. */
     def scoredFields: Seq[String] =
-      (stkeys.map(_._1) ++ spkeys.map(_._1)).distinct
+      (stkeys.map(_._1) ++ spkeys.map(_._1) ++ szkeys.map(_._1)).distinct
     /** Analyzed fields any feature (scored or filter-ctx) reads. */
     def usedFields: Seq[String] =
-      (tkeys.map(_._1) ++ pkeys.map(_._1)).distinct
+      (tkeys.map(_._1) ++ pkeys.map(_._1) ++ zkeys.map(_._1)).distinct
     /** sort keys that are real columns (not `_score`). */
     def sortFields: Seq[String] = sortKeys.map(_._1).filter(_ != "_score")
   }
@@ -1155,12 +1226,15 @@ object Dsl {
     val tkeys = tkeysOf(q)
     val pkeys = pkeysOf(q)
     val skts = ktsScoredOf(q)
+    val zkeys = zkeysOf(q)
     val tfIdx = tkeys.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
     val pfIdx = pkeys.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
     val ktIdx = skts.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
+    val zfIdx = zkeys.zipWithIndex.map { case (z, i) => z -> (i + 1) }.toMap
     Plan(q, size, tkeys, pkeys, tkeysScoredOf(q), pkeysScoredOf(q), skts,
       exactFields(q), tfIdx, pfIdx, ktIdx,
-      compile(q, scored = true, tfIdx, pfIdx, ktIdx))
+      compile(q, scored = true, tfIdx, pfIdx, ktIdx, zfIdx),
+      zkeys = zkeys, szkeys = zkeysScoredOf(q), zfIdx = zfIdx)
   }
 
   /** Plan of a full search body: the query plan plus paging/sort/
@@ -1180,6 +1254,17 @@ object Dsl {
     p.copy(exact = (p.exact ++ extra).distinct,
       from = b.from, sortKeys = b.sort, source = b.source, after = b.after,
       highlight = b.highlight)
+  }
+
+  /** (n_matched, tf_total) SQL over the feature columns — exact AND
+    * fuzzy tf columns, mirroring [[rankTail]]'s provenance. */
+  private def provSql(p: Plan): (String, String) = {
+    val cols = p.tkeys.map(k => s"qtf${p.tfIdx(k)}") ++
+      p.zkeys.map(k => s"qzf${p.zfIdx(k)}")
+    if (cols.isEmpty) ("0", "CAST(0 AS BIGINT)")
+    else (cols.map(c => s"CASE WHEN f.$c > 0 THEN 1 ELSE 0 END")
+      .mkString(" + "),
+      cols.map(c => s"CAST(f.$c AS BIGINT)").mkString(" + "))
   }
 
   /** Shared-pass `_msearch` planning: ONE clause inventory and ONE
@@ -1206,9 +1291,11 @@ object Dsl {
     val tkeys = qs.flatMap(tkeysOf).distinct
     val pkeys = qs.flatMap(pkeysOf).distinct
     val skts = qs.flatMap(ktsScoredOf).distinct
+    val zkeys = qs.flatMap(zkeysOf).distinct
     val tfIdx = tkeys.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
     val pfIdx = pkeys.zipWithIndex.map { case (x, i) => x -> (i + 1) }.toMap
     val ktIdx = skts.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
+    val zfIdx = zkeys.zipWithIndex.map { case (z, i) => z -> (i + 1) }.toMap
     val plans = parsed.map { b =>
       val extra = b.sort.map(_._1)
         .filter(f => f != "_score" && f != "doc_id")
@@ -1216,8 +1303,10 @@ object Dsl {
         tkeysScoredOf(b.query), pkeysScoredOf(b.query),
         ktsScoredOf(b.query), (exactFields(b.query) ++ extra).distinct,
         tfIdx, pfIdx, ktIdx,
-        compile(b.query, scored = true, tfIdx, pfIdx, ktIdx),
-        from = b.from, sortKeys = b.sort, after = b.after)
+        compile(b.query, scored = true, tfIdx, pfIdx, ktIdx, zfIdx),
+        from = b.from, sortKeys = b.sort, after = b.after,
+        zkeys = zkeysOf(b.query), szkeys = zkeysScoredOf(b.query),
+        zfIdx = zfIdx)
     }
     val exact = (plans.flatMap(_.exact)).distinct
     // the frame plan carries the union inventory; its dummy scored C
@@ -1227,7 +1316,9 @@ object Dsl {
     val framePlan = Plan(qs.head, 0, tkeys, pkeys,
       qs.flatMap(tkeysScoredOf).distinct, qs.flatMap(pkeysScoredOf).distinct,
       skts, exact, tfIdx, pfIdx, ktIdx,
-      C(lit(true), "TRUE", if (anyStats) Some((lit(0.0), "0.0")) else None))
+      C(lit(true), "TRUE", if (anyStats) Some((lit(0.0), "0.0")) else None),
+      zkeys = zkeys, szkeys = qs.flatMap(zkeysScoredOf).distinct,
+      zfIdx = zfIdx)
     (framePlan, plans)
   }
 
@@ -1276,14 +1367,7 @@ object Dsl {
       (if (anyStats) Seq(sCteSql(framePlan)) else Seq.empty)
     val branches = plans.zipWithIndex.map { case (p, i) =>
       val scoreSql = if (p.needsStats) p.c.score.get._2 else "0.0"
-      val nMatched =
-        if (p.tkeys.isEmpty) "0"
-        else p.tkeys.map(k => s"CASE WHEN f.qtf${p.tfIdx(k)} > 0 THEN 1 " +
-          "ELSE 0 END").mkString(" + ")
-      val tfTotal =
-        if (p.tkeys.isEmpty) "CAST(0 AS BIGINT)"
-        else p.tkeys.map(k => s"CAST(f.qtf${p.tfIdx(k)} AS BIGINT)")
-          .mkString(" + ")
+      val (nMatched, tfTotal) = provSql(p)
       val dlSql = if (p.needsText) "f.dl" else "CAST(0 AS BIGINT)"
       val from = if (p.needsStats) "FROM f CROSS JOIN s" else "FROM f"
       val gateSql = p.after.map(v =>
@@ -1407,7 +1491,17 @@ object Dsl {
       val pfCols = p.pkeys.map { case k @ (f, ws) =>
         phraseFreq(src(f), ws).as(s"qpf${p.pfIdx(k)}")
       }
-      docs.select(($"doc_id" +: fields) ++ dlCols ++ tfCols ++ pfCols: _*)
+      // fuzzy tf: tokens within the edit budget — token-grain, the
+      // same classic Levenshtein DP both engines implement (the
+      // oracle-green `fuzzy_match` pairing)
+      val zfCols = p.zkeys.map { case k @ (f, t, d) =>
+        val arr = if (f == Search.DefaultField) toksC
+          else slice(toksC, 1, Search.HeadLen)
+        size(filter(arr, x => levenshtein(x, lit(t)) <= lit(d)))
+          .as(s"qzf${p.zfIdx(k)}")
+      }
+      docs.select(($"doc_id" +: fields) ++ dlCols ++ tfCols ++ pfCols ++
+        zfCols: _*)
     }
   }
 
@@ -1426,6 +1520,8 @@ object Dsl {
           count(when(col(s"qtf${p.tfIdx(k)}") > 0, 1)).as(s"qdf${p.tfIdx(k)}")) ++
         p.spkeys.map(k =>
           count(when(col(s"qpf${p.pfIdx(k)}") > 0, 1)).as(s"qpd${p.pfIdx(k)}")) ++
+        p.szkeys.map(k =>
+          count(when(col(s"qzf${p.zfIdx(k)}") > 0, 1)).as(s"qzd${p.zfIdx(k)}")) ++
         p.skts.map { case kt @ (fld, v) =>
           count(when(col(fld) === v.column, 1)).as(s"qkd${p.ktIdx(kt)}")
         }
@@ -1446,14 +1542,15 @@ object Dsl {
     // when the stats were joined (needsStats); a field-only sort
     // ranks with no score at all
     val score = if (p.needsStats) p.c.score.get._1 else lit(0.0)
+    // fuzzy tf columns ride the provenance exactly like exact ones
+    val hitCols = p.tkeys.map(k => col(s"qtf${p.tfIdx(k)}")) ++
+      p.zkeys.map(k => col(s"qzf${p.zfIdx(k)}"))
     val nMatched =
-      if (p.tkeys.isEmpty) lit(0)
-      else p.tkeys.map(k => when(col(s"qtf${p.tfIdx(k)}") > 0, 1).otherwise(0))
-        .reduce(_ + _)
+      if (hitCols.isEmpty) lit(0)
+      else hitCols.map(c => when(c > 0, 1).otherwise(0)).reduce(_ + _)
     val tfTotal =
-      if (p.tkeys.isEmpty) lit(0L)
-      else p.tkeys.map(k => col(s"qtf${p.tfIdx(k)}").cast("long"))
-        .reduce(_ + _)
+      if (hitCols.isEmpty) lit(0L)
+      else hitCols.map(_.cast("long")).reduce(_ + _)
     val dlC = if (p.needsText) $"dl" else lit(0L)
     val reserved = Seq("doc_id", "dl", "n_matched", "tf_total", "score")
     val extraCols = (p.sortFields ++ p.source.getOrElse(Seq.empty))
@@ -1545,12 +1642,15 @@ object Dsl {
   private def mergedFilterPlan(qs: Seq[Node]): Plan = {
     val tkeys = qs.flatMap(tkeysOf).distinct
     val pkeys = qs.flatMap(pkeysOf).distinct
+    val zkeys = qs.flatMap(zkeysOf).distinct
     val exact = qs.flatMap(exactFields).distinct
     val tfIdx = tkeys.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
     val pfIdx = pkeys.zipWithIndex.map { case (x, i) => x -> (i + 1) }.toMap
+    val zfIdx = zkeys.zipWithIndex.map { case (z, i) => z -> (i + 1) }.toMap
     Plan(qs.head, 0, tkeys, pkeys, Seq.empty, Seq.empty, Seq.empty, exact,
       tfIdx, pfIdx, Map.empty,
-      compile(qs.head, scored = false, tfIdx, pfIdx, Map.empty))
+      compile(qs.head, scored = false, tfIdx, pfIdx, Map.empty, zfIdx),
+      zkeys = zkeys, zfIdx = zfIdx)
   }
 
   /** The ES `_count` endpoint: how many documents match — the body
@@ -1633,8 +1733,12 @@ object Dsl {
         s"len(list_filter(range(1, len($a) - ${ws.length - 2}), " +
           s"i -> $conds)) AS qpf${p.pfIdx(k)}"
       }
-      val cols = (Seq("doc_id") ++ fields ++ dlDefs ++ tfDefs ++ pfDefs)
-        .mkString(",\n    ")
+      val zfDefs = p.zkeys.map { case k @ (f, t, d) =>
+        s"len(list_filter(${arr(f)}, x -> " +
+          s"levenshtein(x, '${quoteSql(t)}') <= $d)) AS qzf${p.zfIdx(k)}"
+      }
+      val cols = (Seq("doc_id") ++ fields ++ dlDefs ++ tfDefs ++ pfDefs ++
+        zfDefs).mkString(",\n    ")
       s"f AS (\n  SELECT $cols\n  FROM $src)"
     }
   }
@@ -1649,6 +1753,8 @@ object Dsl {
         s"AS qdf${p.tfIdx(k)}") ++
       p.spkeys.map(k => s"COUNT(*) FILTER (WHERE qpf${p.pfIdx(k)} > 0) " +
         s"AS qpd${p.pfIdx(k)}") ++
+      p.szkeys.map(k => s"COUNT(*) FILTER (WHERE qzf${p.zfIdx(k)} > 0) " +
+        s"AS qzd${p.zfIdx(k)}") ++
       p.skts.map { case kt @ (fld, v) =>
         s"COUNT(*) FILTER (WHERE $fld = ${v.sql}) AS qkd${p.ktIdx(kt)}"
       }
@@ -1666,14 +1772,7 @@ object Dsl {
       fail("body has \"aggs\" — use dslAggsSqlOver")
     val p = planOfBody(b)
     val scoreSql = if (p.needsStats) p.c.score.get._2 else "0.0"
-    val nMatched =
-      if (p.tkeys.isEmpty) "0"
-      else p.tkeys.map(k => s"CASE WHEN f.qtf${p.tfIdx(k)} > 0 THEN 1 " +
-        "ELSE 0 END").mkString(" + ")
-    val tfTotal =
-      if (p.tkeys.isEmpty) "CAST(0 AS BIGINT)"
-      else p.tkeys.map(k => s"CAST(f.qtf${p.tfIdx(k)} AS BIGINT)")
-        .mkString(" + ")
+    val (nMatched, tfTotal) = provSql(p)
     val dlSql = if (p.needsText) "f.dl" else "CAST(0 AS BIGINT)"
     val reserved = Seq("doc_id", "dl", "n_matched", "tf_total", "score")
     val extraCols = (p.sortFields ++ p.source.getOrElse(Seq.empty))
@@ -1886,7 +1985,8 @@ object Dsl {
           }
         case (AggSpec(_, FilterAgg(n), _), i) =>
           Seq((i, 0, "",
-            compile(n, scored = false, p.tfIdx, p.pfIdx, Map.empty).pred))
+            compile(n, scored = false, p.tfIdx, p.pfIdx, Map.empty,
+              p.zfIdx).pred))
         case _ => Seq.empty
       }
     val subKindOf: Map[Int, (String, String)] = b.aggs.zipWithIndex.collect {
@@ -2114,7 +2214,8 @@ object Dsl {
                |FROM m AS f WHERE $conds""".stripMargin
           }.mkString("\nUNION ALL\n")
         case FilterAgg(n) =>
-          val c = compile(n, scored = false, p.tfIdx, p.pfIdx, Map.empty)
+          val c = compile(n, scored = false, p.tfIdx, p.pfIdx, Map.empty,
+            p.zfIdx)
           s"""SELECT $name AS agg, '' AS key, COUNT(*) AS doc_count,
              |  ${stats.mkString(",\n  ")}
              |FROM m AS f WHERE ${c.predSql}""".stripMargin
@@ -2161,15 +2262,17 @@ object Dsl {
     // ONE merged inventory: the frame is built once for all rules
     val tkeys = parsed.flatMap(r => tkeysOf(r._2)).distinct
     val pkeys = parsed.flatMap(r => pkeysOf(r._2)).distinct
+    val zkeys = parsed.flatMap(r => zkeysOf(r._2)).distinct
     val exact = parsed.flatMap(r => exactFields(r._2)).distinct
     val tfIdx = tkeys.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
     val pfIdx = pkeys.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+    val zfIdx = zkeys.zipWithIndex.map { case (z, i) => z -> (i + 1) }.toMap
     val p = Plan(MatchAllQ, 0, tkeys, pkeys, Seq.empty, Seq.empty,
       Seq.empty, exact, tfIdx, pfIdx, Map.empty,
-      C(lit(true), "TRUE", None))
+      C(lit(true), "TRUE", None), zkeys = zkeys, zfIdx = zfIdx)
     checkFields(docs, exact)
     val preds = parsed.map { case (id, q) =>
-      (id, compile(q, scored = false, tfIdx, pfIdx, Map.empty))
+      (id, compile(q, scored = false, tfIdx, pfIdx, Map.empty, zfIdx))
     }
     val f = scanF(docs, p, Seq.empty)
     val matchedIds = array(preds.map { case (id, c) =>
@@ -2185,14 +2288,16 @@ object Dsl {
     val parsed = rules.map { case (id, json) => (id, parseBody(json).query) }
     val tkeys = parsed.flatMap(r => tkeysOf(r._2)).distinct
     val pkeys = parsed.flatMap(r => pkeysOf(r._2)).distinct
+    val zkeys = parsed.flatMap(r => zkeysOf(r._2)).distinct
     val exact = parsed.flatMap(r => exactFields(r._2)).distinct
     val tfIdx = tkeys.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
     val pfIdx = pkeys.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+    val zfIdx = zkeys.zipWithIndex.map { case (z, i) => z -> (i + 1) }.toMap
     val p = Plan(MatchAllQ, 0, tkeys, pkeys, Seq.empty, Seq.empty,
       Seq.empty, exact, tfIdx, pfIdx, Map.empty,
-      C(lit(true), "TRUE", None))
+      C(lit(true), "TRUE", None), zkeys = zkeys, zfIdx = zfIdx)
     val branches = parsed.map { case (id, q) =>
-      val c = compile(q, scored = false, tfIdx, pfIdx, Map.empty)
+      val c = compile(q, scored = false, tfIdx, pfIdx, Map.empty, zfIdx)
       s"SELECT doc_id, CAST($id AS BIGINT) AS query_id FROM f " +
         s"WHERE ${c.predSql}"
     }
@@ -2248,7 +2353,7 @@ object Dsl {
     * the table handles the statistics derive from. */
   private case class ServedParts(f: DataFrame, meta: DataFrame,
       posts: Option[DataFrame], phFrames: Seq[DataFrame],
-      dlen: (String, String) => DataFrame)
+      zFrames: Seq[DataFrame], dlen: (String, String) => DataFrame)
 
   /** Build [[ServedParts]] for a plan over the resolved index roots —
     * shared by the served search and served aggregations paths. */
@@ -2271,7 +2376,7 @@ object Dsl {
     }.reduce(_ unionByName _)
     val allToks = (p.tkeys.map(_._2) ++ p.pkeys.flatMap(_._2)).distinct
     val posts =
-      if (!p.needsText) None
+      if (allToks.isEmpty) None
       else {
         val buckets = allToks.map(Search.tokBucket).distinct
         Some(roots.map { root =>
@@ -2286,8 +2391,10 @@ object Dsl {
           .filter($"field" === field).select($"doc_id", $"dl".as(as))
       }.reduce(_ unionByName _)
     // ---- features: tf pivot (df-bounded) + positional phrase counts
+    //      + fuzzy expansions (vocab-filtered, unpruned — see below)
     val featCols = p.tkeys.map(k => s"qtf${p.tfIdx(k)}") ++
-      p.pkeys.map(k => s"qpf${p.pfIdx(k)}")
+      p.pkeys.map(k => s"qpf${p.pfIdx(k)}") ++
+      p.zkeys.map(k => s"qzf${p.zfIdx(k)}")
     val tfPiv = posts.filter(_ => p.tkeys.nonEmpty).map { po =>
       val cols = p.tkeys.map { case k @ (fld, t) =>
         coalesce(sum(when($"tok" === t && $"field" === fld, $"tf")), lit(0L))
@@ -2312,7 +2419,19 @@ object Dsl {
             .reduce(_ && _)))
       joined.select($"doc_id", cnt.cast("int").as(s"qpf${p.pfIdx(k)}"))
     }
-    val feat = (tfPiv.toSeq ++ phFrames).reduceOption((a, c) =>
+    // fuzzy tf from the index: postings rows whose TOKEN is within the
+    // edit budget, summed per doc. NO bucket pruning — edit-distance
+    // expansions hash anywhere, so the read walks the term dictionary
+    // (exactly what Lucene's fuzzy automaton does); still postings-
+    // grain, never the corpus text
+    val zFrames = p.zkeys.map { case k @ (f2, t, d) =>
+      val po = roots.map(root => spark.read.parquet(s"$root/postings")
+        .filter($"field" === f2 && levenshtein($"tok", lit(t)) <= d))
+        .reduce(_ unionByName _)
+      po.groupBy($"doc_id")
+        .agg(sum($"tf").cast("int").as(s"qzf${p.zfIdx(k)}"))
+    }
+    val feat = (tfPiv.toSeq ++ phFrames ++ zFrames).reduceOption((a, c) =>
       a.join(c, Seq("doc_id"), "full_outer")).map(_.na.fill(0, featCols))
     // ---- candidate universe
     val needDl = p.needsText
@@ -2332,7 +2451,7 @@ object Dsl {
     val dead = roots.map(Search.tombstones(spark, _))
       .reduce(_ unionByName _)
     ServedParts(f0.join(dead, Seq("doc_id"), "left_anti"), meta, posts,
-      phFrames, dlen)
+      phFrames, zFrames, dlen)
   }
 
   /** Index-side statistics for a plan — 1-row broadcasts assembled
@@ -2386,6 +2505,11 @@ object Dsl {
           val j = p.pfIdx(k)
           parts.phFrames(p.pkeys.indexOf(k))
             .agg(count(when(col(s"qpf$j") > 0, 1)).as(s"qpd$j"))
+        } ++
+        p.szkeys.map { k =>
+          val j = p.zfIdx(k)
+          parts.zFrames(p.zkeys.indexOf(k))
+            .agg(count(when(col(s"qzf$j") > 0, 1)).as(s"qzd$j"))
         }
       Some(pieces.reduce(_ crossJoin _))
     }
@@ -2850,6 +2974,32 @@ object Dsl {
     searchDslOf(Tables.documentsPar(spark, dir), MsmQuery)
 
   val searchDslMsmSql: String = dslSql(MsmQuery)
+
+  /** Registered FUZZY body — two typo'd terms under `"fuzziness":
+    * "AUTO"` (both length 5 → one edit) beside an exact filter; the
+    * fuzzy expansion's tf/df feed the same BM25 expression, and the
+    * ORACLE IS GENERATED FROM THE SAME AST (the expansion is a
+    * deterministic Levenshtein predicate both engines evaluate
+    * identically). */
+  val FuzzyQuery: String =
+    """{"query": {"bool": {
+      |  "must": [{"match": {"text": {"query": "vectr merge",
+      |            "fuzziness": "AUTO"}}}],
+      |  "filter": [{"range": {"n_chars": {"gte": 60}}}]
+      |}}, "size": 40}""".stripMargin
+
+  def searchDslFuzzy(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), FuzzyQuery)
+
+  val searchDslFuzzySql: String = dslSql(FuzzyQuery)
+
+  /** Registered query: [[FuzzyQuery]] SERVED from the index — the
+    * expansion filters the TERM DICTIONARY (postings rows, Lucene's
+    * fuzzy-automaton shape), never the corpus text; same oracle as the
+    * scan form. */
+  def searchDslFuzzyServed(spark: SparkSession, dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), FuzzyQuery)
 
   /** Registered query: [[DslQuery]] resolved THROUGH the daily-index
     * ALIAS ([[Search.readAlias]] → [[searchDslFromIndexes]] across the

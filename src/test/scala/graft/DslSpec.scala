@@ -164,8 +164,11 @@ class DslSpec extends SparkSpec {
     assert(msg("""{"query": {"match_phrase": {"text":
       {"query": "alpha beta", "operator": "and"}}}}""").contains("operator"),
       "a phrase's adjacency IS its operator — the key refuses there")
+    // (fuzziness graduated to a supported modifier in r13 — the
+    // refusal pin moves to a key that stays unsupported)
     assert(msg("""{"query": {"match": {"text":
-      {"query": "alpha", "fuzziness": "AUTO"}}}}""").contains("fuzziness"))
+      {"query": "alpha", "zero_terms_query": "all"}}}}""")
+      .contains("zero_terms_query"))
     assert(msg("""{"query": {"term": {"lang":
       {"value": "en", "case_insensitive": true}}}}""")
       .contains("case_insensitive"))
@@ -379,6 +382,43 @@ class DslSpec extends SparkSpec {
       .contains("from"), "an unbounded range bucket is malformed")
   }
 
+  test("fuzziness: the typo'd query finds the clean doc") {
+    // "alpa" is one edit from "alpha" — alpha docs {0,1,4}; doc 0's
+    // two alphas give tf=2 and the shortest dl → it ranks first
+    val fz = ids(run("""{"query": {"match": {"text":
+      {"query": "alpa", "fuzziness": 1}}}}""", tiny))
+    assert(fz.toSet == Set(0L, 1L, 4L) && fz.head == 0L, s"got $fz")
+    // the exact form of the typo matches nothing — fuzziness IS the fix
+    assert(run("""{"query": {"match": {"text": "alpa"}}}""", tiny).isEmpty)
+    // AUTO resolves per term length: 4 chars → one edit
+    assert(ids(run("""{"query": {"match": {"text":
+      {"query": "alpa", "fuzziness": "AUTO"}}}}""", tiny)).toSet ==
+      Set(0L, 1L, 4L))
+    // AUTO over a 1-2 char term is EXACT (the ES AUTO:3,6 law)
+    assert(run("""{"query": {"match": {"text":
+      {"query": "al", "fuzziness": "AUTO"}}}}""", tiny).isEmpty)
+    // fuzziness 0 compiles as the exact clause — bit-for-bit
+    assert(run("""{"query": {"match": {"text":
+      {"query": "alpha", "fuzziness": 0}}}}""", tiny) ==
+      run("""{"query": {"match": {"text": "alpha"}}}""", tiny))
+    // operator "and" gates on EVERY fuzzy term
+    assert(ids(run("""{"query": {"match": {"text":
+      {"query": "alpa beta", "fuzziness": 1, "operator": "and"}}}}""",
+      tiny)).toSet == Set(1L, 4L))
+    // a fuzzy clause in filter context gates without statistics
+    assert(ids(run("""{"query": {"bool": {"filter": [{"match": {"text":
+      {"query": "alpa", "fuzziness": 1}}}]}}}""", tiny)).toSet ==
+      Set(0L, 1L, 4L))
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"match_phrase": {"text":
+      {"query": "alpha beta", "fuzziness": 1}}}}""").contains("fuzziness"),
+      "a phrase's adjacency is exact — fuzziness on it must refuse")
+    assert(msg("""{"query": {"match": {"text":
+      {"query": "alpha", "fuzziness": 3}}}}""").contains("AUTO"),
+      "edit budgets past Lucene's bound of 2 must refuse")
+  }
+
   test("minimum_should_match grammar: percentages, negatives, conditionals") {
     // three shoulds over tiny: alpha {0,1,4}, beta {1,2,3,4},
     // gamma {2,4} — per-doc hit counts 0:1 1:2 2:2 3:1 4:3
@@ -475,6 +515,9 @@ class DslSpec extends SparkSpec {
     assert(Dsl.dslMsearchServed(spark, sfDir).collect().toSeq ==
       Dsl.dslMsearch(spark, sfDir).collect().toSeq,
       "index-served _msearch diverged from the scan batch")
+    assert(Dsl.searchDslFuzzyServed(spark, sfDir).collect().toSeq ==
+      Dsl.searchDslFuzzy(spark, sfDir).collect().toSeq,
+      "term-dictionary-served fuzzy DSL diverged from the scan path")
     // a doc-value-less field refuses loudly instead of scanning text
     val idx = Dsl.searchDslServed(spark, sfDir) // memo warm
     val e = intercept[IllegalArgumentException](
