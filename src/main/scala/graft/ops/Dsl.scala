@@ -98,8 +98,17 @@ object Dsl {
       boost: BigDecimal, andOp: Boolean) extends Node
   final case class MultiMatchQ(fields: Seq[(String, BigDecimal)],
       terms: Seq[String], boost: BigDecimal) extends Node
+  /** `slop` > 0 relaxes adjacency: a phrase START at position x (of
+    * term 0) matches when every later term j has a position in
+    * [x+j, x+j+slop] — each window checked independently, so modest
+    * reorderings inside the budget match (ES slop permits transposes
+    * too). slop 0 degenerates to EXACT adjacency and compiles through
+    * the original positional machinery bit-for-bit (DslSpec pins it).
+    * This windowed form is the deterministic documented stand-in for
+    * Lucene's sloppy phrase freq (whose 1/(distance+1) weighting is
+    * scorer-internal). */
   final case class PhraseQ(field: String, terms: Seq[String],
-      boost: BigDecimal) extends Node
+      boost: BigDecimal, slop: Int = 0) extends Node
   final case class TermQ(field: String, value: Scalar,
       boost: BigDecimal) extends Node
   final case class TermsQ(field: String, values: Seq[Scalar]) extends Node
@@ -409,14 +418,16 @@ object Dsl {
     * would change which documents match, exactly the failure mode
     * this module's contract bans. */
   private def queryText(body: JValue, clause: String,
-      allowOperator: Boolean): (String, String, BigDecimal, Boolean,
-        Option[Int]) =
+      allowOperator: Boolean, allowSlop: Boolean = false)
+      : (String, String, BigDecimal, Boolean, Option[Int], Option[Int]) =
     body match {
-      case JObject(List((field, JString(s)))) => (field, s, one, false, None)
+      case JObject(List((field, JString(s)))) =>
+        (field, s, one, false, None, None)
       case JObject(List((field, o: JObject))) =>
         val known =
-          if (allowOperator) Set("query", "boost", "operator", "fuzziness")
-          else Set("query", "boost")
+          (if (allowOperator) Set("query", "boost", "operator", "fuzziness")
+           else Set("query", "boost")) ++
+            (if (allowSlop) Set("slop") else Set.empty)
         o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
           .foreach(k => fail(s"$clause.$field has unsupported option " +
             s"'$k' — supported: ${known.toSeq.sorted.mkString(", ")} " +
@@ -437,8 +448,14 @@ object Dsl {
           case v => fail(s"$clause.$field fuzziness must be 0, 1, 2 or " +
             s""""AUTO", got $v (Lucene's own edit-budget bound is 2)""")
         }
+        val slop = o \ "slop" match {
+          case JNothing => None
+          case JInt(n) if n >= 0 => Some(n.toInt)
+          case v => fail(s"$clause.$field slop must be a non-negative " +
+            s"integer, got $v")
+        }
         o \ "query" match {
-          case JString(s) => (field, s, boostOf(o), andOp, fuzz)
+          case JString(s) => (field, s, boostOf(o), andOp, fuzz, slop)
           case _ => fail(s"$clause.$field needs a \"query\" string")
         }
       case other => fail(s"$clause expects {field: text}, got $other")
@@ -479,7 +496,7 @@ object Dsl {
           nodeSeq(body \ "must_not", "must_not"),
           nodeSeq(body \ "filter", "filter"), msm)
       case "match" =>
-        val (field, text, boost, andOp, fuzz) =
+        val (field, text, boost, andOp, fuzz, _) =
           queryText(body, "match", allowOperator = true)
         checkAnalyzed(field, "match")
         val terms = analyzed(text)
@@ -494,13 +511,14 @@ object Dsl {
             else MatchFzQ(field, budgeted, boost, andOp)
         }
       case "match_phrase" =>
-        val (field, text, boost, _, _) =
-          queryText(body, "match_phrase", allowOperator = false)
+        val (field, text, boost, _, _, slop) =
+          queryText(body, "match_phrase", allowOperator = false,
+            allowSlop = true)
         checkAnalyzed(field, "match_phrase")
         val terms = analyzed(text)
         if (terms.isEmpty)
           fail(s"match_phrase.$field has no terms after analysis")
-        PhraseQ(field, terms, boost)
+        PhraseQ(field, terms, boost, slop.getOrElse(0))
       case "multi_match" => body match {
         case o: JObject =>
           val known = Set("query", "fields", "type", "boost")
@@ -886,12 +904,15 @@ object Dsl {
         fs.flatMap { case (f, _) => ts.map((f, _)) }
     }.distinct
 
-  private def pkeysOf(n: Node): Seq[(String, Seq[String])] =
-    collectCtx(n, true) { case (PhraseQ(f, ts, _), _) => Seq((f, ts)) }.distinct
+  private def pkeysOf(n: Node): Seq[(String, Seq[String], Int)] =
+    collectCtx(n, true) {
+      case (PhraseQ(f, ts, _, sl), _) => Seq((f, ts, sl))
+    }.distinct
 
-  private def pkeysScoredOf(n: Node): Seq[(String, Seq[String])] =
-    collectCtx(n, true) { case (PhraseQ(f, ts, _), true) => Seq((f, ts)) }
-      .distinct
+  private def pkeysScoredOf(n: Node): Seq[(String, Seq[String], Int)] =
+    collectCtx(n, true) {
+      case (PhraseQ(f, ts, _, sl), true) => Seq((f, ts, sl))
+    }.distinct
 
   /** Distinct FUZZY (field, term, edit-budget) keys — the third
     * feature family, columns qzf (tf) / qzd (df). */
@@ -956,7 +977,7 @@ object Dsl {
     if (field == Search.DefaultField) "sumdl" else "hsumdl"
 
   private type TIdx = Map[(String, String), Int]
-  private type PIdx = Map[(String, Seq[String]), Int]
+  private type PIdx = Map[(String, Seq[String], Int), Int]
   private type KIdx = Map[(String, Scalar), Int]
   private type ZIdx = Map[(String, String, Int), Int]
 
@@ -1059,8 +1080,8 @@ object Dsl {
         Some(boosted(best, boost))
       }
       C(pred, predSql, score)
-    case PhraseQ(field, terms, boost) =>
-      val i = pfIdx((field, terms))
+    case PhraseQ(field, terms, boost, slop) =>
+      val i = pfIdx((field, terms, slop))
       val score =
         if (scored) Some(boosted(
           (Search.bm25ScoreOf(1, _ => col(s"qpf$i"), _ => col(s"qpd$i"),
@@ -1192,8 +1213,9 @@ object Dsl {
   /** The full clause inventory + compiled predicate of one body —
     * everything both serving paths and both SQL generators need. */
   private case class Plan(q: Node, size: Int,
-      tkeys: Seq[(String, String)], pkeys: Seq[(String, Seq[String])],
-      stkeys: Seq[(String, String)], spkeys: Seq[(String, Seq[String])],
+      tkeys: Seq[(String, String)], pkeys: Seq[(String, Seq[String], Int)],
+      stkeys: Seq[(String, String)],
+      spkeys: Seq[(String, Seq[String], Int)],
       skts: Seq[(String, Scalar)], exact: Seq[String],
       tfIdx: TIdx, pfIdx: PIdx, ktIdx: KIdx, c: C,
       from: Int = 0, sortKeys: Seq[(String, Boolean)] = Seq.empty,
@@ -1465,6 +1487,20 @@ object Dsl {
   private def phraseFreq(nt: Column, ws: Seq[String]): Column =
     size(regexp_extract_all(nt, lit(phrasePattern(ws)), lit(0)))
 
+  /** SLOPPY phrase frequency over the token array (slop > 0): count of
+    * positions x of word 0 such that every word j has a position in
+    * [x+j, x+j+slop] (1-based). Plain higher-order array ops — the
+    * DuckDB oracle emits the identical position arithmetic. */
+  private def slopFreq(arr: Column, ws: Seq[String], slop: Int): Column = {
+    def posOf(w: String): Column =
+      filter(transform(arr, (x, i) =>
+        when(x === lit(w), i + 1).otherwise(lit(-1))), p => p > 0)
+    if (ws.size == 1) size(posOf(ws.head))
+    else size(filter(posOf(ws.head), x =>
+      (1 until ws.size).map(j => exists(posOf(ws(j)),
+        p => p >= x + lit(j) && p <= x + lit(j + slop))).reduce(_ && _)))
+  }
+
   /** The per-document feature frame of the SCAN path: doc_id, the
     * referenced exact fields, dl/hdl (only when the query touches
     * text), and the qtf/qpf feature counts. A query with no
@@ -1488,16 +1524,17 @@ object Dsl {
       val tfCols = p.tkeys.map { case k @ (f, t) =>
         TextAnalysis.hitCount(src(f), Seq(t)).as(s"qtf${p.tfIdx(k)}")
       }
-      val pfCols = p.pkeys.map { case k @ (f, ws) =>
-        phraseFreq(src(f), ws).as(s"qpf${p.pfIdx(k)}")
+      def tarr(f: String) = if (f == Search.DefaultField) toksC
+        else slice(toksC, 1, Search.HeadLen)
+      val pfCols = p.pkeys.map { case k @ (f, ws, sl) =>
+        (if (sl == 0) phraseFreq(src(f), ws)
+         else slopFreq(tarr(f), ws, sl)).as(s"qpf${p.pfIdx(k)}")
       }
       // fuzzy tf: tokens within the edit budget — token-grain, the
       // same classic Levenshtein DP both engines implement (the
       // oracle-green `fuzzy_match` pairing)
       val zfCols = p.zkeys.map { case k @ (f, t, d) =>
-        val arr = if (f == Search.DefaultField) toksC
-          else slice(toksC, 1, Search.HeadLen)
-        size(filter(arr, x => levenshtein(x, lit(t)) <= lit(d)))
+        size(filter(tarr(f), x => levenshtein(x, lit(t)) <= lit(d)))
           .as(s"qzf${p.zfIdx(k)}")
       }
       docs.select(($"doc_id" +: fields) ++ dlCols ++ tfCols ++ pfCols ++
@@ -1725,13 +1762,28 @@ object Dsl {
         s"len(list_filter(${arr(f)}, x -> x = '${quoteSql(t)}')) " +
           s"AS qtf${p.tfIdx(k)}"
       }
-      val pfDefs = p.pkeys.map { case k @ (f, ws) =>
+      val pfDefs = p.pkeys.map { case k @ (f, ws, sl) =>
         val a = arr(f)
-        val conds = ws.zipWithIndex.map { case (w, j) =>
-          s"$a[i + $j] = '${quoteSql(w)}'"
-        }.mkString(" AND ")
-        s"len(list_filter(range(1, len($a) - ${ws.length - 2}), " +
-          s"i -> $conds)) AS qpf${p.pfIdx(k)}"
+        if (sl == 0) {
+          val conds = ws.zipWithIndex.map { case (w, j) =>
+            s"$a[i + $j] = '${quoteSql(w)}'"
+          }.mkString(" AND ")
+          s"len(list_filter(range(1, len($a) - ${ws.length - 2}), " +
+            s"i -> $conds)) AS qpf${p.pfIdx(k)}"
+        } else {
+          // [[slopFreq]]'s position arithmetic, emitted in lockstep
+          def pos(w: String) = s"list_filter(range(1, len($a) + 1), " +
+            s"i -> $a[i] = '${quoteSql(w)}')"
+          if (ws.size == 1) s"len(${pos(ws.head)}) AS qpf${p.pfIdx(k)}"
+          else {
+            val conds = (1 until ws.size).map { j =>
+              s"len(list_filter(${pos(ws(j))}, p -> p >= x + $j AND " +
+                s"p <= x + ${j + sl})) > 0"
+            }.mkString(" AND ")
+            s"len(list_filter(${pos(ws.head)}, x -> $conds)) " +
+              s"AS qpf${p.pfIdx(k)}"
+          }
+        }
       }
       val zfDefs = p.zkeys.map { case k @ (f, t, d) =>
         s"len(list_filter(${arr(f)}, x -> " +
@@ -2402,7 +2454,7 @@ object Dsl {
       }
       po.groupBy($"doc_id").agg(cols.head, cols.tail: _*)
     }
-    val phFrames = p.pkeys.map { case k @ (fld, ws) =>
+    val phFrames = p.pkeys.map { case k @ (fld, ws, sl) =>
       val po = posts.get
       val parts = ws.zipWithIndex.map { case (w, j) =>
         po.filter($"field" === fld && $"tok" === w)
@@ -2411,12 +2463,16 @@ object Dsl {
       val joined = parts.reduce((a, c) => a.join(c, "doc_id"))
       // count phrase STARTS: positions x of word 0 whose successors
       // x+j all appear in word j's list — overlapping hits all count,
-      // the scan path's positional regex semantics
+      // the scan path's positional regex semantics; slop > 0 widens
+      // each successor's window to [x+j, x+j+slop] ([[slopFreq]])
       val cnt =
         if (ws.size == 1) size(col("p0"))
-        else size(filter(col("p0"), x =>
+        else if (sl == 0) size(filter(col("p0"), x =>
           (1 until ws.size).map(j => array_contains(col(s"p$j"), x + lit(j)))
             .reduce(_ && _)))
+        else size(filter(col("p0"), x =>
+          (1 until ws.size).map(j => exists(col(s"p$j"),
+            p => p >= x + lit(j) && p <= x + lit(j + sl))).reduce(_ && _)))
       joined.select($"doc_id", cnt.cast("int").as(s"qpf${p.pfIdx(k)}"))
     }
     // fuzzy tf from the index: postings rows whose TOKEN is within the
@@ -3000,6 +3056,27 @@ object Dsl {
   def searchDslFuzzyServed(spark: SparkSession, dir: String): DataFrame =
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), FuzzyQuery)
+
+  /** Registered SLOPPY-PHRASE body — "vector merge" within a 2-token
+    * window: adjacency plus up to two interveners. tf counts the
+    * windowed starts, scored as a term (the exact-phrase convention);
+    * oracle generated from the same AST (identical position
+    * arithmetic). */
+  val PhraseSlopQuery: String =
+    """{"query": {"match_phrase": {"text":
+      |  {"query": "vector merge", "slop": 2}}}, "size": 30}""".stripMargin
+
+  def searchDslPhraseSlop(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), PhraseSlopQuery)
+
+  val searchDslPhraseSlopSql: String = dslSql(PhraseSlopQuery)
+
+  /** Registered query: [[PhraseSlopQuery]] SERVED — the windowed
+    * position intersect over the index's positional postings; same
+    * oracle as the scan form. */
+  def searchDslPhraseSlopServed(spark: SparkSession, dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), PhraseSlopQuery)
 
   /** Registered query: [[DslQuery]] resolved THROUGH the daily-index
     * ALIAS ([[Search.readAlias]] → [[searchDslFromIndexes]] across the

@@ -382,6 +382,47 @@ class DslSpec extends SparkSpec {
       .contains("from"), "an unbounded range bucket is malformed")
   }
 
+  test("match_phrase slop: windowed starts; slop 0 ≡ exact adjacency bit-for-bit") {
+    // gap corpus: "alpha X beta" variants at increasing distances
+    val gaps = Seq(
+      (0L, "alpha beta end"),
+      (1L, "alpha mid beta"),
+      (2L, "alpha mid mid beta"),
+      (3L, "beta alpha"),
+      (4L, "alpha alpha beta")).toDF("doc_id", "text")
+    def slopHits(sl: Int): Seq[Long] =
+      ids(run(s"""{"query": {"match_phrase": {"text":
+        {"query": "alpha beta", "slop": $sl}}}}""", gaps)).sorted
+    assert(slopHits(0) == Seq(0L, 4L), "slop 0: adjacency only")
+    assert(slopHits(1) == Seq(0L, 1L, 4L), "slop 1: one intervener")
+    assert(slopHits(2) == Seq(0L, 1L, 2L, 4L), "slop 2: two")
+    // doc 4's "alpha alpha beta" under slop 1: BOTH alphas start a
+    // windowed match — phrase tf = 2, so at equal dl it must outrank
+    // doc 0's single adjacent start (the overlapping-starts convention
+    // carried into the sloppy form)
+    assert(ids(run(s"""{"query": {"match_phrase": {"text":
+      {"query": "alpha beta", "slop": 1}}}}""", gaps)).head == 4L,
+      "the doc with two windowed starts must rank first")
+    // explicit slop 0 compiles through the EXACT positional machinery —
+    // the whole result (ranking, provenance) is bit-identical
+    assert(run("""{"query": {"match_phrase": {"text":
+      {"query": "alpha beta", "slop": 0}}}}""", gaps) ==
+      run("""{"query": {"match_phrase": {"text": "alpha beta"}}}""", gaps))
+    // served twin ≡ scan on the real corpus (positional postings)
+    assert(Dsl.searchDslPhraseSlopServed(spark, sfDir).collect().toSeq ==
+      Dsl.searchDslPhraseSlop(spark, sfDir).collect().toSeq,
+      "position-window-served slop diverged from the scan path")
+    assert(Dsl.searchDslPhraseSlop(spark, sfDir).collect().nonEmpty,
+      "the registered slop body must hit on the fixture corpus")
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"match_phrase": {"text":
+      {"query": "alpha beta", "slop": -1}}}}""").contains("slop"))
+    assert(msg("""{"query": {"match": {"text":
+      {"query": "alpha", "slop": 1}}}}""").contains("slop"),
+      "slop has no meaning on a bag-of-terms match — refuse")
+  }
+
   test("fuzziness: the typo'd query finds the clean doc") {
     // "alpa" is one edit from "alpha" — alpha docs {0,1,4}; doc 0's
     // two alphas give tf=2 and the shortest dl → it ranks first
