@@ -123,6 +123,29 @@ object Dsl {
     extends Node
   case object MatchAllQ extends Node
 
+  /** The ES `nested` query over the reference mapping's signature
+    * field — `tags`, an array<struct<type,value>> (mapping.json:41-56,
+    * index_topic.avro:26-50): the inner query must be satisfied by ONE
+    * nested object (`exists(tags, t -> …)`), never assembled across
+    * elements — the entire point of the nested type vs a flattened
+    * object. Inner clauses address `tags.type` / `tags.value` with
+    * term / terms / match (analyzed token membership) / exists,
+    * composable under an inner bool. Unscored (the constant-score
+    * membership convention this module documents for terms/ids; ES's
+    * score_mode child blending is scorer-internal). */
+  final case class NestedQ(path: String, query: NestedNode) extends Node
+
+  sealed trait NestedNode
+  final case class NTermQ(sub: String, value: Scalar) extends NestedNode
+  final case class NTermsQ(sub: String, values: Seq[Scalar])
+    extends NestedNode
+  final case class NMatchQ(sub: String, terms: Seq[String])
+    extends NestedNode
+  final case class NExistsQ(sub: String) extends NestedNode
+  final case class NBoolQ(must: Seq[NestedNode], should: Seq[NestedNode],
+      mustNot: Seq[NestedNode], filter: Seq[NestedNode],
+      minShould: Option[Int]) extends NestedNode
+
   /** Aggregation request (`"aggs"` beside `"query"` — the other half
     * of a real ES search body; the reference's index exists to be
     * aggregated over, mapping.json's date fields). Bucket aggs: terms
@@ -670,15 +693,129 @@ object Dsl {
           }
         case other => fail(s"dis_max expects an object, got $other")
       }
+      case "nested" => body match {
+        case o: JObject =>
+          val known = Set("path", "query")
+          o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+            .foreach(k => fail(s"nested has unsupported option '$k' — " +
+              "supported: path, query (score_mode is moot: nested " +
+              "clauses are membership predicates here, unscored)"))
+          val path = o \ "path" match {
+            case JString(p) if p.nonEmpty => p
+            case _ => fail("nested needs a \"path\" string")
+          }
+          o \ "query" match {
+            case JNothing => fail("nested needs a \"query\" clause")
+            case q => NestedQ(path, nestedNode(path, q))
+          }
+        case other => fail(s"nested expects an object, got $other")
+      }
       case "match_all" => MatchAllQ
       case other => fail(s"unsupported query type '$other' — supported: " +
         "bool, constant_score, dis_max, exists, ids, match, match_all, " +
-        "match_phrase, multi_match, prefix, range, term, terms, wildcard")
+        "match_phrase, multi_match, nested, prefix, range, term, terms, " +
+        "wildcard")
     }
     case JObject(fields) =>
       fail(s"a query clause must have exactly one key, got " +
         s"${fields.map(_._1).mkString(", ")}")
     case other => fail(s"a query clause must be an object, got $other")
+  }
+
+  /** The nested struct's subfields — the reference mapping's tags
+    * shape (mapping.json:41-56: `type` and `value` keyword subfields);
+    * an inner clause addressing anything else refuses loudly at parse
+    * (the engine cannot see the struct schema until execution, and a
+    * silent typo'd subfield must not become a runtime analysis
+    * error). */
+  val NestedSubFields: Seq[String] = Seq("type", "value")
+
+  /** Strip and validate the `path.` prefix of an inner nested field —
+    * ES nested queries address subfields by FULL path. */
+  private def nestedSub(path: String, field: String): String = {
+    if (!field.startsWith(path + "."))
+      fail(s"nested.$path: inner clause field '$field' must be " +
+        s"'$path.<subfield>' (ES full-path addressing)")
+    val sub = field.stripPrefix(path + ".")
+    if (!NestedSubFields.contains(sub))
+      fail(s"nested.$path: no subfield '$sub' in the tags mapping — " +
+        s"subfields: ${NestedSubFields.mkString(", ")}")
+    sub
+  }
+
+  private def nestedSeq(path: String, v: JValue, ctx: String)
+      : Seq[NestedNode] = v match {
+    case JNothing => Seq.empty
+    case JArray(items) => items.map(nestedNode(path, _))
+    case single: JObject => Seq(nestedNode(path, single))
+    case other => fail(s"nested bool.$ctx must be an array of clauses, " +
+      s"got $other")
+  }
+
+  private def nestedNode(path: String, v: JValue): NestedNode = v match {
+    case JObject(List((name, body))) => name match {
+      case "term" => body match {
+        case JObject(List((field, o: JObject))) =>
+          o.obj.collectFirst { case (k, _) if k != "value" => k }
+            .foreach(k => fail(s"nested term.$field has unsupported " +
+              s"option '$k' — supported: value"))
+          o \ "value" match {
+            case JNothing => fail(s"nested term.$field needs a \"value\"")
+            case value => NTermQ(nestedSub(path, field), scalar(value))
+          }
+        case JObject(List((field, value))) =>
+          NTermQ(nestedSub(path, field), scalar(value))
+        case other => fail(s"nested term expects {field: value}, got $other")
+      }
+      case "terms" => body match {
+        case JObject(List((field, JArray(values)))) =>
+          if (values.isEmpty)
+            fail(s"nested terms.$field has an empty value list")
+          NTermsQ(nestedSub(path, field), values.map(scalar))
+        case other =>
+          fail(s"nested terms expects {field: [values]}, got $other")
+      }
+      case "match" => body match {
+        case JObject(List((field, JString(s)))) =>
+          val terms = analyzed(s)
+          if (terms.isEmpty)
+            fail(s"nested match.$field has no terms after analysis")
+          NMatchQ(nestedSub(path, field), terms)
+        case other => fail(s"nested match expects {field: text}, " +
+          s"got $other (modifiers have no meaning on a tag value)")
+      }
+      case "exists" => body \ "field" match {
+        case JString(f) => NExistsQ(nestedSub(path, f))
+        case _ => fail("nested exists needs {\"field\": name}")
+      }
+      case "bool" =>
+        val known = Set("must", "should", "must_not", "filter",
+          "minimum_should_match")
+        body match {
+          case JObject(fields) =>
+            fields.collectFirst {
+              case (k, _) if !known.contains(k) => k
+            }.foreach(k => fail(s"nested bool has unsupported section " +
+              s"'$k' — supported: ${known.toSeq.sorted.mkString(", ")}"))
+          case other => fail(s"nested bool expects an object, got $other")
+        }
+        val shoulds = nestedSeq(path, body \ "should", "should")
+        val msm = body \ "minimum_should_match" match {
+          case JNothing => None
+          case JInt(n) => Some(n.toInt)
+          case JString(s) => Some(resolveMsm(s, shoulds.size))
+          case o => fail(s"nested minimum_should_match must be an " +
+            s"integer or grammar string, got $o")
+        }
+        NBoolQ(nestedSeq(path, body \ "must", "must"), shoulds,
+          nestedSeq(path, body \ "must_not", "must_not"),
+          nestedSeq(path, body \ "filter", "filter"), msm)
+      case other => fail(s"unsupported nested query type '$other' — " +
+        "supported inside nested: bool, exists, match, term, terms " +
+        "(membership predicates over one tag)")
+    }
+    case other => fail(s"a nested query clause must be an object with " +
+      s"exactly one key, got $other")
   }
 
   // ------------------------------------------------------ parse aggs
@@ -936,6 +1073,7 @@ object Dsl {
     case (ExistsQ(f), _) => Seq(f)
     case (PrefixQ(f, _), _) => Seq(f)
     case (WildcardQ(f, _), _) => Seq(f)
+    case (NestedQ(path, _), _) => Seq(path)
   }.distinct
 
   /** Distinct SCORED `term` clauses — each needs a doc-frequency
@@ -1174,6 +1312,14 @@ object Dsl {
         }
       }
       C(pred, predSql, score)
+    case NestedQ(path, nq) =>
+      // ONE element satisfies the whole inner query: exists over the
+      // array with the compiled per-element predicate — both engines
+      // evaluate the same lambda (list_filter len > 0 ≡ exists).
+      // Unscored, the set-membership convention.
+      val (predOf, sqlOf) = nestedPred(nq)
+      C(exists(col(path), predOf),
+        s"len(list_filter(f.$path, t -> $sqlOf)) > 0", None)
     case MatchAllQ => C(lit(true), "TRUE", None)
     case BoolQ(must, should, mustNot, filterCtx, minShould) =>
       val mc = must.map(compile(_, scored, tfIdx, pfIdx, ktIdx, zfIdx))
@@ -1207,6 +1353,55 @@ object Dsl {
       C(pred, predSql,
         if (scores.isEmpty) None else Some(sumScores(scores)))
   }
+
+  /** Per-ELEMENT predicate of a nested inner query: a Column→Column
+    * lambda body and its SQL text over the lambda variable `t`,
+    * emitted by one recursion (the [[compile]] lockstep discipline
+    * applied inside the array). */
+  private def nestedPred(n: NestedNode): (Column => Column, String) =
+    n match {
+      case NTermQ(sub, v) =>
+        (t => t.getField(sub) === v.column, s"t.$sub = ${v.sql}")
+      case NTermsQ(sub, vs) =>
+        (t => vs.map(v => t.getField(sub) === v.column).reduce(_ || _),
+          vs.map(v => s"t.$sub = ${v.sql}").mkString("(", " OR ", ")"))
+      case NMatchQ(sub, terms) =>
+        // analyzed token membership over the tag value — any query
+        // term present (the match OR convention); the value analyzes
+        // exactly like corpus text
+        (t => terms.map(w =>
+          array_contains(TextAnalysis.toks(t.getField(sub)), w))
+          .reduce(_ || _),
+          terms.map(w => "len(list_filter(string_split(regexp_replace(" +
+            s"lower(trim(t.$sub)), '\\s+', ' ', 'g'), ' '), " +
+            s"x -> x = '${quoteSql(w)}')) > 0")
+            .mkString("(", " OR ", ")"))
+      case NExistsQ(sub) =>
+        (t => t.getField(sub).isNotNull, s"t.$sub IS NOT NULL")
+      case NBoolQ(must, should, mustNot, filterCtx, minShould) =>
+        val mc = (must ++ filterCtx).map(nestedPred)
+        val nc = mustNot.map(nestedPred)
+        val sc = should.map(nestedPred)
+        val msm = minShould.getOrElse(
+          if (must.nonEmpty || filterCtx.nonEmpty) 0 else 1)
+        val gateSql =
+          if (sc.isEmpty || msm <= 0) None
+          else Some(sc.map(c => s"CASE WHEN ${c._2} THEN 1 ELSE 0 END")
+            .mkString("(", " + ", s") >= $msm"))
+        val sqls = mc.map(_._2) ++ nc.map(c => s"NOT ${c._2}") ++ gateSql
+        val sql =
+          if (sqls.isEmpty) "TRUE"
+          else sqls.mkString("(", " AND ", ")")
+        val colFn: Column => Column = t => {
+          val gate: Option[Column] =
+            if (sc.isEmpty || msm <= 0) None
+            else Some(sc.map(c => when(c._1(t), 1).otherwise(0))
+              .reduce(_ + _) >= msm)
+          val parts = mc.map(_._1(t)) ++ nc.map(c => !c._1(t)) ++ gate
+          parts.reduceOption(_ && _).getOrElse(lit(true))
+        }
+        (colFn, sql)
+    }
 
   // --------------------------------------------- shared frame builder
 
@@ -2415,7 +2610,7 @@ object Dsl {
     require(indexDirs.nonEmpty, "servedParts: no indices given")
     val roots = indexDirs.map(Search.requireIndex(spark, _))
     val servable = "doc_id" +: (Search.DocValueFields ++
-      Search.NumDocValueFields)
+      Search.NumDocValueFields ++ Search.NestedDocValueFields)
     (p.exact ++ extraFields).distinct.foreach { f =>
       if (!servable.contains(f))
         fail(s"field '$f' has no doc-values in the index — indexed " +
@@ -2423,8 +2618,13 @@ object Dsl {
     }
     val metaFields = (p.exact ++ extraFields).distinct.filter(_ != "doc_id")
     val meta = roots.map { root =>
-      spark.read.parquet(s"$root/docmeta")
-        .select(($"doc_id" +: metaFields.map(col)): _*)
+      val d = spark.read.parquet(s"$root/docmeta")
+      // an index built before a doc-value family existed must refuse
+      // loudly, not surface a Spark analysis error mid-plan
+      metaFields.filterNot(d.columns.contains).foreach(f =>
+        fail(s"field '$f' is not stored in the index docmeta under " +
+          s"$root — rebuild the index from a corpus carrying it"))
+      d.select(($"doc_id" +: metaFields.map(col)): _*)
     }.reduce(_ unionByName _)
     val allToks = (p.tkeys.map(_._2) ++ p.pkeys.flatMap(_._2)).distinct
     val posts =
@@ -3077,6 +3277,46 @@ object Dsl {
   def searchDslPhraseSlopServed(spark: SparkSession, dir: String): DataFrame =
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), PhraseSlopQuery)
+
+  /** Registered NESTED body over the INGEST corpus (where tags live —
+    * [[Ingest.ingestDocs]]): one nested clause that must be satisfied
+    * by a SINGLE tag (type = "k" AND value ∈ {9, 15}), a must_not
+    * nested clause (no error-typed tag), and the daily-window terms
+    * filter that makes the scan twin range over exactly the documents
+    * the daily indices hold. Filter-context throughout (scoreless —
+    * the nested-filter shape ES users write), so the scan and the
+    * 3-member served evaluation share one oracle with no statistics
+    * divergence. */
+  val NestedQuery: String = {
+    val dates = Search.IngestWindowDates.map(d => s""""$d"""")
+      .mkString("[", ", ", "]")
+    s"""{"query": {"bool": {
+       |  "filter": [
+       |    {"nested": {"path": "tags", "query": {"bool": {
+       |      "must": [{"term": {"tags.type": "k"}},
+       |               {"terms": {"tags.value": ["9", "15"]}}]}}}},
+       |    {"terms": {"persist_date": $dates}}],
+       |  "must_not": [
+       |    {"nested": {"path": "tags", "query": {"bool": {
+       |      "must": [{"term": {"tags.type": "etype"}},
+       |               {"match": {"tags.value": "error"}}]}}}}]
+       |}}, "size": 100}""".stripMargin
+  }
+
+  def searchDslNested(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Ingest.ingestDocs(spark, dir), NestedQuery)
+
+  val searchDslNestedSql: String =
+    dslSqlOver(NestedQuery, Ingest.IngestDocsRel)
+
+  /** Registered query: [[NestedQuery]] SERVED from the daily INGEST
+    * indices through their alias — the nested predicate evaluates on
+    * docmeta's stored tags array (a pure doc-values filter, no corpus
+    * read); same oracle as the scan twin. */
+  def searchDslNestedServed(spark: SparkSession, dir: String): DataFrame = {
+    val alias = Search.sharedIngestDailyIndexDirs(spark, dir)._2
+    searchDslFromIndexes(spark, Search.readAlias(spark, alias), NestedQuery)
+  }
 
   /** Registered query: [[DslQuery]] resolved THROUGH the daily-index
     * ALIAS ([[Search.readAlias]] → [[searchDslFromIndexes]] across the

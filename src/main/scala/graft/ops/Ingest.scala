@@ -312,6 +312,35 @@ object Ingest {
     ()
   }
 
+  /** The INGEST corpus as a searchable document frame — the shape the
+    * reference actually indexes (index_topic.avro:26-50, ES
+    * mapping.json): doc_id = event_id, the analyzed text field =
+    * event_type, the NESTED `tags` array<struct<type,value>> (one tag
+    * per (etype, k) pair — the [[explodeTags]] model, kept nested),
+    * and the ts-derived persist_date the daily rolling index keys on
+    * (es.go:79-81). This is the corpus [[Dsl]] nested queries and the
+    * daily ingest indices serve. */
+  def ingestDocs(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    Tables.par(Tables.events(spark, dir)).select(
+      $"event_id".as("doc_id"),
+      $"event_type".as("text"),
+      array(
+        struct(lit("etype").as("type"), $"event_type".as("value")),
+        struct(lit("k").as("type"),
+          get_json_object($"props", "$.k").as("value"))).as("tags"),
+      date_format($"ts", "yyyy-MM-dd").as("persist_date"))
+  }
+
+  /** The oracle-side relation of [[ingestDocs]]. */
+  val IngestDocsRel: String =
+    """(SELECT event_id AS doc_id, event_type AS text,
+      |  [struct_pack(type := 'etype', value := event_type),
+      |   struct_pack(type := 'k',
+      |     value := json_extract_string(props, '$.k'))] AS tags,
+      |  strftime(ts, '%Y-%m-%d') AS persist_date
+      | FROM events)""".stripMargin
+
   val tagsExistsSql: String =
     """SELECT event_id, event_type
       |FROM (SELECT event_id, event_type,

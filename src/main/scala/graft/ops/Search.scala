@@ -2171,6 +2171,16 @@ object Search {
     * would order lexicographically and silently mis-filter). */
   val NumDocValueFields: Seq[String] = Seq("n_chars")
 
+  /** NESTED doc-values — the reference mapping's `tags`
+    * array<struct<type,value>> (mapping.json:41-56), stored doc-grain
+    * in docmeta so a served `nested` query is a pure doc-values
+    * filter (Lucene keeps nested docs in the same segment block for
+    * exactly this locality). Null array when the build's input lacks
+    * it — the dynamic-mapping convention, keeping one docmeta schema
+    * across epochs. */
+  val NestedDocValueFields: Seq[String] = Seq("tags")
+  private val TagsType = "array<struct<type:string,value:string>>"
+
   /** The deterministic ingest date: the reference stamps documents
     * with `persist_time = now()` at index time (model.go:30) and
     * names its daily index from it (es.go:79-81); `now()` is not
@@ -2200,7 +2210,10 @@ object Search {
        else lit(null).cast("string")).as(c)) ++
       NumDocValueFields.map(c =>
         (if (docs.columns.contains(c)) col(c).cast("long")
-         else lit(null).cast("long")).as(c))
+         else lit(null).cast("long")).as(c)) ++
+      NestedDocValueFields.map(c =>
+        (if (docs.columns.contains(c)) col(c).cast(TagsType)
+         else lit(null).cast(TagsType)).as(c))
     docs.select(($"doc_id" +: metaCols) :+ lit(epoch).as("epoch"): _*)
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch").parquet(s"$root/docmeta")
@@ -3217,6 +3230,35 @@ object Search {
     * through. */
   private[ops] def dailyAliasPath(spark: SparkSession, dir: String): String =
     sharedDailyIndexDirs(spark, dir)._2
+
+  /** The INGEST corpus's daily rolling window — the reference's real
+    * serving set (es.go:78-116: index per ingest date + alias over the
+    * retained days). The engine indexes [[IngestWindowDates]] of the
+    * events fixture's dates ([[Ingest.ingestDocs]] shape: docmeta
+    * carries the NESTED tags array alongside persist_date). Memoized
+    * under `dir + "#ingestdaily"` so [[invalidate]] drops it. Returns
+    * (member dirs, alias path). */
+  val IngestWindowDates: Seq[String] =
+    Seq("2024-01-01", "2024-01-02", "2024-01-03")
+
+  private[ops] def sharedIngestDailyIndexDirs(spark: SparkSession,
+      dir: String): (Seq[String], String) = synchronized {
+    import spark.implicits._
+    val base = sys.props("java.io.tmpdir") +
+      "/graft_ingestidx_" + Tables.viewSuffix(dir)
+    val dirs = IngestWindowDates.map(d => s"$base/idx-$d")
+    val alias = s"$base/$AliasFile"
+    val key = (spark.sparkContext.applicationId, dir + "#ingestdaily")
+    if (!builtIndexes.contains(key)) {
+      val docs = Ingest.ingestDocs(spark, dir)
+      IngestWindowDates.zip(dirs).foreach { case (d, out) =>
+        buildSearchIndexOf(docs.filter($"persist_date" === d), out)
+      }
+      writeAlias(spark, alias, dirs)
+      builtIndexes += key
+    }
+    (dirs, alias)
+  }
 
   /** Registered query: PAGE TWO of the ranking across the daily
     * indices — [[searchCursorAcross]] + [[searchAfterAcrossIndexes]],

@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.{Dsl, Search}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{array, lit, struct}
 
 /** The ES query-DSL compiler's semantics the generated oracle can't
   * express alone: clause-context rules (filter gates without scoring,
@@ -380,6 +381,68 @@ class DslSpec extends SparkSpec {
     assert(msg("""{"query": {"match_all": {}}, "size": 0, "aggs": {
       "x": {"range": {"field": "n_chars", "ranges": [{}]}}}}""")
       .contains("from"), "an unbounded range bucket is malformed")
+  }
+
+  test("nested: ONE tag must satisfy the whole inner query") {
+    val docs = Seq(
+      (0L, "k", "error", "etype", "click"),
+      (1L, "k", "ok", "etype", "error"),
+      (2L, "k", "nine", "etype", "error"),
+      (3L, "k", "error", "etype", "error"))
+      .toDF("doc_id", "t1", "v1", "t2", "v2")
+      .select($"doc_id", array(
+        struct($"t1".as("type"), $"v1".as("value")),
+        struct($"t2".as("type"), $"v2".as("value"))).as("tags"))
+    // the nested contract: type = k AND value = error on the SAME tag.
+    // Doc 1 has (k, ok) and (etype, error) — a flattened object would
+    // wrongly assemble the match across elements; nested must not.
+    val hits = ids(run("""{"query": {"nested": {"path": "tags",
+      "query": {"bool": {"must": [
+        {"term": {"tags.type": "k"}},
+        {"match": {"tags.value": "error"}}]}}}}}""", docs))
+    assert(hits == Seq(0L, 3L),
+      s"cross-element assembly is the nested type's failure mode: $hits")
+    // terms / exists / should-with-msm inside nested
+    assert(ids(run("""{"query": {"nested": {"path": "tags",
+      "query": {"terms": {"tags.value": ["ok", "nine"]}}}}}""", docs)) ==
+      Seq(1L, 2L))
+    assert(ids(run("""{"query": {"nested": {"path": "tags",
+      "query": {"exists": {"field": "tags.value"}}}}}""", docs)).size == 4)
+    assert(ids(run("""{"query": {"nested": {"path": "tags",
+      "query": {"bool": {"should": [
+        {"term": {"tags.value": "ok"}},
+        {"term": {"tags.value": "nine"}},
+        {"term": {"tags.type": "k"}}],
+        "minimum_should_match": 2}}}}}""", docs)) == Seq(1L, 2L),
+      "msm counts per-ELEMENT inside nested")
+    // a nested clause under must_not excludes by tag membership
+    assert(ids(run("""{"query": {"bool": {
+      "must": [{"nested": {"path": "tags", "query":
+        {"term": {"tags.type": "k"}}}}],
+      "must_not": [{"nested": {"path": "tags", "query": {"bool": {
+        "must": [{"term": {"tags.type": "etype"}},
+                 {"term": {"tags.value": "error"}}]}}}}]}}}""", docs)) ==
+      Seq(0L))
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, docs)).getMessage
+    assert(msg("""{"query": {"nested": {"path": "tags",
+      "query": {"term": {"value": "x"}}}}}""").contains("tags.<subfield>"),
+      "inner fields address by full path")
+    assert(msg("""{"query": {"nested": {"path": "tags",
+      "query": {"term": {"tags.nope": "x"}}}}}""").contains("subfield"),
+      "a typo'd subfield refuses at parse, not as an analysis error")
+    assert(msg("""{"query": {"nested": {"path": "tags",
+      "query": {"range": {"tags.value": {"gte": 1}}}}}}""")
+      .contains("supported inside nested"))
+    assert(msg("""{"query": {"nested": {"path": "tags", "score_mode":
+      "avg", "query": {"term": {"tags.type": "k"}}}}}""")
+      .contains("score_mode"))
+    // the REGISTERED body over the real ingest corpus: served (daily
+    // ingest indices via the alias, tags from docmeta) ≡ scan
+    val scan = Dsl.searchDslNested(spark, sfDir).collect().toSeq
+    assert(scan.nonEmpty, "the registered nested body must hit")
+    assert(Dsl.searchDslNestedServed(spark, sfDir).collect().toSeq == scan,
+      "docmeta-served nested diverged from the scan path")
   }
 
   test("match_phrase slop: windowed starts; slop 0 ≡ exact adjacency bit-for-bit") {
