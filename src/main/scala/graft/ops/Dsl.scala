@@ -154,11 +154,25 @@ object Dsl {
     * clause as a bucket). Metric aggs: stats, avg / sum / min / max /
     * value_count, cardinality (EXACT distinct — the engine's sketch
     * lives in `agg_hll`; an oracle-checkable aggregation can't be
-    * approximate). One level of nesting: every bucket agg may carry
-    * ONE metric sub-aggregation. */
+    * approximate; `precision_threshold` opts into HLL++, rows-only).
+    * One level of nesting: every bucket agg may carry ONE
+    * sub-aggregation — a metric, or (under a grouping-keyed parent)
+    * another BUCKET agg (terms / date_histogram / histogram), the ES
+    * dashboard shape. A nested bucket is just another grouping key:
+    * the one-pass grouping-sets frame gains the set {parent, child},
+    * never a second scan. Child rows emit agg = "parent.sub", key =
+    * parent bucket, key2 = child bucket; all other rows carry
+    * key2 = "". A terms parent may `order` by its metric sub. */
   sealed trait AggNode
+  /** Terms bucket order: doc_count desc (ES default), key asc, or by
+    * a SINGLE-VALUE metric sub-aggregation's value (`"order":
+    * {"<sub name>": "desc"}} — the dashboard staple). */
+  sealed trait TermsOrder
+  case object ByCount extends TermsOrder
+  case object ByKey extends TermsOrder
+  final case class BySub(name: String, asc: Boolean) extends TermsOrder
   final case class TermsAgg(field: String, topN: Int,
-      byKey: Boolean) extends AggNode
+      order: TermsOrder) extends AggNode
   final case class DateHistAgg(field: String) extends AggNode
   final case class HistAgg(field: String, interval: Long) extends AggNode
   final case class StatsAgg(field: String) extends AggNode
@@ -855,9 +869,12 @@ object Dsl {
           parseAggSpec(sn, sb, sub = true).agg match {
             case m @ (_: StatsAgg | _: MetricAgg | _: CardinalityAgg) =>
               Some((sn, m: AggNode))
-            case _ => fail(s"sub-aggregation '$sn' must be a metric — " +
-              "bucket aggs nest one of: avg, cardinality, max, min, " +
-              "stats, sum, value_count")
+            case b @ (_: TermsAgg | _: DateHistAgg | _: HistAgg) =>
+              Some((sn, b: AggNode))
+            case _ => fail(s"sub-aggregation '$sn' must be a metric or a " +
+              "grouping bucket — bucket aggs nest one of: avg, " +
+              "cardinality, date_histogram, histogram, max, min, stats, " +
+              "sum, terms, value_count")
           }
         case List((_, JObject(_))) =>
           fail(s"agg '$name': aggs must hold exactly one sub-aggregation")
@@ -873,15 +890,18 @@ object Dsl {
               case v => fail(s"agg '$name' size must be a positive integer " +
                 s"≤ $MaxResultWindow, got $v")
             }
-            val byKey = spec \ "order" match {
-              case JNothing => false
-              case JObject(List(("_count", JString("desc")))) => false
-              case JObject(List(("_key", JString("asc")))) => true
+            val order = spec \ "order" match {
+              case JNothing => ByCount
+              case JObject(List(("_count", JString("desc")))) => ByCount
+              case JObject(List(("_key", JString("asc")))) => ByKey
+              case JObject(List((sub, JString(ord))))
+                  if sub != "_count" && sub != "_key" =>
+                BySub(sub, parseOrder(sub, ord))
               case v => fail(s"agg '$name' order must be " +
-                s"""{"_count": "desc"} (default) or {"_key": "asc"}, """ +
-                s"got $v")
+                s"""{"_count": "desc"} (default), {"_key": "asc"}, or """ +
+                s"""{"<metric sub-agg>": "asc"|"desc"}, got $v""")
             }
-            TermsAgg(f, n, byKey)
+            TermsAgg(f, n, order)
           case "date_histogram" =>
             val f = aggField(spec, name, Set("field", "calendar_interval"))
             spec \ "calendar_interval" match {
@@ -956,6 +976,33 @@ object Dsl {
       if (subSpec.nonEmpty && !aggTakesSub(agg))
         fail(s"agg '$name': metrics take no aggs — only bucket aggs " +
           "(terms, date_histogram, histogram, range, filter) nest")
+      val subIsBucket = subSpec.exists(x => !isMetric(x._2))
+      if (subIsBucket) {
+        agg match {
+          case _: TermsAgg | _: DateHistAgg | _: HistAgg => ()
+          case _ => fail(s"agg '$name': a bucket sub-aggregation needs a " +
+            "grouping-keyed parent (terms, date_histogram, histogram) — " +
+            "range/filter buckets take metric subs only")
+        }
+        subSpec.map(_._2).foreach {
+          case TermsAgg(_, _, _: BySub) =>
+            fail(s"agg '$name': a sub-terms cannot order by its own " +
+              "sub-aggregation (one level of nesting)")
+          case _ => ()
+        }
+      }
+      agg match {
+        case TermsAgg(_, _, BySub(sn, _)) => subSpec match {
+          case Some((`sn`, _: MetricAgg | _: CardinalityAgg)) => ()
+          case Some((`sn`, _)) => fail(s"agg '$name': order by '$sn' " +
+            "needs a SINGLE-VALUE metric sub (avg, sum, min, max, " +
+            "value_count, cardinality) — stats is multi-valued, " +
+            "buckets have no one value")
+          case _ => fail(s"agg '$name' orders by '$sn' but carries no " +
+            s"sub-aggregation of that name")
+        }
+        case _ => ()
+      }
       AggSpec(name, agg, subSpec)
     case other => fail(s"agg '$name' expects an object, got $other")
   }
@@ -963,6 +1010,11 @@ object Dsl {
   private def aggTakesSub(a: AggNode): Boolean = a match {
     case _: TermsAgg | _: DateHistAgg | _: HistAgg | _: RangeAgg |
          _: FilterAgg => true
+    case _ => false
+  }
+
+  private def isMetric(a: AggNode): Boolean = a match {
+    case _: StatsAgg | _: MetricAgg | _: CardinalityAgg => true
     case _ => false
   }
 
@@ -2180,21 +2232,34 @@ object Dsl {
     val gkOf = b.aggs.zipWithIndex.map { case (s, i) =>
       i -> keyExprOf(s.agg).map(_ => s"gk$i")
     }.toMap
+    // BUCKET subs under grouping-keyed parents: the child key is just
+    // another grouping column (gk2$i) and the pair set {gk$i, gk2$i}
+    // joins the grouping-sets list — nesting costs columns + one more
+    // set, never another pass
+    val bucketSubOf: Map[Int, (String, AggNode)] =
+      b.aggs.zipWithIndex.collect {
+        case (AggSpec(_, _: TermsAgg | _: DateHistAgg | _: HistAgg,
+            Some((sn, sa))), i) if !isMetric(sa) => i -> ((sn, sa))
+      }.toMap
     val gkCols = b.aggs.zipWithIndex.flatMap { case (s, i) =>
-      keyExprOf(s.agg).map(_.as(s"gk$i"))
+      keyExprOf(s.agg).map(_.as(s"gk$i")).toSeq ++
+        bucketSubOf.get(i).flatMap(x => keyExprOf(x._2))
+          .map(_.as(s"gk2$i")).toSeq
     }
     val gkNames = b.aggs.zipWithIndex.flatMap { case (s, i) =>
-      keyExprOf(s.agg).map(_ => s"gk$i")
+      keyExprOf(s.agg).map(_ => s"gk$i").toSeq ++
+        bucketSubOf.get(i).map(_ => s"gk2$i").toSeq
     }
     // metric (kind, field) pairs evaluated UNCONDITIONALLY (per
-    // grouping-set row): top-level metrics + subs of grouping-keyed
-    // buckets; range/filter subs are conditional columns instead
+    // grouping-set row): top-level metrics + metric subs of
+    // grouping-keyed buckets; range/filter subs are conditional columns
     val uncondMetrics: Seq[(String, String)] = b.aggs.flatMap { s =>
       s.agg match {
         case _: StatsAgg | _: MetricAgg | _: CardinalityAgg =>
           Seq(metricKindField(s.agg))
         case _: TermsAgg | _: DateHistAgg | _: HistAgg =>
-          s.sub.map(x => metricKindField(x._2)).toSeq
+          s.sub.filter(x => isMetric(x._2)).map(x => metricKindField(x._2))
+            .toSeq
         case _ => Seq.empty
       }
     }.distinct
@@ -2276,8 +2341,13 @@ object Dsl {
     val grouped = (
       if (gkNames.isEmpty) prep.agg(statAgg.head, statAgg.tail: _*)
       else {
-        val sets = gkNames.map(n => Seq(col(n))) ++
-          (if (hasGlobal) Seq(Seq.empty[Column]) else Seq.empty)
+        // one set per parent key; {parent, child} for bucket subs —
+        // NOT one set per name (a child-only set would be meaningless)
+        val sets = b.aggs.zipWithIndex.flatMap { case (sp, i) =>
+          keyExprOf(sp.agg).map(_ => Seq(col(s"gk$i"))).toSeq ++
+            bucketSubOf.get(i).map(_ => Seq(col(s"gk$i"), col(s"gk2$i")))
+              .toSeq
+        } ++ (if (hasGlobal) Seq(Seq.empty[Column]) else Seq.empty)
         // the grouping() indicators ride the aggregate output (they
         // cannot resolve through the persist barrier below)
         val aggOut = statAgg ++ gkNames.map(n =>
@@ -2327,7 +2397,8 @@ object Dsl {
     }
     val globalMine = gkNames.map(n => col(s"g_$n") === 1)
       .reduceOption(_ && _).getOrElse(lit(true))
-    val frames = b.aggs.zipWithIndex.map { case (spec, i) =>
+    val key2Blank = lit("").as("key2")
+    val frames = b.aggs.zipWithIndex.flatMap { case (spec, i) =>
       val sel = spec.agg match {
         case _: TermsAgg | _: DateHistAgg | _: HistAgg =>
           val me = gkOf(i).get
@@ -2337,33 +2408,82 @@ object Dsl {
           // null data — ES skips docs missing the field
           val rows = grouped.filter(mine && col(me).isNotNull)
             .withColumn("key", col(me).cast("string"))
-          val subCols = spec.sub.map(x => uncondOut(x._2))
-            .getOrElse(NullStats)
-          rows.select(($"key" +: $"doc_count" +: subCols): _*)
+          val subCols = spec.sub.filter(x => isMetric(x._2))
+            .map(x => uncondOut(x._2)).getOrElse(NullStats)
+          rows.select(($"key" +: key2Blank +: $"doc_count" +: subCols): _*)
         case _: StatsAgg | _: MetricAgg | _: CardinalityAgg =>
           grouped.filter(globalMine).withColumn("key", lit(""))
-            .select(($"key" +: $"doc_count" +: uncondOut(spec.agg)): _*)
+            .select(($"key" +: key2Blank +: $"doc_count" +:
+              uncondOut(spec.agg)): _*)
         case RangeAgg(_, ranges) =>
           ranges.zipWithIndex.map { case (r, j) =>
             grouped.filter(globalMine).select(
-              (lit(rangeLabel(r)).as("key") +:
+              (lit(rangeLabel(r)).as("key") +: key2Blank +:
                 col(s"dc${i}_$j").as("doc_count") +: condOut(i, j)): _*)
           }.reduce(_ unionByName _)
         case FilterAgg(_) =>
           grouped.filter(globalMine).select(
-            (lit("").as("key") +: col(s"dc${i}_0").as("doc_count") +:
-              condOut(i, 0)): _*)
+            (lit("").as("key") +: key2Blank +:
+              col(s"dc${i}_0").as("doc_count") +: condOut(i, 0)): _*)
       }
       val cut = spec.agg match {
-        case TermsAgg(_, n, byKey) =>
-          // ES order: {"_count": "desc"} (default) or {"_key": "asc"}
-          if (byKey) sel.orderBy($"key").limit(n)
-          else sel.orderBy($"doc_count".desc, $"key").limit(n)
+        case TermsAgg(_, n, ord) =>
+          // ES order: {"_count": "desc"} (default), {"_key": "asc"},
+          // or by the metric sub's value (nulls last, key tiebreak)
+          val o = ord match {
+            case ByKey => Seq($"key".asc)
+            case ByCount => Seq($"doc_count".desc, $"key".asc)
+            case BySub(_, asc) =>
+              val c = col(orderColOf(metricKindField(spec.sub.get._2)._1))
+              Seq(if (asc) c.asc_nulls_last else c.desc_nulls_last,
+                $"key".asc)
+          }
+          sel.orderBy(o: _*).limit(n)
         case _ => sel
       }
-      cut.withColumn("agg", lit(spec.name)).select(OutCols.map(col): _*)
+      val parent = cut.withColumn("agg", lit(spec.name))
+        .select(OutCols.map(col): _*)
+      // child rows of a bucket sub: the {parent, child} set, gated to
+      // the SURVIVING parent buckets (bucket-grain broadcast semi join)
+      val child = bucketSubOf.get(i).map { case (sn, sa) =>
+        val me = gkOf(i).get
+        val mine2 = gkNames.map(n =>
+          col(s"g_$n") === (if (n == me || n == s"gk2$i") 0 else 1))
+          .reduce(_ && _)
+        val rows = grouped.filter(mine2 && col(me).isNotNull &&
+          col(s"gk2$i").isNotNull)
+          .withColumn("key", col(me).cast("string"))
+          .withColumn("key2", col(s"gk2$i").cast("string"))
+        val kept = rows.join(broadcast(cut.select($"key")), Seq("key"),
+          "left_semi")
+        val cut2 = sa match {
+          case TermsAgg(_, n2, ord2) =>
+            // per-parent top-N: a bucket-grain window, ES's sub-terms cut
+            val o2: Seq[Column] =
+              if (ord2 == ByKey) Seq($"key2".asc)
+              else Seq($"doc_count".desc, $"key2".asc)
+            val w = Window.partitionBy($"key").orderBy(o2: _*)
+            kept.withColumn("rn", row_number().over(w))
+              .filter($"rn" <= n2).drop("rn")
+          case _ => kept
+        }
+        cut2.select(($"key" +: $"key2" +: $"doc_count" +: NullStats): _*)
+          .withColumn("agg", lit(s"${spec.name}.$sn"))
+          .select(OutCols.map(col): _*)
+      }
+      Seq(parent) ++ child.toSeq
     }
-    frames.reduce(_ unionByName _).orderBy($"agg", $"key")
+    frames.reduce(_ unionByName _).orderBy($"agg", $"key", $"key2")
+  }
+
+  /** The output column a terms `order` by a single-value metric sub
+    * reads — both engines sort the same projected column. */
+  private def orderColOf(kind: String): String = kind match {
+    case "avg" => "v_avg"
+    case "sum" => "v_sum"
+    case "min" => "v_min"
+    case "max" => "v_max"
+    case _ => "v_count" // value_count, cardinality (exact or sketch)
   }
 
   private val NullStats = Seq(
@@ -2371,8 +2491,8 @@ object Dsl {
     lit(null).cast("double").as("v_min"), lit(null).cast("double").as("v_max"),
     lit(null).cast("double").as("v_avg"))
 
-  private val OutCols = Seq("agg", "key", "doc_count", "v_count", "v_sum",
-    "v_min", "v_max", "v_avg")
+  private val OutCols = Seq("agg", "key", "key2", "doc_count", "v_count",
+    "v_sum", "v_min", "v_max", "v_avg")
 
   /** Generated DuckDB SQL for the same aggregation body — the
     * [[dslSql]] lockstep discipline applied to aggs. */
@@ -2423,32 +2543,92 @@ object Dsl {
       case _ => Seq(s"COUNT(DISTINCT $x) AS v_count", nullV("v_sum"),
         nullV("v_min"), nullV("v_max"), nullV("v_avg"))
     }
+    // (key expr SQL, null guard field) of a grouping bucket node
+    def keySqlOf(a: AggNode): (String, String) = a match {
+      case TermsAgg(f, _, _) => (f, f)
+      case DateHistAgg(f) => (f, f)
+      case HistAgg(f, iv) => (s"($f // $iv) * $iv", f)
+      case other => fail(s"not a grouping bucket: $other") // unreachable
+    }
     def branch(spec: AggSpec): String = {
       val name = s"'${quoteSql(spec.name)}'"
-      val stats = spec.sub match {
+      val metricSub = spec.sub.filter(x => isMetric(x._2))
+      val bucketSub = spec.sub.filterNot(x => isMetric(x._2))
+      val stats = metricSub match {
         case Some((_, m)) =>
           val (k, x) = metricKindField(m); outStatsSql(k, x)
         case None => nullStats
       }
+      // the parent branch body WITHOUT the outer SELECT * wrapper —
+      // reused as the child's surviving-parent key set
+      def parentInnerOf(fld: String, ordAndLimit: String): String =
+        s"""SELECT $name AS agg, CAST($fld AS VARCHAR) AS key,
+           |    '' AS key2, COUNT(*) AS doc_count,
+           |    ${stats.mkString(",\n    ")}
+           |  FROM m WHERE $fld IS NOT NULL GROUP BY $fld$ordAndLimit"""
+          .stripMargin
+      // child rows: the {parent, child} grouping, gated to surviving
+      // parents (the IN mirrors the Spark side's broadcast semi join)
+      def childOf(parentInner: Option[String]): String = {
+        val (sn, sa) = bucketSub.get
+        val (pk, pguard) = keySqlOf(spec.agg)
+        val (ck, cguard) = keySqlOf(sa)
+        val grouped =
+          s"""SELECT CAST($pk AS VARCHAR) AS key, CAST($ck AS VARCHAR)
+             |      AS key2, COUNT(*) AS doc_count
+             |    FROM m WHERE $pguard IS NOT NULL AND $cguard IS NOT NULL
+             |    GROUP BY $pk, $ck""".stripMargin
+        val cutGrouped = sa match {
+          case TermsAgg(_, n2, ord2) =>
+            val o2 = if (ord2 == ByKey) "key2"
+              else "doc_count DESC, key2"
+            s"""SELECT key, key2, doc_count FROM (
+               |    SELECT key, key2, doc_count, ROW_NUMBER() OVER (
+               |      PARTITION BY key ORDER BY $o2) AS rn
+               |    FROM ($grouped) AS g0) AS g1 WHERE rn <= $n2"""
+              .stripMargin
+          case _ => grouped
+        }
+        val gate = parentInner.map(pi =>
+          s"\nWHERE ch.key IN (SELECT key FROM (\n  $pi) AS pk)")
+          .getOrElse("")
+        s"""SELECT '${quoteSql(spec.name)}.${quoteSql(sn)}' AS agg,
+           |  ch.key, ch.key2, ch.doc_count,
+           |  ${nullStats.mkString(",\n  ")}
+           |FROM (
+           |  $cutGrouped) AS ch$gate""".stripMargin
+      }
       spec.agg match {
-        case TermsAgg(fld, n, byKey) =>
-          val ord = if (byKey) "key" else "doc_count DESC, key"
-          s"""SELECT * FROM (
-             |  SELECT $name AS agg, CAST($fld AS VARCHAR) AS key,
-             |    COUNT(*) AS doc_count, ${stats.mkString(",\n    ")}
-             |  FROM m WHERE $fld IS NOT NULL GROUP BY $fld
-             |  ORDER BY $ord LIMIT $n) AS t""".stripMargin
+        case TermsAgg(fld, n, ord) =>
+          val ordSql = ord match {
+            case ByKey => "key"
+            case ByCount => "doc_count DESC, key"
+            case BySub(_, asc) =>
+              val (k, _) = metricKindField(metricSub.get._2)
+              s"${orderColOf(k)} ${if (asc) "ASC" else "DESC"} " +
+                "NULLS LAST, key"
+          }
+          val inner = parentInnerOf(fld, s"\n  ORDER BY $ordSql LIMIT $n")
+          val parent = s"SELECT * FROM (\n  $inner) AS t"
+          if (bucketSub.isEmpty) parent
+          else s"$parent\nUNION ALL\n(${childOf(Some(inner))})"
         case DateHistAgg(fld) =>
-          s"""SELECT $name AS agg, CAST($fld AS VARCHAR) AS key,
-             |  COUNT(*) AS doc_count, ${stats.mkString(",\n  ")}
-             |FROM m WHERE $fld IS NOT NULL GROUP BY $fld""".stripMargin
+          val parent = parentInnerOf(fld, "")
+          if (bucketSub.isEmpty) parent
+          else s"($parent)\nUNION ALL\n(${childOf(None)})"
         case HistAgg(fld, iv) =>
-          s"""SELECT $name AS agg, CAST(($fld // $iv) * $iv AS VARCHAR) AS key,
-             |  COUNT(*) AS doc_count, ${stats.mkString(",\n  ")}
-             |FROM m WHERE $fld IS NOT NULL GROUP BY ($fld // $iv) * $iv""".stripMargin
+          val parent =
+            s"""SELECT $name AS agg, CAST(($fld // $iv) * $iv AS VARCHAR)
+               |  AS key, '' AS key2,
+               |  COUNT(*) AS doc_count, ${stats.mkString(",\n  ")}
+               |FROM m WHERE $fld IS NOT NULL GROUP BY ($fld // $iv) * $iv"""
+              .stripMargin
+          if (bucketSub.isEmpty) parent
+          else s"($parent)\nUNION ALL\n(${childOf(None)})"
         case _: StatsAgg | _: MetricAgg | _: CardinalityAgg =>
           val (k, x) = metricKindField(spec.agg)
-          s"""SELECT $name AS agg, '' AS key, COUNT(*) AS doc_count,
+          s"""SELECT $name AS agg, '' AS key, '' AS key2,
+             |  COUNT(*) AS doc_count,
              |  ${outStatsSql(k, x).mkString(",\n  ")}
              |FROM m""".stripMargin
         case RangeAgg(fld, ranges) =>
@@ -2456,14 +2636,15 @@ object Dsl {
             val conds = (Seq(s"f.$fld IS NOT NULL") ++
               r._1.map(v => s"f.$fld >= ${v.sql}") ++
               r._2.map(v => s"f.$fld < ${v.sql}")).mkString(" AND ")
-            s"""SELECT $name AS agg, '${rangeLabel(r)}' AS key,
+            s"""SELECT $name AS agg, '${rangeLabel(r)}' AS key, '' AS key2,
                |  COUNT(*) AS doc_count, ${stats.mkString(",\n  ")}
                |FROM m AS f WHERE $conds""".stripMargin
           }.mkString("\nUNION ALL\n")
         case FilterAgg(n) =>
           val c = compile(n, scored = false, p.tfIdx, p.pfIdx, Map.empty,
             p.zfIdx)
-          s"""SELECT $name AS agg, '' AS key, COUNT(*) AS doc_count,
+          s"""SELECT $name AS agg, '' AS key, '' AS key2,
+             |  COUNT(*) AS doc_count,
              |  ${stats.mkString(",\n  ")}
              |FROM m AS f WHERE ${c.predSql}""".stripMargin
       }
@@ -2472,7 +2653,7 @@ object Dsl {
        |m AS (SELECT * FROM f WHERE ${p.c.predSql})
        |SELECT * FROM (
        |${b.aggs.map(branch).mkString("\nUNION ALL\n")}
-       |) AS u ORDER BY agg, key""".stripMargin
+       |) AS u ORDER BY agg, key, key2""".stripMargin
   }
 
   // ------------------------------------------------- DSL percolation
@@ -3006,6 +3187,40 @@ object Dsl {
 
   def dslAggsHll(spark: SparkSession, dir: String): DataFrame =
     dslAggsOf(Tables.documentsPar(spark, dir), AggsHllQuery)
+
+  /** Registered NESTED-BUCKET aggregations — the ES dashboard shapes:
+    * terms → date_histogram (per-language daily counts), terms ordered
+    * by its metric sub's value (`"order": {"avg_chars": "desc"}`), and
+    * terms → terms with a per-parent top-N cut. All of it ONE
+    * grouping-sets pass: a nested bucket adds a grouping column and
+    * the {parent, child} set, never a second scan (child rows ride
+    * `key2`; the per-parent cut is a bucket-grain window). */
+  val AggsNestedQuery: String =
+    """{"query": {"match": {"text": "dup vector"}}, "size": 0,
+      |  "aggs": {
+      |    "lang_daily": {"terms": {"field": "lang", "size": 3},
+      |      "aggs": {"daily": {"date_histogram": {"field": "persist_date",
+      |               "calendar_interval": "day"}}}},
+      |    "lang_by_len": {"terms": {"field": "lang", "size": 2,
+      |        "order": {"avg_chars": "desc"}},
+      |      "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}},
+      |    "src_langs": {"terms": {"field": "source", "size": 3},
+      |      "aggs": {"langs": {"terms": {"field": "lang", "size": 2}}}}}}"""
+      .stripMargin
+
+  def dslAggsNested(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Search.withPersistDate(Tables.documentsPar(spark, dir)),
+      AggsNestedQuery)
+
+  val dslAggsNestedOracleSql: String =
+    dslAggsSqlOver(AggsNestedQuery, Search.PersistDateRel)
+
+  /** Registered query: [[AggsNestedQuery]] SERVED from the daily
+    * indices — nested buckets over doc-values across the alias
+    * members; same oracle as the scan form. */
+  def dslAggsNestedServed(spark: SparkSession, dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Search.sharedDailyIndexDirs(spark, dir)._1, AggsNestedQuery)
 
   /** Registered query: [[AggsQuery]] SERVED from the daily indices —
     * aggregations over doc-values + postings across the alias members,

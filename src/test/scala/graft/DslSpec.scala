@@ -284,8 +284,10 @@ class DslSpec extends SparkSpec {
                   "aggs": {"chars": {"stats": {"field": "n_chars"}}}},
         "len": {"histogram": {"field": "n_chars", "interval": 10}},
         "all": {"stats": {"field": "n_chars"}}}}""")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        if (r.isNullAt(4)) null else r.getDouble(4))).toSeq
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("doc_count"),
+        if (r.isNullAt(r.fieldIndex("v_sum"))) null
+        else r.getAs[Double]("v_sum"))).toSeq
     // terms size 2: en(3) then de/fr tie → de by key; fr is CUT
     assert(out.filter(_._1 == "by_lang").map(t => (t._2, t._3)) ==
       Seq(("de", 1L), ("en", 3L)),
@@ -304,7 +306,8 @@ class DslSpec extends SparkSpec {
     val gated = Dsl.dslAggsOf(docs,
       """{"query": {"term": {"lang": "en"}}, "size": 0, "aggs": {
         "all": {"stats": {"field": "n_chars"}}}}""").collect()
-    assert(gated.head.getLong(2) == 3L && gated.head.getDouble(4) == 35.0)
+    assert(gated.head.getAs[Long]("doc_count") == 3L &&
+      gated.head.getAs[Double]("v_sum") == 35.0)
     def msg(json: String): String =
       intercept[IllegalArgumentException](
         Dsl.dslAggsOf(docs, json)).getMessage
@@ -321,9 +324,11 @@ class DslSpec extends SparkSpec {
   test("extended aggs: metrics, cardinality, range buckets, filter agg, metric subs") {
     def vals(rows: Array[org.apache.spark.sql.Row], agg: String) =
       rows.filter(_.getString(0) == agg).map(r => (r.getString(1),
-        r.getLong(2),
-        if (r.isNullAt(3)) -1L else r.getLong(3),
-        if (r.isNullAt(7)) -1.0 else r.getDouble(7))).toList
+        r.getAs[Long]("doc_count"),
+        if (r.isNullAt(r.fieldIndex("v_count"))) -1L
+        else r.getAs[Long]("v_count"),
+        if (r.isNullAt(r.fieldIndex("v_avg"))) -1.0
+        else r.getAs[Double]("v_avg"))).toList
     val out = Dsl.dslAggsOf(tiny,
       """{"query": {"match_all": {}}, "size": 0, "aggs": {
         "card": {"cardinality": {"field": "lang"}},
@@ -341,14 +346,15 @@ class DslSpec extends SparkSpec {
     assert(vals(out, "card") == Seq(("", 5L, 3L, -1.0)),
       "exact distinct langs")
     assert(vals(out, "avg_nc").head._4 == 12.2)
-    assert(out.filter(_.getString(0) == "sum_nc").head.getDouble(4) == 61.0)
+    assert(out.filter(_.getString(0) == "sum_nc").head
+      .getAs[Double]("v_sum") == 61.0)
     assert(vals(out, "cnt_src") == Seq(("", 5L, 5L, -1.0)))
     // range buckets: counts + stats sub sums (9; 10+10; 16+16)
     assert(vals(out, "len").map(t => (t._1, t._2)) ==
       Seq(("*-10", 1L), ("10-16", 2L), ("16-*", 2L)),
       s"range buckets: ${vals(out, "len")}")
     assert(out.filter(r => r.getString(0) == "len")
-      .map(r => (r.getString(1), r.getDouble(4))).toSeq ==
+      .map(r => (r.getString(1), r.getAs[Double]("v_sum"))).toSeq ==
       Seq(("*-10", 9.0), ("10-16", 20.0), ("16-*", 32.0)),
       "conditional stats sub-agg sums")
     // filter agg with a MATCH clause: alpha docs {0,1,4}, avg 14.0 —
@@ -553,6 +559,60 @@ class DslSpec extends SparkSpec {
     assert(msg("").contains("empty"))
   }
 
+  test("nested aggs: bucket→bucket children, parent cut gates them, order by sub-metric") {
+    val docs = Search.withPersistDate(tiny)
+    val out = Dsl.dslAggsOf(docs,
+      """{"query": {"match_all": {}}, "size": 0, "aggs": {
+        "ld": {"terms": {"field": "lang", "size": 2},
+          "aggs": {"d": {"date_histogram": {"field": "persist_date",
+                   "calendar_interval": "day"}}}},
+        "lb": {"terms": {"field": "lang", "size": 2,
+            "order": {"ac": "desc"}},
+          "aggs": {"ac": {"avg": {"field": "n_chars"}}}},
+        "sl": {"terms": {"field": "source", "size": 3},
+          "aggs": {"l": {"terms": {"field": "lang", "size": 1}}}}}}""")
+      .collect()
+    def rows(agg: String) = out.filter(_.getString(0) == agg)
+      .map(r => (r.getString(1), r.getString(2),
+        r.getAs[Long]("doc_count"))).toSeq
+    // parent rows carry key2 = "" and the usual cut (en 3, de 1; fr cut)
+    assert(rows("ld") == Seq(("de", "", 1L), ("en", "", 3L)))
+    // child rows ride agg = "parent.sub" with (parent, child) keys —
+    // and ONLY under surviving parents (no fr children)
+    assert(rows("ld.d") == Seq(("de", "2026-01-03", 1L),
+      ("en", "2026-01-01", 2L), ("en", "2026-01-02", 1L)),
+      s"terms→date_histogram children wrong: ${rows("ld.d")}")
+    // order by the avg sub-metric: fr (16) and en (35/3) survive the
+    // 2-cut, de (10) drops — a count order would have kept en + de
+    assert(rows("lb").map(_._1).toSet == Set("en", "fr"),
+      s"order-by-sub-metric cut wrong: ${rows("lb")}")
+    // terms→terms: per-PARENT top-1 by (count desc, key asc) —
+    // src0 ties de/en → de; src1 → en (2); src2 → fr
+    assert(rows("sl.l") == Seq(("src0", "de", 1L), ("src1", "en", 2L),
+      ("src2", "fr", 1L)), s"per-parent sub-terms cut: ${rows("sl.l")}")
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(docs, json)).getMessage
+    assert(msg("""{"query": {"match_all": {}}, "size": 0, "aggs": {
+      "x": {"range": {"field": "n_chars", "ranges": [{"to": 10}]},
+        "aggs": {"y": {"terms": {"field": "lang"}}}}}}""")
+      .contains("grouping-keyed parent"),
+      "bucket subs under range/filter must refuse")
+    assert(msg("""{"query": {"match_all": {}}, "size": 0, "aggs": {
+      "x": {"terms": {"field": "lang", "order": {"nope": "desc"}}}}}""")
+      .contains("no sub-aggregation"),
+      "order by an absent sub must refuse")
+    assert(msg("""{"query": {"match_all": {}}, "size": 0, "aggs": {
+      "x": {"terms": {"field": "lang", "order": {"s": "desc"}},
+        "aggs": {"s": {"stats": {"field": "n_chars"}}}}}}""")
+      .contains("SINGLE-VALUE"),
+      "order by a multi-valued stats sub must refuse")
+    // served nested aggs ≡ scan (daily indices)
+    assert(Dsl.dslAggsNestedServed(spark, sfDir).collect().toSeq ==
+      Dsl.dslAggsNested(spark, sfDir).collect().toSeq,
+      "served nested aggs diverged from the scan path")
+  }
+
   test("cardinality precision_threshold: the HLL++ sketch tracks the exact twin") {
     // the registered sketch body vs the same body with thresholds
     // stripped (exact distinct) — the sketch must land within the
@@ -564,8 +624,9 @@ class DslSpec extends SparkSpec {
     val docs = Tables.documentsPar(spark, sfDir)
     def counts(json: String): Map[(String, String), Long] =
       Dsl.dslAggsOf(docs, json).collect()
-        .filter(!_.isNullAt(3))
-        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+        .filter(r => !r.isNullAt(r.fieldIndex("v_count")))
+        .map(r => (r.getString(0), r.getString(1)) ->
+          r.getAs[Long]("v_count")).toMap
     val approx = counts(Dsl.AggsHllQuery)
     val exact = counts(exactBody)
     assert(approx.keySet == exact.keySet,
