@@ -2984,23 +2984,65 @@ object Dsl {
   def msearchFromIndexes(spark: SparkSession, indexDirs: Seq[String],
       bodies: Seq[String]): DataFrame = {
     import spark.implicits._
-    val (framePlan0, plans) = msearchPlans(bodies)
-    // the candidate universe must cover EVERY request: df-bounded
-    // only when all of them imply a text hit
-    val framePlan =
-      if (plans.forall(p => requiresText(p.q))) framePlan0
-      else framePlan0.copy(q = MatchAllQ)
-    val parts = servedParts(spark, indexDirs, framePlan, Seq.empty)
-    // DISK_ONLY persist, lineage kept — see [[msearchOf]]'s barrier note
-    val f = parts.f.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val stats = servedStats(spark, parts, framePlan, indexDirs.size > 1)
-    val pages = plans.zipWithIndex.map { case (p, i) =>
-      rankTail(f, if (p.needsStats) stats else None, p)
-        .withColumn("req", lit(i))
-        .select($"req", $"rk", $"doc_id", $"n_matched", $"tf_total", $"dl")
+    val pages = msearchGroups(spark, indexDirs, bodies).flatMap {
+      case (_, f, stats, gp) => gp.map { case (p, i) =>
+        rankTail(f, if (p.needsStats) stats else None, p)
+          .withColumn("req", lit(i))
+          .select($"req", $"rk", $"doc_id", $"n_matched", $"tf_total",
+            $"dl")
+      }
     }
     pages.reduce(_ unionByName _).orderBy($"req", $"rk")
   }
+
+  /** The served batch SPLIT by candidate universe: requests whose
+    * predicate implies a text hit ([[requiresText]]) share one
+    * df-bounded postings-driven frame; scoreless/filter-only requests
+    * share a doc-values (match-all) frame. One filter-only request in
+    * a batch therefore never widens the scored requests' candidates to
+    * the whole corpus — each group's frame stays as tight as a solo
+    * run's, and the batch still reads postings/doclen/docmeta once per
+    * GROUP, not per request. Returns (text-bound?, persisted candidate
+    * frame, group stats, that group's (plan, original index) pairs). */
+  private def msearchGroups(spark: SparkSession, indexDirs: Seq[String],
+      bodies: Seq[String])
+      : Seq[(Boolean, DataFrame, Option[DataFrame], Seq[(Plan, Int)])] = {
+    val (framePlan0, plans) = msearchPlans(bodies)
+    plans.zipWithIndex.groupBy { case (p, _) => requiresText(p.q) }
+      .toSeq.sortBy(!_._1).map { case (textBound, gp) =>
+        val gPlans = gp.map(_._1)
+        // the group frame keeps the SHARED index maps (column numbering
+        // is batch-global) but only this group's clause inventory —
+        // the other group's features never join this frame
+        val gFrame = framePlan0.copy(
+          q = if (textBound) gPlans.head.q else MatchAllQ,
+          tkeys = gPlans.flatMap(_.tkeys).distinct,
+          pkeys = gPlans.flatMap(_.pkeys).distinct,
+          zkeys = gPlans.flatMap(_.zkeys).distinct,
+          stkeys = gPlans.flatMap(_.stkeys).distinct,
+          spkeys = gPlans.flatMap(_.spkeys).distinct,
+          szkeys = gPlans.flatMap(_.szkeys).distinct,
+          skts = gPlans.flatMap(_.skts).distinct,
+          exact = gPlans.flatMap(_.exact).distinct,
+          c = C(lit(true), "TRUE",
+            if (gPlans.exists(_.needsStats)) Some((lit(0.0), "0.0"))
+            else None))
+        val parts = servedParts(spark, indexDirs, gFrame, Seq.empty)
+        // DISK_ONLY persist, lineage kept — [[msearchOf]]'s barrier note
+        val f = parts.f
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        (textBound, f,
+          servedStats(spark, parts, gFrame, indexDirs.size > 1), gp)
+      }
+  }
+
+  /** Test seam: each served-batch group's (text-bound?, candidate
+    * frame) — DslSpec pins that the text-bound frame stays df-bounded
+    * when a filter-only request rides the same batch. */
+  private[graft] def msearchServedFrames(spark: SparkSession,
+      indexDirs: Seq[String], bodies: Seq[String])
+      : Seq[(Boolean, DataFrame)] =
+    msearchGroups(spark, indexDirs, bodies).map(g => (g._1, g._2))
 
   /** Registered query: [[MsearchBodies]] SERVED from the session
     * index — same oracle as the scan batch. */

@@ -904,6 +904,45 @@ class DslSpec extends SparkSpec {
     assert(msg(Seq.empty).contains("empty"))
   }
 
+  test("served _msearch splits scoreless requests off the df-bounded pass") {
+    val idx = Seq(sys.props("java.io.tmpdir") + "/graft_searchidx_" +
+      Tables.viewSuffix(sfDir))
+    Dsl.searchDslServed(spark, sfDir) // memo warm (index built)
+    val scored = Seq(
+      """{"query": {"match": {"text": "dup vector"}}, "size": 5}""",
+      """{"query": {"match": {"text": "merge"}}, "size": 5}""")
+    val filterOnly =
+      """{"query": {"range": {"n_chars": {"gte": 200, "lt": 260}}},
+        |  "size": 5}""".stripMargin
+    val bodies = scored :+ filterOnly
+    // correctness: each request in the mixed batch ≡ its solo served run
+    val batched = Dsl.msearchFromIndexes(spark, idx, bodies).collect()
+      .groupBy(_.getInt(0)).view
+      .mapValues(_.map(_.toSeq.drop(1)).toSeq).toMap
+    bodies.zipWithIndex.foreach { case (b, i) =>
+      val solo = Dsl.searchDslFromIndexes(spark, idx, b).collect()
+        .map(_.toSeq).toSeq
+      assert(batched(i) == solo, s"mixed-batch request $i diverged")
+    }
+    // the split: two candidate frames, and the text-bound one stays
+    // df-bounded (docs holding ≥1 query term), NOT the whole corpus —
+    // the filter-only request no longer widens the scored pass
+    val frames = Dsl.msearchServedFrames(spark, idx, bodies)
+    assert(frames.map(_._1).sorted == Seq(false, true),
+      "a mixed batch must form one text-bound and one doc-values group")
+    val corpus = Tables.documentsPar(spark, sfDir)
+    val n = corpus.count()
+    val withTerm = corpus.filter(
+      org.apache.spark.sql.functions.lower($"text").rlike(
+        "(^| )(dup|vector|merge)( |$)")).count()
+    val textFrame = frames.find(_._1).get._2
+    assert(textFrame.count() == withTerm && withTerm < n,
+      s"text-bound candidates must be df-bounded: frame=" +
+        s"${textFrame.count()} termDocs=$withTerm corpus=$n")
+    // an all-text batch still shares ONE pass
+    assert(Dsl.msearchServedFrames(spark, idx, scored).size == 1)
+  }
+
   test("highlight: fetch-phase snippets for the page only, clause-order anchor") {
     val out = Dsl.searchDslOf(tiny,
       """{"query": {"bool": {
