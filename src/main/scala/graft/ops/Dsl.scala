@@ -96,8 +96,13 @@ object Dsl {
     * engine-exact. */
   final case class MatchFzQ(field: String, terms: Seq[(String, Int)],
       boost: BigDecimal, andOp: Boolean) extends Node
+  /** `mostFields` = ES `type: "most_fields"`: per-field scores SUM
+    * instead of taking the best (`best_fields` dis_max) — the
+    * "same text analyzed different ways" pattern. Matching is
+    * identical (any field hits); only the combiner differs. */
   final case class MultiMatchQ(fields: Seq[(String, BigDecimal)],
-      terms: Seq[String], boost: BigDecimal) extends Node
+      terms: Seq[String], boost: BigDecimal,
+      mostFields: Boolean = false) extends Node
   /** `slop` > 0 relaxes adjacency: a phrase START at position x (of
     * term 0) matches when every later term j has a position in
     * [x+j, x+j+slop] — each window checked independently, so modest
@@ -108,6 +113,15 @@ object Dsl {
     * Lucene's sloppy phrase freq (whose 1/(distance+1) weighting is
     * scorer-internal). */
   final case class PhraseQ(field: String, terms: Seq[String],
+      boost: BigDecimal, slop: Int = 0) extends Node
+  /** ES `match_phrase_prefix` — search-as-you-type: every term but
+    * the LAST matches exactly in phrase position; the last matches any
+    * token CARRYING IT AS A PREFIX. The expansion is exact (every
+    * prefixed token counts — `max_expansions` capping would change
+    * results nondeterministically, so the key refuses); scored as a
+    * phrase (tf = windowed starts). Slop composes exactly as for
+    * [[PhraseQ]]. */
+  final case class PhrasePrefixQ(field: String, terms: Seq[String],
       boost: BigDecimal, slop: Int = 0) extends Node
   final case class TermQ(field: String, value: Scalar,
       boost: BigDecimal) extends Node
@@ -556,6 +570,15 @@ object Dsl {
         if (terms.isEmpty)
           fail(s"match_phrase.$field has no terms after analysis")
         PhraseQ(field, terms, boost, slop.getOrElse(0))
+      case "match_phrase_prefix" =>
+        val (field, text, boost, _, _, slop) =
+          queryText(body, "match_phrase_prefix", allowOperator = false,
+            allowSlop = true)
+        checkAnalyzed(field, "match_phrase_prefix")
+        val terms = analyzed(text)
+        if (terms.isEmpty)
+          fail(s"match_phrase_prefix.$field has no terms after analysis")
+        PhrasePrefixQ(field, terms, boost, slop.getOrElse(0))
       case "multi_match" => body match {
         case o: JObject =>
           val known = Set("query", "fields", "type", "boost")
@@ -566,10 +589,12 @@ object Dsl {
             case JString(s) => s
             case _ => fail("multi_match needs a \"query\" string")
           }
-          o \ "type" match {
-            case JNothing | JString("best_fields") => ()
+          val mostFields = o \ "type" match {
+            case JNothing | JString("best_fields") => false
+            case JString("most_fields") => true
             case JString(t) => fail(s"multi_match type '$t' unsupported — " +
-              "only best_fields (dis_max over per-field scores)")
+              "supported: best_fields (dis_max over per-field scores), " +
+              "most_fields (per-field scores sum)")
             case other => fail(s"multi_match type must be a string, got $other")
           }
           val specs = o \ "fields" match {
@@ -594,7 +619,7 @@ object Dsl {
             fail("multi_match lists a field twice")
           val terms = analyzed(text)
           if (terms.isEmpty) fail("multi_match has no terms after analysis")
-          MultiMatchQ(specs, terms, boostOf(o))
+          MultiMatchQ(specs, terms, boostOf(o), mostFields)
         case other => fail(s"multi_match expects an object, got $other")
       }
       case "term" => body match {
@@ -727,8 +752,8 @@ object Dsl {
       case "match_all" => MatchAllQ
       case other => fail(s"unsupported query type '$other' — supported: " +
         "bool, constant_score, dis_max, exists, ids, match, match_all, " +
-        "match_phrase, multi_match, nested, prefix, range, term, terms, " +
-        "wildcard")
+        "match_phrase, match_phrase_prefix, multi_match, nested, prefix, " +
+        "range, term, terms, wildcard")
     }
     case JObject(fields) =>
       fail(s"a query clause must have exactly one key, got " +
@@ -1082,25 +1107,28 @@ object Dsl {
     * compilers. */
   private def tkeysOf(n: Node): Seq[(String, String)] = collectCtx(n, true) {
     case (MatchQ(f, ts, _, _), _) => ts.map((f, _))
-    case (MultiMatchQ(fs, ts, _), _) =>
+    case (MultiMatchQ(fs, ts, _, _), _) =>
       fs.flatMap { case (f, _) => ts.map((f, _)) }
   }.distinct
 
   private def tkeysScoredOf(n: Node): Seq[(String, String)] =
     collectCtx(n, true) {
       case (MatchQ(f, ts, _, _), true) => ts.map((f, _))
-      case (MultiMatchQ(fs, ts, _), true) =>
+      case (MultiMatchQ(fs, ts, _, _), true) =>
         fs.flatMap { case (f, _) => ts.map((f, _)) }
     }.distinct
 
-  private def pkeysOf(n: Node): Seq[(String, Seq[String], Int)] =
+  private def pkeysOf(n: Node): Seq[(String, Seq[String], Int, Boolean)] =
     collectCtx(n, true) {
-      case (PhraseQ(f, ts, _, sl), _) => Seq((f, ts, sl))
+      case (PhraseQ(f, ts, _, sl), _) => Seq((f, ts, sl, false))
+      case (PhrasePrefixQ(f, ts, _, sl), _) => Seq((f, ts, sl, true))
     }.distinct
 
-  private def pkeysScoredOf(n: Node): Seq[(String, Seq[String], Int)] =
+  private def pkeysScoredOf(n: Node)
+      : Seq[(String, Seq[String], Int, Boolean)] =
     collectCtx(n, true) {
-      case (PhraseQ(f, ts, _, sl), true) => Seq((f, ts, sl))
+      case (PhraseQ(f, ts, _, sl), true) => Seq((f, ts, sl, false))
+      case (PhrasePrefixQ(f, ts, _, sl), true) => Seq((f, ts, sl, true))
     }.distinct
 
   /** Distinct FUZZY (field, term, edit-budget) keys — the third
@@ -1144,7 +1172,8 @@ object Dsl {
     * for the whole corpus. Conservative by construction: must_not and
     * optional shoulds never count. */
   private[ops] def requiresText(n: Node): Boolean = n match {
-    case _: MatchQ | _: PhraseQ | _: MultiMatchQ | _: MatchFzQ => true
+    case _: MatchQ | _: PhraseQ | _: MultiMatchQ | _: MatchFzQ |
+         _: PhrasePrefixQ => true
     case BoolQ(m, s, _, fl, msm) =>
       m.exists(requiresText) || fl.exists(requiresText) ||
         (m.isEmpty && fl.isEmpty && s.nonEmpty &&
@@ -1167,7 +1196,7 @@ object Dsl {
     if (field == Search.DefaultField) "sumdl" else "hsumdl"
 
   private type TIdx = Map[(String, String), Int]
-  private type PIdx = Map[(String, Seq[String], Int), Int]
+  private type PIdx = Map[(String, Seq[String], Int, Boolean), Int]
   private type KIdx = Map[(String, Scalar), Int]
   private type ZIdx = Map[(String, String, Int), Int]
 
@@ -1252,7 +1281,7 @@ object Dsl {
           boost))
         else None
       C(pred, predSql, score)
-    case MultiMatchQ(fieldsB, terms, boost) =>
+    case MultiMatchQ(fieldsB, terms, boost, mostFields) =>
       val keys = fieldsB.flatMap { case (f, _) => terms.map(t => (f, t)) }
       val pred = keys.map(k => col(s"qtf${tfIdx(k)}") > 0).reduce(_ || _)
       val predSql = keys.map(k => s"f.qtf${tfIdx(k)} > 0")
@@ -1261,17 +1290,29 @@ object Dsl {
         val per = fieldsB.map { case (f, fb) =>
           boosted(sumScores(matchParts(f, terms, tfIdx)), fb)
         }
-        // best_fields = dis_max: max over per-field scores. greatest
-        // is a comparison, not arithmetic — no fp-order hazard.
-        val best =
+        // best_fields = dis_max: max over per-field scores (greatest
+        // is a comparison, not arithmetic — no fp-order hazard);
+        // most_fields SUMS them in field order (both compilers)
+        val combined =
           if (per.size == 1) per.head
+          else if (mostFields) sumScores(per)
           else (greatest(per.map(_._1): _*),
             per.map(_._2).mkString("greatest(", ", ", ")"))
-        Some(boosted(best, boost))
+        Some(boosted(combined, boost))
       }
       C(pred, predSql, score)
+    case PhrasePrefixQ(field, terms, boost, slop) =>
+      val i = pfIdx((field, terms, slop, true))
+      val score =
+        if (scored) Some(boosted(
+          (Search.bm25ScoreOf(1, _ => col(s"qpf$i"), _ => col(s"qpd$i"),
+            col(dlName(field)), col(sumdlName(field)), col("n")),
+            termScoreSql(s"qpf$i", s"qpd$i", dlName(field),
+              sumdlName(field))), boost))
+        else None
+      C(col(s"qpf$i") > 0, s"f.qpf$i > 0", score)
     case PhraseQ(field, terms, boost, slop) =>
-      val i = pfIdx((field, terms, slop))
+      val i = pfIdx((field, terms, slop, false))
       val score =
         if (scored) Some(boosted(
           (Search.bm25ScoreOf(1, _ => col(s"qpf$i"), _ => col(s"qpd$i"),
@@ -1460,9 +1501,10 @@ object Dsl {
   /** The full clause inventory + compiled predicate of one body —
     * everything both serving paths and both SQL generators need. */
   private case class Plan(q: Node, size: Int,
-      tkeys: Seq[(String, String)], pkeys: Seq[(String, Seq[String], Int)],
+      tkeys: Seq[(String, String)],
+      pkeys: Seq[(String, Seq[String], Int, Boolean)],
       stkeys: Seq[(String, String)],
-      spkeys: Seq[(String, Seq[String], Int)],
+      spkeys: Seq[(String, Seq[String], Int, Boolean)],
       skts: Seq[(String, Scalar)], exact: Seq[String],
       tfIdx: TIdx, pfIdx: PIdx, ktIdx: KIdx, c: C,
       from: Int = 0, sortKeys: Seq[(String, Boolean)] = Seq.empty,
@@ -1731,6 +1773,13 @@ object Dsl {
     "(?<![^ ])(?=" +
       ws.map(java.util.regex.Pattern.quote).mkString(" ") + "(?![^ ]))"
 
+  /** The prefix variant: every word but the last is boundary-exact;
+    * the last needs no trailing boundary — any token CARRYING it as a
+    * prefix matches at that position. */
+  private[ops] def phrasePrefixPattern(ws: Seq[String]): String =
+    "(?<![^ ])(?=" +
+      ws.map(java.util.regex.Pattern.quote).mkString(" ") + ")"
+
   private def phraseFreq(nt: Column, ws: Seq[String]): Column =
     size(regexp_extract_all(nt, lit(phrasePattern(ws)), lit(0)))
 
@@ -1738,13 +1787,17 @@ object Dsl {
     * positions x of word 0 such that every word j has a position in
     * [x+j, x+j+slop] (1-based). Plain higher-order array ops — the
     * DuckDB oracle emits the identical position arithmetic. */
-  private def slopFreq(arr: Column, ws: Seq[String], slop: Int): Column = {
-    def posOf(w: String): Column =
+  private def slopFreq(arr: Column, ws: Seq[String], slop: Int,
+      lastPrefix: Boolean = false): Column = {
+    def posOf(w: String, isPrefix: Boolean): Column =
       filter(transform(arr, (x, i) =>
-        when(x === lit(w), i + 1).otherwise(lit(-1))), p => p > 0)
-    if (ws.size == 1) size(posOf(ws.head))
-    else size(filter(posOf(ws.head), x =>
-      (1 until ws.size).map(j => exists(posOf(ws(j)),
+        when(if (isPrefix) x.startsWith(lit(w)) else x === lit(w), i + 1)
+          .otherwise(lit(-1))), p => p > 0)
+    val last = ws.size - 1
+    if (ws.size == 1) size(posOf(ws.head, lastPrefix))
+    else size(filter(posOf(ws.head, isPrefix = false), x =>
+      (1 until ws.size).map(j => exists(posOf(ws(j),
+        lastPrefix && j == last),
         p => p >= x + lit(j) && p <= x + lit(j + slop))).reduce(_ && _)))
   }
 
@@ -1773,9 +1826,12 @@ object Dsl {
       }
       def tarr(f: String) = if (f == Search.DefaultField) toksC
         else slice(toksC, 1, Search.HeadLen)
-      val pfCols = p.pkeys.map { case k @ (f, ws, sl) =>
-        (if (sl == 0) phraseFreq(src(f), ws)
-         else slopFreq(tarr(f), ws, sl)).as(s"qpf${p.pfIdx(k)}")
+      val pfCols = p.pkeys.map { case k @ (f, ws, sl, pfx) =>
+        (if (sl == 0 && !pfx) phraseFreq(src(f), ws)
+         else if (sl == 0)
+           size(regexp_extract_all(src(f), lit(phrasePrefixPattern(ws)),
+             lit(0)))
+         else slopFreq(tarr(f), ws, sl, pfx)).as(s"qpf${p.pfIdx(k)}")
       }
       // fuzzy tf: tokens within the edit budget — token-grain, the
       // same classic Levenshtein DP both engines implement (the
@@ -2009,25 +2065,29 @@ object Dsl {
         s"len(list_filter(${arr(f)}, x -> x = '${quoteSql(t)}')) " +
           s"AS qtf${p.tfIdx(k)}"
       }
-      val pfDefs = p.pkeys.map { case k @ (f, ws, sl) =>
+      val pfDefs = p.pkeys.map { case k @ (f, ws, sl, pfx) =>
         val a = arr(f)
+        // the last word of a prefix phrase matches by starts_with
+        def wcond(ref: String, j: Int): String =
+          if (pfx && j == ws.size - 1)
+            s"starts_with($ref, '${quoteSql(ws(j))}')"
+          else s"$ref = '${quoteSql(ws(j))}'"
         if (sl == 0) {
-          val conds = ws.zipWithIndex.map { case (w, j) =>
-            s"$a[i + $j] = '${quoteSql(w)}'"
-          }.mkString(" AND ")
+          val conds = ws.indices.map(j => wcond(s"$a[i + $j]", j))
+            .mkString(" AND ")
           s"len(list_filter(range(1, len($a) - ${ws.length - 2}), " +
             s"i -> $conds)) AS qpf${p.pfIdx(k)}"
         } else {
           // [[slopFreq]]'s position arithmetic, emitted in lockstep
-          def pos(w: String) = s"list_filter(range(1, len($a) + 1), " +
-            s"i -> $a[i] = '${quoteSql(w)}')"
-          if (ws.size == 1) s"len(${pos(ws.head)}) AS qpf${p.pfIdx(k)}"
+          def pos(j: Int) = s"list_filter(range(1, len($a) + 1), " +
+            s"i -> ${wcond(s"$a[i]", j)})"
+          if (ws.size == 1) s"len(${pos(0)}) AS qpf${p.pfIdx(k)}"
           else {
             val conds = (1 until ws.size).map { j =>
-              s"len(list_filter(${pos(ws(j))}, p -> p >= x + $j AND " +
+              s"len(list_filter(${pos(j)}, p -> p >= x + $j AND " +
                 s"p <= x + ${j + sl})) > 0"
             }.mkString(" AND ")
-            s"len(list_filter(${pos(ws.head)}, x -> $conds)) " +
+            s"len(list_filter(${pos(0)}, x -> $conds)) " +
               s"AS qpf${p.pfIdx(k)}"
           }
         }
@@ -2835,11 +2895,22 @@ object Dsl {
       }
       po.groupBy($"doc_id").agg(cols.head, cols.tail: _*)
     }
-    val phFrames = p.pkeys.map { case k @ (fld, ws, sl) =>
-      val po = posts.get
+    val phFrames = p.pkeys.map { case k @ (fld, ws, sl, pfx) =>
+      lazy val po = posts.get
       val parts = ws.zipWithIndex.map { case (w, j) =>
-        po.filter($"field" === fld && $"tok" === w)
-          .select($"doc_id", $"positions".as(s"p$j"))
+        if (pfx && j == ws.size - 1)
+          // prefix leg: term-dictionary walk (UNPRUNED — prefixed
+          // tokens hash to any bucket; Lucene's prefix automaton does
+          // the same walk), the expansions' positions flattened per doc
+          roots.map(root => spark.read.parquet(s"$root/postings")
+            .filter($"field" === fld && $"tok".startsWith(w)))
+            .reduce(_ unionByName _)
+            .groupBy($"doc_id")
+            .agg(array_sort(flatten(collect_list($"positions")))
+              .as(s"p$j"))
+        else
+          po.filter($"field" === fld && $"tok" === w)
+            .select($"doc_id", $"positions".as(s"p$j"))
       }
       val joined = parts.reduce((a, c) => a.join(c, "doc_id"))
       // count phrase STARTS: positions x of word 0 whose successors
@@ -3153,6 +3224,19 @@ object Dsl {
     searchDslOf(Tables.documentsPar(spark, dir), MultifieldQuery)
 
   val searchDslMultifieldSql: String = dslSql(MultifieldQuery)
+
+  /** Registered `most_fields` multi_match — the same fields as
+    * [[MultifieldQuery]] but per-field scores SUM (the "same text,
+    * several analyzers" ES pattern) instead of dis_max'ing. */
+  val MostFieldsQuery: String =
+    s"""{"query": {"multi_match": {"query": "dup vector merge",
+       |  "fields": ["${Search.HeadField}^2", "${Search.DefaultField}"],
+       |  "type": "most_fields"}}, "size": 50}""".stripMargin
+
+  def searchDslMostFields(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), MostFieldsQuery)
+
+  val searchDslMostFieldsSql: String = dslSql(MostFieldsQuery)
 
   /** Registered AGGREGATIONS body — a match query with a terms agg, a
     * date_histogram (over the deterministic [[Search.withPersistDate]]
@@ -3534,6 +3618,28 @@ object Dsl {
   def searchDslPhraseSlopServed(spark: SparkSession, dir: String): DataFrame =
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), PhraseSlopQuery)
+
+  /** Registered SEARCH-AS-YOU-TYPE body — `match_phrase_prefix`: the
+    * exact word "vector" followed by any token with prefix "me" (the
+    * half-typed query); scored as a phrase, oracle from the same AST
+    * (the prefix expansion is a deterministic starts_with both engines
+    * evaluate). */
+  val PhrasePrefixQuery: String =
+    """{"query": {"match_phrase_prefix": {"text": "vector me"}},
+      |  "size": 30}""".stripMargin
+
+  def searchDslPhrasePrefix(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), PhrasePrefixQuery)
+
+  val searchDslPhrasePrefixSql: String = dslSql(PhrasePrefixQuery)
+
+  /** Registered query: [[PhrasePrefixQuery]] SERVED — the prefix leg
+    * walks the term dictionary for its expansions' positions, the
+    * exact leg stays bucket-pruned; same oracle as the scan form. */
+  def searchDslPhrasePrefixServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), PhrasePrefixQuery)
 
   /** Registered NESTED body over the INGEST corpus (where tags live —
     * [[Ingest.ingestDocs]]): one nested clause that must be satisfied

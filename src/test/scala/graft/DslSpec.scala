@@ -389,6 +389,49 @@ class DslSpec extends SparkSpec {
       .contains("from"), "an unbounded range bucket is malformed")
   }
 
+  test("match_phrase_prefix: search-as-you-type; most_fields sums per-field scores") {
+    // "alpha b" — alpha then any b-prefixed token: docs 1, 4 ("alpha
+    // beta…"); doc 0 ("rare alpha alpha") and 2 ("beta gamma") miss
+    val pp = ids(run("""{"query": {"match_phrase_prefix": {"text":
+      "alpha b"}}}""", tiny))
+    assert(pp.toSet == Set(1L, 4L), s"prefix phrase: $pp")
+    // the single-term form counts every prefixed token occurrence
+    val one = ids(run("""{"query": {"match_phrase_prefix": {"text":
+      "gam"}}}""", tiny))
+    assert(one.toSet == Set(2L, 4L), s"bare prefix: $one")
+    // a FULL last word still matches (prefix includes exact)
+    assert(ids(run("""{"query": {"match_phrase_prefix": {"text":
+      "alpha beta"}}}""", tiny)).toSet == Set(1L, 4L))
+    // slop composes: "rare b" slop 1 lets one token intervene
+    assert(ids(run("""{"query": {"match_phrase_prefix": {"text":
+      {"query": "rare b", "slop": 1}}}}""", tiny)).toSet == Set(3L),
+      "slop over the prefix leg")
+    // max_expansions refuses loudly (capping would change results)
+    val e = intercept[IllegalArgumentException](run(
+      """{"query": {"match_phrase_prefix": {"text":
+        {"query": "alpha b", "max_expansions": 10}}}}""", tiny))
+    assert(e.getMessage.contains("max_expansions"), e.getMessage)
+    // served ≡ scan on the real corpus (term-dictionary prefix leg)
+    val scan = Dsl.searchDslPhrasePrefix(spark, sfDir).collect().toSeq
+    assert(scan.nonEmpty, "registered prefix body must hit")
+    assert(Dsl.searchDslPhrasePrefixServed(spark, sfDir).collect().toSeq
+      == scan, "term-dictionary-served phrase_prefix diverged from scan")
+    // most_fields SUMS per-field scores: a doc matching in head AND
+    // text must outrank under most_fields wherever best_fields took
+    // only the max — rank sets stay equal, order may not
+    val mf = run("""{"query": {"multi_match": {"query": "alpha",
+      "fields": ["head", "text"], "type": "most_fields"}}}""", tiny)
+    val bf = run("""{"query": {"multi_match": {"query": "alpha",
+      "fields": ["head", "text"], "type": "best_fields"}}}""", tiny)
+    assert(mf.map(_(1)).toSet == bf.map(_(1)).toSet,
+      "the combiner must not change the match set")
+    val e2 = intercept[IllegalArgumentException](run(
+      """{"query": {"multi_match": {"query": "alpha",
+        "fields": ["head", "text"], "type": "phrase"}}}""", tiny))
+    assert(e2.getMessage.contains("most_fields"),
+      "unsupported multi_match types must name the supported pair")
+  }
+
   test("nested: ONE tag must satisfy the whole inner query") {
     val docs = Seq(
       (0L, "k", "error", "etype", "click"),
