@@ -185,8 +185,14 @@ object Dsl {
   case object ByCount extends TermsOrder
   case object ByKey extends TermsOrder
   final case class BySub(name: String, asc: Boolean) extends TermsOrder
+  /** `missing` buckets docs LACKING the field under the given value
+    * (ES's missing parameter — the value must be type-compatible with
+    * the field, checked at execution); `minDoc` = `min_doc_count`:
+    * buckets below it drop BEFORE the top-N cut (ES applies the same
+    * order). */
   final case class TermsAgg(field: String, topN: Int,
-      order: TermsOrder) extends AggNode
+      order: TermsOrder, missing: Option[Scalar] = None,
+      minDoc: Int = 1) extends AggNode
   final case class DateHistAgg(field: String) extends AggNode
   final case class HistAgg(field: String, interval: Long) extends AggNode
   final case class StatsAgg(field: String) extends AggNode
@@ -908,7 +914,8 @@ object Dsl {
       val agg = typeEntries match {
         case List((tpe, spec)) => tpe match {
           case "terms" =>
-            val f = aggField(spec, name, Set("field", "size", "order"))
+            val f = aggField(spec, name,
+              Set("field", "size", "order", "missing", "min_doc_count"))
             val n = spec \ "size" match {
               case JNothing => DefaultSize
               case JInt(x) if x > 0 && x <= MaxResultWindow => x.toInt
@@ -926,7 +933,18 @@ object Dsl {
                 s"""{"_count": "desc"} (default), {"_key": "asc"}, or """ +
                 s"""{"<metric sub-agg>": "asc"|"desc"}, got $v""")
             }
-            TermsAgg(f, n, order)
+            val missing = spec \ "missing" match {
+              case JNothing => None
+              case v => Some(scalar(v))
+            }
+            val minDoc = spec \ "min_doc_count" match {
+              case JNothing => 1
+              case JInt(x) if x >= 1 => x.toInt
+              case v => fail(s"agg '$name' min_doc_count must be a " +
+                s"positive integer, got $v (0 would require emitting " +
+                "empty buckets for unseen terms — unsupported)")
+            }
+            TermsAgg(f, n, order, missing, minDoc)
           case "date_histogram" =>
             val f = aggField(spec, name, Set("field", "calendar_interval"))
             spec \ "calendar_interval" match {
@@ -1010,14 +1028,14 @@ object Dsl {
             "range/filter buckets take metric subs only")
         }
         subSpec.map(_._2).foreach {
-          case TermsAgg(_, _, _: BySub) =>
+          case TermsAgg(_, _, _: BySub, _, _) =>
             fail(s"agg '$name': a sub-terms cannot order by its own " +
               "sub-aggregation (one level of nesting)")
           case _ => ()
         }
       }
       agg match {
-        case TermsAgg(_, _, BySub(sn, _)) => subSpec match {
+        case TermsAgg(_, _, BySub(sn, _), _, _) => subSpec match {
           case Some((`sn`, _: MetricAgg | _: CardinalityAgg)) => ()
           case Some((`sn`, _)) => fail(s"agg '$name': order by '$sn' " +
             "needs a SINGLE-VALUE metric sub (avg, sum, min, max, " +
@@ -1053,7 +1071,7 @@ object Dsl {
     * filter agg's clause fields travel through the clause
     * inventory instead). */
   private def aggFieldsOf(a: AggNode): Seq[String] = a match {
-    case TermsAgg(f, _, _) => Seq(f)
+    case TermsAgg(f, _, _, _, _) => Seq(f)
     case DateHistAgg(f) => Seq(f)
     case HistAgg(f, _) => Seq(f)
     case StatsAgg(f) => Seq(f)
@@ -2278,9 +2296,27 @@ object Dsl {
             .isInstanceOf[org.apache.spark.sql.types.NumericType])
           fail(s"agg '${s.name}': field '$fl' is not numeric")
       }
+      (Seq(s.agg) ++ s.sub.map(_._2)).foreach {
+        case TermsAgg(fl, _, _, Some(v), _) =>
+          val dt = matched.schema(fl).dataType
+          val ok = v match {
+            case _: SNum =>
+              dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+            case _: SStr =>
+              dt == org.apache.spark.sql.types.StringType
+            case _: SBool =>
+              dt == org.apache.spark.sql.types.BooleanType
+          }
+          if (!ok) fail(s"agg '${s.name}': missing value ${v.sql} does " +
+            s"not match field '$fl' of type ${dt.simpleString}")
+        case _ => ()
+      }
     }
     def keyExprOf(a: AggNode): Option[Column] = a match {
-      case TermsAgg(x, _, _) => Some(col(x))
+      // `missing` folds absent values into its bucket — the key
+      // expression is total, so the null-skip filter below is a no-op
+      case TermsAgg(x, _, _, m, _) =>
+        Some(m.map(v => coalesce(col(x), v.column)).getOrElse(col(x)))
       case DateHistAgg(x) => Some(col(x))
       case HistAgg(x, iv) =>
         // integer floor-bucketing, pure integer arithmetic (a double
@@ -2487,7 +2523,7 @@ object Dsl {
               col(s"dc${i}_0").as("doc_count") +: condOut(i, 0)): _*)
       }
       val cut = spec.agg match {
-        case TermsAgg(_, n, ord) =>
+        case TermsAgg(_, n, ord, _, minDoc) =>
           // ES order: {"_count": "desc"} (default), {"_key": "asc"},
           // or by the metric sub's value (nulls last, key tiebreak)
           val o = ord match {
@@ -2498,7 +2534,8 @@ object Dsl {
               Seq(if (asc) c.asc_nulls_last else c.desc_nulls_last,
                 $"key".asc)
           }
-          sel.orderBy(o: _*).limit(n)
+          (if (minDoc > 1) sel.filter($"doc_count" >= minDoc) else sel)
+            .orderBy(o: _*).limit(n)
         case _ => sel
       }
       val parent = cut.withColumn("agg", lit(spec.name))
@@ -2517,7 +2554,7 @@ object Dsl {
         val kept = rows.join(broadcast(cut.select($"key")), Seq("key"),
           "left_semi")
         val cut2 = sa match {
-          case TermsAgg(_, n2, ord2) =>
+          case TermsAgg(_, n2, ord2, _, _) =>
             // per-parent top-N: a bucket-grain window, ES's sub-terms cut
             val o2: Seq[Column] =
               if (ord2 == ByKey) Seq($"key2".asc)
@@ -2603,11 +2640,14 @@ object Dsl {
       case _ => Seq(s"COUNT(DISTINCT $x) AS v_count", nullV("v_sum"),
         nullV("v_min"), nullV("v_max"), nullV("v_avg"))
     }
-    // (key expr SQL, null guard field) of a grouping bucket node
-    def keySqlOf(a: AggNode): (String, String) = a match {
-      case TermsAgg(f, _, _) => (f, f)
-      case DateHistAgg(f) => (f, f)
-      case HistAgg(f, iv) => (s"($f // $iv) * $iv", f)
+    // (key expr SQL, null-guard field — None when `missing` makes the
+    // key total) of a grouping bucket node
+    def keySqlOf(a: AggNode): (String, Option[String]) = a match {
+      case TermsAgg(f, _, _, Some(v), _) =>
+        (s"COALESCE($f, ${v.sql})", None)
+      case TermsAgg(f, _, _, None, _) => (f, Some(f))
+      case DateHistAgg(f) => (f, Some(f))
+      case HistAgg(f, iv) => (s"($f // $iv) * $iv", Some(f))
       case other => fail(s"not a grouping bucket: $other") // unreachable
     }
     def branch(spec: AggSpec): String = {
@@ -2621,11 +2661,13 @@ object Dsl {
       }
       // the parent branch body WITHOUT the outer SELECT * wrapper —
       // reused as the child's surviving-parent key set
-      def parentInnerOf(fld: String, ordAndLimit: String): String =
-        s"""SELECT $name AS agg, CAST($fld AS VARCHAR) AS key,
+      def parentInnerOf(keyExpr: String, guard: Option[String],
+          having: String, ordAndLimit: String): String =
+        s"""SELECT $name AS agg, CAST($keyExpr AS VARCHAR) AS key,
            |    '' AS key2, COUNT(*) AS doc_count,
            |    ${stats.mkString(",\n    ")}
-           |  FROM m WHERE $fld IS NOT NULL GROUP BY $fld$ordAndLimit"""
+           |  FROM m${guard.map(g => s" WHERE $g IS NOT NULL")
+             .getOrElse("")} GROUP BY $keyExpr$having$ordAndLimit"""
           .stripMargin
       // child rows: the {parent, child} grouping, gated to surviving
       // parents (the IN mirrors the Spark side's broadcast semi join)
@@ -2633,13 +2675,17 @@ object Dsl {
         val (sn, sa) = bucketSub.get
         val (pk, pguard) = keySqlOf(spec.agg)
         val (ck, cguard) = keySqlOf(sa)
+        val guards = (pguard.toSeq ++ cguard.toSeq)
+          .map(g => s"$g IS NOT NULL")
+        val whereSql =
+          if (guards.isEmpty) "" else " WHERE " + guards.mkString(" AND ")
         val grouped =
           s"""SELECT CAST($pk AS VARCHAR) AS key, CAST($ck AS VARCHAR)
              |      AS key2, COUNT(*) AS doc_count
-             |    FROM m WHERE $pguard IS NOT NULL AND $cguard IS NOT NULL
+             |    FROM m$whereSql
              |    GROUP BY $pk, $ck""".stripMargin
         val cutGrouped = sa match {
-          case TermsAgg(_, n2, ord2) =>
+          case TermsAgg(_, n2, ord2, _, _) =>
             val o2 = if (ord2 == ByKey) "key2"
               else "doc_count DESC, key2"
             s"""SELECT key, key2, doc_count FROM (
@@ -2659,7 +2705,7 @@ object Dsl {
            |  $cutGrouped) AS ch$gate""".stripMargin
       }
       spec.agg match {
-        case TermsAgg(fld, n, ord) =>
+        case TermsAgg(_, n, ord, _, minDoc) =>
           val ordSql = ord match {
             case ByKey => "key"
             case ByCount => "doc_count DESC, key"
@@ -2668,12 +2714,16 @@ object Dsl {
               s"${orderColOf(k)} ${if (asc) "ASC" else "DESC"} " +
                 "NULLS LAST, key"
           }
-          val inner = parentInnerOf(fld, s"\n  ORDER BY $ordSql LIMIT $n")
+          val (kx, guard) = keySqlOf(spec.agg)
+          val having =
+            if (minDoc > 1) s"\n  HAVING COUNT(*) >= $minDoc" else ""
+          val inner = parentInnerOf(kx, guard, having,
+            s"\n  ORDER BY $ordSql LIMIT $n")
           val parent = s"SELECT * FROM (\n  $inner) AS t"
           if (bucketSub.isEmpty) parent
           else s"$parent\nUNION ALL\n(${childOf(Some(inner))})"
         case DateHistAgg(fld) =>
-          val parent = parentInnerOf(fld, "")
+          val parent = parentInnerOf(fld, Some(fld), "", "")
           if (bucketSub.isEmpty) parent
           else s"($parent)\nUNION ALL\n(${childOf(None)})"
         case HistAgg(fld, iv) =>
@@ -3340,6 +3390,32 @@ object Dsl {
 
   val dslAggsNestedOracleSql: String =
     dslAggsSqlOver(AggsNestedQuery, Search.PersistDateRel)
+
+  /** Registered `missing` + `min_doc_count` aggs body — the two
+    * everyday terms-agg knobs: docs lacking the (deterministically
+    * nulled) `src_opt` column bucket under "none", and a count floor
+    * drops sparse language buckets BEFORE the cut. */
+  val AggsMissingQuery: String =
+    """{"query": {"match_all": {}}, "size": 0,
+      |  "aggs": {
+      |    "srcs": {"terms": {"field": "src_opt", "size": 10,
+      |             "missing": "none", "order": {"_key": "asc"}}},
+      |    "big_langs": {"terms": {"field": "lang", "size": 10,
+      |                  "min_doc_count": 70}}}}""".stripMargin
+
+  /** The nullable-column corpus both engines derive identically. */
+  val SrcOptRel: String =
+    "(SELECT *, CASE WHEN doc_id % 7 <> 0 THEN source END AS src_opt " +
+      "FROM documents)"
+
+  def dslAggsMissing(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsPar(spark, dir).withColumn("src_opt",
+      when(col("doc_id") % 7 =!= 0, col("source")))
+    dslAggsOf(docs, AggsMissingQuery)
+  }
+
+  val dslAggsMissingOracleSql: String =
+    dslAggsSqlOver(AggsMissingQuery, SrcOptRel)
 
   /** Registered query: [[AggsNestedQuery]] SERVED from the daily
     * indices — nested buckets over doc-values across the alias

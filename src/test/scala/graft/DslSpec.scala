@@ -656,6 +656,38 @@ class DslSpec extends SparkSpec {
       "served nested aggs diverged from the scan path")
   }
 
+  test("terms missing buckets null docs; min_doc_count floors buckets") {
+    val docs = tiny.withColumn("src_opt",
+      org.apache.spark.sql.functions.when($"doc_id" =!= 0L, $"source"))
+    def agg(json: String): Seq[(String, Long)] =
+      Dsl.dslAggsOf(docs, json).collect()
+        .map(r => (r.getString(1), r.getAs[Long]("doc_count"))).toSeq
+    // doc 0's nulled source buckets under "none" instead of vanishing
+    assert(agg("""{"query": {"match_all": {}}, "size": 0, "aggs": {
+      "s": {"terms": {"field": "src_opt", "size": 10,
+        "missing": "none", "order": {"_key": "asc"}}}}}""") ==
+      Seq(("none", 1L), ("src0", 1L), ("src1", 2L), ("src2", 1L)))
+    // without missing, the null doc is skipped (the ES default)
+    assert(agg("""{"query": {"match_all": {}}, "size": 0, "aggs": {
+      "s": {"terms": {"field": "src_opt", "size": 10,
+        "order": {"_key": "asc"}}}}}""") ==
+      Seq(("src0", 1L), ("src1", 2L), ("src2", 1L)))
+    // min_doc_count floors BEFORE the cut: only en (3) survives ≥ 2
+    assert(agg("""{"query": {"match_all": {}}, "size": 0, "aggs": {
+      "l": {"terms": {"field": "lang", "size": 10,
+        "min_doc_count": 2}}}}""") == Seq(("en", 3L)))
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(docs, json)).getMessage
+    assert(msg("""{"query": {"match_all": {}}, "size": 0, "aggs": {
+      "x": {"terms": {"field": "n_chars", "missing": "na"}}}}""")
+      .contains("does not match"),
+      "a type-mismatched missing value must refuse, not mis-bucket")
+    assert(msg("""{"query": {"match_all": {}}, "size": 0, "aggs": {
+      "x": {"terms": {"field": "lang", "min_doc_count": 0}}}}""")
+      .contains("min_doc_count"))
+  }
+
   test("cardinality precision_threshold: the HLL++ sketch tracks the exact twin") {
     // the registered sketch body vs the same body with thresholds
     // stripped (exact distinct) — the sketch must land within the
