@@ -206,6 +206,15 @@ object Dsl {
       threshold: Option[Int] = None) extends AggNode
   final case class RangeAgg(field: String,
       ranges: Seq[(Option[Scalar], Option[Scalar])]) extends AggNode
+  /** ES `top_hits` — the per-bucket top DOCUMENTS sub-agg (the "show
+    * me examples per bucket" dashboard staple). Doc-grain output, so
+    * it is served by [[dslTopHitsOf]] (its own hit-shaped frame), not
+    * the bucket-grain [[dslAggsOf]] — mixing the two in one response
+    * refuses loudly in both directions. Field-only sort (+ doc_id
+    * tiebreak); `_score` ranking inside buckets would need the
+    * statistics machinery hits pages get from searchDslOf. */
+  final case class TopHitsAgg(size: Int,
+      sort: Seq[(String, Boolean)]) extends AggNode
   final case class FilterAgg(query: Node) extends AggNode
   final case class AggSpec(name: String, agg: AggNode,
       sub: Option[(String, AggNode)])
@@ -291,25 +300,8 @@ object Dsl {
     }
     val sort = root \ "sort" match {
       case JNothing => Seq.empty
-      case JArray(entries) if entries.nonEmpty => entries.map {
-        // "field" (asc; bare "_score" sorts desc — both ES defaults)
-        case JString(f) => (f, f != "_score")
-        case JObject(List((f, JString(ord)))) => (f, parseOrder(f, ord))
-        case JObject(List((f, o: JObject))) =>
-          o.obj.collectFirst { case (k, _) if k != "order" => k }
-            .foreach(k => fail(s"sort.$f has unsupported option '$k' — " +
-              "supported: order"))
-          o \ "order" match {
-            case JString(ord) => (f, parseOrder(f, ord))
-            case _ => fail(s"sort.$f needs an \"order\" string")
-          }
-        case other => fail(s"sort entries must be \"field\" or " +
-          s"{field: {order: asc|desc}}, got $other")
-      }
-      case _ => fail("sort must be a non-empty array")
+      case v => parseSortEntries(v)
     }
-    if (sort.map(_._1).distinct.size != sort.size)
-      fail("sort lists a field twice")
     val source = root \ "_source" match {
       case JNothing => None
       case JBool(false) => Some(Seq.empty)
@@ -421,6 +413,31 @@ object Dsl {
       conds.filter(_._1 < n).sortBy(_._1).lastOption
         .map(c => simple(c._2)).getOrElse(n)
     }
+  }
+
+  /** The `sort` array grammar, shared by the body key and `top_hits`. */
+  private def parseSortEntries(v: JValue): Seq[(String, Boolean)] = {
+    val sort = v match {
+      case JArray(entries) if entries.nonEmpty => entries.map {
+        // "field" (asc; bare "_score" sorts desc — both ES defaults)
+        case JString(f) => (f, f != "_score")
+        case JObject(List((f, JString(ord)))) => (f, parseOrder(f, ord))
+        case JObject(List((f, o: JObject))) =>
+          o.obj.collectFirst { case (k, _) if k != "order" => k }
+            .foreach(k => fail(s"sort.$f has unsupported option '$k' — " +
+              "supported: order"))
+          o \ "order" match {
+            case JString(ord) => (f, parseOrder(f, ord))
+            case _ => fail(s"sort.$f needs an \"order\" string")
+          }
+        case other => fail(s"sort entries must be \"field\" or " +
+          s"{field: {order: asc|desc}}, got $other")
+      }
+      case _ => fail("sort must be a non-empty array")
+    }
+    if (sort.map(_._1).distinct.size != sort.size)
+      fail("sort lists a field twice")
+    sort
   }
 
   private def parseOrder(field: String, ord: String): Boolean = ord match {
@@ -900,12 +917,13 @@ object Dsl {
           parseAggSpec(sn, sb, sub = true).agg match {
             case m @ (_: StatsAgg | _: MetricAgg | _: CardinalityAgg) =>
               Some((sn, m: AggNode))
-            case b @ (_: TermsAgg | _: DateHistAgg | _: HistAgg) =>
+            case b @ (_: TermsAgg | _: DateHistAgg | _: HistAgg |
+                      _: TopHitsAgg) =>
               Some((sn, b: AggNode))
-            case _ => fail(s"sub-aggregation '$sn' must be a metric or a " +
-              "grouping bucket — bucket aggs nest one of: avg, " +
-              "cardinality, date_histogram, histogram, max, min, stats, " +
-              "sum, terms, value_count")
+            case _ => fail(s"sub-aggregation '$sn' must be a metric, a " +
+              "grouping bucket, or top_hits — bucket aggs nest one of: " +
+              "avg, cardinality, date_histogram, histogram, max, min, " +
+              "stats, sum, terms, top_hits, value_count")
           }
         case List((_, JObject(_))) =>
           fail(s"agg '$name': aggs must hold exactly one sub-aggregation")
@@ -1008,9 +1026,37 @@ object Dsl {
           case "filter" =>
             // the spec IS the stored clause: {"filter": {"term": …}}
             FilterAgg(node(spec))
+          case "top_hits" =>
+            spec match {
+              case o: JObject =>
+                o.obj.collectFirst {
+                  case (k, _) if k != "size" && k != "sort" => k
+                }.foreach(k => fail(s"agg '$name' top_hits has " +
+                  s"unsupported option '$k' — supported: size, sort"))
+              case other => fail(s"agg '$name' expects an object, got $other")
+            }
+            val n = spec \ "size" match {
+              case JNothing => 3 // the ES top_hits default
+              case JInt(x) if x > 0 && x <= MaxResultWindow => x.toInt
+              case v => fail(s"agg '$name' top_hits size must be a " +
+                s"positive integer ≤ $MaxResultWindow, got $v")
+            }
+            val sort = spec \ "sort" match {
+              case JNothing => Seq.empty
+              case v => parseSortEntries(v)
+            }
+            if (sort.isEmpty)
+              fail(s"agg '$name' top_hits needs an explicit field sort " +
+                "(per-bucket ranking must be deterministic)")
+            if (sort.exists(_._1 == "_score"))
+              fail(s"agg '$name' top_hits sorts by _score — unsupported: " +
+                "rank inside buckets by doc-value fields (scored pages " +
+                "are searchDslOf's job)")
+            TopHitsAgg(n, sort)
           case other => fail(s"unsupported aggregation type '$other' — " +
             "supported: avg, cardinality, date_histogram, filter, " +
-            "histogram, max, min, range, stats, sum, terms, value_count")
+            "histogram, max, min, range, stats, sum, terms, top_hits, " +
+            "value_count")
         }
         case Nil => fail(s"agg '$name' has no aggregation type")
         case more => fail(s"agg '$name' must have exactly one type, got " +
@@ -1079,6 +1125,7 @@ object Dsl {
     case CardinalityAgg(f, _) => Seq(f)
     case RangeAgg(f, _) => Seq(f)
     case FilterAgg(_) => Seq.empty
+    case TopHitsAgg(_, sort) => sort.map(_._1)
   }
 
   /** (kind, field) of a metric node — parse guarantees subs are
@@ -2282,6 +2329,7 @@ object Dsl {
     * BUCKET grain — tiny. */
   private def aggsOver(matched: DataFrame, b: Body, p: Plan): DataFrame = {
     import matched.sparkSession.implicits._
+    refuseTopHits(b)
     def numericRequired(a: AggNode): Seq[String] = a match {
       case StatsAgg(f) => Seq(f)
       case MetricAgg(k, f) if k != "value_count" => Seq(f)
@@ -2583,6 +2631,16 @@ object Dsl {
     case _ => "v_count" // value_count, cardinality (exact or sketch)
   }
 
+  /** Bucket-grain serving must not silently drop a doc-grain sub. */
+  private def refuseTopHits(b: Body): Unit =
+    b.aggs.foreach { sp =>
+      if (sp.agg.isInstanceOf[TopHitsAgg] ||
+          sp.sub.exists(_._2.isInstanceOf[TopHitsAgg]))
+        fail("top_hits returns DOCUMENTS, not buckets — it is served by " +
+          "dslTopHitsOf (one terms parent + one top_hits sub); bucket " +
+          "metrics stay with dslAggsOf")
+    }
+
   private val NullStats = Seq(
     lit(null).cast("long").as("v_count"), lit(null).cast("double").as("v_sum"),
     lit(null).cast("double").as("v_min"), lit(null).cast("double").as("v_max"),
@@ -2598,6 +2656,7 @@ object Dsl {
   def dslAggsSqlOver(json: String, rel: String): String = {
     val b = parseBody(json)
     if (b.aggs.isEmpty) fail("no aggs in body — use dslSqlOver")
+    refuseTopHits(b)
     val filterNodes = b.aggs.collect { case AggSpec(_, FilterAgg(n), _) => n }
     val p = mergedFilterPlan(b.query +: filterNodes)
     val aggFields = b.aggs.flatMap(s => aggFieldsOf(s.agg) ++
@@ -2765,6 +2824,121 @@ object Dsl {
        |${b.aggs.map(branch).mkString("\nUNION ALL\n")}
        |) AS u ORDER BY agg, key, key2""".stripMargin
   }
+
+  /** ES `top_hits` under a terms bucket: the query's match set groups
+    * by the parent key, the parent buckets take their terms cut
+    * (order / missing / min_doc_count all honored), and each SURVIVING
+    * bucket emits its top-`size` DOCUMENTS by the field sort (+ doc_id
+    * tiebreak). Output: (agg = "parent.sub", key, rk, doc_id, <sort
+    * fields>), sorted (agg, key, rk).
+    *
+    * Shape at 100 TB: one pruned scan + one bucket-grain aggregate for
+    * the cut (broadcast back as a semi join) + one window partitioned
+    * by bucket — rank state is per-bucket top-k, never a global sort;
+    * the doc-grain frame carries only doc_id, the key, and the sort
+    * fields. */
+  def dslTopHitsOf(docs: DataFrame, json: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    val b = parseBody(json)
+    if (b.size != 0)
+      fail("a top_hits body returns no top-level hits — set size: 0; " +
+        "pages are searchDslOf's job")
+    if (b.from != 0 || b.sort.nonEmpty || b.source.nonEmpty ||
+        b.after.nonEmpty || b.highlight.nonEmpty)
+      fail("a top_hits body returns no top-level hits — from/sort/" +
+        "_source/search_after/highlight have no meaning beside size: 0")
+    val (pname, t, sn, th) = b.aggs match {
+      case Seq(AggSpec(pn, ta: TermsAgg, Some((s2, tha: TopHitsAgg)))) =>
+        (pn, ta, s2, tha)
+      case _ => fail("dslTopHitsOf serves exactly ONE terms aggregation " +
+        "carrying ONE top_hits sub-aggregation")
+    }
+    if (t.order.isInstanceOf[BySub])
+      fail(s"agg '$pname': cannot order by '$sn' — the sub is top_hits, " +
+        "not a metric")
+    val p = filterPlanOf(b.query)
+    val extra = (t.field +: th.sort.map(_._1)).distinct
+      .filter(_ != "doc_id")
+    checkFields(docs, (p.exact ++ extra).distinct)
+    val matched = scanF(docs, p, extra).filter(p.c.pred)
+    val keyC = t.missing.map(v => coalesce(col(t.field), v.column))
+      .getOrElse(col(t.field))
+    val keyed = matched.filter(keyC.isNotNull)
+      .withColumn("key", keyC.cast("string"))
+    val grouped = keyed.groupBy($"key").agg(count(lit(1)).as("doc_count"))
+    val floored =
+      if (t.minDoc > 1) grouped.filter($"doc_count" >= t.minDoc)
+      else grouped
+    val pord: Seq[Column] = t.order match {
+      case ByKey => Seq($"key".asc)
+      case _ => Seq($"doc_count".desc, $"key".asc)
+    }
+    val parentCut = floored.orderBy(pord: _*).limit(t.topN).select($"key")
+    val hord: Seq[Column] = th.sort.map { case (f2, asc) =>
+      if (asc) col(f2).asc_nulls_last else col(f2).desc_nulls_last
+    } :+ $"doc_id".asc
+    val w = Window.partitionBy($"key").orderBy(hord: _*)
+    val outSortCols = th.sort.map(_._1).filter(_ != "doc_id").map(col)
+    keyed.join(broadcast(parentCut), Seq("key"), "left_semi")
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= th.size)
+      .select((lit(s"$pname.$sn").as("agg") +: $"key" +: $"rk" +:
+        $"doc_id" +: outSortCols): _*)
+      .orderBy($"agg", $"key", $"rk")
+  }
+
+  /** Oracle for [[dslTopHitsOf]] — same AST, same cut, same window. */
+  def dslTopHitsSqlOver(json: String, rel: String): String = {
+    val b = parseBody(json)
+    val (pname, t, sn, th) = b.aggs match {
+      case Seq(AggSpec(pn, ta: TermsAgg, Some((s2, tha: TopHitsAgg)))) =>
+        (pn, ta, s2, tha)
+      case _ => fail("dslTopHitsSqlOver: one terms + one top_hits sub")
+    }
+    val p = filterPlanOf(b.query)
+    val extra = (t.field +: th.sort.map(_._1)).distinct
+      .filter(_ != "doc_id")
+    val keySql = t.missing
+      .map(v => s"COALESCE(${t.field}, ${v.sql})").getOrElse(t.field)
+    val guard =
+      if (t.missing.isEmpty) s" AND ${t.field} IS NOT NULL" else ""
+    val having =
+      if (t.minDoc > 1) s" HAVING COUNT(*) >= ${t.minDoc}" else ""
+    val pord = t.order match {
+      case ByKey => "key"
+      case _ => "doc_count DESC, key"
+    }
+    val hord = th.sort.map { case (f2, asc) =>
+      s"$f2 ${if (asc) "ASC" else "DESC"} NULLS LAST"
+    }.mkString("", ", ", ", doc_id")
+    val outSort = th.sort.map(_._1).filter(_ != "doc_id")
+      .map(c => s", $c").mkString
+    s"""WITH ${fCteSql(p, extra, rel)},
+       |m AS (SELECT *, CAST($keySql AS VARCHAR) AS key FROM f
+       |      WHERE ${p.c.predSql}$guard),
+       |pt AS (SELECT key FROM (
+       |  SELECT key, COUNT(*) AS doc_count FROM m GROUP BY key$having
+       |  ORDER BY $pord LIMIT ${t.topN}) AS t0),
+       |h AS (SELECT '${quoteSql(pname)}.${quoteSql(sn)}' AS agg, key,
+       |  ROW_NUMBER() OVER (PARTITION BY key ORDER BY $hord) AS rk,
+       |  doc_id$outSort
+       |  FROM m WHERE key IN (SELECT key FROM pt))
+       |SELECT * FROM h WHERE rk <= ${th.size}
+       |ORDER BY agg, key, rk""".stripMargin
+  }
+
+  /** Registered `top_hits` body — top-2 longest matching docs per
+    * language, the "examples per bucket" dashboard shape. */
+  val TopHitsQuery: String =
+    """{"query": {"match": {"text": "dup"}}, "size": 0,
+      |  "aggs": {"by_lang": {"terms": {"field": "lang", "size": 3},
+      |    "aggs": {"top": {"top_hits": {"size": 2,
+      |      "sort": [{"n_chars": "desc"}]}}}}}}""".stripMargin
+
+  def dslTopHits(spark: SparkSession, dir: String): DataFrame =
+    dslTopHitsOf(Tables.documentsPar(spark, dir), TopHitsQuery)
+
+  val dslTopHitsOracleSql: String =
+    dslTopHitsSqlOver(TopHitsQuery, "documents")
 
   // ------------------------------------------------- DSL percolation
 

@@ -656,6 +656,51 @@ class DslSpec extends SparkSpec {
       "served nested aggs diverged from the scan path")
   }
 
+  test("top_hits: per-bucket top documents, loud routing both ways") {
+    // match alpha → {0,1,4}; terms lang → en{0,1}, fr{4}; top-1 by
+    // n_chars desc: en → doc 0 (16), fr → doc 4 (16)
+    val out = Dsl.dslTopHitsOf(tiny,
+      """{"query": {"match": {"text": "alpha"}}, "size": 0,
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 2},
+          "aggs": {"top": {"top_hits": {"size": 1,
+            "sort": [{"n_chars": "desc"}]}}}}}}""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(("by_lang.top", "en", 1, 0L, 16L),
+      ("by_lang.top", "fr", 1, 4L, 16L)), s"got $out")
+    // size 2: en's second hit is doc 1 (10)
+    val two = Dsl.dslTopHitsOf(tiny,
+      """{"query": {"match": {"text": "alpha"}}, "size": 0,
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 1},
+          "aggs": {"top": {"top_hits": {"size": 2,
+            "sort": [{"n_chars": "desc"}]}}}}}}""")
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(two.toSeq == Seq(("en", 1, 0L), ("en", 2, 1L)),
+      "per-parent size-1 cut keeps en only; rk orders within the bucket")
+    // routing: bucket-grain serving refuses the doc-grain sub…
+    val e1 = intercept[IllegalArgumentException](Dsl.dslAggsOf(tiny,
+      """{"query": {"match_all": {}}, "size": 0,
+        "aggs": {"l": {"terms": {"field": "lang"},
+          "aggs": {"t": {"top_hits": {"size": 1,
+            "sort": [{"n_chars": "desc"}]}}}}}}"""))
+    assert(e1.getMessage.contains("dslTopHitsOf"), e1.getMessage)
+    // …and the doc-grain endpoint refuses anything but its one shape
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslTopHitsOf(tiny, json)).getMessage
+    assert(msg("""{"query": {"match_all": {}}, "size": 0,
+      "aggs": {"l": {"terms": {"field": "lang"}}}}""")
+      .contains("exactly ONE"))
+    assert(msg("""{"query": {"match_all": {}}, "size": 0,
+      "aggs": {"l": {"terms": {"field": "lang"},
+        "aggs": {"t": {"top_hits": {"size": 1}}}}}}""")
+      .contains("explicit field sort"))
+    assert(msg("""{"query": {"match_all": {}}, "size": 0,
+      "aggs": {"l": {"terms": {"field": "lang"},
+        "aggs": {"t": {"top_hits": {"size": 1, "sort": ["_score"]}}}}}}""")
+      .contains("_score"))
+  }
+
   test("terms missing buckets null docs; min_doc_count floors buckets") {
     val docs = tiny.withColumn("src_opt",
       org.apache.spark.sql.functions.when($"doc_id" =!= 0L, $"source"))
