@@ -215,6 +215,15 @@ object Dsl {
     * statistics machinery hits pages get from searchDslOf. */
   final case class TopHitsAgg(size: Int,
       sort: Seq[(String, Boolean)]) extends AggNode
+  /** ES `nested` AGGREGATION — the query-side [[NestedQ]]'s analytics
+    * twin: switch grain to the NESTED docs (one row per tag) and run a
+    * terms sub over a `path.<subfield>`. The parent row's doc_count is
+    * the TAG count over the match set (the ES nested-agg contract);
+    * child rows are the sub-terms buckets at tag grain. A different
+    * grain than the grouping-sets frame, so it costs one extra pass
+    * pruned to the tags column — Lucene's nested aggregator switches
+    * to child docs the same way. */
+  final case class NestedAgg(path: String) extends AggNode
   final case class FilterAgg(query: Node) extends AggNode
   final case class AggSpec(name: String, agg: AggNode,
       sub: Option[(String, AggNode)])
@@ -1026,6 +1035,18 @@ object Dsl {
           case "filter" =>
             // the spec IS the stored clause: {"filter": {"term": …}}
             FilterAgg(node(spec))
+          case "nested" =>
+            spec match {
+              case o: JObject =>
+                o.obj.collectFirst { case (k, _) if k != "path" => k }
+                  .foreach(k => fail(s"agg '$name' nested has " +
+                    s"unsupported option '$k' — supported: path"))
+              case other => fail(s"agg '$name' expects an object, got $other")
+            }
+            spec \ "path" match {
+              case JString(pp) if pp.nonEmpty => NestedAgg(pp)
+              case _ => fail(s"agg '$name' nested needs a \"path\" string")
+            }
           case "top_hits" =>
             spec match {
               case o: JObject =>
@@ -1055,8 +1076,8 @@ object Dsl {
             TopHitsAgg(n, sort)
           case other => fail(s"unsupported aggregation type '$other' — " +
             "supported: avg, cardinality, date_histogram, filter, " +
-            "histogram, max, min, range, stats, sum, terms, top_hits, " +
-            "value_count")
+            "histogram, max, min, nested, range, stats, sum, terms, " +
+            "top_hits, value_count")
         }
         case Nil => fail(s"agg '$name' has no aggregation type")
         case more => fail(s"agg '$name' must have exactly one type, got " +
@@ -1068,7 +1089,8 @@ object Dsl {
       val subIsBucket = subSpec.exists(x => !isMetric(x._2))
       if (subIsBucket) {
         agg match {
-          case _: TermsAgg | _: DateHistAgg | _: HistAgg => ()
+          case _: TermsAgg | _: DateHistAgg | _: HistAgg |
+               _: NestedAgg => ()
           case _ => fail(s"agg '$name': a bucket sub-aggregation needs a " +
             "grouping-keyed parent (terms, date_histogram, histogram) — " +
             "range/filter buckets take metric subs only")
@@ -1081,6 +1103,18 @@ object Dsl {
         }
       }
       agg match {
+        case NestedAgg(path) => subSpec match {
+          case Some((_, t: TermsAgg)) =>
+            nestedSub(path, t.field) // full-path + subfield validation
+            if (t.missing.nonEmpty)
+              fail(s"agg '$name': missing inside a nested agg is " +
+                "unsupported (tag subfields are total in this mapping)")
+            if (t.order.isInstanceOf[BySub])
+              fail(s"agg '$name': a nested sub-terms cannot order by a " +
+                "metric (one level of nesting)")
+          case _ => fail(s"agg '$name': nested needs exactly one terms " +
+            s"sub-aggregation over $path.<subfield>")
+        }
         case TermsAgg(_, _, BySub(sn, _), _, _) => subSpec match {
           case Some((`sn`, _: MetricAgg | _: CardinalityAgg)) => ()
           case Some((`sn`, _)) => fail(s"agg '$name': order by '$sn' " +
@@ -1098,7 +1132,7 @@ object Dsl {
 
   private def aggTakesSub(a: AggNode): Boolean = a match {
     case _: TermsAgg | _: DateHistAgg | _: HistAgg | _: RangeAgg |
-         _: FilterAgg => true
+         _: FilterAgg | _: NestedAgg => true
     case _ => false
   }
 
@@ -1126,6 +1160,14 @@ object Dsl {
     case RangeAgg(f, _) => Seq(f)
     case FilterAgg(_) => Seq.empty
     case TopHitsAgg(_, sort) => sort.map(_._1)
+    case NestedAgg(p) => Seq(p)
+  }
+
+  /** COLUMN names an AggSpec reads — a nested agg's sub addresses
+    * struct SUBFIELDS of the path column, never top-level columns. */
+  private def aggSpecFields(sp: AggSpec): Seq[String] = sp.agg match {
+    case NestedAgg(p) => Seq(p)
+    case a => aggFieldsOf(a) ++ sp.sub.toSeq.flatMap(x => aggFieldsOf(x._2))
   }
 
   /** (kind, field) of a metric node — parse guarantees subs are
@@ -2309,8 +2351,7 @@ object Dsl {
     // feature frame serves the predicate and every stored bucket
     val filterNodes = b.aggs.collect { case AggSpec(_, FilterAgg(n), _) => n }
     val p = mergedFilterPlan(b.query +: filterNodes)
-    val aggFields = b.aggs.flatMap(s => aggFieldsOf(s.agg) ++
-      s.sub.toSeq.flatMap(x => aggFieldsOf(x._2))).distinct
+    val aggFields = b.aggs.flatMap(aggSpecFields).distinct
     checkFields(docs, (p.exact ++ aggFields).distinct)
     val matched = scanF(docs, p, aggFields).filter(p.c.pred)
     aggsOver(matched, b, p)
@@ -2339,12 +2380,16 @@ object Dsl {
     }
     b.aggs.foreach { s =>
       (numericRequired(s.agg) ++
-        s.sub.toSeq.flatMap(x => numericRequired(x._2))).foreach { fl =>
+        (if (s.agg.isInstanceOf[NestedAgg]) Seq.empty
+         else s.sub.toSeq.flatMap(x => numericRequired(x._2))))
+        .foreach { fl =>
         if (!matched.schema(fl).dataType
             .isInstanceOf[org.apache.spark.sql.types.NumericType])
           fail(s"agg '${s.name}': field '$fl' is not numeric")
       }
-      (Seq(s.agg) ++ s.sub.map(_._2)).foreach {
+      (Seq(s.agg) ++
+        (if (s.agg.isInstanceOf[NestedAgg]) Seq.empty
+         else s.sub.map(_._2).toSeq)).foreach {
         case TermsAgg(fl, _, _, Some(v), _) =>
           val dt = matched.schema(fl).dataType
           val ok = v match {
@@ -2474,7 +2519,8 @@ object Dsl {
     val prep = matched.select(gkCols ++ metricFieldCols ++
       cbuckets.map { case (i, j, _, c) => c.as(s"cnd${i}_$j") }: _*)
     val statAgg = count(lit(1)).as("doc_count") +: (uncondCols ++ condAggCols)
-    val hasGlobal = b.aggs.exists(s => keyExprOf(s.agg).isEmpty)
+    val hasGlobal = b.aggs.exists(s => keyExprOf(s.agg).isEmpty &&
+      !s.agg.isInstanceOf[NestedAgg])
     // the persist makes the one corpus pass ACTUALLY one: the per-agg
     // branches below filter this frame, and without a materialization
     // barrier each branch would re-execute the whole scan+aggregate
@@ -2543,6 +2589,9 @@ object Dsl {
       .reduceOption(_ && _).getOrElse(lit(true))
     val key2Blank = lit("").as("key2")
     val frames = b.aggs.zipWithIndex.flatMap { case (spec, i) =>
+      if (spec.agg.isInstanceOf[NestedAgg])
+        nestedAggFrames(matched, spec)
+      else {
       val sel = spec.agg match {
         case _: TermsAgg | _: DateHistAgg | _: HistAgg =>
           val me = gkOf(i).get
@@ -2617,8 +2666,44 @@ object Dsl {
           .select(OutCols.map(col): _*)
       }
       Seq(parent) ++ child.toSeq
+      }
     }
     frames.reduce(_ unionByName _).orderBy($"agg", $"key", $"key2")
+  }
+
+  /** The nested agg's two frames: the tag-count parent row and the
+    * tag-grain sub-terms buckets — one extra pass over the match set,
+    * pruned to the tags column. */
+  private def nestedAggFrames(matched: DataFrame,
+      spec: AggSpec): Seq[DataFrame] = {
+    import matched.sparkSession.implicits._
+    val path = spec.agg.asInstanceOf[NestedAgg].path
+    val (sn, t) = spec.sub.get match {
+      case (n2, ta: TermsAgg) => (n2, ta)
+      case other => fail(s"nested agg sub: $other") // unreachable post-parse
+    }
+    val sub = t.field.stripPrefix(path + ".")
+    val tags = matched.select(explode(col(path)).as("graft_tag"))
+    val parent = tags.agg(count(lit(1)).as("doc_count"))
+      .select((lit(spec.name).as("agg") +: lit("").as("key") +:
+        lit("").as("key2") +: $"doc_count" +: NullStats): _*)
+      .select(OutCols.map(col): _*)
+    val keyC = $"graft_tag".getField(sub)
+    val grouped = tags.filter(keyC.isNotNull)
+      .groupBy(keyC.cast("string").as("key"))
+      .agg(count(lit(1)).as("doc_count"))
+    val floored =
+      if (t.minDoc > 1) grouped.filter($"doc_count" >= t.minDoc)
+      else grouped
+    val ord: Seq[Column] = t.order match {
+      case ByKey => Seq($"key".asc)
+      case _ => Seq($"doc_count".desc, $"key".asc)
+    }
+    val child = floored.orderBy(ord: _*).limit(t.topN)
+      .select((lit(s"${spec.name}.$sn").as("agg") +: $"key" +:
+        lit("").as("key2") +: $"doc_count" +: NullStats): _*)
+      .select(OutCols.map(col): _*)
+    Seq(parent, child)
   }
 
   /** The output column a terms `order` by a single-value metric sub
@@ -2659,8 +2744,7 @@ object Dsl {
     refuseTopHits(b)
     val filterNodes = b.aggs.collect { case AggSpec(_, FilterAgg(n), _) => n }
     val p = mergedFilterPlan(b.query +: filterNodes)
-    val aggFields = b.aggs.flatMap(s => aggFieldsOf(s.agg) ++
-      s.sub.toSeq.flatMap(x => aggFieldsOf(x._2))).distinct
+    val aggFields = b.aggs.flatMap(aggSpecFields).distinct
     def statSql(x: String): Seq[String] = Seq(
       s"COUNT($x) AS v_count",
       s"CAST(SUM(CAST($x AS DOUBLE)) AS DOUBLE) AS v_sum",
@@ -2816,6 +2900,28 @@ object Dsl {
              |  COUNT(*) AS doc_count,
              |  ${stats.mkString(",\n  ")}
              |FROM m AS f WHERE ${c.predSql}""".stripMargin
+        case NestedAgg(path) =>
+          val (sn, t) = bucketSub.get match {
+            case (n2, ta: TermsAgg) => (n2, ta)
+            case other => fail(s"nested agg sub: $other") // unreachable
+          }
+          val sub = t.field.stripPrefix(path + ".")
+          val tg = s"(SELECT unnest($path) AS t FROM m) AS tg"
+          val ord = if (t.order == ByKey) "key" else "doc_count DESC, key"
+          val having =
+            if (t.minDoc > 1) s" HAVING COUNT(*) >= ${t.minDoc}" else ""
+          s"""SELECT $name AS agg, '' AS key, '' AS key2,
+             |  COUNT(*) AS doc_count, ${nullStats.mkString(",\n  ")}
+             |FROM $tg
+             |UNION ALL
+             |SELECT * FROM (
+             |  SELECT '${quoteSql(spec.name)}.${quoteSql(sn)}' AS agg,
+             |    CAST(tg.t.$sub AS VARCHAR) AS key, '' AS key2,
+             |    COUNT(*) AS doc_count, ${nullStats.mkString(",\n    ")}
+             |  FROM $tg WHERE tg.t.$sub IS NOT NULL
+             |  GROUP BY tg.t.$sub$having
+             |  ORDER BY $ord LIMIT ${t.topN}) AS z"""
+            .stripMargin
       }
     }
     s"""WITH ${fCteSql(p, aggFields, rel)},
@@ -3374,8 +3480,7 @@ object Dsl {
         "search_after/highlight have no meaning beside size: 0")
     val filterNodes = b.aggs.collect { case AggSpec(_, FilterAgg(n), _) => n }
     val p = mergedFilterPlan(b.query +: filterNodes)
-    val aggFields = b.aggs.flatMap(s => aggFieldsOf(s.agg) ++
-      s.sub.toSeq.flatMap(x => aggFieldsOf(x._2))).distinct
+    val aggFields = b.aggs.flatMap(aggSpecFields).distinct
     val parts = servedParts(spark, indexDirs, p, aggFields)
     aggsOver(parts.f.filter(p.c.pred), b, p)
   }
@@ -3921,6 +4026,36 @@ object Dsl {
 
   val searchDslNestedSql: String =
     dslSqlOver(NestedQuery, Ingest.IngestDocsRel)
+
+  /** Registered NESTED AGGREGATION — the query-side nested clause's
+    * analytics twin over the same ingest corpus: switch grain to the
+    * tags and bucket their values; the parent row counts TAGS (the ES
+    * nested-agg doc_count contract). Filter gates to the daily window
+    * so the served twin ranges over exactly the indices' documents. */
+  val NestedAggsQuery: String = {
+    val dates = Search.IngestWindowDates.map(d => s""""$d"""")
+      .mkString("[", ", ", "]")
+    s"""{"query": {"bool": {"filter": [
+       |    {"terms": {"persist_date": $dates}}]}}, "size": 0,
+       |  "aggs": {"tag_vals": {"nested": {"path": "tags"},
+       |    "aggs": {"vals": {"terms": {"field": "tags.value",
+       |      "size": 8, "min_doc_count": 2}}}}}}""".stripMargin
+  }
+
+  def dslNestedAggs(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Ingest.ingestDocs(spark, dir), NestedAggsQuery)
+
+  val dslNestedAggsOracleSql: String =
+    dslAggsSqlOver(NestedAggsQuery, Ingest.IngestDocsRel)
+
+  /** Registered query: [[NestedAggsQuery]] SERVED from the daily
+    * ingest indices (the tags array read from docmeta doc-values
+    * across the alias members); same oracle as the scan twin. */
+  def dslNestedAggsServed(spark: SparkSession, dir: String): DataFrame = {
+    val alias = Search.sharedIngestDailyIndexDirs(spark, dir)._2
+    dslAggsFromIndexes(spark, Search.readAlias(spark, alias),
+      NestedAggsQuery)
+  }
 
   /** Registered query: [[NestedQuery]] SERVED from the daily INGEST
     * indices through their alias — the nested predicate evaluates on

@@ -656,6 +656,44 @@ class DslSpec extends SparkSpec {
       "served nested aggs diverged from the scan path")
   }
 
+  test("nested agg: tag-grain buckets; parent doc_count counts tags") {
+    val docs = Seq(
+      (0L, "k", "a", "e", "x"),
+      (1L, "k", "a", "e", "a"),
+      (2L, "k", "b", "e", "x"))
+      .toDF("doc_id", "t1", "v1", "t2", "v2")
+      .select($"doc_id", array(
+        struct($"t1".as("type"), $"v1".as("value")),
+        struct($"t2".as("type"), $"v2".as("value"))).as("tags"))
+    val out = Dsl.dslAggsOf(docs,
+      """{"query": {"match_all": {}}, "size": 0,
+        "aggs": {"tv": {"nested": {"path": "tags"},
+          "aggs": {"vals": {"terms": {"field": "tags.value",
+            "size": 10, "order": {"_key": "asc"}}}}}}}""")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("doc_count"))).toSeq
+    // parent counts TAGS (6), not docs (3); buckets count tag VALUES
+    // across elements: a ×3 (docs 0,1,1), b ×1, x ×2
+    assert(out == Seq(("tv", "", 6L), ("tv.vals", "a", 3L),
+      ("tv.vals", "b", 1L), ("tv.vals", "x", 2L)), s"got $out")
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(docs, json)).getMessage
+    assert(msg("""{"query": {"match_all": {}}, "size": 0,
+      "aggs": {"tv": {"nested": {"path": "tags"}}}}""")
+      .contains("exactly one terms"),
+      "a nested agg without its sub must refuse")
+    assert(msg("""{"query": {"match_all": {}}, "size": 0,
+      "aggs": {"tv": {"nested": {"path": "tags"},
+        "aggs": {"v": {"terms": {"field": "value"}}}}}}""")
+      .contains("tags.<subfield>"), "full-path addressing inside the agg")
+    // served (ingest daily indices, tags from docmeta) ≡ scan
+    val scan = Dsl.dslNestedAggs(spark, sfDir).collect().toSeq
+    assert(scan.nonEmpty)
+    assert(Dsl.dslNestedAggsServed(spark, sfDir).collect().toSeq == scan,
+      "docmeta-served nested agg diverged from the scan path")
+  }
+
   test("top_hits: per-bucket top documents, loud routing both ways") {
     // match alpha → {0,1,4}; terms lang → en{0,1}, fr{4}; top-1 by
     // n_chars desc: en → doc 0 (16), fr → doc 4 (16)
