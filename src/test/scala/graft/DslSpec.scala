@@ -218,8 +218,10 @@ class DslSpec extends SparkSpec {
       intercept[IllegalArgumentException](run(json, tiny)).getMessage
     assert(msg("""{"query": {"multi_match": {"query": "x",
       "fields": ["text", "lang"]}}}""").contains("analyzed"))
+    // (most_fields graduated to supported in r13 — the refusal pin
+    // moves to a type that stays unsupported)
     assert(msg("""{"query": {"multi_match": {"query": "x",
-      "fields": ["text"], "type": "most_fields"}}}""")
+      "fields": ["text"], "type": "cross_fields"}}}""")
       .contains("best_fields"))
   }
 
