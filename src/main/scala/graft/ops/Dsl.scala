@@ -3171,7 +3171,7 @@ object Dsl {
     * the table handles the statistics derive from. */
   private case class ServedParts(f: DataFrame, meta: DataFrame,
       posts: Option[DataFrame], phFrames: Seq[DataFrame],
-      zFrames: Seq[DataFrame], dlen: (String, String) => DataFrame)
+      zPivot: Option[DataFrame], dlen: (String, String) => DataFrame)
 
   /** Build [[ServedParts]] for a plan over the resolved index roots —
     * shared by the served search and served aggregations paths. */
@@ -3257,20 +3257,31 @@ object Dsl {
             p => p >= x + lit(j) && p <= x + lit(j + sl))).reduce(_ && _)))
       joined.select($"doc_id", cnt.cast("int").as(s"qpf${p.pfIdx(k)}"))
     }
-    // fuzzy tf from the index: postings rows whose TOKEN is within the
-    // edit budget, summed per doc. NO bucket pruning — edit-distance
-    // expansions hash anywhere, so the read walks the term dictionary
-    // (exactly what Lucene's fuzzy automaton does); still postings-
-    // grain, never the corpus text
-    val zFrames = p.zkeys.map { case k @ (f2, t, d) =>
-      val po = roots.map(root => spark.read.parquet(s"$root/postings")
-        .filter($"field" === f2 && levenshtein($"tok", lit(t)) <= d))
-        .reduce(_ unionByName _)
-      po.groupBy($"doc_id")
-        .agg(sum($"tf").cast("int").as(s"qzf${p.zfIdx(k)}"))
-    }
-    val feat = (tfPiv.toSeq ++ phFrames ++ zFrames).reduceOption((a, c) =>
-      a.join(c, Seq("doc_id"), "full_outer")).map(_.na.fill(0, featCols))
+    // fuzzy tf from the index: postings rows whose TOKEN is within
+    // some key's edit budget, pivoted to per-key sums in ONE pass. NO
+    // bucket pruning — edit-distance expansions hash anywhere, so the
+    // read walks the term dictionary (exactly what Lucene's fuzzy
+    // automaton does) — but it walks it ONCE for every fuzzy key in
+    // the query, not once per key; still postings-grain, never the
+    // corpus text
+    val zPivot =
+      if (p.zkeys.isEmpty) None
+      else {
+        def hit(k: (String, String, Int)): Column =
+          col("field") === k._1 &&
+            levenshtein($"tok", lit(k._2)) <= k._3
+        val po = roots.map(root => spark.read.parquet(s"$root/postings"))
+          .reduce(_ unionByName _)
+          .filter(p.zkeys.map(hit).reduce(_ || _))
+        val cols = p.zkeys.map { k =>
+          coalesce(sum(when(hit(k), $"tf")), lit(0L)).cast("int")
+            .as(s"qzf${p.zfIdx(k)}")
+        }
+        Some(po.groupBy($"doc_id").agg(cols.head, cols.tail: _*))
+      }
+    val feat = (tfPiv.toSeq ++ phFrames ++ zPivot.toSeq)
+      .reduceOption((a, c) =>
+        a.join(c, Seq("doc_id"), "full_outer")).map(_.na.fill(0, featCols))
     // ---- candidate universe
     val needDl = p.needsText
     val needHdl = p.scoredFields.contains(Search.HeadField)
@@ -3289,7 +3300,7 @@ object Dsl {
     val dead = roots.map(Search.tombstones(spark, _))
       .reduce(_ unionByName _)
     ServedParts(f0.join(dead, Seq("doc_id"), "left_anti"), meta, posts,
-      phFrames, zFrames, dlen)
+      phFrames, zPivot, dlen)
   }
 
   /** Index-side statistics for a plan — 1-row broadcasts assembled
@@ -3344,11 +3355,16 @@ object Dsl {
           parts.phFrames(p.pkeys.indexOf(k))
             .agg(count(when(col(s"qpf$j") > 0, 1)).as(s"qpd$j"))
         } ++
-        p.szkeys.map { k =>
-          val j = p.zfIdx(k)
-          parts.zFrames(p.zkeys.indexOf(k))
-            .agg(count(when(col(s"qzf$j") > 0, 1)).as(s"qzd$j"))
-        }
+        (if (p.szkeys.isEmpty) Seq.empty else {
+          // one agg over the (df-bounded) pivot: a doc counts toward a
+          // key's df when ANY of its tokens hit that key's budget —
+          // the scan path's count(qzf > 0), same integers
+          val cols = p.szkeys.map { k =>
+            val j = p.zfIdx(k)
+            count(when(col(s"qzf$j") > 0, 1)).as(s"qzd$j")
+          }
+          Seq(parts.zPivot.get.groupBy().agg(cols.head, cols.tail: _*))
+        })
       Some(pieces.reduce(_ crossJoin _))
     }
   }

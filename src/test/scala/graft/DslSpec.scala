@@ -658,6 +658,35 @@ class DslSpec extends SparkSpec {
       "served nested aggs diverged from the scan path")
   }
 
+  test("percolator rules may use the r13 clause families (fuzzy, slop, nested)") {
+    // stored alert rules over a tagged ingest-shaped frame: a typo-
+    // tolerant match, a sloppy phrase, and a nested tag predicate —
+    // all compile onto the ONE shared stateless projection
+    val docs = Seq(
+      (0L, "alpa beta end", "k", "error"),
+      (1L, "alpha mid beta", "k", "ok"),
+      (2L, "gamma only", "etype", "error"))
+      .toDF("doc_id", "text", "t1", "v1")
+      .select($"doc_id", $"text",
+        array(struct($"t1".as("type"), $"v1".as("value"))).as("tags"))
+    val rules = Seq(
+      1L -> """{"query": {"match": {"text":
+              |  {"query": "alpha", "fuzziness": 1}}}}""".stripMargin,
+      2L -> """{"query": {"match_phrase": {"text":
+              |  {"query": "alpha beta", "slop": 1}}}}""".stripMargin,
+      3L -> """{"query": {"nested": {"path": "tags", "query": {"bool": {
+              |  "must": [{"term": {"tags.type": "k"}},
+              |           {"term": {"tags.value": "error"}}]}}}}}"""
+        .stripMargin)
+    val out = Dsl.percolateDslOf(docs, rules)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rule 1: fuzzy alpha hits docs 0 (alpa) and 1 (alpha);
+    // rule 2: sloppy phrase hits doc 1 only (doc 0's typo misses);
+    // rule 3: the (k, error) tag hits doc 0 only
+    assert(out == Set((0L, 1L), (1L, 1L), (1L, 2L), (0L, 3L)),
+      s"got $out")
+  }
+
   test("nested agg: tag-grain buckets; parent doc_count counts tags") {
     val docs = Seq(
       (0L, "k", "a", "e", "x"),
