@@ -2967,6 +2967,32 @@ object Dsl {
       .filter(_ != "doc_id")
     checkFields(docs, (p.exact ++ extra).distinct)
     val matched = scanF(docs, p, extra).filter(p.c.pred)
+    topHitsTail(matched, pname, t, sn, th)
+  }
+
+  /** [[dslTopHitsOf]] SERVED from the persisted index — the match set
+    * and the sort fields come from doc-values (+ postings features for
+    * text clauses); same per-bucket cut and window. */
+  def dslTopHitsFromIndexes(spark: SparkSession, indexDirs: Seq[String],
+      json: String): DataFrame = {
+    val b = parseBody(json)
+    val (pname, t, sn, th) = b.aggs match {
+      case Seq(AggSpec(pn, ta: TermsAgg, Some((s2, tha: TopHitsAgg)))) =>
+        (pn, ta, s2, tha)
+      case _ => fail("dslTopHitsFromIndexes serves exactly ONE terms " +
+        "aggregation carrying ONE top_hits sub-aggregation")
+    }
+    val p = filterPlanOf(b.query)
+    val extra = (t.field +: th.sort.map(_._1)).distinct
+      .filter(_ != "doc_id")
+    val parts = servedParts(spark, indexDirs, p, extra)
+    topHitsTail(parts.f.filter(p.c.pred), pname, t, sn, th)
+  }
+
+  /** The shared top_hits tail: parent terms cut → per-bucket window. */
+  private def topHitsTail(matched: DataFrame, pname: String, t: TermsAgg,
+      sn: String, th: TopHitsAgg): DataFrame = {
+    import matched.sparkSession.implicits._
     val keyC = t.missing.map(v => coalesce(col(t.field), v.column))
       .getOrElse(col(t.field))
     val keyed = matched.filter(keyC.isNotNull)
@@ -3045,6 +3071,12 @@ object Dsl {
 
   val dslTopHitsOracleSql: String =
     dslTopHitsSqlOver(TopHitsQuery, "documents")
+
+  /** Registered query: [[TopHitsQuery]] SERVED from the session index
+    * (doc-values + postings candidates); same oracle as the scan. */
+  def dslTopHitsServed(spark: SparkSession, dir: String): DataFrame =
+    dslTopHitsFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), TopHitsQuery)
 
   // ------------------------------------------------- DSL percolation
 
@@ -3942,6 +3974,12 @@ object Dsl {
     searchDslOf(Tables.documentsPar(spark, dir), MsmQuery)
 
   val searchDslMsmSql: String = dslSql(MsmQuery)
+
+  /** Registered query: [[MsmQuery]] SERVED — the resolved msm integer
+    * gates postings/doc-values candidates; same oracle as the scan. */
+  def searchDslMsmServed(spark: SparkSession, dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), MsmQuery)
 
   /** Registered FUZZY body — two typo'd terms under `"fuzziness":
     * "AUTO"` (both length 5 → one edit) beside an exact filter; the
