@@ -76,6 +76,42 @@ import graft.Tables
   * plan). */
 object Dsl {
 
+  /** Handles of the DISK_ONLY barrier frames the shared-pass paths
+    * persist ([[aggsOver]], [[msearchOf]], `msearchGroups`). Those
+    * functions return LAZY DataFrames — the final consuming action
+    * happens at the caller — so a frame cannot self-unpersist after
+    * "its" action. Instead every barrier persist registers here and
+    * (a) a bounded ring evicts (unpersists, non-blocking) the oldest
+    * beyond [[PersistedFrameCap]] — safe because the persist is an
+    * optimization barrier, never a correctness requirement: an
+    * evicted frame's lineage simply recomputes — and (b)
+    * [[releasePersisted]] drops everything, wired into
+    * `Search.invalidate`, so a long-lived session serving many
+    * agg/msearch calls does not accumulate disk-cached blocks for the
+    * app lifetime. */
+  private val persistedFrames =
+    scala.collection.mutable.Queue.empty[DataFrame]
+  private val PersistedFrameCap = 32
+
+  private def trackPersist(df: DataFrame): DataFrame = synchronized {
+    persistedFrames.enqueue(df)
+    while (persistedFrames.size > PersistedFrameCap)
+      persistedFrames.dequeue().unpersist(blocking = false)
+    df
+  }
+
+  /** Unpersist every tracked barrier frame (lineage keeps later
+    * actions correct — they recompute). Called by `Search.invalidate`
+    * and usable directly by a serving layer between batches. */
+  def releasePersisted(): Unit = synchronized {
+    persistedFrames.dequeueAll(_ => true)
+      .foreach(_.unpersist(blocking = false))
+  }
+
+  /** Test seam: number of currently-tracked persisted barrier frames. */
+  private[graft] def persistedFrameCount: Int =
+    synchronized(persistedFrames.size)
+
   // ------------------------------------------------------------- AST
 
   sealed trait Node
@@ -105,9 +141,11 @@ object Dsl {
       mostFields: Boolean = false) extends Node
   /** `slop` > 0 relaxes adjacency: a phrase START at position x (of
     * term 0) matches when every later term j has a position in
-    * [x+j, x+j+slop] — each window checked independently, so modest
-    * reorderings inside the budget match (ES slop permits transposes
-    * too). slop 0 degenerates to EXACT adjacency and compiles through
+    * [x+j, x+j+slop] — each window checked independently, and only
+    * FORWARD positions are accepted (p >= x+j), so in-order terms
+    * within the window match; Lucene's transposition matching
+    * (out-of-order terms inside the slop budget) is intentionally NOT
+    * reproduced. slop 0 degenerates to EXACT adjacency and compiles through
     * the original positional machinery bit-for-bit (DslSpec pins it).
     * This windowed form is the deterministic documented stand-in for
     * Lucene's sloppy phrase freq (whose 1/(distance+1) weighting is
@@ -794,8 +832,13 @@ object Dsl {
   }
 
   /** The nested struct's subfields — the reference mapping's tags
-    * shape (mapping.json:41-56: `type` and `value` keyword subfields);
-    * an inner clause addressing anything else refuses loudly at parse
+    * shape (mapping.json:41-56). NOTE the reference maps both `type`
+    * and `value` as analyzed `text` (with a `value.keyword` sub-field);
+    * nested term/terms here model the `.keyword` sub-field semantics
+    * (raw exact equality), which would diverge from ES `term` on the
+    * ANALYZED form for multi-token or mixed-case tag values (fixture
+    * tags are single lowercase tokens, where the two coincide).
+    * An inner clause addressing anything else refuses loudly at parse
     * (the engine cannot see the struct schema until execution, and a
     * silent typo'd subfield must not become a runtime analysis
     * error). */
@@ -1762,8 +1805,8 @@ object Dsl {
     // the whole job; persist keeps the lineage, so a lost block
     // recomputes its partition and the batch completes. The frame is a
     // few integers per doc — disk-only keeps it out of executor heaps.
-    val f = scanF(docs, framePlan, Seq.empty)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val f = trackPersist(scanF(docs, framePlan, Seq.empty)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val stats = scanStats(f, framePlan)
     val pages = plans.zipWithIndex.map { case (p, i) =>
       rankTail(f, if (p.needsStats) stats else None, p)
@@ -1942,7 +1985,11 @@ object Dsl {
       }
       // fuzzy tf: tokens within the edit budget — token-grain, the
       // same classic Levenshtein DP both engines implement (the
-      // oracle-green `fuzzy_match` pairing)
+      // oracle-green `fuzzy_match` pairing). Deliberately O(corpus
+      // tokens × fuzzy keys): this SCAN path is the oracle twin; at
+      // scale use the served path (`dsl_fuzzy_served`), whose ONE
+      // term-dictionary walk pivots all fuzzy keys over postings
+      // terms — never corpus text
       val zfCols = p.zkeys.map { case k @ (f, t, d) =>
         size(filter(tarr(f), x => levenshtein(x, lit(t)) <= lit(d)))
           .as(s"qzf${p.zfIdx(k)}")
@@ -2545,6 +2592,7 @@ object Dsl {
         prep.groupingSets(sets, gkNames.map(col): _*)
           .agg(aggOut.head, aggOut.tail: _*)
       }).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    trackPersist(grouped)
     val nullD = lit(null).cast("double")
     val nullL = lit(null).cast("long")
     // output (v_count…v_avg) for a metric kind, from lazily-built
@@ -2943,8 +2991,13 @@ object Dsl {
     * by bucket — rank state is per-bucket top-k, never a global sort;
     * the doc-grain frame carries only doc_id, the key, and the sort
     * fields. */
-  def dslTopHitsOf(docs: DataFrame, json: String): DataFrame = {
-    import docs.sparkSession.implicits._
+  /** SHARED body-shape validation for every top_hits serving path
+    * (scan, served, oracle) — hoisted so all three refuse identically
+    * (the r13 served twin silently ignored top-level hit keys).
+    * Returns the parsed body plus the single (terms parent, top_hits
+    * sub) the serving paths require. */
+  private def topHitsShape(json: String)
+      : (Body, String, TermsAgg, String, TopHitsAgg) = {
     val b = parseBody(json)
     if (b.size != 0)
       fail("a top_hits body returns no top-level hits — set size: 0; " +
@@ -2956,12 +3009,18 @@ object Dsl {
     val (pname, t, sn, th) = b.aggs match {
       case Seq(AggSpec(pn, ta: TermsAgg, Some((s2, tha: TopHitsAgg)))) =>
         (pn, ta, s2, tha)
-      case _ => fail("dslTopHitsOf serves exactly ONE terms aggregation " +
-        "carrying ONE top_hits sub-aggregation")
+      case _ => fail("top_hits bodies serve exactly ONE terms " +
+        "aggregation carrying ONE top_hits sub-aggregation")
     }
     if (t.order.isInstanceOf[BySub])
       fail(s"agg '$pname': cannot order by '$sn' — the sub is top_hits, " +
         "not a metric")
+    (b, pname, t, sn, th)
+  }
+
+  def dslTopHitsOf(docs: DataFrame, json: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    val (b, pname, t, sn, th) = topHitsShape(json)
     val p = filterPlanOf(b.query)
     val extra = (t.field +: th.sort.map(_._1)).distinct
       .filter(_ != "doc_id")
@@ -2975,13 +3034,7 @@ object Dsl {
     * text clauses); same per-bucket cut and window. */
   def dslTopHitsFromIndexes(spark: SparkSession, indexDirs: Seq[String],
       json: String): DataFrame = {
-    val b = parseBody(json)
-    val (pname, t, sn, th) = b.aggs match {
-      case Seq(AggSpec(pn, ta: TermsAgg, Some((s2, tha: TopHitsAgg)))) =>
-        (pn, ta, s2, tha)
-      case _ => fail("dslTopHitsFromIndexes serves exactly ONE terms " +
-        "aggregation carrying ONE top_hits sub-aggregation")
-    }
+    val (b, pname, t, sn, th) = topHitsShape(json)
     val p = filterPlanOf(b.query)
     val extra = (t.field +: th.sort.map(_._1)).distinct
       .filter(_ != "doc_id")
@@ -3020,12 +3073,7 @@ object Dsl {
 
   /** Oracle for [[dslTopHitsOf]] — same AST, same cut, same window. */
   def dslTopHitsSqlOver(json: String, rel: String): String = {
-    val b = parseBody(json)
-    val (pname, t, sn, th) = b.aggs match {
-      case Seq(AggSpec(pn, ta: TermsAgg, Some((s2, tha: TopHitsAgg)))) =>
-        (pn, ta, s2, tha)
-      case _ => fail("dslTopHitsSqlOver: one terms + one top_hits sub")
-    }
+    val (b, pname, t, sn, th) = topHitsShape(json)
     val p = filterPlanOf(b.query)
     val extra = (t.field +: th.sort.map(_._1)).distinct
       .filter(_ != "doc_id")
@@ -3478,8 +3526,8 @@ object Dsl {
             else None))
         val parts = servedParts(spark, indexDirs, gFrame, Seq.empty)
         // DISK_ONLY persist, lineage kept — [[msearchOf]]'s barrier note
-        val f = parts.f
-          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val f = trackPersist(parts.f
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
         (textBound, f,
           servedStats(spark, parts, gFrame, indexDirs.size > 1), gp)
       }

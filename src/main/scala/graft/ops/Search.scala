@@ -3292,6 +3292,11 @@ object Search {
       !(a == app && (d == dir || d.startsWith(dir + "#")))
     }
     spark.catalog.dropTempView("graft_percreg_" + Tables.viewSuffix(dir))
+    // also drop the Dsl barrier-frame persists — same lifecycle: a
+    // corpus mutation invalidates them, and a long-lived serving
+    // session must not accumulate disk blocks (lineage keeps any
+    // still-lazy consumer correct; it recomputes)
+    Dsl.releasePersisted()
     ()
   }
 }

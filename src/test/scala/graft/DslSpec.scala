@@ -768,6 +768,35 @@ class DslSpec extends SparkSpec {
       "aggs": {"l": {"terms": {"field": "lang"},
         "aggs": {"t": {"top_hits": {"size": 1, "sort": ["_score"]}}}}}}""")
       .contains("_score"))
+    // the SERVED twin refuses identically (r13 ADVICE: it silently
+    // ignored top-level hit keys) — shape checks fire at parse,
+    // before any index is touched, so a bad body never reads bytes
+    def smsg(json: String): String =
+      intercept[IllegalArgumentException](Dsl.dslTopHitsFromIndexes(
+        spark, Seq("/nonexistent"), json)).getMessage
+    assert(smsg("""{"query": {"match_all": {}}, "size": 3,
+      "aggs": {"l": {"terms": {"field": "lang"},
+        "aggs": {"t": {"top_hits": {"size": 1,
+          "sort": [{"n_chars": "desc"}]}}}}}}""").contains("size: 0"),
+      "served twin must refuse a non-zero top-level size")
+    assert(smsg("""{"query": {"match_all": {}}, "size": 0, "from": 2,
+      "aggs": {"l": {"terms": {"field": "lang"},
+        "aggs": {"t": {"top_hits": {"size": 1,
+          "sort": [{"n_chars": "desc"}]}}}}}}""").contains("from"),
+      "served twin must refuse top-level from")
+  }
+
+  test("barrier persists are tracked and releasable") {
+    val before = Dsl.persistedFrameCount
+    // an aggs body persists its bucket-grain barrier frame → tracked
+    Dsl.dslAggsOf(tiny, """{"query": {"match_all": {}}, "size": 0,
+      "aggs": {"s": {"terms": {"field": "source", "size": 3}}}}""")
+      .collect()
+    assert(Dsl.persistedFrameCount > before,
+      "aggs barrier persist must register for cleanup")
+    Dsl.releasePersisted()
+    assert(Dsl.persistedFrameCount == 0,
+      "releasePersisted drops every tracked handle")
   }
 
   test("terms missing buckets null docs; min_doc_count floors buckets") {
