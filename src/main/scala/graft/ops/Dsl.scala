@@ -312,7 +312,7 @@ object Dsl {
 
   // ----------------------------------------------------------- parse
 
-  private def fail(msg: String): Nothing =
+  private[ops] def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"dsl: $msg")
 
   private val one = BigDecimal(1)
@@ -430,7 +430,7 @@ object Dsl {
     * unmatchable and ≤ 0 disables the gate — both exactly what the
     * integer compiler already does with those numbers, so the grammar
     * is pure parsing. */
-  private def resolveMsm(spec: String, n: Int): Int = {
+  private[ops] def resolveMsm(spec: String, n: Int): Int = {
     def int(s: String): Int =
       try s.toInt catch {
         case _: NumberFormatException =>
@@ -496,7 +496,7 @@ object Dsl {
   /** The same normalization [[TextAnalysis.norm]]+tokenize applies to
     * documents — match text must analyze identically to the corpus or
     * 'Dup Vector' would never match 'dup vector'. */
-  private def analyzed(s: String): Seq[String] =
+  private[ops] def analyzed(s: String): Seq[String] =
     s.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
 
   private def scalar(v: JValue): Scalar = v match {
@@ -516,7 +516,7 @@ object Dsl {
     case other => fail(s"bool.$ctx must be an array of clauses, got $other")
   }
 
-  private def checkAnalyzed(field: String, clause: String): Unit =
+  private[ops] def checkAnalyzed(field: String, clause: String): Unit =
     if (!AnalyzedFields.contains(field))
       fail(s"$clause.$field: not an analyzed text field — analyzed " +
         s"fields: ${AnalyzedFields.mkString(", ")} (keyword/numeric " +
@@ -584,7 +584,7 @@ object Dsl {
 
   /** ES AUTO fuzziness (AUTO:3,6): terms of length 1–2 match exactly,
     * 3–5 allow one edit, 6+ allow two. */
-  private def autoFuzz(term: String): Int =
+  private[ops] def autoFuzz(term: String): Int =
     if (term.length < 3) 0 else if (term.length < 6) 1 else 2
 
   private val RangeOps = Seq("gte", "gt", "lte", "lt")
@@ -819,11 +819,15 @@ object Dsl {
           }
         case other => fail(s"nested expects an object, got $other")
       }
+      case "simple_query_string" =>
+        QueryString.parseClause(body, simple = true)
+      case "query_string" =>
+        QueryString.parseClause(body, simple = false)
       case "match_all" => MatchAllQ
       case other => fail(s"unsupported query type '$other' — supported: " +
         "bool, constant_score, dis_max, exists, ids, match, match_all, " +
         "match_phrase, match_phrase_prefix, multi_match, nested, prefix, " +
-        "range, term, terms, wildcard")
+        "query_string, range, simple_query_string, term, terms, wildcard")
     }
     case JObject(fields) =>
       fail(s"a query clause must have exactly one key, got " +
@@ -4179,4 +4183,51 @@ object Dsl {
     val alias = Search.dailyAliasPath(spark, dir)
     searchDslFromIndexes(spark, Search.readAlias(spark, alias), DslQuery)
   }
+
+  /** Registered SIMPLE_QUERY_STRING body — the search-bar grammar:
+    * a quoted phrase OR'd with a bare word, an AND'd trailing-star
+    * prefix, and a `-`negated word, under `default_operator: and`.
+    * [[QueryString]] desugars the text into the EXISTING AST (the
+    * whole pipeline after parse is the oracle-green structured-clause
+    * machinery), so the oracle is generated from the same AST. */
+  val SqsQuery: String =
+    """{"query": {"simple_query_string": {
+      |  "query": "\"dup vector\" | merge hash* -slow",
+      |  "fields": ["text"],
+      |  "default_operator": "and"}}, "size": 30}""".stripMargin
+
+  def searchDslSqs(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), SqsQuery)
+
+  val searchDslSqsSql: String = dslSql(SqsQuery)
+
+  /** Registered query: [[SqsQuery]] SERVED from the index — after
+    * [[QueryString]] desugars, the body IS a structured query, so the
+    * served twin is the ordinary postings path; same oracle. */
+  def searchDslSqsServed(spark: SparkSession, dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), SqsQuery)
+
+  /** Registered QUERY_STRING body — the full Lucene-ish grammar over
+    * this corpus: an OR group with a `^` boost, keyword AND/NOT, a
+    * term-level prefix on the analyzed field, `field:value` keyword
+    * targeting, a `field:>=N` numeric range, and a raw `field:val*`
+    * prefix under NOT. Desugared by [[QueryString]] into the existing
+    * AST; oracle generated from the same AST. */
+  val QsQuery: String =
+    """{"query": {"query_string": {
+      |  "query": "(dup OR merge^2) AND quer* AND lang:en AND n_chars:>=100 AND NOT source:src1*",
+      |  "default_field": "text"}}, "size": 30}""".stripMargin
+
+  def searchDslQueryString(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), QsQuery)
+
+  val searchDslQueryStringSql: String = dslSql(QsQuery)
+
+  /** Registered query: [[QsQuery]] SERVED from the index; same oracle
+    * as the scan twin. */
+  def searchDslQueryStringServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), QsQuery)
 }

@@ -1202,6 +1202,107 @@ class DslSpec extends SparkSpec {
       "alias members + merged stats must reproduce the one-corpus ranking")
   }
 
+  test("simple_query_string: grammar table over the tiny corpus") {
+    def jstr(q: String): String =
+      "\"" + q.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def sqs(q: String): Set[Long] =
+      ids(run(s"""{"query": {"simple_query_string": {"query": ${jstr(q)},
+        "fields": ["text"], "default_operator": "and"}}}""",
+        tiny)).toSet
+    // bare words under default and ≡ the match operator-and clause
+    assert(run("""{"query": {"simple_query_string": {"query":
+        "alpha beta", "fields": ["text"], "default_operator": "and"}}}""",
+      tiny) == run("""{"query": {"match": {"text":
+        {"query": "alpha beta", "operator": "and"}}}}""", tiny),
+      "sqs bare words must compile to the match clause exactly")
+    // left-fold equal precedence: (rare | gamma) AND beta
+    assert(sqs("rare | gamma beta") == Set(2L, 3L, 4L))
+    // negation joins by the default operator
+    assert(sqs("beta -gamma") == Set(1L, 3L))
+    // phrase + slop: alpha … gamma within one intervener
+    assert(sqs("\"alpha gamma\"~1") == Set(4L))
+    // trailing-star prefix is TERM-level (analyzed), not raw startsWith
+    assert(sqs("gam*") == Set(2L, 4L))
+    // fuzzy word ~1
+    assert(sqs("alphq~1") == Set(0L, 1L, 4L))
+    // parens group
+    assert(sqs("(rare | alpha) -beta") == Set(0L))
+    // or-default + msm grammar over the top-level disjunction
+    val msm = ids(run("""{"query": {"simple_query_string": {
+      "query": "rare gamma beta", "fields": ["text"],
+      "minimum_should_match": 2}}}""", tiny)).toSet
+    assert(msm == Set(2L, 3L, 4L), s"msm=2 over 3 shoulds: $msm")
+    // a colon in sqs is TEXT (the ES stance): matches nothing here
+    assert(sqs("lang:de") == Set.empty, "sqs ':' must stay text")
+  }
+
+  test("query_string: fielded grammar over the tiny corpus") {
+    def jstr(q: String): String =
+      "\"" + q.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def qs(q: String): Set[Long] =
+      ids(run(s"""{"query": {"query_string": {"query": ${jstr(q)},
+        "default_field": "text"}}}""", tiny)).toSet
+    assert(qs("text:alpha AND lang:en") == Set(0L, 1L))
+    assert(qs("alpha AND NOT source:src1") == Set(0L, 4L))
+    assert(qs("n_chars:>=16") == Set(0L, 4L))
+    assert(qs("alpha && n_chars:<10") == Set.empty)
+    assert(qs("_exists_:lang") == Set(0L, 1L, 2L, 3L, 4L))
+    assert(qs("*") == Set(0L, 1L, 2L, 3L, 4L), "lone * is match_all")
+    assert(qs("source:src1*") == Set(1L, 3L), "raw keyword prefix")
+    assert(qs("lang:d?") == Set(2L), "keyword wildcard")
+    assert(qs("rare || gamma") == Set(0L, 2L, 3L, 4L))
+    // ^boost changes ranking, not matching: beta^3 outranks the
+    // rare-only docs when OR'd
+    val ranked = ids(run("""{"query": {"query_string": {"query":
+      "rare | beta^5", "default_field": "text"}}}""", tiny))
+    assert(ranked.toSet == Set(0L, 1L, 2L, 3L, 4L))
+    // the boosted beta docs (1,2,3,4 hold beta) outrank doc 0
+    // (rare-only): doc 0 must come last
+    assert(ranked.last == 0L, s"boost must dominate the order: $ranked")
+  }
+
+  test("query-string grammars refuse unsupported syntax loudly") {
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    def sqsMsg(q: String): String = msg(
+      s"""{"query": {"simple_query_string": {"query": "$q",
+        "fields": ["text"]}}}""")
+    def qsMsg(q: String): String = msg(
+      s"""{"query": {"query_string": {"query": "$q",
+        "default_field": "text"}}}""")
+    assert(sqsMsg("alpha |").contains("dangling"))
+    assert(sqsMsg("| alpha").contains("leading operator"))
+    assert(sqsMsg("alpha | + beta").contains("conflicting"))
+    assert(sqsMsg("(alpha beta").contains("unbalanced"))
+    assert(sqsMsg("alpha beta)").contains("unbalanced"))
+    assert(sqsMsg("alpha~3").contains("bounded at 2"))
+    assert(sqsMsg("al*ha").contains("wildcards inside analyzed"))
+    assert(sqsMsg("*").contains("query_string syntax"))
+    assert(qsMsg("n_chars:[10 TO 16]").contains("range syntax"))
+    assert(qsMsg("text:/al.*/").contains("regex"))
+    assert(qsMsg("text:(alpha beta)").contains("grouping"))
+    assert(qsMsg("lang:en~1").contains("analyzed text fields"))
+    assert(msg("""{"query": {"simple_query_string": {"query": "a b",
+      "fields": ["text"], "flags": "ALL"}}}""")
+      .contains("unsupported option 'flags'"))
+    assert(msg("""{"query": {"query_string": {"query": "alpha",
+      "default_field": "text", "fields": ["text"]}}}""")
+      .contains("not both"))
+    assert(msg("""{"query": {"simple_query_string": {"query":
+      "alpha beta", "fields": ["text"], "default_operator": "and",
+      "minimum_should_match": 2}}}""").contains("top-level OR group"))
+    assert(msg("""{"query": {"simple_query_string": {"query": "  ",
+      "fields": ["text"]}}}""").contains("empty"))
+  }
+
+  test("query-string default fields: sqs searches every analyzed field") {
+    // tiny docs are shorter than HeadLen, so head ≡ text: the
+    // two-field default must return the same MATCH SET as text alone
+    val both = ids(run("""{"query": {"simple_query_string": {
+      "query": "alpha beta", "default_operator": "and"}}}""", tiny)).toSet
+    assert(both == Set(1L, 4L), s"default-fields match set: $both")
+  }
+
   test("percolate_dsl: full query bodies as stored rules") {
     val hits = Dsl.percolateDslOf(tiny, Seq(
       1L -> """{"query": {"bool": {"must": [{"match": {"text": "alpha"}}],
