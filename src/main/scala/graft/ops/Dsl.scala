@@ -1124,7 +1124,8 @@ object Dsl {
           case other => fail(s"unsupported aggregation type '$other' — " +
             "supported: avg, cardinality, date_histogram, filter, " +
             "histogram, max, min, nested, range, stats, sum, terms, " +
-            "top_hits, value_count")
+            "top_hits, value_count (composite pages through its own " +
+            "endpoint, dslAggsCompositeOf)")
         }
         case Nil => fail(s"agg '$name' has no aggregation type")
         case more => fail(s"agg '$name' must have exactly one type, got " +
@@ -3129,6 +3130,285 @@ object Dsl {
   def dslTopHitsServed(spark: SparkSession, dir: String): DataFrame =
     dslTopHitsFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), TopHitsQuery)
+
+  // ------------------------------------------ composite aggregation
+
+  /** One `composite` source — a terms or (integer) histogram key with
+    * its page direction. */
+  private final case class CompSource(name: String, field: String,
+      hist: Option[Long], asc: Boolean)
+
+  private final case class CompShape(query: Node, aggName: String,
+      sources: Seq[CompSource], pageSize: Int,
+      after: Option[Seq[Scalar]])
+
+  /** Parse + validate a composite body: `size: 0`, exactly ONE
+    * `composite` aggregation, `sources` of terms/histogram keys,
+    * optional `after` cursor carrying every source key. Like
+    * [[dslTopHitsOf]], composite is its OWN endpoint — its output is
+    * bucket-key rows, not the (agg, key, …) union shape — so the
+    * generic routes refuse it and vice versa. */
+  private def compositeShape(json: String): CompShape = {
+    val root = JsonMethods.parse(json) match {
+      case o: JObject => o
+      case other => fail(s"body must be a JSON object, got $other")
+    }
+    root.obj.collectFirst {
+      case (k, _) if !Set("query", "size", "aggs").contains(k) => k
+    }.foreach(k => fail(s"a composite body supports query/size/aggs, " +
+      s"got '$k' (buckets and hit-shaping keys don't mix)"))
+    root \ "size" match {
+      case JInt(x) if x == 0 => ()
+      case JNothing =>
+        fail("a composite body returns no hits — set size: 0")
+      case v =>
+        fail(s"a composite body returns no hits — size must be 0, got $v")
+    }
+    val query = root \ "query" match {
+      case JNothing => MatchAllQ
+      case q => node(q)
+    }
+    val (aggName, spec) = root \ "aggs" match {
+      case JObject(List((an, JObject(List(("composite", sp)))))) =>
+        (an, sp)
+      case JObject(List((an, JObject(entries))))
+          if entries.exists(_._1 == "composite") =>
+        fail(s"agg '$an': composite takes no sub-aggregations (page " +
+          "the buckets, then aggregate per bucket)")
+      case _ => fail("a composite body carries exactly ONE composite " +
+        "aggregation (other agg shapes are dslAggsOf's)")
+    }
+    spec match {
+      case o: JObject =>
+        o.obj.collectFirst {
+          case (k, _) if !Set("sources", "size", "after").contains(k) => k
+        }.foreach(k => fail(s"composite has unsupported option '$k' — " +
+          "supported: after, size, sources"))
+      case other => fail(s"composite expects an object, got $other")
+    }
+    val sources: Seq[CompSource] = spec \ "sources" match {
+      case JArray(ss) if ss.nonEmpty => ss.map {
+        case JObject(List((sname, JObject(List((stype, sdef)))))) =>
+          val known = stype match {
+            case "terms" => Set("field", "order")
+            case "histogram" => Set("field", "interval", "order")
+            case other => fail(s"composite source '$sname': " +
+              s"unsupported type '$other' — supported: terms, " +
+              "histogram (date sources and missing_bucket are " +
+              "unsupported)")
+          }
+          sdef match {
+            case o: JObject =>
+              o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+                .foreach(k => fail(s"composite source '$sname' has " +
+                  s"unsupported option '$k' — supported: " +
+                  known.toSeq.sorted.mkString(", ")))
+            case other =>
+              fail(s"composite source '$sname' expects an object, " +
+                s"got $other")
+          }
+          val f = sdef \ "field" match {
+            case JString(x) => x
+            case _ => fail(s"composite source '$sname' needs a \"field\"")
+          }
+          val asc = sdef \ "order" match {
+            case JNothing | JString("asc") => true
+            case JString("desc") => false
+            case v => fail(s"composite source '$sname' order must be " +
+              s"""\"asc\" or \"desc\", got $v""")
+          }
+          val hist = stype match {
+            case "terms" => None
+            case _ => sdef \ "interval" match {
+              case JInt(x) if x > 0 => Some(x.toLong)
+              case v => fail(s"composite source '$sname' interval must " +
+                s"be a positive integer, got $v (the histogram-agg " +
+                "integer-bucketing rule)")
+            }
+          }
+          CompSource(sname, f, hist, asc)
+        case other => fail("composite sources must be single-key " +
+          s"{name: {terms|histogram: …}} objects, got $other")
+      }
+      case _ => fail("composite needs a non-empty \"sources\" array")
+    }
+    if (sources.map(_.name).distinct.size != sources.size)
+      fail("composite names a source twice")
+    if (sources.exists(s => s.name == "doc_count" || s.name == "doc_id"))
+      fail("a composite source may not be named doc_count or doc_id")
+    val pageSize = spec \ "size" match {
+      case JNothing => DefaultSize
+      case JInt(x) if x > 0 && x <= MaxResultWindow => x.toInt
+      case v => fail(s"composite size must be a positive integer ≤ " +
+        s"$MaxResultWindow, got $v")
+    }
+    val after = spec \ "after" match {
+      case JNothing => None
+      case o: JObject =>
+        o.obj.collectFirst {
+          case (k, _) if !sources.exists(_.name == k) => k
+        }.foreach(k => fail(s"composite after key '$k' is not a source"))
+        Some(sources.map { s =>
+          o \ s.name match {
+            case JNothing => fail("composite after must carry every " +
+              s"source key — missing '${s.name}'")
+            case v => scalar(v)
+          }
+        })
+      case other => fail(s"composite after must be an object, got $other")
+    }
+    CompShape(query, aggName, sources, pageSize, after)
+  }
+
+  private def compositeKey(s: CompSource): Column = s.hist match {
+    // the histogram-agg integer floor-bucketing, verbatim
+    case Some(iv) =>
+      col(s.field).cast("long") - pmod(col(s.field).cast("long"), lit(iv))
+    case None => col(s.field)
+  }
+
+  private def compositeKeySql(s: CompSource): String = s.hist match {
+    case Some(iv) => s"(${s.field} // $iv) * $iv"
+    case None => s.field
+  }
+
+  /** The keyset cursor: bucket keys strictly AFTER `after` in the
+    * sources' (per-source-directed) lexicographic order — the standard
+    * keyset-pagination disjunction, emitted by both compilers. */
+  private def afterGate(sources: Seq[CompSource], after: Seq[Scalar])
+      : (Column, String) = {
+    val parts = sources.indices.map { i =>
+      val eqs = (0 until i).map(j =>
+        (col(sources(j).name) === after(j).column,
+          s"${sources(j).name} = ${after(j).sql}"))
+      val cmp =
+        if (sources(i).asc)
+          (col(sources(i).name) > after(i).column,
+            s"${sources(i).name} > ${after(i).sql}")
+        else (col(sources(i).name) < after(i).column,
+          s"${sources(i).name} < ${after(i).sql}")
+      val conj = eqs :+ cmp
+      (conj.map(_._1).reduce(_ && _),
+        conj.map(_._2).mkString("(", " AND ", ")"))
+    }
+    (parts.map(_._1).reduce(_ || _),
+      parts.map(_._2).mkString("(", " OR ", ")"))
+  }
+
+  /** Shared tail of both serving paths. The `after` cursor gates ROWS
+    * pre-aggregation — a bucket's page membership is a pure function
+    * of its key, so the filter sits under the shuffle and prunes the
+    * aggregate's input. That is the keyset-over-offset advantage at
+    * scale: page N costs one filtered aggregation over the tail, not
+    * a global top-(N·size) sort; ES pages large-cardinality buckets
+    * exactly this way. Null keys drop (ES missing_bucket: false). */
+  private def compositeTail(f: DataFrame, p: Plan, cs: CompShape)
+      : DataFrame = {
+    val keyed = f.filter(p.c.pred)
+      .select(cs.sources.map(s => compositeKey(s).as(s.name)): _*)
+      .filter(cs.sources.map(s => col(s.name).isNotNull).reduce(_ && _))
+    val paged = cs.after match {
+      case Some(a) => keyed.filter(afterGate(cs.sources, a)._1)
+      case None => keyed
+    }
+    val ord = cs.sources.map(s =>
+      if (s.asc) col(s.name).asc else col(s.name).desc)
+    paged.groupBy(cs.sources.map(s => col(s.name)): _*)
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(ord: _*).limit(cs.pageSize)
+  }
+
+  def dslAggsCompositeOf(docs: DataFrame, json: String): DataFrame = {
+    val cs = compositeShape(json)
+    val p = filterPlanOf(cs.query)
+    val fields = cs.sources.map(_.field).distinct.filter(_ != "doc_id")
+    checkFields(docs, fields)
+    compositeTail(scanF(docs, p, fields), p, cs)
+  }
+
+  /** [[dslAggsCompositeOf]] SERVED from the index's doc-values (+
+    * postings features for text clauses). */
+  def dslAggsCompositeFromIndexes(spark: SparkSession,
+      indexDirs: Seq[String], json: String): DataFrame = {
+    val cs = compositeShape(json)
+    val p = filterPlanOf(cs.query)
+    val fields = cs.sources.map(_.field).distinct.filter(_ != "doc_id")
+    val parts = servedParts(spark, indexDirs, p, fields)
+    compositeTail(parts.f, p, cs)
+  }
+
+  /** Oracle for [[dslAggsCompositeOf]] — same AST, same key
+    * arithmetic, same cursor disjunction. */
+  def dslAggsCompositeSqlOver(json: String, rel: String): String = {
+    val cs = compositeShape(json)
+    val p = filterPlanOf(cs.query)
+    val fields = cs.sources.map(_.field).distinct.filter(_ != "doc_id")
+    val keys = cs.sources.map(s => s"${compositeKeySql(s)} AS ${s.name}")
+    val names = cs.sources.map(_.name)
+    val notNull = names.map(n => s"$n IS NOT NULL").mkString(" AND ")
+    val gate = cs.after.map(a =>
+      " AND " + afterGate(cs.sources, a)._2).getOrElse("")
+    val ord = cs.sources.map(s =>
+      s"${s.name}${if (s.asc) "" else " DESC"}").mkString(", ")
+    s"""WITH ${fCteSql(p, fields, rel)},
+       |k AS (SELECT ${keys.mkString(", ")} FROM f
+       |      WHERE ${p.c.predSql})
+       |SELECT ${names.mkString(", ")}, COUNT(*) AS doc_count
+       |FROM k WHERE $notNull$gate
+       |GROUP BY ${names.mkString(", ")}
+       |ORDER BY $ord LIMIT ${cs.pageSize}""".stripMargin
+  }
+
+  /** Registered COMPOSITE page-1 body — language × 100-char length
+    * buckets in source key order, the large-cardinality paging shape. */
+  val CompositePage1Query: String =
+    """{"query": {"match_all": {}}, "size": 0,
+      |  "aggs": {"pages": {"composite": {"size": 6, "sources": [
+      |    {"lang": {"terms": {"field": "lang"}}},
+      |    {"len": {"histogram": {"field": "n_chars", "interval": 100}}}
+      |  ]}}}}""".stripMargin
+
+  private def compositePage2Body(last: org.apache.spark.sql.Row): String =
+    s"""{"query": {"match_all": {}}, "size": 0,
+       |  "aggs": {"pages": {"composite": {"size": 6, "sources": [
+       |    {"lang": {"terms": {"field": "lang"}}},
+       |    {"len": {"histogram": {"field": "n_chars", "interval": 100}}}
+       |  ], "after": {"lang": "${last.getString(0)}",
+       |               "len": ${last.getLong(1)}}}}}}""".stripMargin
+
+  /** Registered query: page 2 of [[CompositePage1Query]] via the
+    * `after` keyset cursor. The oracle is the OFFSET form of the same
+    * bucket ordering, so green IS the keyset ≡ offset proof for
+    * buckets — the [[dslSearchAfter]] argument ported from hits. */
+  def dslAggsComposite(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsPar(spark, dir)
+    val page1 = dslAggsCompositeOf(docs, CompositePage1Query).collect()
+    if (page1.length < 6)
+      throw new IllegalStateException(
+        "dsl_aggs_composite: fewer than 6 buckets — no second page")
+    dslAggsCompositeOf(docs, compositePage2Body(page1.last))
+  }
+
+  /** The offset form of page 2: buckets 7-12 of the full ordering. */
+  val dslAggsCompositeOracleSql: String = {
+    val wide = CompositePage1Query.replace("\"size\": 6", "\"size\": 12")
+    s"""SELECT * FROM (${dslAggsCompositeSqlOver(wide, "documents")})
+       |ORDER BY lang, len LIMIT 6 OFFSET 6""".stripMargin
+  }
+
+  /** Registered query: the same two-page composite walk SERVED from
+    * the session index's doc-values; same offset oracle. */
+  def dslAggsCompositeServed(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val idx = Seq(Search.sharedIndexDir(spark, dir))
+    val page1 =
+      dslAggsCompositeFromIndexes(spark, idx, CompositePage1Query)
+        .collect()
+    if (page1.length < 6)
+      throw new IllegalStateException(
+        "dsl_aggs_composite_served: fewer than 6 buckets")
+    dslAggsCompositeFromIndexes(spark, idx, compositePage2Body(page1.last))
+  }
 
   // ------------------------------------------------- DSL percolation
 

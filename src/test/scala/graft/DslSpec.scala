@@ -1303,6 +1303,89 @@ class DslSpec extends SparkSpec {
     assert(both == Set(1L, 4L), s"default-fields match set: $both")
   }
 
+  test("composite agg: keyset pages ≡ offset pages, cursor filters below the aggregate") {
+    def body(size: Int, after: String = "", langOrd: String = "asc")
+        : String =
+      s"""{"query": {"match_all": {}}, "size": 0,
+        "aggs": {"p": {"composite": {"size": $size, "sources": [
+          {"lang": {"terms": {"field": "lang", "order": "$langOrd"}}},
+          {"len": {"histogram": {"field": "n_chars", "interval": 8}}}
+        ]$after}}}}"""
+    def rows(json: String): Seq[(String, Long, Long)] =
+      Dsl.dslAggsCompositeOf(tiny, json).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // tiny buckets (lang, n_chars//8*8): (de,8):1, (en,8):2, (en,16):1,
+    // (fr,16):1 — key order asc
+    assert(rows(body(10)) == Seq(("de", 8L, 1L), ("en", 8L, 2L),
+      ("en", 16L, 1L), ("fr", 16L, 1L)))
+    val page1 = rows(body(2))
+    assert(page1 == Seq(("de", 8L, 1L), ("en", 8L, 2L)))
+    val page2 = rows(body(2,
+      """, "after": {"lang": "en", "len": 8}"""))
+    assert(page2 == Seq(("en", 16L, 1L), ("fr", 16L, 1L)),
+      s"keyset page 2: $page2")
+    // keyset ≡ offset on the same ordering
+    assert(page2 == rows(body(10)).drop(2).take(2),
+      "the after cursor must reproduce the offset page")
+    // per-source direction: lang desc, len asc
+    assert(rows(body(10, langOrd = "desc")) == Seq(("fr", 16L, 1L),
+      ("en", 8L, 2L), ("en", 16L, 1L), ("de", 8L, 1L)))
+    // the cursor gates ROWS below the aggregate (keyset-over-offset
+    // at scale): on a parquet-backed corpus (the tiny LocalRelation
+    // constant-folds), the after comparison reaches the SCAN side —
+    // no Filter remains above the Aggregate and the pushed filter
+    // shows in the scan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter}
+    val lp = Dsl.dslAggsCompositeOf(Tables.documentsPar(spark, sfDir),
+      body(2, """, "after": {"lang": "en", "len": 8}"""))
+      .queryExecution.optimizedPlan
+    val agg = lp.collectFirst { case a: Aggregate => a }.get
+    assert(agg.child.collect {
+      case f: LFilter if f.condition.toString.contains("> en") => f
+    }.nonEmpty || agg.child.toString.contains("> en"),
+      s"after-cursor gate must sit below the aggregate:\n$lp")
+    assert(!lp.collect { case f: LFilter => f }.exists(f =>
+      lp.children.contains(f)),
+      "no post-aggregate cursor filter may remain")
+  }
+
+  test("composite agg refuses unsupported shapes loudly") {
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsCompositeOf(tiny, json)).getMessage
+    val src = """{"lang": {"terms": {"field": "lang"}}}"""
+    assert(msg(s"""{"size": 0, "aggs": {"p": {"composite":
+      {"sources": [$src]}, "aggs": {"m": {"avg": {"field":
+      "n_chars"}}}}}}""").contains("no sub-aggregations"))
+    assert(msg("""{"size": 3, "aggs": {"p": {"composite":
+      {"sources": [{"l": {"terms": {"field": "lang"}}}]}}}}""")
+      .contains("size must be 0"))
+    assert(msg(s"""{"size": 0, "aggs": {"p": {"composite": {"sources":
+      [{"d": {"date_histogram": {"field": "lang"}}}]}}}}""")
+      .contains("unsupported type"))
+    assert(msg(s"""{"size": 0, "aggs": {"p": {"composite": {"sources":
+      [{"l": {"terms": {"field": "lang", "missing_bucket": true}}}]}}}}""")
+      .contains("unsupported option 'missing_bucket'"))
+    assert(msg(s"""{"size": 0, "aggs": {"p": {"composite": {"sources":
+      [$src, {"len": {"histogram": {"field": "n_chars",
+      "interval": 8}}}], "after": {"lang": "en"}}}}}""")
+      .contains("missing 'len'"))
+    assert(msg(s"""{"size": 0, "aggs": {"p": {"composite": {"sources":
+      [$src], "after": {"lang": "en", "oops": 1}}}}}""")
+      .contains("'oops' is not a source"))
+    assert(msg(s"""{"size": 0, "aggs": {"p": {"composite": {"sources":
+      [{"doc_count": {"terms": {"field": "lang"}}}]}}}}""")
+      .contains("may not be named"))
+    assert(msg(s"""{"size": 0, "aggs": {"p": {"composite": {"sources":
+      [{"h": {"histogram": {"field": "n_chars", "interval": 0}}}]}}}}""")
+      .contains("positive integer"))
+    // the generic agg route refuses composite (it is its own endpoint)
+    val generic = intercept[IllegalArgumentException](
+      Dsl.dslAggsOf(tiny, s"""{"query": {"match_all": {}}, "size": 0,
+        "aggs": {"p": {"composite": {"sources": [$src]}}}}""")).getMessage
+    assert(generic.contains("composite pages through its own endpoint"))
+  }
+
   test("percolate_dsl: full query bodies as stored rules") {
     val hits = Dsl.percolateDslOf(tiny, Seq(
       1L -> """{"query": {"bool": {"must": [{"match": {"text": "alpha"}}],
