@@ -4510,4 +4510,270 @@ object Dsl {
       dir: String): DataFrame =
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), QsQuery)
+
+  // ------------------------------------------------- ES 8 knn search
+
+  /** Parsed `knn` section of an ES 8 search body. `num_candidates` is
+    * validated (≥ k, the ES rule) but MOOT in both serving paths and
+    * documented so: the scan path is EXACT brute-force cosine (a
+    * candidate pool below the corpus would change nothing), and the
+    * served path's pool is the probed inverted lists (the IVF
+    * radius/nprobe knob, [[Similarity.ProbeRadius]]), which is the
+    * partition-pruning analogue of Lucene's per-segment candidate
+    * gathering. */
+  private final case class KnnSpec(field: String, qv: Seq[Float], k: Int)
+
+  private def parseKnnSection(v: JValue): KnnSpec = v match {
+    case o: JObject =>
+      val known = Set("field", "query_vector", "k", "num_candidates")
+      o.obj.collectFirst { case (kk, _) if !known.contains(kk) => kk }
+        .foreach(kk => fail(s"knn has unsupported option '$kk' — " +
+          s"supported: ${known.toSeq.sorted.mkString(", ")}"))
+      val field = o \ "field" match {
+        case JString(f) if f.nonEmpty => f
+        case _ => fail("knn needs a \"field\" string")
+      }
+      val qv = o \ "query_vector" match {
+        case JArray(xs) if xs.nonEmpty => xs.map {
+          case JDouble(d) => d.toFloat
+          case JInt(n) => n.toFloat
+          case JLong(n) => n.toFloat
+          case JDecimal(d) => d.toFloat
+          case other => fail(s"knn query_vector must be numeric, " +
+            s"got $other")
+        }
+        case _ => fail("knn needs a non-empty \"query_vector\" array")
+      }
+      val k = o \ "k" match {
+        case JInt(x) if x > 0 && x <= MaxResultWindow => x.toInt
+        case JNothing => fail("knn needs \"k\"")
+        case v2 => fail(s"knn k must be a positive integer ≤ " +
+          s"$MaxResultWindow, got $v2")
+      }
+      o \ "num_candidates" match {
+        case JNothing => ()
+        case JInt(x) if x >= k => ()
+        case JInt(x) => fail(s"knn num_candidates ($x) must be ≥ k ($k)")
+        case v2 => fail(s"knn num_candidates must be an integer, got $v2")
+      }
+      KnnSpec(field, qv, k)
+    case other => fail(s"knn expects an object, got $other")
+  }
+
+  /** A knn-ONLY body: `{"knn": {…}}` — k IS the page size (the ES
+    * knn-search shape); hit-shaping keys refuse. */
+  private def knnOnlyShape(json: String): KnnSpec = {
+    val root = JsonMethods.parse(json) match {
+      case o: JObject => o
+      case other => fail(s"body must be a JSON object, got $other")
+    }
+    root.obj.collectFirst { case (kk, _) if kk != "knn" => kk }
+      .foreach(kk => fail(s"a knn body supports only \"knn\", got " +
+        s"'$kk' (k is the page size; fuse with a query via rank.rrf " +
+        "in the hybrid shape)"))
+    root \ "knn" match {
+      case JNothing => fail("knn body needs a \"knn\" section")
+      case v => parseKnnSection(v)
+    }
+  }
+
+  /** EXACT cosine top-k against the body's `query_vector` literal —
+    * the brute-force baseline serving path ([[Similarity.annTopK]]'s
+    * plan: broadcast 1-row query, codegen'd [[Similarity.dotD]] score
+    * projection, TakeOrderedAndProject(k)). The query vector rides the
+    * BODY (the ES protocol shape): floats survive the JSON round-trip
+    * exactly (shortest-repr decimal → double → float is the identity
+    * on float32 values), which DslSpec pins by comparing against the
+    * in-engine join form. */
+  def dslKnnOf(emb: DataFrame, json: String): DataFrame = {
+    val kn = knnOnlyShape(json)
+    checkFields(emb, Seq(kn.field, "vec_id", "label"))
+    val qc = typedlit(kn.qv)
+    emb.select(col("vec_id"), col("label"),
+      (Similarity.dotD(col(kn.field), qc) /
+        sqrt(Similarity.dotD(col(kn.field), col(kn.field)) *
+          Similarity.dotD(qc, qc))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(kn.k)
+  }
+
+  /** The registered knn bodies' query vector is the corpus's vec 0,
+    * serialized INTO the body (one-row cursor read — the ES protocol
+    * round-trip itself), so the static oracle can anchor on the same
+    * vector by join. */
+  private def knnSectionFromCorpus(spark: SparkSession, dir: String,
+      k: Int): String = {
+    val qv = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0).select(col("embedding"))
+      .head.getSeq[Float](0)
+    s"""{"field": "embedding", "query_vector": ${
+      qv.map(_.toString).mkString("[", ", ", "]")}, "k": $k,
+       | "num_candidates": 100}""".stripMargin
+  }
+
+  /** Registered query: `{"knn": …}` with vec 0's vector in the body —
+    * exact cosine top-10. Oracle: the in-database join form of the
+    * same search (green IS the proof that the JSON vector round-trip
+    * is exact). */
+  def dslKnn(spark: SparkSession, dir: String): DataFrame =
+    dslKnnOf(Tables.embeddings(spark, dir),
+      s"""{"knn": ${knnSectionFromCorpus(spark, dir, 10)}}""")
+
+  val dslKnnOracleSql: String =
+    s"""SELECT vec_id, label,
+       |  ${Similarity.dotSql("embedding", "qv")} /
+       |    sqrt(${Similarity.dotSql("embedding", "embedding")} *
+       |         ${Similarity.dotSql("qv", "qv")}) AS score
+       |FROM embeddings
+       |CROSS JOIN (SELECT embedding AS qv FROM embeddings
+       |            WHERE vec_id = 0)
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Registered query: the same knn body SERVED from the persisted
+    * partition-pruned int8 IVF index ([[Similarity.persistIndex]],
+    * session-shared): the query's coarse bucket and codes compute
+    * driver-side, only the probed partitions are listed or decoded
+    * (plan-pinned in DslSpec), scores are the exact integer dot.
+    * Oracle: the probed-int8 SQL including the query's own row. */
+  def dslKnnServed(spark: SparkSession, dir: String): DataFrame = {
+    val kn = knnOnlyShape(
+      s"""{"knn": ${knnSectionFromCorpus(spark, dir, 10)}}""")
+    val idx = Similarity.sharedAnnIndexDir(spark, dir)
+    val codes = Tables.embeddings(spark, dir).sparkSession.range(1)
+      .select(graft.functions.VecQuant.vecQuantize(typedlit(kn.qv))
+        .as("c")).head.getSeq[Byte](0).toArray
+    Similarity.searchIndex(spark, idx, codes,
+      Similarity.bucketOf(kn.qv.toArray), k = kn.k)
+  }
+
+  val dslKnnServedOracleSql: String = Similarity.knnProbedSql(10)
+
+  /** The hybrid body's rank section: `{"rrf": {...}}` — fusion must
+    * be explicit (ES's default knn-beside-query score SUM is a
+    * different, calibration-sensitive combiner; refusing keeps the
+    * engine's RRF contract visible). */
+  private def parseRrf(v: JValue): (Int, Int) = v match {
+    case JNothing => fail("a hybrid knn+query body needs " +
+      """"rank": {"rrf": {…}} — score-sum fusion is unsupported, """ +
+      "rank fusion must be explicit")
+    case o: JObject => o.obj match {
+      case List(("rrf", rrf: JObject)) =>
+        rrf.obj.collectFirst {
+          case (kk, _) if kk != "rank_constant" &&
+            kk != "rank_window_size" => kk
+        }.foreach(kk => fail(s"rank.rrf has unsupported option '$kk' — " +
+          "supported: rank_constant, rank_window_size"))
+        val rc = rrf \ "rank_constant" match {
+          case JNothing => Search.RrfK
+          case JInt(x) if x >= 1 => x.toInt
+          case v2 => fail(s"rank_constant must be a positive integer, " +
+            s"got $v2")
+        }
+        val win = rrf \ "rank_window_size" match {
+          case JNothing => Search.RrfPool
+          case JInt(x) if x >= 1 && x <= MaxResultWindow => x.toInt
+          case v2 => fail(s"rank_window_size must be a positive " +
+            s"integer ≤ $MaxResultWindow, got $v2")
+        }
+        (rc, win)
+      case _ => fail("rank supports exactly {\"rrf\": {…}}")
+    }
+    case other => fail(s"rank expects an object, got $other")
+  }
+
+  /** Hybrid `knn` + `query` with explicit RRF `rank` fusion (the ES 8
+    * retriever shape): the text leg is the ordinary DSL page (rank =
+    * rk), the vector leg is [[dslKnnOf]]'s exact cosine ranked to the
+    * knn k, fused top-`size` by Σ 1/(rank_constant + rank) — the
+    * [[Search.hybridRrf]] arithmetic with the DSL as both front-ends.
+    *
+    * Shape at 100 TB: each leg reduces to a ≤ window/k-row list
+    * before fusion (one scan each; the vector leg's window sort runs
+    * over the pooled rows only), so the full-outer fusion join is
+    * driver-scale by construction. */
+  def dslKnnHybridOf(docs: DataFrame, emb: DataFrame,
+      json: String): DataFrame = {
+    val root = JsonMethods.parse(json) match {
+      case o: JObject => o
+      case other => fail(s"body must be a JSON object, got $other")
+    }
+    val known = Set("knn", "query", "rank", "size")
+    root.obj.collectFirst { case (kk, _) if !known.contains(kk) => kk }
+      .foreach(kk => fail(s"a hybrid knn body supports " +
+        s"${known.toSeq.sorted.mkString("/")}, got '$kk'"))
+    val kn = root \ "knn" match {
+      case JNothing => fail("hybrid body needs a \"knn\" section")
+      case v => parseKnnSection(v)
+    }
+    val qJv = root \ "query" match {
+      case JNothing => fail("hybrid body needs a \"query\" (knn alone " +
+        "is dslKnnOf's shape)")
+      case v => v
+    }
+    val (rc, win) = parseRrf(root \ "rank")
+    val size = root \ "size" match {
+      case JNothing => DefaultSize
+      case JInt(x) if x > 0 && x <= MaxResultWindow => x.toInt
+      case v2 => fail(s"size must be a positive integer ≤ " +
+        s"$MaxResultWindow, got $v2")
+    }
+    val textBody = s"""{"query": ${
+      JsonMethods.compact(JsonMethods.render(qJv))}, "size": $win}"""
+    val text = searchDslOf(docs, textBody)
+      .select(col("doc_id"), col("rk").as("r_text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("vec_id"))
+    val vec = dslKnnOf(emb, s"""{"knn": {"field": "${kn.field}",
+      | "query_vector": ${kn.qv.map(_.toString).mkString("[", ", ", "]")},
+      | "k": ${kn.k}}}""".stripMargin)
+      .withColumn("r_vec", row_number().over(w))
+      .select(col("vec_id").as("doc_id"), col("r_vec"))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_text"), col("r_vec"),
+        (coalesce(lit(1.0) / (lit(rc) + col("r_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rc) + col("r_vec")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(size)
+  }
+
+  /** Registered HYBRID text leg — sized to the default rrf window so
+    * the static oracle and the body agree. */
+  val KnnHybridTextQuery: String =
+    """{"match": {"text": "dup vector"}}"""
+
+  /** Registered query: `knn` (vec 0, k = 50) beside the match query,
+    * fused by `rank.rrf` — the ES 8 hybrid retriever served end to
+    * end through the DSL. Oracle: the text leg's generated SQL fused
+    * with the in-database vector ranking by the same RRF arithmetic. */
+  def dslKnnHybrid(spark: SparkSession, dir: String): DataFrame =
+    dslKnnHybridOf(Tables.documentsPar(spark, dir),
+      Tables.embeddings(spark, dir),
+      s"""{"knn": ${knnSectionFromCorpus(spark, dir, Search.RrfPool)},
+         | "query": $KnnHybridTextQuery,
+         | "rank": {"rrf": {}}, "size": ${Search.RrfTopK}}""".stripMargin)
+
+  val dslKnnHybridOracleSql: String = {
+    val textSql = dslSql(
+      s"""{"query": $KnnHybridTextQuery, "size": ${Search.RrfPool}}""")
+    val cos = s"${Similarity.dotSql("embedding", "qv")} / " +
+      s"sqrt(${Similarity.dotSql("embedding", "embedding")} * " +
+      s"${Similarity.dotSql("qv", "qv")})"
+    s"""WITH tr AS (SELECT doc_id, rk AS r_text FROM ($textSql) tpage),
+       |vs AS (
+       |  SELECT vec_id AS doc_id, $cos AS vscore
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT embedding AS qv FROM embeddings
+       |              WHERE vec_id = 0)),
+       |vr AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY vscore DESC, doc_id)
+       |    AS r_vec
+       |  FROM vs ORDER BY vscore DESC, doc_id LIMIT ${Search.RrfPool})
+       |SELECT doc_id, r_text, r_vec,
+       |  COALESCE(CAST(1 AS DOUBLE) / (${Search.RrfK} + r_text),
+       |    CAST(0 AS DOUBLE)) +
+       |  COALESCE(CAST(1 AS DOUBLE) / (${Search.RrfK} + r_vec),
+       |    CAST(0 AS DOUBLE)) AS rrf
+       |FROM tr FULL OUTER JOIN vr USING (doc_id)
+       |ORDER BY rrf DESC, doc_id LIMIT ${Search.RrfTopK}""".stripMargin
+  }
 }

@@ -3127,6 +3127,19 @@ object Search {
     root
   }
 
+  /** Generic session memo for a derived artifact keyed `dir + "#…"` —
+    * the [[sharedIndexDir]] discipline (build once per app per corpus,
+    * [[invalidate]] drops every `#` variant) opened to the other ops
+    * modules' artifacts (e.g. [[Similarity]]'s ANN index). */
+  private[ops] def memoArtifact(spark: SparkSession, variantKey: String)
+      (build: => Unit): Unit = synchronized {
+    val key = (spark.sparkContext.applicationId, variantKey)
+    if (!builtIndexes.contains(key)) {
+      build
+      builtIndexes += key
+    }
+  }
+
   /** Registered query: [[bm25TopK]] SERVED from the persisted inverted
     * index (built once per session per corpus) — oracle-checked
     * against the same SQL as the scan path, which it must reproduce

@@ -466,6 +466,38 @@ object Similarity {
     (0L until (1L << NumPlanes))
       .filter(b => java.lang.Long.bitCount(b ^ queryBucket) <= radius)
 
+  /** Session-shared [[persistIndex]] artifact for `dir` — built once
+    * per app ([[Search.memoArtifact]], key `dir + "#ann"`, dropped by
+    * `Search.invalidate`); the serving-side twin of the ingest-side
+    * index builds. */
+  private[ops] def sharedAnnIndexDir(spark: SparkSession,
+      dir: String): String = {
+    val root = sys.props("java.io.tmpdir") +
+      "/graft_annidx_" + graft.Tables.viewSuffix(dir)
+    Search.memoArtifact(spark, dir + "#ann")(persistIndex(spark, dir, root))
+    root
+  }
+
+  /** Oracle for a probed int8 search that INCLUDES the query vector
+    * (a [[searchIndex]] probe holds every indexed row, the query's own
+    * row among them) — [[annIvfQuantizedSql]] without the self-exclusion
+    * and at an explicit k. */
+  private[ops] def knnProbedSql(k: Int): String =
+    s"""WITH scaled AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+       |  FROM embeddings),
+       |coded AS (
+       |  SELECT vec_id, bucket, ${codesSql("embedding")} AS codes FROM scaled)
+       |SELECT vec_id, bucket,
+       |  CAST(${dotqSql("codes", "qc")} AS DOUBLE) /
+       |    sqrt(CAST(${dotqSql("codes", "codes")} AS DOUBLE) *
+       |         CAST(${dotqSql("qc", "qc")} AS DOUBLE)) AS score
+       |FROM coded
+       |CROSS JOIN (SELECT codes AS qc, bucket AS qbucket FROM coded WHERE vec_id = 0)
+       |WHERE bit_count(xor(bucket, qbucket)) <= $ProbeRadius
+       |ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
+
   /** Driver-side coarse bucket of ONE query vector — [[lshBucket]]'s
     * arithmetic replayed with the identical sequential fold order (the
     * [[Pq.searchPqIndex]] dotDriver convention), so a serving caller

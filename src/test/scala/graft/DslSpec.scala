@@ -1386,6 +1386,84 @@ class DslSpec extends SparkSpec {
     assert(generic.contains("composite pages through its own endpoint"))
   }
 
+  test("knn: the body's vector literal round-trips exactly; served probe prunes partitions") {
+    import org.apache.spark.sql.functions.{broadcast, col, sqrt}
+    val emb = Tables.embeddings(spark, sfDir)
+    // in-engine join form of the same search (vector never serialized)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val joined = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        (ops.Similarity.dotD(col("embedding"), col("qv")) /
+          sqrt(ops.Similarity.dotD(col("embedding"), col("embedding")) *
+            ops.Similarity.dotD(col("qv"), col("qv")))).as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(10)
+      .collect().map(_.toSeq).toSeq
+    val viaBody = Dsl.dslKnn(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(viaBody == joined,
+      "the JSON query_vector round-trip must be bit-exact")
+    // the query's own row tops the list at score 1.0ish (cos(v, v))
+    assert(viaBody.head(0) == 0L)
+    // served twin: only the probed index partitions are read
+    val served = Dsl.dslKnnServed(spark, sfDir)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"),
+      s"knn served scan must prune by bucket:\n$plan")
+    val sRows = served.collect()
+    assert(sRows.head.getLong(0) == 0L &&
+      math.abs(sRows.head.getDouble(2) - 1.0) < 1e-12,
+      "the query's own indexed row must top the probe at cos ≈ 1")
+  }
+
+  test("knn hybrid: rrf fuses the DSL page with the vector ranking") {
+    val rows = Dsl.dslKnnHybrid(spark, sfDir).collect()
+    assert(rows.length == ops.Search.RrfTopK)
+    // rrf recomputes from the emitted ranks — the fusion is pure rank
+    // arithmetic, nothing hidden
+    rows.foreach { r =>
+      val rt = if (r.isNullAt(1)) 0.0
+        else 1.0 / (ops.Search.RrfK + r.getInt(1))
+      val rv = if (r.isNullAt(2)) 0.0
+        else 1.0 / (ops.Search.RrfK + r.getInt(2))
+      assert(r.getDouble(3) == rt + rv,
+        s"rrf must equal its rank sum: $r")
+    }
+    // sorted by fused score desc, doc_id tiebreak
+    val fused = rows.map(r => (-r.getDouble(3), r.getLong(0))).toSeq
+    assert(fused == fused.sorted, "page must sort by (rrf desc, doc_id)")
+    // at least one doc carries BOTH ranks (the corpus embeds its text)
+    assert(rows.exists(r => !r.isNullAt(1) && !r.isNullAt(2)),
+      "no doc appeared in both modalities — fixture drift?")
+  }
+
+  test("knn bodies refuse malformed shapes loudly") {
+    def msg(body: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslKnnOf(Tables.embeddings(spark, sfDir), body)).getMessage
+    assert(msg("""{"knn": {"field": "embedding",
+      "query_vector": [0.5], "k": 3}, "size": 5}""").contains("'size'"))
+    assert(msg("""{"knn": {"field": "embedding",
+      "query_vector": [0.5]}}""").contains("needs \"k\""))
+    assert(msg("""{"knn": {"field": "embedding", "query_vector": [0.5],
+      "k": 5, "num_candidates": 3}}""").contains("must be ≥ k"))
+    assert(msg("""{"knn": {"field": "embedding", "query_vector": [],
+      "k": 3}}""").contains("non-empty"))
+    assert(msg("""{"knn": {"field": "embedding", "query_vector": [0.5],
+      "k": 3, "similarity": 0.5}}""")
+      .contains("unsupported option 'similarity'"))
+    val hy = intercept[IllegalArgumentException](
+      Dsl.dslKnnHybridOf(tiny, Tables.embeddings(spark, sfDir),
+        """{"knn": {"field": "embedding", "query_vector": [0.5],
+          "k": 3}, "query": {"match_all": {}}}""")).getMessage
+    assert(hy.contains("rank"), s"hybrid without rank must refuse: $hy")
+    val hy2 = intercept[IllegalArgumentException](
+      Dsl.dslKnnHybridOf(tiny, Tables.embeddings(spark, sfDir),
+        """{"knn": {"field": "embedding", "query_vector": [0.5],
+          "k": 3}, "query": {"match_all": {}},
+          "rank": {"linear": {}}}""")).getMessage
+    assert(hy2.contains("rrf"))
+  }
+
   test("percolate_dsl: full query bodies as stored rules") {
     val hits = Dsl.percolateDslOf(tiny, Seq(
       1L -> """{"query": {"bool": {"must": [{"match": {"text": "alpha"}}],
