@@ -242,6 +242,15 @@ object Dsl {
     * oracle; the `agg_hll` stance) with a bound test instead. */
   final case class CardinalityAgg(field: String,
       threshold: Option[Int] = None) extends AggNode
+  /** ES `percentiles`: exact linear-interpolation percentiles (the
+    * [[graft.ops.Temporal.aggPercentile]] parity — Spark `percentile`
+    * ≡ DuckDB `quantile_cont`), one OUTPUT ROW per percent with the
+    * value in `v_pct` and the percent in `key`. Top-level only (as a
+    * sub it would need per-percent bucket columns — the union-row
+    * shape has no slot); the sketch companion follows the
+    * `dsl_aggs_hll` rows-only stance if ever needed. */
+  final case class PercentilesAgg(field: String,
+      percents: Seq[BigDecimal]) extends AggNode
   final case class RangeAgg(field: String,
       ranges: Seq[(Option[Scalar], Option[Scalar])]) extends AggNode
   /** ES `top_hits` — the per-bucket top DOCUMENTS sub-agg (the "show
@@ -1094,6 +1103,23 @@ object Dsl {
               case JString(pp) if pp.nonEmpty => NestedAgg(pp)
               case _ => fail(s"agg '$name' nested needs a \"path\" string")
             }
+          case "percentiles" =>
+            val f = aggField(spec, name, Set("field", "percents"))
+            val ps = spec \ "percents" match {
+              case JNothing => DefaultPercents
+              case JArray(xs) if xs.nonEmpty => xs.map(scalar).map {
+                case SNum(v) if v >= 0 && v <= 100 => v
+                case SNum(v) => fail(s"agg '$name' percent $v out of " +
+                  "[0, 100]")
+                case other => fail(s"agg '$name' percents must be " +
+                  s"numbers, got ${other.sql}")
+              }
+              case v => fail(s"agg '$name' percents must be a " +
+                s"non-empty array, got $v")
+            }
+            if (ps.map(pctKeyOf).distinct.size != ps.size)
+              fail(s"agg '$name' lists a percent twice")
+            PercentilesAgg(f, ps)
           case "top_hits" =>
             spec match {
               case o: JObject =>
@@ -1206,6 +1232,7 @@ object Dsl {
     case MetricAgg(_, f) => Seq(f)
     case CardinalityAgg(f, _) => Seq(f)
     case RangeAgg(f, _) => Seq(f)
+    case PercentilesAgg(f, _) => Seq(f)
     case FilterAgg(_) => Seq.empty
     case TopHitsAgg(_, sort) => sort.map(_._1)
     case NestedAgg(p) => Seq(p)
@@ -1235,6 +1262,17 @@ object Dsl {
     * maps to: 1.04/√threshold (the HLL error law with the threshold as
     * the register budget), clamped to Spark's supported range — higher
     * thresholds buy tighter sketches, the ES contract's shape. */
+  /** ES's default percents. */
+  private val DefaultPercents: Seq[BigDecimal] =
+    Seq(1, 5, 25, 50, 75, 95, 99).map(BigDecimal(_))
+
+  /** Canonical percent string both compilers emit as the row KEY
+    * ("25", "99.9") and the derived column tag ("25", "99d9"). */
+  private def pctKeyOf(p: BigDecimal): String =
+    p.underlying.stripTrailingZeros.toPlainString
+  private def pctTag(p: BigDecimal): String =
+    pctKeyOf(p).replace(".", "d")
+
   private def rsdOfThreshold(t: Int): Double =
     math.max(0.005, math.min(0.39, 1.04 / math.sqrt(t.toDouble)))
 
@@ -2428,6 +2466,7 @@ object Dsl {
       case MetricAgg(k, f) if k != "value_count" => Seq(f)
       case HistAgg(f, _) => Seq(f)
       case RangeAgg(f, _) => Seq(f)
+      case PercentilesAgg(f, _) => Seq(f)
       case _ => Seq.empty // value_count/cardinality take any field
     }
     b.aggs.foreach { s =>
@@ -2564,13 +2603,25 @@ object Dsl {
           }
         }
     }
+    // exact percentiles ride the SAME grouping-sets aggregate (one
+    // column per distinct (field, percent) — Spark percentile is an
+    // ordinary aggregate, so the one-pass invariant holds; only the
+    // global row's values are read out)
+    val pctDefs: Seq[(String, String, BigDecimal)] = b.aggs.flatMap {
+      case AggSpec(_, PercentilesAgg(x, ps), _) =>
+        ps.map(pp => (s"vp_${x}_${pctTag(pp)}", x, pp))
+      case _ => Seq.empty
+    }.distinct
+    val pctCols = pctDefs.map { case (nm, x, pp) =>
+      percentile(col(x), lit((pp / 100).toDouble)).as(nm) }
     val metricFieldCols = (uncondMetrics.map(_._2) ++
-      subKindOf.values.map(_._2)).distinct.map(col)
+      subKindOf.values.map(_._2) ++ pctDefs.map(_._2)).distinct.map(col)
     // conditions precompute as boolean columns so the grouping-sets
     // projection keeps every aggregate's input
     val prep = matched.select(gkCols ++ metricFieldCols ++
       cbuckets.map { case (i, j, _, c) => c.as(s"cnd${i}_$j") }: _*)
-    val statAgg = count(lit(1)).as("doc_count") +: (uncondCols ++ condAggCols)
+    val statAgg = count(lit(1)).as("doc_count") +: (uncondCols ++
+      condAggCols ++ pctCols)
     val hasGlobal = b.aggs.exists(s => keyExprOf(s.agg).isEmpty &&
       !s.agg.isInstanceOf[NestedAgg])
     // the persist makes the one corpus pass ACTUALLY one: the per-agg
@@ -2631,12 +2682,13 @@ object Dsl {
           "vh" + k.stripPrefix("cardinality_hll_")
         else "vd"
       outStats(k, col(s"vc_$y"), col(s"vs_$y"), col(s"vn_$y"),
-        col(s"vx_$y"), col(s"${vdn}_$y"))
+        col(s"vx_$y"), col(s"${vdn}_$y")) :+ nullD.as("v_pct")
     }
     def condOut(i: Int, j: Int): Seq[Column] = subKindOf.get(i) match {
       case None => NullStats
       case Some((k, _)) => outStats(k, col(s"cc${i}_$j"), col(s"cs${i}_$j"),
-        col(s"cn${i}_$j"), col(s"cx${i}_$j"), col(s"cd${i}_$j"))
+        col(s"cn${i}_$j"), col(s"cx${i}_$j"), col(s"cd${i}_$j")) :+
+        nullD.as("v_pct")
     }
     val globalMine = gkNames.map(n => col(s"g_$n") === 1)
       .reduceOption(_ && _).getOrElse(lit(true))
@@ -2661,6 +2713,14 @@ object Dsl {
           grouped.filter(globalMine).withColumn("key", lit(""))
             .select(($"key" +: key2Blank +: $"doc_count" +:
               uncondOut(spec.agg)): _*)
+        case PercentilesAgg(x, ps) =>
+          // one row per percent: key = the percent, value in v_pct
+          ps.map { pp =>
+            grouped.filter(globalMine).select(
+              (lit(pctKeyOf(pp)).as("key") +: key2Blank +:
+                $"doc_count" +: (NullStats.dropRight(1) :+
+                  col(s"vp_${x}_${pctTag(pp)}").as("v_pct"))): _*)
+          }.reduce(_ unionByName _)
         case RangeAgg(_, ranges) =>
           ranges.zipWithIndex.map { case (r, j) =>
             grouped.filter(globalMine).select(
@@ -2782,10 +2842,11 @@ object Dsl {
   private val NullStats = Seq(
     lit(null).cast("long").as("v_count"), lit(null).cast("double").as("v_sum"),
     lit(null).cast("double").as("v_min"), lit(null).cast("double").as("v_max"),
-    lit(null).cast("double").as("v_avg"))
+    lit(null).cast("double").as("v_avg"),
+    lit(null).cast("double").as("v_pct"))
 
   private val OutCols = Seq("agg", "key", "key2", "doc_count", "v_count",
-    "v_sum", "v_min", "v_max", "v_avg")
+    "v_sum", "v_min", "v_max", "v_avg", "v_pct")
 
   /** Generated DuckDB SQL for the same aggregation body — the
     * [[dslSql]] lockstep discipline applied to aggs. */
@@ -2809,11 +2870,14 @@ object Dsl {
     val nullV = Map("v_sum" -> "CAST(NULL AS DOUBLE) AS v_sum",
       "v_min" -> "CAST(NULL AS DOUBLE) AS v_min",
       "v_max" -> "CAST(NULL AS DOUBLE) AS v_max",
-      "v_avg" -> "CAST(NULL AS DOUBLE) AS v_avg")
-    val nullStats = nullC +: Seq("v_sum", "v_min", "v_max", "v_avg")
-      .map(nullV)
+      "v_avg" -> "CAST(NULL AS DOUBLE) AS v_avg",
+      "v_pct" -> "CAST(NULL AS DOUBLE) AS v_pct")
+    val nullStats = nullC +: Seq("v_sum", "v_min", "v_max", "v_avg",
+      "v_pct").map(nullV)
     // [[outStats]]'s SQL mirror — per metric kind, same null shape
-    def outStatsSql(kind: String, x: String): Seq[String] = kind match {
+    def outStatsSql(kind: String, x: String): Seq[String] =
+      (outStatsSql0(kind, x)) :+ nullV("v_pct")
+    def outStatsSql0(kind: String, x: String): Seq[String] = kind match {
       case "stats" => statSql(x)
       case "avg" => Seq(nullC, nullV("v_sum"), nullV("v_min"),
         nullV("v_max"),
@@ -2937,6 +3001,16 @@ object Dsl {
              |  COUNT(*) AS doc_count,
              |  ${outStatsSql(k, x).mkString(",\n  ")}
              |FROM m""".stripMargin
+        case PercentilesAgg(x, ps) =>
+          ps.map { pp =>
+            val pLit = (pp / 100).underlying.stripTrailingZeros
+              .toPlainString
+            s"""SELECT $name AS agg, '${pctKeyOf(pp)}' AS key,
+               |  '' AS key2, COUNT(*) AS doc_count,
+               |  ${nullStats.dropRight(1).mkString(",\n  ")},
+               |  quantile_cont($x, $pLit) AS v_pct
+               |FROM m""".stripMargin
+          }.mkString("\nUNION ALL\n")
         case RangeAgg(fld, ranges) =>
           ranges.map { r =>
             val conds = (Seq(s"f.$fld IS NOT NULL") ++
@@ -4075,6 +4149,33 @@ object Dsl {
 
   val dslAggsMissingOracleSql: String =
     dslAggsSqlOver(AggsMissingQuery, SrcOptRel)
+
+  /** Registered PERCENTILES body — exact interpolation percentiles
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`, the agg_percentile
+    * parity) inside a DSL aggs body, one output row per percent (value
+    * in `v_pct`, percent in `key`), riding the SAME grouping-sets pass
+    * as the terms agg beside it. */
+  val AggsPercentilesQuery: String =
+    """{"query": {"match": {"text": "dup"}}, "size": 0,
+      |  "aggs": {
+      |    "chars_pct": {"percentiles": {"field": "n_chars",
+      |                  "percents": [25, 50, 75, 99]}},
+      |    "langs": {"terms": {"field": "lang", "size": 3}}}}"""
+      .stripMargin
+
+  def dslAggsPercentiles(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Tables.documentsPar(spark, dir), AggsPercentilesQuery)
+
+  val dslAggsPercentilesOracleSql: String =
+    dslAggsSqlOver(AggsPercentilesQuery, "documents")
+
+  /** Registered query: [[AggsPercentilesQuery]] SERVED — percentile
+    * inputs are doc-values, the match gate comes from postings; same
+    * oracle as the scan form. */
+  def dslAggsPercentilesServed(spark: SparkSession,
+      dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), AggsPercentilesQuery)
 
   /** Registered query: [[AggsNestedQuery]] SERVED from the daily
     * indices — nested buckets over doc-values across the alias

@@ -314,7 +314,7 @@ class DslSpec extends SparkSpec {
       intercept[IllegalArgumentException](
         Dsl.dslAggsOf(docs, json)).getMessage
     assert(msg("""{"query": {"match_all": {}}, "size": 0, "aggs": {
-      "x": {"percentiles": {"field": "n_chars"}}}}""").contains("supported"),
+      "x": {"geo_distance": {"field": "n_chars"}}}}""").contains("supported"),
       "unknown agg type must name the supported set")
     assert(msg("""{"query": {"match_all": {}}, "aggs": {
       "x": {"stats": {"field": "n_chars"}}}}""").contains("size: 0"),
@@ -1462,6 +1462,42 @@ class DslSpec extends SparkSpec {
           "k": 3}, "query": {"match_all": {}},
           "rank": {"linear": {}}}""")).getMessage
     assert(hy2.contains("rrf"))
+  }
+
+  test("percentiles agg: exact interpolation rows beside buckets in one body") {
+    val rows = Dsl.dslAggsOf(tiny, """{"query": {"match_all": {}},
+      "size": 0, "aggs": {
+        "pct": {"percentiles": {"field": "n_chars",
+                "percents": [25, 62.5, 99]}},
+        "langs": {"terms": {"field": "lang", "size": 2}}}}""").collect()
+    // sorted n_chars = [9,10,10,16,16]: idx 25%→1 (10), 62.5%→2.5
+    // (10 + .5·6 = 13), 99%→3.96 (16)
+    val pct = rows.filter(_.getString(0) == "pct")
+      .map(r => (r.getString(1), r.getAs[Double]("v_pct"))).toSeq
+    assert(pct == Seq(("25", 10.0), ("62.5", 13.0), ("99", 16.0)),
+      s"percentile rows: $pct")
+    // doc_count on percentile rows = the matched-set size; buckets
+    // keep a null v_pct
+    assert(rows.filter(_.getString(0) == "pct")
+      .forall(_.getAs[Long]("doc_count") == 5L))
+    assert(rows.filter(_.getString(0) == "langs")
+      .forall(r => r.isNullAt(r.fieldIndex("v_pct"))))
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(tiny, json)).getMessage
+    assert(msg("""{"size": 0, "aggs": {"p": {"percentiles":
+      {"field": "n_chars", "percents": [150]}}}}""")
+      .contains("out of [0, 100]"))
+    assert(msg("""{"size": 0, "aggs": {"p": {"percentiles":
+      {"field": "n_chars", "percents": [50, 50.0]}}}}""")
+      .contains("twice"))
+    assert(msg("""{"size": 0, "aggs": {"p": {"percentiles":
+      {"field": "n_chars"}, "aggs": {"m": {"avg":
+      {"field": "n_chars"}}}}}}""").contains("metrics take no aggs"))
+    assert(msg("""{"size": 0, "aggs": {"l": {"terms": {"field": "lang"},
+      "aggs": {"p": {"percentiles": {"field": "n_chars"}}}}}}""")
+      .contains("must be a metric"))
   }
 
   test("percolate_dsl: full query bodies as stored rules") {
