@@ -170,6 +170,17 @@ object Dsl {
   final case class IdsQ(values: Seq[Long]) extends Node
   final case class PrefixQ(field: String, value: String) extends Node
   final case class WildcardQ(field: String, pattern: String) extends Node
+  /** ES `regexp` — Lucene-anchored (the WHOLE term must match). On an
+    * analyzed field the pattern is term-level: a doc matches when any
+    * TOKEN full-matches (the term-dictionary walk, [[MatchFzQ]]'s
+    * serving shape); on any other field it full-matches the raw
+    * doc-value. Patterns are restricted to the Java/RE2 shared subset:
+    * Lucene's own operators (`~` `&` `<` `>`) and explicit anchors
+    * refuse at parse — their semantics differ between engines, and a
+    * silently-reinterpreted pattern would change the match set.
+    * Unscored (the set-membership convention, [[WildcardQ]]'s
+    * stance). */
+  final case class RegexpQ(field: String, pattern: String) extends Node
   final case class ConstScoreQ(filter: Node, boost: BigDecimal) extends Node
   final case class DisMaxQ(queries: Seq[Node], tieBreaker: BigDecimal)
     extends Node
@@ -778,6 +789,73 @@ object Dsl {
         case other =>
           fail(s"wildcard expects {field: {value: str}}, got $other")
       }
+      case "regexp" => body match {
+        case JObject(List((field, spec))) =>
+          val pat = spec match {
+            case o: JObject =>
+              o.obj.collectFirst { case (k, _) if k != "value" => k }
+                .foreach(k => fail(s"regexp.$field has unsupported " +
+                  s"option '$k' — supported: value (flags and " +
+                  "case_insensitive would change the match set)"))
+              o \ "value" match {
+                case JString(x) if x.nonEmpty => x
+                case _ =>
+                  fail(s"regexp.$field needs a non-empty \"value\"")
+              }
+            case JString(x) if x.nonEmpty => x
+            case other =>
+              fail(s"regexp.$field expects {value: pattern}, got $other")
+          }
+          Seq('~', '&', '<', '>').find(pat.contains(_)).foreach(c =>
+            fail(s"regexp.$field: '$c' is a Lucene-specific regexp " +
+              "operator — unsupported (patterns are the Java/RE2 " +
+              "shared subset)"))
+          if (pat.contains('^') || pat.contains('$'))
+            fail(s"regexp.$field: explicit anchors are not Lucene " +
+              "regexp syntax — the whole term always matches")
+          RegexpQ(field, pat)
+        case other => fail(s"regexp expects {field: {value: pattern}}, " +
+          s"got $other")
+      }
+      case "fuzzy" => body match {
+        // the TERM-level fuzzy clause: one value, edit-budget knobs —
+        // desugars to the match-fuzziness machinery ([[MatchFzQ]])
+        case JObject(List((field, spec))) =>
+          checkAnalyzed(field, "fuzzy")
+          val (value, fz, boost) = spec match {
+            case o: JObject =>
+              val known = Set("value", "fuzziness", "boost")
+              o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+                .foreach(k => fail(s"fuzzy.$field has unsupported " +
+                  s"option '$k' — supported: " +
+                  known.toSeq.sorted.mkString(", ")))
+              val v = o \ "value" match {
+                case JString(x) if x.nonEmpty => x
+                case _ => fail(s"fuzzy.$field needs a non-empty \"value\"")
+              }
+              val f = o \ "fuzziness" match {
+                case JNothing | JString("AUTO") => -1
+                case JInt(n) if n >= 0 && n <= 2 => n.toInt
+                case v2 => fail(s"fuzzy.$field fuzziness must be 0, 1, " +
+                  s"""2 or "AUTO", got $v2""")
+              }
+              (v, f, boostOf(o))
+            case JString(x) if x.nonEmpty => (x, -1, one)
+            case other =>
+              fail(s"fuzzy.$field expects {value: term}, got $other")
+          }
+          val term = analyzed(value) match {
+            case Seq(t) => t
+            case _ => fail(s"fuzzy.$field: '$value' must analyze to " +
+              "ONE term (fuzzy is term-level; multi-term text is " +
+              "match + fuzziness)")
+          }
+          val d = if (fz == -1) autoFuzz(term) else fz
+          if (d == 0) MatchQ(field, Seq(term), boost, andOp = false)
+          else MatchFzQ(field, Seq((term, d)), boost, andOp = false)
+        case other => fail(s"fuzzy expects {field: {value: term}}, " +
+          s"got $other")
+      }
       case "constant_score" => body match {
         case o: JObject =>
           val known = Set("filter", "boost")
@@ -834,9 +912,10 @@ object Dsl {
         QueryString.parseClause(body, simple = false)
       case "match_all" => MatchAllQ
       case other => fail(s"unsupported query type '$other' — supported: " +
-        "bool, constant_score, dis_max, exists, ids, match, match_all, " +
-        "match_phrase, match_phrase_prefix, multi_match, nested, prefix, " +
-        "query_string, range, simple_query_string, term, terms, wildcard")
+        "bool, constant_score, dis_max, exists, fuzzy, ids, match, " +
+        "match_all, match_phrase, match_phrase_prefix, multi_match, " +
+        "nested, prefix, query_string, range, regexp, " +
+        "simple_query_string, term, terms, wildcard")
     }
     case JObject(fields) =>
       fail(s"a query clause must have exactly one key, got " +
@@ -1337,6 +1416,15 @@ object Dsl {
         ts.map { case (t, d) => (f, t, d) }
     }.distinct
 
+  /** Analyzed-field regexp keys — feature column qrf (tf of matching
+    * tokens); unscored, so no statistic family. Non-analyzed regexp
+    * compiles directly over the doc-value ([[exactFields]]). */
+  private def rkeysOf(n: Node): Seq[(String, String)] =
+    collectCtx(n, true) {
+      case (RegexpQ(f, pat), _) if AnalyzedFields.contains(f) =>
+        Seq((f, pat))
+    }.distinct
+
   /** Non-text fields the query references (term/terms/range/exists) —
     * ONLY these are projected, so column pruning reaches the scan. */
   private def exactFields(n: Node): Seq[String] = collectCtx(n, true) {
@@ -1346,6 +1434,7 @@ object Dsl {
     case (ExistsQ(f), _) => Seq(f)
     case (PrefixQ(f, _), _) => Seq(f)
     case (WildcardQ(f, _), _) => Seq(f)
+    case (RegexpQ(f, _), _) if !AnalyzedFields.contains(f) => Seq(f)
     case (NestedQ(path, _), _) => Seq(path)
   }.distinct
 
@@ -1367,6 +1456,8 @@ object Dsl {
   private[ops] def requiresText(n: Node): Boolean = n match {
     case _: MatchQ | _: PhraseQ | _: MultiMatchQ | _: MatchFzQ |
          _: PhrasePrefixQ => true
+    // an analyzed-field regexp hit IS a postings hit
+    case RegexpQ(f, _) => AnalyzedFields.contains(f)
     case BoolQ(m, s, _, fl, msm) =>
       m.exists(requiresText) || fl.exists(requiresText) ||
         (m.isEmpty && fl.isEmpty && s.nonEmpty &&
@@ -1442,7 +1533,8 @@ object Dsl {
     }
 
   private def compile(n: Node, scored: Boolean, tfIdx: TIdx, pfIdx: PIdx,
-      ktIdx: KIdx, zfIdx: ZIdx = Map.empty): C = n match {
+      ktIdx: KIdx, zfIdx: ZIdx = Map.empty,
+      rfIdx: TIdx = Map.empty): C = n match {
     case MatchFzQ(field, terms, boost, andOp) =>
       // same shape as MatchQ over the fuzzy feature family: tf/df of
       // the edit-distance expansion treated as one pseudo-term each
@@ -1553,18 +1645,27 @@ object Dsl {
       val re = wildcardRegex(pat)
       C(col(field).rlike(re),
         s"regexp_matches(f.$field, '${quoteSql(re)}')", None)
+    case RegexpQ(field, pat) =>
+      if (AnalyzedFields.contains(field)) {
+        val i = rfIdx((field, pat))
+        C(col(s"qrf$i") > 0, s"f.qrf$i > 0", None)
+      } else
+        // raw doc-value, Lucene-anchored: the whole value must match
+        C(col(field).rlike("^(?:" + pat + ")$"),
+          s"regexp_full_match(f.$field, '${quoteSql(pat)}')", None)
     case ConstScoreQ(fq, boost) =>
       // the ES way to give a filter a score: the wrapped clause
       // compiles in FILTER context (no statistics), and the whole
       // clause scores the constant boost in query context
-      val c = compile(fq, false, tfIdx, pfIdx, ktIdx, zfIdx)
+      val c = compile(fq, false, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx)
       val score =
         if (scored) Some((lit(boost.toDouble),
           s"CAST(${boost.underlying.toPlainString} AS DOUBLE)"))
         else None
       C(c.pred, c.predSql, score)
     case DisMaxQ(qs, tb) =>
-      val cs = qs.map(compile(_, scored, tfIdx, pfIdx, ktIdx, zfIdx))
+      val cs = qs.map(compile(_, scored, tfIdx, pfIdx, ktIdx, zfIdx,
+        rfIdx))
       val pred = cs.map(_.pred).reduce(_ || _)
       val predSql = cs.map(_.predSql).mkString("(", " OR ", ")")
       // dis_max: best branch's score + tie_breaker × the others'.
@@ -1608,10 +1709,14 @@ object Dsl {
         s"len(list_filter(f.$path, t -> $sqlOf)) > 0", None)
     case MatchAllQ => C(lit(true), "TRUE", None)
     case BoolQ(must, should, mustNot, filterCtx, minShould) =>
-      val mc = must.map(compile(_, scored, tfIdx, pfIdx, ktIdx, zfIdx))
-      val sc = should.map(compile(_, scored, tfIdx, pfIdx, ktIdx, zfIdx))
-      val nc = mustNot.map(compile(_, false, tfIdx, pfIdx, ktIdx, zfIdx))
-      val fc = filterCtx.map(compile(_, false, tfIdx, pfIdx, ktIdx, zfIdx))
+      val mc = must.map(compile(_, scored, tfIdx, pfIdx, ktIdx, zfIdx,
+        rfIdx))
+      val sc = should.map(compile(_, scored, tfIdx, pfIdx, ktIdx, zfIdx,
+        rfIdx))
+      val nc = mustNot.map(compile(_, false, tfIdx, pfIdx, ktIdx, zfIdx,
+        rfIdx))
+      val fc = filterCtx.map(compile(_, false, tfIdx, pfIdx, ktIdx, zfIdx,
+        rfIdx))
       // ES defaults: a should beside a must/filter is optional scoring
       // (msm 0); alone it is the only matching condition (msm 1)
       val msm = minShould.getOrElse(
@@ -1706,9 +1811,11 @@ object Dsl {
       highlight: Option[String] = None,
       zkeys: Seq[(String, String, Int)] = Seq.empty,
       szkeys: Seq[(String, String, Int)] = Seq.empty,
-      zfIdx: ZIdx = Map.empty) {
+      zfIdx: ZIdx = Map.empty,
+      rkeys: Seq[(String, String)] = Seq.empty,
+      rfIdx: TIdx = Map.empty) {
     def needsText: Boolean =
-      tkeys.nonEmpty || pkeys.nonEmpty || zkeys.nonEmpty
+      tkeys.nonEmpty || pkeys.nonEmpty || zkeys.nonEmpty || rkeys.nonEmpty
     /** A field-only `sort` never evaluates the score — ES computes
       * scores only when the ranking needs them (`track_scores`
       * defaults false under sort), so the statistics vanish exactly
@@ -1721,7 +1828,8 @@ object Dsl {
       (stkeys.map(_._1) ++ spkeys.map(_._1) ++ szkeys.map(_._1)).distinct
     /** Analyzed fields any feature (scored or filter-ctx) reads. */
     def usedFields: Seq[String] =
-      (tkeys.map(_._1) ++ pkeys.map(_._1) ++ zkeys.map(_._1)).distinct
+      (tkeys.map(_._1) ++ pkeys.map(_._1) ++ zkeys.map(_._1) ++
+        rkeys.map(_._1)).distinct
     /** sort keys that are real columns (not `_score`). */
     def sortFields: Seq[String] = sortKeys.map(_._1).filter(_ != "_score")
   }
@@ -1731,14 +1839,17 @@ object Dsl {
     val pkeys = pkeysOf(q)
     val skts = ktsScoredOf(q)
     val zkeys = zkeysOf(q)
+    val rkeys = rkeysOf(q)
     val tfIdx = tkeys.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
     val pfIdx = pkeys.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
     val ktIdx = skts.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
     val zfIdx = zkeys.zipWithIndex.map { case (z, i) => z -> (i + 1) }.toMap
+    val rfIdx = rkeys.zipWithIndex.map { case (r, i) => r -> (i + 1) }.toMap
     Plan(q, size, tkeys, pkeys, tkeysScoredOf(q), pkeysScoredOf(q), skts,
       exactFields(q), tfIdx, pfIdx, ktIdx,
-      compile(q, scored = true, tfIdx, pfIdx, ktIdx, zfIdx),
-      zkeys = zkeys, szkeys = zkeysScoredOf(q), zfIdx = zfIdx)
+      compile(q, scored = true, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx),
+      zkeys = zkeys, szkeys = zkeysScoredOf(q), zfIdx = zfIdx,
+      rkeys = rkeys, rfIdx = rfIdx)
   }
 
   /** Plan of a full search body: the query plan plus paging/sort/
@@ -1796,10 +1907,12 @@ object Dsl {
     val pkeys = qs.flatMap(pkeysOf).distinct
     val skts = qs.flatMap(ktsScoredOf).distinct
     val zkeys = qs.flatMap(zkeysOf).distinct
+    val rkeys = qs.flatMap(rkeysOf).distinct
     val tfIdx = tkeys.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
     val pfIdx = pkeys.zipWithIndex.map { case (x, i) => x -> (i + 1) }.toMap
     val ktIdx = skts.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
     val zfIdx = zkeys.zipWithIndex.map { case (z, i) => z -> (i + 1) }.toMap
+    val rfIdx = rkeys.zipWithIndex.map { case (r, i) => r -> (i + 1) }.toMap
     val plans = parsed.map { b =>
       val extra = b.sort.map(_._1)
         .filter(f => f != "_score" && f != "doc_id")
@@ -1807,10 +1920,10 @@ object Dsl {
         tkeysScoredOf(b.query), pkeysScoredOf(b.query),
         ktsScoredOf(b.query), (exactFields(b.query) ++ extra).distinct,
         tfIdx, pfIdx, ktIdx,
-        compile(b.query, scored = true, tfIdx, pfIdx, ktIdx, zfIdx),
+        compile(b.query, scored = true, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx),
         from = b.from, sortKeys = b.sort, after = b.after,
         zkeys = zkeysOf(b.query), szkeys = zkeysScoredOf(b.query),
-        zfIdx = zfIdx)
+        zfIdx = zfIdx, rkeys = rkeysOf(b.query), rfIdx = rfIdx)
     }
     val exact = (plans.flatMap(_.exact)).distinct
     // the frame plan carries the union inventory; its dummy scored C
@@ -1822,7 +1935,7 @@ object Dsl {
       skts, exact, tfIdx, pfIdx, ktIdx,
       C(lit(true), "TRUE", if (anyStats) Some((lit(0.0), "0.0")) else None),
       zkeys = zkeys, szkeys = qs.flatMap(zkeysScoredOf).distinct,
-      zfIdx = zfIdx)
+      zfIdx = zfIdx, rkeys = rkeys, rfIdx = rfIdx)
     (framePlan, plans)
   }
 
@@ -2037,8 +2150,13 @@ object Dsl {
         size(filter(tarr(f), x => levenshtein(x, lit(t)) <= lit(d)))
           .as(s"qzf${p.zfIdx(k)}")
       }
+      // regexp tf: tokens FULL-matching the pattern (Lucene-anchored)
+      val rfCols = p.rkeys.map { case k @ (f, pat) =>
+        size(filter(tarr(f), x => x.rlike("^(?:" + pat + ")$")))
+          .as(s"qrf${p.rfIdx(k)}")
+      }
       docs.select(($"doc_id" +: fields) ++ dlCols ++ tfCols ++ pfCols ++
-        zfCols: _*)
+        zfCols ++ rfCols: _*)
     }
   }
 
@@ -2180,14 +2298,17 @@ object Dsl {
     val tkeys = qs.flatMap(tkeysOf).distinct
     val pkeys = qs.flatMap(pkeysOf).distinct
     val zkeys = qs.flatMap(zkeysOf).distinct
+    val rkeys = qs.flatMap(rkeysOf).distinct
     val exact = qs.flatMap(exactFields).distinct
     val tfIdx = tkeys.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
     val pfIdx = pkeys.zipWithIndex.map { case (x, i) => x -> (i + 1) }.toMap
     val zfIdx = zkeys.zipWithIndex.map { case (z, i) => z -> (i + 1) }.toMap
+    val rfIdx = rkeys.zipWithIndex.map { case (r, i) => r -> (i + 1) }.toMap
     Plan(qs.head, 0, tkeys, pkeys, Seq.empty, Seq.empty, Seq.empty, exact,
       tfIdx, pfIdx, Map.empty,
-      compile(qs.head, scored = false, tfIdx, pfIdx, Map.empty, zfIdx),
-      zkeys = zkeys, zfIdx = zfIdx)
+      compile(qs.head, scored = false, tfIdx, pfIdx, Map.empty, zfIdx,
+        rfIdx),
+      zkeys = zkeys, zfIdx = zfIdx, rkeys = rkeys, rfIdx = rfIdx)
   }
 
   /** The ES `_count` endpoint: how many documents match — the body
@@ -2293,8 +2414,12 @@ object Dsl {
         s"len(list_filter(${arr(f)}, x -> " +
           s"levenshtein(x, '${quoteSql(t)}') <= $d)) AS qzf${p.zfIdx(k)}"
       }
+      val rfDefs = p.rkeys.map { case k @ (f, pat) =>
+        s"len(list_filter(${arr(f)}, x -> " +
+          s"regexp_full_match(x, '${quoteSql(pat)}'))) AS qrf${p.rfIdx(k)}"
+      }
       val cols = (Seq("doc_id") ++ fields ++ dlDefs ++ tfDefs ++ pfDefs ++
-        zfDefs).mkString(",\n    ")
+        zfDefs ++ rfDefs).mkString(",\n    ")
       s"f AS (\n  SELECT $cols\n  FROM $src)"
     }
   }
@@ -2578,7 +2703,7 @@ object Dsl {
         case (AggSpec(_, FilterAgg(n), _), i) =>
           Seq((i, 0, "",
             compile(n, scored = false, p.tfIdx, p.pfIdx, Map.empty,
-              p.zfIdx).pred))
+              p.zfIdx, p.rfIdx).pred))
         case _ => Seq.empty
       }
     val subKindOf: Map[Int, (String, String)] = b.aggs.zipWithIndex.collect {
@@ -3022,7 +3147,7 @@ object Dsl {
           }.mkString("\nUNION ALL\n")
         case FilterAgg(n) =>
           val c = compile(n, scored = false, p.tfIdx, p.pfIdx, Map.empty,
-            p.zfIdx)
+            p.zfIdx, p.rfIdx)
           s"""SELECT $name AS agg, '' AS key, '' AS key2,
              |  COUNT(*) AS doc_count,
              |  ${stats.mkString(",\n  ")}
@@ -3519,16 +3644,20 @@ object Dsl {
     val tkeys = parsed.flatMap(r => tkeysOf(r._2)).distinct
     val pkeys = parsed.flatMap(r => pkeysOf(r._2)).distinct
     val zkeys = parsed.flatMap(r => zkeysOf(r._2)).distinct
+    val rkeys = parsed.flatMap(r => rkeysOf(r._2)).distinct
     val exact = parsed.flatMap(r => exactFields(r._2)).distinct
     val tfIdx = tkeys.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
     val pfIdx = pkeys.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
     val zfIdx = zkeys.zipWithIndex.map { case (z, i) => z -> (i + 1) }.toMap
+    val rfIdx = rkeys.zipWithIndex.map { case (r, i) => r -> (i + 1) }.toMap
     val p = Plan(MatchAllQ, 0, tkeys, pkeys, Seq.empty, Seq.empty,
       Seq.empty, exact, tfIdx, pfIdx, Map.empty,
-      C(lit(true), "TRUE", None), zkeys = zkeys, zfIdx = zfIdx)
+      C(lit(true), "TRUE", None), zkeys = zkeys, zfIdx = zfIdx,
+      rkeys = rkeys, rfIdx = rfIdx)
     checkFields(docs, exact)
     val preds = parsed.map { case (id, q) =>
-      (id, compile(q, scored = false, tfIdx, pfIdx, Map.empty, zfIdx))
+      (id, compile(q, scored = false, tfIdx, pfIdx, Map.empty, zfIdx,
+        rfIdx))
     }
     val f = scanF(docs, p, Seq.empty)
     val matchedIds = array(preds.map { case (id, c) =>
@@ -3545,15 +3674,19 @@ object Dsl {
     val tkeys = parsed.flatMap(r => tkeysOf(r._2)).distinct
     val pkeys = parsed.flatMap(r => pkeysOf(r._2)).distinct
     val zkeys = parsed.flatMap(r => zkeysOf(r._2)).distinct
+    val rkeys = parsed.flatMap(r => rkeysOf(r._2)).distinct
     val exact = parsed.flatMap(r => exactFields(r._2)).distinct
     val tfIdx = tkeys.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
     val pfIdx = pkeys.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
     val zfIdx = zkeys.zipWithIndex.map { case (z, i) => z -> (i + 1) }.toMap
+    val rfIdx = rkeys.zipWithIndex.map { case (r, i) => r -> (i + 1) }.toMap
     val p = Plan(MatchAllQ, 0, tkeys, pkeys, Seq.empty, Seq.empty,
       Seq.empty, exact, tfIdx, pfIdx, Map.empty,
-      C(lit(true), "TRUE", None), zkeys = zkeys, zfIdx = zfIdx)
+      C(lit(true), "TRUE", None), zkeys = zkeys, zfIdx = zfIdx,
+      rkeys = rkeys, rfIdx = rfIdx)
     val branches = parsed.map { case (id, q) =>
-      val c = compile(q, scored = false, tfIdx, pfIdx, Map.empty, zfIdx)
+      val c = compile(q, scored = false, tfIdx, pfIdx, Map.empty, zfIdx,
+        rfIdx)
       s"SELECT doc_id, CAST($id AS BIGINT) AS query_id FROM f " +
         s"WHERE ${c.predSql}"
     }
@@ -3655,7 +3788,8 @@ object Dsl {
     //      + fuzzy expansions (vocab-filtered, unpruned — see below)
     val featCols = p.tkeys.map(k => s"qtf${p.tfIdx(k)}") ++
       p.pkeys.map(k => s"qpf${p.pfIdx(k)}") ++
-      p.zkeys.map(k => s"qzf${p.zfIdx(k)}")
+      p.zkeys.map(k => s"qzf${p.zfIdx(k)}") ++
+      p.rkeys.map(k => s"qrf${p.rfIdx(k)}")
     val tfPiv = posts.filter(_ => p.tkeys.nonEmpty).map { po =>
       val cols = p.tkeys.map { case k @ (fld, t) =>
         coalesce(sum(when($"tok" === t && $"field" === fld, $"tf")), lit(0L))
@@ -3717,7 +3851,25 @@ object Dsl {
         }
         Some(po.groupBy($"doc_id").agg(cols.head, cols.tail: _*))
       }
-    val feat = (tfPiv.toSeq ++ phFrames ++ zPivot.toSeq)
+    // regexp tf from the index: the SAME term-dictionary walk as the
+    // fuzzy pivot (anchored-pattern expansions hash anywhere — no
+    // bucket pruning, Lucene's regexp automaton shape), one pass
+    // pivoting every regexp key; postings-grain, never corpus text
+    val rPivot =
+      if (p.rkeys.isEmpty) None
+      else {
+        def hit(k: (String, String)): Column =
+          col("field") === k._1 && $"tok".rlike("^(?:" + k._2 + ")$")
+        val po = roots.map(root => spark.read.parquet(s"$root/postings"))
+          .reduce(_ unionByName _)
+          .filter(p.rkeys.map(hit).reduce(_ || _))
+        val cols = p.rkeys.map { k =>
+          coalesce(sum(when(hit(k), $"tf")), lit(0L)).cast("int")
+            .as(s"qrf${p.rfIdx(k)}")
+        }
+        Some(po.groupBy($"doc_id").agg(cols.head, cols.tail: _*))
+      }
+    val feat = (tfPiv.toSeq ++ phFrames ++ zPivot.toSeq ++ rPivot.toSeq)
       .reduceOption((a, c) =>
         a.join(c, Seq("doc_id"), "full_outer")).map(_.na.fill(0, featCols))
     // ---- candidate universe
@@ -3874,6 +4026,7 @@ object Dsl {
           tkeys = gPlans.flatMap(_.tkeys).distinct,
           pkeys = gPlans.flatMap(_.pkeys).distinct,
           zkeys = gPlans.flatMap(_.zkeys).distinct,
+          rkeys = gPlans.flatMap(_.rkeys).distinct,
           stkeys = gPlans.flatMap(_.stkeys).distinct,
           spkeys = gPlans.flatMap(_.spkeys).distinct,
           szkeys = gPlans.flatMap(_.szkeys).distinct,
@@ -4439,6 +4592,49 @@ object Dsl {
   def searchDslFuzzyServed(spark: SparkSession, dir: String): DataFrame =
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), FuzzyQuery)
+
+  /** Registered REGEXP body — term-level anchored regex on the
+    * analyzed field beside a raw-value regex on a keyword field (the
+    * anchor matters: `src[0-9]` matches src0-src9 but NOT src10-19).
+    * Filter context (regexp is unscored set-membership, the wildcard
+    * convention); oracle generated from the same AST. */
+  val RegexpQuery: String =
+    """{"query": {"bool": {
+      |  "filter": [{"regexp": {"text": {"value": "qu.ry"}}},
+      |             {"regexp": {"source": {"value": "src[0-9]"}}}]
+      |}}, "size": 40}""".stripMargin
+
+  def searchDslRegexp(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), RegexpQuery)
+
+  val searchDslRegexpSql: String = dslSql(RegexpQuery)
+
+  /** Registered query: [[RegexpQuery]] SERVED — the analyzed leg is a
+    * term-dictionary walk (the fuzzy pivot's shape), the keyword leg a
+    * doc-values regex; same oracle as the scan form. */
+  def searchDslRegexpServed(spark: SparkSession, dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), RegexpQuery)
+
+  /** Registered standalone FUZZY clause — the term-level form
+    * (`{"fuzzy": {field: {"value": …}}}`, fuzziness AUTO), desugared
+    * at parse into the match-fuzziness machinery, so scoring, serving,
+    * and the generated oracle are [[MatchFzQ]]'s. */
+  val FuzzyClauseQuery: String =
+    """{"query": {"fuzzy": {"text": {"value": "vectr"}}},
+      |  "size": 30}""".stripMargin
+
+  def searchDslFuzzyClause(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), FuzzyClauseQuery)
+
+  val searchDslFuzzyClauseSql: String = dslSql(FuzzyClauseQuery)
+
+  /** Registered query: [[FuzzyClauseQuery]] SERVED — the shared fuzzy
+    * term-dictionary walk; same oracle as the scan form. */
+  def searchDslFuzzyClauseServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), FuzzyClauseQuery)
 
   /** Registered SLOPPY-PHRASE body — "vector merge" within a 2-token
     * window: adjacency plus up to two interveners. tf counts the

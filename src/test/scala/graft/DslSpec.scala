@@ -117,7 +117,7 @@ class DslSpec extends SparkSpec {
   test("unsupported clauses, fields, and malformed bodies refuse loudly") {
     def msg(json: String): String =
       intercept[IllegalArgumentException](run(json, tiny)).getMessage
-    assert(msg("""{"query": {"fuzzy": {"text": "x"}}}""")
+    assert(msg("""{"query": {"span_term": {"text": "x"}}}""")
       .contains("supported"), "unknown clause must name the supported set")
     assert(msg("""{"query": {"bool": {"boost_mode": []}}}""")
       .contains("boost_mode"))
@@ -1498,6 +1498,51 @@ class DslSpec extends SparkSpec {
     assert(msg("""{"size": 0, "aggs": {"l": {"terms": {"field": "lang"},
       "aggs": {"p": {"percentiles": {"field": "n_chars"}}}}}}""")
       .contains("must be a metric"))
+  }
+
+  test("regexp: Lucene-anchored term/raw matching; fuzzy clause desugars to match machinery") {
+    def q(json: String): Set[Long] = ids(run(json, tiny)).toSet
+    // analyzed field: any TOKEN must full-match
+    assert(q("""{"query": {"regexp": {"text": {"value": "al.*a"}}}}""")
+      == Set(0L, 1L, 4L))
+    // anchored: a prefix of a token does NOT match
+    assert(q("""{"query": {"regexp": {"text": {"value": "alph"}}}}""")
+      == Set.empty)
+    // keyword field: the RAW value full-matches
+    assert(q("""{"query": {"regexp": {"lang": {"value": "e."}}}}""")
+      == Set(0L, 1L, 3L))
+    assert(q("""{"query": {"regexp": {"source": "src[12]"}}}""")
+      == Set(1L, 3L, 4L))
+    // term-level fuzzy clause: AUTO budget over one term
+    assert(q("""{"query": {"fuzzy": {"text": {"value": "alpa"}}}}""")
+      == Set(0L, 1L, 4L))
+    // fuzziness 0 IS the exact clause — identical rows to match
+    assert(run("""{"query": {"fuzzy": {"text": {"value": "beta",
+        "fuzziness": 0}}}}""", tiny) ==
+      run("""{"query": {"match": {"text": "beta"}}}""", tiny),
+      "fuzzy@0 must compile to the match clause bit-for-bit")
+    // the served twins reproduce the scan rows exactly
+    assert(Dsl.searchDslRegexpServed(spark, sfDir).collect().toSeq ==
+      Dsl.searchDslRegexp(spark, sfDir).collect().toSeq,
+      "served regexp diverged from the scan form")
+    assert(Dsl.searchDslFuzzyClauseServed(spark, sfDir).collect().toSeq ==
+      Dsl.searchDslFuzzyClause(spark, sfDir).collect().toSeq,
+      "served fuzzy clause diverged from the scan form")
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"regexp": {"text": {"value": "a~b"}}}}""")
+      .contains("Lucene-specific"))
+    assert(msg("""{"query": {"regexp": {"text": {"value": "^al.*"}}}}""")
+      .contains("anchors"))
+    assert(msg("""{"query": {"regexp": {"text": {"value": "al.*",
+      "flags": "ALL"}}}}""").contains("unsupported option 'flags'"))
+    assert(msg("""{"query": {"fuzzy": {"text":
+      {"value": "alpha beta"}}}}""").contains("ONE term"))
+    assert(msg("""{"query": {"fuzzy": {"lang": {"value": "en"}}}}""")
+      .contains("analyzed"))
+    assert(msg("""{"query": {"fuzzy": {"text": {"value": "alpa",
+      "fuzziness": 3}}}}""").contains("AUTO"))
   }
 
   test("percolate_dsl: full query bodies as stored rules") {
