@@ -671,21 +671,47 @@ object Dsl {
         PhrasePrefixQ(field, terms, boost, slop.getOrElse(0))
       case "multi_match" => body match {
         case o: JObject =>
-          val known = Set("query", "fields", "type", "boost")
+          val known = Set("query", "fields", "type", "boost", "slop",
+            "operator")
           o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
             .foreach(k => fail(s"multi_match has unsupported option '$k' " +
-              "— supported: boost, fields, query, type"))
+              "— supported: boost, fields, operator, query, slop, type"))
           val text = o \ "query" match {
             case JString(s) => s
             case _ => fail("multi_match needs a \"query\" string")
           }
-          val mostFields = o \ "type" match {
-            case JNothing | JString("best_fields") => false
-            case JString("most_fields") => true
+          val mmType = o \ "type" match {
+            case JNothing => "best_fields"
+            case JString(t @ ("best_fields" | "most_fields" | "phrase" |
+                "cross_fields")) => t
             case JString(t) => fail(s"multi_match type '$t' unsupported — " +
               "supported: best_fields (dis_max over per-field scores), " +
-              "most_fields (per-field scores sum)")
+              "most_fields (per-field scores sum), phrase (dis_max over " +
+              "per-field match_phrase), cross_fields (term-centric: " +
+              "best field per term)")
             case other => fail(s"multi_match type must be a string, got $other")
+          }
+          val slop = o \ "slop" match {
+            case JNothing => 0
+            case JInt(n) if n >= 0 =>
+              if (mmType != "phrase")
+                fail(s"multi_match slop is the phrase type's knob — " +
+                  s"meaningless for $mmType")
+              n.toInt
+            case v => fail(s"multi_match slop must be a non-negative " +
+              s"integer, got $v")
+          }
+          val crossAnd = o \ "operator" match {
+            case JNothing => false
+            case JString(op @ ("and" | "or")) =>
+              if (mmType != "cross_fields")
+                fail("multi_match operator is supported for " +
+                  s"cross_fields only (for $mmType ES applies it " +
+                  "per-field — unimplemented, refuse rather than " +
+                  "silently reinterpret)")
+              op == "and"
+            case v => fail(s"multi_match operator must be \"and\" or " +
+              s"\"or\", got $v")
           }
           val specs = o \ "fields" match {
             case JArray(fs) if fs.nonEmpty => fs.map {
@@ -709,7 +735,46 @@ object Dsl {
             fail("multi_match lists a field twice")
           val terms = analyzed(text)
           if (terms.isEmpty) fail("multi_match has no terms after analysis")
-          MultiMatchQ(specs, terms, boostOf(o), mostFields)
+          val outer = boostOf(o)
+          mmType match {
+            case "best_fields" => MultiMatchQ(specs, terms, outer,
+              mostFields = false)
+            case "most_fields" => MultiMatchQ(specs, terms, outer,
+              mostFields = true)
+            case "phrase" =>
+              // DESUGARED: dis_max over per-field match_phrase (the ES
+              // phrase type IS best_fields with phrase matching). The
+              // outer boost folds into each branch — max(B·x) = B·max(x)
+              // with tie_breaker 0, so the fold is exact
+              specs.map { case (f, fb) =>
+                PhraseQ(f, terms, fb * outer, slop): Node
+              } match {
+                case Seq(one1) => one1
+                case qs => DisMaxQ(qs, BigDecimal(0))
+              }
+            case _ =>
+              // cross_fields, term-centric: each TERM takes its best
+              // field (dis_max over per-field single-term matches, the
+              // documented stand-in for Lucene's blended term stats —
+              // deterministic and oracle-able where blending is
+              // scorer-internal), then terms combine by the operator:
+              // "or" = a should group (msm 1 — non-matching terms
+              // contribute nothing), "and" = a must list. The outer
+              // boost folds into each leaf (distributes over both sum
+              // and max)
+              val perTerm: Seq[Node] = terms.map { t =>
+                specs.map { case (f, fb) =>
+                  MatchQ(f, Seq(t), fb * outer, andOp = false): Node
+                } match {
+                  case Seq(one1) => one1
+                  case qs => DisMaxQ(qs, BigDecimal(0))
+                }
+              }
+              if (perTerm.size == 1) perTerm.head
+              else if (crossAnd)
+                BoolQ(perTerm, Seq.empty, Seq.empty, Seq.empty, None)
+              else BoolQ(Seq.empty, perTerm, Seq.empty, Seq.empty, None)
+          }
         case other => fail(s"multi_match expects an object, got $other")
       }
       case "term" => body match {
@@ -4173,6 +4238,49 @@ object Dsl {
     searchDslOf(Tables.documentsPar(spark, dir), MostFieldsQuery)
 
   val searchDslMostFieldsSql: String = dslSql(MostFieldsQuery)
+
+  /** Registered multi_match `phrase` — dis_max over per-field
+    * match_phrase (desugared at parse; the positional machinery and
+    * the generated oracle are [[PhraseQ]]'s), with a slop budget and a
+    * head-field boost. */
+  val MmPhraseQuery: String =
+    s"""{"query": {"multi_match": {"query": "merge hash",
+       |  "type": "phrase", "slop": 1,
+       |  "fields": ["${Search.HeadField}^2", "${Search.DefaultField}"]}},
+       |  "size": 30}""".stripMargin
+
+  def searchDslMmPhrase(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), MmPhraseQuery)
+
+  val searchDslMmPhraseSql: String = dslSql(MmPhraseQuery)
+
+  /** Registered query: [[MmPhraseQuery]] SERVED — per-field positional
+    * postings under the dis_max combiner; same oracle. */
+  def searchDslMmPhraseServed(spark: SparkSession, dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), MmPhraseQuery)
+
+  /** Registered multi_match `cross_fields` — term-centric: every term
+    * must land in SOME field (`operator: and`), each term scored by
+    * its best field (desugared to a must list of per-term dis_max —
+    * the documented deterministic stand-in for Lucene's blended term
+    * statistics). */
+  val CrossFieldsQuery: String =
+    s"""{"query": {"multi_match": {"query": "dup vector merge",
+       |  "type": "cross_fields", "operator": "and",
+       |  "fields": ["${Search.HeadField}", "${Search.DefaultField}"]}},
+       |  "size": 30}""".stripMargin
+
+  def searchDslCrossFields(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), CrossFieldsQuery)
+
+  val searchDslCrossFieldsSql: String = dslSql(CrossFieldsQuery)
+
+  /** Registered query: [[CrossFieldsQuery]] SERVED; same oracle. */
+  def searchDslCrossFieldsServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), CrossFieldsQuery)
 
   /** Registered AGGREGATIONS body — a match query with a terms agg, a
     * date_histogram (over the deterministic [[Search.withPersistDate]]

@@ -218,10 +218,10 @@ class DslSpec extends SparkSpec {
       intercept[IllegalArgumentException](run(json, tiny)).getMessage
     assert(msg("""{"query": {"multi_match": {"query": "x",
       "fields": ["text", "lang"]}}}""").contains("analyzed"))
-    // (most_fields graduated to supported in r13 — the refusal pin
-    // moves to a type that stays unsupported)
+    // (most_fields graduated in r13, phrase/cross_fields in r14 — the
+    // refusal pin moves to a type that stays unsupported)
     assert(msg("""{"query": {"multi_match": {"query": "x",
-      "fields": ["text"], "type": "cross_fields"}}}""")
+      "fields": ["text"], "type": "phrase_prefix"}}}""")
       .contains("best_fields"))
   }
 
@@ -429,9 +429,9 @@ class DslSpec extends SparkSpec {
       "the combiner must not change the match set")
     val e2 = intercept[IllegalArgumentException](run(
       """{"query": {"multi_match": {"query": "alpha",
-        "fields": ["head", "text"], "type": "phrase"}}}""", tiny))
+        "fields": ["head", "text"], "type": "bool_prefix"}}}""", tiny))
     assert(e2.getMessage.contains("most_fields"),
-      "unsupported multi_match types must name the supported pair")
+      "unsupported multi_match types must name the supported set")
   }
 
   test("nested: ONE tag must satisfy the whole inner query") {
@@ -1543,6 +1543,48 @@ class DslSpec extends SparkSpec {
       .contains("analyzed"))
     assert(msg("""{"query": {"fuzzy": {"text": {"value": "alpa",
       "fuzziness": 3}}}}""").contains("AUTO"))
+  }
+
+  test("multi_match phrase and cross_fields desugar to their hand-built forms") {
+    // phrase type ≡ dis_max over per-field match_phrase (boosts folded)
+    val viaType = run("""{"query": {"multi_match": {"query": "alpha beta",
+      "type": "phrase", "slop": 1, "fields": ["head^2", "text"]}}}""", tiny)
+    val handBuilt = run("""{"query": {"dis_max": {"queries": [
+      {"match_phrase": {"head": {"query": "alpha beta", "slop": 1,
+        "boost": 2}}},
+      {"match_phrase": {"text": {"query": "alpha beta", "slop": 1}}}
+    ]}}}""", tiny)
+    assert(viaType == handBuilt,
+      "mm phrase must compile to the dis_max-of-phrases form exactly")
+    assert(ids(viaType).toSet == Set(1L, 4L), s"phrase hits: $viaType")
+    // cross_fields ≡ bool of per-term dis_max; operator gates terms
+    val crossAnd = run("""{"query": {"multi_match": {"query": "rare beta",
+      "type": "cross_fields", "operator": "and",
+      "fields": ["head", "text"]}}}""", tiny)
+    val handCross = run("""{"query": {"bool": {"must": [
+      {"dis_max": {"queries": [{"match": {"head": "rare"}},
+                               {"match": {"text": "rare"}}]}},
+      {"dis_max": {"queries": [{"match": {"head": "beta"}},
+                               {"match": {"text": "beta"}}]}}
+    ]}}}""", tiny)
+    assert(crossAnd == handCross,
+      "cross_fields must compile to the per-term dis_max form exactly")
+    assert(ids(crossAnd).toSet == Set(3L), s"rare∧beta: $crossAnd")
+    val crossOr = ids(run("""{"query": {"multi_match": {
+      "query": "rare beta", "type": "cross_fields",
+      "fields": ["head", "text"]}}}""", tiny)).toSet
+    assert(crossOr == Set(0L, 1L, 2L, 3L, 4L), s"rare∨beta: $crossOr")
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"multi_match": {"query": "a",
+      "fields": ["text"], "slop": 1}}}""").contains("phrase type"))
+    assert(msg("""{"query": {"multi_match": {"query": "a",
+      "type": "phrase", "fields": ["text"], "operator": "and"}}}""")
+      .contains("cross_fields only"))
+    assert(msg("""{"query": {"multi_match": {"query": "a",
+      "type": "bool_prefix", "fields": ["text"]}}}""")
+      .contains("unsupported"))
   }
 
   test("percolate_dsl: full query bodies as stored rules") {
