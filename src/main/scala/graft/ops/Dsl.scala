@@ -1286,10 +1286,6 @@ object Dsl {
             if (sort.isEmpty)
               fail(s"agg '$name' top_hits needs an explicit field sort " +
                 "(per-bucket ranking must be deterministic)")
-            if (sort.exists(_._1 == "_score"))
-              fail(s"agg '$name' top_hits sorts by _score — unsupported: " +
-                "rank inside buckets by doc-value fields (scored pages " +
-                "are searchDslOf's job)")
             TopHitsAgg(n, sort)
           case other => fail(s"unsupported aggregation type '$other' — " +
             "supported: avg, cardinality, date_histogram, filter, " +
@@ -3287,14 +3283,37 @@ object Dsl {
     (b, pname, t, sn, th)
   }
 
+  /** True when the top_hits sub ranks by `_score`; the bucket's query
+    * must then be SCORED — its per-doc score computes exactly as a
+    * solo [[searchDslOf]] run (same plan, same statistics — corpus
+    * stats are pre-filter, so bucket gating cannot move them; DslSpec
+    * pins the equality). */
+  private def topHitsScoreSort(th: TopHitsAgg, p: Plan): Boolean = {
+    val scored = th.sort.exists(_._1 == "_score")
+    if (scored && p.c.score.isEmpty)
+      fail("top_hits sorts by _score but the query is scoreless " +
+        "(filter context only) — sort by a doc-value field instead")
+    scored
+  }
+
+  private def topHitsExtra(t: TermsAgg, th: TopHitsAgg): Seq[String] =
+    (t.field +: th.sort.map(_._1)).distinct
+      .filter(f => f != "doc_id" && f != "_score")
+
   def dslTopHitsOf(docs: DataFrame, json: String): DataFrame = {
     import docs.sparkSession.implicits._
     val (b, pname, t, sn, th) = topHitsShape(json)
-    val p = filterPlanOf(b.query)
-    val extra = (t.field +: th.sort.map(_._1)).distinct
-      .filter(_ != "doc_id")
+    val scoreSort = th.sort.exists(_._1 == "_score")
+    val p = if (scoreSort) planOf(b.query, 0) else filterPlanOf(b.query)
+    val scored = topHitsScoreSort(th, p)
+    val extra = topHitsExtra(t, th)
     checkFields(docs, (p.exact ++ extra).distinct)
-    val matched = scanF(docs, p, extra).filter(p.c.pred)
+    val f = scanF(docs, p, extra)
+    val withStats = (if (scored) scanStats(f, p) else None)
+      .map(st => f.crossJoin(broadcast(st))).getOrElse(f)
+    val m0 = withStats.filter(p.c.pred)
+    val matched =
+      if (scored) m0.withColumn("graft_score", p.c.score.get._1) else m0
     topHitsTail(matched, pname, t, sn, th)
   }
 
@@ -3304,11 +3323,19 @@ object Dsl {
   def dslTopHitsFromIndexes(spark: SparkSession, indexDirs: Seq[String],
       json: String): DataFrame = {
     val (b, pname, t, sn, th) = topHitsShape(json)
-    val p = filterPlanOf(b.query)
-    val extra = (t.field +: th.sort.map(_._1)).distinct
-      .filter(_ != "doc_id")
+    val scoreSort = th.sort.exists(_._1 == "_score")
+    val p = if (scoreSort) planOf(b.query, 0) else filterPlanOf(b.query)
+    val scored = topHitsScoreSort(th, p)
+    val extra = topHitsExtra(t, th)
     val parts = servedParts(spark, indexDirs, p, extra)
-    topHitsTail(parts.f.filter(p.c.pred), pname, t, sn, th)
+    val withStats =
+      (if (scored) servedStats(spark, parts, p, indexDirs.size > 1)
+       else None)
+        .map(st => parts.f.crossJoin(broadcast(st))).getOrElse(parts.f)
+    val m0 = withStats.filter(p.c.pred)
+    val matched =
+      if (scored) m0.withColumn("graft_score", p.c.score.get._1) else m0
+    topHitsTail(matched, pname, t, sn, th)
   }
 
   /** The shared top_hits tail: parent terms cut → per-bucket window. */
@@ -3329,10 +3356,14 @@ object Dsl {
     }
     val parentCut = floored.orderBy(pord: _*).limit(t.topN).select($"key")
     val hord: Seq[Column] = th.sort.map { case (f2, asc) =>
-      if (asc) col(f2).asc_nulls_last else col(f2).desc_nulls_last
+      val c2 = if (f2 == "_score") col("graft_score") else col(f2)
+      if (asc) c2.asc_nulls_last else c2.desc_nulls_last
     } :+ $"doc_id".asc
     val w = Window.partitionBy($"key").orderBy(hord: _*)
-    val outSortCols = th.sort.map(_._1).filter(_ != "doc_id").map(col)
+    // the double score stays INTERNAL (rank-only emission, the hit
+    // page convention) — _score never becomes an output column
+    val outSortCols = th.sort.map(_._1)
+      .filter(f2 => f2 != "doc_id" && f2 != "_score").map(col)
     keyed.join(broadcast(parentCut), Seq("key"), "left_semi")
       .withColumn("rk", row_number().over(w)).filter($"rk" <= th.size)
       .select((lit(s"$pname.$sn").as("agg") +: $"key" +: $"rk" +:
@@ -3343,9 +3374,10 @@ object Dsl {
   /** Oracle for [[dslTopHitsOf]] — same AST, same cut, same window. */
   def dslTopHitsSqlOver(json: String, rel: String): String = {
     val (b, pname, t, sn, th) = topHitsShape(json)
-    val p = filterPlanOf(b.query)
-    val extra = (t.field +: th.sort.map(_._1)).distinct
-      .filter(_ != "doc_id")
+    val scoreSort = th.sort.exists(_._1 == "_score")
+    val p = if (scoreSort) planOf(b.query, 0) else filterPlanOf(b.query)
+    topHitsScoreSort(th, p)
+    val extra = topHitsExtra(t, th)
     val keySql = t.missing
       .map(v => s"COALESCE(${t.field}, ${v.sql})").getOrElse(t.field)
     val guard =
@@ -3357,12 +3389,20 @@ object Dsl {
       case _ => "doc_count DESC, key"
     }
     val hord = th.sort.map { case (f2, asc) =>
-      s"$f2 ${if (asc) "ASC" else "DESC"} NULLS LAST"
+      s"${if (f2 == "_score") "graft_score" else f2} " +
+        s"${if (asc) "ASC" else "DESC"} NULLS LAST"
     }.mkString("", ", ", ", doc_id")
-    val outSort = th.sort.map(_._1).filter(_ != "doc_id")
+    val outSort = th.sort.map(_._1)
+      .filter(f2 => f2 != "doc_id" && f2 != "_score")
       .map(c => s", $c").mkString
-    s"""WITH ${fCteSql(p, extra, rel)},
-       |m AS (SELECT *, CAST($keySql AS VARCHAR) AS key FROM f
+    val scoreCol =
+      if (scoreSort) s", ${p.c.score.get._2} AS graft_score" else ""
+    val ctes = Seq(fCteSql(p, extra, rel)) ++
+      (if (scoreSort) Seq(sCteSql(p)) else Seq.empty)
+    val mFrom = if (scoreSort) "FROM f CROSS JOIN s" else "FROM f"
+    s"""WITH ${ctes.mkString(",\n")},
+       |m AS (SELECT *, CAST($keySql AS VARCHAR) AS key$scoreCol
+       |      $mFrom
        |      WHERE ${p.c.predSql}$guard),
        |pt AS (SELECT key FROM (
        |  SELECT key, COUNT(*) AS doc_count FROM m GROUP BY key$having
@@ -3394,6 +3434,30 @@ object Dsl {
   def dslTopHitsServed(spark: SparkSession, dir: String): DataFrame =
     dslTopHitsFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), TopHitsQuery)
+
+  /** Registered SCORED `top_hits` — the 2 most RELEVANT matching docs
+    * per language (`sort: ["_score"]`): the bucket semi join + the
+    * query's own score expression + the per-bucket window; each
+    * bucket's hits are bit-identical to running the query solo
+    * (corpus statistics are pre-filter — spec-pinned). */
+  val TopHitsScoredQuery: String =
+    """{"query": {"match": {"text": "dup vector"}}, "size": 0,
+      |  "aggs": {"by_lang": {"terms": {"field": "lang", "size": 3},
+      |    "aggs": {"top": {"top_hits": {"size": 2,
+      |      "sort": ["_score"]}}}}}}""".stripMargin
+
+  def dslTopHitsScored(spark: SparkSession, dir: String): DataFrame =
+    dslTopHitsOf(Tables.documentsPar(spark, dir), TopHitsScoredQuery)
+
+  val dslTopHitsScoredOracleSql: String =
+    dslTopHitsSqlOver(TopHitsScoredQuery, "documents")
+
+  /** Registered query: [[TopHitsScoredQuery]] SERVED — postings
+    * features + index statistics feed the same score expression; same
+    * oracle as the scan form. */
+  def dslTopHitsScoredServed(spark: SparkSession, dir: String): DataFrame =
+    dslTopHitsFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), TopHitsScoredQuery)
 
   // ------------------------------------------ composite aggregation
 

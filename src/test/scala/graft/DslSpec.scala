@@ -1587,6 +1587,33 @@ class DslSpec extends SparkSpec {
       .contains("unsupported"))
   }
 
+  test("top_hits _score sort: bucket hits ≡ the query run solo, gated per bucket") {
+    val rows = Dsl.dslTopHitsScored(spark, sfDir).collect()
+    assert(rows.nonEmpty, "scored top_hits returned nothing")
+    // per bucket: the scored hits are EXACTLY the solo query's page
+    // with the bucket as a filter (corpus stats are pre-filter, so
+    // the score is the same number)
+    rows.groupBy(_.getString(1)).foreach { case (k, hits) =>
+      val solo = Dsl.searchDslOf(Tables.documentsPar(spark, sfDir),
+        s"""{"query": {"bool": {
+           "must": [{"match": {"text": "dup vector"}}],
+           "filter": [{"term": {"lang": "$k"}}]}}, "size": 2}""")
+        .collect().map(_.getLong(1)).toSeq
+      assert(hits.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq == solo,
+        s"bucket '$k' scored hits must equal the solo run")
+    }
+    // served twin reproduces the scan rows exactly
+    assert(Dsl.dslTopHitsScoredServed(spark, sfDir).collect().toSeq ==
+      rows.toSeq, "served scored top_hits diverged from the scan form")
+    // a scoreless query cannot rank its buckets' hits by _score
+    val e = intercept[IllegalArgumentException](Dsl.dslTopHitsOf(tiny,
+      """{"query": {"bool": {"filter": [{"term": {"lang": "en"}}]}},
+        "size": 0, "aggs": {"l": {"terms": {"field": "lang"},
+        "aggs": {"t": {"top_hits": {"size": 1,
+        "sort": ["_score"]}}}}}}"""))
+    assert(e.getMessage.contains("scoreless"))
+  }
+
   test("percolate_dsl: full query bodies as stored rules") {
     val hits = Dsl.percolateDslOf(tiny, Seq(
       1L -> """{"query": {"bool": {"must": [{"match": {"text": "alpha"}}],
