@@ -182,6 +182,28 @@ object Dsl {
     * stance). */
   final case class RegexpQ(field: String, pattern: String) extends Node
   final case class ConstScoreQ(filter: Node, boost: BigDecimal) extends Node
+  /** ES `function_score` with a `field_value_factor` — relevance ⊗ a
+    * document-signal factor (the "boost popular/long docs" pattern):
+    * fv = modifier(factor · field), combined with the inner score by
+    * `boost_mode` multiply (default) or sum. Supported modifiers:
+    * none, ln1p, sqrt, square (ln1p rides the same ln-parity the
+    * oracle-green `function_score` operator proved; the exotic
+    * log2p/reciprocal family refuses). `missing` substitutes for a
+    * null field value; WITHOUT it a null field yields a null score
+    * (sorts last) where ES hard-errors — documented divergence, the
+    * engine cannot see nulls at parse. A scoreless inner query
+    * contributes base 1.0 (the ES match_all convention). */
+  final case class FunctionScoreQ(query: Node, field: String,
+      modifier: String, factor: BigDecimal,
+      missing: Option[BigDecimal], sumMode: Boolean,
+      boost: BigDecimal) extends Node
+  /** ES `boosting` — positive matches gate; docs ALSO matching the
+    * negative clause keep matching but their score is demoted by
+    * `negative_boost` (the "penalize, don't exclude" pattern). The
+    * negative clause compiles in filter context (its score is never
+    * used). */
+  final case class BoostingQ(positive: Node, negative: Node,
+      negativeBoost: BigDecimal) extends Node
   final case class DisMaxQ(queries: Seq[Node], tieBreaker: BigDecimal)
     extends Node
   case object MatchAllQ extends Node
@@ -921,6 +943,97 @@ object Dsl {
         case other => fail(s"fuzzy expects {field: {value: term}}, " +
           s"got $other")
       }
+      case "function_score" => body match {
+        case o: JObject =>
+          val known = Set("query", "field_value_factor", "boost_mode",
+            "boost")
+          o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+            .foreach(k => fail(s"function_score has unsupported option " +
+              s"'$k' — supported: ${known.toSeq.sorted.mkString(", ")} " +
+              "(functions/script_score/random_score are unsupported)"))
+          val inner = o \ "query" match {
+            case JNothing => MatchAllQ // the ES default
+            case q => node(q)
+          }
+          val fvf = o \ "field_value_factor" match {
+            case f: JObject => f
+            case JNothing => fail("function_score needs a " +
+              "\"field_value_factor\" (the one supported function)")
+            case other =>
+              fail(s"field_value_factor expects an object, got $other")
+          }
+          val fvfKnown = Set("field", "modifier", "factor", "missing")
+          fvf.obj.collectFirst { case (k, _) if !fvfKnown.contains(k) => k }
+            .foreach(k => fail(s"field_value_factor has unsupported " +
+              s"option '$k' — supported: " +
+              fvfKnown.toSeq.sorted.mkString(", ")))
+          val field = fvf \ "field" match {
+            case JString(f) if f.nonEmpty => f
+            case _ => fail("field_value_factor needs a \"field\"")
+          }
+          val modifier = fvf \ "modifier" match {
+            case JNothing | JString("none") => "none"
+            case JString(m @ ("ln1p" | "sqrt" | "square")) => m
+            case JString(m) => fail(s"field_value_factor modifier '$m' " +
+              "unsupported — supported: ln1p, none, sqrt, square")
+            case v => fail(s"field_value_factor modifier must be a " +
+              s"string, got $v")
+          }
+          val factor = fvf \ "factor" match {
+            case JNothing => one
+            case v => scalar(v) match {
+              case SNum(x) => x
+              case other =>
+                fail(s"field_value_factor factor must be numeric, " +
+                  s"got ${other.sql}")
+            }
+          }
+          val missing = fvf \ "missing" match {
+            case JNothing => None
+            case v => scalar(v) match {
+              case SNum(x) => Some(x)
+              case other => fail(s"field_value_factor missing must be " +
+                s"numeric, got ${other.sql}")
+            }
+          }
+          val sumMode = o \ "boost_mode" match {
+            case JNothing | JString("multiply") => false
+            case JString("sum") => true
+            case JString(m) => fail(s"boost_mode '$m' unsupported — " +
+              "supported: multiply (default), sum")
+            case v => fail(s"boost_mode must be a string, got $v")
+          }
+          FunctionScoreQ(inner, field, modifier, factor, missing,
+            sumMode, boostOf(o))
+        case other => fail(s"function_score expects an object, got $other")
+      }
+      case "boosting" => body match {
+        case o: JObject =>
+          val known = Set("positive", "negative", "negative_boost")
+          o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+            .foreach(k => fail(s"boosting has unsupported option '$k' — " +
+              s"supported: ${known.toSeq.sorted.mkString(", ")}"))
+          val pos = o \ "positive" match {
+            case JNothing => fail("boosting needs a \"positive\" clause")
+            case q => node(q)
+          }
+          val neg = o \ "negative" match {
+            case JNothing => fail("boosting needs a \"negative\" clause")
+            case q => node(q)
+          }
+          val nb = o \ "negative_boost" match {
+            case JNothing => fail("boosting needs \"negative_boost\"")
+            case v => scalar(v) match {
+              case SNum(x) if x >= 0 && x <= 1 => x
+              case SNum(x) => fail(s"negative_boost must be in [0, 1], " +
+                s"got $x")
+              case other => fail(s"negative_boost must be numeric, " +
+                s"got ${other.sql}")
+            }
+          }
+          BoostingQ(pos, neg, nb)
+        case other => fail(s"boosting expects an object, got $other")
+      }
       case "constant_score" => body match {
         case o: JObject =>
           val known = Set("filter", "boost")
@@ -977,10 +1090,11 @@ object Dsl {
         QueryString.parseClause(body, simple = false)
       case "match_all" => MatchAllQ
       case other => fail(s"unsupported query type '$other' — supported: " +
-        "bool, constant_score, dis_max, exists, fuzzy, ids, match, " +
-        "match_all, match_phrase, match_phrase_prefix, multi_match, " +
-        "nested, prefix, query_string, range, regexp, " +
-        "simple_query_string, term, terms, wildcard")
+        "bool, boosting, constant_score, dis_max, exists, " +
+        "function_score, fuzzy, ids, match, match_all, match_phrase, " +
+        "match_phrase_prefix, multi_match, nested, prefix, " +
+        "query_string, range, regexp, simple_query_string, term, " +
+        "terms, wildcard")
     }
     case JObject(fields) =>
       fail(s"a query clause must have exactly one key, got " +
@@ -1432,6 +1546,10 @@ object Dsl {
             (mn ++ fl).flatMap(collectCtx(_, false)(pf))
         case ConstScoreQ(f, _) => collectCtx(f, false)(pf)
         case DisMaxQ(qs, _) => qs.flatMap(collectCtx(_, scored)(pf))
+        case FunctionScoreQ(q, _, _, _, _, _, _) =>
+          collectCtx(q, scored)(pf)
+        case BoostingQ(pos, neg, _) =>
+          collectCtx(pos, scored)(pf) ++ collectCtx(neg, false)(pf)
         case _ => Seq.empty
       })
 
@@ -1496,6 +1614,7 @@ object Dsl {
     case (PrefixQ(f, _), _) => Seq(f)
     case (WildcardQ(f, _), _) => Seq(f)
     case (RegexpQ(f, _), _) if !AnalyzedFields.contains(f) => Seq(f)
+    case (FunctionScoreQ(_, f, _, _, _, _, _), _) => Seq(f)
     case (NestedQ(path, _), _) => Seq(path)
   }.distinct
 
@@ -1519,6 +1638,8 @@ object Dsl {
          _: PhrasePrefixQ => true
     // an analyzed-field regexp hit IS a postings hit
     case RegexpQ(f, _) => AnalyzedFields.contains(f)
+    case FunctionScoreQ(q, _, _, _, _, _, _) => requiresText(q)
+    case BoostingQ(pos, _, _) => requiresText(pos)
     case BoolQ(m, s, _, fl, msm) =>
       m.exists(requiresText) || fl.exists(requiresText) ||
         (m.isEmpty && fl.isEmpty && s.nonEmpty &&
@@ -1714,6 +1835,47 @@ object Dsl {
         // raw doc-value, Lucene-anchored: the whole value must match
         C(col(field).rlike("^(?:" + pat + ")$"),
           s"regexp_full_match(f.$field, '${quoteSql(pat)}')", None)
+    case FunctionScoreQ(q, field, modifier, factor, missing, sumMode,
+        boost) =>
+      val c = compile(q, scored, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx)
+      val score = if (!scored) None else {
+        val base: (Column, String) = c.score.getOrElse(
+          (lit(1.0), "CAST(1 AS DOUBLE)")) // scoreless inner = ES base 1
+        val vC = missing.map(m => coalesce(col(field), SNum(m).column))
+          .getOrElse(col(field))
+        val vSql = missing
+          .map(m => s"COALESCE(f.$field, ${SNum(m).sql})")
+          .getOrElse(s"f.$field")
+        val fLit = factor.underlying.toPlainString
+        val scaled: (Column, String) =
+          if (factor == one) (vC.cast("double"),
+            s"CAST($vSql AS DOUBLE)")
+          else (lit(factor.toDouble) * vC,
+            s"(CAST($fLit AS DOUBLE) * $vSql)")
+        val fv: (Column, String) = modifier match {
+          case "ln1p" => (log(lit(1.0) + scaled._1),
+            s"ln(1 + ${scaled._2})")
+          case "sqrt" => (sqrt(scaled._1), s"sqrt(${scaled._2})")
+          case "square" => (scaled._1 * scaled._1,
+            s"(${scaled._2} * ${scaled._2})")
+          case _ => scaled
+        }
+        val combined: (Column, String) =
+          if (sumMode) (base._1 + fv._1, s"(${base._2} + ${fv._2})")
+          else (base._1 * fv._1, s"(${base._2} * ${fv._2})")
+        Some(boosted(combined, boost))
+      }
+      C(c.pred, c.predSql, score)
+    case BoostingQ(pos, neg, nb) =>
+      val pc = compile(pos, scored, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx)
+      val nc = compile(neg, false, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx)
+      val score = if (!scored) None else pc.score.map { case (sp, spSql) =>
+        val nbLit = nb.underlying.toPlainString
+        (when(nc.pred, sp * lit(nb.toDouble)).otherwise(sp),
+          s"CASE WHEN ${nc.predSql} THEN ($spSql * CAST($nbLit AS " +
+            s"DOUBLE)) ELSE $spSql END")
+      }
+      C(pc.pred, pc.predSql, score)
     case ConstScoreQ(fq, boost) =>
       // the ES way to give a filter a score: the wrapped clause
       // compiles in FILTER context (no statistics), and the whole
@@ -4764,6 +4926,52 @@ object Dsl {
   def searchDslFuzzyServed(spark: SparkSession, dir: String): DataFrame =
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), FuzzyQuery)
+
+  /** Registered DSL `function_score` body — BM25 × ln(1 + n_chars)
+    * with `boost_mode: multiply`, the "boost longer docs" ranking the
+    * standalone [[Search.functionScore]] operator proved oracle-green;
+    * here it arrives through the query DSL, composable with every
+    * other clause. Oracle generated from the same AST. */
+  val FunctionScoreQuery: String =
+    """{"query": {"function_score": {
+      |  "query": {"match": {"text": "dup vector"}},
+      |  "field_value_factor": {"field": "n_chars", "modifier": "ln1p"},
+      |  "boost_mode": "multiply"}},
+      |  "size": 30}""".stripMargin
+
+  def searchDslFunctionScore(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), FunctionScoreQuery)
+
+  val searchDslFunctionScoreSql: String = dslSql(FunctionScoreQuery)
+
+  /** Registered query: [[FunctionScoreQuery]] SERVED — the factor
+    * field reads from doc-values beside the postings features; same
+    * oracle as the scan form. */
+  def searchDslFunctionScoreServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), FunctionScoreQuery)
+
+  /** Registered BOOSTING body — penalize-don't-exclude: matches of the
+    * negative clause stay in the result set at `negative_boost` × their
+    * score. Oracle generated from the same AST. */
+  val BoostingQuery: String =
+    """{"query": {"boosting": {
+      |  "positive": {"match": {"text": "dup vector"}},
+      |  "negative": {"term": {"lang": "zh"}},
+      |  "negative_boost": 0.3}},
+      |  "size": 30}""".stripMargin
+
+  def searchDslBoosting(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), BoostingQuery)
+
+  val searchDslBoostingSql: String = dslSql(BoostingQuery)
+
+  /** Registered query: [[BoostingQuery]] SERVED; same oracle. */
+  def searchDslBoostingServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), BoostingQuery)
 
   /** Registered REGEXP body — term-level anchored regex on the
     * analyzed field beside a raw-value regex on a keyword field (the

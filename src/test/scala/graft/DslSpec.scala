@@ -1614,6 +1614,58 @@ class DslSpec extends SparkSpec {
     assert(e.getMessage.contains("scoreless"))
   }
 
+  test("function_score and boosting: score shaping without changing the match set") {
+    // scoreless inner → base 1.0, so the factor IS the score: modifier
+    // none ranks by n_chars (16,16,10,10,9 → doc_id tiebreak)
+    val byLen = ids(run("""{"query": {"function_score": {
+      "query": {"bool": {"filter": [{"exists": {"field": "text"}}]}},
+      "field_value_factor": {"field": "n_chars"}}}}""", tiny))
+    assert(byLen == Seq(0L, 4L, 1L, 2L, 3L), s"factor-only rank: $byLen")
+    // missing substitutes for a null factor value
+    val holed = tiny.withColumn("n_chars",
+      org.apache.spark.sql.functions.when($"doc_id" =!= 2L, $"n_chars"))
+    val withMissing = ids(run("""{"query": {"function_score": {
+      "query": {"bool": {"filter": [{"exists": {"field": "text"}}]}},
+      "field_value_factor": {"field": "n_chars", "missing": 12}}}}""",
+      holed))
+    assert(withMissing == Seq(0L, 4L, 2L, 1L, 3L),
+      s"missing=12 must slot doc 2 between 16 and 10: $withMissing")
+    // boosting: negative demotes, never excludes. beta docs 1,2,3
+    // share a score (tf 1, dl 2) above doc 4 (dl 3); de-doc 2 at
+    // negative_boost 0.5 falls below doc 4 but stays in the set
+    val boosted = ids(run("""{"query": {"boosting": {
+      "positive": {"match": {"text": "beta"}},
+      "negative": {"term": {"lang": "de"}},
+      "negative_boost": 0.5}}}""", tiny))
+    assert(boosted == Seq(1L, 3L, 4L, 2L), s"demoted order: $boosted")
+    assert(boosted.toSet == ids(run(
+      """{"query": {"match": {"text": "beta"}}}""", tiny)).toSet,
+      "boosting must never change the match set")
+    // served twins reproduce the scan rows exactly
+    assert(Dsl.searchDslFunctionScoreServed(spark, sfDir).collect().toSeq
+      == Dsl.searchDslFunctionScore(spark, sfDir).collect().toSeq)
+    assert(Dsl.searchDslBoostingServed(spark, sfDir).collect().toSeq
+      == Dsl.searchDslBoosting(spark, sfDir).collect().toSeq)
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"function_score": {"query":
+      {"match_all": {}}, "script_score": {}}}}""")
+      .contains("unsupported option 'script_score'"))
+    assert(msg("""{"query": {"function_score": {"query": {"match_all": {}},
+      "field_value_factor": {"field": "n_chars"},
+      "boost_mode": "avg"}}}""").contains("multiply"))
+    assert(msg("""{"query": {"function_score": {"query": {"match_all": {}},
+      "field_value_factor": {"field": "n_chars",
+      "modifier": "log2p"}}}}""").contains("ln1p"))
+    assert(msg("""{"query": {"boosting": {"positive": {"match_all": {}},
+      "negative": {"term": {"lang": "de"}}, "negative_boost": 2}}}""")
+      .contains("[0, 1]"))
+    assert(msg("""{"query": {"boosting": {"positive":
+      {"match_all": {}}, "negative_boost": 0.5}}}""")
+      .contains("negative"))
+  }
+
   test("percolate_dsl: full query bodies as stored rules") {
     val hits = Dsl.percolateDslOf(tiny, Seq(
       1L -> """{"query": {"bool": {"must": [{"match": {"text": "alpha"}}],
