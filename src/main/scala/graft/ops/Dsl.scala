@@ -261,10 +261,20 @@ object Dsl {
     * the field, checked at execution); `minDoc` = `min_doc_count`:
     * buckets below it drop BEFORE the top-N cut (ES applies the same
     * order). */
+  /** `include`/`exclude` gate BUCKET KEYS by an anchored regex (the
+    * ES term-partitioning knob, Java/RE2 shared subset like
+    * [[RegexpQ]]) — applied BEFORE min_doc_count and the top-N cut,
+    * ES's own order; exact-list forms refuse (a regex expresses
+    * them). */
   final case class TermsAgg(field: String, topN: Int,
       order: TermsOrder, missing: Option[Scalar] = None,
-      minDoc: Int = 1) extends AggNode
-  final case class DateHistAgg(field: String) extends AggNode
+      minDoc: Int = 1, include: Option[String] = None,
+      exclude: Option[String] = None) extends AggNode
+  /** `interval`: "day" (the key IS the date) or "month" (the key is
+    * the `yyyy-MM` prefix — pure string arithmetic, identical in both
+    * engines). */
+  final case class DateHistAgg(field: String,
+      interval: String = "day") extends AggNode
   final case class HistAgg(field: String, interval: Long) extends AggNode
   final case class StatsAgg(field: String) extends AggNode
   final case class MetricAgg(kind: String, field: String) extends AggNode
@@ -1256,7 +1266,8 @@ object Dsl {
         case List((tpe, spec)) => tpe match {
           case "terms" =>
             val f = aggField(spec, name,
-              Set("field", "size", "order", "missing", "min_doc_count"))
+              Set("field", "size", "order", "missing", "min_doc_count",
+                "include", "exclude"))
             val n = spec \ "size" match {
               case JNothing => DefaultSize
               case JInt(x) if x > 0 && x <= MaxResultWindow => x.toInt
@@ -1285,16 +1296,35 @@ object Dsl {
                 s"positive integer, got $v (0 would require emitting " +
                 "empty buckets for unseen terms — unsupported)")
             }
-            TermsAgg(f, n, order, missing, minDoc)
+            def keyRegex(kk: String): Option[String] = spec \ kk match {
+              case JNothing => None
+              case JString(pat) if pat.nonEmpty =>
+                // the RegexpQ pattern discipline: Java/RE2 shared
+                // subset, Lucene ops + anchors refuse
+                Seq('~', '&', '<', '>').find(pat.contains(_))
+                  .foreach(c => fail(s"agg '$name' $kk: '$c' is a " +
+                    "Lucene-specific regexp operator — unsupported"))
+                if (pat.contains('^') || pat.contains('$'))
+                  fail(s"agg '$name' $kk: explicit anchors are not " +
+                    "Lucene regexp syntax — the whole key always matches")
+                Some(pat)
+              case JArray(_) => fail(s"agg '$name' $kk: the exact-list " +
+                "form is unsupported — express the set as a regex " +
+                "(a|b|c)")
+              case v => fail(s"agg '$name' $kk must be a regex string, " +
+                s"got $v")
+            }
+            TermsAgg(f, n, order, missing, minDoc, keyRegex("include"),
+              keyRegex("exclude"))
           case "date_histogram" =>
             val f = aggField(spec, name, Set("field", "calendar_interval"))
-            spec \ "calendar_interval" match {
-              case JString("day") => ()
+            val iv = spec \ "calendar_interval" match {
+              case JString(x @ ("day" | "month")) => x
               case JNothing => fail(s"agg '$name' needs calendar_interval")
-              case v => fail(s"agg '$name': only calendar_interval \"day\" " +
-                s"is supported, got $v")
+              case v => fail(s"agg '$name': calendar_interval must be " +
+                s"""\"day\" or \"month\", got $v""")
             }
-            DateHistAgg(f)
+            DateHistAgg(f, iv)
           case "histogram" =>
             val f = aggField(spec, name, Set("field", "interval"))
             spec \ "interval" match {
@@ -1424,9 +1454,13 @@ object Dsl {
             "range/filter buckets take metric subs only")
         }
         subSpec.map(_._2).foreach {
-          case TermsAgg(_, _, _: BySub, _, _) =>
+          case TermsAgg(_, _, _: BySub, _, _, _, _) =>
             fail(s"agg '$name': a sub-terms cannot order by its own " +
               "sub-aggregation (one level of nesting)")
+          case TermsAgg(_, _, _, _, _, inc, exc)
+              if inc.nonEmpty || exc.nonEmpty =>
+            fail(s"agg '$name': include/exclude on a SUB-terms is " +
+              "unsupported — gate the parent, or filter upstream")
           case _ => ()
         }
       }
@@ -1440,10 +1474,13 @@ object Dsl {
             if (t.order.isInstanceOf[BySub])
               fail(s"agg '$name': a nested sub-terms cannot order by a " +
                 "metric (one level of nesting)")
+            if (t.include.nonEmpty || t.exclude.nonEmpty)
+              fail(s"agg '$name': include/exclude inside a nested agg " +
+                "is unsupported")
           case _ => fail(s"agg '$name': nested needs exactly one terms " +
             s"sub-aggregation over $path.<subfield>")
         }
-        case TermsAgg(_, _, BySub(sn, _), _, _) => subSpec match {
+        case TermsAgg(_, _, BySub(sn, _), _, _, _, _) => subSpec match {
           case Some((`sn`, _: MetricAgg | _: CardinalityAgg)) => ()
           case Some((`sn`, _)) => fail(s"agg '$name': order by '$sn' " +
             "needs a SINGLE-VALUE metric sub (avg, sum, min, max, " +
@@ -1479,8 +1516,8 @@ object Dsl {
     * filter agg's clause fields travel through the clause
     * inventory instead). */
   private def aggFieldsOf(a: AggNode): Seq[String] = a match {
-    case TermsAgg(f, _, _, _, _) => Seq(f)
-    case DateHistAgg(f) => Seq(f)
+    case TermsAgg(f, _, _, _, _, _, _) => Seq(f)
+    case DateHistAgg(f, _) => Seq(f)
     case HistAgg(f, _) => Seq(f)
     case StatsAgg(f) => Seq(f)
     case MetricAgg(_, f) => Seq(f)
@@ -2829,7 +2866,7 @@ object Dsl {
       (Seq(s.agg) ++
         (if (s.agg.isInstanceOf[NestedAgg]) Seq.empty
          else s.sub.map(_._2).toSeq)).foreach {
-        case TermsAgg(fl, _, _, Some(v), _) =>
+        case TermsAgg(fl, _, _, Some(v), _, _, _) =>
           val dt = matched.schema(fl).dataType
           val ok = v match {
             case _: SNum =>
@@ -2847,9 +2884,11 @@ object Dsl {
     def keyExprOf(a: AggNode): Option[Column] = a match {
       // `missing` folds absent values into its bucket — the key
       // expression is total, so the null-skip filter below is a no-op
-      case TermsAgg(x, _, _, m, _) =>
+      case TermsAgg(x, _, _, m, _, _, _) =>
         Some(m.map(v => coalesce(col(x), v.column)).getOrElse(col(x)))
-      case DateHistAgg(x) => Some(col(x))
+      case DateHistAgg(x, iv) =>
+        Some(if (iv == "month") date_format(col(x), "yyyy-MM")
+             else col(x))
       case HistAgg(x, iv) =>
         // integer floor-bucketing, pure integer arithmetic (a double
         // division would round large longs); non-negative integral
@@ -3054,9 +3093,18 @@ object Dsl {
           // null data — ES skips docs missing the field
           val rows = grouped.filter(mine && col(me).isNotNull)
             .withColumn("key", col(me).cast("string"))
+          // include/exclude gate bucket KEYS before the floor and the
+          // cut (ES's order) — anchored, the RegexpQ discipline
+          val gated = spec.agg match {
+            case TermsAgg(_, _, _, _, _, inc, exc) =>
+              (inc.map(x => $"key".rlike("^(?:" + x + ")$")).toSeq ++
+                exc.map(x => !$"key".rlike("^(?:" + x + ")$")).toSeq)
+                .foldLeft(rows)(_ filter _)
+            case _ => rows
+          }
           val subCols = spec.sub.filter(x => isMetric(x._2))
             .map(x => uncondOut(x._2)).getOrElse(NullStats)
-          rows.select(($"key" +: key2Blank +: $"doc_count" +: subCols): _*)
+          gated.select(($"key" +: key2Blank +: $"doc_count" +: subCols): _*)
         case _: StatsAgg | _: MetricAgg | _: CardinalityAgg =>
           grouped.filter(globalMine).withColumn("key", lit(""))
             .select(($"key" +: key2Blank +: $"doc_count" +:
@@ -3081,7 +3129,7 @@ object Dsl {
               col(s"dc${i}_0").as("doc_count") +: condOut(i, 0)): _*)
       }
       val cut = spec.agg match {
-        case TermsAgg(_, n, ord, _, minDoc) =>
+        case TermsAgg(_, n, ord, _, minDoc, _, _) =>
           // ES order: {"_count": "desc"} (default), {"_key": "asc"},
           // or by the metric sub's value (nulls last, key tiebreak)
           val o = ord match {
@@ -3112,7 +3160,7 @@ object Dsl {
         val kept = rows.join(broadcast(cut.select($"key")), Seq("key"),
           "left_semi")
         val cut2 = sa match {
-          case TermsAgg(_, n2, ord2, _, _) =>
+          case TermsAgg(_, n2, ord2, _, _, _, _) =>
             // per-parent top-N: a bucket-grain window, ES's sub-terms cut
             val o2: Seq[Column] =
               if (ord2 == ByKey) Seq($"key2".asc)
@@ -3251,10 +3299,11 @@ object Dsl {
     // (key expr SQL, null-guard field — None when `missing` makes the
     // key total) of a grouping bucket node
     def keySqlOf(a: AggNode): (String, Option[String]) = a match {
-      case TermsAgg(f, _, _, Some(v), _) =>
+      case TermsAgg(f, _, _, Some(v), _, _, _) =>
         (s"COALESCE($f, ${v.sql})", None)
-      case TermsAgg(f, _, _, None, _) => (f, Some(f))
-      case DateHistAgg(f) => (f, Some(f))
+      case TermsAgg(f, _, _, None, _, _, _) => (f, Some(f))
+      case DateHistAgg(f, iv) =>
+        (if (iv == "month") s"strftime($f, '%Y-%m')" else f, Some(f))
       case HistAgg(f, iv) => (s"($f // $iv) * $iv", Some(f))
       case other => fail(s"not a grouping bucket: $other") // unreachable
     }
@@ -3270,13 +3319,17 @@ object Dsl {
       // the parent branch body WITHOUT the outer SELECT * wrapper —
       // reused as the child's surviving-parent key set
       def parentInnerOf(keyExpr: String, guard: Option[String],
-          having: String, ordAndLimit: String): String =
+          having: String, ordAndLimit: String,
+          keyConds: Seq[String] = Seq.empty): String = {
+        val conds = guard.map(g => s"$g IS NOT NULL").toSeq ++ keyConds
+        val whereSql =
+          if (conds.isEmpty) "" else " WHERE " + conds.mkString(" AND ")
         s"""SELECT $name AS agg, CAST($keyExpr AS VARCHAR) AS key,
            |    '' AS key2, COUNT(*) AS doc_count,
            |    ${stats.mkString(",\n    ")}
-           |  FROM m${guard.map(g => s" WHERE $g IS NOT NULL")
-             .getOrElse("")} GROUP BY $keyExpr$having$ordAndLimit"""
+           |  FROM m$whereSql GROUP BY $keyExpr$having$ordAndLimit"""
           .stripMargin
+      }
       // child rows: the {parent, child} grouping, gated to surviving
       // parents (the IN mirrors the Spark side's broadcast semi join)
       def childOf(parentInner: Option[String]): String = {
@@ -3293,7 +3346,7 @@ object Dsl {
              |    FROM m$whereSql
              |    GROUP BY $pk, $ck""".stripMargin
         val cutGrouped = sa match {
-          case TermsAgg(_, n2, ord2, _, _) =>
+          case TermsAgg(_, n2, ord2, _, _, _, _) =>
             val o2 = if (ord2 == ByKey) "key2"
               else "doc_count DESC, key2"
             s"""SELECT key, key2, doc_count FROM (
@@ -3313,7 +3366,7 @@ object Dsl {
            |  $cutGrouped) AS ch$gate""".stripMargin
       }
       spec.agg match {
-        case TermsAgg(_, n, ord, _, minDoc) =>
+        case TermsAgg(_, n, ord, _, minDoc, inc, exc) =>
           val ordSql = ord match {
             case ByKey => "key"
             case ByCount => "doc_count DESC, key"
@@ -3323,15 +3376,21 @@ object Dsl {
                 "NULLS LAST, key"
           }
           val (kx, guard) = keySqlOf(spec.agg)
+          val keyConds =
+            inc.map(x => s"regexp_full_match(CAST($kx AS VARCHAR), " +
+              s"'${quoteSql(x)}')").toSeq ++
+            exc.map(x => s"NOT regexp_full_match(CAST($kx AS VARCHAR), " +
+              s"'${quoteSql(x)}')").toSeq
           val having =
             if (minDoc > 1) s"\n  HAVING COUNT(*) >= $minDoc" else ""
           val inner = parentInnerOf(kx, guard, having,
-            s"\n  ORDER BY $ordSql LIMIT $n")
+            s"\n  ORDER BY $ordSql LIMIT $n", keyConds)
           val parent = s"SELECT * FROM (\n  $inner) AS t"
           if (bucketSub.isEmpty) parent
           else s"$parent\nUNION ALL\n(${childOf(Some(inner))})"
-        case DateHistAgg(fld) =>
-          val parent = parentInnerOf(fld, Some(fld), "", "")
+        case DateHistAgg(fld, iv) =>
+          val kx2 = if (iv == "month") s"strftime($fld, '%Y-%m')" else fld
+          val parent = parentInnerOf(kx2, Some(fld), "", "")
           if (bucketSub.isEmpty) parent
           else s"($parent)\nUNION ALL\n(${childOf(None)})"
         case HistAgg(fld, iv) =>
@@ -3442,6 +3501,9 @@ object Dsl {
     if (t.order.isInstanceOf[BySub])
       fail(s"agg '$pname': cannot order by '$sn' — the sub is top_hits, " +
         "not a metric")
+    if (t.include.nonEmpty || t.exclude.nonEmpty)
+      fail(s"agg '$pname': include/exclude under top_hits is " +
+        "unsupported — gate buckets in dslAggsOf, or filter the query")
     (b, pname, t, sn, th)
   }
 
@@ -4530,6 +4592,34 @@ object Dsl {
 
   val dslAggsOracleSql: String =
     dslAggsSqlOver(AggsQuery, Search.PersistDateRel)
+
+  /** Registered terms `include`/`exclude` + monthly date_histogram —
+    * the bucket-partitioning knobs: an anchored include regex keeps
+    * the src10-19 family (src2 drops — the anchor matters), an
+    * exclude drops the two biggest languages BEFORE the cut, and the
+    * calendar rolls daily buckets up to `yyyy-MM`. */
+  val AggsIncludeQuery: String =
+    """{"query": {"match_all": {}}, "size": 0,
+      |  "aggs": {
+      |    "srcs_teens": {"terms": {"field": "source", "size": 20,
+      |      "include": "src1[0-9]", "order": {"_key": "asc"}}},
+      |    "langs_rest": {"terms": {"field": "lang", "size": 10,
+      |      "exclude": "en|zh"}},
+      |    "monthly": {"date_histogram": {"field": "persist_date",
+      |      "calendar_interval": "month"}}}}""".stripMargin
+
+  def dslAggsInclude(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Search.withPersistDate(Tables.documentsPar(spark, dir)),
+      AggsIncludeQuery)
+
+  val dslAggsIncludeOracleSql: String =
+    dslAggsSqlOver(AggsIncludeQuery, Search.PersistDateRel)
+
+  /** Registered query: [[AggsIncludeQuery]] SERVED from the daily
+    * indices; same oracle as the scan form. */
+  def dslAggsIncludeServed(spark: SparkSession, dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Search.sharedDailyIndexDirs(spark, dir)._1, AggsIncludeQuery)
 
   /** Registered EXTENDED aggregations body — the round-12 agg
     * families: single-value metrics (avg/sum/min/max/value_count),

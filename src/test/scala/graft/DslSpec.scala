@@ -1666,6 +1666,58 @@ class DslSpec extends SparkSpec {
       .contains("negative"))
   }
 
+  test("terms include/exclude gate bucket keys; date_histogram rolls up to months") {
+    def aggRows(json: String, docs: DataFrame = tiny)
+        : Seq[(String, String, Long)] =
+      Dsl.dslAggsOf(docs, json).collect()
+        .map(r => (r.getString(0), r.getString(1),
+          r.getAs[Long]("doc_count"))).toSeq
+    // tiny sources: src0×2, src1×2, src2×1
+    assert(aggRows("""{"size": 0, "aggs": {"s": {"terms":
+      {"field": "source", "size": 10, "include": "src[12]",
+       "order": {"_key": "asc"}}}}}""")
+      == Seq(("s", "src1", 2L), ("s", "src2", 1L)))
+    assert(aggRows("""{"size": 0, "aggs": {"s": {"terms":
+      {"field": "source", "size": 10, "exclude": "src0",
+       "order": {"_key": "asc"}}}}}""")
+      == Seq(("s", "src1", 2L), ("s", "src2", 1L)))
+    // anchored: a key PREFIX does not match
+    assert(aggRows("""{"size": 0, "aggs": {"s": {"terms":
+      {"field": "source", "size": 10, "include": "src"}}}}""").isEmpty)
+    // month rollup over dates spanning months
+    val dated = tiny.withColumn("pd",
+      org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.array(
+            lit("2026-01-15"), lit("2026-01-20"), lit("2026-02-01"),
+            lit("2026-02-10"), lit("2026-03-05")),
+          (org.apache.spark.sql.functions.col("doc_id") + 1).cast("int"))))
+    assert(aggRows("""{"size": 0, "aggs": {"m": {"date_histogram":
+      {"field": "pd", "calendar_interval": "month"}}}}""", dated)
+      == Seq(("m", "2026-01", 2L), ("m", "2026-02", 2L),
+        ("m", "2026-03", 1L)))
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(tiny, json)).getMessage
+    assert(msg("""{"size": 0, "aggs": {"l": {"terms": {"field": "lang"},
+      "aggs": {"s": {"terms": {"field": "source",
+      "include": "src.*"}}}}}}""").contains("SUB-terms"))
+    assert(msg("""{"size": 0, "aggs": {"s": {"terms":
+      {"field": "source", "include": ["src1"]}}}}""")
+      .contains("exact-list"))
+    assert(msg("""{"size": 0, "aggs": {"s": {"terms":
+      {"field": "source", "include": "^src1"}}}}""").contains("anchors"))
+    assert(msg("""{"size": 0, "aggs": {"d": {"date_histogram":
+      {"field": "pd", "calendar_interval": "week"}}}}""")
+      .contains("month"))
+    val th = intercept[IllegalArgumentException](Dsl.dslTopHitsOf(tiny,
+      """{"size": 0, "aggs": {"l": {"terms": {"field": "lang",
+        "include": "en"}, "aggs": {"t": {"top_hits": {"size": 1,
+        "sort": [{"n_chars": "desc"}]}}}}}}""")).getMessage
+    assert(th.contains("top_hits"))
+  }
+
   test("percolate_dsl: full query bodies as stored rules") {
     val hits = Dsl.percolateDslOf(tiny, Seq(
       1L -> """{"query": {"bool": {"must": [{"match": {"text": "alpha"}}],
