@@ -315,6 +315,37 @@ object Dsl {
     * to child docs the same way. */
   final case class NestedAgg(path: String) extends AggNode
   final case class FilterAgg(query: Node) extends AggNode
+  /** ES PARENT pipeline aggregations — `cumulative_sum` and
+    * `derivative` as subs of a date_histogram / histogram parent
+    * (ES's own placement rule: both need an ordered histogram), over
+    * `buckets_path: "_count"`. Pure BUCKET-GRAIN post-processing: a
+    * window over the parent's bucket rows ordered by bucket key —
+    * never another corpus pass, and at 100 TB the window input is
+    * |buckets| rows (the scale-free half of the ES agg surface). The
+    * value rides `v_sum`; a derivative's first bucket is null (ES
+    * omits it — same information). Metric-sub paths would need two
+    * subs under one parent (the one-sub nesting rule), so only
+    * `_count` is supported. */
+  final case class PipelineAgg(kind: String) extends AggNode
+  /** ES SIBLING pipeline aggregations — `avg_bucket` / `sum_bucket` /
+    * `min_bucket` / `max_bucket` over `buckets_path:
+    * "<sibling>>_count"`: one summary row over a sibling bucket agg's
+    * RETURNED buckets (post include/min_doc_count/top-N — the ES
+    * contract computes over what the sibling returns, so a terms
+    * sibling's cut participates). doc_count = the sibling's bucket
+    * count; the value lands in its kind's own stats slot. */
+  final case class BucketMetricAgg(kind: String, path: String)
+    extends AggNode
+  /** ES `filters` — NAMED, possibly-OVERLAPPING buckets, each defined
+    * by a stored clause (the "segment the match set by ad-hoc
+    * predicates" dashboard shape). One conditional count per name over
+    * the one grouping-sets pass — overlap is free because membership
+    * is a boolean COLUMN, not a grouping key (a groupBy could never
+    * express a doc landing in two buckets). The anonymous-array form
+    * and `other_bucket` refuse: name-keyed buckets are the
+    * deterministic form, and an anonymous bucket's key is an
+    * ES-internal ordinal. */
+  final case class FiltersAgg(filters: Seq[(String, Node)]) extends AggNode
   final case class AggSpec(name: String, agg: AggNode,
       sub: Option[(String, AggNode)])
 
@@ -1220,8 +1251,50 @@ object Dsl {
       if (entries.isEmpty) fail("aggs is empty")
       if (entries.map(_._1).distinct.size != entries.size)
         fail("aggs names an aggregation twice")
-      entries.map { case (name, body) => parseAggSpec(name, body, sub = false) }
+      val specs = entries.map { case (name, body) =>
+        parseAggSpec(name, body, sub = false) }
+      // sibling pipeline paths resolve against the WHOLE aggs object
+      specs.foreach { s => s.agg match {
+        case BucketMetricAgg(_, path) => specs.find(_.name == path) match {
+          case Some(AggSpec(_, _: TermsAgg | _: DateHistAgg | _: HistAgg,
+              _)) => ()
+          case Some(_) => fail(s"agg '${s.name}': buckets_path '$path' " +
+            "must name a GROUPING bucket sibling (terms, " +
+            "date_histogram, histogram)")
+          case None =>
+            fail(s"agg '${s.name}': buckets_path names no sibling '$path'")
+        }
+        case _ => ()
+      }}
+      specs
     case other => fail(s"aggs must be an object, got $other")
+  }
+
+  /** Parse + validate a pipeline agg's `buckets_path`. Parent
+    * pipelines read `_count`; sibling pipelines read
+    * `<sibling>>_count` (the sibling is validated in [[parseAggs]],
+    * where the whole object is visible). */
+  private def pipelinePathOf(spec: JValue, name: String, tpe: String,
+      sibling: Boolean): String = {
+    spec match {
+      case o: JObject =>
+        o.obj.collectFirst { case (k, _) if k != "buckets_path" => k }
+          .foreach(k => fail(s"agg '$name' $tpe has unsupported option " +
+            s"'$k' — supported: buckets_path"))
+      case other => fail(s"agg '$name' expects an object, got $other")
+    }
+    spec \ "buckets_path" match {
+      case JString(p) if sibling && p.endsWith(">_count") &&
+          p.length > ">_count".length => p.stripSuffix(">_count")
+      case JString("_count") if !sibling => "_count"
+      case JString(p) if sibling => fail(s"agg '$name' $tpe buckets_path " +
+        s"""must be "<sibling>>_count" (metric paths would read a """ +
+        s"sibling's sub — unsupported), got '$p'")
+      case JString(p) => fail(s"agg '$name' $tpe buckets_path must be " +
+        s""""_count" (a metric path would need a second sub under the """ +
+        s"one-sub nesting rule), got '$p'")
+      case _ => fail(s"agg '$name' $tpe needs a \"buckets_path\"")
+    }
   }
 
   private def aggField(spec: JValue, name: String,
@@ -1253,10 +1326,12 @@ object Dsl {
             case b @ (_: TermsAgg | _: DateHistAgg | _: HistAgg |
                       _: TopHitsAgg) =>
               Some((sn, b: AggNode))
+            case pl: PipelineAgg => Some((sn, pl: AggNode))
             case _ => fail(s"sub-aggregation '$sn' must be a metric, a " +
-              "grouping bucket, or top_hits — bucket aggs nest one of: " +
-              "avg, cardinality, date_histogram, histogram, max, min, " +
-              "stats, sum, terms, top_hits, value_count")
+              "grouping bucket, top_hits, or a parent pipeline — bucket " +
+              "aggs nest one of: avg, cardinality, cumulative_sum, " +
+              "date_histogram, derivative, histogram, max, min, stats, " +
+              "sum, terms, top_hits, value_count")
           }
         case List((_, JObject(_))) =>
           fail(s"agg '$name': aggs must hold exactly one sub-aggregation")
@@ -1336,6 +1411,18 @@ object Dsl {
           case "stats" => StatsAgg(aggField(spec, name, Set("field")))
           case "avg" | "sum" | "min" | "max" | "value_count" =>
             MetricAgg(tpe, aggField(spec, name, Set("field")))
+          case "cumulative_sum" | "derivative" =>
+            if (!sub) fail(s"agg '$name': $tpe is a PARENT pipeline " +
+              "aggregation — place it under a date_histogram/histogram's " +
+              "aggs")
+            pipelinePathOf(spec, name, tpe, sibling = false)
+            PipelineAgg(tpe)
+          case "avg_bucket" | "sum_bucket" | "min_bucket" | "max_bucket" =>
+            if (sub) fail(s"agg '$name': $tpe is a SIBLING pipeline " +
+              "aggregation — place it at the top level beside the " +
+              "bucket agg it reads")
+            BucketMetricAgg(tpe.stripSuffix("_bucket"),
+              pipelinePathOf(spec, name, tpe, sibling = true))
           case "cardinality" =>
             val f = aggField(spec, name, Set("field", "precision_threshold"))
             val thr = spec \ "precision_threshold" match {
@@ -1379,6 +1466,27 @@ object Dsl {
           case "filter" =>
             // the spec IS the stored clause: {"filter": {"term": …}}
             FilterAgg(node(spec))
+          case "filters" =>
+            spec match {
+              case o: JObject =>
+                o.obj.collectFirst { case (k, _) if k != "filters" => k }
+                  .foreach(k => fail(s"agg '$name' filters has " +
+                    s"unsupported option '$k' — supported: filters " +
+                    "(other_bucket/other_bucket_key are unsupported — " +
+                    "add an explicit complement bucket instead)"))
+              case other => fail(s"agg '$name' expects an object, got $other")
+            }
+            spec \ "filters" match {
+              case JObject(entries) if entries.nonEmpty =>
+                if (entries.map(_._1).distinct.size != entries.size)
+                  fail(s"agg '$name' names a filter bucket twice")
+                FiltersAgg(entries.map { case (nm, q) => nm -> node(q) })
+              case JArray(_) => fail(s"agg '$name': anonymous filters " +
+                "are unsupported — name each bucket " +
+                """({"filters": {"<name>": <query>, …}})""")
+              case _ => fail(s"agg '$name' needs a non-empty " +
+                "\"filters\" object")
+            }
           case "nested" =>
             spec match {
               case o: JObject =>
@@ -1432,10 +1540,11 @@ object Dsl {
                 "(per-bucket ranking must be deterministic)")
             TopHitsAgg(n, sort)
           case other => fail(s"unsupported aggregation type '$other' — " +
-            "supported: avg, cardinality, date_histogram, filter, " +
-            "histogram, max, min, nested, range, stats, sum, terms, " +
-            "top_hits, value_count (composite pages through its own " +
-            "endpoint, dslAggsCompositeOf)")
+            "supported: avg, avg_bucket, cardinality, cumulative_sum, " +
+            "date_histogram, derivative, filter, filters, histogram, " +
+            "max, max_bucket, min, min_bucket, nested, range, stats, " +
+            "sum, sum_bucket, terms, top_hits, value_count (composite " +
+            "pages through its own endpoint, dslAggsCompositeOf)")
         }
         case Nil => fail(s"agg '$name' has no aggregation type")
         case more => fail(s"agg '$name' must have exactly one type, got " +
@@ -1444,14 +1553,24 @@ object Dsl {
       if (subSpec.nonEmpty && !aggTakesSub(agg))
         fail(s"agg '$name': metrics take no aggs — only bucket aggs " +
           "(terms, date_histogram, histogram, range, filter) nest")
-      val subIsBucket = subSpec.exists(x => !isMetric(x._2))
+      subSpec.map(_._2).foreach {
+        case _: PipelineAgg => agg match {
+          case _: DateHistAgg | _: HistAgg => ()
+          case _ => fail(s"agg '$name': cumulative_sum/derivative need " +
+            "an ORDERED histogram parent (date_histogram or histogram) " +
+            "— a terms bucket has no temporal order to accumulate over")
+        }
+        case _ => ()
+      }
+      val subIsBucket = subSpec.exists(x => !isMetric(x._2) &&
+        !x._2.isInstanceOf[PipelineAgg])
       if (subIsBucket) {
         agg match {
           case _: TermsAgg | _: DateHistAgg | _: HistAgg |
                _: NestedAgg => ()
           case _ => fail(s"agg '$name': a bucket sub-aggregation needs a " +
             "grouping-keyed parent (terms, date_histogram, histogram) — " +
-            "range/filter buckets take metric subs only")
+            "range/filter/filters buckets take metric subs only")
         }
         subSpec.map(_._2).foreach {
           case TermsAgg(_, _, _: BySub, _, _, _, _) =>
@@ -1497,7 +1616,7 @@ object Dsl {
 
   private def aggTakesSub(a: AggNode): Boolean = a match {
     case _: TermsAgg | _: DateHistAgg | _: HistAgg | _: RangeAgg |
-         _: FilterAgg | _: NestedAgg => true
+         _: FilterAgg | _: FiltersAgg | _: NestedAgg => true
     case _ => false
   }
 
@@ -1525,6 +1644,9 @@ object Dsl {
     case RangeAgg(f, _) => Seq(f)
     case PercentilesAgg(f, _) => Seq(f)
     case FilterAgg(_) => Seq.empty
+    case FiltersAgg(_) => Seq.empty
+    case PipelineAgg(_) => Seq.empty
+    case BucketMetricAgg(_, _) => Seq.empty
     case TopHitsAgg(_, sort) => sort.map(_._1)
     case NestedAgg(p) => Seq(p)
   }
@@ -1534,6 +1656,15 @@ object Dsl {
   private def aggSpecFields(sp: AggSpec): Seq[String] = sp.agg match {
     case NestedAgg(p) => Seq(p)
     case a => aggFieldsOf(a) ++ sp.sub.toSeq.flatMap(x => aggFieldsOf(x._2))
+  }
+
+  /** Stored clause nodes inside an aggs body (`filter` / `filters`
+    * buckets) — merged into the query's clause inventory so their
+    * text predicates share the ONE feature frame. */
+  private def aggClauseNodes(b: Body): Seq[Node] = b.aggs.flatMap {
+    case AggSpec(_, FilterAgg(n), _) => Seq(n)
+    case AggSpec(_, FiltersAgg(fs), _) => fs.map(_._2)
+    case _ => Seq.empty
   }
 
   /** (kind, field) of a metric node — parse guarantees subs are
@@ -2824,7 +2955,7 @@ object Dsl {
     // aggregations never rank: the query compiles in filter context;
     // filter-agg clauses join the query's clause inventory so ONE
     // feature frame serves the predicate and every stored bucket
-    val filterNodes = b.aggs.collect { case AggSpec(_, FilterAgg(n), _) => n }
+    val filterNodes = aggClauseNodes(b)
     val p = mergedFilterPlan(b.query +: filterNodes)
     val aggFields = b.aggs.flatMap(aggSpecFields).distinct
     checkFields(docs, (p.exact ++ aggFields).distinct)
@@ -2906,7 +3037,9 @@ object Dsl {
     val bucketSubOf: Map[Int, (String, AggNode)] =
       b.aggs.zipWithIndex.collect {
         case (AggSpec(_, _: TermsAgg | _: DateHistAgg | _: HistAgg,
-            Some((sn, sa))), i) if !isMetric(sa) => i -> ((sn, sa))
+            Some((sn, sa))), i)
+            if !isMetric(sa) && !sa.isInstanceOf[PipelineAgg] =>
+          i -> ((sn, sa))
       }.toMap
     val gkCols = b.aggs.zipWithIndex.flatMap { case (s, i) =>
       keyExprOf(s.agg).map(_.as(s"gk$i")).toSeq ++
@@ -2966,10 +3099,16 @@ object Dsl {
           Seq((i, 0, "",
             compile(n, scored = false, p.tfIdx, p.pfIdx, Map.empty,
               p.zfIdx, p.rfIdx).pred))
+        case (AggSpec(_, FiltersAgg(fs), _), i) =>
+          fs.zipWithIndex.map { case ((nm, n), j) =>
+            (i, j, nm, compile(n, scored = false, p.tfIdx, p.pfIdx,
+              Map.empty, p.zfIdx, p.rfIdx).pred)
+          }
         case _ => Seq.empty
       }
     val subKindOf: Map[Int, (String, String)] = b.aggs.zipWithIndex.collect {
-      case (AggSpec(_, _: RangeAgg | _: FilterAgg, Some((_, m))), i) =>
+      case (AggSpec(_, _: RangeAgg | _: FilterAgg | _: FiltersAgg,
+          Some((_, m))), i) =>
         i -> metricKindField(m)
     }.toMap
     val condAggCols = cbuckets.flatMap { case (i, j, _, _) =>
@@ -3010,7 +3149,8 @@ object Dsl {
     val statAgg = count(lit(1)).as("doc_count") +: (uncondCols ++
       condAggCols ++ pctCols)
     val hasGlobal = b.aggs.exists(s => keyExprOf(s.agg).isEmpty &&
-      !s.agg.isInstanceOf[NestedAgg])
+      !s.agg.isInstanceOf[NestedAgg] &&
+      !s.agg.isInstanceOf[BucketMetricAgg])
     // the persist makes the one corpus pass ACTUALLY one: the per-agg
     // branches below filter this frame, and without a materialization
     // barrier each branch would re-execute the whole scan+aggregate
@@ -3080,31 +3220,55 @@ object Dsl {
     val globalMine = gkNames.map(n => col(s"g_$n") === 1)
       .reduceOption(_ && _).getOrElse(lit(true))
     val key2Blank = lit("").as("key2")
+    // FINAL bucket rows of a grouping agg (include/exclude gate,
+    // min_doc_count floor, top-N cut all applied) — memoized so a
+    // sibling pipeline agg reads the SAME frame its sibling emits
+    val cutCache = scala.collection.mutable.Map.empty[Int, DataFrame]
+    def groupingCut(i: Int): DataFrame = cutCache.getOrElseUpdate(i, {
+      val spec = b.aggs(i)
+      val me = gkOf(i).get
+      val mine = gkNames.map(n =>
+        col(s"g_$n") === (if (n == me) 0 else 1)).reduce(_ && _)
+      // a null bucket key inside this agg's own set is genuinely
+      // null data — ES skips docs missing the field
+      val rows = grouped.filter(mine && col(me).isNotNull)
+        .withColumn("key", col(me).cast("string"))
+      // include/exclude gate bucket KEYS before the floor and the
+      // cut (ES's order) — anchored, the RegexpQ discipline
+      val gated = spec.agg match {
+        case TermsAgg(_, _, _, _, _, inc, exc) =>
+          (inc.map(x => $"key".rlike("^(?:" + x + ")$")).toSeq ++
+            exc.map(x => !$"key".rlike("^(?:" + x + ")$")).toSeq)
+            .foldLeft(rows)(_ filter _)
+        case _ => rows
+      }
+      val subCols = spec.sub.filter(x => isMetric(x._2))
+        .map(x => uncondOut(x._2)).getOrElse(NullStats)
+      val sel =
+        gated.select(($"key" +: key2Blank +: $"doc_count" +: subCols): _*)
+      spec.agg match {
+        case TermsAgg(_, n, ord, _, minDoc, _, _) =>
+          // ES order: {"_count": "desc"} (default), {"_key": "asc"},
+          // or by the metric sub's value (nulls last, key tiebreak)
+          val o = ord match {
+            case ByKey => Seq($"key".asc)
+            case ByCount => Seq($"doc_count".desc, $"key".asc)
+            case BySub(_, asc) =>
+              val c = col(orderColOf(metricKindField(spec.sub.get._2)._1))
+              Seq(if (asc) c.asc_nulls_last else c.desc_nulls_last,
+                $"key".asc)
+          }
+          (if (minDoc > 1) sel.filter($"doc_count" >= minDoc) else sel)
+            .orderBy(o: _*).limit(n)
+        case _ => sel
+      }
+    })
     val frames = b.aggs.zipWithIndex.flatMap { case (spec, i) =>
       if (spec.agg.isInstanceOf[NestedAgg])
         nestedAggFrames(matched, spec)
       else {
-      val sel = spec.agg match {
-        case _: TermsAgg | _: DateHistAgg | _: HistAgg =>
-          val me = gkOf(i).get
-          val mine = gkNames.map(n =>
-            col(s"g_$n") === (if (n == me) 0 else 1)).reduce(_ && _)
-          // a null bucket key inside this agg's own set is genuinely
-          // null data — ES skips docs missing the field
-          val rows = grouped.filter(mine && col(me).isNotNull)
-            .withColumn("key", col(me).cast("string"))
-          // include/exclude gate bucket KEYS before the floor and the
-          // cut (ES's order) — anchored, the RegexpQ discipline
-          val gated = spec.agg match {
-            case TermsAgg(_, _, _, _, _, inc, exc) =>
-              (inc.map(x => $"key".rlike("^(?:" + x + ")$")).toSeq ++
-                exc.map(x => !$"key".rlike("^(?:" + x + ")$")).toSeq)
-                .foldLeft(rows)(_ filter _)
-            case _ => rows
-          }
-          val subCols = spec.sub.filter(x => isMetric(x._2))
-            .map(x => uncondOut(x._2)).getOrElse(NullStats)
-          gated.select(($"key" +: key2Blank +: $"doc_count" +: subCols): _*)
+      val cut = spec.agg match {
+        case _: TermsAgg | _: DateHistAgg | _: HistAgg => groupingCut(i)
         case _: StatsAgg | _: MetricAgg | _: CardinalityAgg =>
           grouped.filter(globalMine).withColumn("key", lit(""))
             .select(($"key" +: key2Blank +: $"doc_count" +:
@@ -3127,22 +3291,37 @@ object Dsl {
           grouped.filter(globalMine).select(
             (lit("").as("key") +: key2Blank +:
               col(s"dc${i}_0").as("doc_count") +: condOut(i, 0)): _*)
-      }
-      val cut = spec.agg match {
-        case TermsAgg(_, n, ord, _, minDoc, _, _) =>
-          // ES order: {"_count": "desc"} (default), {"_key": "asc"},
-          // or by the metric sub's value (nulls last, key tiebreak)
-          val o = ord match {
-            case ByKey => Seq($"key".asc)
-            case ByCount => Seq($"doc_count".desc, $"key".asc)
-            case BySub(_, asc) =>
-              val c = col(orderColOf(metricKindField(spec.sub.get._2)._1))
-              Seq(if (asc) c.asc_nulls_last else c.desc_nulls_last,
-                $"key".asc)
+        case FiltersAgg(fs) =>
+          // named buckets: one row per name from the same global
+          // grouping row — overlap costs nothing, each key reads its
+          // own conditional-count column
+          fs.zipWithIndex.map { case ((nm, _), j) =>
+            grouped.filter(globalMine).select(
+              (lit(nm).as("key") +: key2Blank +:
+                col(s"dc${i}_$j").as("doc_count") +: condOut(i, j)): _*)
+          }.reduce(_ unionByName _)
+        case BucketMetricAgg(kind, path) =>
+          // sibling pipeline: ONE aggregate row over the sibling's
+          // returned buckets — |buckets| input rows, scale-free
+          val sib = groupingCut(b.aggs.indexWhere(_.name == path))
+          val v = kind match {
+            case "avg" => avg($"doc_count".cast("double"))
+            case "sum" => sum($"doc_count".cast("double"))
+            case "min" => min($"doc_count").cast("double")
+            case _ => max($"doc_count").cast("double")
           }
-          (if (minDoc > 1) sel.filter($"doc_count" >= minDoc) else sel)
-            .orderBy(o: _*).limit(n)
-        case _ => sel
+          val slot = s"v_$kind"
+          val statsOut = Seq("v_count", "v_sum", "v_min", "v_max",
+            "v_avg", "v_pct").map {
+            case s if s == slot => col("pv").as(s)
+            case "v_count" => lit(null).cast("long").as("v_count")
+            case s => lit(null).cast("double").as(s)
+          }
+          sib.agg(count(lit(1)).as("doc_count"), v.as("pv"))
+            .select((lit("").as("key") +: key2Blank +: $"doc_count" +:
+              statsOut): _*)
+        case other => // unreachable: parse refuses these at top level
+          fail(s"not a top-level aggregation: $other")
       }
       val parent = cut.withColumn("agg", lit(spec.name))
         .select(OutCols.map(col): _*)
@@ -3174,7 +3353,34 @@ object Dsl {
           .withColumn("agg", lit(s"${spec.name}.$sn"))
           .select(OutCols.map(col): _*)
       }
-      Seq(parent) ++ child.toSeq
+      // parent pipeline sub: a window over the parent's bucket rows
+      // ordered by bucket key — |buckets| rows, one partition, never
+      // another corpus pass
+      val pipeChild = spec.sub.collect { case (sn, PipelineAgg(kind)) =>
+        val ordKey: Column = spec.agg match {
+          // hist keys are integrals rendered as strings — order
+          // numerically or "20" would follow "100"
+          case _: HistAgg => $"key".cast("long")
+          case _ => $"key"
+        }
+        val w = Window.orderBy(ordKey.asc)
+        val v = kind match {
+          case "cumulative_sum" =>
+            sum($"doc_count".cast("double")).over(w)
+          case _ =>
+            ($"doc_count" - lag($"doc_count", 1).over(w)).cast("double")
+        }
+        cut.select($"key", $"doc_count").withColumn("pv", v)
+          .select(($"key" +: key2Blank +: $"doc_count" +:
+            Seq(lit(null).cast("long").as("v_count"), $"pv".as("v_sum"),
+              lit(null).cast("double").as("v_min"),
+              lit(null).cast("double").as("v_max"),
+              lit(null).cast("double").as("v_avg"),
+              lit(null).cast("double").as("v_pct"))): _*)
+          .withColumn("agg", lit(s"${spec.name}.$sn"))
+          .select(OutCols.map(col): _*)
+      }
+      Seq(parent) ++ child.toSeq ++ pipeChild.toSeq
       }
     }
     frames.reduce(_ unionByName _).orderBy($"agg", $"key", $"key2")
@@ -3252,7 +3458,7 @@ object Dsl {
     val b = parseBody(json)
     if (b.aggs.isEmpty) fail("no aggs in body — use dslSqlOver")
     refuseTopHits(b)
-    val filterNodes = b.aggs.collect { case AggSpec(_, FilterAgg(n), _) => n }
+    val filterNodes = aggClauseNodes(b)
     val p = mergedFilterPlan(b.query +: filterNodes)
     val aggFields = b.aggs.flatMap(aggSpecFields).distinct
     def statSql(x: String): Seq[String] = Seq(
@@ -3307,20 +3513,21 @@ object Dsl {
       case HistAgg(f, iv) => (s"($f // $iv) * $iv", Some(f))
       case other => fail(s"not a grouping bucket: $other") // unreachable
     }
-    def branch(spec: AggSpec): String = {
-      val name = s"'${quoteSql(spec.name)}'"
-      val metricSub = spec.sub.filter(x => isMetric(x._2))
-      val bucketSub = spec.sub.filterNot(x => isMetric(x._2))
-      val stats = metricSub match {
+    def statsOfSpec(spec: AggSpec): Seq[String] =
+      spec.sub.filter(x => isMetric(x._2)) match {
         case Some((_, m)) =>
           val (k, x) = metricKindField(m); outStatsSql(k, x)
         case None => nullStats
       }
-      // the parent branch body WITHOUT the outer SELECT * wrapper —
-      // reused as the child's surviving-parent key set
-      def parentInnerOf(keyExpr: String, guard: Option[String],
-          having: String, ordAndLimit: String,
-          keyConds: Seq[String] = Seq.empty): String = {
+    // FINAL parent bucket rows of a grouping agg (key guard,
+    // include/exclude gate, min_doc_count floor, top-N cut all
+    // applied) — shared by the agg's own branch, its child's
+    // surviving-parent gate, and any sibling pipeline reading it
+    def groupingInnerSql(spec: AggSpec): String = {
+      val name = s"'${quoteSql(spec.name)}'"
+      val stats = statsOfSpec(spec)
+      def inner(keyExpr: String, guard: Option[String], having: String,
+          ordAndLimit: String, keyConds: Seq[String] = Seq.empty): String = {
         val conds = guard.map(g => s"$g IS NOT NULL").toSeq ++ keyConds
         val whereSql =
           if (conds.isEmpty) "" else " WHERE " + conds.mkString(" AND ")
@@ -3330,6 +3537,65 @@ object Dsl {
            |  FROM m$whereSql GROUP BY $keyExpr$having$ordAndLimit"""
           .stripMargin
       }
+      spec.agg match {
+        case TermsAgg(_, n, ord, _, minDoc, inc, exc) =>
+          val ordSql = ord match {
+            case ByKey => "key"
+            case ByCount => "doc_count DESC, key"
+            case BySub(_, asc) =>
+              val (k, _) = metricKindField(
+                spec.sub.filter(x => isMetric(x._2)).get._2)
+              s"${orderColOf(k)} ${if (asc) "ASC" else "DESC"} " +
+                "NULLS LAST, key"
+          }
+          val (kx, guard) = keySqlOf(spec.agg)
+          val keyConds =
+            inc.map(x => s"regexp_full_match(CAST($kx AS VARCHAR), " +
+              s"'${quoteSql(x)}')").toSeq ++
+            exc.map(x => s"NOT regexp_full_match(CAST($kx AS VARCHAR), " +
+              s"'${quoteSql(x)}')").toSeq
+          val having =
+            if (minDoc > 1) s"\n  HAVING COUNT(*) >= $minDoc" else ""
+          inner(kx, guard, having, s"\n  ORDER BY $ordSql LIMIT $n",
+            keyConds)
+        case DateHistAgg(fld, iv) =>
+          val kx2 = if (iv == "month") s"strftime($fld, '%Y-%m')" else fld
+          inner(kx2, Some(fld), "", "")
+        case HistAgg(fld, iv) =>
+          inner(s"($fld // $iv) * $iv", Some(fld), "", "")
+        case other => fail(s"not a grouping agg: $other") // unreachable
+      }
+    }
+    def branch(spec: AggSpec): String = {
+      val name = s"'${quoteSql(spec.name)}'"
+      val metricSub = spec.sub.filter(x => isMetric(x._2))
+      val bucketSub = spec.sub.filterNot(x => isMetric(x._2) ||
+        x._2.isInstanceOf[PipelineAgg])
+      val stats = statsOfSpec(spec)
+      // parent pipeline subs: a window over the parent's returned
+      // buckets — the [[PipelineAgg]] bucket-grain contract in SQL
+      def pipeChildSql(parentInner: String): Seq[String] =
+        spec.sub.toSeq.collect { case (sn, PipelineAgg(kind)) =>
+          val okey = spec.agg match {
+            case _: HistAgg => "CAST(key AS BIGINT)"
+            case _ => "key"
+          }
+          val v = kind match {
+            case "cumulative_sum" =>
+              s"CAST(SUM(doc_count) OVER (ORDER BY $okey) AS DOUBLE)"
+            case _ => s"CAST(doc_count - LAG(doc_count) OVER " +
+              s"(ORDER BY $okey) AS DOUBLE)"
+          }
+          s"""(SELECT '${quoteSql(spec.name)}.${quoteSql(sn)}' AS agg,
+             |  key, '' AS key2, doc_count,
+             |  CAST(NULL AS BIGINT) AS v_count, $v AS v_sum,
+             |  CAST(NULL AS DOUBLE) AS v_min,
+             |  CAST(NULL AS DOUBLE) AS v_max,
+             |  CAST(NULL AS DOUBLE) AS v_avg,
+             |  CAST(NULL AS DOUBLE) AS v_pct
+             |FROM (
+             |  $parentInner) AS pb)""".stripMargin
+        }
       // child rows: the {parent, child} grouping, gated to surviving
       // parents (the IN mirrors the Spark side's broadcast semi join)
       def childOf(parentInner: Option[String]): String = {
@@ -3366,42 +3632,36 @@ object Dsl {
            |  $cutGrouped) AS ch$gate""".stripMargin
       }
       spec.agg match {
-        case TermsAgg(_, n, ord, _, minDoc, inc, exc) =>
-          val ordSql = ord match {
-            case ByKey => "key"
-            case ByCount => "doc_count DESC, key"
-            case BySub(_, asc) =>
-              val (k, _) = metricKindField(metricSub.get._2)
-              s"${orderColOf(k)} ${if (asc) "ASC" else "DESC"} " +
-                "NULLS LAST, key"
-          }
-          val (kx, guard) = keySqlOf(spec.agg)
-          val keyConds =
-            inc.map(x => s"regexp_full_match(CAST($kx AS VARCHAR), " +
-              s"'${quoteSql(x)}')").toSeq ++
-            exc.map(x => s"NOT regexp_full_match(CAST($kx AS VARCHAR), " +
-              s"'${quoteSql(x)}')").toSeq
-          val having =
-            if (minDoc > 1) s"\n  HAVING COUNT(*) >= $minDoc" else ""
-          val inner = parentInnerOf(kx, guard, having,
-            s"\n  ORDER BY $ordSql LIMIT $n", keyConds)
+        case _: TermsAgg =>
+          val inner = groupingInnerSql(spec)
           val parent = s"SELECT * FROM (\n  $inner) AS t"
           if (bucketSub.isEmpty) parent
           else s"$parent\nUNION ALL\n(${childOf(Some(inner))})"
-        case DateHistAgg(fld, iv) =>
-          val kx2 = if (iv == "month") s"strftime($fld, '%Y-%m')" else fld
-          val parent = parentInnerOf(kx2, Some(fld), "", "")
-          if (bucketSub.isEmpty) parent
-          else s"($parent)\nUNION ALL\n(${childOf(None)})"
-        case HistAgg(fld, iv) =>
-          val parent =
-            s"""SELECT $name AS agg, CAST(($fld // $iv) * $iv AS VARCHAR)
-               |  AS key, '' AS key2,
-               |  COUNT(*) AS doc_count, ${stats.mkString(",\n  ")}
-               |FROM m WHERE $fld IS NOT NULL GROUP BY ($fld // $iv) * $iv"""
-              .stripMargin
-          if (bucketSub.isEmpty) parent
-          else s"($parent)\nUNION ALL\n(${childOf(None)})"
+        case _: DateHistAgg | _: HistAgg =>
+          val inner = groupingInnerSql(spec)
+          (Seq(s"($inner)") ++
+            bucketSub.toSeq.map(_ => s"(${childOf(None)})") ++
+            pipeChildSql(inner)).mkString("\nUNION ALL\n")
+        case BucketMetricAgg(kind, path) =>
+          val sib = b.aggs.find(_.name == path).get
+          val fn = kind match {
+            case "avg" => "AVG(CAST(doc_count AS DOUBLE))"
+            case "sum" => "CAST(SUM(CAST(doc_count AS DOUBLE)) AS DOUBLE)"
+            case "min" => "CAST(MIN(doc_count) AS DOUBLE)"
+            case _ => "CAST(MAX(doc_count) AS DOUBLE)"
+          }
+          val slot = s"v_$kind"
+          val cols = Seq("v_count", "v_sum", "v_min", "v_max", "v_avg",
+            "v_pct").map {
+            case c if c == slot => s"$fn AS $c"
+            case "v_count" => "CAST(NULL AS BIGINT) AS v_count"
+            case c => s"CAST(NULL AS DOUBLE) AS $c"
+          }
+          s"""SELECT $name AS agg, '' AS key, '' AS key2,
+             |  COUNT(*) AS doc_count,
+             |  ${cols.mkString(",\n  ")}
+             |FROM (
+             |  ${groupingInnerSql(sib)}) AS sb""".stripMargin
         case _: StatsAgg | _: MetricAgg | _: CardinalityAgg =>
           val (k, x) = metricKindField(spec.agg)
           s"""SELECT $name AS agg, '' AS key, '' AS key2,
@@ -3434,6 +3694,15 @@ object Dsl {
              |  COUNT(*) AS doc_count,
              |  ${stats.mkString(",\n  ")}
              |FROM m AS f WHERE ${c.predSql}""".stripMargin
+        case FiltersAgg(fs) =>
+          fs.map { case (nm, n) =>
+            val c = compile(n, scored = false, p.tfIdx, p.pfIdx,
+              Map.empty, p.zfIdx, p.rfIdx)
+            s"""SELECT $name AS agg, '${quoteSql(nm)}' AS key,
+               |  '' AS key2, COUNT(*) AS doc_count,
+               |  ${stats.mkString(",\n  ")}
+               |FROM m AS f WHERE ${c.predSql}""".stripMargin
+          }.mkString("\nUNION ALL\n")
         case NestedAgg(path) =>
           val (sn, t) = bucketSub.get match {
             case (n2, ta: TermsAgg) => (n2, ta)
@@ -3456,6 +3725,8 @@ object Dsl {
              |  GROUP BY tg.t.$sub$having
              |  ORDER BY $ord LIMIT ${t.topN}) AS z"""
             .stripMargin
+        case other => // unreachable: parse refuses these at top level
+          fail(s"not a top-level aggregation: $other")
       }
     }
     s"""WITH ${fCteSql(p, aggFields, rel)},
@@ -4438,7 +4709,7 @@ object Dsl {
         b.after.nonEmpty || b.highlight.nonEmpty)
       fail("an aggregation body returns no hits — from/sort/_source/" +
         "search_after/highlight have no meaning beside size: 0")
-    val filterNodes = b.aggs.collect { case AggSpec(_, FilterAgg(n), _) => n }
+    val filterNodes = aggClauseNodes(b)
     val p = mergedFilterPlan(b.query +: filterNodes)
     val aggFields = b.aggs.flatMap(aggSpecFields).distinct
     val parts = servedParts(spark, indexDirs, p, aggFields)
@@ -4620,6 +4891,80 @@ object Dsl {
   def dslAggsIncludeServed(spark: SparkSession, dir: String): DataFrame =
     dslAggsFromIndexes(spark,
       Search.sharedDailyIndexDirs(spark, dir)._1, AggsIncludeQuery)
+
+  /** Registered `filters` aggregation — NAMED OVERLAPPING segments in
+    * one pass: a full-text match bucket (its tf rides the merged
+    * clause inventory's shared feature frame), a compound bool
+    * bucket, and a range bucket that overlaps both, all reading one
+    * stats sub; a terms agg rides beside them in the same
+    * grouping-sets pass. Overlap is the point — a doc lands in every
+    * bucket whose clause it satisfies, which a groupBy key could
+    * never express and a conditional-count column gets for free. */
+  val AggsFiltersQuery: String =
+    """{"query": {"range": {"n_chars": {"gte": 40}}}, "size": 0,
+      |  "aggs": {
+      |    "segments": {"filters": {"filters": {
+      |        "hash_docs": {"match": {"text": "hash"}},
+      |        "big_en": {"bool": {"filter": [
+      |          {"term": {"lang": "en"}},
+      |          {"range": {"n_chars": {"gte": 200}}}]}},
+      |        "mid_len": {"range": {"n_chars": {"gte": 100, "lt": 300}}}}},
+      |      "aggs": {"chars": {"stats": {"field": "n_chars"}}}},
+      |    "langs": {"terms": {"field": "lang", "size": 3}}}}""".stripMargin
+
+  /** Registered PIPELINE aggregations — ES's bucket-grain
+    * post-processing family: `cumulative_sum` over a date_histogram
+    * (the running-total dashboard shape), `derivative` over a numeric
+    * histogram (bucket-to-bucket deltas; the first bucket is null,
+    * ES's omitted-value), and the sibling `avg_bucket` / `max_bucket`
+    * / `sum_bucket` summarizing a sibling's RETURNED buckets — the
+    * terms sibling proves the post-cut contract: `sum_bucket` totals
+    * the top-3 language buckets, not all languages. Every pipeline
+    * node windows or aggregates over |buckets| rows: at 100 TB the
+    * corpus pass is unchanged and the pipeline work stays tiny. */
+  val AggsPipelineQuery: String =
+    """{"query": {"match_all": {}}, "size": 0,
+      |  "aggs": {
+      |    "daily": {"date_histogram": {"field": "persist_date",
+      |        "calendar_interval": "day"},
+      |      "aggs": {"running": {"cumulative_sum":
+      |        {"buckets_path": "_count"}}}},
+      |    "len_hist": {"histogram": {"field": "n_chars",
+      |        "interval": 200},
+      |      "aggs": {"delta": {"derivative": {"buckets_path": "_count"}}}},
+      |    "avg_daily": {"avg_bucket": {"buckets_path": "daily>_count"}},
+      |    "max_daily": {"max_bucket": {"buckets_path": "daily>_count"}},
+      |    "top_lang_total": {"sum_bucket": {"buckets_path":
+      |      "langs>_count"}},
+      |    "langs": {"terms": {"field": "lang", "size": 3}}}}"""
+      .stripMargin
+
+  def dslAggsPipeline(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Search.withPersistDate(Tables.documentsPar(spark, dir)),
+      AggsPipelineQuery)
+
+  val dslAggsPipelineOracleSql: String =
+    dslAggsSqlOver(AggsPipelineQuery, Search.PersistDateRel)
+
+  /** Registered query: [[AggsPipelineQuery]] SERVED from the daily
+    * indices — pipeline inputs are the served bucket rows, so green
+    * also proves the cross-member bucket union feeds the windows the
+    * same; same oracle as the scan form. */
+  def dslAggsPipelineServed(spark: SparkSession, dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Search.sharedDailyIndexDirs(spark, dir)._1, AggsPipelineQuery)
+
+  def dslAggsFilters(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Tables.documentsPar(spark, dir), AggsFiltersQuery)
+
+  val dslAggsFiltersOracleSql: String = dslAggsSql(AggsFiltersQuery)
+
+  /** Registered query: [[AggsFiltersQuery]] SERVED — bucket membership
+    * from postings tf + docmeta doc-values; same oracle as the scan
+    * form. */
+  def dslAggsFiltersServed(spark: SparkSession, dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), AggsFiltersQuery)
 
   /** Registered EXTENDED aggregations body — the round-12 agg
     * families: single-value metrics (avg/sum/min/max/value_count),

@@ -1718,6 +1718,114 @@ class DslSpec extends SparkSpec {
     assert(th.contains("top_hits"))
   }
 
+  test("filters agg: named overlapping buckets in one pass") {
+    def rows(json: String): Seq[(String, String, Long)] =
+      Dsl.dslAggsOf(tiny, json).collect()
+        .map(r => (r.getString(0), r.getString(1),
+          r.getAs[Long]("doc_count"))).toSeq
+    // tiny: alpha in docs 0,1,4; en in 0,1,3; n_chars>=16 in 0,4 —
+    // buckets OVERLAP (doc 0 is in all three)
+    val got = rows("""{"size": 0, "aggs": {"seg": {"filters": {"filters": {
+      "alpha": {"match": {"text": "alpha"}},
+      "english": {"term": {"lang": "en"}},
+      "long": {"range": {"n_chars": {"gte": 16}}}}}}}}""")
+    assert(got == Seq(("seg", "alpha", 3L), ("seg", "english", 3L),
+      ("seg", "long", 2L)), s"got $got")
+    // the query gates first: en docs only → alpha∩en = {0,1}
+    val gated = rows("""{"query": {"term": {"lang": "en"}}, "size": 0,
+      "aggs": {"seg": {"filters": {"filters": {
+        "alpha": {"match": {"text": "alpha"}}}}}}}""")
+    assert(gated == Seq(("seg", "alpha", 2L)), s"got $gated")
+    // a metric sub evaluates per named bucket
+    val sub = Dsl.dslAggsOf(tiny, """{"size": 0, "aggs": {"seg": {
+      "filters": {"filters": {"english": {"term": {"lang": "en"}}}},
+      "aggs": {"chars": {"avg": {"field": "n_chars"}}}}}}""")
+      .collect().map(r => (r.getString(1), r.getAs[Double]("v_avg"))).toSeq
+    // en docs: n_chars 16, 10, 9 → avg 35/3
+    assert(sub == Seq(("english", 35.0 / 3)), s"got $sub")
+    // refusals: anonymous form, other_bucket, duplicate names,
+    // bucket subs
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(tiny, json)).getMessage
+    assert(msg("""{"size": 0, "aggs": {"seg": {"filters": {"filters": [
+      {"term": {"lang": "en"}}]}}}}""").contains("anonymous"))
+    assert(msg("""{"size": 0, "aggs": {"seg": {"filters": {
+      "filters": {"a": {"match_all": {}}},
+      "other_bucket": true}}}}""").contains("other_bucket"))
+    assert(msg("""{"size": 0, "aggs": {"seg": {
+      "filters": {"filters": {"a": {"match_all": {}}}},
+      "aggs": {"l": {"terms": {"field": "lang"}}}}}}""")
+      .contains("metric subs only"))
+    // the generated oracle carries one branch per named bucket
+    val sql = Dsl.dslAggsSql("""{"size": 0, "aggs": {"seg": {"filters":
+      {"filters": {"a": {"term": {"lang": "en"}},
+                   "b": {"range": {"n_chars": {"gte": 16}}}}}}}}""")
+    assert(sql.contains("'a' AS key") && sql.contains("'b' AS key"))
+  }
+
+  test("pipeline aggs: cumulative_sum/derivative windows, sibling *_bucket over the cut") {
+    // tiny n_chars 16,10,10,9,16 → hist(5) buckets 5:1, 10:2, 15:2
+    val rows = Dsl.dslAggsOf(tiny, """{"size": 0, "aggs": {
+      "len": {"histogram": {"field": "n_chars", "interval": 5},
+        "aggs": {"run": {"cumulative_sum": {"buckets_path": "_count"}}}}}}""")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("doc_count"),
+        Option(r.getAs[Double]("v_sum")))).toSeq
+    assert(rows == Seq(
+      ("len", "10", 2L, None), ("len", "15", 2L, None),
+      ("len", "5", 1L, None),
+      // numeric bucket order for the window: 5 → 10 → 15
+      ("len.run", "10", 2L, Some(3.0)), ("len.run", "15", 2L, Some(5.0)),
+      ("len.run", "5", 1L, Some(1.0))), s"got $rows")
+    val der = Dsl.dslAggsOf(tiny, """{"size": 0, "aggs": {
+      "len": {"histogram": {"field": "n_chars", "interval": 5},
+        "aggs": {"d": {"derivative": {"buckets_path": "_count"}}}}}}""")
+      .collect().collect { case r if r.getString(0) == "len.d" =>
+        (r.getString(1), Option(r.getAs[Double]("v_sum"))) }.toSeq
+    // first bucket has no predecessor → null (the ES omitted value)
+    assert(der == Seq(("10", Some(1.0)), ("15", Some(0.0)),
+      ("5", None)), s"got $der")
+    // sibling pipelines read the sibling's RETURNED buckets: langs
+    // size 2 cuts to en(3), de(1) — sum 4, avg 2, not the full 5
+    val sib = Dsl.dslAggsOf(tiny, """{"size": 0, "aggs": {
+      "langs": {"terms": {"field": "lang", "size": 2}},
+      "total": {"sum_bucket": {"buckets_path": "langs>_count"}},
+      "mean": {"avg_bucket": {"buckets_path": "langs>_count"}},
+      "biggest": {"max_bucket": {"buckets_path": "langs>_count"}}}}""")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("doc_count"), Option(r.getAs[Double]("v_sum")),
+        Option(r.getAs[Double]("v_avg")),
+        Option(r.getAs[Double]("v_max")))).toSeq
+    assert(sib.filter(_._1 == "total") ==
+      Seq(("total", "", 2L, Some(4.0), None, None)), s"got $sib")
+    assert(sib.filter(_._1 == "mean") ==
+      Seq(("mean", "", 2L, None, Some(2.0), None)), s"got $sib")
+    assert(sib.filter(_._1 == "biggest") ==
+      Seq(("biggest", "", 2L, None, None, Some(3.0))), s"got $sib")
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(tiny, json)).getMessage
+    assert(msg("""{"size": 0, "aggs": {"l": {"terms": {"field": "lang"},
+      "aggs": {"r": {"cumulative_sum": {"buckets_path": "_count"}}}}}}""")
+      .contains("ORDERED histogram parent"))
+    assert(msg("""{"size": 0, "aggs": {"h": {"histogram":
+      {"field": "n_chars", "interval": 5},
+      "aggs": {"r": {"derivative": {"buckets_path": "chars.avg"}}}}}}""")
+      .contains("_count"))
+    assert(msg("""{"size": 0, "aggs": {"x": {"avg_bucket":
+      {"buckets_path": "nope>_count"}}}}""").contains("no sibling"))
+    assert(msg("""{"size": 0, "aggs": {"s": {"stats": {"field": "n_chars"}},
+      "x": {"avg_bucket": {"buckets_path": "s>_count"}}}}""")
+      .contains("GROUPING bucket sibling"))
+    assert(msg("""{"size": 0, "aggs": {"l": {"terms": {"field": "lang"},
+      "aggs": {"x": {"avg_bucket": {"buckets_path": "l>_count"}}}}}}""")
+      .contains("SIBLING"))
+    assert(msg("""{"size": 0, "aggs": {"r": {"cumulative_sum":
+      {"buckets_path": "_count"}}}}""").contains("PARENT pipeline"))
+  }
+
   test("percolate_dsl: full query bodies as stored rules") {
     val hits = Dsl.percolateDslOf(tiny, Seq(
       1L -> """{"query": {"bool": {"must": [{"match": {"text": "alpha"}}],
