@@ -206,7 +206,43 @@ object Dsl {
       negativeBoost: BigDecimal) extends Node
   final case class DisMaxQ(queries: Seq[Node], tieBreaker: BigDecimal)
     extends Node
+  /** ES `pinned` — promoted ids rank ABOVE every organic hit, in the
+    * order given (the curated-results pattern). Deterministic scoring
+    * stand-in for ES's internal huge-constant promotion: pinned doc k
+    * scores [[PinBase]] − k; organic docs keep their organic score,
+    * GATED on actually matching the organic query — a pinned doc that
+    * misses the organic query still matches the pinned query, ES's
+    * own contract. */
+  final case class PinnedQ(ids: Seq[Long], organic: Node) extends Node
+  /** ES `terms_set` — terms matching against a PER-DOCUMENT
+    * threshold: the doc's `minimum_should_match_field` value says how
+    * many of the supplied terms its text must carry. Scored like a
+    * match (sum of the terms' BM25 contributions — a zero-tf term
+    * contributes exactly 0, so only matching terms add). The script
+    * threshold form refuses. */
+  final case class TermsSetQ(field: String, terms: Seq[String],
+      msmField: String) extends Node
+  /** ES `rank_feature` — score a positive numeric document signal
+    * through `saturation` (S/(S+pivot)) or `log` (ln(scaling·S+1));
+    * matches docs CARRYING the feature (value > 0, the rank_feature
+    * field contract). The pivotless saturation (ES derives the pivot
+    * from index statistics) is data-dependent and refuses. */
+  final case class RankFeatureQ(field: String, fn: String,
+      param: BigDecimal, boost: BigDecimal) extends Node
+  /** ES `distance_feature` — score decays with distance from an
+    * origin: pivot/(pivot + |field − origin|). Date form (origin
+    * `yyyy-MM-dd`, pivot `"<n>d"`, distance in whole DAYS — integer
+    * arithmetic in both engines) and numeric form. Matches docs
+    * carrying the field. */
+  final case class DistanceFeatureQ(field: String,
+      dateOrigin: Option[String], numOrigin: Option[BigDecimal],
+      pivot: BigDecimal, boost: BigDecimal) extends Node
   case object MatchAllQ extends Node
+
+  /** Pinned-score base: above any reachable BM25/function score, and
+    * exactly representable — both compilers emit `PinBase − k` for
+    * the k-th pinned id. */
+  private val PinBase: Long = 1000000000L
 
   /** The ES `nested` query over the reference mapping's signature
     * field — `tags`, an array<struct<type,value>> (mapping.json:41-56,
@@ -1129,13 +1165,210 @@ object Dsl {
         QueryString.parseClause(body, simple = true)
       case "query_string" =>
         QueryString.parseClause(body, simple = false)
+      case "wrapper" =>
+        // the base64 query envelope — clients that must ship a query
+        // through a string-typed config slot; decodes and recurses
+        body match {
+          case JObject(List(("query", JString(b64)))) =>
+            val decoded =
+              try new String(java.util.Base64.getDecoder.decode(b64),
+                java.nio.charset.StandardCharsets.UTF_8)
+              catch { case _: IllegalArgumentException =>
+                fail("wrapper.query is not valid base64") }
+            val inner =
+              try JsonMethods.parse(decoded)
+              catch { case e: Exception =>
+                fail(s"wrapper.query does not decode to JSON: " +
+                  s"${e.getMessage}") }
+            node(inner)
+          case _ =>
+            fail("""wrapper needs exactly {"query": "<base64>"}""")
+        }
+      case "match_bool_prefix" =>
+        // search-as-you-type over a term list: every term but the
+        // last matches as an OPTIONAL term (operator "and" makes them
+        // required), the last as a token prefix — a pure desugar into
+        // the oracle-green MatchQ/PhrasePrefixQ machinery
+        val (field, text, boost, andOp, fuzz, _) =
+          queryText(body, "match_bool_prefix", allowOperator = true)
+        if (fuzz.nonEmpty)
+          fail(s"match_bool_prefix.$field has unsupported option " +
+            "'fuzziness' — supported: boost, operator, query")
+        checkAnalyzed(field, "match_bool_prefix")
+        val terms = analyzed(text)
+        if (terms.isEmpty) fail(s"match_bool_prefix.$field has no terms")
+        val prefixQ = PhrasePrefixQ(field, Seq(terms.last), boost, 0)
+        if (terms.size == 1) prefixQ
+        else {
+          val leads: Seq[Node] = terms.dropRight(1)
+            .map(t => MatchQ(field, Seq(t), boost, andOp = false))
+          if (andOp)
+            BoolQ(leads :+ prefixQ, Seq.empty, Seq.empty, Seq.empty, None)
+          else
+            BoolQ(Seq.empty, leads :+ prefixQ, Seq.empty, Seq.empty,
+              Some(1))
+        }
+      case "pinned" =>
+        body match {
+          case o: JObject =>
+            o.obj.collectFirst {
+              case (k, _) if k != "ids" && k != "organic" => k
+            }.foreach(k => fail(s"pinned has unsupported option '$k' — " +
+              "supported: ids, organic (the docs form is unsupported)"))
+            val ids = o \ "ids" match {
+              case JArray(vs) if vs.nonEmpty => vs.map {
+                case JInt(n) => n.toLong
+                case JString(s) if s.nonEmpty && s.forall(_.isDigit) =>
+                  s.toLong
+                case other =>
+                  fail(s"pinned ids must be numeric doc ids, got $other")
+              }
+              case _ => fail("pinned needs a non-empty \"ids\" array")
+            }
+            if (ids.distinct.size != ids.size)
+              fail("pinned lists an id twice")
+            if (ids.size > 100)
+              fail(s"pinned supports at most 100 ids (the ES cap), " +
+                s"got ${ids.size}")
+            val org = o \ "organic" match {
+              case q: JObject => node(q)
+              case _ => fail("pinned needs an \"organic\" query object")
+            }
+            PinnedQ(ids, org)
+          case other => fail(s"pinned expects an object, got $other")
+        }
+      case "terms_set" =>
+        body match {
+          case JObject(List((field, spec: JObject))) =>
+            checkAnalyzed(field, "terms_set")
+            spec.obj.collectFirst {
+              case (k, _) if k != "terms" &&
+                k != "minimum_should_match_field" => k
+            }.foreach(k => fail(s"terms_set.$field has unsupported " +
+              s"option '$k' — supported: terms, " +
+              "minimum_should_match_field (the script threshold is " +
+              "unsupported)"))
+            val ts = spec \ "terms" match {
+              case JArray(vs) if vs.nonEmpty => vs.map {
+                case JString(s) => analyzed(s) match {
+                  case Seq(tok) => tok
+                  case _ => fail(s"terms_set.$field term '$s' must " +
+                    "analyze to exactly one token")
+                }
+                case other =>
+                  fail(s"terms_set terms must be strings, got $other")
+              }
+              case _ =>
+                fail(s"terms_set.$field needs a non-empty \"terms\" array")
+            }
+            if (ts.distinct.size != ts.size)
+              fail(s"terms_set.$field lists a term twice")
+            spec \ "minimum_should_match_field" match {
+              case JString(mf) if mf.nonEmpty => TermsSetQ(field, ts, mf)
+              case _ => fail(s"terms_set.$field needs " +
+                "minimum_should_match_field (the script threshold is " +
+                "unsupported)")
+            }
+          case other => fail("terms_set expects {field: {terms, " +
+            s"minimum_should_match_field}}, got $other")
+        }
+      case "rank_feature" =>
+        body match {
+          case o: JObject =>
+            val known = Set("field", "saturation", "log", "boost")
+            o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+              .foreach(k => fail(s"rank_feature has unsupported option " +
+                s"'$k' — supported: ${known.toSeq.sorted.mkString(", ")} " +
+                "(sigmoid/linear are unsupported)"))
+            val f = o \ "field" match {
+              case JString(x) if x.nonEmpty => x
+              case _ => fail("rank_feature needs a \"field\"")
+            }
+            (o \ "saturation", o \ "log") match {
+              case (s: JObject, JNothing) =>
+                s.obj.collectFirst { case (k, _) if k != "pivot" => k }
+                  .foreach(k => fail("rank_feature.saturation has " +
+                    s"unsupported option '$k' — supported: pivot"))
+                s \ "pivot" match {
+                  case JNothing => fail("rank_feature.saturation needs " +
+                    "a pivot (the pivotless form derives it from index " +
+                    "statistics — data-dependent, unsupported)")
+                  case v => scalar(v) match {
+                    case SNum(x) if x > 0 =>
+                      RankFeatureQ(f, "saturation", x, boostOf(o))
+                    case _ => fail("rank_feature.saturation.pivot must " +
+                      "be a positive number")
+                  }
+                }
+              case (JNothing, l: JObject) =>
+                l.obj.collectFirst {
+                  case (k, _) if k != "scaling_factor" => k
+                }.foreach(k => fail("rank_feature.log has unsupported " +
+                  s"option '$k' — supported: scaling_factor"))
+                l \ "scaling_factor" match {
+                  case JNothing =>
+                    fail("rank_feature.log needs a scaling_factor")
+                  case v => scalar(v) match {
+                    case SNum(x) if x > 0 =>
+                      RankFeatureQ(f, "log", x, boostOf(o))
+                    case _ => fail("rank_feature.log.scaling_factor " +
+                      "must be a positive number")
+                  }
+                }
+              case (JNothing, JNothing) =>
+                fail("rank_feature needs saturation {pivot} or log " +
+                  "{scaling_factor} (the default pivotless saturation " +
+                  "derives its pivot from index statistics — " +
+                  "data-dependent, unsupported)")
+              case _ => fail("rank_feature takes ONE of saturation/log")
+            }
+          case other => fail(s"rank_feature expects an object, got $other")
+        }
+      case "distance_feature" =>
+        body match {
+          case o: JObject =>
+            val known = Set("field", "origin", "pivot", "boost")
+            o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+              .foreach(k => fail(s"distance_feature has unsupported " +
+                s"option '$k' — supported: " +
+                known.toSeq.sorted.mkString(", ")))
+            val f = o \ "field" match {
+              case JString(x) if x.nonEmpty => x
+              case _ => fail("distance_feature needs a \"field\"")
+            }
+            (o \ "origin", o \ "pivot") match {
+              case (JString(org), JString(pv)) =>
+                if (!org.matches("\\d{4}-\\d{2}-\\d{2}"))
+                  fail("distance_feature date origin must be " +
+                    s"yyyy-MM-dd, got '$org'")
+                if (!pv.matches("[1-9]\\d*d"))
+                  fail("distance_feature date pivot must be " +
+                    s""""<days>d" (sub-day units would need """ +
+                    s"time-typed fields), got '$pv'")
+                DistanceFeatureQ(f, Some(org), None,
+                  BigDecimal(pv.stripSuffix("d").toLong), boostOf(o))
+              case (ov, pv) if ov != JNothing && pv != JNothing =>
+                (scalar(ov), scalar(pv)) match {
+                  case (SNum(org), SNum(p)) if p > 0 =>
+                    DistanceFeatureQ(f, None, Some(org), p, boostOf(o))
+                  case _ => fail("distance_feature needs a numeric " +
+                    "origin and a positive numeric pivot, or a date " +
+                    """origin with a "<n>d" pivot""")
+                }
+              case _ =>
+                fail("distance_feature needs origin and pivot")
+            }
+          case other =>
+            fail(s"distance_feature expects an object, got $other")
+        }
       case "match_all" => MatchAllQ
       case other => fail(s"unsupported query type '$other' — supported: " +
-        "bool, boosting, constant_score, dis_max, exists, " +
-        "function_score, fuzzy, ids, match, match_all, match_phrase, " +
-        "match_phrase_prefix, multi_match, nested, prefix, " +
-        "query_string, range, regexp, simple_query_string, term, " +
-        "terms, wildcard")
+        "bool, boosting, constant_score, dis_max, distance_feature, " +
+        "exists, function_score, fuzzy, ids, match, match_all, " +
+        "match_bool_prefix, match_phrase, match_phrase_prefix, " +
+        "multi_match, nested, pinned, prefix, query_string, range, " +
+        "rank_feature, regexp, simple_query_string, term, terms, " +
+        "terms_set, wildcard, wrapper")
     }
     case JObject(fields) =>
       fail(s"a query clause must have exactly one key, got " +
@@ -1718,6 +1951,7 @@ object Dsl {
           collectCtx(q, scored)(pf)
         case BoostingQ(pos, neg, _) =>
           collectCtx(pos, scored)(pf) ++ collectCtx(neg, false)(pf)
+        case PinnedQ(_, organic) => collectCtx(organic, scored)(pf)
         case _ => Seq.empty
       })
 
@@ -1728,6 +1962,7 @@ object Dsl {
     case (MatchQ(f, ts, _, _), _) => ts.map((f, _))
     case (MultiMatchQ(fs, ts, _, _), _) =>
       fs.flatMap { case (f, _) => ts.map((f, _)) }
+    case (TermsSetQ(f, ts, _), _) => ts.map((f, _))
   }.distinct
 
   private def tkeysScoredOf(n: Node): Seq[(String, String)] =
@@ -1735,6 +1970,7 @@ object Dsl {
       case (MatchQ(f, ts, _, _), true) => ts.map((f, _))
       case (MultiMatchQ(fs, ts, _, _), true) =>
         fs.flatMap { case (f, _) => ts.map((f, _)) }
+      case (TermsSetQ(f, ts, _), true) => ts.map((f, _))
     }.distinct
 
   private def pkeysOf(n: Node): Seq[(String, Seq[String], Int, Boolean)] =
@@ -1784,6 +2020,9 @@ object Dsl {
     case (RegexpQ(f, _), _) if !AnalyzedFields.contains(f) => Seq(f)
     case (FunctionScoreQ(_, f, _, _, _, _, _), _) => Seq(f)
     case (NestedQ(path, _), _) => Seq(path)
+    case (TermsSetQ(_, _, mf), _) => Seq(mf)
+    case (RankFeatureQ(f, _, _, _), _) => Seq(f)
+    case (DistanceFeatureQ(f, _, _, _, _), _) => Seq(f)
   }.distinct
 
   /** Distinct SCORED `term` clauses — each needs a doc-frequency
@@ -2090,6 +2329,80 @@ object Dsl {
         }
       }
       C(pred, predSql, score)
+    case PinnedQ(ids, organic) =>
+      val c = compile(organic, scored, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx)
+      val inPred = ids.map(v => col("doc_id") === lit(v)).reduce(_ || _)
+      val inSql = ids.map(v => s"f.doc_id = $v").mkString("(", " OR ", ")")
+      val score = if (!scored) None else {
+        // organic score gates on the organic predicate: a pinned doc
+        // outside the organic match set scores ONLY its pin
+        val base: (Column, String) = c.score match {
+          case Some((s, sql)) =>
+            (when(c.pred, s).otherwise(lit(0.0)),
+              s"CASE WHEN ${c.predSql} THEN $sql ELSE 0.0 END")
+          case None => (lit(0.0), "0.0")
+        }
+        Some(ids.zipWithIndex.foldRight(base) {
+          case ((id, k), (elseC, elseSql)) =>
+            val s = PinBase - k
+            (when(col("doc_id") === lit(id), lit(s.toDouble))
+              .otherwise(elseC),
+              s"CASE WHEN f.doc_id = $id THEN CAST($s AS DOUBLE) " +
+                s"ELSE $elseSql END")
+        })
+      }
+      C(c.pred || inPred, s"(${c.predSql} OR $inSql)", score)
+    case TermsSetQ(field, terms, msmField) =>
+      val cnt = terms
+        .map(t => when(col(s"qtf${tfIdx((field, t))}") > 0, 1).otherwise(0))
+        .reduce(_ + _)
+      val cntSql = terms
+        .map(t => s"CASE WHEN f.qtf${tfIdx((field, t))} > 0 THEN 1 " +
+          "ELSE 0 END")
+        .mkString("(", " + ", ")")
+      // a doc with no threshold value matches nothing (ES errors on a
+      // missing value; a null-gated non-match is the declarative twin)
+      val pred = col(msmField).isNotNull && cnt >= col(msmField)
+      val predSql =
+        s"(f.$msmField IS NOT NULL AND $cntSql >= f.$msmField)"
+      val score =
+        if (scored) Some(sumScores(matchParts(field, terms, tfIdx)))
+        else None
+      C(pred, predSql, score)
+    case RankFeatureQ(field, fn, param, boost) =>
+      val pred = col(field).isNotNull && col(field) > lit(0)
+      val predSql = s"(f.$field IS NOT NULL AND f.$field > 0)"
+      val pLit = param.underlying.toPlainString
+      val score = if (!scored) None else Some(boosted(fn match {
+        case "saturation" =>
+          (col(field).cast("double") /
+            (col(field).cast("double") + lit(param.toDouble)),
+            s"(CAST(f.$field AS DOUBLE) / (CAST(f.$field AS DOUBLE) + " +
+              s"CAST($pLit AS DOUBLE)))")
+        case _ =>
+          (log(lit(param.toDouble) * col(field).cast("double") + lit(1.0)),
+            s"ln(CAST($pLit AS DOUBLE) * CAST(f.$field AS DOUBLE) + 1.0)")
+      }, boost))
+      C(pred, predSql, score)
+    case DistanceFeatureQ(field, dateO, numO, pivot, boost) =>
+      val pLit = pivot.underlying.toPlainString
+      val dist: (Column, String) = dateO match {
+        case Some(org) =>
+          // whole-day distance — integer in both engines, so the
+          // single division below is bit-stable
+          (abs(datediff(col(field), to_date(lit(org)))).cast("double"),
+            s"CAST(abs(date_diff('day', DATE '$org', f.$field)) " +
+              "AS DOUBLE)")
+        case None =>
+          val oLit = numO.get.underlying.toPlainString
+          (abs(col(field).cast("double") - lit(numO.get.toDouble)),
+            s"abs(CAST(f.$field AS DOUBLE) - CAST($oLit AS DOUBLE))")
+      }
+      val score = if (!scored) None else Some(boosted(
+        (lit(pivot.toDouble) / (lit(pivot.toDouble) + dist._1),
+          s"(CAST($pLit AS DOUBLE) / (CAST($pLit AS DOUBLE) + " +
+            s"${dist._2}))"), boost))
+      C(col(field).isNotNull, s"f.$field IS NOT NULL", score)
     case NestedQ(path, nq) =>
       // ONE element satisfies the whole inner query: exists over the
       // array with the compiled per-element predicate — both engines
@@ -4840,6 +5153,107 @@ object Dsl {
       dir: String): DataFrame =
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), CrossFieldsQuery)
+
+  /** Registered `match_bool_prefix` — the search-as-you-type bar
+    * (ES's own suggested clause for it): lead terms optional, the
+    * trailing fragment a token prefix; desugared at parse into
+    * MatchQ/PhrasePrefixQ under a should-bool, so plans and oracle are
+    * the already-audited ones. */
+  val MatchBoolPrefixQuery: String =
+    """{"query": {"match_bool_prefix": {"text": "dup vec"}},
+      |  "size": 30}""".stripMargin
+
+  def searchDslMbp(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), MatchBoolPrefixQuery)
+
+  val searchDslMbpSql: String = dslSql(MatchBoolPrefixQuery)
+
+  def searchDslMbpServed(spark: SparkSession, dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), MatchBoolPrefixQuery)
+
+  /** Registered `pinned` — curated ids above organic hits. The pinned
+    * set deliberately mixes docs INSIDE and OUTSIDE the organic match
+    * set: 42/7/99 rank first in exactly that order regardless, then
+    * the organic BM25 ranking continues (pins that also match
+    * organically are not double-counted — the pin REPLACES the
+    * score). */
+  val PinnedQuery: String =
+    """{"query": {"pinned": {"ids": [42, 7, 99],
+      |  "organic": {"match": {"text": "dup vector merge"}}}},
+      |  "size": 25}""".stripMargin
+
+  def searchDslPinned(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), PinnedQuery)
+
+  val searchDslPinnedSql: String = dslSql(PinnedQuery)
+
+  def searchDslPinnedServed(spark: SparkSession, dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), PinnedQuery)
+
+  /** Registered `terms_set` — per-document match thresholds: each doc
+    * demands `req_m` of the three terms (req_m = doc_id % 3, derived
+    * identically in both engines — 0 means every doc matches, the ES
+    * edge). Scan-path only: the derived threshold column is not a
+    * stored doc-value. */
+  val TermsSetQuery: String =
+    """{"query": {"terms_set": {"text": {
+      |  "terms": ["dup", "vector", "merge"],
+      |  "minimum_should_match_field": "req_m"}}}, "size": 30}"""
+      .stripMargin
+
+  /** The threshold-column corpus both engines derive identically. */
+  val ReqMRel: String =
+    "(SELECT *, doc_id % 3 AS req_m FROM documents)"
+
+  def searchDslTermsSet(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir)
+      .withColumn("req_m", col("doc_id") % 3), TermsSetQuery)
+
+  val searchDslTermsSetSql: String = dslSqlOver(TermsSetQuery, ReqMRel)
+
+  /** Registered `rank_feature` — relevance + a document-signal should:
+    * BM25 must over the query terms, a saturation-scored length signal
+    * lifting long docs (S/(S+250)). */
+  val RankFeatureQuery: String =
+    """{"query": {"bool": {
+      |  "must": [{"match": {"text": "dup vector"}}],
+      |  "should": [{"rank_feature": {"field": "n_chars",
+      |    "saturation": {"pivot": 250}}}]}}, "size": 30}""".stripMargin
+
+  def searchDslRankFeature(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), RankFeatureQuery)
+
+  val searchDslRankFeatureSql: String = dslSql(RankFeatureQuery)
+
+  def searchDslRankFeatureServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), RankFeatureQuery)
+
+  /** Registered `distance_feature` — recency boost: matching docs
+    * near the origin date score pivot/(pivot+days) on top of their
+    * BM25 must (the "boost this week's docs" pattern). */
+  val DistanceFeatureQuery: String =
+    """{"query": {"bool": {
+      |  "must": [{"match": {"text": "dup"}}],
+      |  "should": [{"distance_feature": {"field": "persist_date",
+      |    "origin": "2026-02-10", "pivot": "7d"}}]}}, "size": 25}"""
+      .stripMargin
+
+  def searchDslDistanceFeature(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslOf(Search.withPersistDate(Tables.documentsPar(spark, dir)),
+      DistanceFeatureQuery)
+
+  val searchDslDistanceFeatureSql: String =
+    dslSqlOver(DistanceFeatureQuery, Search.PersistDateRel)
+
+  def searchDslDistanceFeatureServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Search.sharedDailyIndexDirs(spark, dir)._1, DistanceFeatureQuery)
 
   /** Registered AGGREGATIONS body — a match query with a terms agg, a
     * date_histogram (over the deterministic [[Search.withPersistDate]]

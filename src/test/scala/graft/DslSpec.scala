@@ -1826,6 +1826,83 @@ class DslSpec extends SparkSpec {
       {"buckets_path": "_count"}}}}""").contains("PARENT pipeline"))
   }
 
+  test("wrapper/match_bool_prefix/pinned/terms_set/rank_feature/distance_feature clauses") {
+    // wrapper: base64 envelope ≡ the inner query, bit for bit
+    val inner = """{"match": {"text": "alpha beta"}}"""
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      inner.getBytes("UTF-8"))
+    val wrapped = run(s"""{"query": {"wrapper": {"query": "$b64"}},
+      "size": 5}""", tiny)
+    val direct = run(s"""{"query": $inner, "size": 5}""", tiny)
+    assert(wrapped == direct, "wrapper must equal its decoded query")
+    // match_bool_prefix: lead term optional, last term token-prefix.
+    // "rare al" → alpha-prefix docs 0,1,4 plus rare docs 0,3
+    val mbp = ids(run("""{"query": {"match_bool_prefix":
+      {"text": "rare al"}}, "size": 10}""", tiny)).toSet
+    assert(mbp == Set(0L, 1L, 3L, 4L), s"got $mbp")
+    // operator and: both required → doc 0 only
+    val mbpAnd = ids(run("""{"query": {"match_bool_prefix": {"text":
+      {"query": "rare al", "operator": "and"}}}, "size": 10}""", tiny))
+    assert(mbpAnd == Seq(0L), s"got $mbpAnd")
+    // pinned: ids rank first in GIVEN order (incl. one outside the
+    // organic set), organic ranking continues after
+    val pin = ids(run("""{"query": {"pinned": {"ids": [2, 3],
+      "organic": {"match": {"text": "alpha"}}}}, "size": 10}""", tiny))
+    assert(pin.take(2) == Seq(2L, 3L), s"got $pin")
+    assert(pin.drop(2).toSet == Set(0L, 1L, 4L), s"got $pin")
+    // terms_set: per-doc thresholds (req = 1 for docs 0-2, 2 for 3-4)
+    val ts = tiny.withColumn("req",
+      org.apache.spark.sql.functions.when($"doc_id" <= 2, 1)
+        .otherwise(2))
+    val tset = ids(run("""{"query": {"terms_set": {"text":
+      {"terms": ["alpha", "beta"],
+       "minimum_should_match_field": "req"}}}, "size": 10}""", ts)).toSet
+    // docs 0(alpha,req1) 1(both,req1) 2(beta,req1) match; 3(beta,req2)
+    // fails; 4(both,req2) matches
+    assert(tset == Set(0L, 1L, 2L, 4L), s"got $tset")
+    // rank_feature saturation: longer docs first among equals
+    val rf = ids(run("""{"query": {"bool": {
+      "must": [{"term": {"lang": "en"}}],
+      "should": [{"rank_feature": {"field": "n_chars",
+        "saturation": {"pivot": 10}}}]}}, "size": 10}""", tiny))
+    // en docs 0(16), 1(10), 3(9): saturation orders 0 > 1 > 3
+    assert(rf == Seq(0L, 1L, 3L), s"got $rf")
+    // distance_feature on a date: nearest to origin first
+    val dated = tiny.withColumn("pd",
+      org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.array(
+            lit("2026-01-01"), lit("2026-01-10"), lit("2026-01-11"),
+            lit("2026-02-01"), lit("2026-03-01")),
+          ($"doc_id" + 1).cast("int"))))
+    val df = ids(run("""{"query": {"bool": {
+      "must": [{"match_all": {}}],
+      "should": [{"distance_feature": {"field": "pd",
+        "origin": "2026-01-10", "pivot": "5d"}}]}}, "size": 10}""",
+      dated))
+    // distances: 9, 0, 1, 22, 50 → order 1, 2, 0, 3, 4
+    assert(df == Seq(1L, 2L, 0L, 3L, 4L), s"got $df")
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"wrapper": {"query": "!!!not-b64"}}}""")
+      .contains("base64"))
+    assert(msg("""{"query": {"pinned": {"ids": [],
+      "organic": {"match_all": {}}}}}""").contains("non-empty"))
+    assert(msg("""{"query": {"pinned": {"ids": [1, 1],
+      "organic": {"match_all": {}}}}}""").contains("twice"))
+    assert(msg("""{"query": {"terms_set": {"text": {"terms": ["a"],
+      "minimum_should_match_script": {"source": "x"}}}}}""")
+      .contains("unsupported"))
+    assert(msg("""{"query": {"rank_feature": {"field": "n_chars"}}}""")
+      .contains("data-dependent"))
+    assert(msg("""{"query": {"rank_feature": {"field": "n_chars",
+      "sigmoid": {"pivot": 1, "exponent": 2}}}}""")
+      .contains("sigmoid"))
+    assert(msg("""{"query": {"distance_feature": {"field": "pd",
+      "origin": "2026-01-10", "pivot": "3h"}}}""").contains("days"))
+  }
+
   test("percolate_dsl: full query bodies as stored rules") {
     val hits = Dsl.percolateDslOf(tiny, Seq(
       1L -> """{"query": {"bool": {"must": [{"match": {"text": "alpha"}}],
