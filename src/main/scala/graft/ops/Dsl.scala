@@ -394,7 +394,8 @@ object Dsl {
     * list (empty = `"_source": false`, rk + doc_id only). */
   final case class Body(query: Node, size: Int, aggs: Seq[AggSpec],
       from: Int, sort: Seq[(String, Boolean)], source: Option[Seq[String]],
-      after: Option[Seq[Scalar]], highlight: Option[String])
+      after: Option[Seq[Scalar]], highlight: Option[String],
+      collapse: Option[String] = None)
 
   /** A JSON scalar a term/range clause compares against, carrying its
     * Spark literal and its SQL literal so both compilers emit the
@@ -447,10 +448,11 @@ object Dsl {
       case other => fail(s"body must be a JSON object, got $other")
     }
     val known = Set("query", "size", "aggs", "from", "sort", "_source",
-      "search_after", "highlight")
+      "search_after", "highlight", "collapse")
     root.obj.collectFirst { case (k, _) if !known.contains(k) => k }
       .foreach(k => fail(s"unsupported body key '$k' — supported: " +
-        "_source, aggs, from, highlight, query, search_after, size, sort"))
+        "_source, aggs, collapse, from, highlight, query, search_after, " +
+        "size, sort"))
     val size = root \ "size" match {
       case JNothing => DefaultSize
       case JInt(n) if n >= 0 && n <= MaxResultWindow => n.toInt
@@ -527,6 +529,22 @@ object Dsl {
         }
       case other => fail(s"highlight must be an object, got $other")
     }
+    val collapse = root \ "collapse" match {
+      case JNothing => None
+      case o: JObject =>
+        o.obj.collectFirst { case (k, _) if k != "field" => k }
+          .foreach(k => fail(s"collapse has unsupported option '$k' — " +
+            "supported: field (inner_hits would need a second per-group " +
+            "fetch; dslTopHitsOf serves that shape)"))
+        o \ "field" match {
+          case JString(f) if f.nonEmpty => Some(f)
+          case _ => fail("collapse needs a \"field\"")
+        }
+      case other => fail(s"collapse must be an object, got $other")
+    }
+    if (collapse.nonEmpty && after.nonEmpty)
+      fail("collapse with search_after is unsupported — page collapsed " +
+        "results with from")
     val q = root \ "query" match {
       case JNothing => MatchAllQ // the ES default
       case qq => node(qq)
@@ -535,7 +553,7 @@ object Dsl {
       case JNothing => Seq.empty
       case a => parseAggs(a)
     }
-    Body(q, size, aggs, from, sort, source, after, highlight)
+    Body(q, size, aggs, from, sort, source, after, highlight, collapse)
   }
 
   /** The ES `minimum_should_match` grammar, resolved against the
@@ -1165,6 +1183,76 @@ object Dsl {
         QueryString.parseClause(body, simple = true)
       case "query_string" =>
         QueryString.parseClause(body, simple = false)
+      case "more_like_this" =>
+        // MLT with LIKE-TEXT-LOCAL term selection: terms rank by their
+        // frequency INSIDE the like text (min_term_freq floor,
+        // max_query_terms cut, tf-desc/term-asc order) — deterministic
+        // at parse, so the generated oracle exists. ES's default
+        // selection also weighs INDEX doc frequencies (min_doc_freq &
+        // co) — data-dependent at parse time, refused below.
+        body match {
+          case o: JObject =>
+            val known = Set("fields", "like", "max_query_terms",
+              "min_term_freq", "minimum_should_match", "boost")
+            o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+              .foreach(k => fail("more_like_this has unsupported option " +
+                s"'$k' — supported: ${known.toSeq.sorted.mkString(", ")} " +
+                "(doc-frequency knobs select terms from index " +
+                "statistics — data-dependent, unsupported)"))
+            val field = o \ "fields" match {
+              case JNothing => Search.DefaultField
+              case JArray(List(JString(f))) =>
+                checkAnalyzed(f, "more_like_this"); f
+              case JArray(_) => fail("more_like_this supports exactly " +
+                "one analyzed field")
+              case v =>
+                fail(s"more_like_this fields must be an array, got $v")
+            }
+            val likeText = o \ "like" match {
+              case JString(s) => s
+              case JArray(vs) if vs.nonEmpty => vs.map {
+                case JString(s) => s
+                case other => fail("more_like_this like entries must " +
+                  s"be text, got $other (the {_index,_id} document " +
+                  "form is unsupported)")
+              }.mkString(" ")
+              case _ => fail("more_like_this needs \"like\" text")
+            }
+            val minTf = o \ "min_term_freq" match {
+              case JNothing => 2 // the ES default
+              case JInt(n) if n >= 1 => n.toInt
+              case v => fail("more_like_this min_term_freq must be a " +
+                s"positive integer, got $v")
+            }
+            val maxTerms = o \ "max_query_terms" match {
+              case JNothing => 25 // the ES default
+              case JInt(n) if n >= 1 => n.toInt
+              case v => fail("more_like_this max_query_terms must be a " +
+                s"positive integer, got $v")
+            }
+            val counts = analyzed(likeText).groupBy(identity).toSeq
+              .map { case (t, xs) => (t, xs.size) }
+            val selected = counts.filter(_._2 >= minTf)
+              .sortBy { case (t, c) => (-c, t) }.take(maxTerms).map(_._1)
+            if (selected.isEmpty)
+              fail("more_like_this: no like-text term reaches " +
+                s"min_term_freq=$minTf — lower it or provide more text")
+            val msm = o \ "minimum_should_match" match {
+              case JNothing => resolveMsm("30%", selected.size) // ES dflt
+              case JInt(n) => n.toInt
+              case JString(s) => resolveMsm(s, selected.size)
+              case v => fail("more_like_this minimum_should_match must " +
+                s"be an integer or a grammar string, got $v")
+            }
+            // a pure disjunction needs ≥1 hit regardless of the
+            // resolved floor — Lucene's own should-only rule
+            BoolQ(Seq.empty,
+              selected.map(t =>
+                MatchQ(field, Seq(t), boostOf(o), andOp = false)),
+              Seq.empty, Seq.empty, Some(math.max(1, msm)))
+          case other =>
+            fail(s"more_like_this expects an object, got $other")
+        }
       case "wrapper" =>
         // the base64 query envelope — clients that must ship a query
         // through a string-typed config slot; decodes and recurses
@@ -1366,9 +1454,9 @@ object Dsl {
         "bool, boosting, constant_score, dis_max, distance_feature, " +
         "exists, function_score, fuzzy, ids, match, match_all, " +
         "match_bool_prefix, match_phrase, match_phrase_prefix, " +
-        "multi_match, nested, pinned, prefix, query_string, range, " +
-        "rank_feature, regexp, simple_query_string, term, terms, " +
-        "terms_set, wildcard, wrapper")
+        "more_like_this, multi_match, nested, pinned, prefix, " +
+        "query_string, range, rank_feature, regexp, " +
+        "simple_query_string, term, terms, terms_set, wildcard, wrapper")
     }
     case JObject(fields) =>
       fail(s"a query clause must have exactly one key, got " +
@@ -2513,6 +2601,7 @@ object Dsl {
       source: Option[Seq[String]] = None,
       after: Option[Seq[Scalar]] = None,
       highlight: Option[String] = None,
+      collapse: Option[String] = None,
       zkeys: Seq[(String, String, Int)] = Seq.empty,
       szkeys: Seq[(String, String, Int)] = Seq.empty,
       zfIdx: ZIdx = Map.empty,
@@ -2570,9 +2659,9 @@ object Dsl {
         fail(s"highlight.$hf: the query carries no match/phrase terms " +
           s"on '$hf' — nothing to highlight")
     }
-    p.copy(exact = (p.exact ++ extra).distinct,
+    p.copy(exact = (p.exact ++ extra ++ b.collapse.toSeq).distinct,
       from = b.from, sortKeys = b.sort, source = b.source, after = b.after,
-      highlight = b.highlight)
+      highlight = b.highlight, collapse = b.collapse)
   }
 
   /** (n_matched, tf_total) SQL over the feature columns — exact AND
@@ -2605,6 +2694,9 @@ object Dsl {
       if (b.source.nonEmpty)
         fail(s"_msearch request $i has _source — the batched frame is " +
           "uniform: (req, rk, doc_id, n_matched, tf_total, dl)")
+      if (b.collapse.nonEmpty)
+        fail(s"_msearch request $i has collapse — field collapsing is " +
+          "per-request (searchDslOf)")
     }
     val qs = parsed.map(_.query)
     val tkeys = qs.flatMap(tkeysOf).distinct
@@ -2912,8 +3004,8 @@ object Dsl {
       else hitCols.map(_.cast("long")).reduce(_ + _)
     val dlC = if (p.needsText) $"dl" else lit(0L)
     val reserved = Seq("doc_id", "dl", "n_matched", "tf_total", "score")
-    val extraCols = (p.sortFields ++ p.source.getOrElse(Seq.empty))
-      .distinct.filterNot(reserved.contains)
+    val extraCols = (p.sortFields ++ p.source.getOrElse(Seq.empty) ++
+      p.collapse.toSeq).distinct.filterNot(reserved.contains)
     // explicit NULLS LAST on sort keys — ES's missing:_last default,
     // and DuckDB's own default, so both engines agree on null docs
     def sortCol(fld: String, asc: Boolean): Column = {
@@ -2929,10 +3021,22 @@ object Dsl {
     // rk restarts at 1 (ES's search_after responses carry no offset)
     val gate = p.after.map(v => p.c.pred && afterPredOf(p, v)._1)
       .getOrElse(p.c.pred)
-    val ranked = joined.filter(gate)
+    val scoredRows = joined.filter(gate)
       .select(($"doc_id" +: dlC.as("dl") +: nMatched.as("n_matched") +:
         tfTotal.as("tf_total") +: score.as("score") +:
         extraCols.map(col)): _*)
+    // field collapsing: each group's best-ranked doc survives BEFORE
+    // the page cut — a per-key window (rank state is per-group top-1,
+    // never a global distinct); docs missing the field share one null
+    // group, the ES contract
+    val collapsed = p.collapse match {
+      case Some(cf) =>
+        val wg = Window.partitionBy(col(cf)).orderBy(ord: _*)
+        scoredRows.withColumn("g_rn", row_number().over(wg))
+          .filter($"g_rn" === 1).drop("g_rn")
+      case None => scoredRows
+    }
+    val ranked = collapsed
       .orderBy(ord: _*).limit(p.from + p.size)
       .withColumn("rk", row_number().over(w))
     // `from` paging: rk stays the GLOBAL rank (hits from+1 … from+size,
@@ -3160,8 +3264,8 @@ object Dsl {
     val (nMatched, tfTotal) = provSql(p)
     val dlSql = if (p.needsText) "f.dl" else "CAST(0 AS BIGINT)"
     val reserved = Seq("doc_id", "dl", "n_matched", "tf_total", "score")
-    val extraCols = (p.sortFields ++ p.source.getOrElse(Seq.empty))
-      .distinct.filterNot(reserved.contains)
+    val extraCols = (p.sortFields ++ p.source.getOrElse(Seq.empty) ++
+      p.collapse.toSeq).distinct.filterNot(reserved.contains)
     val ctes = Seq(fCteSql(p, Seq.empty, rel)) ++
       (if (p.needsStats) Seq(sCteSql(p)) else Seq.empty)
     val from = if (p.needsStats) "FROM f CROSS JOIN s" else "FROM f"
@@ -3185,21 +3289,29 @@ object Dsl {
            extraCols.map(c => s",\n    f.$c AS $c").mkString}
          |  $from
          |  WHERE $gateSql)""".stripMargin
+    // collapse: the per-group top-1 window, mirrored from rankTail
+    val clSql = p.collapse.map(cf =>
+      s"""cl AS (
+         |  SELECT * EXCLUDE (g_rn) FROM (
+         |    SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY $cf
+         |      ORDER BY $ordSql) AS g_rn FROM sc) AS g
+         |  WHERE g_rn = 1)""".stripMargin)
+    val hitsRel = if (p.collapse.isEmpty) "sc" else "cl"
     val tail =
       if (p.from == 0)
         s"""SELECT ROW_NUMBER() OVER (ORDER BY $ordSql) AS rk,
            |  $outSql
-           |FROM sc ORDER BY $ordSql LIMIT ${p.size}""".stripMargin
+           |FROM $hitsRel ORDER BY $ordSql LIMIT ${p.size}""".stripMargin
       else
         s"""SELECT * FROM (
            |  SELECT ROW_NUMBER() OVER (ORDER BY $ordSql) AS rk,
            |    $outSql
-           |  FROM sc) AS pg
+           |  FROM $hitsRel) AS pg
            |WHERE rk > ${p.from} ORDER BY rk LIMIT ${p.size}""".stripMargin
     p.highlight match {
       case None =>
         s"""WITH ${ctes.mkString(",\n")},
-           |$scSql
+           |${(Seq(scSql) ++ clSql.toSeq).mkString(",\n")}
            |$tail""".stripMargin
       case Some(hf) =>
         val hlNt =
@@ -3214,7 +3326,7 @@ object Dsl {
           case Some(fs) => "doc_id" +: fs
         })
         s"""WITH ${ctes.mkString(",\n")},
-           |$scSql,
+           |${(Seq(scSql) ++ clSql.toSeq).mkString(",\n")},
            |hl AS (SELECT doc_id, $hlNt AS hl_nt FROM $rel),
            |pg AS (
            |$tail),
@@ -3262,9 +3374,9 @@ object Dsl {
       fail("an aggregation body returns no hits — set size: 0 " +
         "(ES convention); hits are served by searchDslOf")
     if (b.from != 0 || b.sort.nonEmpty || b.source.nonEmpty ||
-        b.after.nonEmpty || b.highlight.nonEmpty)
+        b.after.nonEmpty || b.highlight.nonEmpty || b.collapse.nonEmpty)
       fail("an aggregation body returns no hits — from/sort/_source/" +
-        "search_after/highlight have no meaning beside size: 0")
+        "search_after/highlight/collapse have no meaning beside size: 0")
     // aggregations never rank: the query compiles in filter context;
     // filter-agg clauses join the query's clause inventory so ONE
     // feature frame serves the predicate and every stored bucket
@@ -4073,9 +4185,10 @@ object Dsl {
       fail("a top_hits body returns no top-level hits — set size: 0; " +
         "pages are searchDslOf's job")
     if (b.from != 0 || b.sort.nonEmpty || b.source.nonEmpty ||
-        b.after.nonEmpty || b.highlight.nonEmpty)
+        b.after.nonEmpty || b.highlight.nonEmpty || b.collapse.nonEmpty)
       fail("a top_hits body returns no top-level hits — from/sort/" +
-        "_source/search_after/highlight have no meaning beside size: 0")
+        "_source/search_after/highlight/collapse have no meaning " +
+        "beside size: 0")
     val (pname, t, sn, th) = b.aggs match {
       case Seq(AggSpec(pn, ta: TermsAgg, Some((s2, tha: TopHitsAgg)))) =>
         (pn, ta, s2, tha)
@@ -5019,9 +5132,9 @@ object Dsl {
       fail("an aggregation body returns no hits — set size: 0 " +
         "(ES convention); hits are served by searchDslFromIndexes")
     if (b.from != 0 || b.sort.nonEmpty || b.source.nonEmpty ||
-        b.after.nonEmpty || b.highlight.nonEmpty)
+        b.after.nonEmpty || b.highlight.nonEmpty || b.collapse.nonEmpty)
       fail("an aggregation body returns no hits — from/sort/_source/" +
-        "search_after/highlight have no meaning beside size: 0")
+        "search_after/highlight/collapse have no meaning beside size: 0")
     val filterNodes = aggClauseNodes(b)
     val p = mergedFilterPlan(b.query +: filterNodes)
     val aggFields = b.aggs.flatMap(aggSpecFields).distinct
@@ -5254,6 +5367,44 @@ object Dsl {
       dir: String): DataFrame =
     searchDslFromIndexes(spark,
       Search.sharedDailyIndexDirs(spark, dir)._1, DistanceFeatureQuery)
+
+  /** Registered `collapse` — field collapsing: one best-ranked hit per
+    * `source` (the "one result per site" pattern), collapsed BEFORE
+    * the page cut by a per-group window — rank state is per-group
+    * top-1, never a global distinct or sort. */
+  val CollapseQuery: String =
+    """{"query": {"match": {"text": "dup vector"}},
+      |  "collapse": {"field": "source"},
+      |  "size": 15, "_source": ["source", "n_chars"]}""".stripMargin
+
+  def searchDslCollapse(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), CollapseQuery)
+
+  val searchDslCollapseSql: String = dslSql(CollapseQuery)
+
+  def searchDslCollapseServed(spark: SparkSession, dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), CollapseQuery)
+
+  /** Registered `more_like_this` — find-similar with like-text-local
+    * term selection: terms occurring ≥2× in the like text rank by
+    * (tf desc, term asc), the top 10 become an msm-gated disjunction
+    * over the existing match machinery (doc-frequency selection knobs
+    * refuse — index-statistic-dependent). */
+  val MltQuery: String =
+    """{"query": {"more_like_this": {"fields": ["text"],
+      |  "like": "dup vector merge dup vector hash",
+      |  "min_term_freq": 2, "max_query_terms": 10,
+      |  "minimum_should_match": 1}}, "size": 30}""".stripMargin
+
+  def searchDslMlt(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), MltQuery)
+
+  val searchDslMltSql: String = dslSql(MltQuery)
+
+  def searchDslMltServed(spark: SparkSession, dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), MltQuery)
 
   /** Registered AGGREGATIONS body — a match query with a terms agg, a
     * date_histogram (over the deterministic [[Search.withPersistDate]]

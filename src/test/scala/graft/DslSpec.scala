@@ -1903,6 +1903,54 @@ class DslSpec extends SparkSpec {
       "origin": "2026-01-10", "pivot": "3h"}}}""").contains("days"))
   }
 
+  test("collapse keeps each group's best hit; more_like_this selects like-text terms") {
+    // collapse by source: best alpha doc per source. alpha docs 0,1,4
+    // (src0, src1, src2) — all distinct sources, all survive; then
+    // collapse by lang: en docs 0,1 collapse to the best one
+    val byLang = ids(run("""{"query": {"match": {"text": "alpha"}},
+      "collapse": {"field": "lang"}, "size": 10}""", tiny))
+    // en picks its best-scoring doc; fr keeps doc 4
+    assert(byLang.size == 2 && byLang.contains(4L), s"got $byLang")
+    // collapsed ranks are contiguous 1..n (rk assigned AFTER collapse)
+    val rks = run("""{"query": {"match": {"text": "alpha"}},
+      "collapse": {"field": "lang"}, "size": 10}""", tiny)
+      .map(_(0).asInstanceOf[Int])
+    assert(rks == Seq(1, 2), s"got $rks")
+    // from-paging composes: page 2 of size 1 is the second group head
+    val page2 = ids(run("""{"query": {"match": {"text": "alpha"}},
+      "collapse": {"field": "lang"}, "from": 1, "size": 1}""", tiny))
+    assert(page2 == Seq(byLang(1)), s"got $page2")
+    // the oracle mirrors the same window
+    assert(Dsl.dslSql("""{"query": {"match_all": {}},
+      "collapse": {"field": "lang"}}""").contains("PARTITION BY lang"))
+    // more_like_this: "alpha alpha beta" with min_term_freq 2 selects
+    // ONLY alpha (beta tf 1) → alpha docs
+    val mlt = ids(run("""{"query": {"more_like_this": {
+      "fields": ["text"], "like": "alpha alpha beta",
+      "min_term_freq": 2}}, "size": 10}""", tiny)).toSet
+    assert(mlt == Set(0L, 1L, 4L), s"got $mlt")
+    // min_term_freq 1 admits beta too; max_query_terms 1 keeps the
+    // most frequent term only (alpha)
+    val mlt1 = ids(run("""{"query": {"more_like_this": {
+      "fields": ["text"], "like": "alpha alpha beta",
+      "min_term_freq": 1, "max_query_terms": 1}}, "size": 10}""",
+      tiny)).toSet
+    assert(mlt1 == Set(0L, 1L, 4L), s"got $mlt1")
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"match_all": {}}, "collapse":
+      {"field": "lang", "inner_hits": {}}}""").contains("inner_hits"))
+    assert(msg("""{"query": {"match_all": {}},
+      "collapse": {"field": "lang"},
+      "search_after": [5], "sort": [{"n_chars": "desc"}]}""")
+      .contains("search_after"))
+    assert(msg("""{"query": {"more_like_this": {"like": "zz zz",
+      "min_doc_freq": 2}}}""").contains("data-dependent"))
+    assert(msg("""{"query": {"more_like_this": {"like": "a b c"}}}""")
+      .contains("min_term_freq=2"))
+  }
+
   test("percolate_dsl: full query bodies as stored rules") {
     val hits = Dsl.percolateDslOf(tiny, Seq(
       1L -> """{"query": {"bool": {"must": [{"match": {"text": "alpha"}}],
