@@ -332,6 +332,35 @@ object Dsl {
       percents: Seq[BigDecimal]) extends AggNode
   final case class RangeAgg(field: String,
       ranges: Seq[(Option[Scalar], Option[Scalar])]) extends AggNode
+  /** ES `multi_terms` — compound bucket keys: the key is the fields'
+    * values joined by `|` (ES's own key_as_string separator). Docs
+    * missing ANY key field are skipped (null propagates through the
+    * concat — the same isNotNull gate terms uses). Metric subs only
+    * (a bucket sub under a compound key would need a third key
+    * column). */
+  final case class MultiTermsAgg(fields: Seq[String], topN: Int,
+      order: TermsOrder) extends AggNode
+  /** ES `rare_terms` — the long tail: every bucket with doc_count ≤
+    * `max_doc_count`, ordered count-asc then key. EXACT (the ES
+    * implementation trades exactness for a CuckooFilter bound at
+    * scale; an oracle-checkable engine cannot — documented stance:
+    * rare buckets of a filtered match set are usually few, and the
+    * output is bucket-grain either way). */
+  final case class RareTermsAgg(field: String, maxDoc: Int) extends AggNode
+  /** ES `significant_terms` — terms over-represented in the query's
+    * MATCH SET vs the whole corpus, scored by JLH = (fg% − bg%) ·
+    * (fg% / bg%) (Lucene's default heuristic — deterministic integer
+    * counts in, one double expression out, so the oracle hashes).
+    * Needs background counts, so it is the one agg that reads the
+    * PRE-FILTER frame: one extra grouping pass over the corpus
+    * (field + match flag), inherent to the statistic. */
+  final case class SigTermsAgg(field: String, topN: Int) extends AggNode
+  /** ES `weighted_avg` — Σ(value·weight)/Σ(weight) over docs carrying
+    * BOTH fields (the ES skip-missing default; `missing` substitutes
+    * refuse). Top-level only: the two-field input has no slot in the
+    * single-field sub-metric machinery. */
+  final case class WeightedAvgAgg(value: String, weight: String)
+    extends AggNode
   /** ES `top_hits` — the per-bucket top DOCUMENTS sub-agg (the "show
     * me examples per bucket" dashboard staple). Doc-grain output, so
     * it is served by [[dslTopHitsOf]] (its own hit-shaped frame), not
@@ -1732,6 +1761,103 @@ object Dsl {
           case "stats" => StatsAgg(aggField(spec, name, Set("field")))
           case "avg" | "sum" | "min" | "max" | "value_count" =>
             MetricAgg(tpe, aggField(spec, name, Set("field")))
+          case "extended_stats" =>
+            if (sub) fail(s"agg '$name': extended_stats emits multiple " +
+              "rows (variance/std_deviation/sum_of_squares ride extra " +
+              "keyed rows) — top-level only; subs take stats")
+            MetricAgg("extended_stats", aggField(spec, name, Set("field")))
+          case "weighted_avg" =>
+            if (sub) fail(s"agg '$name': weighted_avg is top-level only " +
+              "— the two-field input has no slot in the sub-metric " +
+              "machinery")
+            spec match {
+              case o: JObject =>
+                o.obj.collectFirst {
+                  case (k, _) if k != "value" && k != "weight" => k
+                }.foreach(k => fail(s"agg '$name' weighted_avg has " +
+                  s"unsupported option '$k' — supported: value, weight"))
+              case other => fail(s"agg '$name' expects an object, " +
+                s"got $other")
+            }
+            def wfield(part: String): String = spec \ part match {
+              case o: JObject =>
+                o.obj.collectFirst { case (k, _) if k != "field" => k }
+                  .foreach(k => fail(s"agg '$name' weighted_avg.$part " +
+                    s"has unsupported option '$k' — supported: field " +
+                    "(missing substitutes are unsupported — ES's " +
+                    "skip-missing default applies)"))
+                o \ "field" match {
+                  case JString(f) => f
+                  case _ => fail(s"agg '$name' weighted_avg.$part " +
+                    "needs a \"field\"")
+                }
+              case _ => fail(s"agg '$name' weighted_avg needs " +
+                s"\"$part\": {\"field\": …}")
+            }
+            WeightedAvgAgg(wfield("value"), wfield("weight"))
+          case "multi_terms" =>
+            spec match {
+              case o: JObject =>
+                o.obj.collectFirst {
+                  case (k, _) if k != "terms" && k != "size" &&
+                    k != "order" => k
+                }.foreach(k => fail(s"agg '$name' multi_terms has " +
+                  s"unsupported option '$k' — supported: order, size, " +
+                  "terms"))
+              case other => fail(s"agg '$name' expects an object, " +
+                s"got $other")
+            }
+            val fs = spec \ "terms" match {
+              case JArray(ts) if ts.size >= 2 => ts.map {
+                case o: JObject =>
+                  o.obj.collectFirst { case (k, _) if k != "field" => k }
+                    .foreach(k => fail(s"agg '$name' multi_terms term " +
+                      s"has unsupported option '$k' — supported: field"))
+                  o \ "field" match {
+                    case JString(f) => f
+                    case _ => fail(s"agg '$name' multi_terms terms " +
+                      "need a \"field\"")
+                  }
+                case other => fail(s"agg '$name' multi_terms terms " +
+                  s"must be objects, got $other")
+              }
+              case _ => fail(s"agg '$name' multi_terms needs a " +
+                "\"terms\" array of at least two fields")
+            }
+            if (fs.distinct.size != fs.size)
+              fail(s"agg '$name' multi_terms lists a field twice")
+            val n = spec \ "size" match {
+              case JNothing => DefaultSize
+              case JInt(x) if x > 0 && x <= MaxResultWindow => x.toInt
+              case v => fail(s"agg '$name' size must be a positive " +
+                s"integer ≤ $MaxResultWindow, got $v")
+            }
+            val order = spec \ "order" match {
+              case JNothing => ByCount
+              case JObject(List(("_count", JString("desc")))) => ByCount
+              case JObject(List(("_key", JString("asc")))) => ByKey
+              case v => fail(s"agg '$name' multi_terms order must be " +
+                s"""{"_count": "desc"} or {"_key": "asc"}, got $v""")
+            }
+            MultiTermsAgg(fs, n, order)
+          case "rare_terms" =>
+            val f = aggField(spec, name, Set("field", "max_doc_count"))
+            val m = spec \ "max_doc_count" match {
+              case JNothing => 1 // the ES default
+              case JInt(x) if x >= 1 && x <= 100 => x.toInt
+              case v => fail(s"agg '$name' max_doc_count must be in " +
+                s"[1, 100] (the ES bound), got $v")
+            }
+            RareTermsAgg(f, m)
+          case "significant_terms" =>
+            val f = aggField(spec, name, Set("field", "size"))
+            val n = spec \ "size" match {
+              case JNothing => DefaultSize
+              case JInt(x) if x > 0 && x <= MaxResultWindow => x.toInt
+              case v => fail(s"agg '$name' size must be a positive " +
+                s"integer ≤ $MaxResultWindow, got $v")
+            }
+            SigTermsAgg(f, n)
           case "cumulative_sum" | "derivative" =>
             if (!sub) fail(s"agg '$name': $tpe is a PARENT pipeline " +
               "aggregation — place it under a date_histogram/histogram's " +
@@ -1862,10 +1988,12 @@ object Dsl {
             TopHitsAgg(n, sort)
           case other => fail(s"unsupported aggregation type '$other' — " +
             "supported: avg, avg_bucket, cardinality, cumulative_sum, " +
-            "date_histogram, derivative, filter, filters, histogram, " +
-            "max, max_bucket, min, min_bucket, nested, range, stats, " +
-            "sum, sum_bucket, terms, top_hits, value_count (composite " +
-            "pages through its own endpoint, dslAggsCompositeOf)")
+            "date_histogram, derivative, extended_stats, filter, " +
+            "filters, histogram, max, max_bucket, min, min_bucket, " +
+            "multi_terms, nested, range, rare_terms, " +
+            "significant_terms, stats, sum, sum_bucket, terms, " +
+            "top_hits, value_count, weighted_avg (composite pages " +
+            "through its own endpoint, dslAggsCompositeOf)")
         }
         case Nil => fail(s"agg '$name' has no aggregation type")
         case more => fail(s"agg '$name' must have exactly one type, got " +
@@ -1937,7 +2065,8 @@ object Dsl {
 
   private def aggTakesSub(a: AggNode): Boolean = a match {
     case _: TermsAgg | _: DateHistAgg | _: HistAgg | _: RangeAgg |
-         _: FilterAgg | _: FiltersAgg | _: NestedAgg => true
+         _: FilterAgg | _: FiltersAgg | _: NestedAgg |
+         _: MultiTermsAgg => true
     case _ => false
   }
 
@@ -1968,6 +2097,10 @@ object Dsl {
     case FiltersAgg(_) => Seq.empty
     case PipelineAgg(_) => Seq.empty
     case BucketMetricAgg(_, _) => Seq.empty
+    case MultiTermsAgg(fs, _, _) => fs
+    case RareTermsAgg(f, _) => Seq(f)
+    case SigTermsAgg(f, _) => Seq(f)
+    case WeightedAvgAgg(v, w) => Seq(v, w)
     case TopHitsAgg(_, sort) => sort.map(_._1)
     case NestedAgg(p) => Seq(p)
   }
@@ -3384,8 +3517,8 @@ object Dsl {
     val p = mergedFilterPlan(b.query +: filterNodes)
     val aggFields = b.aggs.flatMap(aggSpecFields).distinct
     checkFields(docs, (p.exact ++ aggFields).distinct)
-    val matched = scanF(docs, p, aggFields).filter(p.c.pred)
-    aggsOver(matched, b, p)
+    val fullF = scanF(docs, p, aggFields)
+    aggsOver(fullF.filter(p.c.pred), fullF, b, p)
   }
 
   /** The one-pass aggregation emission over an already-matched
@@ -3399,7 +3532,8 @@ object Dsl {
     * 4 scans/9 shuffles → 1 scan/1 aggregate). Post-processing (set
     * selection, the terms top-N cut, key stringification) runs at
     * BUCKET grain — tiny. */
-  private def aggsOver(matched: DataFrame, b: Body, p: Plan): DataFrame = {
+  private def aggsOver(matched: DataFrame, full: DataFrame, b: Body,
+      p: Plan): DataFrame = {
     import matched.sparkSession.implicits._
     refuseTopHits(b)
     def numericRequired(a: AggNode): Seq[String] = a match {
@@ -3408,6 +3542,7 @@ object Dsl {
       case HistAgg(f, _) => Seq(f)
       case RangeAgg(f, _) => Seq(f)
       case PercentilesAgg(f, _) => Seq(f)
+      case WeightedAvgAgg(v, w) => Seq(v, w)
       case _ => Seq.empty // value_count/cardinality take any field
     }
     b.aggs.foreach { s =>
@@ -3442,6 +3577,12 @@ object Dsl {
       // expression is total, so the null-skip filter below is a no-op
       case TermsAgg(x, _, _, m, _, _, _) =>
         Some(m.map(v => coalesce(col(x), v.column)).getOrElse(col(x)))
+      // null PROPAGATES through concat (not concat_ws), so the
+      // isNotNull gate below skips docs missing any key field — ES
+      case MultiTermsAgg(fs, _, _) =>
+        Some(fs.map(f => col(f).cast("string"))
+          .reduce((a, c) => concat(a, lit("|"), c)))
+      case RareTermsAgg(x, _) => Some(col(x))
       case DateHistAgg(x, iv) =>
         Some(if (iv == "month") date_format(col(x), "yyyy-MM")
              else col(x))
@@ -3482,7 +3623,8 @@ object Dsl {
       s.agg match {
         case _: StatsAgg | _: MetricAgg | _: CardinalityAgg =>
           Seq(metricKindField(s.agg))
-        case _: TermsAgg | _: DateHistAgg | _: HistAgg =>
+        case _: TermsAgg | _: DateHistAgg | _: HistAgg |
+             _: MultiTermsAgg =>
           s.sub.filter(x => isMetric(x._2)).map(x => metricKindField(x._2))
             .toSeq
         case _ => Seq.empty
@@ -3490,6 +3632,7 @@ object Dsl {
     }.distinct
     def needTags(kind: String): Seq[String] = kind match {
       case "stats" => Seq("vc", "vs", "vn", "vx")
+      case "extended_stats" => Seq("vc", "vs", "vn", "vx", "vq")
       case "avg" => Seq("vc", "vs")
       case "sum" => Seq("vs")
       case "min" => Seq("vn")
@@ -3506,6 +3649,10 @@ object Dsl {
       case ("vn", x) => min(col(x)).as(s"vn_$x")
       case ("vx", x) => max(col(x)).as(s"vx_$x")
       case ("vd", x) => count_distinct(col(x)).as(s"vd_$x")
+      // sum of squares for extended_stats — cast-then-multiply keeps
+      // integer inputs exact in double space in both engines
+      case ("vq", x) =>
+        sum(col(x).cast("double") * col(x).cast("double")).as(s"vq_$x")
       case (t, x) => approx_count_distinct(col(x),
         rsdOfThreshold(t.stripPrefix("vh").toInt)).as(s"${t}_$x")
     }
@@ -3565,17 +3712,31 @@ object Dsl {
     }.distinct
     val pctCols = pctDefs.map { case (nm, x, pp) =>
       percentile(col(x), lit((pp / 100).toDouble)).as(nm) }
+    // weighted_avg: Σ(v·w) and Σw over docs carrying BOTH fields —
+    // two more columns on the same one-pass aggregate
+    val wavDefs: Seq[(String, String)] = b.aggs.collect {
+      case AggSpec(_, WeightedAvgAgg(v, w), _) => (v, w)
+    }.distinct
+    val wavCols = wavDefs.flatMap { case (v, w) =>
+      val both = col(v).isNotNull && col(w).isNotNull
+      Seq(
+        sum(when(both, col(v).cast("double") * col(w).cast("double")))
+          .as(s"wv_${v}_$w"),
+        sum(when(both, col(w).cast("double"))).as(s"ww_${v}_$w"))
+    }
     val metricFieldCols = (uncondMetrics.map(_._2) ++
-      subKindOf.values.map(_._2) ++ pctDefs.map(_._2)).distinct.map(col)
+      subKindOf.values.map(_._2) ++ pctDefs.map(_._2) ++
+      wavDefs.flatMap(x => Seq(x._1, x._2))).distinct.map(col)
     // conditions precompute as boolean columns so the grouping-sets
     // projection keeps every aggregate's input
     val prep = matched.select(gkCols ++ metricFieldCols ++
       cbuckets.map { case (i, j, _, c) => c.as(s"cnd${i}_$j") }: _*)
     val statAgg = count(lit(1)).as("doc_count") +: (uncondCols ++
-      condAggCols ++ pctCols)
+      condAggCols ++ pctCols ++ wavCols)
     val hasGlobal = b.aggs.exists(s => keyExprOf(s.agg).isEmpty &&
       !s.agg.isInstanceOf[NestedAgg] &&
-      !s.agg.isInstanceOf[BucketMetricAgg])
+      !s.agg.isInstanceOf[BucketMetricAgg] &&
+      !s.agg.isInstanceOf[SigTermsAgg])
     // the persist makes the one corpus pass ACTUALLY one: the per-agg
     // branches below filter this frame, and without a materialization
     // barrier each branch would re-execute the whole scan+aggregate
@@ -3608,7 +3769,7 @@ object Dsl {
     def outStats(kind: String, vc: => Column, vs: => Column,
         vn: => Column, vx: => Column, vd: => Column): Seq[Column] =
       kind match {
-        case "stats" => Seq(vc.as("v_count"), vs.as("v_sum"),
+        case "stats" | "extended_stats" => Seq(vc.as("v_count"), vs.as("v_sum"),
           vn.cast("double").as("v_min"), vx.cast("double").as("v_max"),
           when(vc > 0, vs / vc).otherwise(nullD).as("v_avg"))
         case "avg" => Seq(nullL.as("v_count"), nullD.as("v_sum"),
@@ -3685,15 +3846,57 @@ object Dsl {
           }
           (if (minDoc > 1) sel.filter($"doc_count" >= minDoc) else sel)
             .orderBy(o: _*).limit(n)
+        case MultiTermsAgg(_, n, ord) =>
+          val o: Seq[Column] =
+            if (ord == ByKey) Seq($"key".asc)
+            else Seq($"doc_count".desc, $"key".asc)
+          sel.orderBy(o: _*).limit(n)
+        case RareTermsAgg(_, m) =>
+          // the long-tail cut: count CEILING, no top-N (every rare
+          // bucket emits — the ES contract)
+          sel.filter($"doc_count" <= m)
         case _ => sel
       }
     })
     val frames = b.aggs.zipWithIndex.flatMap { case (spec, i) =>
       if (spec.agg.isInstanceOf[NestedAgg])
         nestedAggFrames(matched, spec)
+      else if (spec.agg.isInstanceOf[SigTermsAgg])
+        Seq(sigTermsFrame(full, spec, p))
       else {
       val cut = spec.agg match {
-        case _: TermsAgg | _: DateHistAgg | _: HistAgg => groupingCut(i)
+        case _: TermsAgg | _: DateHistAgg | _: HistAgg |
+             _: MultiTermsAgg | _: RareTermsAgg => groupingCut(i)
+        case MetricAgg("extended_stats", x) =>
+          // the basic stats row + one keyed row per extended value
+          // (schema-stable: the extras ride v_pct like percentiles).
+          // variance = Σx²/n − (Σx/n)² — same expression tree in both
+          // compilers, exact-sum inputs
+          val base = grouped.filter(globalMine)
+          val vc = col(s"vc_$x").cast("double")
+          val varC = col(s"vq_$x") / vc -
+            (col(s"vs_$x") / vc) * (col(s"vs_$x") / vc)
+          val main = base.withColumn("key", lit(""))
+            .select(($"key" +: key2Blank +: $"doc_count" +:
+              uncondOut(spec.agg)): _*)
+          val extras = Seq(
+            ("sum_of_squares", col(s"vq_$x")),
+            ("variance", varC),
+            ("std_deviation", sqrt(varC))).map { case (kn, v) =>
+            base.select((lit(kn).as("key") +: key2Blank +:
+              $"doc_count" +: (NullStats.dropRight(1) :+
+                v.as("v_pct"))): _*)
+          }
+          (main +: extras).reduce(_ unionByName _)
+        case WeightedAvgAgg(v, wt) =>
+          grouped.filter(globalMine).withColumn("key", lit(""))
+            .select(($"key" +: key2Blank +: $"doc_count" +:
+              Seq(lit(null).cast("long").as("v_count"),
+                lit(null).cast("double").as("v_sum"),
+                lit(null).cast("double").as("v_min"),
+                lit(null).cast("double").as("v_max"),
+                (col(s"wv_${v}_$wt") / col(s"ww_${v}_$wt")).as("v_avg"),
+                lit(null).cast("double").as("v_pct"))): _*)
         case _: StatsAgg | _: MetricAgg | _: CardinalityAgg =>
           grouped.filter(globalMine).withColumn("key", lit(""))
             .select(($"key" +: key2Blank +: $"doc_count" +:
@@ -3811,6 +4014,41 @@ object Dsl {
     frames.reduce(_ unionByName _).orderBy($"agg", $"key", $"key2")
   }
 
+  /** The significant_terms frame: the one agg that reads the
+    * PRE-FILTER corpus — one grouping pass over (field, match flag)
+    * plus a broadcast 1-row totals aggregate; JLH score = (fg% − bg%)
+    * · (fg% / bg%) from exact integer counts, identical expression
+    * tree in both compilers. At 100 TB this is one extra columnar
+    * pass pruned to the key field + the predicate's feature columns —
+    * inherent to the statistic (a background model needs background
+    * counts). */
+  private def sigTermsFrame(full: DataFrame, spec: AggSpec,
+      p: Plan): DataFrame = {
+    import full.sparkSession.implicits._
+    val (f, n) = spec.agg match {
+      case SigTermsAgg(x, k) => (x, k)
+      case other => fail(s"sig terms: $other") // unreachable
+    }
+    val flagged = full.select(col(f).as("k"),
+      when(p.c.pred, 1).otherwise(0).as("fg"))
+    val grouped = flagged.filter($"k".isNotNull)
+      .groupBy($"k".cast("string").as("key"))
+      .agg(sum($"fg").as("fgc"), count(lit(1)).as("bgc"))
+    val totals = flagged.agg(sum($"fg").as("fgt"),
+      count(lit(1)).as("bgt"))
+    grouped.join(broadcast(totals))
+      .withColumn("fgp", $"fgc".cast("double") / $"fgt".cast("double"))
+      .withColumn("bgp", $"bgc".cast("double") / $"bgt".cast("double"))
+      .withColumn("sc", ($"fgp" - $"bgp") * ($"fgp" / $"bgp"))
+      .filter($"fgc" > 0 && $"fgp" > $"bgp")
+      .orderBy($"sc".desc, $"key".asc).limit(n)
+      .select((lit(spec.name).as("agg") +: $"key" +:
+        lit("").as("key2") +: $"fgc".cast("long").as("doc_count") +:
+        ($"bgc".cast("long").as("v_count") +:
+          NullStats.tail.dropRight(1)) :+ $"sc".as("v_pct")): _*)
+      .select(OutCols.map(col): _*)
+  }
+
   /** The nested agg's two frames: the tag-count parent row and the
     * tag-grain sub-terms buckets — one extra pass over the match set,
     * pruned to the tags column. */
@@ -3905,7 +4143,7 @@ object Dsl {
     def outStatsSql(kind: String, x: String): Seq[String] =
       (outStatsSql0(kind, x)) :+ nullV("v_pct")
     def outStatsSql0(kind: String, x: String): Seq[String] = kind match {
-      case "stats" => statSql(x)
+      case "stats" | "extended_stats" => statSql(x)
       case "avg" => Seq(nullC, nullV("v_sum"), nullV("v_min"),
         nullV("v_max"),
         s"CASE WHEN COUNT($x) > 0 THEN CAST(SUM(CAST($x AS DOUBLE)) " +
@@ -3988,6 +4226,15 @@ object Dsl {
           inner(kx2, Some(fld), "", "")
         case HistAgg(fld, iv) =>
           inner(s"($fld // $iv) * $iv", Some(fld), "", "")
+        case MultiTermsAgg(fs, n, ord) =>
+          // null-propagating || mirrors the Spark concat key
+          val kx = fs.map(f => s"CAST($f AS VARCHAR)")
+            .mkString(" || '|' || ")
+          val ordSql = if (ord == ByKey) "key" else "doc_count DESC, key"
+          inner(kx, Some(s"($kx)"), "",
+            s"\n  ORDER BY $ordSql LIMIT $n")
+        case RareTermsAgg(fld, m) =>
+          inner(fld, Some(fld), s"\n  HAVING COUNT(*) <= $m", "")
         case other => fail(s"not a grouping agg: $other") // unreachable
       }
     }
@@ -4062,7 +4309,8 @@ object Dsl {
           val parent = s"SELECT * FROM (\n  $inner) AS t"
           if (bucketSub.isEmpty) parent
           else s"$parent\nUNION ALL\n(${childOf(Some(inner))})"
-        case _: DateHistAgg | _: HistAgg =>
+        case _: DateHistAgg | _: HistAgg | _: MultiTermsAgg |
+             _: RareTermsAgg =>
           val inner = groupingInnerSql(spec)
           (Seq(s"($inner)") ++
             bucketSub.toSeq.map(_ => s"(${childOf(None)})") ++
@@ -4087,6 +4335,68 @@ object Dsl {
              |  ${cols.mkString(",\n  ")}
              |FROM (
              |  ${groupingInnerSql(sib)}) AS sb""".stripMargin
+        case MetricAgg("extended_stats", x) =>
+          // [[aggsOver]]'s expression tree: Σx²/n − (Σx/n)², exact
+          // sums in, the same division/multiplication order out
+          val vq = s"SUM(CAST($x AS DOUBLE) * CAST($x AS DOUBLE))"
+          val vcD = s"CAST(COUNT($x) AS DOUBLE)"
+          val vsD = s"CAST(SUM(CAST($x AS DOUBLE)) AS DOUBLE)"
+          val varS = s"($vq / $vcD - ($vsD / $vcD) * ($vsD / $vcD))"
+          def extraRow(kn: String, v: String): String =
+            s"""SELECT $name AS agg, '$kn' AS key, '' AS key2,
+               |  COUNT(*) AS doc_count,
+               |  ${nullStats.dropRight(1).mkString(",\n  ")},
+               |  $v AS v_pct
+               |FROM m""".stripMargin
+          (s"""SELECT $name AS agg, '' AS key, '' AS key2,
+              |  COUNT(*) AS doc_count,
+              |  ${outStatsSql("extended_stats", x).mkString(",\n  ")}
+              |FROM m""".stripMargin +:
+            Seq(extraRow("sum_of_squares", vq),
+              extraRow("variance", varS),
+              extraRow("std_deviation", s"sqrt($varS)")))
+            .mkString("\nUNION ALL\n")
+        case WeightedAvgAgg(v, w) =>
+          val both = s"$v IS NOT NULL AND $w IS NOT NULL"
+          val wv = s"SUM(CASE WHEN $both THEN CAST($v AS DOUBLE) * " +
+            s"CAST($w AS DOUBLE) END)"
+          val ww = s"SUM(CASE WHEN $both THEN CAST($w AS DOUBLE) END)"
+          s"""SELECT $name AS agg, '' AS key, '' AS key2,
+             |  COUNT(*) AS doc_count,
+             |  CAST(NULL AS BIGINT) AS v_count,
+             |  CAST(NULL AS DOUBLE) AS v_sum,
+             |  CAST(NULL AS DOUBLE) AS v_min,
+             |  CAST(NULL AS DOUBLE) AS v_max,
+             |  ($wv / $ww) AS v_avg,
+             |  CAST(NULL AS DOUBLE) AS v_pct
+             |FROM m""".stripMargin
+        case SigTermsAgg(fld, n) =>
+          // foreground = the match set, background = the whole corpus
+          // (FROM f, not m — the one branch that reads pre-filter rows)
+          s"""SELECT * FROM (
+             |SELECT $name AS agg, key, '' AS key2,
+             |  fgc AS doc_count, bgc AS v_count,
+             |  CAST(NULL AS DOUBLE) AS v_sum,
+             |  CAST(NULL AS DOUBLE) AS v_min,
+             |  CAST(NULL AS DOUBLE) AS v_max,
+             |  CAST(NULL AS DOUBLE) AS v_avg,
+             |  ((fgp - bgp) * (fgp / bgp)) AS v_pct
+             |FROM (
+             |  SELECT key, fgc, bgc,
+             |    CAST(fgc AS DOUBLE) / CAST(fgt AS DOUBLE) AS fgp,
+             |    CAST(bgc AS DOUBLE) / CAST(bgt AS DOUBLE) AS bgp
+             |  FROM (
+             |    SELECT CAST(f.$fld AS VARCHAR) AS key,
+             |      COUNT(*) FILTER (WHERE ${p.c.predSql}) AS fgc,
+             |      COUNT(*) AS bgc
+             |    FROM f WHERE f.$fld IS NOT NULL GROUP BY f.$fld) AS g
+             |  CROSS JOIN (
+             |    SELECT COUNT(*) FILTER (WHERE ${p.c.predSql}) AS fgt,
+             |      COUNT(*) AS bgt
+             |    FROM f) AS t) AS s2
+             |WHERE fgc > 0 AND fgp > bgp
+             |ORDER BY (fgp - bgp) * (fgp / bgp) DESC, key LIMIT $n
+             |) AS sig""".stripMargin
         case _: StatsAgg | _: MetricAgg | _: CardinalityAgg =>
           val (k, x) = metricKindField(spec.agg)
           s"""SELECT $name AS agg, '' AS key, '' AS key2,
@@ -5138,8 +5448,16 @@ object Dsl {
     val filterNodes = aggClauseNodes(b)
     val p = mergedFilterPlan(b.query +: filterNodes)
     val aggFields = b.aggs.flatMap(aggSpecFields).distinct
-    val parts = servedParts(spark, indexDirs, p, aggFields)
-    aggsOver(parts.f.filter(p.c.pred), b, p)
+    // significant_terms needs BACKGROUND counts: the candidate
+    // universe must stay the whole corpus even when every match
+    // carries a query term — disable the df-bounded restriction by
+    // serving under a match_all universe (features still fill 0)
+    val pServe =
+      if (b.aggs.exists(_.agg.isInstanceOf[SigTermsAgg]))
+        p.copy(q = MatchAllQ)
+      else p
+    val parts = servedParts(spark, indexDirs, pServe, aggFields)
+    aggsOver(parts.f.filter(p.c.pred), parts.f, b, p)
   }
 
   /** Registered query: [[DslQuery]] SERVED from the session-shared
@@ -5518,6 +5836,61 @@ object Dsl {
   def dslAggsPipelineServed(spark: SparkSession, dir: String): DataFrame =
     dslAggsFromIndexes(spark,
       Search.sharedDailyIndexDirs(spark, dir)._1, AggsPipelineQuery)
+
+  /** Registered round-14 agg families II — the remaining everyday ES
+    * aggregation types in one body: `multi_terms` (compound
+    * lang|source keys, `|`-joined like ES's key_as_string),
+    * `rare_terms` (the long tail: every source with ≤ max_doc_count
+    * matching docs, count-asc), `weighted_avg` (length-weighted
+    * docs-per-language… here Σ(n_chars·doc_id-derived weight)/Σw over
+    * the match set), and `extended_stats` (variance family from exact
+    * sums: Σx²/n − (Σx/n)², schema-stable via keyed extra rows). */
+  val AggsExt2Query: String =
+    """{"query": {"match": {"text": "dup"}}, "size": 0,
+      |  "aggs": {
+      |    "lang_src": {"multi_terms": {"terms": [
+      |        {"field": "lang"}, {"field": "source"}], "size": 8},
+      |      "aggs": {"chars": {"avg": {"field": "n_chars"}}}},
+      |    "rare_srcs": {"rare_terms": {"field": "source",
+      |      "max_doc_count": 3}},
+      |    "wavg": {"weighted_avg": {"value": {"field": "n_chars"},
+      |      "weight": {"field": "w8"}}},
+      |    "chars_ext": {"extended_stats": {"field": "n_chars"}}}}"""
+      .stripMargin
+
+  /** The weight-column corpus both engines derive identically. */
+  val W8Rel: String =
+    "(SELECT *, doc_id % 5 + 1 AS w8 FROM documents)"
+
+  def dslAggsExt2(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Tables.documentsPar(spark, dir)
+      .withColumn("w8", col("doc_id") % 5 + 1), AggsExt2Query)
+
+  val dslAggsExt2OracleSql: String = dslAggsSqlOver(AggsExt2Query, W8Rel)
+
+  /** Registered `significant_terms` — sources over-represented among
+    * "hash"-matching docs vs the whole corpus, JLH-scored from exact
+    * fg/bg counts. The one agg reading PRE-FILTER rows (a background
+    * model needs background counts). */
+  val AggsSigQuery: String =
+    """{"query": {"match": {"text": "hash"}}, "size": 0,
+      |  "aggs": {
+      |    "sig_srcs": {"significant_terms": {"field": "source",
+      |      "size": 8}},
+      |    "langs": {"terms": {"field": "lang", "size": 3}}}}"""
+      .stripMargin
+
+  def dslAggsSig(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Tables.documentsPar(spark, dir), AggsSigQuery)
+
+  val dslAggsSigOracleSql: String = dslAggsSql(AggsSigQuery)
+
+  /** Registered query: [[AggsSigQuery]] SERVED — the background
+    * universe comes from docmeta (the match_all universe override),
+    * the foreground flag from postings; same oracle. */
+  def dslAggsSigServed(spark: SparkSession, dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), AggsSigQuery)
 
   def dslAggsFilters(spark: SparkSession, dir: String): DataFrame =
     dslAggsOf(Tables.documentsPar(spark, dir), AggsFiltersQuery)

@@ -1951,6 +1951,72 @@ class DslSpec extends SparkSpec {
       .contains("min_term_freq=2"))
   }
 
+  test("multi_terms/rare_terms/significant_terms/weighted_avg/extended_stats aggs") {
+    def rows(json: String, docs: DataFrame = tiny) =
+      Dsl.dslAggsOf(docs, json).collect().toSeq
+    // multi_terms: lang|source compound keys, docs missing any field skip
+    val mt = rows("""{"size": 0, "aggs": {"ls": {"multi_terms":
+      {"terms": [{"field": "lang"}, {"field": "source"}], "size": 10,
+       "order": {"_key": "asc"}}}}}""")
+      .map(r => (r.getString(1), r.getAs[Long]("doc_count")))
+    assert(mt == Seq(("de|src0", 1L), ("en|src0", 1L), ("en|src1", 2L),
+      ("fr|src2", 1L)), s"got $mt")
+    // rare_terms: max_doc_count 1 keeps only src2 (1 doc)
+    val rare = rows("""{"size": 0, "aggs": {"r": {"rare_terms":
+      {"field": "source", "max_doc_count": 1}}}}""")
+      .map(r => (r.getString(1), r.getAs[Long]("doc_count")))
+    assert(rare == Seq(("src2", 1L)), s"got $rare")
+    // weighted_avg: value n_chars, weight = doc_id (0..4); doc 0 has
+    // weight 0. Σ(v·w)=10+20+27+64=121, Σw=10 → 12.1
+    val wdocs = tiny.withColumn("w", $"doc_id")
+    val wav = rows("""{"size": 0, "aggs": {"wa": {"weighted_avg":
+      {"value": {"field": "n_chars"}, "weight": {"field": "w"}}}}}""",
+      wdocs).map(_.getAs[Double]("v_avg"))
+    assert(wav == Seq(12.1), s"got $wav")
+    // extended_stats: n_chars 16,10,10,9,16 — mean 12.2,
+    // sos = 256+100+100+81+256 = 793, var = 793/5 - 12.2² = 9.76
+    val ext = rows("""{"size": 0, "aggs": {"es": {"extended_stats":
+      {"field": "n_chars"}}}}""")
+      .map(r => (r.getString(1), Option(r.getAs[Double]("v_pct")),
+        Option(r.getAs[Double]("v_avg"))))
+    assert(ext.collectFirst { case ("", _, a) => a }.flatten
+      .contains(12.2), s"got $ext")
+    assert(ext.collectFirst { case ("sum_of_squares", v, _) => v }
+      .flatten.contains(793.0), s"got $ext")
+    val varGot = ext.collectFirst { case ("variance", v, _) => v }
+      .flatten.get
+    assert(math.abs(varGot - 9.76) < 1e-9, s"got $varGot")
+    val stdGot = ext.collectFirst { case ("std_deviation", v, _) => v }
+      .flatten.get
+    assert(math.abs(stdGot - math.sqrt(9.76)) < 1e-12, s"got $stdGot")
+    // significant_terms: query = rare (docs 0, 3 — both src-mixed).
+    // fg: src0 1/2, src1 1/2; bg: src0 2/5, src1 2/5 → both score
+    // (0.5-0.4)*(0.5/0.4) = 0.125; src2 fg 0 drops
+    val sig = rows("""{"query": {"match": {"text": "rare"}}, "size": 0,
+      "aggs": {"s": {"significant_terms": {"field": "source",
+        "size": 5}}}}""")
+      .map(r => (r.getString(1), r.getAs[Long]("doc_count"),
+        r.getAs[Long]("v_count"), r.getAs[Double]("v_pct")))
+    assert(sig.map(x => (x._1, x._2, x._3)) ==
+      Seq(("src0", 1L, 2L), ("src1", 1L, 2L)), s"got $sig")
+    assert(sig.forall(x => math.abs(x._4 - 0.125) < 1e-12), s"got $sig")
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(tiny, json)).getMessage
+    assert(msg("""{"size": 0, "aggs": {"x": {"multi_terms":
+      {"terms": [{"field": "lang"}]}}}}""").contains("two fields"))
+    assert(msg("""{"size": 0, "aggs": {"l": {"terms": {"field": "lang"},
+      "aggs": {"w": {"weighted_avg": {"value": {"field": "n_chars"},
+      "weight": {"field": "n_chars"}}}}}}}""").contains("top-level"))
+    assert(msg("""{"size": 0, "aggs": {"l": {"terms": {"field": "lang"},
+      "aggs": {"e": {"extended_stats": {"field": "n_chars"}}}}}}""")
+      .contains("top-level"))
+    assert(msg("""{"size": 0, "aggs": {"r": {"rare_terms":
+      {"field": "source", "max_doc_count": 500}}}}""")
+      .contains("[1, 100]"))
+  }
+
   test("percolate_dsl: full query bodies as stored rules") {
     val hits = Dsl.percolateDslOf(tiny, Seq(
       1L -> """{"query": {"bool": {"must": [{"match": {"text": "alpha"}}],
