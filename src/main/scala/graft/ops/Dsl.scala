@@ -361,6 +361,35 @@ object Dsl {
     * single-field sub-metric machinery. */
   final case class WeightedAvgAgg(value: String, weight: String)
     extends AggNode
+  /** ES `missing` — the null bucket: docs LACKING the field, one
+    * conditional count on the shared pass (the filter-agg machinery
+    * with an IS NULL condition); metric subs ride the same
+    * conditional columns. */
+  final case class MissingAgg(field: String) extends AggNode
+  /** ES `global` — break out of the query: the sub-metric evaluates
+    * over the WHOLE corpus while sibling aggs stay on the match set
+    * (the "show totals next to filtered stats" dashboard shape).
+    * Reads the pre-filter frame like [[SigTermsAgg]]. */
+  final case class GlobalAgg() extends AggNode
+  /** ES `date_range` — explicit date buckets ([from, to) like the
+    * numeric range agg), bounds as `yyyy-MM-dd` literals both engines
+    * compare as DATEs. Possibly overlapping, metric subs shared. */
+  final case class DateRangeAgg(field: String,
+      ranges: Seq[(Option[String], Option[String])]) extends AggNode
+  /** ES `percentile_ranks` — the inverse of percentiles: for each
+    * probe value, the percent of field values ≤ it (EXACT — ES's
+    * t-digest answers the same question approximately; integer counts
+    * make the one division + ×100 bit-stable). One row per probe,
+    * key = the probe, percent in `v_pct`. Top-level only (the
+    * percentiles stance). */
+  final case class PctRanksAgg(field: String, values: Seq[BigDecimal])
+    extends AggNode
+  /** ES `top_metrics` — the metric value of the single top document
+    * by a field sort (size 1; doc_id tiebreak makes it
+    * deterministic — ES leaves ties undefined). Value rides `v_pct`,
+    * key = "". */
+  final case class TopMetricsAgg(metric: String, sortField: String,
+      asc: Boolean) extends AggNode
   /** ES `top_hits` — the per-bucket top DOCUMENTS sub-agg (the "show
     * me examples per bucket" dashboard staple). Doc-grain output, so
     * it is served by [[dslTopHitsOf]] (its own hit-shaped frame), not
@@ -1858,13 +1887,110 @@ object Dsl {
                 s"integer ≤ $MaxResultWindow, got $v")
             }
             SigTermsAgg(f, n)
+          case "missing" => MissingAgg(aggField(spec, name, Set("field")))
+          case "global" =>
+            if (sub) fail(s"agg '$name': global is top-level only")
+            spec match {
+              case JObject(Nil) => GlobalAgg()
+              case _ => fail(s"agg '$name': global takes no options " +
+                "({} — the whole point is ignoring the query)")
+            }
+          case "date_range" =>
+            val f = aggField(spec, name, Set("field", "ranges"))
+            val ranges = spec \ "ranges" match {
+              case JArray(rs) if rs.nonEmpty => rs.map {
+                case o: JObject =>
+                  o.obj.collectFirst {
+                    case (k, _) if k != "from" && k != "to" => k
+                  }.foreach(k => fail(s"agg '$name' date_range bucket " +
+                    s"has unsupported key '$k' — supported: from, to"))
+                  def bound(k: String): Option[String] = o \ k match {
+                    case JNothing => None
+                    case JString(d)
+                        if d.matches("\\d{4}-\\d{2}-\\d{2}") => Some(d)
+                    case v => fail(s"agg '$name' date_range $k must be " +
+                      s"a yyyy-MM-dd date, got $v (date math is " +
+                      "evaluation-time-dependent — unsupported)")
+                  }
+                  val b2 = (bound("from"), bound("to"))
+                  if (b2._1.isEmpty && b2._2.isEmpty)
+                    fail(s"agg '$name' date_range bucket needs from " +
+                      "and/or to")
+                  b2
+                case other => fail(s"agg '$name' date_range buckets " +
+                  s"must be objects, got $other")
+              }
+              case _ => fail(s"agg '$name' needs a non-empty " +
+                "\"ranges\" array")
+            }
+            val labels = ranges.map(dateRangeLabel)
+            if (labels.distinct.size != labels.size)
+              fail(s"agg '$name' lists a date_range bucket twice")
+            DateRangeAgg(f, ranges)
+          case "percentile_ranks" =>
+            if (sub) fail(s"agg '$name': percentile_ranks emits one row " +
+              "per probe value — top-level only (the percentiles stance)")
+            val f = aggField(spec, name, Set("field", "values"))
+            val vs = spec \ "values" match {
+              case JArray(xs) if xs.nonEmpty => xs.map(scalar).map {
+                case n: SNum => n.v
+                case other => fail(s"agg '$name' values must be " +
+                  s"numbers, got ${other.sql}")
+              }
+              case _ => fail(s"agg '$name' needs a non-empty " +
+                "\"values\" array")
+            }
+            if (vs.distinct.size != vs.size)
+              fail(s"agg '$name' lists a value twice")
+            PctRanksAgg(f, vs)
+          case "top_metrics" =>
+            if (sub) fail(s"agg '$name': top_metrics is top-level only")
+            spec match {
+              case o: JObject =>
+                o.obj.collectFirst {
+                  case (k, _) if k != "metrics" && k != "sort" &&
+                    k != "size" => k
+                }.foreach(k => fail(s"agg '$name' top_metrics has " +
+                  s"unsupported option '$k' — supported: metrics, " +
+                  "size, sort"))
+              case other => fail(s"agg '$name' expects an object, " +
+                s"got $other")
+            }
+            spec \ "size" match {
+              case JNothing => ()
+              case JInt(n) if n == 1 => ()
+              case v => fail(s"agg '$name' top_metrics size must be 1 " +
+                s"(multi-row top_metrics is dslTopHitsOf's shape), " +
+                s"got $v")
+            }
+            val m = spec \ "metrics" match {
+              case o: JObject =>
+                o.obj.collectFirst { case (k, _) if k != "field" => k }
+                  .foreach(k => fail(s"agg '$name' top_metrics.metrics " +
+                    s"has unsupported option '$k' — supported: field"))
+                o \ "field" match {
+                  case JString(x) => x
+                  case _ => fail(s"agg '$name' top_metrics.metrics " +
+                    "needs a \"field\"")
+                }
+              case _ => fail(s"agg '$name' top_metrics needs " +
+                "\"metrics\": {\"field\": …}")
+            }
+            spec \ "sort" match {
+              case JObject(List((sf, JString(ord2))))
+                  if ord2 == "asc" || ord2 == "desc" =>
+                TopMetricsAgg(m, sf, ord2 == "asc")
+              case _ => fail(s"agg '$name' top_metrics needs " +
+                """\"sort\": {field: \"asc\"|\"desc\"}""")
+            }
           case "cumulative_sum" | "derivative" =>
             if (!sub) fail(s"agg '$name': $tpe is a PARENT pipeline " +
               "aggregation — place it under a date_histogram/histogram's " +
               "aggs")
             pipelinePathOf(spec, name, tpe, sibling = false)
             PipelineAgg(tpe)
-          case "avg_bucket" | "sum_bucket" | "min_bucket" | "max_bucket" =>
+          case "avg_bucket" | "sum_bucket" | "min_bucket" | "max_bucket" |
+               "stats_bucket" =>
             if (sub) fail(s"agg '$name': $tpe is a SIBLING pipeline " +
               "aggregation — place it at the top level beside the " +
               "bucket agg it reads")
@@ -1988,11 +2114,12 @@ object Dsl {
             TopHitsAgg(n, sort)
           case other => fail(s"unsupported aggregation type '$other' — " +
             "supported: avg, avg_bucket, cardinality, cumulative_sum, " +
-            "date_histogram, derivative, extended_stats, filter, " +
-            "filters, histogram, max, max_bucket, min, min_bucket, " +
-            "multi_terms, nested, range, rare_terms, " +
-            "significant_terms, stats, sum, sum_bucket, terms, " +
-            "top_hits, value_count, weighted_avg (composite pages " +
+            "date_histogram, date_range, derivative, extended_stats, " +
+            "filter, filters, global, histogram, max, max_bucket, min, " +
+            "min_bucket, missing, multi_terms, nested, " +
+            "percentile_ranks, range, rare_terms, significant_terms, " +
+            "stats, stats_bucket, sum, sum_bucket, terms, top_hits, " +
+            "top_metrics, value_count, weighted_avg (composite pages " +
             "through its own endpoint, dslAggsCompositeOf)")
         }
         case Nil => fail(s"agg '$name' has no aggregation type")
@@ -2066,7 +2193,8 @@ object Dsl {
   private def aggTakesSub(a: AggNode): Boolean = a match {
     case _: TermsAgg | _: DateHistAgg | _: HistAgg | _: RangeAgg |
          _: FilterAgg | _: FiltersAgg | _: NestedAgg |
-         _: MultiTermsAgg => true
+         _: MultiTermsAgg | _: MissingAgg | _: DateRangeAgg |
+         _: GlobalAgg => true
     case _ => false
   }
 
@@ -2080,6 +2208,10 @@ object Dsl {
     * convention, integral-valued). */
   private def rangeLabel(r: (Option[Scalar], Option[Scalar])): String =
     r._1.map(_.sql).getOrElse("*") + "-" + r._2.map(_.sql).getOrElse("*")
+
+  /** [[rangeLabel]] for date_range buckets. */
+  private def dateRangeLabel(r: (Option[String], Option[String])): String =
+    r._1.getOrElse("*") + "-" + r._2.getOrElse("*")
 
   /** Fields an agg node reads (the bucket key or metric input; a
     * filter agg's clause fields travel through the clause
@@ -2101,6 +2233,11 @@ object Dsl {
     case RareTermsAgg(f, _) => Seq(f)
     case SigTermsAgg(f, _) => Seq(f)
     case WeightedAvgAgg(v, w) => Seq(v, w)
+    case MissingAgg(f) => Seq(f)
+    case GlobalAgg() => Seq.empty
+    case DateRangeAgg(f, _) => Seq(f)
+    case PctRanksAgg(f, _) => Seq(f)
+    case TopMetricsAgg(m, sf, _) => Seq(m, sf)
     case TopHitsAgg(_, sort) => sort.map(_._1)
     case NestedAgg(p) => Seq(p)
   }
@@ -3543,6 +3680,8 @@ object Dsl {
       case RangeAgg(f, _) => Seq(f)
       case PercentilesAgg(f, _) => Seq(f)
       case WeightedAvgAgg(v, w) => Seq(v, w)
+      case PctRanksAgg(f, _) => Seq(f)
+      case TopMetricsAgg(m, _, _) => Seq(m)
       case _ => Seq.empty // value_count/cardinality take any field
     }
     b.aggs.foreach { s =>
@@ -3676,11 +3815,20 @@ object Dsl {
             (i, j, nm, compile(n, scored = false, p.tfIdx, p.pfIdx,
               Map.empty, p.zfIdx, p.rfIdx).pred)
           }
+        case (AggSpec(_, MissingAgg(fld), _), i) =>
+          Seq((i, 0, "", col(fld).isNull))
+        case (AggSpec(_, DateRangeAgg(fld, ranges), _), i) =>
+          ranges.zipWithIndex.map { case (r, j) =>
+            val cond = (Seq(col(fld).isNotNull) ++
+              r._1.map(d => col(fld) >= to_date(lit(d))) ++
+              r._2.map(d => col(fld) < to_date(lit(d)))).reduce(_ && _)
+            (i, j, dateRangeLabel(r), cond)
+          }
         case _ => Seq.empty
       }
     val subKindOf: Map[Int, (String, String)] = b.aggs.zipWithIndex.collect {
-      case (AggSpec(_, _: RangeAgg | _: FilterAgg | _: FiltersAgg,
-          Some((_, m))), i) =>
+      case (AggSpec(_, _: RangeAgg | _: FilterAgg | _: FiltersAgg |
+          _: MissingAgg | _: DateRangeAgg, Some((_, m))), i) =>
         i -> metricKindField(m)
     }.toMap
     val condAggCols = cbuckets.flatMap { case (i, j, _, _) =>
@@ -3724,19 +3872,32 @@ object Dsl {
           .as(s"wv_${v}_$w"),
         sum(when(both, col(w).cast("double"))).as(s"ww_${v}_$w"))
     }
+    // percentile_ranks: one conditional count per probe + one total
+    // per field — more columns on the same pass
+    val prDefs: Seq[(String, BigDecimal)] = b.aggs.flatMap {
+      case AggSpec(_, PctRanksAgg(x, vs), _) => vs.map(v => (x, v))
+      case _ => Seq.empty
+    }.distinct
+    val prCols = prDefs.map { case (x, v) =>
+      count(when(col(x) <= SNum(v).column, 1))
+        .as(s"pr_${x}_${pctTag(v)}") } ++
+      prDefs.map(_._1).distinct.map(x => count(col(x)).as(s"prn_$x"))
     val metricFieldCols = (uncondMetrics.map(_._2) ++
       subKindOf.values.map(_._2) ++ pctDefs.map(_._2) ++
-      wavDefs.flatMap(x => Seq(x._1, x._2))).distinct.map(col)
+      wavDefs.flatMap(x => Seq(x._1, x._2)) ++
+      prDefs.map(_._1)).distinct.map(col)
     // conditions precompute as boolean columns so the grouping-sets
     // projection keeps every aggregate's input
     val prep = matched.select(gkCols ++ metricFieldCols ++
       cbuckets.map { case (i, j, _, c) => c.as(s"cnd${i}_$j") }: _*)
     val statAgg = count(lit(1)).as("doc_count") +: (uncondCols ++
-      condAggCols ++ pctCols ++ wavCols)
+      condAggCols ++ pctCols ++ wavCols ++ prCols)
     val hasGlobal = b.aggs.exists(s => keyExprOf(s.agg).isEmpty &&
       !s.agg.isInstanceOf[NestedAgg] &&
       !s.agg.isInstanceOf[BucketMetricAgg] &&
-      !s.agg.isInstanceOf[SigTermsAgg])
+      !s.agg.isInstanceOf[SigTermsAgg] &&
+      !s.agg.isInstanceOf[GlobalAgg] &&
+      !s.agg.isInstanceOf[TopMetricsAgg])
     // the persist makes the one corpus pass ACTUALLY one: the per-agg
     // branches below filter this frame, and without a materialization
     // barrier each branch would re-execute the whole scan+aggregate
@@ -3928,10 +4089,76 @@ object Dsl {
               (lit(nm).as("key") +: key2Blank +:
                 col(s"dc${i}_$j").as("doc_count") +: condOut(i, j)): _*)
           }.reduce(_ unionByName _)
+        case MissingAgg(_) =>
+          grouped.filter(globalMine).select(
+            (lit("").as("key") +: key2Blank +:
+              col(s"dc${i}_0").as("doc_count") +: condOut(i, 0)): _*)
+        case DateRangeAgg(_, ranges) =>
+          ranges.zipWithIndex.map { case (r, j) =>
+            grouped.filter(globalMine).select(
+              (lit(dateRangeLabel(r)).as("key") +: key2Blank +:
+                col(s"dc${i}_$j").as("doc_count") +: condOut(i, j)): _*)
+          }.reduce(_ unionByName _)
+        case PctRanksAgg(x, vs) =>
+          // one row per probe: percent of values ≤ probe, exact
+          vs.map { v =>
+            grouped.filter(globalMine).select(
+              (lit(pctKeyOf(v)).as("key") +: key2Blank +:
+                $"doc_count" +: (NullStats.dropRight(1) :+
+                  (col(s"pr_${x}_${pctTag(v)}").cast("double") /
+                    col(s"prn_$x").cast("double") * lit(100.0))
+                    .as("v_pct"))): _*)
+          }.reduce(_ unionByName _)
+        case GlobalAgg() =>
+          // break out of the query: ONE aggregate over the pre-filter
+          // corpus — sibling aggs stay on the match set
+          val sub = spec.sub.filter(x => isMetric(x._2))
+          val aggCols = count(lit(1)).as("doc_count") +:
+            sub.toSeq.flatMap { case (_, m) =>
+              val (k, x) = metricKindField(m)
+              needTags(k).map {
+                case "vc" => count(col(x)).as(s"vc_$x")
+                case "vs" => sum(col(x).cast("double")).as(s"vs_$x")
+                case "vn" => min(col(x)).as(s"vn_$x")
+                case "vx" => max(col(x)).as(s"vx_$x")
+                case "vd" => count_distinct(col(x)).as(s"vd_$x")
+                case t => approx_count_distinct(col(x),
+                  rsdOfThreshold(t.stripPrefix("vh").toInt))
+                  .as(s"${t}_$x")
+              }
+            }
+          val subCols = sub.map(x => uncondOut(x._2)).getOrElse(NullStats)
+          full.agg(aggCols.head, aggCols.tail: _*)
+            .withColumn("key", lit(""))
+            .select(($"key" +: key2Blank +: $"doc_count" +: subCols): _*)
+        case TopMetricsAgg(m, sf, asc) =>
+          // the single top document's metric — a limit-1 TakeOrdered
+          // over the match set, doc_id tiebreak for determinism
+          val o = if (asc) col(sf).asc_nulls_last
+                  else col(sf).desc_nulls_last
+          matched.select(col(m), col(sf), col("doc_id"))
+            .orderBy(o, $"doc_id".asc).limit(1)
+            .select((lit("").as("key") +: key2Blank +:
+              lit(1L).as("doc_count") +: (NullStats.dropRight(1) :+
+                col(m).cast("double").as("v_pct"))): _*)
         case BucketMetricAgg(kind, path) =>
           // sibling pipeline: ONE aggregate row over the sibling's
           // returned buckets — |buckets| input rows, scale-free
           val sib = groupingCut(b.aggs.indexWhere(_.name == path))
+          if (kind == "stats") {
+            // stats_bucket: the full stats shape over bucket counts
+            sib.agg(count(lit(1)).as("doc_count"),
+              count($"doc_count").as("bc"),
+              sum($"doc_count".cast("double")).as("bs"),
+              min($"doc_count").as("bn"), max($"doc_count").as("bx"))
+              .select((lit("").as("key") +: key2Blank +: $"doc_count" +:
+                Seq($"bc".as("v_count"), $"bs".as("v_sum"),
+                  $"bn".cast("double").as("v_min"),
+                  $"bx".cast("double").as("v_max"),
+                  when($"bc" > 0, $"bs" / $"bc")
+                    .otherwise(lit(null).cast("double")).as("v_avg"),
+                  lit(null).cast("double").as("v_pct"))): _*)
+          } else {
           val v = kind match {
             case "avg" => avg($"doc_count".cast("double"))
             case "sum" => sum($"doc_count".cast("double"))
@@ -3948,6 +4175,7 @@ object Dsl {
           sib.agg(count(lit(1)).as("doc_count"), v.as("pv"))
             .select((lit("").as("key") +: key2Blank +: $"doc_count" +:
               statsOut): _*)
+          }
         case other => // unreachable: parse refuses these at top level
           fail(s"not a top-level aggregation: $other")
       }
@@ -4315,6 +4543,14 @@ object Dsl {
           (Seq(s"($inner)") ++
             bucketSub.toSeq.map(_ => s"(${childOf(None)})") ++
             pipeChildSql(inner)).mkString("\nUNION ALL\n")
+        case BucketMetricAgg("stats", path) =>
+          val sib = b.aggs.find(_.name == path).get
+          s"""SELECT $name AS agg, '' AS key, '' AS key2,
+             |  COUNT(*) AS doc_count,
+             |  ${(statSql("doc_count") :+ nullV("v_pct"))
+                  .mkString(",\n  ")}
+             |FROM (
+             |  ${groupingInnerSql(sib)}) AS sb""".stripMargin
         case BucketMetricAgg(kind, path) =>
           val sib = b.aggs.find(_.name == path).get
           val fn = kind match {
@@ -4335,6 +4571,51 @@ object Dsl {
              |  ${cols.mkString(",\n  ")}
              |FROM (
              |  ${groupingInnerSql(sib)}) AS sb""".stripMargin
+        case MissingAgg(fld) =>
+          s"""SELECT $name AS agg, '' AS key, '' AS key2,
+             |  COUNT(*) AS doc_count,
+             |  ${stats.mkString(",\n  ")}
+             |FROM m AS f WHERE f.$fld IS NULL""".stripMargin
+        case DateRangeAgg(fld, ranges) =>
+          ranges.map { r =>
+            val conds = (Seq(s"f.$fld IS NOT NULL") ++
+              r._1.map(d => s"f.$fld >= DATE '$d'") ++
+              r._2.map(d => s"f.$fld < DATE '$d'")).mkString(" AND ")
+            s"""SELECT $name AS agg, '${dateRangeLabel(r)}' AS key,
+               |  '' AS key2,
+               |  COUNT(*) AS doc_count, ${stats.mkString(",\n  ")}
+               |FROM m AS f WHERE $conds""".stripMargin
+          }.mkString("\nUNION ALL\n")
+        case PctRanksAgg(x, vs) =>
+          vs.map { v =>
+            val prob = s"CAST(COUNT(*) FILTER (WHERE $x <= " +
+              s"${SNum(v).sql}) AS DOUBLE) / CAST(COUNT($x) AS DOUBLE) " +
+              "* 100.0"
+            s"""SELECT $name AS agg, '${pctKeyOf(v)}' AS key,
+               |  '' AS key2, COUNT(*) AS doc_count,
+               |  ${nullStats.dropRight(1).mkString(",\n  ")},
+               |  ($prob) AS v_pct
+               |FROM m""".stripMargin
+          }.mkString("\nUNION ALL\n")
+        case GlobalAgg() =>
+          val gStats = spec.sub.filter(x => isMetric(x._2)) match {
+            case Some((_, m2)) =>
+              val (k, x) = metricKindField(m2); outStatsSql(k, x)
+            case None => nullStats
+          }
+          s"""SELECT $name AS agg, '' AS key, '' AS key2,
+             |  COUNT(*) AS doc_count,
+             |  ${gStats.mkString(",\n  ")}
+             |FROM f""".stripMargin
+        case TopMetricsAgg(m2, sf, asc) =>
+          val dir = if (asc) "ASC" else "DESC"
+          s"""SELECT * FROM (
+             |SELECT $name AS agg, '' AS key, '' AS key2,
+             |  CAST(1 AS BIGINT) AS doc_count,
+             |  ${nullStats.dropRight(1).mkString(",\n  ")},
+             |  CAST($m2 AS DOUBLE) AS v_pct
+             |FROM m ORDER BY $sf $dir NULLS LAST, doc_id LIMIT 1
+             |) AS tm""".stripMargin
         case MetricAgg("extended_stats", x) =>
           // [[aggsOver]]'s expression tree: Σx²/n − (Σx/n)², exact
           // sums in, the same division/multiplication order out
@@ -5867,6 +6148,50 @@ object Dsl {
       .withColumn("w8", col("doc_id") % 5 + 1), AggsExt2Query)
 
   val dslAggsExt2OracleSql: String = dslAggsSqlOver(AggsExt2Query, W8Rel)
+
+  /** Registered round-14 agg families III — `missing` (docs lacking
+    * the nullable column, with an avg sub over the null bucket),
+    * `global` (corpus-wide stats beside a filtered match set — the
+    * "totals next to filters" dashboard shape), `date_range` (explicit
+    * [from, to) date buckets over the ingest date), `percentile_ranks`
+    * (exact inverse percentiles: % of lengths ≤ each probe),
+    * `top_metrics` (the length of the newest matching doc), and
+    * `stats_bucket` (full stats over a date_histogram's bucket
+    * counts). */
+  val AggsExt3Query: String =
+    """{"query": {"match": {"text": "dup"}}, "size": 0,
+      |  "aggs": {
+      |    "no_src": {"missing": {"field": "src_opt"},
+      |      "aggs": {"chars": {"avg": {"field": "n_chars"}}}},
+      |    "all_docs": {"global": {},
+      |      "aggs": {"chars_all": {"stats": {"field": "n_chars"}}}},
+      |    "eras": {"date_range": {"field": "persist_date", "ranges": [
+      |        {"to": "2026-02-01"},
+      |        {"from": "2026-02-01", "to": "2026-03-01"},
+      |        {"from": "2026-03-01"}]},
+      |      "aggs": {"chars": {"avg": {"field": "n_chars"}}}},
+      |    "len_ranks": {"percentile_ranks": {"field": "n_chars",
+      |      "values": [100, 250, 400]}},
+      |    "newest_len": {"top_metrics": {"metrics":
+      |      {"field": "n_chars"},
+      |      "sort": {"persist_date": "desc"}, "size": 1}},
+      |    "daily": {"date_histogram": {"field": "persist_date",
+      |      "calendar_interval": "day"}},
+      |    "daily_stats": {"stats_bucket": {"buckets_path":
+      |      "daily>_count"}}}}""".stripMargin
+
+  /** Scan-side corpus for [[AggsExt3Query]]: the deterministic ingest
+    * date + the deterministically-nulled source column. */
+  val Ext3Rel: String =
+    "(SELECT *, CASE WHEN doc_id % 7 <> 0 THEN source END AS src_opt " +
+      s"FROM ${Search.PersistDateRel} AS pd)"
+
+  def dslAggsExt3(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Search.withPersistDate(Tables.documentsPar(spark, dir))
+      .withColumn("src_opt",
+        when(col("doc_id") % 7 =!= 0, col("source"))), AggsExt3Query)
+
+  val dslAggsExt3OracleSql: String = dslAggsSqlOver(AggsExt3Query, Ext3Rel)
 
   /** Registered `significant_terms` — sources over-represented among
     * "hash"-matching docs vs the whole corpus, JLH-scored from exact

@@ -2017,6 +2017,81 @@ class DslSpec extends SparkSpec {
       .contains("[1, 100]"))
   }
 
+  test("missing/global/date_range/percentile_ranks/top_metrics/stats_bucket aggs") {
+    def rows(json: String, docs: DataFrame = tiny) =
+      Dsl.dslAggsOf(docs, json).collect().toSeq
+    // missing: null out source for docs 1, 4
+    val opt = tiny.withColumn("s_opt",
+      org.apache.spark.sql.functions.when($"doc_id" % 3 =!= 1,
+        $"source"))
+    val miss = rows("""{"size": 0, "aggs": {"no_src": {"missing":
+      {"field": "s_opt"}, "aggs": {"c": {"avg":
+      {"field": "n_chars"}}}}}}""", opt)
+      .map(r => (r.getAs[Long]("doc_count"), r.getAs[Double]("v_avg")))
+    // docs 1 (10), 4 (16) → count 2, avg 13
+    assert(miss == Seq((2L, 13.0)), s"got $miss")
+    // global ignores the query: gated match set is de docs (1), the
+    // global row still counts all 5
+    val glob = rows("""{"query": {"term": {"lang": "de"}}, "size": 0,
+      "aggs": {"whole": {"global": {}, "aggs": {"c": {"stats":
+        {"field": "n_chars"}}}},
+      "des": {"value_count": {"field": "n_chars"}}}}""")
+      .map(r => (r.getString(0), r.getAs[Long]("doc_count")))
+    assert(glob.toSet == Set(("whole", 5L), ("des", 1L)), s"got $glob")
+    // date_range: [*, 2026-01-11) → docs 0,1; [2026-01-11, *) → 2,3,4
+    val dated = tiny.withColumn("pd",
+      org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.array(
+            lit("2026-01-01"), lit("2026-01-10"), lit("2026-01-11"),
+            lit("2026-02-01"), lit("2026-03-01")),
+          ($"doc_id" + 1).cast("int"))))
+    val dr = rows("""{"size": 0, "aggs": {"eras": {"date_range":
+      {"field": "pd", "ranges": [{"to": "2026-01-11"},
+        {"from": "2026-01-11"}]}}}}""", dated)
+      .map(r => (r.getString(1), r.getAs[Long]("doc_count")))
+    assert(dr == Seq(("*-2026-01-11", 2L), ("2026-01-11-*", 3L)),
+      s"got $dr")
+    // percentile_ranks over n_chars 16,10,10,9,16: ≤10 → 3/5=60%,
+    // ≤16 → 100%
+    val pr = rows("""{"size": 0, "aggs": {"pr": {"percentile_ranks":
+      {"field": "n_chars", "values": [10, 16]}}}}""")
+      .map(r => (r.getString(1), r.getAs[Double]("v_pct")))
+    assert(pr == Seq(("10", 60.0), ("16", 100.0)), s"got $pr")
+    // top_metrics: n_chars of the doc with max n_chars (tie 0 vs 4 →
+    // doc_id 0 wins) — and by asc the min doc 3 (9)
+    val tm = rows("""{"size": 0, "aggs": {"t": {"top_metrics":
+      {"metrics": {"field": "doc_id"},
+       "sort": {"n_chars": "desc"}}}}}""")
+      .map(_.getAs[Double]("v_pct"))
+    assert(tm == Seq(0.0), s"got $tm")
+    // stats_bucket over lang bucket counts (en 3, de 1, fr 1):
+    // count 3, sum 5, min 1, max 3, avg 5/3
+    val sb = rows("""{"size": 0, "aggs": {
+      "langs": {"terms": {"field": "lang", "size": 10}},
+      "lang_stats": {"stats_bucket": {"buckets_path": "langs>_count"}}}}""")
+      .collect { case r if r.getString(0) == "lang_stats" =>
+        (r.getAs[Long]("v_count"), r.getAs[Double]("v_sum"),
+          r.getAs[Double]("v_min"), r.getAs[Double]("v_max"),
+          r.getAs[Double]("v_avg")) }
+    assert(sb == Seq((3L, 5.0, 1.0, 3.0, 5.0 / 3)), s"got $sb")
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(tiny, json)).getMessage
+    assert(msg("""{"size": 0, "aggs": {"g": {"global":
+      {"extra": 1}}}}""").contains("no options"))
+    assert(msg("""{"size": 0, "aggs": {"d": {"date_range": {"field":
+      "pd", "ranges": [{"from": "now-7d"}]}}}}""")
+      .contains("date math"))
+    assert(msg("""{"size": 0, "aggs": {"t": {"top_metrics":
+      {"metrics": {"field": "n_chars"}, "sort": {"n_chars": "desc"},
+       "size": 3}}}}""").contains("size must be 1"))
+    assert(msg("""{"size": 0, "aggs": {"l": {"terms": {"field": "lang"},
+      "aggs": {"p": {"percentile_ranks": {"field": "n_chars",
+      "values": [10]}}}}}}""").contains("top-level"))
+  }
+
   test("percolate_dsl: full query bodies as stored rules") {
     val hits = Dsl.percolateDslOf(tiny, Seq(
       1L -> """{"query": {"bool": {"must": [{"match": {"text": "alpha"}}],
