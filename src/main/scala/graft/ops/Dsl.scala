@@ -453,7 +453,16 @@ object Dsl {
   final case class Body(query: Node, size: Int, aggs: Seq[AggSpec],
       from: Int, sort: Seq[(String, Boolean)], source: Option[Seq[String]],
       after: Option[Seq[Scalar]], highlight: Option[String],
-      collapse: Option[String] = None)
+      collapse: Option[String] = None,
+      rescore: Option[Rescore] = None)
+
+  /** ES `rescore` (one stage, score_mode total): the top
+    * `window` hits by the original score re-rank by `qw·orig +
+    * rw·rescore` (the rescore query contributes only where it
+    * matches); hits beyond the window keep their original order
+    * below the re-sorted window. */
+  final case class Rescore(query: Node, window: Int, qw: BigDecimal,
+      rw: BigDecimal)
 
   /** A JSON scalar a term/range clause compares against, carrying its
     * Spark literal and its SQL literal so both compilers emit the
@@ -506,11 +515,11 @@ object Dsl {
       case other => fail(s"body must be a JSON object, got $other")
     }
     val known = Set("query", "size", "aggs", "from", "sort", "_source",
-      "search_after", "highlight", "collapse")
+      "search_after", "highlight", "collapse", "rescore")
     root.obj.collectFirst { case (k, _) if !known.contains(k) => k }
       .foreach(k => fail(s"unsupported body key '$k' — supported: " +
-        "_source, aggs, collapse, from, highlight, query, search_after, " +
-        "size, sort"))
+        "_source, aggs, collapse, from, highlight, query, rescore, " +
+        "search_after, size, sort"))
     val size = root \ "size" match {
       case JNothing => DefaultSize
       case JInt(n) if n >= 0 && n <= MaxResultWindow => n.toInt
@@ -603,6 +612,57 @@ object Dsl {
     if (collapse.nonEmpty && after.nonEmpty)
       fail("collapse with search_after is unsupported — page collapsed " +
         "results with from")
+    val rescore = root \ "rescore" match {
+      case JNothing => None
+      case o: JObject =>
+        o.obj.collectFirst {
+          case (k, _) if k != "window_size" && k != "query" => k
+        }.foreach(k => fail(s"rescore has unsupported option '$k' — " +
+          "supported: query, window_size"))
+        val wdw = o \ "window_size" match {
+          case JInt(n) if n >= 1 && n <= MaxResultWindow => n.toInt
+          case JNothing => fail("rescore needs a window_size")
+          case v => fail(s"rescore window_size must be in " +
+            s"[1, $MaxResultWindow], got $v")
+        }
+        o \ "query" match {
+          case q: JObject =>
+            val known = Set("rescore_query", "query_weight",
+              "rescore_query_weight", "score_mode")
+            q.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+              .foreach(k => fail(s"rescore.query has unsupported option " +
+                s"'$k' — supported: ${known.toSeq.sorted.mkString(", ")}"))
+            q \ "score_mode" match {
+              case JNothing | JString("total") => ()
+              case v => fail("rescore score_mode must be \"total\" " +
+                s"(the default weighted sum), got $v")
+            }
+            def weight(k: String): BigDecimal = q \ k match {
+              case JNothing => one
+              case JInt(n) => BigDecimal(n)
+              case JDouble(d) => BigDecimal(d)
+              case JDecimal(d) => d
+              case v => fail(s"rescore $k must be a number, got $v")
+            }
+            val rq = q \ "rescore_query" match {
+              case qq: JObject => node(qq)
+              case _ => fail("rescore.query needs a \"rescore_query\"")
+            }
+            Some(Rescore(rq, wdw, weight("query_weight"),
+              weight("rescore_query_weight")))
+          case _ => fail("rescore needs a \"query\" object")
+        }
+      case JArray(_) =>
+        fail("multiple rescore stages are unsupported — one stage")
+      case other => fail(s"rescore must be an object, got $other")
+    }
+    if (rescore.nonEmpty && sort.nonEmpty)
+      fail("rescore cannot combine with sort (the ES rule) — it " +
+        "re-ranks the score ordering")
+    if (rescore.nonEmpty && after.nonEmpty)
+      fail("rescore with search_after is unsupported")
+    if (rescore.nonEmpty && collapse.nonEmpty)
+      fail("rescore with collapse is unsupported")
     val q = root \ "query" match {
       case JNothing => MatchAllQ // the ES default
       case qq => node(qq)
@@ -611,7 +671,8 @@ object Dsl {
       case JNothing => Seq.empty
       case a => parseAggs(a)
     }
-    Body(q, size, aggs, from, sort, source, after, highlight, collapse)
+    Body(q, size, aggs, from, sort, source, after, highlight, collapse,
+      rescore)
   }
 
   /** The ES `minimum_should_match` grammar, resolved against the
@@ -2872,6 +2933,8 @@ object Dsl {
       after: Option[Seq[Scalar]] = None,
       highlight: Option[String] = None,
       collapse: Option[String] = None,
+      rescore: Option[Rescore] = None,
+      rsC: Option[C] = None,
       zkeys: Seq[(String, String, Int)] = Seq.empty,
       szkeys: Seq[(String, String, Int)] = Seq.empty,
       zfIdx: ZIdx = Map.empty,
@@ -2885,7 +2948,8 @@ object Dsl {
       * as for a scoreless query. */
     def needsScore: Boolean =
       sortKeys.isEmpty || sortKeys.exists(_._1 == "_score")
-    def needsStats: Boolean = needsScore && c.score.isDefined
+    def needsStats: Boolean = needsScore &&
+      (c.score.isDefined || rsC.exists(_.score.isDefined))
     /** Analyzed fields whose statistics the score references. */
     def scoredFields: Seq[String] =
       (stkeys.map(_._1) ++ spkeys.map(_._1) ++ szkeys.map(_._1)).distinct
@@ -2897,22 +2961,29 @@ object Dsl {
     def sortFields: Seq[String] = sortKeys.map(_._1).filter(_ != "_score")
   }
 
-  private def planOf(q: Node, size: Int): Plan = {
-    val tkeys = tkeysOf(q)
-    val pkeys = pkeysOf(q)
-    val skts = ktsScoredOf(q)
-    val zkeys = zkeysOf(q)
-    val rkeys = rkeysOf(q)
+  private def planOf(q: Node, size: Int,
+      extraInv: Seq[Node] = Seq.empty): Plan = {
+    // extraInv nodes (a rescore query) join the clause/statistic
+    // inventory — ONE feature frame and ONE stats aggregate serve the
+    // organic score and the rescore score — but only q compiles to
+    // the predicate
+    val inv = q +: extraInv
+    val tkeys = inv.flatMap(tkeysOf).distinct
+    val pkeys = inv.flatMap(pkeysOf).distinct
+    val skts = inv.flatMap(ktsScoredOf).distinct
+    val zkeys = inv.flatMap(zkeysOf).distinct
+    val rkeys = inv.flatMap(rkeysOf).distinct
     val tfIdx = tkeys.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
     val pfIdx = pkeys.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
     val ktIdx = skts.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
     val zfIdx = zkeys.zipWithIndex.map { case (z, i) => z -> (i + 1) }.toMap
     val rfIdx = rkeys.zipWithIndex.map { case (r, i) => r -> (i + 1) }.toMap
-    Plan(q, size, tkeys, pkeys, tkeysScoredOf(q), pkeysScoredOf(q), skts,
-      exactFields(q), tfIdx, pfIdx, ktIdx,
+    Plan(q, size, tkeys, pkeys, inv.flatMap(tkeysScoredOf).distinct,
+      inv.flatMap(pkeysScoredOf).distinct, skts,
+      inv.flatMap(exactFields).distinct, tfIdx, pfIdx, ktIdx,
       compile(q, scored = true, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx),
-      zkeys = zkeys, szkeys = zkeysScoredOf(q), zfIdx = zfIdx,
-      rkeys = rkeys, rfIdx = rfIdx)
+      zkeys = zkeys, szkeys = inv.flatMap(zkeysScoredOf).distinct,
+      zfIdx = zfIdx, rkeys = rkeys, rfIdx = rfIdx)
   }
 
   /** Plan of a full search body: the query plan plus paging/sort/
@@ -2920,7 +2991,7 @@ object Dsl {
     * exact-field set (so pruning and the served path's doc-value
     * check see them). */
   private def planOfBody(b: Body): Plan = {
-    val p = planOf(b.query, b.size)
+    val p = planOf(b.query, b.size, b.rescore.map(_.query).toSeq)
     val extra = (b.sort.map(_._1).filter(_ != "_score") ++
       b.source.getOrElse(Seq.empty)).filter(_ != "doc_id")
     b.highlight.foreach { hf =>
@@ -2929,9 +3000,14 @@ object Dsl {
         fail(s"highlight.$hf: the query carries no match/phrase terms " +
           s"on '$hf' — nothing to highlight")
     }
+    // the rescore query compiles against the SHARED index maps — its
+    // score reads the same feature frame and stats broadcast
+    val rsC = b.rescore.map(r => compile(r.query, scored = true,
+      p.tfIdx, p.pfIdx, p.ktIdx, p.zfIdx, p.rfIdx))
     p.copy(exact = (p.exact ++ extra ++ b.collapse.toSeq).distinct,
       from = b.from, sortKeys = b.sort, source = b.source, after = b.after,
-      highlight = b.highlight, collapse = b.collapse)
+      highlight = b.highlight, collapse = b.collapse,
+      rescore = b.rescore, rsC = rsC)
   }
 
   /** (n_matched, tf_total) SQL over the feature columns — exact AND
@@ -2966,6 +3042,9 @@ object Dsl {
           "uniform: (req, rk, doc_id, n_matched, tf_total, dl)")
       if (b.collapse.nonEmpty)
         fail(s"_msearch request $i has collapse — field collapsing is " +
+          "per-request (searchDslOf)")
+      if (b.rescore.nonEmpty)
+        fail(s"_msearch request $i has rescore — window re-ranking is " +
           "per-request (searchDslOf)")
     }
     val qs = parsed.map(_.query)
@@ -3261,8 +3340,11 @@ object Dsl {
     val joined = stats.map(s => f.crossJoin(broadcast(s))).getOrElse(f)
     // the score expression references stat columns — it exists only
     // when the stats were joined (needsStats); a field-only sort
-    // ranks with no score at all
-    val score = if (p.needsStats) p.c.score.get._1 else lit(0.0)
+    // ranks with no score at all (a scoreless organic query under a
+    // scored rescore ranks 0.0 until the window re-sort)
+    val score =
+      if (p.needsStats) p.c.score.map(_._1).getOrElse(lit(0.0))
+      else lit(0.0)
     // fuzzy tf columns ride the provenance exactly like exact ones
     val hitCols = p.tkeys.map(k => col(s"qtf${p.tfIdx(k)}")) ++
       p.zkeys.map(k => col(s"qzf${p.zfIdx(k)}"))
@@ -3291,10 +3373,18 @@ object Dsl {
     // rk restarts at 1 (ES's search_after responses carry no offset)
     val gate = p.after.map(v => p.c.pred && afterPredOf(p, v)._1)
       .getOrElse(p.c.pred)
+    // rescore score: gated on the rescore query matching — a window
+    // doc outside its match set keeps qw·orig alone
+    val rsc: Seq[Column] = p.rsC.toSeq.map { rc =>
+      (rc.score match {
+        case Some((s, _)) => when(rc.pred, s).otherwise(lit(0.0))
+        case None => lit(0.0)
+      }).as("rsc")
+    }
     val scoredRows = joined.filter(gate)
       .select(($"doc_id" +: dlC.as("dl") +: nMatched.as("n_matched") +:
         tfTotal.as("tf_total") +: score.as("score") +:
-        extraCols.map(col)): _*)
+        (rsc ++ extraCols.map(col))): _*)
     // field collapsing: each group's best-ranked doc survives BEFORE
     // the page cut — a per-key window (rank state is per-group top-1,
     // never a global distinct); docs missing the field share one null
@@ -3306,9 +3396,28 @@ object Dsl {
           .filter($"g_rn" === 1).drop("g_rn")
       case None => scoredRows
     }
-    val ranked = collapsed
-      .orderBy(ord: _*).limit(p.from + p.size)
-      .withColumn("rk", row_number().over(w))
+    val ranked = p.rescore match {
+      case Some(Rescore(_, wdw, qw, rw2)) =>
+        // the window re-sort: top-`wdw` docs by the ORIGINAL score
+        // re-rank by qw·orig + rw·rescore; docs below the window keep
+        // their original order under it — at 100 TB the expensive
+        // rescore expression evaluates on ≤ max(window, page) rows
+        val lim = math.max(wdw, p.from + p.size)
+        val staged = collapsed.orderBy(ord: _*).limit(lim)
+          .withColumn("ork", row_number().over(w))
+          .withColumn("grp", when($"ork" <= wdw, 0).otherwise(1))
+          .withColumn("cmb", lit(qw.toDouble) * $"score" +
+            lit(rw2.toDouble) * $"rsc")
+        val ord2: Seq[Column] = Seq($"grp".asc,
+          when($"grp" === 0, $"cmb").otherwise(lit(0.0)).desc,
+          when($"grp" === 1, $"ork").otherwise(lit(0L)).asc,
+          $"doc_id".asc)
+        staged.orderBy(ord2: _*).limit(p.from + p.size)
+          .withColumn("rk", row_number().over(Window.orderBy(ord2: _*)))
+      case None =>
+        collapsed.orderBy(ord: _*).limit(p.from + p.size)
+          .withColumn("rk", row_number().over(w))
+    }
     // `from` paging: rk stays the GLOBAL rank (hits from+1 … from+size,
     // the ES offset contract); only from+size rows ever materialize
     val page = if (p.from == 0) ranked else ranked.filter($"rk" > p.from)
@@ -3530,7 +3639,8 @@ object Dsl {
     if (b.aggs.nonEmpty)
       fail("body has \"aggs\" — use dslAggsSqlOver")
     val p = planOfBody(b)
-    val scoreSql = if (p.needsStats) p.c.score.get._2 else "0.0"
+    val scoreSql =
+      if (p.needsStats) p.c.score.map(_._2).getOrElse("0.0") else "0.0"
     val (nMatched, tfTotal) = provSql(p)
     val dlSql = if (p.needsText) "f.dl" else "CAST(0 AS BIGINT)"
     val reserved = Seq("doc_id", "dl", "n_matched", "tf_total", "score")
@@ -3551,11 +3661,19 @@ object Dsl {
     }
     val gateSql = p.after.map(v =>
       s"(${p.c.predSql} AND ${afterPredOf(p, v)._2})").getOrElse(p.c.predSql)
+    val rscSql = p.rsC.map { rc =>
+      rc.score match {
+        case Some((_, sql)) =>
+          s"CASE WHEN ${rc.predSql} THEN $sql ELSE 0.0 END"
+        case None => "0.0"
+      }
+    }
     val scSql =
       s"""sc AS (
          |  SELECT f.doc_id, $dlSql AS dl, $nMatched AS n_matched,
          |    $tfTotal AS tf_total,
          |    $scoreSql AS score${
+           rscSql.map(r => s",\n    $r AS rsc").getOrElse("")}${
            extraCols.map(c => s",\n    f.$c AS $c").mkString}
          |  $from
          |  WHERE $gateSql)""".stripMargin
@@ -3567,21 +3685,41 @@ object Dsl {
          |      ORDER BY $ordSql) AS g_rn FROM sc) AS g
          |  WHERE g_rn = 1)""".stripMargin)
     val hitsRel = if (p.collapse.isEmpty) "sc" else "cl"
+    // rescore: stage the original rank, split window/tail, final
+    // order = re-sorted window then the tail in original order —
+    // [[rankTail]]'s staged sort, key for key
+    val rsSql = p.rescore.map { r =>
+      s"""rs AS (
+         |  SELECT $hitsRel.*, ROW_NUMBER() OVER (ORDER BY $ordSql)
+         |    AS ork FROM $hitsRel),
+         |rw AS (
+         |  SELECT *, CASE WHEN ork <= ${r.window} THEN 0 ELSE 1 END
+         |    AS grp,
+         |  (CAST(${r.qw.underlying.toPlainString} AS DOUBLE) * score +
+         |   CAST(${r.rw.underlying.toPlainString} AS DOUBLE) * rsc)
+         |    AS cmb FROM rs)""".stripMargin
+    }
+    val finalRel = if (p.rescore.isEmpty) hitsRel else "rw"
+    val finalOrd = if (p.rescore.isEmpty) ordSql
+      else "grp, CASE WHEN grp = 0 THEN cmb ELSE 0.0 END DESC, " +
+        "CASE WHEN grp = 1 THEN ork ELSE 0 END, doc_id"
     val tail =
       if (p.from == 0)
-        s"""SELECT ROW_NUMBER() OVER (ORDER BY $ordSql) AS rk,
+        s"""SELECT ROW_NUMBER() OVER (ORDER BY $finalOrd) AS rk,
            |  $outSql
-           |FROM $hitsRel ORDER BY $ordSql LIMIT ${p.size}""".stripMargin
+           |FROM $finalRel ORDER BY $finalOrd LIMIT ${p.size}"""
+          .stripMargin
       else
         s"""SELECT * FROM (
-           |  SELECT ROW_NUMBER() OVER (ORDER BY $ordSql) AS rk,
+           |  SELECT ROW_NUMBER() OVER (ORDER BY $finalOrd) AS rk,
            |    $outSql
-           |  FROM $hitsRel) AS pg
-           |WHERE rk > ${p.from} ORDER BY rk LIMIT ${p.size}""".stripMargin
+           |  FROM $finalRel) AS pg
+           |WHERE rk > ${p.from} ORDER BY rk LIMIT ${p.size}"""
+          .stripMargin
     p.highlight match {
       case None =>
         s"""WITH ${ctes.mkString(",\n")},
-           |${(Seq(scSql) ++ clSql.toSeq).mkString(",\n")}
+           |${(Seq(scSql) ++ clSql.toSeq ++ rsSql.toSeq).mkString(",\n")}
            |$tail""".stripMargin
       case Some(hf) =>
         val hlNt =
@@ -3596,7 +3734,7 @@ object Dsl {
           case Some(fs) => "doc_id" +: fs
         })
         s"""WITH ${ctes.mkString(",\n")},
-           |${(Seq(scSql) ++ clSql.toSeq).mkString(",\n")},
+           |${(Seq(scSql) ++ clSql.toSeq ++ rsSql.toSeq).mkString(",\n")},
            |hl AS (SELECT doc_id, $hlNt AS hl_nt FROM $rel),
            |pg AS (
            |$tail),
@@ -3644,9 +3782,11 @@ object Dsl {
       fail("an aggregation body returns no hits — set size: 0 " +
         "(ES convention); hits are served by searchDslOf")
     if (b.from != 0 || b.sort.nonEmpty || b.source.nonEmpty ||
-        b.after.nonEmpty || b.highlight.nonEmpty || b.collapse.nonEmpty)
+        b.after.nonEmpty || b.highlight.nonEmpty || b.collapse.nonEmpty ||
+        b.rescore.nonEmpty)
       fail("an aggregation body returns no hits — from/sort/_source/" +
-        "search_after/highlight/collapse have no meaning beside size: 0")
+        "search_after/highlight/collapse/rescore have no meaning " +
+        "beside size: 0")
     // aggregations never rank: the query compiles in filter context;
     // filter-agg clauses join the query's clause inventory so ONE
     // feature frame serves the predicate and every stored bucket
@@ -4776,10 +4916,11 @@ object Dsl {
       fail("a top_hits body returns no top-level hits — set size: 0; " +
         "pages are searchDslOf's job")
     if (b.from != 0 || b.sort.nonEmpty || b.source.nonEmpty ||
-        b.after.nonEmpty || b.highlight.nonEmpty || b.collapse.nonEmpty)
+        b.after.nonEmpty || b.highlight.nonEmpty || b.collapse.nonEmpty ||
+        b.rescore.nonEmpty)
       fail("a top_hits body returns no top-level hits — from/sort/" +
-        "_source/search_after/highlight/collapse have no meaning " +
-        "beside size: 0")
+        "_source/search_after/highlight/collapse/rescore have no " +
+        "meaning beside size: 0")
     val (pname, t, sn, th) = b.aggs match {
       case Seq(AggSpec(pn, ta: TermsAgg, Some((s2, tha: TopHitsAgg)))) =>
         (pn, ta, s2, tha)
@@ -5723,9 +5864,11 @@ object Dsl {
       fail("an aggregation body returns no hits — set size: 0 " +
         "(ES convention); hits are served by searchDslFromIndexes")
     if (b.from != 0 || b.sort.nonEmpty || b.source.nonEmpty ||
-        b.after.nonEmpty || b.highlight.nonEmpty || b.collapse.nonEmpty)
+        b.after.nonEmpty || b.highlight.nonEmpty || b.collapse.nonEmpty ||
+        b.rescore.nonEmpty)
       fail("an aggregation body returns no hits — from/sort/_source/" +
-        "search_after/highlight/collapse have no meaning beside size: 0")
+        "search_after/highlight/collapse/rescore have no meaning " +
+        "beside size: 0")
     val filterNodes = aggClauseNodes(b)
     val p = mergedFilterPlan(b.query +: filterNodes)
     val aggFields = b.aggs.flatMap(aggSpecFields).distinct
@@ -5984,6 +6127,28 @@ object Dsl {
   def searchDslCollapseServed(spark: SparkSession, dir: String): DataFrame =
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), CollapseQuery)
+
+  /** Registered `rescore` — two-phase ranking: a cheap broad match
+    * ranks everything, then the top-20 window re-ranks by 0.7·orig +
+    * 1.2·phrase (the classic "cheap retrieval, expensive precision"
+    * LTR shape). Hits below the window keep their original order —
+    * and at 100 TB the phrase machinery's cost is bounded by the
+    * window, not the corpus. */
+  val RescoreQuery: String =
+    """{"query": {"match": {"text": "dup"}},
+      |  "rescore": {"window_size": 20, "query": {
+      |    "rescore_query": {"match_phrase": {"text": "dup vector"}},
+      |    "query_weight": 0.7, "rescore_query_weight": 1.2}},
+      |  "size": 30}""".stripMargin
+
+  def searchDslRescore(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), RescoreQuery)
+
+  val searchDslRescoreSql: String = dslSql(RescoreQuery)
+
+  def searchDslRescoreServed(spark: SparkSession, dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), RescoreQuery)
 
   /** Registered `more_like_this` — find-similar with like-text-local
     * term selection: terms occurring ≥2× in the like text rank by

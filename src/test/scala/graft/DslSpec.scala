@@ -2092,6 +2092,51 @@ class DslSpec extends SparkSpec {
       "values": [10]}}}}}}""").contains("top-level"))
   }
 
+  test("rescore re-ranks the window, keeps the tail in original order") {
+    // organic: alpha (docs 0, 1, 4); rescore: phrase "alpha beta"
+    // (docs 1, 4) — with a dominant rescore weight, phrase hits jump
+    // above doc 0 inside the window
+    val rescored = ids(run("""{"query": {"match": {"text": "alpha"}},
+      "rescore": {"window_size": 10, "query": {
+        "rescore_query": {"match_phrase": {"text": "alpha beta"}},
+        "query_weight": 0.01, "rescore_query_weight": 100}},
+      "size": 10}""", tiny))
+    assert(rescored.size == 3 && rescored.take(2).toSet == Set(1L, 4L) &&
+      rescored(2) == 0L, s"got $rescored")
+    // window_size 1: only the top-1 original hit re-ranks; the others
+    // keep the original order below it
+    val orig = ids(run("""{"query": {"match": {"text": "alpha"}},
+      "size": 10}""", tiny))
+    val w1 = ids(run("""{"query": {"match": {"text": "alpha"}},
+      "rescore": {"window_size": 1, "query": {
+        "rescore_query": {"match_phrase": {"text": "alpha beta"}},
+        "rescore_query_weight": 100}}, "size": 10}""", tiny))
+    assert(w1 == orig, s"window-1 rescore must keep the order: $w1 vs " +
+      s"$orig")
+    // a scoreless organic query under a scored rescore still ranks
+    val ms = ids(run("""{"query": {"bool": {"filter": [
+      {"exists": {"field": "text"}}]}},
+      "rescore": {"window_size": 10, "query": {
+        "rescore_query": {"match": {"text": "rare"}},
+        "rescore_query_weight": 5}}, "size": 5}""", tiny))
+    assert(ms.take(2).toSet == Set(0L, 3L), s"got $ms")
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"match_all": {}},
+      "sort": [{"n_chars": "desc"}],
+      "rescore": {"window_size": 5, "query": {"rescore_query":
+        {"match_all": {}}}}}""").contains("sort"))
+    assert(msg("""{"query": {"match_all": {}},
+      "rescore": {"window_size": 5, "query": {"rescore_query":
+        {"match_all": {}}, "score_mode": "multiply"}}}""")
+      .contains("total"))
+    assert(msg("""{"query": {"match_all": {}},
+      "rescore": [{"window_size": 5, "query": {"rescore_query":
+        {"match_all": {}}}}, {"window_size": 2, "query":
+        {"rescore_query": {"match_all": {}}}}]}""").contains("one stage"))
+  }
+
   test("percolate_dsl: full query bodies as stored rules") {
     val hits = Dsl.percolateDslOf(tiny, Seq(
       1L -> """{"query": {"bool": {"must": [{"match": {"text": "alpha"}}],
