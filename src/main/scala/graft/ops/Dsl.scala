@@ -3536,6 +3536,230 @@ object Dsl {
           s"(${docs.columns.mkString(", ")})")
     }
 
+  // ------------------------------------------------- misc endpoints
+
+  /** The ES `_mget` endpoint: fetch documents by id, in REQUEST ORDER,
+    * with a `found` flag for misses (ES returns misses as entries,
+    * not absences). The id set compiles to a pushed-down IN filter —
+    * at 100 TB the probe prunes on parquet min/max — and the ≤|ids|
+    * surviving rows broadcast back onto the literal request frame. */
+  def dslMgetOf(docs: DataFrame, ids: Seq[Long],
+      fields: Seq[String]): DataFrame = {
+    import docs.sparkSession.implicits._
+    if (ids.isEmpty) fail("_mget: empty ids")
+    if (ids.distinct.size != ids.size) fail("_mget lists an id twice")
+    checkFields(docs, fields)
+    val req = ids.zipWithIndex
+      .map { case (id, i) => (i + 1, id) }.toDF("rk", "doc_id")
+    val hits = docs
+      .select(($"doc_id".as("d2") +: fields.map(col)): _*)
+      .filter($"d2".isin(ids: _*))
+    req.join(broadcast(hits), $"doc_id" === $"d2", "left")
+      .withColumn("found", $"d2".isNotNull)
+      .select(($"rk" +: $"doc_id" +: $"found" +: fields.map(col)): _*)
+      .orderBy($"rk")
+  }
+
+  def dslMgetSqlOver(ids: Seq[Long], fields: Seq[String],
+      rel: String): String = {
+    val vals = ids.zipWithIndex
+      .map { case (id, i) => s"(${i + 1}, $id)" }.mkString(", ")
+    val fsel = fields.map(f => s", h.$f").mkString
+    s"""WITH req(rk, doc_id) AS (VALUES $vals),
+       |h AS (SELECT doc_id AS d2${fields.map(f => s", $f").mkString}
+       |      FROM $rel WHERE doc_id IN (${ids.mkString(", ")}))
+       |SELECT req.rk, req.doc_id, (h.d2 IS NOT NULL) AS found$fsel
+       |FROM req LEFT JOIN h ON req.doc_id = h.d2
+       |ORDER BY req.rk""".stripMargin
+  }
+
+  /** The ES `_analyze` endpoint: the analyzer's token stream for a
+    * given text — (position, token), 1-based. BOTH engines run their
+    * own analyzer expression over the literal (Spark's toks vs the
+    * oracle's [[ToksExpr]]), so green re-proves analyzer parity at
+    * the endpoint surface. */
+  def dslAnalyzeOf(spark: SparkSession, text: String): DataFrame = {
+    import spark.implicits._
+    if (analyzed(text).isEmpty) fail("_analyze: text yields no tokens")
+    spark.range(1)
+      .select(posexplode(TextAnalysis.toks(lit(text)))
+        .as(Seq("pos0", "token")))
+      .select(($"pos0" + 1).cast("long").as("position"), $"token")
+      .orderBy($"position")
+  }
+
+  def dslAnalyzeSql(text: String): String = {
+    val t = quoteSql(text)
+    val toksOf = ToksExpr.replace("text", s"'$t'")
+    s"""SELECT CAST(position AS BIGINT) AS position, token FROM (
+       |  SELECT unnest($toksOf) AS token,
+       |    unnest(generate_series(1, len($toksOf))) AS position)
+       |ORDER BY position""".stripMargin
+  }
+
+  /** The ES `_termvectors` endpoint (`term_statistics: true`): one
+    * document's term vector — (term, tf) plus corpus statistics (df,
+    * ttf) for exactly that document's terms. One pruned doc probe +
+    * one token-grain aggregate SEMI-JOINED to the doc's own ≤|doc|
+    * terms, so corpus stats stay df-bounded at any scale. */
+  def dslTermVectorsOf(docs: DataFrame, docId: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val docToks = docs.filter($"doc_id" === docId)
+      .select(explode(TextAnalysis.toks($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("tf"))
+    val corpus = docs
+      .select($"doc_id", explode(TextAnalysis.toks($"text")).as("term"))
+      .join(broadcast(docToks.select($"term")), Seq("term"), "left_semi")
+      .groupBy($"term")
+      .agg(count_distinct($"doc_id").as("df"), count(lit(1)).as("ttf"))
+    docToks.join(corpus, Seq("term"))
+      .select($"term", $"tf", $"df", $"ttf").orderBy($"term")
+  }
+
+  def dslTermVectorsSqlOver(docId: Long, rel: String): String =
+    s"""WITH dt AS (SELECT unnest($ToksExpr) AS term FROM $rel
+       |           WHERE doc_id = $docId),
+       |dv AS (SELECT term, COUNT(*) AS tf FROM dt GROUP BY term),
+       |ct AS (SELECT doc_id, unnest($ToksExpr) AS term FROM $rel),
+       |cs AS (SELECT term, COUNT(DISTINCT doc_id) AS df,
+       |         COUNT(*) AS ttf
+       |       FROM ct WHERE term IN (SELECT term FROM dv)
+       |       GROUP BY term)
+       |SELECT dv.term, dv.tf, cs.df, cs.ttf
+       |FROM dv JOIN cs USING (term) ORDER BY term""".stripMargin
+
+  /** One `_rank_eval` request: (id, full search body, doc_id →
+    * rating). */
+  final case class RankEvalReq(id: String, body: String,
+      ratings: Seq[(Long, Int)])
+
+  /** Per-rank NDCG discount 1/log2(rk+1) — computed ONCE in Scala and
+    * emitted as the same literal to both engines, so no libm
+    * divergence can split the hash. */
+  private def ndcgDiscounts(k: Int): Seq[Double] =
+    (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  /** Fixed-point DCG contribution scale: gain·discount rounds to
+    * nanos and sums as INTEGERS — summation ORDER can then never
+    * change the result (double + is not associative; a k-row sum in a
+    * different order is a hash mismatch). */
+  private val DcgScale = 1e9
+
+  /** The ES `_rank_eval` endpoint: offline ranking quality over rated
+    * requests — precision@k (relevant / retrieved), recall@k
+    * (relevant retrieved / all relevant), MRR (1 / first relevant
+    * rank), and NDCG@k, one row per (request, metric). Each request's
+    * page is the ordinary DSL top-k; the metrics are arithmetic over
+    * ≤k (rank, rating) pairs — bounded work regardless of corpus
+    * size. DCG sums in fixed point (see [[DcgScale]]); IDCG is a
+    * parse-time constant of the ratings literal. */
+  def dslRankEvalOf(docs: DataFrame, reqs: Seq[RankEvalReq]): DataFrame = {
+    import docs.sparkSession.implicits._
+    if (reqs.isEmpty) fail("_rank_eval: empty requests")
+    if (reqs.map(_.id).distinct.size != reqs.size)
+      fail("_rank_eval names a request twice")
+    val frames = reqs.map { r =>
+      val (k, idcg, totalRel) = rankEvalConsts(r)
+      val page = searchDslOf(docs, r.body).select($"rk", $"doc_id")
+      val rated = r.ratings.map { case (d, rt) =>
+        (d, rt, math.pow(2.0, rt.toDouble) - 1.0)
+      }.toDF("doc_id", "rating", "gain")
+      val disc = (1 to k).zip(ndcgDiscounts(k)).foldLeft(
+        lit(0.0)) { case (acc, (rk, d)) =>
+        when($"rk" === rk, lit(d)).otherwise(acc)
+      }
+      val j = page.join(broadcast(rated), Seq("doc_id"), "left")
+        .select($"rk", coalesce($"rating", lit(0)).as("rating"),
+          coalesce($"gain", lit(0.0)).as("gain"))
+      val agg = j.agg(
+        count(lit(1)).as("n"),
+        sum(when($"rating" > 0, 1).otherwise(0)).as("rel"),
+        min(when($"rating" > 0, $"rk")).as("minrk"),
+        sum(round($"gain" * disc * lit(DcgScale)).cast("long"))
+          .as("dcgm"))
+      val metricRows = Seq(
+        ("precision",
+          $"rel".cast("double") / $"n".cast("double")),
+        ("recall", $"rel".cast("double") / lit(totalRel.toDouble)),
+        ("mrr", when($"minrk".isNull, lit(0.0))
+          .otherwise(lit(1.0) / $"minrk".cast("double"))),
+        ("ndcg", ($"dcgm".cast("double") / lit(DcgScale)) / lit(idcg)))
+      metricRows.map { case (m, v) =>
+        agg.select(lit(r.id).as("req"), lit(m).as("metric"),
+          v.as("value"))
+      }.reduce(_ unionByName _)
+    }
+    frames.reduce(_ unionByName _).orderBy($"req", $"metric")
+  }
+
+  /** (k, idcg, total relevant) of a request — parse-time constants
+    * shared by both compilers. */
+  private def rankEvalConsts(r: RankEvalReq): (Int, Double, Int) = {
+    if (r.ratings.isEmpty) fail(s"_rank_eval '${r.id}': empty ratings")
+    if (r.ratings.map(_._1).distinct.size != r.ratings.size)
+      fail(s"_rank_eval '${r.id}': rates a doc twice")
+    r.ratings.foreach { case (_, rt) =>
+      if (rt < 0 || rt > 10)
+        fail(s"_rank_eval '${r.id}': ratings must be in [0, 10]")
+    }
+    val k = parseBody(r.body).size
+    val totalRel = r.ratings.count(_._2 > 0)
+    if (totalRel == 0)
+      fail(s"_rank_eval '${r.id}': no relevant (rating > 0) docs — " +
+        "recall/NDCG would divide by zero")
+    // IDCG: the ideal page — all rated docs by rating desc, top k,
+    // summed with the SAME fixed-point rule as the engine-side DCG
+    val ideal = r.ratings.map(_._2).sortBy(-_).take(k)
+    val idcg = ideal.zip(ndcgDiscounts(k)).map { case (rt, d) =>
+      math.round((math.pow(2.0, rt.toDouble) - 1.0) * d * DcgScale)
+    }.sum / DcgScale
+    (k, idcg, totalRel)
+  }
+
+  def dslRankEvalSqlOver(reqs: Seq[RankEvalReq], rel: String): String = {
+    val branches = reqs.flatMap { r =>
+      val (k, idcg, totalRel) = rankEvalConsts(r)
+      val pageSql = dslSqlOver(r.body, rel)
+      val vals = r.ratings.map { case (d, rt) =>
+        val g = math.pow(2.0, rt.toDouble) - 1.0
+        s"($d, $rt, $g)"
+      }.mkString(", ")
+      val discCase = (1 to k).zip(ndcgDiscounts(k)).map { case (rk, d) =>
+        s"WHEN $rk THEN $d"
+      }.mkString("CASE j.rk ", " ", " ELSE 0.0 END")
+      val aggSql =
+        s"""(SELECT COUNT(*) AS n,
+           |  SUM(CASE WHEN j.rating > 0 THEN 1 ELSE 0 END) AS rel,
+           |  MIN(CASE WHEN j.rating > 0 THEN j.rk END) AS minrk,
+           |  SUM(CAST(ROUND(j.gain * ($discCase) * $DcgScale)
+           |    AS BIGINT)) AS dcgm
+           |FROM (
+           |  SELECT pg.rk, COALESCE(r.rating, 0) AS rating,
+           |    COALESCE(r.gain, 0.0) AS gain
+           |  FROM (
+           |$pageSql
+           |  ) AS pg LEFT JOIN (VALUES $vals) AS r(doc_id, rating, gain)
+           |    ON pg.doc_id = r.doc_id) AS j) AS a""".stripMargin
+      val id = s"'${quoteSql(r.id)}'"
+      Seq(
+        s"SELECT $id AS req, 'precision' AS metric,\n  " +
+          s"CAST(a.rel AS DOUBLE) / CAST(a.n AS DOUBLE) AS value\n" +
+          s"FROM $aggSql",
+        s"SELECT $id AS req, 'recall' AS metric,\n  " +
+          s"CAST(a.rel AS DOUBLE) / CAST($totalRel AS DOUBLE) AS value\n" +
+          s"FROM $aggSql",
+        s"SELECT $id AS req, 'mrr' AS metric,\n  " +
+          "CASE WHEN a.minrk IS NULL THEN 0.0 ELSE 1.0 / " +
+          s"CAST(a.minrk AS DOUBLE) END AS value\nFROM $aggSql",
+        s"SELECT $id AS req, 'ndcg' AS metric,\n  " +
+          s"(CAST(a.dcgm AS DOUBLE) / $DcgScale) / " +
+          s"CAST($idcg AS DOUBLE) AS value\nFROM $aggSql")
+    }
+    s"""SELECT * FROM (
+       |${branches.mkString("\nUNION ALL\n")}
+       |) AS u ORDER BY req, metric""".stripMargin
+  }
+
   /** The corpus's one analyzed text field — [[Search.DefaultField]]. */
   val DslTextField: String = Search.DefaultField
 
@@ -6127,6 +6351,52 @@ object Dsl {
   def searchDslCollapseServed(spark: SparkSession, dir: String): DataFrame =
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), CollapseQuery)
+
+  /** Registered `_mget` — three ids in request order, the middle one
+    * a guaranteed miss (found = false row, the ES contract). */
+  val MgetIds: Seq[Long] = Seq(42L, 999999999L, 7L)
+  val MgetFields: Seq[String] = Seq("lang", "source", "n_chars")
+
+  def dslMget(spark: SparkSession, dir: String): DataFrame =
+    dslMgetOf(Tables.documentsPar(spark, dir), MgetIds, MgetFields)
+
+  val dslMgetOracleSql: String =
+    dslMgetSqlOver(MgetIds, MgetFields, "documents")
+
+  /** Registered `_analyze` — messy input (case, padding, collapsed
+    * whitespace) through BOTH engines' analyzer expressions. */
+  val AnalyzeText = "  Dup   VECTOR  merge-hash  dedup  "
+
+  def dslAnalyze(spark: SparkSession, dir: String): DataFrame =
+    dslAnalyzeOf(spark, AnalyzeText)
+
+  val dslAnalyzeOracleSql: String = dslAnalyzeSql(AnalyzeText)
+
+  /** Registered `_termvectors` — doc 42's term vector with corpus
+    * term statistics (df-bounded: stats only for that doc's terms). */
+  def dslTermVectors(spark: SparkSession, dir: String): DataFrame =
+    dslTermVectorsOf(Tables.documentsPar(spark, dir), 42L)
+
+  val dslTermVectorsOracleSql: String =
+    dslTermVectorsSqlOver(42L, "documents")
+
+  /** Registered `_rank_eval` — two rated requests (a broad match and
+    * a phrase) scored on precision/recall/MRR/NDCG@10; ratings span
+    * hits, misses, and an irrelevant (rating 0) doc. */
+  val RankEvalReqs: Seq[RankEvalReq] = Seq(
+    RankEvalReq("broad",
+      """{"query": {"match": {"text": "dup vector"}}, "size": 10}""",
+      Seq(0L -> 2, 7L -> 1, 13L -> 0, 42L -> 3, 99L -> 1)),
+    RankEvalReq("phrase",
+      """{"query": {"match_phrase": {"text": "dup vector"}},
+        | "size": 10}""".stripMargin,
+      Seq(7L -> 2, 42L -> 2, 55L -> 1)))
+
+  def dslRankEval(spark: SparkSession, dir: String): DataFrame =
+    dslRankEvalOf(Tables.documentsPar(spark, dir), RankEvalReqs)
+
+  val dslRankEvalOracleSql: String =
+    dslRankEvalSqlOver(RankEvalReqs, "documents")
 
   /** Registered `rescore` — two-phase ranking: a cheap broad match
     * ranks everything, then the top-20 window re-ranks by 0.7·orig +

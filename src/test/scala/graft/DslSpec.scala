@@ -2137,6 +2137,47 @@ class DslSpec extends SparkSpec {
         {"rescore_query": {"match_all": {}}}}]}""").contains("one stage"))
   }
 
+  test("_mget/_analyze/_termvectors/_rank_eval endpoints") {
+    // _mget: request order, found flags, a miss as a row
+    val mg = Dsl.dslMgetOf(tiny, Seq(3L, 77L, 0L), Seq("lang"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2),
+        r.getString(3))).toSeq
+    assert(mg == Seq((1, 3L, true, "en"), (2, 77L, false, null),
+      (3, 0L, true, "en")), s"got $mg")
+    // _analyze: normalization + 1-based positions
+    val an = Dsl.dslAnalyzeOf(spark, "  Rare   ALPHA beta  ")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(an == Seq((1L, "rare"), (2L, "alpha"), (3L, "beta")),
+      s"got $an")
+    // _termvectors: doc 0 "rare alpha alpha" → tf; corpus df/ttf
+    val tv = Dsl.dslTermVectorsOf(tiny, 0L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // alpha: docs 0,1,4 → df 3, ttf 4 (doc 0 has 2); rare: docs 0,3
+    assert(tv == Seq(("alpha", 2L, 3L, 4L), ("rare", 1L, 2L, 2L)),
+      s"got $tv")
+    // _rank_eval: query alpha ranks docs (0 best — tf 2). rate doc 0
+    // rating 2, doc 2 rating 1 (never retrieved), doc 1 rating 0
+    val re = Dsl.dslRankEvalOf(tiny, Seq(Dsl.RankEvalReq("q",
+      """{"query": {"match": {"text": "alpha"}}, "size": 10}""",
+      Seq(0L -> 2, 2L -> 1, 1L -> 0))))
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toMap
+    // page = 3 alpha docs; relevant retrieved = {0} → precision 1/3,
+    // recall 1/2; doc 0 ranks first → mrr 1
+    assert(math.abs(re("precision") - 1.0 / 3) < 1e-12, s"got $re")
+    assert(re("recall") == 0.5 && re("mrr") == 1.0, s"got $re")
+    // ndcg: dcg = 3/log2(2) = 3; idcg = 3/1 + 1/log2(3) → < 1
+    assert(re("ndcg") > 0.6 && re("ndcg") < 1.0, s"got $re")
+    // refusals
+    assert(intercept[IllegalArgumentException](
+      Dsl.dslMgetOf(tiny, Seq(1L, 1L), Seq("lang"))).getMessage
+      .contains("twice"))
+    assert(intercept[IllegalArgumentException](
+      Dsl.dslRankEvalOf(tiny, Seq(Dsl.RankEvalReq("q",
+        """{"query": {"match_all": {}}}""", Seq(1L -> 0)))))
+      .getMessage.contains("no relevant"))
+  }
+
   test("percolate_dsl: full query bodies as stored rules") {
     val hits = Dsl.percolateDslOf(tiny, Seq(
       1L -> """{"query": {"bool": {"must": [{"match": {"text": "alpha"}}],
