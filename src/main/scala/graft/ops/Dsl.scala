@@ -164,12 +164,26 @@ object Dsl {
   final case class TermQ(field: String, value: Scalar,
       boost: BigDecimal) extends Node
   final case class TermsQ(field: String, values: Seq[Scalar]) extends Node
+  /** ES `terms` LOOKUP — the term set comes from another document's
+    * field: `{"terms": {"<field>": {"index", "id", "path"}}}`. The
+    * engine resolves it with a 1-row GET at query-build time (exactly
+    * ES's own fetch-then-filter), rewriting to [[TermsQ]] before
+    * planning; the generated oracle keeps the declarative form — an
+    * IN-subquery over the same relation. A missing source doc or a
+    * null path value fails LOUDLY (ES silently matches nothing — a
+    * dangling lookup is a config error worth surfacing). */
+  final case class TermsLookupQ(field: String, id: Long, path: String)
+    extends Node
   final case class RangeQ(field: String, bounds: Seq[(String, Scalar)])
     extends Node
   final case class ExistsQ(field: String) extends Node
   final case class IdsQ(values: Seq[Long]) extends Node
-  final case class PrefixQ(field: String, value: String) extends Node
-  final case class WildcardQ(field: String, pattern: String) extends Node
+  /** `ci` = ES `case_insensitive` (7.10+): both sides lowercase —
+    * deterministic in both engines, unscored either way. */
+  final case class PrefixQ(field: String, value: String,
+      ci: Boolean = false) extends Node
+  final case class WildcardQ(field: String, pattern: String,
+      ci: Boolean = false) extends Node
   /** ES `regexp` — Lucene-anchored (the WHOLE term must match). On an
     * analyzed field the pattern is term-level: a doc matches when any
     * TOKEN full-matches (the term-dictionary walk, [[MatchFzQ]]'s
@@ -778,6 +792,13 @@ object Dsl {
         s"fields: ${AnalyzedFields.mkString(", ")} (keyword/numeric " +
         "fields take term/terms/range/exists)")
 
+  private def ciOf(o: JValue, clause: String): Boolean =
+    o \ "case_insensitive" match {
+      case JNothing => false
+      case JBool(b) => b
+      case v => fail(s"$clause case_insensitive must be a boolean, got $v")
+    }
+
   private def boostOf(o: JValue): BigDecimal = o \ "boost" match {
     case JNothing => one
     case JInt(n) => BigDecimal(n)
@@ -1030,7 +1051,31 @@ object Dsl {
         case JObject(List((field, JArray(values)))) =>
           if (values.isEmpty) fail(s"terms.$field has an empty value list")
           TermsQ(field, values.map(scalar))
-        case other => fail(s"terms expects {field: [values]}, got $other")
+        case JObject(List((field, o: JObject))) =>
+          // the terms LOOKUP form
+          val known = Set("index", "id", "path")
+          o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+            .foreach(k => fail(s"terms.$field lookup has unsupported " +
+              s"option '$k' — supported: id, index, path (routing is " +
+              "unsupported)"))
+          o \ "index" match {
+            case JString("documents") => ()
+            case JString(x) => fail(s"terms.$field lookup index must " +
+              s"be 'documents' (the corpus relation), got '$x'")
+            case _ => fail(s"terms.$field lookup needs an \"index\"")
+          }
+          val id = o \ "id" match {
+            case JInt(n) => n.toLong
+            case JString(s) if s.nonEmpty && s.forall(_.isDigit) =>
+              s.toLong
+            case _ => fail(s"terms.$field lookup needs a numeric \"id\"")
+          }
+          o \ "path" match {
+            case JString(pp) if pp.nonEmpty => TermsLookupQ(field, id, pp)
+            case _ => fail(s"terms.$field lookup needs a \"path\"")
+          }
+        case other => fail(s"terms expects {field: [values]} or the " +
+          s"lookup form {field: {index, id, path}}, got $other")
       }
       case "range" => body match {
         case JObject(List((field, JObject(bounds)))) =>
@@ -1064,11 +1109,13 @@ object Dsl {
       }
       case "prefix" => body match {
         case JObject(List((field, o: JObject))) =>
-          o.obj.collectFirst { case (k, _) if k != "value" => k }
-            .foreach(k => fail(s"prefix.$field has unsupported option " +
-              s"'$k' — supported: value"))
+          o.obj.collectFirst {
+            case (k, _) if k != "value" && k != "case_insensitive" => k
+          }.foreach(k => fail(s"prefix.$field has unsupported option " +
+              s"'$k' — supported: case_insensitive, value"))
           o \ "value" match {
-            case JString(s) if s.nonEmpty => PrefixQ(field, s)
+            case JString(s) if s.nonEmpty =>
+              PrefixQ(field, s, ciOf(o, s"prefix.$field"))
             case _ => fail(s"prefix.$field needs a non-empty \"value\" string")
           }
         case JObject(List((field, JString(s)))) if s.nonEmpty =>
@@ -1077,11 +1124,13 @@ object Dsl {
       }
       case "wildcard" => body match {
         case JObject(List((field, o: JObject))) =>
-          o.obj.collectFirst { case (k, _) if k != "value" => k }
-            .foreach(k => fail(s"wildcard.$field has unsupported option " +
-              s"'$k' — supported: value"))
+          o.obj.collectFirst {
+            case (k, _) if k != "value" && k != "case_insensitive" => k
+          }.foreach(k => fail(s"wildcard.$field has unsupported option " +
+              s"'$k' — supported: case_insensitive, value"))
           o \ "value" match {
-            case JString(s) if s.nonEmpty => WildcardQ(field, s)
+            case JString(s) if s.nonEmpty =>
+              WildcardQ(field, s, ciOf(o, s"wildcard.$field"))
             case _ =>
               fail(s"wildcard.$field needs a non-empty \"value\" string")
           }
@@ -1090,6 +1139,64 @@ object Dsl {
         case other =>
           fail(s"wildcard expects {field: {value: str}}, got $other")
       }
+      case "span_term" =>
+        // spans over single terms: membership IS the span — desugars
+        // to a one-term match (scored like any term match)
+        body match {
+          case JObject(List((field, JString(t)))) =>
+            checkAnalyzed(field, "span_term")
+            analyzed(t) match {
+              case Seq(tok) => MatchQ(field, Seq(tok), one, andOp = false)
+              case _ => fail(s"span_term.$field must be one token")
+            }
+          case other => fail(s"span_term expects {field: term}, " +
+            s"got $other")
+        }
+      case "span_near" =>
+        // in-order span_near over single-token span_terms ≡ the
+        // sloppy phrase — a pure desugar onto the positional
+        // machinery; out-of-order matching (in_order: false) is the
+        // same transposition budget the slop stand-in documents away,
+        // so it refuses rather than silently matching differently
+        body match {
+          case o: JObject =>
+            val known = Set("clauses", "slop", "in_order")
+            o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+              .foreach(k => fail(s"span_near has unsupported option " +
+                s"'$k' — supported: ${known.toSeq.sorted.mkString(", ")}"))
+            o \ "in_order" match {
+              case JBool(true) => ()
+              case _ => fail("span_near needs in_order: true — " +
+                "out-of-order spans would need the transposition " +
+                "matching the slop stand-in intentionally omits")
+            }
+            val slop = o \ "slop" match {
+              case JNothing => 0
+              case JInt(n) if n >= 0 => n.toInt
+              case v => fail(s"span_near slop must be a non-negative " +
+                s"integer, got $v")
+            }
+            val terms = o \ "clauses" match {
+              case JArray(cs) if cs.size >= 2 => cs.map {
+                case JObject(List(("span_term",
+                    JObject(List((f, JString(t))))))) => (f, t)
+                case other => fail("span_near clauses must be " +
+                  s"span_term objects, got $other")
+              }
+              case _ => fail("span_near needs at least two clauses")
+            }
+            val fieldsUsed = terms.map(_._1).distinct
+            if (fieldsUsed.size != 1)
+              fail("span_near clauses must address ONE field, got " +
+                fieldsUsed.mkString(", "))
+            checkAnalyzed(fieldsUsed.head, "span_near")
+            val toks = terms.map { case (_, t) => analyzed(t) match {
+              case Seq(tok) => tok
+              case _ => fail(s"span_near term '$t' must be one token")
+            }}
+            PhraseQ(fieldsUsed.head, toks, one, slop)
+          case other => fail(s"span_near expects an object, got $other")
+        }
       case "regexp" => body match {
         case JObject(List((field, spec))) =>
           val pat = spec match {
@@ -1575,7 +1682,8 @@ object Dsl {
         "match_bool_prefix, match_phrase, match_phrase_prefix, " +
         "more_like_this, multi_match, nested, pinned, prefix, " +
         "query_string, range, rank_feature, regexp, " +
-        "simple_query_string, term, terms, terms_set, wildcard, wrapper")
+        "simple_query_string, span_near, span_term, term, terms, " +
+        "terms_set, wildcard, wrapper")
     }
     case JObject(fields) =>
       fail(s"a query clause must have exactly one key, got " +
@@ -2432,10 +2540,11 @@ object Dsl {
   private def exactFields(n: Node): Seq[String] = collectCtx(n, true) {
     case (TermQ(f, _, _), _) => Seq(f)
     case (TermsQ(f, _), _) => Seq(f)
+    case (TermsLookupQ(f, _, pp), _) => Seq(f, pp)
     case (RangeQ(f, _), _) => Seq(f)
     case (ExistsQ(f), _) => Seq(f)
-    case (PrefixQ(f, _), _) => Seq(f)
-    case (WildcardQ(f, _), _) => Seq(f)
+    case (PrefixQ(f, _, _), _) => Seq(f)
+    case (WildcardQ(f, _, _), _) => Seq(f)
     case (RegexpQ(f, _), _) if !AnalyzedFields.contains(f) => Seq(f)
     case (FunctionScoreQ(_, f, _, _, _, _, _), _) => Seq(f)
     case (NestedQ(path, _), _) => Seq(path)
@@ -2629,6 +2738,13 @@ object Dsl {
       C(vs.map(v => col(field) === v.column).reduce(_ || _),
         vs.map(v => s"f.$field = ${v.sql}").mkString("(", " OR ", ")"),
         None)
+    case TermsLookupQ(field, id, path) =>
+      // Spark-side evaluation requires resolveLookups (a serving path
+      // that forgot it fails analysis on this column name, loudly);
+      // the SQL side IS the lookup — an IN-subquery over the shared
+      // relation, data-independent at generation time
+      C(col(s"graft_unresolved_terms_lookup_$field"),
+        s"f.$field IN (SELECT $path FROM f WHERE doc_id = $id)", None)
     case RangeQ(field, bounds) =>
       val (preds, sqls) = bounds.map {
         case ("gte", v) => (col(field) >= v.column, s"f.$field >= ${v.sql}")
@@ -2646,13 +2762,19 @@ object Dsl {
       // set-membership clauses)
       C(vs.map(v => col("doc_id") === lit(v)).reduce(_ || _),
         vs.map(v => s"f.doc_id = $v").mkString("(", " OR ", ")"), None)
-    case PrefixQ(field, v) =>
-      C(col(field).startsWith(lit(v)),
-        s"starts_with(f.$field, '${quoteSql(v)}')", None)
-    case WildcardQ(field, pat) =>
-      val re = wildcardRegex(pat)
-      C(col(field).rlike(re),
-        s"regexp_matches(f.$field, '${quoteSql(re)}')", None)
+    case PrefixQ(field, v, ci) =>
+      if (ci)
+        C(lower(col(field)).startsWith(lit(v.toLowerCase)),
+          s"starts_with(lower(f.$field), '${quoteSql(v.toLowerCase)}')",
+          None)
+      else
+        C(col(field).startsWith(lit(v)),
+          s"starts_with(f.$field, '${quoteSql(v)}')", None)
+    case WildcardQ(field, pat, ci) =>
+      val re = wildcardRegex(if (ci) pat.toLowerCase else pat)
+      val ref = if (ci) s"lower(f.$field)" else s"f.$field"
+      val c0 = if (ci) lower(col(field)) else col(field)
+      C(c0.rlike(re), s"regexp_matches($ref, '${quoteSql(re)}')", None)
     case RegexpQ(field, pat) =>
       if (AnalyzedFields.contains(field)) {
         val i = rfIdx((field, pat))
@@ -3046,6 +3168,9 @@ object Dsl {
       if (b.rescore.nonEmpty)
         fail(s"_msearch request $i has rescore — window re-ranking is " +
           "per-request (searchDslOf)")
+      if (hasLookup(b.query))
+        fail(s"_msearch request $i has a terms lookup — the GET " +
+          "resolution is per-request (searchDslOf)")
     }
     val qs = parsed.map(_.query)
     val tkeys = qs.flatMap(tkeysOf).distinct
@@ -3433,7 +3558,7 @@ object Dsl {
   /** Compile and run a DSL search over a documents frame (the SCAN
     * path — [[Search.bm25TopK]]'s shape). See class doc. */
   def searchDslOf(docs: DataFrame, json: String): DataFrame = {
-    val b = parseBody(json)
+    val b = resolveBodyLookups(parseBody(json), scanFetcher(docs))
     if (b.aggs.nonEmpty)
       fail("body has \"aggs\" — aggregations are served by dslAggsOf, " +
         "hits by searchDslOf")
@@ -3468,6 +3593,95 @@ object Dsl {
           lit(Search.SnippetLen))))
       .select(page.columns.map(col) ++ Seq($"h_pos", $"h_snippet"): _*)
       .orderBy($"rk")
+  }
+
+  /** Bottom-up AST rewrite — descends through every wrapping node. */
+  private def transformNode(n: Node)(
+      f: PartialFunction[Node, Node]): Node = {
+    val n2 = n match {
+      case BoolQ(m, s, mn, fl, msm) =>
+        BoolQ(m.map(transformNode(_)(f)), s.map(transformNode(_)(f)),
+          mn.map(transformNode(_)(f)), fl.map(transformNode(_)(f)), msm)
+      case ConstScoreQ(q, b2) => ConstScoreQ(transformNode(q)(f), b2)
+      case DisMaxQ(qs, tb) => DisMaxQ(qs.map(transformNode(_)(f)), tb)
+      case FunctionScoreQ(q, fl, m, fa, mi, sm, b2) =>
+        FunctionScoreQ(transformNode(q)(f), fl, m, fa, mi, sm, b2)
+      case BoostingQ(pos, neg, nb) =>
+        BoostingQ(transformNode(pos)(f), transformNode(neg)(f), nb)
+      case PinnedQ(ids, org) => PinnedQ(ids, transformNode(org)(f))
+      case other => other
+    }
+    f.applyOrElse(n2, identity[Node])
+  }
+
+  private def hasLookup(n: Node): Boolean =
+    collectCtx(n, true) { case (_: TermsLookupQ, _) => Seq(1) }.nonEmpty
+
+  /** Resolve `terms` LOOKUP clauses through a fetcher (the scan corpus
+    * or the served docmeta): the source doc's path values become the
+    * literal term set — ES's own GET-then-filter, one bounded driver
+    * round-trip per lookup. */
+  private def resolveLookups(n: Node,
+      fetch: (Long, String) => Seq[Scalar]): Node =
+    transformNode(n) { case TermsLookupQ(field, id, path) =>
+      val vs = fetch(id, path)
+      if (vs.isEmpty)
+        fail(s"terms lookup: doc $id has no value at '$path' " +
+          "(or does not exist)")
+      TermsQ(field, vs.distinct)
+    }
+
+  /** [[resolveLookups]] across a whole body — the query, the rescore
+    * query, and stored filter/filters clauses. No-op (and no fetch
+    * job) when the body carries no lookup. */
+  private def resolveBodyLookups(b: Body,
+      fetch: (Long, String) => Seq[Scalar]): Body = {
+    val nodes = b.query +: (b.rescore.map(_.query).toSeq ++
+      aggClauseNodes(b))
+    if (!nodes.exists(hasLookup)) b
+    else b.copy(
+      query = resolveLookups(b.query, fetch),
+      rescore = b.rescore.map(r =>
+        r.copy(query = resolveLookups(r.query, fetch))),
+      aggs = b.aggs.map { sp =>
+        sp.copy(agg = sp.agg match {
+          case FilterAgg(n) => FilterAgg(resolveLookups(n, fetch))
+          case FiltersAgg(fs) =>
+            FiltersAgg(fs.map { case (nm, n) =>
+              (nm, resolveLookups(n, fetch)) })
+          case a => a
+        })
+      })
+  }
+
+  private def rowScalar(v: Any, path: String): Scalar = v match {
+    case s: String => SStr(s)
+    case n: Long => SNum(BigDecimal(n))
+    case n: Int => SNum(BigDecimal(n))
+    case b2: Boolean => SBool(b2)
+    case other => fail(s"terms lookup: unsupported value type " +
+      s"${other.getClass.getSimpleName} at '$path' — lookup paths are " +
+      "scalar keyword/numeric fields")
+  }
+
+  /** Scan-path lookup fetcher: one pruned 1-row probe of the corpus. */
+  private def scanFetcher(docs: DataFrame)(
+      id: Long, path: String): Seq[Scalar] = {
+    checkFields(docs, Seq(path))
+    docs.filter(col("doc_id") === id).select(col(path)).collect().toSeq
+      .flatMap(r => Option(r.get(0))).map(rowScalar(_, path))
+  }
+
+  /** Served-path lookup fetcher: the same 1-row GET against the
+    * indices' docmeta doc-values. */
+  private def servedFetcher(spark: SparkSession, indexDirs: Seq[String])(
+      id: Long, path: String): Seq[Scalar] = {
+    indexDirs.map(Search.requireIndex(spark, _)).flatMap { root =>
+      val d = spark.read.parquet(s"$root/docmeta")
+      if (!d.columns.contains(path))
+        fail(s"terms lookup path '$path' is not a stored doc-value")
+      d.filter(col("doc_id") === id).select(col(path)).collect().toSeq
+    }.flatMap(r => Option(r.get(0))).map(rowScalar(_, path))
   }
 
   /** The plan of a query compiled in FILTER CONTEXT (scored = false,
@@ -3512,7 +3726,7 @@ object Dsl {
             s"got '$k'"))
       case other => fail(s"body must be a JSON object, got $other")
     }
-    val b = parseBody(json)
+    val b = resolveBodyLookups(parseBody(json), scanFetcher(docs))
     val p = filterPlanOf(b.query)
     checkFields(docs, p.exact)
     scanF(docs, p, Seq.empty).filter(p.c.pred)
@@ -3999,7 +4213,7 @@ object Dsl {
     * is bucket-grain top-N. */
   def dslAggsOf(docs: DataFrame, json: String): DataFrame = {
     import docs.sparkSession.implicits._
-    val b = parseBody(json)
+    val b = resolveBodyLookups(parseBody(json), scanFetcher(docs))
     if (b.aggs.isEmpty)
       fail("no aggs in body — hits are served by searchDslOf")
     if (b.size != 0)
@@ -5967,7 +6181,8 @@ object Dsl {
 
   def searchDslFromIndexes(spark: SparkSession, indexDirs: Seq[String],
       json: String): DataFrame = {
-    val b = parseBody(json)
+    val b = resolveBodyLookups(parseBody(json),
+      servedFetcher(spark, indexDirs))
     if (b.aggs.nonEmpty)
       fail("body has \"aggs\" — index-served aggregations are " +
         "dslAggsFromIndexes' job; hits come from the DSL")
@@ -6081,7 +6296,8 @@ object Dsl {
     * text. */
   def dslAggsFromIndexes(spark: SparkSession, indexDirs: Seq[String],
       json: String): DataFrame = {
-    val b = parseBody(json)
+    val b = resolveBodyLookups(parseBody(json),
+      servedFetcher(spark, indexDirs))
     if (b.aggs.isEmpty)
       fail("no aggs in body — hits are served by searchDslFromIndexes")
     if (b.size != 0)
@@ -6351,6 +6567,39 @@ object Dsl {
   def searchDslCollapseServed(spark: SparkSession, dir: String): DataFrame =
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), CollapseQuery)
+
+  /** Registered `terms` LOOKUP + spans + case_insensitive — the
+    * round-14 session-III clause knobs in one body: the language
+    * filter comes from doc 42's OWN lang (a 1-row GET resolved at
+    * build, IN-subquery in the oracle), an in-order `span_near`
+    * (≡ sloppy phrase) must, a `span_term` should, and a
+    * case-insensitive prefix filter. */
+  val LookupSpanQuery: String =
+    """{"query": {"bool": {
+      |  "must": [{"span_near": {"clauses": [
+      |    {"span_term": {"text": "vector"}},
+      |    {"span_term": {"text": "small"}}],
+      |    "slop": 1, "in_order": true}}],
+      |  "should": [{"span_term": {"text": "merge"}}],
+      |  "filter": [
+      |    {"terms": {"lang": {"index": "documents", "id": 42,
+      |      "path": "lang"}}},
+      |    {"prefix": {"source": {"value": "SRC",
+      |      "case_insensitive": true}}}]
+      |}}, "size": 25}""".stripMargin
+
+  def searchDslLookupSpan(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), LookupSpanQuery)
+
+  val searchDslLookupSpanSql: String = dslSql(LookupSpanQuery)
+
+  /** Registered query: [[LookupSpanQuery]] SERVED — the lookup GET
+    * resolves against docmeta, spans ride positional postings; same
+    * oracle. */
+  def searchDslLookupSpanServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), LookupSpanQuery)
 
   /** Registered `_mget` — three ids in request order, the middle one
     * a guaranteed miss (found = false row, the ES contract). */

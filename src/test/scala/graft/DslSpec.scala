@@ -2178,6 +2178,50 @@ class DslSpec extends SparkSpec {
       .getMessage.contains("no relevant"))
   }
 
+  test("terms lookup, span desugars, case_insensitive knobs") {
+    // lookup: doc 2's lang is de → filter matches doc 2 only
+    val lk = ids(run("""{"query": {"bool": {"filter": [
+      {"terms": {"lang": {"index": "documents", "id": 2,
+        "path": "lang"}}}]}}}""", tiny))
+    assert(lk == Seq(2L), s"got $lk")
+    // the oracle keeps the declarative form: an IN-subquery
+    assert(Dsl.dslSql("""{"query": {"terms": {"lang":
+      {"index": "documents", "id": 2, "path": "lang"}}}}""")
+      .contains("IN (SELECT lang FROM f WHERE doc_id = 2)"))
+    // span_near in-order ≡ sloppy phrase: "rare ... beta" within slop
+    // 1 matches doc 3 ("rare beta"); slop 0 needs adjacency
+    val sn = ids(run("""{"query": {"span_near": {"clauses": [
+      {"span_term": {"text": "rare"}}, {"span_term": {"text": "beta"}}],
+      "slop": 1, "in_order": true}}}""", tiny))
+    assert(sn == Seq(3L), s"got $sn")
+    // span_term alone = single-term match
+    val st = ids(run("""{"query": {"span_term": {"text": "gamma"}}}""",
+      tiny)).toSet
+    assert(st == Set(2L, 4L), s"got $st")
+    // case_insensitive prefix/wildcard
+    val cip = ids(run("""{"query": {"prefix": {"source":
+      {"value": "SRC1", "case_insensitive": true}}}}""", tiny)).toSet
+    assert(cip == Set(1L, 3L), s"got $cip")
+    assert(ids(run("""{"query": {"prefix": {"source":
+      {"value": "SRC1"}}}}""", tiny)).isEmpty)
+    val ciw = ids(run("""{"query": {"wildcard": {"source":
+      {"value": "SRC?", "case_insensitive": true}}}}""", tiny)).size
+    assert(ciw == 5, s"got $ciw")
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"terms": {"lang": {"index": "documents",
+      "id": 99, "path": "lang"}}}}""").contains("no value"))
+    assert(msg("""{"query": {"terms": {"lang": {"index": "other",
+      "id": 2, "path": "lang"}}}}""").contains("documents"))
+    assert(msg("""{"query": {"span_near": {"clauses": [
+      {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
+      "in_order": false}}}""").contains("in_order"))
+    assert(msg("""{"query": {"span_near": {"clauses": [
+      {"span_term": {"text": "a"}}, {"span_term": {"head": "b"}}],
+      "in_order": true}}}""").contains("ONE field"))
+  }
+
   test("percolate_dsl: full query bodies as stored rules") {
     val hits = Dsl.percolateDslOf(tiny, Seq(
       1L -> """{"query": {"bool": {"must": [{"match": {"text": "alpha"}}],
