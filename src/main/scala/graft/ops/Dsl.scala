@@ -3891,17 +3891,17 @@ object Dsl {
         min(when($"rating" > 0, $"rk")).as("minrk"),
         sum(round($"gain" * disc * lit(DcgScale)).cast("long"))
           .as("dcgm"))
-      val metricRows = Seq(
-        ("precision",
-          $"rel".cast("double") / $"n".cast("double")),
-        ("recall", $"rel".cast("double") / lit(totalRel.toDouble)),
-        ("mrr", when($"minrk".isNull, lit(0.0))
-          .otherwise(lit(1.0) / $"minrk".cast("double"))),
-        ("ndcg", ($"dcgm".cast("double") / lit(DcgScale)) / lit(idcg)))
-      metricRows.map { case (m, v) =>
-        agg.select(lit(r.id).as("req"), lit(m).as("metric"),
-          v.as("value"))
-      }.reduce(_ unionByName _)
+      // all four metrics from ONE evaluation of the 1-row aggregate —
+      // a select per metric would re-execute the page's corpus scan
+      // four times (ExplainAudit caught scans=16 for 2 requests)
+      agg.select(lit(r.id).as("req"), explode(map(
+        lit("precision"), $"rel".cast("double") / $"n".cast("double"),
+        lit("recall"), $"rel".cast("double") / lit(totalRel.toDouble),
+        lit("mrr"), when($"minrk".isNull, lit(0.0))
+          .otherwise(lit(1.0) / $"minrk".cast("double")),
+        lit("ndcg"),
+        ($"dcgm".cast("double") / lit(DcgScale)) / lit(idcg)))
+        .as(Seq("metric", "value")))
     }
     frames.reduce(_ unionByName _).orderBy($"req", $"metric")
   }

@@ -117,7 +117,7 @@ class DslSpec extends SparkSpec {
   test("unsupported clauses, fields, and malformed bodies refuse loudly") {
     def msg(json: String): String =
       intercept[IllegalArgumentException](run(json, tiny)).getMessage
-    assert(msg("""{"query": {"span_term": {"text": "x"}}}""")
+    assert(msg("""{"query": {"geo_distance": {"field": "x"}}}""")
       .contains("supported"), "unknown clause must name the supported set")
     assert(msg("""{"query": {"bool": {"boost_mode": []}}}""")
       .contains("boost_mode"))
