@@ -792,6 +792,117 @@ object Dsl {
         s"fields: ${AnalyzedFields.mkString(", ")} (keyword/numeric " +
         "fields take term/terms/range/exists)")
 
+  /** One intervals RULE → the equivalent clause node. Supported:
+    * `match` (ordered + max_gaps ≥ 0 → the windowed sloppy phrase;
+    * unordered + unlimited gaps → all-terms-anywhere, an operator-and
+    * match), `prefix` (token prefix), `any_of` (should-of children),
+    * `all_of` unordered+unlimited (must-of children) and
+    * ordered+bounded over single-term matches (the phrase again).
+    * Everything else — ordered with unlimited gaps, unordered with a
+    * gap budget, filter/containing rules — needs minimal-interval
+    * algebra and refuses loudly. */
+  private def intervalsNode(field: String, spec: JObject): Node = {
+    def gapsOrdered(o: JObject, known: Set[String]): (Int, Boolean) = {
+      o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+        .foreach(k => fail(s"intervals rule has unsupported option " +
+          s"'$k' — supported: ${known.toSeq.sorted.mkString(", ")}"))
+      val gaps = o \ "max_gaps" match {
+        case JNothing => -1 // the ES default: unlimited
+        case JInt(n) if n >= -1 => n.toInt
+        case v => fail(s"intervals max_gaps must be ≥ -1, got $v")
+      }
+      val ordered = o \ "ordered" match {
+        case JNothing => false // the ES default
+        case JBool(b) => b
+        case v => fail(s"intervals ordered must be a boolean, got $v")
+      }
+      (gaps, ordered)
+    }
+    spec.obj match {
+      case List(("match", o: JObject)) =>
+        val (gaps, ordered) =
+          gapsOrdered(o, Set("query", "max_gaps", "ordered"))
+        val toks = o \ "query" match {
+          case JString(s) =>
+            val ts = analyzed(s)
+            if (ts.isEmpty) fail("intervals match has no terms")
+            ts
+          case _ => fail("intervals match needs a \"query\" string")
+        }
+        if (toks.size == 1) MatchQ(field, toks, one, andOp = false)
+        else if (ordered && gaps >= 0) PhraseQ(field, toks, one, gaps)
+        else if (!ordered && gaps == -1)
+          MatchQ(field, toks, one, andOp = true)
+        else fail("intervals match: ordered with unlimited gaps / " +
+          "unordered with a gap budget need minimal-interval " +
+          "evaluation — supported: ordered + max_gaps ≥ 0 (the " +
+          "windowed phrase), unordered + unlimited (all terms " +
+          "anywhere)")
+      case List(("prefix", o: JObject)) =>
+        o.obj.collectFirst { case (k, _) if k != "prefix" => k }
+          .foreach(k => fail(s"intervals prefix has unsupported " +
+            s"option '$k' — supported: prefix"))
+        o \ "prefix" match {
+          case JString(p) if p.nonEmpty => analyzed(p) match {
+            case Seq(tok) => PhrasePrefixQ(field, Seq(tok), one, 0)
+            case _ => fail("intervals prefix must be one token")
+          }
+          case _ => fail("intervals prefix needs a \"prefix\" string")
+        }
+      case List(("any_of", o: JObject)) =>
+        o.obj.collectFirst { case (k, _) if k != "intervals" => k }
+          .foreach(k => fail(s"intervals any_of has unsupported " +
+            s"option '$k' — supported: intervals"))
+        val kids = o \ "intervals" match {
+          case JArray(is) if is.size >= 2 => is.map {
+            case sub: JObject => intervalsNode(field, sub)
+            case other => fail(s"intervals any_of entries must be " +
+              s"rule objects, got $other")
+          }
+          case _ => fail("intervals any_of needs ≥ 2 intervals")
+        }
+        BoolQ(Seq.empty, kids, Seq.empty, Seq.empty, Some(1))
+      case List(("all_of", o: JObject)) =>
+        val (gaps, ordered) =
+          gapsOrdered(o, Set("intervals", "max_gaps", "ordered"))
+        val subs = o \ "intervals" match {
+          case JArray(is) if is.size >= 2 => is
+          case _ => fail("intervals all_of needs ≥ 2 intervals")
+        }
+        if (!ordered && gaps == -1)
+          BoolQ(subs.map {
+            case sub: JObject => intervalsNode(field, sub)
+            case other => fail(s"intervals all_of entries must be " +
+              s"rule objects, got $other")
+          }, Seq.empty, Seq.empty, Seq.empty, None)
+        else if (ordered && gaps >= 0) {
+          // ordered+bounded all_of over SINGLE-TERM matches ≡ the
+          // windowed phrase over the terms in rule order
+          val toks = subs.map {
+            case JObject(List(("match", mo: JObject))) =>
+              mo \ "query" match {
+                case JString(s) => analyzed(s) match {
+                  case Seq(tok) => tok
+                  case _ => fail("intervals all_of ordered: each " +
+                    "child must be a single-term match")
+                }
+                case _ => fail("intervals all_of child match needs " +
+                  "a \"query\"")
+              }
+            case _ => fail("intervals all_of ordered supports " +
+              "single-term match children only")
+          }
+          PhraseQ(field, toks, one, gaps)
+        } else fail("intervals all_of: ordered with unlimited gaps / " +
+          "unordered with a gap budget need minimal-interval " +
+          "evaluation — unsupported")
+      case List((other, _)) => fail(s"unsupported intervals rule " +
+        s"'$other' — supported: all_of, any_of, match, prefix " +
+        "(filter/containing rules need minimal-interval algebra)")
+      case _ => fail("intervals takes exactly one rule")
+    }
+  }
+
   private def ciOf(o: JValue, clause: String): Boolean =
     o \ "case_insensitive" match {
       case JNothing => false
@@ -1034,6 +1145,77 @@ object Dsl {
           }
         case other => fail(s"multi_match expects an object, got $other")
       }
+      case "combined_fields" =>
+        // term-centric multi-field matching (the clause ES recommends
+        // over cross_fields): each term scores its best field, terms
+        // combine by the operator — the SAME deterministic stand-in
+        // the cross_fields desugar documents (true BM25F field
+        // blending is scorer-internal)
+        body match {
+          case o: JObject =>
+            val known = Set("query", "fields", "operator", "boost")
+            o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+              .foreach(k => fail(s"combined_fields has unsupported " +
+                s"option '$k' — supported: " +
+                known.toSeq.sorted.mkString(", ")))
+            val terms = o \ "query" match {
+              case JString(s) =>
+                val ts = analyzed(s)
+                if (ts.isEmpty) fail("combined_fields has no terms")
+                ts
+              case _ => fail("combined_fields needs a \"query\" string")
+            }
+            val specs: Seq[(String, BigDecimal)] = o \ "fields" match {
+              case JArray(fs) if fs.nonEmpty => fs.map {
+                case JString(s) =>
+                  val (f, fb) = s.split("\\^") match {
+                    case Array(f0) => (f0, one)
+                    case Array(f0, b2) => (f0, BigDecimal(b2))
+                    case _ => fail(s"combined_fields bad field '$s'")
+                  }
+                  checkAnalyzed(f, "combined_fields")
+                  (f, fb)
+                case other => fail("combined_fields fields must be " +
+                  s"strings, got $other")
+              }
+              case _ => fail("combined_fields needs a non-empty " +
+                "\"fields\" array")
+            }
+            val andOp = o \ "operator" match {
+              case JNothing | JString("or") => false
+              case JString("and") => true
+              case v => fail("combined_fields operator must be " +
+                s""""and" or "or", got $v""")
+            }
+            val outer = boostOf(o)
+            val perTerm: Seq[Node] = terms.map { t =>
+              specs.map { case (f, fb) =>
+                MatchQ(f, Seq(t), fb * outer, andOp = false): Node
+              } match {
+                case Seq(one1) => one1
+                case qs => DisMaxQ(qs, BigDecimal(0))
+              }
+            }
+            if (perTerm.size == 1) perTerm.head
+            else if (andOp)
+              BoolQ(perTerm, Seq.empty, Seq.empty, Seq.empty, None)
+            else BoolQ(Seq.empty, perTerm, Seq.empty, Seq.empty, None)
+          case other =>
+            fail(s"combined_fields expects an object, got $other")
+        }
+      case "intervals" =>
+        // the restricted intervals subset with exact desugars onto
+        // machinery this module already proves: interval-TREE
+        // evaluation (minimal-interval algebra) is scorer-internal,
+        // but the everyday rules have order/co-occurrence semantics
+        // the phrase/match family expresses exactly
+        body match {
+          case JObject(List((field, spec: JObject))) =>
+            checkAnalyzed(field, "intervals")
+            intervalsNode(field, spec)
+          case other =>
+            fail(s"intervals expects {field: {rule}}, got $other")
+        }
       case "term" => body match {
         case JObject(List((field, o: JObject))) =>
           val known = Set("value", "boost")
@@ -1677,11 +1859,11 @@ object Dsl {
         }
       case "match_all" => MatchAllQ
       case other => fail(s"unsupported query type '$other' — supported: " +
-        "bool, boosting, constant_score, dis_max, distance_feature, " +
-        "exists, function_score, fuzzy, ids, match, match_all, " +
-        "match_bool_prefix, match_phrase, match_phrase_prefix, " +
-        "more_like_this, multi_match, nested, pinned, prefix, " +
-        "query_string, range, rank_feature, regexp, " +
+        "bool, boosting, combined_fields, constant_score, dis_max, " +
+        "distance_feature, exists, function_score, fuzzy, ids, " +
+        "intervals, match, match_all, match_bool_prefix, match_phrase, " +
+        "match_phrase_prefix, more_like_this, multi_match, nested, " +
+        "pinned, prefix, query_string, range, rank_feature, regexp, " +
         "simple_query_string, span_near, span_term, term, terms, " +
         "terms_set, wildcard, wrapper")
     }
@@ -6600,6 +6782,32 @@ object Dsl {
       dir: String): DataFrame =
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), LookupSpanQuery)
+
+  /** Registered `intervals` + `combined_fields` — the last two query
+    * grammars: an any_of over an ordered bounded-gap match (the
+    * windowed phrase) and a prefix rule, beside a term-centric
+    * combined_fields must across head^2/text. All parse-level
+    * desugars onto oracle-green machinery. */
+  val IntervalsQuery: String =
+    s"""{"query": {"bool": {
+       |  "must": [{"combined_fields": {"query": "dup vector",
+       |    "fields": ["${Search.HeadField}^2", "${Search.DefaultField}"],
+       |    "operator": "and"}}],
+       |  "should": [{"intervals": {"text": {"any_of": {"intervals": [
+       |    {"match": {"query": "merge hash", "max_gaps": 1,
+       |      "ordered": true}},
+       |    {"prefix": {"prefix": "dedu"}}]}}}}]
+       |}}, "size": 25}""".stripMargin
+
+  def searchDslIntervals(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), IntervalsQuery)
+
+  val searchDslIntervalsSql: String = dslSql(IntervalsQuery)
+
+  def searchDslIntervalsServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), IntervalsQuery)
 
   /** Registered `_mget` — three ids in request order, the middle one
     * a guaranteed miss (found = false row, the ES contract). */

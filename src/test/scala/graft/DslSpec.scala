@@ -2222,6 +2222,49 @@ class DslSpec extends SparkSpec {
       "in_order": true}}}""").contains("ONE field"))
   }
 
+  test("intervals and combined_fields desugar onto the proven machinery") {
+    // intervals match ordered+bounded ≡ sloppy phrase: rare..beta
+    // within 1 gap → doc 3 ("rare beta")
+    val iv = ids(run("""{"query": {"intervals": {"text": {"match":
+      {"query": "rare beta", "max_gaps": 1, "ordered": true}}}}}""",
+      tiny))
+    assert(iv == Seq(3L), s"got $iv")
+    // unordered unlimited ≡ all terms anywhere: gamma+beta docs 2, 4
+    val un = ids(run("""{"query": {"intervals": {"text": {"match":
+      {"query": "gamma beta"}}}}}""", tiny)).toSet
+    assert(un == Set(2L, 4L), s"got $un")
+    // any_of: rare-prefix OR gamma
+    val ao = ids(run("""{"query": {"intervals": {"text": {"any_of":
+      {"intervals": [{"prefix": {"prefix": "ra"}},
+        {"match": {"query": "gamma"}}]}}}}}""", tiny)).toSet
+    assert(ao == Set(0L, 2L, 3L, 4L), s"got $ao")
+    // all_of ordered+bounded over single-term matches ≡ phrase
+    val af = ids(run("""{"query": {"intervals": {"text": {"all_of":
+      {"intervals": [{"match": {"query": "alpha"}},
+        {"match": {"query": "gamma"}}],
+       "ordered": true, "max_gaps": 1}}}}}""", tiny))
+    assert(af == Seq(4L), s"got $af") // "alpha beta gamma"
+    // combined_fields ≡ the cross_fields desugar bit-for-bit
+    val cf = run("""{"query": {"combined_fields": {"query": "alpha rare",
+      "fields": ["text"], "operator": "and"}}, "size": 10}""", tiny)
+    val xf = run("""{"query": {"multi_match": {"query": "alpha rare",
+      "type": "cross_fields", "operator": "and",
+      "fields": ["text"]}}, "size": 10}""", tiny)
+    assert(cf == xf, "combined_fields must equal the cross_fields " +
+      "desugar on one field")
+    // refusals: ordered+unlimited, unordered+bounded, filter rules
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"intervals": {"text": {"match":
+      {"query": "a b", "ordered": true}}}}}""")
+      .contains("minimal-interval"))
+    assert(msg("""{"query": {"intervals": {"text": {"match":
+      {"query": "a b", "max_gaps": 2}}}}}""")
+      .contains("minimal-interval"))
+    assert(msg("""{"query": {"intervals": {"text": {"filter":
+      {"after": {}}}}}}""").contains("unsupported intervals rule"))
+  }
+
   test("percolate_dsl: full query bodies as stored rules") {
     val hits = Dsl.percolateDslOf(tiny, Seq(
       1L -> """{"query": {"bool": {"must": [{"match": {"text": "alpha"}}],
