@@ -251,7 +251,121 @@ object Dsl {
   final case class DistanceFeatureQ(field: String,
       dateOrigin: Option[String], numOrigin: Option[BigDecimal],
       pivot: BigDecimal, boost: BigDecimal) extends Node
+
+  /** One entry of a `function_score` `functions` array. Every kind
+    * carries an optional per-function `filter` (compiled in FILTER
+    * context — its score is never used; a doc missing the filter is
+    * skipped by that function, never excluded from the result) and an
+    * optional `weight` multiplier. */
+  sealed trait ScoreFn {
+    def filter: Option[Node]
+    def weight: Option[BigDecimal]
+    def withFilter(f: Option[Node]): ScoreFn
+  }
+  /** `gauss` / `exp` / `linear` decay on a date or numeric field —
+    * the "boost recent / boost near" relevance tool. Closed-form:
+    * with d = max(0, |value − origin| − offset),
+    * gauss = e^(d²·ln(decay)/scale²), exp = e^(d·ln(decay)/scale),
+    * linear = max(0, (s − d)/s) with s = scale/(1 − decay). The
+    * libm-sensitive constants (ln(decay)/scale² …) are computed ONCE
+    * in Scala and emitted as the same double literal to both engines;
+    * the remaining runtime `exp` is rank-internal (scores are never
+    * emitted — a ≤1-ulp cross-engine wobble can only reorder exact
+    * ties, and exact ties break by doc_id in both engines). Date form:
+    * origin `yyyy-MM-dd`, scale/offset `"<n>d"`, distance in whole
+    * DAYS (integer datediff in both engines — the distance_feature
+    * precedent). A doc MISSING the field scores 1.0 from this function
+    * (ES's documented decay-on-missing behavior). */
+  final case class DecayFn(kind: String, field: String,
+      dateOrigin: Option[String], numOrigin: Option[BigDecimal],
+      offset: BigDecimal, scale: BigDecimal, decay: BigDecimal,
+      filter: Option[Node], weight: Option[BigDecimal]) extends ScoreFn {
+    def withFilter(f: Option[Node]): ScoreFn = copy(filter = f)
+  }
+  /** `field_value_factor` as a functions-array entry — same math as
+    * the legacy single-function [[FunctionScoreQ]] (modifier ∘
+    * (factor·field)); without `missing` a null field yields a null
+    * value that poisons the combined score (sorts last — the legacy
+    * stance, documented there). */
+  final case class FvfFn(field: String, modifier: String,
+      factor: BigDecimal, missing: Option[BigDecimal],
+      filter: Option[Node], weight: Option[BigDecimal]) extends ScoreFn {
+    def withFilter(f: Option[Node]): ScoreFn = copy(filter = f)
+  }
+  /** Bare `weight` function — value 1, weight w (the "boost docs
+    * matching this filter" pattern). */
+  final case class WeightFn(w: BigDecimal,
+      filter: Option[Node]) extends ScoreFn {
+    def weight: Option[BigDecimal] = Some(w)
+    def withFilter(f: Option[Node]): ScoreFn = copy(filter = f)
+  }
+  /** `random_score` with REQUIRED seed + field — deterministic
+    * reproducible pseudo-random in [0, 1): the md5-hex-to-long idiom
+    * both engines already share (Curate's split hash), divided by
+    * 2^60 (exact power-of-two division — bit-stable). The seedless /
+    * fieldless forms hash ES-internal state and refuse. */
+  final case class RandomFn(seed: Long, field: String,
+      filter: Option[Node], weight: Option[BigDecimal]) extends ScoreFn {
+    def withFilter(f: Option[Node]): ScoreFn = copy(filter = f)
+  }
+  /** ES `function_score` with a `functions` ARRAY — the general form:
+    * each matching function produces weight·value; `score_mode`
+    * combines them (multiply default, sum, avg = WEIGHTED average —
+    * ES's documented avg, max, min, first); `boost_mode` combines the
+    * result with the inner query score (multiply default, sum, avg,
+    * max, min, replace). A doc matching NO function keeps function
+    * score 1.0 — the multiplicative identity, ES's
+    * no-function-modifies-score stance, applied uniformly across
+    * score_modes (documented contract; the oracle is generated from
+    * the same AST so both engines agree by construction). A scoreless
+    * inner query contributes base 1.0 (the ES match_all convention).
+    * `script_score`/`max_boost`/`min_score` refuse loudly. */
+  final case class FnScoreQ(query: Node, functions: Seq[ScoreFn],
+      scoreMode: String, boostMode: String,
+      boost: BigDecimal) extends Node
+  /** Positional span algebra over SINGLE-TOKEN spans (the span_term
+    * grain the module's span surface commits to) — each compiles to a
+    * positional feature column computed from the token array (scan)
+    * or the positional postings (served), exactly like phrases.
+    * Unscored (the set-membership convention). `span_or` needs no
+    * node: it desugars to a should-bool of its term matches.
+    *
+    *  - [[SpanNotQ]]: include-term occurrences NOT overlapped by an
+    *    exclude occurrence within `[pos − pre, pos + post]` (ES's
+    *    pre/post exclusion windows; pre = post = 0 is the bare
+    *    span_not, which for distinct single tokens excludes only
+    *    same-position overlap — i.e. nothing — so the parser demands
+    *    pre + post > 0 rather than accept a silent no-op).
+    *  - [[SpanFirstQ]]: an occurrence within the first `end` tokens
+    *    (Lucene's end-position bound at token grain).
+    *  - [[SpanUnordQ]]: two DISTINCT terms within `slop` (unordered:
+    *    |p − q| − 1 ≤ slop, Lucene's NearSpansUnordered distance);
+    *    three-plus unordered clauses need minimal-window cover —
+    *    refused with the intervals algebra. */
+  final case class SpanNotQ(field: String, include: String,
+      exclude: String, pre: Int, post: Int) extends Node
+  final case class SpanFirstQ(field: String, term: String,
+      end: Int) extends Node
+  final case class SpanUnordQ(field: String, t1: String, t2: String,
+      slop: Int) extends Node
+  /** Intervals `ordered` + UNLIMITED gaps: the terms appear in order
+    * anywhere — a monotone-subsequence scan over the position arrays
+    * (∃ p₁ < p₂ < … < pₖ, pᵢ ∈ positions(termᵢ)); k ≤
+    * [[MaxIntervalTerms]] (the nested-exists depth bound). */
+  final case class SpanOrderedQ(field: String,
+      terms: Seq[String]) extends Node
+  /** Intervals `unordered` + BOUNDED max_gaps: one occurrence of each
+    * DISTINCT term inside a window of span ≤ max_gaps + k − 1 (ES's
+    * minimal-interval width for k single-term sources). Exact via the
+    * anchor disjunction: some term's occurrence s has every other
+    * term in [s, s + W] — the window's min is always one of the
+    * chosen occurrences. */
+  final case class SpanWindowQ(field: String, terms: Seq[String],
+      maxGaps: Int) extends Node
   case object MatchAllQ extends Node
+
+  /** Nested-exists depth bound for interval evaluation. */
+  private val MaxIntervalTerms = 4
 
   /** Pinned-score base: above any reachable BM25/function score, and
     * exactly representable — both compilers emit `PinBase − k` for
@@ -433,7 +547,12 @@ object Dsl {
     * value rides `v_sum`; a derivative's first bucket is null (ES
     * omits it — same information). Metric-sub paths would need two
     * subs under one parent (the one-sub nesting rule), so only
-    * `_count` is supported. */
+    * `_count` is supported. DOCUMENTED DIVERGENCE — no gap-fill: ES's
+    * date_histogram defaults to `min_doc_count: 0` and materializes
+    * EMPTY buckets, so its derivative emits 0-count buckets and
+    * computes deltas across gaps; this engine windows over only the
+    * non-empty buckets it returns (the rare_terms exactness stance:
+    * the oracle agrees, the deviation is the contract, not a bug). */
   final case class PipelineAgg(kind: String) extends AggNode
   /** ES SIBLING pipeline aggregations — `avg_bucket` / `sum_bucket` /
     * `min_bucket` / `max_bucket` over `buckets_path:
@@ -454,8 +573,39 @@ object Dsl {
     * deterministic form, and an anonymous bucket's key is an
     * ES-internal ordinal. */
   final case class FiltersAgg(filters: Seq[(String, Node)]) extends AggNode
+  /** Minimal arithmetic expression over `params.*` — the supported
+    * subset of ES's bucket-pipeline scripts (Painless is out of
+    * scope; anything beyond +,−,×,÷, comparisons, parens and numeric
+    * literals refuses loudly at parse). Lockstep Column/SQL emission
+    * over the parent's bucket columns — pure \|buckets\|-row
+    * arithmetic, zero corpus cost. */
+  sealed trait PExpr
+  final case class PNum(v: BigDecimal) extends PExpr
+  final case class PParam(name: String) extends PExpr
+  final case class PBin(op: String, l: PExpr, r: PExpr) extends PExpr
+
+  /** The bucket-script trio — ES's HAVING (`bucket_selector`),
+    * computed per-bucket metric (`bucket_script`) and bucket page
+    * (`bucket_sort`) — attached to a grouping parent (terms /
+    * date_histogram / histogram) as SIBLINGS of its metric sub in the
+    * `aggs` map. `paths` map script params to `_count` or the
+    * parent's single metric sub; sort keys may also be `_key`.
+    * Applied over the parent's RETURNED buckets (post
+    * include/min_doc_count/top-N — the BucketMetricAgg stance) in the
+    * fixed order script → selector → sort, regardless of JSON order
+    * (ES resolves by dependency; this engine's scripts cannot
+    * reference each other, so the fixed order is the only
+    * well-defined one). Sibling pipelines and child frames read the
+    * post-pipe buckets. bucket_sort output ordering is normalized by
+    * the engine's (agg, key) output contract — the observable effect
+    * is the from/size TRUNCATION, ES's own response-page cut. */
+  final case class BucketPipe(kind: String,
+      paths: Seq[(String, String)], script: Option[PExpr],
+      sortKeys: Seq[(String, Boolean)], from: Int, size: Option[Int])
+
   final case class AggSpec(name: String, agg: AggNode,
-      sub: Option[(String, AggNode)])
+      sub: Option[(String, AggNode)],
+      pipes: Seq[(String, BucketPipe)] = Seq.empty)
 
   /** A parsed search body: `{"query": …, "size": n, "from": n,
     * "sort": […], "_source": […], "aggs": …}`. `query` defaults to
@@ -468,7 +618,10 @@ object Dsl {
       from: Int, sort: Seq[(String, Boolean)], source: Option[Seq[String]],
       after: Option[Seq[Scalar]], highlight: Option[String],
       collapse: Option[String] = None,
-      rescore: Option[Rescore] = None)
+      rescore: Option[Rescore] = None,
+      postFilter: Option[Node] = None,
+      minScore: Option[BigDecimal] = None,
+      trackTotal: Boolean = false)
 
   /** ES `rescore` (one stage, score_mode total): the top
     * `window` hits by the original score re-rank by `qw·orig +
@@ -529,11 +682,13 @@ object Dsl {
       case other => fail(s"body must be a JSON object, got $other")
     }
     val known = Set("query", "size", "aggs", "from", "sort", "_source",
-      "search_after", "highlight", "collapse", "rescore")
+      "search_after", "highlight", "collapse", "rescore", "post_filter",
+      "min_score", "track_total_hits")
     root.obj.collectFirst { case (k, _) if !known.contains(k) => k }
       .foreach(k => fail(s"unsupported body key '$k' — supported: " +
-        "_source, aggs, collapse, from, highlight, query, rescore, " +
-        "search_after, size, sort"))
+        "_source, aggs, collapse, from, highlight, min_score, " +
+        "post_filter, query, rescore, search_after, size, sort, " +
+        "track_total_hits"))
     val size = root \ "size" match {
       case JNothing => DefaultSize
       case JInt(n) if n >= 0 && n <= MaxResultWindow => n.toInt
@@ -677,6 +832,38 @@ object Dsl {
       fail("rescore with search_after is unsupported")
     if (rescore.nonEmpty && collapse.nonEmpty)
       fail("rescore with collapse is unsupported")
+    // post_filter: the faceted-search split — narrows HITS only;
+    // aggregations keep the pre-post_filter match set (the ES
+    // contract, honored by dslAggsOf IGNORING it by design)
+    val postFilter = root \ "post_filter" match {
+      case JNothing => None
+      case pf => Some(node(pf))
+    }
+    val minScore = root \ "min_score" match {
+      case JNothing => None
+      case v => scalar(v) match {
+        case SNum(x) if x > 0 => Some(x)
+        case SNum(x) => fail(s"min_score must be positive, got $x")
+        case other => fail(s"min_score must be numeric, got ${other.sql}")
+      }
+    }
+    if (minScore.nonEmpty && sort.nonEmpty && !sort.exists(_._1 == "_score"))
+      fail("min_score under a field-only sort is unsupported — the " +
+        "engine computes no score there (ES's track_scores would " +
+        "force it); sort by _score or drop the sort")
+    val trackTotal = root \ "track_total_hits" match {
+      case JNothing | JBool(false) => false
+      case JBool(true) => true
+      case JInt(_) => fail("track_total_hits thresholds are " +
+        "unsupported — true gives the exact count (the engine never " +
+        "approximates a count it can push to one aggregate)")
+      case v => fail(s"track_total_hits must be a boolean, got $v")
+    }
+    if (trackTotal && after.nonEmpty)
+      fail("track_total_hits with search_after is unsupported — the " +
+        "keyset gate never materializes the skipped prefix, so the " +
+        "page cannot carry a full-set count for free; count once " +
+        "via _count")
     val q = root \ "query" match {
       case JNothing => MatchAllQ // the ES default
       case qq => node(qq)
@@ -686,7 +873,7 @@ object Dsl {
       case a => parseAggs(a)
     }
     Body(q, size, aggs, from, sort, source, after, highlight, collapse,
-      rescore)
+      rescore, postFilter, minScore, trackTotal)
   }
 
   /** The ES `minimum_should_match` grammar, resolved against the
@@ -801,6 +988,25 @@ object Dsl {
     * Everything else — ordered with unlimited gaps, unordered with a
     * gap budget, filter/containing rules — needs minimal-interval
     * algebra and refuses loudly. */
+  /** The r15 interval slice: ordered+unlimited → [[SpanOrderedQ]],
+    * unordered+bounded → [[SpanWindowQ]] (distinct terms, k ≤
+    * [[MaxIntervalTerms]]). */
+  private def intervalSpan(field: String, toks: Seq[String], gaps: Int,
+      ordered: Boolean): Node = {
+    if (toks.size > MaxIntervalTerms)
+      fail(s"intervals over ${toks.size} terms is unsupported — the " +
+        s"positional evaluation nests one exists per term (bound " +
+        s"$MaxIntervalTerms)")
+    if (ordered && gaps == -1) SpanOrderedQ(field, toks)
+    else {
+      if (toks.distinct.size != toks.size)
+        fail("unordered bounded intervals need DISTINCT terms (a " +
+          "repeated term would need occurrence multiplicity the " +
+          "anchor-window check cannot see)")
+      SpanWindowQ(field, toks, gaps)
+    }
+  }
+
   private def intervalsNode(field: String, spec: JObject): Node = {
     def gapsOrdered(o: JObject, known: Set[String]): (Int, Boolean) = {
       o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
@@ -833,11 +1039,7 @@ object Dsl {
         else if (ordered && gaps >= 0) PhraseQ(field, toks, one, gaps)
         else if (!ordered && gaps == -1)
           MatchQ(field, toks, one, andOp = true)
-        else fail("intervals match: ordered with unlimited gaps / " +
-          "unordered with a gap budget need minimal-interval " +
-          "evaluation — supported: ordered + max_gaps ≥ 0 (the " +
-          "windowed phrase), unordered + unlimited (all terms " +
-          "anywhere)")
+        else intervalSpan(field, toks, gaps, ordered)
       case List(("prefix", o: JObject)) =>
         o.obj.collectFirst { case (k, _) if k != "prefix" => k }
           .foreach(k => fail(s"intervals prefix has unsupported " +
@@ -875,27 +1077,28 @@ object Dsl {
             case other => fail(s"intervals all_of entries must be " +
               s"rule objects, got $other")
           }, Seq.empty, Seq.empty, Seq.empty, None)
-        else if (ordered && gaps >= 0) {
-          // ordered+bounded all_of over SINGLE-TERM matches ≡ the
-          // windowed phrase over the terms in rule order
+        else {
+          // the remaining rule combinations evaluate over SINGLE-TERM
+          // children: ordered+bounded ≡ the windowed phrase;
+          // ordered+unlimited = the monotone-subsequence scan;
+          // unordered+bounded = the anchor-window check
           val toks = subs.map {
             case JObject(List(("match", mo: JObject))) =>
               mo \ "query" match {
                 case JString(s) => analyzed(s) match {
                   case Seq(tok) => tok
-                  case _ => fail("intervals all_of ordered: each " +
-                    "child must be a single-term match")
+                  case _ => fail("intervals all_of with gap/order " +
+                    "rules: each child must be a single-term match")
                 }
                 case _ => fail("intervals all_of child match needs " +
                   "a \"query\"")
               }
-            case _ => fail("intervals all_of ordered supports " +
-              "single-term match children only")
+            case _ => fail("intervals all_of with gap/order rules " +
+              "supports single-term match children only")
           }
-          PhraseQ(field, toks, one, gaps)
-        } else fail("intervals all_of: ordered with unlimited gaps / " +
-          "unordered with a gap budget need minimal-interval " +
-          "evaluation — unsupported")
+          if (ordered && gaps >= 0) PhraseQ(field, toks, one, gaps)
+          else intervalSpan(field, toks, gaps, ordered)
+        }
       case List((other, _)) => fail(s"unsupported intervals rule " +
         s"'$other' — supported: all_of, any_of, match, prefix " +
         "(filter/containing rules need minimal-interval algebra)")
@@ -976,6 +1179,236 @@ object Dsl {
     if (term.length < 3) 0 else if (term.length < 6) 1 else 2
 
   private val RangeOps = Seq("gte", "gt", "lte", "lt")
+
+  private val DateLit = "\\d{4}-\\d{2}-\\d{2}"
+  private val DayLit = "\\d+d"
+
+  /** Parse one entry of a `function_score` `functions` array. */
+  private def parseScoreFn(v: JValue): ScoreFn = v match {
+    case o: JObject =>
+      val known = Set("filter", "weight", "gauss", "linear", "exp",
+        "field_value_factor", "random_score")
+      o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+        .foreach(k => fail(s"functions entry has unsupported key '$k' — " +
+          s"supported: ${known.toSeq.sorted.mkString(", ")} " +
+          "(script_score is unsupported: Painless is out of scope)"))
+      val filter = o \ "filter" match {
+        case JNothing => None
+        case fq => Some(node(fq))
+      }
+      val weight = o \ "weight" match {
+        case JNothing => None
+        case w => scalar(w) match {
+          case SNum(x) => Some(x)
+          case other =>
+            fail(s"functions entry weight must be numeric, got ${other.sql}")
+        }
+      }
+      val kinds = o.obj.collect {
+        case (k @ ("gauss" | "linear" | "exp" | "field_value_factor" |
+            "random_score"), b) => (k, b)
+      }
+      kinds match {
+        case Nil =>
+          weight.map(WeightFn(_, filter)).getOrElse(
+            fail("functions entry needs a function (gauss/linear/exp/" +
+              "field_value_factor/random_score) or a bare weight"))
+        case (kind @ ("gauss" | "linear" | "exp"), b) :: Nil =>
+          parseDecayFn(kind, b, filter, weight)
+        case ("field_value_factor", b) :: Nil => b match {
+          case f: JObject =>
+            val (field, modifier, factor, missing) = parseFvfBody(f)
+            FvfFn(field, modifier, factor, missing, filter, weight)
+          case other =>
+            fail(s"field_value_factor expects an object, got $other")
+        }
+        case ("random_score", b) :: Nil => b match {
+          case r: JObject =>
+            r.obj.collectFirst {
+              case (k, _) if k != "seed" && k != "field" => k
+            }.foreach(k => fail(s"random_score has unsupported option " +
+              s"'$k' — supported: seed, field"))
+            val seed = r \ "seed" match {
+              case JInt(n) => n.toLong
+              case _ => fail("random_score needs an integer \"seed\" " +
+                "(the seedless form hashes ES-internal state — " +
+                "not reproducible)")
+            }
+            val fld = r \ "field" match {
+              case JString(f) if f.nonEmpty => f
+              case _ => fail("random_score needs a \"field\" (ES's own " +
+                "reproducibility requirement — without one it hashes " +
+                "the internal Lucene doc id)")
+            }
+            RandomFn(seed, fld, filter, weight)
+          case other => fail(s"random_score expects an object, got $other")
+        }
+        case more => fail("functions entry must carry ONE function, " +
+          s"got ${more.map(_._1).mkString(", ")}")
+      }
+    case other => fail(s"functions entries must be objects, got $other")
+  }
+
+  /** Decay-function body: `{field: {origin, scale, offset?, decay?}}`.
+    * Date form when origin is `yyyy-MM-dd` (scale/offset `"<n>d"`);
+    * numeric otherwise. */
+  private def parseDecayFn(kind: String, b: JValue, filter: Option[Node],
+      weight: Option[BigDecimal]): DecayFn = b match {
+    case JObject(List((field, spec: JObject))) =>
+      val known = Set("origin", "scale", "offset", "decay")
+      spec.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+        .foreach(k => fail(s"$kind.$field has unsupported option '$k' — " +
+          s"supported: ${known.toSeq.sorted.mkString(", ")}"))
+      val decay = spec \ "decay" match {
+        case JNothing => BigDecimal("0.5") // the ES default
+        case v => scalar(v) match {
+          case SNum(x) if x > 0 && x < 1 => x
+          case SNum(x) => fail(s"$kind.$field decay must be in (0, 1) " +
+            s"exclusive, got $x")
+          case other =>
+            fail(s"$kind.$field decay must be numeric, got ${other.sql}")
+        }
+      }
+      (spec \ "origin", spec \ "scale") match {
+        case (JString(org), JString(sc)) =>
+          if (!org.matches(DateLit))
+            fail(s"$kind.$field date origin must be yyyy-MM-dd, " +
+              s"got '$org'")
+          if (!sc.matches(DayLit) || sc == "0d")
+            fail(s"$kind.$field date scale must be \"<days>d\" " +
+              s"(positive; sub-day units would need time-typed " +
+              s"fields), got '$sc'")
+          val off = spec \ "offset" match {
+            case JNothing => BigDecimal(0)
+            case JString(x) if x.matches(DayLit) =>
+              BigDecimal(x.stripSuffix("d").toLong)
+            case v => fail(s"$kind.$field date offset must be " +
+              s""""<days>d", got $v""")
+          }
+          DecayFn(kind, field, Some(org), None, off,
+            BigDecimal(sc.stripSuffix("d").toLong), decay, filter, weight)
+        case (ov, sv) if ov != JNothing && sv != JNothing =>
+          (scalar(ov), scalar(sv)) match {
+            case (SNum(org), SNum(sc)) if sc > 0 =>
+              val off = spec \ "offset" match {
+                case JNothing => BigDecimal(0)
+                case v => scalar(v) match {
+                  case SNum(x) if x >= 0 => x
+                  case _ => fail(s"$kind.$field offset must be a " +
+                    "non-negative number")
+                }
+              }
+              DecayFn(kind, field, None, Some(org), off, sc, decay,
+                filter, weight)
+            case _ => fail(s"$kind.$field needs a numeric origin and a " +
+              "positive numeric scale, or a date origin with a " +
+              """"<n>d" scale""")
+          }
+        case _ => fail(s"$kind.$field needs origin and scale")
+      }
+    case JObject(List((field, other))) =>
+      fail(s"$kind.$field expects an object, got $other")
+    case o: JObject => fail(s"$kind must decay ONE field, got " +
+      o.obj.map(_._1).mkString(", "))
+    case other => fail(s"$kind expects {field: {origin, scale}}, " +
+      s"got $other")
+  }
+
+  /** Shared field_value_factor body parse (legacy single-function form
+    * and functions-array entries). */
+  private def parseFvfBody(fvf: JObject)
+      : (String, String, BigDecimal, Option[BigDecimal]) = {
+    val fvfKnown = Set("field", "modifier", "factor", "missing")
+    fvf.obj.collectFirst { case (k, _) if !fvfKnown.contains(k) => k }
+      .foreach(k => fail(s"field_value_factor has unsupported " +
+        s"option '$k' — supported: " +
+        fvfKnown.toSeq.sorted.mkString(", ")))
+    val field = fvf \ "field" match {
+      case JString(f) if f.nonEmpty => f
+      case _ => fail("field_value_factor needs a \"field\"")
+    }
+    val modifier = fvf \ "modifier" match {
+      case JNothing | JString("none") => "none"
+      case JString(m @ ("ln1p" | "sqrt" | "square")) => m
+      case JString(m) => fail(s"field_value_factor modifier '$m' " +
+        "unsupported — supported: ln1p, none, sqrt, square")
+      case v => fail(s"field_value_factor modifier must be a " +
+        s"string, got $v")
+    }
+    val factor = fvf \ "factor" match {
+      case JNothing => one
+      case v => scalar(v) match {
+        case SNum(x) => x
+        case other =>
+          fail(s"field_value_factor factor must be numeric, " +
+            s"got ${other.sql}")
+      }
+    }
+    val missing = fvf \ "missing" match {
+      case JNothing => None
+      case v => scalar(v) match {
+        case SNum(x) => Some(x)
+        case other => fail(s"field_value_factor missing must be " +
+          s"numeric, got ${other.sql}")
+      }
+    }
+    (field, modifier, factor, missing)
+  }
+
+  private val ScoreModes =
+    Seq("multiply", "sum", "avg", "max", "min", "first")
+  private val BoostModes =
+    Seq("multiply", "sum", "avg", "max", "min", "replace")
+
+  /** The `functions`-array form of `function_score`. */
+  private def parseFnScore(o: JObject): FnScoreQ = {
+    val known = Set("query", "functions", "score_mode", "boost_mode",
+      "boost")
+    o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+      .foreach(k => fail(s"function_score has unsupported option '$k' " +
+        s"beside functions — supported: " +
+        s"${known.toSeq.sorted.mkString(", ")} (script_score/" +
+        "max_boost/min_score are unsupported)"))
+    val inner = o \ "query" match {
+      case JNothing => MatchAllQ // the ES default
+      case q => node(q)
+    }
+    val fns = o \ "functions" match {
+      case JArray(es) if es.nonEmpty => es.map(parseScoreFn)
+      case JArray(_) => fail("functions must be a non-empty array")
+      case other => fail(s"functions must be an array, got $other")
+    }
+    val sm = o \ "score_mode" match {
+      case JNothing => "multiply" // the ES default
+      case JString(m) if ScoreModes.contains(m) => m
+      case JString(m) => fail(s"score_mode '$m' unsupported — " +
+        s"supported: ${ScoreModes.mkString(", ")}")
+      case v => fail(s"score_mode must be a string, got $v")
+    }
+    val bm = o \ "boost_mode" match {
+      case JNothing => "multiply" // the ES default
+      case JString(m) if BoostModes.contains(m) => m
+      case JString(m) => fail(s"boost_mode '$m' unsupported — " +
+        s"supported: ${BoostModes.mkString(", ")}")
+      case v => fail(s"boost_mode must be a string, got $v")
+    }
+    FnScoreQ(inner, fns, sm, bm, boostOf(o))
+  }
+
+  /** Parse one `{"span_term": {field: term}}` clause — the
+    * single-token span grain every span combinator here composes. */
+  private def spanTermOf(v: JValue, ctx: String): (String, String) =
+    v match {
+      case JObject(List(("span_term", JObject(List((f, JString(t))))))) =>
+        checkAnalyzed(f, ctx)
+        analyzed(t) match {
+          case Seq(tok) => (f, tok)
+          case _ => fail(s"$ctx: '$t' must analyze to one token")
+        }
+      case other => fail(s"$ctx clauses must be span_term objects " +
+        "(span_multi/span_within need true span-tree evaluation), " +
+        s"got $other")
+    }
 
   private def node(v: JValue): Node = v match {
     case JObject(List((name, body))) => name match {
@@ -1337,20 +1770,22 @@ object Dsl {
       case "span_near" =>
         // in-order span_near over single-token span_terms ≡ the
         // sloppy phrase — a pure desugar onto the positional
-        // machinery; out-of-order matching (in_order: false) is the
-        // same transposition budget the slop stand-in documents away,
-        // so it refuses rather than silently matching differently
+        // machinery. UNORDERED (in_order: false) is served for TWO
+        // clauses via [[SpanUnordQ]] (|p − q| − 1 ≤ slop); three-plus
+        // unordered clauses need minimal-window cover and refuse.
         body match {
           case o: JObject =>
             val known = Set("clauses", "slop", "in_order")
             o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
               .foreach(k => fail(s"span_near has unsupported option " +
                 s"'$k' — supported: ${known.toSeq.sorted.mkString(", ")}"))
-            o \ "in_order" match {
-              case JBool(true) => ()
-              case _ => fail("span_near needs in_order: true — " +
-                "out-of-order spans would need the transposition " +
-                "matching the slop stand-in intentionally omits")
+            val inOrder = o \ "in_order" match {
+              case JBool(b) => b
+              case JNothing => fail("span_near needs an explicit " +
+                "in_order (the ES default true is a silent semantics " +
+                "switch)")
+              case v => fail(s"span_near in_order must be a boolean, " +
+                s"got $v")
             }
             val slop = o \ "slop" match {
               case JNothing => 0
@@ -1359,26 +1794,98 @@ object Dsl {
                 s"integer, got $v")
             }
             val terms = o \ "clauses" match {
-              case JArray(cs) if cs.size >= 2 => cs.map {
-                case JObject(List(("span_term",
-                    JObject(List((f, JString(t))))))) => (f, t)
-                case other => fail("span_near clauses must be " +
-                  s"span_term objects, got $other")
-              }
+              case JArray(cs) if cs.size >= 2 =>
+                cs.map(spanTermOf(_, "span_near"))
               case _ => fail("span_near needs at least two clauses")
             }
             val fieldsUsed = terms.map(_._1).distinct
             if (fieldsUsed.size != 1)
               fail("span_near clauses must address ONE field, got " +
                 fieldsUsed.mkString(", "))
-            checkAnalyzed(fieldsUsed.head, "span_near")
-            val toks = terms.map { case (_, t) => analyzed(t) match {
-              case Seq(tok) => tok
-              case _ => fail(s"span_near term '$t' must be one token")
-            }}
-            PhraseQ(fieldsUsed.head, toks, one, slop)
+            val toks = terms.map(_._2)
+            if (inOrder) PhraseQ(fieldsUsed.head, toks, one, slop)
+            else toks match {
+              case Seq(t1, t2) =>
+                if (t1 == t2) fail("unordered span_near needs two " +
+                  "DISTINCT terms (a repeated term matches itself)")
+                SpanUnordQ(fieldsUsed.head, t1, t2, slop)
+              case _ => fail("unordered span_near serves exactly TWO " +
+                "clauses — k-term unordered needs the minimal-window " +
+                "cover the intervals algebra refuses")
+            }
           case other => fail(s"span_near expects an object, got $other")
         }
+      case "span_or" =>
+        // a span_or of single-token spans matches where ANY term
+        // occurs — exactly a should-bool (msm 1) of the term matches,
+        // scored like any should
+        body match {
+          case o: JObject =>
+            o.obj.collectFirst { case (k, _) if k != "clauses" => k }
+              .foreach(k => fail(s"span_or has unsupported option " +
+                s"'$k' — supported: clauses"))
+            val terms = o \ "clauses" match {
+              case JArray(cs) if cs.nonEmpty =>
+                cs.map(spanTermOf(_, "span_or"))
+              case _ => fail("span_or needs at least one clause")
+            }
+            BoolQ(Seq.empty, terms.map { case (f, t) =>
+              MatchQ(f, Seq(t), one, andOp = false) }, Seq.empty,
+              Seq.empty, Some(1))
+          case other => fail(s"span_or expects an object, got $other")
+        }
+      case "span_not" => body match {
+        case o: JObject =>
+          val known = Set("include", "exclude", "pre", "post", "dist")
+          o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+            .foreach(k => fail(s"span_not has unsupported option '$k' — " +
+              s"supported: ${known.toSeq.sorted.mkString(", ")}"))
+          val (fi, ti) = o \ "include" match {
+            case JNothing => fail("span_not needs an \"include\" clause")
+            case c => spanTermOf(c, "span_not.include")
+          }
+          val (fe, te) = o \ "exclude" match {
+            case JNothing => fail("span_not needs an \"exclude\" clause")
+            case c => spanTermOf(c, "span_not.exclude")
+          }
+          if (fi != fe)
+            fail(s"span_not include/exclude must address ONE field, " +
+              s"got $fi, $fe")
+          def win(k: String): Int = o \ k match {
+            case JNothing => 0
+            case JInt(n) if n >= 0 => n.toInt
+            case v => fail(s"span_not $k must be a non-negative " +
+              s"integer, got $v")
+          }
+          val dist = win("dist")
+          val (pre, post) =
+            if (dist > 0) (dist, dist) else (win("pre"), win("post"))
+          if (pre + post == 0)
+            fail("span_not needs pre/post/dist > 0 — single-token " +
+              "spans of distinct terms never overlap at distance 0, " +
+              "so the bare form is a silent no-op")
+          SpanNotQ(fi, ti, te, pre, post)
+        case other => fail(s"span_not expects an object, got $other")
+      }
+      case "span_first" => body match {
+        case o: JObject =>
+          val known = Set("match", "end")
+          o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+            .foreach(k => fail(s"span_first has unsupported option " +
+              s"'$k' — supported: ${known.toSeq.sorted.mkString(", ")}"))
+          val (f, t) = o \ "match" match {
+            case JNothing => fail("span_first needs a \"match\" clause")
+            case c => spanTermOf(c, "span_first.match")
+          }
+          val end = o \ "end" match {
+            case JInt(n) if n >= 1 => n.toInt
+            case JNothing => fail("span_first needs an \"end\" bound")
+            case v => fail(s"span_first end must be a positive " +
+              s"integer, got $v")
+          }
+          SpanFirstQ(f, t, end)
+        case other => fail(s"span_first expects an object, got $other")
+      }
       case "regexp" => body match {
         case JObject(List((field, spec))) =>
           val pat = spec match {
@@ -1447,13 +1954,17 @@ object Dsl {
           s"got $other")
       }
       case "function_score" => body match {
+        // the `functions` ARRAY is the general form — decay + fvf +
+        // weight + random_score with per-function filters and the full
+        // score_mode/boost_mode matrix ([[FnScoreQ]])
+        case o: JObject if (o \ "functions") != JNothing => parseFnScore(o)
         case o: JObject =>
           val known = Set("query", "field_value_factor", "boost_mode",
             "boost")
           o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
             .foreach(k => fail(s"function_score has unsupported option " +
               s"'$k' — supported: ${known.toSeq.sorted.mkString(", ")} " +
-              "(functions/script_score/random_score are unsupported)"))
+              "(or a \"functions\" array; script_score is unsupported)"))
           val inner = o \ "query" match {
             case JNothing => MatchAllQ // the ES default
             case q => node(q)
@@ -1461,49 +1972,17 @@ object Dsl {
           val fvf = o \ "field_value_factor" match {
             case f: JObject => f
             case JNothing => fail("function_score needs a " +
-              "\"field_value_factor\" (the one supported function)")
+              "\"field_value_factor\" or a \"functions\" array")
             case other =>
               fail(s"field_value_factor expects an object, got $other")
           }
-          val fvfKnown = Set("field", "modifier", "factor", "missing")
-          fvf.obj.collectFirst { case (k, _) if !fvfKnown.contains(k) => k }
-            .foreach(k => fail(s"field_value_factor has unsupported " +
-              s"option '$k' — supported: " +
-              fvfKnown.toSeq.sorted.mkString(", ")))
-          val field = fvf \ "field" match {
-            case JString(f) if f.nonEmpty => f
-            case _ => fail("field_value_factor needs a \"field\"")
-          }
-          val modifier = fvf \ "modifier" match {
-            case JNothing | JString("none") => "none"
-            case JString(m @ ("ln1p" | "sqrt" | "square")) => m
-            case JString(m) => fail(s"field_value_factor modifier '$m' " +
-              "unsupported — supported: ln1p, none, sqrt, square")
-            case v => fail(s"field_value_factor modifier must be a " +
-              s"string, got $v")
-          }
-          val factor = fvf \ "factor" match {
-            case JNothing => one
-            case v => scalar(v) match {
-              case SNum(x) => x
-              case other =>
-                fail(s"field_value_factor factor must be numeric, " +
-                  s"got ${other.sql}")
-            }
-          }
-          val missing = fvf \ "missing" match {
-            case JNothing => None
-            case v => scalar(v) match {
-              case SNum(x) => Some(x)
-              case other => fail(s"field_value_factor missing must be " +
-                s"numeric, got ${other.sql}")
-            }
-          }
+          val (field, modifier, factor, missing) = parseFvfBody(fvf)
           val sumMode = o \ "boost_mode" match {
             case JNothing | JString("multiply") => false
             case JString("sum") => true
-            case JString(m) => fail(s"boost_mode '$m' unsupported — " +
-              "supported: multiply (default), sum")
+            case JString(m) => fail(s"boost_mode '$m' with a bare " +
+              "field_value_factor supports multiply (default) and sum " +
+              "— use a \"functions\" array for the full matrix")
             case v => fail(s"boost_mode must be a string, got $v")
           }
           FunctionScoreQ(inner, field, modifier, factor, missing,
@@ -1987,7 +2466,7 @@ object Dsl {
       specs.foreach { s => s.agg match {
         case BucketMetricAgg(_, path) => specs.find(_.name == path) match {
           case Some(AggSpec(_, _: TermsAgg | _: DateHistAgg | _: HistAgg,
-              _)) => ()
+              _, _)) => ()
           case Some(_) => fail(s"agg '${s.name}': buckets_path '$path' " +
             "must name a GROUPING bucket sibling (terms, " +
             "date_histogram, histogram)")
@@ -2042,13 +2521,214 @@ object Dsl {
     }
   }
 
+  /** Every aggregation type [[parseAggSpec]] accepts. The refusal
+    * message a user sees on a typo enumerates EXACTLY this list, and
+    * DslSpec pins it against the match's own `case` labels so the two
+    * can never drift again (r14 shipped the message missing
+    * `percentiles`). */
+  val SupportedAggTypes: Seq[String] = Seq("avg", "avg_bucket",
+    "cardinality", "cumulative_sum", "date_histogram", "date_range",
+    "derivative", "extended_stats", "filter", "filters", "global",
+    "histogram", "max", "max_bucket", "min", "min_bucket", "missing",
+    "multi_terms", "nested", "percentile_ranks", "percentiles", "range",
+    "rare_terms", "significant_terms", "stats", "stats_bucket", "sum",
+    "sum_bucket", "terms", "top_hits", "top_metrics", "value_count",
+    "weighted_avg")
+
+  private val CmpOps = Set(">", ">=", "<", "<=", "==", "!=")
+
+  /** Tokenize + recursive-descent parse of the bucket-pipeline script
+    * subset: `params.<ident>`, numeric literals, + − × ÷, comparisons,
+    * parens. Precedence comparison < additive < multiplicative. */
+  private def parsePipeScript(s: String, ctx: String): PExpr = {
+    val toks = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isDigit) {
+        val j = s.indexWhere(x => !x.isDigit && x != '.', i)
+        val end = if (j < 0) s.length else j
+        toks += s.substring(i, end); i = end
+      } else if (s.startsWith("params.", i)) {
+        val st = i + 7
+        val j = s.indexWhere(x => !x.isLetterOrDigit && x != '_', st)
+        val end = if (j < 0) s.length else j
+        if (end == st) fail(s"$ctx script: params. needs a name")
+        toks += s.substring(i, end); i = end
+      } else if (i + 1 < s.length &&
+          Set(">=", "<=", "==", "!=").contains(s.substring(i, i + 2))) {
+        toks += s.substring(i, i + 2); i += 2
+      } else if ("+-*/()<>".contains(c)) { toks += c.toString; i += 1 }
+      else fail(s"$ctx script: unsupported character '$c' — the " +
+        "supported subset is params.x, numbers, + - * / ( ) and " +
+        "comparisons (Painless is out of scope)")
+    }
+    var pos = 0
+    def peek: Option[String] = toks.lift(pos)
+    def take(): String = { val t = toks(pos); pos += 1; t }
+    def atom(): PExpr = peek match {
+      case Some("(") =>
+        take(); val e = cmp()
+        if (peek.contains(")")) take()
+        else fail(s"$ctx script: unbalanced parens")
+        e
+      case Some(t) if t.startsWith("params.") =>
+        take(); PParam(t.stripPrefix("params."))
+      case Some(t) if t.head.isDigit => take(); PNum(BigDecimal(t))
+      case other => fail(s"$ctx script: expected a value, got $other")
+    }
+    def mul(): PExpr = {
+      var e = atom()
+      while (peek.exists(t => t == "*" || t == "/"))
+        e = PBin(take(), e, atom())
+      e
+    }
+    def add(): PExpr = {
+      var e = mul()
+      while (peek.exists(t => t == "+" || t == "-"))
+        e = PBin(take(), e, mul())
+      e
+    }
+    def cmp(): PExpr = {
+      val e = add()
+      if (peek.exists(CmpOps.contains)) PBin(take(), e, add()) else e
+    }
+    val e = cmp()
+    if (pos != toks.length)
+      fail(s"$ctx script: trailing tokens from '${toks(pos)}'")
+    e
+  }
+
+  private def pexprParams(e: PExpr): Seq[String] = e match {
+    case PParam(n) => Seq(n)
+    case PBin(_, l, r) => pexprParams(l) ++ pexprParams(r)
+    case _ => Seq.empty
+  }
+
+  private def isCmpExpr(e: PExpr): Boolean = e match {
+    case PBin(op, _, _) => CmpOps.contains(op)
+    case _ => false
+  }
+
+  /** Parse one bucket_selector / bucket_script / bucket_sort entry.
+    * `metricSub` is the parent's single metric sub (path target). */
+  private def parseBucketPipe(parent: String, pn: String, kind: String,
+      spec: JValue, metricSub: Option[(String, AggNode)]): BucketPipe = {
+    val o = spec match {
+      case x: JObject => x
+      case other => fail(s"agg '$pn' $kind expects an object, got $other")
+    }
+    def checkPath(path: String, sortCtx: Boolean): Unit = path match {
+      case "_count" => ()
+      case "_key" if sortCtx => ()
+      case p =>
+        val ok = metricSub.exists { case (sn, m) =>
+          sn == p && (m match {
+            case MetricAgg(k, _) =>
+              Seq("avg", "sum", "min", "max", "value_count").contains(k)
+            case _: CardinalityAgg => true
+            case _ => false
+          })
+        }
+        if (!ok) fail(s"agg '$pn' buckets_path '$p' must be _count" +
+          (if (sortCtx) ", _key," else "") + " or the parent's " +
+          "single-value metric sub (avg/sum/min/max/value_count/" +
+          "cardinality) — stats/percentiles are multi-value, and " +
+          "pipes cannot reference other pipes")
+    }
+    kind match {
+      case "bucket_sort" =>
+        o.obj.collectFirst {
+          case (k, _) if !Set("sort", "from", "size").contains(k) => k
+        }.foreach(k => fail(s"agg '$pn' bucket_sort has unsupported " +
+          s"option '$k' — supported: from, size, sort"))
+        val keys = o \ "sort" match {
+          case JArray(es) if es.nonEmpty => es.map {
+            case JObject(List((p, JObject(List(("order",
+                JString(ord))))))) if ord == "asc" || ord == "desc" =>
+              checkPath(p, sortCtx = true); (p, ord == "asc")
+            case JString(p) => checkPath(p, sortCtx = true); (p, true)
+            case v => fail(s"agg '$pn' bucket_sort sort entries are " +
+              s"""{"<path>": {"order": "asc"|"desc"}}, got $v""")
+          }
+          case _ => fail(s"agg '$pn' bucket_sort needs a non-empty " +
+            "\"sort\" (a sortless truncation would page an " +
+            "engine-internal order — not deterministic)")
+        }
+        val from = o \ "from" match {
+          case JNothing => 0
+          case JInt(x) if x >= 0 => x.toInt
+          case v => fail(s"agg '$pn' bucket_sort from must be a " +
+            s"non-negative integer, got $v")
+        }
+        val size = o \ "size" match {
+          case JNothing => None
+          case JInt(x) if x > 0 => Some(x.toInt)
+          case v => fail(s"agg '$pn' bucket_sort size must be a " +
+            s"positive integer, got $v")
+        }
+        BucketPipe(kind, Seq.empty, None, keys, from, size)
+      case _ =>
+        o.obj.collectFirst {
+          case (k, _) if !Set("buckets_path", "script").contains(k) => k
+        }.foreach(k => fail(s"agg '$pn' $kind has unsupported option " +
+          s"'$k' — supported: buckets_path, script"))
+        val paths = o \ "buckets_path" match {
+          case JObject(ps) if ps.nonEmpty => ps.map {
+            case (prm, JString(p)) => checkPath(p, sortCtx = false)
+              (prm, p)
+            case (prm, v) =>
+              fail(s"agg '$pn' buckets_path.$prm must be a string, got $v")
+          }
+          case _ => fail(s"agg '$pn' $kind needs a non-empty " +
+            "\"buckets_path\" object ({param: path})")
+        }
+        val script = o \ "script" match {
+          case JString(s) if s.nonEmpty => parsePipeScript(s, s"agg '$pn'")
+          case _ => fail(s"agg '$pn' $kind needs a \"script\" string")
+        }
+        pexprParams(script).foreach(prm =>
+          if (!paths.exists(_._1 == prm))
+            fail(s"agg '$pn' script references params.$prm — not in " +
+              "buckets_path"))
+        if (kind == "bucket_selector" && !isCmpExpr(script))
+          fail(s"agg '$pn' bucket_selector script must be a comparison " +
+            "(it keeps or drops buckets)")
+        if (kind == "bucket_script" && isCmpExpr(script))
+          fail(s"agg '$pn' bucket_script script must be arithmetic " +
+            "(a comparison belongs in bucket_selector)")
+        BucketPipe(kind, paths, Some(script), Seq.empty, 0, None)
+    }
+  }
+
   private def parseAggSpec(name: String, body: JValue,
       sub: Boolean): AggSpec = body match {
     case JObject(entries) =>
       val (subEntries, typeEntries) = entries.partition(_._1 == "aggs")
-      val subSpec = subEntries match {
+      // the bucket-script trio rides BESIDE the (single) ordinary sub
+      // in the parent's aggs map — partition it out before the
+      // one-sub rule
+      def pipeKindOf(v: JValue): Option[String] = v match {
+        case JObject(es) => es.collectFirst {
+          case (k, _) if k == "bucket_selector" || k == "bucket_script" ||
+            k == "bucket_sort" => k
+        }
+        case _ => None
+      }
+      val aggEntries: Seq[(String, JValue)] = subEntries match {
+        case Nil => Seq.empty
+        case List((_, JObject(obs))) => obs
+        case _ => fail(s"agg '$name': aggs must be an object")
+      }
+      val (pipeRaw, ordinary) =
+        aggEntries.partition(e => pipeKindOf(e._2).isDefined)
+      if (pipeRaw.nonEmpty && sub)
+        fail(s"agg '$name': bucket_selector/bucket_script/bucket_sort " +
+          "attach to a top-level grouping parent (one level of nesting)")
+      val subSpec = ordinary match {
         case Nil => None
-        case List((_, JObject(List((sn, sb))))) =>
+        case List((sn, sb)) =>
           if (sub) fail(s"agg '$name': sub-aggregations nest one level only")
           parseAggSpec(sn, sb, sub = true).agg match {
             case m @ (_: StatsAgg | _: MetricAgg | _: CardinalityAgg) =>
@@ -2063,9 +2743,10 @@ object Dsl {
               "date_histogram, derivative, histogram, max, min, stats, " +
               "sum, terms, top_hits, value_count")
           }
-        case List((_, JObject(_))) =>
-          fail(s"agg '$name': aggs must hold exactly one sub-aggregation")
-        case _ => fail(s"agg '$name': aggs must be an object")
+        case _ =>
+          fail(s"agg '$name': aggs must hold exactly one sub-aggregation " +
+            "(bucket_selector/bucket_script/bucket_sort pipes ride " +
+            "beside it)")
       }
       val agg = typeEntries match {
         case List((tpe, spec)) => tpe match {
@@ -2464,14 +3145,8 @@ object Dsl {
                 "(per-bucket ranking must be deterministic)")
             TopHitsAgg(n, sort)
           case other => fail(s"unsupported aggregation type '$other' — " +
-            "supported: avg, avg_bucket, cardinality, cumulative_sum, " +
-            "date_histogram, date_range, derivative, extended_stats, " +
-            "filter, filters, global, histogram, max, max_bucket, min, " +
-            "min_bucket, missing, multi_terms, nested, " +
-            "percentile_ranks, range, rare_terms, significant_terms, " +
-            "stats, stats_bucket, sum, sum_bucket, terms, top_hits, " +
-            "top_metrics, value_count, weighted_avg (composite pages " +
-            "through its own endpoint, dslAggsCompositeOf)")
+            s"supported: ${SupportedAggTypes.mkString(", ")} (composite " +
+            "pages through its own endpoint, dslAggsCompositeOf)")
         }
         case Nil => fail(s"agg '$name' has no aggregation type")
         case more => fail(s"agg '$name' must have exactly one type, got " +
@@ -2537,7 +3212,27 @@ object Dsl {
         }
         case _ => ()
       }
-      AggSpec(name, agg, subSpec)
+      val pipes = pipeRaw.map { case (pn, pb) =>
+        val kind = pipeKindOf(pb).get
+        pb match {
+          case JObject(es) => es.collectFirst {
+            case (k, _) if k != kind => k
+          }.foreach(k => fail(s"agg '$pn': a pipe entry carries only " +
+            s"its own type, got '$k' beside $kind"))
+          case _ => ()
+        }
+        (pn, parseBucketPipe(name, pn, kind, pb \ kind,
+          subSpec.filter(x => isMetric(x._2))))
+      }
+      if (pipes.nonEmpty) agg match {
+        case _: TermsAgg | _: DateHistAgg | _: HistAgg => ()
+        case other => fail(s"agg '$name': bucket pipes attach to a " +
+          s"grouping parent (terms, date_histogram, histogram), " +
+          s"not ${other.getClass.getSimpleName.stripSuffix("$")}")
+      }
+      if (pipes.count(_._2.kind == "bucket_sort") > 1)
+        fail(s"agg '$name': at most one bucket_sort per parent")
+      AggSpec(name, agg, subSpec, pipes)
     case other => fail(s"agg '$name' expects an object, got $other")
   }
 
@@ -2604,8 +3299,8 @@ object Dsl {
     * buckets) — merged into the query's clause inventory so their
     * text predicates share the ONE feature frame. */
   private def aggClauseNodes(b: Body): Seq[Node] = b.aggs.flatMap {
-    case AggSpec(_, FilterAgg(n), _) => Seq(n)
-    case AggSpec(_, FiltersAgg(fs), _) => fs.map(_._2)
+    case AggSpec(_, FilterAgg(n), _, _) => Seq(n)
+    case AggSpec(_, FiltersAgg(fs), _, _) => fs.map(_._2)
     case _ => Seq.empty
   }
 
@@ -2658,6 +3353,9 @@ object Dsl {
         case DisMaxQ(qs, _) => qs.flatMap(collectCtx(_, scored)(pf))
         case FunctionScoreQ(q, _, _, _, _, _, _) =>
           collectCtx(q, scored)(pf)
+        case FnScoreQ(q, fns, _, _, _) =>
+          collectCtx(q, scored)(pf) ++
+            fns.flatMap(_.filter.toSeq.flatMap(collectCtx(_, false)(pf)))
         case BoostingQ(pos, neg, _) =>
           collectCtx(pos, scored)(pf) ++ collectCtx(neg, false)(pf)
         case PinnedQ(_, organic) => collectCtx(organic, scored)(pf)
@@ -2717,6 +3415,58 @@ object Dsl {
         Seq((f, pat))
     }.distinct
 
+  /** Positional span keys — feature column qsp (count of matching
+    * span occurrences); unscored like regexp, so no statistic
+    * family. The key is the span NODE itself (value equality). */
+  private def skeysOf(n: Node): Seq[Node] =
+    collectCtx(n, true) {
+      case (s @ (_: SpanNotQ | _: SpanFirstQ | _: SpanUnordQ |
+          _: SpanOrderedQ | _: SpanWindowQ), _) =>
+        Seq(s: Node)
+    }.distinct
+
+  private def spanFieldOf(n: Node): String = n match {
+    case SpanNotQ(f, _, _, _, _) => f
+    case SpanFirstQ(f, _, _) => f
+    case SpanUnordQ(f, _, _, _) => f
+    case SpanOrderedQ(f, _) => f
+    case SpanWindowQ(f, _, _) => f
+    case other => fail(s"not a span key: $other") // unreachable
+  }
+
+  /** The tokens a span key probes (postings pruning set). */
+  private def spanToksOf(n: Node): Seq[String] = n match {
+    case SpanNotQ(_, inc, exc, _, _) => Seq(inc, exc)
+    case SpanFirstQ(_, t, _) => Seq(t)
+    case SpanUnordQ(_, t1, t2, _) => Seq(t1, t2)
+    case SpanOrderedQ(_, ts) => ts
+    case SpanWindowQ(_, ts, _) => ts
+    case _ => Seq.empty
+  }
+
+  /** Ordered-interval count over per-term position arrays: first-term
+    * anchors that start a strictly-increasing chain (one nested
+    * exists per further term). */
+  private def orderedChainCount(pos: Seq[Column]): Column = {
+    def chain(rest: Seq[Column], prev: Column): Column = rest match {
+      case h +: t if t.isEmpty => exists(h, q => q > prev)
+      case h +: t => exists(h, q => q > prev && chain(t, q))
+      case _ => lit(true) // unreachable: ≥ 2 terms by parse
+    }
+    size(filter(pos.head, a => chain(pos.tail, a)))
+  }
+
+  /** Unordered-window anchor count: occurrences s (of ANY term) with
+    * every other term inside [s, s + w] — exact for distinct terms
+    * (the window's min is always a chosen occurrence). */
+  private def windowAnchorCount(pos: Seq[Column], w: Int): Column =
+    pos.indices.map { i =>
+      size(filter(pos(i), s =>
+        pos.indices.filter(_ != i).map(j =>
+          exists(pos(j), q => q >= s && q <= s + lit(w)))
+          .reduce(_ && _)))
+    }.reduce(_ + _)
+
   /** Non-text fields the query references (term/terms/range/exists) —
     * ONLY these are projected, so column pruning reaches the scan. */
   private def exactFields(n: Node): Seq[String] = collectCtx(n, true) {
@@ -2729,6 +3479,12 @@ object Dsl {
     case (WildcardQ(f, _, _), _) => Seq(f)
     case (RegexpQ(f, _), _) if !AnalyzedFields.contains(f) => Seq(f)
     case (FunctionScoreQ(_, f, _, _, _, _, _), _) => Seq(f)
+    case (FnScoreQ(_, fns, _, _, _), _) => fns.flatMap {
+      case d: DecayFn => Seq(d.field)
+      case v: FvfFn => Seq(v.field)
+      case r: RandomFn => Seq(r.field)
+      case _: WeightFn => Seq.empty
+    }
     case (NestedQ(path, _), _) => Seq(path)
     case (TermsSetQ(_, _, mf), _) => Seq(mf)
     case (RankFeatureQ(f, _, _, _), _) => Seq(f)
@@ -2753,9 +3509,13 @@ object Dsl {
   private[ops] def requiresText(n: Node): Boolean = n match {
     case _: MatchQ | _: PhraseQ | _: MultiMatchQ | _: MatchFzQ |
          _: PhrasePrefixQ => true
+    // a span hit IS a postings hit (the include/all-terms occurrence)
+    case _: SpanNotQ | _: SpanFirstQ | _: SpanUnordQ |
+         _: SpanOrderedQ | _: SpanWindowQ => true
     // an analyzed-field regexp hit IS a postings hit
     case RegexpQ(f, _) => AnalyzedFields.contains(f)
     case FunctionScoreQ(q, _, _, _, _, _, _) => requiresText(q)
+    case FnScoreQ(q, _, _, _, _) => requiresText(q)
     case BoostingQ(pos, _, _) => requiresText(pos)
     case BoolQ(m, s, _, fl, msm) =>
       m.exists(requiresText) || fl.exists(requiresText) ||
@@ -2782,6 +3542,109 @@ object Dsl {
   private type PIdx = Map[(String, Seq[String], Int, Boolean), Int]
   private type KIdx = Map[(String, Scalar), Int]
   private type ZIdx = Map[(String, String, Int), Int]
+
+  /** Exact round-trip double literal — Java's shortest repr; both
+    * engines parse decimal-to-nearest, so the literal reconstructs the
+    * same bits. Always emitted under CAST(· AS DOUBLE) so DuckDB never
+    * types it DECIMAL. */
+  private def dLit(v: Double): String = java.lang.Double.toString(v)
+
+  /** 2^60 — the [0,1) divisor of the 15-hex-digit md5 hash (exact
+    * power-of-two division). */
+  private val TwoPow60: Double = 1152921504606846976.0
+
+  /** The `field_value_factor` value expression, shared by the legacy
+    * single-function [[FunctionScoreQ]] and functions-array
+    * [[FvfFn]]: modifier ∘ (factor · COALESCE(field, missing)). */
+  private def fvfExpr(field: String, modifier: String,
+      factor: BigDecimal,
+      missing: Option[BigDecimal]): (Column, String) = {
+    val vC = missing.map(m => coalesce(col(field), SNum(m).column))
+      .getOrElse(col(field))
+    val vSql = missing
+      .map(m => s"COALESCE(f.$field, ${SNum(m).sql})")
+      .getOrElse(s"f.$field")
+    val fLit = factor.underlying.toPlainString
+    val scaled: (Column, String) =
+      if (factor == one) (vC.cast("double"),
+        s"CAST($vSql AS DOUBLE)")
+      else (lit(factor.toDouble) * vC,
+        s"(CAST($fLit AS DOUBLE) * $vSql)")
+    modifier match {
+      case "ln1p" => (log(lit(1.0) + scaled._1),
+        s"ln(1 + ${scaled._2})")
+      case "sqrt" => (sqrt(scaled._1), s"sqrt(${scaled._2})")
+      case "square" => (scaled._1 * scaled._1,
+        s"(${scaled._2} * ${scaled._2})")
+      case _ => scaled
+    }
+  }
+
+  /** A functions-array entry's UNWEIGHTED value, in lockstep Column /
+    * SQL. Decay constants (ln(decay)/scale², scale/(1−decay)) compute
+    * ONCE here and emit as the same double literal to both engines
+    * (see [[DecayFn]]); the runtime `exp` is rank-internal. */
+  private def fnValue(fn: ScoreFn): (Column, String) = fn match {
+    case DecayFn(kind, field, dateO, numO, offset, scale, decay, _, _) =>
+      val draw: (Column, String) = dateO match {
+        case Some(org) =>
+          // whole-day distance — integer in both engines (the
+          // distance_feature precedent)
+          (abs(datediff(col(field), to_date(lit(org)))).cast("double"),
+            s"CAST(abs(date_diff('day', DATE '$org', f.$field)) " +
+              "AS DOUBLE)")
+        case None =>
+          val oLit = numO.get.underlying.toPlainString
+          (abs(col(field).cast("double") - lit(numO.get.toDouble)),
+            s"abs(CAST(f.$field AS DOUBLE) - CAST($oLit AS DOUBLE))")
+      }
+      val d: (Column, String) =
+        if (offset == BigDecimal(0)) draw
+        else {
+          val offLit = offset.underlying.toPlainString
+          (greatest(lit(0.0), draw._1 - lit(offset.toDouble)),
+            s"greatest(CAST(0 AS DOUBLE), (${draw._2} - " +
+              s"CAST($offLit AS DOUBLE)))")
+        }
+      val v: (Column, String) = kind match {
+        case "gauss" =>
+          val gc =
+            math.log(decay.toDouble) / (scale.toDouble * scale.toDouble)
+          (exp(lit(gc) * d._1 * d._1),
+            s"exp(CAST(${dLit(gc)} AS DOUBLE) * ${d._2} * ${d._2})")
+        case "exp" =>
+          val lc = math.log(decay.toDouble) / scale.toDouble
+          (exp(lit(lc) * d._1),
+            s"exp(CAST(${dLit(lc)} AS DOUBLE) * ${d._2})")
+        case _ => // linear
+          val s0 = scale.toDouble / (1.0 - decay.toDouble)
+          val sL = s"CAST(${dLit(s0)} AS DOUBLE)"
+          (greatest(lit(0.0), (lit(s0) - d._1) / lit(s0)),
+            s"greatest(CAST(0 AS DOUBLE), (($sL - ${d._2}) / $sL))")
+      }
+      // a doc missing the field scores 1.0 (the ES decay contract)
+      (when(col(field).isNotNull, v._1).otherwise(lit(1.0)),
+        s"CASE WHEN f.$field IS NOT NULL THEN ${v._2} " +
+          "ELSE CAST(1 AS DOUBLE) END")
+    case FvfFn(field, modifier, factor, missing, _, _) =>
+      fvfExpr(field, modifier, factor, missing)
+    case RandomFn(seed, field, _, _) =>
+      // md5-hex-to-long in [0, 2^60) over "seed:value" — both engines'
+      // shared hash idiom; exact /2^60 lands in [0, 1). Use on STRING /
+      // INTEGER doc-values (a double field's VARCHAR rendering is
+      // engine-specific). Missing field scores 1.0 (the decay stance).
+      val key = s"$seed:"
+      val vC = conv(substring(md5(concat(lit(key),
+        col(field).cast("string"))), 1, 15), 16, 10)
+        .cast("long").cast("double") / lit(TwoPow60)
+      val vSql = s"(CAST(('0x' || substr(md5('$key' || " +
+        s"CAST(f.$field AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) / " +
+        s"CAST(${dLit(TwoPow60)} AS DOUBLE))"
+      (when(col(field).isNotNull, vC).otherwise(lit(1.0)),
+        s"CASE WHEN f.$field IS NOT NULL THEN $vSql " +
+          "ELSE CAST(1 AS DOUBLE) END")
+    case _: WeightFn => (lit(1.0), "CAST(1 AS DOUBLE)")
+  }
 
   /** Both compilers' output, emitted by ONE recursion so the Spark
     * plan and the oracle SQL agree on predicate structure and on
@@ -2833,7 +3696,8 @@ object Dsl {
 
   private def compile(n: Node, scored: Boolean, tfIdx: TIdx, pfIdx: PIdx,
       ktIdx: KIdx, zfIdx: ZIdx = Map.empty,
-      rfIdx: TIdx = Map.empty): C = n match {
+      rfIdx: TIdx = Map.empty,
+      sfIdx: Map[Node, Int] = Map.empty): C = n match {
     case MatchFzQ(field, terms, boost, andOp) =>
       // same shape as MatchQ over the fuzzy feature family: tf/df of
       // the edit-distance expansion treated as one pseudo-term each
@@ -2957,6 +3821,13 @@ object Dsl {
       val ref = if (ci) s"lower(f.$field)" else s"f.$field"
       val c0 = if (ci) lower(col(field)) else col(field)
       C(c0.rlike(re), s"regexp_matches($ref, '${quoteSql(re)}')", None)
+    case s @ (_: SpanNotQ | _: SpanFirstQ | _: SpanUnordQ |
+        _: SpanOrderedQ | _: SpanWindowQ) =>
+      // positional span features: count of matching span occurrences
+      // (scan: token-array lambdas; served: positional postings) —
+      // unscored membership, the regexp stance
+      val i = sfIdx(s)
+      C(col(s"qsp$i") > 0, s"f.qsp$i > 0", None)
     case RegexpQ(field, pat) =>
       if (AnalyzedFields.contains(field)) {
         val i = rfIdx((field, pat))
@@ -2967,38 +3838,130 @@ object Dsl {
           s"regexp_full_match(f.$field, '${quoteSql(pat)}')", None)
     case FunctionScoreQ(q, field, modifier, factor, missing, sumMode,
         boost) =>
-      val c = compile(q, scored, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx)
+      val c = compile(q, scored, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx)
       val score = if (!scored) None else {
         val base: (Column, String) = c.score.getOrElse(
           (lit(1.0), "CAST(1 AS DOUBLE)")) // scoreless inner = ES base 1
-        val vC = missing.map(m => coalesce(col(field), SNum(m).column))
-          .getOrElse(col(field))
-        val vSql = missing
-          .map(m => s"COALESCE(f.$field, ${SNum(m).sql})")
-          .getOrElse(s"f.$field")
-        val fLit = factor.underlying.toPlainString
-        val scaled: (Column, String) =
-          if (factor == one) (vC.cast("double"),
-            s"CAST($vSql AS DOUBLE)")
-          else (lit(factor.toDouble) * vC,
-            s"(CAST($fLit AS DOUBLE) * $vSql)")
-        val fv: (Column, String) = modifier match {
-          case "ln1p" => (log(lit(1.0) + scaled._1),
-            s"ln(1 + ${scaled._2})")
-          case "sqrt" => (sqrt(scaled._1), s"sqrt(${scaled._2})")
-          case "square" => (scaled._1 * scaled._1,
-            s"(${scaled._2} * ${scaled._2})")
-          case _ => scaled
-        }
+        val fv = fvfExpr(field, modifier, factor, missing)
         val combined: (Column, String) =
           if (sumMode) (base._1 + fv._1, s"(${base._2} + ${fv._2})")
           else (base._1 * fv._1, s"(${base._2} * ${fv._2})")
         Some(boosted(combined, boost))
       }
       C(c.pred, c.predSql, score)
+    case FnScoreQ(q, fns, scoreMode, boostMode, boost) =>
+      val c = compile(q, scored, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx)
+      val score = if (!scored) None else {
+        val base: (Column, String) = c.score.getOrElse(
+          (lit(1.0), "CAST(1 AS DOUBLE)")) // scoreless inner = ES base 1
+        // per function: optional applies-predicate (filter context) and
+        // the WEIGHTED value weight·value (a bare weight function's
+        // value IS its weight)
+        val parts: Seq[(Option[(Column, String)], (Column, String),
+            BigDecimal)] = fns.map { fn =>
+          val fp = fn.filter.map { fq =>
+            val fc = compile(fq, false, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx)
+            (fc.pred, fc.predSql)
+          }
+          val w = fn.weight.getOrElse(one)
+          val wv: (Column, String) = fn match {
+            case _: WeightFn =>
+              (lit(w.toDouble),
+                s"CAST(${w.underlying.toPlainString} AS DOUBLE)")
+            case _ =>
+              val v = fnValue(fn)
+              if (fn.weight.isEmpty) v
+              else (lit(w.toDouble) * v._1,
+                s"(CAST(${w.underlying.toPlainString} AS DOUBLE) * " +
+                  s"${v._2})")
+          }
+          (fp, wv, w)
+        }
+        // gate a filtered function's contribution; `els` is the mode's
+        // identity, SQL-NULL when the combiner skips nulls
+        def gate(fp: Option[(Column, String)], wv: (Column, String),
+            els: Option[String]): (Column, String) = fp match {
+          case None => wv
+          case Some((p, pSql)) =>
+            val (eC, eSql) = els match {
+              case Some(e) => (lit(e.toDouble), s"CAST($e AS DOUBLE)")
+              case None => (lit(null).cast("double"),
+                "CAST(NULL AS DOUBLE)")
+            }
+            (when(p, wv._1).otherwise(eC),
+              s"CASE WHEN $pSql THEN ${wv._2} ELSE $eSql END")
+        }
+        def sumUp(gs: Seq[(Column, String)]): (Column, String) =
+          (gs.map(_._1).reduce(_ + _),
+            gs.map(_._2).mkString("(", " + ", ")"))
+        // a doc matching NO function keeps function score 1.0 (see
+        // [[FnScoreQ]]); needed only when every function is filtered
+        val anyApplies: Option[(Column, String)] =
+          if (parts.exists(_._1.isEmpty)) None
+          else Some((parts.flatMap(_._1).map(_._1).reduce(_ || _),
+            parts.flatMap(_._1).map(_._2).mkString("(", " OR ", ")")))
+        def noneTo1(v: (Column, String)): (Column, String) =
+          anyApplies match {
+            case None => v
+            case Some((a, aSql)) =>
+              (when(a, v._1).otherwise(lit(1.0)),
+                s"CASE WHEN $aSql THEN ${v._2} ELSE CAST(1 AS " +
+                  "DOUBLE) END")
+          }
+        val fscore: (Column, String) = scoreMode match {
+          case "multiply" =>
+            val gs = parts.map(p => gate(p._1, p._2, Some("1")))
+            (gs.map(_._1).reduce(_ * _),
+              gs.map(_._2).mkString("(", " * ", ")"))
+          case "sum" =>
+            noneTo1(sumUp(parts.map(p => gate(p._1, p._2, Some("0")))))
+          case "avg" =>
+            // ES's documented avg: the WEIGHTED average
+            // Σ(w·v)/Σw over the matching functions
+            val num = sumUp(parts.map(p => gate(p._1, p._2, Some("0"))))
+            val den = sumUp(parts.map { p =>
+              val wLit = p._3.underlying.toPlainString
+              gate(p._1, (lit(p._3.toDouble),
+                s"CAST($wLit AS DOUBLE)"), Some("0"))
+            })
+            noneTo1((num._1 / den._1, s"(${num._2} / ${den._2})"))
+          case m @ ("max" | "min") =>
+            // greatest/least skip NULLs in BOTH engines (verified on
+            // DuckDB 1.0 + Spark) — non-applying functions gate to NULL
+            val gs = parts.map(p => gate(p._1, p._2, None))
+            val (fC, fSql) =
+              if (gs.size == 1) gs.head
+              else if (m == "max")
+                (greatest(gs.map(_._1): _*),
+                  gs.map(_._2).mkString("greatest(", ", ", ")"))
+              else (least(gs.map(_._1): _*),
+                gs.map(_._2).mkString("least(", ", ", ")"))
+            noneTo1((fC, fSql))
+          case _ => // first: array order, fallback 1.0
+            val gs = parts.map(p => gate(p._1, p._2, None))
+            (coalesce(gs.map(_._1) :+ lit(1.0): _*),
+              (gs.map(_._2) :+ "CAST(1 AS DOUBLE)")
+                .mkString("COALESCE(", ", ", ")"))
+        }
+        val combined: (Column, String) = boostMode match {
+          case "multiply" => (base._1 * fscore._1,
+            s"(${base._2} * ${fscore._2})")
+          case "sum" => (base._1 + fscore._1,
+            s"(${base._2} + ${fscore._2})")
+          case "avg" => ((base._1 + fscore._1) / lit(2.0),
+            s"((${base._2} + ${fscore._2}) / CAST(2 AS DOUBLE))")
+          case "max" => (greatest(base._1, fscore._1),
+            s"greatest(${base._2}, ${fscore._2})")
+          case "min" => (least(base._1, fscore._1),
+            s"least(${base._2}, ${fscore._2})")
+          case _ => fscore // replace
+        }
+        Some(boosted(combined, boost))
+      }
+      C(c.pred, c.predSql, score)
     case BoostingQ(pos, neg, nb) =>
-      val pc = compile(pos, scored, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx)
-      val nc = compile(neg, false, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx)
+      val pc = compile(pos, scored, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx)
+      val nc = compile(neg, false, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx)
       val score = if (!scored) None else pc.score.map { case (sp, spSql) =>
         val nbLit = nb.underlying.toPlainString
         (when(nc.pred, sp * lit(nb.toDouble)).otherwise(sp),
@@ -3010,7 +3973,7 @@ object Dsl {
       // the ES way to give a filter a score: the wrapped clause
       // compiles in FILTER context (no statistics), and the whole
       // clause scores the constant boost in query context
-      val c = compile(fq, false, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx)
+      val c = compile(fq, false, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx)
       val score =
         if (scored) Some((lit(boost.toDouble),
           s"CAST(${boost.underlying.toPlainString} AS DOUBLE)"))
@@ -3018,7 +3981,7 @@ object Dsl {
       C(c.pred, c.predSql, score)
     case DisMaxQ(qs, tb) =>
       val cs = qs.map(compile(_, scored, tfIdx, pfIdx, ktIdx, zfIdx,
-        rfIdx))
+        rfIdx, sfIdx))
       val pred = cs.map(_.pred).reduce(_ || _)
       val predSql = cs.map(_.predSql).mkString("(", " OR ", ")")
       // dis_max: best branch's score + tie_breaker × the others'.
@@ -3053,7 +4016,7 @@ object Dsl {
       }
       C(pred, predSql, score)
     case PinnedQ(ids, organic) =>
-      val c = compile(organic, scored, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx)
+      val c = compile(organic, scored, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx)
       val inPred = ids.map(v => col("doc_id") === lit(v)).reduce(_ || _)
       val inSql = ids.map(v => s"f.doc_id = $v").mkString("(", " OR ", ")")
       val score = if (!scored) None else {
@@ -3137,13 +4100,13 @@ object Dsl {
     case MatchAllQ => C(lit(true), "TRUE", None)
     case BoolQ(must, should, mustNot, filterCtx, minShould) =>
       val mc = must.map(compile(_, scored, tfIdx, pfIdx, ktIdx, zfIdx,
-        rfIdx))
+        rfIdx, sfIdx))
       val sc = should.map(compile(_, scored, tfIdx, pfIdx, ktIdx, zfIdx,
-        rfIdx))
+        rfIdx, sfIdx))
       val nc = mustNot.map(compile(_, false, tfIdx, pfIdx, ktIdx, zfIdx,
-        rfIdx))
+        rfIdx, sfIdx))
       val fc = filterCtx.map(compile(_, false, tfIdx, pfIdx, ktIdx, zfIdx,
-        rfIdx))
+        rfIdx, sfIdx))
       // ES defaults: a should beside a must/filter is optional scoring
       // (msm 0); alone it is the only matching condition (msm 1)
       val msm = minShould.getOrElse(
@@ -3243,9 +4206,15 @@ object Dsl {
       szkeys: Seq[(String, String, Int)] = Seq.empty,
       zfIdx: ZIdx = Map.empty,
       rkeys: Seq[(String, String)] = Seq.empty,
-      rfIdx: TIdx = Map.empty) {
+      rfIdx: TIdx = Map.empty,
+      postC: Option[C] = None,
+      minScore: Option[BigDecimal] = None,
+      trackTotal: Boolean = false,
+      skeys: Seq[Node] = Seq.empty,
+      sfIdx: Map[Node, Int] = Map.empty) {
     def needsText: Boolean =
-      tkeys.nonEmpty || pkeys.nonEmpty || zkeys.nonEmpty || rkeys.nonEmpty
+      tkeys.nonEmpty || pkeys.nonEmpty || zkeys.nonEmpty ||
+        rkeys.nonEmpty || skeys.nonEmpty
     /** A field-only `sort` never evaluates the score — ES computes
       * scores only when the ranking needs them (`track_scores`
       * defaults false under sort), so the statistics vanish exactly
@@ -3260,7 +4229,7 @@ object Dsl {
     /** Analyzed fields any feature (scored or filter-ctx) reads. */
     def usedFields: Seq[String] =
       (tkeys.map(_._1) ++ pkeys.map(_._1) ++ zkeys.map(_._1) ++
-        rkeys.map(_._1)).distinct
+        rkeys.map(_._1) ++ skeys.map(spanFieldOf)).distinct
     /** sort keys that are real columns (not `_score`). */
     def sortFields: Seq[String] = sortKeys.map(_._1).filter(_ != "_score")
   }
@@ -3282,12 +4251,15 @@ object Dsl {
     val ktIdx = skts.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
     val zfIdx = zkeys.zipWithIndex.map { case (z, i) => z -> (i + 1) }.toMap
     val rfIdx = rkeys.zipWithIndex.map { case (r, i) => r -> (i + 1) }.toMap
+    val skeys = inv.flatMap(skeysOf).distinct
+    val sfIdx = skeys.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
     Plan(q, size, tkeys, pkeys, inv.flatMap(tkeysScoredOf).distinct,
       inv.flatMap(pkeysScoredOf).distinct, skts,
       inv.flatMap(exactFields).distinct, tfIdx, pfIdx, ktIdx,
-      compile(q, scored = true, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx),
+      compile(q, scored = true, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx),
       zkeys = zkeys, szkeys = inv.flatMap(zkeysScoredOf).distinct,
-      zfIdx = zfIdx, rkeys = rkeys, rfIdx = rfIdx)
+      zfIdx = zfIdx, rkeys = rkeys, rfIdx = rfIdx,
+      skeys = skeys, sfIdx = sfIdx)
   }
 
   /** Plan of a full search body: the query plan plus paging/sort/
@@ -3295,7 +4267,12 @@ object Dsl {
     * exact-field set (so pruning and the served path's doc-value
     * check see them). */
   private def planOfBody(b: Body): Plan = {
-    val p = planOf(b.query, b.size, b.rescore.map(_.query).toSeq)
+    // the post_filter joins the clause inventory WRAPPED in filter
+    // context (its term features exist on the one frame; no scored
+    // statistics for it)
+    val p = planOf(b.query, b.size, b.rescore.map(_.query).toSeq ++
+      b.postFilter.map(pf =>
+        BoolQ(Seq.empty, Seq.empty, Seq.empty, Seq(pf), None)).toSeq)
     val extra = (b.sort.map(_._1).filter(_ != "_score") ++
       b.source.getOrElse(Seq.empty)).filter(_ != "doc_id")
     b.highlight.foreach { hf =>
@@ -3307,11 +4284,17 @@ object Dsl {
     // the rescore query compiles against the SHARED index maps — its
     // score reads the same feature frame and stats broadcast
     val rsC = b.rescore.map(r => compile(r.query, scored = true,
-      p.tfIdx, p.pfIdx, p.ktIdx, p.zfIdx, p.rfIdx))
+      p.tfIdx, p.pfIdx, p.ktIdx, p.zfIdx, p.rfIdx, p.sfIdx))
+    val postC = b.postFilter.map(pf => compile(pf, scored = false,
+      p.tfIdx, p.pfIdx, p.ktIdx, p.zfIdx, p.rfIdx, p.sfIdx))
+    if (b.minScore.nonEmpty && p.c.score.isEmpty)
+      fail("min_score over a scoreless query is unsupported — " +
+        "filter-context clauses produce no score to floor")
     p.copy(exact = (p.exact ++ extra ++ b.collapse.toSeq).distinct,
       from = b.from, sortKeys = b.sort, source = b.source, after = b.after,
       highlight = b.highlight, collapse = b.collapse,
-      rescore = b.rescore, rsC = rsC)
+      rescore = b.rescore, rsC = rsC, postC = postC,
+      minScore = b.minScore, trackTotal = b.trackTotal)
   }
 
   /** (n_matched, tf_total) SQL over the feature columns — exact AND
@@ -3365,6 +4348,8 @@ object Dsl {
     val ktIdx = skts.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
     val zfIdx = zkeys.zipWithIndex.map { case (z, i) => z -> (i + 1) }.toMap
     val rfIdx = rkeys.zipWithIndex.map { case (r, i) => r -> (i + 1) }.toMap
+    val skeysU = qs.flatMap(skeysOf).distinct
+    val sfIdx = skeysU.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
     val plans = parsed.map { b =>
       val extra = b.sort.map(_._1)
         .filter(f => f != "_score" && f != "doc_id")
@@ -3372,10 +4357,12 @@ object Dsl {
         tkeysScoredOf(b.query), pkeysScoredOf(b.query),
         ktsScoredOf(b.query), (exactFields(b.query) ++ extra).distinct,
         tfIdx, pfIdx, ktIdx,
-        compile(b.query, scored = true, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx),
+        compile(b.query, scored = true, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx,
+          sfIdx),
         from = b.from, sortKeys = b.sort, after = b.after,
         zkeys = zkeysOf(b.query), szkeys = zkeysScoredOf(b.query),
-        zfIdx = zfIdx, rkeys = rkeysOf(b.query), rfIdx = rfIdx)
+        zfIdx = zfIdx, rkeys = rkeysOf(b.query), rfIdx = rfIdx,
+        skeys = skeysOf(b.query), sfIdx = sfIdx)
     }
     val exact = (plans.flatMap(_.exact)).distinct
     // the frame plan carries the union inventory; its dummy scored C
@@ -3387,7 +4374,8 @@ object Dsl {
       skts, exact, tfIdx, pfIdx, ktIdx,
       C(lit(true), "TRUE", if (anyStats) Some((lit(0.0), "0.0")) else None),
       zkeys = zkeys, szkeys = qs.flatMap(zkeysScoredOf).distinct,
-      zfIdx = zfIdx, rkeys = rkeys, rfIdx = rfIdx)
+      zfIdx = zfIdx, rkeys = rkeys, rfIdx = rfIdx,
+      skeys = skeysU, sfIdx = sfIdx)
     (framePlan, plans)
   }
 
@@ -3607,8 +4595,33 @@ object Dsl {
         size(filter(tarr(f), x => x.rlike("^(?:" + pat + ")$")))
           .as(s"qrf${p.rfIdx(k)}")
       }
+      // span occurrence counts: 1-based positions of a term in the
+      // token array, window checks as array lambdas — codegen'd, the
+      // slopFreq positional arithmetic one family up
+      def posOf(arr: Column, t: String): Column =
+        filter(sequence(lit(1), size(arr)),
+          i => element_at(arr, i) === lit(t))
+      val spCols = p.skeys.map { k =>
+        val arr = tarr(spanFieldOf(k))
+        (k match {
+          case SpanNotQ(_, inc, exc, pre, post) =>
+            size(filter(posOf(arr, inc), x =>
+              !exists(posOf(arr, exc),
+                q => q >= x - lit(pre) && q <= x + lit(post))))
+          case SpanFirstQ(_, t, end) =>
+            size(filter(slice(arr, 1, end), x => x === lit(t)))
+          case SpanUnordQ(_, t1, t2, sl) =>
+            size(filter(posOf(arr, t1), x =>
+              exists(posOf(arr, t2), q => abs(q - x) <= lit(sl + 1))))
+          case SpanOrderedQ(_, ts) =>
+            orderedChainCount(ts.map(posOf(arr, _)))
+          case SpanWindowQ(_, ts, g) =>
+            windowAnchorCount(ts.map(posOf(arr, _)), g + ts.size - 1)
+          case other => fail(s"not a span key: $other") // unreachable
+        }).as(s"qsp${p.sfIdx(k)}")
+      }
       docs.select(($"doc_id" +: fields) ++ dlCols ++ tfCols ++ pfCols ++
-        zfCols ++ rfCols: _*)
+        zfCols ++ rfCols ++ spCols: _*)
     }
   }
 
@@ -3677,9 +4690,13 @@ object Dsl {
     val w = Window.orderBy(ord: _*)
     // keyset paging filters BEFORE the top-k — the skipped prefix
     // never materializes, the whole point of search_after; the page's
-    // rk restarts at 1 (ES's search_after responses carry no offset)
-    val gate = p.after.map(v => p.c.pred && afterPredOf(p, v)._1)
+    // rk restarts at 1 (ES's search_after responses carry no offset).
+    // post_filter narrows the HITS here — aggregations never see it
+    // (the faceted-search split)
+    val basePred = p.postC.map(pc => p.c.pred && pc.pred)
       .getOrElse(p.c.pred)
+    val gate = p.after.map(v => basePred && afterPredOf(p, v)._1)
+      .getOrElse(basePred)
     // rescore score: gated on the rescore query matching — a window
     // doc outside its match set keeps qw·orig alone
     val rsc: Seq[Column] = p.rsC.toSeq.map { rc =>
@@ -3688,10 +4705,22 @@ object Dsl {
         case None => lit(0.0)
       }).as("rsc")
     }
-    val scoredRows = joined.filter(gate)
+    val scoredRows0 = joined.filter(gate)
       .select(($"doc_id" +: dlC.as("dl") +: nMatched.as("n_matched") +:
         tfTotal.as("tf_total") +: score.as("score") +:
         (rsc ++ extraCols.map(col))): _*)
+    // min_score floors hits by the computed score (planOfBody refuses
+    // it where no score exists)
+    val floored = p.minScore
+      .map(v => scoredRows0.filter($"score" >= lit(v.toDouble)))
+      .getOrElse(scoredRows0)
+    // track_total_hits: the exact pre-page hit count rides every row
+    // as a column — ONE broadcast 1-row aggregate over the match set
+    // (what ES pays for a tracked total), never a window over it
+    val scoredRows =
+      if (!p.trackTotal) floored
+      else floored.crossJoin(broadcast(
+        floored.agg(count(lit(1)).as("total_hits"))))
     // field collapsing: each group's best-ranked doc survives BEFORE
     // the page cut — a per-key window (rank state is per-group top-1,
     // never a global distinct); docs missing the field share one null
@@ -3728,10 +4757,10 @@ object Dsl {
     // `from` paging: rk stays the GLOBAL rank (hits from+1 … from+size,
     // the ES offset contract); only from+size rows ever materialize
     val page = if (p.from == 0) ranked else ranked.filter($"rk" > p.from)
-    val outCols: Seq[Column] = p.source match {
+    val outCols: Seq[Column] = (p.source match {
       case None => Seq($"rk", $"doc_id", $"n_matched", $"tf_total", $"dl")
       case Some(fs) => $"rk" +: $"doc_id" +: fs.map(col)
-    }
+    }) ++ (if (p.trackTotal) Seq($"total_hits") else Seq.empty)
     page.select(outCols: _*).orderBy($"rk")
   }
 
@@ -3788,6 +4817,10 @@ object Dsl {
       case DisMaxQ(qs, tb) => DisMaxQ(qs.map(transformNode(_)(f)), tb)
       case FunctionScoreQ(q, fl, m, fa, mi, sm, b2) =>
         FunctionScoreQ(transformNode(q)(f), fl, m, fa, mi, sm, b2)
+      case FnScoreQ(q, fns, sm, bm, b2) =>
+        FnScoreQ(transformNode(q)(f),
+          fns.map(fn => fn.withFilter(fn.filter.map(transformNode(_)(f)))),
+          sm, bm, b2)
       case BoostingQ(pos, neg, nb) =>
         BoostingQ(transformNode(pos)(f), transformNode(neg)(f), nb)
       case PinnedQ(ids, org) => PinnedQ(ids, transformNode(org)(f))
@@ -3819,12 +4852,13 @@ object Dsl {
   private def resolveBodyLookups(b: Body,
       fetch: (Long, String) => Seq[Scalar]): Body = {
     val nodes = b.query +: (b.rescore.map(_.query).toSeq ++
-      aggClauseNodes(b))
+      b.postFilter.toSeq ++ aggClauseNodes(b))
     if (!nodes.exists(hasLookup)) b
     else b.copy(
       query = resolveLookups(b.query, fetch),
       rescore = b.rescore.map(r =>
         r.copy(query = resolveLookups(r.query, fetch))),
+      postFilter = b.postFilter.map(resolveLookups(_, fetch)),
       aggs = b.aggs.map { sp =>
         sp.copy(agg = sp.agg match {
           case FilterAgg(n) => FilterAgg(resolveLookups(n, fetch))
@@ -3887,11 +4921,14 @@ object Dsl {
     val pfIdx = pkeys.zipWithIndex.map { case (x, i) => x -> (i + 1) }.toMap
     val zfIdx = zkeys.zipWithIndex.map { case (z, i) => z -> (i + 1) }.toMap
     val rfIdx = rkeys.zipWithIndex.map { case (r, i) => r -> (i + 1) }.toMap
+    val skeys = qs.flatMap(skeysOf).distinct
+    val sfIdx = skeys.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
     Plan(qs.head, 0, tkeys, pkeys, Seq.empty, Seq.empty, Seq.empty, exact,
       tfIdx, pfIdx, Map.empty,
       compile(qs.head, scored = false, tfIdx, pfIdx, Map.empty, zfIdx,
-        rfIdx),
-      zkeys = zkeys, zfIdx = zfIdx, rkeys = rkeys, rfIdx = rfIdx)
+        rfIdx, sfIdx),
+      zkeys = zkeys, zfIdx = zfIdx, rkeys = rkeys, rfIdx = rfIdx,
+      skeys = skeys, sfIdx = sfIdx)
   }
 
   /** The ES `_count` endpoint: how many documents match — the body
@@ -3993,16 +5030,231 @@ object Dsl {
        |ORDER BY position""".stripMargin
   }
 
+  // ------------------------------------------------------ suggest body
+
+  /** One parsed `suggest` entry. The desugar targets are the proven
+    * suggester shapes (Search.scala): `completion` → top-k vocabulary
+    * completions of a prefix by corpus frequency (with `fuzzy` → the
+    * same-length-prefix edit-budget form), `term` → spell-correction
+    * candidates within `max_edits` ranked (distance, frequency).
+    * DOCUMENTED DIVERGENCE: ES's completion suggester reads a
+    * completion-typed field's FST; this engine serves completions from
+    * the analyzed term dictionary of `text` (the index's postings
+    * vocabulary — same autocomplete loop, corpus-frequency ranked).
+    * `phrase` refuses (its collate/smoothing surface is out of
+    * scope). */
+  private sealed trait Suggester { def size: Int }
+  private final case class CompletionSugg(prefix: String, size: Int,
+      fuzzy: Option[Int]) extends Suggester
+  private final case class TermSugg(text: String, size: Int,
+      maxEdits: Int) extends Suggester
+
+  private val SuggestToken = "[a-z0-9]+"
+
+  /** Parse a `{"suggest": {...}}` body (the ONLY key — hits/aggs ride
+    * their own endpoints). */
+  private def parseSuggestBody(json: String): Seq[(String, Suggester)] = {
+    val root = JsonMethods.parse(json) match {
+      case o: JObject => o
+      case other => fail(s"body must be a JSON object, got $other")
+    }
+    root.obj.collectFirst { case (k, _) if k != "suggest" => k }
+      .foreach(k => fail(s"a suggest body carries only \"suggest\", " +
+        s"got '$k' — hits are searchDslOf's job, aggs dslAggsOf's"))
+    val entries = root \ "suggest" match {
+      case JObject(es) if es.nonEmpty => es
+      case _ => fail("suggest needs at least one named suggester")
+    }
+    if (entries.map(_._1).distinct.size != entries.size)
+      fail("suggest names a suggester twice")
+    entries.map { case (nm, body) =>
+      val o = body match {
+        case x: JObject => x
+        case other => fail(s"suggester '$nm' expects an object, " +
+          s"got $other")
+      }
+      if ((o \ "phrase") != JNothing)
+        fail(s"suggester '$nm': the phrase suggester is unsupported " +
+          "(collate/smoothing need scorer-internal state) — " +
+          "term and completion are served")
+      def sizeOf(s: JValue): Int = s \ "size" match {
+        case JNothing => 5 // the ES default
+        case JInt(n) if n > 0 && n <= 100 => n.toInt
+        case v => fail(s"suggester '$nm' size must be in [1, 100], " +
+          s"got $v")
+      }
+      def fieldOf(s: JValue): Unit = s \ "field" match {
+        case JString(Search.DefaultField) => ()
+        case JString(f) => fail(s"suggester '$nm': field '$f' is " +
+          s"unsupported — suggestions serve from the analyzed " +
+          s"'${Search.DefaultField}' term dictionary")
+        case _ => fail(s"suggester '$nm' needs a \"field\"")
+      }
+      (o \ "completion", o \ "term") match {
+        case (c: JObject, JNothing) =>
+          c.obj.collectFirst {
+            case (k, _) if !Set("field", "size", "fuzzy").contains(k) => k
+          }.foreach(k => fail(s"suggester '$nm' completion has " +
+            s"unsupported option '$k' — supported: field, fuzzy, size"))
+          fieldOf(c)
+          val pfx = o \ "prefix" match {
+            case JString(p) if p.matches(SuggestToken) => p
+            case JString(p) => fail(s"suggester '$nm' prefix must be " +
+              s"one analyzed token ([a-z0-9]+), got '$p'")
+            case _ => fail(s"suggester '$nm' completion needs a " +
+              "\"prefix\"")
+          }
+          val fz = c \ "fuzzy" match {
+            case JNothing => None
+            case f: JObject =>
+              f.obj.collectFirst { case (k, _) if k != "fuzziness" => k }
+                .foreach(k => fail(s"suggester '$nm' fuzzy has " +
+                  s"unsupported option '$k' — supported: fuzziness"))
+              f \ "fuzziness" match {
+                case JInt(d) if d == 1 || d == 2 => Some(d.toInt)
+                case JNothing => Some(1) // a sane deterministic default
+                case v => fail(s"suggester '$nm' fuzziness must be 1 " +
+                  s"or 2 (AUTO is length-dependent ES internals), got $v")
+              }
+            case other => fail(s"suggester '$nm' fuzzy expects an " +
+              s"object, got $other")
+          }
+          (nm, CompletionSugg(pfx, sizeOf(c), fz))
+        case (JNothing, t: JObject) =>
+          t.obj.collectFirst {
+            case (k, _) if !Set("field", "size", "max_edits")
+              .contains(k) => k
+          }.foreach(k => fail(s"suggester '$nm' term has unsupported " +
+            s"option '$k' — supported: field, max_edits, size"))
+          fieldOf(t)
+          val txt = o \ "text" match {
+            case JString(x) if x.matches(SuggestToken) => x
+            case JString(x) => fail(s"suggester '$nm' text must be " +
+              s"one analyzed token ([a-z0-9]+), got '$x'")
+            case _ => fail(s"suggester '$nm' term needs a \"text\"")
+          }
+          val me = t \ "max_edits" match {
+            case JNothing => 2 // the ES default
+            case JInt(d) if d == 1 || d == 2 => d.toInt
+            case v => fail(s"suggester '$nm' max_edits must be 1 or 2 " +
+              s"(the ES bound), got $v")
+          }
+          (nm, TermSugg(txt, sizeOf(t), me))
+        case (JNothing, JNothing) =>
+          fail(s"suggester '$nm' needs completion or term")
+        case _ => fail(s"suggester '$nm' takes ONE of completion/term")
+      }
+    }
+  }
+
+  /** Shared suggester evaluation over a (token, freq) vocabulary —
+    * vocab-grain work only (term-dictionary cost regardless of corpus
+    * size): per suggester a filter + top-k, unioned as
+    * (sugg, rk, token, freq). */
+  private def suggestFrames(vocab: DataFrame,
+      suggs: Seq[(String, Suggester)]): DataFrame = {
+    import vocab.sparkSession.implicits._
+    suggs.map { case (nm, s) =>
+      val (filtered, ord) = s match {
+        case CompletionSugg(pfx, _, None) =>
+          (vocab.filter($"token".startsWith(pfx)),
+            Seq($"freq".desc, $"token".asc))
+        case CompletionSugg(pfx, _, Some(d)) =>
+          // the completion fuzzy contract (suggestFuzzy): the
+          // same-length prefix of the candidate sits within d edits
+          (vocab.filter(levenshtein(
+            substring($"token", 1, pfx.length), lit(pfx)) <= d),
+            Seq($"freq".desc, $"token".asc))
+        case TermSugg(txt, _, d) =>
+          // spell correction: distance first (ES's score), then
+          // frequency; the input term itself never suggests
+          (vocab.filter($"token" =!= txt &&
+            levenshtein($"token", lit(txt)) <= d)
+            .withColumn("s_dist", levenshtein($"token", lit(txt))),
+            Seq(col("s_dist").asc, $"freq".desc, $"token".asc))
+      }
+      val top = filtered.orderBy(ord: _*).limit(s.size)
+        .withColumn("rk", row_number().over(Window.orderBy(ord: _*)))
+      top.select(lit(nm).as("sugg"), $"rk", $"token", $"freq")
+    }.reduce(_ unionByName _).orderBy($"sugg", $"rk")
+  }
+
+  /** The `suggest` body over a documents frame (the SCAN path): ONE
+    * token aggregate builds the vocabulary, every suggester reads
+    * it. */
+  def dslSuggestOf(docs: DataFrame, json: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    val suggs = parseSuggestBody(json)
+    val vocab = docs
+      .select(explode(TextAnalysis.toks($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+    suggestFrames(vocab, suggs)
+  }
+
+  /** The `suggest` body SERVED: the vocabulary is the index's term
+    * dictionary (postings grouped to vocab grain, tf summed,
+    * tombstones excluded — the suggestWithIndex shape); corpus text
+    * untouched. */
+  def dslSuggestFromIndex(spark: SparkSession, indexDir: String,
+      json: String): DataFrame = {
+    import spark.implicits._
+    val suggs = parseSuggestBody(json)
+    val root = Search.requireIndex(spark, indexDir)
+    val vocab = spark.read.parquet(s"$root/postings")
+      .filter($"field" === Search.DefaultField)
+      .select($"doc_id", $"tok", $"tf")
+      .join(Search.tombstones(spark, root), Seq("doc_id"), "left_anti")
+      .groupBy($"tok".as("token")).agg(sum($"tf").as("freq"))
+    suggestFrames(vocab, suggs)
+  }
+
+  /** Oracle SQL of a `suggest` body — the same vocabulary CTE as the
+    * standalone suggesters, one ROW_NUMBER page per suggester. */
+  def dslSuggestSqlOver(json: String, rel: String): String = {
+    val suggs = parseSuggestBody(json)
+    val branches = suggs.map { case (nm, s) =>
+      val (cond, ord) = s match {
+        case CompletionSugg(pfx, _, None) =>
+          (s"token LIKE '$pfx%'", "freq DESC, token")
+        case CompletionSugg(pfx, _, Some(d)) =>
+          (s"levenshtein(token[1:${pfx.length}], '$pfx') <= $d",
+            "freq DESC, token")
+        case TermSugg(txt, _, d) =>
+          (s"token <> '$txt' AND levenshtein(token, '$txt') <= $d",
+            s"levenshtein(token, '$txt') ASC, freq DESC, token")
+      }
+      s"""(SELECT '${quoteSql(nm)}' AS sugg,
+         |  ROW_NUMBER() OVER (ORDER BY $ord) AS rk, token, freq
+         |FROM (SELECT token, freq FROM vocab WHERE $cond
+         |      ORDER BY $ord LIMIT ${s.size}) AS s0)""".stripMargin
+    }
+    s"""WITH vocab AS (
+       |  SELECT token, COUNT(*) AS freq
+       |  FROM (SELECT UNNEST($ToksExpr) AS token FROM $rel)
+       |  GROUP BY token)
+       |SELECT * FROM (
+       |${branches.mkString("\nUNION ALL\n")}
+       |) AS sg ORDER BY sugg, rk""".stripMargin
+  }
+
   /** The ES `_termvectors` endpoint (`term_statistics: true`): one
     * document's term vector — (term, tf) plus corpus statistics (df,
     * ttf) for exactly that document's terms. One pruned doc probe +
     * one token-grain aggregate SEMI-JOINED to the doc's own ≤|doc|
-    * terms, so corpus stats stay df-bounded at any scale. */
+    * terms, so corpus stats stay df-bounded at any scale. The probe
+    * is EAGER (≤|doc| distinct-term rows, one document's worth — the
+    * terms-lookup GET stance): a dangling `doc_id` fails loudly here
+    * instead of returning an empty frame (ES reports found:false; an
+    * engine that silently returns nothing for a typo'd id is a trap). */
   def dslTermVectorsOf(docs: DataFrame, docId: Long): DataFrame = {
     import docs.sparkSession.implicits._
-    val docToks = docs.filter($"doc_id" === docId)
+    val probed = docs.filter($"doc_id" === docId)
       .select(explode(TextAnalysis.toks($"text")).as("term"))
       .groupBy($"term").agg(count(lit(1)).as("tf"))
+      .as[(String, Long)].collect()
+    if (probed.isEmpty)
+      fail(s"_termvectors: doc_id $docId not found (or has no tokens)")
+    val docToks = probed.toSeq.toDF("term", "tf")
     val corpus = docs
       .select($"doc_id", explode(TextAnalysis.toks($"text")).as("term"))
       .join(broadcast(docToks.select($"term")), Seq("term"), "left_semi")
@@ -4225,8 +5477,55 @@ object Dsl {
         s"len(list_filter(${arr(f)}, x -> " +
           s"regexp_full_match(x, '${quoteSql(pat)}'))) AS qrf${p.rfIdx(k)}"
       }
+      // span occurrence counts — scanF's position lambdas in lockstep
+      // (range(1, n+1) ≡ sequence(1, n))
+      def posOf(a: String, t: String): String =
+        s"list_filter(range(1, len($a) + 1), i -> $a[i] = '${quoteSql(t)}')"
+      val spDefs = p.skeys.map { k =>
+        val a = arr(spanFieldOf(k))
+        val expr = k match {
+          case SpanNotQ(_, inc, exc, pre, post) =>
+            s"len(list_filter(${posOf(a, inc)}, x -> " +
+              s"len(list_filter(${posOf(a, exc)}, " +
+              s"q -> q >= x - $pre AND q <= x + $post)) = 0))"
+          case SpanFirstQ(_, t, end) =>
+            s"len(list_filter($a[1:$end], x -> x = '${quoteSql(t)}'))"
+          case SpanUnordQ(_, t1, t2, sl) =>
+            s"len(list_filter(${posOf(a, t1)}, x -> " +
+              s"len(list_filter(${posOf(a, t2)}, " +
+              s"q -> abs(q - x) <= ${sl + 1})) > 0))"
+          case SpanOrderedQ(_, ts) =>
+            // orderedChainCount in lockstep: one nested exists per
+            // further term, fresh vars v0, v1, …
+            def chain(rest: Seq[String], prev: String, d: Int): String =
+              rest match {
+                case h +: t if t.isEmpty =>
+                  s"len(list_filter(${posOf(a, h)}, " +
+                    s"v$d -> v$d > $prev)) > 0"
+                case h +: t =>
+                  s"len(list_filter(${posOf(a, h)}, v$d -> " +
+                    s"v$d > $prev AND ${chain(t, s"v$d", d + 1)})) > 0"
+                case _ => "TRUE" // unreachable: ≥ 2 terms by parse
+              }
+            s"len(list_filter(${posOf(a, ts.head)}, v0 -> " +
+              s"${chain(ts.tail, "v0", 1)}))"
+          case SpanWindowQ(_, ts, g) =>
+            // windowAnchorCount in lockstep: anchor disjunction as a
+            // sum of per-term anchor counts
+            val w = g + ts.size - 1
+            ts.indices.map { i =>
+              val others = ts.indices.filter(_ != i).map { j =>
+                s"len(list_filter(${posOf(a, ts(j))}, " +
+                  s"q$j -> q$j >= s0 AND q$j <= s0 + $w)) > 0"
+              }.mkString(" AND ")
+              s"len(list_filter(${posOf(a, ts(i))}, s0 -> $others))"
+            }.mkString("(", " + ", ")")
+          case other => fail(s"not a span key: $other") // unreachable
+        }
+        s"$expr AS qsp${p.sfIdx(k)}"
+      }
       val cols = (Seq("doc_id") ++ fields ++ dlDefs ++ tfDefs ++ pfDefs ++
-        zfDefs ++ rfDefs).mkString(",\n    ")
+        zfDefs ++ rfDefs ++ spDefs).mkString(",\n    ")
       s"f AS (\n  SELECT $cols\n  FROM $src)"
     }
   }
@@ -4275,12 +5574,15 @@ object Dsl {
         val c = if (fld == "_score") "score" else fld
         s"$c ${if (asc) "ASC" else "DESC"} NULLS LAST"
       }.mkString(", ") + ", doc_id"
-    val outSql = p.source match {
+    val outSql = (p.source match {
       case None => "doc_id, n_matched, tf_total, dl"
       case Some(fs) => ("doc_id" +: fs).mkString(", ")
-    }
+    }) + (if (p.trackTotal) ", total_hits" else "")
+    val basePredSql = p.postC
+      .map(pc => s"(${p.c.predSql} AND ${pc.predSql})")
+      .getOrElse(p.c.predSql)
     val gateSql = p.after.map(v =>
-      s"(${p.c.predSql} AND ${afterPredOf(p, v)._2})").getOrElse(p.c.predSql)
+      s"($basePredSql AND ${afterPredOf(p, v)._2})").getOrElse(basePredSql)
     val rscSql = p.rsC.map { rc =>
       rc.score match {
         case Some((_, sql)) =>
@@ -4297,14 +5599,25 @@ object Dsl {
            extraCols.map(c => s",\n    f.$c AS $c").mkString}
          |  $from
          |  WHERE $gateSql)""".stripMargin
+    // min_score: a floor over the computed score, mirrored from
+    // rankTail's post-gate filter
+    val msSql = p.minScore.map(v =>
+      s"""ms AS (SELECT * FROM sc WHERE score >=
+         |  CAST(${v.underlying.toPlainString} AS DOUBLE))""".stripMargin)
+    val scRel = if (p.minScore.isEmpty) "sc" else "ms"
+    // track_total_hits: ONE count over the pre-page hit set, riding
+    // every row (rankTail's broadcast 1-row aggregate)
+    val ttSql =
+      if (!p.trackTotal) None
+      else Some(s"tt AS (SELECT COUNT(*) AS total_hits FROM $scRel)")
     // collapse: the per-group top-1 window, mirrored from rankTail
     val clSql = p.collapse.map(cf =>
       s"""cl AS (
          |  SELECT * EXCLUDE (g_rn) FROM (
-         |    SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY $cf
-         |      ORDER BY $ordSql) AS g_rn FROM sc) AS g
+         |    SELECT $scRel.*, ROW_NUMBER() OVER (PARTITION BY $cf
+         |      ORDER BY $ordSql) AS g_rn FROM $scRel) AS g
          |  WHERE g_rn = 1)""".stripMargin)
-    val hitsRel = if (p.collapse.isEmpty) "sc" else "cl"
+    val hitsRel = if (p.collapse.isEmpty) scRel else "cl"
     // rescore: stage the original rank, split window/tail, final
     // order = re-sorted window then the tail in original order —
     // [[rankTail]]'s staged sort, key for key
@@ -4319,7 +5632,8 @@ object Dsl {
          |   CAST(${r.rw.underlying.toPlainString} AS DOUBLE) * rsc)
          |    AS cmb FROM rs)""".stripMargin
     }
-    val finalRel = if (p.rescore.isEmpty) hitsRel else "rw"
+    val finalRel = (if (p.rescore.isEmpty) hitsRel else "rw") +
+      (if (p.trackTotal) " CROSS JOIN tt" else "")
     val finalOrd = if (p.rescore.isEmpty) ordSql
       else "grp, CASE WHEN grp = 0 THEN cmb ELSE 0.0 END DESC, " +
         "CASE WHEN grp = 1 THEN ork ELSE 0 END, doc_id"
@@ -4339,7 +5653,7 @@ object Dsl {
     p.highlight match {
       case None =>
         s"""WITH ${ctes.mkString(",\n")},
-           |${(Seq(scSql) ++ clSql.toSeq ++ rsSql.toSeq).mkString(",\n")}
+           |${(Seq(scSql) ++ msSql.toSeq ++ ttSql.toSeq ++ clSql.toSeq ++ rsSql.toSeq).mkString(",\n")}
            |$tail""".stripMargin
       case Some(hf) =>
         val hlNt =
@@ -4349,12 +5663,12 @@ object Dsl {
         val posSql = highlightLits(p, hf).map(t =>
           s"NULLIF(strpos(hl.hl_nt, '${quoteSql(t)}'), 0)")
           .mkString("COALESCE(", ", ", ")")
-        val outNames = "rk" +: (p.source match {
+        val outNames = ("rk" +: (p.source match {
           case None => Seq("doc_id", "n_matched", "tf_total", "dl")
           case Some(fs) => "doc_id" +: fs
-        })
+        })) ++ (if (p.trackTotal) Seq("total_hits") else Seq.empty)
         s"""WITH ${ctes.mkString(",\n")},
-           |${(Seq(scSql) ++ clSql.toSeq ++ rsSql.toSeq).mkString(",\n")},
+           |${(Seq(scSql) ++ msSql.toSeq ++ ttSql.toSeq ++ clSql.toSeq ++ rsSql.toSeq).mkString(",\n")},
            |hl AS (SELECT doc_id, $hlNt AS hl_nt FROM $rel),
            |pg AS (
            |$tail),
@@ -4403,10 +5717,14 @@ object Dsl {
         "(ES convention); hits are served by searchDslOf")
     if (b.from != 0 || b.sort.nonEmpty || b.source.nonEmpty ||
         b.after.nonEmpty || b.highlight.nonEmpty || b.collapse.nonEmpty ||
-        b.rescore.nonEmpty)
+        b.rescore.nonEmpty || b.minScore.nonEmpty || b.trackTotal)
       fail("an aggregation body returns no hits — from/sort/_source/" +
-        "search_after/highlight/collapse/rescore have no meaning " +
-        "beside size: 0")
+        "search_after/highlight/collapse/rescore/min_score/" +
+        "track_total_hits have no meaning beside size: 0")
+    // post_filter is ACCEPTED and ignored here BY DESIGN: ES's
+    // faceted-search contract computes aggregations over the
+    // pre-post_filter match set — the same body runs its hits half
+    // through the search endpoint, where post_filter narrows
     // aggregations never rank: the query compiles in filter context;
     // filter-agg clauses join the query's clause inventory so ONE
     // feature frame serves the predicate and every stored bucket
@@ -4502,7 +5820,7 @@ object Dsl {
     val bucketSubOf: Map[Int, (String, AggNode)] =
       b.aggs.zipWithIndex.collect {
         case (AggSpec(_, _: TermsAgg | _: DateHistAgg | _: HistAgg,
-            Some((sn, sa))), i)
+            Some((sn, sa)), _), i)
             if !isMetric(sa) && !sa.isInstanceOf[PipelineAgg] =>
           i -> ((sn, sa))
       }.toMap
@@ -4559,25 +5877,25 @@ object Dsl {
     // (specIdx, bucketIdx, label, membership condition)
     val cbuckets: Seq[(Int, Int, String, Column)] =
       b.aggs.zipWithIndex.flatMap {
-        case (AggSpec(_, RangeAgg(fld, ranges), _), i) =>
+        case (AggSpec(_, RangeAgg(fld, ranges), _, _), i) =>
           ranges.zipWithIndex.map { case (r, j) =>
             val cond = (Seq(col(fld).isNotNull) ++
               r._1.map(v => col(fld) >= v.column) ++
               r._2.map(v => col(fld) < v.column)).reduce(_ && _)
             (i, j, rangeLabel(r), cond)
           }
-        case (AggSpec(_, FilterAgg(n), _), i) =>
+        case (AggSpec(_, FilterAgg(n), _, _), i) =>
           Seq((i, 0, "",
             compile(n, scored = false, p.tfIdx, p.pfIdx, Map.empty,
-              p.zfIdx, p.rfIdx).pred))
-        case (AggSpec(_, FiltersAgg(fs), _), i) =>
+              p.zfIdx, p.rfIdx, p.sfIdx).pred))
+        case (AggSpec(_, FiltersAgg(fs), _, _), i) =>
           fs.zipWithIndex.map { case ((nm, n), j) =>
             (i, j, nm, compile(n, scored = false, p.tfIdx, p.pfIdx,
-              Map.empty, p.zfIdx, p.rfIdx).pred)
+              Map.empty, p.zfIdx, p.rfIdx, p.sfIdx).pred)
           }
-        case (AggSpec(_, MissingAgg(fld), _), i) =>
+        case (AggSpec(_, MissingAgg(fld), _, _), i) =>
           Seq((i, 0, "", col(fld).isNull))
-        case (AggSpec(_, DateRangeAgg(fld, ranges), _), i) =>
+        case (AggSpec(_, DateRangeAgg(fld, ranges), _, _), i) =>
           ranges.zipWithIndex.map { case (r, j) =>
             val cond = (Seq(col(fld).isNotNull) ++
               r._1.map(d => col(fld) >= to_date(lit(d))) ++
@@ -4588,7 +5906,7 @@ object Dsl {
       }
     val subKindOf: Map[Int, (String, String)] = b.aggs.zipWithIndex.collect {
       case (AggSpec(_, _: RangeAgg | _: FilterAgg | _: FiltersAgg |
-          _: MissingAgg | _: DateRangeAgg, Some((_, m))), i) =>
+          _: MissingAgg | _: DateRangeAgg, Some((_, m)), _), i) =>
         i -> metricKindField(m)
     }.toMap
     val condAggCols = cbuckets.flatMap { case (i, j, _, _) =>
@@ -4614,7 +5932,7 @@ object Dsl {
     // ordinary aggregate, so the one-pass invariant holds; only the
     // global row's values are read out)
     val pctDefs: Seq[(String, String, BigDecimal)] = b.aggs.flatMap {
-      case AggSpec(_, PercentilesAgg(x, ps), _) =>
+      case AggSpec(_, PercentilesAgg(x, ps), _, _) =>
         ps.map(pp => (s"vp_${x}_${pctTag(pp)}", x, pp))
       case _ => Seq.empty
     }.distinct
@@ -4623,7 +5941,7 @@ object Dsl {
     // weighted_avg: Σ(v·w) and Σw over docs carrying BOTH fields —
     // two more columns on the same one-pass aggregate
     val wavDefs: Seq[(String, String)] = b.aggs.collect {
-      case AggSpec(_, WeightedAvgAgg(v, w), _) => (v, w)
+      case AggSpec(_, WeightedAvgAgg(v, w), _, _) => (v, w)
     }.distinct
     val wavCols = wavDefs.flatMap { case (v, w) =>
       val both = col(v).isNotNull && col(w).isNotNull
@@ -4635,7 +5953,7 @@ object Dsl {
     // percentile_ranks: one conditional count per probe + one total
     // per field — more columns on the same pass
     val prDefs: Seq[(String, BigDecimal)] = b.aggs.flatMap {
-      case AggSpec(_, PctRanksAgg(x, vs), _) => vs.map(v => (x, v))
+      case AggSpec(_, PctRanksAgg(x, vs), _, _) => vs.map(v => (x, v))
       case _ => Seq.empty
     }.distinct
     val prCols = prDefs.map { case (x, v) =>
@@ -4753,7 +6071,7 @@ object Dsl {
         .map(x => uncondOut(x._2)).getOrElse(NullStats)
       val sel =
         gated.select(($"key" +: key2Blank +: $"doc_count" +: subCols): _*)
-      spec.agg match {
+      val cut0 = spec.agg match {
         case TermsAgg(_, n, ord, _, minDoc, _, _) =>
           // ES order: {"_count": "desc"} (default), {"_key": "asc"},
           // or by the metric sub's value (nulls last, key tiebreak)
@@ -4778,6 +6096,10 @@ object Dsl {
           sel.filter($"doc_count" <= m)
         case _ => sel
       }
+      // the bucket-script trio post-processes the RETURNED buckets —
+      // every consumer (parent rows, child gate, sibling pipelines)
+      // reads the post-pipe cut
+      applyBucketPipes(spec, cut0)
     })
     val frames = b.aggs.zipWithIndex.flatMap { case (spec, i) =>
       if (spec.agg.isInstanceOf[NestedAgg])
@@ -4996,7 +6318,23 @@ object Dsl {
           .withColumn("agg", lit(s"${spec.name}.$sn"))
           .select(OutCols.map(col): _*)
       }
-      Seq(parent) ++ child.toSeq ++ pipeChild.toSeq
+      // bucket_script rows: one computed value per RETURNED bucket —
+      // the PipelineAgg emission shape (value in v_sum)
+      val scriptChild = spec.pipes.collect {
+        case (sn, bp) if bp.kind == "bucket_script" =>
+          val v = pexprEmit(bp.script.get, pipeParamResolver(spec, bp))._1
+          cut.withColumn("pv", v)
+            .select(($"key" +: key2Blank +: $"doc_count" +:
+              Seq(lit(null).cast("long").as("v_count"),
+                $"pv".as("v_sum"),
+                lit(null).cast("double").as("v_min"),
+                lit(null).cast("double").as("v_max"),
+                lit(null).cast("double").as("v_avg"),
+                lit(null).cast("double").as("v_pct"))): _*)
+            .withColumn("agg", lit(s"${spec.name}.$sn"))
+            .select(OutCols.map(col): _*)
+      }
+      Seq(parent) ++ child.toSeq ++ pipeChild.toSeq ++ scriptChild
       }
     }
     frames.reduce(_ unionByName _).orderBy($"agg", $"key", $"key2")
@@ -5080,6 +6418,93 @@ object Dsl {
     case "min" => "v_min"
     case "max" => "v_max"
     case _ => "v_count" // value_count, cardinality (exact or sketch)
+  }
+
+  // ---------------------------------------- bucket-pipe emission
+
+  /** Lockstep Column/SQL emission of a pipe script — all operands
+    * DOUBLE (the slots already are; counts cast), so both engines run
+    * the same IEEE arithmetic tree. */
+  private def pexprEmit(e: PExpr,
+      resolve: String => (Column, String)): (Column, String) = e match {
+    case PNum(v) => (lit(v.toDouble),
+      s"CAST(${v.underlying.toPlainString} AS DOUBLE)")
+    case PParam(n) => resolve(n)
+    case PBin(op, l, r) =>
+      val (lc, ls) = pexprEmit(l, resolve)
+      val (rc, rs) = pexprEmit(r, resolve)
+      op match {
+        case "+" => (lc + rc, s"($ls + $rs)")
+        case "-" => (lc - rc, s"($ls - $rs)")
+        case "*" => (lc * rc, s"($ls * $rs)")
+        case "/" => (lc / rc, s"($ls / $rs)")
+        case ">" => (lc > rc, s"($ls > $rs)")
+        case ">=" => (lc >= rc, s"($ls >= $rs)")
+        case "<" => (lc < rc, s"($ls < $rs)")
+        case "<=" => (lc <= rc, s"($ls <= $rs)")
+        case "==" => (lc === rc, s"($ls = $rs)")
+        case _ => (lc =!= rc, s"($ls <> $rs)")
+      }
+  }
+
+  /** A buckets_path value over a RETURNED bucket row: `_count` or the
+    * parent's metric-sub slot, emitted DOUBLE in both engines. */
+  private def pipeSlotOf(spec: AggSpec, path: String): (Column, String) =
+    path match {
+      case "_count" => (col("doc_count").cast("double"),
+        "CAST(doc_count AS DOUBLE)")
+      case _ =>
+        val (k, _) = metricKindField(spec.sub.get._2)
+        val slot = orderColOf(k)
+        if (slot == "v_count")
+          (col(slot).cast("double"), s"CAST($slot AS DOUBLE)")
+        else (col(slot), slot)
+    }
+
+  private def pipeParamResolver(spec: AggSpec,
+      bp: BucketPipe): String => (Column, String) =
+    prm => pipeSlotOf(spec, bp.paths.find(_._1 == prm).get._2)
+
+  /** A bucket_sort key: `_key` (numeric for histogram — the
+    * PipelineAgg key-order precedent), `_count`, or the metric slot. */
+  private def pipeSortKeyOf(spec: AggSpec,
+      path: String): (Column, String) = path match {
+    case "_key" => spec.agg match {
+      case _: HistAgg => (col("key").cast("long"), "CAST(key AS BIGINT)")
+      case _ => (col("key"), "key")
+    }
+    case "_count" => (col("doc_count"), "doc_count")
+    case _ => pipeSlotOf(spec, path)
+  }
+
+  /** Spark-side pipe application over the parent's RETURNED buckets:
+    * selector filters, then sort pages via a \|buckets\|-row window —
+    * never another corpus pass. The SQL twin is `pipedInnerSql`
+    * inside the oracle generator. */
+  private def applyBucketPipes(spec: AggSpec,
+      cut0: DataFrame): DataFrame = {
+    if (spec.pipes.isEmpty) cut0
+    else {
+      val selected = spec.pipes.filter(_._2.kind == "bucket_selector")
+        .foldLeft(cut0) { case (d, (_, bp)) =>
+          d.filter(pexprEmit(bp.script.get,
+            pipeParamResolver(spec, bp))._1)
+        }
+      spec.pipes.find(_._2.kind == "bucket_sort") match {
+        case None => selected
+        case Some((_, bp)) =>
+          val ord = bp.sortKeys.map { case (pth, asc) =>
+            val c = pipeSortKeyOf(spec, pth)._1
+            if (asc) c.asc_nulls_last else c.desc_nulls_last
+          } :+ col("key").asc
+          val w = Window.orderBy(ord: _*)
+          val paged = selected
+            .withColumn("bprn", row_number().over(w))
+            .filter(col("bprn") > bp.from)
+          bp.size.map(s => paged.filter(col("bprn") <= bp.from + s))
+            .getOrElse(paged).drop("bprn")
+      }
+    }
   }
 
   /** Bucket-grain serving must not silently drop a doc-grain sub. */
@@ -5226,6 +6651,39 @@ object Dsl {
         case other => fail(s"not a grouping agg: $other") // unreachable
       }
     }
+    // the bucket-script trio over the RETURNED buckets — selector as
+    // a WHERE over the inner's output columns, sort as a
+    // ROW_NUMBER page (the Spark twin is applyBucketPipes)
+    val pipeOutCols = "agg, key, key2, doc_count, v_count, v_sum, " +
+      "v_min, v_max, v_avg, v_pct"
+    def pipedInnerSql(spec: AggSpec): String = {
+      val base = groupingInnerSql(spec)
+      if (spec.pipes.isEmpty) base
+      else {
+        val selConds = spec.pipes.filter(_._2.kind == "bucket_selector")
+          .map { case (_, bp) =>
+            pexprEmit(bp.script.get, pipeParamResolver(spec, bp))._2
+          }
+        val afterSel =
+          if (selConds.isEmpty) s"SELECT $pipeOutCols FROM (\n  $base) AS bp0"
+          else s"SELECT $pipeOutCols FROM (\n  $base) AS bp0\n  " +
+            s"WHERE ${selConds.mkString(" AND ")}"
+        spec.pipes.find(_._2.kind == "bucket_sort") match {
+          case None => afterSel
+          case Some((_, bp)) =>
+            val ord = (bp.sortKeys.map { case (pth, asc) =>
+              s"${pipeSortKeyOf(spec, pth)._2} " +
+                s"${if (asc) "ASC" else "DESC"} NULLS LAST"
+            } :+ "key ASC").mkString(", ")
+            val hiCond = bp.size
+              .map(s => s" AND bprn <= ${bp.from + s}").getOrElse("")
+            s"""SELECT $pipeOutCols FROM (
+               |  SELECT *, ROW_NUMBER() OVER (ORDER BY $ord) AS bprn
+               |  FROM ($afterSel) AS bp1) AS bp2
+               |WHERE bprn > ${bp.from}$hiCond""".stripMargin
+        }
+      }
+    }
     def branch(spec: AggSpec): String = {
       val name = s"'${quoteSql(spec.name)}'"
       val metricSub = spec.sub.filter(x => isMetric(x._2))
@@ -5291,18 +6749,37 @@ object Dsl {
            |FROM (
            |  $cutGrouped) AS ch$gate""".stripMargin
       }
+      // bucket_script rows in SQL: the PipelineAgg emission shape
+      def scriptChildSql(parentInner: String): Seq[String] =
+        spec.pipes.collect { case (sn, bp) if bp.kind == "bucket_script" =>
+          val v = pexprEmit(bp.script.get, pipeParamResolver(spec, bp))._2
+          s"""(SELECT '${quoteSql(spec.name)}.${quoteSql(sn)}' AS agg,
+             |  key, '' AS key2, doc_count,
+             |  CAST(NULL AS BIGINT) AS v_count, $v AS v_sum,
+             |  CAST(NULL AS DOUBLE) AS v_min,
+             |  CAST(NULL AS DOUBLE) AS v_max,
+             |  CAST(NULL AS DOUBLE) AS v_avg,
+             |  CAST(NULL AS DOUBLE) AS v_pct
+             |FROM (
+             |  $parentInner) AS sc)""".stripMargin
+        }
       spec.agg match {
         case _: TermsAgg =>
-          val inner = groupingInnerSql(spec)
+          val inner = pipedInnerSql(spec)
           val parent = s"SELECT * FROM (\n  $inner) AS t"
-          if (bucketSub.isEmpty) parent
-          else s"$parent\nUNION ALL\n(${childOf(Some(inner))})"
+          (Seq(parent) ++
+            bucketSub.toSeq.map(_ => s"(${childOf(Some(inner))})") ++
+            scriptChildSql(inner)).mkString("\nUNION ALL\n")
         case _: DateHistAgg | _: HistAgg | _: MultiTermsAgg |
              _: RareTermsAgg =>
-          val inner = groupingInnerSql(spec)
+          val inner = pipedInnerSql(spec)
+          // with pipes, buckets can be DROPPED — child rows must gate
+          // on the surviving parents exactly like the terms cut
+          val childGate = if (spec.pipes.isEmpty) None else Some(inner)
           (Seq(s"($inner)") ++
-            bucketSub.toSeq.map(_ => s"(${childOf(None)})") ++
-            pipeChildSql(inner)).mkString("\nUNION ALL\n")
+            bucketSub.toSeq.map(_ => s"(${childOf(childGate)})") ++
+            pipeChildSql(inner) ++ scriptChildSql(inner))
+            .mkString("\nUNION ALL\n")
         case BucketMetricAgg("stats", path) =>
           val sib = b.aggs.find(_.name == path).get
           s"""SELECT $name AS agg, '' AS key, '' AS key2,
@@ -5310,7 +6787,7 @@ object Dsl {
              |  ${(statSql("doc_count") :+ nullV("v_pct"))
                   .mkString(",\n  ")}
              |FROM (
-             |  ${groupingInnerSql(sib)}) AS sb""".stripMargin
+             |  ${pipedInnerSql(sib)}) AS sb""".stripMargin
         case BucketMetricAgg(kind, path) =>
           val sib = b.aggs.find(_.name == path).get
           val fn = kind match {
@@ -5330,7 +6807,7 @@ object Dsl {
              |  COUNT(*) AS doc_count,
              |  ${cols.mkString(",\n  ")}
              |FROM (
-             |  ${groupingInnerSql(sib)}) AS sb""".stripMargin
+             |  ${pipedInnerSql(sib)}) AS sb""".stripMargin
         case MissingAgg(fld) =>
           s"""SELECT $name AS agg, '' AS key, '' AS key2,
              |  COUNT(*) AS doc_count,
@@ -5465,7 +6942,7 @@ object Dsl {
           }.mkString("\nUNION ALL\n")
         case FilterAgg(n) =>
           val c = compile(n, scored = false, p.tfIdx, p.pfIdx, Map.empty,
-            p.zfIdx, p.rfIdx)
+            p.zfIdx, p.rfIdx, p.sfIdx)
           s"""SELECT $name AS agg, '' AS key, '' AS key2,
              |  COUNT(*) AS doc_count,
              |  ${stats.mkString(",\n  ")}
@@ -5473,7 +6950,7 @@ object Dsl {
         case FiltersAgg(fs) =>
           fs.map { case (nm, n) =>
             val c = compile(n, scored = false, p.tfIdx, p.pfIdx,
-              Map.empty, p.zfIdx, p.rfIdx)
+              Map.empty, p.zfIdx, p.rfIdx, p.sfIdx)
             s"""SELECT $name AS agg, '${quoteSql(nm)}' AS key,
                |  '' AS key2, COUNT(*) AS doc_count,
                |  ${stats.mkString(",\n  ")}
@@ -5542,8 +7019,12 @@ object Dsl {
         "_source/search_after/highlight/collapse/rescore have no " +
         "meaning beside size: 0")
     val (pname, t, sn, th) = b.aggs match {
-      case Seq(AggSpec(pn, ta: TermsAgg, Some((s2, tha: TopHitsAgg)))) =>
+      case Seq(AggSpec(pn, ta: TermsAgg, Some((s2, tha: TopHitsAgg)),
+          Seq())) =>
         (pn, ta, s2, tha)
+      case Seq(AggSpec(_, _, _, pipes)) if pipes.nonEmpty =>
+        fail("top_hits bodies take no bucket_selector/bucket_script/" +
+          "bucket_sort (doc-grain output has no bucket rows to pipe)")
       case _ => fail("top_hits bodies serve exactly ONE terms " +
         "aggregation carrying ONE top_hits sub-aggregation")
     }
@@ -6052,14 +7533,16 @@ object Dsl {
     val pfIdx = pkeys.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
     val zfIdx = zkeys.zipWithIndex.map { case (z, i) => z -> (i + 1) }.toMap
     val rfIdx = rkeys.zipWithIndex.map { case (r, i) => r -> (i + 1) }.toMap
+    val skeys = parsed.flatMap(r => skeysOf(r._2)).distinct
+    val sfIdx = skeys.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
     val p = Plan(MatchAllQ, 0, tkeys, pkeys, Seq.empty, Seq.empty,
       Seq.empty, exact, tfIdx, pfIdx, Map.empty,
       C(lit(true), "TRUE", None), zkeys = zkeys, zfIdx = zfIdx,
-      rkeys = rkeys, rfIdx = rfIdx)
+      rkeys = rkeys, rfIdx = rfIdx, skeys = skeys, sfIdx = sfIdx)
     checkFields(docs, exact)
     val preds = parsed.map { case (id, q) =>
       (id, compile(q, scored = false, tfIdx, pfIdx, Map.empty, zfIdx,
-        rfIdx))
+        rfIdx, sfIdx))
     }
     val f = scanF(docs, p, Seq.empty)
     val matchedIds = array(preds.map { case (id, c) =>
@@ -6082,13 +7565,15 @@ object Dsl {
     val pfIdx = pkeys.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
     val zfIdx = zkeys.zipWithIndex.map { case (z, i) => z -> (i + 1) }.toMap
     val rfIdx = rkeys.zipWithIndex.map { case (r, i) => r -> (i + 1) }.toMap
+    val skeys = parsed.flatMap(r => skeysOf(r._2)).distinct
+    val sfIdx = skeys.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
     val p = Plan(MatchAllQ, 0, tkeys, pkeys, Seq.empty, Seq.empty,
       Seq.empty, exact, tfIdx, pfIdx, Map.empty,
       C(lit(true), "TRUE", None), zkeys = zkeys, zfIdx = zfIdx,
-      rkeys = rkeys, rfIdx = rfIdx)
+      rkeys = rkeys, rfIdx = rfIdx, skeys = skeys, sfIdx = sfIdx)
     val branches = parsed.map { case (id, q) =>
       val c = compile(q, scored = false, tfIdx, pfIdx, Map.empty, zfIdx,
-        rfIdx)
+        rfIdx, sfIdx)
       s"SELECT doc_id, CAST($id AS BIGINT) AS query_id FROM f " +
         s"WHERE ${c.predSql}"
     }
@@ -6170,7 +7655,8 @@ object Dsl {
           s"$root — rebuild the index from a corpus carrying it"))
       d.select(($"doc_id" +: metaFields.map(col)): _*)
     }.reduce(_ unionByName _)
-    val allToks = (p.tkeys.map(_._2) ++ p.pkeys.flatMap(_._2)).distinct
+    val allToks = (p.tkeys.map(_._2) ++ p.pkeys.flatMap(_._2) ++
+      p.skeys.flatMap(spanToksOf)).distinct
     val posts =
       if (allToks.isEmpty) None
       else {
@@ -6191,7 +7677,8 @@ object Dsl {
     val featCols = p.tkeys.map(k => s"qtf${p.tfIdx(k)}") ++
       p.pkeys.map(k => s"qpf${p.pfIdx(k)}") ++
       p.zkeys.map(k => s"qzf${p.zfIdx(k)}") ++
-      p.rkeys.map(k => s"qrf${p.rfIdx(k)}")
+      p.rkeys.map(k => s"qrf${p.rfIdx(k)}") ++
+      p.skeys.map(k => s"qsp${p.sfIdx(k)}")
     val tfPiv = posts.filter(_ => p.tkeys.nonEmpty).map { po =>
       val cols = p.tkeys.map { case k @ (fld, t) =>
         coalesce(sum(when($"tok" === t && $"field" === fld, $"tf")), lit(0L))
@@ -6271,7 +7758,52 @@ object Dsl {
         }
         Some(po.groupBy($"doc_id").agg(cols.head, cols.tail: _*))
       }
-    val feat = (tfPiv.toSeq ++ phFrames ++ zPivot.toSeq ++ rPivot.toSeq)
+    // span features from POSITIONAL postings — the phFrames machinery
+    // one family up: per-key position-array joins, window checks as
+    // the same lambdas the scan path runs over the token array
+    val spFrames = p.skeys.map { k =>
+      val fld = spanFieldOf(k)
+      def posDf(t: String, nm: String): DataFrame = posts.get
+        .filter($"field" === fld && $"tok" === t)
+        .select($"doc_id", $"positions".as(nm))
+      val colName = s"qsp${p.sfIdx(k)}"
+      k match {
+        case SpanFirstQ(_, t, end) =>
+          posDf(t, "pi").select($"doc_id",
+            size(filter($"pi", x => x <= lit(end))).cast("int")
+              .as(colName))
+        case SpanNotQ(_, inc, exc, pre, post) =>
+          // exclude positions may be absent for a doc → left join,
+          // null exists-result coalesces to "nothing excluded"
+          posDf(inc, "pi").join(posDf(exc, "pe"), Seq("doc_id"), "left")
+            .select($"doc_id",
+              size(filter($"pi", x => !coalesce(exists($"pe",
+                q => q >= x - lit(pre) && q <= x + lit(post)),
+                lit(false)))).cast("int").as(colName))
+        case SpanUnordQ(_, t1, t2, sl) =>
+          posDf(t1, "p1").join(posDf(t2, "p2"), "doc_id")
+            .select($"doc_id",
+              size(filter($"p1", x => exists($"p2",
+                q => abs(q - x) <= lit(sl + 1)))).cast("int")
+                .as(colName))
+        case SpanOrderedQ(_, ts) =>
+          // all terms required — inner joins of the position arrays,
+          // then the same chain lambdas as the scan path
+          ts.zipWithIndex.map { case (t, i) => posDf(t, s"g$i") }
+            .reduce((x, y) => x.join(y, "doc_id"))
+            .select($"doc_id", orderedChainCount(
+              ts.indices.map(i => col(s"g$i"))).cast("int").as(colName))
+        case SpanWindowQ(_, ts, g) =>
+          ts.zipWithIndex.map { case (t, i) => posDf(t, s"g$i") }
+            .reduce((x, y) => x.join(y, "doc_id"))
+            .select($"doc_id", windowAnchorCount(
+              ts.indices.map(i => col(s"g$i")), g + ts.size - 1)
+              .cast("int").as(colName))
+        case other => fail(s"not a span key: $other") // unreachable
+      }
+    }
+    val feat = (tfPiv.toSeq ++ phFrames ++ zPivot.toSeq ++ rPivot.toSeq ++
+      spFrames)
       .reduceOption((a, c) =>
         a.join(c, Seq("doc_id"), "full_outer")).map(_.na.fill(0, featCols))
     // ---- candidate universe
@@ -6487,19 +8019,25 @@ object Dsl {
         "(ES convention); hits are served by searchDslFromIndexes")
     if (b.from != 0 || b.sort.nonEmpty || b.source.nonEmpty ||
         b.after.nonEmpty || b.highlight.nonEmpty || b.collapse.nonEmpty ||
-        b.rescore.nonEmpty)
+        b.rescore.nonEmpty || b.minScore.nonEmpty || b.trackTotal)
       fail("an aggregation body returns no hits — from/sort/_source/" +
-        "search_after/highlight/collapse/rescore have no meaning " +
-        "beside size: 0")
+        "search_after/highlight/collapse/rescore/min_score/" +
+        "track_total_hits have no meaning beside size: 0")
+    // post_filter is ACCEPTED and ignored here BY DESIGN: ES's
+    // faceted-search contract computes aggregations over the
+    // pre-post_filter match set — the same body runs its hits half
+    // through the search endpoint, where post_filter narrows
     val filterNodes = aggClauseNodes(b)
     val p = mergedFilterPlan(b.query +: filterNodes)
     val aggFields = b.aggs.flatMap(aggSpecFields).distinct
-    // significant_terms needs BACKGROUND counts: the candidate
+    // significant_terms needs BACKGROUND counts and global aggregates
+    // over the PRE-filter frame (parts.f): for both, the candidate
     // universe must stay the whole corpus even when every match
     // carries a query term — disable the df-bounded restriction by
     // serving under a match_all universe (features still fill 0)
     val pServe =
-      if (b.aggs.exists(_.agg.isInstanceOf[SigTermsAgg]))
+      if (b.aggs.exists(s => s.agg.isInstanceOf[SigTermsAgg] ||
+          s.agg.isInstanceOf[GlobalAgg]))
         p.copy(q = MatchAllQ)
       else p
     val parts = servedParts(spark, indexDirs, pServe, aggFields)
@@ -6809,6 +8347,31 @@ object Dsl {
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), IntervalsQuery)
 
+  /** Registered r15 INTERVALS slice — the two graduated rule
+    * combinations: an ordered+UNLIMITED-gaps match (monotone
+    * subsequence over positions) as the must, an unordered+BOUNDED
+    * window (anchor-disjunction check) as the filter. Both are
+    * positional span features; the should ranks survivors. */
+  val Intervals2Query: String =
+    """{"query": {"bool": {
+      |  "must": [{"intervals": {"text": {"match":
+      |    {"query": "merge dup", "ordered": true}}}}],
+      |  "filter": [{"intervals": {"text": {"match":
+      |    {"query": "vector hash", "max_gaps": 25}}}}],
+      |  "should": [{"match": {"text": "dedup"}}]
+      |}}, "size": 25}""".stripMargin
+
+  def searchDslIntervals2(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), Intervals2Query)
+
+  val searchDslIntervals2Sql: String = dslSql(Intervals2Query)
+
+  /** Registered query: [[Intervals2Query]] SERVED; same oracle. */
+  def searchDslIntervals2Served(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), Intervals2Query)
+
   /** Registered `_mget` — three ids in request order, the middle one
     * a guaranteed miss (found = false row, the ES contract). */
   val MgetIds: Seq[Long] = Seq(42L, 999999999L, 7L)
@@ -7085,6 +8648,128 @@ object Dsl {
 
   val dslAggsExt3OracleSql: String = dslAggsSqlOver(AggsExt3Query, Ext3Rel)
 
+  /** Registered SPAN-ALGEBRA body — the round-15 span combinators in
+    * one query: a `span_first` must (dup within the first 60 tokens),
+    * a `span_not` filter (that dup occurrence NOT within 3 tokens of
+    * "slow"), an UNORDERED `span_near` filter (dup and vector within
+    * 10, either order), and a scored `span_or` should ranking the
+    * survivors. Every span compiles to a positional feature column —
+    * scan: token-array lambdas; served: positional postings. */
+  val SpansQuery: String =
+    """{"query": {"bool": {
+      |  "must": [{"span_first": {"match":
+      |    {"span_term": {"text": "dup"}}, "end": 60}}],
+      |  "filter": [
+      |    {"span_not": {"include": {"span_term": {"text": "dup"}},
+      |      "exclude": {"span_term": {"text": "slow"}}, "dist": 3}},
+      |    {"span_near": {"clauses": [
+      |      {"span_term": {"text": "dup"}},
+      |      {"span_term": {"text": "vector"}}],
+      |      "slop": 10, "in_order": false}}],
+      |  "should": [{"span_or": {"clauses": [
+      |    {"span_term": {"text": "merge"}},
+      |    {"span_term": {"text": "hash"}}]}}]
+      |}}, "size": 30}""".stripMargin
+
+  def searchDslSpans(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), SpansQuery)
+
+  val searchDslSpansSql: String = dslSql(SpansQuery)
+
+  /** Registered query: [[SpansQuery]] SERVED; same oracle. */
+  def searchDslSpansServed(spark: SparkSession, dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), SpansQuery)
+
+  /** Registered SUGGEST body — the search-box loop end-to-end in the
+    * DSL: a completion suggester on the shared corpus prefix, its
+    * typo-tolerant fuzzy twin on the misspelled prefix, and a term
+    * (spell-correction) suggester; one vocabulary pass serves all
+    * three. */
+  val SuggestBodyQuery: String =
+    s"""{"suggest": {
+      |  "complete": {"prefix": "${Search.SuggestPrefix}",
+      |    "completion": {"field": "text", "size": ${Search.SuggestK}}},
+      |  "typo": {"prefix": "${Search.FuzzySuggestPrefix}",
+      |    "completion": {"field": "text", "size": ${Search.SuggestK},
+      |      "fuzzy": {"fuzziness": ${Search.FuzzySuggestDist}}}},
+      |  "spell": {"text": "vektor",
+      |    "term": {"field": "text", "size": 5, "max_edits": 2}}}}"""
+      .stripMargin
+
+  def dslSuggest(spark: SparkSession, dir: String): DataFrame =
+    dslSuggestOf(Tables.documentsPar(spark, dir), SuggestBodyQuery)
+
+  val dslSuggestOracleSql: String =
+    dslSuggestSqlOver(SuggestBodyQuery, "documents")
+
+  /** Registered query: [[SuggestBodyQuery]] SERVED from the shared
+    * index's term dictionary; same oracle. */
+  def dslSuggestServed(spark: SparkSession, dir: String): DataFrame =
+    dslSuggestFromIndex(spark, Search.sharedIndexDir(spark, dir),
+      SuggestBodyQuery)
+
+  /** Registered POST_FILTER body — the faceted-search split: the
+    * query's match set feeds aggregations (see the same-body
+    * [[dslAggsOf]] contract), hits narrow by the post_filter, floor
+    * at `min_score`, and carry the exact pre-page `total_hits` count
+    * (ONE broadcast 1-row aggregate — what ES pays for a tracked
+    * total). */
+  val PostFilterQuery: String =
+    """{"query": {"match": {"text": "dup vector"}},
+      |  "post_filter": {"term": {"lang": "en"}},
+      |  "min_score": 0.2,
+      |  "track_total_hits": true,
+      |  "size": 20}""".stripMargin
+
+  def searchDslPostFilter(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), PostFilterQuery)
+
+  val searchDslPostFilterSql: String = dslSql(PostFilterQuery)
+
+  /** Registered query: [[PostFilterQuery]] SERVED; same oracle. */
+  def searchDslPostFilterServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), PostFilterQuery)
+
+  /** Registered BUCKET-SCRIPT TRIO body — the Kibana dashboard's
+    * HAVING / computed-metric / bucket-page: a terms parent with an
+    * avg metric sub, a `bucket_selector` flooring the bucket count, a
+    * `bucket_script` emitting avg-per-doc-count, and a `bucket_sort`
+    * paging the survivors by the metric. Pure \|buckets\|-row
+    * arithmetic over the one grouping-sets pass — zero extra corpus
+    * cost; the oracle wraps the same returned-bucket frame in
+    * WHERE + ROW_NUMBER. */
+  val AggsBucketScriptQuery: String =
+    """{"query": {"match": {"text": "dup"}}, "size": 0,
+      |  "aggs": {
+      |    "by_src": {"terms": {"field": "source", "size": 12},
+      |      "aggs": {
+      |        "chars": {"avg": {"field": "n_chars"}},
+      |        "busy": {"bucket_selector": {
+      |          "buckets_path": {"n": "_count"},
+      |          "script": "params.n >= 2"}},
+      |        "ratio": {"bucket_script": {
+      |          "buckets_path": {"c": "chars", "n": "_count"},
+      |          "script": "params.c / (params.n + 1)"}},
+      |        "page": {"bucket_sort": {"sort": [
+      |          {"chars": {"order": "desc"}}], "from": 1,
+      |          "size": 5}}}}}}""".stripMargin
+
+  def dslAggsBucketScript(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Tables.documentsPar(spark, dir), AggsBucketScriptQuery)
+
+  val dslAggsBucketScriptOracleSql: String =
+    dslAggsSql(AggsBucketScriptQuery)
+
+  /** Registered query: [[AggsBucketScriptQuery]] SERVED; same
+    * oracle. */
+  def dslAggsBucketScriptServed(spark: SparkSession,
+      dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), AggsBucketScriptQuery)
+
   /** Registered `significant_terms` — sources over-represented among
     * "hash"-matching docs vs the whole corpus, JLH-scored from exact
     * fg/bg counts. The one agg reading PRE-FILTER rows (a background
@@ -7108,6 +8793,26 @@ object Dsl {
   def dslAggsSigServed(spark: SparkSession, dir: String): DataFrame =
     dslAggsFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), AggsSigQuery)
+
+  /** Registered `global`-agg body with a TEXT query, SERVED — the
+    * regression pin for the r14 served-universe bug: a global agg
+    * aggregates the PRE-filter frame, so the served candidate universe
+    * must widen to match_all exactly like significant_terms (without
+    * the widening, the df-bounded candidate set silently shrank
+    * "all docs" to term-matched docs). Scan twin’s oracle. */
+  val AggsGlobalQuery: String =
+    """{"query": {"match": {"text": "hash"}}, "size": 0,
+      |  "aggs": {
+      |    "langs": {"terms": {"field": "lang", "size": 3}},
+      |    "all_docs": {"global": {},
+      |      "aggs": {"chars_all": {"stats": {"field": "n_chars"}}}}}}"""
+      .stripMargin
+
+  def dslAggsGlobalServed(spark: SparkSession, dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), AggsGlobalQuery)
+
+  val dslAggsGlobalServedOracleSql: String = dslAggsSql(AggsGlobalQuery)
 
   def dslAggsFilters(spark: SparkSession, dir: String): DataFrame =
     dslAggsOf(Tables.documentsPar(spark, dir), AggsFiltersQuery)
@@ -7541,6 +9246,90 @@ object Dsl {
       dir: String): DataFrame =
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), FunctionScoreQuery)
+
+  /** Registered `functions`-ARRAY function_score with DECAY scoring —
+    * the "boost recent" relevance pattern: BM25 over the match set ×
+    * a gauss decay on the ingest date (peak at the origin, half-life
+    * at scale past the offset) × a linear decay on length gated to
+    * English docs by a per-function filter × a bare weight on docs
+    * carrying a source. Constants precompile to shared literals; the
+    * runtime `exp` is rank-internal (see [[DecayFn]]). */
+  val FnScoreDecayQuery: String =
+    """{"query": {"function_score": {
+      |  "query": {"match": {"text": "dup"}},
+      |  "functions": [
+      |    {"gauss": {"persist_date": {"origin": "2026-02-10",
+      |      "scale": "10d", "offset": "2d"}}},
+      |    {"linear": {"n_chars": {"origin": 250, "scale": 150,
+      |      "decay": 0.3}}, "filter": {"term": {"lang": "en"}},
+      |      "weight": 2},
+      |    {"filter": {"exists": {"field": "source"}}, "weight": 1.5}],
+      |  "score_mode": "multiply", "boost_mode": "multiply"}},
+      |  "size": 30}""".stripMargin
+
+  def searchDslFnScoreDecay(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Search.withPersistDate(Tables.documentsPar(spark, dir)),
+      FnScoreDecayQuery)
+
+  val searchDslFnScoreDecaySql: String =
+    dslSqlOver(FnScoreDecayQuery, Search.PersistDateRel)
+
+  /** Registered query: [[FnScoreDecayQuery]] SERVED from the daily
+    * indices (persist_date is a docmeta doc-value there); same
+    * oracle. */
+  def searchDslFnScoreDecayServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Search.sharedDailyIndexDirs(spark, dir)._1, FnScoreDecayQuery)
+
+  /** Registered score_mode/boost_mode MATRIX body — `exp` decay +
+    * `field_value_factor` + a filtered weight combined by WEIGHTED
+    * average (ES's documented avg), then SUMMED with the BM25 score. */
+  val FnScoreModesQuery: String =
+    """{"query": {"function_score": {
+      |  "query": {"match": {"text": "vector merge"}},
+      |  "functions": [
+      |    {"exp": {"n_chars": {"origin": 200, "scale": 120,
+      |      "decay": 0.4}}, "weight": 3},
+      |    {"field_value_factor": {"field": "n_chars",
+      |      "modifier": "sqrt", "factor": 0.5}},
+      |    {"filter": {"term": {"lang": "de"}}, "weight": 4}],
+      |  "score_mode": "avg", "boost_mode": "sum"}},
+      |  "size": 25}""".stripMargin
+
+  def searchDslFnScoreModes(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), FnScoreModesQuery)
+
+  val searchDslFnScoreModesSql: String = dslSql(FnScoreModesQuery)
+
+  /** Registered query: [[FnScoreModesQuery]] SERVED; same oracle. */
+  def searchDslFnScoreModesServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), FnScoreModesQuery)
+
+  /** Registered `random_score` — deterministic seeded sampling of the
+    * match set (seed+field REQUIRED — the reproducible form): hash
+    * ranks replace BM25 via boost_mode replace, so the page is a
+    * stable pseudo-random draw both engines agree on byte-for-byte. */
+  val RandomScoreQuery: String =
+    """{"query": {"function_score": {
+      |  "query": {"match": {"text": "dup"}},
+      |  "functions": [
+      |    {"random_score": {"seed": 42, "field": "source"}}],
+      |  "boost_mode": "replace"}},
+      |  "size": 20}""".stripMargin
+
+  def searchDslRandomScore(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), RandomScoreQuery)
+
+  val searchDslRandomScoreSql: String = dslSql(RandomScoreQuery)
+
+  /** Registered query: [[RandomScoreQuery]] SERVED; same oracle. */
+  def searchDslRandomScoreServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), RandomScoreQuery)
 
   /** Registered BOOSTING body — penalize-don't-exclude: matches of the
     * negative clause stay in the result set at `negative_boost` × their

@@ -787,6 +787,10 @@ class DslSpec extends SparkSpec {
   }
 
   test("barrier persists are tracked and releasable") {
+    // start from a drained queue — with QueriesSmokeSpec in the same
+    // JVM first, the CAPPED queue sits at its bound and `>` can never
+    // hold (run-order brittleness, caught r15)
+    Dsl.releasePersisted()
     val before = Dsl.persistedFrameCount
     // an aggs body persists its bucket-grain barrier frame → tracked
     Dsl.dslAggsOf(tiny, """{"query": {"match_all": {}}, "size": 0,
@@ -892,6 +896,14 @@ class DslSpec extends SparkSpec {
     assert(Dsl.dslAggsServed(spark, sfDir).collect().toSeq ==
       Dsl.dslAggs(spark, sfDir).collect().toSeq,
       "daily-index-served aggregations diverged from the scan path")
+    // r14 regression pin: a global agg beside a TEXT query must widen
+    // the served candidate universe to the whole corpus (like
+    // significant_terms) — without it "all docs" counted only
+    // term-matched docs
+    assert(Dsl.dslAggsGlobalServed(spark, sfDir).collect().toSeq ==
+      Dsl.dslAggsOf(Tables.documentsPar(spark, sfDir),
+        Dsl.AggsGlobalQuery).collect().toSeq,
+      "served global agg diverged from the scan path (universe bug)")
     assert(Dsl.dslCountServed(spark, sfDir).collect().toSeq ==
       Dsl.dslCount(spark, sfDir).collect().toSeq,
       "index-served _count diverged from the scan count")
@@ -1666,6 +1678,413 @@ class DslSpec extends SparkSpec {
       .contains("negative"))
   }
 
+  test("span algebra: span_first/span_not/span_or/unordered span_near") {
+    // tiny positions: 0=[rare,alpha,alpha] 1=[alpha,beta] 2=[beta,
+    // gamma] 3=[rare,beta] 4=[alpha,beta,gamma]
+    // span_first: beta within the first N tokens
+    assert(ids(run("""{"query": {"span_first": {"match":
+      {"span_term": {"text": "beta"}}, "end": 1}}}""", tiny)) ==
+      Seq(2L), "end 1: only doc 2 opens with beta")
+    assert(ids(run("""{"query": {"span_first": {"match":
+      {"span_term": {"text": "beta"}}, "end": 2}}}""", tiny)).toSet ==
+      Set(1L, 2L, 3L, 4L))
+    // span_not: alpha occurrences NOT within dist of rare — doc 0's
+    // alpha@3 escapes dist 1 (rare@1), nothing escapes dist 2
+    assert(ids(run("""{"query": {"span_not": {
+      "include": {"span_term": {"text": "alpha"}},
+      "exclude": {"span_term": {"text": "rare"}},
+      "dist": 1}}}""", tiny)).toSet == Set(0L, 1L, 4L))
+    assert(ids(run("""{"query": {"span_not": {
+      "include": {"span_term": {"text": "alpha"}},
+      "exclude": {"span_term": {"text": "rare"}},
+      "dist": 2}}}""", tiny)).toSet == Set(1L, 4L),
+      "dist 2 must exclude BOTH of doc 0's alphas")
+    // unordered span_near: alpha..gamma distance 2 in doc 4 → slop 0
+    // misses, slop 1 hits; clause order must not matter
+    assert(ids(run("""{"query": {"span_near": {"clauses": [
+      {"span_term": {"text": "alpha"}}, {"span_term": {"text":
+      "gamma"}}], "slop": 0, "in_order": false}}}""", tiny)).isEmpty)
+    val un = ids(run("""{"query": {"span_near": {"clauses": [
+      {"span_term": {"text": "gamma"}}, {"span_term": {"text":
+      "alpha"}}], "slop": 1, "in_order": false}}}""", tiny))
+    assert(un == Seq(4L), s"unordered near: $un")
+    // span_or: any-of-terms, scored like a should
+    assert(ids(run("""{"query": {"span_or": {"clauses": [
+      {"span_term": {"text": "rare"}}, {"span_term": {"text":
+      "gamma"}}]}}}""", tiny)).toSet == Set(0L, 2L, 3L, 4L))
+    // served ≡ scan for the registered combinator body, which must
+    // actually match rows on the real corpus
+    val scan = Dsl.searchDslSpans(spark, sfDir).collect().toSeq
+    assert(scan.nonEmpty, "SpansQuery matches nothing at sf0.001")
+    assert(Dsl.searchDslSpansServed(spark, sfDir).collect().toSeq ==
+      scan, "served span body diverged from the scan path")
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"span_not": {
+      "include": {"span_term": {"text": "alpha"}},
+      "exclude": {"span_term": {"text": "rare"}}}}}""")
+      .contains("no-op"))
+    assert(msg("""{"query": {"span_not": {
+      "include": {"span_term": {"text": "alpha"}},
+      "exclude": {"span_term": {"head": "rare"}}, "dist": 1}}}""")
+      .contains("ONE field"))
+    assert(msg("""{"query": {"span_first": {"match":
+      {"span_term": {"text": "beta"}}, "end": 0}}}""")
+      .contains("positive"))
+    assert(msg("""{"query": {"span_near": {"clauses": [
+      {"span_term": {"text": "a"}}, {"span_term": {"text": "a"}}],
+      "slop": 1, "in_order": false}}}""").contains("DISTINCT"))
+    assert(msg("""{"query": {"span_or": {"clauses": [
+      {"span_multi": {"match": {"prefix": {"text": "al"}}}}]}}}""")
+      .contains("span_multi"))
+  }
+
+  test("suggest body: completion, fuzzy completion, term spell-correction") {
+    // tiny vocabulary: alpha×4, beta×4, gamma×2, rare×2
+    def sg(json: String): Seq[(String, Int, String, Long)] =
+      Dsl.dslSuggestOf(tiny, json).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+          r.getLong(3))).toSeq
+    // completion: prefix "a" → alpha (freq 4)
+    assert(sg("""{"suggest": {"c": {"prefix": "a", "completion":
+      {"field": "text"}}}}""") == Seq(("c", 1, "alpha", 4L)))
+    // frequency ranks, token tiebreak: prefix "" is refused (token
+    // grammar), "b"/"g" single
+    val multi = sg("""{"suggest": {
+      "c": {"prefix": "b", "completion": {"field": "text", "size": 3}},
+      "s": {"text": "beta", "term": {"field": "text", "size": 3}}}}""")
+    assert(multi.filter(_._1 == "c") == Seq(("c", 1, "beta", 4L)))
+    // term: "beta" itself excluded; gamma is 4 edits away — within 2:
+    // none... rare is 4 too; so empty; with text "gamm" → gamma dist 1
+    assert(multi.filter(_._1 == "s").isEmpty,
+      s"no candidate within 2 edits of beta: $multi")
+    val spell = sg("""{"suggest": {"s": {"text": "gamm", "term":
+      {"field": "text", "size": 3, "max_edits": 1}}}}""")
+    assert(spell == Seq(("s", 1, "gamma", 2L)), s"got $spell")
+    // fuzzy completion: same-length prefix within 1 edit — "aloha"
+    // doesn't exist; prefix "alph" typo "alfa"→? use "alpa": tokens
+    // whose 4-char prefix is ≤1 edit from "alpa" → alpha ("alph")
+    val fz = sg("""{"suggest": {"f": {"prefix": "alpa", "completion":
+      {"field": "text", "fuzzy": {"fuzziness": 1}}}}}""")
+    assert(fz == Seq(("f", 1, "alpha", 4L)), s"got $fz")
+    // served ≡ scan on the real corpus
+    assert(Dsl.dslSuggestServed(spark, sfDir).collect().toSeq ==
+      Dsl.dslSuggest(spark, sfDir).collect().toSeq,
+      "term-dictionary-served suggest diverged from the scan path")
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslSuggestOf(tiny, json)).getMessage
+    assert(msg("""{"suggest": {"p": {"text": "a b", "phrase":
+      {"field": "text"}}}}""").contains("phrase"))
+    assert(msg("""{"suggest": {"c": {"prefix": "a", "completion":
+      {"field": "lang"}}}}""").contains("term dictionary"))
+    assert(msg("""{"suggest": {"c": {"prefix": "A b", "completion":
+      {"field": "text"}}}}""").contains("one analyzed token"))
+    assert(msg("""{"query": {"match_all": {}}, "suggest": {"c":
+      {"prefix": "a", "completion": {"field": "text"}}}}""")
+      .contains("only \"suggest\""))
+    assert(msg("""{"suggest": {"c": {"prefix": "a", "completion":
+      {"field": "text", "fuzzy": {"fuzziness": "AUTO"}}}}}""")
+      .contains("AUTO"))
+  }
+
+  test("post_filter narrows hits only; min_score floors; track_total_hits counts") {
+    // post_filter: hits narrow to lang en; the match set (and the
+    // ranking WITHIN the narrowed set) is untouched
+    val all = ids(run("""{"query": {"match": {"text": "alpha"}}}""",
+      tiny))
+    val pf = ids(run("""{"query": {"match": {"text": "alpha"}},
+      "post_filter": {"term": {"lang": "en"}}}""", tiny))
+    assert(pf == all.filter(Set(0L, 1L)),
+      s"post_filter must narrow without reordering: $pf vs $all")
+    // aggregations IGNORE post_filter — the ES faceted contract; the
+    // same body aggregates the full match set
+    val aggNoPf = Dsl.dslAggsOf(tiny, """{"query": {"match": {"text":
+      "alpha"}}, "size": 0, "aggs": {"l": {"terms": {"field": "lang",
+      "size": 5, "order": {"_key": "asc"}}}}}""").collect().toSeq
+    val aggPf = Dsl.dslAggsOf(tiny, """{"query": {"match": {"text":
+      "alpha"}}, "post_filter": {"term": {"lang": "en"}}, "size": 0,
+      "aggs": {"l": {"terms": {"field": "lang", "size": 5,
+      "order": {"_key": "asc"}}}}}""").collect().toSeq
+    assert(aggPf == aggNoPf,
+      "aggs must aggregate the PRE-post_filter match set")
+    // track_total_hits: the exact pre-page count rides every row —
+    // size 2 page of the 3 alpha docs still reports 3
+    val tt = run("""{"query": {"match": {"text": "alpha"}},
+      "track_total_hits": true, "size": 2}""", tiny)
+    assert(tt.size == 2 && tt.forall(_.last == 3L),
+      s"total_hits must be the full match count: $tt")
+    // ...and it counts AFTER post_filter (the hits universe)
+    val ttPf = run("""{"query": {"match": {"text": "alpha"}},
+      "post_filter": {"term": {"lang": "en"}},
+      "track_total_hits": true, "size": 1}""", tiny)
+    assert(ttPf.size == 1 && ttPf.head.last == 2L,
+      s"total_hits counts the post-post_filter set: $ttPf")
+    // min_score: a floor ABOVE doc 1/4's single-tf scores keeps only
+    // doc 0 (tf 2, shortest dl — strictly the best alpha score)
+    val base = run("""{"query": {"match": {"text": "alpha"}},
+      "track_total_hits": true}""", tiny)
+    assert(base.head(1) == 0L && base.size == 3)
+    val floored = ids(run("""{"query": {"function_score": {
+      "query": {"match": {"text": "alpha"}},
+      "functions": [{"filter": {"ids": {"values": [0]}},
+        "weight": 100}], "boost_mode": "replace"}},
+      "min_score": 50}""", tiny))
+    assert(floored == Seq(0L),
+      s"min_score must drop sub-floor hits: $floored")
+    // served ≡ scan for the registered body
+    assert(Dsl.searchDslPostFilterServed(spark, sfDir).collect().toSeq
+      == Dsl.searchDslPostFilter(spark, sfDir).collect().toSeq)
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"match_all": {}}, "min_score": 1}""")
+      .contains("scoreless"))
+    assert(msg("""{"query": {"match": {"text": "alpha"}},
+      "min_score": 1, "sort": [{"lang": "asc"}]}""")
+      .contains("field-only sort"))
+    assert(msg("""{"query": {"match": {"text": "alpha"}},
+      "track_total_hits": 100}""").contains("threshold"))
+    assert(msg("""{"query": {"match": {"text": "alpha"}},
+      "sort": [{"n_chars": "asc"}], "track_total_hits": true,
+      "search_after": [10, 0]}""").contains("search_after"))
+  }
+
+  test("bucket_selector drops buckets; bucket_script computes; bucket_sort pages") {
+    // tiny sources: src0 docs {0,2} (n_chars 16,10), src1 {1,3}
+    // (10,9), src2 {4} (16)
+    def aggRows(json: String): Seq[(String, String, Long, Any)] =
+      Dsl.dslAggsOf(tiny, json).collect()
+        .map(r => (r.getString(0), r.getString(1),
+          r.getAs[Long]("doc_count"), r.getAs[Any]("v_sum"))).toSeq
+    // selector: HAVING doc_count >= 2 drops src2; child gate follows
+    val sel = aggRows("""{"size": 0, "aggs": {"s": {"terms":
+      {"field": "source", "size": 10, "order": {"_key": "asc"}},
+      "aggs": {"keep": {"bucket_selector": {
+        "buckets_path": {"n": "_count"},
+        "script": "params.n >= 2"}}}}}}""")
+    assert(sel.map(x => (x._2, x._3)) == Seq(("src0", 2L), ("src1", 2L)),
+      s"selector must drop src2: $sel")
+    // selector on the METRIC sub path: avg(n_chars) > 10 keeps src0
+    // (13.0) and src2 (16.0), drops src1 (9.5)
+    val selM = aggRows("""{"size": 0, "aggs": {"s": {"terms":
+      {"field": "source", "size": 10, "order": {"_key": "asc"}},
+      "aggs": {"chars": {"avg": {"field": "n_chars"}},
+        "keep": {"bucket_selector": {
+          "buckets_path": {"c": "chars"},
+          "script": "params.c > 10"}}}}}}""")
+    assert(selM.filter(_._1 == "s").map(_._2) == Seq("src0", "src2"),
+      s"metric-path selector: $selM")
+    // bucket_script: one row per RETURNED bucket, value in v_sum —
+    // (avg + count) for src0 = 13 + 2 = 15, src1 = 9.5 + 2 = 11.5,
+    // src2 = 16 + 1 = 17
+    val scr = aggRows("""{"size": 0, "aggs": {"s": {"terms":
+      {"field": "source", "size": 10, "order": {"_key": "asc"}},
+      "aggs": {"chars": {"avg": {"field": "n_chars"}},
+        "load": {"bucket_script": {
+          "buckets_path": {"c": "chars", "n": "_count"},
+          "script": "params.c + params.n"}}}}}}""")
+    val loads = scr.filter(_._1 == "s.load")
+      .map(x => (x._2, x._4.asInstanceOf[Double]))
+    assert(loads == Seq(("src0", 15.0), ("src1", 11.5), ("src2", 17.0)),
+      s"script values: $loads")
+    // bucket_sort: page 2 buckets by count desc from offset 1 —
+    // counts 2,2,1 keyed src0,src1,src2 → skip src0, keep src1,src2
+    val srt = aggRows("""{"size": 0, "aggs": {"s": {"terms":
+      {"field": "source", "size": 10},
+      "aggs": {"page": {"bucket_sort": {"sort": [
+        {"_count": {"order": "desc"}}], "from": 1, "size": 2}}}}}}""")
+    assert(srt.map(_._2) == Seq("src1", "src2"), s"bucket page: $srt")
+    // served twin ≡ scan on the real corpus
+    assert(Dsl.dslAggsBucketScriptServed(spark, sfDir).collect().toSeq ==
+      Dsl.dslAggsBucketScript(spark, sfDir).collect().toSeq,
+      "served bucket-script trio diverged from the scan path")
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(tiny, json)).getMessage
+    assert(msg("""{"size": 0, "aggs": {"s": {"terms": {"field":
+      "source"}, "aggs": {"x": {"bucket_selector": {"buckets_path":
+      {"n": "_count"}, "script": "params.n"}}}}}}""")
+      .contains("comparison"))
+    assert(msg("""{"size": 0, "aggs": {"s": {"terms": {"field":
+      "source"}, "aggs": {"x": {"bucket_script": {"buckets_path":
+      {"n": "_count"}, "script": "params.n > 1"}}}}}}""")
+      .contains("arithmetic"))
+    assert(msg("""{"size": 0, "aggs": {"s": {"terms": {"field":
+      "source"}, "aggs": {"x": {"bucket_selector": {"buckets_path":
+      {"n": "_count"}, "script": "params.m > 1"}}}}}}""")
+      .contains("params.m"))
+    assert(msg("""{"size": 0, "aggs": {"s": {"terms": {"field":
+      "source"}, "aggs": {"x": {"bucket_selector": {"buckets_path":
+      {"n": "_count"}, "script": "doc['x'] > 1"}}}}}}""")
+      .contains("Painless"))
+    assert(msg("""{"size": 0, "aggs": {"s": {"range": {"field":
+      "n_chars", "ranges": [{"to": 12}]}, "aggs": {"x":
+      {"bucket_sort": {"sort": [{"_count": {"order": "desc"}}],
+      "size": 1}}}}}}""").contains("grouping parent"))
+    assert(msg("""{"size": 0, "aggs": {"s": {"terms": {"field":
+      "source"}, "aggs": {"x": {"bucket_sort": {"size": 2}}}}}}""")
+      .contains("sort"))
+    assert(msg("""{"size": 0, "aggs": {"s": {"terms": {"field":
+      "source"}, "aggs": {
+        "chars": {"stats": {"field": "n_chars"}},
+        "x": {"bucket_selector": {"buckets_path": {"c": "chars"},
+          "script": "params.c > 1"}}}}}}""").contains("multi-value"))
+    assert(msg("""{"size": 0, "aggs": {"s": {"terms": {"field":
+      "source"}, "aggs": {
+        "a": {"bucket_sort": {"sort": [{"_count": {"order":
+          "desc"}}], "size": 1}},
+        "b": {"bucket_sort": {"sort": [{"_key": {"order": "asc"}}],
+          "size": 1}}}}}}""").contains("one bucket_sort"))
+  }
+
+  test("functions array: decay ladder (origin/offset/scale/decay), hand-ranked") {
+    // base 1.0 (scoreless inner) + boost_mode replace → the page IS
+    // the decay ranking. gauss peak at origin: n_chars 16 (docs 0,4)
+    // outrank 10,10 (1,2) outrank 9 (3)
+    def fsRun(fns: String, mode: String = "multiply",
+        bmode: String = "replace", docs: DataFrame = tiny): Seq[Long] =
+      ids(run(s"""{"query": {"function_score": {
+        "query": {"bool": {"filter": [{"exists": {"field": "text"}}]}},
+        "functions": [$fns],
+        "score_mode": "$mode", "boost_mode": "$bmode"}}}""", docs))
+    assert(fsRun("""{"gauss": {"n_chars": {"origin": 16, "scale": 5}}}""")
+      == Seq(0L, 4L, 1L, 2L, 3L), "gauss peak at origin")
+    // offset flattens: |n−10| ≤ 1 all score 1.0 → docs 1,2,3 tie at
+    // the top (doc_id order), 0,4 decay from d = 6−1 = 5
+    assert(fsRun("""{"exp": {"n_chars": {"origin": 10, "scale": 4,
+      "offset": 1}}}""") == Seq(1L, 2L, 3L, 0L, 4L),
+      "offset must flatten the near zone")
+    // linear hits EXACT ZERO at d ≥ s = scale/(1−decay) = 6: docs at
+    // n_chars 10,9 (d 6,7) clamp to 0 and tie below the origin docs
+    assert(fsRun("""{"linear": {"n_chars": {"origin": 16, "scale": 3,
+      "decay": 0.5}}}""") == Seq(0L, 4L, 1L, 2L, 3L),
+      "linear must clamp at zero beyond s")
+    // a doc MISSING the decay field scores 1.0 — the top, beside the
+    // origin doc (ES's decay-on-missing contract)
+    val holed = tiny.withColumn("opt",
+      org.apache.spark.sql.functions.when($"doc_id" % 2L === 0L,
+        $"n_chars"))
+    assert(fsRun("""{"gauss": {"opt": {"origin": 16, "scale": 3}}}""",
+      docs = holed) == Seq(0L, 1L, 3L, 4L, 2L),
+      "missing decay field must score 1.0 (docs 1,3 null tie the " +
+        "origin docs 0,4 at 1.0 — doc_id order; only 2 decays)")
+    // date form: whole-day distance — gauss around Feb 10 ranks the
+    // nearest ingest day first (daily corpus from sfDir exercises the
+    // real date type end-to-end via the registered query below)
+    assert(Dsl.searchDslFnScoreDecayServed(spark, sfDir).collect().toSeq
+      == Dsl.searchDslFnScoreDecay(spark, sfDir).collect().toSeq,
+      "served decay body diverged from the scan path")
+    assert(Dsl.searchDslFnScoreDecay(spark, sfDir).count() > 0)
+  }
+
+  test("functions array: weight/filter, score_mode and boost_mode matrix") {
+    def fsRun(fns: String, mode: String = "multiply",
+        bmode: String = "replace", inner: String =
+          """{"bool": {"filter": [{"exists": {"field": "text"}}]}}""")
+        : Seq[Long] =
+      ids(run(s"""{"query": {"function_score": {
+        "query": $inner,
+        "functions": [$fns],
+        "score_mode": "$mode", "boost_mode": "$bmode"}}}""", tiny))
+    // filtered weights, max: en 3, de 2, fr matches NO function → 1.0
+    val fw = """{"filter": {"term": {"lang": "en"}}, "weight": 3},
+      {"filter": {"term": {"lang": "de"}}, "weight": 2}"""
+    assert(fsRun(fw, "max") == Seq(0L, 1L, 3L, 2L, 4L),
+      "max over filtered weights + no-match 1.0")
+    // min: a doc matching both functions takes the smaller; docs
+    // matching none STILL score 1.0 — below en's 3 but under de's 2
+    assert(fsRun(fw, "min") == Seq(0L, 1L, 3L, 2L, 4L))
+    // sum with a DEMOTING weight: en docs 0.5, everyone else 1.0 →
+    // non-en docs outrank en (the no-match-scores-1.0 contract)
+    assert(fsRun("""{"filter": {"term": {"lang": "en"}},
+      "weight": 0.5}""", "sum") == Seq(2L, 4L, 0L, 1L, 3L),
+      "no-function-matches must score 1.0, not 0")
+    // first: array order wins — en docs take 5 from the first entry,
+    // others fall through to the unfiltered 2
+    assert(fsRun("""{"filter": {"term": {"lang": "en"}}, "weight": 5},
+      {"weight": 2}""", "first") == Seq(0L, 1L, 3L, 2L, 4L))
+    // weighted avg: en docs (4·1 + 1·n)/5 vs others n/1 = n via fvf —
+    // doc 2 (n=10) avg 10 outranks doc 0 (n=16): (4+16)/5 = 4
+    assert(fsRun("""{"filter": {"term": {"lang": "en"}}, "weight": 4},
+      {"field_value_factor": {"field": "n_chars"}}""", "avg")
+      == Seq(4L, 2L, 0L, 1L, 3L),
+      "avg must be the WEIGHTED average over matching functions")
+    // multiply (default): weight 2 × gauss ≡ scale of every score —
+    // order identical to the bare gauss
+    assert(fsRun("""{"gauss": {"n_chars": {"origin": 16, "scale": 5}},
+      "weight": 2}""") ==
+      fsRun("""{"gauss": {"n_chars": {"origin": 16, "scale": 5}}}"""),
+      "weight is order-preserving under multiply")
+    // boost_mode matrix against a SCORED inner (match alpha: docs
+    // 0,1,4; doc 0 tf 2 ranks first organically)
+    val organic = ids(run(
+      """{"query": {"match": {"text": "alpha"}}}""", tiny))
+    // sum with a tiny uniform function barely perturbs → same order
+    assert(fsRun("""{"weight": 0.001}""", "multiply", "sum",
+      """{"match": {"text": "alpha"}}""") == organic)
+    // replace drops BM25 entirely: uniform weight → doc_id order
+    assert(fsRun("""{"weight": 7}""", "multiply", "replace",
+      """{"match": {"text": "alpha"}}""") == Seq(0L, 1L, 4L))
+    // max with a weight above every BM25 score → flat → doc_id order
+    assert(fsRun("""{"weight": 100}""", "multiply", "max",
+      """{"match": {"text": "alpha"}}""") == Seq(0L, 1L, 4L))
+    // served twins ≡ scan
+    assert(Dsl.searchDslFnScoreModesServed(spark, sfDir).collect().toSeq
+      == Dsl.searchDslFnScoreModes(spark, sfDir).collect().toSeq)
+  }
+
+  test("random_score: seeded, deterministic, field-hashed") {
+    def page(seed: Long): Seq[Long] =
+      ids(run(s"""{"query": {"function_score": {
+        "query": {"bool": {"filter": [{"exists": {"field": "text"}}]}},
+        "functions": [{"random_score": {"seed": $seed,
+          "field": "doc_id"}}],
+        "boost_mode": "replace"}}}""", tiny))
+    // deterministic: the same seed reproduces the same permutation
+    assert(page(42L) == page(42L))
+    // the draw actually permutes (any seed where hash order ≠ doc_id
+    // order proves the scores differentiate; 7 does on this corpus)
+    assert(page(7L) != Seq(0L, 1L, 2L, 3L, 4L) || page(42L) != page(7L))
+    // seed participates in the hash: two seeds, two permutations
+    assert(page(42L) != page(7L), "seed must change the draw")
+    assert(Dsl.searchDslRandomScoreServed(spark, sfDir).collect().toSeq
+      == Dsl.searchDslRandomScore(spark, sfDir).collect().toSeq)
+    // refusals: the functions-array surface
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"function_score": {"query": {"match_all":
+      {}}, "functions": [{"script_score": {"script": "1"}}]}}}""")
+      .contains("script_score"))
+    assert(msg("""{"query": {"function_score": {"query": {"match_all":
+      {}}, "functions": [{"weight": 2}], "max_boost": 10}}}""")
+      .contains("max_boost"))
+    assert(msg("""{"query": {"function_score": {"query": {"match_all":
+      {}}, "functions": []}}}""").contains("non-empty"))
+    assert(msg("""{"query": {"function_score": {"query": {"match_all":
+      {}}, "functions": [{"gauss": {"a": {"origin": 1, "scale": 2},
+      "b": {"origin": 1, "scale": 2}}}]}}}""").contains("ONE field"))
+    assert(msg("""{"query": {"function_score": {"query": {"match_all":
+      {}}, "functions": [{"gauss": {"n_chars": {"origin": 1,
+      "scale": 2, "decay": 1.2}}}]}}}""").contains("(0, 1)"))
+    assert(msg("""{"query": {"function_score": {"query": {"match_all":
+      {}}, "functions": [{"gauss": {"n_chars": {"origin": 1,
+      "scale": 2}}, "exp": {"n_chars": {"origin": 1, "scale":
+      2}}}]}}}""").contains("ONE function"))
+    assert(msg("""{"query": {"function_score": {"query": {"match_all":
+      {}}, "functions": [{"random_score": {"field": "lang"}}]}}}""")
+      .contains("seed"))
+    assert(msg("""{"query": {"function_score": {"query": {"match_all":
+      {}}, "functions": [{"weight": 1}], "score_mode": "median"}}}""")
+      .contains("score_mode"))
+    assert(msg("""{"query": {"function_score": {"query": {"match_all":
+      {}}, "functions": [{"gauss": {"pd": {"origin": "2026-01-01",
+      "scale": "0d"}}}]}}}""").contains("positive"))
+  }
+
   test("terms include/exclude gate bucket keys; date_histogram rolls up to months") {
     def aggRows(json: String, docs: DataFrame = tiny)
         : Seq[(String, String, Long)] =
@@ -2176,6 +2595,44 @@ class DslSpec extends SparkSpec {
       Dsl.dslRankEvalOf(tiny, Seq(Dsl.RankEvalReq("q",
         """{"query": {"match_all": {}}}""", Seq(1L -> 0)))))
       .getMessage.contains("no relevant"))
+    // _termvectors for a dangling doc_id fails LOUDLY at build (the
+    // terms-lookup GET stance) instead of returning an empty frame
+    assert(intercept[IllegalArgumentException](
+      Dsl.dslTermVectorsOf(tiny, 999L)).getMessage
+      .contains("not found"))
+  }
+
+  test("agg-type refusal message enumerates every parsed case (drift gate)") {
+    // source truth: the case labels of parseAggSpec's type match —
+    // r14 shipped the message missing `percentiles`, so the list now
+    // sits on this gate (the QueriesSmokeSpec pattern for errors)
+    val file = new java.io.File("src/main/scala/graft/ops/Dsl.scala")
+    assert(file.exists, "tests run from the repo root")
+    val src = {
+      val s = scala.io.Source.fromFile(file, "UTF-8")
+      try s.mkString finally s.close()
+    }
+    val start = src.indexOf("private def parseAggSpec")
+    val end = src.indexOf("unsupported aggregation type", start)
+    assert(start >= 0 && end > start, "parseAggSpec region not found")
+    val region = src.substring(start, end)
+    val parsed = """case\s+"([a-z_0-9]+)"((?s:\s*\|\s*"[a-z_0-9]+")*)""".r
+      .findAllMatchIn(region)
+      .flatMap(m => m.group(1) +:
+        "\"([a-z_0-9]+)\"".r.findAllMatchIn(m.group(2))
+          .map(_.group(1)).toSeq)
+      .toSet
+    assert(parsed == Dsl.SupportedAggTypes.toSet,
+      s"SupportedAggTypes drifted from parseAggSpec: " +
+        s"parsed-only=${parsed -- Dsl.SupportedAggTypes}, " +
+        s"listed-only=${Dsl.SupportedAggTypes.toSet -- parsed}")
+    // and the user-facing message carries exactly that list
+    val m = intercept[IllegalArgumentException](Dsl.dslAggsOf(tiny,
+      """{"query": {"match_all": {}}, "size": 0,
+        "aggs": {"x": {"bogus_agg": {"field": "lang"}}}}"""))
+      .getMessage
+    Dsl.SupportedAggTypes.foreach(t =>
+      assert(m.contains(t), s"refusal message missing '$t'"))
   }
 
   test("terms lookup, span desugars, case_insensitive knobs") {
@@ -2214,9 +2671,16 @@ class DslSpec extends SparkSpec {
       "id": 99, "path": "lang"}}}}""").contains("no value"))
     assert(msg("""{"query": {"terms": {"lang": {"index": "other",
       "id": 2, "path": "lang"}}}}""").contains("documents"))
+    // unordered span_near GRADUATED to two clauses in r15 — the
+    // refusal is now the k-term form (minimal-window cover) and the
+    // implicit-default form
+    assert(msg("""{"query": {"span_near": {"clauses": [
+      {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}},
+      {"span_term": {"text": "c"}}],
+      "in_order": false}}}""").contains("TWO"))
     assert(msg("""{"query": {"span_near": {"clauses": [
       {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
-      "in_order": false}}}""").contains("in_order"))
+      "slop": 1}}}""").contains("in_order"))
     assert(msg("""{"query": {"span_near": {"clauses": [
       {"span_term": {"text": "a"}}, {"span_term": {"head": "b"}}],
       "in_order": true}}}""").contains("ONE field"))
@@ -2252,15 +2716,35 @@ class DslSpec extends SparkSpec {
       "fields": ["text"]}}, "size": 10}""", tiny)
     assert(cf == xf, "combined_fields must equal the cross_fields " +
       "desugar on one field")
-    // refusals: ordered+unlimited, unordered+bounded, filter rules
+    // r15 GRADUATIONS — ordered+unlimited gaps is the monotone
+    // subsequence scan: rare before alpha only in doc 0
+    val ou = ids(run("""{"query": {"intervals": {"text": {"match":
+      {"query": "rare alpha", "ordered": true}}}}}""", tiny))
+    assert(ou == Seq(0L), s"ordered unlimited: $ou")
+    assert(ids(run("""{"query": {"intervals": {"text": {"match":
+      {"query": "gamma alpha", "ordered": true}}}}}""", tiny)).isEmpty,
+      "gamma never precedes alpha")
+    // unordered+bounded max_gaps: window span ≤ gaps + k − 1 — doc 4
+    // has alpha@1, gamma@3 (one gap): max_gaps 1 hits, 0 misses
+    assert(ids(run("""{"query": {"intervals": {"text": {"match":
+      {"query": "gamma alpha", "max_gaps": 1}}}}}""", tiny)) ==
+      Seq(4L))
+    assert(ids(run("""{"query": {"intervals": {"text": {"match":
+      {"query": "gamma alpha", "max_gaps": 0}}}}}""", tiny)).isEmpty)
+    // three-term unordered window: beta gamma alpha all inside doc 4's
+    // 3-token window (0 gaps for k=3 → span ≤ 2)
+    assert(ids(run("""{"query": {"intervals": {"text": {"match":
+      {"query": "beta gamma alpha", "max_gaps": 0}}}}}""", tiny)) ==
+      Seq(4L))
+    // refusals shrink to arity / distinctness / filter rules
     def msg(json: String): String =
       intercept[IllegalArgumentException](run(json, tiny)).getMessage
     assert(msg("""{"query": {"intervals": {"text": {"match":
-      {"query": "a b", "ordered": true}}}}}""")
-      .contains("minimal-interval"))
+      {"query": "a b c d e", "ordered": true}}}}}""")
+      .contains("bound"))
     assert(msg("""{"query": {"intervals": {"text": {"match":
-      {"query": "a b", "max_gaps": 2}}}}}""")
-      .contains("minimal-interval"))
+      {"query": "a b a", "max_gaps": 2}}}}}""")
+      .contains("DISTINCT"))
     assert(msg("""{"query": {"intervals": {"text": {"filter":
       {"after": {}}}}}}""").contains("unsupported intervals rule"))
   }
