@@ -323,6 +323,22 @@ object Dsl {
   final case class FnScoreQ(query: Node, functions: Seq[ScoreFn],
       scoreMode: String, boostMode: String,
       boost: BigDecimal) extends Node
+  /** ES `combined_fields` with TRUE BM25F blending (r15 graduation
+    * from the term-centric best-field stand-in, which `multi_match`
+    * `cross_fields` still documents): the weighted fields merge into
+    * ONE pseudo-field and BM25 runs over its blended statistics —
+    * Robertson's simple BM25F, the model Lucene's CombinedFieldQuery
+    * implements. Per term t: tf* = Σ_f w_f·tf_f, dl* = Σ_f w_f·dl_f,
+    * avgdl* = Σ_f w_f·Σdl_f / N (LINEAR in the per-field Σdl — no new
+    * length statistic needed), df* = |{d : ANY field of d carries t}|
+    * (weight-free, ONE new statistic family `qcd`). Score =
+    * Σ_t idf(df*) · tf*·(k1+1) / (tf* + k1·(1−b+b·dl*⁄avgdl*)) — the
+    * engine's one BM25 literal shape over the blended inputs.
+    * `operator` gates term-centrically ("and" = every term in SOME
+    * field). */
+  final case class CombinedQ(fields: Seq[(String, BigDecimal)],
+      terms: Seq[String], andOp: Boolean, boost: BigDecimal) extends Node
+
   /** Positional span algebra over SINGLE-TOKEN spans (the span_term
     * grain the module's span surface commits to) — each compiles to a
     * positional feature column computed from the token array (scan)
@@ -573,6 +589,27 @@ object Dsl {
     * deterministic form, and an anonymous bucket's key is an
     * ES-internal ordinal. */
   final case class FiltersAgg(filters: Seq[(String, Node)]) extends AggNode
+  /** ES `auto_date_histogram` — the engine picks the interval so the
+    * bucket count stays ≤ `buckets`. DOCUMENTED CONTRACT (simpler than
+    * ES's full calendar ladder): with s = whole-day span of the MATCH
+    * SET's dates, the unit is day when s < buckets, month when
+    * s < 31·buckets, else year. Fully distributed — the span rides a
+    * broadcast 1-row aggregate into the key expression (no driver
+    * probe), and the oracle keeps the declarative form (scalar
+    * subqueries over the match CTE), so both engines derive the SAME
+    * unit from the same data. Takes no subs (one adaptive key is the
+    * scope; nest under date_histogram for fixed units). */
+  final case class AutoDateHistAgg(field: String,
+      buckets: Int) extends AggNode
+  /** ES `random_sampler` — sub-aggregate over a deterministic
+    * pseudo-random sample of the match set: doc gate =
+    * md5("seed:doc_id")/2^60 < probability (the shared hash idiom, so
+    * both engines draw the SAME sample). `seed` is REQUIRED (ES makes
+    * it optional and then isn't reproducible). The score-based
+    * `sampler` agg refuses: aggregations evaluate in filter context —
+    * there is no score to sample by. */
+  final case class RandomSamplerAgg(prob: BigDecimal,
+      seed: Long) extends AggNode
   /** Minimal arithmetic expression over `params.*` — the supported
     * subset of ES's bucket-pipeline scripts (Painless is out of
     * scope; anything beyond +,−,×,÷, comparisons, parens and numeric
@@ -1579,11 +1616,9 @@ object Dsl {
         case other => fail(s"multi_match expects an object, got $other")
       }
       case "combined_fields" =>
-        // term-centric multi-field matching (the clause ES recommends
-        // over cross_fields): each term scores its best field, terms
-        // combine by the operator — the SAME deterministic stand-in
-        // the cross_fields desugar documents (true BM25F field
-        // blending is scorer-internal)
+        // TRUE BM25F (r15): the weighted fields blend into one
+        // pseudo-field — see [[CombinedQ]]; multi_match cross_fields
+        // keeps the documented term-centric best-field stand-in
         body match {
           case o: JObject =>
             val known = Set("query", "fields", "operator", "boost")
@@ -1620,19 +1655,14 @@ object Dsl {
               case v => fail("combined_fields operator must be " +
                 s""""and" or "or", got $v""")
             }
-            val outer = boostOf(o)
-            val perTerm: Seq[Node] = terms.map { t =>
-              specs.map { case (f, fb) =>
-                MatchQ(f, Seq(t), fb * outer, andOp = false): Node
-              } match {
-                case Seq(one1) => one1
-                case qs => DisMaxQ(qs, BigDecimal(0))
-              }
+            specs.foreach { case (_, w) =>
+              if (w <= 0) fail("combined_fields field weights must be " +
+                "positive (a zero weight would zero the blended tf " +
+                "but still widen df*)")
             }
-            if (perTerm.size == 1) perTerm.head
-            else if (andOp)
-              BoolQ(perTerm, Seq.empty, Seq.empty, Seq.empty, None)
-            else BoolQ(Seq.empty, perTerm, Seq.empty, Seq.empty, None)
+            if (specs.map(_._1).distinct.size != specs.size)
+              fail("combined_fields lists a field twice")
+            CombinedQ(specs, terms, andOp, boostOf(o))
           case other =>
             fail(s"combined_fields expects an object, got $other")
         }
@@ -2526,14 +2556,14 @@ object Dsl {
     * DslSpec pins it against the match's own `case` labels so the two
     * can never drift again (r14 shipped the message missing
     * `percentiles`). */
-  val SupportedAggTypes: Seq[String] = Seq("avg", "avg_bucket",
-    "cardinality", "cumulative_sum", "date_histogram", "date_range",
-    "derivative", "extended_stats", "filter", "filters", "global",
-    "histogram", "max", "max_bucket", "min", "min_bucket", "missing",
-    "multi_terms", "nested", "percentile_ranks", "percentiles", "range",
-    "rare_terms", "significant_terms", "stats", "stats_bucket", "sum",
-    "sum_bucket", "terms", "top_hits", "top_metrics", "value_count",
-    "weighted_avg")
+  val SupportedAggTypes: Seq[String] = Seq("auto_date_histogram", "avg",
+    "avg_bucket", "cardinality", "cumulative_sum", "date_histogram",
+    "date_range", "derivative", "extended_stats", "filter", "filters",
+    "global", "histogram", "max", "max_bucket", "min", "min_bucket",
+    "missing", "multi_terms", "nested", "percentile_ranks",
+    "percentiles", "random_sampler", "range", "rare_terms",
+    "significant_terms", "stats", "stats_bucket", "sum", "sum_bucket",
+    "terms", "top_hits", "top_metrics", "value_count", "weighted_avg")
 
   private val CmpOps = Set(">", ">=", "<", "<=", "==", "!=")
 
@@ -2811,6 +2841,42 @@ object Dsl {
                 s"""\"day\" or \"month\", got $v""")
             }
             DateHistAgg(f, iv)
+          case "auto_date_histogram" =>
+            val f = aggField(spec, name, Set("field", "buckets"))
+            val bk = spec \ "buckets" match {
+              case JNothing => 10 // the ES default
+              case JInt(x) if x > 0 && x <= MaxResultWindow => x.toInt
+              case v => fail(s"agg '$name' buckets must be a positive " +
+                s"integer ≤ $MaxResultWindow, got $v")
+            }
+            AutoDateHistAgg(f, bk)
+          case "random_sampler" =>
+            spec match {
+              case o: JObject => o.obj.collectFirst {
+                case (k, _) if k != "probability" && k != "seed" => k
+              }.foreach(k => fail(s"agg '$name' random_sampler has " +
+                s"unsupported option '$k' — supported: probability, seed"))
+              case other =>
+                fail(s"agg '$name' expects an object, got $other")
+            }
+            val prob = spec \ "probability" match {
+              case v if v != JNothing => scalar(v) match {
+                case SNum(x) if x > 0 && x <= 1 => x
+                case SNum(x) => fail(s"agg '$name' probability must be " +
+                  s"in (0, 1], got $x")
+                case other => fail(s"agg '$name' probability must be " +
+                  s"numeric, got ${other.sql}")
+              }
+              case _ => fail(s"agg '$name' random_sampler needs a " +
+                "\"probability\"")
+            }
+            val seed = spec \ "seed" match {
+              case JInt(n) => n.toLong
+              case _ => fail(s"agg '$name' random_sampler needs an " +
+                "integer \"seed\" (the seedless form is not " +
+                "reproducible)")
+            }
+            RandomSamplerAgg(prob, seed)
           case "histogram" =>
             val f = aggField(spec, name, Set("field", "interval"))
             spec \ "interval" match {
@@ -3146,7 +3212,9 @@ object Dsl {
             TopHitsAgg(n, sort)
           case other => fail(s"unsupported aggregation type '$other' — " +
             s"supported: ${SupportedAggTypes.mkString(", ")} (composite " +
-            "pages through its own endpoint, dslAggsCompositeOf)")
+            "pages through its own endpoint, dslAggsCompositeOf; the " +
+            "score-based sampler has no score in filter context — " +
+            "random_sampler serves the sampling shape)")
         }
         case Nil => fail(s"agg '$name' has no aggregation type")
         case more => fail(s"agg '$name' must have exactly one type, got " +
@@ -3240,7 +3308,7 @@ object Dsl {
     case _: TermsAgg | _: DateHistAgg | _: HistAgg | _: RangeAgg |
          _: FilterAgg | _: FiltersAgg | _: NestedAgg |
          _: MultiTermsAgg | _: MissingAgg | _: DateRangeAgg |
-         _: GlobalAgg => true
+         _: GlobalAgg | _: RandomSamplerAgg => true
     case _ => false
   }
 
@@ -3265,6 +3333,8 @@ object Dsl {
   private def aggFieldsOf(a: AggNode): Seq[String] = a match {
     case TermsAgg(f, _, _, _, _, _, _) => Seq(f)
     case DateHistAgg(f, _) => Seq(f)
+    case AutoDateHistAgg(f, _) => Seq(f)
+    case RandomSamplerAgg(_, _) => Seq.empty
     case HistAgg(f, _) => Seq(f)
     case StatsAgg(f) => Seq(f)
     case MetricAgg(_, f) => Seq(f)
@@ -3369,6 +3439,8 @@ object Dsl {
     case (MatchQ(f, ts, _, _), _) => ts.map((f, _))
     case (MultiMatchQ(fs, ts, _, _), _) =>
       fs.flatMap { case (f, _) => ts.map((f, _)) }
+    case (CombinedQ(fs, ts, _, _), _) =>
+      fs.flatMap { case (f, _) => ts.map((f, _)) }
     case (TermsSetQ(f, ts, _), _) => ts.map((f, _))
   }.distinct
 
@@ -3444,6 +3516,16 @@ object Dsl {
     case _ => Seq.empty
   }
 
+  /** SCORED combined-fields keys — (sorted field set, term), each
+    * needing the BLENDED doc frequency df* (docs where ANY of the
+    * fields carries the term); statistic column `qcd`. Weight-free:
+    * weights scale tf, never membership. */
+  private def ckeysOf(n: Node): Seq[(Seq[String], String)] =
+    collectCtx(n, true) {
+      case (CombinedQ(fs, ts, _, _), true) =>
+        ts.map(t => (fs.map(_._1).sorted, t))
+    }.distinct
+
   /** Ordered-interval count over per-term position arrays: first-term
     * anchors that start a strictly-increasing chain (one nested
     * exists per further term). */
@@ -3512,6 +3594,8 @@ object Dsl {
     // a span hit IS a postings hit (the include/all-terms occurrence)
     case _: SpanNotQ | _: SpanFirstQ | _: SpanUnordQ |
          _: SpanOrderedQ | _: SpanWindowQ => true
+    // any combined_fields hit carries a query term in an analyzed field
+    case _: CombinedQ => true
     // an analyzed-field regexp hit IS a postings hit
     case RegexpQ(f, _) => AnalyzedFields.contains(f)
     case FunctionScoreQ(q, _, _, _, _, _, _) => requiresText(q)
@@ -3697,7 +3781,8 @@ object Dsl {
   private def compile(n: Node, scored: Boolean, tfIdx: TIdx, pfIdx: PIdx,
       ktIdx: KIdx, zfIdx: ZIdx = Map.empty,
       rfIdx: TIdx = Map.empty,
-      sfIdx: Map[Node, Int] = Map.empty): C = n match {
+      sfIdx: Map[Node, Int] = Map.empty,
+      cfIdx: Map[(Seq[String], String), Int] = Map.empty): C = n match {
     case MatchFzQ(field, terms, boost, andOp) =>
       // same shape as MatchQ over the fuzzy feature family: tf/df of
       // the edit-distance expansion treated as one pseudo-term each
@@ -3728,6 +3813,58 @@ object Dsl {
         if (scored) Some(boosted(sumScores(matchParts(field, terms, tfIdx)),
           boost))
         else None
+      C(pred, predSql, score)
+    case CombinedQ(specs, terms, andOp, boost) =>
+      // TRUE BM25F over the weighted pseudo-field (see [[CombinedQ]]):
+      // the engine's one BM25 literal shape evaluated on blended
+      // inputs — tf*/dl*/avgdl* as weighted sums of existing columns
+      // and statistics, df* from the `qcd` family
+      val fset = specs.map(_._1).sorted
+      def anyField(t: String): (Column, String) =
+        (specs.map { case (f, _) =>
+          col(s"qtf${tfIdx((f, t))}") > 0 }.reduce(_ || _),
+          specs.map { case (f, _) => s"f.qtf${tfIdx((f, t))} > 0" }
+            .mkString("(", " OR ", ")"))
+      val perTermPred = terms.map(anyField)
+      val pred =
+        if (andOp) perTermPred.map(_._1).reduce(_ && _)
+        else perTermPred.map(_._1).reduce(_ || _)
+      val predSql = perTermPred.map(_._2)
+        .mkString("(", if (andOp) " AND " else " OR ", ")")
+      val score = if (!scored) None else {
+        // weighted blends — emitted identically in both engines; a ×1
+        // weight elides its multiplier (the boosted() discipline)
+        def wTerm(w: BigDecimal, c: Column, cSql: String)
+            : (Column, String) =
+          if (w == one) (c.cast("double"), s"CAST($cSql AS DOUBLE)")
+          else (lit(w.toDouble) * c,
+            s"(CAST(${w.underlying.toPlainString} AS DOUBLE) * $cSql)")
+        def blend(parts: Seq[(Column, String)]): (Column, String) =
+          (parts.map(_._1).reduce(_ + _),
+            parts.map(_._2).mkString("(", " + ", ")"))
+        val dlStar = blend(specs.map { case (f, w) =>
+          wTerm(w, col(dlName(f)), s"f.${dlName(f)}") })
+        val sumdlStar = blend(specs.map { case (f, w) =>
+          wTerm(w, col(sumdlName(f)), s"s.${sumdlName(f)}") })
+        val parts = terms.map { t =>
+          val i = cfIdx((fset, t))
+          val tfStar = blend(specs.map { case (f, w) =>
+            wTerm(w, col(s"qtf${tfIdx((f, t))}"),
+              s"f.qtf${tfIdx((f, t))}") })
+          val avgdlC = sumdlStar._1 / col("n").cast("double")
+          val avgdlSql = s"(${sumdlStar._2} / CAST(s.n AS DOUBLE))"
+          val idfC = log(lit(1.0) +
+            ((col("n") - col(s"qcd$i")).cast("double") + lit(0.5)) /
+              (col(s"qcd$i").cast("double") + lit(0.5)))
+          val idfSql = s"ln(1.0 + (CAST(s.n - s.qcd$i AS DOUBLE) + " +
+            s"0.5) / (CAST(s.qcd$i AS DOUBLE) + 0.5))"
+          (idfC * ((tfStar._1 * lit(2.2)) / (tfStar._1 +
+            lit(1.2) * (lit(0.25) + lit(0.75) * (dlStar._1 / avgdlC)))),
+            s"($idfSql * ((${tfStar._2} * 2.2) / (${tfStar._2} + " +
+              s"1.2 * (0.25 + 0.75 * (${dlStar._2} / $avgdlSql)))))")
+        }
+        Some(boosted(sumScores(parts), boost))
+      }
       C(pred, predSql, score)
     case MultiMatchQ(fieldsB, terms, boost, mostFields) =>
       val keys = fieldsB.flatMap { case (f, _) => terms.map(t => (f, t)) }
@@ -3838,7 +3975,7 @@ object Dsl {
           s"regexp_full_match(f.$field, '${quoteSql(pat)}')", None)
     case FunctionScoreQ(q, field, modifier, factor, missing, sumMode,
         boost) =>
-      val c = compile(q, scored, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx)
+      val c = compile(q, scored, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx, cfIdx)
       val score = if (!scored) None else {
         val base: (Column, String) = c.score.getOrElse(
           (lit(1.0), "CAST(1 AS DOUBLE)")) // scoreless inner = ES base 1
@@ -3850,7 +3987,7 @@ object Dsl {
       }
       C(c.pred, c.predSql, score)
     case FnScoreQ(q, fns, scoreMode, boostMode, boost) =>
-      val c = compile(q, scored, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx)
+      val c = compile(q, scored, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx, cfIdx)
       val score = if (!scored) None else {
         val base: (Column, String) = c.score.getOrElse(
           (lit(1.0), "CAST(1 AS DOUBLE)")) // scoreless inner = ES base 1
@@ -3860,7 +3997,7 @@ object Dsl {
         val parts: Seq[(Option[(Column, String)], (Column, String),
             BigDecimal)] = fns.map { fn =>
           val fp = fn.filter.map { fq =>
-            val fc = compile(fq, false, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx)
+            val fc = compile(fq, false, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx, cfIdx)
             (fc.pred, fc.predSql)
           }
           val w = fn.weight.getOrElse(one)
@@ -3960,8 +4097,8 @@ object Dsl {
       }
       C(c.pred, c.predSql, score)
     case BoostingQ(pos, neg, nb) =>
-      val pc = compile(pos, scored, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx)
-      val nc = compile(neg, false, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx)
+      val pc = compile(pos, scored, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx, cfIdx)
+      val nc = compile(neg, false, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx, cfIdx)
       val score = if (!scored) None else pc.score.map { case (sp, spSql) =>
         val nbLit = nb.underlying.toPlainString
         (when(nc.pred, sp * lit(nb.toDouble)).otherwise(sp),
@@ -3973,7 +4110,7 @@ object Dsl {
       // the ES way to give a filter a score: the wrapped clause
       // compiles in FILTER context (no statistics), and the whole
       // clause scores the constant boost in query context
-      val c = compile(fq, false, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx)
+      val c = compile(fq, false, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx, cfIdx)
       val score =
         if (scored) Some((lit(boost.toDouble),
           s"CAST(${boost.underlying.toPlainString} AS DOUBLE)"))
@@ -3981,7 +4118,7 @@ object Dsl {
       C(c.pred, c.predSql, score)
     case DisMaxQ(qs, tb) =>
       val cs = qs.map(compile(_, scored, tfIdx, pfIdx, ktIdx, zfIdx,
-        rfIdx, sfIdx))
+        rfIdx, sfIdx, cfIdx))
       val pred = cs.map(_.pred).reduce(_ || _)
       val predSql = cs.map(_.predSql).mkString("(", " OR ", ")")
       // dis_max: best branch's score + tie_breaker × the others'.
@@ -4016,7 +4153,7 @@ object Dsl {
       }
       C(pred, predSql, score)
     case PinnedQ(ids, organic) =>
-      val c = compile(organic, scored, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx)
+      val c = compile(organic, scored, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx, cfIdx)
       val inPred = ids.map(v => col("doc_id") === lit(v)).reduce(_ || _)
       val inSql = ids.map(v => s"f.doc_id = $v").mkString("(", " OR ", ")")
       val score = if (!scored) None else {
@@ -4100,13 +4237,13 @@ object Dsl {
     case MatchAllQ => C(lit(true), "TRUE", None)
     case BoolQ(must, should, mustNot, filterCtx, minShould) =>
       val mc = must.map(compile(_, scored, tfIdx, pfIdx, ktIdx, zfIdx,
-        rfIdx, sfIdx))
+        rfIdx, sfIdx, cfIdx))
       val sc = should.map(compile(_, scored, tfIdx, pfIdx, ktIdx, zfIdx,
-        rfIdx, sfIdx))
+        rfIdx, sfIdx, cfIdx))
       val nc = mustNot.map(compile(_, false, tfIdx, pfIdx, ktIdx, zfIdx,
-        rfIdx, sfIdx))
+        rfIdx, sfIdx, cfIdx))
       val fc = filterCtx.map(compile(_, false, tfIdx, pfIdx, ktIdx, zfIdx,
-        rfIdx, sfIdx))
+        rfIdx, sfIdx, cfIdx))
       // ES defaults: a should beside a must/filter is optional scoring
       // (msm 0); alone it is the only matching condition (msm 1)
       val msm = minShould.getOrElse(
@@ -4211,7 +4348,9 @@ object Dsl {
       minScore: Option[BigDecimal] = None,
       trackTotal: Boolean = false,
       skeys: Seq[Node] = Seq.empty,
-      sfIdx: Map[Node, Int] = Map.empty) {
+      sfIdx: Map[Node, Int] = Map.empty,
+      ckeys: Seq[(Seq[String], String)] = Seq.empty,
+      cfIdx: Map[(Seq[String], String), Int] = Map.empty) {
     def needsText: Boolean =
       tkeys.nonEmpty || pkeys.nonEmpty || zkeys.nonEmpty ||
         rkeys.nonEmpty || skeys.nonEmpty
@@ -4225,7 +4364,8 @@ object Dsl {
       (c.score.isDefined || rsC.exists(_.score.isDefined))
     /** Analyzed fields whose statistics the score references. */
     def scoredFields: Seq[String] =
-      (stkeys.map(_._1) ++ spkeys.map(_._1) ++ szkeys.map(_._1)).distinct
+      (stkeys.map(_._1) ++ spkeys.map(_._1) ++ szkeys.map(_._1) ++
+        ckeys.flatMap(_._1)).distinct
     /** Analyzed fields any feature (scored or filter-ctx) reads. */
     def usedFields: Seq[String] =
       (tkeys.map(_._1) ++ pkeys.map(_._1) ++ zkeys.map(_._1) ++
@@ -4253,13 +4393,16 @@ object Dsl {
     val rfIdx = rkeys.zipWithIndex.map { case (r, i) => r -> (i + 1) }.toMap
     val skeys = inv.flatMap(skeysOf).distinct
     val sfIdx = skeys.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
+    val ckeys = inv.flatMap(ckeysOf).distinct
+    val cfIdx = ckeys.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
     Plan(q, size, tkeys, pkeys, inv.flatMap(tkeysScoredOf).distinct,
       inv.flatMap(pkeysScoredOf).distinct, skts,
       inv.flatMap(exactFields).distinct, tfIdx, pfIdx, ktIdx,
-      compile(q, scored = true, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx),
+      compile(q, scored = true, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx,
+        cfIdx),
       zkeys = zkeys, szkeys = inv.flatMap(zkeysScoredOf).distinct,
       zfIdx = zfIdx, rkeys = rkeys, rfIdx = rfIdx,
-      skeys = skeys, sfIdx = sfIdx)
+      skeys = skeys, sfIdx = sfIdx, ckeys = ckeys, cfIdx = cfIdx)
   }
 
   /** Plan of a full search body: the query plan plus paging/sort/
@@ -4284,9 +4427,9 @@ object Dsl {
     // the rescore query compiles against the SHARED index maps — its
     // score reads the same feature frame and stats broadcast
     val rsC = b.rescore.map(r => compile(r.query, scored = true,
-      p.tfIdx, p.pfIdx, p.ktIdx, p.zfIdx, p.rfIdx, p.sfIdx))
+      p.tfIdx, p.pfIdx, p.ktIdx, p.zfIdx, p.rfIdx, p.sfIdx, p.cfIdx))
     val postC = b.postFilter.map(pf => compile(pf, scored = false,
-      p.tfIdx, p.pfIdx, p.ktIdx, p.zfIdx, p.rfIdx, p.sfIdx))
+      p.tfIdx, p.pfIdx, p.ktIdx, p.zfIdx, p.rfIdx, p.sfIdx, p.cfIdx))
     if (b.minScore.nonEmpty && p.c.score.isEmpty)
       fail("min_score over a scoreless query is unsupported — " +
         "filter-context clauses produce no score to floor")
@@ -4350,6 +4493,8 @@ object Dsl {
     val rfIdx = rkeys.zipWithIndex.map { case (r, i) => r -> (i + 1) }.toMap
     val skeysU = qs.flatMap(skeysOf).distinct
     val sfIdx = skeysU.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
+    val ckeysU = qs.flatMap(ckeysOf).distinct
+    val cfIdx = ckeysU.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
     val plans = parsed.map { b =>
       val extra = b.sort.map(_._1)
         .filter(f => f != "_score" && f != "doc_id")
@@ -4358,11 +4503,12 @@ object Dsl {
         ktsScoredOf(b.query), (exactFields(b.query) ++ extra).distinct,
         tfIdx, pfIdx, ktIdx,
         compile(b.query, scored = true, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx,
-          sfIdx),
+          sfIdx, cfIdx),
         from = b.from, sortKeys = b.sort, after = b.after,
         zkeys = zkeysOf(b.query), szkeys = zkeysScoredOf(b.query),
         zfIdx = zfIdx, rkeys = rkeysOf(b.query), rfIdx = rfIdx,
-        skeys = skeysOf(b.query), sfIdx = sfIdx)
+        skeys = skeysOf(b.query), sfIdx = sfIdx,
+        ckeys = ckeysOf(b.query), cfIdx = cfIdx)
     }
     val exact = (plans.flatMap(_.exact)).distinct
     // the frame plan carries the union inventory; its dummy scored C
@@ -4375,7 +4521,7 @@ object Dsl {
       C(lit(true), "TRUE", if (anyStats) Some((lit(0.0), "0.0")) else None),
       zkeys = zkeys, szkeys = qs.flatMap(zkeysScoredOf).distinct,
       zfIdx = zfIdx, rkeys = rkeys, rfIdx = rfIdx,
-      skeys = skeysU, sfIdx = sfIdx)
+      skeys = skeysU, sfIdx = sfIdx, ckeys = ckeysU, cfIdx = cfIdx)
     (framePlan, plans)
   }
 
@@ -4595,33 +4741,37 @@ object Dsl {
         size(filter(tarr(f), x => x.rlike("^(?:" + pat + ")$")))
           .as(s"qrf${p.rfIdx(k)}")
       }
-      // span occurrence counts: 1-based positions of a term in the
-      // token array, window checks as array lambdas — codegen'd, the
-      // slopFreq positional arithmetic one family up
-      def posOf(arr: Column, t: String): Column =
-        filter(sequence(lit(1), size(arr)),
-          i => element_at(arr, i) === lit(t))
+      // span occurrence counts: 1-based positions of a term via the
+      // slopFreq idiom — `transform(arr, (x, i) => …)` touches the
+      // token array ONCE per evaluation; the r15 first cut used
+      // `element_at(arr, i)` inside a sequence-lambda, which
+      // re-evaluates the WHOLE tokenize per element in interpreted
+      // HOF mode (the scan filter sits below the repartition on one
+      // task) — sf0.1 measured 17 s where this shape measures < 1 s
+      def posOf(f: String, t: String): Column =
+        filter(transform(tarr(f), (x, i) =>
+          when(x === lit(t), i + 1).otherwise(lit(-1))), pp => pp > 0)
       val spCols = p.skeys.map { k =>
-        val arr = tarr(spanFieldOf(k))
+        val f = spanFieldOf(k)
         (k match {
           case SpanNotQ(_, inc, exc, pre, post) =>
-            size(filter(posOf(arr, inc), x =>
-              !exists(posOf(arr, exc),
+            size(filter(posOf(f, inc), x =>
+              !exists(posOf(f, exc),
                 q => q >= x - lit(pre) && q <= x + lit(post))))
           case SpanFirstQ(_, t, end) =>
-            size(filter(slice(arr, 1, end), x => x === lit(t)))
+            size(filter(posOf(f, t), x => x <= lit(end)))
           case SpanUnordQ(_, t1, t2, sl) =>
-            size(filter(posOf(arr, t1), x =>
-              exists(posOf(arr, t2), q => abs(q - x) <= lit(sl + 1))))
+            size(filter(posOf(f, t1), x =>
+              exists(posOf(f, t2), q => abs(q - x) <= lit(sl + 1))))
           case SpanOrderedQ(_, ts) =>
-            orderedChainCount(ts.map(posOf(arr, _)))
+            orderedChainCount(ts.map(posOf(f, _)))
           case SpanWindowQ(_, ts, g) =>
-            windowAnchorCount(ts.map(posOf(arr, _)), g + ts.size - 1)
+            windowAnchorCount(ts.map(posOf(f, _)), g + ts.size - 1)
           case other => fail(s"not a span key: $other") // unreachable
         }).as(s"qsp${p.sfIdx(k)}")
       }
-      docs.select(($"doc_id" +: fields) ++ dlCols ++ tfCols ++ pfCols ++
-        zfCols ++ rfCols ++ spCols: _*)
+      docs.select(($"doc_id" +: fields) ++ dlCols ++ tfCols ++
+        pfCols ++ zfCols ++ rfCols ++ spCols: _*)
     }
   }
 
@@ -4644,6 +4794,11 @@ object Dsl {
           count(when(col(s"qzf${p.zfIdx(k)}") > 0, 1)).as(s"qzd${p.zfIdx(k)}")) ++
         p.skts.map { case kt @ (fld, v) =>
           count(when(col(fld) === v.column, 1)).as(s"qkd${p.ktIdx(kt)}")
+        } ++
+        p.ckeys.map { case k @ (fs, t) =>
+          // blended df*: docs where ANY of the fields carries the term
+          count(when(fs.map(f => col(s"qtf${p.tfIdx((f, t))}") > 0)
+            .reduce(_ || _), 1)).as(s"qcd${p.cfIdx(k)}")
         }
       Some(f.agg(cols.head, cols.tail: _*))
     }
@@ -5478,21 +5633,35 @@ object Dsl {
           s"regexp_full_match(x, '${quoteSql(pat)}'))) AS qrf${p.rfIdx(k)}"
       }
       // span occurrence counts — scanF's position lambdas in lockstep
-      // (range(1, n+1) ≡ sequence(1, n))
-      def posOf(a: String, t: String): String =
-        s"list_filter(range(1, len($a) + 1), i -> $a[i] = '${quoteSql(t)}')"
+      // (range(1, n+1) ≡ sequence(1, n)). The position arrays HOIST
+      // into the source subquery exactly like the Spark side: a
+      // list_filter(range …) inside a lambda re-derives the array per
+      // outer element; a column reference computes once per row
+      val sppKeys: Seq[(String, String)] = p.skeys.flatMap(k =>
+        spanToksOf(k).map((spanFieldOf(k), _))).distinct
+      val sppIdx = sppKeys.zipWithIndex.toMap
+      val srcSp =
+        if (sppKeys.isEmpty) src
+        else {
+          val defs = sppKeys.map { case kk @ (f, t) =>
+            s"list_filter(range(1, len(${arr(f)}) + 1), " +
+              s"i -> ${arr(f)}[i] = '${quoteSql(t)}') AS spp${sppIdx(kk)}"
+          }.mkString(",\n      ")
+          s"(SELECT *,\n      $defs\n    FROM $src)"
+        }
+      def posOf(f: String, t: String): String = s"spp${sppIdx((f, t))}"
       val spDefs = p.skeys.map { k =>
-        val a = arr(spanFieldOf(k))
+        val f = spanFieldOf(k)
         val expr = k match {
           case SpanNotQ(_, inc, exc, pre, post) =>
-            s"len(list_filter(${posOf(a, inc)}, x -> " +
-              s"len(list_filter(${posOf(a, exc)}, " +
+            s"len(list_filter(${posOf(f, inc)}, x -> " +
+              s"len(list_filter(${posOf(f, exc)}, " +
               s"q -> q >= x - $pre AND q <= x + $post)) = 0))"
           case SpanFirstQ(_, t, end) =>
-            s"len(list_filter($a[1:$end], x -> x = '${quoteSql(t)}'))"
+            s"len(list_filter(${posOf(f, t)}, x -> x <= $end))"
           case SpanUnordQ(_, t1, t2, sl) =>
-            s"len(list_filter(${posOf(a, t1)}, x -> " +
-              s"len(list_filter(${posOf(a, t2)}, " +
+            s"len(list_filter(${posOf(f, t1)}, x -> " +
+              s"len(list_filter(${posOf(f, t2)}, " +
               s"q -> abs(q - x) <= ${sl + 1})) > 0))"
           case SpanOrderedQ(_, ts) =>
             // orderedChainCount in lockstep: one nested exists per
@@ -5500,14 +5669,14 @@ object Dsl {
             def chain(rest: Seq[String], prev: String, d: Int): String =
               rest match {
                 case h +: t if t.isEmpty =>
-                  s"len(list_filter(${posOf(a, h)}, " +
+                  s"len(list_filter(${posOf(f, h)}, " +
                     s"v$d -> v$d > $prev)) > 0"
                 case h +: t =>
-                  s"len(list_filter(${posOf(a, h)}, v$d -> " +
+                  s"len(list_filter(${posOf(f, h)}, v$d -> " +
                     s"v$d > $prev AND ${chain(t, s"v$d", d + 1)})) > 0"
                 case _ => "TRUE" // unreachable: ≥ 2 terms by parse
               }
-            s"len(list_filter(${posOf(a, ts.head)}, v0 -> " +
+            s"len(list_filter(${posOf(f, ts.head)}, v0 -> " +
               s"${chain(ts.tail, "v0", 1)}))"
           case SpanWindowQ(_, ts, g) =>
             // windowAnchorCount in lockstep: anchor disjunction as a
@@ -5515,10 +5684,10 @@ object Dsl {
             val w = g + ts.size - 1
             ts.indices.map { i =>
               val others = ts.indices.filter(_ != i).map { j =>
-                s"len(list_filter(${posOf(a, ts(j))}, " +
+                s"len(list_filter(${posOf(f, ts(j))}, " +
                   s"q$j -> q$j >= s0 AND q$j <= s0 + $w)) > 0"
               }.mkString(" AND ")
-              s"len(list_filter(${posOf(a, ts(i))}, s0 -> $others))"
+              s"len(list_filter(${posOf(f, ts(i))}, s0 -> $others))"
             }.mkString("(", " + ", ")")
           case other => fail(s"not a span key: $other") // unreachable
         }
@@ -5526,7 +5695,7 @@ object Dsl {
       }
       val cols = (Seq("doc_id") ++ fields ++ dlDefs ++ tfDefs ++ pfDefs ++
         zfDefs ++ rfDefs ++ spDefs).mkString(",\n    ")
-      s"f AS (\n  SELECT $cols\n  FROM $src)"
+      s"f AS (\n  SELECT $cols\n  FROM $srcSp)"
     }
   }
 
@@ -5544,6 +5713,11 @@ object Dsl {
         s"AS qzd${p.zfIdx(k)}") ++
       p.skts.map { case kt @ (fld, v) =>
         s"COUNT(*) FILTER (WHERE $fld = ${v.sql}) AS qkd${p.ktIdx(kt)}"
+      } ++
+      p.ckeys.map { case k @ (fs, t) =>
+        val cond = fs.map(f => s"qtf${p.tfIdx((f, t))} > 0")
+          .mkString(" OR ")
+        s"COUNT(*) FILTER (WHERE $cond) AS qcd${p.cfIdx(k)}"
       }
     s"s AS (SELECT ${cols.mkString(", ")} FROM f)"
   }
@@ -5803,6 +5977,14 @@ object Dsl {
       case DateHistAgg(x, iv) =>
         Some(if (iv == "month") date_format(col(x), "yyyy-MM")
              else col(x))
+      case AutoDateHistAgg(x, bk) =>
+        // the unit rides the broadcast span column (see the matched2
+        // crossJoin below) — day / month / year by the documented
+        // span ladder; a null span (empty match set) keys day
+        val s = coalesce(col(adhSpanCol(x)), lit(0))
+        Some(when(s < bk, col(x).cast("string"))
+          .when(s < bk * 31, date_format(col(x), "yyyy-MM"))
+          .otherwise(date_format(col(x), "yyyy")))
       case HistAgg(x, iv) =>
         // integer floor-bucketing, pure integer arithmetic (a double
         // division would round large longs); non-negative integral
@@ -5888,6 +6070,8 @@ object Dsl {
           Seq((i, 0, "",
             compile(n, scored = false, p.tfIdx, p.pfIdx, Map.empty,
               p.zfIdx, p.rfIdx, p.sfIdx).pred))
+        case (AggSpec(_, RandomSamplerAgg(pr, seed), _, _), i) =>
+          Seq((i, 0, "", samplerGate(pr, seed)))
         case (AggSpec(_, FiltersAgg(fs), _, _), i) =>
           fs.zipWithIndex.map { case ((nm, n), j) =>
             (i, j, nm, compile(n, scored = false, p.tfIdx, p.pfIdx,
@@ -5906,7 +6090,8 @@ object Dsl {
       }
     val subKindOf: Map[Int, (String, String)] = b.aggs.zipWithIndex.collect {
       case (AggSpec(_, _: RangeAgg | _: FilterAgg | _: FiltersAgg |
-          _: MissingAgg | _: DateRangeAgg, Some((_, m)), _), i) =>
+          _: MissingAgg | _: DateRangeAgg | _: RandomSamplerAgg,
+          Some((_, m)), _), i) =>
         i -> metricKindField(m)
     }.toMap
     val condAggCols = cbuckets.flatMap { case (i, j, _, _) =>
@@ -5964,9 +6149,17 @@ object Dsl {
       subKindOf.values.map(_._2) ++ pctDefs.map(_._2) ++
       wavDefs.flatMap(x => Seq(x._1, x._2)) ++
       prDefs.map(_._1)).distinct.map(col)
+    // auto_date_histogram: the whole-day span of the match set's
+    // dates joins as a broadcast 1-row aggregate so the unit choice
+    // is a COLUMN expression — fully distributed, no driver probe
+    val autoFields = b.aggs.collect {
+      case AggSpec(_, AutoDateHistAgg(f, _), _, _) => f }.distinct
+    val matchedK = autoFields.foldLeft(matched)((d, f) =>
+      d.crossJoin(broadcast(matched.agg(
+        datediff(max(col(f)), min(col(f))).as(adhSpanCol(f))))))
     // conditions precompute as boolean columns so the grouping-sets
     // projection keeps every aggregate's input
-    val prep = matched.select(gkCols ++ metricFieldCols ++
+    val prep = matchedK.select(gkCols ++ metricFieldCols ++
       cbuckets.map { case (i, j, _, c) => c.as(s"cnd${i}_$j") }: _*)
     val statAgg = count(lit(1)).as("doc_count") +: (uncondCols ++
       condAggCols ++ pctCols ++ wavCols ++ prCols)
@@ -6109,7 +6302,8 @@ object Dsl {
       else {
       val cut = spec.agg match {
         case _: TermsAgg | _: DateHistAgg | _: HistAgg |
-             _: MultiTermsAgg | _: RareTermsAgg => groupingCut(i)
+             _: MultiTermsAgg | _: RareTermsAgg |
+             _: AutoDateHistAgg => groupingCut(i)
         case MetricAgg("extended_stats", x) =>
           // the basic stats row + one keyed row per extended value
           // (schema-stable: the extras ride v_pct like percentiles).
@@ -6158,7 +6352,7 @@ object Dsl {
               (lit(rangeLabel(r)).as("key") +: key2Blank +:
                 col(s"dc${i}_$j").as("doc_count") +: condOut(i, j)): _*)
           }.reduce(_ unionByName _)
-        case FilterAgg(_) =>
+        case FilterAgg(_) | RandomSamplerAgg(_, _) =>
           grouped.filter(globalMine).select(
             (lit("").as("key") +: key2Blank +:
               col(s"dc${i}_0").as("doc_count") +: condOut(i, 0)): _*)
@@ -6477,6 +6671,23 @@ object Dsl {
     case _ => pipeSlotOf(spec, path)
   }
 
+  /** The random_sampler document gate — md5("seed:doc_id")/2^60 <
+    * probability, in lockstep Column/SQL (the RandomFn hash idiom). */
+  private def samplerGate(prob: BigDecimal, seed: Long): Column =
+    conv(substring(md5(concat(lit(s"$seed:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(TwoPow60) <
+      lit(prob.toDouble)
+
+  private def samplerGateSql(prob: BigDecimal, seed: Long): String =
+    s"(CAST(('0x' || substr(md5('$seed:' || CAST(f.doc_id AS " +
+      s"VARCHAR)), 1, 15))::BIGINT AS DOUBLE) / " +
+      s"CAST(${dLit(TwoPow60)} AS DOUBLE)) < " +
+      s"CAST(${prob.underlying.toPlainString} AS DOUBLE)"
+
+  /** The auto_date_histogram span column name for a field. */
+  private def adhSpanCol(f: String): String = s"adh_span_$f"
+
   /** Spark-side pipe application over the parent's RETURNED buckets:
     * selector filters, then sort pages via a \|buckets\|-row window —
     * never another corpus pass. The SQL twin is `pipedInnerSql`
@@ -6586,6 +6797,14 @@ object Dsl {
       case TermsAgg(f, _, _, None, _, _, _) => (f, Some(f))
       case DateHistAgg(f, iv) =>
         (if (iv == "month") s"strftime($f, '%Y-%m')" else f, Some(f))
+      case AutoDateHistAgg(f, bk) =>
+        // the declarative twin of the broadcast span column: scalar
+        // subqueries over the match CTE pick the same unit
+        val span = s"COALESCE((SELECT date_diff('day', MIN($f), " +
+          s"MAX($f)) FROM m), 0)"
+        (s"CASE WHEN $span < $bk THEN CAST($f AS VARCHAR) " +
+          s"WHEN $span < ${bk * 31} THEN strftime($f, '%Y-%m') " +
+          s"ELSE strftime($f, '%Y') END", Some(f))
       case HistAgg(f, iv) => (s"($f // $iv) * $iv", Some(f))
       case other => fail(s"not a grouping bucket: $other") // unreachable
     }
@@ -6637,6 +6856,9 @@ object Dsl {
         case DateHistAgg(fld, iv) =>
           val kx2 = if (iv == "month") s"strftime($fld, '%Y-%m')" else fld
           inner(kx2, Some(fld), "", "")
+        case a @ AutoDateHistAgg(_, _) =>
+          val (kx2, guard) = keySqlOf(a)
+          inner(kx2, guard, "", "")
         case HistAgg(fld, iv) =>
           inner(s"($fld // $iv) * $iv", Some(fld), "", "")
         case MultiTermsAgg(fs, n, ord) =>
@@ -6771,7 +6993,7 @@ object Dsl {
             bucketSub.toSeq.map(_ => s"(${childOf(Some(inner))})") ++
             scriptChildSql(inner)).mkString("\nUNION ALL\n")
         case _: DateHistAgg | _: HistAgg | _: MultiTermsAgg |
-             _: RareTermsAgg =>
+             _: RareTermsAgg | _: AutoDateHistAgg =>
           val inner = pipedInnerSql(spec)
           // with pipes, buckets can be DROPPED — child rows must gate
           // on the surviving parents exactly like the terms cut
@@ -6947,6 +7169,12 @@ object Dsl {
              |  COUNT(*) AS doc_count,
              |  ${stats.mkString(",\n  ")}
              |FROM m AS f WHERE ${c.predSql}""".stripMargin
+        case RandomSamplerAgg(pr, seed) =>
+          s"""SELECT $name AS agg, '' AS key, '' AS key2,
+             |  COUNT(*) AS doc_count,
+             |  ${stats.mkString(",\n  ")}
+             |FROM m AS f WHERE ${samplerGateSql(pr, seed)}"""
+            .stripMargin
         case FiltersAgg(fs) =>
           fs.map { case (nm, n) =>
             val c = compile(n, scored = false, p.tfIdx, p.pfIdx,
@@ -7879,6 +8107,17 @@ object Dsl {
           parts.phFrames(p.pkeys.indexOf(k))
             .agg(count(when(col(s"qpf$j") > 0, 1)).as(s"qpd$j"))
         } ++
+        (if (p.ckeys.isEmpty) Seq.empty else {
+          // blended df*: DISTINCT docs carrying the term in ANY of
+          // the fields (a doc with the term in both fields counts
+          // once — the scan path's OR)
+          val cols = p.ckeys.map { case k @ (fs, t) =>
+            count_distinct(when($"tok" === t &&
+              $"field".isin(fs: _*), $"doc_id"))
+              .as(s"qcd${p.cfIdx(k)}")
+          }
+          Seq(parts.posts.get.groupBy().agg(cols.head, cols.tail: _*))
+        }) ++
         (if (p.szkeys.isEmpty) Seq.empty else {
           // one agg over the (df-bounded) pivot: a doc counts toward a
           // key's df when ANY of its tokens hit that key's budget —
@@ -8347,6 +8586,26 @@ object Dsl {
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), IntervalsQuery)
 
+  /** Registered TRUE-BM25F `combined_fields` — the r15 graduation
+    * from the best-field stand-in: weighted head^2/text blending with
+    * the `or` operator; the blended df* and dl* statistics ride the
+    * qcd family + the linear sumdl combination (see [[CombinedQ]]). */
+  val CombinedFieldsQuery: String =
+    s"""{"query": {"combined_fields": {"query": "dup vector merge",
+       |  "fields": ["${Search.HeadField}^2", "${Search.DefaultField}"],
+       |  "operator": "or"}}, "size": 30}""".stripMargin
+
+  def searchDslCombined(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), CombinedFieldsQuery)
+
+  val searchDslCombinedSql: String = dslSql(CombinedFieldsQuery)
+
+  /** Registered query: [[CombinedFieldsQuery]] SERVED; same oracle. */
+  def searchDslCombinedServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), CombinedFieldsQuery)
+
   /** Registered r15 INTERVALS slice — the two graduated rule
     * combinations: an ordered+UNLIMITED-gaps match (monotone
     * subsequence over positions) as the must, an unordered+BOUNDED
@@ -8732,6 +8991,35 @@ object Dsl {
       dir: String): DataFrame =
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), PostFilterQuery)
+
+  /** Registered ADAPTIVE-AGGS body — `auto_date_histogram` twice (the
+    * same data picking DAY under a generous bucket target and MONTH
+    * under a tight one — the adaptivity is the test) plus a
+    * `random_sampler` bucket with an avg sub over the deterministic
+    * seeded sample. */
+  val AggsAutoQuery: String =
+    """{"query": {"match": {"text": "dup"}}, "size": 0,
+      |  "aggs": {
+      |    "adaptive_day": {"auto_date_histogram": {
+      |      "field": "persist_date", "buckets": 500}},
+      |    "adaptive_month": {"auto_date_histogram": {
+      |      "field": "persist_date", "buckets": 5}},
+      |    "sample": {"random_sampler": {"probability": 0.4, "seed": 7},
+      |      "aggs": {"chars": {"avg": {"field": "n_chars"}}}}}}"""
+      .stripMargin
+
+  def dslAggsAuto(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Search.withPersistDate(Tables.documentsPar(spark, dir)),
+      AggsAutoQuery)
+
+  val dslAggsAutoOracleSql: String =
+    dslAggsSqlOver(AggsAutoQuery, Search.PersistDateRel)
+
+  /** Registered query: [[AggsAutoQuery]] SERVED from the daily
+    * indices (persist_date doc-values); same oracle. */
+  def dslAggsAutoServed(spark: SparkSession, dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Search.sharedDailyIndexDirs(spark, dir)._1, AggsAutoQuery)
 
   /** Registered BUCKET-SCRIPT TRIO body — the Kibana dashboard's
     * HAVING / computed-metric / bucket-page: a terms parent with an

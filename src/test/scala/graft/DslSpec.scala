@@ -1852,6 +1852,64 @@ class DslSpec extends SparkSpec {
       "search_after": [10, 0]}""").contains("search_after"))
   }
 
+  test("auto_date_histogram adapts its unit; random_sampler draws deterministically") {
+    import org.apache.spark.sql.functions.{to_date, element_at, array}
+    // dates spanning 49 days (Jan 15 … Mar 5)
+    val dated = tiny.withColumn("pd", to_date(element_at(array(
+      lit("2026-01-15"), lit("2026-01-20"), lit("2026-02-01"),
+      lit("2026-02-10"), lit("2026-03-05")),
+      ($"doc_id" + 1).cast("int"))))
+    def aggRows(json: String): Seq[(String, String, Long)] =
+      Dsl.dslAggsOf(dated, json).collect()
+        .map(r => (r.getString(0), r.getString(1),
+          r.getAs[Long]("doc_count"))).toSeq
+    // span 49 < 100 → DAY keys (one bucket per date)
+    assert(aggRows("""{"size": 0, "aggs": {"a": {"auto_date_histogram":
+      {"field": "pd", "buckets": 100}}}}""").map(_._2) ==
+      Seq("2026-01-15", "2026-01-20", "2026-02-01", "2026-02-10",
+        "2026-03-05"))
+    // 10 ≤ span 49 < 310 → MONTH
+    assert(aggRows("""{"size": 0, "aggs": {"a": {"auto_date_histogram":
+      {"field": "pd", "buckets": 10}}}}""") ==
+      Seq(("a", "2026-01", 2L), ("a", "2026-02", 2L),
+        ("a", "2026-03", 1L)))
+    // span 49 ≥ 31·1 → YEAR
+    assert(aggRows("""{"size": 0, "aggs": {"a": {"auto_date_histogram":
+      {"field": "pd", "buckets": 1}}}}""") == Seq(("a", "2026", 5L)))
+    // random_sampler: probability 1 keeps every doc (avg over all);
+    // a seeded fraction is deterministic run-to-run
+    val full = Dsl.dslAggsOf(tiny, """{"size": 0, "aggs": {"s":
+      {"random_sampler": {"probability": 1, "seed": 7},
+       "aggs": {"chars": {"avg": {"field": "n_chars"}}}}}}""")
+      .collect()
+    assert(full.length == 1 && full.head.getAs[Long]("doc_count") == 5L)
+    assert(math.abs(full.head.getAs[Double]("v_avg") - 12.2) < 1e-12)
+    def draw(): Seq[Long] = Dsl.dslAggsOf(tiny, """{"size": 0, "aggs":
+      {"s": {"random_sampler": {"probability": 0.5, "seed": 7}}}}""")
+      .collect().map(_.getAs[Long]("doc_count")).toSeq
+    assert(draw() == draw(), "seeded sample must be deterministic")
+    // served ≡ scan for the registered adaptive body
+    assert(Dsl.dslAggsAutoServed(spark, sfDir).collect().toSeq ==
+      Dsl.dslAggsAuto(spark, sfDir).collect().toSeq,
+      "served adaptive aggs diverged from the scan path")
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(tiny, json)).getMessage
+    assert(msg("""{"size": 0, "aggs": {"s": {"sampler":
+      {"shard_size": 10}}}}""").contains("random_sampler"))
+    assert(msg("""{"size": 0, "aggs": {"s": {"random_sampler":
+      {"probability": 1.5, "seed": 1}}}}""").contains("(0, 1]"))
+    assert(msg("""{"size": 0, "aggs": {"s": {"random_sampler":
+      {"probability": 0.5}}}}""").contains("seed"))
+    assert(msg("""{"size": 0, "aggs": {"a": {"auto_date_histogram":
+      {"field": "pd", "buckets": 10}, "aggs": {"c": {"avg":
+      {"field": "n_chars"}}}}}}""").contains("metrics take no aggs") ||
+      msg("""{"size": 0, "aggs": {"a": {"auto_date_histogram":
+      {"field": "pd", "buckets": 10}, "aggs": {"c": {"avg":
+      {"field": "n_chars"}}}}}}""").contains("aggs"))
+  }
+
   test("bucket_selector drops buckets; bucket_script computes; bucket_sort pages") {
     // tiny sources: src0 docs {0,2} (n_chars 16,10), src1 {1,3}
     // (10,9), src2 {4} (16)
@@ -2708,14 +2766,48 @@ class DslSpec extends SparkSpec {
         {"match": {"query": "gamma"}}],
        "ordered": true, "max_gaps": 1}}}}}""", tiny))
     assert(af == Seq(4L), s"got $af") // "alpha beta gamma"
-    // combined_fields ≡ the cross_fields desugar bit-for-bit
+    // combined_fields is TRUE BM25F since r15. Single unweighted
+    // field: the pseudo-field IS the field — ranking ≡ plain match
+    // (tf* = tf, dl* = dl, df* = df, the same BM25 literal shape)
     val cf = run("""{"query": {"combined_fields": {"query": "alpha rare",
       "fields": ["text"], "operator": "and"}}, "size": 10}""", tiny)
-    val xf = run("""{"query": {"multi_match": {"query": "alpha rare",
-      "type": "cross_fields", "operator": "and",
-      "fields": ["text"]}}, "size": 10}""", tiny)
-    assert(cf == xf, "combined_fields must equal the cross_fields " +
-      "desugar on one field")
+    val mm = run("""{"query": {"match": {"text": {"query": "alpha rare",
+      "operator": "and"}}}, "size": 10}""", tiny)
+    assert(ids(cf) == ids(mm), "single unweighted combined_fields " +
+      "must rank exactly like the plain match")
+    // BLENDING is observable once a field diverges: two docs with
+    // identical text tf/dl, but only one carries the term within the
+    // 8-token head — head^2 pushes it first (text-only ties break by
+    // doc_id the other way)
+    val filler = (1 to 9).map(i => s"w$i").mkString(" ")
+    val headDocs = Seq(
+      (0L, s"$filler alpha", "en", "s", 1L), // alpha OUTSIDE the head
+      (1L, s"alpha $filler", "en", "s", 1L)) // alpha IN the head
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val textOnly = ids(run("""{"query": {"combined_fields": {
+      "query": "alpha", "fields": ["text"]}}, "size": 5}""", headDocs))
+    assert(textOnly == Seq(0L, 1L),
+      s"equal text stats must tie → doc_id order: $textOnly")
+    val blended = ids(run("""{"query": {"combined_fields": {
+      "query": "alpha", "fields": ["head^2", "text"]}}, "size": 5}""",
+      headDocs))
+    assert(blended == Seq(1L, 0L),
+      s"the head occurrence must win under blending: $blended")
+    // operator and still gates term-centrically
+    assert(ids(run("""{"query": {"combined_fields": {"query":
+      "alpha gamma", "fields": ["text"], "operator": "and"}},
+      "size": 10}""", tiny)) == Seq(4L))
+    // served ≡ scan for the registered blended body
+    assert(Dsl.searchDslCombinedServed(spark, sfDir).collect().toSeq ==
+      Dsl.searchDslCombined(spark, sfDir).collect().toSeq,
+      "served combined_fields diverged from the scan path")
+    // refusals
+    assert(intercept[IllegalArgumentException](run("""{"query":
+      {"combined_fields": {"query": "a", "fields": ["text^0"]}}}""",
+      tiny)).getMessage.contains("positive"))
+    assert(intercept[IllegalArgumentException](run("""{"query":
+      {"combined_fields": {"query": "a", "fields": ["text",
+      "text"]}}}""", tiny)).getMessage.contains("twice"))
     // r15 GRADUATIONS — ordered+unlimited gaps is the monotone
     // subsequence scan: rare before alpha only in doc 0
     val ou = ids(run("""{"query": {"intervals": {"text": {"match":
