@@ -1443,9 +1443,51 @@ object Dsl {
           case _ => fail(s"$ctx: '$t' must analyze to one token")
         }
       case other => fail(s"$ctx clauses must be span_term objects " +
-        "(span_multi/span_within need true span-tree evaluation), " +
-        s"got $other")
+        "(span_within/span_containing need true span-tree " +
+        s"evaluation), got $other")
     }
+
+  /** Parse a `span_multi` wrapper's prefix — `{"match": {"prefix":
+    * {field: value}}}` (the one multi-term span the prefix-phrase
+    * machinery serves exactly; wildcard/fuzzy/regexp spans would need
+    * positional expansion and refuse). */
+  private def spanMultiPrefixOf(o: JObject,
+      ctx: String): (String, String) = o \ "match" match {
+    case JObject(List(("prefix", JObject(List((f, pv)))))) =>
+      checkAnalyzed(f, ctx)
+      val raw = pv match {
+        case JString(x) if x.nonEmpty => x
+        case JObject(List(("value", JString(x)))) if x.nonEmpty => x
+        case other => fail(s"$ctx span_multi prefix expects " +
+          s"{field: value}, got $other")
+      }
+      analyzed(raw) match {
+        case Seq(tok) => (f, tok)
+        case _ => fail(s"$ctx span_multi prefix '$raw' must analyze " +
+          "to one token")
+      }
+    case JObject(List((other, _))) =>
+      fail(s"$ctx span_multi supports a prefix inner query only — " +
+        s"'$other' spans need positional term expansion (unsupported)")
+    case _ => fail(s"$ctx span_multi needs {\"match\": {\"prefix\": …}}")
+  }
+
+  /** A span_near leg: a span_term, or — ONLY as the last clause of an
+    * in-order near — a span_multi prefix (Lucene's prefix-phrase
+    * shape, served by [[PhrasePrefixQ]]). Returns (field, token,
+    * isPrefix). */
+  private def spanLegOf(v: JValue, ctx: String,
+      allowPrefix: Boolean): (String, String, Boolean) = v match {
+    case JObject(List(("span_multi", o: JObject))) =>
+      if (!allowPrefix)
+        fail(s"$ctx: span_multi rides only as the LAST clause of an " +
+          "in-order span_near (the prefix-phrase shape) or standalone")
+      val (f, t) = spanMultiPrefixOf(o, ctx)
+      (f, t, true)
+    case _ =>
+      val (f, t) = spanTermOf(v, ctx)
+      (f, t, false)
+  }
 
   private def node(v: JValue): Node = v match {
     case JObject(List((name, body))) => name match {
@@ -1823,17 +1865,22 @@ object Dsl {
               case v => fail(s"span_near slop must be a non-negative " +
                 s"integer, got $v")
             }
-            val terms = o \ "clauses" match {
-              case JArray(cs) if cs.size >= 2 =>
-                cs.map(spanTermOf(_, "span_near"))
+            val legs = o \ "clauses" match {
+              case JArray(cs) if cs.size >= 2 => cs.zipWithIndex.map {
+                case (c, j) => spanLegOf(c, "span_near",
+                  allowPrefix = inOrder && j == cs.size - 1)
+              }
               case _ => fail("span_near needs at least two clauses")
             }
-            val fieldsUsed = terms.map(_._1).distinct
+            val fieldsUsed = legs.map(_._1).distinct
             if (fieldsUsed.size != 1)
               fail("span_near clauses must address ONE field, got " +
                 fieldsUsed.mkString(", "))
-            val toks = terms.map(_._2)
-            if (inOrder) PhraseQ(fieldsUsed.head, toks, one, slop)
+            val toks = legs.map(_._2)
+            if (inOrder && legs.last._3)
+              // prefix last leg: exactly the sloppy prefix-phrase
+              PhrasePrefixQ(fieldsUsed.head, toks, one, slop)
+            else if (inOrder) PhraseQ(fieldsUsed.head, toks, one, slop)
             else toks match {
               case Seq(t1, t2) =>
                 if (t1 == t2) fail("unordered span_near needs two " +
@@ -1854,14 +1901,16 @@ object Dsl {
             o.obj.collectFirst { case (k, _) if k != "clauses" => k }
               .foreach(k => fail(s"span_or has unsupported option " +
                 s"'$k' — supported: clauses"))
-            val terms = o \ "clauses" match {
+            val legs = o \ "clauses" match {
               case JArray(cs) if cs.nonEmpty =>
-                cs.map(spanTermOf(_, "span_or"))
+                cs.map(spanLegOf(_, "span_or", allowPrefix = true))
               case _ => fail("span_or needs at least one clause")
             }
-            BoolQ(Seq.empty, terms.map { case (f, t) =>
-              MatchQ(f, Seq(t), one, andOp = false) }, Seq.empty,
-              Seq.empty, Some(1))
+            BoolQ(Seq.empty, legs.map {
+              case (f, t, false) =>
+                MatchQ(f, Seq(t), one, andOp = false): Node
+              case (f, t, true) => PhrasePrefixQ(f, Seq(t), one, 0): Node
+            }, Seq.empty, Seq.empty, Some(1))
           case other => fail(s"span_or expects an object, got $other")
         }
       case "span_not" => body match {
@@ -1896,6 +1945,17 @@ object Dsl {
               "so the bare form is a silent no-op")
           SpanNotQ(fi, ti, te, pre, post)
         case other => fail(s"span_not expects an object, got $other")
+      }
+      case "span_multi" => body match {
+        // standalone span_multi prefix ≡ any token with the prefix —
+        // the single-term prefix-phrase (scored via its qpf family)
+        case o: JObject =>
+          o.obj.collectFirst { case (k, _) if k != "match" => k }
+            .foreach(k => fail(s"span_multi has unsupported option " +
+              s"'$k' — supported: match"))
+          val (f, t) = spanMultiPrefixOf(o, "span_multi")
+          PhrasePrefixQ(f, Seq(t), one, 0)
+        case other => fail(s"span_multi expects an object, got $other")
       }
       case "span_first" => body match {
         case o: JObject =>
@@ -8585,6 +8645,32 @@ object Dsl {
       dir: String): DataFrame =
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), IntervalsQuery)
+
+  /** Registered SPAN_MULTI body — prefix spans on the proven
+    * prefix-phrase machinery: a `span_near` whose LAST clause is a
+    * span_multi prefix (Lucene's prefix-phrase shape ≡
+    * [[PhrasePrefixQ]] with slop), plus a scored standalone
+    * span_multi should. */
+  val SpanMultiQuery: String =
+    """{"query": {"bool": {
+      |  "must": [{"span_near": {"clauses": [
+      |    {"span_term": {"text": "vector"}},
+      |    {"span_multi": {"match": {"prefix": {"text": "du"}}}}],
+      |    "slop": 6, "in_order": true}}],
+      |  "should": [{"span_multi": {"match":
+      |    {"prefix": {"text": "merg"}}}}]
+      |}}, "size": 25}""".stripMargin
+
+  def searchDslSpanMulti(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), SpanMultiQuery)
+
+  val searchDslSpanMultiSql: String = dslSql(SpanMultiQuery)
+
+  /** Registered query: [[SpanMultiQuery]] SERVED; same oracle. */
+  def searchDslSpanMultiServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), SpanMultiQuery)
 
   /** Registered TRUE-BM25F `combined_fields` — the r15 graduation
     * from the best-field stand-in: weighted head^2/text blending with

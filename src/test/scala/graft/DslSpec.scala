@@ -1735,9 +1735,35 @@ class DslSpec extends SparkSpec {
     assert(msg("""{"query": {"span_near": {"clauses": [
       {"span_term": {"text": "a"}}, {"span_term": {"text": "a"}}],
       "slop": 1, "in_order": false}}}""").contains("DISTINCT"))
-    assert(msg("""{"query": {"span_or": {"clauses": [
-      {"span_multi": {"match": {"prefix": {"text": "al"}}}}]}}}""")
-      .contains("span_multi"))
+    // span_multi GRADUATED (r15, prefix inner): standalone = any
+    // token with the prefix; span_or leg; LAST in-order near leg =
+    // the sloppy prefix-phrase
+    assert(ids(run("""{"query": {"span_multi": {"match":
+      {"prefix": {"text": "gam"}}}}}""", tiny)).toSet == Set(2L, 4L))
+    assert(ids(run("""{"query": {"span_or": {"clauses": [
+      {"span_term": {"text": "rare"}},
+      {"span_multi": {"match": {"prefix": {"text": "gam"}}}}]}}}""",
+      tiny)).toSet == Set(0L, 2L, 3L, 4L))
+    val pn = ids(run("""{"query": {"span_near": {"clauses": [
+      {"span_term": {"text": "alpha"}},
+      {"span_multi": {"match": {"prefix": {"text": "be"}}}}],
+      "slop": 0, "in_order": true}}}""", tiny))
+    assert(pn.toSet == Set(1L, 4L), s"alpha be* adjacency: $pn")
+    // refusals: prefix legs only standalone / span_or / LAST in-order
+    assert(msg("""{"query": {"span_near": {"clauses": [
+      {"span_multi": {"match": {"prefix": {"text": "al"}}}},
+      {"span_term": {"text": "beta"}}],
+      "slop": 0, "in_order": true}}}""").contains("LAST"))
+    assert(msg("""{"query": {"span_near": {"clauses": [
+      {"span_term": {"text": "a"}},
+      {"span_multi": {"match": {"prefix": {"text": "b"}}}}],
+      "slop": 1, "in_order": false}}}""").contains("LAST"))
+    assert(msg("""{"query": {"span_multi": {"match":
+      {"wildcard": {"text": "a*b"}}}}}""").contains("prefix"))
+    // served ≡ scan for the registered prefix-span body
+    assert(Dsl.searchDslSpanMultiServed(spark, sfDir).collect().toSeq ==
+      Dsl.searchDslSpanMulti(spark, sfDir).collect().toSeq)
+    assert(Dsl.searchDslSpanMulti(spark, sfDir).count() > 0)
   }
 
   test("suggest body: completion, fuzzy completion, term spell-correction") {
