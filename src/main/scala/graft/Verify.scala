@@ -16,6 +16,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietBoundedWindows()
     new java.io.File(outDir).mkdirs()
     // Dev affordance: VERIFY_QUERIES=a,b,c dumps (and lists oracles for)
     // only those queries — a fast single-operator pre-flight. The driver
