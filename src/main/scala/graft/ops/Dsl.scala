@@ -364,6 +364,18 @@ object Dsl {
       end: Int) extends Node
   final case class SpanUnordQ(field: String, t1: String, t2: String,
       slop: Int) extends Node
+  /** ES `span_within` / `span_containing` — a `little` single-token
+    * span enclosed by a `big` span_near(t1, t2, slop) occurrence:
+    * ∃ q ∈ pos(little) and a big pair (p1, p2) satisfying the near
+    * constraint with min(p1,p2) ≤ q ≤ max(p1,p2). ONE node serves both
+    * clause types: at DOCUMENT grain they match the same set — they
+    * differ only in WHICH spans they return for further span
+    * composition (within → little, containing → big), and this span
+    * surface composes no deeper than the pair, so the distinction has
+    * no observable effect here (documented divergence-of-scope, not of
+    * results). */
+  final case class SpanWithinQ(field: String, little: String, t1: String,
+      t2: String, slop: Int, ordered: Boolean) extends Node
   /** Intervals `ordered` + UNLIMITED gaps: the terms appear in order
     * anywhere — a monotone-subsequence scan over the position arrays
     * (∃ p₁ < p₂ < … < pₖ, pᵢ ∈ positions(termᵢ)); k ≤
@@ -377,6 +389,16 @@ object Dsl {
     * term in [s, s + W] — the window's min is always one of the
     * chosen occurrences. */
   final case class SpanWindowQ(field: String, terms: Seq[String],
+      maxGaps: Int) extends Node
+  /** Intervals `ordered` + BOUNDED max_gaps, EXACT (r16 — replaces the
+    * sloppy-phrase stand-in for this rule): positions p₁ < p₂ < … < pₖ
+    * with total interior gaps pₖ − p₁ + 1 − k ≤ max_gaps — the ES
+    * minimal-interval width constraint. For k = 2 this coincides with
+    * the windowed sloppy phrase (in-order pair, gap ≤ slop), so the
+    * routing change is observable only at k ≥ 3, where per-word
+    * displacement windows and a TOTAL gap budget genuinely differ.
+    * Repeated terms are fine (strict ordering separates occurrences). */
+  final case class SpanChainQ(field: String, terms: Seq[String],
       maxGaps: Int) extends Node
   case object MatchAllQ extends Node
 
@@ -452,9 +474,13 @@ object Dsl {
       exclude: Option[String] = None) extends AggNode
   /** `interval`: "day" (the key IS the date) or "month" (the key is
     * the `yyyy-MM` prefix — pure string arithmetic, identical in both
-    * engines). */
+    * engines). `fill` = ES `min_doc_count: 0`: emit EMPTY buckets for
+    * every interval between the first and last populated key
+    * (doc_count 0, NULL metrics), so sibling pipeline aggs
+    * (derivative/cumulative_sum) cross gaps exactly like ES — the
+    * fill is |buckets| rows of key-sequence work, zero corpus cost. */
   final case class DateHistAgg(field: String,
-      interval: String = "day") extends AggNode
+      interval: String = "day", fill: Boolean = false) extends AggNode
   final case class HistAgg(field: String, interval: Long) extends AggNode
   final case class StatsAgg(field: String) extends AggNode
   final case class MetricAgg(kind: String, field: String) extends AggNode
@@ -519,7 +545,7 @@ object Dsl {
     * numeric range agg), bounds as `yyyy-MM-dd` literals both engines
     * compare as DATEs. Possibly overlapping, metric subs shared. */
   final case class DateRangeAgg(field: String,
-      ranges: Seq[(Option[String], Option[String])]) extends AggNode
+      ranges: Seq[(Option[SDate], Option[SDate])]) extends AggNode
   /** ES `percentile_ranks` — the inverse of percentiles: for each
     * probe value, the percent of field values ≤ it (EXACT — ES's
     * t-digest answers the same question approximately; integer counts
@@ -620,6 +646,23 @@ object Dsl {
   final case class PNum(v: BigDecimal) extends PExpr
   final case class PParam(name: String) extends PExpr
   final case class PBin(op: String, l: PExpr, r: PExpr) extends PExpr
+  /** A `doc['field'].value` read — the script_score grammar's one
+    * addition over the bucket-pipeline subset. */
+  final case class PDoc(field: String) extends PExpr
+
+  /** ES `script_score` — the ARITHMETIC subset: the inner query gates
+    * (filter context), and the script's value IS the document's score.
+    * The script grammar is [[parsePipeScript]]'s (params, numbers,
+    * + − × ÷, parens) extended with `doc['field'].value` over NUMERIC
+    * doc-value fields; params substitute to literals at parse, so both
+    * engines evaluate one shared expression. `_score` references and
+    * Painless-general refuse — the same typed-subset stance as
+    * bucket_script. NOTE: ES rejects a NEGATIVE resulting score at
+    * runtime; this engine does not scan for sign (a per-doc runtime
+    * check would cost a pass) — documented divergence, scripts should
+    * be non-negative by construction. */
+  final case class ScriptScoreQ(inner: Node, script: PExpr,
+      boost: BigDecimal) extends Node
 
   /** The bucket-script trio — ES's HAVING (`bucket_selector`),
     * computed per-bucket metric (`bucket_script`) and bucket page
@@ -687,6 +730,65 @@ object Dsl {
   final case class SBool(v: Boolean) extends Scalar {
     def column: Column = lit(v)
     def sql: String = v.toString
+  }
+  /** A DATE-MATH bound resolved at parse time (VERDICT r15 #3):
+    * [[column]] carries the Scala-computed concrete day (one literal,
+    * both engines compare the same value), while [[sql]] re-derives it
+    * with DuckDB DATE arithmetic — the oracle independently exercises
+    * the evaluator instead of trusting the baked literal, so a broken
+    * LocalDate computation is a hash mismatch, not a silent agreement. */
+  final case class SDate(iso: String, expr: String) extends Scalar {
+    def column: Column = lit(iso)
+    def sql: String = expr
+  }
+
+  /** Explicit-anchor ES date math: `yyyy-MM-dd||(±Nd|±NM)*[/d|/M]`.
+    * `now` refuses (evaluation-time-dependent — not reproducible, not
+    * oracle-able); rounding follows the ES range contract at day grain:
+    * `roundUp` (gt/lte bounds) rounds `/M` to the LAST day of the
+    * month, round-down (gte/lt) to the first; `/d` is the identity on
+    * date-typed (day-grain) fields. Month arithmetic clamps to the
+    * month's last day exactly like java.time AND DuckDB (2026-01-31 +
+    * 1M = 2026-02-28 in both — verified). */
+  private val DateMathRe =
+    """(\d{4}-\d{2}-\d{2})\|\|((?:[+-]\d+[dM])*)(?:/([dM]))?""".r
+
+  private def evalDateMath(s: String, roundUp: Boolean,
+      ctx: String): SDate = s match {
+    case _ if s.startsWith("now") =>
+      fail(s"$ctx: 'now'-anchored date math is evaluation-time-" +
+        "dependent — unsupported (anchor explicitly: " +
+        "\"2026-01-01||-7d/d\")")
+    case DateMathRe(anchor, ops, round) =>
+      var d =
+        try java.time.LocalDate.parse(anchor)
+        catch { case _: java.time.format.DateTimeParseException =>
+          fail(s"$ctx: '$anchor' is not a calendar date")
+        }
+      var e = s"DATE '$anchor'"
+      val OpRe = """([+-])(\d+)([dM])""".r
+      for (m <- OpRe.findAllMatchIn(Option(ops).getOrElse(""))) {
+        val n = m.group(2).toInt
+        val sign = if (m.group(1) == "+") 1L else -1L
+        d = if (m.group(3) == "d") d.plusDays(sign * n)
+            else d.plusMonths(sign * n)
+        e = s"($e ${m.group(1)} INTERVAL $n " +
+          s"${if (m.group(3) == "d") "DAY" else "MONTH"})"
+      }
+      Option(round) match {
+        case Some("M") if roundUp =>
+          d = d.withDayOfMonth(1).plusMonths(1).minusDays(1)
+          e = s"CAST(date_trunc('month', $e) + INTERVAL 1 MONTH - " +
+            "INTERVAL 1 DAY AS DATE)"
+        case Some("M") =>
+          d = d.withDayOfMonth(1)
+          e = s"CAST(date_trunc('month', $e) AS DATE)"
+        case _ => // "/d" or none: identity at day grain
+          e = s"CAST($e AS DATE)"
+      }
+      SDate(d.toString, e)
+    case _ => fail(s"$ctx: unsupported date-math expression '$s' — " +
+      "the supported form is \"yyyy-MM-dd||±Nd…±NM…[/d|/M]\"")
   }
 
   /** ES's default result size, and its default max result window —
@@ -1025,9 +1127,11 @@ object Dsl {
     * Everything else — ordered with unlimited gaps, unordered with a
     * gap budget, filter/containing rules — needs minimal-interval
     * algebra and refuses loudly. */
-  /** The r15 interval slice: ordered+unlimited → [[SpanOrderedQ]],
-    * unordered+bounded → [[SpanWindowQ]] (distinct terms, k ≤
-    * [[MaxIntervalTerms]]). */
+  /** The interval positional slice: ordered+unlimited →
+    * [[SpanOrderedQ]], ordered+bounded → [[SpanChainQ]] (r16 — the
+    * exact total-gap-budget chain; k = 2 coincides with the sloppy
+    * phrase it previously desugared to), unordered+bounded →
+    * [[SpanWindowQ]] (distinct terms); k ≤ [[MaxIntervalTerms]]. */
   private def intervalSpan(field: String, toks: Seq[String], gaps: Int,
       ordered: Boolean): Node = {
     if (toks.size > MaxIntervalTerms)
@@ -1035,6 +1139,7 @@ object Dsl {
         s"positional evaluation nests one exists per term (bound " +
         s"$MaxIntervalTerms)")
     if (ordered && gaps == -1) SpanOrderedQ(field, toks)
+    else if (ordered) SpanChainQ(field, toks, gaps)
     else {
       if (toks.distinct.size != toks.size)
         fail("unordered bounded intervals need DISTINCT terms (a " +
@@ -1073,7 +1178,6 @@ object Dsl {
           case _ => fail("intervals match needs a \"query\" string")
         }
         if (toks.size == 1) MatchQ(field, toks, one, andOp = false)
-        else if (ordered && gaps >= 0) PhraseQ(field, toks, one, gaps)
         else if (!ordered && gaps == -1)
           MatchQ(field, toks, one, andOp = true)
         else intervalSpan(field, toks, gaps, ordered)
@@ -1133,8 +1237,7 @@ object Dsl {
             case _ => fail("intervals all_of with gap/order rules " +
               "supports single-term match children only")
           }
-          if (ordered && gaps >= 0) PhraseQ(field, toks, one, gaps)
-          else intervalSpan(field, toks, gaps, ordered)
+          intervalSpan(field, toks, gaps, ordered)
         }
       case List((other, _)) => fail(s"unsupported intervals rule " +
         s"'$other' — supported: all_of, any_of, match, prefix " +
@@ -1236,7 +1339,11 @@ object Dsl {
       val weight = o \ "weight" match {
         case JNothing => None
         case w => scalar(w) match {
-          case SNum(x) => Some(x)
+          case SNum(x) if x > 0 => Some(x)
+          case SNum(x) => fail(s"functions entry weight must be > 0 " +
+            s"(score_mode 'avg' divides by the matching weight sum — " +
+            s"an all-zero sum would hit the engines' /0 divergence), " +
+            s"got $x")
           case other =>
             fail(s"functions entry weight must be numeric, got ${other.sql}")
         }
@@ -1443,8 +1550,8 @@ object Dsl {
           case _ => fail(s"$ctx: '$t' must analyze to one token")
         }
       case other => fail(s"$ctx clauses must be span_term objects " +
-        "(span_within/span_containing need true span-tree " +
-        s"evaluation), got $other")
+        "(deeper span-tree nesting is out of scope; enclosure is " +
+        s"span_within/span_containing's little-in-big pair), got $other")
     }
 
   /** Parse a `span_multi` wrapper's prefix — `{"match": {"prefix":
@@ -1771,7 +1878,14 @@ object Dsl {
             case (op, _) if !RangeOps.contains(op) => op
           }.foreach(op => fail(s"range.$field has unsupported bound " +
             s"'$op' — supported: ${RangeOps.mkString(", ")}"))
-          RangeQ(field, bounds.map { case (op, b) => (op, scalar(b)) })
+          RangeQ(field, bounds.map { case (op, b) => (op, b match {
+            // ES date-math rounding per bound: gt/lte round UP (the
+            // whole rounded interval excluded/included), gte/lt DOWN
+            case JString(sv) if sv.contains("||") || sv.startsWith("now") =>
+              evalDateMath(sv, roundUp = op == "gt" || op == "lte",
+                s"range.$field $op")
+            case _ => scalar(b)
+          })})
         case other => fail(s"range expects {field: {gte/gt/lte/lt}}, got $other")
       }
       case "exists" => body \ "field" match {
@@ -1886,9 +2000,21 @@ object Dsl {
                 if (t1 == t2) fail("unordered span_near needs two " +
                   "DISTINCT terms (a repeated term matches itself)")
                 SpanUnordQ(fieldsUsed.head, t1, t2, slop)
-              case _ => fail("unordered span_near serves exactly TWO " +
-                "clauses — k-term unordered needs the minimal-window " +
-                "cover the intervals algebra refuses")
+              case _ =>
+                // r16: k-term unordered = the minimal-window cover the
+                // intervals algebra now carries — Lucene's unordered
+                // near over k single-token spans matches when the
+                // covering interval's width − k ≤ slop, exactly
+                // [[SpanWindowQ]](toks, slop)
+                if (toks.distinct.size != toks.size)
+                  fail("unordered span_near needs DISTINCT terms (a " +
+                    "repeated term would need occurrence multiplicity " +
+                    "the anchor-window check cannot see)")
+                if (toks.size > MaxIntervalTerms)
+                  fail(s"span_near over ${toks.size} clauses is " +
+                    "unsupported — the positional evaluation nests " +
+                    s"one exists per term (bound $MaxIntervalTerms)")
+                SpanWindowQ(fieldsUsed.head, toks, slop)
             }
           case other => fail(s"span_near expects an object, got $other")
         }
@@ -1976,6 +2102,61 @@ object Dsl {
           SpanFirstQ(f, t, end)
         case other => fail(s"span_first expects an object, got $other")
       }
+      case t @ ("span_within" | "span_containing") => body match {
+        case o: JObject =>
+          o.obj.collectFirst {
+            case (k, _) if k != "little" && k != "big" => k
+          }.foreach(k => fail(s"$t has unsupported option '$k' — " +
+            "supported: big, little"))
+          val (lf, lt) = o \ "little" match {
+            case JNothing => fail(s"$t needs a \"little\" clause")
+            case c => spanTermOf(c, s"$t.little")
+          }
+          val (bf, t1, t2, slop, ord) = o \ "big" match {
+            case JObject(List(("span_near", bo: JObject))) =>
+              bo.obj.collectFirst {
+                case (k, _) if !Set("clauses", "slop", "in_order")
+                  .contains(k) => k
+              }.foreach(k => fail(s"$t.big span_near has unsupported " +
+                s"option '$k' — supported: clauses, in_order, slop"))
+              val inOrder = bo \ "in_order" match {
+                case JBool(b) => b
+                case JNothing => fail(s"$t.big span_near needs an " +
+                  "explicit in_order (the span_near stance)")
+                case v => fail(s"$t.big in_order must be a boolean, " +
+                  s"got $v")
+              }
+              val sl = bo \ "slop" match {
+                case JNothing => 0
+                case JInt(n) if n >= 0 => n.toInt
+                case v => fail(s"$t.big slop must be a non-negative " +
+                  s"integer, got $v")
+              }
+              val legs = bo \ "clauses" match {
+                case JArray(List(c1, c2)) =>
+                  Seq(spanTermOf(c1, s"$t.big"), spanTermOf(c2, s"$t.big"))
+                case _ => fail(s"$t.big span_near needs exactly TWO " +
+                  "span_term clauses (the enclosing-pair shape this " +
+                  "span surface serves)")
+              }
+              if (legs.map(_._1).distinct.size != 1)
+                fail(s"$t.big clauses must address ONE field, got " +
+                  legs.map(_._1).distinct.mkString(", "))
+              if (!inOrder && legs(0)._2 == legs(1)._2)
+                fail(s"$t.big unordered span_near needs two DISTINCT " +
+                  "terms (a repeated term matches itself)")
+              (legs(0)._1, legs(0)._2, legs(1)._2, sl, inOrder)
+            case JNothing => fail(s"$t needs a \"big\" clause")
+            case _ => fail(s"$t.big must be a span_near of two " +
+              "span_terms — a single-token big can enclose nothing " +
+              "beyond itself")
+          }
+          if (lf != bf)
+            fail(s"$t little/big must address ONE field, got " +
+              s"'$lf' vs '$bf'")
+          SpanWithinQ(lf, lt, t1, t2, slop, ord)
+        case other => fail(s"$t expects an object, got $other")
+      }
       case "regexp" => body match {
         case JObject(List((field, spec))) =>
           val pat = spec match {
@@ -2042,6 +2223,58 @@ object Dsl {
           else MatchFzQ(field, Seq((term, d)), boost, andOp = false)
         case other => fail(s"fuzzy expects {field: {value: term}}, " +
           s"got $other")
+      }
+      case "script_score" => body match {
+        case o: JObject =>
+          val known = Set("query", "script", "boost")
+          o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+            .foreach(k => fail(s"script_score has unsupported option " +
+              s"'$k' — supported: ${known.toSeq.sorted.mkString(", ")} " +
+              "(min_score rides the body's own min_score)"))
+          val inner = o \ "query" match {
+            case JNothing => fail("script_score needs a \"query\"")
+            case q => node(q)
+          }
+          val (src, params) = o \ "script" match {
+            case JString(s2) if s2.nonEmpty =>
+              (s2, Map.empty[String, BigDecimal])
+            case so: JObject =>
+              so.obj.collectFirst {
+                case (k, _) if k != "source" && k != "params" => k
+              }.foreach(k => fail(s"script_score script has " +
+                s"unsupported option '$k' — supported: source, params " +
+                "(stored-script id / lang need a script registry)"))
+              val s2 = so \ "source" match {
+                case JString(x) if x.nonEmpty => x
+                case _ => fail("script_score script needs a \"source\"")
+              }
+              val ps = so \ "params" match {
+                case JNothing => Map.empty[String, BigDecimal]
+                case po: JObject => po.obj.map {
+                  case (pn, pv) => scalar(pv) match {
+                    case SNum(x) => pn -> x
+                    case other => fail(s"script_score params.$pn must " +
+                      s"be numeric, got ${other.sql}")
+                  }
+                }.toMap
+                case v => fail(s"script_score params must be an " +
+                  s"object, got $v")
+              }
+              (s2, ps)
+            case _ => fail("script_score needs a \"script\" (string " +
+              "or {source, params})")
+          }
+          if (src.contains("_score"))
+            fail("script_score: _score references are unsupported — " +
+              "the arithmetic subset reads doc['field'].value and " +
+              "params only (the inner query gates, filter context)")
+          val e0 = parsePipeScript(src, "script_score", allowDoc = true)
+          if (isCmpExpr(e0))
+            fail("script_score must be arithmetic — a comparison " +
+              "belongs in the query, not the score")
+          ScriptScoreQ(inner, pexprSubst(e0, params, "script_score"),
+            boostOf(o))
+        case other => fail(s"script_score expects an object, got $other")
       }
       case "function_score" => body match {
         // the `functions` ARRAY is the general form — decay + fvf +
@@ -2629,8 +2862,11 @@ object Dsl {
 
   /** Tokenize + recursive-descent parse of the bucket-pipeline script
     * subset: `params.<ident>`, numeric literals, + − × ÷, comparisons,
-    * parens. Precedence comparison < additive < multiplicative. */
-  private def parsePipeScript(s: String, ctx: String): PExpr = {
+    * parens. Precedence comparison < additive < multiplicative.
+    * `allowDoc` adds `doc['field'].value` atoms (the script_score
+    * grammar). */
+  private def parsePipeScript(s: String, ctx: String,
+      allowDoc: Boolean = false): PExpr = {
     val toks = scala.collection.mutable.ListBuffer.empty[String]
     var i = 0
     while (i < s.length) {
@@ -2639,13 +2875,26 @@ object Dsl {
       else if (c.isDigit) {
         val j = s.indexWhere(x => !x.isDigit && x != '.', i)
         val end = if (j < 0) s.length else j
-        toks += s.substring(i, end); i = end
+        val t = s.substring(i, end)
+        // shape-check here so atom()'s BigDecimal can't throw a raw
+        // NumberFormatException on '1.2.3' / '1.' (ADVICE r15)
+        if (!t.matches("""\d+(\.\d+)?"""))
+          fail(s"$ctx script: malformed number '$t'")
+        toks += t; i = end
       } else if (s.startsWith("params.", i)) {
         val st = i + 7
         val j = s.indexWhere(x => !x.isLetterOrDigit && x != '_', st)
         val end = if (j < 0) s.length else j
         if (end == st) fail(s"$ctx script: params. needs a name")
         toks += s.substring(i, end); i = end
+      } else if (allowDoc && s.startsWith("doc[", i)) {
+        val close = s.indexOf("'].value", i)
+        if (!s.startsWith("doc['", i) || close < 0)
+          fail(s"$ctx script: doc reads must be doc['field'].value")
+        val fld = s.substring(i + 5, close)
+        if (!fld.matches("[A-Za-z_][A-Za-z0-9_]*"))
+          fail(s"$ctx script: doc field '$fld' is not an identifier")
+        toks += s"doc:$fld"; i = close + 8
       } else if (i + 1 < s.length &&
           Set(">=", "<=", "==", "!=").contains(s.substring(i, i + 2))) {
         toks += s.substring(i, i + 2); i += 2
@@ -2665,6 +2914,8 @@ object Dsl {
         e
       case Some(t) if t.startsWith("params.") =>
         take(); PParam(t.stripPrefix("params."))
+      case Some(t) if t.startsWith("doc:") =>
+        take(); PDoc(t.stripPrefix("doc:"))
       case Some(t) if t.head.isDigit => take(); PNum(BigDecimal(t))
       case other => fail(s"$ctx script: expected a value, got $other")
     }
@@ -2694,6 +2945,25 @@ object Dsl {
     case PParam(n) => Seq(n)
     case PBin(_, l, r) => pexprParams(l) ++ pexprParams(r)
     case _ => Seq.empty
+  }
+
+  /** doc['…'].value fields a script reads (projection + numeric-type
+    * check set). */
+  private def pexprDocFields(e: PExpr): Seq[String] = e match {
+    case PDoc(f) => Seq(f)
+    case PBin(_, l, r) => pexprDocFields(l) ++ pexprDocFields(r)
+    case _ => Seq.empty
+  }
+
+  /** Substitutes script params to literals at parse — both engines then
+    * evaluate ONE shared expression with no runtime binding. */
+  private def pexprSubst(e: PExpr, params: Map[String, BigDecimal],
+      ctx: String): PExpr = e match {
+    case PParam(n) => params.get(n).map(PNum).getOrElse(
+      fail(s"$ctx references params.$n — not in the script's params"))
+    case PBin(op, l, r) =>
+      PBin(op, pexprSubst(l, params, ctx), pexprSubst(r, params, ctx))
+    case other => other
   }
 
   private def isCmpExpr(e: PExpr): Boolean = e match {
@@ -2893,14 +3163,27 @@ object Dsl {
             TermsAgg(f, n, order, missing, minDoc, keyRegex("include"),
               keyRegex("exclude"))
           case "date_histogram" =>
-            val f = aggField(spec, name, Set("field", "calendar_interval"))
+            val f = aggField(spec, name,
+              Set("field", "calendar_interval", "min_doc_count"))
             val iv = spec \ "calendar_interval" match {
               case JString(x @ ("day" | "month")) => x
               case JNothing => fail(s"agg '$name' needs calendar_interval")
               case v => fail(s"agg '$name': calendar_interval must be " +
                 s"""\"day\" or \"month\", got $v""")
             }
-            DateHistAgg(f, iv)
+            // min_doc_count 0 = the ES gap-fill contract (ES's own
+            // date_histogram DEFAULT; this engine's default stays 1 —
+            // populated buckets only — a spec-pinned divergence kept
+            // for round-over-round result stability)
+            val fill = spec \ "min_doc_count" match {
+              case JNothing => false
+              case JInt(x) if x == 1 => false
+              case JInt(x) if x == 0 => true
+              case v => fail(s"agg '$name' min_doc_count must be 0 " +
+                "(emit empty buckets across gaps) or 1 (populated " +
+                s"only), got $v")
+            }
+            DateHistAgg(f, iv, fill)
           case "auto_date_histogram" =>
             val f = aggField(spec, name, Set("field", "buckets"))
             val bk = spec \ "buckets" match {
@@ -3062,12 +3345,21 @@ object Dsl {
                     case (k, _) if k != "from" && k != "to" => k
                   }.foreach(k => fail(s"agg '$name' date_range bucket " +
                     s"has unsupported key '$k' — supported: from, to"))
-                  def bound(k: String): Option[String] = o \ k match {
+                  def bound(k: String): Option[SDate] = o \ k match {
                     case JNothing => None
                     case JString(d)
-                        if d.matches("\\d{4}-\\d{2}-\\d{2}") => Some(d)
+                        if d.matches("\\d{4}-\\d{2}-\\d{2}") =>
+                      Some(SDate(d, s"DATE '$d'"))
+                    // explicit-anchor date math; both bounds round
+                    // DOWN ("to" is exclusive, so /M means "up to the
+                    // start of that month" — the ES date_range form)
+                    case JString(dm)
+                        if dm.contains("||") || dm.startsWith("now") =>
+                      Some(evalDateMath(dm, roundUp = false,
+                        s"agg '$name' date_range $k"))
                     case v => fail(s"agg '$name' date_range $k must be " +
-                      s"a yyyy-MM-dd date, got $v (date math is " +
+                      s"a yyyy-MM-dd date or explicit-anchor date math " +
+                      s"""("<date>||±Nd±NM/d|/M"), got $v ('now' is """ +
                       "evaluation-time-dependent — unsupported)")
                   }
                   val b2 = (bound("from"), bound("to"))
@@ -3280,6 +3572,11 @@ object Dsl {
         case more => fail(s"agg '$name' must have exactly one type, got " +
           more.map(_._1).mkString(", "))
       }
+      if (subSpec.nonEmpty && agg.isInstanceOf[AutoDateHistAgg])
+        fail(s"agg '$name': auto_date_histogram takes no " +
+          "sub-aggregations — its interval is chosen from the data, so " +
+          "a sub's bucket identity would be unstable across corpora " +
+          "(use date_histogram with an explicit calendar_interval)")
       if (subSpec.nonEmpty && !aggTakesSub(agg))
         fail(s"agg '$name': metrics take no aggs — only bucket aggs " +
           "(terms, date_histogram, histogram, range, filter) nest")
@@ -3383,16 +3680,17 @@ object Dsl {
   private def rangeLabel(r: (Option[Scalar], Option[Scalar])): String =
     r._1.map(_.sql).getOrElse("*") + "-" + r._2.map(_.sql).getOrElse("*")
 
-  /** [[rangeLabel]] for date_range buckets. */
-  private def dateRangeLabel(r: (Option[String], Option[String])): String =
-    r._1.getOrElse("*") + "-" + r._2.getOrElse("*")
+  /** [[rangeLabel]] for date_range buckets — keys show the RESOLVED
+    * day (the ES convention: bucket keys render the computed bound). */
+  private def dateRangeLabel(r: (Option[SDate], Option[SDate])): String =
+    r._1.map(_.iso).getOrElse("*") + "-" + r._2.map(_.iso).getOrElse("*")
 
   /** Fields an agg node reads (the bucket key or metric input; a
     * filter agg's clause fields travel through the clause
     * inventory instead). */
   private def aggFieldsOf(a: AggNode): Seq[String] = a match {
     case TermsAgg(f, _, _, _, _, _, _) => Seq(f)
-    case DateHistAgg(f, _) => Seq(f)
+    case DateHistAgg(f, _, _) => Seq(f)
     case AutoDateHistAgg(f, _) => Seq(f)
     case RandomSamplerAgg(_, _) => Seq.empty
     case HistAgg(f, _) => Seq(f)
@@ -3486,6 +3784,10 @@ object Dsl {
         case FnScoreQ(q, fns, _, _, _) =>
           collectCtx(q, scored)(pf) ++
             fns.flatMap(_.filter.toSeq.flatMap(collectCtx(_, false)(pf)))
+        case ScriptScoreQ(q, _, _) =>
+          // the inner query GATES; its own score is never read (the
+          // script replaces it), so it contributes in filter context
+          collectCtx(q, false)(pf)
         case BoostingQ(pos, neg, _) =>
           collectCtx(pos, scored)(pf) ++ collectCtx(neg, false)(pf)
         case PinnedQ(_, organic) => collectCtx(organic, scored)(pf)
@@ -3553,7 +3855,8 @@ object Dsl {
   private def skeysOf(n: Node): Seq[Node] =
     collectCtx(n, true) {
       case (s @ (_: SpanNotQ | _: SpanFirstQ | _: SpanUnordQ |
-          _: SpanOrderedQ | _: SpanWindowQ), _) =>
+          _: SpanOrderedQ | _: SpanWindowQ | _: SpanWithinQ |
+          _: SpanChainQ), _) =>
         Seq(s: Node)
     }.distinct
 
@@ -3563,6 +3866,8 @@ object Dsl {
     case SpanUnordQ(f, _, _, _) => f
     case SpanOrderedQ(f, _) => f
     case SpanWindowQ(f, _, _) => f
+    case SpanWithinQ(f, _, _, _, _, _) => f
+    case SpanChainQ(f, _, _) => f
     case other => fail(s"not a span key: $other") // unreachable
   }
 
@@ -3573,6 +3878,8 @@ object Dsl {
     case SpanUnordQ(_, t1, t2, _) => Seq(t1, t2)
     case SpanOrderedQ(_, ts) => ts
     case SpanWindowQ(_, ts, _) => ts
+    case SpanWithinQ(_, lt, t1, t2, _, _) => Seq(lt, t1, t2)
+    case SpanChainQ(_, ts, _) => ts
     case _ => Seq.empty
   }
 
@@ -3596,6 +3903,22 @@ object Dsl {
       case _ => lit(true) // unreachable: ≥ 2 terms by parse
     }
     size(filter(pos.head, a => chain(pos.tail, a)))
+  }
+
+  /** Bounded ordered-chain count: first-term anchors a starting a
+    * strictly-increasing chain whose LAST element sits within
+    * [a, a + w] — since the chain increases, bounding the last bounds
+    * them all; w = max_gaps + k − 1 (the ES ordered-interval width). */
+  private def chainWindowCount(pos: Seq[Column], w: Int): Column = {
+    def chain(rest: Seq[Column], prev: Column, a: Column): Column =
+      rest match {
+        case h +: t if t.isEmpty =>
+          exists(h, q => q > prev && q <= a + lit(w))
+        case h +: t =>
+          exists(h, q => q > prev && q <= a + lit(w) && chain(t, q, a))
+        case _ => lit(true) // unreachable: ≥ 2 terms by parse
+      }
+    size(filter(pos.head, a => chain(pos.tail, a, a)))
   }
 
   /** Unordered-window anchor count: occurrences s (of ANY term) with
@@ -3627,6 +3950,7 @@ object Dsl {
       case r: RandomFn => Seq(r.field)
       case _: WeightFn => Seq.empty
     }
+    case (ScriptScoreQ(_, s, _), _) => pexprDocFields(s)
     case (NestedQ(path, _), _) => Seq(path)
     case (TermsSetQ(_, _, mf), _) => Seq(mf)
     case (RankFeatureQ(f, _, _, _), _) => Seq(f)
@@ -3653,13 +3977,15 @@ object Dsl {
          _: PhrasePrefixQ => true
     // a span hit IS a postings hit (the include/all-terms occurrence)
     case _: SpanNotQ | _: SpanFirstQ | _: SpanUnordQ |
-         _: SpanOrderedQ | _: SpanWindowQ => true
+         _: SpanOrderedQ | _: SpanWindowQ | _: SpanWithinQ |
+         _: SpanChainQ => true
     // any combined_fields hit carries a query term in an analyzed field
     case _: CombinedQ => true
     // an analyzed-field regexp hit IS a postings hit
     case RegexpQ(f, _) => AnalyzedFields.contains(f)
     case FunctionScoreQ(q, _, _, _, _, _, _) => requiresText(q)
     case FnScoreQ(q, _, _, _, _) => requiresText(q)
+    case ScriptScoreQ(q, _, _) => requiresText(q)
     case BoostingQ(pos, _, _) => requiresText(pos)
     case BoolQ(m, s, _, fl, msm) =>
       m.exists(requiresText) || fl.exists(requiresText) ||
@@ -4019,7 +4345,8 @@ object Dsl {
       val c0 = if (ci) lower(col(field)) else col(field)
       C(c0.rlike(re), s"regexp_matches($ref, '${quoteSql(re)}')", None)
     case s @ (_: SpanNotQ | _: SpanFirstQ | _: SpanUnordQ |
-        _: SpanOrderedQ | _: SpanWindowQ) =>
+        _: SpanOrderedQ | _: SpanWindowQ | _: SpanWithinQ |
+        _: SpanChainQ) =>
       // positional span features: count of matching span occurrences
       // (scan: token-array lambdas; served: positional postings) —
       // unscored membership, the regexp stance
@@ -4046,6 +4373,16 @@ object Dsl {
         Some(boosted(combined, boost))
       }
       C(c.pred, c.predSql, score)
+    case ScriptScoreQ(inner, script, boost) =>
+      // inner gates in filter context; the script's value IS the score
+      // (params were substituted at parse — the resolver is unreachable)
+      val ic = compile(inner, false, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx,
+        sfIdx, cfIdx)
+      val score =
+        if (!scored) None
+        else Some(boosted(pexprEmit(script,
+          n => fail(s"script_score: unbound params.$n")), boost))
+      C(ic.pred, ic.predSql, score)
     case FnScoreQ(q, fns, scoreMode, boostMode, boost) =>
       val c = compile(q, scored, tfIdx, pfIdx, ktIdx, zfIdx, rfIdx, sfIdx, cfIdx)
       val score = if (!scored) None else {
@@ -4410,7 +4747,9 @@ object Dsl {
       skeys: Seq[Node] = Seq.empty,
       sfIdx: Map[Node, Int] = Map.empty,
       ckeys: Seq[(Seq[String], String)] = Seq.empty,
-      cfIdx: Map[(Seq[String], String), Int] = Map.empty) {
+      cfIdx: Map[(Seq[String], String), Int] = Map.empty,
+      rndFields: Seq[String] = Seq.empty,
+      sciFields: Seq[String] = Seq.empty) {
     def needsText: Boolean =
       tkeys.nonEmpty || pkeys.nonEmpty || zkeys.nonEmpty ||
         rkeys.nonEmpty || skeys.nonEmpty
@@ -4462,7 +4801,53 @@ object Dsl {
         cfIdx),
       zkeys = zkeys, szkeys = inv.flatMap(zkeysScoredOf).distinct,
       zfIdx = zfIdx, rkeys = rkeys, rfIdx = rfIdx,
-      skeys = skeys, sfIdx = sfIdx, ckeys = ckeys, cfIdx = cfIdx)
+      skeys = skeys, sfIdx = sfIdx, ckeys = ckeys, cfIdx = cfIdx,
+      rndFields = inv.flatMap(randomFieldsOf).distinct,
+      sciFields = inv.flatMap(scriptNumFieldsOf).distinct)
+  }
+
+  /** doc['…'].value fields of every script_score in the tree — they
+    * must be NUMERIC doc-values (the arithmetic casts them DOUBLE;
+    * Spark would null a bad string cast where DuckDB errors). */
+  private def scriptNumFieldsOf(n: Node): Seq[String] = collectCtx(n, true) {
+    case (ScriptScoreQ(_, s, _), _) => pexprDocFields(s)
+  }.distinct
+
+  /** random_score fields in the tree — their doc-values must be
+    * string/integer: the hash runs on the field's VARCHAR rendering,
+    * which is engine-specific for float/double (the [[RandomFn]]
+    * emitter's documented contract, enforced where a schema is in
+    * hand — ADVICE r15). */
+  private def randomFieldsOf(n: Node): Seq[String] = collectCtx(n, true) {
+    case (FnScoreQ(_, fns, _, _, _), _) =>
+      fns.collect { case r: RandomFn => r.field }
+  }.distinct
+
+  /** Type gates that need a schema in hand (corpus scan or index
+    * docmeta): random_score fields must NOT be float/double (the hash
+    * runs on the VARCHAR rendering — engine-specific for floats), and
+    * script_score doc fields MUST be numeric. */
+  private def checkFieldTypes(
+      schema: org.apache.spark.sql.types.StructType, p: Plan): Unit = {
+    p.rndFields.foreach { f =>
+      schema.find(_.name == f).map(_.dataType).foreach {
+        case org.apache.spark.sql.types.FloatType |
+            org.apache.spark.sql.types.DoubleType =>
+          fail(s"random_score field '$f' is float/double — the hash " +
+            "runs on the field's VARCHAR rendering, which is " +
+            "engine-specific for floats; use a string or integer " +
+            "doc-values field")
+        case _ => ()
+      }
+    }
+    p.sciFields.foreach { f =>
+      schema.find(_.name == f).map(_.dataType).foreach { dt =>
+        if (!dt.isInstanceOf[org.apache.spark.sql.types.NumericType])
+          fail(s"script_score doc['$f'].value: field is not numeric " +
+            s"(got ${dt.simpleString}) — the arithmetic subset reads " +
+            "numeric doc-values")
+      }
+    }
   }
 
   /** Plan of a full search body: the query plan plus paging/sort/
@@ -4568,7 +4953,9 @@ object Dsl {
         zkeys = zkeysOf(b.query), szkeys = zkeysScoredOf(b.query),
         zfIdx = zfIdx, rkeys = rkeysOf(b.query), rfIdx = rfIdx,
         skeys = skeysOf(b.query), sfIdx = sfIdx,
-        ckeys = ckeysOf(b.query), cfIdx = cfIdx)
+        ckeys = ckeysOf(b.query), cfIdx = cfIdx,
+        rndFields = randomFieldsOf(b.query),
+        sciFields = scriptNumFieldsOf(b.query))
     }
     val exact = (plans.flatMap(_.exact)).distinct
     // the frame plan carries the union inventory; its dummy scored C
@@ -4581,7 +4968,9 @@ object Dsl {
       C(lit(true), "TRUE", if (anyStats) Some((lit(0.0), "0.0")) else None),
       zkeys = zkeys, szkeys = qs.flatMap(zkeysScoredOf).distinct,
       zfIdx = zfIdx, rkeys = rkeys, rfIdx = rfIdx,
-      skeys = skeysU, sfIdx = sfIdx, ckeys = ckeysU, cfIdx = cfIdx)
+      skeys = skeysU, sfIdx = sfIdx, ckeys = ckeysU, cfIdx = cfIdx,
+      rndFields = plans.flatMap(_.rndFields).distinct,
+      sciFields = plans.flatMap(_.sciFields).distinct)
     (framePlan, plans)
   }
 
@@ -4761,6 +5150,7 @@ object Dsl {
   private def scanF(docs: DataFrame, p: Plan,
       extra: Seq[String]): DataFrame = {
     import docs.sparkSession.implicits._
+    checkFieldTypes(docs.schema, p)
     val fields = (p.exact ++ extra).distinct.filter(_ != "doc_id").map(col)
     if (!p.needsText) docs.select(($"doc_id" +: fields): _*)
     else {
@@ -4827,6 +5217,16 @@ object Dsl {
             orderedChainCount(ts.map(posOf(f, _)))
           case SpanWindowQ(_, ts, g) =>
             windowAnchorCount(ts.map(posOf(f, _)), g + ts.size - 1)
+          case SpanChainQ(_, ts, g) =>
+            chainWindowCount(ts.map(posOf(f, _)), g + ts.size - 1)
+          case SpanWithinQ(_, lt, t1, t2, sl, ord) =>
+            // little occurrences q enclosed by SOME big (t1, t2) pair
+            // satisfying the near constraint (gap = |p2−p1|−1 ≤ slop)
+            size(filter(posOf(f, lt), q =>
+              exists(posOf(f, t1), x => exists(posOf(f, t2), y =>
+                (if (ord) y > x && y - x <= lit(sl + 1)
+                 else abs(y - x) <= lit(sl + 1)) &&
+                  q >= least(x, y) && q <= greatest(x, y)))))
           case other => fail(s"not a span key: $other") // unreachable
         }).as(s"qsp${p.sfIdx(k)}")
       }
@@ -5039,6 +5439,7 @@ object Dsl {
       case BoostingQ(pos, neg, nb) =>
         BoostingQ(transformNode(pos)(f), transformNode(neg)(f), nb)
       case PinnedQ(ids, org) => PinnedQ(ids, transformNode(org)(f))
+      case ScriptScoreQ(q, s, b2) => ScriptScoreQ(transformNode(q)(f), s, b2)
       case other => other
     }
     f.applyOrElse(n2, identity[Node])
@@ -5263,6 +5664,19 @@ object Dsl {
       fuzzy: Option[Int]) extends Suggester
   private final case class TermSugg(text: String, size: Int,
       maxEdits: Int) extends Suggester
+  /** ES `phrase` suggester, the count-space subset (VERDICT r15 #5):
+    * text = exactly TWO analyzed tokens (the bigram-LM grain the
+    * engine's CCNet machinery already carries — TextAnalysis.lmScore);
+    * candidates are the ≤1-corrected-token phrases (max_errors 1, the
+    * ES default) with each correction drawn from the vocabulary within
+    * `max_edits`; ranking = corpus BIGRAM FREQUENCY of the candidate
+    * phrase (count-space Stupid Backoff without the backoff rung —
+    * ES's smoothed-LM rescore reduced to its dominant term), ties by
+    * phrase. Phrases the corpus never attests drop (no smoothing mass
+    * to rank them by — documented divergence from ES's nonzero
+    * smoothed scores). */
+  private final case class PhraseSugg(w1: String, w2: String, size: Int,
+      maxEdits: Int) extends Suggester
 
   private val SuggestToken = "[a-z0-9]+"
 
@@ -5288,10 +5702,6 @@ object Dsl {
         case other => fail(s"suggester '$nm' expects an object, " +
           s"got $other")
       }
-      if ((o \ "phrase") != JNothing)
-        fail(s"suggester '$nm': the phrase suggester is unsupported " +
-          "(collate/smoothing need scorer-internal state) — " +
-          "term and completion are served")
       def sizeOf(s: JValue): Int = s \ "size" match {
         case JNothing => 5 // the ES default
         case JInt(n) if n > 0 && n <= 100 => n.toInt
@@ -5305,8 +5715,41 @@ object Dsl {
           s"'${Search.DefaultField}' term dictionary")
         case _ => fail(s"suggester '$nm' needs a \"field\"")
       }
-      (o \ "completion", o \ "term") match {
-        case (c: JObject, JNothing) =>
+      (o \ "completion", o \ "term", o \ "phrase") match {
+        case (JNothing, JNothing, p: JObject) =>
+          p.obj.collectFirst {
+            case (k, _) if !Set("field", "size", "max_edits",
+              "max_errors").contains(k) => k
+          }.foreach(k => fail(s"suggester '$nm' phrase has " +
+            s"unsupported option '$k' — supported: field, max_edits, " +
+            "max_errors, size (collate/smoothing are scorer-internal; " +
+            "the count-space bigram model is the documented stand-in)"))
+          fieldOf(p)
+          val txt = o \ "text" match {
+            case JString(x) if x.matches(s"$SuggestToken $SuggestToken") =>
+              x
+            case JString(x) => fail(s"suggester '$nm' phrase text " +
+              s"must be exactly two analyzed tokens (the bigram-LM " +
+              s"grain), got '$x'")
+            case _ => fail(s"suggester '$nm' phrase needs a \"text\"")
+          }
+          p \ "max_errors" match {
+            case JNothing => ()
+            case JInt(x) if x == 1 => ()
+            case JDouble(1.0) => ()
+            case v => fail(s"suggester '$nm' max_errors must be 1 " +
+              s"(at most ONE corrected token — k-error phrases need " +
+              s"the candidate product space), got $v")
+          }
+          val me = p \ "max_edits" match {
+            case JNothing => 1 // conservative default (ES gram default)
+            case JInt(d) if d == 1 || d == 2 => d.toInt
+            case v => fail(s"suggester '$nm' max_edits must be 1 or 2 " +
+              s"(the ES bound), got $v")
+          }
+          val Array(w1, w2) = txt.split(" ")
+          (nm, PhraseSugg(w1, w2, sizeOf(p), me))
+        case (c: JObject, JNothing, JNothing) =>
           c.obj.collectFirst {
             case (k, _) if !Set("field", "size", "fuzzy").contains(k) => k
           }.foreach(k => fail(s"suggester '$nm' completion has " +
@@ -5335,7 +5778,7 @@ object Dsl {
               s"object, got $other")
           }
           (nm, CompletionSugg(pfx, sizeOf(c), fz))
-        case (JNothing, t: JObject) =>
+        case (JNothing, t: JObject, JNothing) =>
           t.obj.collectFirst {
             case (k, _) if !Set("field", "size", "max_edits")
               .contains(k) => k
@@ -5355,21 +5798,60 @@ object Dsl {
               s"(the ES bound), got $v")
           }
           (nm, TermSugg(txt, sizeOf(t), me))
-        case (JNothing, JNothing) =>
-          fail(s"suggester '$nm' needs completion or term")
-        case _ => fail(s"suggester '$nm' takes ONE of completion/term")
+        case (JNothing, JNothing, JNothing) =>
+          fail(s"suggester '$nm' needs completion, term, or phrase")
+        case _ =>
+          fail(s"suggester '$nm' takes ONE of completion/term/phrase")
       }
     }
+  }
+
+  /** A [[PhraseSugg]]'s candidate phrases over the vocabulary: the
+    * ≤1-corrected-token forms (c1, w2) ∪ (w1, c2), each correction
+    * within max_edits (distance 0 keeps the original token, so the
+    * input phrase itself is a candidate). Vocab-grain — tiny. */
+  private def phraseCandidates(vocab: DataFrame,
+      s: PhraseSugg): DataFrame = {
+    import vocab.sparkSession.implicits._
+    val c1 = vocab.filter(levenshtein($"token", lit(s.w1)) <= s.maxEdits)
+      .select($"token".as("w1"), lit(s.w2).as("w2"))
+    val c2 = vocab.filter(levenshtein($"token", lit(s.w2)) <= s.maxEdits)
+      .select(lit(s.w1).as("w1"), $"token".as("w2"))
+    c1.unionByName(c2).distinct()
+  }
+
+  /** Corpus adjacent-token pairs — the [[TextAnalysis.bigramRows]]
+    * explode shape minus the hashing (the candidate set joining it is
+    * tiny and raw-token keyed). */
+  private def bigramPairs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(TextAnalysis.toks($"text").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"t", explode(sequence(lit(1), size($"t") - 1)).as("i"))
+      .select(element_at($"t", $"i").as("w1"),
+        element_at($"t", $"i" + 1).as("w2"))
   }
 
   /** Shared suggester evaluation over a (token, freq) vocabulary —
     * vocab-grain work only (term-dictionary cost regardless of corpus
     * size): per suggester a filter + top-k, unioned as
-    * (sugg, rk, token, freq). */
+    * (sugg, rk, token, freq). Phrase suggesters rank by corpus bigram
+    * frequency, supplied by `phraseFreq` (scan: one corpus bigram pass
+    * semi-joined to the broadcast candidates; served: positional
+    * postings adjacency — each path's own corpus-shaped source). */
   private def suggestFrames(vocab: DataFrame,
-      suggs: Seq[(String, Suggester)]): DataFrame = {
+      suggs: Seq[(String, Suggester)],
+      phraseFreq: PhraseSugg => DataFrame): DataFrame = {
     import vocab.sparkSession.implicits._
-    suggs.map { case (nm, s) =>
+    suggs.map {
+      case (nm, s: PhraseSugg) =>
+        val ord = Seq($"freq".desc, $"token".asc)
+        val top = phraseFreq(s)
+          .select(concat($"w1", lit(" "), $"w2").as("token"), $"freq")
+          .orderBy(ord: _*).limit(s.size)
+          .withColumn("rk", row_number().over(Window.orderBy(ord: _*)))
+        top.select(lit(nm).as("sugg"), $"rk", $"token", $"freq")
+      case (nm, s) =>
       val (filtered, ord) = s match {
         case CompletionSugg(pfx, _, None) =>
           (vocab.filter($"token".startsWith(pfx)),
@@ -5387,6 +5869,8 @@ object Dsl {
             levenshtein($"token", lit(txt)) <= d)
             .withColumn("s_dist", levenshtein($"token", lit(txt))),
             Seq(col("s_dist").asc, $"freq".desc, $"token".asc))
+        case _: PhraseSugg =>
+          fail("unreachable: phrase handled above") // outer case
       }
       val top = filtered.orderBy(ord: _*).limit(s.size)
         .withColumn("rk", row_number().over(Window.orderBy(ord: _*)))
@@ -5403,7 +5887,13 @@ object Dsl {
     val vocab = docs
       .select(explode(TextAnalysis.toks($"text")).as("token"))
       .groupBy($"token").agg(count(lit(1)).as("freq"))
-    suggestFrames(vocab, suggs)
+    // phrase freq, scan shape: one corpus bigram pass joined to the
+    // BROADCAST candidate pairs (tiny), counted per pair — the corpus
+    // never shuffles, only the matched pairs aggregate
+    suggestFrames(vocab, suggs, s =>
+      bigramPairs(docs)
+        .join(broadcast(phraseCandidates(vocab, s)), Seq("w1", "w2"))
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("freq")))
   }
 
   /** The `suggest` body SERVED: the vocabulary is the index's term
@@ -5415,19 +5905,58 @@ object Dsl {
     import spark.implicits._
     val suggs = parseSuggestBody(json)
     val root = Search.requireIndex(spark, indexDir)
-    val vocab = spark.read.parquet(s"$root/postings")
+    val live = spark.read.parquet(s"$root/postings")
       .filter($"field" === Search.DefaultField)
-      .select($"doc_id", $"tok", $"tf")
       .join(Search.tombstones(spark, root), Seq("doc_id"), "left_anti")
+    val vocab = live.select($"doc_id", $"tok", $"tf")
       .groupBy($"tok".as("token")).agg(sum($"tf").as("freq"))
-    suggestFrames(vocab, suggs)
+    // phrase freq, served shape: candidate-pair adjacency counted from
+    // the POSITIONAL postings (y = x + 1), summed across docs — the
+    // candidate semi-join prunes the postings to ≤|cands| terms before
+    // any position work; corpus text untouched
+    suggestFrames(vocab, suggs, s => {
+      val cand = broadcast(phraseCandidates(vocab, s))
+      val p1 = live.select($"tok".as("w1"), $"doc_id",
+        $"positions".as("ps1"))
+        .join(cand.select($"w1").distinct(), Seq("w1"), "left_semi")
+      val p2 = live.select($"tok".as("w2"), $"doc_id",
+        $"positions".as("ps2"))
+        .join(cand.select($"w2").distinct(), Seq("w2"), "left_semi")
+      cand.join(p1, Seq("w1")).join(p2, Seq("w2", "doc_id"))
+        .select($"w1", $"w2", size(filter($"ps1", x =>
+          exists($"ps2", y => y === x + 1))).as("c"))
+        .groupBy($"w1", $"w2").agg(sum($"c").as("freq"))
+        .filter($"freq" > 0)
+    })
   }
 
   /** Oracle SQL of a `suggest` body — the same vocabulary CTE as the
     * standalone suggesters, one ROW_NUMBER page per suggester. */
   def dslSuggestSqlOver(json: String, rel: String): String = {
     val suggs = parseSuggestBody(json)
-    val branches = suggs.map { case (nm, s) =>
+    val branches = suggs.map {
+      case (nm, s: PhraseSugg) =>
+        // candidates = ≤1-corrected-token phrases; rank = corpus
+        // bigram frequency (the bg CTE below)
+        val cands =
+          s"""SELECT token AS w1, '${quoteSql(s.w2)}' AS w2 FROM vocab
+             |        WHERE levenshtein(token, '${quoteSql(s.w1)}') <=
+             |          ${s.maxEdits}
+             |        UNION
+             |        SELECT '${quoteSql(s.w1)}' AS w1, token AS w2
+             |        FROM vocab
+             |        WHERE levenshtein(token, '${quoteSql(s.w2)}') <=
+             |          ${s.maxEdits}""".stripMargin
+        s"""(SELECT '${quoteSql(nm)}' AS sugg,
+           |  ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rk,
+           |  token, freq
+           |FROM (SELECT bg.w1 || ' ' || bg.w2 AS token,
+           |        COUNT(*) AS freq
+           |      FROM bg JOIN ($cands) AS cd USING (w1, w2)
+           |      GROUP BY bg.w1, bg.w2
+           |      ORDER BY freq DESC, token LIMIT ${s.size}) AS s0)"""
+          .stripMargin
+      case (nm, s) =>
       val (cond, ord) = s match {
         case CompletionSugg(pfx, _, None) =>
           (s"token LIKE '$pfx%'", "freq DESC, token")
@@ -5437,16 +5966,26 @@ object Dsl {
         case TermSugg(txt, _, d) =>
           (s"token <> '$txt' AND levenshtein(token, '$txt') <= $d",
             s"levenshtein(token, '$txt') ASC, freq DESC, token")
+        case _: PhraseSugg => fail("unreachable") // handled above
       }
       s"""(SELECT '${quoteSql(nm)}' AS sugg,
          |  ROW_NUMBER() OVER (ORDER BY $ord) AS rk, token, freq
          |FROM (SELECT token, freq FROM vocab WHERE $cond
          |      ORDER BY $ord LIMIT ${s.size}) AS s0)""".stripMargin
     }
+    // the bigram CTE exists only when a phrase suggester needs it
+    val bgCte =
+      if (!suggs.exists(_._2.isInstanceOf[PhraseSugg])) ""
+      else s""",
+         |bg AS (
+         |  SELECT a[s] AS w1, a[s + 1] AS w2
+         |  FROM (SELECT a, unnest(range(1, len(a))) AS s
+         |        FROM (SELECT $ToksExpr AS a FROM $rel) AS t0) AS t1)"""
+        .stripMargin
     s"""WITH vocab AS (
        |  SELECT token, COUNT(*) AS freq
        |  FROM (SELECT UNNEST($ToksExpr) AS token FROM $rel)
-       |  GROUP BY token)
+       |  GROUP BY token)$bgCte
        |SELECT * FROM (
        |${branches.mkString("\nUNION ALL\n")}
        |) AS sg ORDER BY sugg, rk""".stripMargin
@@ -5749,6 +6288,33 @@ object Dsl {
               }.mkString(" AND ")
               s"len(list_filter(${posOf(f, ts(i))}, s0 -> $others))"
             }.mkString("(", " + ", ")")
+          case SpanChainQ(_, ts, g) =>
+            // chainWindowCount in lockstep: the ordered chain with the
+            // anchor-bounded last element (a0 is the anchor var)
+            val w = g + ts.size - 1
+            def chainB(rest: Seq[String], prev: String, d: Int): String =
+              rest match {
+                case h +: t if t.isEmpty =>
+                  s"len(list_filter(${posOf(f, h)}, " +
+                    s"v$d -> v$d > $prev AND v$d <= a0 + $w)) > 0"
+                case h +: t =>
+                  s"len(list_filter(${posOf(f, h)}, v$d -> " +
+                    s"v$d > $prev AND v$d <= a0 + $w AND " +
+                    s"${chainB(t, s"v$d", d + 1)})) > 0"
+                case _ => "TRUE" // unreachable: ≥ 2 terms by parse
+              }
+            s"len(list_filter(${posOf(f, ts.head)}, a0 -> " +
+              s"${chainB(ts.tail, "a0", 1)}))"
+          case SpanWithinQ(_, lt, t1, t2, sl, ord) =>
+            // scanF's enclosure lambdas in lockstep
+            val gate =
+              if (ord) s"y0 > x0 AND y0 - x0 <= ${sl + 1}"
+              else s"abs(y0 - x0) <= ${sl + 1}"
+            s"len(list_filter(${posOf(f, lt)}, q0 -> " +
+              s"len(list_filter(${posOf(f, t1)}, x0 -> " +
+              s"len(list_filter(${posOf(f, t2)}, y0 -> $gate AND " +
+              "q0 >= least(x0, y0) AND q0 <= greatest(x0, y0))) > 0)) " +
+              "> 0))"
           case other => fail(s"not a span key: $other") // unreachable
         }
         s"$expr AS qsp${p.sfIdx(k)}"
@@ -6017,6 +6583,7 @@ object Dsl {
               dt == org.apache.spark.sql.types.StringType
             case _: SBool =>
               dt == org.apache.spark.sql.types.BooleanType
+            case _: SDate => false // scalar() never yields one here
           }
           if (!ok) fail(s"agg '${s.name}': missing value ${v.sql} does " +
             s"not match field '$fl' of type ${dt.simpleString}")
@@ -6034,7 +6601,7 @@ object Dsl {
         Some(fs.map(f => col(f).cast("string"))
           .reduce((a, c) => concat(a, lit("|"), c)))
       case RareTermsAgg(x, _) => Some(col(x))
-      case DateHistAgg(x, iv) =>
+      case DateHistAgg(x, iv, _) =>
         Some(if (iv == "month") date_format(col(x), "yyyy-MM")
              else col(x))
       case AutoDateHistAgg(x, bk) =>
@@ -6142,8 +6709,8 @@ object Dsl {
         case (AggSpec(_, DateRangeAgg(fld, ranges), _, _), i) =>
           ranges.zipWithIndex.map { case (r, j) =>
             val cond = (Seq(col(fld).isNotNull) ++
-              r._1.map(d => col(fld) >= to_date(lit(d))) ++
-              r._2.map(d => col(fld) < to_date(lit(d)))).reduce(_ && _)
+              r._1.map(d => col(fld) >= to_date(lit(d.iso))) ++
+              r._2.map(d => col(fld) < to_date(lit(d.iso)))).reduce(_ && _)
             (i, j, dateRangeLabel(r), cond)
           }
         case _ => Seq.empty
@@ -6347,6 +6914,31 @@ object Dsl {
           // the long-tail cut: count CEILING, no top-N (every rare
           // bucket emits — the ES contract)
           sel.filter($"doc_count" <= m)
+        case DateHistAgg(_, iv, true) =>
+          // min_doc_count 0 gap fill (VERDICT r15 #4): the complete
+          // key sequence between the first and last POPULATED bucket
+          // left-joins the populated rows — empty buckets carry
+          // doc_count 0 and NULL metric slots, and the sibling
+          // pipeline windows (which read THIS cut) cross gaps like
+          // ES. |buckets| rows of work, no corpus cost; an empty
+          // match set explodes an empty sequence (no rows).
+          val span = sel.agg(min($"key").as("k0"), max($"key").as("k1"))
+          val allKeys =
+            if (iv == "month")
+              span.select(explode(sequence(
+                to_date(concat($"k0", lit("-01"))),
+                to_date(concat($"k1", lit("-01"))),
+                expr("interval 1 month"))).as("kd"))
+                .select(date_format($"kd", "yyyy-MM").as("key"))
+            else
+              span.select(explode(sequence(to_date($"k0"),
+                to_date($"k1"), expr("interval 1 day"))).as("kd"))
+                .select($"kd".cast("string").as("key"))
+          allKeys.join(sel.drop("key2"), Seq("key"), "left")
+            .select(($"key" +: key2Blank +:
+              coalesce($"doc_count", lit(0L)).as("doc_count") +:
+              Seq($"v_count", $"v_sum", $"v_min", $"v_max", $"v_avg",
+                $"v_pct")): _*)
         case _ => sel
       }
       // the bucket-script trio post-processes the RETURNED buckets —
@@ -6684,6 +7276,7 @@ object Dsl {
     case PNum(v) => (lit(v.toDouble),
       s"CAST(${v.underlying.toPlainString} AS DOUBLE)")
     case PParam(n) => resolve(n)
+    case PDoc(f) => (col(f).cast("double"), s"CAST(f.$f AS DOUBLE)")
     case PBin(op, l, r) =>
       val (lc, ls) = pexprEmit(l, resolve)
       val (rc, rs) = pexprEmit(r, resolve)
@@ -6691,7 +7284,13 @@ object Dsl {
         case "+" => (lc + rc, s"($ls + $rs)")
         case "-" => (lc - rc, s"($ls - $rs)")
         case "*" => (lc * rc, s"($ls * $rs)")
-        case "/" => (lc / rc, s"($ls / $rs)")
+        case "/" =>
+          // engine divergence guard (ADVICE r15): Spark's non-ANSI
+          // Divide returns NULL on /0 while DuckDB's IEEE doubles give
+          // ±inf/NaN. NULLIF the divisor in BOTH engines so a
+          // zero-valued metric yields NULL on both sides of the oracle.
+          (lc / when(rc === lit(0.0), lit(null).cast("double"))
+            .otherwise(rc), s"($ls / NULLIF($rs, 0))")
         case ">" => (lc > rc, s"($ls > $rs)")
         case ">=" => (lc >= rc, s"($ls >= $rs)")
         case "<" => (lc < rc, s"($ls < $rs)")
@@ -6855,7 +7454,7 @@ object Dsl {
       case TermsAgg(f, _, _, Some(v), _, _, _) =>
         (s"COALESCE($f, ${v.sql})", None)
       case TermsAgg(f, _, _, None, _, _, _) => (f, Some(f))
-      case DateHistAgg(f, iv) =>
+      case DateHistAgg(f, iv, _) =>
         (if (iv == "month") s"strftime($f, '%Y-%m')" else f, Some(f))
       case AutoDateHistAgg(f, bk) =>
         // the declarative twin of the broadcast span column: scalar
@@ -6913,9 +7512,33 @@ object Dsl {
             if (minDoc > 1) s"\n  HAVING COUNT(*) >= $minDoc" else ""
           inner(kx, guard, having, s"\n  ORDER BY $ordSql LIMIT $n",
             keyConds)
-        case DateHistAgg(fld, iv) =>
+        case DateHistAgg(fld, iv, false) =>
           val kx2 = if (iv == "month") s"strftime($fld, '%Y-%m')" else fld
           inner(kx2, Some(fld), "", "")
+        case DateHistAgg(fld, iv, true) =>
+          // min_doc_count 0 gap fill — generate_series over the
+          // populated span, LEFT JOIN the populated buckets (the
+          // groupingCut twin); empty buckets: doc_count 0, NULL slots
+          val kx2 = if (iv == "month") s"strftime($fld, '%Y-%m')" else fld
+          val base = inner(kx2, Some(fld), "", "")
+          def bound(f2: String): String =
+            if (iv == "month")
+              s"date_trunc('month', (SELECT $f2($fld) FROM m " +
+                s"WHERE $fld IS NOT NULL))"
+            else s"(SELECT $f2($fld) FROM m WHERE $fld IS NOT NULL)"
+          val render = if (iv == "month") "strftime(kd, '%Y-%m')"
+            else "CAST(CAST(kd AS DATE) AS VARCHAR)"
+          val unit = if (iv == "month") "MONTH" else "DAY"
+          s"""SELECT $name AS agg, gs.key, '' AS key2,
+             |    COALESCE(pb.doc_count, 0) AS doc_count,
+             |    pb.v_count, pb.v_sum, pb.v_min, pb.v_max, pb.v_avg,
+             |    pb.v_pct
+             |  FROM (SELECT CAST($render AS VARCHAR) AS key
+             |        FROM (SELECT unnest(generate_series(
+             |          ${bound("MIN")}, ${bound("MAX")},
+             |          INTERVAL 1 $unit)) AS kd) AS g0) AS gs
+             |  LEFT JOIN (
+             |  $base) AS pb USING (key)""".stripMargin
         case a @ AutoDateHistAgg(_, _) =>
           val (kx2, guard) = keySqlOf(a)
           inner(kx2, guard, "", "")
@@ -7098,8 +7721,8 @@ object Dsl {
         case DateRangeAgg(fld, ranges) =>
           ranges.map { r =>
             val conds = (Seq(s"f.$fld IS NOT NULL") ++
-              r._1.map(d => s"f.$fld >= DATE '$d'") ++
-              r._2.map(d => s"f.$fld < DATE '$d'")).mkString(" AND ")
+              r._1.map(d => s"f.$fld >= ${d.sql}") ++
+              r._2.map(d => s"f.$fld < ${d.sql}")).mkString(" AND ")
             s"""SELECT $name AS agg, '${dateRangeLabel(r)}' AS key,
                |  '' AS key2,
                |  COUNT(*) AS doc_count, ${stats.mkString(",\n  ")}
@@ -7943,6 +8566,7 @@ object Dsl {
           s"$root — rebuild the index from a corpus carrying it"))
       d.select(($"doc_id" +: metaFields.map(col)): _*)
     }.reduce(_ unionByName _)
+    checkFieldTypes(meta.schema, p)
     val allToks = (p.tkeys.map(_._2) ++ p.pkeys.flatMap(_._2) ++
       p.skeys.flatMap(spanToksOf)).distinct
     val posts =
@@ -8087,6 +8711,24 @@ object Dsl {
             .select($"doc_id", windowAnchorCount(
               ts.indices.map(i => col(s"g$i")), g + ts.size - 1)
               .cast("int").as(colName))
+        case SpanChainQ(_, ts, g) =>
+          ts.zipWithIndex.map { case (t, i) => posDf(t, s"g$i") }
+            .reduce((x, y) => x.join(y, "doc_id"))
+            .select($"doc_id", chainWindowCount(
+              ts.indices.map(i => col(s"g$i")), g + ts.size - 1)
+              .cast("int").as(colName))
+        case SpanWithinQ(_, lt, t1, t2, sl, ord) =>
+          // all three participants required — inner joins, then the
+          // same enclosure lambdas as the scan path
+          posDf(lt, "pl").join(posDf(t1, "p1"), "doc_id")
+            .join(posDf(t2, "p2"), "doc_id")
+            .select($"doc_id",
+              size(filter($"pl", q => exists($"p1", x =>
+                exists($"p2", y =>
+                  (if (ord) y > x && y - x <= lit(sl + 1)
+                   else abs(y - x) <= lit(sl + 1)) &&
+                    q >= least(x, y) && q <= greatest(x, y)))))
+                .cast("int").as(colName))
         case other => fail(s"not a span key: $other") // unreachable
       }
     }
@@ -8266,6 +8908,8 @@ object Dsl {
           szkeys = gPlans.flatMap(_.szkeys).distinct,
           skts = gPlans.flatMap(_.skts).distinct,
           exact = gPlans.flatMap(_.exact).distinct,
+          rndFields = gPlans.flatMap(_.rndFields).distinct,
+          sciFields = gPlans.flatMap(_.sciFields).distinct,
           c = C(lit(true), "TRUE",
             if (gPlans.exists(_.needsStats)) Some((lit(0.0), "0.0"))
             else None))
@@ -8569,6 +9213,37 @@ object Dsl {
     searchDslFromIndexes(spark,
       Search.sharedDailyIndexDirs(spark, dir)._1, DistanceFeatureQuery)
 
+  /** Registered DATE-MATH range body (VERDICT r15 #3): every bound is
+    * explicit-anchor date math — `gte` "2025-12-26||+7d" → 2026-01-02,
+    * `lte` "2026-02-03||-1M/d" → 2026-01-03, and a `gt`
+    * "2025-12-15||/M" exercising the ROUND-UP rule (gt excludes the
+    * whole rounded month: > 2025-12-31). The Spark plan compares the
+    * Scala-resolved literals; the ORACLE re-derives each bound with
+    * DuckDB DATE arithmetic, cross-checking the evaluator. `now`
+    * refuses (evaluation-time-dependent). */
+  val DateMathQuery: String =
+    """{"query": {"bool": {
+      |  "must": [{"match": {"text": "dup"}}],
+      |  "filter": [
+      |    {"range": {"persist_date": {
+      |      "gte": "2025-12-26||+7d", "lte": "2026-02-03||-1M/d"}}},
+      |    {"range": {"persist_date": {"gt": "2025-12-15||/M"}}}]
+      |}}, "size": 40}""".stripMargin
+
+  def searchDslDateMath(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Search.withPersistDate(Tables.documentsPar(spark, dir)),
+      DateMathQuery)
+
+  val searchDslDateMathSql: String =
+    dslSqlOver(DateMathQuery, Search.PersistDateRel)
+
+  /** Registered query: [[DateMathQuery]] SERVED from the daily
+    * indices' docmeta doc-values; same oracle. */
+  def searchDslDateMathServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Search.sharedDailyIndexDirs(spark, dir)._1, DateMathQuery)
+
   /** Registered `collapse` — field collapsing: one best-ranked hit per
     * `source` (the "one result per site" pattern), collapsed BEFORE
     * the page cut by a per-group window — rank state is per-group
@@ -8716,6 +9391,36 @@ object Dsl {
       dir: String): DataFrame =
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), Intervals2Query)
+
+  /** Registered round-16 intervals slice: k = 3 ORDERED + BOUNDED
+    * intervals (the exact total-gap chain [[SpanChainQ]] — positions
+    * strictly increasing with pₖ − p₁ + 1 − k ≤ max_gaps, where the
+    * old sloppy-phrase stand-in would have used per-word windows) and
+    * a k = 3 UNORDERED span_near (the minimal-window cover
+    * [[SpanWindowQ]] — the combination that refused until r16). */
+  val Intervals3Query: String =
+    """{"query": {"bool": {
+      |  "must": [{"intervals": {"text": {"match":
+      |    {"query": "hash vector merge", "max_gaps": 12,
+      |     "ordered": true}}}},
+      |    {"match": {"text": "hash"}}],
+      |  "filter": [{"span_near": {"clauses": [
+      |    {"span_term": {"text": "small"}},
+      |    {"span_term": {"text": "hash"}},
+      |    {"span_term": {"text": "vector"}}],
+      |    "slop": 8, "in_order": false}}]
+      |}}, "size": 30}""".stripMargin
+
+  def searchDslIntervals3(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), Intervals3Query)
+
+  val searchDslIntervals3Sql: String = dslSql(Intervals3Query)
+
+  /** Registered query: [[Intervals3Query]] SERVED; same oracle. */
+  def searchDslIntervals3Served(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), Intervals3Query)
 
   /** Registered `_mget` — three ids in request order, the middle one
     * a guaranteed miss (found = false row, the ES contract). */
@@ -8918,6 +9623,47 @@ object Dsl {
     dslAggsFromIndexes(spark,
       Search.sharedDailyIndexDirs(spark, dir)._1, AggsPipelineQuery)
 
+  /** Registered GAP-FILL pipeline body (VERDICT r15 #4 — the
+    * COVERAGE.md documented divergence, closed): `min_doc_count: 0`
+    * date_histograms over a GAPPY date (quadratic day offsets 0/7/28/63
+    * from the epoch — empty interior days AND an entirely empty
+    * February at month grain), each under a pipeline sub. The
+    * derivative must emit 0−0 deltas THROUGH the empty days and the
+    * cumulative_sum must carry its running total ACROSS the empty
+    * month — windows over the gap-FILLED bucket frame, |buckets| rows,
+    * zero extra corpus cost. */
+  val AggsGapFillQuery: String =
+    """{"query": {"match": {"text": "dup"}}, "size": 0,
+      |  "aggs": {
+      |    "daily_fill": {"date_histogram": {"field": "gap_date",
+      |        "calendar_interval": "day", "min_doc_count": 0},
+      |      "aggs": {"delta": {"derivative": {"buckets_path":
+      |        "_count"}}}},
+      |    "monthly_fill": {"date_histogram": {"field": "gap_date",
+      |        "calendar_interval": "month", "min_doc_count": 0},
+      |      "aggs": {"running": {"cumulative_sum": {"buckets_path":
+      |        "_count"}}}}}}""".stripMargin
+
+  /** The gappy-date fixture: quadratic offsets leave holes a
+    * consecutive fixture cannot — (doc_id%4)² × 7 days from the
+    * persist epoch → 2026-01-01, 01-08, 01-29, 03-05. */
+  val GapDateRel: String =
+    s"(SELECT *, DATE '${Search.PersistEpoch}' + " +
+      "CAST((doc_id % 4) * (doc_id % 4) * 7 AS INT) AS gap_date " +
+      "FROM documents)"
+
+  private def withGapDate(docs: DataFrame): DataFrame =
+    docs.withColumn("gap_date",
+      date_add(to_date(lit(Search.PersistEpoch)),
+        ((col("doc_id") % 4) * (col("doc_id") % 4) * 7).cast("int")))
+
+  def dslAggsGapFill(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(withGapDate(Tables.documentsPar(spark, dir)),
+      AggsGapFillQuery)
+
+  val dslAggsGapFillOracleSql: String =
+    dslAggsSqlOver(AggsGapFillQuery, GapDateRel)
+
   /** Registered round-14 agg families II — the remaining everyday ES
     * aggregation types in one body: `multi_terms` (compound
     * lang|source keys, `|`-joined like ES's key_as_string),
@@ -8993,6 +9739,32 @@ object Dsl {
 
   val dslAggsExt3OracleSql: String = dslAggsSqlOver(AggsExt3Query, Ext3Rel)
 
+  /** Registered DATE-MATH aggs body (VERDICT r15 #3): `date_range`
+    * bounds written as explicit-anchor date math — `/M` month
+    * round-down, `±Nd`/`±NM` chains — resolving to the era cuts
+    * [*, 01-01), [01-01, 01-02), [01-02, *] over the 3-day
+    * persist_date fixture; the first bucket is EMPTY (doc_count 0,
+    * NULL avg — the emitted-anyway ES contract). The oracle re-derives
+    * every bound with DuckDB DATE arithmetic, so the LocalDate
+    * evaluator is cross-checked, not trusted. */
+  val AggsDateMathQuery: String =
+    """{"query": {"match": {"text": "dup"}}, "size": 0,
+      |  "aggs": {
+      |    "eras_math": {"date_range": {"field": "persist_date",
+      |      "ranges": [
+      |        {"to": "2026-01-09||/M"},
+      |        {"from": "2026-01-09||/M", "to": "2025-12-26||+7d"},
+      |        {"from": "2026-02-02||-1M/d"}]},
+      |      "aggs": {"chars": {"avg": {"field": "n_chars"}}}}}}"""
+    .stripMargin
+
+  def dslAggsDateMath(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Search.withPersistDate(Tables.documentsPar(spark, dir)),
+      AggsDateMathQuery)
+
+  val dslAggsDateMathOracleSql: String =
+    dslAggsSqlOver(AggsDateMathQuery, Search.PersistDateRel)
+
   /** Registered SPAN-ALGEBRA body — the round-15 span combinators in
     * one query: a `span_first` must (dup within the first 60 tokens),
     * a `span_not` filter (that dup occurrence NOT within 3 tokens of
@@ -9026,6 +9798,42 @@ object Dsl {
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), SpansQuery)
 
+  /** Registered SPAN-ENCLOSURE body (VERDICT r15 #2 — the last span
+    * combinators): a `span_within` must (little "vector" inside an
+    * unordered dup↔merge near-span) beside a `span_containing` filter
+    * (little "hash" inside an ordered dup→vector pair) — both compile
+    * to the [[SpanWithinQ]] enclosure count; a scored match keeps the
+    * page BM25-ranked. */
+  val SpanWithinQuery: String =
+    """{"query": {"bool": {
+      |  "must": [{"match": {"text": "hash"}},
+      |    {"span_within": {
+      |      "little": {"span_term": {"text": "vector"}},
+      |      "big": {"span_near": {"clauses": [
+      |        {"span_term": {"text": "hash"}},
+      |        {"span_term": {"text": "merge"}}],
+      |        "slop": 15, "in_order": false}}}}],
+      |  "filter": [
+      |    {"span_containing": {
+      |      "little": {"span_term": {"text": "merge"}},
+      |      "big": {"span_near": {"clauses": [
+      |        {"span_term": {"text": "hash"}},
+      |        {"span_term": {"text": "vector"}}],
+      |        "slop": 15, "in_order": true}}}}]
+      |}}, "size": 30}""".stripMargin
+
+  def searchDslSpanWithin(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), SpanWithinQuery)
+
+  val searchDslSpanWithinSql: String = dslSql(SpanWithinQuery)
+
+  /** Registered query: [[SpanWithinQuery]] SERVED from positional
+    * postings; same oracle. */
+  def searchDslSpanWithinServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), SpanWithinQuery)
+
   /** Registered SUGGEST body — the search-box loop end-to-end in the
     * DSL: a completion suggester on the shared corpus prefix, its
     * typo-tolerant fuzzy twin on the misspelled prefix, and a term
@@ -9053,6 +9861,34 @@ object Dsl {
   def dslSuggestServed(spark: SparkSession, dir: String): DataFrame =
     dslSuggestFromIndex(spark, Search.sharedIndexDir(spark, dir),
       SuggestBodyQuery)
+
+  /** Registered PHRASE-SUGGESTER body (VERDICT r15 #5): two-token
+    * inputs with one typo'd token each — "hash vektor" (edit-1 fix on
+    * the second token) and "smal vector" (edit-2 budget on the first)
+    * — candidates re-ranked by corpus BIGRAM frequency, the bigram-LM
+    * machinery's count-space rescore. The oracle rebuilds vocabulary,
+    * candidates, AND the bigram counts in DuckDB. */
+  val SuggestPhraseQuery: String =
+    """{"suggest": {
+      |  "fix": {"text": "hash vektor",
+      |    "phrase": {"field": "text", "size": 5, "max_edits": 1,
+      |      "max_errors": 1}},
+      |  "fix2": {"text": "smal vector",
+      |    "phrase": {"field": "text", "size": 5, "max_edits": 2}}}}"""
+      .stripMargin
+
+  def dslSuggestPhrase(spark: SparkSession, dir: String): DataFrame =
+    dslSuggestOf(Tables.documentsPar(spark, dir), SuggestPhraseQuery)
+
+  val dslSuggestPhraseOracleSql: String =
+    dslSuggestSqlOver(SuggestPhraseQuery, "documents")
+
+  /** Registered query: [[SuggestPhraseQuery]] SERVED — candidates
+    * from the index term dictionary, bigram counts from the
+    * positional postings' adjacency; same oracle. */
+  def dslSuggestPhraseServed(spark: SparkSession, dir: String): DataFrame =
+    dslSuggestFromIndex(spark, Search.sharedIndexDir(spark, dir),
+      SuggestPhraseQuery)
 
   /** Registered POST_FILTER body — the faceted-search split: the
     * query's match set feeds aggregations (see the same-body
@@ -9704,6 +10540,33 @@ object Dsl {
       dir: String): DataFrame =
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), RandomScoreQuery)
+
+  /** Registered `script_score` — the ARITHMETIC subset (VERDICT r15
+    * #6): params + `doc['n_chars'].value` through the shared PExpr
+    * grammar; the inner bool gates in filter context and the script's
+    * value IS the score (integer-in-double arithmetic — no libm, both
+    * engines bit-agree; ties break by doc_id). */
+  val ScriptScoreQuery: String =
+    """{"query": {"script_score": {
+      |  "query": {"bool": {"filter": [
+      |    {"range": {"n_chars": {"gte": 60}}},
+      |    {"exists": {"field": "source"}}]}},
+      |  "script": {
+      |    "source": "(doc['n_chars'].value + params.a) * params.w / 100",
+      |    "params": {"a": 7, "w": 3}}}},
+      |  "size": 40}""".stripMargin
+
+  def searchDslScriptScore(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), ScriptScoreQuery)
+
+  val searchDslScriptScoreSql: String = dslSql(ScriptScoreQuery)
+
+  /** Registered query: [[ScriptScoreQuery]] SERVED from the index's
+    * numeric doc-values; same oracle. */
+  def searchDslScriptScoreServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), ScriptScoreQuery)
 
   /** Registered BOOSTING body — penalize-don't-exclude: matches of the
     * negative clause stay in the result set at `negative_boost` × their

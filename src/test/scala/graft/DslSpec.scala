@@ -2,7 +2,7 @@ package graft
 
 import graft.ops.{Dsl, Search}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{array, lit, struct}
+import org.apache.spark.sql.functions.{array, col, date_add, lit, struct, to_date}
 
 /** The ES query-DSL compiler's semantics the generated oracle can't
   * express alone: clause-context rules (filter gates without scoring,
@@ -1678,6 +1678,224 @@ class DslSpec extends SparkSpec {
       .contains("negative"))
   }
 
+  test("date_histogram min_doc_count 0 fills gaps; pipelines cross them") {
+    // gap_date = 2026-01-01 + (doc_id%4)² days → 01-01 (docs 0,4),
+    // 01-02 (1), 01-05 (2), 01-10 (3): interior gaps 03–04 and 06–09
+    val gappy = tiny.withColumn("gap_date",
+      date_add(to_date(lit("2026-01-01")),
+        ((col("doc_id") % 4) * (col("doc_id") % 4)).cast("int")))
+    val rows = Dsl.dslAggsOf(gappy, """{"size": 0, "aggs":
+      {"d": {"date_histogram": {"field": "gap_date",
+        "calendar_interval": "day", "min_doc_count": 0},
+       "aggs": {"run": {"cumulative_sum": {"buckets_path":
+         "_count"}}}}}}""").collect()
+    val parent = rows.filter(_.getString(0) == "d")
+    assert(parent.length == 10, "10 daily buckets including empties")
+    assert(parent.count(r => r.getLong(r.fieldIndex("doc_count")) == 0L)
+      == 6, "6 empty interior buckets")
+    val run = rows.filter(_.getString(0) == "d.run")
+      .sortBy(_.getString(1))
+      .map(r => r.getDouble(r.fieldIndex("v_sum"))).toSeq
+    assert(run == Seq(2.0, 3.0, 3.0, 3.0, 4.0, 4.0, 4.0, 4.0, 4.0, 5.0),
+      "the running total must carry ACROSS the empty buckets")
+    // the default (populated-only) shape is unchanged
+    val dflt = Dsl.dslAggsOf(gappy, """{"size": 0, "aggs":
+      {"d": {"date_histogram": {"field": "gap_date",
+        "calendar_interval": "day"}}}}""").collect()
+    assert(dflt.length == 4, "default min_doc_count emits populated only")
+    // refusals: only 0/1 are meaningful
+    val m = intercept[IllegalArgumentException](Dsl.dslAggsOf(gappy,
+      """{"size": 0, "aggs": {"d": {"date_histogram": {"field":
+        "gap_date", "calendar_interval": "day",
+        "min_doc_count": 2}}}}""")).getMessage
+    assert(m.contains("min_doc_count"))
+  }
+
+  test("date math: explicit anchors, per-bound rounding, oracle-shared") {
+    // tiny + persist_date: doc_id % 3 days from 2026-01-01 —
+    // docs 0,3 → 01-01; 1,4 → 01-02; 2 → 01-03
+    val dated = Search.withPersistDate(tiny)
+    def hits(bounds: String): Set[Long] =
+      ids(run(s"""{"query": {"bool": {"filter": [{"range":
+        {"persist_date": {$bounds}}}]}}}""", dated)).toSet
+    // day chains resolve exactly: 2025-12-26 + 7d = 2026-01-02
+    assert(hits(""""gte": "2025-12-26||+7d"""") == Set(1L, 2L, 4L))
+    // month arithmetic with day rounding (identity at day grain)
+    assert(hits(""""lte": "2026-02-03||-1M/d"""") ==
+      Set(0L, 1L, 2L, 3L, 4L))
+    // lt rounds /M DOWN: 2026-01-15||/M → 2026-01-01, nothing earlier
+    assert(hits(""""lt": "2026-01-15||/M"""").isEmpty)
+    // gt rounds /M UP: > 2025-12-31 keeps everything
+    assert(hits(""""gt": "2025-12-15||/M"""") == Set(0L, 1L, 2L, 3L, 4L))
+    // gte rounds /M DOWN: ≥ 2026-01-01 keeps everything
+    assert(hits(""""gte": "2026-01-20||/M"""") == Set(0L, 1L, 2L, 3L, 4L))
+    // lte rounds /M UP to the month's last day
+    assert(hits(""""lte": "2026-01-02||/M"""") == Set(0L, 1L, 2L, 3L, 4L))
+    // chained ops: -1M then +1d from 2026-02-02 → 2026-01-03
+    assert(hits(""""gte": "2026-02-02||-1M+1d"""") == Set(2L))
+    // month-end clamp matches java.time AND DuckDB: 2026-01-31||+1M
+    // → 2026-02-28 (not an invalid Feb 31)
+    assert(hits(""""lte": "2026-01-31||+1M"""") == Set(0L, 1L, 2L, 3L, 4L))
+    // refusals
+    def msg(bounds: String): String =
+      intercept[IllegalArgumentException](run(s"""{"query": {"bool":
+        {"filter": [{"range": {"persist_date": {$bounds}}}]}}}""",
+        dated)).getMessage
+    assert(msg(""""gte": "now-7d"""").contains("now"))
+    assert(msg(""""gte": "now-7d/d"""").contains("now"))
+    assert(msg(""""gte": "2026-01-01||+1y"""")
+      .contains("unsupported date-math"))
+    assert(msg(""""gte": "2026-02-31||-1d"""")
+      .contains("not a calendar date"))
+    // date_range agg math bounds ≡ their resolved literals (keys show
+    // the RESOLVED day, so the frames match row-for-row)
+    def aggBody(b1: String, b2: String): String =
+      s"""{"size": 0, "aggs": {"eras": {"date_range":
+        {"field": "persist_date", "ranges": [
+          {"to": $b1}, {"from": $b1, "to": $b2}, {"from": $b2}]},
+        "aggs": {"chars": {"avg": {"field": "n_chars"}}}}}}"""
+    val math = Dsl.dslAggsOf(dated,
+      aggBody("\"2026-01-09||/M\"", "\"2025-12-26||+7d\""))
+      .collect().map(_.toSeq).toSeq
+    val lit0 = Dsl.dslAggsOf(dated,
+      aggBody("\"2026-01-01\"", "\"2026-01-02\""))
+      .collect().map(_.toSeq).toSeq
+    assert(math == lit0, "math bounds must equal their resolved literals")
+  }
+
+  test("span_within/span_containing: little enclosed by a near pair") {
+    // tiny positions: 4=[alpha@1,beta@2,gamma@3] — beta sits inside the
+    // alpha..gamma pair (distance 2 = slop 1); doc 2 has beta+gamma but
+    // no alpha, so it never encloses
+    val within = """{"query": {"span_within": {
+      "little": {"span_term": {"text": "beta"}},
+      "big": {"span_near": {"clauses": [
+        {"span_term": {"text": "alpha"}},
+        {"span_term": {"text": "gamma"}}],
+        "slop": 1, "in_order": %s}}}}}"""
+    assert(ids(run(within.format("false"), tiny)) == Seq(4L))
+    assert(ids(run(within.format("true"), tiny)) == Seq(4L),
+      "alpha precedes gamma in doc 4 — ordered must also match")
+    // reversed ordered pair never occurs
+    assert(ids(run("""{"query": {"span_within": {
+      "little": {"span_term": {"text": "beta"}},
+      "big": {"span_near": {"clauses": [
+        {"span_term": {"text": "gamma"}},
+        {"span_term": {"text": "alpha"}}],
+        "slop": 1, "in_order": true}}}}}""", tiny)).isEmpty)
+    // slop 0: the pair's gap is 1 (beta between) — no enclosure
+    assert(ids(run("""{"query": {"span_within": {
+      "little": {"span_term": {"text": "beta"}},
+      "big": {"span_near": {"clauses": [
+        {"span_term": {"text": "alpha"}},
+        {"span_term": {"text": "gamma"}}],
+        "slop": 0, "in_order": false}}}}}""", tiny)).isEmpty)
+    // span_containing matches the same DOCUMENT set (documented scope)
+    assert(ids(run("""{"query": {"span_containing": {
+      "little": {"span_term": {"text": "beta"}},
+      "big": {"span_near": {"clauses": [
+        {"span_term": {"text": "alpha"}},
+        {"span_term": {"text": "gamma"}}],
+        "slop": 1, "in_order": false}}}}}""", tiny)) == Seq(4L))
+    // little = one of the big's own terms is legal (Lucene allows it):
+    // alpha inside alpha..gamma — q may equal an endpoint
+    assert(ids(run("""{"query": {"span_within": {
+      "little": {"span_term": {"text": "alpha"}},
+      "big": {"span_near": {"clauses": [
+        {"span_term": {"text": "alpha"}},
+        {"span_term": {"text": "gamma"}}],
+        "slop": 1, "in_order": false}}}}}""", tiny)) == Seq(4L))
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"span_within": {
+      "little": {"span_term": {"text": "beta"}},
+      "big": {"span_term": {"text": "alpha"}}}}}""")
+      .contains("span_near"))
+    assert(msg("""{"query": {"span_within": {
+      "little": {"span_term": {"text": "beta"}},
+      "big": {"span_near": {"clauses": [
+        {"span_term": {"text": "alpha"}},
+        {"span_term": {"text": "alpha"}}],
+        "slop": 1, "in_order": false}}}}}""").contains("DISTINCT"))
+    assert(msg("""{"query": {"span_containing": {
+      "little": {"span_term": {"head": "beta"}},
+      "big": {"span_near": {"clauses": [
+        {"span_term": {"text": "alpha"}},
+        {"span_term": {"text": "gamma"}}],
+        "slop": 1, "in_order": false}}}}}""").contains("ONE field"))
+    assert(msg("""{"query": {"span_within": {
+      "little": {"span_term": {"text": "beta"}},
+      "big": {"span_near": {"clauses": [
+        {"span_term": {"text": "alpha"}},
+        {"span_term": {"text": "gamma"}}],
+        "slop": 1, "in_order": false}}, "boost": 2}}}""")
+      .contains("unsupported option"))
+  }
+
+  test("intervals ordered+bounded chain is exact; k-term unordered near") {
+    // doc 4 = [alpha@1, beta@2, gamma@3]: the adjacent ordered triple
+    assert(ids(run("""{"query": {"intervals": {"text": {"match":
+      {"query": "alpha beta gamma", "max_gaps": 0,
+       "ordered": true}}}}}""", tiny)) == Seq(4L))
+    // repeated terms chain fine (strict ordering separates them):
+    // doc 0 = [rare@1, alpha@2, alpha@3]
+    assert(ids(run("""{"query": {"intervals": {"text": {"match":
+      {"query": "rare alpha alpha", "max_gaps": 0,
+       "ordered": true}}}}}""", tiny)) == Seq(0L))
+    // reversed order never matches
+    assert(ids(run("""{"query": {"intervals": {"text": {"match":
+      {"query": "gamma beta alpha", "max_gaps": 3,
+       "ordered": true}}}}}""", tiny)).isEmpty)
+    // THE r16 fidelity pin: the old sloppy-phrase stand-in checked
+    // per-word windows INDEPENDENTLY, so interior words out of order
+    // slipped through; the chain refuses them
+    val disc = Seq((0L, "alpha gamma beta", "en", "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(ids(run("""{"query": {"intervals": {"text": {"match":
+      {"query": "alpha beta gamma", "max_gaps": 3,
+       "ordered": true}}}}}""", disc)).isEmpty,
+      "interior words out of order must not match an ordered chain")
+    // the total-gap budget binds: alpha..gamma spread needs gaps ≥ its
+    // interior size
+    val spread = Seq((0L, "alpha x y beta z gamma", "en", "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def gapsRun(g: Int): Seq[Long] =
+      ids(run(s"""{"query": {"intervals": {"text": {"match":
+        {"query": "alpha beta gamma", "max_gaps": $g,
+         "ordered": true}}}}}""", spread))
+    assert(gapsRun(3) == Seq(0L) && gapsRun(2).isEmpty,
+      "total interior gaps = 3 must need max_gaps ≥ 3")
+    // all_of single-term children route identically
+    assert(ids(run("""{"query": {"intervals": {"text": {"all_of":
+      {"ordered": true, "max_gaps": 1, "intervals": [
+        {"match": {"query": "alpha"}}, {"match": {"query": "beta"}},
+        {"match": {"query": "gamma"}}]}}}}}""", tiny)) == Seq(4L))
+    // k-term unordered span_near = the minimal-window cover
+    assert(ids(run("""{"query": {"span_near": {"clauses": [
+      {"span_term": {"text": "gamma"}},
+      {"span_term": {"text": "alpha"}},
+      {"span_term": {"text": "beta"}}],
+      "slop": 0, "in_order": false}}}""", tiny)) == Seq(4L))
+    assert(ids(run("""{"query": {"span_near": {"clauses": [
+      {"span_term": {"text": "rare"}},
+      {"span_term": {"text": "alpha"}},
+      {"span_term": {"text": "beta"}}],
+      "slop": 2, "in_order": false}}}""", tiny)).isEmpty,
+      "no tiny doc carries all three terms")
+    // refusals: repeated unordered terms still need multiplicity
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"span_near": {"clauses": [
+      {"span_term": {"text": "alpha"}},
+      {"span_term": {"text": "alpha"}},
+      {"span_term": {"text": "beta"}}],
+      "slop": 2, "in_order": false}}}""").contains("DISTINCT"))
+    assert(msg("""{"query": {"intervals": {"text": {"match":
+      {"query": "alpha beta gamma rare alpha", "max_gaps": 3,
+       "ordered": true}}}}}""").contains("bound"))
+  }
+
   test("span algebra: span_first/span_not/span_or/unordered span_near") {
     // tiny positions: 0=[rare,alpha,alpha] 1=[alpha,beta] 2=[beta,
     // gamma] 3=[rare,beta] 4=[alpha,beta,gamma]
@@ -1802,7 +2020,7 @@ class DslSpec extends SparkSpec {
     def msg(json: String): String =
       intercept[IllegalArgumentException](
         Dsl.dslSuggestOf(tiny, json)).getMessage
-    assert(msg("""{"suggest": {"p": {"text": "a b", "phrase":
+    assert(msg("""{"suggest": {"p": {"text": "a b c", "phrase":
       {"field": "text"}}}}""").contains("phrase"))
     assert(msg("""{"suggest": {"c": {"prefix": "a", "completion":
       {"field": "lang"}}}}""").contains("term dictionary"))
@@ -1814,6 +2032,48 @@ class DslSpec extends SparkSpec {
     assert(msg("""{"suggest": {"c": {"prefix": "a", "completion":
       {"field": "text", "fuzzy": {"fuzziness": "AUTO"}}}}}""")
       .contains("AUTO"))
+  }
+
+  test("phrase suggester: ≤1-corrected-token candidates, bigram-ranked") {
+    // tiny bigrams: (rare,alpha)1 (alpha,alpha)1 (alpha,beta)2
+    // (beta,gamma)2 (rare,beta)1
+    def sg(json: String): Seq[(String, Int, String, Long)] =
+      Dsl.dslSuggestOf(tiny, json).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+          r.getLong(3))).toSeq
+    // typo in token 1: "alpa beta" → "alpha beta" (bigram freq 2);
+    // the unattested (alpa, beta) candidate drops
+    assert(sg("""{"suggest": {"p": {"text": "alpa beta",
+      "phrase": {"field": "text", "max_edits": 1}}}}""")
+      == Seq(("p", 1, "alpha beta", 2L)))
+    // typo in token 2: "rare bela" → "rare beta" (freq 1)
+    assert(sg("""{"suggest": {"p": {"text": "rare bela",
+      "phrase": {"field": "text", "max_edits": 1}}}}""")
+      == Seq(("p", 1, "rare beta", 1L)))
+    // clean input stays its own best suggestion (distance-0 candidate)
+    assert(sg("""{"suggest": {"p": {"text": "beta gamma",
+      "phrase": {"field": "text", "max_edits": 2,
+      "max_errors": 1}}}}""") == Seq(("p", 1, "beta gamma", 2L)))
+    // nothing attested → no suggestions (count-space: no smoothing mass)
+    assert(sg("""{"suggest": {"p": {"text": "gamma rare",
+      "phrase": {"field": "text", "max_edits": 1}}}}""").isEmpty)
+    // served ≡ scan on the real corpus (positional-postings adjacency)
+    assert(Dsl.dslSuggestPhraseServed(spark, sfDir).collect().toSeq ==
+      Dsl.dslSuggestPhrase(spark, sfDir).collect().toSeq,
+      "postings-served phrase suggest diverged from the scan path")
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslSuggestOf(tiny, json)).getMessage
+    assert(msg("""{"suggest": {"p": {"text": "a b c", "phrase":
+      {"field": "text"}}}}""").contains("two analyzed tokens"))
+    assert(msg("""{"suggest": {"p": {"text": "a b", "phrase":
+      {"field": "text", "max_errors": 2}}}}""").contains("max_errors"))
+    assert(msg("""{"suggest": {"p": {"text": "a b", "phrase":
+      {"field": "text", "max_edits": 3}}}}""").contains("max_edits"))
+    assert(msg("""{"suggest": {"p": {"text": "a b", "phrase":
+      {"field": "text", "smoothing": {}}}}}""")
+      .contains("unsupported option"))
   }
 
   test("post_filter narrows hits only; min_score floors; track_total_hits counts") {
@@ -1930,10 +2190,8 @@ class DslSpec extends SparkSpec {
       {"probability": 0.5}}}}""").contains("seed"))
     assert(msg("""{"size": 0, "aggs": {"a": {"auto_date_histogram":
       {"field": "pd", "buckets": 10}, "aggs": {"c": {"avg":
-      {"field": "n_chars"}}}}}}""").contains("metrics take no aggs") ||
-      msg("""{"size": 0, "aggs": {"a": {"auto_date_histogram":
-      {"field": "pd", "buckets": 10}, "aggs": {"c": {"avg":
-      {"field": "n_chars"}}}}}}""").contains("aggs"))
+      {"field": "n_chars"}}}}}}""")
+      .contains("auto_date_histogram takes no sub-aggregations"))
   }
 
   test("bucket_selector drops buckets; bucket_script computes; bucket_sort pages") {
@@ -1985,6 +2243,14 @@ class DslSpec extends SparkSpec {
     assert(Dsl.dslAggsBucketScriptServed(spark, sfDir).collect().toSeq ==
       Dsl.dslAggsBucketScript(spark, sfDir).collect().toSeq,
       "served bucket-script trio diverged from the scan path")
+    // ADVICE r15: '/' NULLIFs its divisor in BOTH engines — a
+    // zero-valued denominator yields NULL, not Spark-NULL-vs-DuckDB-inf
+    val dz = Dsl.dslAggsOf(tiny, """{"size": 0, "aggs": {"s": {"terms":
+      {"field": "source"}, "aggs": {"x": {"bucket_script":
+      {"buckets_path": {"n": "_count"},
+       "script": "params.n / (params.n - params.n)"}}}}}}""").collect()
+    assert(dz.nonEmpty && dz.forall(r => r.isNullAt(r.fieldIndex("v_sum"))),
+      "division by a zero-valued path must emit NULL")
     // refusals
     def msg(json: String): String =
       intercept[IllegalArgumentException](
@@ -2005,6 +2271,16 @@ class DslSpec extends SparkSpec {
       "source"}, "aggs": {"x": {"bucket_selector": {"buckets_path":
       {"n": "_count"}, "script": "doc['x'] > 1"}}}}}}""")
       .contains("Painless"))
+    // ADVICE r15: malformed numerals fail loudly at tokenize, not as a
+    // raw NumberFormatException from BigDecimal
+    assert(msg("""{"size": 0, "aggs": {"s": {"terms": {"field":
+      "source"}, "aggs": {"x": {"bucket_selector": {"buckets_path":
+      {"n": "_count"}, "script": "params.n > 1.2.3"}}}}}}""")
+      .contains("malformed number"))
+    assert(msg("""{"size": 0, "aggs": {"s": {"terms": {"field":
+      "source"}, "aggs": {"x": {"bucket_selector": {"buckets_path":
+      {"n": "_count"}, "script": "params.n > 1."}}}}}}""")
+      .contains("malformed number"))
     assert(msg("""{"size": 0, "aggs": {"s": {"range": {"field":
       "n_chars", "ranges": [{"to": 12}]}, "aggs": {"x":
       {"bucket_sort": {"sort": [{"_count": {"order": "desc"}}],
@@ -2121,6 +2397,43 @@ class DslSpec extends SparkSpec {
       == Dsl.searchDslFnScoreModes(spark, sfDir).collect().toSeq)
   }
 
+  test("script_score: arithmetic subset over doc values and params") {
+    // score = (n_chars + 4) * 2 — ranks by n_chars desc, doc_id ties:
+    // 16,16 (docs 0,4) then 10,10 (1,2) then 9 (3)
+    val page = ids(run("""{"query": {"script_score": {
+      "query": {"bool": {"filter": [{"exists": {"field": "text"}}]}},
+      "script": {"source":
+        "(doc['n_chars'].value + params.a) * params.w",
+      "params": {"a": 4, "w": 2}}}}}""", tiny))
+    assert(page == Seq(0L, 4L, 1L, 2L, 3L), "script value must rank")
+    // the inner query GATES: only en docs survive, still script-ranked
+    val gated = ids(run("""{"query": {"script_score": {
+      "query": {"term": {"lang": "en"}},
+      "script": "doc['n_chars'].value"}}}""", tiny))
+    assert(gated == Seq(0L, 1L, 3L), "inner query must gate the set")
+    // served twin equality on the shared index
+    assert(Dsl.searchDslScriptScoreServed(spark, sfDir).collect().toSeq
+      == Dsl.searchDslScriptScore(spark, sfDir).collect().toSeq,
+      "served script_score diverged from the scan path")
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    assert(msg("""{"query": {"script_score": {"query": {"match_all": {}},
+      "script": "_score * 2"}}}""").contains("_score"))
+    assert(msg("""{"query": {"script_score": {"query": {"match_all": {}},
+      "script": "doc['n_chars'].value > 2"}}}""").contains("arithmetic"))
+    assert(msg("""{"query": {"script_score": {"query": {"match_all": {}},
+      "script": "params.b * 2"}}}""").contains("params.b"))
+    assert(msg("""{"query": {"script_score": {"query": {"match_all": {}},
+      "script": "doc['lang'].value"}}}""").contains("not numeric"))
+    assert(msg("""{"query": {"script_score": {"query": {"match_all": {}},
+      "script": "1", "min_score": 2}}}""").contains("unsupported option"))
+    assert(msg("""{"query": {"script_score": {
+      "script": "doc['n_chars'].value"}}}""").contains("query"))
+    assert(msg("""{"query": {"script_score": {"query": {"match_all": {}},
+      "script": "doc[n_chars].value"}}}""").contains("doc['field']"))
+  }
+
   test("random_score: seeded, deterministic, field-hashed") {
     def page(seed: Long): Seq[Long] =
       ids(run(s"""{"query": {"function_score": {
@@ -2167,6 +2480,22 @@ class DslSpec extends SparkSpec {
     assert(msg("""{"query": {"function_score": {"query": {"match_all":
       {}}, "functions": [{"gauss": {"pd": {"origin": "2026-01-01",
       "scale": "0d"}}}]}}}""").contains("positive"))
+    // ADVICE r15: zero/negative weights refuse (score_mode avg divides
+    // by the weight sum — an all-zero denominator is the engines' /0
+    // divergence), and random_score on a float/double field refuses
+    // where the schema is visible (VARCHAR rendering of floats is
+    // engine-specific)
+    assert(msg("""{"query": {"function_score": {"query": {"match_all":
+      {}}, "functions": [{"weight": 0}]}}}""").contains("> 0"))
+    assert(msg("""{"query": {"function_score": {"query": {"match_all":
+      {}}, "functions": [{"weight": -2}]}}}""").contains("> 0"))
+    val withDouble = tiny.withColumn("fscore",
+      tiny("n_chars").cast("double"))
+    val dmsg = intercept[IllegalArgumentException](
+      run("""{"query": {"function_score": {"query": {"match_all": {}},
+        "functions": [{"random_score": {"seed": 1,
+        "field": "fscore"}}]}}}""", withDouble)).getMessage
+    assert(dmsg.contains("float/double"))
   }
 
   test("terms include/exclude gate bucket keys; date_histogram rolls up to months") {
@@ -2755,13 +3084,13 @@ class DslSpec extends SparkSpec {
       "id": 99, "path": "lang"}}}}""").contains("no value"))
     assert(msg("""{"query": {"terms": {"lang": {"index": "other",
       "id": 2, "path": "lang"}}}}""").contains("documents"))
-    // unordered span_near GRADUATED to two clauses in r15 — the
-    // refusal is now the k-term form (minimal-window cover) and the
-    // implicit-default form
+    // unordered span_near graduated twice: two clauses in r15, k-term
+    // (minimal-window cover) in r16 — the remaining refusals are
+    // repeated terms (multiplicity) and the implicit-default form
     assert(msg("""{"query": {"span_near": {"clauses": [
       {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}},
-      {"span_term": {"text": "c"}}],
-      "in_order": false}}}""").contains("TWO"))
+      {"span_term": {"text": "a"}}],
+      "in_order": false}}}""").contains("DISTINCT"))
     assert(msg("""{"query": {"span_near": {"clauses": [
       {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
       "slop": 1}}}""").contains("in_order"))
