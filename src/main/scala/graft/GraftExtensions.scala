@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{AvroDecodeIngestion, Bottom2, VecDot, VecDotQ, VecQuantize}
+import graft.functions.{AvroDecodeIngestion, Bottom2, VecDot, VecDotQ, VecQuantize, VecSignWord}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -46,6 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         arity("vec_dotq", "vec_dotq(array<tinyint>, array<tinyint>)", 2)(children)
         VecDotQ(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_signword"),
+      new ExpressionInfo(classOf[VecSignWord].getName, "vec_signword"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("vec_signword", "vec_signword(array<float>)", 1)(children)
+        VecSignWord(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("bottom2"),

@@ -294,6 +294,15 @@ object Dsl {
   }
   /** Bare `weight` function — value 1, weight w (the "boost docs
     * matching this filter" pattern). */
+  /** `script_score` as a functions-array entry — the [[ScriptScoreQ]]
+    * arithmetic subset as the function's VALUE (params substituted at
+    * parse), composing with per-function `filter`/`weight` and the
+    * full score_mode/boost_mode matrix; doc fields ride
+    * [[exactFields]] and the numeric-type gate like decay's. */
+  final case class ScriptFn(script: PExpr, filter: Option[Node],
+      weight: Option[BigDecimal]) extends ScoreFn {
+    def withFilter(f: Option[Node]): ScoreFn = copy(filter = f)
+  }
   final case class WeightFn(w: BigDecimal,
       filter: Option[Node]) extends ScoreFn {
     def weight: Option[BigDecimal] = Some(w)
@@ -1327,11 +1336,12 @@ object Dsl {
   private def parseScoreFn(v: JValue): ScoreFn = v match {
     case o: JObject =>
       val known = Set("filter", "weight", "gauss", "linear", "exp",
-        "field_value_factor", "random_score")
+        "field_value_factor", "random_score", "script_score")
       o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
         .foreach(k => fail(s"functions entry has unsupported key '$k' — " +
           s"supported: ${known.toSeq.sorted.mkString(", ")} " +
-          "(script_score is unsupported: Painless is out of scope)"))
+          "(script_score serves the arithmetic subset; " +
+          "Painless-general is out of scope)"))
       val filter = o \ "filter" match {
         case JNothing => None
         case fq => Some(node(fq))
@@ -1350,13 +1360,14 @@ object Dsl {
       }
       val kinds = o.obj.collect {
         case (k @ ("gauss" | "linear" | "exp" | "field_value_factor" |
-            "random_score"), b) => (k, b)
+            "random_score" | "script_score"), b) => (k, b)
       }
       kinds match {
         case Nil =>
           weight.map(WeightFn(_, filter)).getOrElse(
             fail("functions entry needs a function (gauss/linear/exp/" +
-              "field_value_factor/random_score) or a bare weight"))
+              "field_value_factor/random_score/script_score) or a " +
+              "bare weight"))
         case (kind @ ("gauss" | "linear" | "exp"), b) :: Nil =>
           parseDecayFn(kind, b, filter, weight)
         case ("field_value_factor", b) :: Nil => b match {
@@ -1365,6 +1376,16 @@ object Dsl {
             FvfFn(field, modifier, factor, missing, filter, weight)
           case other =>
             fail(s"field_value_factor expects an object, got $other")
+        }
+        case ("script_score", b) :: Nil => b match {
+          case so: JObject =>
+            so.obj.collectFirst { case (k, _) if k != "script" => k }
+              .foreach(k => fail(s"functions script_score has " +
+                s"unsupported option '$k' — supported: script"))
+            ScriptFn(parseScriptExpr(so \ "script",
+              "functions script_score"), filter, weight)
+          case other =>
+            fail(s"functions script_score expects an object, got $other")
         }
         case ("random_score", b) :: Nil => b match {
           case r: JObject =>
@@ -2235,45 +2256,8 @@ object Dsl {
             case JNothing => fail("script_score needs a \"query\"")
             case q => node(q)
           }
-          val (src, params) = o \ "script" match {
-            case JString(s2) if s2.nonEmpty =>
-              (s2, Map.empty[String, BigDecimal])
-            case so: JObject =>
-              so.obj.collectFirst {
-                case (k, _) if k != "source" && k != "params" => k
-              }.foreach(k => fail(s"script_score script has " +
-                s"unsupported option '$k' — supported: source, params " +
-                "(stored-script id / lang need a script registry)"))
-              val s2 = so \ "source" match {
-                case JString(x) if x.nonEmpty => x
-                case _ => fail("script_score script needs a \"source\"")
-              }
-              val ps = so \ "params" match {
-                case JNothing => Map.empty[String, BigDecimal]
-                case po: JObject => po.obj.map {
-                  case (pn, pv) => scalar(pv) match {
-                    case SNum(x) => pn -> x
-                    case other => fail(s"script_score params.$pn must " +
-                      s"be numeric, got ${other.sql}")
-                  }
-                }.toMap
-                case v => fail(s"script_score params must be an " +
-                  s"object, got $v")
-              }
-              (s2, ps)
-            case _ => fail("script_score needs a \"script\" (string " +
-              "or {source, params})")
-          }
-          if (src.contains("_score"))
-            fail("script_score: _score references are unsupported — " +
-              "the arithmetic subset reads doc['field'].value and " +
-              "params only (the inner query gates, filter context)")
-          val e0 = parsePipeScript(src, "script_score", allowDoc = true)
-          if (isCmpExpr(e0))
-            fail("script_score must be arithmetic — a comparison " +
-              "belongs in the query, not the score")
-          ScriptScoreQ(inner, pexprSubst(e0, params, "script_score"),
-            boostOf(o))
+          ScriptScoreQ(inner, parseScriptExpr(o \ "script",
+            "script_score"), boostOf(o))
         case other => fail(s"script_score expects an object, got $other")
       }
       case "function_score" => body match {
@@ -2953,6 +2937,49 @@ object Dsl {
     case PDoc(f) => Seq(f)
     case PBin(_, l, r) => pexprDocFields(l) ++ pexprDocFields(r)
     case _ => Seq.empty
+  }
+
+  /** Parse a `script` value — a bare source string or
+    * `{source, params}` — into the arithmetic [[PExpr]] with params
+    * substituted (shared by the `script_score` QUERY and the
+    * functions-array `script_score` FUNCTION). */
+  private def parseScriptExpr(v: JValue, ctx: String): PExpr = {
+    val (src, params) = v match {
+      case JString(s2) if s2.nonEmpty =>
+        (s2, Map.empty[String, BigDecimal])
+      case so: JObject =>
+        so.obj.collectFirst {
+          case (k, _) if k != "source" && k != "params" => k
+        }.foreach(k => fail(s"$ctx script has unsupported option " +
+          s"'$k' — supported: source, params (stored-script id / " +
+          "lang need a script registry)"))
+        val s2 = so \ "source" match {
+          case JString(x) if x.nonEmpty => x
+          case _ => fail(s"$ctx script needs a \"source\"")
+        }
+        val ps = so \ "params" match {
+          case JNothing => Map.empty[String, BigDecimal]
+          case po: JObject => po.obj.map {
+            case (pn, pv) => scalar(pv) match {
+              case SNum(x) => pn -> x
+              case other => fail(s"$ctx params.$pn must be numeric, " +
+                s"got ${other.sql}")
+            }
+          }.toMap
+          case v2 => fail(s"$ctx params must be an object, got $v2")
+        }
+        (s2, ps)
+      case _ => fail(s"$ctx needs a \"script\" (string or " +
+        "{source, params})")
+    }
+    if (src.contains("_score"))
+      fail(s"$ctx: _score references are unsupported — the " +
+        "arithmetic subset reads doc['field'].value and params only")
+    val e0 = parsePipeScript(src, ctx, allowDoc = true)
+    if (isCmpExpr(e0))
+      fail(s"$ctx must be arithmetic — a comparison is a filter, " +
+        "not a score")
+    pexprSubst(e0, params, ctx)
   }
 
   /** Substitutes script params to literals at parse — both engines then
@@ -3948,6 +3975,7 @@ object Dsl {
       case d: DecayFn => Seq(d.field)
       case v: FvfFn => Seq(v.field)
       case r: RandomFn => Seq(r.field)
+      case sf: ScriptFn => pexprDocFields(sf.script)
       case _: WeightFn => Seq.empty
     }
     case (ScriptScoreQ(_, s, _), _) => pexprDocFields(s)
@@ -4113,6 +4141,9 @@ object Dsl {
       (when(col(field).isNotNull, vC).otherwise(lit(1.0)),
         s"CASE WHEN f.$field IS NOT NULL THEN $vSql " +
           "ELSE CAST(1 AS DOUBLE) END")
+    case ScriptFn(e, _, _) =>
+      // params substituted at parse — the resolver is unreachable
+      pexprEmit(e, n => fail(s"functions script_score: unbound params.$n"))
     case _: WeightFn => (lit(1.0), "CAST(1 AS DOUBLE)")
   }
 
@@ -4811,6 +4842,8 @@ object Dsl {
     * Spark would null a bad string cast where DuckDB errors). */
   private def scriptNumFieldsOf(n: Node): Seq[String] = collectCtx(n, true) {
     case (ScriptScoreQ(_, s, _), _) => pexprDocFields(s)
+    case (FnScoreQ(_, fns, _, _, _), _) =>
+      fns.collect { case sf: ScriptFn => pexprDocFields(sf.script) }.flatten
   }.distinct
 
   /** random_score fields in the tree — their doc-values must be
@@ -10540,6 +10573,35 @@ object Dsl {
       dir: String): DataFrame =
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), RandomScoreQuery)
+
+  /** Registered functions-array `script_score` — the arithmetic
+    * script as ONE function among several: a weighted script value
+    * summed with a filtered weight function (score_mode sum), the
+    * combined value replacing the base (boost_mode replace). Proves
+    * the script composes with the full matrix, not just the
+    * standalone query. */
+  val FnScoreScriptQuery: String =
+    """{"query": {"function_score": {
+      |  "query": {"match": {"text": "dup"}},
+      |  "functions": [
+      |    {"script_score": {"script": {
+      |      "source": "doc['n_chars'].value / 100 + params.b",
+      |      "params": {"b": 1}}}, "weight": 2},
+      |    {"filter": {"term": {"lang": "en"}}, "weight": 3}],
+      |  "score_mode": "sum", "boost_mode": "replace"}},
+      |  "size": 30}""".stripMargin
+
+  def searchDslFnScoreScript(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), FnScoreScriptQuery)
+
+  val searchDslFnScoreScriptSql: String = dslSql(FnScoreScriptQuery)
+
+  /** Registered query: [[FnScoreScriptQuery]] SERVED; same oracle. */
+  def searchDslFnScoreScriptServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), FnScoreScriptQuery)
 
   /** Registered `script_score` — the ARITHMETIC subset (VERDICT r15
     * #6): params + `doc['n_chars'].value` through the shared PExpr

@@ -140,12 +140,13 @@ object Similarity {
 
   /** Per-component sign word of a 64-dim embedding: bit i set iff
     * v[i] > 0 — 8 bytes per vector, the third quantization level next
-    * to int8 ([[annIvfQuantized]]) and PQ codes ([[Pq]]). 64 chained
-    * codegen'd conditions, no higher-order lambda (the r2 lesson). */
+    * to int8 ([[annIvfQuantized]]) and PQ codes ([[Pq]]). r16: the
+    * native [[graft.functions.VecSignWord]] loop replaced the 64
+    * chained `when` conditions — the ~320-node tree was the r15 bench
+    * drift (its codegen split + JIT cost per run); the loop compiles
+    * once and stays inside whole-stage codegen. */
   private def signWord(v: Column): Column =
-    (0 until 64).map { i =>
-      when(element_at(v, i + 1) > 0.0f, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.VecSignWord.vecSignWord(v)
 
   /** Registered query: binary-quantized ANN — coarse-rank by Hamming
     * distance between 64-bit sign words (XOR + popcount: the cheapest

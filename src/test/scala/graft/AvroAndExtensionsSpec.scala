@@ -125,6 +125,24 @@ class AvroAndExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("vec_dot"))
   }
 
+  test("vec_signword packs sign bits; >64 components yield NULL") {
+    // v[0] > 0 → bit 0; v[2] > 0 → bit 2; zero/negative clear
+    val r = spark.sql(
+      "SELECT vec_signword(array(CAST(0.5 AS FLOAT), " +
+        "CAST(-1.0 AS FLOAT), CAST(2.0 AS FLOAT), " +
+        "CAST(0.0 AS FLOAT))) AS w").head()
+    assert(r.getLong(0) == ((1L << 0) | (1L << 2)))
+    // a 65-component vector must NULL, never rank by a truncated word
+    val big = (1 to 65).map(_ => "CAST(1.0 AS FLOAT)").mkString(", ")
+    assert(spark.sql(s"SELECT vec_signword(array($big)) AS w")
+      .head().isNullAt(0))
+    // native expression agrees with the 64-when chain it replaced
+    val chain = spark.sql(
+      "SELECT vec_signword(array(CAST(-0.1 AS FLOAT), " +
+        "CAST(3.5 AS FLOAT))) AS w").head().getLong(0)
+    assert(chain == (1L << 1))
+  }
+
   test("avro_decode_ingestion is callable from SQL via GraftExtensions") {
     import spark.implicits._
     Seq(avroBytes("sq1", 5L, Seq.empty)).toDF("value").createOrReplaceTempView("raw_avro")

@@ -2453,9 +2453,23 @@ class DslSpec extends SparkSpec {
     // refusals: the functions-array surface
     def msg(json: String): String =
       intercept[IllegalArgumentException](run(json, tiny)).getMessage
+    // r16: functions-array script_score SERVES the arithmetic subset —
+    // a comparison script or an unknown option still refuses
     assert(msg("""{"query": {"function_score": {"query": {"match_all":
-      {}}, "functions": [{"script_score": {"script": "1"}}]}}}""")
-      .contains("script_score"))
+      {}}, "functions": [{"script_score": {"script":
+      "doc['n_chars'].value > 1"}}]}}}""").contains("arithmetic"))
+    assert(msg("""{"query": {"function_score": {"query": {"match_all":
+      {}}, "functions": [{"script_score": {"script": "1",
+      "lang": "painless"}}]}}}""").contains("unsupported option"))
+    // value check: script (n_chars/100 + 1) × weight 2, boost_mode
+    // replace → ranks by n_chars desc, doc_id ties
+    val sv = ids(run("""{"query": {"function_score": {
+      "query": {"bool": {"filter": [{"exists": {"field": "text"}}]}},
+      "functions": [{"script_score": {"script":
+        "doc['n_chars'].value / 100"}, "weight": 2}],
+      "boost_mode": "replace"}}}""", tiny))
+    assert(sv == Seq(0L, 4L, 1L, 2L, 3L),
+      "weighted script value must rank like its field")
     assert(msg("""{"query": {"function_score": {"query": {"match_all":
       {}}, "functions": [{"weight": 2}], "max_boost": 10}}}""")
       .contains("max_boost"))
