@@ -710,7 +710,8 @@ object Dsl {
       rescore: Option[Rescore] = None,
       postFilter: Option[Node] = None,
       minScore: Option[BigDecimal] = None,
-      trackTotal: Boolean = false)
+      trackTotal: Boolean = false,
+      scriptFields: Seq[(String, PExpr)] = Seq.empty)
 
   /** ES `rescore` (one stage, score_mode total): the top
     * `window` hits by the original score re-rank by `qw·orig +
@@ -831,12 +832,12 @@ object Dsl {
     }
     val known = Set("query", "size", "aggs", "from", "sort", "_source",
       "search_after", "highlight", "collapse", "rescore", "post_filter",
-      "min_score", "track_total_hits")
+      "min_score", "track_total_hits", "script_fields")
     root.obj.collectFirst { case (k, _) if !known.contains(k) => k }
       .foreach(k => fail(s"unsupported body key '$k' — supported: " +
         "_source, aggs, collapse, from, highlight, min_score, " +
-        "post_filter, query, rescore, search_after, size, sort, " +
-        "track_total_hits"))
+        "post_filter, query, rescore, script_fields, search_after, " +
+        "size, sort, track_total_hits"))
     val size = root \ "size" match {
       case JNothing => DefaultSize
       case JInt(n) if n >= 0 && n <= MaxResultWindow => n.toInt
@@ -1020,8 +1021,34 @@ object Dsl {
       case JNothing => Seq.empty
       case a => parseAggs(a)
     }
+    // script_fields: per-hit COMPUTED columns from the arithmetic
+    // script subset — each rides the hit row under its own name (the
+    // ES fields-in-hits shape; Painless-general refuses as everywhere)
+    val scriptFields = root \ "script_fields" match {
+      case JNothing => Seq.empty[(String, PExpr)]
+      case o: JObject =>
+        if (o.obj.isEmpty) fail("script_fields must not be empty")
+        if (o.obj.map(_._1).distinct.size != o.obj.size)
+          fail("script_fields names a field twice")
+        val taken = Set("rk", "doc_id", "n_matched", "tf_total", "dl",
+          "score", "total_hits", "h_pos", "h_snippet") ++
+          source.getOrElse(Seq.empty)
+        o.obj.map {
+          case (fn2, fo: JObject) =>
+            if (taken.contains(fn2))
+              fail(s"script_fields name '$fn2' collides with an " +
+                "output column")
+            fo.obj.collectFirst { case (k, _) if k != "script" => k }
+              .foreach(k => fail(s"script_fields.$fn2 has unsupported " +
+                s"option '$k' — supported: script"))
+            (fn2, parseScriptExpr(fo \ "script", s"script_fields.$fn2"))
+          case (fn2, v) => fail(s"script_fields.$fn2 expects " +
+            s"{script: …}, got $v")
+        }
+      case v => fail(s"script_fields must be an object, got $v")
+    }
     Body(q, size, aggs, from, sort, source, after, highlight, collapse,
-      rescore, postFilter, minScore, trackTotal)
+      rescore, postFilter, minScore, trackTotal, scriptFields)
   }
 
   /** The ES `minimum_should_match` grammar, resolved against the
@@ -4780,7 +4807,8 @@ object Dsl {
       ckeys: Seq[(Seq[String], String)] = Seq.empty,
       cfIdx: Map[(Seq[String], String), Int] = Map.empty,
       rndFields: Seq[String] = Seq.empty,
-      sciFields: Seq[String] = Seq.empty) {
+      sciFields: Seq[String] = Seq.empty,
+      sfieldsC: Seq[(String, PExpr)] = Seq.empty) {
     def needsText: Boolean =
       tkeys.nonEmpty || pkeys.nonEmpty || zkeys.nonEmpty ||
         rkeys.nonEmpty || skeys.nonEmpty
@@ -4911,11 +4939,15 @@ object Dsl {
     if (b.minScore.nonEmpty && p.c.score.isEmpty)
       fail("min_score over a scoreless query is unsupported — " +
         "filter-context clauses produce no score to floor")
-    p.copy(exact = (p.exact ++ extra ++ b.collapse.toSeq).distinct,
+    val sfDocFields = b.scriptFields.flatMap(x => pexprDocFields(x._2))
+    p.copy(exact = (p.exact ++ extra ++ b.collapse.toSeq ++
+        sfDocFields).distinct,
       from = b.from, sortKeys = b.sort, source = b.source, after = b.after,
       highlight = b.highlight, collapse = b.collapse,
       rescore = b.rescore, rsC = rsC, postC = postC,
-      minScore = b.minScore, trackTotal = b.trackTotal)
+      minScore = b.minScore, trackTotal = b.trackTotal,
+      sfieldsC = b.scriptFields,
+      sciFields = (p.sciFields ++ sfDocFields).distinct)
   }
 
   /** (n_matched, tf_total) SQL over the feature columns — exact AND
@@ -5353,10 +5385,14 @@ object Dsl {
         case None => lit(0.0)
       }).as("rsc")
     }
+    val sfCols = p.sfieldsC.map { case (nm2, e) =>
+      pexprEmit(e, n2 => fail(s"script_fields: unbound params.$n2"))
+        ._1.as(nm2)
+    }
     val scoredRows0 = joined.filter(gate)
       .select(($"doc_id" +: dlC.as("dl") +: nMatched.as("n_matched") +:
         tfTotal.as("tf_total") +: score.as("score") +:
-        (rsc ++ extraCols.map(col))): _*)
+        (rsc ++ extraCols.map(col) ++ sfCols)): _*)
     // min_score floors hits by the computed score (planOfBody refuses
     // it where no score exists)
     val floored = p.minScore
@@ -5406,8 +5442,10 @@ object Dsl {
     // the ES offset contract); only from+size rows ever materialize
     val page = if (p.from == 0) ranked else ranked.filter($"rk" > p.from)
     val outCols: Seq[Column] = (p.source match {
-      case None => Seq($"rk", $"doc_id", $"n_matched", $"tf_total", $"dl")
-      case Some(fs) => $"rk" +: $"doc_id" +: fs.map(col)
+      case None => Seq($"rk", $"doc_id", $"n_matched", $"tf_total", $"dl") ++
+        p.sfieldsC.map(x => col(x._1))
+      case Some(fs) => ($"rk" +: $"doc_id" +: fs.map(col)) ++
+        p.sfieldsC.map(x => col(x._1))
     }) ++ (if (p.trackTotal) Seq($"total_hits") else Seq.empty)
     page.select(outCols: _*).orderBy($"rk")
   }
@@ -6407,10 +6445,12 @@ object Dsl {
         val c = if (fld == "_score") "score" else fld
         s"$c ${if (asc) "ASC" else "DESC"} NULLS LAST"
       }.mkString(", ") + ", doc_id"
+    val sfNames = p.sfieldsC.map(_._1)
     val outSql = (p.source match {
       case None => "doc_id, n_matched, tf_total, dl"
       case Some(fs) => ("doc_id" +: fs).mkString(", ")
-    }) + (if (p.trackTotal) ", total_hits" else "")
+    }) + sfNames.map(n2 => s", $n2").mkString +
+      (if (p.trackTotal) ", total_hits" else "")
     val basePredSql = p.postC
       .map(pc => s"(${p.c.predSql} AND ${pc.predSql})")
       .getOrElse(p.c.predSql)
@@ -6429,7 +6469,10 @@ object Dsl {
          |    $tfTotal AS tf_total,
          |    $scoreSql AS score${
            rscSql.map(r => s",\n    $r AS rsc").getOrElse("")}${
-           extraCols.map(c => s",\n    f.$c AS $c").mkString}
+           extraCols.map(c => s",\n    f.$c AS $c").mkString}${
+           p.sfieldsC.map { case (n2, e) =>
+             s",\n    ${pexprEmit(e, _ => fail("unbound param"))._2} AS $n2"
+           }.mkString}
          |  $from
          |  WHERE $gateSql)""".stripMargin
     // min_score: a floor over the computed score, mirrored from
@@ -6499,7 +6542,8 @@ object Dsl {
         val outNames = ("rk" +: (p.source match {
           case None => Seq("doc_id", "n_matched", "tf_total", "dl")
           case Some(fs) => "doc_id" +: fs
-        })) ++ (if (p.trackTotal) Seq("total_hits") else Seq.empty)
+        })) ++ p.sfieldsC.map(_._1) ++
+          (if (p.trackTotal) Seq("total_hits") else Seq.empty)
         s"""WITH ${ctes.mkString(",\n")},
            |${(Seq(scSql) ++ msSql.toSeq ++ ttSql.toSeq ++ clSql.toSeq ++ rsSql.toSeq).mkString(",\n")},
            |hl AS (SELECT doc_id, $hlNt AS hl_nt FROM $rel),
@@ -10602,6 +10646,32 @@ object Dsl {
       dir: String): DataFrame =
     searchDslFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), FnScoreScriptQuery)
+
+  /** Registered SCRIPT_FIELDS body — the third scripted-anything slot
+    * (beside the script_score query and the functions-array entry):
+    * per-hit computed columns from the shared arithmetic subset,
+    * riding the hit rows beside `_source` fields. */
+  val ScriptFieldsQuery: String =
+    """{"query": {"match": {"text": "dup"}},
+      |  "script_fields": {
+      |    "len_score": {"script": {
+      |      "source": "doc['n_chars'].value / 100 + params.b",
+      |      "params": {"b": 2}}},
+      |    "double_len": {"script": "doc['n_chars'].value * 2"}},
+      |  "_source": ["n_chars"], "size": 25}""".stripMargin
+
+  def searchDslScriptFields(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), ScriptFieldsQuery)
+
+  val searchDslScriptFieldsSql: String = dslSql(ScriptFieldsQuery)
+
+  /** Registered query: [[ScriptFieldsQuery]] SERVED from the index's
+    * numeric doc-values; same oracle. */
+  def searchDslScriptFieldsServed(spark: SparkSession,
+      dir: String): DataFrame =
+    searchDslFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), ScriptFieldsQuery)
 
   /** Registered `script_score` — the ARITHMETIC subset (VERDICT r15
     * #6): params + `doc['n_chars'].value` through the shared PExpr

@@ -2434,6 +2434,37 @@ class DslSpec extends SparkSpec {
       "script": "doc[n_chars].value"}}}""").contains("doc['field']"))
   }
 
+  test("script_fields: computed per-hit columns from the script subset") {
+    val rows = Dsl.searchDslOf(tiny, """{"query": {"term": {"lang":
+      "en"}}, "script_fields": {"half": {"script":
+      "doc['n_chars'].value / 2"}}, "_source": ["n_chars"],
+      "size": 10}""").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("half")) ==
+        r.getLong(r.fieldIndex("n_chars")) / 2.0,
+        "script column must compute from the hit's own doc values")
+    }
+    // served twin equality
+    assert(Dsl.searchDslScriptFieldsServed(spark, sfDir).collect().toSeq
+      == Dsl.searchDslScriptFields(spark, sfDir).collect().toSeq,
+      "served script_fields diverged from the scan path")
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.searchDslOf(tiny, json)).getMessage
+    assert(msg("""{"query": {"match_all": {}}, "script_fields":
+      {"doc_id": {"script": "1"}}}""").contains("collides"))
+    assert(msg("""{"query": {"match_all": {}}, "script_fields":
+      {}}""").contains("empty"))
+    assert(msg("""{"query": {"match_all": {}}, "script_fields":
+      {"x": {"script": "doc['n_chars'].value > 1"}}}""")
+      .contains("arithmetic"))
+    assert(msg("""{"query": {"match_all": {}},
+      "_source": ["n_chars"], "script_fields":
+      {"n_chars": {"script": "1"}}}""").contains("collides"))
+  }
+
   test("random_score: seeded, deterministic, field-hashed") {
     def page(seed: Long): Seq[Long] =
       ids(run(s"""{"query": {"function_score": {
