@@ -28,6 +28,16 @@ import org.apache.spark.sql.SparkSession
   * driver's 3600 s) skips remaining optional passes when exceeded, so
   * the process exits cleanly with whatever it finished instead of dying
   * 90% done.
+  *
+  * In-pass bailout + host telemetry (VERDICT r16 #1): the budget is
+  * also checked between queries INSIDE each pass ([[boundedPass]]) —
+  * on a degraded host a pass in flight can no longer overrun the
+  * caller's hard kill with nothing emitted; the artifact carries the
+  * completed prefix plus the pass name in "bailed". Every line also
+  * carries "calib_cpu_pre" (a single-thread probe taken before any
+  * query work) and "loadavg" (/proc/loadavg at start and after each
+  * pass), so a drifted pin self-adjudicates instead of needing the
+  * manual A/B/A experiment r16's did.
   */
 object Bench {
   @volatile private var calibSink = 0L // defeats dead-code elimination
@@ -107,7 +117,46 @@ object Bench {
     var calMem: Double = -1.0
     var calMem32: Double = -1.0
     var passesDone: List[String] = Nil // newest first
+    // passes cut short by the soft budget MID-pass (VERDICT r16 #1):
+    // their query maps hold the completed prefix only — a short map is
+    // attributable to time, never silence
+    var bailed: List[String] = Nil
+    // host telemetry (VERDICT r16 #1): single-thread calib probe taken
+    // BEFORE any query work + /proc/loadavg snapshots at run start and
+    // after each pass, so every pin carries the evidence a degraded-host
+    // adjudication needs (r16's needed a manual A/B/A)
+    var calCpuPre: Double = -1.0
+    var telemetry: List[(String, String)] = Nil // newest first
   }
+
+  /** Runs `f` over `items` in order, stopping LOUDLY once `over()`
+    * reports the soft budget exceeded mid-pass; the completed prefix is
+    * returned and `onBail` records the pass name. At least one item
+    * always runs so a blown budget still yields a non-empty pass. The
+    * remaining failure mode this closes (VERDICT r16 #1): a pass in
+    * flight on a degraded host overrunning the caller's hard kill with
+    * nothing emitted since the previous pass boundary. */
+  def boundedPass[A, B](pass: String, items: Seq[A], over: () => Boolean,
+      onBail: String => Unit)(f: A => B): Seq[B] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[B]
+    val it = items.iterator
+    var bailed = false
+    while (it.hasNext && !bailed) {
+      if (out.nonEmpty && over()) {
+        bailed = true
+        onBail(pass)
+        System.err.println(s"[bench] BAILING out of '$pass' mid-pass — " +
+          s"soft budget exceeded; emitting ${out.size}/${items.size} queries")
+      } else out += f(it.next())
+    }
+    out.toSeq
+  }
+
+  /** Raw `/proc/loadavg` line ("" where unreadable — never throws). */
+  def readLoadavg(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim
+    catch { case _: Throwable => "" }
 
   /** Renders the one-line JSON artifact from whatever [[State]] holds.
     * Headline fields lead the line so even a truncated tail (BENCH_r04)
@@ -124,7 +173,11 @@ object Bench {
     val totalSf2 = st.sf2Results.collect { case (_, v) if v >= 0 => v }.sum
     val totalFunnel = st.funnel.collect { case (_, v) if v >= 0 => v }.sum
     val passes = st.passesDone.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"total_sf2":$totalSf2,"total_funnel":$totalFunnel,"funnel_build":${st.funnelBuild},"sf2":"${st.sf2}","calib_cpu":${st.calCpu},"calib_mem":${st.calMem},"calib_mem32":${st.calMem32},"passes_done":$passes,"failed":$failedJson,"sf":"${st.sfDir}","queries":$qs,"queries_warm":${jmap(st.warm)},"queries_funnel":${jmap(st.funnel)},"shuffle_bytes":$shuffles,"queries_sf2":${jmap(st.sf2Results)}}"""
+    val bailedJson = st.bailed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val loadavg = st.telemetry.reverse
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"total_sf2":$totalSf2,"total_funnel":$totalFunnel,"funnel_build":${st.funnelBuild},"sf2":"${st.sf2}","calib_cpu":${st.calCpu},"calib_mem":${st.calMem},"calib_mem32":${st.calMem32},"calib_cpu_pre":${st.calCpuPre},"bailed":$bailedJson,"loadavg":$loadavg,"passes_done":$passes,"failed":$failedJson,"sf":"${st.sfDir}","queries":$qs,"queries_warm":${jmap(st.warm)},"queries_funnel":${jmap(st.funnel)},"shuffle_bytes":$shuffles,"queries_sf2":${jmap(st.sf2Results)}}"""
   }
 
   /** Atomically (write temp + move) rewrites the artifact file so a kill
@@ -186,10 +239,18 @@ object Bench {
     }
     val sf2 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR2", "/root/testdata/sf0.01")
     val st = new State(sfDir, sf2)
+    def safeCalib(f: () => Double): Double =
+      try f() catch { case _: Throwable => -1.0 }
+    // telemetry the pin needs to self-adjudicate host drift: a calib
+    // probe BEFORE any query work + loadavg at start / after each pass
+    def mark(key: String): Unit = st.telemetry ::= (key -> readLoadavg())
+    st.calCpuPre = safeCalib(() => calibCpu())
+    mark("start")
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out"))
     def emit(pass: String, toStdout: Boolean): Unit = {
       st.passesDone ::= pass
+      mark(pass)
       val line = render(st)
       if (toStdout) println(line)
       val out = writeOut(line, outPath)
@@ -214,8 +275,12 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
 
+    def overBudget(): Boolean = elapsedS > budgetS
+    def onBail(pass: String): Unit = st.bailed ::= pass
+
     // ── COLD pass: the gated metric ─────────────────────────────────
-    st.cold = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    st.cold = boundedPass("cold", selected.toSeq.sortBy(_._1),
+        () => overBudget(), onBail) { case (name, fn) =>
       val (ok1, dt1, sh1) = timeOnce(name, fn)
       val (ok, dt, sh) =
         if (!ok1) (false, dt1, sh1)
@@ -257,7 +322,8 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm failed (skipping warm pass): ${e.getMessage}")
       }
-      st.warm = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      st.warm = boundedPass("warm", selected.toSeq.sortBy(_._1),
+          () => overBudget(), onBail) { case (name, fn) =>
         // best of 2 here too: the cached-relation plan differs from the
         // parquet plan, so run 1 pays a fresh whole-stage-codegen
         // compile — measured ~+1 s/query, which would drown exactly the
@@ -279,7 +345,8 @@ object Bench {
     // measurement; the JVM/codegen warmup is already paid. ──────────
     if (sf2 != sfDir && !sys.env.get("SPARK_GRAFT_NOSF2").contains("1") &&
         new java.io.File(sf2).isDirectory && underBudget("sf2")) {
-      st.sf2Results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      st.sf2Results = boundedPass("sf2", selected.toSeq.sortBy(_._1),
+          () => overBudget(), onBail) { case (name, fn) =>
         val (ok, dt, _) = timeOnceAt(name, fn, sf2)
         (name, if (ok) dt else -dt)
       }
@@ -305,9 +372,9 @@ object Bench {
         st.funnelBuild = (System.nanoTime() - tb0) / 1e9
         graft.ops.Dedup.invalidate(spark, sfDir)
         spark.conf.set(graft.ops.Dedup.FunnelDirConf, fd)
-        st.funnel = funnelQueryNames
-          .flatMap(n => SparkEntry.queries.get(n).map(n -> _))
-          .map { case (name, fn) =>
+        st.funnel = boundedPass("funnel", funnelQueryNames
+            .flatMap(n => SparkEntry.queries.get(n).map(n -> _)),
+            () => overBudget(), onBail) { case (name, fn) =>
             // best of 2, like the main pass: run 1 pays the bootstrap
             // (catalog registration), run 2 is the steady serving state
             val (ok1, dt1, _) = timeOnce(name, fn)
@@ -332,8 +399,6 @@ object Bench {
     // reflects the machine state the times were taken under; a calib
     // failure (e.g. the 512 MB allocation) must cost its field, never
     // the round's results (ADVICE r6)
-    def safeCalib(f: () => Double): Double =
-      try f() catch { case _: Throwable => -1.0 }
     st.calCpu = safeCalib(() => calibCpu())
     st.calMem = safeCalib(() => calibMem())
     st.calMem32 = safeCalib(() => calibMem32())

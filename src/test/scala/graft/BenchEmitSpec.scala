@@ -49,6 +49,50 @@ class BenchEmitSpec extends AnyFunSuite {
     assert(node.get("value").asDouble() === 1.25) // cold headline unchanged
   }
 
+  test("boundedPass bails mid-pass on budget, keeping the completed prefix") {
+    var calls = 0
+    var bailedPass = ""
+    // budget trips after the second item completes
+    val out = Bench.boundedPass("cold", Seq(1, 2, 3, 4),
+      () => calls >= 2, p => bailedPass = p) { i => calls += 1; i * 10 }
+    assert(out === Seq(10, 20), "completed prefix only")
+    assert(bailedPass === "cold", "onBail must name the pass")
+    // a budget blown from the START still runs at least one item — a
+    // cold pass can never emit an empty query map
+    var bailed2 = ""
+    val one = Bench.boundedPass("warm", Seq(1, 2), () => true,
+      p => bailed2 = p) { i => i }
+    assert(one === Seq(1) && bailed2 === "warm")
+    // under budget throughout: no bail, full map
+    var bailed3 = ""
+    val all = Bench.boundedPass("sf2", Seq(1, 2, 3), () => false,
+      p => bailed3 = p) { i => i }
+    assert(all === Seq(1, 2, 3) && bailed3 === "")
+  }
+
+  test("bailed passes and host telemetry render into the JSON line") {
+    val st = coldOnly()
+    st.bailed = List("cold")
+    st.calCpuPre = 0.29
+    st.telemetry = List(("cold", "6.01 5.77 5.20 4/903 12345"),
+      ("start", "0.52 0.61 0.70 1/880 12000")) // newest first
+    val node = mapper.readTree(Bench.render(st))
+    assert(node.get("bailed").toString === """["cold"]""")
+    assert(node.get("calib_cpu_pre").asDouble() === 0.29)
+    assert(node.get("loadavg").get("start").asText().startsWith("0.52"))
+    assert(node.get("loadavg").get("cold").asText().startsWith("6.01"))
+    // defaults stay parseable when telemetry never ran
+    val bare = mapper.readTree(Bench.render(coldOnly()))
+    assert(bare.get("bailed").size() === 0)
+    assert(bare.get("calib_cpu_pre").asDouble() === -1.0)
+    assert(bare.get("loadavg").size() === 0)
+  }
+
+  test("readLoadavg returns the live three-load line on this host") {
+    val la = Bench.readLoadavg()
+    assert(la.split("\\s+").length >= 3, s"unexpected loadavg shape: '$la'")
+  }
+
   test("writeOut atomically replaces the artifact, newest line wins") {
     val dir = java.nio.file.Files.createTempDirectory("benchemit")
     val out = dir.resolve("BENCH.out")
