@@ -603,8 +603,22 @@ object Dsl {
     * EMPTY buckets, so its derivative emits 0-count buckets and
     * computes deltas across gaps; this engine windows over only the
     * non-empty buckets it returns (the rare_terms exactness stance:
-    * the oracle agrees, the deviation is the contract, not a bug). */
-  final case class PipelineAgg(kind: String) extends AggNode
+    * the oracle agrees, the deviation is the contract, not a bug).
+    *
+    * r17 additions on the same bucket-grain window frame:
+    * `serial_diff` (value − value `lag` buckets earlier; the first
+    * `lag` buckets are null, ES's omitted-value) and `moving_fn`
+    * (a sliding ROWS frame over the bucket sequence; ES's `shift`
+    * convention: shift 0 — the default — is the window of the `window`
+    * buckets BEFORE the current one, exclusive; each +1 slides the
+    * frame one bucket right, so shift 1 ends at the current bucket).
+    * The `script` must be one of the closed-form MovingFunctions —
+    * unweightedAvg / sum / min / max; ewma, holt, holtWinters and
+    * stdDev refuse loudly (iterative/libm semantics the oracle could
+    * not verify bit-for-bit — the libm-parity stance). An empty frame
+    * yields null in both engines, matching ES's NaN-elided buckets. */
+  final case class PipelineAgg(kind: String, lag: Int = 1,
+      window: Int = 0, shift: Int = 0, fn: String = "") extends AggNode
   /** ES SIBLING pipeline aggregations — `avg_bucket` / `sum_bucket` /
     * `min_bucket` / `max_bucket` over `buckets_path:
     * "<sibling>>_count"`: one summary row over a sibling bucket agg's
@@ -762,6 +776,12 @@ object Dsl {
     * 1M = 2026-02-28 in both — verified). */
   private val DateMathRe =
     """(\d{4}-\d{2}-\d{2})\|\|((?:[+-]\d+[dM])*)(?:/([dM]))?""".r
+
+  /** The `now`-anchored date-math GRAMMAR (ES units), used only to
+    * decide whether a range bound that starts with "now" is date math
+    * (→ the explicit evaluation-time refusal) or a plain string value
+    * like "nowhere" (→ falls through to an ordinary scalar bound). */
+  private val NowMathRe = """now([+-]\d+[yMwdhHms])*(?:/[yMwdhHms])?""".r
 
   private def evalDateMath(s: String, roundUp: Boolean,
       ctx: String): SDate = s match {
@@ -1032,7 +1052,11 @@ object Dsl {
           fail("script_fields names a field twice")
         val taken = Set("rk", "doc_id", "n_matched", "tf_total", "dl",
           "score", "total_hits", "h_pos", "h_snippet") ++
-          source.getOrElse(Seq.empty)
+          source.getOrElse(Seq.empty) ++
+          // sort keys and the collapse field ride the hit row too
+          // (the extraCols set) — a script field named after one
+          // would produce an ambiguous duplicate column downstream
+          sort.map(_._1).filterNot(_ == "_score") ++ collapse
         o.obj.map {
           case (fn2, fo: JObject) =>
             if (taken.contains(fn2))
@@ -1929,7 +1953,8 @@ object Dsl {
           RangeQ(field, bounds.map { case (op, b) => (op, b match {
             // ES date-math rounding per bound: gt/lte round UP (the
             // whole rounded interval excluded/included), gte/lt DOWN
-            case JString(sv) if sv.contains("||") || sv.startsWith("now") =>
+            case JString(sv) if sv.contains("||") ||
+                NowMathRe.pattern.matcher(sv).matches() =>
               evalDateMath(sv, roundUp = op == "gt" || op == "lte",
                 s"range.$field $op")
             case _ => scalar(b)
@@ -2818,12 +2843,13 @@ object Dsl {
     * `<sibling>>_count` (the sibling is validated in [[parseAggs]],
     * where the whole object is visible). */
   private def pipelinePathOf(spec: JValue, name: String, tpe: String,
-      sibling: Boolean): String = {
+      sibling: Boolean, extraKnown: Set[String] = Set.empty): String = {
+    val known = Set("buckets_path") ++ extraKnown
     spec match {
       case o: JObject =>
-        o.obj.collectFirst { case (k, _) if k != "buckets_path" => k }
+        o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
           .foreach(k => fail(s"agg '$name' $tpe has unsupported option " +
-            s"'$k' — supported: buckets_path"))
+            s"'$k' — supported: ${known.toSeq.sorted.mkString(", ")}"))
       case other => fail(s"agg '$name' expects an object, got $other")
     }
     spec \ "buckets_path" match {
@@ -2864,10 +2890,11 @@ object Dsl {
     "avg_bucket", "cardinality", "cumulative_sum", "date_histogram",
     "date_range", "derivative", "extended_stats", "filter", "filters",
     "global", "histogram", "max", "max_bucket", "min", "min_bucket",
-    "missing", "multi_terms", "nested", "percentile_ranks",
+    "missing", "moving_fn", "multi_terms", "nested", "percentile_ranks",
     "percentiles", "random_sampler", "range", "rare_terms",
-    "significant_terms", "stats", "stats_bucket", "sum", "sum_bucket",
-    "terms", "top_hits", "top_metrics", "value_count", "weighted_avg")
+    "serial_diff", "significant_terms", "stats", "stats_bucket", "sum",
+    "sum_bucket", "terms", "top_hits", "top_metrics", "value_count",
+    "weighted_avg")
 
   private val CmpOps = Set(">", ">=", "<", "<=", "==", "!=")
 
@@ -2970,6 +2997,11 @@ object Dsl {
     * `{source, params}` — into the arithmetic [[PExpr]] with params
     * substituted (shared by the `script_score` QUERY and the
     * functions-array `script_score` FUNCTION). */
+  /** `_score` as a standalone token (not inside an identifier like
+    * `f_score` or `raw_score`). `doc['_score']` still matches — the
+    * quote is not a word character — which is the intended refusal. */
+  private val ScoreRefRe = """(?<![A-Za-z0-9_])_score(?![A-Za-z0-9_])""".r
+
   private def parseScriptExpr(v: JValue, ctx: String): PExpr = {
     val (src, params) = v match {
       case JString(s2) if s2.nonEmpty =>
@@ -2999,7 +3031,10 @@ object Dsl {
       case _ => fail(s"$ctx needs a \"script\" (string or " +
         "{source, params})")
     }
-    if (src.contains("_score"))
+    // standalone-token match only — params.raw_score or
+    // doc['f_score'].value are legitimate names that merely CONTAIN
+    // the substring; a bare _score (or doc['_score']) is the refusal
+    if (ScoreRefRe.findFirstIn(src).nonEmpty)
       fail(s"$ctx: _score references are unsupported — the " +
         "arithmetic subset reads doc['field'].value and params only")
     val e0 = parsePipeScript(src, ctx, allowDoc = true)
@@ -3493,6 +3528,63 @@ object Dsl {
               "aggs")
             pipelinePathOf(spec, name, tpe, sibling = false)
             PipelineAgg(tpe)
+          case "serial_diff" =>
+            if (!sub) fail(s"agg '$name': $tpe is a PARENT pipeline " +
+              "aggregation — place it under a date_histogram/histogram's " +
+              "aggs")
+            pipelinePathOf(spec, name, tpe, sibling = false,
+              extraKnown = Set("lag"))
+            val lagN = spec \ "lag" match {
+              case JNothing => 1 // the ES default
+              case JInt(x) if x >= 1 && x <= MaxResultWindow => x.toInt
+              case v => fail(s"agg '$name' serial_diff lag must be a " +
+                s"positive integer, got $v")
+            }
+            PipelineAgg(tpe, lag = lagN)
+          case "moving_fn" =>
+            if (!sub) fail(s"agg '$name': $tpe is a PARENT pipeline " +
+              "aggregation — place it under a date_histogram/histogram's " +
+              "aggs")
+            pipelinePathOf(spec, name, tpe, sibling = false,
+              extraKnown = Set("window", "script", "shift"))
+            val wdw = spec \ "window" match {
+              case JInt(x) if x >= 1 && x <= MaxResultWindow => x.toInt
+              case JNothing => fail(s"agg '$name' moving_fn needs a " +
+                "\"window\" (ES has no default)")
+              case v => fail(s"agg '$name' moving_fn window must be a " +
+                s"positive integer, got $v")
+            }
+            val sh = spec \ "shift" match {
+              case JNothing => 0 // the ES default: window BEFORE current
+              case JInt(x) if x >= 0 && x <= wdw => x.toInt
+              case v => fail(s"agg '$name' moving_fn shift must be an " +
+                s"integer in [0, window], got $v")
+            }
+            val MovingFnRe =
+              """MovingFunctions\.(\w+)\(values\)""".r
+            // fn dispatch via Set membership, NOT case labels — the
+            // SupportedAggTypes drift gate greps this region's
+            // `case "…"` patterns as aggregation types
+            val closedForm = Set("unweightedAvg", "sum", "min", "max")
+            val iterative = Set("ewma", "holt", "holtWinters", "stdDev",
+              "linearWeightedAvg")
+            val fnName = spec \ "script" match {
+              case JString(MovingFnRe(f)) if closedForm(f) => f
+              case JString(MovingFnRe(f)) if iterative(f) =>
+                fail(s"agg '$name' moving_fn MovingFunctions.$f is " +
+                  "unsupported — iterative/libm-dependent semantics " +
+                  "the oracle cannot verify bit-for-bit; supported: " +
+                  "unweightedAvg, sum, min, max")
+              case JString(MovingFnRe(f)) =>
+                fail(s"agg '$name' moving_fn script names unknown " +
+                  s"MovingFunctions.$f — supported: " +
+                  "unweightedAvg, sum, min, max")
+              case JString(_) => fail(s"agg '$name' moving_fn script " +
+                "must be \"MovingFunctions.<fn>(values)\" — arbitrary " +
+                "Painless refuses loudly")
+              case _ => fail(s"agg '$name' moving_fn needs a \"script\"")
+            }
+            PipelineAgg(tpe, window = wdw, shift = sh, fn = fnName)
           case "avg_bucket" | "sum_bucket" | "min_bucket" | "max_bucket" |
                "stats_bucket" =>
             if (sub) fail(s"agg '$name': $tpe is a SIBLING pipeline " +
@@ -3637,9 +3729,10 @@ object Dsl {
       subSpec.map(_._2).foreach {
         case _: PipelineAgg => agg match {
           case _: DateHistAgg | _: HistAgg => ()
-          case _ => fail(s"agg '$name': cumulative_sum/derivative need " +
-            "an ORDERED histogram parent (date_histogram or histogram) " +
-            "— a terms bucket has no temporal order to accumulate over")
+          case _ => fail(s"agg '$name': cumulative_sum/derivative/" +
+            "serial_diff/moving_fn need an ORDERED histogram parent " +
+            "(date_histogram or histogram) — a terms bucket has no " +
+            "temporal order to accumulate over")
         }
         case _ => ()
       }
@@ -3657,6 +3750,12 @@ object Dsl {
           case TermsAgg(_, _, _: BySub, _, _, _, _) =>
             fail(s"agg '$name': a sub-terms cannot order by its own " +
               "sub-aggregation (one level of nesting)")
+          case DateHistAgg(_, _, true) =>
+            fail(s"agg '$name': min_doc_count: 0 on a SUB-level " +
+              "date_histogram is unsupported — gap fill is implemented " +
+              "for the top-level grouping only (per-parent fill would " +
+              "need a parent×calendar frame); hoist the date_histogram " +
+              "to the parent or drop min_doc_count")
           case TermsAgg(_, _, _, _, _, inc, exc)
               if inc.nonEmpty || exc.nonEmpty =>
             fail(s"agg '$name': include/exclude on a SUB-terms is " +
@@ -3755,7 +3854,7 @@ object Dsl {
     case PercentilesAgg(f, _) => Seq(f)
     case FilterAgg(_) => Seq.empty
     case FiltersAgg(_) => Seq.empty
-    case PipelineAgg(_) => Seq.empty
+    case _: PipelineAgg => Seq.empty
     case BucketMetricAgg(_, _) => Seq.empty
     case MultiTermsAgg(fs, _, _) => fs
     case RareTermsAgg(f, _) => Seq(f)
@@ -7217,7 +7316,7 @@ object Dsl {
       // parent pipeline sub: a window over the parent's bucket rows
       // ordered by bucket key — |buckets| rows, one partition, never
       // another corpus pass
-      val pipeChild = spec.sub.collect { case (sn, PipelineAgg(kind)) =>
+      val pipeChild = spec.sub.collect { case (sn, pa: PipelineAgg) =>
         val ordKey: Column = spec.agg match {
           // hist keys are integrals rendered as strings — order
           // numerically or "20" would follow "100"
@@ -7225,9 +7324,27 @@ object Dsl {
           case _ => $"key"
         }
         val w = Window.orderBy(ordKey.asc)
-        val v = kind match {
+        val v = pa.kind match {
           case "cumulative_sum" =>
             sum($"doc_count".cast("double")).over(w)
+          case "serial_diff" =>
+            ($"doc_count" - lag($"doc_count", pa.lag).over(w)).cast("double")
+          case "moving_fn" =>
+            // ES shift convention: the ROWS frame is
+            // [i-window+shift, i-1+shift]; empty frames → null (ES's
+            // NaN-elided bucket). unweightedAvg emits as SUM/COUNT in
+            // BOTH engines — one division of identical doubles, never
+            // two engines' AVG implementations
+            val wf = w.rowsBetween(pa.shift - pa.window, pa.shift - 1)
+            val dv = $"doc_count".cast("double")
+            pa.fn match {
+              case "sum" => sum(dv).over(wf)
+              case "min" => min(dv).over(wf)
+              case "max" => max(dv).over(wf)
+              case _ => sum(dv).over(wf) /
+                when(count(dv).over(wf) === 0, lit(null).cast("double"))
+                  .otherwise(count(dv).over(wf).cast("double"))
+            }
           case _ =>
             ($"doc_count" - lag($"doc_count", 1).over(w)).cast("double")
         }
@@ -7675,14 +7792,38 @@ object Dsl {
       // parent pipeline subs: a window over the parent's returned
       // buckets — the [[PipelineAgg]] bucket-grain contract in SQL
       def pipeChildSql(parentInner: String): Seq[String] =
-        spec.sub.toSeq.collect { case (sn, PipelineAgg(kind)) =>
+        spec.sub.toSeq.collect { case (sn, pa: PipelineAgg) =>
           val okey = spec.agg match {
             case _: HistAgg => "CAST(key AS BIGINT)"
             case _ => "key"
           }
-          val v = kind match {
+          // the moving_fn ROWS frame, ES shift convention (see
+          // [[PipelineAgg]]): bounds mirror the Spark side's
+          // rowsBetween(shift-window, shift-1) offsets exactly
+          def bound(off: Int): String =
+            if (off < 0) s"${-off} PRECEDING"
+            else if (off == 0) "CURRENT ROW"
+            else s"$off FOLLOWING"
+          lazy val frame = s"(ORDER BY $okey ROWS BETWEEN " +
+            s"${bound(pa.shift - pa.window)} AND ${bound(pa.shift - 1)})"
+          val v = pa.kind match {
             case "cumulative_sum" =>
               s"CAST(SUM(doc_count) OVER (ORDER BY $okey) AS DOUBLE)"
+            case "serial_diff" =>
+              s"CAST(doc_count - LAG(doc_count, ${pa.lag}) OVER " +
+                s"(ORDER BY $okey) AS DOUBLE)"
+            case "moving_fn" => pa.fn match {
+              case "sum" =>
+                s"SUM(CAST(doc_count AS DOUBLE)) OVER $frame"
+              case "min" =>
+                s"MIN(CAST(doc_count AS DOUBLE)) OVER $frame"
+              case "max" =>
+                s"MAX(CAST(doc_count AS DOUBLE)) OVER $frame"
+              case _ => // unweightedAvg: one shared SUM/COUNT division
+                s"(SUM(CAST(doc_count AS DOUBLE)) OVER $frame / " +
+                  s"NULLIF(CAST(COUNT(doc_count) OVER $frame AS " +
+                  "DOUBLE), 0))"
+            }
             case _ => s"CAST(doc_count - LAG(doc_count) OVER " +
               s"(ORDER BY $okey) AS DOUBLE)"
           }
@@ -9740,6 +9881,49 @@ object Dsl {
 
   val dslAggsGapFillOracleSql: String =
     dslAggsSqlOver(AggsGapFillQuery, GapDateRel)
+
+  /** Registered sliding-window pipeline body (VERDICT r16 #3 — the
+    * Kibana smoothing family): `moving_fn` with the closed-form
+    * MovingFunctions (unweightedAvg smoothing over the daily counts;
+    * a shift-1 `max` peak-tracker whose window ENDS at the current
+    * bucket — pinning ES's shift convention in a registered query)
+    * and `serial_diff` at lag 2 (the seasonality-differencing shape;
+    * the first two buckets are null, ES's omitted-value). All three
+    * window over the parent's RETURNED bucket rows — |buckets| rows
+    * of post-processing on one corpus pass, the scale-free half of
+    * the ES agg surface. */
+  val AggsMovingQuery: String =
+    """{"query": {"match_all": {}}, "size": 0,
+      |  "aggs": {
+      |    "daily_smooth": {"date_histogram": {"field": "persist_date",
+      |        "calendar_interval": "day"},
+      |      "aggs": {"smooth": {"moving_fn": {"buckets_path": "_count",
+      |        "window": 3,
+      |        "script": "MovingFunctions.unweightedAvg(values)"}}}},
+      |    "daily_diff": {"date_histogram": {"field": "persist_date",
+      |        "calendar_interval": "day"},
+      |      "aggs": {"season": {"serial_diff": {"buckets_path": "_count",
+      |        "lag": 2}}}},
+      |    "len_peak": {"histogram": {"field": "n_chars",
+      |        "interval": 200},
+      |      "aggs": {"peak": {"moving_fn": {"buckets_path": "_count",
+      |        "window": 2, "shift": 1,
+      |        "script": "MovingFunctions.max(values)"}}}}}}"""
+      .stripMargin
+
+  def dslAggsMoving(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Search.withPersistDate(Tables.documentsPar(spark, dir)),
+      AggsMovingQuery)
+
+  val dslAggsMovingOracleSql: String =
+    dslAggsSqlOver(AggsMovingQuery, Search.PersistDateRel)
+
+  /** Registered query: [[AggsMovingQuery]] SERVED from the daily
+    * indices — the windows read the served bucket union; same oracle
+    * as the scan form. */
+  def dslAggsMovingServed(spark: SparkSession, dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Search.sharedDailyIndexDirs(spark, dir)._1, AggsMovingQuery)
 
   /** Registered round-14 agg families II — the remaining everyday ES
     * aggregation types in one body: `multi_terms` (compound

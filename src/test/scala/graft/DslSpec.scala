@@ -1711,6 +1711,73 @@ class DslSpec extends SparkSpec {
     assert(m.contains("min_doc_count"))
   }
 
+  test("moving_fn pins ES's shift convention; serial_diff lags N buckets") {
+    // persist_date buckets: 01-01 ×2 (docs 0,3), 01-02 ×2 (1,4),
+    // 01-03 ×1 (2) → counts [2, 2, 1]
+    val dated = Search.withPersistDate(tiny)
+    def vals(body: String, agg: String,
+        docs: DataFrame = dated): Seq[Option[Double]] =
+      Dsl.dslAggsOf(docs, body).collect()
+        .filter(_.getString(0) == agg).sortBy(_.getString(1))
+        .map(r => if (r.isNullAt(r.fieldIndex("v_sum"))) None
+          else Some(r.getDouble(r.fieldIndex("v_sum")))).toSeq
+    def daily(sub: String): String =
+      s"""{"size": 0, "aggs": {"d": {"date_histogram":
+        {"field": "persist_date", "calendar_interval": "day"},
+        "aggs": {"m": $sub}}}}"""
+    // shift 0 (the ES default): the window is the `window` buckets
+    // BEFORE the current one, exclusive — the first bucket's frame is
+    // empty (ES's NaN-elided bucket → null)
+    assert(vals(daily("""{"moving_fn": {"buckets_path": "_count",
+      "window": 2, "script": "MovingFunctions.unweightedAvg(values)"}}"""),
+      "d.m") == Seq(None, Some(2.0), Some(2.0)))
+    // shift 1 slides the frame right to END at the current bucket:
+    // min over [i-1, i] sees the count drop at bucket 3
+    assert(vals(daily("""{"moving_fn": {"buckets_path": "_count",
+      "window": 2, "shift": 1,
+      "script": "MovingFunctions.min(values)"}}"""), "d.m")
+      == Seq(Some(2.0), Some(2.0), Some(1.0)))
+    // serial_diff lag 2: the first `lag` buckets are null (ES omits)
+    assert(vals(daily("""{"serial_diff": {"buckets_path": "_count",
+      "lag": 2}}"""), "d.m") == Seq(None, None, Some(-1.0)))
+    // default lag 1 ≡ derivative
+    assert(vals(daily("""{"serial_diff": {"buckets_path":
+      "_count"}}"""), "d.m") == Seq(None, Some(0.0), Some(-1.0)))
+    // composition with min_doc_count 0: the window crosses FILLED
+    // buckets — gappy counts [2,1,0,0,1,0,0,0,0,1] over 01-01..01-10
+    val gappy = tiny.withColumn("gap_date",
+      date_add(to_date(lit("2026-01-01")),
+        ((col("doc_id") % 4) * (col("doc_id") % 4)).cast("int")))
+    assert(vals("""{"size": 0, "aggs": {"d": {"date_histogram":
+      {"field": "gap_date", "calendar_interval": "day",
+       "min_doc_count": 0},
+      "aggs": {"m": {"moving_fn": {"buckets_path": "_count",
+        "window": 3, "script": "MovingFunctions.sum(values)"}}}}}}""",
+      "d.m", gappy) ==
+      Seq(None, Some(2.0), Some(3.0), Some(3.0), Some(1.0), Some(1.0),
+        Some(1.0), Some(1.0), Some(0.0), Some(0.0)),
+      "the sliding sum must cross gap-filled zero buckets")
+    // refusals: iterative/libm scripts, missing window, bad shift,
+    // unordered parent, non-positive lag
+    def msg(body: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(dated, body)).getMessage
+    assert(msg(daily("""{"moving_fn": {"buckets_path": "_count",
+      "window": 3, "script": "MovingFunctions.ewma(values)"}}"""))
+      .contains("unsupported"))
+    assert(msg(daily("""{"moving_fn": {"buckets_path": "_count",
+      "script": "MovingFunctions.sum(values)"}}""")).contains("window"))
+    assert(msg(daily("""{"moving_fn": {"buckets_path": "_count",
+      "window": 2, "shift": 3,
+      "script": "MovingFunctions.sum(values)"}}""")).contains("shift"))
+    assert(msg("""{"size": 0, "aggs": {"t": {"terms": {"field": "lang"},
+      "aggs": {"m": {"moving_fn": {"buckets_path": "_count",
+      "window": 2, "script": "MovingFunctions.sum(values)"}}}}}}""")
+      .contains("ORDERED"))
+    assert(msg(daily("""{"serial_diff": {"buckets_path": "_count",
+      "lag": 0}}""")).contains("lag"))
+  }
+
   test("date math: explicit anchors, per-bound rounding, oracle-shared") {
     // tiny + persist_date: doc_id % 3 days from 2026-01-01 —
     // docs 0,3 → 01-01; 1,4 → 01-02; 2 → 01-03
@@ -2463,6 +2530,60 @@ class DslSpec extends SparkSpec {
     assert(msg("""{"query": {"match_all": {}},
       "_source": ["n_chars"], "script_fields":
       {"n_chars": {"script": "1"}}}""").contains("collides"))
+    // sort keys and the collapse field ride the hit row — a script
+    // field shadowing either is a parse refusal, not an
+    // ambiguous-reference AnalysisException downstream
+    assert(msg("""{"query": {"match_all": {}},
+      "sort": [{"n_chars": "asc"}], "script_fields":
+      {"n_chars": {"script": "1"}}}""").contains("collides"))
+    assert(msg("""{"query": {"match_all": {}},
+      "collapse": {"field": "lang"}, "sort": [{"n_chars": "asc"}],
+      "script_fields": {"lang": {"script": "1"}}}""").contains("collides"))
+  }
+
+  test("r17 advice: now-shaped strings, _score tokens, sub-level gap fill") {
+    def msg(json: String, docs: DataFrame = tiny): String =
+      intercept[IllegalArgumentException](
+        Dsl.searchDslOf(docs, json)).getMessage
+    // a keyword bound that merely STARTS with "now" is a plain string
+    // comparison ("nowhere" > "fr" lexicographically, < "src0")
+    val strRange = ids(run("""{"query": {"bool": {"filter": [{"range":
+      {"source": {"gte": "nowhere"}}}]}}, "sort": [{"doc_id": "asc"}]}""",
+      tiny))
+    assert(strRange == Seq(0L, 1L, 2L, 3L, 4L),
+      s"'nowhere' must compare as a string, not refuse as date math: $strRange")
+    // genuine now-anchored math still gets the explicit refusal
+    assert(msg("""{"query": {"range": {"n_chars":
+      {"gte": "now-7d/d"}}}}""").contains("now"))
+    // _score check is token-grain: params/doc names CONTAINING the
+    // substring are legitimate
+    val scored = Dsl.searchDslOf(tiny, """{"query": {"match_all": {}},
+      "script_fields": {"x": {"script": {"source":
+        "params.raw_score * doc['n_chars'].value",
+        "params": {"raw_score": 2}}}},
+      "sort": [{"doc_id": "asc"}], "size": 5}""").collect()
+    assert(scored.map(r => r.getDouble(r.fieldIndex("x"))).toSeq ==
+      Seq(32.0, 20.0, 20.0, 18.0, 32.0))
+    // ... while a bare _score (or a doc-value named exactly _score)
+    // still refuses with the targeted message
+    assert(msg("""{"query": {"match_all": {}}, "script_fields":
+      {"x": {"script": "_score * 2"}}}""").contains("_score"))
+    assert(msg("""{"query": {"match_all": {}}, "script_fields":
+      {"x": {"script": "doc['_score'].value + 1"}}}""").contains("_score"))
+    // min_doc_count: 0 on a SUB-level date_histogram refuses loudly —
+    // gap fill is a top-level contract; silently dropping the flag
+    // would diverge from ES without the oracle noticing
+    val dated = Search.withPersistDate(tiny)
+    assert(msg("""{"size": 0, "aggs": {"l": {"terms": {"field": "lang"},
+      "aggs": {"d": {"date_histogram": {"field": "persist_date",
+        "calendar_interval": "day", "min_doc_count": 0}}}}}}""",
+      dated).contains("SUB-level"))
+    // ... and min_doc_count: 1 (the engine default) still nests fine
+    assert(Dsl.dslAggsOf(dated, """{"size": 0, "aggs":
+      {"l": {"terms": {"field": "lang"}, "aggs":
+      {"d": {"date_histogram": {"field": "persist_date",
+        "calendar_interval": "day", "min_doc_count": 1}}}}}}""")
+      .collect().nonEmpty)
   }
 
   test("random_score: seeded, deterministic, field-hashed") {
