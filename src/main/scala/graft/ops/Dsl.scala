@@ -429,7 +429,8 @@ object Dsl {
     * composable under an inner bool. Unscored (the constant-score
     * membership convention this module documents for terms/ids; ES's
     * score_mode child blending is scorer-internal). */
-  final case class NestedQ(path: String, query: NestedNode) extends Node
+  final case class NestedQ(path: String, query: NestedNode,
+      innerHits: Option[String] = None) extends Node
 
   sealed trait NestedNode
   final case class NTermQ(sub: String, value: Scalar) extends NestedNode
@@ -2410,18 +2411,39 @@ object Dsl {
       }
       case "nested" => body match {
         case o: JObject =>
-          val known = Set("path", "query")
+          val known = Set("path", "query", "inner_hits")
           o.obj.collectFirst { case (k, _) if !known.contains(k) => k }
             .foreach(k => fail(s"nested has unsupported option '$k' — " +
-              "supported: path, query (score_mode is moot: nested " +
-              "clauses are membership predicates here, unscored)"))
+              "supported: path, query, inner_hits (score_mode is moot: " +
+              "nested clauses are membership predicates here, unscored)"))
           val path = o \ "path" match {
             case JString(p) if p.nonEmpty => p
             case _ => fail("nested needs a \"path\" string")
           }
+          // inner_hits: {} (name defaults to the path) or {"name": x}.
+          // ES's size/sort/_source knobs over the inner page refuse —
+          // every matched element returns, in array order, serialized
+          // into ONE per-hit column (the term-vectors comma-payload
+          // precedent: the oracle recomputes the payload value-for-value)
+          val innerHits = o \ "inner_hits" match {
+            case JNothing => None
+            case ih: JObject =>
+              ih.obj.collectFirst { case (k, _) if k != "name" => k }
+                .foreach(k => fail(s"nested inner_hits has unsupported " +
+                  s"option '$k' — supported: name (all matched elements " +
+                  "return in array order; page/sort the OUTER hits)"))
+              ih \ "name" match {
+                case JNothing => Some(path)
+                case JString(nm) if nm.nonEmpty => Some(nm)
+                case v => fail(s"nested inner_hits name must be a " +
+                  s"non-empty string, got $v")
+              }
+            case other => fail(s"nested inner_hits must be an object, " +
+              s"got $other")
+          }
           o \ "query" match {
             case JNothing => fail("nested needs a \"query\" clause")
-            case q => NestedQ(path, nestedNode(path, q))
+            case q => NestedQ(path, nestedNode(path, q), innerHits)
           }
         case other => fail(s"nested expects an object, got $other")
       }
@@ -4105,7 +4127,7 @@ object Dsl {
       case _: WeightFn => Seq.empty
     }
     case (ScriptScoreQ(_, s, _), _) => pexprDocFields(s)
-    case (NestedQ(path, _), _) => Seq(path)
+    case (NestedQ(path, _, _), _) => Seq(path)
     case (TermsSetQ(_, _, mf), _) => Seq(mf)
     case (RankFeatureQ(f, _, _, _), _) => Seq(f)
     case (DistanceFeatureQ(f, _, _, _, _), _) => Seq(f)
@@ -4780,7 +4802,7 @@ object Dsl {
           s"(CAST($pLit AS DOUBLE) / (CAST($pLit AS DOUBLE) + " +
             s"${dist._2}))"), boost))
       C(col(field).isNotNull, s"f.$field IS NOT NULL", score)
-    case NestedQ(path, nq) =>
+    case NestedQ(path, nq, _) =>
       // ONE element satisfies the whole inner query: exists over the
       // array with the compiled per-element predicate — both engines
       // evaluate the same lambda (list_filter len > 0 ≡ exists).
@@ -4907,7 +4929,10 @@ object Dsl {
       cfIdx: Map[(Seq[String], String), Int] = Map.empty,
       rndFields: Seq[String] = Seq.empty,
       sciFields: Seq[String] = Seq.empty,
-      sfieldsC: Seq[(String, PExpr)] = Seq.empty) {
+      sfieldsC: Seq[(String, PExpr)] = Seq.empty,
+      // inner_hits channels: (column name, nested path, inner query) —
+      // one per-hit serialized column of the MATCHED nested elements
+      innerHits: Seq[(String, String, NestedNode)] = Seq.empty) {
     def needsText: Boolean =
       tkeys.nonEmpty || pkeys.nonEmpty || zkeys.nonEmpty ||
         rkeys.nonEmpty || skeys.nonEmpty
@@ -5039,14 +5064,69 @@ object Dsl {
       fail("min_score over a scoreless query is unsupported — " +
         "filter-context clauses produce no score to floor")
     val sfDocFields = b.scriptFields.flatMap(x => pexprDocFields(x._2))
+    // inner_hits channels ride the hit row like script_fields — collect
+    // from the QUERY tree; a post_filter/rescore nested carrying
+    // inner_hits refuses (those clauses never contribute hit payload)
+    val innerHits = innerHitsOf(b.query)
+    (b.postFilter.toSeq.flatMap(innerHitsOf) ++
+        b.rescore.toSeq.flatMap(r => innerHitsOf(r.query))).headOption
+      .foreach { case (nm, _, _) => fail(s"inner_hits '$nm' on a " +
+        "post_filter/rescore nested clause is unsupported — attach it " +
+        "to the query") }
+    innerHits.groupBy(_._1).collectFirst { case (nm, g) if g.size > 1 =>
+      fail(s"two nested clauses share inner_hits name '$nm' — name " +
+        "one explicitly ({\"inner_hits\": {\"name\": …}})")
+    }
+    val ihTaken = Set("rk", "doc_id", "n_matched", "tf_total", "dl",
+      "score", "total_hits", "h_pos", "h_snippet") ++
+      b.source.getOrElse(Seq.empty) ++ b.scriptFields.map(_._1) ++
+      b.sort.map(_._1).filterNot(_ == "_score") ++ b.collapse
+    innerHits.map(_._1).find(ihTaken.contains).foreach(nm =>
+      fail(s"inner_hits name '$nm' collides with an output column — " +
+        "rename it ({\"inner_hits\": {\"name\": …}})"))
     p.copy(exact = (p.exact ++ extra ++ b.collapse.toSeq ++
-        sfDocFields).distinct,
+        sfDocFields ++ innerHits.map(_._2)).distinct,
       from = b.from, sortKeys = b.sort, source = b.source, after = b.after,
       highlight = b.highlight, collapse = b.collapse,
       rescore = b.rescore, rsC = rsC, postC = postC,
       minScore = b.minScore, trackTotal = b.trackTotal,
       sfieldsC = b.scriptFields,
-      sciFields = (p.sciFields ++ sfDocFields).distinct)
+      sciFields = (p.sciFields ++ sfDocFields).distinct,
+      innerHits = innerHits)
+  }
+
+  /** Every nested clause in the tree carrying `inner_hits`, in
+    * first-appearance order: (name, path, inner query). */
+  private def innerHitsOf(n: Node): Seq[(String, String, NestedNode)] =
+    collectCtx(n, true) {
+      case (NestedQ(path, nq, Some(nm)), _) => Seq((nm, path, nq))
+    }
+
+  /** The serialized inner-hits payload, lockstep in both engines: the
+    * MATCHED elements of the nested array, in array order, each
+    * element's subfields '='-joined, elements '|'-joined — one
+    * deterministic string the oracle rebuilds value-for-value (the
+    * term-vectors comma-payload precedent). Null subfields serialize
+    * as '' so a match on `exists(tags.type)` with a null value still
+    * rides. A hit whose clause sat in should/must_not may carry ''
+    * (no matching element) — ES returns the empty inner page there. */
+  private def innerHitsEmit(path: String, nq: NestedNode)
+      : (Column, String) = {
+    val (predOf, sqlOf) = nestedPred(nq)
+    val c = coalesce(array_join(
+      transform(filter(col(path), predOf),
+        t => concat_ws("=", NestedSubFields.map(sf =>
+          coalesce(t.getField(sf).cast("string"), lit(""))): _*)),
+      "|"), lit("")) // null array → '' too (lockstep with the oracle)
+    // outer coalesce: DuckDB's array_to_string yields NULL on an
+    // EMPTY list where Spark's array_join yields '' — the no-match
+    // payload must agree
+    val sql = s"coalesce(array_to_string(list_transform(" +
+      s"list_filter(f.$path, t -> $sqlOf), t -> concat_ws('=', " +
+      NestedSubFields.map(sf =>
+        s"""coalesce(CAST(t."$sf" AS VARCHAR), '')""").mkString(", ") +
+      ")), '|'), '')"
+    (c, sql)
   }
 
   /** (n_matched, tf_total) SQL over the feature columns — exact AND
@@ -5488,10 +5568,13 @@ object Dsl {
       pexprEmit(e, n2 => fail(s"script_fields: unbound params.$n2"))
         ._1.as(nm2)
     }
+    val ihCols = p.innerHits.map { case (nm2, path, nq) =>
+      innerHitsEmit(path, nq)._1.as(nm2)
+    }
     val scoredRows0 = joined.filter(gate)
       .select(($"doc_id" +: dlC.as("dl") +: nMatched.as("n_matched") +:
         tfTotal.as("tf_total") +: score.as("score") +:
-        (rsc ++ extraCols.map(col) ++ sfCols)): _*)
+        (rsc ++ extraCols.map(col) ++ sfCols ++ ihCols)): _*)
     // min_score floors hits by the computed score (planOfBody refuses
     // it where no score exists)
     val floored = p.minScore
@@ -5545,7 +5628,8 @@ object Dsl {
         p.sfieldsC.map(x => col(x._1))
       case Some(fs) => ($"rk" +: $"doc_id" +: fs.map(col)) ++
         p.sfieldsC.map(x => col(x._1))
-    }) ++ (if (p.trackTotal) Seq($"total_hits") else Seq.empty)
+    }) ++ p.innerHits.map(x => col(x._1)) ++
+      (if (p.trackTotal) Seq($"total_hits") else Seq.empty)
     page.select(outCols: _*).orderBy($"rk")
   }
 
@@ -6544,7 +6628,7 @@ object Dsl {
         val c = if (fld == "_score") "score" else fld
         s"$c ${if (asc) "ASC" else "DESC"} NULLS LAST"
       }.mkString(", ") + ", doc_id"
-    val sfNames = p.sfieldsC.map(_._1)
+    val sfNames = p.sfieldsC.map(_._1) ++ p.innerHits.map(_._1)
     val outSql = (p.source match {
       case None => "doc_id, n_matched, tf_total, dl"
       case Some(fs) => ("doc_id" +: fs).mkString(", ")
@@ -6571,6 +6655,9 @@ object Dsl {
            extraCols.map(c => s",\n    f.$c AS $c").mkString}${
            p.sfieldsC.map { case (n2, e) =>
              s",\n    ${pexprEmit(e, _ => fail("unbound param"))._2} AS $n2"
+           }.mkString}${
+           p.innerHits.map { case (n2, path, nq) =>
+             s",\n    ${innerHitsEmit(path, nq)._2} AS $n2"
            }.mkString}
          |  $from
          |  WHERE $gateSql)""".stripMargin
@@ -6641,7 +6728,7 @@ object Dsl {
         val outNames = ("rk" +: (p.source match {
           case None => Seq("doc_id", "n_matched", "tf_total", "dl")
           case Some(fs) => "doc_id" +: fs
-        })) ++ p.sfieldsC.map(_._1) ++
+        })) ++ p.sfieldsC.map(_._1) ++ p.innerHits.map(_._1) ++
           (if (p.trackTotal) Seq("total_hits") else Seq.empty)
         s"""WITH ${ctes.mkString(",\n")},
            |${(Seq(scSql) ++ msSql.toSeq ++ ttSql.toSeq ++ clSql.toSeq ++ rsSql.toSeq).mkString(",\n")},
@@ -11059,6 +11146,48 @@ object Dsl {
   def searchDslNestedServed(spark: SparkSession, dir: String): DataFrame = {
     val alias = Search.sharedIngestDailyIndexDirs(spark, dir)._2
     searchDslFromIndexes(spark, Search.readAlias(spark, alias), NestedQuery)
+  }
+
+  /** Registered `inner_hits` body (VERDICT r16 #2): [[NestedQuery]]'s
+    * match set with BOTH nested clauses returning their matched inner
+    * tag objects — the positive filter clause under the default name
+    * (`tags`, the path) proves WHICH tag satisfied the query per hit;
+    * the must_not clause (named `bad_tags` — two channels must not
+    * collide) proves the empty-payload contract: a doc is a hit
+    * BECAUSE no element matched, so its inner page serializes ''. */
+  val NestedInnerHitsQuery: String = {
+    val dates = Search.IngestWindowDates.map(d => s""""$d"""")
+      .mkString("[", ", ", "]")
+    s"""{"query": {"bool": {
+       |  "filter": [
+       |    {"nested": {"path": "tags", "query": {"bool": {
+       |      "must": [{"term": {"tags.type": "k"}},
+       |               {"terms": {"tags.value": ["9", "15"]}}]}},
+       |      "inner_hits": {}}},
+       |    {"terms": {"persist_date": $dates}}],
+       |  "must_not": [
+       |    {"nested": {"path": "tags", "query": {"bool": {
+       |      "must": [{"term": {"tags.type": "etype"}},
+       |               {"match": {"tags.value": "error"}}]}},
+       |      "inner_hits": {"name": "bad_tags"}}}]
+       |}}, "size": 100}""".stripMargin
+  }
+
+  def searchDslNestedInnerHits(spark: SparkSession, dir: String)
+      : DataFrame =
+    searchDslOf(Ingest.ingestDocs(spark, dir), NestedInnerHitsQuery)
+
+  val searchDslNestedInnerHitsSql: String =
+    dslSqlOver(NestedInnerHitsQuery, Ingest.IngestDocsRel)
+
+  /** Registered query: [[NestedInnerHitsQuery]] SERVED through the
+    * daily ingest alias — the inner payload reads the docmeta
+    * doc-values' stored tag array; same oracle as the scan twin. */
+  def searchDslNestedInnerHitsServed(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val alias = Search.sharedIngestDailyIndexDirs(spark, dir)._2
+    searchDslFromIndexes(spark, Search.readAlias(spark, alias),
+      NestedInnerHitsQuery)
   }
 
   /** Registered query: [[DslQuery]] resolved THROUGH the daily-index

@@ -2,7 +2,7 @@ package graft
 
 import graft.ops.{Dsl, Search}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{array, col, date_add, lit, struct, to_date}
+import org.apache.spark.sql.functions.{array, col, date_add, expr, lit, struct, to_date}
 
 /** The ES query-DSL compiler's semantics the generated oracle can't
   * express alone: clause-context rules (filter gates without scoring,
@@ -2539,6 +2539,57 @@ class DslSpec extends SparkSpec {
     assert(msg("""{"query": {"match_all": {}},
       "collapse": {"field": "lang"}, "sort": [{"n_chars": "asc"}],
       "script_fields": {"lang": {"script": "1"}}}""").contains("collides"))
+  }
+
+  test("inner_hits returns the matched nested elements per hit") {
+    val tagged = Seq(
+      (0L, Seq(("k", "9"), ("k", "15"), ("etype", "ok"))),
+      (1L, Seq(("k", "9"), ("etype", "error"))),
+      (2L, Seq(("j", "9"))),
+      (3L, Seq(("k", "15"), ("k", "7"))))
+      .toDF("doc_id", "raw")
+      .withColumn("tags", expr(
+        "transform(raw, x -> named_struct('type', x._1, 'value', x._2))"))
+      .drop("raw")
+    val body = """{"query": {"bool": {
+      "filter": [{"nested": {"path": "tags", "query": {"bool": {
+        "must": [{"term": {"tags.type": "k"}},
+                 {"terms": {"tags.value": ["9", "15"]}}]}},
+        "inner_hits": {}}}],
+      "must_not": [{"nested": {"path": "tags", "query": {"bool": {
+        "must": [{"term": {"tags.type": "etype"}},
+                 {"match": {"tags.value": "error"}}]}},
+        "inner_hits": {"name": "bad_tags"}}}]}}, "size": 10}"""
+    val rows = Dsl.searchDslOf(tagged, body).collect()
+    val byDoc = rows.map(r => r.getLong(r.fieldIndex("doc_id")) ->
+      (r.getString(r.fieldIndex("tags")),
+        r.getString(r.fieldIndex("bad_tags")))).toMap
+    assert(byDoc.keySet == Set(0L, 3L), s"hits: ${byDoc.keySet}")
+    // matched elements only, in array order, type=value joined by |
+    assert(byDoc(0L) == ("k=9|k=15", ""),
+      "doc 0 matched on BOTH k tags; the etype=ok tag must not ride")
+    assert(byDoc(3L) == ("k=15", ""), "doc 3's k=7 tag must not ride")
+    // the oracle rebuilds the payload value-for-value
+    assert(Dsl.dslSql(body).contains("array_to_string(list_transform("))
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.searchDslOf(tagged, json)).getMessage
+    assert(msg("""{"query": {"bool": {"filter": [
+      {"nested": {"path": "tags", "query": {"term": {"tags.type": "k"}},
+        "inner_hits": {}}},
+      {"nested": {"path": "tags", "query": {"term": {"tags.type": "j"}},
+        "inner_hits": {}}}]}}}""").contains("share inner_hits name"))
+    assert(msg("""{"query": {"nested": {"path": "tags",
+      "query": {"term": {"tags.type": "k"}},
+      "inner_hits": {"size": 3}}}}""").contains("unsupported"))
+    assert(msg("""{"query": {"match_all": {}},
+      "post_filter": {"nested": {"path": "tags",
+        "query": {"term": {"tags.type": "k"}},
+        "inner_hits": {}}}}""").contains("post_filter"))
+    assert(msg("""{"query": {"nested": {"path": "tags",
+      "query": {"term": {"tags.type": "k"}},
+      "inner_hits": {"name": "doc_id"}}}}""").contains("collides"))
   }
 
   test("r17 advice: now-shaped strings, _score tokens, sub-level gap fill") {
