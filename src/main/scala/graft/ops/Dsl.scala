@@ -535,6 +535,17 @@ object Dsl {
     * PRE-FILTER frame: one extra grouping pass over the corpus
     * (field + match flag), inherent to the statistic. */
   final case class SigTermsAgg(field: String, topN: Int) extends AggNode
+  /** ES `significant_text` — [[SigTermsAgg]]'s free-text sibling:
+    * tokens over-represented in the match set's TEXT, re-analyzed on
+    * the fly from the source field exactly like ES (which never
+    * doc-values text). Per-doc DISTINCT tokens, so doc_count is the
+    * number of matching docs CONTAINING the token; JLH-scored against
+    * the corpus background like significant_terms. Scan re-analyzes
+    * the corpus column; the SERVED form re-analyzes the index's
+    * STORED `_source` — the same thing ES does, which is why its docs
+    * gate it behind sampler aggs. Analyzed `text` only (`head` is a
+    * derived prefix, not a source field). */
+  final case class SigTextAgg(field: String, topN: Int) extends AggNode
   /** ES `weighted_avg` — Σ(value·weight)/Σ(weight) over docs carrying
     * BOTH fields (the ES skip-missing default; `missing` substitutes
     * refuse). Top-level only: the two-field input has no slot in the
@@ -2914,7 +2925,8 @@ object Dsl {
     "global", "histogram", "max", "max_bucket", "min", "min_bucket",
     "missing", "moving_fn", "multi_terms", "nested", "percentile_ranks",
     "percentiles", "random_sampler", "range", "rare_terms",
-    "serial_diff", "significant_terms", "stats", "stats_bucket", "sum",
+    "serial_diff", "significant_terms", "significant_text", "stats",
+    "stats_bucket", "sum",
     "sum_bucket", "terms", "top_hits", "top_metrics", "value_count",
     "weighted_avg")
 
@@ -3439,6 +3451,20 @@ object Dsl {
                 s"integer ≤ $MaxResultWindow, got $v")
             }
             SigTermsAgg(f, n)
+          case "significant_text" =>
+            val f = aggField(spec, name, Set("field", "size"))
+            if (f != Search.DefaultField)
+              fail(s"agg '$name' significant_text field must be " +
+                s"'${Search.DefaultField}' (the analyzed source field " +
+                "— keyword fields take significant_terms; 'head' is a " +
+                "derived prefix, not a source field)")
+            val n = spec \ "size" match {
+              case JNothing => DefaultSize
+              case JInt(x) if x > 0 && x <= MaxResultWindow => x.toInt
+              case v => fail(s"agg '$name' size must be a positive " +
+                s"integer ≤ $MaxResultWindow, got $v")
+            }
+            SigTextAgg(f, n)
           case "missing" => MissingAgg(aggField(spec, name, Set("field")))
           case "global" =>
             if (sub) fail(s"agg '$name': global is top-level only")
@@ -3881,6 +3907,7 @@ object Dsl {
     case MultiTermsAgg(fs, _, _) => fs
     case RareTermsAgg(f, _) => Seq(f)
     case SigTermsAgg(f, _) => Seq(f)
+    case SigTextAgg(f, _) => Seq(f)
     case WeightedAvgAgg(v, w) => Seq(v, w)
     case MissingAgg(f) => Seq(f)
     case GlobalAgg() => Seq.empty
@@ -7057,6 +7084,7 @@ object Dsl {
       !s.agg.isInstanceOf[NestedAgg] &&
       !s.agg.isInstanceOf[BucketMetricAgg] &&
       !s.agg.isInstanceOf[SigTermsAgg] &&
+      !s.agg.isInstanceOf[SigTextAgg] &&
       !s.agg.isInstanceOf[GlobalAgg] &&
       !s.agg.isInstanceOf[TopMetricsAgg])
     // the persist makes the one corpus pass ACTUALLY one: the per-agg
@@ -7214,6 +7242,8 @@ object Dsl {
         nestedAggFrames(matched, spec)
       else if (spec.agg.isInstanceOf[SigTermsAgg])
         Seq(sigTermsFrame(full, spec, p))
+      else if (spec.agg.isInstanceOf[SigTextAgg])
+        Seq(sigTextFrame(full, spec, p))
       else {
       val cut = spec.agg match {
         case _: TermsAgg | _: DateHistAgg | _: HistAgg |
@@ -7489,6 +7519,40 @@ object Dsl {
       .agg(sum($"fg").as("fgc"), count(lit(1)).as("bgc"))
     val totals = flagged.agg(sum($"fg").as("fgt"),
       count(lit(1)).as("bgt"))
+    grouped.join(broadcast(totals))
+      .withColumn("fgp", $"fgc".cast("double") / $"fgt".cast("double"))
+      .withColumn("bgp", $"bgc".cast("double") / $"bgt".cast("double"))
+      .withColumn("sc", ($"fgp" - $"bgp") * ($"fgp" / $"bgp"))
+      .filter($"fgc" > 0 && $"fgp" > $"bgp")
+      .orderBy($"sc".desc, $"key".asc).limit(n)
+      .select((lit(spec.name).as("agg") +: $"key" +:
+        lit("").as("key2") +: $"fgc".cast("long").as("doc_count") +:
+        ($"bgc".cast("long").as("v_count") +:
+          NullStats.tail.dropRight(1)) :+ $"sc".as("v_pct")): _*)
+      .select(OutCols.map(col): _*)
+  }
+
+  /** The significant_text frame: [[sigTermsFrame]]'s JLH over per-doc
+    * DISTINCT tokens of the re-analyzed source field — one explode of
+    * the (pruned) text column plus the same broadcast doc-grain
+    * totals. At 100 TB the token pass shuffles (token, two counts),
+    * never text — the vocabulary grain every tokenizer op here uses. */
+  private def sigTextFrame(full: DataFrame, spec: AggSpec,
+      p: Plan): DataFrame = {
+    import full.sparkSession.implicits._
+    val (f, n) = spec.agg match {
+      case SigTextAgg(x, k) => (x, k)
+      case other => fail(s"sig text: $other") // unreachable
+    }
+    val flagged = full.select(
+      array_distinct(TextAnalysis.toks(col(f))).as("ts"),
+      when(p.c.pred, 1).otherwise(0).as("fg"))
+    // totals are DOC-grain (the JLH background model), computed before
+    // the explode
+    val totals = flagged.agg(sum($"fg").as("fgt"), count(lit(1)).as("bgt"))
+    val grouped = flagged.select(explode($"ts").as("key"), $"fg")
+      .filter($"key" =!= "")
+      .groupBy($"key").agg(sum($"fg").as("fgc"), count(lit(1)).as("bgc"))
     grouped.join(broadcast(totals))
       .withColumn("fgp", $"fgc".cast("double") / $"fgt".cast("double"))
       .withColumn("bgp", $"bgc".cast("double") / $"bgt".cast("double"))
@@ -8118,6 +8182,35 @@ object Dsl {
              |      COUNT(*) FILTER (WHERE ${p.c.predSql}) AS fgc,
              |      COUNT(*) AS bgc
              |    FROM f WHERE f.$fld IS NOT NULL GROUP BY f.$fld) AS g
+             |  CROSS JOIN (
+             |    SELECT COUNT(*) FILTER (WHERE ${p.c.predSql}) AS fgt,
+             |      COUNT(*) AS bgt
+             |    FROM f) AS t) AS s2
+             |WHERE fgc > 0 AND fgp > bgp
+             |ORDER BY (fgp - bgp) * (fgp / bgp) DESC, key LIMIT $n
+             |) AS sig""".stripMargin
+        case SigTextAgg(_, n) =>
+          // per-doc DISTINCT tokens of the re-analyzed text; totals
+          // stay doc-grain (computed FROM f, never the exploded rows)
+          s"""SELECT * FROM (
+             |SELECT $name AS agg, key, '' AS key2,
+             |  fgc AS doc_count, bgc AS v_count,
+             |  CAST(NULL AS DOUBLE) AS v_sum,
+             |  CAST(NULL AS DOUBLE) AS v_min,
+             |  CAST(NULL AS DOUBLE) AS v_max,
+             |  CAST(NULL AS DOUBLE) AS v_avg,
+             |  ((fgp - bgp) * (fgp / bgp)) AS v_pct
+             |FROM (
+             |  SELECT key, fgc, bgc,
+             |    CAST(fgc AS DOUBLE) / CAST(fgt AS DOUBLE) AS fgp,
+             |    CAST(bgc AS DOUBLE) / CAST(bgt AS DOUBLE) AS bgp
+             |  FROM (
+             |    SELECT f.graft_tok AS key,
+             |      COUNT(*) FILTER (WHERE ${p.c.predSql}) AS fgc,
+             |      COUNT(*) AS bgc
+             |    FROM (SELECT *, unnest(list_distinct($ToksExpr))
+             |      AS graft_tok FROM f) AS f
+             |    WHERE f.graft_tok <> '' GROUP BY f.graft_tok) AS g
              |  CROSS JOIN (
              |    SELECT COUNT(*) FILTER (WHERE ${p.c.predSql}) AS fgt,
              |      COUNT(*) AS bgt
@@ -9285,11 +9378,26 @@ object Dsl {
     // serving under a match_all universe (features still fill 0)
     val pServe =
       if (b.aggs.exists(s => s.agg.isInstanceOf[SigTermsAgg] ||
+          s.agg.isInstanceOf[SigTextAgg] ||
           s.agg.isInstanceOf[GlobalAgg]))
         p.copy(q = MatchAllQ)
       else p
-    val parts = servedParts(spark, indexDirs, pServe, aggFields)
-    aggsOver(parts.f.filter(p.c.pred), parts.f, b, p)
+    // significant_text re-analyzes the STORED `_source` (the ES
+    // semantics — text is never a doc-value): its field comes from the
+    // index's stored table, not docmeta, so drop it from the doc-value
+    // fetch list and join the stored text onto the candidate frame
+    val sigTextFields = b.aggs.map(_.agg).collect {
+      case SigTextAgg(f2, _) => f2
+    }.distinct
+    val parts = servedParts(spark, indexDirs, pServe,
+      aggFields.filterNot(sigTextFields.contains))
+    val fFull =
+      if (sigTextFields.isEmpty) parts.f
+      else parts.f.join(
+        indexDirs.map(Search.requireIndex(spark, _))
+          .map(Search.storedFields(spark, _)).reduce(_ unionByName _),
+        Seq("doc_id"), "left")
+    aggsOver(fFull.filter(p.c.pred), fFull, b, p)
   }
 
   /** Registered query: [[DslQuery]] SERVED from the session-shared
@@ -10351,6 +10459,33 @@ object Dsl {
   def dslAggsSigServed(spark: SparkSession, dir: String): DataFrame =
     dslAggsFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), AggsSigQuery)
+
+  /** Registered `significant_text` (VERDICT r16 #4) — tokens
+    * over-represented in the "hash"-matching docs' TEXT vs the whole
+    * corpus, re-analyzed on the fly (per-doc distinct tokens,
+    * JLH-scored); size 12 so the frame holds more than the query term
+    * itself. The terms sibling pins the match-set split. */
+  val AggsSigTextQuery: String =
+    """{"query": {"match": {"text": "hash"}}, "size": 0,
+      |  "aggs": {
+      |    "sig_toks": {"significant_text": {"field": "text",
+      |      "size": 12}},
+      |    "langs": {"terms": {"field": "lang", "size": 3}}}}"""
+      .stripMargin
+
+  def dslAggsSigText(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Tables.documentsPar(spark, dir), AggsSigTextQuery)
+
+  val dslAggsSigTextOracleSql: String = dslAggsSql(AggsSigTextQuery)
+
+  /** Registered query: [[AggsSigTextQuery]] SERVED — the candidate
+    * universe widens to match_all (background counts), the foreground
+    * flag comes from postings, and the TOKENS come from re-analyzing
+    * the index's stored `_source` (what ES itself does for
+    * significant_text); same oracle. */
+  def dslAggsSigTextServed(spark: SparkSession, dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), AggsSigTextQuery)
 
   /** Registered `global`-agg body with a TEXT query, SERVED — the
     * regression pin for the r14 served-universe bug: a global agg

@@ -1711,6 +1711,45 @@ class DslSpec extends SparkSpec {
     assert(m.contains("min_doc_count"))
   }
 
+  test("significant_text JLH-scores per-doc distinct tokens of the match set") {
+    // match "gamma" → fg docs {2, 4} of 5. Distinct-token counts
+    // (fgc, bgc): gamma (2,2) → sc (1−.4)·(1/.4)=1.5; beta (2,4) →
+    // (1−.8)·(1/.8)=0.25; alpha (1,3) fgp .5 < bgp .6 drops; rare drops
+    val rows = Dsl.dslAggsOf(tiny, """{"query": {"match": {"text":
+      "gamma"}}, "size": 0, "aggs": {"st": {"significant_text":
+      {"field": "text", "size": 5}}}}""").collect()
+      .filter(_.getString(0) == "st")
+    // presentation order is (agg, key); the JLH rank rides v_pct
+    assert(rows.map(_.getString(1)).toSet == Set("gamma", "beta"),
+      s"survivors: ${rows.map(_.getString(1)).toSeq}")
+    val byKey = rows.map(r => r.getString(1) ->
+      ((r.getLong(r.fieldIndex("doc_count")),
+        r.getLong(r.fieldIndex("v_count")),
+        r.getDouble(r.fieldIndex("v_pct"))))).toMap
+    assert(byKey("gamma")._1 == 2L && byKey("gamma")._2 == 2L &&
+      byKey("beta")._1 == 2L && byKey("beta")._2 == 4L,
+      "doc_count = matching docs CONTAINING the token (distinct per doc)")
+    assert(math.abs(byKey("gamma")._3 - 1.5) < 1e-12 &&
+      math.abs(byKey("beta")._3 - 0.25) < 1e-12 &&
+      byKey("gamma")._3 > byKey("beta")._3, "JLH scores")
+    // a doc repeating a token counts once: doc 0 has alpha ×2 —
+    // match "rare" → fg {0, 3}; alpha (1,3): .5 < .6 drops; rare (2,2)
+    // survives; beta (1,4) drops
+    val r2 = Dsl.dslAggsOf(tiny, """{"query": {"match": {"text":
+      "rare"}}, "size": 0, "aggs": {"st": {"significant_text":
+      {"field": "text", "size": 5}}}}""").collect()
+      .filter(_.getString(0) == "st")
+    assert(r2.map(_.getString(1)).toSeq == Seq("rare"))
+    // refusals: keyword fields take significant_terms; head is derived
+    def msg(body: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(tiny, body)).getMessage
+    assert(msg("""{"size": 0, "aggs": {"st": {"significant_text":
+      {"field": "source"}}}}""").contains("analyzed"))
+    assert(msg("""{"size": 0, "aggs": {"st": {"significant_text":
+      {"field": "head"}}}}""").contains("analyzed"))
+  }
+
   test("moving_fn pins ES's shift convention; serial_diff lags N buckets") {
     // persist_date buckets: 01-01 ×2 (docs 0,3), 01-02 ×2 (1,4),
     // 01-03 ×1 (2) → counts [2, 2, 1]
