@@ -671,6 +671,23 @@ object Dsl {
     * there is no score to sample by. */
   final case class RandomSamplerAgg(prob: BigDecimal,
       seed: Long) extends AggNode
+  /** ES `sampler` / `diversified_sampler` — scope the sub-aggregation
+    * to the top-`shard_size` HIGHEST-SCORING docs of the query's match
+    * set (the "expensive sub-agg over the best docs" pattern the ES
+    * docs push for significant_terms performance). The sample is drawn
+    * by the REAL search pipeline — the same scored rank the hits
+    * endpoint serves, `(score DESC, doc_id)` deterministic tie-break,
+    * `TakeOrderedAndProject`-shaped — then the sub runs over the
+    * sampled match rows (a broadcast semi join of ≤ shard_size ids).
+    * `diversified_sampler` adds per-value de-duplication: with
+    * `max_docs_per_value` 1 (the ES DEFAULT) that is exactly the
+    * collapse (top-1-per-group) machinery, reused verbatim; higher
+    * caps refuse loudly (they would need a per-value rank window —
+    * say so rather than silently under-diversify). A scoreless
+    * (filter-only) query samples in doc_id order, deterministically —
+    * ES takes an arbitrary N there; this engine's N is pinned. */
+  final case class SamplerAgg(shardSize: Int,
+      divField: Option[String]) extends AggNode
   /** Minimal arithmetic expression over `params.*` — the supported
     * subset of ES's bucket-pipeline scripts (Painless is out of
     * scope; anything beyond +,−,×,÷, comparisons, parens and numeric
@@ -2899,6 +2916,16 @@ object Dsl {
     }
   }
 
+  /** `shard_size` of a sampler agg — the sample bound (ES default
+    * 100), capped at the result window the sampling search obeys. */
+  private def samplerShardSize(spec: JValue, name: String): Int =
+    spec \ "shard_size" match {
+      case JNothing => 100 // the ES default
+      case JInt(x) if x >= 1 && x <= MaxResultWindow => x.toInt
+      case v => fail(s"agg '$name' shard_size must be a positive " +
+        s"integer ≤ $MaxResultWindow, got $v")
+    }
+
   private def aggField(spec: JValue, name: String,
       known: Set[String]): String = {
     spec match {
@@ -2921,10 +2948,11 @@ object Dsl {
     * `percentiles`). */
   val SupportedAggTypes: Seq[String] = Seq("auto_date_histogram", "avg",
     "avg_bucket", "cardinality", "cumulative_sum", "date_histogram",
-    "date_range", "derivative", "extended_stats", "filter", "filters",
+    "date_range", "derivative", "diversified_sampler", "extended_stats",
+    "filter", "filters",
     "global", "histogram", "max", "max_bucket", "min", "min_bucket",
     "missing", "moving_fn", "multi_terms", "nested", "percentile_ranks",
-    "percentiles", "random_sampler", "range", "rare_terms",
+    "percentiles", "random_sampler", "range", "rare_terms", "sampler",
     "serial_diff", "significant_terms", "significant_text", "stats",
     "stats_bucket", "sum",
     "sum_bucket", "terms", "top_hits", "top_metrics", "value_count",
@@ -3343,6 +3371,32 @@ object Dsl {
                 "reproducible)")
             }
             RandomSamplerAgg(prob, seed)
+          case "sampler" =>
+            if (sub) fail(s"agg '$name': sampler is top-level only " +
+              "(one level of nesting)")
+            spec match {
+              case o: JObject => o.obj.collectFirst {
+                case (k, _) if k != "shard_size" => k
+              }.foreach(k => fail(s"agg '$name' sampler has " +
+                s"unsupported option '$k' — supported: shard_size"))
+              case other =>
+                fail(s"agg '$name' expects an object, got $other")
+            }
+            SamplerAgg(samplerShardSize(spec, name), None)
+          case "diversified_sampler" =>
+            if (sub) fail(s"agg '$name': diversified_sampler is " +
+              "top-level only (one level of nesting)")
+            val f = aggField(spec, name,
+              Set("field", "shard_size", "max_docs_per_value"))
+            spec \ "max_docs_per_value" match {
+              case JNothing => () // the ES default: 1
+              case JInt(x) if x == 1 => ()
+              case v => fail(s"agg '$name' max_docs_per_value must " +
+                s"be 1 (the ES default — served by the top-1-per-value " +
+                "collapse machinery; higher caps would need a " +
+                s"per-value rank window), got $v")
+            }
+            SamplerAgg(samplerShardSize(spec, name), Some(f))
           case "histogram" =>
             val f = aggField(spec, name, Set("field", "interval"))
             spec \ "interval" match {
@@ -3784,12 +3838,27 @@ object Dsl {
         }
         case _ => ()
       }
+      agg match {
+        case _: SamplerAgg =>
+          if (pipeRaw.nonEmpty)
+            fail(s"agg '$name': bucket pipes on a sampler are " +
+              "unsupported — pipe the sub's own buckets")
+          subSpec.map(_._2) match {
+            case Some(_: StatsAgg | _: MetricAgg | _: CardinalityAgg |
+                _: TermsAgg) => ()
+            case Some(_) => fail(s"agg '$name': a sampler sub must be " +
+              "a metric, cardinality, or terms aggregation")
+            case None => fail(s"agg '$name': sampler needs exactly one " +
+              "sub-aggregation — the sample scope exists to feed one")
+          }
+        case _ => ()
+      }
       val subIsBucket = subSpec.exists(x => !isMetric(x._2) &&
         !x._2.isInstanceOf[PipelineAgg])
       if (subIsBucket) {
         agg match {
           case _: TermsAgg | _: DateHistAgg | _: HistAgg |
-               _: NestedAgg => ()
+               _: NestedAgg | _: SamplerAgg => ()
           case _ => fail(s"agg '$name': a bucket sub-aggregation needs a " +
             "grouping-keyed parent (terms, date_histogram, histogram) — " +
             "range/filter/filters buckets take metric subs only")
@@ -3866,7 +3935,7 @@ object Dsl {
     case _: TermsAgg | _: DateHistAgg | _: HistAgg | _: RangeAgg |
          _: FilterAgg | _: FiltersAgg | _: NestedAgg |
          _: MultiTermsAgg | _: MissingAgg | _: DateRangeAgg |
-         _: GlobalAgg | _: RandomSamplerAgg => true
+         _: GlobalAgg | _: RandomSamplerAgg | _: SamplerAgg => true
     case _ => false
   }
 
@@ -3894,6 +3963,9 @@ object Dsl {
     case DateHistAgg(f, _, _) => Seq(f)
     case AutoDateHistAgg(f, _) => Seq(f)
     case RandomSamplerAgg(_, _) => Seq.empty
+    // the div field is the SAMPLING search's concern (collapse fetches
+    // its own doc-values); the agg frame needs only the sub's fields
+    case SamplerAgg(_, _) => Seq.empty
     case HistAgg(f, _) => Seq(f)
     case StatsAgg(f) => Seq(f)
     case MetricAgg(_, f) => Seq(f)
@@ -6823,7 +6895,58 @@ object Dsl {
     val aggFields = b.aggs.flatMap(aggSpecFields).distinct
     checkFields(docs, (p.exact ++ aggFields).distinct)
     val fullF = scanF(docs, p, aggFields)
-    aggsOver(fullF.filter(p.c.pred), fullF, b, p)
+    val matched = fullF.filter(p.c.pred)
+    val (samplers, rest) = b.aggs.partition(_.agg.isInstanceOf[SamplerAgg])
+    val base =
+      if (rest.isEmpty) Seq.empty
+      else Seq(aggsOver(matched, fullF, b.copy(aggs = rest), p))
+    // sampler scopes draw through the REAL search pipeline over the
+    // same docs frame (scored rank + deterministic tie-break, collapse
+    // for the diversified form), then sub-aggregate the sampled rows
+    val sFrames = samplers.map { spec =>
+      val sa = spec.agg.asInstanceOf[SamplerAgg]
+      val ids = searchDslOf(docs, samplerHitsJson(json, sa))
+        .select(col("doc_id"))
+      samplerFrames(matched, fullF, spec, p, b, ids)
+    }
+    (base ++ sFrames).reduce(_ unionByName _)
+      .orderBy(col("agg"), col("key"), col("key2"))
+  }
+
+  /** The sampler's sampling SEARCH body: the original query (match_all
+    * when absent) ranked to `shard_size` hits, plus collapse on the
+    * diversified field — built from the RAW body so the query JSON
+    * passes through verbatim into the proven hits pipeline. */
+  private def samplerHitsJson(json: String, sa: SamplerAgg): String = {
+    val q = JsonMethods.parse(json) \ "query" match {
+      case JNothing => JObject(List("match_all" -> JObject(Nil)))
+      case x => x
+    }
+    JsonMethods.compact(JsonMethods.render(JObject(
+      List[(String, JValue)]("query" -> q) ++
+        sa.divField.map(f =>
+          "collapse" -> (JObject(List("field" -> JString(f))): JValue)) ++
+        List[(String, JValue)]("size" -> JInt(sa.shardSize)))))
+  }
+
+  /** The sampler bucket's frames: the parent row (doc_count = sample
+    * size) plus the sub-aggregation evaluated over the sampled match
+    * rows — a broadcast semi join of ≤ shard_size ids, then the SAME
+    * [[aggsOver]] machinery the sub would get at top level (labeled
+    * `name.sub`, the frame convention). */
+  private def samplerFrames(matched: DataFrame, full: DataFrame,
+      spec: AggSpec, p: Plan, b: Body, ids: DataFrame): DataFrame = {
+    import matched.sparkSession.implicits._
+    val sampled = matched.join(broadcast(ids), Seq("doc_id"), "left_semi")
+    val parent = sampled.agg(count(lit(1)).as("doc_count"))
+      .select((lit(spec.name).as("agg") +: lit("").as("key") +:
+        lit("").as("key2") +: $"doc_count" +: NullStats): _*)
+      .select(OutCols.map(col): _*)
+    val subF = spec.sub.map { case (sn, sa) =>
+      aggsOver(sampled, full,
+        b.copy(aggs = Seq(AggSpec(s"${spec.name}.$sn", sa, None))), p)
+    }
+    (parent +: subF.toSeq).reduce(_ unionByName _)
   }
 
   /** The one-pass aggregation emission over an already-matched
@@ -8287,6 +8410,38 @@ object Dsl {
              |  GROUP BY tg.t.$sub$having
              |  ORDER BY $ord LIMIT ${t.topN}) AS z"""
             .stripMargin
+        case sa: SamplerAgg =>
+          // the sample = the REAL hits SQL for (query, collapse?,
+          // size shard_size); the sub re-enters this generator over
+          // the id-restricted relation under match_all — the same
+          // decomposition the Spark side runs
+          val hits = dslSqlOver(samplerHitsJson(json, sa), rel)
+          val parent =
+            s"""SELECT $name AS agg, '' AS key, '' AS key2,
+               |  COUNT(*) AS doc_count, ${nullStats.mkString(",\n  ")}
+               |FROM (
+               |$hits) AS smp""".stripMargin
+          val subSql = spec.sub.toSeq.map { case (sn, _) =>
+            val sampledRel =
+              s"""(SELECT d.* FROM $rel AS d WHERE d.doc_id IN (
+                 |  SELECT doc_id FROM (
+                 |$hits) AS smp))""".stripMargin
+            val subObj =
+              JsonMethods.parse(json) \ "aggs" \ spec.name \ "aggs" match {
+                case o: JObject => o
+                case other => fail(s"sampler '${spec.name}' sub " +
+                  s"json: $other") // unreachable post-parse
+              }
+            val renamed = JObject(subObj.obj.map {
+              case (k, v) => (s"${spec.name}.$k", v)
+            })
+            val subJson = JsonMethods.compact(JsonMethods.render(
+              JObject(List[(String, JValue)]("size" -> JInt(0),
+                "aggs" -> renamed))))
+            s"SELECT * FROM (\n${dslAggsSqlOver(subJson, sampledRel)}" +
+              "\n) AS ssub"
+          }
+          (Seq(parent) ++ subSql).mkString("\nUNION ALL\n")
         case other => // unreachable: parse refuses these at top level
           fail(s"not a top-level aggregation: $other")
       }
@@ -9397,7 +9552,20 @@ object Dsl {
         indexDirs.map(Search.requireIndex(spark, _))
           .map(Search.storedFields(spark, _)).reduce(_ unionByName _),
         Seq("doc_id"), "left")
-    aggsOver(fFull.filter(p.c.pred), fFull, b, p)
+    val matched = fFull.filter(p.c.pred)
+    val (samplers, rest) = b.aggs.partition(_.agg.isInstanceOf[SamplerAgg])
+    val base =
+      if (rest.isEmpty) Seq.empty
+      else Seq(aggsOver(matched, fFull, b.copy(aggs = rest), p))
+    // sampler scopes draw through the index-SERVED search pipeline
+    val sFrames = samplers.map { spec =>
+      val sa = spec.agg.asInstanceOf[SamplerAgg]
+      val ids = searchDslFromIndexes(spark, indexDirs,
+        samplerHitsJson(json, sa)).select(col("doc_id"))
+      samplerFrames(matched, fFull, spec, p, b, ids)
+    }
+    (base ++ sFrames).reduce(_ unionByName _)
+      .orderBy(col("agg"), col("key"), col("key2"))
   }
 
   /** Registered query: [[DslQuery]] SERVED from the session-shared
@@ -10486,6 +10654,37 @@ object Dsl {
   def dslAggsSigTextServed(spark: SparkSession, dir: String): DataFrame =
     dslAggsFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), AggsSigTextQuery)
+
+  /** Registered `sampler` + `diversified_sampler` (VERDICT r16 #5) —
+    * sub-aggs scoped to the top-scoring docs of the "hash" match set:
+    * a terms breakdown over the best 50, and stats over a
+    * source-diversified best 20 (max one doc per source, the ES
+    * default, via the collapse machinery). The samples draw through
+    * the REAL search pipeline with the (score DESC, doc_id)
+    * deterministic tie-break. */
+  val AggsSamplerQuery: String =
+    """{"query": {"match": {"text": "hash"}}, "size": 0,
+      |  "aggs": {
+      |    "best": {"sampler": {"shard_size": 50},
+      |      "aggs": {"langs": {"terms": {"field": "lang",
+      |        "size": 5}}}},
+      |    "best_div": {"diversified_sampler": {"field": "source",
+      |        "shard_size": 20},
+      |      "aggs": {"chars": {"stats": {"field": "n_chars"}}}},
+      |    "all_langs": {"terms": {"field": "lang", "size": 3}}}}"""
+      .stripMargin
+
+  def dslAggsSampler(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Tables.documentsPar(spark, dir), AggsSamplerQuery)
+
+  val dslAggsSamplerOracleSql: String = dslAggsSql(AggsSamplerQuery)
+
+  /** Registered query: [[AggsSamplerQuery]] SERVED — the samples draw
+    * through the index-served hits pipeline (postings-scored rank,
+    * collapse on docmeta doc-values); same oracle. */
+  def dslAggsSamplerServed(spark: SparkSession, dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), AggsSamplerQuery)
 
   /** Registered `global`-agg body with a TEXT query, SERVED — the
     * regression pin for the r14 served-universe bug: a global agg

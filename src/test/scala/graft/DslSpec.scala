@@ -1711,6 +1711,50 @@ class DslSpec extends SparkSpec {
     assert(m.contains("min_doc_count"))
   }
 
+  test("sampler scopes subs to top-scoring docs; diversified collapses per value") {
+    // match "beta" → docs 1,2,3,4; equal tf, dl 2/2/2/3 → docs 1,2,3
+    // tie on score above doc 4; (score DESC, doc_id) tiebreak
+    val rows = Dsl.dslAggsOf(tiny, """{"query": {"match": {"text":
+      "beta"}}, "size": 0, "aggs": {
+      "best": {"sampler": {"shard_size": 2},
+        "aggs": {"langs": {"terms": {"field": "lang", "size": 5}}}},
+      "best_div": {"diversified_sampler": {"field": "source",
+          "shard_size": 2},
+        "aggs": {"chars": {"stats": {"field": "n_chars"}}}}}}""")
+      .collect()
+    def agg(nm: String) = rows.filter(_.getString(0) == nm)
+    // sample = {1, 2}: docs 1,2 beat 3 on the doc_id tiebreak
+    assert(agg("best").head.getLong(3) == 2L, "sampler parent doc_count")
+    assert(agg("best.langs").map(r => (r.getString(1), r.getLong(3)))
+      .toSet == Set(("en", 1L), ("de", 1L)),
+      "terms sub runs over the SAMPLE, not the match set")
+    // diversified: collapse keeps doc 1 (not 3) for src1, doc 2 for
+    // src0, doc 4 for src2 → top 2 = {1, 2}; stats over n_chars 10,10
+    val ch = agg("best_div.chars").head
+    assert(agg("best_div").head.getLong(3) == 2L)
+    assert(ch.getLong(ch.fieldIndex("v_count")) == 2L &&
+      ch.getDouble(ch.fieldIndex("v_sum")) == 20.0 &&
+      ch.getDouble(ch.fieldIndex("v_avg")) == 10.0, "diversified stats")
+    // the sample DIFFERS from the full match set (4 docs, 3 langs)
+    val full = Dsl.dslAggsOf(tiny, """{"query": {"match": {"text":
+      "beta"}}, "size": 0, "aggs": {"langs": {"terms": {"field":
+      "lang", "size": 5}}}}""").collect()
+    assert(full.length == 3, "full match set spans 3 langs")
+    // refusals
+    def msg(body: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(tiny, body)).getMessage
+    assert(msg("""{"size": 0, "aggs": {"s": {"sampler":
+      {"shard_size": 5}}}}""").contains("sub"))
+    assert(msg("""{"size": 0, "aggs": {"s": {"diversified_sampler":
+      {"field": "source", "max_docs_per_value": 2},
+      "aggs": {"c": {"avg": {"field": "n_chars"}}}}}}""")
+      .contains("max_docs_per_value"))
+    assert(msg("""{"size": 0, "aggs": {"t": {"terms": {"field":
+      "lang"}, "aggs": {"s": {"sampler": {"shard_size": 5}}}}}}""")
+      .contains("top-level"))
+  }
+
   test("significant_text JLH-scores per-doc distinct tokens of the match set") {
     // match "gamma" → fg docs {2, 4} of 5. Distinct-token counts
     // (fgc, bgc): gamma (2,2) → sc (1−.4)·(1/.4)=1.5; beta (2,4) →
