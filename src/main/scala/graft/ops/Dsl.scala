@@ -688,6 +688,22 @@ object Dsl {
     * ES takes an arbitrary N there; this engine's N is pinned. */
   final case class SamplerAgg(shardSize: Int,
       divField: Option[String]) extends AggNode
+  /** ES `scripted_metric` — the init/map/combine/reduce script
+    * quartet, supported in its one oracle-checkable shape: a
+    * distributed SUM of a per-doc arithmetic expression. The
+    * canonical ES accumulator pattern parses exactly —
+    * `state.<v> = 0` / `state.<v> += <expr>` / `return state.<v>` /
+    * `double r = 0; for (s in states) { r += s } return r` — and the
+    * map expression goes through the shared PExpr subset
+    * (doc['field'].value, params, + − ×). Division and fractional
+    * literals REFUSE: a sum of non-integral doubles is
+    * summation-order-dependent, which the hash gate cannot verify —
+    * the integral-sums stance every stats agg here already documents.
+    * Painless beyond the accumulator shape refuses loudly. At scale
+    * this is exactly map-side partial aggregation: map = the partial,
+    * combine = the shard sum, reduce = the final merge — what
+    * `sum(expr)` already compiles to. */
+  final case class ScriptedMetricAgg(expr: PExpr) extends AggNode
   /** Minimal arithmetic expression over `params.*` — the supported
     * subset of ES's bucket-pipeline scripts (Painless is out of
     * scope; anything beyond +,−,×,÷, comparisons, parens and numeric
@@ -2916,6 +2932,88 @@ object Dsl {
     }
   }
 
+  /** Parses the [[ScriptedMetricAgg]] accumulator quartet — see the
+    * case class for the supported shape and the integral-sums
+    * rationale. Scripts are whitespace-normalized before matching so
+    * formatting never changes semantics. */
+  private def parseScriptedMetric(spec: JValue, name: String)
+      : ScriptedMetricAgg = {
+    val known = Set("init_script", "map_script", "combine_script",
+      "reduce_script", "params")
+    spec match {
+      case o: JObject => o.obj.collectFirst {
+        case (k, _) if !known.contains(k) => k
+      }.foreach(k => fail(s"agg '$name' scripted_metric has " +
+        s"unsupported option '$k' — supported: " +
+        known.toSeq.sorted.mkString(", ")))
+      case other => fail(s"agg '$name' expects an object, got $other")
+    }
+    def script(k: String): String = spec \ k match {
+      case JString(s2) if s2.nonEmpty =>
+        s2.trim.replaceAll("\\s+", " ").replaceAll(" ;", ";")
+      case JNothing => fail(s"agg '$name' scripted_metric needs a " +
+        s"""\"$k\" (the full accumulator quartet pins the semantics)""")
+      case v => fail(s"agg '$name' $k must be a string, got $v")
+    }
+    val params = spec \ "params" match {
+      case JNothing => Map.empty[String, BigDecimal]
+      case po: JObject => po.obj.map { case (pn, pv) => scalar(pv) match {
+        case SNum(x) => pn -> x
+        case other => fail(s"agg '$name' params.$pn must be numeric, " +
+          s"got ${other.sql}")
+      }}.toMap
+      case v => fail(s"agg '$name' params must be an object, got $v")
+    }
+    val InitRe = """state\.(\w+) = 0;?""".r
+    val MapRe = """state\.(\w+) \+= (.+?);?""".r
+    val CombRe = """return state\.(\w+);?""".r
+    val RedRe =
+      """double (\w+) = 0; for \((\w+) in states\) \{ \1 \+= \2;? \} return \1;?""".r
+    val v0 = script("init_script") match {
+      case InitRe(v) => v
+      case s2 => fail(s"agg '$name' init_script must be " +
+        s"""\"state.<v> = 0\" (the sum accumulator), got '$s2'""")
+    }
+    val (v1, mapSrc) = script("map_script") match {
+      case MapRe(v, e) => (v, e)
+      case s2 => fail(s"agg '$name' map_script must be " +
+        s"""\"state.<v> += <arithmetic>\", got '$s2'""")
+    }
+    if (v1 != v0) fail(s"agg '$name' map_script accumulates state.$v1 " +
+      s"but init_script declared state.$v0")
+    script("combine_script") match {
+      case CombRe(`v0`) => ()
+      case s2 => fail(s"agg '$name' combine_script must be " +
+        s"""\"return state.$v0\", got '$s2'""")
+    }
+    script("reduce_script") match {
+      case RedRe(_, _) => ()
+      case s2 => fail(s"agg '$name' reduce_script must be the " +
+        "canonical merge \"double r = 0; for (s in states) " +
+        s"""{ r += s } return r\", got '$s2'""")
+    }
+    val e0 = parsePipeScript(mapSrc, s"agg '$name' map_script",
+      allowDoc = true)
+    val e1 = pexprSubst(e0, params, s"agg '$name' map_script")
+    def checkIntegral(e: PExpr): Unit = e match {
+      case PNum(v) if !v.isWhole =>
+        fail(s"agg '$name' map_script literal $v is fractional — a " +
+          "sum of non-integral doubles is summation-order-dependent " +
+          "(unverifiable by the hash gate); scale to integers")
+      case PBin("/", _, _) =>
+        fail(s"agg '$name' map_script division is unsupported — it " +
+          "breaks the integral distributed sum; divide the RESULT " +
+          "via a bucket_script or client-side")
+      case PBin(op, _, _) if CmpOps.contains(op) =>
+        fail(s"agg '$name' map_script must be arithmetic — a " +
+          "comparison is a filter, not a summand")
+      case PBin(_, l, r) => checkIntegral(l); checkIntegral(r)
+      case _ => ()
+    }
+    checkIntegral(e1)
+    ScriptedMetricAgg(e1)
+  }
+
   /** `shard_size` of a sampler agg — the sample bound (ES default
     * 100), capped at the result window the sampling search obeys. */
   private def samplerShardSize(spec: JValue, name: String): Int =
@@ -2953,6 +3051,7 @@ object Dsl {
     "global", "histogram", "max", "max_bucket", "min", "min_bucket",
     "missing", "moving_fn", "multi_terms", "nested", "percentile_ranks",
     "percentiles", "random_sampler", "range", "rare_terms", "sampler",
+    "scripted_metric",
     "serial_diff", "significant_terms", "significant_text", "stats",
     "stats_bucket", "sum",
     "sum_bucket", "terms", "top_hits", "top_metrics", "value_count",
@@ -3397,6 +3496,11 @@ object Dsl {
                 s"per-value rank window), got $v")
             }
             SamplerAgg(samplerShardSize(spec, name), Some(f))
+          case "scripted_metric" =>
+            if (sub) fail(s"agg '$name': scripted_metric is top-level " +
+              "only (per-bucket scripted metrics would need a slot in " +
+              "the single-field sub machinery)")
+            parseScriptedMetric(spec, name)
           case "histogram" =>
             val f = aggField(spec, name, Set("field", "interval"))
             spec \ "interval" match {
@@ -3851,6 +3955,9 @@ object Dsl {
             case None => fail(s"agg '$name': sampler needs exactly one " +
               "sub-aggregation — the sample scope exists to feed one")
           }
+        case _: ScriptedMetricAgg if pipeRaw.nonEmpty =>
+          fail(s"agg '$name': bucket pipes on scripted_metric are " +
+            "unsupported — it emits one value, not buckets")
         case _ => ()
       }
       val subIsBucket = subSpec.exists(x => !isMetric(x._2) &&
@@ -3966,6 +4073,7 @@ object Dsl {
     // the div field is the SAMPLING search's concern (collapse fetches
     // its own doc-values); the agg frame needs only the sub's fields
     case SamplerAgg(_, _) => Seq.empty
+    case sm: ScriptedMetricAgg => pexprDocFields(sm.expr)
     case HistAgg(f, _) => Seq(f)
     case StatsAgg(f) => Seq(f)
     case MetricAgg(_, f) => Seq(f)
@@ -7209,6 +7317,7 @@ object Dsl {
       !s.agg.isInstanceOf[SigTermsAgg] &&
       !s.agg.isInstanceOf[SigTextAgg] &&
       !s.agg.isInstanceOf[GlobalAgg] &&
+      !s.agg.isInstanceOf[ScriptedMetricAgg] &&
       !s.agg.isInstanceOf[TopMetricsAgg])
     // the persist makes the one corpus pass ACTUALLY one: the per-agg
     // branches below filter this frame, and without a materialization
@@ -7367,6 +7476,8 @@ object Dsl {
         Seq(sigTermsFrame(full, spec, p))
       else if (spec.agg.isInstanceOf[SigTextAgg])
         Seq(sigTextFrame(full, spec, p))
+      else if (spec.agg.isInstanceOf[ScriptedMetricAgg])
+        Seq(scriptedMetricFrame(matched, spec))
       else {
       val cut = spec.agg match {
         case _: TermsAgg | _: DateHistAgg | _: HistAgg |
@@ -7652,6 +7763,23 @@ object Dsl {
         lit("").as("key2") +: $"fgc".cast("long").as("doc_count") +:
         ($"bgc".cast("long").as("v_count") +:
           NullStats.tail.dropRight(1)) :+ $"sc".as("v_pct")): _*)
+      .select(OutCols.map(col): _*)
+  }
+
+  /** The scripted_metric frame: ONE distributed sum of the compiled
+    * map expression over the match set — map-side partials, shard
+    * combine, final merge, exactly the init/map/combine/reduce
+    * contract the parsed quartet pinned. */
+  private def scriptedMetricFrame(matched: DataFrame,
+      spec: AggSpec): DataFrame = {
+    import matched.sparkSession.implicits._
+    val e = spec.agg.asInstanceOf[ScriptedMetricAgg].expr
+    val c = pexprEmit(e,
+      _ => fail("scripted_metric: unbound param"))._1
+    matched.agg(count(lit(1)).as("doc_count"), sum(c).as("pv"))
+      .select((lit(spec.name).as("agg") +: lit("").as("key") +:
+        lit("").as("key2") +: $"doc_count" +:
+        (NullStats.head +: $"pv".as("v_sum") +: NullStats.drop(2))): _*)
       .select(OutCols.map(col): _*)
   }
 
@@ -8410,6 +8538,17 @@ object Dsl {
              |  GROUP BY tg.t.$sub$having
              |  ORDER BY $ord LIMIT ${t.topN}) AS z"""
             .stripMargin
+        case ScriptedMetricAgg(e) =>
+          val es = pexprEmit(e,
+            _ => fail("scripted_metric: unbound param"))._2
+          s"""SELECT $name AS agg, '' AS key, '' AS key2,
+             |  COUNT(*) AS doc_count, $nullC,
+             |  CAST(SUM($es) AS DOUBLE) AS v_sum,
+             |  ${nullV("v_min")},
+             |  ${nullV("v_max")},
+             |  ${nullV("v_avg")},
+             |  ${nullV("v_pct")}
+             |FROM m AS f""".stripMargin
         case sa: SamplerAgg =>
           // the sample = the REAL hits SQL for (query, collapse?,
           // size shard_size); the sub re-enters this generator over
@@ -10654,6 +10793,35 @@ object Dsl {
   def dslAggsSigTextServed(spark: SparkSession, dir: String): DataFrame =
     dslAggsFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), AggsSigTextQuery)
+
+  /** Registered `scripted_metric` (VERDICT r16 #8) — the canonical ES
+    * accumulator quartet computing a parameterized integral sum over
+    * the "dup" match set: Σ (n_chars·w − doc_id) with w = 3. The
+    * stats sibling pins that the scripted sum and the machinery
+    * metrics read one match set. */
+  val AggsScriptedQuery: String =
+    """{"query": {"match": {"text": "dup"}}, "size": 0,
+      |  "aggs": {
+      |    "weighted_chars": {"scripted_metric": {
+      |      "init_script": "state.t = 0",
+      |      "map_script":
+      |        "state.t += doc['n_chars'].value * params.w - doc['doc_id'].value",
+      |      "combine_script": "return state.t",
+      |      "reduce_script":
+      |        "double r = 0; for (s in states) { r += s } return r",
+      |      "params": {"w": 3}}},
+      |    "chars": {"stats": {"field": "n_chars"}}}}""".stripMargin
+
+  def dslAggsScripted(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Tables.documentsPar(spark, dir), AggsScriptedQuery)
+
+  val dslAggsScriptedOracleSql: String = dslAggsSql(AggsScriptedQuery)
+
+  /** Registered query: [[AggsScriptedQuery]] SERVED — the map
+    * expression evaluates on docmeta doc-values; same oracle. */
+  def dslAggsScriptedServed(spark: SparkSession, dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), AggsScriptedQuery)
 
   /** Registered `sampler` + `diversified_sampler` (VERDICT r16 #5) —
     * sub-aggs scoped to the top-scoring docs of the "hash" match set:

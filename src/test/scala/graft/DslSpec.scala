@@ -1711,6 +1711,59 @@ class DslSpec extends SparkSpec {
     assert(m.contains("min_doc_count"))
   }
 
+  test("scripted_metric: the accumulator quartet compiles to one integral sum") {
+    // match "beta" → docs 1,2,3,4; Σ (n_chars·3 − doc_id) =
+    // 29 + 28 + 24 + 44 = 125
+    val rows = Dsl.dslAggsOf(tiny, """{"query": {"match": {"text":
+      "beta"}}, "size": 0, "aggs": {"w": {"scripted_metric": {
+      "init_script": "state.t = 0",
+      "map_script":
+        "state.t += doc['n_chars'].value * params.w - doc['doc_id'].value",
+      "combine_script": "return state.t",
+      "reduce_script":
+        "double r = 0; for (s in states) { r += s } return r",
+      "params": {"w": 3}}}}}""").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "w" && r.getLong(3) == 4L &&
+      r.getDouble(r.fieldIndex("v_sum")) == 125.0, s"got $r")
+    // whitespace never changes semantics (scripts normalize)
+    val r2 = Dsl.dslAggsOf(tiny, """{"size": 0, "aggs": {"w":
+      {"scripted_metric": {
+      "init_script": "  state.t   = 0 ;",
+      "map_script": "state.t  +=  doc['n_chars'].value",
+      "combine_script": " return   state.t ",
+      "reduce_script":
+        "double acc = 0;  for (x in states)  { acc += x; }  return acc;"
+      }}}}""").collect().head
+    assert(r2.getDouble(r2.fieldIndex("v_sum")) == 61.0) // Σ n_chars
+    // refusals: the integral-sums stance and the canonical quartet
+    def msg(body: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(tiny, body)).getMessage
+    def quartet(map: String, params: String = "{}"): String =
+      s"""{"size": 0, "aggs": {"w": {"scripted_metric": {
+        "init_script": "state.t = 0", "map_script": "$map",
+        "combine_script": "return state.t",
+        "reduce_script":
+          "double r = 0; for (s in states) { r += s } return r",
+        "params": $params}}}}"""
+    assert(msg(quartet("state.t += doc['n_chars'].value / 2"))
+      .contains("division"))
+    assert(msg(quartet("state.t += doc['n_chars'].value * params.w",
+      """{"w": 0.5}""")).contains("fractional"))
+    assert(msg(quartet("state.u += doc['n_chars'].value"))
+      .contains("state.u"))
+    assert(msg("""{"size": 0, "aggs": {"w": {"scripted_metric": {
+      "map_script": "state.t += 1"}}}}""").contains("init_script"))
+    assert(msg("""{"size": 0, "aggs": {"t": {"terms": {"field":
+      "lang"}, "aggs": {"w": {"scripted_metric": {"init_script":
+      "state.t = 0", "map_script": "state.t += 1", "combine_script":
+      "return state.t", "reduce_script":
+      "double r = 0; for (s in states) { r += s } return r"}}}}}}""")
+      .contains("top-level"))
+  }
+
   test("sampler scopes subs to top-scoring docs; diversified collapses per value") {
     // match "beta" → docs 1,2,3,4; equal tf, dl 2/2/2/3 → docs 1,2,3
     // tie on score above doc 4; (score DESC, doc_id) tiebreak
