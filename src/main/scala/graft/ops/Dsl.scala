@@ -467,6 +467,10 @@ object Dsl {
   sealed trait TermsOrder
   case object ByCount extends TermsOrder
   case object ByKey extends TermsOrder
+  /** `{"_key": "desc"}` — the latest-first / Z-to-A key cut (r17).
+    * Keys compare as the rendered VARCHAR in BOTH engines, exactly
+    * like [[ByKey]]'s ascending form. */
+  case object ByKeyDesc extends TermsOrder
   final case class BySub(name: String, asc: Boolean) extends TermsOrder
   /** `missing` buckets docs LACKING the field under the given value
     * (ES's missing parameter — the value must be type-compatible with
@@ -667,8 +671,8 @@ object Dsl {
     * md5("seed:doc_id")/2^60 < probability (the shared hash idiom, so
     * both engines draw the SAME sample). `seed` is REQUIRED (ES makes
     * it optional and then isn't reproducible). The score-based
-    * `sampler` agg refuses: aggregations evaluate in filter context —
-    * there is no score to sample by. */
+    * `sampler` is [[SamplerAgg]] (r17) — it draws through the real
+    * scored search pipeline instead. */
   final case class RandomSamplerAgg(prob: BigDecimal,
       seed: Long) extends AggNode
   /** ES `sampler` / `diversified_sampler` — scope the sub-aggregation
@@ -3374,11 +3378,12 @@ object Dsl {
               case JNothing => ByCount
               case JObject(List(("_count", JString("desc")))) => ByCount
               case JObject(List(("_key", JString("asc")))) => ByKey
+              case JObject(List(("_key", JString("desc")))) => ByKeyDesc
               case JObject(List((sub, JString(ord))))
                   if sub != "_count" && sub != "_key" =>
                 BySub(sub, parseOrder(sub, ord))
               case v => fail(s"agg '$name' order must be " +
-                s"""{"_count": "desc"} (default), {"_key": "asc"}, or """ +
+                s"""{"_count": "desc"} (default), {"_key": "asc"|"desc"}, or """ +
                 s"""{"<metric sub-agg>": "asc"|"desc"}, got $v""")
             }
             val missing = spec \ "missing" match {
@@ -3587,8 +3592,9 @@ object Dsl {
               case JNothing => ByCount
               case JObject(List(("_count", JString("desc")))) => ByCount
               case JObject(List(("_key", JString("asc")))) => ByKey
+              case JObject(List(("_key", JString("desc")))) => ByKeyDesc
               case v => fail(s"agg '$name' multi_terms order must be " +
-                s"""{"_count": "desc"} or {"_key": "asc"}, got $v""")
+                s"""{"_count": "desc"} or {"_key": "asc"|"desc"}, got $v""")
             }
             MultiTermsAgg(fs, n, order)
           case "rare_terms" =>
@@ -3844,18 +3850,44 @@ object Dsl {
           case "filters" =>
             spec match {
               case o: JObject =>
-                o.obj.collectFirst { case (k, _) if k != "filters" => k }
-                  .foreach(k => fail(s"agg '$name' filters has " +
-                    s"unsupported option '$k' — supported: filters " +
-                    "(other_bucket/other_bucket_key are unsupported — " +
-                    "add an explicit complement bucket instead)"))
+                o.obj.collectFirst {
+                  case (k, _) if k != "filters" && k != "other_bucket" &&
+                      k != "other_bucket_key" => k
+                }.foreach(k => fail(s"agg '$name' filters has " +
+                  s"unsupported option '$k' — supported: filters, " +
+                  "other_bucket, other_bucket_key"))
               case other => fail(s"agg '$name' expects an object, got $other")
+            }
+            // other_bucket desugars AT PARSE to one more named bucket
+            // whose clause is the complement (must_not of every named
+            // clause) — zero new machinery, the overlap-free boolean
+            // column the filters pass already counts. other_bucket_key
+            // implies other_bucket (the ES rule); default key _other_.
+            val otherKey = spec \ "other_bucket_key" match {
+              case JNothing => "_other_"
+              case JString(k) if k.nonEmpty => k
+              case v => fail(s"agg '$name' other_bucket_key must be a " +
+                s"non-empty string, got $v")
+            }
+            val wantOther = spec \ "other_bucket" match {
+              case JNothing => (spec \ "other_bucket_key") != JNothing
+              case JBool(x) => x
+              case v => fail(s"agg '$name' other_bucket must be a " +
+                s"boolean, got $v")
             }
             spec \ "filters" match {
               case JObject(entries) if entries.nonEmpty =>
                 if (entries.map(_._1).distinct.size != entries.size)
                   fail(s"agg '$name' names a filter bucket twice")
-                FiltersAgg(entries.map { case (nm, q) => nm -> node(q) })
+                if (wantOther && entries.exists(_._1 == otherKey))
+                  fail(s"agg '$name': other_bucket key '$otherKey' " +
+                    "collides with a named filter bucket")
+                val named = entries.map { case (nm, q) => nm -> node(q) }
+                val other =
+                  if (!wantOther) Seq.empty
+                  else Seq(otherKey -> (BoolQ(Seq.empty, Seq.empty,
+                    named.map(_._2), Seq.empty, None): Node))
+                FiltersAgg(named ++ other)
               case JArray(_) => fail(s"agg '$name': anonymous filters " +
                 "are unsupported — name each bucket " +
                 """({"filters": {"<name>": <query>, …}})""")
@@ -7420,6 +7452,7 @@ object Dsl {
           // or by the metric sub's value (nulls last, key tiebreak)
           val o = ord match {
             case ByKey => Seq($"key".asc)
+            case ByKeyDesc => Seq($"key".desc)
             case ByCount => Seq($"doc_count".desc, $"key".asc)
             case BySub(_, asc) =>
               val c = col(orderColOf(metricKindField(spec.sub.get._2)._1))
@@ -7429,9 +7462,11 @@ object Dsl {
           (if (minDoc > 1) sel.filter($"doc_count" >= minDoc) else sel)
             .orderBy(o: _*).limit(n)
         case MultiTermsAgg(_, n, ord) =>
-          val o: Seq[Column] =
-            if (ord == ByKey) Seq($"key".asc)
-            else Seq($"doc_count".desc, $"key".asc)
+          val o: Seq[Column] = ord match {
+            case ByKey => Seq($"key".asc)
+            case ByKeyDesc => Seq($"key".desc)
+            case _ => Seq($"doc_count".desc, $"key".asc)
+          }
           sel.orderBy(o: _*).limit(n)
         case RareTermsAgg(_, m) =>
           // the long-tail cut: count CEILING, no top-N (every rare
@@ -7652,9 +7687,11 @@ object Dsl {
         val cut2 = sa match {
           case TermsAgg(_, n2, ord2, _, _, _, _) =>
             // per-parent top-N: a bucket-grain window, ES's sub-terms cut
-            val o2: Seq[Column] =
-              if (ord2 == ByKey) Seq($"key2".asc)
-              else Seq($"doc_count".desc, $"key2".asc)
+            val o2: Seq[Column] = ord2 match {
+              case ByKey => Seq($"key2".asc)
+              case ByKeyDesc => Seq($"key2".desc)
+              case _ => Seq($"doc_count".desc, $"key2".asc)
+            }
             val w = Window.partitionBy($"key").orderBy(o2: _*)
             kept.withColumn("rn", row_number().over(w))
               .filter($"rn" <= n2).drop("rn")
@@ -7843,6 +7880,7 @@ object Dsl {
       else grouped
     val ord: Seq[Column] = t.order match {
       case ByKey => Seq($"key".asc)
+      case ByKeyDesc => Seq($"key".desc)
       case _ => Seq($"doc_count".desc, $"key".asc)
     }
     val child = floored.orderBy(ord: _*).limit(t.topN)
@@ -8091,6 +8129,7 @@ object Dsl {
         case TermsAgg(_, n, ord, _, minDoc, inc, exc) =>
           val ordSql = ord match {
             case ByKey => "key"
+            case ByKeyDesc => "key DESC"
             case ByCount => "doc_count DESC, key"
             case BySub(_, asc) =>
               val (k, _) = metricKindField(
@@ -8144,7 +8183,11 @@ object Dsl {
           // null-propagating || mirrors the Spark concat key
           val kx = fs.map(f => s"CAST($f AS VARCHAR)")
             .mkString(" || '|' || ")
-          val ordSql = if (ord == ByKey) "key" else "doc_count DESC, key"
+          val ordSql = ord match {
+            case ByKey => "key"
+            case ByKeyDesc => "key DESC"
+            case _ => "doc_count DESC, key"
+          }
           inner(kx, Some(s"($kx)"), "",
             s"\n  ORDER BY $ordSql LIMIT $n")
         case RareTermsAgg(fld, m) =>
@@ -8256,8 +8299,11 @@ object Dsl {
              |    GROUP BY $pk, $ck""".stripMargin
         val cutGrouped = sa match {
           case TermsAgg(_, n2, ord2, _, _, _, _) =>
-            val o2 = if (ord2 == ByKey) "key2"
-              else "doc_count DESC, key2"
+            val o2 = ord2 match {
+              case ByKey => "key2"
+              case ByKeyDesc => "key2 DESC"
+              case _ => "doc_count DESC, key2"
+            }
             s"""SELECT key, key2, doc_count FROM (
                |    SELECT key, key2, doc_count, ROW_NUMBER() OVER (
                |      PARTITION BY key ORDER BY $o2) AS rn
@@ -8523,7 +8569,11 @@ object Dsl {
           }
           val sub = t.field.stripPrefix(path + ".")
           val tg = s"(SELECT unnest($path) AS t FROM m) AS tg"
-          val ord = if (t.order == ByKey) "key" else "doc_count DESC, key"
+          val ord = t.order match {
+            case ByKey => "key"
+            case ByKeyDesc => "key DESC"
+            case _ => "doc_count DESC, key"
+          }
           val having =
             if (t.minDoc > 1) s" HAVING COUNT(*) >= ${t.minDoc}" else ""
           s"""SELECT $name AS agg, '' AS key, '' AS key2,
@@ -8709,6 +8759,7 @@ object Dsl {
       else grouped
     val pord: Seq[Column] = t.order match {
       case ByKey => Seq($"key".asc)
+      case ByKeyDesc => Seq($"key".desc)
       case _ => Seq($"doc_count".desc, $"key".asc)
     }
     val parentCut = floored.orderBy(pord: _*).limit(t.topN).select($"key")
@@ -8743,6 +8794,7 @@ object Dsl {
       if (t.minDoc > 1) s" HAVING COUNT(*) >= ${t.minDoc}" else ""
     val pord = t.order match {
       case ByKey => "key"
+      case ByKeyDesc => "key DESC"
       case _ => "doc_count DESC, key"
     }
     val hord = th.sort.map { case (f2, asc) =>
@@ -8825,7 +8877,11 @@ object Dsl {
 
   private final case class CompShape(query: Node, aggName: String,
       sources: Seq[CompSource], pageSize: Int,
-      after: Option[Seq[Scalar]])
+      after: Option[Seq[Scalar]],
+      // (name, metric kind, field): single-value metric subs riding
+      // each bucket row under their own names (r17 — the canonical
+      // "page through all buckets WITH their metrics" ES shape)
+      subs: Seq[(String, String, String)] = Seq.empty)
 
   /** Parse + validate a composite body: `size: 0`, exactly ONE
     * `composite` aggregation, `sources` of terms/histogram keys,
@@ -8853,16 +8909,50 @@ object Dsl {
       case JNothing => MatchAllQ
       case q => node(q)
     }
-    val (aggName, spec) = root \ "aggs" match {
-      case JObject(List((an, JObject(List(("composite", sp)))))) =>
-        (an, sp)
+    val (aggName, spec, subsJ) = root \ "aggs" match {
       case JObject(List((an, JObject(entries))))
           if entries.exists(_._1 == "composite") =>
-        fail(s"agg '$an': composite takes no sub-aggregations (page " +
-          "the buckets, then aggregate per bucket)")
+        val sp = entries.collectFirst { case ("composite", x) => x }.get
+        entries.filter(_._1 != "composite") match {
+          case Nil => (an, sp, JNothing: JValue)
+          case List(("aggs", a)) => (an, sp, a)
+          case more => fail(s"agg '$an' has unsupported option " +
+            s"'${more.head._1}' — beside composite only aggs " +
+            "(single-value metric subs) rides")
+        }
       case _ => fail("a composite body carries exactly ONE composite " +
         "aggregation (other agg shapes are dslAggsOf's)")
     }
+    val SubKinds = Set("avg", "max", "min", "sum", "value_count")
+    val subs: Seq[(String, String, String)] = subsJ match {
+      case JNothing => Seq.empty
+      case JObject(entries) if entries.nonEmpty => entries.map {
+        case (sn, JObject(List((kind, sdef)))) =>
+          if (!SubKinds.contains(kind))
+            fail(s"composite sub '$sn': unsupported type '$kind' — " +
+              s"supported: ${SubKinds.toSeq.sorted.mkString(", ")} " +
+              "(single-value metrics ride the bucket row; buckets " +
+              "don't nest under a paged key)")
+          sdef match {
+            case o: JObject =>
+              o.obj.collectFirst { case (k, _) if k != "field" => k }
+                .foreach(k => fail(s"composite sub '$sn' has " +
+                  s"unsupported option '$k' — supported: field"))
+            case other =>
+              fail(s"composite sub '$sn' expects an object, got $other")
+          }
+          sdef \ "field" match {
+            case JString(f) => (sn, kind, f)
+            case _ => fail(s"composite sub '$sn' needs a \"field\"")
+          }
+        case (sn, other) => fail(s"composite sub '$sn' must be a " +
+          s"single-key metric object, got $other")
+      }
+      case _ => fail("composite aggs must be a non-empty object of " +
+        "single-value metric subs")
+    }
+    if (subs.map(_._1).distinct.size != subs.size)
+      fail("composite names a sub twice")
     spec match {
       case o: JObject =>
         o.obj.collectFirst {
@@ -8921,6 +9011,9 @@ object Dsl {
       fail("composite names a source twice")
     if (sources.exists(s => s.name == "doc_count" || s.name == "doc_id"))
       fail("a composite source may not be named doc_count or doc_id")
+    subs.map(_._1).find(sn => sn == "doc_count" || sn == "doc_id" ||
+        sources.exists(_.name == sn)).foreach(sn =>
+      fail(s"composite sub '$sn' collides with a source/output column"))
     val pageSize = spec \ "size" match {
       case JNothing => DefaultSize
       case JInt(x) if x > 0 && x <= MaxResultWindow => x.toInt
@@ -8942,7 +9035,7 @@ object Dsl {
         })
       case other => fail(s"composite after must be an object, got $other")
     }
-    CompShape(query, aggName, sources, pageSize, after)
+    CompShape(query, aggName, sources, pageSize, after, subs)
   }
 
   private def compositeKey(s: CompSource): Column = s.hist match {
@@ -8989,8 +9082,17 @@ object Dsl {
     * exactly this way. Null keys drop (ES missing_bucket: false). */
   private def compositeTail(f: DataFrame, p: Plan, cs: CompShape)
       : DataFrame = {
+    // metric-sub inputs ride the keyed projection under positional
+    // aliases; avg splits into SUM + COUNT slots and divides POST-agg
+    // (the statSql convention — one division of identical doubles in
+    // both engines, never two AVG implementations)
+    val subIn = cs.subs.zipWithIndex.map { case ((_, kind, fld), i) =>
+      (if (kind == "value_count") col(fld)
+       else col(fld).cast("double")).as(s"gsub_$i")
+    }
     val keyed = f.filter(p.c.pred)
-      .select(cs.sources.map(s => compositeKey(s).as(s.name)): _*)
+      .select(cs.sources.map(s => compositeKey(s).as(s.name)) ++
+        subIn: _*)
       .filter(cs.sources.map(s => col(s.name).isNotNull).reduce(_ && _))
     val paged = cs.after match {
       case Some(a) => keyed.filter(afterGate(cs.sources, a)._1)
@@ -8998,15 +9100,40 @@ object Dsl {
     }
     val ord = cs.sources.map(s =>
       if (s.asc) col(s.name).asc else col(s.name).desc)
-    paged.groupBy(cs.sources.map(s => col(s.name)): _*)
-      .agg(count(lit(1)).as("doc_count"))
+    val subAggs = cs.subs.zipWithIndex.flatMap { case ((_, kind, _), i) =>
+      val c = col(s"gsub_$i")
+      kind match {
+        case "avg" => Seq(sum(c).as(s"gs_$i"), count(c).as(s"gc_$i"))
+        case "sum" => Seq(sum(c).as(s"gs_$i"))
+        case "min" => Seq(min(c).as(s"gs_$i"))
+        case "max" => Seq(max(c).as(s"gs_$i"))
+        case _ => Seq(count(c).as(s"gs_$i")) // value_count
+      }
+    }
+    val grouped = paged.groupBy(cs.sources.map(s => col(s.name)): _*)
+      .agg(count(lit(1)).as("doc_count"), subAggs: _*)
+    val withSubs = cs.subs.zipWithIndex.foldLeft(grouped) {
+      case (df, ((nm, kind, _), i)) =>
+        val v = kind match {
+          case "avg" => when(col(s"gc_$i") > 0,
+            col(s"gs_$i") / col(s"gc_$i"))
+            .otherwise(lit(null).cast("double"))
+          case "value_count" => col(s"gs_$i").cast("long")
+          case _ => col(s"gs_$i").cast("double")
+        }
+        df.withColumn(nm, v)
+    }
+    withSubs
+      .select((cs.sources.map(s => col(s.name)) :+ col("doc_count")) ++
+        cs.subs.map(x => col(x._1)): _*)
       .orderBy(ord: _*).limit(cs.pageSize)
   }
 
   def dslAggsCompositeOf(docs: DataFrame, json: String): DataFrame = {
     val cs = compositeShape(json)
     val p = filterPlanOf(cs.query)
-    val fields = cs.sources.map(_.field).distinct.filter(_ != "doc_id")
+    val fields = (cs.sources.map(_.field) ++ cs.subs.map(_._3))
+      .distinct.filter(_ != "doc_id")
     checkFields(docs, fields)
     compositeTail(scanF(docs, p, fields), p, cs)
   }
@@ -9017,7 +9144,8 @@ object Dsl {
       indexDirs: Seq[String], json: String): DataFrame = {
     val cs = compositeShape(json)
     val p = filterPlanOf(cs.query)
-    val fields = cs.sources.map(_.field).distinct.filter(_ != "doc_id")
+    val fields = (cs.sources.map(_.field) ++ cs.subs.map(_._3))
+      .distinct.filter(_ != "doc_id")
     val parts = servedParts(spark, indexDirs, p, fields)
     compositeTail(parts.f, p, cs)
   }
@@ -9027,7 +9155,8 @@ object Dsl {
   def dslAggsCompositeSqlOver(json: String, rel: String): String = {
     val cs = compositeShape(json)
     val p = filterPlanOf(cs.query)
-    val fields = cs.sources.map(_.field).distinct.filter(_ != "doc_id")
+    val fields = (cs.sources.map(_.field) ++ cs.subs.map(_._3))
+      .distinct.filter(_ != "doc_id")
     val keys = cs.sources.map(s => s"${compositeKeySql(s)} AS ${s.name}")
     val names = cs.sources.map(_.name)
     val notNull = names.map(n => s"$n IS NOT NULL").mkString(" AND ")
@@ -9035,10 +9164,28 @@ object Dsl {
       " AND " + afterGate(cs.sources, a)._2).getOrElse("")
     val ord = cs.sources.map(s =>
       s"${s.name}${if (s.asc) "" else " DESC"}").mkString(", ")
+    // metric subs: identical aggregate shapes to the Spark tail —
+    // avg emits the one shared SUM/COUNT division
+    val subIn = cs.subs.zipWithIndex.map { case ((_, kind, fld), i) =>
+      if (kind == "value_count") s", $fld AS gsub_$i"
+      else s", CAST($fld AS DOUBLE) AS gsub_$i"
+    }.mkString
+    val subOut = cs.subs.zipWithIndex.map { case ((nm, kind, _), i) =>
+      kind match {
+        case "avg" => s""",
+          |  CASE WHEN COUNT(gsub_$i) > 0 THEN
+          |    CAST(SUM(gsub_$i) AS DOUBLE) / COUNT(gsub_$i)
+          |    ELSE CAST(NULL AS DOUBLE) END AS $nm""".stripMargin
+        case "sum" => s",\n  CAST(SUM(gsub_$i) AS DOUBLE) AS $nm"
+        case "min" => s",\n  CAST(MIN(gsub_$i) AS DOUBLE) AS $nm"
+        case "max" => s",\n  CAST(MAX(gsub_$i) AS DOUBLE) AS $nm"
+        case _ => s",\n  COUNT(gsub_$i) AS $nm"
+      }
+    }.mkString
     s"""WITH ${fCteSql(p, fields, rel)},
-       |k AS (SELECT ${keys.mkString(", ")} FROM f
+       |k AS (SELECT ${keys.mkString(", ")}$subIn FROM f
        |      WHERE ${p.c.predSql})
-       |SELECT ${names.mkString(", ")}, COUNT(*) AS doc_count
+       |SELECT ${names.mkString(", ")}, COUNT(*) AS doc_count$subOut
        |FROM k WHERE $notNull$gate
        |GROUP BY ${names.mkString(", ")}
        |ORDER BY $ord LIMIT ${cs.pageSize}""".stripMargin
@@ -9094,6 +9241,37 @@ object Dsl {
         "dsl_aggs_composite_served: fewer than 6 buckets")
     dslAggsCompositeFromIndexes(spark, idx, compositePage2Body(page1.last))
   }
+
+  /** Registered composite WITH metric subs (r17) — language × source
+    * pages carrying per-bucket avg/max/value_count: the canonical
+    * "walk every bucket with its metrics" export shape (one filtered
+    * aggregation per page at scale, not a global sort). The desc
+    * source direction exercises the per-source page order. */
+  val CompositeSubsQuery: String =
+    """{"query": {"range": {"n_chars": {"gte": 40}}}, "size": 0,
+      |  "aggs": {"pages": {"composite": {"size": 8, "sources": [
+      |      {"lang": {"terms": {"field": "lang"}}},
+      |      {"src": {"terms": {"field": "source", "order": "desc"}}}
+      |    ]},
+      |    "aggs": {
+      |      "chars": {"avg": {"field": "n_chars"}},
+      |      "longest": {"max": {"field": "n_chars"}},
+      |      "ids": {"value_count": {"field": "doc_id"}}}}}}"""
+      .stripMargin
+
+  def dslAggsCompositeSubs(spark: SparkSession, dir: String): DataFrame =
+    dslAggsCompositeOf(Tables.documentsPar(spark, dir),
+      CompositeSubsQuery)
+
+  val dslAggsCompositeSubsOracleSql: String =
+    dslAggsCompositeSqlOver(CompositeSubsQuery, "documents")
+
+  /** Registered query: [[CompositeSubsQuery]] SERVED from the session
+    * index's doc-values; same oracle. */
+  def dslAggsCompositeSubsServed(spark: SparkSession, dir: String)
+      : DataFrame =
+    dslAggsCompositeFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), CompositeSubsQuery)
 
   // ------------------------------------------------- DSL percolation
 
@@ -10297,7 +10475,8 @@ object Dsl {
       |        "big_en": {"bool": {"filter": [
       |          {"term": {"lang": "en"}},
       |          {"range": {"n_chars": {"gte": 200}}}]}},
-      |        "mid_len": {"range": {"n_chars": {"gte": 100, "lt": 300}}}}},
+      |        "mid_len": {"range": {"n_chars": {"gte": 100, "lt": 300}}}},
+      |        "other_bucket_key": "rest"},
       |      "aggs": {"chars": {"stats": {"field": "n_chars"}}}},
       |    "langs": {"terms": {"field": "lang", "size": 3}}}}""".stripMargin
 

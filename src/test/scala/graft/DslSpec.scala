@@ -1361,14 +1361,50 @@ class DslSpec extends SparkSpec {
       "no post-aggregate cursor filter may remain")
   }
 
+  test("composite metric subs ride each bucket row") {
+    val rows = Dsl.dslAggsCompositeOf(tiny, """{"size": 0, "aggs":
+      {"p": {"composite": {"size": 10, "sources": [
+        {"lg": {"terms": {"field": "lang"}}},
+        {"sr": {"terms": {"field": "source", "order": "desc"}}}]},
+      "aggs": {
+        "chars": {"avg": {"field": "n_chars"}},
+        "longest": {"max": {"field": "n_chars"}},
+        "ids": {"value_count": {"field": "doc_id"}}}}}}""").collect()
+    val got = rows.map(r => (r.getString(0), r.getString(1),
+      r.getLong(r.fieldIndex("doc_count")),
+      r.getDouble(r.fieldIndex("chars")),
+      r.getDouble(r.fieldIndex("longest")),
+      r.getLong(r.fieldIndex("ids")))).toSeq
+    assert(got == Seq(
+      ("de", "src0", 1L, 10.0, 10.0, 1L),
+      ("en", "src1", 2L, 9.5, 10.0, 2L),
+      ("en", "src0", 1L, 16.0, 16.0, 1L),
+      ("fr", "src2", 1L, 16.0, 16.0, 1L)), s"got $got")
+    // refusals: bucket subs, colliding names, non-field options
+    def msg(body: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsCompositeOf(tiny, body)).getMessage
+    assert(msg("""{"size": 0, "aggs": {"p": {"composite": {"sources":
+      [{"lg": {"terms": {"field": "lang"}}}]}, "aggs": {"t": {"terms":
+      {"field": "source"}}}}}}""").contains("single-value"))
+    assert(msg("""{"size": 0, "aggs": {"p": {"composite": {"sources":
+      [{"lg": {"terms": {"field": "lang"}}}]}, "aggs": {"lg": {"avg":
+      {"field": "n_chars"}}}}}}""").contains("collides"))
+    assert(msg("""{"size": 0, "aggs": {"p": {"composite": {"sources":
+      [{"lg": {"terms": {"field": "lang"}}}]}, "aggs": {"a": {"avg":
+      {"field": "n_chars", "missing": 0}}}}}}""").contains("missing"))
+  }
+
   test("composite agg refuses unsupported shapes loudly") {
     def msg(json: String): String =
       intercept[IllegalArgumentException](
         Dsl.dslAggsCompositeOf(tiny, json)).getMessage
     val src = """{"lang": {"terms": {"field": "lang"}}}"""
+    // metric subs parse since r17; a BUCKET sub still refuses
     assert(msg(s"""{"size": 0, "aggs": {"p": {"composite":
-      {"sources": [$src]}, "aggs": {"m": {"avg": {"field":
-      "n_chars"}}}}}}""").contains("no sub-aggregations"))
+      {"sources": [$src]}, "aggs": {"m": {"date_histogram": {"field":
+      "pd", "calendar_interval": "day"}}}}}}""")
+      .contains("single-value"))
     assert(msg("""{"size": 3, "aggs": {"p": {"composite":
       {"sources": [{"l": {"terms": {"field": "lang"}}}]}}}}""")
       .contains("size must be 0"))
@@ -1709,6 +1745,41 @@ class DslSpec extends SparkSpec {
         "gap_date", "calendar_interval": "day",
         "min_doc_count": 2}}}}""")).getMessage
     assert(m.contains("min_doc_count"))
+  }
+
+  test("filters other_bucket complements; terms orders by _key desc") {
+    val rows = Dsl.dslAggsOf(tiny, """{"size": 0, "aggs": {
+      "seg": {"filters": {"filters": {
+        "en": {"term": {"lang": "en"}},
+        "short": {"range": {"n_chars": {"lt": 10}}}},
+        "other_bucket_key": "rest"}},
+      "top_keys": {"terms": {"field": "lang", "size": 2,
+        "order": {"_key": "desc"}}},
+      "by_lang": {"terms": {"field": "lang", "size": 3},
+        "aggs": {"src": {"terms": {"field": "source", "size": 1,
+          "order": {"_key": "desc"}}}}}}}""").collect()
+    // en = docs 0,1,3; short = doc 3 (9 chars); rest = neither = 2,4
+    val seg = rows.filter(_.getString(0) == "seg")
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(seg == Map("en" -> 3L, "short" -> 1L, "rest" -> 2L), s"$seg")
+    // _key desc cut: langs {en, de, fr} → top-2 descending = fr, en
+    val tk = rows.filter(_.getString(0) == "top_keys")
+      .map(r => (r.getString(1), r.getLong(3))).toSet
+    assert(tk == Set(("fr", 1L), ("en", 3L)), s"$tk")
+    // sub-terms _key desc: en's sources {src0, src1} → src1 survives
+    val enSrc = rows.filter(r => r.getString(0) == "by_lang.src" &&
+      r.getString(1) == "en").map(r => (r.getString(2), r.getLong(3)))
+    assert(enSrc.toSeq == Seq(("src1", 2L)), s"$enSrc")
+    // refusals: colliding other key; non-boolean other_bucket
+    def msg(body: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(tiny, body)).getMessage
+    assert(msg("""{"size": 0, "aggs": {"seg": {"filters": {"filters":
+      {"en": {"term": {"lang": "en"}}}, "other_bucket_key": "en"}}}}""")
+      .contains("collides"))
+    assert(msg("""{"size": 0, "aggs": {"seg": {"filters": {"filters":
+      {"en": {"term": {"lang": "en"}}}, "other_bucket": "yes"}}}}""")
+      .contains("boolean"))
   }
 
   test("scripted_metric: the accumulator quartet compiles to one integral sum") {
@@ -2385,8 +2456,10 @@ class DslSpec extends SparkSpec {
     def msg(json: String): String =
       intercept[IllegalArgumentException](
         Dsl.dslAggsOf(tiny, json)).getMessage
+    // (a bare score-based sampler now parses — r17 — but still needs
+    // a sub to scope; the sub-less form refuses there)
     assert(msg("""{"size": 0, "aggs": {"s": {"sampler":
-      {"shard_size": 10}}}}""").contains("random_sampler"))
+      {"shard_size": 10}}}}""").contains("sub-aggregation"))
     assert(msg("""{"size": 0, "aggs": {"s": {"random_sampler":
       {"probability": 1.5, "seed": 1}}}}""").contains("(0, 1]"))
     assert(msg("""{"size": 0, "aggs": {"s": {"random_sampler":
