@@ -494,7 +494,8 @@ object Dsl {
     * (derivative/cumulative_sum) cross gaps exactly like ES — the
     * fill is |buckets| rows of key-sequence work, zero corpus cost. */
   final case class DateHistAgg(field: String,
-      interval: String = "day", fill: Boolean = false) extends AggNode
+      interval: String = "day", // day | week (ISO-Monday keys) | month
+      fill: Boolean = false) extends AggNode
   final case class HistAgg(field: String, interval: Long) extends AggNode
   final case class StatsAgg(field: String) extends AggNode
   final case class MetricAgg(kind: String, field: String) extends AggNode
@@ -3421,10 +3422,10 @@ object Dsl {
             val f = aggField(spec, name,
               Set("field", "calendar_interval", "min_doc_count"))
             val iv = spec \ "calendar_interval" match {
-              case JString(x @ ("day" | "month")) => x
+              case JString(x @ ("day" | "week" | "month")) => x
               case JNothing => fail(s"agg '$name' needs calendar_interval")
               case v => fail(s"agg '$name': calendar_interval must be " +
-                s"""\"day\" or \"month\", got $v""")
+                s"""\"day\", \"week\", or \"month\", got $v""")
             }
             // min_doc_count 0 = the ES gap-fill contract (ES's own
             // date_histogram DEFAULT; this engine's default stays 1 —
@@ -7155,8 +7156,13 @@ object Dsl {
           .reduce((a, c) => concat(a, lit("|"), c)))
       case RareTermsAgg(x, _) => Some(col(x))
       case DateHistAgg(x, iv, _) =>
-        Some(if (iv == "month") date_format(col(x), "yyyy-MM")
-             else col(x))
+        // week keys render as the ISO week's MONDAY date — Spark's
+        // date_trunc('week') and DuckDB's date_trunc('week') agree
+        Some(iv match {
+          case "month" => date_format(col(x), "yyyy-MM")
+          case "week" => date_trunc("week", col(x)).cast("date")
+          case _ => col(x)
+        })
       case AutoDateHistAgg(x, bk) =>
         // the unit rides the broadcast span column (see the matched2
         // crossJoin below) — day / month / year by the documented
@@ -7481,17 +7487,23 @@ object Dsl {
           // ES. |buckets| rows of work, no corpus cost; an empty
           // match set explodes an empty sequence (no rows).
           val span = sel.agg(min($"key").as("k0"), max($"key").as("k1"))
-          val allKeys =
-            if (iv == "month")
+          val allKeys = iv match {
+            case "month" =>
               span.select(explode(sequence(
                 to_date(concat($"k0", lit("-01"))),
                 to_date(concat($"k1", lit("-01"))),
                 expr("interval 1 month"))).as("kd"))
                 .select(date_format($"kd", "yyyy-MM").as("key"))
-            else
+            case "week" =>
+              // keys are already the weeks' Mondays — step 7 days
+              span.select(explode(sequence(to_date($"k0"),
+                to_date($"k1"), expr("interval 7 days"))).as("kd"))
+                .select($"kd".cast("string").as("key"))
+            case _ =>
               span.select(explode(sequence(to_date($"k0"),
                 to_date($"k1"), expr("interval 1 day"))).as("kd"))
                 .select($"kd".cast("string").as("key"))
+          }
           allKeys.join(sel.drop("key2"), Seq("key"), "left")
             .select(($"key" +: key2Blank +:
               coalesce($"doc_count", lit(0L)).as("doc_count") +:
@@ -8089,7 +8101,11 @@ object Dsl {
         (s"COALESCE($f, ${v.sql})", None)
       case TermsAgg(f, _, _, None, _, _, _) => (f, Some(f))
       case DateHistAgg(f, iv, _) =>
-        (if (iv == "month") s"strftime($f, '%Y-%m')" else f, Some(f))
+        (iv match {
+          case "month" => s"strftime($f, '%Y-%m')"
+          case "week" => s"CAST(date_trunc('week', $f) AS DATE)"
+          case _ => f
+        }, Some(f))
       case AutoDateHistAgg(f, bk) =>
         // the declarative twin of the broadcast span column: scalar
         // subqueries over the match CTE pick the same unit
@@ -8147,23 +8163,27 @@ object Dsl {
             if (minDoc > 1) s"\n  HAVING COUNT(*) >= $minDoc" else ""
           inner(kx, guard, having, s"\n  ORDER BY $ordSql LIMIT $n",
             keyConds)
-        case DateHistAgg(fld, iv, false) =>
-          val kx2 = if (iv == "month") s"strftime($fld, '%Y-%m')" else fld
-          inner(kx2, Some(fld), "", "")
+        case DateHistAgg(fld, _, false) =>
+          inner(keySqlOf(spec.agg)._1, Some(fld), "", "")
         case DateHistAgg(fld, iv, true) =>
           // min_doc_count 0 gap fill — generate_series over the
           // populated span, LEFT JOIN the populated buckets (the
           // groupingCut twin); empty buckets: doc_count 0, NULL slots
-          val kx2 = if (iv == "month") s"strftime($fld, '%Y-%m')" else fld
-          val base = inner(kx2, Some(fld), "", "")
-          def bound(f2: String): String =
-            if (iv == "month")
-              s"date_trunc('month', (SELECT $f2($fld) FROM m " +
-                s"WHERE $fld IS NOT NULL))"
-            else s"(SELECT $f2($fld) FROM m WHERE $fld IS NOT NULL)"
+          val base = inner(keySqlOf(spec.agg)._1, Some(fld), "", "")
+          def bound(f2: String): String = iv match {
+            case "month" => s"date_trunc('month', (SELECT $f2($fld) " +
+              s"FROM m WHERE $fld IS NOT NULL))"
+            case "week" => s"date_trunc('week', (SELECT $f2($fld) " +
+              s"FROM m WHERE $fld IS NOT NULL))"
+            case _ => s"(SELECT $f2($fld) FROM m WHERE $fld IS NOT NULL)"
+          }
           val render = if (iv == "month") "strftime(kd, '%Y-%m')"
             else "CAST(CAST(kd AS DATE) AS VARCHAR)"
-          val unit = if (iv == "month") "MONTH" else "DAY"
+          val step = iv match {
+            case "month" => "1 MONTH"
+            case "week" => "7 DAY"
+            case _ => "1 DAY"
+          }
           s"""SELECT $name AS agg, gs.key, '' AS key2,
              |    COALESCE(pb.doc_count, 0) AS doc_count,
              |    pb.v_count, pb.v_sum, pb.v_min, pb.v_max, pb.v_avg,
@@ -8171,7 +8191,7 @@ object Dsl {
              |  FROM (SELECT CAST($render AS VARCHAR) AS key
              |        FROM (SELECT unnest(generate_series(
              |          ${bound("MIN")}, ${bound("MAX")},
-             |          INTERVAL 1 $unit)) AS kd) AS g0) AS gs
+             |          INTERVAL $step)) AS kd) AS g0) AS gs
              |  LEFT JOIN (
              |  $base) AS pb USING (key)""".stripMargin
         case a @ AutoDateHistAgg(_, _) =>
@@ -10541,7 +10561,13 @@ object Dsl {
       |    "monthly_fill": {"date_histogram": {"field": "gap_date",
       |        "calendar_interval": "month", "min_doc_count": 0},
       |      "aggs": {"running": {"cumulative_sum": {"buckets_path":
-      |        "_count"}}}}}}""".stripMargin
+      |        "_count"}}}},
+      |    "weekly_fill": {"date_histogram": {"field": "gap_date",
+      |        "calendar_interval": "week", "min_doc_count": 0},
+      |      "aggs": {"wavg": {"moving_fn": {"buckets_path": "_count",
+      |        "window": 2,
+      |        "script": "MovingFunctions.unweightedAvg(values)"}}}}}}"""
+      .stripMargin
 
   /** The gappy-date fixture: quadratic offsets leave holes a
     * consecutive fixture cannot — (doc_id%4)² × 7 days from the

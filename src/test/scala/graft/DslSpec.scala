@@ -1918,6 +1918,33 @@ class DslSpec extends SparkSpec {
       {"field": "head"}}}}""").contains("analyzed"))
   }
 
+  test("date_histogram week interval buckets on ISO Mondays, fill steps 7 days") {
+    // gap_date: 01-01 (Thu, wk 2025-12-29) ×2, 01-02 (Fri, same wk),
+    // 01-05 (Mon, wk 01-05), 01-10 (Sat, wk 01-05)
+    val gappy = tiny.withColumn("gap_date",
+      date_add(to_date(lit("2026-01-01")),
+        ((col("doc_id") % 4) * (col("doc_id") % 4)).cast("int")))
+    val wk = Dsl.dslAggsOf(gappy, """{"size": 0, "aggs": {"w":
+      {"date_histogram": {"field": "gap_date",
+       "calendar_interval": "week"}}}}""").collect()
+      .map(r => (r.getString(1), r.getLong(3))).toSeq
+    assert(wk == Seq(("2025-12-29", 3L), ("2026-01-05", 2L)), s"$wk")
+    // fill: stretch the gap to skip a whole week (doc 3 → +21 days =
+    // 01-22, wk 01-19): weeks 12-29, 01-05(skipped→0 after move)...
+    val gappy3 = tiny.withColumn("gap_date",
+      date_add(to_date(lit("2026-01-01")),
+        ((col("doc_id") % 4) * (col("doc_id") % 4) * 2).cast("int")))
+    // offsets ×2: 0,2,8,18 → 01-01, 01-03, 01-09, 01-19; weeks:
+    // 12-29 (01-01×2, 01-03), 01-05 (01-09), 01-19 (01-19) —
+    // 01-12 is EMPTY and must fill with 0
+    val fw = Dsl.dslAggsOf(gappy3, """{"size": 0, "aggs": {"w":
+      {"date_histogram": {"field": "gap_date",
+       "calendar_interval": "week", "min_doc_count": 0}}}}""").collect()
+      .map(r => (r.getString(1), r.getLong(3))).toSeq
+    assert(fw == Seq(("2025-12-29", 3L), ("2026-01-05", 1L),
+      ("2026-01-12", 0L), ("2026-01-19", 1L)), s"$fw")
+  }
+
   test("moving_fn pins ES's shift convention; serial_diff lags N buckets") {
     // persist_date buckets: 01-01 ×2 (docs 0,3), 01-02 ×2 (1,4),
     // 01-03 ×1 (2) → counts [2, 2, 1]
