@@ -2994,7 +2994,7 @@ class DslSpec extends SparkSpec {
     assert(msg("""{"size": 0, "aggs": {"s": {"terms":
       {"field": "source", "include": "^src1"}}}}""").contains("anchors"))
     assert(msg("""{"size": 0, "aggs": {"d": {"date_histogram":
-      {"field": "pd", "calendar_interval": "week"}}}}""")
+      {"field": "pd", "calendar_interval": "hour"}}}}""")
       .contains("month"))
     val th = intercept[IllegalArgumentException](Dsl.dslTopHitsOf(tiny,
       """{"size": 0, "aggs": {"l": {"terms": {"field": "lang",
@@ -3035,9 +3035,12 @@ class DslSpec extends SparkSpec {
         Dsl.dslAggsOf(tiny, json)).getMessage
     assert(msg("""{"size": 0, "aggs": {"seg": {"filters": {"filters": [
       {"term": {"lang": "en"}}]}}}}""").contains("anonymous"))
-    assert(msg("""{"size": 0, "aggs": {"seg": {"filters": {
-      "filters": {"a": {"match_all": {}}},
-      "other_bucket": true}}}}""").contains("other_bucket"))
+    // other_bucket parses since r17 — the default key complements
+    val ob = Dsl.dslAggsOf(tiny, """{"size": 0, "aggs": {"seg":
+      {"filters": {"filters": {"a": {"match_all": {}}},
+      "other_bucket": true}}}}""").collect()
+      .map(r => (r.getString(1), r.getLong(3))).toMap
+    assert(ob == Map("a" -> 5L, "_other_" -> 0L), s"$ob")
     assert(msg("""{"size": 0, "aggs": {"seg": {
       "filters": {"filters": {"a": {"match_all": {}}}},
       "aggs": {"l": {"terms": {"field": "lang"}}}}}}""")
