@@ -515,6 +515,15 @@ object Dsl {
     * `dsl_aggs_hll` rows-only stance if ever needed. */
   final case class PercentilesAgg(field: String,
       percents: Seq[BigDecimal]) extends AggNode
+  /** ES `median_absolute_deviation` — exact MAD (median of
+    * |x − median(x)|) instead of ES's TDigest approximation: the
+    * first median broadcasts as a 1-row aggregate, the deviations
+    * reuse the exact-percentile parity (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`); integer doc-values keep every intermediate
+    * (difference, abs, interpolation) exact in double space, so the
+    * oracle hash-checks it. Two aggregates over the match set — the
+    * documented cost of exactness (ES's sketch is one pass). */
+  final case class MadAgg(field: String) extends AggNode
   final case class RangeAgg(field: String,
       ranges: Seq[(Option[Scalar], Option[Scalar])]) extends AggNode
   /** ES `multi_terms` — compound bucket keys: the key is the fields'
@@ -3050,10 +3059,12 @@ object Dsl {
     * can never drift again (r14 shipped the message missing
     * `percentiles`). */
   val SupportedAggTypes: Seq[String] = Seq("auto_date_histogram", "avg",
-    "avg_bucket", "cardinality", "cumulative_sum", "date_histogram",
+    "avg_bucket", "boxplot", "cardinality", "cumulative_sum",
+    "date_histogram",
     "date_range", "derivative", "diversified_sampler", "extended_stats",
     "filter", "filters",
-    "global", "histogram", "max", "max_bucket", "min", "min_bucket",
+    "global", "histogram", "max", "max_bucket",
+    "median_absolute_deviation", "min", "min_bucket",
     "missing", "moving_fn", "multi_terms", "nested", "percentile_ranks",
     "percentiles", "random_sampler", "range", "rare_terms", "sampler",
     "scripted_metric",
@@ -3523,6 +3534,21 @@ object Dsl {
               "rows (variance/std_deviation/sum_of_squares ride extra " +
               "keyed rows) — top-level only; subs take stats")
             MetricAgg("extended_stats", aggField(spec, name, Set("field")))
+          case "boxplot" =>
+            if (sub) fail(s"agg '$name': boxplot emits five keyed rows " +
+              "(min/q1/q2/q3/max) — top-level only; subs take stats")
+            // `compression` (the TDigest knob) refuses via aggField:
+            // quartiles here are EXACT (the percentiles machinery),
+            // so there is no sketch to tune
+            MetricAgg("boxplot", aggField(spec, name, Set("field")))
+          case "median_absolute_deviation" =>
+            if (sub) fail(s"agg '$name': median_absolute_deviation is " +
+              "top-level only — its two-aggregate plan (median, then " +
+              "median of deviations) has no slot in the one-pass " +
+              "sub-metric machinery")
+            // `compression` refuses for the same reason as boxplot —
+            // the MAD here is exact, not a TDigest
+            MadAgg(aggField(spec, name, Set("field")))
           case "weighted_avg" =>
             if (sub) fail(s"agg '$name': weighted_avg is top-level only " +
               "— the two-field input has no slot in the sub-metric " +
@@ -4110,6 +4136,7 @@ object Dsl {
     case HistAgg(f, _) => Seq(f)
     case StatsAgg(f) => Seq(f)
     case MetricAgg(_, f) => Seq(f)
+    case MadAgg(f) => Seq(f)
     case CardinalityAgg(f, _) => Seq(f)
     case RangeAgg(f, _) => Seq(f)
     case PercentilesAgg(f, _) => Seq(f)
@@ -7218,6 +7245,8 @@ object Dsl {
     def needTags(kind: String): Seq[String] = kind match {
       case "stats" => Seq("vc", "vs", "vn", "vx")
       case "extended_stats" => Seq("vc", "vs", "vn", "vx", "vq")
+      // quartiles ride pctDefs; min/max are the whisker rows
+      case "boxplot" => Seq("vn", "vx")
       case "avg" => Seq("vc", "vs")
       case "sum" => Seq("vs")
       case "min" => Seq("vn")
@@ -7305,6 +7334,11 @@ object Dsl {
     val pctDefs: Seq[(String, String, BigDecimal)] = b.aggs.flatMap {
       case AggSpec(_, PercentilesAgg(x, ps), _, _) =>
         ps.map(pp => (s"vp_${x}_${pctTag(pp)}", x, pp))
+      // boxplot's quartiles are three more exact-percentile columns
+      // on the same one-pass aggregate
+      case AggSpec(_, MetricAgg("boxplot", x), _, _) =>
+        Seq(25, 50, 75).map(pp =>
+          (s"vp_${x}_$pp", x, BigDecimal(pp)))
       case _ => Seq.empty
     }.distinct
     val pctCols = pctDefs.map { case (nm, x, pp) =>
@@ -7356,6 +7390,7 @@ object Dsl {
       !s.agg.isInstanceOf[SigTextAgg] &&
       !s.agg.isInstanceOf[GlobalAgg] &&
       !s.agg.isInstanceOf[ScriptedMetricAgg] &&
+      !s.agg.isInstanceOf[MadAgg] &&
       !s.agg.isInstanceOf[TopMetricsAgg])
     // the persist makes the one corpus pass ACTUALLY one: the per-agg
     // branches below filter this frame, and without a materialization
@@ -7551,6 +7586,34 @@ object Dsl {
                 v.as("v_pct"))): _*)
           }
           (main +: extras).reduce(_ unionByName _)
+        case MetricAgg("boxplot", x) =>
+          // five keyed rows from the SAME one-pass global aggregate:
+          // the whiskers read the min/max tags, the quartiles the
+          // exact-percentile columns — no extra corpus pass
+          val base = grouped.filter(globalMine)
+          Seq(("min", col(s"vn_$x").cast("double")),
+              ("q1", col(s"vp_${x}_25")),
+              ("q2", col(s"vp_${x}_50")),
+              ("q3", col(s"vp_${x}_75")),
+              ("max", col(s"vx_$x").cast("double")))
+            .map { case (kn, v) =>
+              base.select((lit(kn).as("key") +: key2Blank +:
+                $"doc_count" +: (NullStats.dropRight(1) :+
+                  v.as("v_pct"))): _*)
+            }.reduce(_ unionByName _)
+        case MadAgg(x) =>
+          // exact MAD: the median broadcasts as a 1-row aggregate,
+          // the deviations' median reuses the percentile parity —
+          // two aggregates over the match set, zero driver loops
+          val xd = col(x).cast("double")
+          val med = matched.agg(
+            percentile(xd, lit(0.5)).as("mad_med"))
+          matched.crossJoin(broadcast(med))
+            .agg(count(lit(1)).as("doc_count"),
+              percentile(abs(col(x).cast("double") - $"mad_med"),
+                lit(0.5)).as("mad_v"))
+            .select((lit("").as("key") +: key2Blank +: $"doc_count" +:
+              (NullStats.dropRight(1) :+ $"mad_v".as("v_pct"))): _*)
         case WeightedAvgAgg(v, wt) =>
           grouped.filter(globalMine).withColumn("key", lit(""))
             .select(($"key" +: key2Blank +: $"doc_count" +:
@@ -8465,6 +8528,31 @@ object Dsl {
               extraRow("variance", varS),
               extraRow("std_deviation", s"sqrt($varS)")))
             .mkString("\nUNION ALL\n")
+        case MetricAgg("boxplot", x) =>
+          // [[aggsOver]]'s five keyed rows: MIN/MAX whiskers, exact
+          // quantile_cont quartiles (the percentile parity)
+          Seq(("min", s"CAST(MIN($x) AS DOUBLE)"),
+              ("q1", s"quantile_cont($x, 0.25)"),
+              ("q2", s"quantile_cont($x, 0.5)"),
+              ("q3", s"quantile_cont($x, 0.75)"),
+              ("max", s"CAST(MAX($x) AS DOUBLE)")).map { case (kn, v) =>
+            s"""SELECT $name AS agg, '$kn' AS key, '' AS key2,
+               |  COUNT(*) AS doc_count,
+               |  ${nullStats.dropRight(1).mkString(",\n  ")},
+               |  $v AS v_pct
+               |FROM m""".stripMargin
+          }.mkString("\nUNION ALL\n")
+        case MadAgg(x) =>
+          // the deviations' median re-derives the first median as a
+          // scalar subquery — the oracle never trusts the broadcast
+          val xd = s"CAST($x AS DOUBLE)"
+          s"""SELECT $name AS agg, '' AS key, '' AS key2,
+             |  COUNT(*) AS doc_count,
+             |  ${nullStats.dropRight(1).mkString(",\n  ")},
+             |  quantile_cont(abs($xd -
+             |    (SELECT quantile_cont($xd, 0.5) FROM m)), 0.5)
+             |    AS v_pct
+             |FROM m""".stripMargin
         case WeightedAvgAgg(v, w) =>
           val both = s"$v IS NOT NULL AND $w IS NOT NULL"
           val wv = s"SUM(CASE WHEN $both THEN CAST($v AS DOUBLE) * " +
@@ -11223,6 +11311,33 @@ object Dsl {
       dir: String): DataFrame =
     dslAggsFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), AggsPercentilesQuery)
+
+  /** Registered BOXPLOT + MEDIAN_ABSOLUTE_DEVIATION body — the two
+    * robust-dispersion metrics over the "dup" match set's n_chars:
+    * boxplot's five keyed rows (min/q1/q2/q3/max — exact quartiles on
+    * the one-pass machinery's percentile columns) and the exact MAD
+    * (median-of-deviations, the two-aggregate plan). The stats
+    * sibling pins that all three read one match set. */
+  val AggsBoxplotQuery: String =
+    """{"query": {"match": {"text": "dup"}}, "size": 0,
+      |  "aggs": {
+      |    "chars_box": {"boxplot": {"field": "n_chars"}},
+      |    "chars_mad": {"median_absolute_deviation":
+      |                  {"field": "n_chars"}},
+      |    "chars": {"stats": {"field": "n_chars"}}}}""".stripMargin
+
+  def dslAggsBoxplot(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Tables.documentsPar(spark, dir), AggsBoxplotQuery)
+
+  val dslAggsBoxplotOracleSql: String =
+    dslAggsSqlOver(AggsBoxplotQuery, "documents")
+
+  /** Registered query: [[AggsBoxplotQuery]] SERVED — quartile and
+    * deviation inputs are doc-values, the match gate comes from
+    * postings; same oracle as the scan form. */
+  def dslAggsBoxplotServed(spark: SparkSession, dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), AggsBoxplotQuery)
 
   /** Registered query: [[AggsNestedQuery]] SERVED from the daily
     * indices — nested buckets over doc-values across the alias

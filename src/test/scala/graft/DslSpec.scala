@@ -1548,6 +1548,54 @@ class DslSpec extends SparkSpec {
       .contains("must be a metric"))
   }
 
+  test("boxplot + median_absolute_deviation: exact quartiles, whiskers, MAD") {
+    val rows = Dsl.dslAggsOf(tiny, """{"query": {"match_all": {}},
+      "size": 0, "aggs": {
+        "box": {"boxplot": {"field": "n_chars"}},
+        "mad": {"median_absolute_deviation": {"field": "n_chars"}}}}""")
+      .collect()
+    // sorted n_chars = [9,10,10,16,16]: q1 idx 1 (10), q2 idx 2 (10),
+    // q3 idx 3 (16); whiskers 9/16
+    val box = rows.filter(_.getString(0) == "box")
+      .map(r => (r.getString(1), r.getAs[Double]("v_pct"))).toMap
+    assert(box == Map("min" -> 9.0, "q1" -> 10.0, "q2" -> 10.0,
+      "q3" -> 16.0, "max" -> 16.0), s"boxplot rows: $box")
+    // MAD: median 10, |x−10| = [6,0,0,1,6] → sorted [0,0,1,6,6] → 1
+    val mad = rows.filter(_.getString(0) == "mad")
+      .map(r => (r.getAs[Long]("doc_count"), r.getAs[Double]("v_pct")))
+    assert(mad.toSeq == Seq((5L, 1.0)), s"mad rows: $mad")
+    // a filtered match set exercises fractional interpolation: en docs
+    // carry n_chars [16,10,9] → q1 = 9.5, q3 = 13; MAD devs about the
+    // median 10 are [6,0,1] → 1
+    val en = Dsl.dslAggsOf(tiny, """{"query": {"term": {"lang": "en"}},
+      "size": 0, "aggs": {
+        "box": {"boxplot": {"field": "n_chars"}},
+        "mad": {"median_absolute_deviation": {"field": "n_chars"}}}}""")
+      .collect()
+    val enBox = en.filter(_.getString(0) == "box")
+      .map(r => (r.getString(1), r.getAs[Double]("v_pct"))).toMap
+    assert(enBox == Map("min" -> 9.0, "q1" -> 9.5, "q2" -> 10.0,
+      "q3" -> 13.0, "max" -> 16.0), s"en boxplot rows: $enBox")
+    assert(en.filter(_.getString(0) == "mad")
+      .map(_.getAs[Double]("v_pct")).toSeq == Seq(1.0))
+    // refusals: sub placement and the TDigest compression knob
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(tiny, json)).getMessage
+    assert(msg("""{"size": 0, "aggs": {"l": {"terms": {"field": "lang"},
+      "aggs": {"b": {"boxplot": {"field": "n_chars"}}}}}}""")
+      .contains("top-level only"))
+    assert(msg("""{"size": 0, "aggs": {"l": {"terms": {"field": "lang"},
+      "aggs": {"m": {"median_absolute_deviation":
+      {"field": "n_chars"}}}}}}""").contains("top-level only"))
+    assert(msg("""{"size": 0, "aggs": {"b": {"boxplot":
+      {"field": "n_chars", "compression": 100}}}}""")
+      .contains("compression"))
+    assert(msg("""{"size": 0, "aggs": {"m": {"median_absolute_deviation":
+      {"field": "n_chars", "compression": 100}}}}""")
+      .contains("compression"))
+  }
+
   test("regexp: Lucene-anchored term/raw matching; fuzzy clause desugars to match machinery") {
     def q(json: String): Set[Long] = ids(run(json, tiny)).toSet
     // analyzed field: any TOKEN must full-match
