@@ -659,11 +659,23 @@ object Dsl {
     * predicates" dashboard shape). One conditional count per name over
     * the one grouping-sets pass — overlap is free because membership
     * is a boolean COLUMN, not a grouping key (a groupBy could never
-    * express a doc landing in two buckets). The anonymous-array form
-    * and `other_bucket` refuse: name-keyed buckets are the
+    * express a doc landing in two buckets). `other_bucket` desugars at
+    * parse to one more named bucket (the must_not complement); the
+    * anonymous-array form refuses: name-keyed buckets are the
     * deterministic form, and an anonymous bucket's key is an
     * ES-internal ordinal. */
   final case class FiltersAgg(filters: Seq[(String, Node)]) extends AggNode
+  /** ES `adjacency_matrix` — named filters PLUS every pairwise
+    * intersection (`a&b`), the co-occurrence-matrix shape. Filters
+    * sort by name at parse (ES builds from a sorted map, so
+    * intersection keys compose in name order) and the whole matrix —
+    * n singles + n(n−1)/2 pairs — expands to conditional-count
+    * columns on the one grouping-sets pass: membership is boolean
+    * algebra over compiled predicates, zero extra corpus cost. Empty
+    * buckets are pruned from the response (the ES contract — a
+    * matrix row with doc_count 0 never renders). */
+  final case class AdjacencyAgg(filters: Seq[(String, Node)],
+      sep: String) extends AggNode
   /** ES `auto_date_histogram` — the engine picks the interval so the
     * bucket count stays ≤ `buckets`. DOCUMENTED CONTRACT (simpler than
     * ES's full calendar ladder): with s = whole-day span of the MATCH
@@ -3058,7 +3070,8 @@ object Dsl {
     * DslSpec pins it against the match's own `case` labels so the two
     * can never drift again (r14 shipped the message missing
     * `percentiles`). */
-  val SupportedAggTypes: Seq[String] = Seq("auto_date_histogram", "avg",
+  val SupportedAggTypes: Seq[String] = Seq("adjacency_matrix",
+    "auto_date_histogram", "avg",
     "avg_bucket", "boxplot", "cardinality", "cumulative_sum",
     "date_histogram",
     "date_range", "derivative", "diversified_sampler", "extended_stats",
@@ -3921,6 +3934,49 @@ object Dsl {
               case _ => fail(s"agg '$name' needs a non-empty " +
                 "\"filters\" object")
             }
+          case "adjacency_matrix" =>
+            if (sub) fail(s"agg '$name': adjacency_matrix is top-level " +
+              "only — its matrix rows are conditional columns of the " +
+              "global row, not a grouping key a parent could nest")
+            spec match {
+              case o: JObject =>
+                o.obj.collectFirst {
+                  case (k, _) if k != "filters" && k != "separator" => k
+                }.foreach(k => fail(s"agg '$name' adjacency_matrix has " +
+                  s"unsupported option '$k' — supported: filters, " +
+                  "separator"))
+              case other => fail(s"agg '$name' expects an object, " +
+                s"got $other")
+            }
+            val sep = spec \ "separator" match {
+              case JNothing => "&" // the ES default
+              case JString(s2) if s2.nonEmpty => s2
+              case v => fail(s"agg '$name' separator must be a " +
+                s"non-empty string, got $v")
+            }
+            spec \ "filters" match {
+              case JObject(entries) if entries.nonEmpty =>
+                if (entries.map(_._1).distinct.size != entries.size)
+                  fail(s"agg '$name' names a filter twice")
+                if (entries.size > 100)
+                  fail(s"agg '$name' adjacency_matrix takes at most " +
+                    s"100 filters (the ES bound — ${entries.size} " +
+                    "filters would expand to " +
+                    s"${entries.size * (entries.size + 1) / 2} buckets)")
+                entries.map(_._1).find(_.contains(sep)).foreach(nm =>
+                  fail(s"agg '$name': filter name '$nm' contains the " +
+                    s"separator '$sep' — intersection keys would be " +
+                    "ambiguous"))
+                // sorted by name: ES composes intersection keys from
+                // a sorted map, so "b&a" never appears
+                AdjacencyAgg(entries.map { case (nm, q) =>
+                  nm -> node(q) }.sortBy(_._1), sep)
+              case JArray(_) => fail(s"agg '$name': anonymous filters " +
+                "are unsupported — name each filter " +
+                """({"filters": {"<name>": <query>, …}})""")
+              case _ => fail(s"agg '$name' needs a non-empty " +
+                "\"filters\" object")
+            }
           case "nested" =>
             spec match {
               case o: JObject =>
@@ -4099,7 +4155,7 @@ object Dsl {
 
   private def aggTakesSub(a: AggNode): Boolean = a match {
     case _: TermsAgg | _: DateHistAgg | _: HistAgg | _: RangeAgg |
-         _: FilterAgg | _: FiltersAgg | _: NestedAgg |
+         _: FilterAgg | _: FiltersAgg | _: AdjacencyAgg | _: NestedAgg |
          _: MultiTermsAgg | _: MissingAgg | _: DateRangeAgg |
          _: GlobalAgg | _: RandomSamplerAgg | _: SamplerAgg => true
     case _ => false
@@ -4142,6 +4198,7 @@ object Dsl {
     case PercentilesAgg(f, _) => Seq(f)
     case FilterAgg(_) => Seq.empty
     case FiltersAgg(_) => Seq.empty
+    case AdjacencyAgg(_, _) => Seq.empty
     case _: PipelineAgg => Seq.empty
     case BucketMetricAgg(_, _) => Seq.empty
     case MultiTermsAgg(fs, _, _) => fs
@@ -4171,8 +4228,21 @@ object Dsl {
   private def aggClauseNodes(b: Body): Seq[Node] = b.aggs.flatMap {
     case AggSpec(_, FilterAgg(n), _, _) => Seq(n)
     case AggSpec(_, FiltersAgg(fs), _, _) => fs.map(_._2)
+    case AggSpec(_, AdjacencyAgg(fs, _), _, _) => fs.map(_._2)
     case _ => Seq.empty
   }
+
+  /** The adjacency matrix's bucket expansion: each named filter, then
+    * every name-ordered pair (the conjunction of both predicates) —
+    * the bucket label and the clause set each membership column
+    * compiles from. */
+  private def adjBuckets(fs: Seq[(String, Node)], sep: String)
+      : Seq[(String, Seq[Node])] =
+    fs.map { case (nm, n) => (nm, Seq(n)) } ++
+      (for {
+        i <- fs.indices; j <- fs.indices if i < j
+      } yield (s"${fs(i)._1}$sep${fs(j)._1}",
+        Seq(fs(i)._2, fs(j)._2)))
 
   /** (kind, field) of a metric node — parse guarantees subs are
     * metrics, and top-level stats/metric/cardinality flow through the
@@ -6002,6 +6072,9 @@ object Dsl {
           case FiltersAgg(fs) =>
             FiltersAgg(fs.map { case (nm, n) =>
               (nm, resolveLookups(n, fetch)) })
+          case AdjacencyAgg(fs, sep) =>
+            AdjacencyAgg(fs.map { case (nm, n) =>
+              (nm, resolveLookups(n, fetch)) }, sep)
           case a => a
         })
       })
@@ -7292,6 +7365,14 @@ object Dsl {
             (i, j, nm, compile(n, scored = false, p.tfIdx, p.pfIdx,
               Map.empty, p.zfIdx, p.rfIdx, p.sfIdx).pred)
           }
+        case (AggSpec(_, AdjacencyAgg(fs, sep), _, _), i) =>
+          // the whole matrix — singles + pairwise conjunctions — as
+          // conditional columns of the one pass
+          adjBuckets(fs, sep).zipWithIndex.map { case ((nm, ns), j) =>
+            (i, j, nm, ns.map(n2 => compile(n2, scored = false,
+              p.tfIdx, p.pfIdx, Map.empty, p.zfIdx, p.rfIdx,
+              p.sfIdx).pred).reduce(_ && _))
+          }
         case (AggSpec(_, MissingAgg(fld), _, _), i) =>
           Seq((i, 0, "", col(fld).isNull))
         case (AggSpec(_, DateRangeAgg(fld, ranges), _, _), i) =>
@@ -7305,6 +7386,7 @@ object Dsl {
       }
     val subKindOf: Map[Int, (String, String)] = b.aggs.zipWithIndex.collect {
       case (AggSpec(_, _: RangeAgg | _: FilterAgg | _: FiltersAgg |
+          _: AdjacencyAgg |
           _: MissingAgg | _: DateRangeAgg | _: RandomSamplerAgg,
           Some((_, m)), _), i) =>
         i -> metricKindField(m)
@@ -7654,6 +7736,14 @@ object Dsl {
               (lit(nm).as("key") +: key2Blank +:
                 col(s"dc${i}_$j").as("doc_count") +: condOut(i, j)): _*)
           }.reduce(_ unionByName _)
+        case AdjacencyAgg(fs, sep) =>
+          // one row per matrix cell from the same global grouping
+          // row; empty cells prune (the ES response contract)
+          adjBuckets(fs, sep).zipWithIndex.map { case ((nm, _), j) =>
+            grouped.filter(globalMine).select(
+              (lit(nm).as("key") +: key2Blank +:
+                col(s"dc${i}_$j").as("doc_count") +: condOut(i, j)): _*)
+          }.reduce(_ unionByName _).filter($"doc_count" > 0)
         case MissingAgg(_) =>
           grouped.filter(globalMine).select(
             (lit("").as("key") +: key2Blank +:
@@ -8669,6 +8759,20 @@ object Dsl {
                |  '' AS key2, COUNT(*) AS doc_count,
                |  ${stats.mkString(",\n  ")}
                |FROM m AS f WHERE ${c.predSql}""".stripMargin
+          }.mkString("\nUNION ALL\n")
+        case AdjacencyAgg(fs, sep) =>
+          // singles + pairwise conjunctions, zero-count cells pruned
+          // by the wrapping doc_count guard — the Spark twin's filter
+          adjBuckets(fs, sep).map { case (nm, ns) =>
+            val cond = ns.map(n2 => "(" + compile(n2, scored = false,
+              p.tfIdx, p.pfIdx, Map.empty, p.zfIdx, p.rfIdx,
+              p.sfIdx).predSql + ")").mkString(" AND ")
+            s"""SELECT * FROM (
+               |SELECT $name AS agg, '${quoteSql(nm)}' AS key,
+               |  '' AS key2, COUNT(*) AS doc_count,
+               |  ${stats.mkString(",\n  ")}
+               |FROM m AS f WHERE $cond) AS adjc
+               |WHERE adjc.doc_count > 0""".stripMargin
           }.mkString("\nUNION ALL\n")
         case NestedAgg(path) =>
           val (sn, t) = bucketSub.get match {
@@ -11178,6 +11282,37 @@ object Dsl {
   def dslAggsFiltersServed(spark: SparkSession, dir: String): DataFrame =
     dslAggsFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), AggsFiltersQuery)
+
+  /** Registered ADJACENCY_MATRIX body — the co-occurrence matrix over
+    * four segment filters (two language terms, a full-text match, a
+    * length range): singles plus every pairwise intersection as
+    * conditional columns of the one grouping-sets pass. The `de&en`
+    * cell is structurally empty (a doc carries one lang), proving the
+    * zero-count prune; the avg sub rides every surviving cell. */
+  val AggsAdjacencyQuery: String =
+    """{"query": {"match_all": {}}, "size": 0,
+      |  "aggs": {
+      |    "mat": {"adjacency_matrix": {"filters": {
+      |        "en": {"term": {"lang": "en"}},
+      |        "de": {"term": {"lang": "de"}},
+      |        "hashy": {"match": {"text": "hash"}},
+      |        "long": {"range": {"n_chars": {"gte": 300}}}}},
+      |      "aggs": {"chars": {"avg": {"field": "n_chars"}}}},
+      |    "langs": {"terms": {"field": "lang", "size": 3}}}}"""
+      .stripMargin
+
+  def dslAggsAdjacency(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Tables.documentsPar(spark, dir), AggsAdjacencyQuery)
+
+  val dslAggsAdjacencyOracleSql: String = dslAggsSql(AggsAdjacencyQuery)
+
+  /** Registered query: [[AggsAdjacencyQuery]] SERVED — matrix-cell
+    * membership from postings tf + docmeta doc-values; same oracle as
+    * the scan form. */
+  def dslAggsAdjacencyServed(spark: SparkSession,
+      dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), AggsAdjacencyQuery)
 
   /** Registered EXTENDED aggregations body — the round-12 agg
     * families: single-value metrics (avg/sum/min/max/value_count),

@@ -1548,6 +1548,49 @@ class DslSpec extends SparkSpec {
       .contains("must be a metric"))
   }
 
+  test("adjacency_matrix: sorted pairwise intersections, zero-cell prune") {
+    val rows = Dsl.dslAggsOf(tiny, """{"query": {"match_all": {}},
+      "size": 0, "aggs": {"mat": {"adjacency_matrix": {"filters": {
+        "en": {"term": {"lang": "en"}},
+        "al": {"match": {"text": "alpha"}},
+        "de": {"term": {"lang": "de"}},
+        "big": {"range": {"n_chars": {"gte": 16}}}}},
+      "aggs": {"chars": {"avg": {"field": "n_chars"}}}}}}""").collect()
+    val cells = rows.map(r => (r.getString(1), r.getAs[Long]("doc_count")))
+      .toMap
+    // en={0,1,3} al={0,1,4} de={2} big={0,4}; name-sorted pairs —
+    // al&de, big&de, de&en are empty and MUST be pruned
+    assert(cells == Map("al" -> 3L, "big" -> 2L, "de" -> 1L, "en" -> 3L,
+      "al&big" -> 2L, "al&en" -> 2L, "big&en" -> 1L), s"cells: $cells")
+    // the avg sub rides every surviving cell: al&big = docs 0,4
+    val avg = rows.filter(_.getString(1) == "al&big")
+      .map(_.getAs[Double]("v_avg"))
+    assert(avg.toSeq == Seq(16.0), s"al&big avg: ${avg.toSeq}")
+    // a custom separator renders in the pair keys
+    val sep = Dsl.dslAggsOf(tiny, """{"size": 0, "aggs": {"mat":
+      {"adjacency_matrix": {"separator": "|", "filters": {
+        "en": {"term": {"lang": "en"}},
+        "al": {"match": {"text": "alpha"}}}}}}}""").collect()
+      .map(_.getString(1)).toSet
+    assert(sep == Set("al", "en", "al|en"), s"custom-sep keys: $sep")
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(tiny, json)).getMessage
+    assert(msg("""{"size": 0, "aggs": {"m": {"adjacency_matrix":
+      {"filters": [{"term": {"lang": "en"}}]}}}}""").contains("anonymous"))
+    assert(msg("""{"size": 0, "aggs": {"m": {"adjacency_matrix":
+      {"filters": {"a&b": {"term": {"lang": "en"}},
+      "c": {"term": {"lang": "de"}}}}}}}""").contains("separator"))
+    assert(msg("""{"size": 0, "aggs": {"l": {"terms": {"field": "lang"},
+      "aggs": {"m": {"adjacency_matrix": {"filters":
+      {"a": {"term": {"lang": "en"}}}}}}}}}""")
+      .contains("top-level only"))
+    assert(msg("""{"size": 0, "aggs": {"m": {"adjacency_matrix":
+      {"filters": {"a": {"term": {"lang": "en"}}},
+      "other_bucket": true}}}}""").contains("unsupported option"))
+  }
+
   test("boxplot + median_absolute_deviation: exact quartiles, whiskers, MAD") {
     val rows = Dsl.dslAggsOf(tiny, """{"query": {"match_all": {}},
       "size": 0, "aggs": {
