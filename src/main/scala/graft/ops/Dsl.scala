@@ -524,6 +524,20 @@ object Dsl {
     * oracle hash-checks it. Two aggregates over the match set — the
     * documented cost of exactness (ES's sketch is one pass). */
   final case class MadAgg(field: String) extends AggNode
+  /** ES `t_test` — Student's t over two populations (`paired`,
+    * `heteroscedastic` = Welch, the ES default, or `homoscedastic` =
+    * pooled). DOCUMENTED DIVERGENCE: ES returns the p-value; the
+    * p-value needs the t-distribution CDF (regularized incomplete
+    * beta — special-function territory the oracle cannot verify
+    * bit-for-bit), so this engine returns the SUFFICIENT STATISTICS
+    * instead — two keyed rows `t` and `df` — from which p is one
+    * table lookup away. Every input is an exact integer sum (Σx, Σx²,
+    * n per population), so the t/df expression trees evaluate
+    * bit-identically in both engines; populations with n < 2 emit
+    * NULL (no variance to test). */
+  final case class TTestAgg(aField: String, aFilter: Option[Node],
+      bField: String, bFilter: Option[Node], kind: String)
+    extends AggNode
   final case class RangeAgg(field: String,
       ranges: Seq[(Option[Scalar], Option[Scalar])]) extends AggNode
   /** ES `multi_terms` — compound bucket keys: the key is the fields'
@@ -3082,7 +3096,7 @@ object Dsl {
     "percentiles", "random_sampler", "range", "rare_terms", "sampler",
     "scripted_metric",
     "serial_diff", "significant_terms", "significant_text", "stats",
-    "stats_bucket", "sum",
+    "stats_bucket", "sum", "t_test",
     "sum_bucket", "terms", "top_hits", "top_metrics", "value_count",
     "weighted_avg")
 
@@ -3562,6 +3576,58 @@ object Dsl {
             // `compression` refuses for the same reason as boxplot —
             // the MAD here is exact, not a TDigest
             MadAgg(aggField(spec, name, Set("field")))
+          case "t_test" =>
+            if (sub) fail(s"agg '$name': t_test is top-level only — " +
+              "its two-population rows have no slot in the sub-metric " +
+              "machinery")
+            spec match {
+              case o: JObject =>
+                o.obj.collectFirst {
+                  case (k, _) if k != "a" && k != "b" && k != "type" => k
+                }.foreach(k => fail(s"agg '$name' t_test has " +
+                  s"unsupported option '$k' — supported: a, b, type"))
+              case other => fail(s"agg '$name' expects an object, " +
+                s"got $other")
+            }
+            val kind = spec \ "type" match {
+              case JNothing => "heteroscedastic" // the ES default
+              case JString(k2) if Set("paired", "heteroscedastic",
+                "homoscedastic")(k2) => k2
+              case v => fail(s"agg '$name' t_test type must be paired, " +
+                s"heteroscedastic, or homoscedastic, got $v")
+            }
+            def pop(part: String): (String, Option[Node]) =
+              spec \ part match {
+                case o: JObject =>
+                  o.obj.collectFirst {
+                    case (k, _) if k != "field" && k != "filter" => k
+                  }.foreach(k => fail(s"agg '$name' t_test.$part has " +
+                    s"unsupported option '$k' — supported: field, " +
+                    "filter"))
+                  val f = o \ "field" match {
+                    case JString(x) => x
+                    case _ => fail(s"agg '$name' t_test.$part needs a " +
+                      "\"field\"")
+                  }
+                  val flt = o \ "filter" match {
+                    case JNothing => None
+                    case q => Some(node(q))
+                  }
+                  (f, flt)
+                case _ => fail(s"agg '$name' t_test needs " +
+                  s"\"$part\": {\"field\": …}")
+              }
+            val (af, aflt) = pop("a")
+            val (bf, bflt) = pop("b")
+            if (kind == "paired" && (aflt.nonEmpty || bflt.nonEmpty))
+              fail(s"agg '$name' t_test: paired takes no filters — " +
+                "both samples read the same documents")
+            if (kind != "paired" && af == bf &&
+                (aflt.isEmpty || bflt.isEmpty))
+              fail(s"agg '$name' t_test: unpaired on ONE field needs " +
+                "a filter on both populations (identical samples " +
+                "have nothing to test)")
+            TTestAgg(af, aflt, bf, bflt, kind)
           case "weighted_avg" =>
             if (sub) fail(s"agg '$name': weighted_avg is top-level only " +
               "— the two-field input has no slot in the sub-metric " +
@@ -4193,6 +4259,7 @@ object Dsl {
     case StatsAgg(f) => Seq(f)
     case MetricAgg(_, f) => Seq(f)
     case MadAgg(f) => Seq(f)
+    case TTestAgg(af, _, bf, _, _) => Seq(af, bf)
     case CardinalityAgg(f, _) => Seq(f)
     case RangeAgg(f, _) => Seq(f)
     case PercentilesAgg(f, _) => Seq(f)
@@ -4229,6 +4296,8 @@ object Dsl {
     case AggSpec(_, FilterAgg(n), _, _) => Seq(n)
     case AggSpec(_, FiltersAgg(fs), _, _) => fs.map(_._2)
     case AggSpec(_, AdjacencyAgg(fs, _), _, _) => fs.map(_._2)
+    case AggSpec(_, TTestAgg(_, aflt, _, bflt, _), _, _) =>
+      aflt.toSeq ++ bflt.toSeq
     case _ => Seq.empty
   }
 
@@ -6075,6 +6144,9 @@ object Dsl {
           case AdjacencyAgg(fs, sep) =>
             AdjacencyAgg(fs.map { case (nm, n) =>
               (nm, resolveLookups(n, fetch)) }, sep)
+          case t: TTestAgg =>
+            t.copy(aFilter = t.aFilter.map(resolveLookups(_, fetch)),
+              bFilter = t.bFilter.map(resolveLookups(_, fetch)))
           case a => a
         })
       })
@@ -7473,6 +7545,7 @@ object Dsl {
       !s.agg.isInstanceOf[GlobalAgg] &&
       !s.agg.isInstanceOf[ScriptedMetricAgg] &&
       !s.agg.isInstanceOf[MadAgg] &&
+      !s.agg.isInstanceOf[TTestAgg] &&
       !s.agg.isInstanceOf[TopMetricsAgg])
     // the persist makes the one corpus pass ACTUALLY one: the per-agg
     // branches below filter this frame, and without a materialization
@@ -7696,6 +7769,70 @@ object Dsl {
                 lit(0.5)).as("mad_v"))
             .select((lit("").as("key") +: key2Blank +: $"doc_count" +:
               (NullStats.dropRight(1) :+ $"mad_v".as("v_pct"))): _*)
+        case TTestAgg(af, aflt, bf, bflt, kind) =>
+          // the sufficient statistics (t, df) from exact integer sums
+          // — ONE aggregate over the match set; the oracle re-derives
+          // the identical expression tree, so both rows hash-check.
+          // n < 2 in either population emits NULL (no variance).
+          val nD = lit(null).cast("double")
+          def cnd(o: Option[Node]): Option[Column] = o.map(n2 =>
+            compile(n2, scored = false, p.tfIdx, p.pfIdx, Map.empty,
+              p.zfIdx, p.rfIdx, p.sfIdx).pred)
+          val (tC, dfC, base) = if (kind == "paired") {
+            val both = col(af).isNotNull && col(bf).isNotNull
+            val d = when(both,
+              col(af).cast("double") - col(bf).cast("double"))
+            val agg0 = matched.agg(count(lit(1)).as("doc_count"),
+              count(d).as("tn"), sum(d).as("ts"), sum(d * d).as("tq"))
+            val n = col("tn").cast("double")
+            val v = (col("tq") - col("ts") * col("ts") / n) / (n - 1)
+            val t = (col("ts") / n) / sqrt(v / n)
+            (when(col("tn") >= 2, t).otherwise(nD),
+              when(col("tn") >= 2, n - 1).otherwise(nD), agg0)
+          } else {
+            def popAgg(x: String, c: Option[Column], tag: String) = {
+              val xv = c.map(cc => when(cc, col(x))).getOrElse(col(x))
+              val xd = c.map(cc => when(cc, col(x).cast("double")))
+                .getOrElse(col(x).cast("double"))
+              Seq(count(xv).as(s"tn$tag"), sum(xd).as(s"ts$tag"),
+                sum(xd * xd).as(s"tq$tag"))
+            }
+            val cols = popAgg(af, cnd(aflt), "1") ++
+              popAgg(bf, cnd(bflt), "2")
+            val agg0 = matched.agg(count(lit(1)).as("doc_count"),
+              cols: _*)
+            val n1 = col("tn1").cast("double")
+            val n2 = col("tn2").cast("double")
+            val v1 = (col("tq1") - col("ts1") * col("ts1") / n1) /
+              (n1 - 1)
+            val v2 = (col("tq2") - col("ts2") * col("ts2") / n2) /
+              (n2 - 1)
+            val m1 = col("ts1") / n1
+            val m2 = col("ts2") / n2
+            val (t, df) = if (kind == "heteroscedastic") {
+              val se2 = v1 / n1 + v2 / n2
+              ((m1 - m2) / sqrt(se2),
+                (se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1) +
+                  (v2 / n2) * (v2 / n2) / (n2 - 1)))
+            } else {
+              val sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) /
+                (n1 + n2 - 2)
+              ((m1 - m2) /
+                sqrt(sp2 * (lit(1.0) / n1 + lit(1.0) / n2)),
+                n1 + n2 - 2)
+            }
+            val ok = col("tn1") >= 2 && col("tn2") >= 2
+            (when(ok, t).otherwise(nD), when(ok, df).otherwise(nD),
+              agg0)
+          }
+          // one aggregate EXPLODED to the two keyed rows — a union of
+          // two selects would re-run the corpus pass per row
+          base.select(explode(array(
+              struct(lit("t").as("k"), tC.as("v")),
+              struct(lit("df").as("k"), dfC.as("v")))).as("tr"),
+              $"doc_count")
+            .select(($"tr.k".as("key") +: key2Blank +: $"doc_count" +:
+              (NullStats.dropRight(1) :+ $"tr.v".as("v_pct"))): _*)
         case WeightedAvgAgg(v, wt) =>
           grouped.filter(globalMine).withColumn("key", lit(""))
             .select(($"key" +: key2Blank +: $"doc_count" +:
@@ -8643,6 +8780,67 @@ object Dsl {
              |    (SELECT quantile_cont($xd, 0.5) FROM m)), 0.5)
              |    AS v_pct
              |FROM m""".stripMargin
+        case TTestAgg(af, aflt, bf, bflt, kind) =>
+          // [[aggsOver]]'s expression trees re-derived step by step —
+          // exact integer sums in, the same IEEE op sequence out
+          def cs(o: Option[Node]): Option[String] = o.map(n2 =>
+            compile(n2, scored = false, p.tfIdx, p.pfIdx, Map.empty,
+              p.zfIdx, p.rfIdx, p.sfIdx).predSql)
+          val (statRel, tSql, dfSql, okSql) = if (kind == "paired") {
+            val both = s"$af IS NOT NULL AND $bf IS NOT NULL"
+            val d = s"CASE WHEN $both THEN CAST($af AS DOUBLE) - " +
+              s"CAST($bf AS DOUBLE) END"
+            val rel2 =
+              s"""(SELECT *,
+                 |  (tq - ts * ts / nd) / (nd - 1) AS v
+                 |FROM (SELECT *, CAST(tn AS DOUBLE) AS nd
+                 |FROM (SELECT COUNT(*) AS doc_count, COUNT($d) AS tn,
+                 |  SUM($d) AS ts, SUM(($d) * ($d)) AS tq
+                 |FROM m) AS tt0) AS tt1)""".stripMargin
+            (rel2, "(ts / nd) / sqrt(v / nd)", "nd - 1", "tn >= 2")
+          } else {
+            def popSql(x: String, c: Option[String], tag: String)
+                : String = {
+              val xv = c.map(cc => s"CASE WHEN $cc THEN $x END")
+                .getOrElse(x)
+              val xd = c.map(cc =>
+                s"CASE WHEN $cc THEN CAST($x AS DOUBLE) END")
+                .getOrElse(s"CAST($x AS DOUBLE)")
+              s"COUNT($xv) AS tn$tag, SUM($xd) AS ts$tag, " +
+                s"SUM(($xd) * ($xd)) AS tq$tag"
+            }
+            val rel2 =
+              s"""(SELECT *,
+                 |  (tq1 - ts1 * ts1 / nd1) / (nd1 - 1) AS v1,
+                 |  (tq2 - ts2 * ts2 / nd2) / (nd2 - 1) AS v2,
+                 |  ts1 / nd1 AS m1, ts2 / nd2 AS m2
+                 |FROM (SELECT *, CAST(tn1 AS DOUBLE) AS nd1,
+                 |  CAST(tn2 AS DOUBLE) AS nd2
+                 |FROM (SELECT COUNT(*) AS doc_count,
+                 |  ${popSql(af, cs(aflt), "1")},
+                 |  ${popSql(bf, cs(bflt), "2")}
+                 |FROM m AS f) AS tt0) AS tt1)""".stripMargin
+            if (kind == "heteroscedastic") {
+              val se2 = "(v1 / nd1 + v2 / nd2)"
+              (rel2, s"(m1 - m2) / sqrt$se2",
+                s"($se2 * $se2) / ((v1 / nd1) * (v1 / nd1) / " +
+                  "(nd1 - 1) + (v2 / nd2) * (v2 / nd2) / (nd2 - 1))",
+                "tn1 >= 2 AND tn2 >= 2")
+            } else {
+              val sp2 = "(((nd1 - 1) * v1 + (nd2 - 1) * v2) / " +
+                "(nd1 + nd2 - 2))"
+              (rel2,
+                s"(m1 - m2) / sqrt($sp2 * (1.0 / nd1 + 1.0 / nd2))",
+                "nd1 + nd2 - 2", "tn1 >= 2 AND tn2 >= 2")
+            }
+          }
+          Seq(("t", tSql), ("df", dfSql)).map { case (kn, v) =>
+            s"""SELECT $name AS agg, '$kn' AS key, '' AS key2,
+               |  doc_count,
+               |  ${nullStats.dropRight(1).mkString(",\n  ")},
+               |  CASE WHEN $okSql THEN $v END AS v_pct
+               |FROM $statRel AS ttx""".stripMargin
+          }.mkString("\nUNION ALL\n")
         case WeightedAvgAgg(v, w) =>
           val both = s"$v IS NOT NULL AND $w IS NOT NULL"
           val wv = s"SUM(CASE WHEN $both THEN CAST($v AS DOUBLE) * " +
@@ -11473,6 +11671,37 @@ object Dsl {
   def dslAggsBoxplotServed(spark: SparkSession, dir: String): DataFrame =
     dslAggsFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), AggsBoxplotQuery)
+
+  /** Registered T_TEST body — is the en/de document-length shift
+    * significant? Welch (the ES default) and pooled variants over the
+    * same two filter-defined populations; each emits the sufficient
+    * statistics (t, df) from exact integer sums — see [[TTestAgg]]
+    * for the p-value divergence. The stats sibling pins the shared
+    * match set. */
+  val AggsTTestQuery: String =
+    """{"query": {"match_all": {}}, "size": 0,
+      |  "aggs": {
+      |    "len_shift": {"t_test": {
+      |      "a": {"field": "n_chars", "filter": {"term": {"lang": "en"}}},
+      |      "b": {"field": "n_chars", "filter": {"term": {"lang": "de"}}}}},
+      |    "len_shift_pooled": {"t_test": {
+      |      "a": {"field": "n_chars", "filter": {"term": {"lang": "en"}}},
+      |      "b": {"field": "n_chars", "filter": {"term": {"lang": "de"}}},
+      |      "type": "homoscedastic"}},
+      |    "chars": {"stats": {"field": "n_chars"}}}}""".stripMargin
+
+  def dslAggsTTest(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Tables.documentsPar(spark, dir), AggsTTestQuery)
+
+  val dslAggsTTestOracleSql: String =
+    dslAggsSqlOver(AggsTTestQuery, "documents")
+
+  /** Registered query: [[AggsTTestQuery]] SERVED — population
+    * membership and the summed doc-values come from docmeta; same
+    * oracle as the scan form. */
+  def dslAggsTTestServed(spark: SparkSession, dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), AggsTTestQuery)
 
   /** Registered query: [[AggsNestedQuery]] SERVED from the daily
     * indices — nested buckets over doc-values across the alias

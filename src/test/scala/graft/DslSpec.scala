@@ -1548,6 +1548,67 @@ class DslSpec extends SparkSpec {
       .contains("must be a metric"))
   }
 
+  test("t_test: welch/pooled/paired sufficient statistics, n<2 guard") {
+    def rowsOf(json: String): Map[String, Double] =
+      Dsl.dslAggsOf(tiny, json).collect()
+        .filter(r => !r.isNullAt(r.fieldIndex("v_pct")))
+        .map(r => (r.getString(1), r.getAs[Double]("v_pct"))).toMap
+    // en = {16,10,9}, not-en = {10,16}; expected values re-derived
+    // with the IDENTICAL double op sequence the engine pins
+    val n1 = 3.0; val s1 = 35.0; val q1 = 437.0
+    val n2 = 2.0; val s2 = 26.0; val q2 = 356.0
+    val v1 = (q1 - s1 * s1 / n1) / (n1 - 1)
+    val v2 = (q2 - s2 * s2 / n2) / (n2 - 1)
+    val m1 = s1 / n1; val m2 = s2 / n2
+    val welchBody = """{"size": 0, "aggs": {"tt": {"t_test": {
+      "a": {"field": "n_chars", "filter": {"term": {"lang": "en"}}},
+      "b": {"field": "n_chars", "filter": {"bool": {"must_not": [
+        {"term": {"lang": "en"}}]}}}%TYPE%}}}}"""
+    val welch = rowsOf(welchBody.replace("%TYPE%", ""))
+    val se2 = v1 / n1 + v2 / n2
+    assert(welch("t") == (m1 - m2) / math.sqrt(se2), s"welch: $welch")
+    assert(welch("df") == (se2 * se2) /
+      ((v1 / n1) * (v1 / n1) / (n1 - 1) +
+        (v2 / n2) * (v2 / n2) / (n2 - 1)))
+    val pooled = rowsOf(welchBody.replace("%TYPE%",
+      ""","type": "homoscedastic""""))
+    val sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
+    assert(pooled("t") ==
+      (m1 - m2) / math.sqrt(sp2 * (1.0 / n1 + 1.0 / n2)))
+    assert(pooled("df") == 3.0)
+    // paired n_chars vs doc_id: d = [16,9,8,6,12]
+    val paired = rowsOf("""{"size": 0, "aggs": {"tt": {"t_test": {
+      "a": {"field": "n_chars"}, "b": {"field": "doc_id"},
+      "type": "paired"}}}}""")
+    val (np, sp, qp) = (5.0, 51.0, 581.0)
+    val vp = (qp - sp * sp / np) / (np - 1)
+    assert(paired("t") == (sp / np) / math.sqrt(vp / np))
+    assert(paired("df") == 4.0)
+    // a 1-doc population cannot carry a variance: both rows NULL
+    val tinyPop = rowsOf("""{"size": 0, "aggs": {"tt": {"t_test": {
+      "a": {"field": "n_chars", "filter": {"term": {"lang": "en"}}},
+      "b": {"field": "n_chars", "filter": {"term": {"lang": "de"}}}}}}}""")
+    assert(tinyPop.isEmpty, s"n<2 must emit NULL rows: $tinyPop")
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(tiny, json)).getMessage
+    assert(msg("""{"size": 0, "aggs": {"tt": {"t_test": {
+      "a": {"field": "n_chars", "filter": {"term": {"lang": "en"}}},
+      "b": {"field": "doc_id"}, "type": "paired"}}}}""")
+      .contains("paired takes no filters"))
+    assert(msg("""{"size": 0, "aggs": {"tt": {"t_test": {
+      "a": {"field": "n_chars"}, "b": {"field": "n_chars"}}}}}""")
+      .contains("filter on both populations"))
+    assert(msg("""{"size": 0, "aggs": {"tt": {"t_test": {
+      "a": {"field": "n_chars"}, "b": {"field": "doc_id"},
+      "type": "students"}}}}""").contains("paired, heteroscedastic"))
+    assert(msg("""{"size": 0, "aggs": {"l": {"terms": {"field": "lang"},
+      "aggs": {"tt": {"t_test": {"a": {"field": "n_chars"},
+      "b": {"field": "doc_id"}, "type": "paired"}}}}}}""")
+      .contains("top-level only"))
+  }
+
   test("adjacency_matrix: sorted pairwise intersections, zero-cell prune") {
     val rows = Dsl.dslAggsOf(tiny, """{"query": {"match_all": {}},
       "size": 0, "aggs": {"mat": {"adjacency_matrix": {"filters": {
