@@ -538,6 +538,19 @@ object Dsl {
   final case class TTestAgg(aField: String, aFilter: Option[Node],
       bField: String, bFilter: Option[Node], kind: String)
     extends AggNode
+  /** ES `string_stats` — five keyed rows (count, min_length,
+    * max_length, avg_length, entropy) over a KEYWORD field's raw
+    * values (analyzed text refuses: it has no doc-values, and ES
+    * would read index terms). Entropy is the Shannon log₂ entropy of
+    * the corpus-wide character distribution; because a distributed
+    * float sum is order-nondeterministic, BOTH engines fold the
+    * per-character terms IN CHARACTER ORDER over the collected
+    * distribution (Spark `aggregate` over a sorted struct array ≡
+    * DuckDB `list_reduce` over `list(… ORDER BY ch)`) — the sum is
+    * bit-reproducible and the oracle hash-checks it. The character
+    * pass shuffles (char, count) pairs with map-side combine — the
+    * alphabet, never the corpus. */
+  final case class StringStatsAgg(field: String) extends AggNode
   final case class RangeAgg(field: String,
       ranges: Seq[(Option[Scalar], Option[Scalar])]) extends AggNode
   /** ES `multi_terms` — compound bucket keys: the key is the fields'
@@ -3096,7 +3109,7 @@ object Dsl {
     "percentiles", "random_sampler", "range", "rare_terms", "sampler",
     "scripted_metric",
     "serial_diff", "significant_terms", "significant_text", "stats",
-    "stats_bucket", "sum", "t_test",
+    "stats_bucket", "string_stats", "sum", "t_test",
     "sum_bucket", "terms", "top_hits", "top_metrics", "value_count",
     "weighted_avg")
 
@@ -3576,6 +3589,18 @@ object Dsl {
             // `compression` refuses for the same reason as boxplot —
             // the MAD here is exact, not a TDigest
             MadAgg(aggField(spec, name, Set("field")))
+          case "string_stats" =>
+            if (sub) fail(s"agg '$name': string_stats emits five keyed " +
+              "rows (count/min_length/max_length/avg_length/entropy) — " +
+              "top-level only; subs take stats")
+            // show_distribution refuses via aggField's supported set
+            val f = aggField(spec, name, Set("field"))
+            if (AnalyzedFields.contains(f))
+              fail(s"agg '$name' string_stats reads RAW values; '$f' " +
+                "is an analyzed text field (ES would read index terms " +
+                "— aggregate a keyword field, or pre-tokenize " +
+                "upstream)")
+            StringStatsAgg(f)
           case "t_test" =>
             if (sub) fail(s"agg '$name': t_test is top-level only — " +
               "its two-population rows have no slot in the sub-metric " +
@@ -4259,6 +4284,7 @@ object Dsl {
     case StatsAgg(f) => Seq(f)
     case MetricAgg(_, f) => Seq(f)
     case MadAgg(f) => Seq(f)
+    case StringStatsAgg(f) => Seq(f)
     case TTestAgg(af, _, bf, _, _) => Seq(af, bf)
     case CardinalityAgg(f, _) => Seq(f)
     case RangeAgg(f, _) => Seq(f)
@@ -7545,6 +7571,7 @@ object Dsl {
       !s.agg.isInstanceOf[GlobalAgg] &&
       !s.agg.isInstanceOf[ScriptedMetricAgg] &&
       !s.agg.isInstanceOf[MadAgg] &&
+      !s.agg.isInstanceOf[StringStatsAgg] &&
       !s.agg.isInstanceOf[TTestAgg] &&
       !s.agg.isInstanceOf[TopMetricsAgg])
     // the persist makes the one corpus pass ACTUALLY one: the per-agg
@@ -7833,6 +7860,44 @@ object Dsl {
               $"doc_count")
             .select(($"tr.k".as("key") +: key2Blank +: $"doc_count" +:
               (NullStats.dropRight(1) :+ $"tr.v".as("v_pct"))): _*)
+        case StringStatsAgg(x) =>
+          // length stats in one aggregate; entropy from the collected
+          // (char, count) distribution folded IN CHARACTER ORDER —
+          // see [[StringStatsAgg]] for the bit-reproducibility story
+          val base = matched.agg(count(lit(1)).as("doc_count"),
+            count(col(x)).as("sc"),
+            min(length(col(x))).as("ln_min"),
+            max(length(col(x))).as("ln_max"),
+            sum(length(col(x)).cast("double")).as("ln_sum"))
+          val cc = matched
+            .select(explode(split(col(x), "")).as("ch"))
+            .filter(length($"ch") === 1)
+            .groupBy($"ch").agg(count(lit(1)).as("c"))
+            .agg(sort_array(collect_list(
+              struct($"ch".as("ch"), $"c".as("c")))).as("cc"),
+              sum($"c").as("tot"))
+          val totD = $"tot".cast("double")
+          val terms = transform($"cc", s =>
+            (s.getField("c").cast("double") / totD) *
+              log(s.getField("c").cast("double") / totD))
+          val tSum = aggregate(terms, lit(0.0),
+            (acc, t) => acc + t)
+          val ent = -(tSum / lit(Ln2))
+          val scD = $"sc".cast("double")
+          base.crossJoin(cc).select(
+            explode(array(
+              struct(lit("count").as("k"), scD.as("v")),
+              struct(lit("min_length").as("k"),
+                when($"sc" > 0, $"ln_min".cast("double")).as("v")),
+              struct(lit("max_length").as("k"),
+                when($"sc" > 0, $"ln_max".cast("double")).as("v")),
+              struct(lit("avg_length").as("k"),
+                when($"sc" > 0, $"ln_sum" / scD).as("v")),
+              struct(lit("entropy").as("k"),
+                when($"sc" > 0 && $"tot".isNotNull, ent).as("v"))))
+              .as("sr"), $"doc_count")
+            .select(($"sr.k".as("key") +: key2Blank +: $"doc_count" +:
+              (NullStats.dropRight(1) :+ $"sr.v".as("v_pct"))): _*)
         case WeightedAvgAgg(v, wt) =>
           grouped.filter(globalMine).withColumn("key", lit(""))
             .select(($"key" +: key2Blank +: $"doc_count" +:
@@ -8322,6 +8387,12 @@ object Dsl {
           "dslTopHitsOf (one terms parent + one top_hits sub); bucket " +
           "metrics stay with dslAggsOf")
     }
+
+  /** ln 2 as ONE precomputed constant both compilers share —
+    * `Double.toString` round-trips, so the SQL literal parses back to
+    * the identical double (the libm-parity discipline: never let each
+    * engine derive its own constant). */
+  private val Ln2: Double = math.log(2.0)
 
   private val NullStats = Seq(
     lit(null).cast("long").as("v_count"), lit(null).cast("double").as("v_sum"),
@@ -8841,6 +8912,44 @@ object Dsl {
                |  CASE WHEN $okSql THEN $v END AS v_pct
                |FROM $statRel AS ttx""".stripMargin
           }.mkString("\nUNION ALL\n")
+        case StringStatsAgg(x) =>
+          // [[aggsOver]]'s twin: length stats + the character
+          // distribution folded in char order via list_reduce over
+          // list(… ORDER BY ch) — the same op sequence, the same sum
+          val statRel =
+            s"""((SELECT COUNT(*) AS doc_count, COUNT($x) AS sc,
+               |  MIN(length($x)) AS ln_min, MAX(length($x)) AS ln_max,
+               |  CAST(SUM(CAST(length($x) AS DOUBLE)) AS DOUBLE)
+               |    AS ln_sum
+               |FROM m) CROSS JOIN
+               |(SELECT list(struct_pack(ch := ch, c := c)
+               |    ORDER BY ch) AS cc, SUM(c) AS tot
+               |FROM (SELECT ch, COUNT(*) AS c
+               |  FROM (SELECT unnest(string_split(f.$x, '')) AS ch
+               |        FROM m AS f) AS e0
+               |  WHERE length(ch) = 1 GROUP BY ch) AS g0))"""
+              .stripMargin
+          val term = "(CAST(s.c AS DOUBLE) / CAST(tot AS DOUBLE)) * " +
+            "ln(CAST(s.c AS DOUBLE) / CAST(tot AS DOUBLE))"
+          val tSum = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+            s"list_transform(cc, s -> $term)), (a, b) -> a + b)"
+          val ent = s"-($tSum / $Ln2)"
+          Seq(("count", "CAST(sc AS DOUBLE)"),
+            ("min_length",
+              "CASE WHEN sc > 0 THEN CAST(ln_min AS DOUBLE) END"),
+            ("max_length",
+              "CASE WHEN sc > 0 THEN CAST(ln_max AS DOUBLE) END"),
+            ("avg_length",
+              "CASE WHEN sc > 0 THEN ln_sum / CAST(sc AS DOUBLE) END"),
+            ("entropy",
+              s"CASE WHEN sc > 0 AND tot IS NOT NULL THEN $ent END"))
+            .map { case (kn, v) =>
+              s"""SELECT $name AS agg, '$kn' AS key, '' AS key2,
+                 |  doc_count,
+                 |  ${nullStats.dropRight(1).mkString(",\n  ")},
+                 |  $v AS v_pct
+                 |FROM $statRel AS ssx""".stripMargin
+            }.mkString("\nUNION ALL\n")
         case WeightedAvgAgg(v, w) =>
           val both = s"$v IS NOT NULL AND $w IS NOT NULL"
           val wv = s"SUM(CASE WHEN $both THEN CAST($v AS DOUBLE) * " +
@@ -11671,6 +11780,31 @@ object Dsl {
   def dslAggsBoxplotServed(spark: SparkSession, dir: String): DataFrame =
     dslAggsFromIndexes(spark,
       Seq(Search.sharedIndexDir(spark, dir)), AggsBoxplotQuery)
+
+  /** Registered STRING_STATS body — the five keyed rows over the
+    * "hash" match set's `source` keyword values, entropy folded in
+    * character order on both engines (see [[StringStatsAgg]]); the
+    * terms sibling pins the shared match set. */
+  val AggsStringStatsQuery: String =
+    """{"query": {"match": {"text": "hash"}}, "size": 0,
+      |  "aggs": {
+      |    "src_stats": {"string_stats": {"field": "source"}},
+      |    "langs": {"terms": {"field": "lang", "size": 3}}}}"""
+      .stripMargin
+
+  def dslAggsStringStats(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Tables.documentsPar(spark, dir), AggsStringStatsQuery)
+
+  val dslAggsStringStatsOracleSql: String =
+    dslAggsSqlOver(AggsStringStatsQuery, "documents")
+
+  /** Registered query: [[AggsStringStatsQuery]] SERVED — the keyword
+    * values come from docmeta doc-values, the match gate from
+    * postings; same oracle as the scan form. */
+  def dslAggsStringStatsServed(spark: SparkSession,
+      dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Seq(Search.sharedIndexDir(spark, dir)), AggsStringStatsQuery)
 
   /** Registered T_TEST body — is the en/de document-length shift
     * significant? Welch (the ES default) and pooled variants over the

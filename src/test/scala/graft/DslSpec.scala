@@ -1548,6 +1548,47 @@ class DslSpec extends SparkSpec {
       .contains("must be a metric"))
   }
 
+  test("string_stats: length stats + char-ordered entropy fold") {
+    val rows = Dsl.dslAggsOf(tiny, """{"size": 0, "aggs":
+      {"ss": {"string_stats": {"field": "source"}}}}""").collect()
+    val vals = rows.filter(r => !r.isNullAt(r.fieldIndex("v_pct")))
+      .map(r => (r.getString(1), r.getAs[Double]("v_pct"))).toMap
+    // sources src0 ×2, src1 ×2, src2: chars sorted
+    // ['0','1','2','c','r','s'] → counts [2,2,1,5,5,5], tot 20;
+    // expected entropy re-derived with the IDENTICAL fold order
+    val counts = Seq(2L, 2L, 1L, 5L, 5L, 5L)
+    val tot = 20.0
+    val s = counts.foldLeft(0.0)((a, c) =>
+      a + (c.toDouble / tot) * math.log(c.toDouble / tot))
+    val expEnt = -(s / math.log(2.0))
+    assert(vals == Map("count" -> 5.0, "min_length" -> 4.0,
+      "max_length" -> 4.0, "avg_length" -> 4.0, "entropy" -> expEnt),
+      s"string_stats rows: $vals")
+    // an empty match set: count 0, the other four rows NULL
+    val none = Dsl.dslAggsOf(tiny, """{"query": {"term": {"lang":
+      "xx"}}, "size": 0, "aggs": {"ss": {"string_stats":
+      {"field": "source"}}}}""").collect()
+    assert(none.length == 5)
+    val noneVals = none.map(r => (r.getString(1),
+      if (r.isNullAt(r.fieldIndex("v_pct"))) None
+      else Some(r.getAs[Double]("v_pct")))).toMap
+    assert(noneVals("count").contains(0.0))
+    assert(Seq("min_length", "max_length", "avg_length", "entropy")
+      .forall(noneVals(_).isEmpty), s"empty-set rows: $noneVals")
+    // refusals: analyzed text, show_distribution, sub placement
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(tiny, json)).getMessage
+    assert(msg("""{"size": 0, "aggs": {"ss": {"string_stats":
+      {"field": "text"}}}}""").contains("analyzed text"))
+    assert(msg("""{"size": 0, "aggs": {"ss": {"string_stats":
+      {"field": "source", "show_distribution": true}}}}""")
+      .contains("show_distribution"))
+    assert(msg("""{"size": 0, "aggs": {"l": {"terms": {"field": "lang"},
+      "aggs": {"ss": {"string_stats": {"field": "source"}}}}}}""")
+      .contains("top-level only"))
+  }
+
   test("t_test: welch/pooled/paired sufficient statistics, n<2 guard") {
     def rowsOf(json: String): Map[String, Double] =
       Dsl.dslAggsOf(tiny, json).collect()
