@@ -669,17 +669,43 @@ object Dsl {
     * unweightedAvg / sum / min / max; ewma, holt, holtWinters and
     * stdDev refuse loudly (iterative/libm semantics the oracle could
     * not verify bit-for-bit — the libm-parity stance). An empty frame
-    * yields null in both engines, matching ES's NaN-elided buckets. */
+    * yields null in both engines, matching ES's NaN-elided buckets.
+    *
+    * Further r17 additions: `normalize` (`fn` carries the method —
+    * rescale_0_1 / rescale_0_100 / percent_of_sum / mean / z-score
+    * over the parent's returned bucket counts; every window aggregate
+    * is an exact-int sum cast to double, so the rescaled values are
+    * bit-reproducible; softmax refuses — exp is libm territory; a
+    * degenerate frame — max = min, zero sum, zero variance — yields
+    * null) and `moving_percentiles` (the exact window percentile of
+    * the bucket counts over the moving_fn ROWS frame, ONE `percent`
+    * per agg. DOCUMENTED DIVERGENCE: ES reads a percentiles sub and
+    * merges TDigest sketches — approximate, multi-percent; this
+    * engine computes the exact interpolated percentile the oracle
+    * can hash-check, one percent per pipeline, several pipelines for
+    * several percents). */
   final case class PipelineAgg(kind: String, lag: Int = 1,
-      window: Int = 0, shift: Int = 0, fn: String = "") extends AggNode
+      window: Int = 0, shift: Int = 0, fn: String = "",
+      pct: BigDecimal = BigDecimal(50)) extends AggNode
   /** ES SIBLING pipeline aggregations — `avg_bucket` / `sum_bucket` /
     * `min_bucket` / `max_bucket` over `buckets_path:
     * "<sibling>>_count"`: one summary row over a sibling bucket agg's
     * RETURNED buckets (post include/min_doc_count/top-N — the ES
     * contract computes over what the sibling returns, so a terms
     * sibling's cut participates). doc_count = the sibling's bucket
-    * count; the value lands in its kind's own stats slot. */
-  final case class BucketMetricAgg(kind: String, path: String)
+    * count; the value lands in its kind's own stats slot.
+    *
+    * r17 additions: `stats_bucket` (the full stats shape),
+    * `extended_stats_bucket` (kind "extended_stats" — the variance
+    * trio rides extra keyed rows exactly like the doc-grain
+    * extended_stats; bucket counts are exact longs, so Σx/Σx² keep
+    * the variance tree bit-reproducible), and `percentiles_bucket`
+    * (kind "percentiles" — one row per percent over the sibling's
+    * bucket counts; DOCUMENTED DIVERGENCE: exact linear interpolation
+    * — the engine-wide percentile convention the oracle can check —
+    * where ES rounds to the nearest returned bucket value). */
+  final case class BucketMetricAgg(kind: String, path: String,
+      percents: Seq[BigDecimal] = Seq.empty)
     extends AggNode
   /** ES `filters` — NAMED, possibly-OVERLAPPING buckets, each defined
     * by a stored clause (the "segment the match set by ad-hoc
@@ -2942,7 +2968,7 @@ object Dsl {
         parseAggSpec(name, body, sub = false) }
       // sibling pipeline paths resolve against the WHOLE aggs object
       specs.foreach { s => s.agg match {
-        case BucketMetricAgg(_, path) => specs.find(_.name == path) match {
+        case BucketMetricAgg(_, path, _) => specs.find(_.name == path) match {
           case Some(AggSpec(_, _: TermsAgg | _: DateHistAgg | _: HistAgg,
               _, _)) => ()
           case Some(_) => fail(s"agg '${s.name}': buckets_path '$path' " +
@@ -3077,6 +3103,28 @@ object Dsl {
         s"integer ≤ $MaxResultWindow, got $v")
     }
 
+  /** The shared `percents` grammar (percentiles, percentiles_bucket):
+    * a non-empty array in [0, 100], no duplicates, ES's defaults when
+    * absent. */
+  private def parsePercents(spec: JValue, name: String)
+      : Seq[BigDecimal] = {
+    val ps = spec \ "percents" match {
+      case JNothing => DefaultPercents
+      case JArray(xs) if xs.nonEmpty => xs.map(scalar).map {
+        case SNum(v) if v >= 0 && v <= 100 => v
+        case SNum(v) => fail(s"agg '$name' percent $v out of " +
+          "[0, 100]")
+        case other => fail(s"agg '$name' percents must be " +
+          s"numbers, got ${other.sql}")
+      }
+      case v => fail(s"agg '$name' percents must be a " +
+        s"non-empty array, got $v")
+    }
+    if (ps.map(pctKeyOf).distinct.size != ps.size)
+      fail(s"agg '$name' lists a percent twice")
+    ps
+  }
+
   private def aggField(spec: JValue, name: String,
       known: Set[String]): String = {
     spec match {
@@ -3102,11 +3150,14 @@ object Dsl {
     "avg_bucket", "boxplot", "cardinality", "cumulative_sum",
     "date_histogram",
     "date_range", "derivative", "diversified_sampler", "extended_stats",
+    "extended_stats_bucket",
     "filter", "filters",
     "global", "histogram", "max", "max_bucket",
     "median_absolute_deviation", "min", "min_bucket",
-    "missing", "moving_fn", "multi_terms", "nested", "percentile_ranks",
-    "percentiles", "random_sampler", "range", "rare_terms", "sampler",
+    "missing", "moving_fn", "moving_percentiles", "multi_terms",
+    "nested", "normalize", "percentile_ranks",
+    "percentiles", "percentiles_bucket",
+    "random_sampler", "range", "rare_terms", "sampler",
     "scripted_metric",
     "serial_diff", "significant_terms", "significant_text", "stats",
     "stats_bucket", "string_stats", "sum", "t_test",
@@ -3928,13 +3979,76 @@ object Dsl {
               case _ => fail(s"agg '$name' moving_fn needs a \"script\"")
             }
             PipelineAgg(tpe, window = wdw, shift = sh, fn = fnName)
+          case "normalize" =>
+            if (!sub) fail(s"agg '$name': $tpe is a PARENT pipeline " +
+              "aggregation — place it under a date_histogram/histogram's " +
+              "aggs")
+            pipelinePathOf(spec, name, tpe, sibling = false,
+              extraKnown = Set("method"))
+            // method dispatch via Set membership, NOT case labels —
+            // the drift gate greps this region's `case "…"` patterns
+            val methods = Set("rescale_0_1", "rescale_0_100",
+              "percent_of_sum", "mean", "z-score")
+            val m = spec \ "method" match {
+              case JString(x) if methods(x) => x
+              case JString("softmax") => fail(s"agg '$name' normalize " +
+                "softmax is unsupported — exp is libm territory the " +
+                "oracle cannot verify bit-for-bit; supported: " +
+                methods.toSeq.sorted.mkString(", "))
+              case JString(other) => fail(s"agg '$name' normalize " +
+                s"names unknown method '$other' — supported: " +
+                methods.toSeq.sorted.mkString(", "))
+              case JNothing => fail(s"agg '$name' normalize needs a " +
+                "\"method\" (ES has no default)")
+              case v => fail(s"agg '$name' normalize method must be " +
+                s"a string, got $v")
+            }
+            PipelineAgg(tpe, fn = m)
+          case "moving_percentiles" =>
+            if (!sub) fail(s"agg '$name': $tpe is a PARENT pipeline " +
+              "aggregation — place it under a date_histogram/histogram's " +
+              "aggs")
+            pipelinePathOf(spec, name, tpe, sibling = false,
+              extraKnown = Set("window", "shift", "percent"))
+            val wdw = spec \ "window" match {
+              case JInt(x) if x >= 1 && x <= MaxResultWindow => x.toInt
+              case JNothing => fail(s"agg '$name' moving_percentiles " +
+                "needs a \"window\" (ES has no default)")
+              case v => fail(s"agg '$name' moving_percentiles window " +
+                s"must be a positive integer, got $v")
+            }
+            val sh = spec \ "shift" match {
+              case JNothing => 0 // the ES default: window BEFORE current
+              case JInt(x) if x >= 0 && x <= wdw => x.toInt
+              case v => fail(s"agg '$name' moving_percentiles shift " +
+                s"must be an integer in [0, window], got $v")
+            }
+            val p = spec \ "percent" match {
+              case JNothing => BigDecimal(50)
+              case v => scalar(v) match {
+                case SNum(x) if x >= 0 && x <= 100 => x
+                case SNum(x) => fail(s"agg '$name' percent $x out of " +
+                  "[0, 100]")
+                case other => fail(s"agg '$name' percent must be a " +
+                  s"number, got ${other.sql}")
+              }
+            }
+            PipelineAgg(tpe, window = wdw, shift = sh, pct = p)
           case "avg_bucket" | "sum_bucket" | "min_bucket" | "max_bucket" |
-               "stats_bucket" =>
+               "stats_bucket" | "extended_stats_bucket" =>
             if (sub) fail(s"agg '$name': $tpe is a SIBLING pipeline " +
               "aggregation — place it at the top level beside the " +
               "bucket agg it reads")
             BucketMetricAgg(tpe.stripSuffix("_bucket"),
               pipelinePathOf(spec, name, tpe, sibling = true))
+          case "percentiles_bucket" =>
+            if (sub) fail(s"agg '$name': $tpe is a SIBLING pipeline " +
+              "aggregation — place it at the top level beside the " +
+              "bucket agg it reads")
+            BucketMetricAgg("percentiles",
+              pipelinePathOf(spec, name, tpe, sibling = true,
+                extraKnown = Set("percents")),
+              parsePercents(spec, name))
           case "cardinality" =>
             val f = aggField(spec, name, Set("field", "precision_threshold"))
             val thr = spec \ "precision_threshold" match {
@@ -4082,21 +4196,7 @@ object Dsl {
             }
           case "percentiles" =>
             val f = aggField(spec, name, Set("field", "percents"))
-            val ps = spec \ "percents" match {
-              case JNothing => DefaultPercents
-              case JArray(xs) if xs.nonEmpty => xs.map(scalar).map {
-                case SNum(v) if v >= 0 && v <= 100 => v
-                case SNum(v) => fail(s"agg '$name' percent $v out of " +
-                  "[0, 100]")
-                case other => fail(s"agg '$name' percents must be " +
-                  s"numbers, got ${other.sql}")
-              }
-              case v => fail(s"agg '$name' percents must be a " +
-                s"non-empty array, got $v")
-            }
-            if (ps.map(pctKeyOf).distinct.size != ps.size)
-              fail(s"agg '$name' lists a percent twice")
-            PercentilesAgg(f, ps)
+            PercentilesAgg(f, parsePercents(spec, name))
           case "top_hits" =>
             spec match {
               case o: JObject =>
@@ -4293,7 +4393,7 @@ object Dsl {
     case FiltersAgg(_) => Seq.empty
     case AdjacencyAgg(_, _) => Seq.empty
     case _: PipelineAgg => Seq.empty
-    case BucketMetricAgg(_, _) => Seq.empty
+    case BucketMetricAgg(_, _, _) => Seq.empty
     case MultiTermsAgg(fs, _, _) => fs
     case RareTermsAgg(f, _) => Seq(f)
     case SigTermsAgg(f, _) => Seq(f)
@@ -7998,11 +8098,62 @@ object Dsl {
             .select((lit("").as("key") +: key2Blank +:
               lit(1L).as("doc_count") +: (NullStats.dropRight(1) :+
                 col(m).cast("double").as("v_pct"))): _*)
-        case BucketMetricAgg(kind, path) =>
+        case BucketMetricAgg(kind, path, pcts) =>
           // sibling pipeline: ONE aggregate row over the sibling's
           // returned buckets — |buckets| input rows, scale-free
           val sib = groupingCut(b.aggs.indexWhere(_.name == path))
-          if (kind == "stats") {
+          if (kind == "extended_stats") {
+            // the doc-grain extended_stats shape over bucket counts:
+            // cast-then-multiply keeps the exact-int sums, the
+            // variance tree matches [[MetricAgg]]'s; one aggregate
+            // EXPLODED to the four rows (a union would re-run it)
+            val st = sib.agg(count(lit(1)).as("doc_count"),
+              count($"doc_count").as("bc"),
+              sum($"doc_count".cast("double")).as("bs"),
+              min($"doc_count").as("bn"), max($"doc_count").as("bx"),
+              sum($"doc_count".cast("double") *
+                $"doc_count".cast("double")).as("bq"))
+            val bcD = col("bc").cast("double")
+            val varC = $"bq" / bcD - ($"bs" / bcD) * ($"bs" / bcD)
+            val nl = lit(null).cast("long")
+            val nd = lit(null).cast("double")
+            st.select(explode(array(
+                struct(lit("").as("k"), $"bc".as("vc"), $"bs".as("vs"),
+                  $"bn".cast("double").as("vn"),
+                  $"bx".cast("double").as("vx"),
+                  when($"bc" > 0, $"bs" / bcD).otherwise(nd).as("va"),
+                  nd.as("vp")),
+                struct(lit("sum_of_squares").as("k"), nl.as("vc"),
+                  nd.as("vs"), nd.as("vn"), nd.as("vx"), nd.as("va"),
+                  $"bq".as("vp")),
+                struct(lit("variance").as("k"), nl.as("vc"),
+                  nd.as("vs"), nd.as("vn"), nd.as("vx"), nd.as("va"),
+                  varC.as("vp")),
+                struct(lit("std_deviation").as("k"), nl.as("vc"),
+                  nd.as("vs"), nd.as("vn"), nd.as("vx"), nd.as("va"),
+                  sqrt(varC).as("vp")))).as("er"), $"doc_count")
+              .select(($"er.k".as("key") +: key2Blank +:
+                $"doc_count" +:
+                Seq($"er.vc".as("v_count"), $"er.vs".as("v_sum"),
+                  $"er.vn".as("v_min"), $"er.vx".as("v_max"),
+                  $"er.va".as("v_avg"), $"er.vp".as("v_pct"))): _*)
+          } else if (kind == "percentiles") {
+            // one row per percent, exact interpolation over the
+            // sibling's bucket counts (the engine-wide percentile
+            // convention; see [[BucketMetricAgg]] for the ES
+            // nearest-rank divergence)
+            val pcols = pcts.map(pp => percentile($"doc_count",
+              lit((pp / 100).toDouble)).as(s"bp_${pctTag(pp)}"))
+            val st = sib.agg(count(lit(1)).as("doc_count"),
+              pcols: _*)
+            st.select(explode(array(pcts.map(pp =>
+                struct(lit(pctKeyOf(pp)).as("k"),
+                  col(s"bp_${pctTag(pp)}").as("v"))): _*)).as("pr"),
+                $"doc_count")
+              .select(($"pr.k".as("key") +: key2Blank +:
+                $"doc_count" +: (NullStats.dropRight(1) :+
+                  $"pr.v".as("v_pct"))): _*)
+          } else if (kind == "stats") {
             // stats_bucket: the full stats shape over bucket counts
             sib.agg(count(lit(1)).as("doc_count"),
               count($"doc_count").as("bc"),
@@ -8099,6 +8250,39 @@ object Dsl {
               case _ => sum(dv).over(wf) /
                 when(count(dv).over(wf) === 0, lit(null).cast("double"))
                   .otherwise(count(dv).over(wf).cast("double"))
+            }
+          case "moving_percentiles" =>
+            // the exact window percentile over the moving_fn frame —
+            // see [[PipelineAgg]] for the TDigest divergence
+            val wf = w.rowsBetween(pa.shift - pa.window, pa.shift - 1)
+            percentile($"doc_count".cast("double"),
+              lit((pa.pct / 100).toDouble)).over(wf)
+          case "normalize" =>
+            // whole-frame window aggregates from exact-int sums; a
+            // degenerate frame (max = min, zero sum, zero variance)
+            // yields null — see [[PipelineAgg]]
+            val wAll = w.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)
+            val dv = $"doc_count".cast("double")
+            val s = sum(dv).over(wAll)
+            val n = count(dv).over(wAll).cast("double")
+            val q = sum(dv * dv).over(wAll)
+            val mn = min($"doc_count").over(wAll).cast("double")
+            val mx = max($"doc_count").over(wAll).cast("double")
+            pa.fn match {
+              case "rescale_0_1" =>
+                when(mx > mn, (dv - mn) / (mx - mn))
+              case "rescale_0_100" =>
+                when(mx > mn, (dv - mn) / (mx - mn) * lit(100.0))
+              case "percent_of_sum" =>
+                when(s =!= 0.0, dv / s)
+              case "mean" =>
+                when(mx > mn, (dv - s / n) / (mx - mn))
+              case _ => // z-score: population variance, the
+                // extended_stats tree
+                val m = s / n
+                val varP = q / n - m * m
+                when(varP > 0.0, (dv - m) / sqrt(varP))
             }
           case _ =>
             ($"doc_count" - lag($"doc_count", 1).over(w)).cast("double")
@@ -8650,6 +8834,40 @@ object Dsl {
                   s"NULLIF(CAST(COUNT(doc_count) OVER $frame AS " +
                   "DOUBLE), 0))"
             }
+            case "moving_percentiles" =>
+              val pLit = (pa.pct / 100).underlying.stripTrailingZeros
+                .toPlainString
+              s"quantile_cont(CAST(doc_count AS DOUBLE), $pLit) " +
+                s"OVER $frame"
+            case "normalize" =>
+              // [[aggsOver]]'s whole-frame twin: the same exact-int
+              // window aggregates, the same op sequence per method
+              val wAll = s"(ORDER BY $okey ROWS BETWEEN UNBOUNDED " +
+                "PRECEDING AND UNBOUNDED FOLLOWING)"
+              val dv = "CAST(doc_count AS DOUBLE)"
+              val sS = s"SUM($dv) OVER $wAll"
+              val nS = s"CAST(COUNT($dv) OVER $wAll AS DOUBLE)"
+              val qS = s"SUM(($dv) * ($dv)) OVER $wAll"
+              val mnS = s"CAST(MIN(doc_count) OVER $wAll AS DOUBLE)"
+              val mxS = s"CAST(MAX(doc_count) OVER $wAll AS DOUBLE)"
+              pa.fn match {
+                case "rescale_0_1" =>
+                  s"CASE WHEN $mxS > $mnS THEN " +
+                    s"($dv - $mnS) / ($mxS - $mnS) END"
+                case "rescale_0_100" =>
+                  s"CASE WHEN $mxS > $mnS THEN " +
+                    s"($dv - $mnS) / ($mxS - $mnS) * 100.0 END"
+                case "percent_of_sum" =>
+                  s"CASE WHEN $sS <> 0.0 THEN $dv / ($sS) END"
+                case "mean" =>
+                  s"CASE WHEN $mxS > $mnS THEN " +
+                    s"($dv - $sS / $nS) / ($mxS - $mnS) END"
+                case _ => // z-score
+                  val m = s"($sS / $nS)"
+                  val varP = s"($qS / $nS - $m * $m)"
+                  s"CASE WHEN $varP > 0.0 THEN " +
+                    s"($dv - $m) / sqrt($varP) END"
+              }
             case _ => s"CAST(doc_count - LAG(doc_count) OVER " +
               s"(ORDER BY $okey) AS DOUBLE)"
           }
@@ -8732,7 +8950,7 @@ object Dsl {
             bucketSub.toSeq.map(_ => s"(${childOf(childGate)})") ++
             pipeChildSql(inner) ++ scriptChildSql(inner))
             .mkString("\nUNION ALL\n")
-        case BucketMetricAgg("stats", path) =>
+        case BucketMetricAgg("stats", path, _) =>
           val sib = b.aggs.find(_.name == path).get
           s"""SELECT $name AS agg, '' AS key, '' AS key2,
              |  COUNT(*) AS doc_count,
@@ -8740,7 +8958,45 @@ object Dsl {
                   .mkString(",\n  ")}
              |FROM (
              |  ${pipedInnerSql(sib)}) AS sb""".stripMargin
-        case BucketMetricAgg(kind, path) =>
+        case BucketMetricAgg("extended_stats", path, _) =>
+          // [[aggsOver]]'s bucket-grain variance tree — exact-int
+          // sums over the sibling's returned buckets
+          val sib = b.aggs.find(_.name == path).get
+          val vq = "SUM(CAST(doc_count AS DOUBLE) * " +
+            "CAST(doc_count AS DOUBLE))"
+          val vcD = "CAST(COUNT(doc_count) AS DOUBLE)"
+          val vsD = "CAST(SUM(CAST(doc_count AS DOUBLE)) AS DOUBLE)"
+          val varS = s"($vq / $vcD - ($vsD / $vcD) * ($vsD / $vcD))"
+          def exRow(kn: String, v: String): String =
+            s"""SELECT $name AS agg, '$kn' AS key, '' AS key2,
+               |  COUNT(*) AS doc_count,
+               |  ${nullStats.dropRight(1).mkString(",\n  ")},
+               |  $v AS v_pct
+               |FROM (
+               |  ${pipedInnerSql(sib)}) AS sb""".stripMargin
+          (s"""SELECT $name AS agg, '' AS key, '' AS key2,
+              |  COUNT(*) AS doc_count,
+              |  ${(statSql("doc_count") :+ nullV("v_pct"))
+                   .mkString(",\n  ")}
+              |FROM (
+              |  ${pipedInnerSql(sib)}) AS sb""".stripMargin +:
+            Seq(exRow("sum_of_squares", vq),
+              exRow("variance", varS),
+              exRow("std_deviation", s"sqrt($varS)")))
+            .mkString("\nUNION ALL\n")
+        case BucketMetricAgg("percentiles", path, pcts) =>
+          val sib = b.aggs.find(_.name == path).get
+          pcts.map { pp =>
+            val pLit = (pp / 100).underlying.stripTrailingZeros
+              .toPlainString
+            s"""SELECT $name AS agg, '${pctKeyOf(pp)}' AS key,
+               |  '' AS key2, COUNT(*) AS doc_count,
+               |  ${nullStats.dropRight(1).mkString(",\n  ")},
+               |  quantile_cont(doc_count, $pLit) AS v_pct
+               |FROM (
+               |  ${pipedInnerSql(sib)}) AS sb""".stripMargin
+          }.mkString("\nUNION ALL\n")
+        case BucketMetricAgg(kind, path, _) =>
           val sib = b.aggs.find(_.name == path).get
           val fn = kind match {
             case "avg" => "AVG(CAST(doc_count AS DOUBLE))"
@@ -11041,6 +11297,43 @@ object Dsl {
     dslAggsFromIndexes(spark,
       Search.sharedDailyIndexDirs(spark, dir)._1, AggsPipelineQuery)
 
+  /** Registered SIBLING-PIPELINE STATISTICS body — `percentiles_bucket`
+    * (exact interpolation over the sibling's returned bucket counts;
+    * see [[BucketMetricAgg]] for the ES nearest-rank divergence) and
+    * `extended_stats_bucket` (the variance trio as extra keyed rows)
+    * over a daily date_histogram, plus a percentiles_bucket over a
+    * CUT terms sibling — green proves the post-top-N contract: the
+    * percentile reads the returned 3 language buckets, not all
+    * languages. */
+  val AggsBucketStatsQuery: String =
+    """{"query": {"match_all": {}}, "size": 0,
+      |  "aggs": {
+      |    "daily": {"date_histogram": {"field": "persist_date",
+      |        "calendar_interval": "day"}},
+      |    "day_pcts": {"percentiles_bucket": {
+      |        "buckets_path": "daily>_count",
+      |        "percents": [25, 50, 75]}},
+      |    "day_spread": {"extended_stats_bucket": {
+      |        "buckets_path": "daily>_count"}},
+      |    "langs": {"terms": {"field": "lang", "size": 3}},
+      |    "lang_pcts": {"percentiles_bucket": {
+      |        "buckets_path": "langs>_count"}}}}""".stripMargin
+
+  def dslAggsBucketStats(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Search.withPersistDate(Tables.documentsPar(spark, dir)),
+      AggsBucketStatsQuery)
+
+  val dslAggsBucketStatsOracleSql: String =
+    dslAggsSqlOver(AggsBucketStatsQuery, Search.PersistDateRel)
+
+  /** Registered query: [[AggsBucketStatsQuery]] SERVED from the daily
+    * indices — the sibling pipelines read the served bucket rows;
+    * same oracle as the scan form. */
+  def dslAggsBucketStatsServed(spark: SparkSession,
+      dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Search.sharedDailyIndexDirs(spark, dir)._1, AggsBucketStatsQuery)
+
   /** Registered GAP-FILL pipeline body (VERDICT r15 #4 — the
     * COVERAGE.md documented divergence, closed): `min_doc_count: 0`
     * date_histograms over a GAPPY date (quadratic day offsets 0/7/28/63
@@ -11130,6 +11423,48 @@ object Dsl {
   def dslAggsMovingServed(spark: SparkSession, dir: String): DataFrame =
     dslAggsFromIndexes(spark,
       Search.sharedDailyIndexDirs(spark, dir)._1, AggsMovingQuery)
+
+  /** Registered NORMALIZE + MOVING_PERCENTILES body — the daily
+    * volume as a percent of total and as a z-score (exact-int window
+    * aggregates, see [[PipelineAgg]]), a length histogram rescaled to
+    * [0, 1], and the 3-day moving median of the daily counts (the
+    * exact window percentile; ES's TDigest-merge divergence
+    * documented on the case class). */
+  val AggsNormalizeQuery: String =
+    """{"query": {"match_all": {}}, "size": 0,
+      |  "aggs": {
+      |    "daily_share": {"date_histogram": {"field": "persist_date",
+      |        "calendar_interval": "day"},
+      |      "aggs": {"share": {"normalize": {"buckets_path": "_count",
+      |        "method": "percent_of_sum"}}}},
+      |    "daily_z": {"date_histogram": {"field": "persist_date",
+      |        "calendar_interval": "day"},
+      |      "aggs": {"z": {"normalize": {"buckets_path": "_count",
+      |        "method": "z-score"}}}},
+      |    "daily_med": {"date_histogram": {"field": "persist_date",
+      |        "calendar_interval": "day"},
+      |      "aggs": {"med3": {"moving_percentiles": {
+      |        "buckets_path": "_count", "window": 3, "shift": 1,
+      |        "percent": 50}}}},
+      |    "len_scaled": {"histogram": {"field": "n_chars",
+      |        "interval": 200},
+      |      "aggs": {"scaled": {"normalize": {"buckets_path": "_count",
+      |        "method": "rescale_0_1"}}}}}}""".stripMargin
+
+  def dslAggsNormalize(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Search.withPersistDate(Tables.documentsPar(spark, dir)),
+      AggsNormalizeQuery)
+
+  val dslAggsNormalizeOracleSql: String =
+    dslAggsSqlOver(AggsNormalizeQuery, Search.PersistDateRel)
+
+  /** Registered query: [[AggsNormalizeQuery]] SERVED from the daily
+    * indices — the windows read the served bucket union; same oracle
+    * as the scan form. */
+  def dslAggsNormalizeServed(spark: SparkSession,
+      dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Search.sharedDailyIndexDirs(spark, dir)._1, AggsNormalizeQuery)
 
   /** Registered round-14 agg families II — the remaining everyday ES
     * aggregation types in one body: `multi_terms` (compound

@@ -1548,6 +1548,119 @@ class DslSpec extends SparkSpec {
       .contains("must be a metric"))
   }
 
+  test("normalize methods + moving_percentiles over histogram buckets") {
+    // histogram interval 4 → buckets: key 8 count 3, key 16 count 2
+    def subVals(json: String, agg: String): Map[String, Option[Double]] =
+      Dsl.dslAggsOf(tiny, json).collect()
+        .filter(_.getString(0) == agg)
+        .map(r => (r.getString(1),
+          if (r.isNullAt(r.fieldIndex("v_sum"))) None
+          else Some(r.getAs[Double]("v_sum")))).toMap
+    def normBody(method: String, interval: Int = 4): String =
+      s"""{"size": 0, "aggs": {"h": {"histogram": {"field": "n_chars",
+        "interval": $interval}, "aggs": {"nv": {"normalize":
+        {"buckets_path": "_count", "method": "$method"}}}}}}"""
+    assert(subVals(normBody("percent_of_sum"), "h.nv") ==
+      Map("8" -> Some(0.6), "16" -> Some(0.4)))
+    assert(subVals(normBody("rescale_0_1"), "h.nv") ==
+      Map("8" -> Some(1.0), "16" -> Some(0.0)))
+    assert(subVals(normBody("rescale_0_100"), "h.nv") ==
+      Map("8" -> Some(100.0), "16" -> Some(0.0)))
+    // z-score: m 2.5, population var 0.25 → ±1
+    assert(subVals(normBody("z-score"), "h.nv") ==
+      Map("8" -> Some(1.0), "16" -> Some(-1.0)))
+    assert(subVals(normBody("mean"), "h.nv") ==
+      Map("8" -> Some(0.5), "16" -> Some(-0.5)))
+    // one bucket: max = min and zero variance → null; share = 1
+    assert(subVals(normBody("rescale_0_1", 200), "h.nv") ==
+      Map("0" -> None))
+    assert(subVals(normBody("z-score", 200), "h.nv") ==
+      Map("0" -> None))
+    assert(subVals(normBody("percent_of_sum", 200), "h.nv") ==
+      Map("0" -> Some(1.0)))
+    // moving median, interval 1 → counts by key [9→1, 10→2, 16→2];
+    // window 2 shift 1 = frame [i−1, i]
+    assert(subVals("""{"size": 0, "aggs": {"h": {"histogram":
+      {"field": "n_chars", "interval": 1}, "aggs": {"m": {
+      "moving_percentiles": {"buckets_path": "_count", "window": 2,
+      "shift": 1, "percent": 50}}}}}}""", "h.m") ==
+      Map("9" -> Some(1.0), "10" -> Some(1.5), "16" -> Some(2.0)))
+    // default shift 0: the window strictly BEFORE — first bucket null
+    assert(subVals("""{"size": 0, "aggs": {"h": {"histogram":
+      {"field": "n_chars", "interval": 1}, "aggs": {"m": {
+      "moving_percentiles": {"buckets_path": "_count",
+      "window": 1}}}}}}""", "h.m") ==
+      Map("9" -> None, "10" -> Some(1.0), "16" -> Some(2.0)))
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(tiny, json)).getMessage
+    assert(msg(normBody("softmax")).contains("libm"))
+    assert(msg(normBody("minmax")).contains("unknown method"))
+    assert(msg("""{"size": 0, "aggs": {"h": {"histogram":
+      {"field": "n_chars", "interval": 4}, "aggs": {"nv":
+      {"normalize": {"buckets_path": "_count"}}}}}}""")
+      .contains("needs a \"method\""))
+    assert(msg("""{"size": 0, "aggs": {"nv": {"normalize":
+      {"buckets_path": "_count", "method": "mean"}}}}""")
+      .contains("PARENT pipeline"))
+    assert(msg("""{"size": 0, "aggs": {"h": {"histogram":
+      {"field": "n_chars", "interval": 4}, "aggs": {"m":
+      {"moving_percentiles": {"buckets_path": "_count", "window": 2,
+      "percent": 101}}}}}}""").contains("out of [0, 100]"))
+  }
+
+  test("percentiles_bucket + extended_stats_bucket read the sibling's cut") {
+    val rows = Dsl.dslAggsOf(tiny, """{"size": 0, "aggs": {
+      "langs": {"terms": {"field": "lang", "size": 3}},
+      "lp": {"percentiles_bucket": {"buckets_path": "langs>_count",
+        "percents": [25, 50, 75]}},
+      "ls": {"extended_stats_bucket":
+        {"buckets_path": "langs>_count"}}}}""").collect()
+    // langs buckets: en 3, de 1, fr 1 → sorted counts [1,1,3]
+    val lp = rows.filter(_.getString(0) == "lp")
+      .map(r => (r.getString(1), r.getAs[Double]("v_pct"))).toMap
+    assert(lp == Map("25" -> 1.0, "50" -> 1.0, "75" -> 2.0),
+      s"percentiles_bucket: $lp")
+    val main = rows.filter(r => r.getString(0) == "ls" &&
+      r.getString(1) == "").head
+    assert(main.getAs[Long]("v_count") == 3L &&
+      main.getAs[Double]("v_sum") == 5.0 &&
+      main.getAs[Double]("v_min") == 1.0 &&
+      main.getAs[Double]("v_max") == 3.0 &&
+      main.getAs[Double]("v_avg") == 5.0 / 3.0)
+    val ext = rows.filter(r => r.getString(0) == "ls" &&
+      r.getString(1).nonEmpty)
+      .map(r => (r.getString(1), r.getAs[Double]("v_pct"))).toMap
+    val varE = 11.0 / 3.0 - (5.0 / 3.0) * (5.0 / 3.0)
+    assert(ext == Map("sum_of_squares" -> 11.0, "variance" -> varE,
+      "std_deviation" -> math.sqrt(varE)), s"extended rows: $ext")
+    // the POST-CUT contract: size 2 keeps en(3), de(1) → p50 = 2
+    val cut = Dsl.dslAggsOf(tiny, """{"size": 0, "aggs": {
+      "langs": {"terms": {"field": "lang", "size": 2}},
+      "lp": {"percentiles_bucket": {"buckets_path": "langs>_count",
+        "percents": [50]}}}}""").collect()
+      .filter(_.getString(0) == "lp").map(_.getAs[Double]("v_pct"))
+    assert(cut.toSeq == Seq(2.0), s"post-cut p50: ${cut.toSeq}")
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(tiny, json)).getMessage
+    assert(msg("""{"size": 0, "aggs": {
+      "langs": {"terms": {"field": "lang"}},
+      "lp": {"percentiles_bucket": {"buckets_path": "langs>_count",
+        "percents": [150]}}}}""").contains("out of [0, 100]"))
+    assert(msg("""{"size": 0, "aggs": {"d": {"date_histogram":
+      {"field": "pd", "calendar_interval": "day"},
+      "aggs": {"x": {"percentiles_bucket":
+        {"buckets_path": "_count"}}}}}}""").contains("SIBLING"))
+    assert(msg("""{"size": 0, "aggs": {
+      "chars": {"stats": {"field": "n_chars"}},
+      "lp": {"extended_stats_bucket":
+        {"buckets_path": "chars>_count"}}}}""")
+      .contains("GROUPING bucket sibling"))
+  }
+
   test("string_stats: length stats + char-ordered entropy fold") {
     val rows = Dsl.dslAggsOf(tiny, """{"size": 0, "aggs":
       {"ss": {"string_stats": {"field": "source"}}}}""").collect()
