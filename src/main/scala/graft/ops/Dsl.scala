@@ -687,6 +687,21 @@ object Dsl {
   final case class PipelineAgg(kind: String, lag: Int = 1,
       window: Int = 0, shift: Int = 0, fn: String = "",
       pct: BigDecimal = BigDecimal(50)) extends AggNode
+  /** ES `cumulative_cardinality` — for bucket i of an ordered
+    * histogram parent, the number of DISTINCT `field` values seen in
+    * buckets 1..i (the "new users over time" shape). EXACT, via the
+    * first-occurrence decomposition: one distinct pass assigns each
+    * value its first bucket key, and the per-bucket first-timer
+    * counts running-sum over the parent's returned bucket sequence —
+    * the one extra corpus shuffle is (value, firstBucket) grain, and
+    * the window stays \|buckets\| rows. DOCUMENTED DIVERGENCES: ES
+    * references a sibling cardinality agg via `buckets_path` and
+    * merges its HLL sketches (approximate); under the one-sub rule
+    * this engine takes the FIELD inline and accumulates exactly —
+    * and accumulation reads the RETURNED frame, so values first seen
+    * in a bucket the parent dropped (a min_doc_count floor) never
+    * count. */
+  final case class CumCardAgg(field: String) extends AggNode
   /** ES SIBLING pipeline aggregations — `avg_bucket` / `sum_bucket` /
     * `min_bucket` / `max_bucket` over `buckets_path:
     * "<sibling>>_count"`: one summary row over a sibling bucket agg's
@@ -849,7 +864,8 @@ object Dsl {
       postFilter: Option[Node] = None,
       minScore: Option[BigDecimal] = None,
       trackTotal: Boolean = false,
-      scriptFields: Seq[(String, PExpr)] = Seq.empty)
+      scriptFields: Seq[(String, PExpr)] = Seq.empty,
+      runtime: Seq[(String, PExpr, String)] = Seq.empty)
 
   /** ES `rescore` (one stage, score_mode total): the top
     * `window` hits by the original score re-rank by `qw·orig +
@@ -976,11 +992,13 @@ object Dsl {
     }
     val known = Set("query", "size", "aggs", "from", "sort", "_source",
       "search_after", "highlight", "collapse", "rescore", "post_filter",
-      "min_score", "track_total_hits", "script_fields")
+      "min_score", "track_total_hits", "script_fields",
+      "runtime_mappings")
     root.obj.collectFirst { case (k, _) if !known.contains(k) => k }
       .foreach(k => fail(s"unsupported body key '$k' — supported: " +
         "_source, aggs, collapse, from, highlight, min_score, " +
-        "post_filter, query, rescore, script_fields, search_after, " +
+        "post_filter, query, rescore, runtime_mappings, " +
+        "script_fields, search_after, " +
         "size, sort, track_total_hits"))
     val size = root \ "size" match {
       case JNothing => DefaultSize
@@ -1195,8 +1213,58 @@ object Dsl {
         }
       case v => fail(s"script_fields must be an object, got $v")
     }
+    // runtime_mappings: query-time computed fields — the ES
+    // emit(<expr>) contract over the arithmetic script subset; the
+    // computed column joins the docs frame BEFORE compilation, so
+    // query/sort/aggs machinery sees a plain column (and Catalyst
+    // collapses the projection into the scan)
+    val runtime = root \ "runtime_mappings" match {
+      case JNothing => Seq.empty[(String, PExpr, String)]
+      case o: JObject =>
+        if (o.obj.isEmpty) fail("runtime_mappings must not be empty")
+        if (o.obj.map(_._1).distinct.size != o.obj.size)
+          fail("runtime_mappings names a field twice")
+        o.obj.map {
+          case (fn, fo: JObject) =>
+            fo.obj.collectFirst {
+              case (k, _) if k != "type" && k != "script" => k
+            }.foreach(k => fail(s"runtime_mappings.$fn has " +
+              s"unsupported option '$k' — supported: type, script"))
+            val tpe = fo \ "type" match {
+              case JString(t) if t == "double" || t == "long" => t
+              case JString(t) => fail(s"runtime_mappings.$fn type " +
+                s"'$t' is unsupported — supported: double, long " +
+                "(keyword/date/boolean runtime fields would need " +
+                "emit grammars beyond the arithmetic subset)")
+              case _ => fail(s"runtime_mappings.$fn needs a \"type\"")
+            }
+            val (srcRaw, restOpts) = fo \ "script" match {
+              case JString(s2) => (s2, List.empty[(String, JValue)])
+              case so: JObject =>
+                (so \ "source" match {
+                  case JString(s2) => s2
+                  case _ => fail(s"runtime_mappings.$fn script needs " +
+                    "a \"source\"")
+                }, so.obj.filter(_._1 != "source"))
+              case _ => fail(s"runtime_mappings.$fn needs a " +
+                "\"script\"")
+            }
+            val EmitRe = """(?s)\s*emit\((.*)\)\s*""".r
+            val inner = srcRaw match {
+              case EmitRe(x) => x
+              case _ => fail(s"runtime_mappings.$fn script must be " +
+                "emit(<expr>) — the ES runtime-field contract")
+            }
+            val script = JObject(("source" -> (JString(inner): JValue))
+              :: restOpts)
+            (fn, parseScriptExpr(script, s"runtime_mappings.$fn"), tpe)
+          case (fn, v) => fail(s"runtime_mappings.$fn expects " +
+            s"{type, script}, got $v")
+        }
+      case v => fail(s"runtime_mappings must be an object, got $v")
+    }
     Body(q, size, aggs, from, sort, source, after, highlight, collapse,
-      rescore, postFilter, minScore, trackTotal, scriptFields)
+      rescore, postFilter, minScore, trackTotal, scriptFields, runtime)
   }
 
   /** The ES `minimum_should_match` grammar, resolved against the
@@ -3147,7 +3215,8 @@ object Dsl {
     * `percentiles`). */
   val SupportedAggTypes: Seq[String] = Seq("adjacency_matrix",
     "auto_date_histogram", "avg",
-    "avg_bucket", "boxplot", "cardinality", "cumulative_sum",
+    "avg_bucket", "boxplot", "cardinality", "cumulative_cardinality",
+    "cumulative_sum",
     "date_histogram",
     "date_range", "derivative", "diversified_sampler", "extended_stats",
     "extended_stats_bucket",
@@ -3454,6 +3523,7 @@ object Dsl {
                       _: TopHitsAgg) =>
               Some((sn, b: AggNode))
             case pl: PipelineAgg => Some((sn, pl: AggNode))
+            case cc: CumCardAgg => Some((sn, cc: AggNode))
             case _ => fail(s"sub-aggregation '$sn' must be a metric, a " +
               "grouping bucket, top_hits, or a parent pipeline — bucket " +
               "aggs nest one of: avg, cardinality, cumulative_sum, " +
@@ -3979,6 +4049,35 @@ object Dsl {
               case _ => fail(s"agg '$name' moving_fn needs a \"script\"")
             }
             PipelineAgg(tpe, window = wdw, shift = sh, fn = fnName)
+          case "cumulative_cardinality" =>
+            if (!sub) fail(s"agg '$name': $tpe is a PARENT pipeline " +
+              "aggregation — place it under a date_histogram/histogram's " +
+              "aggs")
+            spec match {
+              case o: JObject =>
+                // if/else on the key, NOT case labels — the drift
+                // gate greps this region's `case "…"` patterns
+                o.obj.collectFirst {
+                  case (k, _) if k != "field" => k
+                }.foreach { k =>
+                  if (k == "buckets_path") fail(s"agg '$name' " +
+                    "cumulative_cardinality: ES references a sibling " +
+                    "cardinality agg via buckets_path; under the " +
+                    "one-sub rule this engine takes the FIELD inline " +
+                    """— write {"field": …} (the referenced """ +
+                    "cardinality's field; semantics identical, exact " +
+                    "instead of sketch-merged)")
+                  else fail(s"agg '$name' cumulative_cardinality " +
+                    s"has unsupported option '$k' — supported: field")
+                }
+              case other => fail(s"agg '$name' expects an object, " +
+                s"got $other")
+            }
+            spec \ "field" match {
+              case JString(f) if f.nonEmpty => CumCardAgg(f)
+              case _ => fail(s"agg '$name' cumulative_cardinality " +
+                "needs a \"field\"")
+            }
           case "normalize" =>
             if (!sub) fail(s"agg '$name': $tpe is a PARENT pipeline " +
               "aggregation — place it under a date_histogram/histogram's " +
@@ -4239,10 +4338,11 @@ object Dsl {
         fail(s"agg '$name': metrics take no aggs — only bucket aggs " +
           "(terms, date_histogram, histogram, range, filter) nest")
       subSpec.map(_._2).foreach {
-        case _: PipelineAgg => agg match {
+        case _: PipelineAgg | _: CumCardAgg => agg match {
           case _: DateHistAgg | _: HistAgg => ()
           case _ => fail(s"agg '$name': cumulative_sum/derivative/" +
-            "serial_diff/moving_fn need an ORDERED histogram parent " +
+            "serial_diff/moving_fn/normalize/moving_percentiles/" +
+            "cumulative_cardinality need an ORDERED histogram parent " +
             "(date_histogram or histogram) — a terms bucket has no " +
             "temporal order to accumulate over")
         }
@@ -4267,7 +4367,8 @@ object Dsl {
         case _ => ()
       }
       val subIsBucket = subSpec.exists(x => !isMetric(x._2) &&
-        !x._2.isInstanceOf[PipelineAgg])
+        !x._2.isInstanceOf[PipelineAgg] &&
+        !x._2.isInstanceOf[CumCardAgg])
       if (subIsBucket) {
         agg match {
           case _: TermsAgg | _: DateHistAgg | _: HistAgg |
@@ -4385,6 +4486,7 @@ object Dsl {
     case MetricAgg(_, f) => Seq(f)
     case MadAgg(f) => Seq(f)
     case StringStatsAgg(f) => Seq(f)
+    case CumCardAgg(f) => Seq(f)
     case TTestAgg(af, _, bf, _, _) => Seq(af, bf)
     case CardinalityAgg(f, _) => Seq(f)
     case RangeAgg(f, _) => Seq(f)
@@ -6174,11 +6276,12 @@ object Dsl {
     if (b.aggs.nonEmpty)
       fail("body has \"aggs\" — aggregations are served by dslAggsOf, " +
         "hits by searchDslOf")
+    val docsR = withRuntime(docs, b)
     val p = planOfBody(b)
-    checkFields(docs, p.exact)
-    val f = scanF(docs, p, Seq.empty)
+    checkFields(docsR, p.exact)
+    val f = scanF(docsR, p, Seq.empty)
     val page = rankTail(f, scanStats(f, p), p)
-    p.highlight.map(highlightJoin(docs, page, p, _)).getOrElse(page)
+    p.highlight.map(highlightJoin(docsR, page, p, _)).getOrElse(page)
   }
 
   /** The FETCH phase of highlighting: snippets compute for the PAGE's
@@ -7145,10 +7248,11 @@ object Dsl {
     * not just the registered ones. */
   def dslSql(json: String): String = dslSqlOver(json, "documents")
 
-  def dslSqlOver(json: String, rel: String): String = {
+  def dslSqlOver(json: String, rel0: String): String = {
     val b = parseBody(json)
     if (b.aggs.nonEmpty)
       fail("body has \"aggs\" — use dslAggsSqlOver")
+    val rel = runtimeRel(b, rel0)
     val p = planOfBody(b)
     val scoreSql =
       if (p.needsStats) p.c.score.map(_._2).getOrElse("0.0") else "0.0"
@@ -7330,10 +7434,11 @@ object Dsl {
     // filter-agg clauses join the query's clause inventory so ONE
     // feature frame serves the predicate and every stored bucket
     val filterNodes = aggClauseNodes(b)
+    val docsR = withRuntime(docs, b)
     val p = mergedFilterPlan(b.query +: filterNodes)
     val aggFields = b.aggs.flatMap(aggSpecFields).distinct
-    checkFields(docs, (p.exact ++ aggFields).distinct)
-    val fullF = scanF(docs, p, aggFields)
+    checkFields(docsR, (p.exact ++ aggFields).distinct)
+    val fullF = scanF(docsR, p, aggFields)
     val matched = fullF.filter(p.c.pred)
     val (samplers, rest) = b.aggs.partition(_.agg.isInstanceOf[SamplerAgg])
     val base =
@@ -7361,8 +7466,14 @@ object Dsl {
       case JNothing => JObject(List("match_all" -> JObject(Nil)))
       case x => x
     }
+    // runtime fields ride into the sampling search verbatim — its
+    // query may reference them
+    val rt = JsonMethods.parse(json) \ "runtime_mappings" match {
+      case JNothing => List.empty[(String, JValue)]
+      case x => List[(String, JValue)]("runtime_mappings" -> x)
+    }
     JsonMethods.compact(JsonMethods.render(JObject(
-      List[(String, JValue)]("query" -> q) ++
+      List[(String, JValue)]("query" -> q) ++ rt ++
         sa.divField.map(f =>
           "collapse" -> (JObject(List("field" -> JString(f))): JValue)) ++
         List[(String, JValue)]("size" -> JInt(sa.shardSize)))))
@@ -7487,7 +7598,8 @@ object Dsl {
       b.aggs.zipWithIndex.collect {
         case (AggSpec(_, _: TermsAgg | _: DateHistAgg | _: HistAgg,
             Some((sn, sa)), _), i)
-            if !isMetric(sa) && !sa.isInstanceOf[PipelineAgg] =>
+            if !isMetric(sa) && !sa.isInstanceOf[PipelineAgg] &&
+              !sa.isInstanceOf[CumCardAgg] =>
           i -> ((sn, sa))
       }.toMap
     val gkCols = b.aggs.zipWithIndex.flatMap { case (s, i) =>
@@ -8297,6 +8409,35 @@ object Dsl {
           .withColumn("agg", lit(s"${spec.name}.$sn"))
           .select(OutCols.map(col): _*)
       }
+      // cumulative_cardinality rows: the first-occurrence
+      // decomposition (see [[CumCardAgg]]) — one (value, firstBucket)
+      // shuffle, then a |buckets| running sum over the returned frame
+      val ccChild = spec.sub.collect { case (sn, CumCardAgg(fld)) =>
+        val ordKey: Column = spec.agg match {
+          case _: HistAgg => $"key".cast("long")
+          case _ => $"key"
+        }
+        val keyE = keyExprOf(spec.agg).get
+        val firsts = matched
+          .filter(col(fld).isNotNull && keyE.isNotNull)
+          .groupBy(col(fld).as("ccv"))
+          .agg(min(keyE).cast("string").as("key"))
+          .groupBy($"key").agg(count(lit(1)).as("ccnf"))
+        val w = Window.orderBy(ordKey.asc)
+        cut.select($"key", $"doc_count")
+          .join(firsts, Seq("key"), "left")
+          .withColumn("pv",
+            sum(coalesce($"ccnf", lit(0L))).over(w).cast("double"))
+          .select(($"key" +: key2Blank +: $"doc_count" +:
+            Seq(lit(null).cast("long").as("v_count"),
+              $"pv".as("v_sum"),
+              lit(null).cast("double").as("v_min"),
+              lit(null).cast("double").as("v_max"),
+              lit(null).cast("double").as("v_avg"),
+              lit(null).cast("double").as("v_pct"))): _*)
+          .withColumn("agg", lit(s"${spec.name}.$sn"))
+          .select(OutCols.map(col): _*)
+      }
       // bucket_script rows: one computed value per RETURNED bucket —
       // the PipelineAgg emission shape (value in v_sum)
       val scriptChild = spec.pipes.collect {
@@ -8313,7 +8454,8 @@ object Dsl {
             .withColumn("agg", lit(s"${spec.name}.$sn"))
             .select(OutCols.map(col): _*)
       }
-      Seq(parent) ++ child.toSeq ++ pipeChild.toSeq ++ scriptChild
+      Seq(parent) ++ child.toSeq ++ pipeChild.toSeq ++ ccChild.toSeq ++
+        scriptChild
       }
     }
     frames.reduce(_ unionByName _).orderBy($"agg", $"key", $"key2")
@@ -8456,6 +8598,39 @@ object Dsl {
   /** Lockstep Column/SQL emission of a pipe script — all operands
     * DOUBLE (the slots already are; counts cast), so both engines run
     * the same IEEE arithmetic tree. */
+  /** Applies a body's `runtime_mappings` to the docs frame — each
+    * field becomes one computed column, so every downstream clause /
+    * sort / agg sees plain schema (and Catalyst collapses the
+    * projection into the scan). `long` truncates toward zero in BOTH
+    * engines: Spark's double→long cast ≡ DuckDB `trunc()` (a bare
+    * DuckDB CAST would ROUND — the one divergence this helper
+    * exists to pin). */
+  private def withRuntime(docs: DataFrame, b: Body): DataFrame =
+    b.runtime.foldLeft(docs) { case (d, (n, e, t)) =>
+      if (d.columns.contains(n))
+        fail(s"runtime_mappings: '$n' collides with a mapped column")
+      val c = pexprEmit(e,
+        p2 => fail(s"runtime_mappings.$n: unbound params.$p2"))._1
+      d.withColumn(n,
+        if (t == "long") c.cast("long") else c.cast("double"))
+    }
+
+  /** [[withRuntime]]'s oracle twin: wraps the relation with the same
+    * computed columns (aliased `f` — [[pexprEmit]] qualifies
+    * doc-value refs as `f.<field>`). */
+  private def runtimeRel(b: Body, rel: String): String =
+    if (b.runtime.isEmpty) rel
+    else {
+      val cols = b.runtime.map { case (n, e, t) =>
+        val s2 = pexprEmit(e,
+          p2 => fail(s"runtime_mappings.$n: unbound params.$p2"))._2
+        val v = if (t == "long") s"CAST(trunc($s2) AS BIGINT)"
+          else s"CAST($s2 AS DOUBLE)"
+        s"$v AS $n"
+      }.mkString(", ")
+      s"(SELECT f.*, $cols FROM $rel AS f)"
+    }
+
   private def pexprEmit(e: PExpr,
       resolve: String => (Column, String)): (Column, String) = e match {
     case PNum(v) => (lit(v.toDouble),
@@ -8591,9 +8766,10 @@ object Dsl {
     * [[dslSql]] lockstep discipline applied to aggs. */
   def dslAggsSql(json: String): String = dslAggsSqlOver(json, "documents")
 
-  def dslAggsSqlOver(json: String, rel: String): String = {
+  def dslAggsSqlOver(json: String, rel0: String): String = {
     val b = parseBody(json)
     if (b.aggs.isEmpty) fail("no aggs in body — use dslSqlOver")
+    val rel = runtimeRel(b, rel0)
     refuseTopHits(b)
     val filterNodes = aggClauseNodes(b)
     val p = mergedFilterPlan(b.query +: filterNodes)
@@ -8797,7 +8973,7 @@ object Dsl {
       val name = s"'${quoteSql(spec.name)}'"
       val metricSub = spec.sub.filter(x => isMetric(x._2))
       val bucketSub = spec.sub.filterNot(x => isMetric(x._2) ||
-        x._2.isInstanceOf[PipelineAgg])
+        x._2.isInstanceOf[PipelineAgg] || x._2.isInstanceOf[CumCardAgg])
       val stats = statsOfSpec(spec)
       // parent pipeline subs: a window over the parent's returned
       // buckets — the [[PipelineAgg]] bucket-grain contract in SQL
@@ -8933,6 +9109,38 @@ object Dsl {
              |FROM (
              |  $parentInner) AS sc)""".stripMargin
         }
+      // cumulative_cardinality rows in SQL — the [[CumCardAgg]]
+      // first-occurrence decomposition, running-summed over the
+      // returned frame
+      def ccChildSql(parentInner: String): Seq[String] =
+        spec.sub.toSeq.collect { case (sn, CumCardAgg(fld)) =>
+          val okey = spec.agg match {
+            case _: HistAgg => "CAST(key AS BIGINT)"
+            case _ => "key"
+          }
+          val (pk, pguard) = keySqlOf(spec.agg)
+          val guards = (Seq(s"f.$fld IS NOT NULL") ++
+            pguard.map(g => s"$g IS NOT NULL")).mkString(" AND ")
+          s"""(SELECT '${quoteSql(spec.name)}.${quoteSql(sn)}' AS agg,
+             |  key, '' AS key2, doc_count,
+             |  CAST(NULL AS BIGINT) AS v_count,
+             |  CAST(SUM(COALESCE(ccnf, 0)) OVER (ORDER BY $okey)
+             |    AS DOUBLE) AS v_sum,
+             |  CAST(NULL AS DOUBLE) AS v_min,
+             |  CAST(NULL AS DOUBLE) AS v_max,
+             |  CAST(NULL AS DOUBLE) AS v_avg,
+             |  CAST(NULL AS DOUBLE) AS v_pct
+             |FROM (
+             |  SELECT pb.*, ff.ccnf FROM (
+             |  $parentInner) AS pb
+             |  LEFT JOIN (
+             |    SELECT fk AS key, COUNT(*) AS ccnf FROM (
+             |      SELECT f.$fld AS ccv, CAST(MIN($pk) AS VARCHAR)
+             |        AS fk
+             |      FROM m AS f WHERE $guards
+             |      GROUP BY f.$fld) AS f1
+             |    GROUP BY fk) AS ff USING (key)) AS cb)""".stripMargin
+        }
       spec.agg match {
         case _: TermsAgg =>
           val inner = pipedInnerSql(spec)
@@ -8948,7 +9156,8 @@ object Dsl {
           val childGate = if (spec.pipes.isEmpty) None else Some(inner)
           (Seq(s"($inner)") ++
             bucketSub.toSeq.map(_ => s"(${childOf(childGate)})") ++
-            pipeChildSql(inner) ++ scriptChildSql(inner))
+            pipeChildSql(inner) ++ ccChildSql(inner) ++
+            scriptChildSql(inner))
             .mkString("\nUNION ALL\n")
         case BucketMetricAgg("stats", path, _) =>
           val sib = b.aggs.find(_.name == path).get
@@ -9485,6 +9694,10 @@ object Dsl {
   def dslTopHitsOf(docs: DataFrame, json: String): DataFrame = {
     import docs.sparkSession.implicits._
     val (b, pname, t, sn, th) = topHitsShape(json)
+    if (b.runtime.nonEmpty)
+      fail("runtime_mappings on the top_hits endpoint are " +
+        "unsupported — compute the field upstream, or query through " +
+        "searchDslOf/dslAggsOf (the scan-path runtime-field homes)")
     val scoreSort = th.sort.exists(_._1 == "_score")
     val p = if (scoreSort) planOf(b.query, 0) else filterPlanOf(b.query)
     val scored = topHitsScoreSort(th, p)
@@ -10486,6 +10699,11 @@ object Dsl {
     if (b.aggs.nonEmpty)
       fail("body has \"aggs\" — index-served aggregations are " +
         "dslAggsFromIndexes' job; hits come from the DSL")
+    if (b.runtime.nonEmpty)
+      fail("runtime_mappings are scan-path only — the served pipeline " +
+        "reads stored doc-values, and a computed column would need " +
+        "per-member recomputation over docmeta; run the body through " +
+        "searchDslOf")
     val p = planOfBody(b)
     val parts = servedParts(spark, indexDirs, p, Seq.empty)
     val page =
@@ -10602,6 +10820,11 @@ object Dsl {
       servedFetcher(spark, indexDirs))
     if (b.aggs.isEmpty)
       fail("no aggs in body — hits are served by searchDslFromIndexes")
+    if (b.runtime.nonEmpty)
+      fail("runtime_mappings are scan-path only — the served pipeline " +
+        "reads stored doc-values, and a computed column would need " +
+        "per-member recomputation over docmeta; run the body through " +
+        "dslAggsOf")
     if (b.size != 0)
       fail("an aggregation body returns no hits — set size: 0 " +
         "(ES convention); hits are served by searchDslFromIndexes")
@@ -11423,6 +11646,77 @@ object Dsl {
   def dslAggsMovingServed(spark: SparkSession, dir: String): DataFrame =
     dslAggsFromIndexes(spark,
       Search.sharedDailyIndexDirs(spark, dir)._1, AggsMovingQuery)
+
+  /** Registered RUNTIME-FIELDS hits body — a query-time computed
+    * field (the ES `emit(<expr>)` contract over the arithmetic script
+    * subset, params bound at parse) filtered and sorted on like any
+    * mapped column; the oracle wraps the relation with the SAME
+    * computed expression, so the values and the ranking both
+    * hash-check. */
+  val RuntimeFieldsQuery: String =
+    """{"runtime_mappings": {"len2": {"type": "double",
+      |    "script": {"source":
+      |      "emit(doc['n_chars'].value * params.k + doc['doc_id'].value / 100.0)",
+      |      "params": {"k": 2}}}},
+      |  "query": {"bool": {"filter": [
+      |    {"range": {"len2": {"gte": 500}}}]}},
+      |  "sort": [{"len2": "desc"}, {"doc_id": "asc"}],
+      |  "size": 10}""".stripMargin
+
+  def dslRuntimeFields(spark: SparkSession, dir: String): DataFrame =
+    searchDslOf(Tables.documentsPar(spark, dir), RuntimeFieldsQuery)
+
+  val dslRuntimeFieldsOracleSql: String = dslSql(RuntimeFieldsQuery)
+
+  /** Registered RUNTIME-FIELDS aggs body — a `long` runtime field
+    * (truncate-toward-zero in both engines) bucketing a terms agg and
+    * feeding stats; the grouping key is a computed column the
+    * one-pass machinery never distinguishes from schema. */
+  val RuntimeAggsQuery: String =
+    """{"runtime_mappings": {"len_bucket": {"type": "long",
+      |    "script": "emit(doc['n_chars'].value / 100)"}},
+      |  "size": 0, "aggs": {
+      |    "lb": {"terms": {"field": "len_bucket", "size": 5}},
+      |    "lstats": {"stats": {"field": "len_bucket"}}}}"""
+      .stripMargin
+
+  def dslRuntimeAggs(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Tables.documentsPar(spark, dir), RuntimeAggsQuery)
+
+  val dslRuntimeAggsOracleSql: String = dslAggsSql(RuntimeAggsQuery)
+
+  /** Registered CUMULATIVE_CARDINALITY body — distinct sources seen
+    * through time (the "new users over time" shape) over a daily
+    * date_histogram, and distinct languages accumulating up the
+    * length histogram; EXACT via the first-occurrence decomposition
+    * (see [[CumCardAgg]], incl. the inline-field divergence from
+    * ES's sketch-merging buckets_path form). */
+  val AggsCumCardQuery: String =
+    """{"query": {"match_all": {}}, "size": 0,
+      |  "aggs": {
+      |    "daily_sources": {"date_histogram": {"field": "persist_date",
+      |        "calendar_interval": "day"},
+      |      "aggs": {"seen": {"cumulative_cardinality":
+      |        {"field": "source"}}}},
+      |    "len_langs": {"histogram": {"field": "n_chars",
+      |        "interval": 200},
+      |      "aggs": {"langs_seen": {"cumulative_cardinality":
+      |        {"field": "lang"}}}}}}""".stripMargin
+
+  def dslAggsCumCard(spark: SparkSession, dir: String): DataFrame =
+    dslAggsOf(Search.withPersistDate(Tables.documentsPar(spark, dir)),
+      AggsCumCardQuery)
+
+  val dslAggsCumCardOracleSql: String =
+    dslAggsSqlOver(AggsCumCardQuery, Search.PersistDateRel)
+
+  /** Registered query: [[AggsCumCardQuery]] SERVED from the daily
+    * indices — the first-occurrence pass reads docmeta doc-values
+    * across the members; same oracle as the scan form. */
+  def dslAggsCumCardServed(spark: SparkSession,
+      dir: String): DataFrame =
+    dslAggsFromIndexes(spark,
+      Search.sharedDailyIndexDirs(spark, dir)._1, AggsCumCardQuery)
 
   /** Registered NORMALIZE + MOVING_PERCENTILES body — the daily
     * volume as a percent of total and as a z-score (exact-int window

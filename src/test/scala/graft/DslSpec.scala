@@ -1548,6 +1548,81 @@ class DslSpec extends SparkSpec {
       .contains("must be a metric"))
   }
 
+  test("runtime_mappings: computed fields in query, sort, and aggs") {
+    // len2 = n_chars·2 + doc_id/100 → [32.00, 20.01, 20.02, 18.03,
+    // 32.04]; filter ≥ 20.02, sort desc → docs 4, 0, 2
+    val hits = Dsl.searchDslOf(tiny, """{"runtime_mappings": {"len2":
+      {"type": "double", "script": {"source":
+        "emit(doc['n_chars'].value * params.k + doc['doc_id'].value / 100.0)",
+        "params": {"k": 2}}}},
+      "query": {"bool": {"filter": [{"range": {"len2":
+        {"gte": 20.02}}}]}},
+      "sort": [{"len2": "desc"}, {"doc_id": "asc"}]}""").collect()
+    assert(hits.map(_.getAs[Long]("doc_id")).toSeq == Seq(4L, 0L, 2L),
+      s"runtime sort: ${hits.map(_.getAs[Long]("doc_id")).toSeq}")
+    // long type truncates TOWARD ZERO in both engines: (n_chars−11)/2
+    // → [2.5, −0.5, −0.5, −1, 2.5] → [2, 0, 0, −1, 2] (floor would
+    // send −0.5 to −1)
+    val lb = Dsl.dslAggsOf(tiny, """{"runtime_mappings": {"lb":
+      {"type": "long", "script":
+        "emit((doc['n_chars'].value - 11) / 2)"}},
+      "size": 0, "aggs": {"b": {"terms": {"field": "lb",
+        "size": 5, "order": {"_key": "asc"}}}}}""").collect()
+      .map(r => (r.getString(1), r.getAs[Long]("doc_count"))).toMap
+    assert(lb == Map("-1" -> 1L, "0" -> 2L, "2" -> 2L),
+      s"long runtime buckets: $lb")
+    // refusals
+    def msg(body: => DataFrame): String =
+      intercept[IllegalArgumentException](body).getMessage
+    assert(msg(Dsl.searchDslOf(tiny, """{"runtime_mappings":
+      {"n_chars": {"type": "double", "script":
+        "emit(doc['doc_id'].value)"}}, "query": {"match_all": {}}}"""))
+      .contains("collides"))
+    assert(msg(Dsl.searchDslOf(tiny, """{"runtime_mappings": {"x":
+      {"type": "double", "script": "doc['n_chars'].value * 2"}},
+      "query": {"match_all": {}}}""")).contains("emit("))
+    assert(msg(Dsl.searchDslOf(tiny, """{"runtime_mappings": {"x":
+      {"type": "keyword", "script": "emit(doc['lang'].value)"}},
+      "query": {"match_all": {}}}""")).contains("double, long"))
+    assert(msg(Dsl.dslTopHitsOf(tiny, """{"runtime_mappings": {"x":
+      {"type": "double", "script": "emit(doc['n_chars'].value)"}},
+      "size": 0, "aggs": {"l": {"terms": {"field": "lang"},
+      "aggs": {"h": {"top_hits": {"size": 1, "sort":
+        [{"doc_id": "asc"}]}}}}}}"""))
+      .contains("top_hits endpoint"))
+  }
+
+  test("cumulative_cardinality: first-occurrence accumulation over buckets") {
+    def subVals(json: String, agg: String): Map[String, Double] =
+      Dsl.dslAggsOf(tiny, json).collect()
+        .filter(_.getString(0) == agg)
+        .map(r => (r.getString(1), r.getAs[Double]("v_sum"))).toMap
+    // interval 1 buckets 9/10/16: src1 first at 9, src0 at 10,
+    // src2 at 16 → cumulative 1, 2, 3
+    assert(subVals("""{"size": 0, "aggs": {"h": {"histogram":
+      {"field": "n_chars", "interval": 1}, "aggs": {"cc":
+      {"cumulative_cardinality": {"field": "source"}}}}}}""", "h.cc")
+      == Map("9" -> 1.0, "10" -> 2.0, "16" -> 3.0))
+    // interval 4 buckets 8/16: src0+src1 both first at 8 → 2, then 3
+    assert(subVals("""{"size": 0, "aggs": {"h": {"histogram":
+      {"field": "n_chars", "interval": 4}, "aggs": {"cc":
+      {"cumulative_cardinality": {"field": "source"}}}}}}""", "h.cc")
+      == Map("8" -> 2.0, "16" -> 3.0))
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.dslAggsOf(tiny, json)).getMessage
+    assert(msg("""{"size": 0, "aggs": {"h": {"histogram":
+      {"field": "n_chars", "interval": 4}, "aggs": {"cc":
+      {"cumulative_cardinality": {"buckets_path": "u"}}}}}}""")
+      .contains("FIELD inline"))
+    assert(msg("""{"size": 0, "aggs": {"cc": {"cumulative_cardinality":
+      {"field": "source"}}}}""").contains("PARENT pipeline"))
+    assert(msg("""{"size": 0, "aggs": {"l": {"terms": {"field": "lang"},
+      "aggs": {"cc": {"cumulative_cardinality":
+      {"field": "source"}}}}}}""").contains("ORDERED histogram"))
+  }
+
   test("normalize methods + moving_percentiles over histogram buckets") {
     // histogram interval 4 → buckets: key 8 count 3, key 16 count 2
     def subVals(json: String, agg: String): Map[String, Option[Double]] =
