@@ -11647,6 +11647,268 @@ object Dsl {
     dslAggsFromIndexes(spark,
       Search.sharedDailyIndexDirs(spark, dir)._1, AggsMovingQuery)
 
+  /** ES `_terms_enum` request shape. */
+  private final case class TermsEnumReq(field: String, prefix: String,
+      size: Int, ci: Boolean)
+
+  private def parseTermsEnum(json: String): TermsEnumReq = {
+    val root = JsonMethods.parse(json) match {
+      case o: JObject => o
+      case other => fail(s"_terms_enum body must be a JSON object, " +
+        s"got $other")
+    }
+    val known = Set("field", "string", "size", "case_insensitive")
+    root.obj.collectFirst { case (k, _) if !known.contains(k) => k }
+      .foreach(k => fail(s"_terms_enum has unsupported key '$k' — " +
+        "supported: field, string, size, case_insensitive " +
+        "(search_after paging and index_filter are unsupported)"))
+    val f = root \ "field" match {
+      case JString(x) if x.nonEmpty => x
+      case _ => fail("_terms_enum needs a \"field\"")
+    }
+    val pfx = root \ "string" match {
+      case JNothing => ""
+      case JString(x) => x
+      case v => fail(s"_terms_enum string must be a string, got $v")
+    }
+    val n = root \ "size" match {
+      case JNothing => 10 // the ES default
+      case JInt(x) if x >= 1 && x <= MaxResultWindow => x.toInt
+      case v => fail(s"_terms_enum size must be a positive integer " +
+        s"≤ $MaxResultWindow, got $v")
+    }
+    val ci = root \ "case_insensitive" match {
+      case JNothing => false
+      case JBool(x) => x
+      case v => fail(s"_terms_enum case_insensitive must be a " +
+        s"boolean, got $v")
+    }
+    TermsEnumReq(f, pfx, n, ci)
+  }
+
+  /** ES `_terms_enum` — autocomplete term enumeration: up to `size`
+    * terms of `field` starting with `string`, lexicographically
+    * sorted (the ES contract). Keyword fields enumerate raw values;
+    * the analyzed fields enumerate their TOKEN dictionary — exactly
+    * what the index stores for them. Vocab-grain work only: distinct
+    * with map-side combine, a prefix gate, a TakeOrderedAndProject —
+    * dictionary cost regardless of corpus size. `case_insensitive`
+    * lowers BOTH sides (the prefix lowers once in Scala and embeds
+    * as the same literal in both engines). */
+  def termsEnumOf(docs: DataFrame, json: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    val r = parseTermsEnum(json)
+    val base =
+      if (r.field == Search.DefaultField)
+        docs.select(explode(TextAnalysis.toks($"text")).as("term"))
+      else if (r.field == Search.HeadField)
+        docs.select(explode(slice(TextAnalysis.toks($"text"), 1,
+          Search.HeadLen)).as("term"))
+      else docs.select(col(r.field).cast("string").as("term"))
+    termsEnumCut(base, r)
+  }
+
+  private def termsEnumCut(base: DataFrame, r: TermsEnumReq)
+      : DataFrame = {
+    import base.sparkSession.implicits._
+    val pfx = if (r.ci) r.prefix.toLowerCase else r.prefix
+    val gate =
+      if (r.prefix.isEmpty) $"term".isNotNull
+      else if (r.ci) $"term".isNotNull &&
+        lower($"term").startsWith(lit(pfx))
+      else $"term".isNotNull && $"term".startsWith(lit(pfx))
+    base.filter(gate).distinct().orderBy($"term".asc).limit(r.size)
+  }
+
+  /** [[termsEnumOf]] SERVED — the term dictionary comes from the
+    * index: postings vocab for the analyzed fields (tombstones
+    * excluded), docmeta doc-values for keyword fields; corpus text
+    * untouched. */
+  def termsEnumFromIndex(spark: SparkSession, indexDir: String,
+      json: String): DataFrame = {
+    import spark.implicits._
+    val r = parseTermsEnum(json)
+    val root = Search.requireIndex(spark, indexDir)
+    val base =
+      if (AnalyzedFields.contains(r.field))
+        spark.read.parquet(s"$root/postings")
+          .filter($"field" === r.field)
+          .join(Search.tombstones(spark, root), Seq("doc_id"),
+            "left_anti")
+          .select($"tok".as("term"))
+      else
+        spark.read.parquet(s"$root/docmeta")
+          .join(Search.tombstones(spark, root), Seq("doc_id"),
+            "left_anti")
+          .select(col(r.field).cast("string").as("term"))
+    termsEnumCut(base, r)
+  }
+
+  /** Oracle SQL for a `_terms_enum` request — the same dictionary
+    * derivation over the raw relation. */
+  def termsEnumSqlOver(json: String, rel: String): String = {
+    val r = parseTermsEnum(json)
+    val src =
+      if (r.field == Search.DefaultField)
+        s"(SELECT UNNEST($ToksExpr) AS term FROM $rel)"
+      else if (r.field == Search.HeadField)
+        s"(SELECT UNNEST(($ToksExpr)[1:${Search.HeadLen}]) AS term " +
+          s"FROM $rel)"
+      else s"(SELECT CAST(${r.field} AS VARCHAR) AS term FROM $rel)"
+    val pfxLit = quoteSql(if (r.ci) r.prefix.toLowerCase else r.prefix)
+    val cond =
+      if (r.prefix.isEmpty) ""
+      else if (r.ci) s" AND starts_with(lower(term), '$pfxLit')"
+      else s" AND starts_with(term, '$pfxLit')"
+    s"""SELECT DISTINCT term FROM $src AS te
+       |WHERE term IS NOT NULL$cond
+       |ORDER BY term LIMIT ${r.size}""".stripMargin
+  }
+
+  /** Registered `_terms_enum` requests — a keyword-field prefix
+    * enumeration and a case-insensitive token-dictionary one. */
+  val TermsEnumQuery: String =
+    """{"field": "source", "string": "src1", "size": 20}"""
+  val TermsEnumTextQuery: String =
+    """{"field": "text", "string": "HA", "size": 15,
+      |  "case_insensitive": true}""".stripMargin
+
+  def dslTermsEnum(spark: SparkSession, dir: String): DataFrame =
+    termsEnumOf(Tables.documentsPar(spark, dir), TermsEnumQuery)
+
+  val dslTermsEnumOracleSql: String =
+    termsEnumSqlOver(TermsEnumQuery, "documents")
+
+  def dslTermsEnumText(spark: SparkSession, dir: String): DataFrame =
+    termsEnumOf(Tables.documentsPar(spark, dir), TermsEnumTextQuery)
+
+  val dslTermsEnumTextOracleSql: String =
+    termsEnumSqlOver(TermsEnumTextQuery, "documents")
+
+  /** Registered query: [[TermsEnumTextQuery]] SERVED — the dictionary
+    * is the index's postings vocab; same oracle as the scan form. */
+  def dslTermsEnumServed(spark: SparkSession, dir: String): DataFrame =
+    termsEnumFromIndex(spark, Search.sharedIndexDir(spark, dir),
+      TermsEnumTextQuery)
+
+  /** ES `_search/template` (inline source) — the mustache SUBSET:
+    * plain `{{param}}` substitution, string params JSON-escaped,
+    * numeric/boolean params rendered literally; sections, inverted
+    * sections, partials, and triple-mustache refuse loudly
+    * (conditional templates change the QUERY SHAPE — an oracle can
+    * only verify a deterministic render), as do unbound placeholders
+    * and stored template ids. The rendered body dispatches to the
+    * proven hits/aggs pipelines, so every clause the engine supports
+    * is templatable for free — and the oracle renders the SAME body,
+    * so template output is oracle-checked end to end. */
+  def renderSearchTemplate(json: String): String = {
+    val root = JsonMethods.parse(json) match {
+      case o: JObject => o
+      case other => fail(s"search template must be a JSON object, " +
+        s"got $other")
+    }
+    root.obj.collectFirst {
+      case (k, _) if k != "source" && k != "params" => k
+    }.foreach { k =>
+      if (k == "id") fail("search template: stored templates (id) " +
+        "are unsupported — inline the \"source\"")
+      else fail(s"search template has unsupported key '$k' — " +
+        "supported: source, params")
+    }
+    val src = root \ "source" match {
+      case JString(s2) => s2
+      case o: JObject => JsonMethods.compact(JsonMethods.render(o))
+      case _ => fail("search template needs a \"source\" (a mustache " +
+        "string, or an object with {{param}} placeholders in its " +
+        "string values)")
+    }
+    Seq("{{#", "{{^", "{{/", "{{>", "{{{").find(src.contains)
+      .foreach(tok => fail(s"search template: mustache construct " +
+        s"'$tok' is unsupported — plain {{param}} substitution only " +
+        "(conditional templates change the query shape; render " +
+        "upstream)"))
+    val params: Map[String, String] = root \ "params" match {
+      case JNothing => Map.empty
+      case o: JObject => o.obj.map { case (k, v) =>
+        k -> (v match {
+          case JString(s2) => s2.flatMap {
+            case '"' => "\\\""
+            case '\\' => "\\\\"
+            case c if c < ' ' => "\\u%04x".format(c.toInt)
+            case c => c.toString
+          }
+          case JInt(x) => x.toString
+          case JDouble(x) => x.toString
+          case JDecimal(x) => x.underlying.toPlainString
+          case JBool(x) => x.toString
+          case other => fail(s"search template param '$k' must be a " +
+            s"scalar, got $other")
+        })
+      }.toMap
+      case v => fail(s"search template params must be an object, " +
+        s"got $v")
+    }
+    val Re = """\{\{\s*([A-Za-z0-9_.]+)\s*\}\}""".r
+    val rendered = Re.replaceAllIn(src, m => {
+      val k = m.group(1)
+      scala.util.matching.Regex.quoteReplacement(params.getOrElse(k,
+        fail(s"search template: param '$k' is not bound")))
+    })
+    if (rendered.contains("{{"))
+      fail("search template: an unrenderable '{{' remains after " +
+        "substitution")
+    rendered
+  }
+
+  def searchTemplateOf(docs: DataFrame, json: String): DataFrame = {
+    val body = renderSearchTemplate(json)
+    if ((JsonMethods.parse(body) \ "aggs") != JNothing)
+      dslAggsOf(docs, body)
+    else searchDslOf(docs, body)
+  }
+
+  def searchTemplateSql(json: String): String =
+    searchTemplateSqlOver(json, "documents")
+
+  def searchTemplateSqlOver(json: String, rel: String): String = {
+    val body = renderSearchTemplate(json)
+    if ((JsonMethods.parse(body) \ "aggs") != JNothing)
+      dslAggsSqlOver(body, rel)
+    else dslSqlOver(body, rel)
+  }
+
+  /** Registered SEARCH-TEMPLATE hits body — a parameterized
+    * match+range query (string, integer, and size params) rendered
+    * then run through the proven hits pipeline. */
+  val SearchTemplateQuery: String =
+    """{"source": "{\"query\": {\"bool\": {\"must\": [{\"match\": """ +
+      """{\"text\": \"{{q}}\"}}], \"filter\": [{\"range\": """ +
+      """{\"n_chars\": {\"gte\": {{min_len}}}}}]}}, \"size\": {{k}}}",""" +
+      """ "params": {"q": "hash", "min_len": 120, "k": 10}}"""
+
+  def dslSearchTemplate(spark: SparkSession, dir: String): DataFrame =
+    searchTemplateOf(Tables.documentsPar(spark, dir),
+      SearchTemplateQuery)
+
+  val dslSearchTemplateOracleSql: String =
+    searchTemplateSql(SearchTemplateQuery)
+
+  /** Registered SEARCH-TEMPLATE aggs body — a parameterized term
+    * filter + stats target, the dashboard-template shape. */
+  val SearchTemplateAggsQuery: String =
+    """{"source": "{\"query\": {\"term\": {\"lang\": \"{{l}}\"}}, """ +
+      """\"size\": 0, \"aggs\": {\"chars\": {\"stats\": """ +
+      """{\"field\": \"{{f}}\"}}}}", """ +
+      """"params": {"l": "en", "f": "n_chars"}}"""
+
+  def dslSearchTemplateAggs(spark: SparkSession,
+      dir: String): DataFrame =
+    searchTemplateOf(Tables.documentsPar(spark, dir),
+      SearchTemplateAggsQuery)
+
+  val dslSearchTemplateAggsOracleSql: String =
+    searchTemplateSql(SearchTemplateAggsQuery)
+
   /** Registered RUNTIME-FIELDS hits body — a query-time computed
     * field (the ES `emit(<expr>)` contract over the arithmetic script
     * subset, params bound at parse) filtered and sorted on like any

@@ -1548,6 +1548,72 @@ class DslSpec extends SparkSpec {
       .contains("must be a metric"))
   }
 
+  test("_terms_enum: sorted prefix enumeration over values and tokens") {
+    def terms(json: String): Seq[String] =
+      Dsl.termsEnumOf(tiny, json).collect().map(_.getString(0)).toSeq
+    // keyword field: distinct raw values, sorted, limited
+    assert(terms("""{"field": "source", "string": "src"}""") ==
+      Seq("src0", "src1", "src2"))
+    assert(terms("""{"field": "source", "string": "src",
+      "size": 2}""") == Seq("src0", "src1"))
+    // analyzed field: the token dictionary
+    assert(terms("""{"field": "text", "string": "a"}""") ==
+      Seq("alpha"))
+    assert(terms("""{"field": "text"}""") ==
+      Seq("alpha", "beta", "gamma", "rare"))
+    // case_insensitive lowers both sides; the term keeps its case
+    assert(terms("""{"field": "lang", "string": "E",
+      "case_insensitive": true}""") == Seq("en"))
+    assert(terms("""{"field": "lang", "string": "E"}""") == Seq.empty)
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.termsEnumOf(tiny, json)).getMessage
+    assert(msg("""{"field": "source", "index_filter":
+      {"term": {"lang": "en"}}}""").contains("index_filter"))
+    assert(msg("""{"string": "x"}""").contains("needs a \"field\""))
+    assert(msg("""{"field": "source", "size": 0}""")
+      .contains("positive integer"))
+  }
+
+  test("search template: {{param}} render ≡ the direct body; refusals") {
+    val tpl = """{"source": "{\"query\": {\"bool\": {\"must\": """ +
+      """[{\"match\": {\"text\": \"{{q}}\"}}], \"filter\": """ +
+      """[{\"range\": {\"n_chars\": {\"gte\": {{min}}}}}]}}, """ +
+      """\"size\": {{k}}}", """ +
+      """"params": {"q": "alpha", "min": 10, "k": 3}}"""
+    val t = searchTemplateRows(tpl)
+    val d = Dsl.searchDslOf(tiny, """{"query": {"bool": {"must":
+      [{"match": {"text": "alpha"}}], "filter": [{"range":
+      {"n_chars": {"gte": 10}}}]}}, "size": 3}""")
+      .collect().map(_.toSeq).toSeq
+    assert(t == d, "template render must equal the direct body")
+    // an OBJECT source renders through compact JSON the same way
+    val objT = searchTemplateRows("""{"source": {"query": {"term":
+      {"lang": "{{l}}"}}, "size": 5}, "params": {"l": "en"}}""")
+    val objD = Dsl.searchDslOf(tiny, """{"query": {"term":
+      {"lang": "en"}}, "size": 5}""").collect().map(_.toSeq).toSeq
+    assert(objT == objD)
+    // refusals
+    def msg(json: String): String =
+      intercept[IllegalArgumentException](
+        Dsl.searchTemplateOf(tiny, json)).getMessage
+    assert(msg("""{"source": "{{#cond}}x{{/cond}}",
+      "params": {}}""").contains("{{#"))
+    assert(msg("""{"source":
+      "{\"query\": {\"term\": {\"lang\": \"{{l}}\"}}}",
+      "params": {}}""").contains("not bound"))
+    assert(msg("""{"id": "stored1", "params": {}}""")
+      .contains("stored templates"))
+    assert(msg("""{"source": "{\"size\": {{k}}}",
+      "params": {"k": [1]}}""").contains("scalar"))
+    assert(msg("""{"source": "{\"query\": {\"match_all\": {}}}",
+      "params": {}, "explain": true}""").contains("unsupported key"))
+  }
+
+  private def searchTemplateRows(tpl: String): Seq[Seq[Any]] =
+    Dsl.searchTemplateOf(tiny, tpl).collect().map(_.toSeq).toSeq
+
   test("runtime_mappings: computed fields in query, sort, and aggs") {
     // len2 = n_chars·2 + doc_id/100 → [32.00, 20.01, 20.02, 18.03,
     // 32.04]; filter ≥ 20.02, sort desc → docs 4, 0, 2
