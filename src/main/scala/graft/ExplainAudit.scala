@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.SimpleMode
+import org.apache.spark.sql.execution.{FormattedMode, SimpleMode}
 
 /** Diagnostic main: prints the physical plan of each registered query
   * (args select a subset) so scan pruning / pushdown / join strategy /
@@ -13,7 +13,11 @@ object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val summary = args.contains("--summary")
-    val rest = args.drop(1).filterNot(_ == "--summary").toSeq
+    // --formatted: the .explain("formatted") form (numbered operators +
+    // per-operator details) the optimization rounds commit under plans/
+    val formatted = args.contains("--formatted")
+    val rest = args.drop(1)
+      .filterNot(a => a == "--summary" || a == "--formatted").toSeq
     val names = if (rest.nonEmpty) rest else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -25,7 +29,8 @@ object ExplainAudit {
       s.sliding(needle.length).count(_ == needle)
     names.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.explainString(SimpleMode)
+        .queryExecution.explainString(
+          if (formatted) FormattedMode else SimpleMode)
       if (summary) {
         // shuffle exchanges exclude broadcast builds; codegen spans via
         // the stage markers in SimpleMode output

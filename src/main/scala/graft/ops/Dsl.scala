@@ -7793,7 +7793,7 @@ object Dsl {
     // not localCheckpoint: lineage survives, so an executor loss
     // recomputes instead of failing the job (the msearchOf contract);
     // the frame is bucket-grain — tiny either way
-    val grouped = (
+    val groupedCached = (
       if (gkNames.isEmpty) prep.agg(statAgg.head, statAgg.tail: _*)
       else {
         // one set per parent key; {parent, child} for bucket subs —
@@ -7810,7 +7810,22 @@ object Dsl {
         prep.groupingSets(sets, gkNames.map(col): _*)
           .agg(aggOut.head, aggOut.tail: _*)
       }).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    trackPersist(grouped)
+    trackPersist(groupedCached)
+    // The per-bucket/per-spec consumers below SELF-UNION this frame
+    // (one branch per bucket, one cut per spec). Catalyst's cached-plan
+    // matching does not survive the union deduplication when the frame
+    // is a grouping-sets aggregate (the Expand branches re-alias and
+    // sameResult fails), so every branch beyond the first silently
+    // re-ran the whole scan+aggregate lineage — measured: the 10-cell
+    // adjacency matrix executed 11 corpus scans (PLANS r12 caught 4 on
+    // an earlier shape; the grouping-sets form re-opened it). Pinning
+    // the branches to ONE RDD over the persisted frame makes the one
+    // corpus pass actually one: every branch scans the same bucket-
+    // grain RDD, which reads the DISK_ONLY cache, which keeps full
+    // lineage (the executor-loss stance of the persist is unchanged).
+    // Row→InternalRow round-trip is bucket-grain — a few hundred rows.
+    val grouped = groupedCached.sparkSession.createDataFrame(
+      groupedCached.rdd, groupedCached.schema)
     val nullD = lit(null).cast("double")
     val nullL = lit(null).cast("long")
     // output (v_count…v_avg) for a metric kind, from lazily-built
