@@ -5874,8 +5874,15 @@ object Dsl {
     // the whole job; persist keeps the lineage, so a lost block
     // recomputes its partition and the batch completes. The frame is a
     // few integers per doc — disk-only keeps it out of executor heaps.
-    val f = trackPersist(scanF(docs, framePlan, Seq.empty)
+    val f0 = trackPersist(scanF(docs, framePlan, Seq.empty)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    // pin the N rank tails to ONE RDD over the persisted frame — the
+    // union deduplication otherwise defeats cached-plan matching and
+    // each request re-scans the corpus (the aggsOver barrier finding,
+    // measured: 3-request msearch ran 4 corpus scans). Lineage and the
+    // executor-loss stance are unchanged; the conversion is a few
+    // integer columns per doc.
+    val f = docs.sparkSession.createDataFrame(f0.rdd, f0.schema)
     val stats = scanStats(f, framePlan)
     val pages = plans.zipWithIndex.map { case (p, i) =>
       rankTail(f, if (p.needsStats) stats else None, p)
@@ -10430,15 +10437,19 @@ object Dsl {
           s"doc-value fields: ${servable.mkString(", ")}")
     }
     val metaFields = (p.exact ++ extraFields).distinct.filter(_ != "doc_id")
-    val meta = roots.map { root =>
-      val d = spark.read.parquet(s"$root/docmeta")
-      // an index built before a doc-value family existed must refuse
-      // loudly, not surface a Spark analysis error mid-plan
-      metaFields.filterNot(d.columns.contains).foreach(f =>
+    // one multi-path docmeta relation over every member (the
+    // Search.familyScan shape: one listing + one scan, not |roots|);
+    // the refuse-loudly schema check stays PER ROOT — a multi-path
+    // read would silently null-fill a column one stale member lacks,
+    // which is exactly what the check exists to refuse
+    if (metaFields.nonEmpty) roots.foreach { root =>
+      val cols = spark.read.parquet(s"$root/docmeta").columns
+      metaFields.filterNot(cols.contains).foreach(f =>
         fail(s"field '$f' is not stored in the index docmeta under " +
           s"$root — rebuild the index from a corpus carrying it"))
-      d.select(($"doc_id" +: metaFields.map(col)): _*)
-    }.reduce(_ unionByName _)
+    }
+    val meta = Search.familyScan(spark, roots, "docmeta")
+      .select(($"doc_id" +: metaFields.map(col)): _*)
     checkFieldTypes(meta.schema, p)
     val allToks = (p.tkeys.map(_._2) ++ p.pkeys.flatMap(_._2) ++
       p.skeys.flatMap(spanToksOf)).distinct
@@ -10446,17 +10457,13 @@ object Dsl {
       if (allToks.isEmpty) None
       else {
         val buckets = allToks.map(Search.tokBucket).distinct
-        Some(roots.map { root =>
-          spark.read.parquet(s"$root/postings")
-            .filter($"b".isin(buckets: _*) && $"tok".isin(allToks: _*) &&
-              $"field".isin(p.usedFields: _*))
-        }.reduce(_ unionByName _))
+        Some(Search.postingsScan(spark, roots)
+          .filter($"b".isin(buckets: _*) && $"tok".isin(allToks: _*) &&
+            $"field".isin(p.usedFields: _*)))
       }
     def dlen(field: String, as: String): DataFrame =
-      roots.map { root =>
-        spark.read.parquet(s"$root/doclen")
-          .filter($"field" === field).select($"doc_id", $"dl".as(as))
-      }.reduce(_ unionByName _)
+      Search.familyScan(spark, roots, "doclen")
+        .filter($"field" === field).select($"doc_id", $"dl".as(as))
     // ---- features: tf pivot (df-bounded) + positional phrase counts
     //      + fuzzy expansions (vocab-filtered, unpruned — see below)
     val featCols = p.tkeys.map(k => s"qtf${p.tfIdx(k)}") ++
@@ -10478,9 +10485,8 @@ object Dsl {
           // prefix leg: term-dictionary walk (UNPRUNED — prefixed
           // tokens hash to any bucket; Lucene's prefix automaton does
           // the same walk), the expansions' positions flattened per doc
-          roots.map(root => spark.read.parquet(s"$root/postings")
-            .filter($"field" === fld && $"tok".startsWith(w)))
-            .reduce(_ unionByName _)
+          Search.postingsScan(spark, roots)
+            .filter($"field" === fld && $"tok".startsWith(w))
             .groupBy($"doc_id")
             .agg(array_sort(flatten(collect_list($"positions")))
               .as(s"p$j"))
@@ -10516,8 +10522,7 @@ object Dsl {
         def hit(k: (String, String, Int)): Column =
           col("field") === k._1 &&
             levenshtein($"tok", lit(k._2)) <= k._3
-        val po = roots.map(root => spark.read.parquet(s"$root/postings"))
-          .reduce(_ unionByName _)
+        val po = Search.postingsScan(spark, roots)
           .filter(p.zkeys.map(hit).reduce(_ || _))
         val cols = p.zkeys.map { k =>
           coalesce(sum(when(hit(k), $"tf")), lit(0L)).cast("int")
@@ -10534,8 +10539,7 @@ object Dsl {
       else {
         def hit(k: (String, String)): Column =
           col("field") === k._1 && $"tok".rlike("^(?:" + k._2 + ")$")
-        val po = roots.map(root => spark.read.parquet(s"$root/postings"))
-          .reduce(_ unionByName _)
+        val po = Search.postingsScan(spark, roots)
           .filter(p.rkeys.map(hit).reduce(_ || _))
         val cols = p.rkeys.map { k =>
           coalesce(sum(when(hit(k), $"tf")), lit(0L)).cast("int")
@@ -10624,8 +10628,7 @@ object Dsl {
     val f0 =
       if (needHdl) withDl.join(dlen(Search.HeadField, "hdl"), "doc_id")
       else withDl
-    val dead = roots.map(Search.tombstones(spark, _))
-      .reduce(_ unionByName _)
+    val dead = Search.tombstonesAcross(spark, roots)
     ServedParts(f0.join(dead, Seq("doc_id"), "left_anti"), meta, posts,
       phFrames, zPivot, dlen)
   }
@@ -10793,8 +10796,11 @@ object Dsl {
             else None))
         val parts = servedParts(spark, indexDirs, gFrame, Seq.empty)
         // DISK_ONLY persist, lineage kept — [[msearchOf]]'s barrier note
-        val f = trackPersist(parts.f
+        val f0 = trackPersist(parts.f
           .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+        // one RDD over the persisted frame, shared by every rank tail
+        // of the group — the msearchOf union-sharing fix, served form
+        val f = spark.createDataFrame(f0.rdd, f0.schema)
         (textBound, f,
           servedStats(spark, parts, gFrame, indexDirs.size > 1), gp)
       }

@@ -2372,18 +2372,14 @@ object Search {
       terms: Seq[String]): DataFrame = {
     import spark.implicits._
     val buckets = terms.map(tokBucket).distinct
-    val post = roots.map { root =>
-      spark.read.parquet(s"$root/postings")
-        .filter($"b".isin(buckets: _*) && $"tok".isin(terms: _*) &&
-          $"field" === DefaultField)
-        .select($"tok", $"doc_id", $"tf")
-    }.reduce(_ unionByName _)
-    val doclen = roots.map { root =>
-      spark.read.parquet(s"$root/doclen")
-        .filter($"field" === DefaultField)
-        .select($"doc_id", $"dl")
-    }.reduce(_ unionByName _)
-    val dead = roots.map(tombstones(spark, _)).reduce(_ unionByName _)
+    val post = postingsScan(spark, roots)
+      .filter($"b".isin(buckets: _*) && $"tok".isin(terms: _*) &&
+        $"field" === DefaultField)
+      .select($"tok", $"doc_id", $"tf")
+    val doclen = familyScan(spark, roots, "doclen")
+      .filter($"field" === DefaultField)
+      .select($"doc_id", $"dl")
+    val dead = tombstonesAcross(spark, roots)
     // the merged statistics are only correct under the disjointness
     // contract (one index per doc_id) — ENFORCE it on the aggregate
     // the query already pays for, folded into n so the score
@@ -2653,13 +2649,15 @@ object Search {
     import spark.implicits._
     require(indexDirs.nonEmpty, "facetsAcrossIndexes: no indices given")
     val roots = indexDirs.map(requireIndex(spark, _))
-    val dead = roots.map(tombstones(spark, _)).reduce(_ unionByName _)
-    val matched = roots.map(matchedFromIndex(spark, _, terms))
-      .reduce(_ unionByName _)
+    val dead = tombstonesAcross(spark, roots)
+    val buckets = terms.map(tokBucket).distinct
+    val matched = postingsScan(spark, roots)
+      .filter($"b".isin(buckets: _*) && $"tok".isin(terms: _*) &&
+        $"field" === DefaultField)
+      .select($"doc_id").distinct()
       .join(dead, Seq("doc_id"), "left_anti")
-    roots.map(root => spark.read.parquet(s"$root/docmeta")
-        .select($"doc_id", $"lang", $"source"))
-      .reduce(_ unionByName _)
+    familyScan(spark, roots, "docmeta")
+      .select($"doc_id", $"lang", $"source")
       .join(matched, "doc_id")
       .groupBy($"lang", $"source")
       .agg(count(lit(1)).as("n_docs"))
@@ -2990,6 +2988,53 @@ object Search {
     if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
       spark.read.parquet(p.toString).select($"doc_id").distinct()
     else spark.emptyDataset[Long].toDF("doc_id")
+  }
+
+  /** ONE parquet relation over the same index family of many RESOLVED
+    * roots — row-equivalent to unioning per-root reads (each member
+    * contributes exactly its rows; filters/pruning apply per file as
+    * before) but one file listing and one scan operator instead of
+    * |roots| of each. An alias over k daily indices plans k× fewer
+    * scan nodes, its scan tasks pack across members, and the plan
+    * stops growing with the member count — the per-member UNION form
+    * made every multi-index query pay k listings + k scans per family
+    * (measured: dsl_alias over 3 members planned 24 scans). */
+  private[ops] def familyScan(spark: SparkSession, roots: Seq[String],
+      family: String): DataFrame =
+    // recursiveFileLookup disables partition-directory inference —
+    // required because Spark refuses a multi-path read of partitioned
+    // layouts (CONFLICTING_DIRECTORY_STRUCTURES) — so the partition
+    // column (epoch) does not surface. Safe ONLY for families whose
+    // consumers never read epoch and whose other columns are all data
+    // columns: doclen, docmeta, tombstones. NOT for postings (its `b`
+    // bucket is a partition directory the term filters prune on — use
+    // [[postingsScan]]) and NOT for `stored` (epoch is read).
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(roots.map(r => s"$r/$family"): _*)
+
+  /** Postings across members: per-root reads unioned — postings keep
+    * their b=bucket partition DIRECTORIES (the term filters prune
+    * whole buckets at the listing), which a flattened multi-path read
+    * would forfeit. The union is of already bucket-pruned scans, so
+    * the per-member cost stays term-df-shaped. */
+  private[ops] def postingsScan(spark: SparkSession,
+      roots: Seq[String]): DataFrame =
+    roots.map(r => spark.read.parquet(s"$r/postings"))
+      .reduce(_ unionByName _)
+
+  /** The union of every member's ACTIVE tombstone generation as one
+    * multi-path read (members without tombstones contribute nothing) —
+    * [[familyScan]] applied to the per-root [[tombstones]]. */
+  private[ops] def tombstonesAcross(spark: SparkSession,
+      roots: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val dirs = roots.map(tombDir(spark, _)).filter { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).exists(p)
+    }
+    if (dirs.isEmpty) spark.emptyDataset[Long].toDF("doc_id")
+    else spark.read.parquet(dirs: _*).select($"doc_id").distinct()
   }
 
   /** The stored `_source` table under a RESOLVED version root — what

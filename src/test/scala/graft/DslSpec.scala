@@ -1108,23 +1108,23 @@ class DslSpec extends SparkSpec {
       assert(batched(i) == solo,
         s"request $i diverged from its solo run: ${batched(i)} vs $solo")
     }
-    // ONE corpus pass: every branch reads the persisted feature frame
-    // (InMemoryTableScan over ONE shared cache build) and no branch
-    // scans the parquet directly. Node-based count: the cached
-    // relation's subtree REPRINTS under each table scan in plan text,
-    // so a string count would see N phantom scans.
+    // ONE corpus pass: every rank tail reads the SAME RDD over the
+    // persisted feature frame (r17: the tails are pinned to one RDD
+    // because union deduplication defeats cached-plan matching — each
+    // branch would otherwise re-run the whole scan), so the executed
+    // plan holds no direct parquet scan and every RDD scan shares one
+    // rdd id (one materialization, N readers).
     val msDf = Dsl.msearchOf(Tables.documentsPar(spark, sfDir), bodies)
     msDf.collect()
     val nodes = physNodes(msDf.queryExecution.executedPlan)
     val fileScans = nodes.count(
       _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
-    val caches = nodes.collect {
-      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-        s.relation.cacheBuilder
+    val rddIds = nodes.collect {
+      case s: org.apache.spark.sql.execution.RDDScanExec => s.rdd.id
     }.distinct
-    assert(fileScans == 0 && caches.size == 1,
+    assert(fileScans == 0 && rddIds.size == 1,
       s"_msearch must share one persisted corpus pass: " +
-        s"direct scans=$fileScans, distinct caches=${caches.size}")
+        s"direct scans=$fileScans, distinct barrier rdds=${rddIds.size}")
     def msg(bs: Seq[String]): String =
       intercept[IllegalArgumentException](
         Dsl.msearchOf(tiny, bs)).getMessage
