@@ -77,6 +77,25 @@ object Tables {
   def par(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Optimization barrier: the same rows through an RDD boundary, with
+    * NO storage — lineage recomputes per action exactly as before.
+    *
+    * Why it exists (r17): a filter on an expensive derived column that
+    * the query ALSO emits is pushed below the projection, so the full
+    * expression tree evaluates twice per row (once in the pushed
+    * Filter, once in the Project — whole-stage codegen eliminates
+    * common subexpressions within ONE operator, never across the
+    * two). Catalyst cannot push a predicate through an RDD scan, so
+    * `barrier(scored).filter(...)` evaluates the projection once and
+    * filters on the resulting attribute. Costs one InternalRow↔Row
+    * round-trip per row at the boundary — cents beside a duplicated
+    * regex chain. Place it ONLY between an expensive projection and
+    * its filter: it also blocks column pruning and pushdown of
+    * everything else across the boundary, so the projection below it
+    * must already be exactly the columns the consumer needs. */
+  def planBarrier(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "customer")

@@ -30,9 +30,15 @@ object Curate {
   def corpusCurate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documentsPar(spark, dir)
-    val scored = docs.select($"doc_id",
+    // plan barrier on the scored frame: the output EMITS
+    // pred_lang/quality_score, so without it the pushed-down gate
+    // predicate re-evaluates the full scorer expression per doc beside
+    // the projection's copy — measured 2× the stopword regex pass
+    // (plans/r17/corpus_curate_before.txt: the same 56-regexp tree in
+    // Filter(2) AND Project(4)); exec 2.6 → 0.7 s at sf0.1
+    val scored = Tables.planBarrier(docs.select($"doc_id",
       TextAnalysis.predLangExpr($"text").as("pred_lang"),
-      TextAnalysis.qualityScoreExpr($"text").as("quality_score"))
+      TextAnalysis.qualityScoreExpr($"text").as("quality_score")))
     val keepers = Dedup.dedupExact(spark, dir).select($"keep_id".as("doc_id"))
     // sharedClusters: reuses the session-shared funnel + cluster-label
     // materializations instead of rebuilding them from text (see Dedup)
@@ -187,11 +193,14 @@ object Curate {
     * post-dedup — a small fraction of the corpus). */
   def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // 1. gates on raw text
-    val gated = Tables.documentsPar(spark, dir)
+    // 1. gates on raw text — plan barrier between the scorer projection
+    //    and its gate (the corpusCurate finding: the output emits the
+    //    scorer columns, so the pushed gate predicate would re-run the
+    //    whole scorer per doc)
+    val gated = Tables.planBarrier(Tables.documentsPar(spark, dir)
       .select($"doc_id", $"lang", $"text",
         TextAnalysis.predLangExpr($"text").as("pred_lang"),
-        TextAnalysis.qualityScoreExpr($"text").as("quality_score"))
+        TextAnalysis.qualityScoreExpr($"text").as("quality_score")))
       .filter($"pred_lang" =!= "und" && $"quality_score" >= QualityBar)
     // 2. dedup keepers (computed over the FULL corpus — gating must not
     //    change which copy of a duplicate family is canonical)
@@ -203,12 +212,16 @@ object Curate {
       .join(losers, Seq("doc_id"), "left_anti")
     // 3. text transforms on survivors only + curate keep bars
     val cleaned = TextAnalysis.cleanExpr($"text")
-    val curated = deduped
+    // the same barrier between the clean→scrub chain and its keep bars:
+    // n_redacted/n_tokens derive from the chain AND curated is emitted,
+    // so the pushed bars would re-run clean+scrub per doc
+    val curated = Tables.planBarrier(deduped
       .withColumn("curated", TextAnalysis.scrubExpr(cleaned))
       .withColumn("n_redacted",
         size(regexp_extract_all(cleaned, lit(TextAnalysis.EmailPattern), lit(0))) +
           size(regexp_extract_all(cleaned, lit(TextAnalysis.UrlPattern), lit(0))))
       .withColumn("n_tokens", size(TextAnalysis.toks($"curated")).cast("long"))
+      .drop("text"))
       .filter($"n_redacted" <= TextAnalysis.CurateMaxRedactions &&
         $"n_tokens" >= TextAnalysis.CurateMinTokens)
     // 4 + 5. split predicate, then pack shards within (lang, split)
