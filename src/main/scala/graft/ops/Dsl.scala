@@ -6786,9 +6786,16 @@ object Dsl {
   def dslSuggestOf(docs: DataFrame, json: String): DataFrame = {
     import docs.sparkSession.implicits._
     val suggs = parseSuggestBody(json)
-    val vocab = docs
+    // vocab-grain barrier (the aggsOver mechanism): every suggester
+    // branch and every phrase-candidate derivation reads this frame,
+    // and the self-union would otherwise re-run the corpus tokenize
+    // per branch
+    val vocab0 = trackPersist(docs
       .select(explode(TextAnalysis.toks($"text")).as("token"))
       .groupBy($"token").agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    val vocab = docs.sparkSession
+      .createDataFrame(vocab0.rdd, vocab0.schema)
     // phrase freq, scan shape: one corpus bigram pass joined to the
     // BROADCAST candidate pairs (tiny), counted per pair — the corpus
     // never shuffles, only the matched pairs aggregate
@@ -6810,8 +6817,11 @@ object Dsl {
     val live = spark.read.parquet(s"$root/postings")
       .filter($"field" === Search.DefaultField)
       .join(Search.tombstones(spark, root), Seq("doc_id"), "left_anti")
-    val vocab = live.select($"doc_id", $"tok", $"tf")
+    // vocab-grain barrier — the dslSuggestOf sharing, served form
+    val vocab0 = trackPersist(live.select($"doc_id", $"tok", $"tf")
       .groupBy($"tok".as("token")).agg(sum($"tf").as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    val vocab = spark.createDataFrame(vocab0.rdd, vocab0.schema)
     // phrase freq, served shape: candidate-pair adjacency counted from
     // the POSITIONAL postings (y = x + 1), summed across docs — the
     // candidate semi-join prunes the postings to ≤|cands| terms before
